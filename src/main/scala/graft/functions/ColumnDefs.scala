@@ -1,0 +1,217 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.plans.{ErrorPolicy, Events, GraftError}
+
+/** Column type declarations — the Spark ADT for the reference's Column
+  * subclass hierarchy (/root/reference/phaser/column.py).
+  *
+  * Each type knows how to cast a raw (usually string) column to its typed
+  * value and which cast failures to flag. Casting uses built-in Catalyst
+  * expressions only (try_cast semantics via non-ANSI cast + null probes),
+  * so everything stays inside whole-stage codegen.
+  */
+sealed trait ColType {
+  def sparkType: DataType
+  /** Cast the raw column; must yield null for null-ish input. */
+  def cast(c: Column): Column
+  /** True when the input was present but the cast could not parse it. */
+  def castFailed(raw: Column, casted: Column): Column =
+    isPresent(raw) && casted.isNull
+
+  /** Non-null, non-NaN, non-empty after trim (reference is_nan_or_null +
+    * is_empty, io.py:138-162: treats "NULL"/"None"/"nan" literals and
+    * blank strings as absent). */
+  protected def isPresent(c: Column): Column =
+    c.isNotNull && !trim(c.cast(StringType)).isin("", "NULL", "None", "nan", "NaN")
+}
+
+object ColType {
+  /** Base string column: only normalizes NaN to null (column.py:130-144). */
+  case object Str extends ColType {
+    val sparkType: DataType = StringType
+    def cast(c: Column): Column =
+      when(upper(trim(c.cast(StringType))) === "NAN", lit(null).cast(StringType))
+        .otherwise(c.cast(StringType))
+    override def castFailed(raw: Column, casted: Column): Column = lit(false)
+  }
+
+  /** int(Decimal(value)): "1.0" parses to 1; truncates toward zero
+    * (column.py:280-283). try_cast keeps ANSI mode (Spark 4 default) from
+    * throwing on malformed input — a parse failure must become an event,
+    * not a task failure. */
+  case object IntT extends ColType {
+    val sparkType: DataType = LongType
+    def cast(c: Column): Column =
+      when(!isPresent(c), lit(null).cast(LongType))
+        .otherwise(c.cast(StringType).try_cast(DecimalType(38, 18)).try_cast(LongType))
+  }
+
+  /** float(Decimal(value)) (column.py:291-294). */
+  case object FloatT extends ColType {
+    val sparkType: DataType = DoubleType
+    def cast(c: Column): Column =
+      when(!isPresent(c), lit(null).cast(DoubleType))
+        .otherwise(c.cast(StringType).try_cast(DoubleType))
+  }
+
+  /** Truthy/falsey literal sets, case-insensitive (column.py:192-193);
+    * unrecognized non-null input is a cast failure. */
+  case object BoolT extends ColType {
+    val trueValues = Seq("t", "true", "1", "yes", "y")
+    val falseValues = Seq("f", "false", "0", "no", "n")
+    val sparkType: DataType = BooleanType
+    def cast(c: Column): Column = {
+      val s = lower(trim(c.cast(StringType)))
+      when(!isPresent(c), lit(null).cast(BooleanType))
+        .when(s.isin(trueValues: _*), lit(true))
+        .when(s.isin(falseValues: _*), lit(false))
+        .otherwise(lit(null).cast(BooleanType))
+    }
+  }
+
+  /** ISO8601 first, else the user-supplied Spark datetime pattern
+    * (column.py:362-379; the reference takes strptime codes, the rebuild
+    * takes Spark patterns — an intentional API deviation). */
+  final case class DateTimeT(format: Option[String] = None) extends ColType {
+    val sparkType: DataType = TimestampType
+    def cast(c: Column): Column = {
+      val s = trim(c.cast(StringType))
+      val parsed = format match {
+        case Some(f) => try_to_timestamp(s, lit(f))
+        case None    => try_to_timestamp(s)
+      }
+      when(!isPresent(c), lit(null).cast(TimestampType)).otherwise(parsed)
+    }
+  }
+
+  /** ISO first, then the unambiguous yyyy/MM/dd and yyyyMMdd fallbacks
+    * (column.py:405-411, 441-459); ambiguous m/d/y deliberately rejected
+    * unless a format is given. */
+  final case class DateT(format: Option[String] = None) extends ColType {
+    val sparkType: DataType = DateType
+    def cast(c: Column): Column = {
+      val s = trim(c.cast(StringType))
+      val parsed = format match {
+        case Some(f) => try_to_timestamp(s, lit(f)).cast(DateType)
+        case None => coalesce(
+          try_to_timestamp(s).cast(DateType),
+          try_to_timestamp(s, lit("yyyy/MM/dd")).cast(DateType),
+          try_to_timestamp(s, lit("yyyyMMdd")).cast(DateType))
+      }
+      when(!isPresent(c), lit(null).cast(DateType)).otherwise(parsed)
+    }
+  }
+}
+
+/** Declarative column: rename + cast + fix + validate, compiled to Catalyst
+  * expressions. Mirrors reference Column's parameters (column.py:57-91) and
+  * its fixed per-value processing order (check_and_cast_value,
+  * column.py:114-128): null-check, cast, default+fix, checks.
+  */
+final case class ColumnDef(
+    name: String,
+    colType: ColType = ColType.Str,
+    required: Boolean = true,
+    nullable: Boolean = true,
+    blank: Boolean = true,
+    default: Option[Any] = None,
+    fixValueFns: Seq[FixFn] = Nil,
+    rename: Seq[String] = Nil,
+    allowedValues: Seq[Any] = Nil,
+    save: Boolean = true,
+    onError: ErrorPolicy = ErrorPolicy.Collect,
+    minValue: Option[Any] = None,
+    maxValue: Option[Any] = None) {
+
+  // definition-time checks (column.py:89-105)
+  ColumnDef.checkColName(name)
+  if (!nullable && default.isDefined)
+    throw GraftError(
+      s"Column $name defined to error on null values, but also provides a non-null default")
+
+  /** The canonical header-matching key (make_strict_name, column.py:464-480). */
+  def strictName: String = ColumnDef.makeStrictName(name)
+
+  private def err(step: String, cond: Column, msg: Column)(events: Column): Column =
+    Events.append(events, cond, Events.ErrorType, step, msg, onError)
+
+  /** Compile to (typedValue, events => events'): the typed value column and
+    * an event-channel update covering every validation in reference order.
+    * The caller wires the update into `__graft_events__` and guards the
+    * value write on prior row failure.
+    */
+  def compile(raw: Column, stepName: String = "cast_and_check"): (Column, Column => Column) = {
+    val isNullish = raw.isNull ||
+      trim(raw.cast(StringType)).isin("", "NULL", "None", "nan", "NaN")
+
+    val casted = colType.cast(raw)
+
+    // default fill then fix chain (fix_value, column.py:164-184)
+    val defaulted = default match {
+      case Some(d) => coalesce(casted, lit(d).cast(colType.sparkType))
+      case None    => casted
+    }
+    val fixed = fixValueFns.foldLeft(defaulted)((c, f) => f(c))
+
+    val nullErr = if (!nullable)
+      Some((isNullish, lit(s"Null value found in column $name"))) else None
+
+    val castErr = Some((colType.castFailed(raw, casted),
+      concat(lit(s"Value "), coalesce(raw.cast(StringType), lit("null")),
+        lit(s" in column $name could not be cast to ${colType.sparkType.simpleString}"))))
+
+    val blankErr = if (!blank && colType == ColType.Str)
+      Some((fixed.isNotNull && trim(fixed) === "",
+        lit(s"Column '$name' had blank value"))) else None
+
+    val allowedErr = if (allowedValues.nonEmpty)
+      Some((fixed.isNotNull && !fixed.isin(allowedValues: _*),
+        concat(lit(s"Column '$name' had value "), fixed.cast(StringType),
+          lit(" not found in allowed values")))) else None
+
+    val minErr = minValue.map(m =>
+      (fixed.isNotNull && fixed < lit(m).cast(colType.sparkType),
+        concat(lit(s"Value for $name is "), fixed.cast(StringType),
+          lit(s", less than min $m"))))
+    val maxErr = maxValue.map(m =>
+      (fixed.isNotNull && fixed > lit(m).cast(colType.sparkType),
+        concat(lit(s"Value for $name is "), fixed.cast(StringType),
+          lit(s", more than max $m"))))
+
+    val checks = Seq(nullErr, castErr, blankErr, allowedErr, minErr, maxErr).flatten
+    val update = (events: Column) =>
+      checks.foldLeft(events) { case (ev, (cond, msg)) => err(stepName, cond, msg)(ev) }
+    (fixed, update)
+  }
+}
+
+object ColumnDef {
+  /** Reference forbids None/float/blank names and \n\t (column.py:92-105). */
+  def checkColName(name: String): String = {
+    if (name == null) throw GraftError("Column name cannot be None or a float")
+    val trimmed = name.trim
+    if (trimmed.isEmpty) throw GraftError("Column name cannot be blank")
+    if (trimmed.exists(c => c == '\n' || c == '\t'))
+      throw GraftError("Forbidden characters (newline or tab) in column name")
+    trimmed
+  }
+
+  /** Canonical header key: lowercase, _/tab/newline to space, collapse
+    * runs of spaces (make_strict_name, column.py:464-480). */
+  def makeStrictName(name: String): String =
+    name.toLowerCase
+      .replace('_', ' ').replace('\t', ' ').replace('\n', ' ')
+      .split("\\s+").filter(_.nonEmpty).mkString(" ")
+
+  // convenience constructors mirroring the reference subclasses
+  def str(name: String): ColumnDef = ColumnDef(name)
+  def int(name: String): ColumnDef = ColumnDef(name, ColType.IntT)
+  def float(name: String): ColumnDef = ColumnDef(name, ColType.FloatT)
+  def bool(name: String): ColumnDef = ColumnDef(name, ColType.BoolT, nullable = false)
+  def date(name: String): ColumnDef = ColumnDef(name, ColType.DateT())
+  def datetime(name: String): ColumnDef = ColumnDef(name, ColType.DateTimeT())
+}

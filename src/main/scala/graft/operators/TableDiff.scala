@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.plans.Events
+
+/** D1/D2 — change-data-capture between two checkpoints (reference:
+  * phaser/table_diff.py:18-164 IndexedTableDiffer).
+  *
+  * The reference walks both tables row-by-row in Python; here the diff is
+  * one full-outer join on the stable row number (the lineage contract) with
+  * a classification expression — fully distributed, no driver data until a
+  * capped report render.
+  */
+object TableDiff {
+
+  final case class Counters(added: Long, removed: Long, changed: Long, unchanged: Long)
+
+  /** Align old headers to new via declared renames (table_diff.py:77-89),
+    * then full-outer join on row number and classify each row. Output:
+    * `__graft_row_num__, status, <col>__old, <col>__new ...` for every
+    * compared column. */
+  def diff(f1in: DataFrame, f2: DataFrame,
+      renames: Map[String, String] = Map.empty): DataFrame = {
+    val f1 = renames.foldLeft(f1in) { case (d, (from, to)) =>
+      if (d.columns.contains(from)) d.withColumnRenamed(from, to) else d
+    }
+    require(f1.columns.contains(Events.RowNumCol) && f2.columns.contains(Events.RowNumCol),
+      s"diff requires the ${Events.RowNumCol} lineage column in both tables")
+
+    val cols1 = f1.columns.filterNot(Events.internalCols.contains)
+    val cols2 = f2.columns.filterNot(Events.internalCols.contains)
+    val compared = (cols1 ++ cols2).distinct.toSeq
+
+    def side(df: DataFrame, cols: Seq[String], suffix: String): DataFrame = {
+      val present = df.columns.toSet
+      df.select(
+        col(Events.RowNumCol).cast("long").as(Events.RowNumCol) +:
+        lit(true).as(s"__present$suffix") +:
+        compared.map(c =>
+          (if (present.contains(c)) col(c).cast("string") else lit(null).cast("string"))
+            .as(s"$c$suffix")): _*)
+    }
+
+    val left = side(f1, compared, "__old")
+    val right = side(f2, compared, "__new")
+    val joined = left.join(right, Seq(Events.RowNumCol), "full_outer")
+
+    val inOld = coalesce(col("__present__old"), lit(false))
+    val inNew = coalesce(col("__present__new"), lit(false))
+    val anyChanged: Column = compared
+      .map(c => !(col(s"${c}__old") <=> col(s"${c}__new")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+
+    joined.withColumn("status",
+        when(!inOld && inNew, "added")
+          .when(inOld && !inNew, "removed")
+          .when(anyChanged, "changed")
+          .otherwise("unchanged"))
+      .drop("__present__old", "__present__new")
+  }
+
+  /** Aggregate counters (table_diff.py:75) — one distributed aggregate. */
+  def counters(diffed: DataFrame): Counters = {
+    val m = diffed.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Counters(m.getOrElse("added", 0L), m.getOrElse("removed", 0L),
+      m.getOrElse("changed", 0L), m.getOrElse("unchanged", 0L))
+  }
+
+  /** Char-level in-field diff markup (reference uses difflib
+    * SequenceMatcher, table_diff.py:155-164). Classic LCS walk emitting
+    * del/ins spans; driver-side, for report-sized strings.
+    */
+  def charDiff(oldS: String, newS: String): (String, String) = {
+    val a = Option(oldS).getOrElse("").toCharArray
+    val b = Option(newS).getOrElse("").toCharArray
+    // LCS table (fields are short; O(nm) is fine for report rendering)
+    val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+    for (i <- a.length - 1 to 0 by -1; j <- b.length - 1 to 0 by -1)
+      dp(i)(j) = if (a(i) == b(j)) dp(i + 1)(j + 1) + 1
+                 else math.max(dp(i + 1)(j), dp(i)(j + 1))
+    val oldOut = new StringBuilder
+    val newOut = new StringBuilder
+    var i = 0; var j = 0
+    def esc(c: Char): String = c match {
+      case '<' => "&lt;"; case '>' => "&gt;"; case '&' => "&amp;"
+      case other => other.toString
+    }
+    var delRun = new StringBuilder
+    var insRun = new StringBuilder
+    def flush(): Unit = {
+      if (delRun.nonEmpty) { oldOut.append(s"<del>$delRun</del>"); delRun = new StringBuilder }
+      if (insRun.nonEmpty) { newOut.append(s"<ins>$insRun</ins>"); insRun = new StringBuilder }
+    }
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { flush(); oldOut.append(esc(a(i))); newOut.append(esc(b(j))); i += 1; j += 1 }
+      else if (dp(i + 1)(j) >= dp(i)(j + 1)) { delRun.append(esc(a(i))); i += 1 }
+      else { insRun.append(esc(b(j))); j += 1 }
+    }
+    while (i < a.length) { delRun.append(esc(a(i))); i += 1 }
+    while (j < b.length) { insRun.append(esc(b(j))); j += 1 }
+    flush()
+    (oldOut.toString, newOut.toString)
+  }
+
+  /** D3 — HTML report (FormatterBase/HtmlTableFormat, table_diff.py:167-338).
+    * Renders at most `maxRows` non-unchanged rows (driver-side string
+    * building; counters remain exact and distributed). */
+  def htmlReport(diffed: DataFrame, maxRows: Int = 1000): String = {
+    val c = counters(diffed)
+    val compared = diffed.columns
+      .filter(_.endsWith("__new")).map(_.stripSuffix("__new")).toSeq
+    val interesting = diffed.filter(col("status") =!= "unchanged")
+      .orderBy(col(Events.RowNumCol)).limit(maxRows).collect()
+
+    val sb = new StringBuilder
+    sb.append("<html><head><style>")
+    sb.append("table{border-collapse:collapse;font-family:monospace}")
+    sb.append("td,th{border:1px solid #ccc;padding:2px 6px}")
+    sb.append("ins{background:#c8f0c8;text-decoration:none}del{background:#f0c8c8}")
+    sb.append(".added{background:#eaffea}.removed{background:#ffecec}")
+    sb.append("</style></head><body>")
+    sb.append(s"<p>added: ${c.added}, removed: ${c.removed}, changed: ${c.changed}, unchanged: ${c.unchanged}</p>")
+    sb.append("<table><tr><th>row</th><th>status</th>")
+    compared.foreach(cn => sb.append(s"<th>$cn</th>"))
+    sb.append("</tr>")
+    interesting.foreach { r =>
+      val status = r.getAs[String]("status")
+      sb.append(s"""<tr class="$status"><td>${r.getAs[Long](Events.RowNumCol)}</td><td>$status</td>""")
+      compared.foreach { cn =>
+        val o = Option(r.getAs[String](s"${cn}__old"))
+        val n = Option(r.getAs[String](s"${cn}__new"))
+        val cell = status match {
+          case "changed" if o != n =>
+            val (od, nd) = charDiff(o.orNull, n.orNull)
+            s"$od &rarr; $nd"
+          case "removed" => o.getOrElse("")
+          case _ => n.getOrElse("")
+        }
+        sb.append(s"<td>$cell</td>")
+      }
+      sb.append("</tr>")
+    }
+    sb.append("</table></body></html>")
+    sb.toString
+  }
+}
+
+/** CL2 — diff CLI: build an HTML diff of two checkpoint files.
+  * (The reference CLI calls a method that doesn't exist on Phase —
+  * cli/commands/diff.py:168, a latent bug; the rebuild exposes the rename
+  * map properly via Phase.renameList.) */
+object TableDiffCli {
+  def main(args: Array[String]): Unit = args.toList match {
+    case workDir :: file1 :: file2 :: rest =>
+      val out = rest match {
+        case "--out" :: p :: Nil => p
+        case _ => s"$workDir/diff_report.html"
+      }
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .master("local[*]").appName("graft-diff")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val f1 = graft.sources.GraftIO.read(spark, file1)
+      val f2 = graft.sources.GraftIO.read(spark, file2)
+      val diffed = TableDiff.diff(f1, f2)
+      val counters = TableDiff.counters(diffed)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+        TableDiff.htmlReport(diffed))
+      println(s"[graft] diff written to $out: $counters")
+    case _ =>
+      System.err.println("usage: graft diff <workdir> <file1> <file2> [--out report.html]")
+      sys.exit(2)
+  }
+}

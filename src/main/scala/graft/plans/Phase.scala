@@ -1,0 +1,124 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.ColumnDef
+
+/** A Phase = header canonicalization + declared-column cast/validate +
+  * ordered steps + prepare-for-save (reference: phaser/phase.py:146-235).
+  *
+  * The whole phase composes lazily into ONE Catalyst plan; materialization
+  * happens only at the pipeline's checkpoint boundary — the reference's
+  * step-by-step full materialization (phase.py:88-128) is replaced by plan
+  * composition, which is the main scale win.
+  *
+  * apply() returns the frame WITH internal columns (row numbers + event
+  * channel); [[Pipeline]] handles policy application, checkpointing, and
+  * stripping internals.
+  */
+final case class Phase(
+    name: String,
+    columns: Seq[ColumnDef] = Nil,
+    steps: Seq[Step] = Nil,
+    renumber: Boolean = false,
+    extraSources: Seq[String] = Nil,
+    extraOutputs: Seq[String] = Nil) {
+
+  // Declared-rename conflicts are definition errors (phase.py:222-228).
+  val renameList: Map[String, String] = {
+    val pairs = for (c <- columns; alt <- c.rename) yield alt -> c.name
+    pairs.groupBy(_._1).foreach { case (alt, targets) =>
+      if (targets.map(_._2).distinct.size > 1)
+        throw GraftError(
+          s"Column cannot be renamed from $alt to ${targets.map(_._2).distinct.mkString(" and ")}, " +
+            "please fix column declarations")
+    }
+    pairs.toMap
+  }
+
+  def diffable: Boolean = !renumber
+
+  /** Run the phase on a frame. */
+  def apply(df0: DataFrame, ctx: Context): DataFrame = {
+    val df = Events.withEventsCol(RowNum.ensure(df0))
+    val renamed = renameColumns(df, ctx)
+    checkRequired(renamed)
+    val casted = castColumns(renamed)
+    val stepped = steps.foldLeft(casted)((d, s) => s(d, ctx, name))
+    val renumbered = if (renumber) RowNum.renumber(stepped) else stepped
+    prepareForSave(renumbered, ctx)
+  }
+
+  /** H1 — canonicalize headers: strip spaces/quotes, strict-name match to
+    * declared names, then declared renames (phase.py:264-300). Pure driver
+    * logic over df.columns + one projection. */
+  private[plans] def renameColumns(df: DataFrame, ctx: Context): DataFrame = {
+    val strictToDeclared = columns.map(c => c.strictName -> c.name).toMap
+    val userCols = df.columns.filterNot(Events.internalCols.contains)
+
+    // two headers collapsing onto one declared strict name is a coding error
+    val canonicalized = userCols.map(ColumnDef.makeStrictName)
+    strictToDeclared.keys.foreach { strict =>
+      if (canonicalized.count(_ == strict) > 1)
+        throw GraftError(s"Cannot reliably rename columns - $strict appears with different variations")
+    }
+
+    def renameMe(name0: String): String = {
+      var n = name0.trim
+      if (n.length >= 2 && n.startsWith("\"") && n.endsWith("\""))
+        n = n.substring(1, n.length - 1)
+      n = strictToDeclared.getOrElse(ColumnDef.makeStrictName(n), n)
+      renameList.getOrElse(n, n)
+    }
+
+    val mapping = df.columns.map(c =>
+      if (Events.internalCols.contains(c)) c -> c else c -> renameMe(c))
+    if (mapping.forall { case (a, b) => a == b }) df
+    else df.withColumnsRenamed(mapping.toMap)
+  }
+
+  /** H2 — required declared columns must exist in the headers
+    * (column.py:107-112); missing is an error per the column's policy. */
+  private def checkRequired(df: DataFrame): Unit =
+    columns.filter(_.required).foreach { c =>
+      if (!df.columns.contains(c.name))
+        throw DataException(
+          s"Header ${c.name} not found in ${df.columns.filterNot(Events.internalCols.contains).mkString("[", ", ", "]")}")
+    }
+
+  /** The implicit first row-step: cast + validate every declared column in
+    * declared order (cast_each_column_value, phase.py:241-261). Casting is
+    * only applied when the column is required, saved, or present
+    * (phase.py:251-252). Guarded so a row failed by an earlier column is
+    * not modified by later ones (first-error-wins, as in the reference
+    * where the row step aborts on first raise). */
+  private[plans] def castColumns(df: DataFrame): DataFrame =
+    columns.foldLeft(df) { (d, cdef) =>
+      val present = d.columns.contains(cdef.name)
+      if (!(cdef.required || cdef.save || present)) d
+      else {
+        val raw = if (present) d(cdef.name) else lit(null).cast("string")
+        val (value, eventsUpdate) = cdef.compile(raw, s"cast_and_check:${cdef.name}")
+        val failed = Events.rowFailed(d)
+        val oldVal = if (present) d(cdef.name) else lit(null).cast(cdef.colType.sparkType)
+        // one simultaneous projection: both expressions reference d's
+        // CURRENT attributes (sequential withColumn would leave the events
+        // update pointing at the replaced value attribute)
+        d.withColumns(Map(
+          cdef.name -> when(failed, oldVal).otherwise(value),
+          Events.EventsCol -> when(failed, d(Events.EventsCol))
+            .otherwise(eventsUpdate(d(Events.EventsCol)))))
+      }
+    }
+
+  /** H3/H4 — consistency warning for undeclared new fields + drop
+    * save=false columns (phase.py:302-327). Column-set comparison is pure
+    * driver logic. */
+  private def prepareForSave(df: DataFrame, ctx: Context): DataFrame = {
+    // (new-field warnings are emitted by Pipeline, which knows the input
+    // headers; here we only drop unsaved columns)
+    val toDrop = columns.filter(!_.save).map(_.name)
+    if (toDrop.isEmpty) df else df.drop(toDrop: _*)
+  }
+}

@@ -1,0 +1,191 @@
+package graft.sources
+
+import java.io.{BufferedReader, BufferedWriter, FileReader, FileWriter}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import graft.plans.{DataException, GraftError}
+
+/** Save formats (reference constants.py:9-11 CSV/JSON_RECORD; Parquet is
+  * the rebuild's native format for checkpoints at scale). */
+sealed trait Format { def extension: String }
+object Format {
+  case object Csv extends Format { val extension = "csv" }
+  case object JsonRecord extends Format { val extension = "json" }
+  case object Parquet extends Format { val extension = "parquet" }
+
+  def forPath(path: String): Format = {
+    val ext = path.reverse.takeWhile(_ != '.').reverse.toLowerCase
+    ext match {
+      case "csv" => Csv
+      case "json" => JsonRecord
+      case "parquet" => Parquet
+      case other => throw GraftError(s"Unknown file format: '$other' (path $path)")
+    }
+  }
+}
+
+/** I/O with the reference's CSV/JSON quirks (phaser/io.py).
+  *
+  * Reads go through Spark readers (distributed, pushdown-capable); the
+  * reference's quirks are reproduced as driver-side header checks plus
+  * post-filters. Single-file saves (the reference writes exactly one file
+  * per checkpoint) coalesce to one partition and move the part file to the
+  * target name — a deliberate tap for debuggability, not the inter-phase
+  * pipe (phases hand DataFrames to each other in memory; SURVEY §4.1).
+  */
+object GraftIO {
+
+  /** S1 read_csv (io.py:34-60): header line; `#` comment lines skipped;
+    * blank/comma-only lines dropped; duplicate header names are an error;
+    * all values read as strings; custom delimiter.
+    */
+  def readCsv(spark: SparkSession, path: String, delimiter: String = ","): DataFrame = {
+    checkDuplicateHeaders(path, delimiter)
+    val df = spark.read
+      .option("header", "true")
+      .option("comment", "#")
+      .option("delimiter", delimiter)
+      // all strings, as in the reference: typing happens in Phase columns
+      .option("inferSchema", "false")
+      .csv(path)
+    // drop rows where every field is empty/null (comma-only lines, io.py:55-56)
+    val allEmpty = df.columns
+      .map(c => col(c).isNull || trim(col(c)) === "")
+      .reduceOption(_ && _).getOrElse(lit(false))
+    df.filter(!allEmpty)
+  }
+
+  /** Duplicate header detection (io.py:41-42). Spark silently dedups
+    * by suffixing, so probe the raw header line driver-side (local paths;
+    * skipped for globs/dirs where a single header line is ill-defined). */
+  private def checkDuplicateHeaders(path: String, delimiter: String): Unit = {
+    val p = Paths.get(path)
+    if (!Files.isRegularFile(p)) return
+    val reader = new BufferedReader(new FileReader(path))
+    try {
+      var line = reader.readLine()
+      while (line != null && (line.trim.isEmpty || line.startsWith("#")))
+        line = reader.readLine()
+      if (line != null) {
+        val headers = line.split(java.util.regex.Pattern.quote(delimiter), -1)
+          .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        val dups = headers.groupBy(identity).filter(_._2.length > 1).keys
+        if (dups.nonEmpty)
+          throw DataException(s"Duplicate header names found: ${dups.mkString(", ")}")
+      }
+    } finally reader.close()
+  }
+
+  /** S2 read_json (io.py:14-26): record-format = a top-level JSON array of
+    * objects = Spark's multiLine mode. */
+  def readJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", "true").json(path)
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def read(spark: SparkSession, path: String, format: Option[Format] = None): DataFrame =
+    format.getOrElse(Format.forPath(path)) match {
+      case Format.Csv => readCsv(spark, path)
+      case Format.JsonRecord => readJson(spark, path)
+      case Format.Parquet => readParquet(spark, path)
+    }
+
+  /** S3 save_csv (io.py:164-190): one CSV file with header; NaN normalized
+    * to empty (FixNansIterator, io.py:87-112); ragged-row union is native
+    * (the DataFrame schema is already the union). Arrays/structs are
+    * stringified to match the reference's CSV behavior. */
+  def saveCsv(df: DataFrame, target: String): Unit = {
+    val cleaned = df.columns.foldLeft(df) { (d, c) =>
+      d.schema(c).dataType match {
+        case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
+          d.withColumn(c, when(isnan(col(c)), lit(null)).otherwise(col(c)))
+        case _: org.apache.spark.sql.types.ArrayType | _: org.apache.spark.sql.types.StructType |
+             _: org.apache.spark.sql.types.MapType =>
+          d.withColumn(c, to_json(col(c)))
+        case _ => d
+      }
+    }
+    writeSingleFile(target) { tmpDir =>
+      cleaned.coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(tmpDir)
+    }
+  }
+
+  /** S4 save_json (io.py:29-31): a single top-level JSON array. Written as
+    * spark json-lines then wrapped line-by-line driver-side (streaming — no
+    * full materialization in driver memory). */
+  def saveJsonRecord(df: DataFrame, target: String): Unit = {
+    val tmpDir = Files.createTempDirectory("graft_json").toString
+    df.coalesce(1).write.mode("overwrite").json(tmpDir)
+    val part = findPartFile(tmpDir, "part-")
+    val out = new BufferedWriter(new FileWriter(target))
+    val in = new BufferedReader(new FileReader(part.toFile))
+    try {
+      out.write("[")
+      var first = true
+      var line = in.readLine()
+      while (line != null) {
+        if (line.nonEmpty) {
+          if (!first) out.write(",\n") else out.write("\n")
+          out.write(line)
+          first = false
+        }
+        line = in.readLine()
+      }
+      out.write("\n]\n")
+    } finally { in.close(); out.close(); deleteRecursively(Paths.get(tmpDir)) }
+  }
+
+  def saveParquet(df: DataFrame, target: String): Unit =
+    df.write.mode("overwrite").parquet(target)
+
+  def save(df: DataFrame, path: String, format: Option[Format] = None): Unit =
+    format.getOrElse(Format.forPath(path)) match {
+      case Format.Csv => saveCsv(df, path)
+      case Format.JsonRecord => saveJsonRecord(df, path)
+      case Format.Parquet => saveParquet(df, path)
+    }
+
+  // ---- ExtraMapping <-> key/value table (io.py:231-242) ----
+
+  /** A mapping side-input as a 2-col (key, value) DataFrame. */
+  def mappingToDf(spark: SparkSession, mapping: Map[String, String]): DataFrame = {
+    import spark.implicits._
+    mapping.toSeq.toDF("key", "value")
+  }
+
+  def dfToMapping(df: DataFrame): Map[String, String] = {
+    val Array(k, v) = df.columns
+    df.select(col(k).cast(StringType), col(v).cast(StringType))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  // ---- single-file write helper ----
+
+  private def writeSingleFile(target: String)(write: String => Unit): Unit = {
+    val tmpDir = Files.createTempDirectory("graft_csv").toString
+    write(tmpDir)
+    val part = findPartFile(tmpDir, "part-")
+    Files.createDirectories(Paths.get(target).toAbsolutePath.getParent)
+    Files.move(part, Paths.get(target), StandardCopyOption.REPLACE_EXISTING)
+    deleteRecursively(Paths.get(tmpDir))
+  }
+
+  private def findPartFile(dir: String, prefix: String): Path =
+    Files.list(Paths.get(dir)).iterator().asScala
+      .find(p => p.getFileName.toString.startsWith(prefix))
+      .getOrElse(throw GraftError(s"No part file written under $dir"))
+
+  def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}
