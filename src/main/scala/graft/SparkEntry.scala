@@ -159,6 +159,114 @@ object SparkEntry {
         .select(col("o_custkey"), col("o_orderkey"),
           sum(col("o_totalprice").cast(dec)).over(w).as("running_total"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // ================= training-data pipeline extensions =================
+
+    // ---- X: exact dedup groups (md5 fingerprint) ----
+    "x1_dedup_exact" -> { (s, dir) =>
+      graft.operators.Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("fp"))
+    },
+
+    // ---- X: n-gram Jaccard near-dup (exact, inverted index) ----
+    "x2_dedup_ngram_jaccard" -> { (s, dir) =>
+      graft.operators.Dedup.ngramJaccardPairs(
+        t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ---- X: MinHash+LSH near-dup (candidates via banding, exact verify) ----
+    "x3_dedup_minhash_lsh" -> { (s, dir) =>
+      graft.operators.Dedup.minhashLshPairs(
+        t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ---- X: SimHash near-dup (60-bit, banded hamming<=3) ----
+    "x4_dedup_simhash" -> { (s, dir) =>
+      graft.operators.Dedup.simhashPairs(
+        t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .withColumn("hamming", col("hamming").cast(LongType))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ---- X: embedding cosine near-dup (brute-force correctness baseline) ----
+    "x5_dedup_embed_cosine" -> { (s, dir) =>
+      graft.operators.Dedup.embeddingCosinePairs(
+        t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.35)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ---- X: brute-force cosine top-k similarity search ----
+    "x6_ann_topk" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      graft.operators.Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 5), e, "vec_id", "embedding", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // ---- X: language-ID heuristic ----
+    "x7_lang_id" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- X: quality scoring ----
+    "x8_quality_score" -> { (s, dir) =>
+      import graft.functions.TextFunctions._
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          tokenCount(col("text")).as("n_tokens"),
+          qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- X: token counting (whitespace + regex word tokens) ----
+    "x9_token_count" -> { (s, dir) =>
+      import graft.functions.TextFunctions._
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          tokenCount(col("text")).as("n_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("n_word_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- X: document fingerprinting ----
+    "x10_fingerprint" -> { (s, dir) =>
+      import graft.functions.TextFunctions._
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          fingerprint(col("text")).as("fp"),
+          fingerprintLong(col("text")).as("fp60"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- X: multimodal column plumbing (binary payload; decode STUBBED
+    //      with a deterministic md5-derived fake feature — the image/audio
+    //      libs are not in this container) ----
+    "x11_multimodal_stub" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("content", col("text").cast(BinaryType))
+        .select(col("doc_id"),
+          octet_length(col("content")).as("byte_len"),
+          (graft.functions.TextFunctions.md5Long(col("text")) % 1000).cast(DoubleType)
+            ./(lit(1000.0)).as("stub_feature"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- ST: event-time tumbling window aggregation (batch form; the
+    //      streaming form with watermark lives in graft.streaming) ----
+    "st1_window_agg" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6))).as("sum_value"))
+        .select(col("w.start").as("hour_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("hour_start"), col("event_type"))
     }
   )
 
@@ -230,6 +338,139 @@ object SparkEntry {
            sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
-         FROM orders ORDER BY o_custkey, o_orderkey"""
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+
+    "x1_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+           min(doc_id) AS keeper, count(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY fp""",
+
+    "x2_dedup_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+                FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1))) t(i)),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                   FROM sh a JOIN sh b USING (s)
+                   WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT id_a, id_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+         FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+         WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+         ORDER BY id_a, id_b""",
+
+    "x3_dedup_minhash_lsh" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+                FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1))) t(i)),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                   FROM sh a JOIN sh b USING (s)
+                   WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT id_a, id_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+         FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+         WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+         ORDER BY id_a, id_b""",
+
+    "x4_dedup_simhash" ->
+      """WITH tok AS (SELECT doc_id, w, count(*) AS cnt FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+           GROUP BY 1, 2),
+         th AS (SELECT doc_id, cnt, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM tok),
+         bits AS (SELECT doc_id, i,
+             sum(CASE WHEN (h >> i) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+           FROM th, range(0, 60) t(i) GROUP BY 1, 2),
+         fp AS (SELECT doc_id,
+             sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
+           FROM bits GROUP BY 1),
+         banded AS (SELECT doc_id, simhash, j, (simhash >> (15 * j)) & 32767 AS ck
+           FROM fp, range(0, 4) t(j)),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sa, b.simhash AS sb
+           FROM banded a JOIN banded b ON a.j = b.j AND a.ck = b.ck
+             AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY id_a, id_b""",
+
+    "x5_dedup_embed_cosine" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+             / (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i])))
+                * sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))) AS cos
+         FROM e a, e b WHERE a.vec_id < b.vec_id AND cos >= 0.35
+         ORDER BY id_a, id_b""",
+
+    "x6_ann_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+         s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i]))
+               / (sqrt(list_sum(list_transform(range(1, 65), i -> q.v[i] * q.v[i])))
+                  * sqrt(list_sum(list_transform(range(1, 65), i -> c.v[i] * c.v[i])))) AS cos
+           FROM e q, e c WHERE q.vec_id < 5 AND q.vec_id != c.vec_id),
+         r AS (SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+           FROM s)
+         SELECT query_id, neighbor_id, cos, rank FROM r
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    "x7_lang_id" ->
+      """WITH h AS (SELECT doc_id,
+           len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ('the','a','of','and','to','in','is','it','for','on'))) AS en,
+           len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ('der','die','das','und','ist','ein','zu','mit','auf','nicht'))) AS de,
+           len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ('le','la','les','et','est','un','une','dans','pour','que'))) AS fr
+         FROM documents)
+         SELECT doc_id,
+           CASE WHEN greatest(en, de, fr) = 0 THEN 'und'
+                WHEN de >= en AND de >= fr THEN 'de'
+                WHEN en >= fr THEN 'en'
+                ELSE 'fr' END AS lang_pred
+         FROM h ORDER BY doc_id""",
+
+    "x8_quality_score" ->
+      """WITH q AS (SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                     / length(text) END AS punct_ratio,
+           CASE WHEN len(string_split(lower(text), ' ')) = 0 THEN 0.0
+                ELSE CAST(len(list_filter(string_split(lower(text), ' '),
+                       w -> w IN ('the','a','of','and','to','in','is','it','for','on',
+                                  'der','die','das','und','ist','ein','zu','mit','auf','nicht',
+                                  'le','la','les','et','est','un','une','dans','pour','que'))) AS DOUBLE)
+                     / len(string_split(lower(text), ' ')) END AS sw_ratio
+         FROM documents)
+         SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           round((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+                  + least(sw_ratio * 5.0, 1.0) * 0.3)
+                 * (1.0 - least(punct_ratio * 5.0, 1.0) * 0.5), 6) AS quality
+         FROM q ORDER BY doc_id""",
+
+    "x9_token_count" ->
+      """SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_word_tokens
+         FROM documents ORDER BY doc_id""",
+
+    "x10_fingerprint" ->
+      """SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+           ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15))::BIGINT AS fp60
+         FROM documents ORDER BY doc_id""",
+
+    "x11_multimodal_stub" ->
+      """SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS byte_len,
+           CAST(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000 AS DOUBLE) / 1000.0 AS stub_feature
+         FROM documents ORDER BY doc_id""",
+
+    "st1_window_agg" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type,
+           count(*) AS n, sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type"""
   )
 }

@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Text/hash primitives for the training-data pipeline operators (dedup,
+  * fingerprinting, language-ID, quality scoring). All pure built-in
+  * expressions — codegen'd, no UDFs — and all deterministic across engines
+  * (hashing goes through md5, which any oracle can replicate, rather than
+  * engine-private hash functions).
+  */
+object TextFunctions {
+
+  /** 60-bit deterministic hash: first 15 hex chars of md5 as a long.
+    * DuckDB equivalent: `('0x' || substr(md5(x),1,15))::BIGINT`. */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast(LongType)
+
+  /** Seeded variant for minhash families. */
+  def md5LongSeeded(c: Column, seed: Int): Column =
+    md5Long(concat(lit(s"$seed|"), c.cast("string")))
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles (distinct), as space-joined strings.
+    * DuckDB equivalent: array_to_string(words[i:i+n-1], ' ') over
+    * range(1, len-n+2). */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = tokens(text)
+    // guard: sequence(1, 0) would generate a DESCENDING [1, 0] in Spark
+    when(size(ws) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), size(ws) - (n - 1)),
+          i => array_join(slice(ws, i, lit(n)), " "))))
+  }
+
+  /** Token count (whitespace). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Exact-dedup fingerprint: md5 of whitespace-normalized lowercase text. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** 60-bit rolling-style document fingerprint (numeric form). */
+  def fingerprintLong(text: Column): Column =
+    md5Long(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  // ---- language-ID heuristic: stopword-hit scoring ----
+  // (tiny per-language function-word lists; argmax with fixed tie order)
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "mit", "auf", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"))
+
+  def stopwordHits(text: Column, lang: String): Column =
+    size(filter(tokens(lower(text)), w => w.isin(stopwords(lang): _*)))
+
+  /** Predicted language: highest stopword-hit count, ties broken by
+    * alphabetical language code, 'und' (undetermined) when no hits.
+    * Fold runs over languages in reverse-alphabetical order taking >= so
+    * the alphabetically-first language wins ties. */
+  def langId(text: Column): Column = {
+    val best = stopwords.keys.toSeq.sorted.reverse.map(l =>
+      struct(stopwordHits(text, l).as("hits"), lit(l).as("lang")))
+      .reduceLeft((a, b) => when(b("hits") >= a("hits"), b).otherwise(a))
+    when(best("hits") > 0, best("lang")).otherwise(lit("und"))
+  }
+
+  // ---- quality scoring (length / punctuation / stopword ratios) ----
+
+  def punctRatio(text: Column): Column = {
+    val n = length(text)
+    when(n === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "[^.,;:!?]", "")).cast(DoubleType) / n.cast(DoubleType))
+  }
+
+  def stopwordRatio(text: Column): Column = {
+    val all = stopwords.values.flatten.toSeq.distinct
+    val ws = tokens(lower(text))
+    when(size(ws) === 0, lit(0.0)).otherwise(
+      size(filter(ws, w => w.isin(all: _*))).cast(DoubleType) / size(ws).cast(DoubleType))
+  }
+
+  def meanTokenLen(text: Column): Column = {
+    val ws = tokens(text)
+    when(size(ws) === 0, lit(0.0)).otherwise(
+      aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast(DoubleType)
+        / size(ws).cast(DoubleType))
+  }
+
+  /** Composite quality score in [0,1]: rewards reasonable length and
+    * stopword presence, penalizes punctuation soup. The formula is simple
+    * arithmetic so an oracle can reproduce it exactly. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast(DoubleType)
+    val lengthScore = least(nTok / lit(100.0), lit(1.0))
+    val swScore = least(stopwordRatio(text) * lit(5.0), lit(1.0))
+    val punctPenalty = least(punctRatio(text) * lit(5.0), lit(1.0))
+    round((lengthScore * lit(0.5) + swScore * lit(0.3)) * (lit(1.0) - punctPenalty * lit(0.5)), 6)
+  }
+}

@@ -1,0 +1,220 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.functions.TextFunctions._
+
+/** Deduplication family for large-scale training-data pipelines. The
+  * reference has only whole-row exact dedup (builtin_steps.py:15-54); these
+  * are the scale extensions the north star asks for.
+  *
+  * Design rules for 100 TB:
+  *  - every join/groupBy shuffles on a content key (never a cross join on
+  *    the full table);
+  *  - candidate generation is inverted-index or LSH-band joins whose
+  *    fan-out is bounded by `maxDocFreq` (hot-key guard);
+  *  - hashing is md5-based so results are engine-reproducible (oracle-able)
+  *    — no engine-private hash functions.
+  */
+object Dedup {
+
+  /** Exact dedup groups: md5 fingerprint of normalized text -> keeper =
+    * lowest id, plus copy count. One shuffle on the fingerprint. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(fingerprint(col(textCol)).as("fp"), col(idCol))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup: keep one row per normalized-text fingerprint (lowest id
+    * wins — deterministic, unlike dropDuplicates' partition-order winner). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(fingerprint(col(textCol))).orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Inverted index: (id, distinct shingle). The base for exact-jaccard
+    * candidate generation. `maxDocFreq` drops shingles appearing in more
+    * documents than the cap — the standard hot-key guard that keeps the
+    * candidate join from going quadratic on boilerplate shingles. */
+  def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), n)).as("s"))
+    maxDocFreq match {
+      case None => sh
+      case Some(cap) =>
+        val hot = sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") > cap)
+        sh.join(hot, Seq("s"), "left_anti")
+    }
+  }
+
+  /** N-gram Jaccard near-dup pairs, exact: inverted-index join counts the
+    * intersection, set sizes give the union. Output (id_a, id_b, jaccard)
+    * for jaccard >= threshold, id_a < id_b.
+    * Shuffles: one on shingle (candidate counts), one on id (sizes) — both
+    * key-partitioned, no cross join. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxDocFreq: Option[Int] = None): DataFrame = {
+    val sh = shingleIndex(df, idCol, textCol, n, maxDocFreq)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val a = sh.toDF("id_a", "s")
+    val b = sh.toDF("id_b", "s")
+    val inter = a.join(b, Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.toDF("id_a", "sz_a"), Seq("id_a"))
+      .join(sizes.toDF("id_b", "sz_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        col("c").cast(DoubleType) /
+          (col("sz_a") + col("sz_b") - col("c")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash signatures: numHashes md5-seeded min-hashes over the shingle
+    * set. One groupBy(id) with numHashes partial-agg mins — map-side
+    * combined, single shuffle. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int): DataFrame = {
+    val sh = shingleIndex(df, idCol, textCol, n)
+    val mins = (0 until numHashes).map(seed =>
+      min(md5LongSeeded(col("s"), seed)).as(s"h$seed"))
+    sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash + LSH banding near-dup pairs. Signature rows are split into
+    * `bands` bands of `numHashes/bands` rows; docs sharing any band bucket
+    * become candidates (shuffle keyed on (band, bucket-hash)); candidates
+    * are then verified with EXACT jaccard over the shingle sets, so the
+    * output contract — all pairs with jaccard >= threshold — matches the
+    * brute-force oracle as long as LSH recall holds (with 32 bands x 4
+    * rows at t=0.8, miss probability is ~3e-8).
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8,
+      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = minhashSignatures(df, idCol, textCol, n, numHashes)
+
+    val bandCols = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"h$i"))
+      struct(lit(b).as("band"), md5Long(concat_ws(",", cols: _*)).as("bucket"))
+    }
+    val buckets = sig.select(col("id"),
+      explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+
+    val cand = buckets.toDF("id_a", "band", "bucket")
+      .join(buckets.toDF("id_b", "band", "bucket"), Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    // verify candidates with exact jaccard over full shingle sets
+    val docSh = df.select(col(idCol).as("id"),
+      shingles(col(textCol), n).as("arr"))
+    cand
+      .join(docSh.toDF("id_a", "arr_a"), Seq("id_a"))
+      .join(docSh.toDF("id_b", "arr_b"), Seq("id_b"))
+      .withColumn("c", size(array_intersect(col("arr_a"), col("arr_b"))))
+      .withColumn("jaccard", col("c").cast(DoubleType) /
+        (size(col("arr_a")) + size(col("arr_b")) - col("c")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 60-bit SimHash per document: md5-hash each distinct token, weight by
+    * its occurrence count, sign-sum each bit. One explode + one groupBy(id)
+    * with 60 conditional sums (all codegen'd). */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("id"), col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("h", md5Long(col("w")))
+    val bitSums = (0 until 60).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"b$i"))
+    val sums = tok.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 60).map(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a + b)
+    sums.select(col("id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: hamming(simhash) <= maxHamming. Candidates via
+    * 4 bands of 15 bits (pigeonhole: any pair with <=3 differing bits
+    * shares at least one clean band), verified with bit_count(xor). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x15-bit banding guarantees recall only for hamming <= 3")
+    val sh = simhash(df, idCol, textCol)
+    val chunks = (0 until 4).map(j =>
+      struct(lit(j).as("chunk"),
+        shiftright(col("simhash"), j * 15).bitwiseAND(lit(0x7fffL)).as("ck")))
+    val banded = sh.select(col("id"), col("simhash"),
+      explode(array(chunks: _*)).as("cc"))
+      .select(col("id"), col("simhash"), col("cc.chunk"), col("cc.ck"))
+    banded.toDF("id_a", "sim_a", "chunk", "ck")
+      .join(banded.toDF("id_b", "sim_b", "chunk", "ck"), Seq("chunk", "ck"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sim_a", "sim_b").distinct()
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  // ---- embedding near-dup ----
+
+  /** Cosine similarity between two double arrays — explicit dot/sqrt form
+    * so an oracle can reproduce the exact IEEE operation order. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  private def asDouble(vec: Column): Column =
+    transform(vec, v => v.cast(DoubleType))
+
+  /** Brute-force embedding near-dup pairs with cosine >= threshold.
+    * O(n^2) — the CORRECTNESS baseline; use [[embeddingCosinePairsLsh]] as
+    * the scale path. */
+  def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val e = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    e.toDF("id_a", "v_a").crossJoin(e.toDF("id_b", "v_b"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Sign-random-projection LSH (deterministic: the "random" hyperplanes
+    * are the coordinate axes of the first 60 dims — i.e. sign bits),
+    * banded like simhash, then exact-cosine verification. Recall is below
+    * 1.0 (documented trade-off) — the scale path for >1M vectors. */
+  def embeddingCosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bands: Int = 10, rowsPerBand: Int = 6): DataFrame = {
+    val e = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val sig = e.withColumn("bits",
+      transform(slice(col("v"), 1, bands * rowsPerBand), v => (v > 0).cast(LongType)))
+    val chunks = (0 until bands).map(j =>
+      struct(lit(j).as("chunk"),
+        md5Long(concat_ws(",",
+          (0 until rowsPerBand).map(i => element_at(col("bits"), j * rowsPerBand + i + 1)): _*))
+          .as("ck")))
+    val banded = sig.select(col("id"), col("v"), explode(array(chunks: _*)).as("cc"))
+      .select(col("id"), col("v"), col("cc.chunk"), col("cc.ck"))
+    banded.toDF("id_a", "v_a", "chunk", "ck")
+      .join(banded.toDF("id_b", "v_b", "chunk", "ck"), Seq("chunk", "ck"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "v_a", "v_b").distinct()
+      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.functions.TextFunctions.md5Long
+
+/** Similarity search over an embedding column (Array[Float]).
+  *
+  * - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline;
+  *   O(|queries| x |corpus|) but fully distributed (broadcast the queries,
+  *   per-partition scan of the corpus, partial top-k via window).
+  * - [[ivfTopK]]: IVF-style probing — corpus bucketed by nearest of C
+  *   deterministic centroids (md5-seeded coordinate picks), queries probe
+  *   their `nprobe` closest buckets. The 1000-executor path: candidate set
+  *   shrinks by ~C/nprobe, shuffle keyed on bucket id.
+  */
+object Similarity {
+
+  private def asDouble(vec: Column): Column =
+    transform(vec, v => v.cast(DoubleType))
+
+  def cosine(a: Column, b: Column): Column = Dedup.cosine(a, b)
+
+  /** Exact top-k neighbors for each query vector. `queries` and `corpus`
+    * both carry (idCol, vecCol); self-matches are excluded. The join is a
+    * broadcast of the (small) query set against the corpus — no shuffle of
+    * the corpus at all; the window tops-k per query. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  /** Deterministic "centroids": C pseudo-directions derived from md5 of the
+    * centroid index — each centroid is a ±1 sign pattern over dims, so
+    * assignment = argmax of signed coordinate sums. Not k-means quality,
+    * but deterministic, cheap, and the bucketing/probing plumbing is the
+    * same as a learned IVF. */
+  def ivfAssign(vec: Column, numCentroids: Int, dims: Int): Column = {
+    val scores = (0 until numCentroids).map { ci =>
+      // score_ci = sum_d sign(md5(ci,d)) * v[d]
+      val terms = (0 until dims).map { d =>
+        val sign = when(md5Long(lit(s"$ci,$d")) % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
+        sign * element_at(vec, d + 1)
+      }
+      struct(terms.reduce(_ + _).as("score"), lit(ci).as("ci"))
+    }
+    scores.reduce((a, b) => when(b("score") > a("score"), b).otherwise(a))("ci")
+  }
+
+  /** IVF-probed approximate top-k: corpus rows are assigned to one bucket;
+    * queries probe all buckets whose centroid score is within the top
+    * `nprobe` for the query. Recall < 1.0 by construction (documented);
+    * candidate volume drops to ~nprobe/numCentroids of the corpus. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      numCentroids: Int = 16, nprobe: Int = 4, dims: Int = 64): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("bucket", ivfAssign(col("cv"), numCentroids, dims))
+    val qBase = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    // query probes: top-nprobe centroid ids by the same scoring
+    val probeCols = (0 until numCentroids).map { ci =>
+      val terms = (0 until dims).map { d =>
+        val sign = when(md5Long(lit(s"$ci,$d")) % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
+        sign * element_at(col("qv"), d + 1)
+      }
+      struct(terms.reduce(_ + _).as("score"), lit(ci).as("ci"))
+    }
+    val q = qBase.withColumn("probes",
+      slice(reverse(array_sort(array(probeCols: _*))), 1, nprobe))
+      .withColumn("bucket", explode(transform(col("probes"), p => p("ci"))))
+      .select(col("query_id"), col("qv"), col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+}

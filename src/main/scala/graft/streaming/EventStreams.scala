@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table shape (event_id, ts, user_id,
+  * event_type, value, props).
+  *
+  * The batch twin of [[windowedCounts]] is SparkEntry's `st1_window_agg` —
+  * same plan shape, so a pipeline step written against the batch form runs
+  * unchanged as a stream (the Phase/Step algebra never collects or
+  * globally sorts, by design).
+  */
+object EventStreams {
+
+  /** The events schema as read from a stream source (ts as long nanos, the
+    * same physical shape the driver's parquet uses). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos (parquet TIMESTAMP(NANOS) via nanosAsLong)
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based stream source over a directory of events parquet. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(rawSchema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Tumbling-window counts + sums with a watermark for state eviction.
+    * At scale: state is keyed (window, event_type) — bounded by the
+    * watermark horizon, no unbounded state growth. */
+  def windowedCounts(events: DataFrame,
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sessionization with session_window (gap-based), the other canonical
+    * streaming state shape. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).as("sum_value"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Drive a streaming frame synchronously into an in-memory table (test /
+    * smoke harness; production would use a real sink + trigger). */
+  def runToMemory(df: DataFrame, queryName: String,
+      outputMode: String = "append"): StreamingQuery = {
+    val q: DataStreamWriter[org.apache.spark.sql.Row] = df.writeStream
+      .format("memory").queryName(queryName).outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+    val sq = q.start()
+    sq.processAllAvailable()
+    sq
+  }
+}

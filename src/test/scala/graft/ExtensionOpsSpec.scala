@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.streaming.EventStreams
+
+/** Specs for the training-data pipeline extensions (dedup, similarity,
+  * multimodal, streaming) beyond the DuckDB-oracle checks. */
+class ExtensionOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val docs = Tables.load(spark, sfDir, "documents")
+  private lazy val embs = Tables.load(spark, sfDir, "embeddings")
+
+  test("exactDedup keeps lowest id per fingerprint") {
+    val df = Seq((1L, "hello  world"), (2L, "Hello world"), (3L, "HELLO WORLD"), (4L, "other"))
+      .toDF("id", "text")
+    val out = Dedup.exactDedup(df, "id", "text")
+    // normalization lowercases + collapses whitespace: ids 1,2,3 collapse
+    assert(out.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 4L))
+  }
+
+  test("minhash LSH finds the same pairs as exact ngram jaccard (recall check)") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+    assert(exact.nonEmpty) // the synthetic docs contain planted near-dups
+  }
+
+  test("simhash near-dup pairs are high word-set-jaccard pairs") {
+    val sim = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+    assert(sim.count() > 0)
+    // simhash is bag-of-words: hamming<=3 pairs must share most of their
+    // VOCABULARY (unigram jaccard), though word ORDER (3-grams) may differ
+    val simPairs = sim.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vocabDups = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 1, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(simPairs.subsetOf(vocabDups))
+  }
+
+  test("IVF top-k returns valid (possibly partial) neighbor lists; exact top-1 recall is decent") {
+    val q = embs.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(q, embs, "vec_id", "embedding", 5)
+    val ivf = Similarity.ivfTopK(q, embs, "vec_id", "embedding", 5,
+      numCentroids = 8, nprobe = 4)
+    val exactTop1 = exact.filter(col("rank") === 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivfTop1 = ivf.filter(col("rank") === 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ivfTop1.nonEmpty)
+    val agree = exactTop1.count { case (k, v) => ivfTop1.get(k).contains(v) }
+    // nprobe=4 of 8 centroids: expect at least ~half the top-1s found
+    assert(agree >= exactTop1.size / 2,
+      s"IVF top-1 recall too low: $agree/${exactTop1.size}")
+  }
+
+  test("multimodal plumbing: binary payload + meta + stubbed per-partition decode") {
+    val mm = Multimodal.asMultimodal(docs.limit(20), "text", "image", "source")
+    val out = Multimodal.decodeStub(mm)
+    val row = out.select("meta.byte_len", "features").head
+    assert(row.getInt(0) > 0)
+    val feats = row.getSeq[Float](1)
+    assert(feats.length == 4)
+    assert(feats.forall(f => f >= 0.0f && f < 1.0f))
+    // determinism: same input bytes -> same features
+    val out2 = Multimodal.decodeStub(mm)
+    assert(out.select("features").collect().toSeq == out2.select("features").collect().toSeq)
+  }
+
+  test("streaming windowed counts equal the batch window aggregation") {
+    // stage the events parquet as a stream source directory
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+
+    val stream = EventStreams.readEvents(spark, dir)
+    val sq = EventStreams.runToMemory(
+      EventStreams.windowedCounts(stream, watermarkDelay = "0 seconds"),
+      "win_counts", outputMode = "complete")
+    try {
+      val streamed = spark.table("win_counts")
+        .select("hour_start", "event_type", "n", "sum_value")
+      val batch = SparkEntry.queries("st1_window_agg")(spark, sfDir)
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch.select("hour_start", "event_type", "n", "sum_value")).isEmpty)
+    } finally sq.stop()
+  }
+
+  test("session windows produce bounded per-user sessions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream2").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = EventStreams.readEvents(spark, dir)
+    val sq = EventStreams.runToMemory(
+      EventStreams.sessionCounts(stream, gap = "30 minutes", watermarkDelay = "0 seconds"),
+      "sess_counts", outputMode = "complete")
+    try {
+      val sess = spark.table("sess_counts")
+      assert(sess.count() > 0)
+      assert(sess.filter(col("session_end") < col("session_start")).isEmpty)
+    } finally sq.stop()
+  }
+}
