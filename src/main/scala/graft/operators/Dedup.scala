@@ -76,14 +76,21 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** MinHash signatures: numHashes md5-seeded min-hashes over the shingle
-    * set. One groupBy(id) with numHashes partial-agg mins — map-side
-    * combined, single shuffle. */
+  /** MinHash signatures: numHashes min-hashes over the shingle set, from a
+    * 2-universal affine family h_i(s) = (a(s) + i*b(s)) masked to 63 bits,
+    * where a,b are two md5-derived base hashes — 2 md5 evaluations per
+    * shingle instead of numHashes (the md5-per-seed variant was the
+    * dominant cost of the whole LSH pipeline). One groupBy(id) with
+    * numHashes partial-agg mins — map-side combined, single shuffle. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int): DataFrame = {
+    // 32-bit bases keep ha + i*hb under 2^40 — no long overflow, which
+    // ANSI mode (Spark 4 default) would turn into a task failure
     val sh = shingleIndex(df, idCol, textCol, n)
-    val mins = (0 until numHashes).map(seed =>
-      min(md5LongSeeded(col("s"), seed)).as(s"h$seed"))
+      .withColumn("ha", md5LongSeeded(col("s"), 0).bitwiseAND(lit(0xFFFFFFFFL)))
+      .withColumn("hb", md5LongSeeded(col("s"), 1).bitwiseAND(lit(0xFFFFFFFFL)).bitwiseOR(lit(1L)))
+    val mins = (0 until numHashes).map(i =>
+      min(col("ha") + lit(i.toLong) * col("hb")).as(s"h$i"))
     sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
   }
 
@@ -182,13 +189,18 @@ object Dedup {
 
   /** Brute-force embedding near-dup pairs with cosine >= threshold.
     * O(n^2) — the CORRECTNESS baseline; use [[embeddingCosinePairsLsh]] as
-    * the scale path. */
+    * the scale path. Norms are precomputed per vector (2n dot products
+    * instead of 2 per pair), which changes nothing numerically: the
+    * pairwise expression is still dot/(sqrt(na)*sqrt(nb)). */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
     val e = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    e.toDF("id_a", "v_a").crossJoin(e.toDF("id_b", "v_b"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    e.toDF("id_a", "v_a", "norm_a").crossJoin(e.toDF("id_b", "v_b", "norm_b"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .withColumn("cos", dot(col("v_a"), col("v_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }

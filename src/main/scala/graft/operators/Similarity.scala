@@ -28,15 +28,21 @@ object Similarity {
     * both carry (idCol, vecCol); self-matches are excluded. The join is a
     * broadcast of the (small) query set against the corpus — no shuffle of
     * the corpus at all; the window tops-k per query. */
+  private def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qnorm", sqrt(dot(col("qv"), col("qv"))))
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cnorm", sqrt(dot(col("cv"), col("cv"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      // norms precomputed per row; expression still dot/(sqrt(na)*sqrt(nb))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
@@ -85,7 +91,8 @@ object Similarity {
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv"))
+        / (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("cv"), col("cv")))))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
