@@ -161,6 +161,99 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
 
+    // ---- C1-C8 + H1: the declared-column machinery itself (strict-name
+    //      header canonicalization, Decimal-based int cast, float/date/bool
+    //      casts), run through a real Phase ----
+    "p1_phase_columns" -> { (s, dir) =>
+      import graft.functions.{ColType, ColumnDef}
+      import graft.plans.{Context, Phase}
+      val src = t(s, dir, "lineitem").select(
+        col("l_orderkey").cast(StringType).as(" L_OrderKey "), // canonicalizes to l_orderkey
+        col("l_quantity").cast(StringType).as("L_QUANTITY"),
+        col("l_extendedprice").cast(StringType).as("price"), // declared rename
+        date_format(col("l_shipdate"), "yyyy/MM/dd").as("Ship_Date"),
+        when(col("l_returnflag") === "R", "yes").otherwise("no").as("returned"))
+      val phase = Phase("ColumnPass", columns = Seq(
+        ColumnDef("l_orderkey", ColType.IntT),
+        ColumnDef("l_quantity", ColType.IntT),
+        ColumnDef("l_extendedprice", ColType.FloatT, rename = Seq("price")),
+        ColumnDef("ship_date", ColType.DateT()),
+        ColumnDef("returned", ColType.BoolT)))
+      graft.plans.Events.dropInternal(phase(src, new Context(s)))
+        .orderBy(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+          col("ship_date"), col("returned"))
+    },
+
+    // ---- B5/B6: struct flattening (JSON props -> props__k) ----
+    "b5_flatten" -> { (s, dir) =>
+      import graft.plans.{Context, RowNum}
+      val ev = t(s, dir, "events")
+        .select(col("event_id"),
+          from_json(col("props"), StructType(Seq(StructField("k", IntegerType)))).as("props"))
+      graft.operators.BuiltinSteps.flattenColumn("props")(
+        RowNum.assign(ev), new Context(s), "q")
+        .select(col("event_id"), col("props__k"))
+        .orderBy(col("event_id"))
+    },
+
+    // ---- J3: aggregate in one phase, rejoin in the next ----
+    "j3_agg_rejoin" -> { (s, dir) =>
+      val perCust = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(dec)).as("spend"))
+      t(s, dir, "customer")
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          coalesce(sum(col("n_orders")), lit(0L)).cast(LongType).as("n_orders"),
+          sum(coalesce(col("spend"), lit(0).cast(dec))).as("spend"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // ---- J4: whole-batch scalar aggregate (variance guard pattern);
+    //      moments from exact decimal sums, final arithmetic in double ----
+    "j4_scalar_agg" -> { (s, dir) =>
+      val v = col("value").cast(DecimalType(18, 6))
+      t(s, dir, "events")
+        .agg(count(lit(1)).as("n"), sum(v).as("sv"), sum(v * v).as("svv"))
+        .select(col("n"),
+          (col("sv").cast(DoubleType) / col("n").cast(DoubleType)).as("mean"),
+          (col("svv").cast(DoubleType) / col("n").cast(DoubleType)
+            - (col("sv").cast(DoubleType) / col("n").cast(DoubleType))
+              * (col("sv").cast(DoubleType) / col("n").cast(DoubleType))).as("variance"))
+    },
+
+    // ---- D1: table diff classification over the row-number lineage ----
+    "d1_diff_status" -> { (s, dir) =>
+      import graft.plans.Events
+      val o = t(s, dir, "orders")
+      val f1 = o.filter(col("o_orderkey") % 100 =!= 0)
+        .withColumn(Events.RowNumCol, col("o_orderkey"))
+      val f2 = o.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")))
+        .withColumn(Events.RowNumCol, col("o_orderkey"))
+      graft.operators.TableDiff.diff(f1, f2)
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+        .orderBy(col("status"))
+    },
+
+    // ---- R4: renumbering after a reshape/filter ----
+    "r4_renumber" -> { (s, dir) =>
+      val filtered = t(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === 1997)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_partkey"), col("l_suppkey"))
+      filtered.withColumn("new_row_num",
+        row_number().over(Window.orderBy(
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_partkey"), col("l_suppkey"))))
+        .select(col("l_orderkey"), col("l_linenumber"), col("new_row_num"))
+        .orderBy(col("new_row_num"))
+    },
+
     // ================= training-data pipeline extensions =================
 
     // ---- X: exact dedup groups (md5 fingerprint) ----
@@ -339,6 +432,63 @@ object SparkEntry {
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
          FROM orders ORDER BY o_custkey, o_orderkey""",
+
+    "p1_phase_columns" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(l_quantity AS BIGINT) AS l_quantity,
+           CAST(CAST(l_extendedprice AS VARCHAR) AS DOUBLE) AS l_extendedprice,
+           CAST(l_shipdate AS DATE) AS ship_date,
+           l_returnflag = 'R' AS returned
+         FROM lineitem
+         ORDER BY l_orderkey, l_quantity, l_extendedprice, ship_date, returned""",
+
+    "b5_flatten" ->
+      """SELECT event_id, CAST(regexp_extract(props, '[0-9]+') AS INT) AS props__k
+         FROM events ORDER BY event_id""",
+
+    "j3_agg_rejoin" ->
+      """WITH per_cust AS (
+           SELECT o_custkey, count(*) AS n_orders,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+           FROM orders GROUP BY o_custkey)
+         SELECT c_mktsegment, count(*) AS n_customers,
+           CAST(coalesce(sum(n_orders), 0) AS BIGINT) AS n_orders,
+           sum(coalesce(spend, CAST(0 AS DECIMAL(18,2)))) AS spend
+         FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "j4_scalar_agg" ->
+      """WITH m AS (SELECT count(*) AS n,
+             sum(CAST(value AS DECIMAL(18,6))) AS sv,
+             sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS svv
+           FROM events)
+         SELECT n, CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+           CAST(svv AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) AS variance
+         FROM m""",
+
+    "d1_diff_status" ->
+      """WITH f1 AS (SELECT * FROM orders WHERE o_orderkey % 100 != 0),
+         f2 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate, o_orderpriority
+           FROM orders WHERE o_orderkey % 97 != 0)
+         SELECT status, count(*) AS n FROM (
+           SELECT CASE WHEN f1.o_orderkey IS NULL THEN 'added'
+                       WHEN f2.o_orderkey IS NULL THEN 'removed'
+                       WHEN f1.o_totalprice != f2.o_totalprice THEN 'changed'
+                       ELSE 'unchanged' END AS status
+           FROM f1 FULL OUTER JOIN f2 ON f1.o_orderkey = f2.o_orderkey)
+         GROUP BY status ORDER BY status""",
+
+    "r4_renumber" ->
+      """SELECT l_orderkey, l_linenumber,
+           row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_quantity,
+             l_extendedprice, l_partkey, l_suppkey) AS new_row_num
+         FROM lineitem WHERE year(l_shipdate) = 1997
+         ORDER BY new_row_num""",
 
     "x1_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
