@@ -186,12 +186,12 @@ object SparkEntry {
 
     // ---- B5/B6: struct flattening (JSON props -> props__k) ----
     "b5_flatten" -> { (s, dir) =>
-      import graft.plans.{Context, RowNum}
+      import graft.plans.Context
+      // flatten is row-number-agnostic: no need to pay the ingest numbering
       val ev = t(s, dir, "events")
         .select(col("event_id"),
           from_json(col("props"), StructType(Seq(StructField("k", IntegerType)))).as("props"))
-      graft.operators.BuiltinSteps.flattenColumn("props")(
-        RowNum.assign(ev), new Context(s), "q")
+      graft.operators.BuiltinSteps.flattenColumn("props")(ev, new Context(s), "q")
         .select(col("event_id"), col("props__k"))
         .orderBy(col("event_id"))
     },

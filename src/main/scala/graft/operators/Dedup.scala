@@ -195,7 +195,7 @@ object Dedup {
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+      graft.functions.VectorExpressions.dot(df.sparkSession, x, y)
     val e = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
     e.toDF("id_a", "v_a", "norm_a").crossJoin(e.toDF("id_b", "v_b", "norm_b"))

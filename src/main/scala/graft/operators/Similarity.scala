@@ -28,11 +28,10 @@ object Similarity {
     * both carry (idCol, vecCol); self-matches are excluded. The join is a
     * broadcast of the (small) query set against the corpus — no shuffle of
     * the corpus at all; the window tops-k per query. */
-  private def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
+    def dot(x: Column, y: Column): Column =
+      graft.functions.VectorExpressions.dot(corpus.sparkSession, x, y)
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qnorm", sqrt(dot(col("qv"), col("qv"))))
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
@@ -87,6 +86,8 @@ object Similarity {
       slice(reverse(array_sort(array(probeCols: _*))), 1, nprobe))
       .withColumn("bucket", explode(transform(col("probes"), p => p("ci"))))
       .select(col("query_id"), col("qv"), col("bucket"))
+    def dot(x: Column, y: Column): Column =
+      graft.functions.VectorExpressions.dot(corpus.sparkSession, x, y)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     c.join(broadcast(q), Seq("bucket"))

@@ -33,32 +33,47 @@ object TableDiff {
     val cols2 = f2.columns.filterNot(Events.internalCols.contains)
     val compared = (cols1 ++ cols2).distinct.toSeq
 
-    def side(df: DataFrame, cols: Seq[String], suffix: String): DataFrame = {
+    // classification compares RAW values (null-safe) and only then projects
+    // stringified report columns — when a caller aggregates on status only,
+    // Catalyst prunes all the per-cell string formatting away
+    def side(df: DataFrame, suffix: String): DataFrame = {
       val present = df.columns.toSet
       df.select(
         col(Events.RowNumCol).cast("long").as(Events.RowNumCol) +:
         lit(true).as(s"__present$suffix") +:
         compared.map(c =>
-          (if (present.contains(c)) col(c).cast("string") else lit(null).cast("string"))
-            .as(s"$c$suffix")): _*)
+          (if (present.contains(c)) col(c) else lit(null))
+            .as(s"__raw_${c}${suffix}")): _*)
     }
 
-    val left = side(f1, compared, "__old")
-    val right = side(f2, compared, "__new")
+    val left = side(f1, "__old")
+    val right = side(f2, "__new")
     val joined = left.join(right, Seq(Events.RowNumCol), "full_outer")
 
     val inOld = coalesce(col("__present__old"), lit(false))
     val inNew = coalesce(col("__present__new"), lit(false))
+    // raw null-safe comparison when both sides share a type; string
+    // comparison when the schemas disagree (mirrors the reference, which
+    // always compares checkpoint strings)
+    def sideType(df: DataFrame, c: String) =
+      df.schema.fields.find(_.name == c).map(_.dataType)
     val anyChanged: Column = compared
-      .map(c => !(col(s"${c}__old") <=> col(s"${c}__new")))
+      .map { c =>
+        val (o, n) = (col(s"__raw_${c}__old"), col(s"__raw_${c}__new"))
+        if (sideType(f1, c) == sideType(f2, c)) !(o <=> n)
+        else !(o.cast("string") <=> n.cast("string"))
+      }
       .reduceOption(_ || _).getOrElse(lit(false))
 
+    val reportCols = compared.flatMap(c => Seq(
+      col(s"__raw_${c}__old").cast("string").as(s"${c}__old"),
+      col(s"__raw_${c}__new").cast("string").as(s"${c}__new")))
     joined.withColumn("status",
         when(!inOld && inNew, "added")
           .when(inOld && !inNew, "removed")
           .when(anyChanged, "changed")
           .otherwise("unchanged"))
-      .drop("__present__old", "__present__new")
+      .select(col(Events.RowNumCol) +: col("status") +: reportCols: _*)
   }
 
   /** Aggregate counters (table_diff.py:75) — one distributed aggregate. */

@@ -21,11 +21,14 @@ import org.apache.spark.sql.types.{LongType, StructField}
 object RowNum {
   import Events.RowNumCol
 
-  /** Assign 1..n in current row order. No shuffle; one extra pass. */
+  /** Assign 1..n in current row order. No shuffle. zipWithIndex runs an
+    * extra partition-count pass, so the input is cached first — otherwise
+    * the whole upstream plan (scans, parses) executes twice. */
   def assign(df: DataFrame): DataFrame = {
     val withoutOld = df.drop(RowNumCol)
     val schema = withoutOld.schema.add(StructField(RowNumCol, LongType, nullable = false))
-    val rdd = withoutOld.rdd.zipWithIndex().map { case (row, idx) =>
+    val input = withoutOld.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rdd = input.rdd.zipWithIndex().map { case (row, idx) =>
       Row.fromSeq(row.toSeq :+ (idx + 1L))
     }
     df.sparkSession.createDataFrame(rdd, schema)
