@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.{ColType, ColumnDef}
+import graft.operators.{BuiltinSteps, Dedup, TableDiff}
+import graft.plans.{Context, Events, RowNum}
+
+/** ScalaCheck property layer (SURVEY §5 rebuild plan item 4): cast
+  * round-trips, dedup idempotence, row-number stability, diff
+  * reconstruction. The scalatest-scalacheck bridge isn't in the offline
+  * dependency cache, so generators are sampled with deterministic seeds
+  * (5 cases per property; Spark actions dominate runtime anyway). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ctx = new Context(spark)
+
+  /** Deterministically sample `n` values from a generator. */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  private def forAll[A](g: Gen[A], n: Int = 5)(body: A => Unit): Unit =
+    samples(g, n).foreach(body)
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit =
+    if (cond) body
+
+  private def applyCol(cdef: ColumnDef, values: Seq[String]): Seq[Any] = {
+    val df = values.toDF(cdef.name)
+    val base = Events.withEventsCol(df)
+    val (value, update) = cdef.compile(base(cdef.name))
+    base.withColumns(Map(cdef.name -> value,
+        Events.EventsCol -> update(base(Events.EventsCol))))
+      .select(col(cdef.name)).collect().map(_.get(0)).toSeq
+  }
+
+  test("property: long -> string -> IntColumn cast round-trips") {
+    forAll(Gen.listOfN(20, Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2))) { ns =>
+      whenever(ns.nonEmpty) {
+        val got = applyCol(ColumnDef("n", ColType.IntT), ns.map(_.toString))
+        assert(got == ns)
+      }
+    }
+  }
+
+  test("property: double -> string -> FloatColumn cast round-trips") {
+    forAll(Gen.listOfN(20, Gen.chooseNum(-1e12, 1e12))) { ds =>
+      whenever(ds.nonEmpty) {
+        val got = applyCol(ColumnDef("x", ColType.FloatT), ds.map(_.toString))
+        assert(got == ds)
+      }
+    }
+  }
+
+  test("property: drop_duplicate_rows is idempotent") {
+    val keyGen = Gen.oneOf("a", "b", "c", "d")
+    forAll(Gen.listOfN(30, Gen.zip(keyGen, Gen.chooseNum(0, 100)))) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = RowNum.assign(rows.toDF("k", "v"))
+        val once = BuiltinSteps.dropDuplicateRows(Seq("k"))(df, ctx, "p")
+        val twice = BuiltinSteps.dropDuplicateRows(Seq("k"))(once, ctx, "p")
+        val a = once.select("k", "v").collect().map(r => (r.getString(0), r.getInt(1))).toSet
+        val b = twice.select("k", "v").collect().map(r => (r.getString(0), r.getInt(1))).toSet
+        assert(a == b)
+        assert(once.select("k").distinct().count() == once.count())
+      }
+    }
+  }
+
+  test("property: row numbers are stable under filter then sort") {
+    forAll(Gen.listOfN(25, Gen.chooseNum(0, 1000))) { vs =>
+      whenever(vs.nonEmpty) {
+        val df = RowNum.assign(vs.toDF("v"))
+        val before = df.select(col("v"), col(Events.RowNumCol)).collect()
+          .map(r => (r.getInt(0), r.getLong(1))).toSet
+        val after = df.filter(col("v") % 2 === 0).orderBy(col("v"))
+          .select(col("v"), col(Events.RowNumCol)).collect()
+          .map(r => (r.getInt(0), r.getLong(1))).toSet
+        assert(after.subsetOf(before)) // numbers survive both transformations
+      }
+    }
+  }
+
+  test("property: diff counters reconstruct the symmetric difference") {
+    val rowGen = Gen.zip(Gen.chooseNum(1L, 30L), Gen.chooseNum(0, 5))
+    forAll(Gen.zip(Gen.listOfN(15, rowGen), Gen.listOfN(15, rowGen))) { case (l1, l2) =>
+      val m1 = l1.toMap
+      val m2 = l2.toMap
+      val f1 = m1.toSeq.toDF("id", "v").withColumn(Events.RowNumCol, col("id"))
+      val f2 = m2.toSeq.toDF("id", "v").withColumn(Events.RowNumCol, col("id"))
+      val c = TableDiff.counters(TableDiff.diff(f1, f2))
+      val added = m2.keySet.diff(m1.keySet).size
+      val removed = m1.keySet.diff(m2.keySet).size
+      val common = m1.keySet.intersect(m2.keySet)
+      val changed = common.count(k => m1(k) != m2(k))
+      assert((c.added, c.removed, c.changed, c.unchanged) ==
+        (added.toLong, removed.toLong, changed.toLong, (common.size - changed).toLong))
+    }
+  }
+
+  test("property: exact jaccard pairs are symmetric-free and within [0,1]") {
+    val wordGen = Gen.oneOf("red", "blue", "green", "dog", "cat")
+    val docGen = Gen.listOfN(8, wordGen).map(_.mkString(" "))
+    forAll(Gen.listOfN(10, docGen)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val pairs = Dedup.ngramJaccardPairs(df, "id", "text", 2, 0.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(pairs.forall { case (a, b, j) => a < b && j >= 0.0 && j <= 1.0 })
+    }
+  }
+}
