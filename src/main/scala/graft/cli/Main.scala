@@ -51,7 +51,8 @@ object Main {
       }.getOrElse(Format.Csv)
       val spark = session()
       val pipeline = new Pipeline(spark, Registry(pipelineName), workDir, source,
-        name = pipelineName, saveFormat = format, errorPolicy = policy)
+        name = pipelineName, saveFormat = format, errorPolicy = policy,
+        strictCheckpointCompat = opts.get("strict").contains("true"))
       val out = pipeline.run()
       println(s"[graft] pipeline $pipelineName finished: ${out.count()} rows, " +
         s"checkpoints in $workDir")
@@ -71,7 +72,7 @@ object Main {
 
     case _ =>
       System.err.println(
-        """usage: graft run <pipeline> <workdir> <source> [--error-policy warn|collect|drop_row|stop_now] [--format csv|json|parquet]
+        """usage: graft run <pipeline> <workdir> <source> [--error-policy warn|collect|drop_row|stop_now] [--format csv|json|parquet] [--strict true]
           |       graft describe <pipeline>
           |       graft diff <workdir> <file1> <file2> [--out report.html]""".stripMargin)
       sys.exit(2)

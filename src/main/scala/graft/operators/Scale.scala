@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.md5Long
+
+/** Skew-handling utilities for the 1000-executor case. Spark's AQE
+  * skew-join split handles sort-merge joins adaptively; these helpers cover
+  * the patterns AQE does not: broadcast-infeasible lookup joins against a
+  * skewed key, and aggregations whose per-key state is heavy.
+  *
+  * All salts are DETERMINISTIC (md5 of a caller-chosen discriminator
+  * column), keeping results reproducible run-over-run — no rand().
+  */
+object Scale {
+
+  /** Salted equi-join of a skewed `big` side against a `small` side that
+    * is too large to broadcast but small enough to replicate `salts`-fold:
+    * big rows get a salt derived from `discriminator` (any column that
+    * spreads hot keys, e.g. a row id), the small side is exploded across
+    * all salt values, and the join key becomes (key, salt) — hot keys fan
+    * out over `salts` tasks instead of one.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      discriminator: String, salts: Int = 16,
+      joinType: String = "inner"): DataFrame = {
+    val saltedBig = big.withColumn("__graft_salt__",
+      pmod(md5Long(col(discriminator)), lit(salts.toLong)))
+    val saltedSmall = small.withColumn("__graft_salt__",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    saltedBig.join(saltedSmall, Seq(key, "__graft_salt__"), joinType)
+      .drop("__graft_salt__")
+  }
+
+  /** Two-stage salted aggregation: partial aggregate on (key, salt), then
+    * final combine on key. For algebraic aggregates Spark's map-side
+    * partial aggregation usually suffices; use this when per-key hash-map
+    * state is the bottleneck (huge distinct counts per hot key, long
+    * collect_list buffers). `partials` maps output column -> (stage1 agg
+    * of the input column, stage2 combine of the stage1 column).
+    */
+  def saltedAggregate(df: DataFrame, key: String, discriminator: String,
+      salts: Int,
+      stage1: Seq[(String, Column)],
+      stage2: Seq[(String, Column => Column)]): DataFrame = {
+    val salted = df.withColumn("__graft_salt__",
+      pmod(md5Long(col(discriminator)), lit(salts.toLong)))
+    val partial = salted.groupBy(col(key), col("__graft_salt__"))
+      .agg(stage1.head._2.as(stage1.head._1),
+        stage1.tail.map { case (n, e) => e.as(n) }: _*)
+    partial.groupBy(col(key))
+      .agg(stage2.head._2(col(stage2.head._1)).as(stage2.head._1),
+        stage2.tail.map { case (n, g) => g(col(n)).as(n) }: _*)
+  }
+
+  /** Convenience: salted count per key. */
+  def saltedCount(df: DataFrame, key: String, discriminator: String,
+      salts: Int = 16): DataFrame =
+    saltedAggregate(df, key, discriminator, salts,
+      Seq("cnt" -> count(lit(1))),
+      Seq("cnt" -> ((c: Column) => sum(c).cast("long"))))
+
+  /** Repartition by key with an explicit partition count — the
+    * pre-shuffle co-location primitive for repeated joins/aggs on the same
+    * key (bucketing without a metastore). */
+  def repartitionByKey(df: DataFrame, key: String, partitions: Int): DataFrame =
+    df.repartition(partitions, col(key))
+}

@@ -31,7 +31,16 @@ final class Pipeline(
     val extraSourcePaths: Map[String, String] = Map.empty,
     /** When false, skip all checkpoint/source-copy writes (pure in-memory
       * run; used by tests and by callers that only want the result). */
-    val checkpoints: Boolean = true) {
+    val checkpoints: Boolean = true,
+    /** Bug-for-bug reference compat (SURVEY §4.1): feed each phase from its
+      * predecessor's CHECKPOINT FILE instead of the in-memory frame, so
+      * types round-trip through the save format exactly as the reference's
+      * CSV re-read re-stringifies them (pipeline.py:174-182). Costs a full
+      * write+read per phase — off by default; the in-memory pipe is the
+      * scale path. */
+    val strictCheckpointCompat: Boolean = false) {
+  require(!strictCheckpointCompat || checkpoints,
+    "strictCheckpointCompat requires checkpoints")
 
   val context = new Context(spark, errorPolicy)
 
@@ -96,6 +105,13 @@ final class Pipeline(
 
     phases.foreach { phase =>
       df = runPhase(phase, df)
+      if (strictCheckpointCompat) {
+        // re-read the checkpoint so the next phase sees exactly what was
+        // serialized (CSV: everything re-stringified, like the reference)
+        val reread = GraftIO.read(spark, outPath(checkpointName(phase)), Some(saveFormat))
+        df = reread.withColumn(Events.RowNumCol,
+          org.apache.spark.sql.functions.col(Events.RowNumCol).cast("long"))
+      }
     }
     Events.dropInternal(df)
   }
