@@ -51,27 +51,72 @@ object Dedup {
     }
   }
 
-  /** N-gram Jaccard near-dup pairs, exact: inverted-index join counts the
-    * intersection, set sizes give the union. Output (id_a, id_b, jaccard)
-    * for jaccard >= threshold, id_a < id_b.
-    * Shuffles: one on shingle (candidate counts), one on id (sizes) — both
-    * key-partitioned, no cross join. */
+  /** N-gram Jaccard near-dup pairs, exact: inverted-index join counts
+    * intersections with one (shingle-keyed) shuffle into a partial-agg
+    * groupBy — no arrays materialized per pair. The right default when the
+    * shingle vocabulary is small/hot (every co-occurring pair is a
+    * candidate anyway, and counting beats array intersection). For
+    * large-vocabulary corpora where the inverted join itself explodes, use
+    * [[ngramJaccardPairsPrefix]]. Output: (id_a, id_b, jaccard) with
+    * jaccard >= threshold, id_a < id_b — identical for both variants.
+    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDocFreq: Option[Int] = None): DataFrame = {
     val sh = shingleIndex(df, idCol, textCol, n, maxDocFreq)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val a = sh.toDF("id_a", "s")
-    val b = sh.toDF("id_b", "s")
-    val inter = a.join(b, Seq("s"))
+    // shuffle_hash hint: Catalyst's size estimate after an explode is
+    // garbage and it happily broadcasts the whole inverted index — fatal at
+    // scale; a shingle-keyed shuffle-hash join is bounded on both sides
+    val inter = sh.toDF("id_a", "s")
+      .join(sh.toDF("id_b", "s").hint("shuffle_hash"), Seq("s"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("c"))
     inter
       .join(sizes.toDF("id_a", "sz_a"), Seq("id_a"))
       .join(sizes.toDF("id_b", "sz_b"), Seq("id_b"))
-      .withColumn("jaccard",
-        col("c").cast(DoubleType) /
-          (col("sz_a") + col("sz_b") - col("c")).cast(DoubleType))
+      .withColumn("jaccard", col("c").cast(DoubleType) /
+        (col("sz_a") + col("sz_b") - col("c")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** N-gram Jaccard with PREFIX FILTERING (AllPairs/PPJoin candidate
+    * pruning): shingles are globally ordered by (document frequency asc,
+    * shingle asc); a document of set size z indexes only its first
+    * `z - ceil(t*z) + 1` shingles — any pair with jaccard >= t must share
+    * a shingle inside both prefixes (pigeonhole over the shared global
+    * order), so the candidate self-join shrinks to ~(1-t) of the inverted
+    * index. Candidates are verified against the full shingle sets; the
+    * output — every pair with EXACT jaccard >= t — equals the count-based
+    * variant. Pays off on large-vocabulary corpora (Zipfian shingle
+    * frequencies); on tiny hot vocabularies the count-based variant wins.
+    */
+  def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxDocFreq: Option[Int] = None): DataFrame = {
+    val sh = shingleIndex(df, idCol, textCol, n, maxDocFreq)
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("dfq"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val prefix = sh
+      .join(dfreq, Seq("s"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("dfq").asc, col("s").asc)))
+      .join(sizes, Seq("id"))
+      .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("id"), col("s"))
+
+    val cand = prefix.toDF("id_a", "s")
+      .join(prefix.toDF("id_b", "s"), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    val docSh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("arr"))
+    cand
+      .join(docSh.toDF("id_a", "arr_a"), Seq("id_a"))
+      .join(docSh.toDF("id_b", "arr_b"), Seq("id_b"))
+      .withColumn("c", size(array_intersect(col("arr_a"), col("arr_b"))))
+      .withColumn("jaccard", col("c").cast(DoubleType) /
+        (size(col("arr_a")) + size(col("arr_b")) - col("c")).cast(DoubleType))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
