@@ -20,7 +20,8 @@ object Main {
 
   object Registry {
     val pipelines: Map[String, Seq[Phase]] = Map(
-      "employees" -> graft.examples.Employees.phases)
+      "employees" -> graft.examples.Employees.phases,
+      "employees_enrich" -> graft.examples.EmployeesEnrich.phases)
     def apply(name: String): Seq[Phase] =
       pipelines.getOrElse(name,
         sys.error(s"Unknown pipeline '$name'; known: ${pipelines.keys.mkString(", ")}"))
@@ -49,9 +50,15 @@ object Main {
         case "json" => Format.JsonRecord
         case _ => Format.Parquet
       }.getOrElse(Format.Csv)
+      // any other --<name> <path> flag is an extra-source init (the
+      // reference's incremental args for uninitialized extra sources,
+      // cli/main.py:119-123)
+      val known = Set("error-policy", "format", "strict")
+      val extraSources = opts.filterNot { case (k, _) => known.contains(k) }
       val spark = session()
       val pipeline = new Pipeline(spark, Registry(pipelineName), workDir, source,
         name = pipelineName, saveFormat = format, errorPolicy = policy,
+        extraSourcePaths = extraSources,
         strictCheckpointCompat = opts.get("strict").contains("true"))
       val out = pipeline.run()
       println(s"[graft] pipeline $pipelineName finished: ${out.count()} rows, " +
