@@ -56,6 +56,16 @@ object EventStreams {
       .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup on event ids: duplicates arriving within the
+    * watermark horizon are dropped, and per-key state is evicted once the
+    * watermark passes — bounded state, the streaming-ingest half of the
+    * Dedup family. */
+  def dedupStream(events: DataFrame, idCols: Seq[String] = Seq("event_id"),
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Drive a streaming frame synchronously into an in-memory table (test /
     * smoke harness; production would use a real sink + trigger). */
   def runToMemory(df: DataFrame, queryName: String,

@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{ColType, ColumnDef}
+import graft.plans._
+import graft.sources.Format
+
+/** Remaining policy/gate coverage: STOP_NOW, check_size, archival,
+  * collision check, missing required header. */
+class PolicyAndGatesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def csv(dir: String, body: String): String = {
+    val p = Paths.get(dir, "in.csv")
+    Files.writeString(p, body)
+    p.toString
+  }
+
+  test("on_error=stop_now fails the job immediately via raise_error (X1)") {
+    val dir = Files.createTempDirectory("graft_stop").toString
+    val src = csv(dir, "n\n1\nnot_a_number\n")
+    val phase = Phase("Strict", columns = Seq(
+      ColumnDef("n", ColType.IntT, onError = ErrorPolicy.StopNow)))
+    val pipe = new Pipeline(spark, Seq(phase),
+      Paths.get(dir, "out").toString, src, saveFormat = Format.Csv)
+    val ex = intercept[Exception](pipe.run())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(m => m.contains("cast_and_check") || m.contains("USER_RAISED")),
+      s"unexpected failure: ${messages(ex)}")
+  }
+
+  test("missing required header is a DataException (H2)") {
+    val dir = Files.createTempDirectory("graft_req").toString
+    val src = csv(dir, "other\n1\n")
+    val phase = Phase("Req", columns = Seq(ColumnDef("needed")))
+    val pipe = new Pipeline(spark, Seq(phase),
+      Paths.get(dir, "out").toString, src, saveFormat = Format.Csv)
+    val ex = intercept[DataException](pipe.run())
+    assert(ex.getMessage.contains("needed"))
+  }
+
+  test("check_size warns on batch row-count change (X6)") {
+    val ctx = new Context(spark)
+    val df = RowNum.assign(Seq(1, 2, 3, 4).toDF("v"))
+    val shrink = Step.Batch("shrink", (d, _) => d.filter(col("v") > 2), checkSize = true)
+    shrink(df, ctx, "P")
+    assert(ctx.events.exists(e =>
+      e.etype == Events.WarningType && e.message.contains("2 rows were dropped")))
+  }
+
+  test("previous-run outputs are archived into a timestamped dir (S8)") {
+    val dir = Files.createTempDirectory("graft_arch").toString
+    val src = csv(dir, "n\n1\n2\n")
+    def pipe = new Pipeline(spark, Seq(Phase("One", Seq(ColumnDef.int("n")))),
+      Paths.get(dir, "out").toString, src, name = "Arch", saveFormat = Format.Csv)
+    pipe.run()
+    pipe.run() // second run must move the first run's outputs aside
+    val archived = Files.list(Paths.get(dir, "out")).iterator()
+    val dirs = scala.jdk.CollectionConverters.IteratorHasAsScala(archived)
+      .asScala.filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("Arch-"))
+      .toSeq
+    assert(dirs.nonEmpty)
+    assert(Files.exists(dirs.head.resolve("One_output.csv")))
+    // and the fresh outputs exist too
+    assert(Files.exists(Paths.get(dir, "out", "One_output.csv")))
+  }
+
+  test("colliding expected outputs are a definition error (S9)") {
+    val dir = Files.createTempDirectory("graft_coll").toString
+    val src = csv(dir, "n\n1\n")
+    val twice = Seq(Phase("Same"), Phase("Same"))
+    val pipe = new Pipeline(spark, twice,
+      Paths.get(dir, "out").toString, src, saveFormat = Format.Csv)
+    assertThrows[GraftError](pipe.run())
+  }
+
+  test("streaming dedup drops duplicates within the watermark (Dedup family, streaming half)") {
+    import graft.streaming.EventStreams
+    val dir = Files.createTempDirectory("graft_sdedup").toString
+    // stage events parquet twice => every event_id duplicated
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(s"$dir/a.parquet"))
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(s"$dir/b.parquet"))
+    val stream = EventStreams.readEvents(spark, dir)
+    val sq = EventStreams.runToMemory(
+      EventStreams.dedupStream(stream, watermarkDelay = "1 hour"), "dedup_out")
+    try {
+      val n = spark.table("dedup_out").count()
+      val distinctIds = Tables.load(spark, "/root/testdata/sf0.001", "events")
+        .select("event_id").distinct().count()
+      assert(n == distinctIds, s"expected $distinctIds distinct, got $n")
+    } finally sq.stop()
+  }
+}
