@@ -44,7 +44,14 @@ object SparkEntry {
           sum(price * (lit(1).cast(DecimalType(3, 2)) - disc)).as("sum_disc_price"),
           sum(price * (lit(1).cast(DecimalType(3, 2)) - disc) * (lit(1).cast(DecimalType(3, 2)) + tax)).as("sum_charge"),
           count(lit(1)).as("count_order"))
+        // averages as double ratios of the EXACT decimal sums (direct
+        // decimal avg has engine-specific scale/rounding)
+        .withColumn("avg_qty", col("sum_qty").cast(DoubleType) / col("count_order").cast(DoubleType))
+        .withColumn("avg_price", col("sum_base_price").cast(DoubleType) / col("count_order").cast(DoubleType))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+          col("sum_base_price"), col("sum_disc_price"), col("sum_charge"),
+          col("avg_qty"), col("avg_price"), col("count_order"))
     },
 
     // ---- top-k / limit ----
@@ -372,6 +379,8 @@ object SparkEntry {
            sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_base_price,
            sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS sum_disc_price,
            sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
            count(*) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",

