@@ -20,7 +20,7 @@ object Employees {
       ColumnDef("Pay rate", ColType.FloatT, rename = Seq("payRate"), minValue = Some(0.01)),
       ColumnDef("Pay type", rename = Seq("payType"),
         allowedValues = Seq("hourly", "salary", "exception hourly", "monthly", "weekly", "daily"),
-        onError = ErrorPolicy.DropRow, save = false),
+        onErrorOpt = Some(ErrorPolicy.DropRow), save = false),
       ColumnDef("Pay period", rename = Seq("paidPer"))),
     steps = Seq(
       Step.dropRowsWhen("drop_no_id_inactive",

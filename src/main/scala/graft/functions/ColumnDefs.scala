@@ -123,7 +123,10 @@ final case class ColumnDef(
     rename: Seq[String] = Nil,
     allowedValues: Seq[Any] = Nil,
     save: Boolean = true,
-    onError: ErrorPolicy = ErrorPolicy.Collect,
+    /** Per-column policy override; None inherits the phase's policy, which
+      * itself defaults to the pipeline's (reference: pipeline default
+      * COLLECT, context.py:22,33; per-column override, column.py:83-87). */
+    onErrorOpt: Option[ErrorPolicy] = None,
     minValue: Option[Any] = None,
     maxValue: Option[Any] = None) {
 
@@ -136,15 +139,24 @@ final case class ColumnDef(
   /** The canonical header-matching key (make_strict_name, column.py:464-480). */
   def strictName: String = ColumnDef.makeStrictName(name)
 
-  private def err(step: String, cond: Column, msg: Column)(events: Column): Column =
-    Events.append(events, cond, Events.ErrorType, step, msg, onError)
+  /** Backward-compatible accessor: explicit override or Collect. */
+  def onError: ErrorPolicy = onErrorOpt.getOrElse(ErrorPolicy.Collect)
 
   /** Compile to (typedValue, events => events'): the typed value column and
     * an event-channel update covering every validation in reference order.
     * The caller wires the update into `__graft_events__` and guards the
-    * value write on prior row failure.
+    * value write on prior row failure. `defaultPolicy` applies when the
+    * column declares no override (X1 policy inheritance).
     */
-  def compile(raw: Column, stepName: String = "cast_and_check"): (Column, Column => Column) = {
+  def compile(raw: Column, stepName: String = "cast_and_check",
+      defaultPolicy: ErrorPolicy = ErrorPolicy.Collect): (Column, Column => Column) = {
+    val policy = onErrorOpt.getOrElse(defaultPolicy)
+    def err(step: String, cond: Column, msg: Column)(events: Column): Column =
+      Events.append(events, cond,
+        if (policy == ErrorPolicy.Warn) Events.WarningType
+        else if (policy == ErrorPolicy.DropRow) Events.DroppedType
+        else Events.ErrorType,
+        step, msg, policy)
     val isNullish = raw.isNull ||
       trim(raw.cast(StringType)).isin("", "NULL", "None", "nan", "NaN")
 

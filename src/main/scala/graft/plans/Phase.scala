@@ -23,7 +23,11 @@ final case class Phase(
     steps: Seq[Step] = Nil,
     renumber: Boolean = false,
     extraSources: Seq[String] = Nil,
-    extraOutputs: Seq[String] = Nil) {
+    extraOutputs: Seq[String] = Nil,
+    /** Phase-level default error policy; None inherits the pipeline's
+      * (reference: Phase error_policy attr, e.g. families.py; pipeline
+      * default COLLECT). Per-column onErrorOpt still overrides. */
+    errorPolicy: Option[ErrorPolicy] = None) {
 
   // Declared-rename conflicts are definition errors (phase.py:222-228).
   val renameList: Map[String, String] = {
@@ -44,7 +48,7 @@ final case class Phase(
     val df = Events.withEventsCol(RowNum.ensure(df0))
     val renamed = renameColumns(df, ctx)
     checkRequired(renamed)
-    val casted = castColumns(renamed)
+    val casted = castColumns(renamed, errorPolicy.getOrElse(ctx.errorPolicy))
     val stepped = steps.foldLeft(casted)((d, s) => s(d, ctx, name))
     val renumbered = if (renumber) RowNum.renumber(stepped) else stepped
     prepareForSave(renumbered, ctx)
@@ -93,13 +97,15 @@ final case class Phase(
     * (phase.py:251-252). Guarded so a row failed by an earlier column is
     * not modified by later ones (first-error-wins, as in the reference
     * where the row step aborts on first raise). */
-  private[plans] def castColumns(df: DataFrame): DataFrame =
+  private[plans] def castColumns(df: DataFrame,
+      defaultPolicy: ErrorPolicy = ErrorPolicy.Collect): DataFrame =
     columns.foldLeft(df) { (d, cdef) =>
       val present = d.columns.contains(cdef.name)
       if (!(cdef.required || cdef.save || present)) d
       else {
         val raw = if (present) d(cdef.name) else lit(null).cast("string")
-        val (value, eventsUpdate) = cdef.compile(raw, s"cast_and_check:${cdef.name}")
+        val (value, eventsUpdate) =
+          cdef.compile(raw, s"cast_and_check:${cdef.name}", defaultPolicy)
         val failed = Events.rowFailed(d)
         val oldVal = if (present) d(cdef.name) else lit(null).cast(cdef.colType.sparkType)
         // one simultaneous projection: both expressions reference d's

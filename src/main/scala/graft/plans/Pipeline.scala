@@ -123,7 +123,15 @@ final class Pipeline(
     val out0 = phase(input, context)
 
     // rows flagged DROPPED_ROW by per-column policies get filtered here;
-    // rows with collected ERRORs are retained unchanged (X4)
+    // their events are registered first (lazily — drained with the rest at
+    // the phase boundary); rows with collected ERRORs are retained (X4)
+    context.registerDroppedEvents(phase.name,
+      out0.filter(Events.rowDropped(out0(Events.EventsCol)))
+        .select(col(Events.RowNumCol).as("row_num"),
+          explode(col(Events.EventsCol)).as("e"))
+        .filter(col("e.etype") === Events.DroppedType)
+        .select(col("row_num"), col("e.etype").as("etype"),
+          col("e.step").as("step"), col("e.message").as("message")))
     val out = out0.filter(!Events.rowDropped(out0(Events.EventsCol)))
       // cache: event drain + checkpoint + next phase all reuse this plan
       .persist()

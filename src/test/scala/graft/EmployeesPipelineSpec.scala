@@ -37,7 +37,7 @@ class EmployeesPipelineSpec extends SparkSpec {
       ColumnDef("Pay rate", ColType.FloatT, rename = Seq("payRate"), minValue = Some(0.01)),
       ColumnDef("Pay type", rename = Seq("payType"),
         allowedValues = Seq("hourly", "salary", "exception hourly", "monthly", "weekly", "daily"),
-        onError = ErrorPolicy.DropRow, save = false),
+        onErrorOpt = Some(ErrorPolicy.DropRow), save = false),
       ColumnDef("Pay period", rename = Seq("paidPer"))),
     steps = Seq(
       // drop_rows_with_no_id_and_not_employed (employees.py:31-40)

@@ -23,7 +23,7 @@ class PolicyAndGatesSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft_stop").toString
     val src = csv(dir, "n\n1\nnot_a_number\n")
     val phase = Phase("Strict", columns = Seq(
-      ColumnDef("n", ColType.IntT, onError = ErrorPolicy.StopNow)))
+      ColumnDef("n", ColType.IntT, onErrorOpt = Some(ErrorPolicy.StopNow))))
     val pipe = new Pipeline(spark, Seq(phase),
       Paths.get(dir, "out").toString, src, saveFormat = Format.Csv)
     val ex = intercept[Exception](pipe.run())
@@ -31,6 +31,35 @@ class PolicyAndGatesSpec extends SparkSpec {
       Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
     assert(messages(ex).exists(m => m.contains("cast_and_check") || m.contains("USER_RAISED")),
       s"unexpected failure: ${messages(ex)}")
+  }
+
+  test("per-column drop_row policy physically drops failing rows (C8/X1)") {
+    val dir = Files.createTempDirectory("graft_cdrop").toString
+    val src = csv(dir, "n,s\n1,keep\nbad,gone\n2,keep\n")
+    val phase = Phase("ColDrop", columns = Seq(
+      ColumnDef("n", ColType.IntT, onErrorOpt = Some(ErrorPolicy.DropRow)),
+      ColumnDef("s")))
+    val pipe = new Pipeline(spark, Seq(phase),
+      Paths.get(dir, "out").toString, src, saveFormat = Format.Csv)
+    val out = pipe.run()
+    assert(out.count() == 2)
+    assert(pipe.context.droppedCount("ColDrop") == 1)
+  }
+
+  test("phase-level error policy is inherited by undeclared-column policies (X1)") {
+    val dir = Files.createTempDirectory("graft_pwarn").toString
+    val src = csv(dir, "n\n1\nbad\n")
+    // phase default Warn: the unparsable value becomes a warning, the row
+    // is retained, and the phase does NOT fail
+    val phase = Phase("Lenient",
+      columns = Seq(ColumnDef("n", ColType.IntT)),
+      errorPolicy = Some(ErrorPolicy.Warn))
+    val pipe = new Pipeline(spark, Seq(phase),
+      Paths.get(dir, "out").toString, src, saveFormat = Format.Csv)
+    val out = pipe.run()
+    assert(out.count() == 2)
+    assert(pipe.context.eventsForPhase("Lenient").exists(_.etype == Events.WarningType))
+    assert(!pipe.context.phaseHadErrors("Lenient"))
   }
 
   test("missing required header is a DataException (H2)") {
