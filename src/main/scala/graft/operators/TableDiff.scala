@@ -168,25 +168,69 @@ object TableDiff {
   * cli/commands/diff.py:168, a latent bug; the rebuild exposes the rename
   * map properly via Phase.renameList.) */
 object TableDiffCli {
+  private def session() = {
+    val b = org.apache.spark.sql.SparkSession.builder()
+      .master("local[*]").appName("graft-diff")
+      .config("spark.ui.enabled", "false")
+    graft.Tables.sessionConfigs.foreach { case (k, v) => b.config(k, v) }
+    val s = b.getOrCreate(); s.sparkContext.setLogLevel("WARN"); s
+  }
+
   def main(args: Array[String]): Unit = args.toList match {
+    // reference form: `phaser diff <pipeline> <workdir>` — per-phase diffs
+    // over the checkpoint chain + an index page (cli/commands/diff.py)
+    case pipelineName :: workDir :: Nil
+        if graft.cli.Main.Registry.pipelines.contains(pipelineName) =>
+      val spark = session()
+      val phases = graft.cli.Main.Registry(pipelineName)
+      val chain = "source_copy" +: phases.map(p => s"${p.name}_output")
+      val diffable = phases.map(_.diffable)
+      val index = new StringBuilder("<html><body><h1>Pipeline diff</h1><ul>")
+      chain.sliding(2).zipWithIndex.foreach { case (Seq(a, b), i) =>
+        if (diffable(i)) {
+          val f1 = graft.sources.GraftIO.read(spark, s"$workDir/$a.csv")
+          val f2 = graft.sources.GraftIO.read(spark, s"$workDir/$b.csv")
+          val renames = phases(i).renameList
+          val d = TableDiff.diff(withRowNum(f1), withRowNum(f2), renames)
+          val out = s"$workDir/diff_${a}_to_$b.html"
+          java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+            TableDiff.htmlReport(d))
+          val c = TableDiff.counters(d)
+          index.append(s"""<li><a href="diff_${a}_to_$b.html">$a &rarr; $b</a>: $c</li>""")
+          println(s"[graft] $a -> $b: $c")
+        } else
+          index.append(s"<li>$a &rarr; $b: not diffable (renumbered)</li>")
+      }
+      index.append("</ul></body></html>")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$workDir/diff_index.html"), index.toString)
+      println(s"[graft] pipeline diff index written to $workDir/diff_index.html")
+
     case workDir :: file1 :: file2 :: rest =>
       val out = rest match {
         case "--out" :: p :: Nil => p
         case _ => s"$workDir/diff_report.html"
       }
-      val spark = org.apache.spark.sql.SparkSession.builder()
-        .master("local[*]").appName("graft-diff")
-        .config("spark.ui.enabled", "false").getOrCreate()
-      spark.sparkContext.setLogLevel("WARN")
+      val spark = session()
       val f1 = graft.sources.GraftIO.read(spark, file1)
       val f2 = graft.sources.GraftIO.read(spark, file2)
-      val diffed = TableDiff.diff(f1, f2)
+      val diffed = TableDiff.diff(withRowNum(f1), withRowNum(f2))
       val counters = TableDiff.counters(diffed)
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
         TableDiff.htmlReport(diffed))
       println(s"[graft] diff written to $out: $counters")
     case _ =>
-      System.err.println("usage: graft diff <workdir> <file1> <file2> [--out report.html]")
+      System.err.println(
+        """usage: graft diff <pipeline> <workdir>          (per-phase checkpoint diffs)
+          |       graft diff <workdir> <file1> <file2> [--out report.html]""".stripMargin)
       sys.exit(2)
   }
+
+  /** Checkpoints carry the row-number column as strings after CSV re-read;
+    * standalone files may lack it entirely (fall back to line order). */
+  private def withRowNum(df: org.apache.spark.sql.DataFrame) =
+    if (df.columns.contains(graft.plans.Events.RowNumCol))
+      df.withColumn(graft.plans.Events.RowNumCol,
+        org.apache.spark.sql.functions.col(graft.plans.Events.RowNumCol).cast("long"))
+    else graft.plans.RowNum.assign(df)
 }
