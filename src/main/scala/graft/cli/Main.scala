@@ -21,7 +21,8 @@ object Main {
   object Registry {
     val pipelines: Map[String, Seq[Phase]] = Map(
       "employees" -> graft.examples.Employees.phases,
-      "employees_enrich" -> graft.examples.EmployeesEnrich.phases)
+      "employees_enrich" -> graft.examples.EmployeesEnrich.phases,
+      "curation" -> graft.examples.Curation.phases)
     def apply(name: String): Seq[Phase] =
       pipelines.getOrElse(name,
         sys.error(s"Unknown pipeline '$name'; known: ${pipelines.keys.mkString(", ")}"))

@@ -1,0 +1,60 @@
+package graft.examples
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+import graft.plans.{Phase, Step}
+
+/** Training-data curation pipeline — the north-star use case, composed
+  * entirely from graft operators:
+  *
+  *   1. Analyze:  language-ID, token counts, quality score, fingerprint —
+  *                all codegen'd column expressions, no shuffle.
+  *   2. Filter:   drop short/low-quality rows via the DropRow event path
+  *                (counts surface in errors_and_warnings.txt).
+  *   3. Dedup:    exact dedup on the md5 fingerprint, then MinHash-LSH
+  *                near-dup removal keeping the lowest doc id of each
+  *                near-dup pair.
+  *
+  * Every stage is shuffle-bounded (fingerprint groupBy, LSH band joins) —
+  * the shape survives a 1000-executor scale-up; run it on a documents
+  * parquet: `graft run curation <workdir> <documents.parquet>`.
+  */
+object Curation {
+
+  val analyze: Phase = Phase(
+    name = "Analyze",
+    steps = Seq(
+      Step.withColumns("text_metrics",
+        "lang_pred" -> TextFunctions.langId(col("text")),
+        "n_tokens" -> TextFunctions.tokenCount(col("text")),
+        "quality" -> TextFunctions.qualityScore(col("text")),
+        "fp" -> TextFunctions.fingerprint(col("text")))))
+
+  val filter: Phase = Phase(
+    name = "Filter",
+    steps = Seq(
+      Step.dropRowsWhen("drop_short", col("n_tokens") < 5,
+        "Document too short for training"),
+      Step.dropRowsWhen("drop_low_quality", col("quality") < 0.2,
+        "Quality score below threshold")))
+
+  val dedup: Phase = Phase(
+    name = "Dedup",
+    steps = Seq(
+      Step.batch("exact_dedup") { (df, _) =>
+        Dedup.exactDedup(df, "doc_id", "text")
+      },
+      Step.batch("near_dedup_minhash") { (df, _) =>
+        // greedy near-dup removal: for every near-dup pair keep the lower
+        // id; higher ids become a drop list (one broadcastable frame —
+        // pair volume is near-dup density, not corpus size)
+        val pairs = Dedup.minhashLshPairs(df, "doc_id", "text",
+          n = 3, threshold = 0.8)
+        val losers = pairs.select(col("id_b").as("doc_id")).distinct()
+        df.join(broadcast(losers), Seq("doc_id"), "left_anti")
+      }))
+
+  val phases: Seq[Phase] = Seq(analyze, filter, dedup)
+}
