@@ -357,6 +357,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // ---- X: as-of join (nearest prior order per event; union+window
+    //      composition, one keyed shuffle — see operators.Temporal) ----
+    "x12_asof_join" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      val e = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+      graft.operators.Temporal.asofJoin(e, o,
+        "user_id", "o_custkey", "ts", "o_orderdate")
+        .select(col("event_id"), col("o_orderkey"))
+        .orderBy(col("event_id"))
+    },
+
     // ---- ST: event-time tumbling window aggregation (batch form; the
     //      streaming form with watermark lives in graft.streaming) ----
     "st1_window_agg" -> { (s, dir) =>
@@ -626,6 +639,14 @@ object SparkEntry {
            CAST(octet_length(encode(text)) AS INT) AS byte_len,
            CAST(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000 AS DOUBLE) / 1000.0 AS stub_feature
          FROM documents ORDER BY doc_id""",
+
+    "x12_asof_join" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+                    FROM orders GROUP BY 1, 2)
+         SELECT e.event_id, o.o_orderkey
+         FROM events e ASOF LEFT JOIN o
+           ON e.user_id = o.o_custkey AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
+         ORDER BY e.event_id""",
 
     "st1_window_agg" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type,

@@ -1,0 +1,46 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Temporal
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asof join attaches latest prior right row; inclusive on equal timestamps") {
+    val quotes = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 100.0),
+      ("A", ts("2024-01-01 11:00:00"), 110.0),
+      ("B", ts("2024-01-01 10:30:00"), 50.0)
+    ).toDF("sym", "qts", "price")
+    val trades = Seq(
+      ("A", ts("2024-01-01 10:30:00"), 1L), // between quotes -> 100.0
+      ("A", ts("2024-01-01 11:00:00"), 2L), // equal ts -> inclusive 110.0
+      ("A", ts("2024-01-01 09:00:00"), 3L), // before any quote -> null
+      ("B", ts("2024-01-01 12:00:00"), 4L), // B's only quote -> 50.0
+      ("C", ts("2024-01-01 12:00:00"), 5L)  // no key match -> null
+    ).toDF("sym", "tts", "trade_id")
+
+    val joined = Temporal.asofJoin(trades, quotes, "sym", "sym", "tts", "qts")
+      .select(col("trade_id"), col("price"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(joined == Map(
+      1L -> Some(100.0), 2L -> Some(110.0), 3L -> None,
+      4L -> Some(50.0), 5L -> None))
+  }
+
+  test("asof join preserves left row count (left-outer semantics)") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val o = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val joined = Temporal.asofJoin(e, o, "user_id", "o_custkey", "ts", "o_orderdate")
+    assert(joined.count() == e.count())
+  }
+}
