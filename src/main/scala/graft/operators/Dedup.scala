@@ -154,9 +154,12 @@ object Dedup {
     val rows = numHashes / bands
     val sig = minhashSignatures(df, idCol, textCol, n, numHashes)
 
+    // the bucket key is the band's raw signature slice (a struct) — no
+    // re-hashing needed, the join key IS the band values
     val bandCols = (0 until bands).map { b =>
-      val cols = (b * rows until (b + 1) * rows).map(i => col(s"h$i"))
-      struct(lit(b).as("band"), md5Long(concat_ws(",", cols: _*)).as("bucket"))
+      val cols = (b * rows until (b + 1) * rows).zipWithIndex
+        .map { case (i, j) => col(s"h$i").as(s"v$j") }
+      struct(lit(b).as("band"), struct(cols: _*).as("bucket"))
     }
     val buckets = sig.select(col("id"),
       explode(array(bandCols: _*)).as("bb"))
