@@ -44,10 +44,13 @@ object SparkEntry {
           sum(price * (lit(1).cast(DecimalType(3, 2)) - disc)).as("sum_disc_price"),
           sum(price * (lit(1).cast(DecimalType(3, 2)) - disc) * (lit(1).cast(DecimalType(3, 2)) + tax)).as("sum_charge"),
           count(lit(1)).as("count_order"))
-        // averages as double ratios of the EXACT decimal sums (direct
-        // decimal avg has engine-specific scale/rounding)
-        .withColumn("avg_qty", col("sum_qty").cast(DoubleType) / col("count_order").cast(DoubleType))
-        .withColumn("avg_price", col("sum_base_price").cast(DoubleType) / col("count_order").cast(DoubleType))
+        // averages as double ratios of the EXACT decimal sums; the
+        // decimal->double conversion goes through a string because direct
+        // conversion can differ by 1 ulp between engines
+        .withColumn("avg_qty",
+          col("sum_qty").cast(StringType).cast(DoubleType) / col("count_order").cast(DoubleType))
+        .withColumn("avg_price",
+          col("sum_base_price").cast(StringType).cast(DoubleType) / col("count_order").cast(DoubleType))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
         .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
           col("sum_base_price"), col("sum_disc_price"), col("sum_charge"),
@@ -222,13 +225,17 @@ object SparkEntry {
     //      moments from exact decimal sums, final arithmetic in double ----
     "j4_scalar_agg" -> { (s, dir) =>
       val v = col("value").cast(DecimalType(18, 6))
+      // decimal -> double via STRING: Spark's Decimal.toDouble and
+      // DuckDB's decimal->double can differ by 1 ulp, but both parse the
+      // plain decimal string to the correctly-rounded nearest double
+      def d(c: org.apache.spark.sql.Column) = c.cast(StringType).cast(DoubleType)
       t(s, dir, "events")
         .agg(count(lit(1)).as("n"), sum(v).as("sv"), sum(v * v).as("svv"))
         .select(col("n"),
-          (col("sv").cast(DoubleType) / col("n").cast(DoubleType)).as("mean"),
-          (col("svv").cast(DoubleType) / col("n").cast(DoubleType)
-            - (col("sv").cast(DoubleType) / col("n").cast(DoubleType))
-              * (col("sv").cast(DoubleType) / col("n").cast(DoubleType))).as("variance"))
+          (d(col("sv")) / col("n").cast(DoubleType)).as("mean"),
+          (d(col("svv")) / col("n").cast(DoubleType)
+            - (d(col("sv")) / col("n").cast(DoubleType))
+              * (d(col("sv")) / col("n").cast(DoubleType))).as("variance"))
     },
 
     // ---- D1: table diff classification over the row-number lineage ----
@@ -392,8 +399,8 @@ object SparkEntry {
            sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_base_price,
            sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS sum_disc_price,
            sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS sum_charge,
-           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_price,
            count(*) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
@@ -484,10 +491,10 @@ object SparkEntry {
              sum(CAST(value AS DECIMAL(18,6))) AS sv,
              sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS svv
            FROM events)
-         SELECT n, CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
-           CAST(svv AS DOUBLE) / CAST(n AS DOUBLE)
-             - (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
-               * (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) AS variance
+         SELECT n, CAST(CAST(sv AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+           CAST(CAST(svv AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(CAST(sv AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(CAST(sv AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)) AS variance
          FROM m""",
 
     "d1_diff_status" ->
