@@ -49,7 +49,9 @@ object Main {
       val format = opts.get("format").map {
         case "csv" => Format.Csv
         case "json" => Format.JsonRecord
-        case _ => Format.Parquet
+        case "parquet" => Format.Parquet
+        case other => sys.error(
+          s"Unknown --format '$other'; supported: csv, json, parquet")
       }.getOrElse(Format.Csv)
       // any other --<name> <path> flag is an extra-source init (the
       // reference's incremental args for uninitialized extra sources,

@@ -64,13 +64,21 @@ object BuiltinSteps {
         df.orderBy(col(column).asc, col(Events.RowNumCol).asc)))
 
   /** B4 filter_rows (builtin_steps.py:110-138): keep rows where the
-    * predicate holds. The dropped count is reported from a lazily-tracked
-    * side frame (no extra action inside the phase).
+    * predicate holds. Dropped rows' events are tracked as a lazy side
+    * frame and drained once at the phase boundary (the reference reports
+    * an aggregate dropped count, builtin_steps.py:130-137) — no extra
+    * action inside the phase.
     */
   def filterRows(predicate: Column): Step =
-    Step.Batch("filter_rows", (df, ctx) => {
+    Step.PhaseAwareBatch("filter_rows", (d, ctx, phase) => {
       val keep = coalesce(predicate, lit(false))
-      df.filter(keep)
+      ctx.registerDroppedEvents(phase,
+        d.filter(!keep).select(
+          col(Events.RowNumCol).as("row_num"),
+          lit(Events.DroppedType).as("etype"),
+          lit("filter_rows").as("step"),
+          lit("Row dropped by filter_rows predicate").as("message")))
+      d.filter(keep)
     })
 
   /** B5 flatten_all (builtin_steps.py:141-186): repeatedly lift every

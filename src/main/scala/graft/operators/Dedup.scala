@@ -110,7 +110,9 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
 
-    val docSh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("arr"))
+    // verify against the SAME (maxDocFreq-filtered) shingle sets the
+    // count-based variant uses, so the two variants stay pair-identical
+    val docSh = sh.groupBy(col("id")).agg(collect_set(col("s")).as("arr"))
     cand
       .join(docSh.toDF("id_a", "arr_a"), Seq("id_a"))
       .join(docSh.toDF("id_b", "arr_b"), Seq("id_b"))

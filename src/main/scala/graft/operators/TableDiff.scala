@@ -120,9 +120,17 @@ object TableDiff {
     (oldOut.toString, newOut.toString)
   }
 
+  /** Escape a value for HTML cell/name contexts. */
+  private def escHtml(s: String): String =
+    s.flatMap {
+      case '<' => "&lt;"; case '>' => "&gt;"; case '&' => "&amp;"
+      case '"' => "&quot;"; case c => c.toString
+    }
+
   /** D3 — HTML report (FormatterBase/HtmlTableFormat, table_diff.py:167-338).
     * Renders at most `maxRows` non-unchanged rows (driver-side string
-    * building; counters remain exact and distributed). */
+    * building; counters remain exact and distributed). All cell values and
+    * column names are escaped. */
   def htmlReport(diffed: DataFrame, maxRows: Int = 1000): String = {
     val c = counters(diffed)
     val compared = diffed.columns
@@ -139,7 +147,7 @@ object TableDiff {
     sb.append("</style></head><body>")
     sb.append(s"<p>added: ${c.added}, removed: ${c.removed}, changed: ${c.changed}, unchanged: ${c.unchanged}</p>")
     sb.append("<table><tr><th>row</th><th>status</th>")
-    compared.foreach(cn => sb.append(s"<th>$cn</th>"))
+    compared.foreach(cn => sb.append(s"<th>${escHtml(cn)}</th>"))
     sb.append("</tr>")
     interesting.foreach { r =>
       val status = r.getAs[String]("status")
@@ -150,9 +158,9 @@ object TableDiff {
         val cell = status match {
           case "changed" if o != n =>
             val (od, nd) = charDiff(o.orNull, n.orNull)
-            s"$od &rarr; $nd"
-          case "removed" => o.getOrElse("")
-          case _ => n.getOrElse("")
+            s"$od &rarr; $nd" // charDiff escapes internally
+          case "removed" => escHtml(o.getOrElse(""))
+          case _ => escHtml(n.getOrElse(""))
         }
         sb.append(s"<td>$cell</td>")
       }
@@ -186,10 +194,16 @@ object TableDiffCli {
       val chain = "source_copy" +: phases.map(p => s"${p.name}_output")
       val diffable = phases.map(_.diffable)
       val index = new StringBuilder("<html><body><h1>Pipeline diff</h1><ul>")
+      // checkpoints may be csv/json/parquet depending on the run's
+      // --format; detect whichever extension exists
+      def checkpointPath(base: String): String =
+        Seq("csv", "json", "parquet").map(e => s"$workDir/$base.$e")
+          .find(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+          .getOrElse(sys.error(s"No checkpoint found for $base under $workDir"))
       chain.sliding(2).zipWithIndex.foreach { case (Seq(a, b), i) =>
         if (diffable(i)) {
-          val f1 = graft.sources.GraftIO.read(spark, s"$workDir/$a.csv")
-          val f2 = graft.sources.GraftIO.read(spark, s"$workDir/$b.csv")
+          val f1 = graft.sources.GraftIO.read(spark, checkpointPath(a))
+          val f2 = graft.sources.GraftIO.read(spark, checkpointPath(b))
           val renames = phases(i).renameList
           val d = TableDiff.diff(withRowNum(f1), withRowNum(f2), renames)
           val out = s"$workDir/diff_${a}_to_$b.html"

@@ -48,7 +48,22 @@ final case class Phase(
     val df = Events.withEventsCol(RowNum.ensure(df0))
     val renamed = renameColumns(df, ctx)
     checkRequired(renamed)
-    val casted = castColumns(renamed, errorPolicy.getOrElse(ctx.errorPolicy))
+    val casted0 = castColumns(renamed, errorPolicy.getOrElse(ctx.errorPolicy))
+    // rows dropped by per-column DropRow policies are removed BEFORE steps
+    // run (reference: DropRowException removes the row inside the column
+    // pass, phase.py:101-105, so check_unique/batch steps never see it);
+    // their events are tracked lazily and drained at the phase boundary
+    val casted = {
+      val dropped = Events.rowDropped(casted0(Events.EventsCol))
+      ctx.registerDroppedEvents(name,
+        casted0.filter(dropped)
+          .select(col(Events.RowNumCol).as("row_num"),
+            explode(col(Events.EventsCol)).as("e"))
+          .filter(col("e.etype") === Events.DroppedType)
+          .select(col("row_num"), col("e.etype").as("etype"),
+            col("e.step").as("step"), col("e.message").as("message")))
+      casted0.filter(!dropped)
+    }
     val stepped = steps.foldLeft(casted)((d, s) => s(d, ctx, name))
     val renumbered = if (renumber) RowNum.renumber(stepped) else stepped
     prepareForSave(renumbered, ctx)

@@ -96,15 +96,22 @@ final class Pipeline(
   /** EP1/EP2 run loop (pipeline.py:157-199). Returns the final phase
     * output (user-facing schema, internal columns dropped). */
   def run(): DataFrame = {
-    if (checkpoints) { cleanupWorkingDir(); checkOutputCollision() }
+    // validate BEFORE archiving: a mis-configured pipeline must not
+    // disturb the previous run's outputs
+    if (checkpoints) { checkOutputCollision(); cleanupWorkingDir() }
     initExtraSources()
 
     var df = RowNum.assign(load())
     if (checkpoints)
       save(Events.forCheckpoint(df), outPath(s"source_copy.$ext"))
 
+    var prevCached: Option[DataFrame] = None
     phases.foreach { phase =>
       df = runPhase(phase, df)
+      // runPhase materialized the new cache (event drain + checkpoint);
+      // the predecessor's cache is no longer on the critical path
+      prevCached.foreach(_.unpersist(false))
+      prevCached = Some(df)
       if (strictCheckpointCompat) {
         // re-read the checkpoint so the next phase sees exactly what was
         // serialized (CSV: everything re-stringified, like the reference)
@@ -122,16 +129,10 @@ final class Pipeline(
     val inputCols = input.columns.filterNot(Events.internalCols.contains).toSet
     val out0 = phase(input, context)
 
-    // rows flagged DROPPED_ROW by per-column policies get filtered here;
-    // their events are registered first (lazily — drained with the rest at
-    // the phase boundary); rows with collected ERRORs are retained (X4)
-    context.registerDroppedEvents(phase.name,
-      out0.filter(Events.rowDropped(out0(Events.EventsCol)))
-        .select(col(Events.RowNumCol).as("row_num"),
-          explode(col(Events.EventsCol)).as("e"))
-        .filter(col("e.etype") === Events.DroppedType)
-        .select(col("row_num"), col("e.etype").as("etype"),
-          col("e.step").as("step"), col("e.message").as("message")))
+    // Phase.apply already removed per-column-policy dropped rows before
+    // its steps ran; this filter is only a safety net for user steps that
+    // append DROPPED_ROW events directly. Rows with collected ERRORs are
+    // retained unchanged (X4).
     val out = out0.filter(!Events.rowDropped(out0(Events.EventsCol)))
       // cache: event drain + checkpoint + next phase all reuse this plan
       .persist()

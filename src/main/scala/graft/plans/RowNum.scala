@@ -27,8 +27,13 @@ object RowNum {
   def assign(df: DataFrame): DataFrame = {
     val withoutOld = df.drop(RowNumCol)
     val schema = withoutOld.schema.add(StructField(RowNumCol, LongType, nullable = false))
-    val input = withoutOld.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rdd = input.rdd.zipWithIndex().map { case (row, idx) =>
+    // cache at the RDD level: zipWithIndex's partition-count pass would
+    // otherwise run the whole upstream twice, and RDD-level caches are
+    // auto-released by the ContextCleaner once unreferenced (a DataFrame
+    // persist would pin the CacheManager entry forever)
+    val input = withoutOld.rdd
+    input.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rdd = input.zipWithIndex().map { case (row, idx) =>
       Row.fromSeq(row.toSeq :+ (idx + 1L))
     }
     df.sparkSession.createDataFrame(rdd, schema)

@@ -78,6 +78,14 @@ object Step {
     }
   }
 
+  /** Batch step whose function also receives the running phase name (for
+    * steps that register lazily-drained events against the phase). */
+  final case class PhaseAwareBatch(name: String,
+      f: (DataFrame, Context, String) => DataFrame) extends Step {
+    def apply(df: DataFrame, ctx: Context, phase: String): DataFrame =
+      f(Events.withEventsCol(df), ctx, phase)
+  }
+
   /** E4 context step: side effects only (may run actions to set
     * variables); the frame passes through untouched. */
   final case class ContextStep(name: String, f: (DataFrame, Context) => Unit)

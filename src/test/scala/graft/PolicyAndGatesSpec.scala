@@ -46,6 +46,36 @@ class PolicyAndGatesSpec extends SparkSpec {
     assert(pipe.context.droppedCount("ColDrop") == 1)
   }
 
+  test("per-column drop_row rows are removed BEFORE later steps run (phase.py:101-105)") {
+    val dir = Files.createTempDirectory("graft_cdrop2").toString
+    // row 2 duplicates id 1 but fails the type check with DropRow policy:
+    // the reference drops it during the column pass, so check_unique passes
+    val src = csv(dir, "id,ptype\n1,salary\n1,badtype\n2,salary\n")
+    val phase = Phase("DropThenUnique",
+      columns = Seq(
+        ColumnDef("id"),
+        ColumnDef("ptype", allowedValues = Seq("salary", "hourly"),
+          onErrorOpt = Some(ErrorPolicy.DropRow))),
+      steps = Seq(graft.operators.BuiltinSteps.checkUnique("id")))
+    val pipe = new Pipeline(spark, Seq(phase),
+      Paths.get(dir, "out").toString, src, saveFormat = Format.Csv)
+    val out = pipe.run() // must NOT throw from check_unique
+    assert(out.count() == 2)
+    assert(pipe.context.droppedCount("DropThenUnique") == 1)
+  }
+
+  test("filter_rows reports dropped-row events (B4, builtin_steps.py:130-137)") {
+    val dir = Files.createTempDirectory("graft_frep").toString
+    val src = csv(dir, "n\n1\n2\n3\n4\n")
+    val phase = Phase("Filtered",
+      columns = Seq(ColumnDef.int("n")),
+      steps = Seq(graft.operators.BuiltinSteps.filterRows(col("n") > 2)))
+    val pipe = new Pipeline(spark, Seq(phase),
+      Paths.get(dir, "out").toString, src, saveFormat = Format.Csv)
+    assert(pipe.run().count() == 2)
+    assert(pipe.context.droppedCount("Filtered") == 2)
+  }
+
   test("phase-level error policy is inherited by undeclared-column policies (X1)") {
     val dir = Files.createTempDirectory("graft_pwarn").toString
     val src = csv(dir, "n\n1\nbad\n")
