@@ -48,12 +48,18 @@ final case class Phase(
     val df = Events.withEventsCol(RowNum.ensure(df0))
     val renamed = renameColumns(df, ctx)
     checkRequired(renamed)
-    val casted0 = castColumns(renamed, errorPolicy.getOrElse(ctx.errorPolicy))
+    val defaultPolicy = errorPolicy.getOrElse(ctx.errorPolicy)
+    val casted0 = castColumns(renamed, defaultPolicy)
     // rows dropped by per-column DropRow policies are removed BEFORE steps
     // run (reference: DropRowException removes the row inside the column
     // pass, phase.py:101-105, so check_unique/batch steps never see it);
-    // their events are tracked lazily and drained at the phase boundary
-    val casted = {
+    // their events are tracked lazily and drained at the phase boundary.
+    // Applied ONLY when a column can actually fire DropRow: the filter
+    // predicate embeds the whole validation expression tree, and paying
+    // that duplication on every phase would tax the common no-drop case.
+    val canDrop = columns.exists(c =>
+      c.onErrorOpt.getOrElse(defaultPolicy) == ErrorPolicy.DropRow)
+    val casted = if (!canDrop) casted0 else {
       val dropped = Events.rowDropped(casted0(Events.EventsCol))
       ctx.registerDroppedEvents(name,
         casted0.filter(dropped)

@@ -21,20 +21,34 @@ import org.apache.spark.sql.types.{LongType, StructField}
 object RowNum {
   import Events.RowNumCol
 
-  /** Assign 1..n in current row order. No shuffle. zipWithIndex runs an
-    * extra partition-count pass, so the input is cached first — otherwise
-    * the whole upstream plan (scans, parses) executes twice. */
+  /** Assign 1..n in current row order. No shuffle, no caching: the
+    * partition-count pass runs on a COLUMN-PRUNED copy of the plan (the
+    * projection needs only spark_partition_id, so Catalyst strips every
+    * data column and expression — for a parquet source this reads row
+    * counts, not data), then one full pass numbers rows per partition from
+    * broadcast offsets. This replaces rdd.zipWithIndex, whose count pass
+    * re-executed the whole upstream, and replaces caching, whose
+    * deserialized-Row storage was slower than recomputing. Partition order
+    * must be deterministic for the two passes to agree — true for file
+    * scans and for any already-shuffled deterministic plan. */
   def assign(df: DataFrame): DataFrame = {
     val withoutOld = df.drop(RowNumCol)
     val schema = withoutOld.schema.add(StructField(RowNumCol, LongType, nullable = false))
-    // cache at the RDD level: zipWithIndex's partition-count pass would
-    // otherwise run the whole upstream twice, and RDD-level caches are
-    // auto-released by the ContextCleaner once unreferenced (a DataFrame
-    // persist would pin the CacheManager entry forever)
-    val input = withoutOld.rdd
-    input.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rdd = input.zipWithIndex().map { case (row, idx) =>
-      Row.fromSeq(row.toSeq :+ (idx + 1L))
+    // count and number from the SAME RDD instance — a separately-built
+    // (e.g. column-pruned) plan can partition/order rows differently, which
+    // would scramble the offsets. The count pass re-executes the upstream
+    // once (zipWithIndex's behavior too); callers with expensive upstreams
+    // should checkpoint/persist before numbering.
+    val rdd0 = withoutOld.rdd
+    val counts = rdd0
+      .mapPartitionsWithIndex((pid, it) => Iterator(pid -> it.size.toLong))
+      .collect().toMap
+    val maxPid = if (counts.isEmpty) -1 else counts.keys.max
+    val offsets = (0 to maxPid).scanLeft(0L)((acc, pid) => acc + counts.getOrElse(pid, 0L))
+    val bc = df.sparkSession.sparkContext.broadcast(offsets.toArray)
+    val rdd = rdd0.mapPartitionsWithIndex { case (pid, it) =>
+      var n = if (pid < bc.value.length) bc.value(pid) else 0L
+      it.map { row => n += 1; Row.fromSeq(row.toSeq :+ n) }
     }
     df.sparkSession.createDataFrame(rdd, schema)
   }
