@@ -377,6 +377,23 @@ object SparkEntry {
         .orderBy(col("event_id"))
     },
 
+    // ---- X: exact percentiles (order statistics over totalprice) ----
+    "x13_percentiles" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .agg(
+          expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.9)").as("p90"),
+          expr("percentile(o_totalprice, 0.99)").as("p99"))
+    },
+
+    // ---- X: data profiling (per-column nulls/distincts/min/max) ----
+    "x14_profile" -> { (s, dir) =>
+      graft.operators.Profile.profile(
+        t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment")))
+        .orderBy(col("col_name"))
+    },
+
     // ---- ST: event-time tumbling window aggregation (batch form; the
     //      streaming form with watermark lives in graft.streaming) ----
     "st1_window_agg" -> { (s, dir) =>
@@ -654,6 +671,37 @@ object SparkEntry {
          FROM events e ASOF LEFT JOIN o
            ON e.user_id = o.o_custkey AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
          ORDER BY e.event_id""",
+
+    "x13_percentiles" ->
+      """SELECT quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           quantile_cont(o_totalprice, 0.99) AS p99
+         FROM orders""",
+
+    "x14_profile" ->
+      """WITH t AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer)
+         SELECT * FROM (
+           SELECT 'c_custkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+             CAST(min(c_custkey) AS VARCHAR) AS min_value,
+             CAST(max(c_custkey) AS VARCHAR) AS max_value FROM t
+           UNION ALL
+           SELECT 'c_name', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(DISTINCT c_name) AS BIGINT),
+             CAST(min(c_name) AS VARCHAR), CAST(max(c_name) AS VARCHAR) FROM t
+           UNION ALL
+           SELECT 'c_nationkey', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(DISTINCT c_nationkey) AS BIGINT),
+             CAST(min(c_nationkey) AS VARCHAR), CAST(max(c_nationkey) AS VARCHAR) FROM t
+           UNION ALL
+           SELECT 'c_mktsegment', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(DISTINCT c_mktsegment) AS BIGINT),
+             CAST(min(c_mktsegment) AS VARCHAR), CAST(max(c_mktsegment) AS VARCHAR) FROM t)
+         ORDER BY col_name""",
 
     "st1_window_agg" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type,
