@@ -38,11 +38,14 @@ object SparkEntry {
       val disc  = col("l_discount").cast(DecimalType(4, 2))
       val tax   = col("l_tax").cast(DecimalType(4, 2))
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        // final decimal sums pinned to DECIMAL(38,s): Spark types
+        // sum(DECIMAL(p,s)) as (p+10,s) while DuckDB uses (38,s), and the
+        // driver's hash is precision-sensitive
         .agg(
-          sum(col("l_quantity").cast(DecimalType(12, 2))).as("sum_qty"),
-          sum(price).as("sum_base_price"),
-          sum(price * (lit(1).cast(DecimalType(3, 2)) - disc)).as("sum_disc_price"),
-          sum(price * (lit(1).cast(DecimalType(3, 2)) - disc) * (lit(1).cast(DecimalType(3, 2)) + tax)).as("sum_charge"),
+          sum(col("l_quantity").cast(DecimalType(12, 2))).cast(DecimalType(38, 2)).as("sum_qty"),
+          sum(price).cast(DecimalType(38, 2)).as("sum_base_price"),
+          sum(price * (lit(1).cast(DecimalType(3, 2)) - disc)).cast(DecimalType(38, 4)).as("sum_disc_price"),
+          sum(price * (lit(1).cast(DecimalType(3, 2)) - disc) * (lit(1).cast(DecimalType(3, 2)) + tax)).cast(DecimalType(38, 6)).as("sum_charge"),
           count(lit(1)).as("count_order"))
         // averages as double ratios of the EXACT decimal sums; the
         // decimal->double conversion goes through a string because direct
@@ -61,12 +64,14 @@ object SparkEntry {
     "q2_topk_orders" -> { (s, dir) =>
       // orderBy+limit compiles to TakeOrderedAndProject (per-partition top-k,
       // no global sort); the rank window then runs on only 10 rows.
+      // rank cast to long: DuckDB row_number() is BIGINT and the driver's
+      // value hash is type-sensitive
       val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(10)
-        .withColumn("rank", row_number().over(w))
+        .withColumn("rank", row_number().over(w).cast(LongType))
     },
 
     // ---- J1/J2: lookup join + aggregation into mapping ----
@@ -79,7 +84,7 @@ object SparkEntry {
         .groupBy(col("r_name"), col("n_name"))
         .agg(
           count(lit(1)).as("n_customers"),
-          sum(col("c_acctbal").cast(dec)).as("sum_acctbal"))
+          sum(col("c_acctbal").cast(dec)).cast(DecimalType(38, 2)).as("sum_acctbal"))
         .orderBy(col("r_name"), col("n_name"))
     },
     "j2_agg_mapping" -> { (s, dir) =>
@@ -128,12 +133,16 @@ object SparkEntry {
           coalesce(sum(col("cnt")), lit(0L)).cast(LongType).as("n_dup_rows"))
     },
 
-    // ---- B3: sort_by (stable; custkey tiebreak = row-number stability) ----
+    // ---- B3: sort_by (stable; custkey tiebreak = row-number stability).
+    //      Global numbering via range-partitioned sort + RowNum.assign —
+    //      a bare Window.orderBy moves ALL rows to one task at scale ----
     "b3_sort_by" -> { (s, dir) =>
-      val w = Window.orderBy(col("c_nationkey").asc, col("c_custkey").asc)
-      t(s, dir, "customer")
-        .select(col("c_custkey"), col("c_nationkey"))
-        .withColumn("rank", row_number().over(w))
+      import graft.plans.{Events, RowNum}
+      RowNum.assign(
+        t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+          .orderBy(col("c_nationkey").asc, col("c_custkey").asc))
+        .withColumnRenamed(Events.RowNumCol, "rank")
         .orderBy(col("rank"))
     },
 
@@ -157,7 +166,7 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("token").asc)
         .limit(50) // top-k first; the rank window then sees only 50 rows
         .withColumn("rank",
-          row_number().over(Window.orderBy(col("cnt").desc, col("token").asc)))
+          row_number().over(Window.orderBy(col("cnt").desc, col("token").asc)).cast(LongType))
     },
 
     // ---- R5: cross-row running state (partition-local, scale-safe) ----
@@ -167,7 +176,7 @@ object SparkEntry {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"),
-          sum(col("o_totalprice").cast(dec)).over(w).as("running_total"))
+          sum(col("o_totalprice").cast(dec)).over(w).cast(DecimalType(38, 2)).as("running_total"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
 
@@ -217,7 +226,7 @@ object SparkEntry {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_customers"),
           coalesce(sum(col("n_orders")), lit(0L)).cast(LongType).as("n_orders"),
-          sum(coalesce(col("spend"), lit(0).cast(dec))).as("spend"))
+          sum(coalesce(col("spend"), lit(0).cast(dec))).cast(DecimalType(38, 2)).as("spend"))
         .orderBy(col("c_mktsegment"))
     },
 
@@ -254,16 +263,19 @@ object SparkEntry {
         .orderBy(col("status"))
     },
 
-    // ---- R4: renumbering after a reshape/filter ----
+    // ---- R4: renumbering after a reshape/filter. Range-partitioned sort +
+    //      per-partition offsets (RowNum.assign) instead of a global
+    //      single-partition Window ----
     "r4_renumber" -> { (s, dir) =>
+      import graft.plans.{Events, RowNum}
       val filtered = t(s, dir, "lineitem")
         .filter(year(col("l_shipdate")) === 1997)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_extendedprice"), col("l_partkey"), col("l_suppkey"))
-      filtered.withColumn("new_row_num",
-        row_number().over(Window.orderBy(
+      RowNum.assign(filtered.orderBy(
           col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-          col("l_extendedprice"), col("l_partkey"), col("l_suppkey"))))
+          col("l_extendedprice"), col("l_partkey"), col("l_suppkey")))
+        .withColumnRenamed(Events.RowNumCol, "new_row_num")
         .select(col("l_orderkey"), col("l_linenumber"), col("new_row_num"))
         .orderBy(col("new_row_num"))
     },
@@ -276,7 +288,15 @@ object SparkEntry {
         .orderBy(col("fp"))
     },
 
-    // ---- X: n-gram Jaccard near-dup (exact, inverted index) ----
+    // ---- X: n-gram Jaccard near-dup (exact, count-based inverted index).
+    //      No cap here ON PURPOSE: this corpus has max shingle docfreq 25
+    //      (sum df^2 = 2.8M at sf0.1 — measured, not quadratic), so the
+    //      hot-shingle cap removes ~1% of join volume while its full-set
+    //      verify join costs far more; the r1 driver's 69s outlier was an
+    //      unpinned AQE broadcast of the exploded index, now pinned by
+    //      shuffle_hash hints on all three joins. For corpora with true
+    //      boilerplate, ngramJaccardPairs(maxDocFreq=...) is the capped
+    //      candidate+verify scale path (spec-tested pair-identical) ----
     "x2_dedup_ngram_jaccard" -> { (s, dir) =>
       graft.operators.Dedup.ngramJaccardPairs(
         t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.8)
@@ -377,7 +397,11 @@ object SparkEntry {
         .orderBy(col("event_id"))
     },
 
-    // ---- X: exact percentiles (order statistics over totalprice) ----
+    // ---- X: exact percentiles (order statistics over totalprice).
+    //      percentile() buffers all values — the ORACLE baseline only; the
+    //      scale paths are operators.Percentiles.approx (GK sketch) and
+    //      .exactSorted (distributed order statistics), both spec-tested
+    //      against this result ----
     "x13_percentiles" -> { (s, dir) =>
       t(s, dir, "orders")
         .agg(
@@ -400,7 +424,7 @@ object SparkEntry {
       t(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(DecimalType(18, 6))).as("sum_value"))
+          sum(col("value").cast(DecimalType(18, 6))).cast(DecimalType(38, 6)).as("sum_value"))
         .select(col("w.start").as("hour_start"), col("event_type"),
           col("n"), col("sum_value"))
         .orderBy(col("hour_start"), col("event_type"))
@@ -412,10 +436,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-           sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
-           sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_base_price,
-           sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS sum_disc_price,
-           sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(38,6)) AS sum_charge,
            CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_qty,
            CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_price,
            count(*) AS count_order
@@ -427,7 +451,7 @@ object SparkEntry {
          FROM orders ORDER BY rank LIMIT 10""",
     "j1_lookup_join" ->
       """SELECT r_name, n_name, count(*) AS n_customers,
-           sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_acctbal
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_acctbal
          FROM customer
          LEFT JOIN nation ON c_nationkey = n_nationkey
          LEFT JOIN region ON n_regionkey = r_regionkey
@@ -474,9 +498,9 @@ object SparkEntry {
          ORDER BY cnt DESC, token ASC LIMIT 50""",
     "r5_running_sum" ->
       """SELECT o_custkey, o_orderkey,
-           sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_total
          FROM orders ORDER BY o_custkey, o_orderkey""",
 
     "p1_phase_columns" ->
@@ -499,7 +523,7 @@ object SparkEntry {
            FROM orders GROUP BY o_custkey)
          SELECT c_mktsegment, count(*) AS n_customers,
            CAST(coalesce(sum(n_orders), 0) AS BIGINT) AS n_orders,
-           sum(coalesce(spend, CAST(0 AS DECIMAL(18,2)))) AS spend
+           CAST(sum(coalesce(spend, CAST(0 AS DECIMAL(18,2)))) AS DECIMAL(38,2)) AS spend
          FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
@@ -705,7 +729,7 @@ object SparkEntry {
 
     "st1_window_agg" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type,
-           count(*) AS n, sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+           count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type"""
   )
 }

@@ -75,8 +75,14 @@ object ColType {
 
   /** ISO8601 first, else the user-supplied Spark datetime pattern
     * (column.py:362-379; the reference takes strptime codes, the rebuild
-    * takes Spark patterns — an intentional API deviation). */
-  final case class DateTimeT(format: Option[String] = None) extends ColType {
+    * takes Spark patterns — an intentional API deviation).
+    *
+    * `defaultTz`: naive timestamps (no explicit offset in the input) are
+    * interpreted as wall-clock time in this zone (column.py:377-379:
+    * `value.replace(tzinfo=default_tz)`); inputs that carry an explicit
+    * offset/Z keep it. Unset = session timezone, Spark's default. */
+  final case class DateTimeT(format: Option[String] = None,
+      defaultTz: Option[String] = None) extends ColType {
     val sparkType: DataType = TimestampType
     def cast(c: Column): Column = {
       val s = trim(c.cast(StringType))
@@ -84,7 +90,15 @@ object ColType {
         case Some(f) => try_to_timestamp(s, lit(f))
         case None    => try_to_timestamp(s)
       }
-      when(!isPresent(c), lit(null).cast(TimestampType)).otherwise(parsed)
+      val zoned = defaultTz match {
+        case None => parsed
+        case Some(tz) =>
+          // offset-carrying inputs were already anchored by the parser;
+          // only naive ones are re-anchored from the declared zone
+          val hasOffset = s.rlike("(Z|[+-][0-9]{2}:?[0-9]{2})$")
+          when(hasOffset, parsed).otherwise(to_utc_timestamp(parsed, tz))
+      }
+      when(!isPresent(c), lit(null).cast(TimestampType)).otherwise(zoned)
     }
   }
 
@@ -150,13 +164,23 @@ final case class ColumnDef(
     */
   def compile(raw: Column, stepName: String = "cast_and_check",
       defaultPolicy: ErrorPolicy = ErrorPolicy.Collect): (Column, Column => Column) = {
+    val cc = compileChecks(raw, stepName, defaultPolicy)
+    val update = (events: Column) =>
+      cc.checks.foldLeft(events) { case (ev, (cond, msg)) =>
+        Events.append(ev, cond, cc.etype, stepName, msg, cc.policy)
+      }
+    (cc.value, update)
+  }
+
+  /** Flat compile form for single-projection assembly: the typed value plus
+    * the raw (cond, message) check list in reference order, so the caller
+    * can emit each check exactly once (e.g. as a concat of conditional
+    * singleton arrays) instead of nesting event-channel updates — nesting
+    * makes the expression tree exponential in the number of columns once
+    * Catalyst's project-collapse inlines the shared references. */
+  def compileChecks(raw: Column, stepName: String = "cast_and_check",
+      defaultPolicy: ErrorPolicy = ErrorPolicy.Collect): ColumnDef.Compiled = {
     val policy = onErrorOpt.getOrElse(defaultPolicy)
-    def err(step: String, cond: Column, msg: Column)(events: Column): Column =
-      Events.append(events, cond,
-        if (policy == ErrorPolicy.Warn) Events.WarningType
-        else if (policy == ErrorPolicy.DropRow) Events.DroppedType
-        else Events.ErrorType,
-        step, msg, policy)
     val isNullish = raw.isNull ||
       trim(raw.cast(StringType)).isin("", "NULL", "None", "nan", "NaN")
 
@@ -195,13 +219,26 @@ final case class ColumnDef(
           lit(s", more than max $m"))))
 
     val checks = Seq(nullErr, castErr, blankErr, allowedErr, minErr, maxErr).flatten
-    val update = (events: Column) =>
-      checks.foldLeft(events) { case (ev, (cond, msg)) => err(stepName, cond, msg)(ev) }
-    (fixed, update)
+    ColumnDef.Compiled(fixed, checks, policy)
   }
 }
 
 object ColumnDef {
+  /** Result of [[ColumnDef.compileChecks]]: typed value (unguarded), the
+    * (condition, message) checks in reference order, and the effective
+    * policy. `etype`/`fails` derive the event type and whether a firing
+    * check marks the row failed (warnings don't). */
+  final case class Compiled(value: Column, checks: Seq[(Column, Column)],
+      policy: ErrorPolicy) {
+    def etype: String =
+      if (policy == ErrorPolicy.Warn) Events.WarningType
+      else if (policy == ErrorPolicy.DropRow) Events.DroppedType
+      else Events.ErrorType
+    /** Predicate: any check fires AND the policy makes that a row failure. */
+    def fails: Column =
+      if (policy == ErrorPolicy.Warn || checks.isEmpty) lit(false)
+      else checks.map { case (c, _) => coalesce(c, lit(false)) }.reduce(_ || _)
+  }
   /** Reference forbids None/float/blank names and \n\t (column.py:92-105). */
   def checkColName(name: String): String = {
     if (name == null) throw GraftError("Column name cannot be None or a float")

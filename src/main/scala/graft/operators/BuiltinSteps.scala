@@ -36,32 +36,48 @@ object BuiltinSteps {
     })
 
   /** B2 check_unique (builtin_steps.py:57-86): assert all values of the
-    * column are unique; optional strip (default true) and lower-casing.
-    * One aggregate; fails the job via DataException when duplicates exist.
+    * column (or the TUPLE of a column list, builtin_steps.py:60-66) are
+    * unique; optional strip (default true) and lower-casing. One
+    * aggregate; fails the job via DataException when duplicates exist.
     * Does not mutate the data.
     */
   def checkUnique(column: String, strip: Boolean = true,
       ignoreCase: Boolean = false): Step =
+    checkUniqueAll(Seq(column), strip, ignoreCase)
+  def checkUnique(columns: Seq[String]): Step =
+    checkUniqueAll(columns, strip = true, ignoreCase = false)
+  def checkUnique(columns: Seq[String], strip: Boolean, ignoreCase: Boolean): Step =
+    checkUniqueAll(columns, strip, ignoreCase)
+
+  private def checkUniqueAll(columns: Seq[String], strip: Boolean,
+      ignoreCase: Boolean): Step =
     Step.ContextStep("check_unique", (df, ctx) => {
-      if (!df.columns.contains(column))
-        throw DataException(s"Column '$column' not found in check_unique")
-      var c: Column = col(column)
-      if (strip) c = trim(c)
-      if (ignoreCase) c = lower(c)
-      val dups = df.groupBy(c.as("k")).count().filter(col("count") > 1)
+      columns.foreach { column =>
+        if (!df.columns.contains(column))
+          throw DataException(s"Column '$column' not found in check_unique")
+      }
+      val keys = columns.map { column =>
+        var c: Column = col(column)
+        if (strip) c = trim(c)
+        if (ignoreCase) c = lower(c)
+        c
+      }
+      val dups = df.groupBy(struct(keys: _*).as("k")).count().filter(col("count") > 1)
       if (dups.limit(1).count() > 0)
-        throw DataException(s"Some values in '$column' were duplicated, so unique check failed")
+        throw DataException(
+          s"Some values in '${columns.mkString(", ")}' were duplicated, so unique check failed")
     })
 
   /** B3 sort_by (builtin_steps.py:89-107): stable ascending sort; row-num
-    * tiebreak reproduces Python's stable sort; row numbers are then
-    * reassigned in the new order so later position-dependent steps see the
-    * sorted sequence. Range-partitioned sort — no single-task bottleneck.
+    * tiebreak reproduces Python's stable sort. Row numbers are PRESERVED
+    * through the sort (the reference's sorted() keeps Record.row_num;
+    * renumbering only happens in renumber=true phases) — so the phase
+    * stays diffable and earlier DROPPED_ROW events keep valid numbers.
+    * Range-partitioned sort — no single-task bottleneck.
     */
   def sortBy(column: String): Step =
     Step.Batch("sort_by", (df, ctx) =>
-      graft.plans.RowNum.assign(
-        df.orderBy(col(column).asc, col(Events.RowNumCol).asc)))
+      df.orderBy(col(column).asc, col(Events.RowNumCol).asc))
 
   /** B4 filter_rows (builtin_steps.py:110-138): keep rows where the
     * predicate holds. Dropped rows' events are tracked as a lazy side
@@ -142,7 +158,9 @@ object BuiltinSteps {
 
   // -------- reshape patterns R1-R3 (tests/test_reshape.py) --------
 
-  /** R1/R2 pivot: groupBy(index).pivot(columns).agg(first(values)). */
+  /** R1/R2 pivot: groupBy(index).pivot(columns).agg(first(values)).
+    * Rows are renumbered (the output row space is new), which marks the
+    * phase non-diffable like renumber=true. */
   def pivot(index: String, columns: String, values: String,
       columnValues: Seq[String] = Nil): Step =
     Step.Batch("pivot", (df, ctx) => {
@@ -150,11 +168,14 @@ object BuiltinSteps {
       val piv = if (columnValues.nonEmpty) grouped.pivot(columns, columnValues)
                 else grouped.pivot(columns)
       graft.plans.RowNum.assign(piv.agg(first(col(values))).orderBy(col(index)))
-    })
+    }, renumbers = true)
 
-  /** R3 explode a delimited string column into one row per element. */
+  /** R3 explode a delimited string column into one row per element.
+    * Renumbers (one input row becomes many), marking the phase
+    * non-diffable. */
   def explodeSplit(column: String, delimiter: String, as: String): Step =
     Step.Batch("explode_split", (df, ctx) =>
       graft.plans.RowNum.assign(
-        df.withColumn(as, explode(split(col(column), java.util.regex.Pattern.quote(delimiter))))))
+        df.withColumn(as, explode(split(col(column), java.util.regex.Pattern.quote(delimiter))))),
+      renumbers = true)
 }

@@ -47,38 +47,76 @@ object Dedup {
       case None => sh
       case Some(cap) =>
         val hot = sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") > cap)
-        sh.join(hot, Seq("s"), "left_anti")
+        // USING-join puts the key column first; restore (id, s) so callers'
+        // positional toDF renames stay correct
+        sh.join(hot, Seq("s"), "left_anti").select(col("id"), col("s"))
     }
   }
 
-  /** N-gram Jaccard near-dup pairs, exact: inverted-index join counts
-    * intersections with one (shingle-keyed) shuffle into a partial-agg
-    * groupBy — no arrays materialized per pair. The right default when the
-    * shingle vocabulary is small/hot (every co-occurring pair is a
-    * candidate anyway, and counting beats array intersection). For
-    * large-vocabulary corpora where the inverted join itself explodes, use
-    * [[ngramJaccardPairsPrefix]]. Output: (id_a, id_b, jaccard) with
-    * jaccard >= threshold, id_a < id_b — identical for both variants.
+  /** Verify candidate pairs with EXACT jaccard over the FULL shingle sets
+    * of the original documents; emits (id_a, id_b, jaccard >= threshold).
+    * Shared by every near-dup variant so their outputs are value-identical
+    * to the brute-force oracle for any pair they surface. */
+  private def verifyJaccard(cand: DataFrame, df: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double): DataFrame = {
+    val docSh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("arr"))
+    cand
+      .join(docSh.toDF("id_a", "arr_a").hint("shuffle_hash"), Seq("id_a"))
+      .join(docSh.toDF("id_b", "arr_b").hint("shuffle_hash"), Seq("id_b"))
+      .withColumn("c", size(array_intersect(col("arr_a"), col("arr_b"))))
+      .withColumn("jaccard", col("c").cast(DoubleType) /
+        (size(col("arr_a")) + size(col("arr_b")) - col("c")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** N-gram Jaccard near-dup pairs. Without `maxDocFreq`: exact —
+    * inverted-index join counts intersections with one (shingle-keyed)
+    * shuffle into a partial-agg groupBy, no arrays materialized per pair.
+    * That join's cost is sum over shingles of docfreq^2, which goes
+    * quadratic on hot/boilerplate shingles; WITH `maxDocFreq` the capped
+    * index generates CANDIDATES only (pairs sharing at least one shingle
+    * with docfreq <= cap) and each candidate is verified with exact
+    * jaccard over the full shingle sets — output values are identical to
+    * the uncapped variant for every surfaced pair, and a true near-dup
+    * pair is missed only if ALL its shared shingles are hotter than the
+    * cap (near-identical docs share their doc-specific rare shingles, so
+    * pick the cap well above the near-dup cluster size). For
+    * large-vocabulary corpora see also [[ngramJaccardPairsPrefix]].
+    * Output: (id_a, id_b, jaccard) with jaccard >= threshold, id_a < id_b.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDocFreq: Option[Int] = None): DataFrame = {
     val sh = shingleIndex(df, idCol, textCol, n, maxDocFreq)
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    // shuffle_hash hint: Catalyst's size estimate after an explode is
-    // garbage and it happily broadcasts the whole inverted index — fatal at
-    // scale; a shingle-keyed shuffle-hash join is bounded on both sides
-    val inter = sh.toDF("id_a", "s")
-      .join(sh.toDF("id_b", "s").hint("shuffle_hash"), Seq("s"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.toDF("id_a", "sz_a"), Seq("id_a"))
-      .join(sizes.toDF("id_b", "sz_b"), Seq("id_b"))
-      .withColumn("jaccard", col("c").cast(DoubleType) /
-        (col("sz_a") + col("sz_b") - col("c")).cast(DoubleType))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    maxDocFreq match {
+      case None =>
+        val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+        // shuffle_hash hint: Catalyst's size estimate after an explode is
+        // garbage and it happily broadcasts the whole inverted index — fatal
+        // at scale; a shingle-keyed shuffle-hash join is bounded on both sides
+        val inter = sh.toDF("id_a", "s")
+          .join(sh.toDF("id_b", "s").hint("shuffle_hash"), Seq("s"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("c"))
+        // shuffle_hash here too: post-aggregation size estimates are no
+        // better than post-explode ones, and an AQE broadcast of the
+        // (1-row-per-doc, still huge at scale) sizes side or of `inter`
+        // itself is exactly the run-to-run 2-130s instability seen locally
+        inter
+          .join(sizes.toDF("id_a", "sz_a").hint("shuffle_hash"), Seq("id_a"))
+          .join(sizes.toDF("id_b", "sz_b").hint("shuffle_hash"), Seq("id_b"))
+          .withColumn("jaccard", col("c").cast(DoubleType) /
+            (col("sz_a") + col("sz_b") - col("c")).cast(DoubleType))
+          .filter(col("jaccard") >= threshold)
+          .select(col("id_a"), col("id_b"), col("jaccard"))
+      case Some(_) =>
+        val cand = sh.toDF("id_a", "s")
+          .join(sh.toDF("id_b", "s").hint("shuffle_hash"), Seq("s"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+        verifyJaccard(cand, df, idCol, textCol, n, threshold)
+    }
   }
 
   /** N-gram Jaccard with PREFIX FILTERING (AllPairs/PPJoin candidate
@@ -173,16 +211,7 @@ object Dedup {
       .select("id_a", "id_b").distinct()
 
     // verify candidates with exact jaccard over full shingle sets
-    val docSh = df.select(col(idCol).as("id"),
-      shingles(col(textCol), n).as("arr"))
-    cand
-      .join(docSh.toDF("id_a", "arr_a"), Seq("id_a"))
-      .join(docSh.toDF("id_b", "arr_b"), Seq("id_b"))
-      .withColumn("c", size(array_intersect(col("arr_a"), col("arr_b"))))
-      .withColumn("jaccard", col("c").cast(DoubleType) /
-        (size(col("arr_a")) + size(col("arr_b")) - col("c")).cast(DoubleType))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    verifyJaccard(cand, df, idCol, textCol, n, threshold)
   }
 
   /** 60-bit SimHash per document: md5-hash each distinct token, weight by

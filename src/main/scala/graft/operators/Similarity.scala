@@ -42,7 +42,9 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       // norms precomputed per row; expression still dot/(sqrt(na)*sqrt(nb))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
-      .withColumn("rank", row_number().over(w))
+      // rank as long: SQL engines type row_number() as BIGINT and the
+      // oracle hash compare is type-sensitive
+      .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
@@ -94,7 +96,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", dot(col("qv"), col("cv"))
         / (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("cv"), col("cv")))))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }

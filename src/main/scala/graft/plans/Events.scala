@@ -75,6 +75,25 @@ object Events {
           .otherwise(events)
     }
 
+  /** A conditional singleton event array for concat-style assembly:
+    * `if cond then [event] else []`. Unlike [[append]], the accumulated
+    * events column is NOT referenced, so a chain of N checks built as
+    * `concat(events, term1, ..., termN)` stays linear in N — the
+    * `when(cond, append(events,...)).otherwise(events)` nesting references
+    * the previous layer twice and goes exponential under project-collapse.
+    * StopNow keeps its fail-fast semantics (raise_error under cond). */
+  def appendTerm(cond: Column, etype: String, step: String,
+                 message: Column, policy: ErrorPolicy): Column =
+    policy match {
+      case ErrorPolicy.StopNow =>
+        when(coalesce(cond, lit(false)),
+          raise_error(concat(lit(s"[$step] "), coalesce(message, lit("error")))).cast(schema))
+          .otherwise(emptyEvents)
+      case _ =>
+        when(coalesce(cond, lit(false)), array(event(etype, step, message, policy)).cast(schema))
+          .otherwise(emptyEvents)
+    }
+
   /** True if the row has any event that makes later steps skip it
     * (ERROR from Collect, or a DropRow request). Warnings don't skip. */
   def rowFailed(events: Column): Column =

@@ -41,14 +41,14 @@ final case class Phase(
     pairs.toMap
   }
 
-  def diffable: Boolean = !renumber
+  def diffable: Boolean = !renumber && !steps.exists(_.renumbers)
 
   /** Run the phase on a frame. */
   def apply(df0: DataFrame, ctx: Context): DataFrame = {
     val df = Events.withEventsCol(RowNum.ensure(df0))
     val renamed = renameColumns(df, ctx)
-    checkRequired(renamed)
     val defaultPolicy = errorPolicy.getOrElse(ctx.errorPolicy)
+    checkRequired(renamed, ctx, defaultPolicy)
     val casted0 = castColumns(renamed, defaultPolicy)
     // rows dropped by per-column DropRow policies are removed BEFORE steps
     // run (reference: DropRowException removes the row inside the column
@@ -103,13 +103,22 @@ final case class Phase(
     else df.withColumnsRenamed(mapping.toMap)
   }
 
-  /** H2 — required declared columns must exist in the headers
-    * (column.py:107-112); missing is an error per the column's policy. */
-  private def checkRequired(df: DataFrame): Unit =
+  /** H2 — required declared columns must exist in the headers; the error
+    * is routed through the column's effective policy (column.py:107-112
+    * raises via use_exception): on_error=warn records a warning and the
+    * phase continues (the column is synthesized as nulls by the cast pass);
+    * any other policy is a hard failure. */
+  private def checkRequired(df: DataFrame, ctx: Context,
+      defaultPolicy: ErrorPolicy): Unit =
     columns.filter(_.required).foreach { c =>
-      if (!df.columns.contains(c.name))
-        throw DataException(
-          s"Header ${c.name} not found in ${df.columns.filterNot(Events.internalCols.contains).mkString("[", ", ", "]")}")
+      if (!df.columns.contains(c.name)) {
+        val msg =
+          s"Header ${c.name} not found in ${df.columns.filterNot(Events.internalCols.contains).mkString("[", ", ", "]")}"
+        c.onErrorOpt.getOrElse(defaultPolicy) match {
+          case ErrorPolicy.Warn => ctx.addWarning(name, "check_required", msg)
+          case _ => throw DataException(msg)
+        }
+      }
     }
 
   /** The implicit first row-step: cast + validate every declared column in
@@ -117,27 +126,48 @@ final case class Phase(
     * only applied when the column is required, saved, or present
     * (phase.py:251-252). Guarded so a row failed by an earlier column is
     * not modified by later ones (first-error-wins, as in the reference
-    * where the row step aborts on first raise). */
+    * where the row step aborts on first raise).
+    *
+    * Compiled as ONE projection over the input attributes: the events
+    * column becomes `concat(events, term_1, ..., term_m)` (one conditional
+    * singleton per check) and the "failed by an earlier column" guard is a
+    * cumulative OR over the earlier columns' raw check predicates. A
+    * per-column fold that guards on the accumulated events array references
+    * the previous layer ~3x; after Catalyst's project-collapse inlines the
+    * shared references the tree is ~3^k in the number of columns — hundreds
+    * of copies at 5 columns, codegen falls over, evaluation goes
+    * interpreted (round-1 driver bench: 179s for this query alone). */
   private[plans] def castColumns(df: DataFrame,
-      defaultPolicy: ErrorPolicy = ErrorPolicy.Collect): DataFrame =
-    columns.foldLeft(df) { (d, cdef) =>
-      val present = d.columns.contains(cdef.name)
-      if (!(cdef.required || cdef.save || present)) d
+      defaultPolicy: ErrorPolicy = ErrorPolicy.Collect): DataFrame = {
+    val applicable = columns.flatMap { cdef =>
+      val present = df.columns.contains(cdef.name)
+      if (!(cdef.required || cdef.save || present)) None
       else {
-        val raw = if (present) d(cdef.name) else lit(null).cast("string")
-        val (value, eventsUpdate) =
-          cdef.compile(raw, s"cast_and_check:${cdef.name}", defaultPolicy)
-        val failed = Events.rowFailed(d)
-        val oldVal = if (present) d(cdef.name) else lit(null).cast(cdef.colType.sparkType)
-        // one simultaneous projection: both expressions reference d's
-        // CURRENT attributes (sequential withColumn would leave the events
-        // update pointing at the replaced value attribute)
-        d.withColumns(Map(
-          cdef.name -> when(failed, oldVal).otherwise(value),
-          Events.EventsCol -> when(failed, d(Events.EventsCol))
-            .otherwise(eventsUpdate(d(Events.EventsCol)))))
+        val raw = if (present) df(cdef.name) else lit(null).cast("string")
+        val oldVal = if (present) df(cdef.name) else lit(null).cast(cdef.colType.sparkType)
+        Some((cdef, oldVal,
+          cdef.compileChecks(raw, s"cast_and_check:${cdef.name}", defaultPolicy)))
       }
     }
+    if (applicable.isEmpty) df
+    else {
+      val e0 = df(Events.EventsCol)
+      var failedBefore: org.apache.spark.sql.Column = Events.rowFailed(e0)
+      val values = Map.newBuilder[String, org.apache.spark.sql.Column]
+      val terms = Seq.newBuilder[org.apache.spark.sql.Column]
+      applicable.foreach { case (cdef, oldVal, cc) =>
+        val gate = !failedBefore
+        values += cdef.name -> when(failedBefore, oldVal).otherwise(cc.value)
+        cc.checks.foreach { case (cond, msg) =>
+          terms += Events.appendTerm(gate && coalesce(cond, lit(false)),
+            cc.etype, s"cast_and_check:${cdef.name}", msg, cc.policy)
+        }
+        failedBefore = failedBefore || cc.fails
+      }
+      df.withColumns(values.result() +
+        (Events.EventsCol -> concat((e0 +: terms.result()): _*)))
+    }
+  }
 
   /** H3/H4 — consistency warning for undeclared new fields + drop
     * save=false columns (phase.py:302-327). Column-set comparison is pure

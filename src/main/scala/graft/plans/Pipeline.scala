@@ -147,6 +147,13 @@ final class Pipeline(
           s"New field '$c' was added to the row_data and not declared as a column")
     }
 
+    // X5 failure gates (pipeline.py:191-199): the zero-rows gate fires
+    // BEFORE the checkpoint is written (the reference raises 'No rows left
+    // to process' before saving, pipeline.py:191-193); only the
+    // collected-errors gate runs after the save.
+    if (out.head(1).isEmpty)
+      throw DataException(s"Phase ${phase.name} produced zero rows; terminating pipeline")
+
     if (checkpoints) {
       save(Events.forCheckpoint(out), outPath(checkpointName(phase)))
       phase.extraOutputs.foreach { outName =>
@@ -155,10 +162,6 @@ final class Pipeline(
       reportEvents(phase)
     }
 
-    // X5 failure gates (pipeline.py:191-199): checkpoint is written first,
-    // THEN the phase fails on collected errors / empty output.
-    if (out.head(1).isEmpty)
-      throw DataException(s"Phase ${phase.name} produced zero rows; terminating pipeline")
     if (context.phaseHadErrors(phase.name))
       throw DataException(
         s"Phase ${phase.name} failed with ${context.errorCount(phase.name)} errors")

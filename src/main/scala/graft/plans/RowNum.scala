@@ -21,25 +21,22 @@ import org.apache.spark.sql.types.{LongType, StructField}
 object RowNum {
   import Events.RowNumCol
 
-  /** Assign 1..n in current row order. No shuffle, no caching: the
-    * partition-count pass runs on a COLUMN-PRUNED copy of the plan (the
-    * projection needs only spark_partition_id, so Catalyst strips every
-    * data column and expression — for a parquet source this reads row
-    * counts, not data), then one full pass numbers rows per partition from
-    * broadcast offsets. This replaces rdd.zipWithIndex, whose count pass
-    * re-executed the whole upstream, and replaces caching, whose
-    * deserialized-Row storage was slower than recomputing. Partition order
-    * must be deterministic for the two passes to agree — true for file
-    * scans and for any already-shuffled deterministic plan. */
+  /** Assign 1..n in current row order. Numbering is inherently two passes
+    * (per-partition offsets need every partition's count before any row can
+    * be numbered), so the input RDD is persisted MEMORY_AND_DISK_SER around
+    * them: the count pass executes the upstream ONCE and materializes it;
+    * the numbering pass reads the stored partitions instead of recomputing
+    * (zipWithIndex would re-execute the whole upstream for its count job).
+    * Blocks are dropped by the ContextCleaner once the returned frame's
+    * lineage is garbage-collected; MEMORY_AND_DISK spills rather than
+    * OOMing at scale. Count and numbering run on the SAME RDD instance —
+    * a separately-built (e.g. column-pruned) plan can partition/order rows
+    * differently, which would scramble the offsets. */
   def assign(df: DataFrame): DataFrame = {
     val withoutOld = df.drop(RowNumCol)
     val schema = withoutOld.schema.add(StructField(RowNumCol, LongType, nullable = false))
-    // count and number from the SAME RDD instance — a separately-built
-    // (e.g. column-pruned) plan can partition/order rows differently, which
-    // would scramble the offsets. The count pass re-executes the upstream
-    // once (zipWithIndex's behavior too); callers with expensive upstreams
-    // should checkpoint/persist before numbering.
     val rdd0 = withoutOld.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val counts = rdd0
       .mapPartitionsWithIndex((pid, it) => Iterator(pid -> it.size.toLong))
       .collect().toMap

@@ -17,6 +17,11 @@ import org.apache.spark.sql.functions._
 sealed trait Step {
   def name: String
   def apply(df: DataFrame, ctx: Context, phase: String): DataFrame
+  /** True when the step reassigns row numbers (pivot/explode reshape the
+    * row space entirely). A phase containing such a step is non-diffable,
+    * like renumber=true phases — diffing against the previous checkpoint
+    * would misclassify every reordered row as changed. */
+  def renumbers: Boolean = false
 }
 
 object Step {
@@ -62,7 +67,8 @@ object Step {
     * check_size=true reproduces the reference's row-count-change warning
     * (phase.py:111-118) — it costs two counts, so it defaults off. */
   final case class Batch(name: String, f: (DataFrame, Context) => DataFrame,
-      checkSize: Boolean = false) extends Step {
+      checkSize: Boolean = false,
+      override val renumbers: Boolean = false) extends Step {
     def apply(df: DataFrame, ctx: Context, phase: String): DataFrame = {
       val d = Events.withEventsCol(df)
       val out = f(d, ctx)

@@ -41,45 +41,134 @@ object Format {
   */
 object GraftIO {
 
+  private val CorruptCol = "__graft_corrupt__"
+
   /** S1 read_csv (io.py:34-60): header line; `#` comment lines skipped;
     * blank/comma-only lines dropped; duplicate header names are an error;
     * all values read as strings; custom delimiter.
-    */
+    *
+    * Ragged-row fidelity (io.py:45-55): a row with FEWER fields than the
+    * header is an error ("Fields missing"), a row with non-empty EXTRA
+    * fields is an error ("Inconsistent # of fields"), and trailing empty
+    * extra fields are silently dropped (restkey/is_list_empty). Spark's
+    * PERMISSIVE mode would null-fill all of these silently, so the read
+    * declares an explicit all-string schema + corrupt-record column and a
+    * bounded eager probe rejects genuinely malformed rows (the reference
+    * reads eagerly too; this costs one extra pass over the CSV, which is
+    * the debug-scale format — parquet is the scale path). */
   def readCsv(spark: SparkSession, path: String, delimiter: String = ","): DataFrame = {
-    checkDuplicateHeaders(path, delimiter)
-    val df = spark.read
+    val headers = readHeaders(path, delimiter)
+    val base = spark.read
       .option("header", "true")
       .option("comment", "#")
       .option("delimiter", delimiter)
       // all strings, as in the reference: typing happens in Phase columns
       .option("inferSchema", "false")
-      .csv(path)
-    // drop rows where every field is empty/null (comma-only lines, io.py:55-56)
+    val df = headers match {
+      case None =>
+        // glob/dir source: a single raw header line is ill-defined; fall
+        // back to Spark's native permissive behavior
+        base.csv(path)
+      case Some((headerLine, hs)) =>
+        checkRaggedRows(spark, path, delimiter, headerLine, hs)
+        // with an explicit N-column schema, PERMISSIVE null-fills short
+        // rows and keeps the first N fields of long ones — both fine,
+        // because checkRaggedRows already rejected every genuinely
+        // malformed row and the surviving long rows only had empty
+        // trailing extras
+        val schema = org.apache.spark.sql.types.StructType(
+          hs.map(h => org.apache.spark.sql.types.StructField(h, StringType)))
+        base.option("mode", "PERMISSIVE").schema(schema).csv(path)
+    }
+    // drop rows where every field is empty/null (comma-only lines and
+    // all-empty-value rows, io.py:55-56)
     val allEmpty = df.columns
       .map(c => col(c).isNull || trim(col(c)) === "")
       .reduceOption(_ && _).getOrElse(lit(false))
     df.filter(!allEmpty)
   }
 
-  /** Duplicate header detection (io.py:41-42). Spark silently dedups
-    * by suffixing, so probe the raw header line driver-side (local paths;
-    * skipped for globs/dirs where a single header line is ill-defined). */
-  private def checkDuplicateHeaders(path: String, delimiter: String): Unit = {
+  /** Distributed ragged-row validation over the raw text lines (io.py:45-55).
+    * The corrupt-record column of the CSV reader cannot be filtered on
+    * directly (column pruning gives the parser a partial schema, so
+    * length mismatches vanish — a documented Spark caveat), so the probe
+    * parses each raw line with `from_csv` against the full header schema:
+    *  - parses clean -> ok;
+    *  - parses clean after stripping trailing delimiters -> ok (the extra
+    *    fields were all empty: reference restkey + is_list_empty);
+    *  - otherwise -> DataException ("Fields missing" when the last header
+    *    field is absent, else "Inconsistent # of fields"). */
+  private def checkRaggedRows(spark: SparkSession, path: String,
+      delimiter: String, headerLine: String, hs: Seq[String]): Unit = {
+    val schema = org.apache.spark.sql.types.StructType(
+      hs.map(h => org.apache.spark.sql.types.StructField(h, StringType)) :+
+        org.apache.spark.sql.types.StructField(CorruptCol, StringType))
+    val opts = Map("delimiter" -> delimiter, "mode" -> "PERMISSIVE",
+      "columnNameOfCorruptRecord" -> CorruptCol)
+    val d = java.util.regex.Pattern.quote(delimiter)
+    val v = col("value")
+    val isData = v.isNotNull && trim(v) =!= "" && !v.startsWith("#") &&
+      v =!= lit(headerLine)
+    val parsed = from_csv(v, schema, opts)
+    val strippedParsed =
+      from_csv(regexp_replace(v, s"(?:$d\\s*)+$$", ""), schema, opts)
+    val bad = isData && parsed(CorruptCol).isNotNull &&
+      strippedParsed(CorruptCol).isNotNull
+    spark.read.text(path).filter(bad)
+      .select(v, parsed(hs.last).isNull.as("short"))
+      .head(1).headOption.foreach { r =>
+        val what = if (r.getBoolean(1)) "Fields missing" else "Inconsistent # of fields"
+        throw DataException(s"$what in record <${r.getString(0)}>")
+      }
+  }
+
+  /** Probe the raw header line driver-side with a quote-aware tokenizer
+    * (a naive delimiter split would shred quoted headers containing the
+    * delimiter); raises on duplicate names (io.py:41-42, Spark would
+    * silently suffix-dedup them). Returns (rawHeaderLine, names); None for
+    * globs/dirs where a single header line is ill-defined. */
+  private def readHeaders(path: String, delimiter: String): Option[(String, Seq[String])] = {
     val p = Paths.get(path)
-    if (!Files.isRegularFile(p)) return
+    if (!Files.isRegularFile(p)) return None
     val reader = new BufferedReader(new FileReader(path))
     try {
       var line = reader.readLine()
       while (line != null && (line.trim.isEmpty || line.startsWith("#")))
         line = reader.readLine()
-      if (line != null) {
-        val headers = line.split(java.util.regex.Pattern.quote(delimiter), -1)
+      if (line == null) None
+      else {
+        val headers = splitCsvLine(line, delimiter)
           .map(_.trim.stripPrefix("\"").stripSuffix("\""))
         val dups = headers.groupBy(identity).filter(_._2.length > 1).keys
         if (dups.nonEmpty)
           throw DataException(s"Duplicate header names found: ${dups.mkString(", ")}")
+        Some((line, headers))
       }
     } finally reader.close()
+  }
+
+  /** Minimal RFC-4180 field splitter: double quotes group fields, `""`
+    * escapes a quote inside a quoted field. */
+  private[sources] def splitCsvLine(line: String, delimiter: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    var inQuotes = false
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQuotes) {
+        if (c == '"' && i + 1 < line.length && line.charAt(i + 1) == '"') {
+          cur.append('"'); i += 1
+        } else if (c == '"') inQuotes = false
+        else cur.append(c)
+      } else if (c == '"') inQuotes = true
+      else if (line.startsWith(delimiter, i)) {
+        out += cur.result(); cur.clear(); i += delimiter.length - 1
+      } else cur.append(c)
+      i += 1
+    }
+    out += cur.result()
+    out.result()
   }
 
   /** S2 read_json (io.py:14-26): record-format = a top-level JSON array of

@@ -51,12 +51,19 @@ class BuiltinStepsSpec extends SparkSpec {
     assertThrows[DataException](BuiltinSteps.checkUnique("nope")(df, ctx, "p"))
   }
 
-  test("sort_by is stable with row-num tiebreak (builtin_steps.py:104-105)") {
+  test("sort_by is stable with row-num tiebreak and PRESERVES row numbers " +
+      "(builtin_steps.py:104-105; sorted() keeps Record.row_num)") {
     val df = RowNum.assign(Seq(("b", 1), ("a", 2), ("b", 3), ("a", 4)).toDF("k", "v"))
     val out = BuiltinSteps.sortBy("k")(df, ctx, "p")
       .select(col("v"), col(Events.RowNumCol)).collect()
     assert(out.map(_.getInt(0)).toSeq == Seq(2, 4, 1, 3)) // stable within key
-    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L, 4L)) // renumbered in new order
+    // original numbers ride along — renumbering is the renumber=true
+    // phase's job, not the sort's
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 4L, 1L, 3L))
+    // a phase with only sortBy stays diffable; pivot/explode mark it not
+    assert(graft.plans.Phase("p", steps = Seq(BuiltinSteps.sortBy("k"))).diffable)
+    assert(!graft.plans.Phase("p",
+      steps = Seq(BuiltinSteps.explodeSplit("k", ",", "kk"))).diffable)
   }
 
   test("filter_rows keeps matching rows (builtin_steps.py:110-138)") {
@@ -132,5 +139,14 @@ class BuiltinStepsSpec extends SparkSpec {
     val out = RowNum.renumber(df)
     assert(out.select(col(Events.RowNumCol)).collect().map(_.getLong(0)).sorted.toSeq ==
       Seq(1L, 2L))
+  }
+
+  test("check_unique accepts a column LIST: tuple uniqueness (builtin_steps.py:60-66)") {
+    val ok = RowNum.assign(Seq(("a", "1"), ("a", "2"), ("b", "1")).toDF("c", "d"))
+    BuiltinSteps.checkUnique(Seq("c", "d"))(ok, ctx, "p") // no throw
+    val dup = RowNum.assign(Seq(("a", "1"), ("a", "1")).toDF("c", "d"))
+    assertThrows[DataException](BuiltinSteps.checkUnique(Seq("c", "d"))(dup, ctx, "p"))
+    assertThrows[DataException](
+      BuiltinSteps.checkUnique(Seq("c", "nope"))(ok, ctx, "p"))
   }
 }

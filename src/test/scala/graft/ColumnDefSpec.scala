@@ -143,4 +143,17 @@ class ColumnDefSpec extends SparkSpec {
   test("unknown fix function name is a definition error") {
     assertThrows[GraftError](graft.functions.FixFunctions.byName("no_such_fn"))
   }
+
+  test("DateTimeColumn default_tz anchors naive timestamps; explicit offsets kept (column.py:377-379)") {
+    val got = runCol(
+      ColumnDef("t", ColType.DateTimeT(defaultTz = Some("America/New_York"))),
+      Seq("2020-06-01 12:00:00", "2020-06-01T12:00:00+00:00"))
+    val instants = got.map(_._1.asInstanceOf[java.sql.Timestamp].toInstant)
+    // naive noon in New York (EDT) = 16:00 UTC; the offset-carrying input
+    // keeps its own zone
+    assert(instants == Seq(
+      java.time.Instant.parse("2020-06-01T16:00:00Z"),
+      java.time.Instant.parse("2020-06-01T12:00:00Z")))
+    assert(got.forall(_._2.isEmpty))
+  }
 }

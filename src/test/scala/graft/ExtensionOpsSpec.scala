@@ -31,6 +31,15 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(exact.nonEmpty) // the synthetic docs contain planted near-dups
   }
 
+  test("capped ngram jaccard (candidate + full-set verify) is pair- and value-identical to uncapped") {
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = asMap(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8))
+    val capped = asMap(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8,
+      maxDocFreq = Some(20)))
+    assert(capped == exact)
+  }
+
   test("simhash near-dup pairs are high word-set-jaccard pairs") {
     val sim = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
     assert(sim.count() > 0)
@@ -108,5 +117,46 @@ class ExtensionOpsSpec extends SparkSpec {
       assert(sess.count() > 0)
       assert(sess.filter(col("session_end") < col("session_start")).isEmpty)
     } finally sq.stop()
+  }
+
+  test("percentile scale paths: exactSorted matches percentile(); approx is close") {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val ps = Seq(0.5, 0.9, 0.99)
+    val exact = graft.operators.Percentiles.exact(orders, "o_totalprice", ps).head()
+    val sorted = graft.operators.Percentiles.exactSorted(orders, "o_totalprice", ps).head()
+    val approx = graft.operators.Percentiles.approx(orders, "o_totalprice", ps).head()
+    ps.indices.foreach { i =>
+      // same bracket + interpolation arithmetic -> identical within fp noise
+      assert(math.abs(exact.getDouble(i) - sorted.getDouble(i))
+        <= 1e-6 * math.abs(exact.getDouble(i)), s"p$i exactSorted")
+      // GK sketch lands on a real value inside the bracket neighborhood
+      assert(math.abs(exact.getDouble(i) - approx.getDouble(i))
+        <= 0.05 * math.abs(exact.getDouble(i)), s"p$i approx")
+    }
+  }
+
+  test("profileApprox: exact counts/min/max, HLL distinct within tolerance, no Expand") {
+    val cust = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    def byCol(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r).toMap
+    val e = byCol(graft.operators.Profile.profile(cust))
+    val a = byCol(graft.operators.Profile.profileApprox(cust))
+    e.foreach { case (k, er) =>
+      val ar = a(k)
+      assert(er.getLong(1) == ar.getLong(1)) // n_rows
+      assert(er.getLong(2) == ar.getLong(2)) // n_nulls
+      assert(er.getString(4) == ar.getString(4) && er.getString(5) == ar.getString(5))
+      val (ed, ad) = (er.getLong(3), ar.getLong(3))
+      assert(math.abs(ed - ad).toDouble / math.max(ed, 1L) < 0.1, s"$k distinct")
+    }
+    // the approx aggregate plan must not contain the multi-distinct Expand
+    // operator (HLL sketches aggregate in one pass)
+    val aggPlan = cust.agg(
+      count(lit(1)),
+      approx_count_distinct(col("c_custkey")),
+      approx_count_distinct(col("c_mktsegment")))
+      .queryExecution.executedPlan.toString
+    assert(!aggPlan.contains("Expand"))
   }
 }

@@ -35,6 +35,36 @@ class GraftIOSpec extends SparkSpec {
     assertThrows[DataException](GraftIO.readCsv(spark, p))
   }
 
+  test("read_csv errors on rows with missing fields (io.py:45-55 restval check)") {
+    val p = tmp("a,b,c\n1,2,3\n4,5\n")
+    val e = intercept[DataException](GraftIO.readCsv(spark, p).count())
+    assert(e.getMessage.contains("Fields missing"))
+  }
+
+  test("read_csv errors on rows with non-empty extra fields (io.py:53-54)") {
+    val p = tmp("a,b,c\n1,2,3\n6,7,8,9\n")
+    val e = intercept[DataException](GraftIO.readCsv(spark, p).count())
+    assert(e.getMessage.contains("Inconsistent # of fields"))
+  }
+
+  test("read_csv drops empty trailing extra fields (io.py:49-51 restkey + is_list_empty)") {
+    val p = tmp("a,b,c\n1,2,3\n10,11,12,\n13,14,15,,\n")
+    val df = GraftIO.readCsv(spark, p)
+    assert(df.columns.toSeq == Seq("a", "b", "c"))
+    assert(df.count() == 3)
+    assert(df.orderBy(col("a").cast("long")).collect().map(_.getString(2)).toSeq ==
+      Seq("3", "12", "15"))
+  }
+
+  test("read_csv duplicate-header check is quote-aware (quoted delimiter inside a header)") {
+    // naive split on ',' would shred "last, first" into fragments and
+    // either miss real dups or invent fake ones
+    val ok = tmp("\"last, first\",age\nsmith,30\n")
+    assert(GraftIO.readCsv(spark, ok).count() == 1)
+    val dup = tmp("\"last, first\",\"last, first\"\na,b\n")
+    assertThrows[DataException](GraftIO.readCsv(spark, dup))
+  }
+
   test("read_csv custom delimiter") {
     val p = tmp("name|age\nalice|30\n")
     val df = GraftIO.readCsv(spark, p, delimiter = "|")

@@ -113,4 +113,24 @@ class MultiSourceSpec extends SparkSpec {
       GraftIO.readCsv(spark, Paths.get(work, "managers.csv").toString))
     assert(managers == Map("2" -> "2", "4" -> "1"))
   }
+
+  test("unmatched/missing lookup keys emit per-row warnings (multi_source_and_outputs.py:67-76)") {
+    import spark.implicits._
+    val ctx = new Context(spark)
+    ctx.setSource("departments", Seq(("Finance", "1")).toDF("key", "value"))
+    val input = RowNum.assign(
+      Seq(("1", "Finance"), ("2", "Ghost"), ("3", null))
+        .toDF("Employee ID", "department"))
+    val out = graft.examples.EmployeesEnrich.enrichment(input, ctx)
+    ctx.collectRowEvents("Enrichment", out)
+    val warns = ctx.eventsForPhase("Enrichment")
+      .filter(_.etype == Events.WarningType)
+      .filter(_.step == "add_department_id")
+    assert(warns.map(_.message).toSet == Set(
+      "Department name Ghost invalid for employee ID 2",
+      "Department name missing for employee ID 3"))
+    // matched row enriched, unmatched rows retained with null id
+    val rows = out.orderBy(col("Employee ID")).collect()
+    assert(rows.map(_.getAs[String]("department_id")).toSeq == Seq("1", null, null))
+  }
 }

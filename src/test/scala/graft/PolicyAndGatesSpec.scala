@@ -92,6 +92,19 @@ class PolicyAndGatesSpec extends SparkSpec {
     assert(!pipe.context.phaseHadErrors("Lenient"))
   }
 
+  test("missing required header with on_error=warn records a warning and continues (column.py:107-112)") {
+    val ctx = new Context(spark)
+    val df = RowNum.assign(Seq("1").toDF("other"))
+    val phase = Phase("Req", columns = Seq(
+      ColumnDef("needed", onErrorOpt = Some(ErrorPolicy.Warn))))
+    val out = phase(df, ctx)
+    assert(ctx.events.exists(e =>
+      e.etype == Events.WarningType && e.message.contains("needed")))
+    // the column is synthesized as nulls by the cast pass and the phase runs
+    assert(out.columns.contains("needed"))
+    assert(out.select("needed").collect().forall(_.isNullAt(0)))
+  }
+
   test("missing required header is a DataException (H2)") {
     val dir = Files.createTempDirectory("graft_req").toString
     val src = csv(dir, "other\n1\n")

@@ -6,8 +6,10 @@ Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 Reads oracle_sql.json from <verifyOutDir>, runs each SQL in DuckDB with the
 sfDir parquet tables registered as views, loads the Spark-written parquet
 result from <verifyOutDir>/<name>, and compares: columns sorted by name,
-rows sorted by all columns, exact value equality (floats reported with max
-abs diff when not exact).
+result DTYPES (Arrow types; decimal precision/scale exact — the driver's
+hash is precision-sensitive, so DECIMAL(28,2) vs DECIMAL(38,2) is a FAIL
+even when values match), rows sorted by all columns, exact value equality
+(floats reported with max abs diff when not exact).
 """
 import json
 import math
@@ -53,6 +55,29 @@ def cell_eq(a, b):
     return str(a) == str(b)
 
 
+def norm_type(t) -> str:
+    """Canonical string for an Arrow type: tz-insensitive timestamps,
+    everything else (incl. decimal precision/scale, int width) exact."""
+    import pyarrow as pa
+    if pa.types.is_timestamp(t):
+        return f"timestamp[{t.unit}]"
+    if pa.types.is_large_string(t):
+        return "string"
+    return str(t)
+
+
+def dtype_probs(want_tbl, got_tbl):
+    """Compare Arrow schemas by column name (sorted); return mismatch list."""
+    ws = {f.name: f.type for f in want_tbl.schema}
+    gs = {f.name: f.type for f in got_tbl.schema}
+    probs = []
+    for name in sorted(set(ws) & set(gs)):
+        w, g = norm_type(ws[name]), norm_type(gs[name])
+        if w != g:
+            probs.append(f"dtype {name}: oracle={w} spark={g}")
+    return probs
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -63,14 +88,17 @@ def main():
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:
-            want = canon(con.sql(sql).df())
-            got = canon(
-                duckdb.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df())
+            want_rel = con.sql(sql)
+            want_tbl = want_rel.arrow()
+            got_tbl = duckdb.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").arrow()
+            want = canon(want_tbl.to_pandas())
+            got = canon(got_tbl.to_pandas())
         except Exception as e:
             print(f"FAIL {name}: load error: {e}")
             n_fail += 1
             continue
-        probs = []
+        probs = dtype_probs(want_tbl, got_tbl)
         if list(want.columns) != list(got.columns):
             probs.append(f"cols want={list(want.columns)} got={list(got.columns)}")
         elif len(want) != len(got):
