@@ -428,6 +428,46 @@ object SparkEntry {
         .select(col("w.start").as("hour_start"), col("event_type"),
           col("n"), col("sum_value"))
         .orderBy(col("hour_start"), col("event_type"))
+    },
+
+    // ---- ST: gap-based sessionization (batch form of the streaming
+    //      session_window agg; oracle = gaps-and-islands SQL). State is
+    //      keyed per user — at scale the streaming twin bounds it with a
+    //      watermark ----
+    "st2_session_agg" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 6))).cast(DecimalType(38, 6)).as("sum_value"))
+        .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+          col("user_id"), col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+
+    // ---- X: salted skew-safe join — result-identical to the plain join
+    //      (the oracle IS the plain join); hot l_suppkey values fan out
+    //      over 8 salt buckets instead of one task ----
+    "x15_salted_join" -> { (s, dir) =>
+      val supp = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_quantity"))
+      graft.operators.Scale.saltedJoin(li, supp, "l_suppkey",
+          discriminator = "l_orderkey", salts = 8)
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(dec)).cast(DecimalType(38, 2)).as("sum_qty"))
+        .orderBy(col("s_name"))
+    },
+
+    // ---- X: exact percentiles the scale-safe way — distributed order
+    //      statistics (count + range-partitioned sort + offset ranks)
+    //      instead of percentile()'s unbounded aggregation buffer; same
+    //      oracle as x13 ----
+    "x16_percentiles_sorted" -> { (s, dir) =>
+      graft.operators.Percentiles.exactSorted(
+        t(s, dir, "orders"), "o_totalprice", Seq(0.5, 0.9, 0.99),
+        names = Seq("p50", "p90", "p99"))
     }
   )
 
@@ -730,6 +770,35 @@ object SparkEntry {
     "st1_window_agg" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type,
            count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
-         FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type"""
+         FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
+
+    "st2_session_agg" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value FROM events),
+         m AS (SELECT user_id, t, value,
+             CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                    OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+           FROM e),
+         g AS (SELECT user_id, t, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM m)
+         SELECT min(t) AS session_start, max(t) + INTERVAL 30 MINUTE AS session_end,
+           user_id, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+         FROM g GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
+
+    "x15_salted_join" ->
+      """SELECT s_name, count(*) AS n_items,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_name ORDER BY s_name""",
+
+    "x16_percentiles_sorted" ->
+      """SELECT quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           quantile_cont(o_totalprice, 0.99) AS p99
+         FROM orders"""
   )
 }

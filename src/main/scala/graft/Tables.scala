@@ -19,7 +19,10 @@ object Tables {
   val sessionConfigs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
-    "spark.sql.adaptive.enabled" -> "true")
+    "spark.sql.adaptive.enabled" -> "true",
+    // bucketed-table metadata (Scale.bucketedWrite) lives here; keep it
+    // out of the repo working dir
+    "spark.sql.warehouse.dir" -> "/tmp/graft_warehouse")
 
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$table.parquet")

@@ -37,19 +37,25 @@ object Percentiles {
   }
 
   /** Exact continuous percentiles via distributed order statistics.
-    * Returns one row with columns p0..p{k-1} (doubles), like [[exact]]. */
-  def exactSorted(df: DataFrame, valueCol: String, ps: Seq[Double]): DataFrame = {
+    * Returns one row with the given column names (doubles), like [[exact]].
+    * The interpolation replicates Spark's `Percentile` aggregate bit for
+    * bit (0-based pos = p*(n-1); lower + (higher-lower)*(pos-floor(pos))),
+    * which DuckDB's `quantile_cont` also matches — so this is
+    * oracle-compatible with both. */
+  def exactSorted(df: DataFrame, valueCol: String, ps: Seq[Double],
+      names: Seq[String] = Nil): DataFrame = {
     val spark = df.sparkSession
+    val colNames = if (names.nonEmpty) names else ps.indices.map(i => s"p$i")
+    require(colNames.length == ps.length, "one output name per percentile")
     val vals = df.select(col(valueCol).cast("double").as("v")).filter(col("v").isNotNull)
     val n = vals.count()
     require(n > 0, s"exactSorted needs at least one non-null $valueCol")
-    // continuous-percentile bracket positions (1-based): p sits between
-    // floor(1+(n-1)p) and ceil(1+(n-1)p), weight = fractional part
+    // Spark Percentile.getPercentile arithmetic, 0-based
     val brackets = ps.map { p =>
-      val pos = 1.0 + (n - 1) * p
+      val pos = p * (n - 1)
       val lo = math.floor(pos).toLong
       val hi = math.ceil(pos).toLong
-      (lo, hi, pos - lo)
+      (lo + 1, hi + 1, pos - lo) // 1-based ranks for RowNum
     }
     val needed = brackets.flatMap { case (lo, hi, _) => Seq(lo, hi) }.distinct
     val numbered = graft.plans.RowNum.assign(vals.orderBy(col("v")))
@@ -58,12 +64,16 @@ object Percentiles {
       .select(col(graft.plans.Events.RowNumCol).as("rk"), col("v"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val out = brackets.map { case (lo, hi, w) =>
-      picked(lo) + (picked(hi) - picked(lo)) * w
+      // Spark's Percentile.getPercentile weighted form (also DuckDB's):
+      // lower*(higher-pos) + higher*(pos-lower); the algebraically equal
+      // lo + (hi-lo)*w differs by an ulp on real data
+      if (lo == hi) picked(lo)
+      else picked(lo) * (1.0 - w) + picked(hi) * w
     }
     spark.createDataFrame(
       java.util.Collections.singletonList(Row.fromSeq(out)),
-      org.apache.spark.sql.types.StructType(ps.indices.map(i =>
-        org.apache.spark.sql.types.StructField(s"p$i",
+      org.apache.spark.sql.types.StructType(colNames.map(c =>
+        org.apache.spark.sql.types.StructField(c,
           org.apache.spark.sql.types.DoubleType))))
   }
 }

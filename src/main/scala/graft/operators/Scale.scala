@@ -66,4 +66,22 @@ object Scale {
     * key (bucketing without a metastore). */
   def repartitionByKey(df: DataFrame, key: String, partitions: Int): DataFrame =
     df.repartition(partitions, col(key))
+
+  /** Persist a frame as a BUCKETED (+ sorted) parquet table: two tables
+    * bucketed the same way join with NO exchange on either side — the
+    * amortize-the-shuffle primitive when the same key is joined repeatedly
+    * (fact/dim co-location at 100 TB). Spark's in-memory catalog stores
+    * bucket metadata under spark.sql.warehouse.dir. */
+  def bucketedWrite(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // an in-memory catalog forgets the table across sessions while its
+    // warehouse directory survives; clear the stale location so overwrite
+    // semantics hold run-over-run
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    graft.sources.GraftIO.deleteRecursively(
+      java.nio.file.Paths.get(wh).resolve(table.toLowerCase))
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+  }
 }

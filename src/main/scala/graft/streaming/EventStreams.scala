@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming over the events table shape (event_id, ts, user_id,
@@ -65,6 +65,36 @@ object EventStreams {
     events
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(idCols)
+
+  /** Explicit per-key state carried across micro-batches. */
+  final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state via flatMapGroupsWithState — the escape hatch for
+    * stateful logic that windows/session_window can't express (running
+    * aggregates, CEP-ish per-key machines). Emits the updated per-user
+    * running (count, total) on every micro-batch that touches the user.
+    *
+    * At scale: state is one small struct per user key, partitioned by the
+    * state-store hash — no per-event growth. Production variants would add
+    * a GroupStateTimeout (event-time with a watermark) to evict idle keys;
+    * NoTimeout keeps the example deterministic. */
+  def runningUserTotals(events: DataFrame): Dataset[UserRunning] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0))
+          var n = prev.n_events
+          var total = prev.total_value
+          rows.foreach { case (_, v) => n += 1; total += v }
+          val next = UserRunning(user, n, total)
+          state.update(next)
+          Iterator(next)
+      }
+  }
 
   /** Drive a streaming frame synchronously into an in-memory table (test /
     * smoke harness; production would use a real sink + trigger). */

@@ -119,6 +119,28 @@ class ExtensionOpsSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("flatMapGroupsWithState running totals converge to the batch per-user aggregate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_state").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = EventStreams.readEvents(spark, dir)
+    val sq = EventStreams.runToMemory(
+      EventStreams.runningUserTotals(stream).toDF(),
+      "run_totals", outputMode = "update")
+    try {
+      // last emitted update per user = the final running state
+      val finalRows = spark.table("run_totals")
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events"))
+      val batch = Tables.load(spark, sfDir, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      assert(finalRows.join(batch, Seq("user_id"))
+        .filter(finalRows("n_events") =!= batch("n_events")).isEmpty)
+      assert(finalRows.count() == batch.count())
+    } finally sq.stop()
+  }
+
   test("percentile scale paths: exactSorted matches percentile(); approx is close") {
     val orders = Tables.load(spark, sfDir, "orders")
     val ps = Seq(0.5, 0.9, 0.99)
@@ -126,9 +148,8 @@ class ExtensionOpsSpec extends SparkSpec {
     val sorted = graft.operators.Percentiles.exactSorted(orders, "o_totalprice", ps).head()
     val approx = graft.operators.Percentiles.approx(orders, "o_totalprice", ps).head()
     ps.indices.foreach { i =>
-      // same bracket + interpolation arithmetic -> identical within fp noise
-      assert(math.abs(exact.getDouble(i) - sorted.getDouble(i))
-        <= 1e-6 * math.abs(exact.getDouble(i)), s"p$i exactSorted")
+      // identical bracket + interpolation arithmetic -> bit-equal
+      assert(exact.getDouble(i) == sorted.getDouble(i), s"p$i exactSorted")
       // GK sketch lands on a real value inside the bracket neighborhood
       assert(math.abs(exact.getDouble(i) - approx.getDouble(i))
         <= 0.05 * math.abs(exact.getDouble(i)), s"p$i approx")

@@ -34,6 +34,22 @@ class ScaleSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("bucketed tables join with no shuffle exchange on either side") {
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val lineitem = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    Scale.bucketedWrite(orders, "b_orders", "o_orderkey", 4)
+    Scale.bucketedWrite(lineitem, "b_lineitem", "o_orderkey", 4)
+    val joined = spark.table("b_orders")
+      .join(spark.table("b_lineitem").hint("merge"), Seq("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected exchange-free bucketed join, got:\n$plan")
+    // and it's still the right answer
+    assert(joined.count() ==
+      orders.join(lineitem, Seq("o_orderkey")).count())
+  }
+
   test("strictCheckpointCompat re-reads checkpoints (types re-stringified, like the reference)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_strict").toString
     val src = java.nio.file.Paths.get(dir, "in.csv")
