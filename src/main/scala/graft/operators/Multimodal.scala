@@ -30,6 +30,37 @@ object Multimodal {
         octet_length(col("content")).as("byte_len"),
         col(sourceCol).cast(StringType).as("source")))
 
+  /** STUB resize: truncate the payload to `targetBytes` and refresh
+    * meta.byte_len. A real implementation decodes, resamples, re-encodes;
+    * the plumbing a codec drops into — binary in, binary out, meta kept
+    * consistent, pure codegen'd expressions, no driver involvement — is
+    * what this exercises. */
+  def resizeStub(df: DataFrame, contentCol: String = "content",
+      targetBytes: Int = 64): DataFrame = {
+    val resized = expr(s"substring($contentCol, 1, $targetBytes)")
+    val d1 = df.withColumn(contentCol, resized)
+    if (d1.columns.contains("meta"))
+      d1.withColumn("meta", struct(
+        col("meta.kind").as("kind"),
+        octet_length(col(contentCol)).as("byte_len"),
+        col("meta.source").as("source")))
+    else d1
+  }
+
+  /** STUB frame sampling: split the payload into `frames` contiguous byte
+    * slices and emit one row per (frame_idx, frame) — the row-fan-out shape
+    * of real video frame extraction (a codec would decode and pick I-frames
+    * instead of slicing bytes). posexplode keeps lineage to the source row;
+    * partitioning is inherited, no shuffle. */
+  def frameSampleStub(df: DataFrame, contentCol: String = "content",
+      frames: Int = 4): DataFrame = {
+    val fl = s"greatest(octet_length($contentCol) div $frames, 1)"
+    val slices = expr(
+      s"transform(sequence(0, $frames - 1), i -> substring($contentCol, i * ($fl) + 1, $fl))")
+    df.select(df.columns.map(col) :+
+      posexplode(slices).as(Seq("frame_idx", "frame")): _*)
+  }
+
   /** STUB decode: deterministic pseudo-feature from payload bytes (md5 of
     * the bytes, folded into `dims` floats in [0,1)). A real deployment
     * replaces the body with a codec call; the signature — binary in,

@@ -83,6 +83,27 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(out.select("features").collect().toSeq == out2.select("features").collect().toSeq)
   }
 
+  test("multimodal resize/frame-sample stubs: byte shapes and meta stay consistent") {
+    val mm = Multimodal.asMultimodal(docs.limit(10), "text", "video", "source")
+    val resized = Multimodal.resizeStub(mm, targetBytes = 16)
+    resized.select(octet_length(col("content")), col("meta.byte_len")).collect()
+      .foreach { r =>
+        assert(r.getInt(0) <= 16)
+        assert(r.getInt(0) == r.getInt(1)) // meta tracks the new payload
+      }
+    val framed = Multimodal.frameSampleStub(mm, frames = 4)
+    // 4 frames per source row, indexed 0..3, frames concatenate back into
+    // a prefix of the original payload
+    assert(framed.count() == 40)
+    val byDoc = framed.select(col("doc_id"), col("frame_idx"), col("frame"))
+      .collect().groupBy(_.getLong(0))
+    byDoc.values.foreach { rows =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == Seq(0, 1, 2, 3))
+      val whole = rows.sortBy(_.getInt(1)).flatMap(_.getAs[Array[Byte]](2))
+      assert(whole.nonEmpty)
+    }
+  }
+
   test("streaming windowed counts equal the batch window aggregation") {
     // stage the events parquet as a stream source directory
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
