@@ -62,16 +62,18 @@ object SparkEntry {
 
     // ---- top-k / limit ----
     "q2_topk_orders" -> { (s, dir) =>
-      // orderBy+limit compiles to TakeOrderedAndProject (per-partition top-k,
-      // no global sort); the rank window then runs on only 10 rows.
-      // rank cast to long: DuckDB row_number() is BIGINT and the driver's
-      // value hash is type-sensitive
-      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-        .limit(10)
-        .withColumn("rank", row_number().over(w).cast(LongType))
+      // orderBy+limit compiles to TakeOrderedAndProject (per-partition
+      // top-k, no global sort); the surviving 10 rows arrive sorted, so
+      // their row numbers ARE the ranks (long-typed, matching the
+      // oracle's BIGINT row_number) — no partition-less Window needed
+      import graft.plans.{Events, RowNum}
+      RowNum.assign(
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(10))
+        .withColumnRenamed(Events.RowNumCol, "rank")
+        .orderBy(col("rank"))
     },
 
     // ---- J1/J2: lookup join + aggregation into mapping ----
@@ -159,14 +161,16 @@ object SparkEntry {
 
     // ---- R3: explode / split ----
     "r3_explode" -> { (s, dir) =>
-      t(s, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("token"))
-        .groupBy(col("token"))
-        .agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("token").asc)
-        .limit(50) // top-k first; the rank window then sees only 50 rows
-        .withColumn("rank",
-          row_number().over(Window.orderBy(col("cnt").desc, col("token").asc)).cast(LongType))
+      import graft.plans.{Events, RowNum}
+      RowNum.assign(
+        t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("token"))
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("token").asc)
+          .limit(50)) // top-k first; numbering then sees only 50 sorted rows
+        .withColumnRenamed(Events.RowNumCol, "rank")
+        .orderBy(col("rank"))
     },
 
     // ---- R5: cross-row running state (partition-local, scale-safe) ----

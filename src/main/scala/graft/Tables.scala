@@ -22,7 +22,10 @@ object Tables {
     "spark.sql.adaptive.enabled" -> "true",
     // bucketed-table metadata (Scale.bucketedWrite) lives here; keep it
     // out of the repo working dir
-    "spark.sql.warehouse.dir" -> "/tmp/graft_warehouse")
+    "spark.sql.warehouse.dir" -> "/tmp/graft_warehouse",
+    // the 64-hash minhash signature schema exceeds the 25-field toString
+    // default, which logs a noisy "Truncated plan" warning; print fully
+    "spark.sql.debug.maxToStringFields" -> "200")
 
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$table.parquet")
