@@ -144,7 +144,7 @@ object Dedup {
       .select(col("id"), col("s"))
 
     val cand = prefix.toDF("id_a", "s")
-      .join(prefix.toDF("id_b", "s"), Seq("s"))
+      .join(prefix.toDF("id_b", "s").hint("shuffle_hash"), Seq("s"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
 
@@ -152,8 +152,8 @@ object Dedup {
     // count-based variant uses, so the two variants stay pair-identical
     val docSh = sh.groupBy(col("id")).agg(collect_set(col("s")).as("arr"))
     cand
-      .join(docSh.toDF("id_a", "arr_a"), Seq("id_a"))
-      .join(docSh.toDF("id_b", "arr_b"), Seq("id_b"))
+      .join(docSh.toDF("id_a", "arr_a").hint("shuffle_hash"), Seq("id_a"))
+      .join(docSh.toDF("id_b", "arr_b").hint("shuffle_hash"), Seq("id_b"))
       .withColumn("c", size(array_intersect(col("arr_a"), col("arr_b"))))
       .withColumn("jaccard", col("c").cast(DoubleType) /
         (size(col("arr_a")) + size(col("arr_b")) - col("c")).cast(DoubleType))
@@ -170,7 +170,12 @@ object Dedup {
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int): DataFrame = {
     // 32-bit bases keep ha + i*hb under 2^40 — no long overflow, which
-    // ANSI mode (Spark 4 default) would turn into a task failure
+    // ANSI mode (Spark 4 default) would turn into a task failure.
+    // NOTE: this exact two-md5 seeded family is load-bearing — its recall
+    // against the exact-jaccard oracle is 100% on the gate data; swapping
+    // in a cheaper family (e.g. two slices of one digest) dropped a
+    // borderline pair at sf0.01 for ~0.2s of savings. Don't change it
+    // without re-running the oracle at every SF.
     val sh = shingleIndex(df, idCol, textCol, n)
       .withColumn("ha", md5LongSeeded(col("s"), 0).bitwiseAND(lit(0xFFFFFFFFL)))
       .withColumn("hb", md5LongSeeded(col("s"), 1).bitwiseAND(lit(0xFFFFFFFFL)).bitwiseOR(lit(1L)))
@@ -205,8 +210,11 @@ object Dedup {
       explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
 
+    // shuffle_hash: post-explode size estimates are garbage and an AQE
+    // broadcast of the banded side is the run-to-run 2-130s instability
     val cand = buckets.toDF("id_a", "band", "bucket")
-      .join(buckets.toDF("id_b", "band", "bucket"), Seq("band", "bucket"))
+      .join(buckets.toDF("id_b", "band", "bucket").hint("shuffle_hash"),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
 
@@ -245,7 +253,8 @@ object Dedup {
       explode(array(chunks: _*)).as("cc"))
       .select(col("id"), col("simhash"), col("cc.chunk"), col("cc.ck"))
     banded.toDF("id_a", "sim_a", "chunk", "ck")
-      .join(banded.toDF("id_b", "sim_b", "chunk", "ck"), Seq("chunk", "ck"))
+      .join(banded.toDF("id_b", "sim_b", "chunk", "ck").hint("shuffle_hash"),
+        Seq("chunk", "ck"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "sim_a", "sim_b").distinct()
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
@@ -301,7 +310,8 @@ object Dedup {
     val banded = sig.select(col("id"), col("v"), explode(array(chunks: _*)).as("cc"))
       .select(col("id"), col("v"), col("cc.chunk"), col("cc.ck"))
     banded.toDF("id_a", "v_a", "chunk", "ck")
-      .join(banded.toDF("id_b", "v_b", "chunk", "ck"), Seq("chunk", "ck"))
+      .join(banded.toDF("id_b", "v_b", "chunk", "ck").hint("shuffle_hash"),
+        Seq("chunk", "ck"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "v_a", "v_b").distinct()
       .withColumn("cos", cosine(col("v_a"), col("v_b")))

@@ -29,7 +29,10 @@ object Scale {
       pmod(md5Long(col(discriminator)), lit(salts.toLong)))
     val saltedSmall = small.withColumn("__graft_salt__",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
-    saltedBig.join(saltedSmall, Seq(key, "__graft_salt__"), joinType)
+    // shuffle_hash: the salted join exists precisely because the small
+    // side is too big to broadcast — don't let AQE re-broadcast the
+    // exploded replica (post-explode size estimates are unreliable)
+    saltedBig.join(saltedSmall.hint("shuffle_hash"), Seq(key, "__graft_salt__"), joinType)
       .drop("__graft_salt__")
   }
 
