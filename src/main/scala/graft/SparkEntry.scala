@@ -472,6 +472,21 @@ object SparkEntry {
       graft.operators.Percentiles.exactSorted(
         t(s, dir, "orders"), "o_totalprice", Seq(0.5, 0.9, 0.99),
         names = Seq("p50", "p90", "p99"))
+    },
+
+    // ---- E2E: the full curation pipeline (analyze -> quality/length
+    //      filter via DropRow events -> exact dedup -> minhash-LSH
+    //      near-dup removal), oracle = the same chain composed from the
+    //      per-operator oracle SQL. The north-star use case, gated
+    //      end-to-end ----
+    "e1_curation_pipeline" -> { (s, dir) =>
+      import graft.plans.{Context, Events, RowNum}
+      val ctx = new Context(s)
+      val input = RowNum.ensure(t(s, dir, "documents"))
+      val out = graft.examples.Curation.phases.foldLeft(input)((df, ph) => ph(df, ctx))
+      Events.dropInternal(out)
+        .select(col("doc_id"), col("lang_pred"), col("n_tokens"), col("quality"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -803,6 +818,56 @@ object SparkEntry {
       """SELECT quantile_cont(o_totalprice, 0.5) AS p50,
            quantile_cont(o_totalprice, 0.9) AS p90,
            quantile_cont(o_totalprice, 0.99) AS p99
-         FROM orders"""
+         FROM orders""",
+
+    "e1_curation_pipeline" ->
+      """WITH m0 AS (SELECT doc_id, text,
+           len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ('the','a','of','and','to','in','is','it','for','on'))) AS en,
+           len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ('der','die','das','und','ist','ein','zu','mit','auf','nicht'))) AS de,
+           len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ('le','la','les','et','est','un','une','dans','pour','que'))) AS fr,
+           len(string_split(text, ' ')) AS n_tokens,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                     / length(text) END AS punct_ratio,
+           CASE WHEN len(string_split(lower(text), ' ')) = 0 THEN 0.0
+                ELSE CAST(len(list_filter(string_split(lower(text), ' '),
+                       w -> w IN ('the','a','of','and','to','in','is','it','for','on',
+                                  'der','die','das','und','ist','ein','zu','mit','auf','nicht',
+                                  'le','la','les','et','est','un','une','dans','pour','que'))) AS DOUBLE)
+                     / len(string_split(lower(text), ' ')) END AS sw_ratio
+           FROM documents),
+         metrics AS (SELECT doc_id, text,
+           CASE WHEN greatest(en, de, fr) = 0 THEN 'und'
+                WHEN de >= en AND de >= fr THEN 'de'
+                WHEN en >= fr THEN 'en'
+                ELSE 'fr' END AS lang_pred,
+           CAST(n_tokens AS INT) AS n_tokens,
+           round((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+                  + least(sw_ratio * 5.0, 1.0) * 0.3)
+                 * (1.0 - least(punct_ratio * 5.0, 1.0) * 0.5), 6) AS quality
+           FROM m0),
+         kept1 AS (SELECT * FROM metrics WHERE n_tokens >= 5 AND quality >= 0.2),
+         exact AS (SELECT *, row_number() OVER (
+             PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+             ORDER BY doc_id) AS rn
+           FROM kept1),
+         kept2 AS (SELECT doc_id, text, lang_pred, n_tokens, quality
+           FROM exact WHERE rn = 1),
+         w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM kept2),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+                FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1))) t(i)),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                   FROM sh a JOIN sh b USING (s)
+                   WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         losers AS (SELECT DISTINCT id_b
+           FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+           WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8)
+         SELECT doc_id, lang_pred, n_tokens, quality FROM kept2
+         WHERE doc_id NOT IN (SELECT id_b FROM losers)
+         ORDER BY doc_id"""
   )
 }
