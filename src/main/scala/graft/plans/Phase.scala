@@ -144,7 +144,13 @@ final case class Phase(
       if (!(cdef.required || cdef.save || present)) None
       else {
         val raw = if (present) df(cdef.name) else lit(null).cast("string")
-        val oldVal = if (present) df(cdef.name) else lit(null).cast(cdef.colType.sparkType)
+        // failed rows keep the SAFE cast of their old value (try-cast
+        // semantics: null when unparsable) — a bare df(name) here would be
+        // implicitly ANSI-cast to the declared type when the branches
+        // coerce, and an unparsable value on an already-failed row then
+        // CRASHES the task instead of staying an event
+        val oldVal = if (present) cdef.colType.cast(df(cdef.name))
+                     else lit(null).cast(cdef.colType.sparkType)
         Some((cdef, oldVal,
           cdef.compileChecks(raw, s"cast_and_check:${cdef.name}", defaultPolicy)))
       }

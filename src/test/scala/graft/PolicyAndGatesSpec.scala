@@ -92,6 +92,46 @@ class PolicyAndGatesSpec extends SparkSpec {
     assert(!pipe.context.phaseHadErrors("Lenient"))
   }
 
+  test("column pass is first-error-wins across columns in ONE projection " +
+      "(a row failed by an earlier column is untouched by later ones; warns don't gate)") {
+    val ctx = new Context(spark)
+    val df = RowNum.assign(Seq(
+      ("bad", "7", "x"),   // a unparsable -> b,c must stay untouched
+      ("1", "bad", "x"),   // b unparsable (warn policy) -> c still runs
+      ("2", "8", "zz")     // c over allowed length -> its own error only
+    ).toDF("a", "b", "c"))
+    val phase = Phase("P", columns = Seq(
+      ColumnDef("a", ColType.IntT),
+      ColumnDef("b", ColType.IntT, onErrorOpt = Some(ErrorPolicy.Warn)),
+      ColumnDef("c", allowedValues = Seq("x"))))
+    val out = phase(df, ctx).orderBy(col(Events.RowNumCol))
+    val rows = out.select(col("a"), col("b"), col("c"),
+      col(Events.EventsCol + ".etype")).collect()
+    // row 1: a errored; b and c ride along as their safe-cast old values
+    // (the declared types — a typed frame can't keep the raw string)
+    assert(rows(0).isNullAt(0))
+    assert(rows(0).getSeq[String](3) == Seq(Events.ErrorType))
+    assert(rows(0).getLong(1) == 7L && rows(0).getString(2) == "x")
+    // row 2: b's failure is a WARNING -> does not gate c; c still runs
+    assert(rows(1).getSeq[String](3).count(_ == Events.WarningType) == 1)
+    assert(rows(1).getString(2) == "x")
+    // row 3: only c's allowed-values error
+    assert(rows(2).getSeq[String](3) == Seq(Events.ErrorType))
+    assert(rows(2).getLong(0) == 2L && rows(2).getLong(1) == 8L)
+  }
+
+  test("a row failed early with a LATER unparsable column stays an event, not a task crash " +
+      "(ANSI would throw casting the old value to the declared type)") {
+    val ctx = new Context(spark)
+    val df = RowNum.assign(Seq(("bad", "alsobad"), ("1", "2")).toDF("a", "b"))
+    val phase = Phase("P", columns = Seq(
+      ColumnDef("a", ColType.IntT), ColumnDef("b", ColType.IntT)))
+    val out = phase(df, ctx).orderBy(col(Events.RowNumCol)).collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("a")))
+    assert(out(0).isNullAt(out(0).fieldIndex("b"))) // safe cast, no crash
+    assert(out(1).getLong(out(1).fieldIndex("a")) == 1L)
+  }
+
   test("missing required header with on_error=warn records a warning and continues (column.py:107-112)") {
     val ctx = new Context(spark)
     val df = RowNum.assign(Seq("1").toDF("other"))
