@@ -25,6 +25,14 @@ object SparkEntry {
 
   private val dec = DecimalType(18, 2)
 
+  /** Number the (already sorted) frame 1..n and expose it as a long-typed
+    * rank column — partition-safe global ranking (range-partitioned sort +
+    * per-partition offsets), no single-partition Window. */
+  private def ranked(sorted: DataFrame, as: String): DataFrame = {
+    import graft.plans.{Events, RowNum}
+    RowNum.assign(sorted).withColumnRenamed(Events.RowNumCol, as).orderBy(col(as))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("j1_lookup_join")(spark, "/root/testdata/sf0.001")
@@ -66,14 +74,12 @@ object SparkEntry {
       // top-k, no global sort); the surviving 10 rows arrive sorted, so
       // their row numbers ARE the ranks (long-typed, matching the
       // oracle's BIGINT row_number) — no partition-less Window needed
-      import graft.plans.{Events, RowNum}
-      RowNum.assign(
+      ranked(
         t(s, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
           .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-          .limit(10))
-        .withColumnRenamed(Events.RowNumCol, "rank")
-        .orderBy(col("rank"))
+          .limit(10),
+        as = "rank")
     },
 
     // ---- J1/J2: lookup join + aggregation into mapping ----
@@ -139,13 +145,11 @@ object SparkEntry {
     //      Global numbering via range-partitioned sort + RowNum.assign —
     //      a bare Window.orderBy moves ALL rows to one task at scale ----
     "b3_sort_by" -> { (s, dir) =>
-      import graft.plans.{Events, RowNum}
-      RowNum.assign(
+      ranked(
         t(s, dir, "customer")
           .select(col("c_custkey"), col("c_nationkey"))
-          .orderBy(col("c_nationkey").asc, col("c_custkey").asc))
-        .withColumnRenamed(Events.RowNumCol, "rank")
-        .orderBy(col("rank"))
+          .orderBy(col("c_nationkey").asc, col("c_custkey").asc),
+        as = "rank")
     },
 
     // ---- R2: pivot ----
@@ -161,16 +165,14 @@ object SparkEntry {
 
     // ---- R3: explode / split ----
     "r3_explode" -> { (s, dir) =>
-      import graft.plans.{Events, RowNum}
-      RowNum.assign(
+      ranked(
         t(s, dir, "documents")
           .select(explode(split(col("text"), " ")).as("token"))
           .groupBy(col("token"))
           .agg(count(lit(1)).as("cnt"))
           .orderBy(col("cnt").desc, col("token").asc)
-          .limit(50)) // top-k first; numbering then sees only 50 sorted rows
-        .withColumnRenamed(Events.RowNumCol, "rank")
-        .orderBy(col("rank"))
+          .limit(50), // top-k first; numbering then sees only 50 sorted rows
+        as = "rank")
     },
 
     // ---- R5: cross-row running state (partition-local, scale-safe) ----
@@ -271,15 +273,14 @@ object SparkEntry {
     //      per-partition offsets (RowNum.assign) instead of a global
     //      single-partition Window ----
     "r4_renumber" -> { (s, dir) =>
-      import graft.plans.{Events, RowNum}
       val filtered = t(s, dir, "lineitem")
         .filter(year(col("l_shipdate")) === 1997)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_extendedprice"), col("l_partkey"), col("l_suppkey"))
-      RowNum.assign(filtered.orderBy(
+      ranked(filtered.orderBy(
           col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-          col("l_extendedprice"), col("l_partkey"), col("l_suppkey")))
-        .withColumnRenamed(Events.RowNumCol, "new_row_num")
+          col("l_extendedprice"), col("l_partkey"), col("l_suppkey")),
+        as = "new_row_num")
         .select(col("l_orderkey"), col("l_linenumber"), col("new_row_num"))
         .orderBy(col("new_row_num"))
     },

@@ -94,8 +94,9 @@ object ColType {
         case None => parsed
         case Some(tz) =>
           // offset-carrying inputs were already anchored by the parser;
-          // only naive ones are re-anchored from the declared zone
-          val hasOffset = s.rlike("(Z|[+-][0-9]{2}:?[0-9]{2})$")
+          // only naive ones are re-anchored from the declared zone.
+          // ISO 8601 offsets: Z, +HH, +HHMM, +HH:MM
+          val hasOffset = s.rlike("(Z|[+-][0-9]{2}(:?[0-9]{2})?)$")
           when(hasOffset, parsed).otherwise(to_utc_timestamp(parsed, tz))
       }
       when(!isPresent(c), lit(null).cast(TimestampType)).otherwise(zoned)

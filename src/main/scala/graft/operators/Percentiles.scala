@@ -58,11 +58,14 @@ object Percentiles {
       (lo + 1, hi + 1, pos - lo) // 1-based ranks for RowNum
     }
     val needed = brackets.flatMap { case (lo, hi, _) => Seq(lo, hi) }.distinct
-    val numbered = graft.plans.RowNum.assign(vals.orderBy(col("v")))
-    val picked = numbered
-      .filter(col(graft.plans.Events.RowNumCol).isin(needed: _*))
-      .select(col(graft.plans.Events.RowNumCol).as("rk"), col("v"))
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // withAssigned: the numbered frame is fully consumed by this collect,
+    // so the numbering persist is dropped deterministically
+    val picked = graft.plans.RowNum.withAssigned(vals.orderBy(col("v"))) { numbered =>
+      numbered
+        .filter(col(graft.plans.Events.RowNumCol).isin(needed: _*))
+        .select(col(graft.plans.Events.RowNumCol).as("rk"), col("v"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
     val out = brackets.map { case (lo, hi, w) =>
       // Spark's Percentile.getPercentile weighted form (also DuckDB's):
       // lower*(higher-pos) + higher*(pos-lower); the algebraically equal

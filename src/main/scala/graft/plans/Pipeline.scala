@@ -150,9 +150,13 @@ final class Pipeline(
     // X5 failure gates (pipeline.py:191-199): the zero-rows gate fires
     // BEFORE the checkpoint is written (the reference raises 'No rows left
     // to process' before saving, pipeline.py:191-193); only the
-    // collected-errors gate runs after the save.
-    if (out.head(1).isEmpty)
+    // collected-errors gate runs after the save. The events REPORT is
+    // still written first — the user needs errors_and_warnings.txt to see
+    // which step dropped everything.
+    if (out.head(1).isEmpty) {
+      if (checkpoints) reportEvents(phase)
       throw DataException(s"Phase ${phase.name} produced zero rows; terminating pipeline")
+    }
 
     if (checkpoints) {
       save(Events.forCheckpoint(out), outPath(checkpointName(phase)))

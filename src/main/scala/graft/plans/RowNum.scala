@@ -32,7 +32,9 @@ object RowNum {
     * OOMing at scale. Count and numbering run on the SAME RDD instance —
     * a separately-built (e.g. column-pruned) plan can partition/order rows
     * differently, which would scramble the offsets. */
-  def assign(df: DataFrame): DataFrame = {
+  def assign(df: DataFrame): DataFrame = assignImpl(df)._1
+
+  private def assignImpl(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[Row]) = {
     val withoutOld = df.drop(RowNumCol)
     val schema = withoutOld.schema.add(StructField(RowNumCol, LongType, nullable = false))
     val rdd0 = withoutOld.rdd
@@ -47,11 +49,22 @@ object RowNum {
       var n = if (pid < bc.value.length) bc.value(pid) else 0L
       it.map { row => n += 1; Row.fromSeq(row.toSeq :+ n) }
     }
-    df.sparkSession.createDataFrame(rdd, schema)
+    (df.sparkSession.createDataFrame(rdd, schema), rdd0)
   }
 
   def ensure(df: DataFrame): DataFrame =
     if (df.columns.contains(RowNumCol)) df else assign(df)
+
+  /** Eager-consumer variant: number, run `f`, then DROP the persisted
+    * blocks deterministically (assign's persist is otherwise reclaimed
+    * only when the ContextCleaner GCs the frame's lineage — fine for
+    * short-lived query frames, wasteful when the caller fully consumes
+    * the numbered frame inside one action, e.g. a collect). */
+  def withAssigned[T](df: DataFrame)(f: DataFrame => T): T = {
+    val (numbered, persisted) = assignImpl(df)
+    try f(numbered)
+    finally persisted.unpersist(false)
+  }
 
   /** Number rows of `appended` after the current max of `existing`
     * (reference phase.py:120-124: new rows numbered after current max). */

@@ -92,30 +92,35 @@ object GraftIO {
     * The corrupt-record column of the CSV reader cannot be filtered on
     * directly (column pruning gives the parser a partial schema, so
     * length mismatches vanish — a documented Spark caveat), so the probe
-    * parses each raw line with `from_csv` against the full header schema:
-    *  - parses clean -> ok;
-    *  - parses clean after stripping trailing delimiters -> ok (the extra
-    *    fields were all empty: reference restkey + is_list_empty);
-    *  - otherwise -> DataException ("Fields missing" when the last header
-    *    field is absent, else "Inconsistent # of fields"). */
+    * counts each raw line's fields (quote-aware: quoted sections are
+    * collapsed before counting delimiters) and applies the reference
+    * rules: blank / all-delimiter lines are skipped; fewer fields than
+    * the header -> "Fields missing"; more fields -> accepted only when
+    * every extra is empty (restkey + is_list_empty: the line's tail
+    * beyond the N-th field is just delimiters/whitespace), else
+    * "Inconsistent # of fields". */
   private def checkRaggedRows(spark: SparkSession, path: String,
       delimiter: String, headerLine: String, hs: Seq[String]): Unit = {
-    val schema = org.apache.spark.sql.types.StructType(
-      hs.map(h => org.apache.spark.sql.types.StructField(h, StringType)) :+
-        org.apache.spark.sql.types.StructField(CorruptCol, StringType))
-    val opts = Map("delimiter" -> delimiter, "mode" -> "PERMISSIVE",
-      "columnNameOfCorruptRecord" -> CorruptCol)
     val d = java.util.regex.Pattern.quote(delimiter)
+    val n = hs.length
     val v = col("value")
-    val isData = v.isNotNull && trim(v) =!= "" && !v.startsWith("#") &&
+    // collapse quoted sections so delimiters inside quotes don't count
+    def fieldCount(line: org.apache.spark.sql.Column) = {
+      val noQuoted = regexp_replace(line, "\"(?:[^\"]|\"\")*\"", "x")
+      (length(noQuoted) - length(regexp_replace(noQuoted, d, ""))) /
+        delimiter.length + 1
+    }
+    val tokens = fieldCount(v)
+    // after stripping trailing delimiters(+spaces): trailing EMPTY fields
+    // vanish, so tokensStripped <= n means every extra field was empty
+    val tokensStripped = fieldCount(regexp_replace(v, s"(?:$d\\s*)+$$", ""))
+    val blank = trim(regexp_replace(regexp_replace(v, d, ""), "\\s", "")) === ""
+    val isData = v.isNotNull && !blank && !v.startsWith("#") &&
       v =!= lit(headerLine)
-    val parsed = from_csv(v, schema, opts)
-    val strippedParsed =
-      from_csv(regexp_replace(v, s"(?:$d\\s*)+$$", ""), schema, opts)
-    val bad = isData && parsed(CorruptCol).isNotNull &&
-      strippedParsed(CorruptCol).isNotNull
+    val bad = isData &&
+      (tokens < n || (tokens > n && tokensStripped > n))
     spark.read.text(path).filter(bad)
-      .select(v, parsed(hs.last).isNull.as("short"))
+      .select(v, (tokens < n).as("short"))
       .head(1).headOption.foreach { r =>
         val what = if (r.getBoolean(1)) "Fields missing" else "Inconsistent # of fields"
         throw DataException(s"$what in record <${r.getString(0)}>")

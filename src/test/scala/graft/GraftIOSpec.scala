@@ -56,6 +56,21 @@ class GraftIOSpec extends SparkSpec {
       Seq("3", "12", "15"))
   }
 
+  test("read_csv accepts an empty LAST declared field plus empty extras ('4,5,,')") {
+    // tokens = [4, 5, '', '']: first N = (4, 5, null), extras all empty ->
+    // keep the row (a greedy strip-then-reparse would misread it as short)
+    val p = tmp("a,b,c\n1,2,3\n4,5,,\n")
+    val df = GraftIO.readCsv(spark, p)
+    assert(df.count() == 2)
+    val r = df.orderBy(col("a")).collect()(1)
+    assert(r.getString(0) == "4" && r.getString(1) == "5" && r.isNullAt(2))
+  }
+
+  test("read_csv skips comma-only lines even with MORE commas than the header (io.py:63-68)") {
+    val p = tmp("a,b,c\n1,2,3\n,,,,\n")
+    assert(GraftIO.readCsv(spark, p).count() == 1)
+  }
+
   test("read_csv duplicate-header check is quote-aware (quoted delimiter inside a header)") {
     // naive split on ',' would shred "last, first" into fragments and
     // either miss real dups or invent fake ones
