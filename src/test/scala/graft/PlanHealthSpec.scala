@@ -1,0 +1,59 @@
+package graft
+
+/** Executable scale invariants: these assertions pin the PLAN SHAPES the
+  * engine promises at 100 TB — filters reaching the parquet scan, column
+  * pruning, broadcast dims, pinned shuffle-hash joins downstream of
+  * explode, partial aggregation, and bounded expression trees. A change
+  * that silently regresses one of these passes value-equality tests but
+  * fails here.
+  */
+class PlanHealthSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("b4: predicate pushdown reaches the parquet scan and columns are pruned") {
+    val p = plan("b4_filter_rows")
+    assert(p.contains("PushedFilters: ["), "expected pushed filters in scan")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("IsNotNull(l_shipdate"),
+      s"expected l_shipdate filter pushed to scan:\n$p")
+    // projection pruning: the scan must not read the full 16-col lineitem
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipmode"),
+      s"scan reads columns the query never uses: $readSchema")
+  }
+
+  test("j1: dimension joins are broadcast (no shuffle of the fact side)") {
+    val p = plan("j1_lookup_join")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast dim joins:\n$p")
+  }
+
+  test("x2: inverted-index joins stay shuffle-hash (no rogue broadcast after explode)") {
+    val p = plan("x2_dedup_ngram_jaccard")
+    assert(p.contains("ShuffledHashJoin"), s"expected pinned shuffle-hash joins:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop join leaked into x2")
+  }
+
+  test("q1: aggregation is partial (map-side combine) before the shuffle") {
+    val p = plan("q1_pricing_summary")
+    // partial + final HashAggregate pairs
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"expected partial aggregation:\n$p")
+  }
+
+  test("p1: the compiled column pass stays linear (no exponential expression tree)") {
+    // the round-1 per-column fold exploded to ~3^k copies under
+    // project-collapse; the single-projection compile keeps the whole
+    // executed-plan rendering small
+    val p = plan("p1_phase_columns")
+    assert(p.length < 200000, s"p1 plan string is ${p.length} chars — expression blowup?")
+  }
+
+  test("windows in gated queries are partitioned or eliminated (no global single-task window)") {
+    for (name <- Seq("b3_sort_by", "r4_renumber", "q2_topk_orders", "r3_explode")) {
+      val p = plan(name)
+      assert(!p.contains("Window [") ||
+        !p.contains("windowspecdefinition()"), s"$name has an unpartitioned window")
+    }
+  }
+}
