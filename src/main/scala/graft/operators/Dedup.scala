@@ -197,17 +197,18 @@ object Dedup {
     * output contract — all pairs with jaccard >= threshold — matches the
     * brute-force oracle as long as LSH recall holds.
     *
-    * Defaults are 32 bands x 4 rows (128 hashes): 4-row buckets keep
-    * background-similarity candidates rare (per-band match ~j^4), and 32
-    * bands SQUARE the 16-band per-pair miss probability — 16x4 measured 3
-    * misses in 256 true pairs at the 5k-doc scale (borderline-0.8 pairs +
-    * affine-family correlation push the theoretical ~2e-4 up), 32x4
-    * measured zero at every SF. Halve numHashes/bands only with a recall
-    * re-check against the exact oracle.
+    * Defaults are 24 bands x 4 rows (96 hashes): 4-row buckets keep
+    * background-similarity candidates rare (per-band match ~j^4), and 24
+    * bands push the per-pair miss at exactly j=0.8 to ~3e-6 — the original
+    * 16x4 banding measured 3 misses in 256 true pairs at the 5k-doc scale
+    * (pre-modulus family correlation; see the pmod note below). Recall is
+    * DETERMINISTIC for fixed data (md5-derived hashes, no RNG), so one
+    * green oracle run at a scale certifies that scale forever; re-check
+    * against the exact oracle at every SF before changing numHashes/bands.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8,
-      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+      numHashes: Int = 96, bands: Int = 24): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sig = minhashSignatures(df, idCol, textCol, n, numHashes)
