@@ -148,17 +148,11 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
 
-    // verify against the SAME (maxDocFreq-filtered) shingle sets the
-    // count-based variant uses, so the two variants stay pair-identical
-    val docSh = sh.groupBy(col("id")).agg(collect_set(col("s")).as("arr"))
-    cand
-      .join(docSh.toDF("id_a", "arr_a").hint("shuffle_hash"), Seq("id_a"))
-      .join(docSh.toDF("id_b", "arr_b").hint("shuffle_hash"), Seq("id_b"))
-      .withColumn("c", size(array_intersect(col("arr_a"), col("arr_b"))))
-      .withColumn("jaccard", col("c").cast(DoubleType) /
-        (size(col("arr_a")) + size(col("arr_b")) - col("c")).cast(DoubleType))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    // verify against the FULL shingle sets — the same contract as every
+    // other variant (surfaced pairs carry the exact uncapped jaccard);
+    // verifying against capped sets would emit different values and
+    // different pairs than the count-based capped variant
+    verifyJaccard(cand, df, idCol, textCol, n, threshold)
   }
 
   /** MinHash signatures: numHashes min-hashes over the shingle set, from a
@@ -197,18 +191,20 @@ object Dedup {
     * output contract — all pairs with jaccard >= threshold — matches the
     * brute-force oracle as long as LSH recall holds.
     *
-    * Defaults are 24 bands x 4 rows (96 hashes): 4-row buckets keep
-    * background-similarity candidates rare (per-band match ~j^4), and 24
-    * bands push the per-pair miss at exactly j=0.8 to ~3e-6 — the original
-    * 16x4 banding measured 3 misses in 256 true pairs at the 5k-doc scale
-    * (pre-modulus family correlation; see the pmod note below). Recall is
-    * DETERMINISTIC for fixed data (md5-derived hashes, no RNG), so one
-    * green oracle run at a scale certifies that scale forever; re-check
-    * against the exact oracle at every SF before changing numHashes/bands.
+    * Defaults are 16 bands x 4 rows (64 hashes): 4-row buckets keep
+    * background-similarity candidates rare (per-band match ~j^4) and 16
+    * bands give ~2e-4 per-pair miss at exactly j=0.8. The PRE-modulus
+    * affine family measured 3 misses in 256 true pairs at 5k docs with
+    * this same banding — the pmod fix below (not more bands) is what
+    * restored recall; with it, 16x4 passes the exact-jaccard oracle at
+    * every SF. Recall is DETERMINISTIC for fixed data (md5-derived
+    * hashes, no RNG), so one green oracle run at a scale certifies that
+    * scale forever; re-check at every SF before changing numHashes/bands
+    * or the family.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8,
-      numHashes: Int = 96, bands: Int = 24): DataFrame = {
+      numHashes: Int = 64, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sig = minhashSignatures(df, idCol, textCol, n, numHashes)
@@ -319,7 +315,10 @@ object Dedup {
     val chunks = (0 until bands).map(j =>
       struct(lit(j).as("chunk"),
         md5Long(concat_ws(",",
-          (0 until rowsPerBand).map(i => element_at(col("bits"), j * rowsPerBand + i + 1)): _*))
+          (0 until rowsPerBand).map(i =>
+            // try_element_at: a vector shorter than bands*rowsPerBand
+            // zero-pads instead of failing the task under ANSI
+            coalesce(try_element_at(col("bits"), lit(j * rowsPerBand + i + 1)), lit(0L))): _*))
           .as("ck")))
     val banded = sig.select(col("id"), col("v"), explode(array(chunks: _*)).as("cc"))
       .select(col("id"), col("v"), col("cc.chunk"), col("cc.ck"))

@@ -68,6 +68,8 @@ object Multimodal {
     */
   def decodeStub(df: DataFrame, contentCol: String = "content",
       dims: Int = 4): DataFrame = {
+    require(dims <= 8, s"decodeStub folds a 16-byte md5 digest into byte " +
+      s"pairs — at most 8 dims (got $dims)")
     val outSchema = df.schema.add(StructField("features", ArrayType(FloatType)))
     val contentIdx = df.schema.fieldIndex(contentCol)
     val rdd = df.rdd.mapPartitions { rows =>

@@ -25,8 +25,13 @@ object Scale {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       discriminator: String, salts: Int = 16,
       joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left" || joinType == "left_outer",
+      s"saltedJoin supports inner/left joins only (right/full would duplicate " +
+        s"unmatched small-side rows $salts-fold); got '$joinType'")
+    // null discriminator -> salt 0, not a null salt (a null would never
+    // equal any replicated salt and the row would silently vanish)
     val saltedBig = big.withColumn("__graft_salt__",
-      pmod(md5Long(col(discriminator)), lit(salts.toLong)))
+      pmod(coalesce(md5Long(col(discriminator)), lit(0L)), lit(salts.toLong)))
     val saltedSmall = small.withColumn("__graft_salt__",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     // shuffle_hash: the salted join exists precisely because the small

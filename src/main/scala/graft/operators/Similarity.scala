@@ -56,10 +56,13 @@ object Similarity {
     * same as a learned IVF. */
   def ivfAssign(vec: Column, numCentroids: Int, dims: Int): Column = {
     val scores = (0 until numCentroids).map { ci =>
-      // score_ci = sum_d sign(md5(ci,d)) * v[d]
+      // score_ci = sum_d sign(md5(ci,d)) * v[d]; vectors shorter than
+      // `dims` are zero-padded (try_element_at: a plain element_at past
+      // the end is an ANSI task failure, and a null score would silently
+      // dump every short vector into centroid 0)
       val terms = (0 until dims).map { d =>
         val sign = when(md5Long(lit(s"$ci,$d")) % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
-        sign * element_at(vec, d + 1)
+        sign * coalesce(try_element_at(vec, lit(d + 1)), lit(0.0))
       }
       struct(terms.reduce(_ + _).as("score"), lit(ci).as("ci"))
     }
@@ -80,7 +83,7 @@ object Similarity {
     val probeCols = (0 until numCentroids).map { ci =>
       val terms = (0 until dims).map { d =>
         val sign = when(md5Long(lit(s"$ci,$d")) % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
-        sign * element_at(col("qv"), d + 1)
+        sign * coalesce(try_element_at(col("qv"), lit(d + 1)), lit(0.0))
       }
       struct(terms.reduce(_ + _).as("score"), lit(ci).as("ci"))
     }

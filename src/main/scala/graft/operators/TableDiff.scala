@@ -36,13 +36,17 @@ object TableDiff {
     // classification compares RAW values (null-safe) and only then projects
     // stringified report columns — when a caller aggregates on status only,
     // Catalyst prunes all the per-cell string formatting away
+    // user columns are addressed via df(c) / backticked col: a bare
+    // col("price.usd") parses the dot as struct-field access and throws on
+    // a perfectly legal header
+    def raw(c: String, suffix: String): Column = col(s"`__raw_${c}${suffix}`")
     def side(df: DataFrame, suffix: String): DataFrame = {
       val present = df.columns.toSet
       df.select(
         col(Events.RowNumCol).cast("long").as(Events.RowNumCol) +:
         lit(true).as(s"__present$suffix") +:
         compared.map(c =>
-          (if (present.contains(c)) col(c) else lit(null))
+          (if (present.contains(c)) df(s"`$c`") else lit(null))
             .as(s"__raw_${c}${suffix}")): _*)
     }
 
@@ -59,15 +63,15 @@ object TableDiff {
       df.schema.fields.find(_.name == c).map(_.dataType)
     val anyChanged: Column = compared
       .map { c =>
-        val (o, n) = (col(s"__raw_${c}__old"), col(s"__raw_${c}__new"))
+        val (o, n) = (raw(c, "__old"), raw(c, "__new"))
         if (sideType(f1, c) == sideType(f2, c)) !(o <=> n)
         else !(o.cast("string") <=> n.cast("string"))
       }
       .reduceOption(_ || _).getOrElse(lit(false))
 
     val reportCols = compared.flatMap(c => Seq(
-      col(s"__raw_${c}__old").cast("string").as(s"${c}__old"),
-      col(s"__raw_${c}__new").cast("string").as(s"${c}__new")))
+      raw(c, "__old").cast("string").as(s"${c}__old"),
+      raw(c, "__new").cast("string").as(s"${c}__new")))
     joined.withColumn("status",
         when(!inOld && inNew, "added")
           .when(inOld && !inNew, "removed")

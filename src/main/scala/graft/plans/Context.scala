@@ -84,15 +84,23 @@ final class Context(
         col("e.message").as("message"))
     val dropped = droppedFrames.filter(_._1 == phase).map(_._2)
     droppedFrames.filterInPlace(_._1 != phase)
+    // persist around the two actions: the registered dropped-event frames
+    // re-derive from mid-phase (pre-filter) plans that the phase-output
+    // cache does NOT cover, so without this the upstream runs once for the
+    // count and again for the collect; both actions are eager, so the
+    // blocks are droppable immediately after
     val exploded = (fromChannel +: dropped).reduce(_ unionByName _)
-    val counts = exploded.groupBy(col("etype")).count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    errorCounts(phase) = errorCounts.getOrElse(phase, 0L) + counts.getOrElse(ErrorType, 0L)
-    droppedCounts(phase) = droppedCounts.getOrElse(phase, 0L) + counts.getOrElse(DroppedType, 0L)
-    exploded.limit(Context.maxCollected).collect().foreach { r =>
-      eventLog += EventRecord(phase, Some(r.getLong(0)), r.getString(1),
-        r.getString(2), if (r.isNullAt(3)) "" else r.getString(3))
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      val counts = exploded.groupBy(col("etype")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      errorCounts(phase) = errorCounts.getOrElse(phase, 0L) + counts.getOrElse(ErrorType, 0L)
+      droppedCounts(phase) = droppedCounts.getOrElse(phase, 0L) + counts.getOrElse(DroppedType, 0L)
+      exploded.limit(Context.maxCollected).collect().foreach { r =>
+        eventLog += EventRecord(phase, Some(r.getLong(0)), r.getString(1),
+          r.getString(2), if (r.isNullAt(3)) "" else r.getString(3))
+      }
+    } finally exploded.unpersist(false)
   }
 }
 

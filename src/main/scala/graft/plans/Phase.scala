@@ -99,6 +99,15 @@ final case class Phase(
 
     val mapping = df.columns.map(c =>
       if (Events.internalCols.contains(c)) c -> c else c -> renameMe(c))
+    // two distinct input headers landing on one final name (e.g. both the
+    // declared name and its rename alias present) would produce a
+    // duplicate-column frame and ambiguous references downstream — a
+    // definition/data error, same class as the strict-name collision above
+    val collisions = mapping.map(_._2).filterNot(Events.internalCols.contains)
+      .groupBy(identity).filter(_._2.length > 1).keys
+    if (collisions.nonEmpty)
+      throw GraftError(
+        s"Multiple source columns map to ${collisions.mkString(", ")} after renames")
     if (mapping.forall { case (a, b) => a == b }) df
     else df.withColumnsRenamed(mapping.toMap)
   }

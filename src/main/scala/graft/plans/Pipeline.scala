@@ -107,11 +107,16 @@ final class Pipeline(
 
     var prevCached: Option[DataFrame] = None
     phases.foreach { phase =>
-      df = runPhase(phase, df)
+      val phaseOut = runPhase(phase, df)
       // runPhase materialized the new cache (event drain + checkpoint);
       // the predecessor's cache is no longer on the critical path
       prevCached.foreach(_.unpersist(false))
-      prevCached = Some(df)
+      prevCached = Some(phaseOut)
+      // the phase's events were drained and reported; clear the channel so
+      // the next phase's drain doesn't re-report them under its own name
+      // (the checkpoint never carries events, so the in-memory pipe must
+      // not either)
+      df = phaseOut.withColumn(Events.EventsCol, Events.emptyEvents)
       if (strictCheckpointCompat) {
         // re-read the checkpoint so the next phase sees exactly what was
         // serialized (CSV: everything re-stringified, like the reference)
@@ -130,10 +135,20 @@ final class Pipeline(
     val out0 = phase(input, context)
 
     // Phase.apply already removed per-column-policy dropped rows before
-    // its steps ran; this filter is only a safety net for user steps that
-    // append DROPPED_ROW events directly. Rows with collected ERRORs are
-    // retained unchanged (X4).
-    val out = out0.filter(!Events.rowDropped(out0(Events.EventsCol)))
+    // its steps ran; this filter is a safety net for user steps that
+    // append DROPPED_ROW events directly. Their events are registered for
+    // the drain FIRST — filtering before registering would erase the only
+    // audit trail of those rows (every drop must be reported). Rows with
+    // collected ERRORs are retained unchanged (X4).
+    val dropped = Events.rowDropped(out0(Events.EventsCol))
+    context.registerDroppedEvents(phase.name,
+      out0.filter(dropped)
+        .select(col(Events.RowNumCol).as("row_num"),
+          explode(col(Events.EventsCol)).as("e"))
+        .filter(col("e.etype") === Events.DroppedType)
+        .select(col("row_num"), col("e.etype").as("etype"),
+          col("e.step").as("step"), col("e.message").as("message")))
+    val out = out0.filter(!dropped)
       // cache: event drain + checkpoint + next phase all reuse this plan
       .persist()
 

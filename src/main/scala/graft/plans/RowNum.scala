@@ -40,7 +40,10 @@ object RowNum {
     val rdd0 = withoutOld.rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val counts = rdd0
-      .mapPartitionsWithIndex((pid, it) => Iterator(pid -> it.size.toLong))
+      // fold into a Long: Iterator.size returns Int and a >2^31-row
+      // partition would overflow negative, scrambling every later offset
+      .mapPartitionsWithIndex((pid, it) =>
+        Iterator(pid -> it.foldLeft(0L)((n, _) => n + 1)))
       .collect().toMap
     val maxPid = if (counts.isEmpty) -1 else counts.keys.max
     val offsets = (0 to maxPid).scanLeft(0L)((acc, pid) => acc + counts.getOrElse(pid, 0L))

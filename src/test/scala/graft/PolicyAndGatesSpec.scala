@@ -164,6 +164,48 @@ class PolicyAndGatesSpec extends SparkSpec {
       e.etype == Events.WarningType && e.message.contains("2 rows were dropped")))
   }
 
+  test("phase events are reported once: the next phase does not re-drain them") {
+    val dir = Files.createTempDirectory("graft_redrain").toString
+    val src = csv(dir, "v\n1\nx\n2\n")
+    val p1 = Phase("One", columns = Seq(
+      ColumnDef("v", graft.functions.ColType.IntT, onErrorOpt = Some(ErrorPolicy.Warn))))
+    val p2 = Phase("Two")
+    val pipe = new Pipeline(spark, Seq(p1, p2),
+      Paths.get(dir, "out").toString, src, saveFormat = Format.Csv)
+    pipe.run()
+    val warns = pipe.context.events.filter(_.etype == Events.WarningType)
+      .filterNot(_.step == "consistency_check")
+    assert(warns.count(_.phase == "One") == 1) // the 'x' cast warning
+    assert(!warns.exists(_.phase == "Two"))    // NOT re-attributed to Two
+  }
+
+  test("user steps appending DROPPED_ROW directly still leave an audit trail") {
+    val dir = Files.createTempDirectory("graft_dropaudit").toString
+    val src = csv(dir, "v\n1\n2\n3\n")
+    // a raw batch step that marks v=2 dropped via the event channel,
+    // bypassing FlagRows' registration path
+    val step = Step.Batch("mark_dropped", (d, _) =>
+      d.withColumn(Events.EventsCol,
+        Events.append(d(Events.EventsCol), col("v") === "2",
+          Events.DroppedType, "mark_dropped", lit("manually dropped"),
+          ErrorPolicy.DropRow)))
+    val pipe = new Pipeline(spark, Seq(Phase("P", steps = Seq(step))),
+      Paths.get(dir, "out").toString, src, saveFormat = Format.Csv)
+    val out = pipe.run()
+    assert(out.count() == 2) // row physically removed
+    assert(pipe.context.droppedCount("P") == 1) // ...and counted
+    assert(pipe.context.events.exists(e =>
+      e.etype == Events.DroppedType && e.message == "manually dropped"))
+  }
+
+  test("rename collision: declared name and its alias both present is a definition error") {
+    val ctx = new Context(spark)
+    val df = RowNum.assign(Seq(("1", "2")).toDF("id", "identifier"))
+    val phase = Phase("P", columns = Seq(
+      ColumnDef("id", rename = Seq("identifier"))))
+    assertThrows[GraftError](phase(df, ctx))
+  }
+
   test("previous-run outputs are archived into a timestamped dir (S8)") {
     val dir = Files.createTempDirectory("graft_arch").toString
     val src = csv(dir, "n\n1\n2\n")

@@ -24,6 +24,16 @@ class ScaleSpec extends SparkSpec {
     assert(plain.size == 1000 - 100 + 2) // 900 hot + k10 + k20
   }
 
+  test("saltedJoin keeps rows whose discriminator is null") {
+    val big = Seq((Some("hot"), Option.empty[String]), (Some("hot"), Some("r1")))
+      .map { case (k, d) => (k.orNull, d.orNull) }.toDF("key", "rid")
+    val small = Seq(("hot", "H")).toDF("key", "label")
+    val out = Scale.saltedJoin(big, small, "key", discriminator = "rid", salts = 4)
+    assert(out.count() == 2) // null-rid row joined too (salt 0, not null)
+    assertThrows[IllegalArgumentException](
+      Scale.saltedJoin(big, small, "key", "rid", 4, joinType = "full_outer"))
+  }
+
   test("saltedCount equals plain groupBy count") {
     val df = (1 to 500).map(i => (if (i % 5 == 0) "rare" else "hot", i.toLong))
       .toDF("key", "id")

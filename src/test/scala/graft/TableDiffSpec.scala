@@ -20,6 +20,13 @@ class TableDiffSpec extends SparkSpec {
     assert(c == TableDiff.Counters(added = 1, removed = 1, changed = 1, unchanged = 1))
   }
 
+  test("diff handles column names containing dots (no struct-field misparse)") {
+    val f1 = RowNum.assign(Seq(("a", 1.0), ("b", 2.0)).toDF("name", "price.usd"))
+    val f2 = RowNum.assign(Seq(("a", 1.0), ("b", 3.0)).toDF("name", "price.usd"))
+    val c = TableDiff.counters(TableDiff.diff(f1, f2))
+    assert(c == TableDiff.Counters(added = 0, removed = 0, changed = 1, unchanged = 1))
+  }
+
   test("column-rename alignment (D2, table_diff.py:77-89)") {
     val f1 = RowNum.assign(Seq(("a", 1)).toDF("oldname", "v"))
     val f2 = RowNum.assign(Seq(("a", 1)).toDF("newname", "v"))
