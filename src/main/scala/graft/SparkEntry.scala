@@ -488,6 +488,62 @@ object SparkEntry {
       Events.dropInternal(out)
         .select(col("doc_id"), col("lang_pred"), col("n_tokens"), col("quality"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- X: deterministic hash split (reproducible train/val/test) —
+    //      narrow projection, no RNG: a document's split never changes
+    //      when other documents are added or the cluster layout shifts ----
+    "x17_hash_split" -> { (s, dir) =>
+      graft.operators.CorpusOps.hashSplit(t(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- X: per-source quota cap. The Spark side runs the TWO-STAGE
+    //      (pre-salted) variant while the oracle is the plain global
+    //      window — proving the hot-key-safe plan is result-identical ----
+    "x18_quota_per_source" -> { (s, dir) =>
+      graft.operators.CorpusOps.quotaPerKey(
+        t(s, dir, "documents"), "source", "doc_id", cap = 15, presaltBuckets = 4)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- X: concat-and-chunk sequence packing (LLM pretraining prep):
+    //      global exclusive token offsets via range-partitioned sort +
+    //      per-partition offsets — no single-task Window ----
+    "x19_pack_sequences" -> { (s, dir) =>
+      import graft.functions.TextFunctions
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+      graft.operators.CorpusOps.packSequences(docs, "doc_id", "n_tokens",
+          capacity = 512)
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- X: benchmark decontamination — corpus docs sharing 3-gram
+    //      shingles with the (broadcast) benchmark set. doc_id < 10 plays
+    //      the benchmark; the planted near-dup clusters guarantee hits ----
+    "x20_decontaminate" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.CorpusOps.decontaminate(
+        docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+        "doc_id", "text", n = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- X: PII scrubbing (synthesized emails/phones so the redaction
+    //      actually fires; codegen'd regex projection, no shuffle) ----
+    "x21_pii_scrub" -> { (s, dir) =>
+      val withPii = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id").cast(StringType),
+          lit("@example.com or 555-"),
+          lpad(col("doc_id").cast(StringType), 3, "0"), lit("-4567 now")).as("text"))
+      graft.operators.CorpusOps.piiScrub(withPii, "text")
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          md5(col("text_scrubbed")).as("scrub_fp"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -869,6 +925,57 @@ object SparkEntry {
            WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8)
          SELECT doc_id, lang_pred, n_tokens, quality FROM kept2
          WHERE doc_id NOT IN (SELECT id_b FROM losers)
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+
+    "x17_hash_split" ->
+      """SELECT doc_id,
+           CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 95 THEN 'val'
+                ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
+
+    "x18_quota_per_source" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 15 ORDER BY doc_id""",
+
+    "x19_pack_sequences" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents)
+         SELECT doc_id, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset,
+           CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS chunk_id
+         FROM d ORDER BY doc_id""",
+
+    "x20_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+                FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1))) t(i)),
+         bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 10)
+         SELECT doc_id, count(*) AS n_overlap
+         FROM sh JOIN bench USING (s)
+         WHERE doc_id >= 10
+         GROUP BY doc_id
+         HAVING count(*) >= 1
+         ORDER BY doc_id""",
+
+    "x21_pii_scrub" ->
+      """WITH p AS (SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 555-'
+                  || lpad(CAST(doc_id AS VARCHAR), 3, '0') || '-4567 now' AS text
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS scrub_fp
+         FROM p ORDER BY doc_id"""
   )
 }

@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.functions.TextFunctions
+
+/** Corpus-curation operators a large-scale training-data pipeline needs on
+  * top of the dedup/similarity/text family: reproducible splits, per-source
+  * quotas, sequence packing, benchmark decontamination, and PII scrubbing.
+  *
+  * Every operator here is deterministic (no RNG — hashes of stable keys
+  * decide sampling and salting), so reruns, retried tasks, and different
+  * cluster layouts produce byte-identical corpora. That property is what
+  * makes them oracle-checkable cross-engine, and at 100 TB it is also what
+  * makes a failed 12-hour job resumable without a reshuffled train set.
+  */
+object CorpusOps {
+
+  /** Deterministic train/val/test split assignment: bucket = md5(key) mod
+    * `buckets`, split = first entry whose cumulative share covers the
+    * bucket. Narrow (no shuffle), reproducible across runs and engines —
+    * unlike `df.sample`/`randomSplit`, adding or removing OTHER documents
+    * never flips this document's split (stable under corpus growth).
+    *
+    * `shares` are (name, percent) with percents summing to `buckets`
+    * (default 100). DuckDB twin: `('0x'||substr(md5(CAST(k AS VARCHAR)),1,15))::BIGINT % 100`.
+    */
+  def hashSplit(df: DataFrame, keyCol: String,
+      shares: Seq[(String, Int)] = Seq("train" -> 90, "val" -> 5, "test" -> 5),
+      buckets: Int = 100, as: String = "split"): DataFrame = {
+    require(shares.map(_._2).sum == buckets,
+      s"shares must sum to $buckets: $shares")
+    val bucket = pmod(TextFunctions.md5Long(col(keyCol)), lit(buckets.toLong))
+    val cum = shares.scanLeft(0)(_ + _._2).tail
+    val assigned = shares.zip(cum).foldLeft(lit(null).cast("string")) {
+      case (acc, ((name, _), upper)) =>
+        when(acc.isNotNull, acc).otherwise(when(bucket < upper, name))
+    }
+    df.withColumn(as, assigned)
+  }
+
+  /** Deterministic fraction sample: keep rows where md5(key) mod `buckets`
+    * < fraction*buckets. Same stability story as [[hashSplit]]. */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double,
+      buckets: Int = 10000): DataFrame = {
+    val keep = math.round(fraction * buckets)
+    df.filter(pmod(TextFunctions.md5Long(col(keyCol)), lit(buckets.toLong)) < keep)
+  }
+
+  /** Per-key quota cap (e.g. at most `cap` documents per domain — the
+    * standard web-corpus balance step): keep the first `cap` rows of each
+    * key in `orderCol` order (ties broken by `orderCol` itself, so pass a
+    * unique column for determinism).
+    *
+    * One shuffle on the key. A hot key (a domain with 10^9 pages at 100 TB)
+    * would make that key's window a single task, so with `presaltBuckets >
+    * 1` a pre-pass first caps each (key, md5(orderCol) mod salts) subgroup
+    * to `cap` rows — the global top-`cap` of a key is a subset of every
+    * subgroup's top-`cap`, so the pre-pass only discards rows the final
+    * window would discard anyway (two-stage top-k; result-identical, and
+    * the hot key enters the final single-task window with at most
+    * salts*cap rows instead of 10^9).
+    */
+  def quotaPerKey(df: DataFrame, keyCol: String, orderCol: String, cap: Int,
+      presaltBuckets: Int = 1): DataFrame = {
+    require(cap > 0 && presaltBuckets > 0)
+    val pre =
+      if (presaltBuckets == 1) df
+      else {
+        val salted = Window
+          .partitionBy(col(keyCol),
+            pmod(TextFunctions.md5Long(col(orderCol)), lit(presaltBuckets.toLong)))
+          .orderBy(col(orderCol))
+        df.withColumn("__graft_presalt_rn__", row_number().over(salted))
+          .filter(col("__graft_presalt_rn__") <= cap)
+          .drop("__graft_presalt_rn__")
+      }
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+    pre.withColumn("__graft_quota_rn__", row_number().over(w))
+      .filter(col("__graft_quota_rn__") <= cap)
+      .drop("__graft_quota_rn__")
+  }
+
+  /** Concat-and-chunk sequence packing (the standard LLM-pretraining prep:
+    * documents are concatenated in a fixed order and sliced every
+    * `capacity` tokens): for each document, its exclusive running token
+    * offset in `orderCol` order and the chunk its first token lands in.
+    *
+    * The global running sum is computed the scale-safe way — sort (range
+    * partitioned), one pass for per-partition token totals, broadcast the
+    * partition offsets, then a per-partition streaming scan — NOT a
+    * partition-less `Window.orderBy`, which would move every row to one
+    * task. The sorted input is persisted (MEMORY_AND_DISK_SER) around the
+    * two passes so the upstream executes once; blocks are reclaimed by the
+    * ContextCleaner with the frame's lineage (same contract as
+    * `plans.RowNum.assign`).
+    *
+    * Output: input columns + `start_offset` (exclusive cumsum of
+    * `tokensCol`, long) + `chunk_id` (= start_offset / capacity, long).
+    */
+  def packSequences(df: DataFrame, orderCol: String, tokensCol: String,
+      capacity: Int): DataFrame = {
+    require(capacity > 0)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.StructField
+    val sorted = df.orderBy(col(orderCol))
+    val tokIdx = sorted.schema.fieldIndex(tokensCol)
+    val schema = sorted.schema
+      .add(StructField("start_offset", LongType, nullable = false))
+      .add(StructField("chunk_id", LongType, nullable = false))
+    val rdd0 = sorted.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val sums = rdd0
+      .mapPartitionsWithIndex((pid, it) =>
+        Iterator(pid -> it.foldLeft(0L)((acc, r) => acc + numAt(r, tokIdx))))
+      .collect().toMap
+    val maxPid = if (sums.isEmpty) -1 else sums.keys.max
+    val offsets = (0 to maxPid).scanLeft(0L)((acc, pid) => acc + sums.getOrElse(pid, 0L))
+    val bc = df.sparkSession.sparkContext.broadcast(offsets.toArray)
+    val rdd = rdd0.mapPartitionsWithIndex { case (pid, it) =>
+      var off = if (pid < bc.value.length) bc.value(pid) else 0L
+      it.map { r =>
+        val start = off
+        off += numAt(r, tokIdx)
+        Row.fromSeq(r.toSeq :+ start :+ (start / capacity))
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  private def numAt(r: org.apache.spark.sql.Row, i: Int): Long = r.get(i) match {
+    case null => 0L
+    case n: java.lang.Number => n.longValue()
+    case other => throw new IllegalArgumentException(
+      s"tokensCol must be numeric, got ${other.getClass.getName}")
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing at least
+    * `minOverlap` word n-gram shingles with any benchmark document (the
+    * standard eval-leakage check run before training). Returns
+    * (id, n_overlap) for contaminated documents only.
+    *
+    * The benchmark shingle set is tiny next to the corpus (eval suites are
+    * MBs; the corpus is TBs), so it is deduplicated and BROADCAST — the
+    * corpus side streams through a broadcast-hash semi-style join with no
+    * corpus shuffle; only the per-doc overlap count aggregates (one shuffle
+    * on doc id, partial-agg combined map-side). */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, minOverlap: Int = 1): DataFrame = {
+    val corpusSh = Dedup.shingleIndex(corpus, idCol, textCol, n)
+    val benchSh = benchmark
+      .select(explode(TextFunctions.shingles(col(textCol), n)).as("s"))
+      .distinct()
+    corpusSh.join(broadcast(benchSh), Seq("s"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_overlap")) // shingleIndex rows are distinct per (id, s)
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
+  /** PII scrubbing: redact emails and phone-shaped numbers, and count the
+    * redactions per row. Pure codegen'd projection (regexp_replace /
+    * regexp_extract_all) — no shuffle, no UDF. Patterns are kept to the
+    * regex subset with identical semantics in Java regex and RE2 so the
+    * operation is engine-portable (and oracle-checkable). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  def piiScrub(df: DataFrame, textCol: String, as: String = "text_scrubbed"): DataFrame =
+    df
+      .withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0))).cast(LongType))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col(textCol), lit(PhonePattern), lit(0))).cast(LongType))
+      .withColumn(as,
+        regexp_replace(regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+          PhonePattern, "<PHONE>"))
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.CorpusOps
+
+/** Specs for the corpus-curation operators (splits, quotas, packing,
+  * decontamination, PII scrubbing). The oracle-gated twins are
+  * x17..x21 in SparkEntry. */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "alpha beta gamma delta epsilon", "a"),
+    (2L, "alpha beta gamma delta epsilon", "a"),
+    (3L, "zeta eta theta iota kappa", "a"),
+    (4L, "lambda mu nu xi omicron", "b"),
+    (5L, "pi rho sigma tau upsilon", "b"),
+    (6L, "phi chi psi omega alpha", "b")
+  ).toDF("id", "text", "src")
+
+  test("hashSplit is deterministic, exhaustive, and stable under corpus growth") {
+    val s1 = CorpusOps.hashSplit(docs, "id").select("id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(s1.values.forall(Set("train", "val", "test")))
+    // adding rows must not flip existing assignments (hash of own key only)
+    val grown = docs.union(Seq((7L, "new doc", "c")).toDF("id", "text", "src"))
+    val s2 = CorpusOps.hashSplit(grown, "id").select("id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    s1.foreach { case (k, v) => assert(s2(k) == v) }
+    // rerun is byte-identical (no RNG)
+    val s3 = CorpusOps.hashSplit(docs, "id").select("id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s3 == s1)
+  }
+
+  test("hashSplit rejects shares that do not cover the bucket space") {
+    intercept[IllegalArgumentException] {
+      CorpusOps.hashSplit(docs, "id", shares = Seq("train" -> 50, "val" -> 20))
+    }
+  }
+
+  test("hashSample keeps a stable subset, monotone in fraction") {
+    val k40 = CorpusOps.hashSample(docs, "id", 0.4).select("id").as[Long].collect().toSet
+    val k80 = CorpusOps.hashSample(docs, "id", 0.8).select("id").as[Long].collect().toSet
+    assert(k40.subsetOf(k80))
+    assert(CorpusOps.hashSample(docs, "id", 1.0).count() == 6)
+    assert(CorpusOps.hashSample(docs, "id", 0.0).count() == 0)
+  }
+
+  test("quotaPerKey caps each key; pre-salted variant is result-identical") {
+    val plain = CorpusOps.quotaPerKey(docs, "src", "id", cap = 2)
+      .select("id").as[Long].collect().sorted
+    assert(plain.toSeq == Seq(1L, 2L, 4L, 5L)) // first 2 ids of each src
+    val salted = CorpusOps.quotaPerKey(docs, "src", "id", cap = 2, presaltBuckets = 3)
+      .select("id").as[Long].collect().sorted
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("packSequences computes exclusive offsets and chunk ids in order") {
+    val d = Seq((1L, 300L), (2L, 300L), (3L, 100L), (4L, 500L))
+      .toDF("id", "n_tokens")
+    val packed = CorpusOps.packSequences(d, "id", "n_tokens", capacity = 512)
+      .orderBy("id")
+      .select("id", "start_offset", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(packed.toSeq == Seq((1L, 0L, 0L), (2L, 300L, 0L), (3L, 600L, 1L), (4L, 700L, 1L)))
+    // total offset+tokens of last doc = corpus token count
+    assert(packed.last._2 + 500L == 1200L)
+  }
+
+  test("packSequences survives repartitioned input (offsets follow sort order)") {
+    val d = Seq.tabulate(100)(i => (i.toLong, (i % 7 + 1).toLong))
+      .toDF("id", "n_tokens").repartition(8)
+    val packed = CorpusOps.packSequences(d, "id", "n_tokens", capacity = 10)
+      .orderBy("id").select("id", "start_offset").as[(Long, Long)].collect()
+    var expect = 0L
+    packed.foreach { case (id, off) =>
+      assert(off == expect, s"doc $id")
+      expect += (id % 7 + 1)
+    }
+  }
+
+  test("decontaminate flags exactly the docs sharing shingles with the benchmark") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon"), // near-copy of bench doc 1
+      (11L, "totally different words here now"),
+      (12L, "zeta eta theta iota kappa")       // copy of bench doc 3
+    ).toDF("doc_id", "text")
+    val bench = docs.filter($"id" <= 3).select($"text")
+    val hits = CorpusOps.decontaminate(corpus, bench, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.keySet == Set(10L, 12L))
+    assert(hits(12L) == 3) // 5 words -> 3 trigrams, all shared
+  }
+
+  test("piiScrub redacts emails and phones and counts them") {
+    val d = Seq(
+      (1L, "mail me at jo.doe+x@ex-ample.org or call 415-555-1234 ok"),
+      (2L, "no pii here"),
+      (3L, "two mails a@b.com c@d.org and 000-111-2222 333-444-5555")
+    ).toDF("id", "text")
+    val out = CorpusOps.piiScrub(d, "text")
+      .select("id", "n_emails", "n_phones", "text_scrubbed")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toList
+    assert(out(0) == ((1L, 1L, 1L, "mail me at <EMAIL> or call <PHONE> ok")))
+    assert(out(1) == ((2L, 0L, 0L, "no pii here")))
+    assert(out(2)._2 == 2L && out(2)._3 == 2L)
+    assert(!out(2)._4.contains("@") && out(2)._4.contains("<PHONE>"))
+  }
+}
