@@ -49,8 +49,21 @@ object Curation {
       Step.batch("near_dedup_minhash") { (df, _) =>
         // greedy near-dup removal: for every near-dup pair keep the lower
         // id; higher ids become a drop list (one broadcastable frame —
-        // pair volume is near-dup density, not corpus size)
-        val pairs = Dedup.minhashLshPairs(df, "doc_id", "text",
+        // pair volume is near-dup density, not corpus size).
+        //
+        // The pair search walks the survivor frame several times
+        // (signatures + both sides of the exact-jaccard verify), and each
+        // walk would recompute the analyze/filter lineage — including the
+        // interpreted higher-order lang-id/quality lambdas. Persist ONLY
+        // the narrow (doc_id, text) projection those walks need: a few
+        // bytes per doc, serialized, spill-safe — unlike persisting the
+        // full frame (events array + metrics), which measured SLOWER than
+        // recompute here. Blocks are reclaimed by the ContextCleaner once
+        // the step's output frame is unreachable (same contract as
+        // RowNum.assign).
+        val slim = df.select(col("doc_id"), col("text"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        val pairs = Dedup.minhashLshPairs(slim, "doc_id", "text",
           n = 3, threshold = 0.8)
         val losers = pairs.select(col("id_b").as("doc_id")).distinct()
         df.join(broadcast(losers), Seq("doc_id"), "left_anti")
