@@ -10,6 +10,7 @@ import graft.sources.Format
   *
   *   run <pipeline> <workdir> <source> [--error-policy P] [--format F]
   *   describe <pipeline>
+  *   debug <pipeline> <source> [--explain true]
   *   diff <workdir> <file1> <file2> [--out report.html]
   *
   * Pipelines are looked up in [[Registry]] by name (the reference discovers
@@ -77,6 +78,31 @@ object Main {
         phase.steps.foreach(s => println(s"  step ${s.name}"))
       }
 
+    case "debug" :: pipelineName :: source :: rest =>
+      // the reference's DebugPipelineCommand is an empty stub
+      // (cli/commands/debug.py); implemented here: run each phase in
+      // sequence WITHOUT writing checkpoints, printing per-phase row
+      // counts, event tallies by type, and (with --explain true) the
+      // formatted physical plan a cluster would execute
+      import org.apache.spark.sql.functions.{col, explode}
+      import graft.plans.{Context, Events, RowNum}
+      val opts = parseOpts(rest)
+      val spark = session()
+      val ctx = new Context(spark)
+      var df = RowNum.ensure(graft.sources.GraftIO.read(spark, source))
+      Registry(pipelineName).foreach { phase =>
+        df = phase(df, ctx)
+        val byType = df
+          .select(explode(col(Events.EventsCol)).as("e"))
+          .groupBy(col("e.etype")).count()
+          .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}")
+        println(s"phase ${phase.name}: ${df.count()} rows" +
+          (if (byType.isEmpty) "" else byType.mkString(" [", " ", "]")))
+        if (opts.get("explain").contains("true"))
+          println(df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+      }
+
     case "diff" :: rest =>
       graft.operators.TableDiffCli.main(rest.toArray)
 
@@ -84,6 +110,7 @@ object Main {
       System.err.println(
         """usage: graft run <pipeline> <workdir> <source> [--error-policy warn|collect|drop_row|stop_now] [--format csv|json|parquet] [--strict true]
           |       graft describe <pipeline>
+          |       graft debug <pipeline> <source> [--explain true]
           |       graft diff <workdir> <file1> <file2> [--out report.html]""".stripMargin)
       sys.exit(2)
   }

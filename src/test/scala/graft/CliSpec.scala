@@ -59,6 +59,23 @@ class CliSpec extends SparkSpec {
     assert(err.getMessage.contains("Cannot parse arguments"))
   }
 
+  test("debug runs phases without checkpoints, printing counts and event tallies") {
+    spark
+    val workDir = Files.createTempDirectory("graft-cli").toString
+    val src = employeesCsv(workDir)
+    val out = new ByteArrayOutputStream()
+    Console.withOut(out) {
+      Main.main(Array("debug", "employees", src, "--explain", "true"))
+    }
+    val text = out.toString
+    assert(text.contains("phase Validator: 3 rows"))
+    assert(text.contains("phase Transformer: 3 rows"))
+    assert(text.contains("Physical Plan")) // --explain true emits formatted plans
+    // debug must not write checkpoint files anywhere
+    assert(!Files.list(Paths.get(workDir)).toArray.map(_.toString)
+      .exists(_.contains("_output")))
+  }
+
   test("describe prints phases, columns, and steps") {
     val out = new ByteArrayOutputStream()
     Console.withOut(out) { Main.main(Array("describe", "employees")) }
