@@ -96,6 +96,16 @@ object EventStreams {
       }
   }
 
+  /** Stream-static enrichment join: each micro-batch of events joins a
+    * static dimension frame (the streaming twin of J1's lookup join). The
+    * static side is broadcast when small — no stream-side shuffle, no
+    * state store involvement (stream-static joins are stateless; only
+    * stream-stream joins buffer). At 100 TB/day the static side is the
+    * bounded one by construction, so this stays a map-side join. */
+  def enrichStream(events: DataFrame, dim: DataFrame, streamKey: String,
+      dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
+
   /** Drive a streaming frame synchronously into an in-memory table (test /
     * smoke harness; production would use a real sink + trigger). */
   def runToMemory(df: DataFrame, queryName: String,

@@ -140,6 +140,28 @@ class ExtensionOpsSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("stream-static enrichment join matches the batch lookup join (stateless, broadcast dim)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream3").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val dim = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val stream = EventStreams.readEvents(spark, dir)
+    val sq = EventStreams.runToMemory(
+      EventStreams.enrichStream(stream, dim, "user_id", "c_custkey")
+        .select(col("event_id"), col("c_mktsegment")),
+      "enriched", outputMode = "append")
+    try {
+      val streamed = spark.table("enriched")
+      val batch = Tables.load(spark, sfDir, "events")
+        .join(dim, col("user_id") === col("c_custkey"), "left")
+        .select(col("event_id"), col("c_mktsegment"))
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).isEmpty)
+    } finally sq.stop()
+  }
+
   test("flatMapGroupsWithState running totals converge to the batch per-user aggregate") {
     val dir = java.nio.file.Files.createTempDirectory("graft_state").toString
     java.nio.file.Files.copy(
