@@ -544,6 +544,17 @@ object SparkEntry {
         .select(col("doc_id"), col("n_emails"), col("n_phones"),
           md5(col("text_scrubbed")).as("scrub_fp"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- X: deterministic corpus mixing to 4:3:2:1 source weights —
+    //      all-integer quota arithmetic + md5-ordered per-source ranks,
+    //      so the SQL oracle replays the exact row selection ----
+    "x22_mix_to_weights" -> { (s, dir) =>
+      graft.operators.CorpusOps.mixToWeights(
+        t(s, dir, "documents"), "source", "doc_id",
+        weights = Map("src0" -> 4, "src1" -> 3, "src2" -> 2, "src3" -> 1))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -976,6 +987,21 @@ object SparkEntry {
            md5(regexp_replace(regexp_replace(text,
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS scrub_fp
-         FROM p ORDER BY doc_id"""
+         FROM p ORDER BY doc_id""",
+
+    "x22_mix_to_weights" ->
+      """WITH d AS (SELECT doc_id, source FROM documents
+                    WHERE source IN ('src0','src1','src2','src3')),
+         w(source, wt) AS (VALUES ('src0', 4), ('src1', 3), ('src2', 2), ('src3', 1)),
+         cnt AS (SELECT source, count(*) AS c FROM d GROUP BY source),
+         nmax AS (SELECT min(c * 10 // wt) AS n FROM cnt JOIN w USING (source)),
+         quota AS (SELECT source, wt * (SELECT n FROM nmax) // 10 AS q FROM w),
+         ranked AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                        doc_id) AS rn
+           FROM d)
+         SELECT doc_id, source FROM ranked JOIN quota USING (source)
+         WHERE rn <= q ORDER BY doc_id"""
   )
 }

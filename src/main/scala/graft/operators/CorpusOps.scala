@@ -33,7 +33,9 @@ object CorpusOps {
       buckets: Int = 100, as: String = "split"): DataFrame = {
     require(shares.map(_._2).sum == buckets,
       s"shares must sum to $buckets: $shares")
-    val bucket = pmod(TextFunctions.md5Long(col(keyCol)), lit(buckets.toLong))
+    // null keys hash as "" (md5(null) would yield a null split silently)
+    val bucket = pmod(TextFunctions.md5Long(
+      coalesce(col(keyCol).cast("string"), lit(""))), lit(buckets.toLong))
     val cum = shares.scanLeft(0)(_ + _._2).tail
     val assigned = shares.zip(cum).foldLeft(lit(null).cast("string")) {
       case (acc, ((name, _), upper)) =>
@@ -47,7 +49,45 @@ object CorpusOps {
   def hashSample(df: DataFrame, keyCol: String, fraction: Double,
       buckets: Int = 10000): DataFrame = {
     val keep = math.round(fraction * buckets)
-    df.filter(pmod(TextFunctions.md5Long(col(keyCol)), lit(buckets.toLong)) < keep)
+    df.filter(pmod(TextFunctions.md5Long(
+      coalesce(col(keyCol).cast("string"), lit(""))), lit(buckets.toLong)) < keep)
+  }
+
+  /** Deterministic corpus mixing: downsample sources so their proportions
+    * hit integer target `weights` EXACTLY (the data-mixture step of a
+    * pretraining pipeline: "4 parts web, 2 parts code, 1 part books").
+    *
+    * The mix size is the largest N with floor(w_s*N/W) <= count_s for
+    * every source; each source keeps its quota q_s = floor(w_s*N/W) in
+    * md5-of-key order. ALL-INTEGER arithmetic — no float rounding, so any
+    * engine replaying the same rule selects the same rows (the x22 oracle
+    * does, in SQL). Which rows: the q_s lowest (md5(key), key) per source
+    * — a deterministic "random" subset, stable across runs and layouts.
+    *
+    * Cost: one per-source count (tiny collect, bounded by #sources), one
+    * shuffle on `keyBy` for the per-source rank window. A pathologically
+    * hot source can reuse the [[quotaPerKey]] two-stage trick upstream.
+    */
+  def mixToWeights(df: DataFrame, sourceCol: String, idCol: String,
+      weights: Map[String, Int]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val totalW = weights.values.sum.toLong
+    val in = df.filter(col(sourceCol).isInCollection(weights.keys.toSeq))
+    val counts = in.groupBy(col(sourceCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = weights.map { case (s, w) =>
+      counts.getOrElse(s, 0L) * totalW / w
+    }.min
+    val quotas = weights.map { case (s, w) => s -> w * n / totalW }
+    val quotaCol = quotas.foldLeft(lit(0L)) { case (acc, (s, q)) =>
+      when(col(sourceCol) === s, lit(q)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(TextFunctions.md5Long(col(idCol)), col(idCol))
+    in.withColumn("__graft_mix_rn__", row_number().over(w))
+      .filter(col("__graft_mix_rn__") <= quotaCol)
+      .drop("__graft_mix_rn__")
   }
 
   /** Per-key quota cap (e.g. at most `cap` documents per domain — the

@@ -81,6 +81,35 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("hashSplit/hashSample tolerate null keys (hash as empty string, never null split)") {
+    val withNull = Seq((Some(1L), "x"), (None, "y")).toDF("id", "text")
+    val split = CorpusOps.hashSplit(withNull, "id").select("split").collect()
+    assert(split.forall(r => !r.isNullAt(0)))
+    assert(CorpusOps.hashSample(withNull, "id", 1.0).count() == 2)
+  }
+
+  test("mixToWeights hits the integer target ratio exactly, stable subset") {
+    // 12/6/6 docs of three sources; weights 2:1:1 -> N=min(12*4/2,6*4,6*4)=24,
+    // quotas = (12, 6, 6): all kept. Weights 1:1:2 -> N=min(48,24,12)=12,
+    // quotas = (3, 3, 6): src c is the binding constraint
+    val rows = (1 to 12).map(i => (i.toLong, "a")) ++
+      (13 to 18).map(i => (i.toLong, "b")) ++ (19 to 24).map(i => (i.toLong, "c"))
+    val df = rows.toDF("id", "src")
+    val all = CorpusOps.mixToWeights(df, "src", "id", Map("a" -> 2, "b" -> 1, "c" -> 1))
+    assert(all.count() == 24)
+    val mixed = CorpusOps.mixToWeights(df, "src", "id", Map("a" -> 1, "b" -> 1, "c" -> 2))
+    val bySrc = mixed.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("a" -> 3L, "b" -> 3L, "c" -> 6L))
+    // deterministic: rerun selects the same ids
+    val ids1 = mixed.select("id").as[Long].collect().sorted.toSeq
+    val ids2 = CorpusOps.mixToWeights(df, "src", "id", Map("a" -> 1, "b" -> 1, "c" -> 2))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2)
+    // sources outside the weight map are excluded entirely
+    assert(!mixed.select("src").as[String].collect().contains("d"))
+  }
+
   test("decontaminate flags exactly the docs sharing shingles with the benchmark") {
     val corpus = Seq(
       (10L, "alpha beta gamma delta epsilon"), // near-copy of bench doc 1
