@@ -555,6 +555,17 @@ object SparkEntry {
         weights = Map("src0" -> 4, "src1" -> 3, "src2" -> 2, "src3" -> 1))
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- X: repetition quality signals (Gopher-style): duplicate-5-gram
+    //      fraction (pure scalar) + top-bigram coverage (explode + two
+    //      id-keyed partial aggs). Per-row double ratios — same IEEE ops
+    //      both engines ----
+    "x23_repetition_scores" -> { (s, dir) =>
+      graft.operators.CorpusOps.repetitionScores(
+        t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -1002,6 +1013,26 @@ object SparkEntry {
                         doc_id) AS rn
            FROM d)
          SELECT doc_id, source FROM ranked JOIN quota USING (source)
-         WHERE rn <= q ORDER BY doc_id"""
+         WHERE rn <= q ORDER BY doc_id""",
+
+    "x23_repetition_scores" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g5 AS (SELECT doc_id,
+             CASE WHEN len(ws) < 5 THEN 0.0
+                  ELSE 1.0 - CAST(len(list_distinct(
+                         [array_to_string(ws[i:i+4], ' ')
+                          FOR i IN range(1, greatest(len(ws) - 3, 1))])) AS DOUBLE)
+                       / CAST(greatest(len(ws) - 4, 1) AS DOUBLE) END AS dup_5gram_frac
+           FROM w),
+         bg AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS s
+                FROM w, UNNEST(range(1, greatest(len(ws), 1))) t(i)),
+         cnts AS (SELECT doc_id, s, count(*) AS c FROM bg GROUP BY 1, 2),
+         top AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+                   AS top_bigram_frac
+                 FROM cnts GROUP BY doc_id)
+         SELECT w.doc_id, g5.dup_5gram_frac,
+           coalesce(top.top_bigram_frac, 0.0) AS top_bigram_frac
+         FROM w JOIN g5 USING (doc_id) LEFT JOIN top USING (doc_id)
+         ORDER BY w.doc_id"""
   )
 }

@@ -27,13 +27,28 @@ object TextFunctions {
   /** Word n-gram shingles (distinct), as space-joined strings.
     * DuckDB equivalent: array_to_string(words[i:i+n-1], ' ') over
     * range(1, len-n+2). */
-  def shingles(text: Column, n: Int): Column = {
+  def shingles(text: Column, n: Int): Column =
+    array_distinct(ngrams(text, n))
+
+  /** Word n-grams WITH duplicates (positional), as space-joined strings —
+    * the repetition-measure base ([[shingles]] is the distinct set form). */
+  def ngrams(text: Column, n: Int): Column = {
     val ws = tokens(text)
     // guard: sequence(1, 0) would generate a DESCENDING [1, 0] in Spark
     when(size(ws) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(
+      .otherwise(
         transform(sequence(lit(1), size(ws) - (n - 1)),
-          i => array_join(slice(ws, i, lit(n)), " "))))
+          i => array_join(slice(ws, i, lit(n)), " ")))
+  }
+
+  /** Fraction of n-gram occurrences that are repeats of an earlier one:
+    * 1 - distinct/total (0 for texts shorter than n tokens). The Gopher-
+    * style "duplicate n-gram fraction" repetition signal, as a pure
+    * scalar expression. */
+  def dupNgramFraction(text: Column, n: Int): Column = {
+    val g = ngrams(text, n)
+    when(size(g) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(g)).cast(DoubleType) / size(g).cast(DoubleType))
   }
 
   /** Token count (whitespace). */

@@ -200,6 +200,29 @@ object CorpusOps {
       .filter(col("n_overlap") >= minOverlap)
   }
 
+  /** Gopher-style repetition signals per document:
+    *  - `dup_5gram_frac`: fraction of 5-gram occurrences that repeat an
+    *    earlier one — a pure scalar expression (no shuffle).
+    *  - `top_bigram_frac`: fraction of bigram occurrences covered by the
+    *    document's single most frequent bigram — needs per-(doc, bigram)
+    *    counts: one explode + two id-keyed partial aggregations; scales
+    *    as corpus token count, never cross-document.
+    * Documents shorter than the n-gram width score 0.0 on that signal
+    * (left join + coalesce, mirrored in the x23 oracle). */
+  def repetitionScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      TextFunctions.dupNgramFraction(col(textCol), 5).as("dup_5gram_frac"))
+    val top = df
+      .select(col(idCol).as("id"),
+        explode(TextFunctions.ngrams(col(textCol), 2)).as("bg"))
+      .groupBy(col("id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg((max(col("c")).cast(DoubleType) /
+        sum(col("c")).cast(DoubleType)).as("top_bigram_frac"))
+    base.join(top, Seq("id"), "left")
+      .withColumn("top_bigram_frac", coalesce(col("top_bigram_frac"), lit(0.0)))
+  }
+
   /** PII scrubbing: redact emails and phone-shaped numbers, and count the
     * redactions per row. Pure codegen'd projection (regexp_replace /
     * regexp_extract_all) — no shuffle, no UDF. Patterns are kept to the

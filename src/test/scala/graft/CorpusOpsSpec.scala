@@ -123,6 +123,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(hits(12L) == 3) // 5 words -> 3 trigrams, all shared
   }
 
+  test("repetitionScores: dup-5gram fraction and top-bigram coverage") {
+    val d = Seq(
+      (1L, "a b c d e a b c d e"),     // 6 5-grams, 5 distinct -> 1/6; bigrams: 9 occurrences, "a b" x2 ... top = 2/9
+      (2L, "x y z w v u t s r q"),     // all unique -> 0.0; every bigram once -> 1/9
+      (3L, "short")                    // no 5-grams, no bigrams -> 0.0 / 0.0
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.repetitionScores(d, "doc_id", "text")
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(out(0)._2 === 1.0 - 5.0 / 6.0)
+    assert(out(0)._3 === 2.0 / 9.0)
+    assert(out(1)._2 === 0.0)
+    assert(out(1)._3 === 1.0 / 9.0)
+    assert(out(2) == ((3L, 0.0, 0.0)))
+  }
+
   test("piiScrub redacts emails and phones and counts them") {
     val d = Seq(
       (1L, "mail me at jo.doe+x@ex-ample.org or call 415-555-1234 ok"),
