@@ -566,6 +566,22 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
+    },
+
+    // ---- X: incremental exact dedup against a historical corpus (the
+    //      daily-ingest shape). The batch carries synthesized copies of
+    //      history texts (dropped by the fingerprint anti-join) and of
+    //      in-batch texts (lowest id wins), so both paths fire ----
+    "x24_dedup_incremental" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val history = docs.filter(col("doc_id") < 250)
+      val copies = docs
+        .filter(col("doc_id") < 5 || (col("doc_id") >= 250 && col("doc_id") < 255))
+        .withColumn("doc_id", col("doc_id") + 10000)
+      val batch = docs.filter(col("doc_id") >= 250).unionByName(copies)
+      graft.operators.Dedup.dedupAgainstHistory(batch, history, "doc_id", "text")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -1033,6 +1049,23 @@ object SparkEntry {
          SELECT w.doc_id, g5.dup_5gram_frac,
            coalesce(top.top_bigram_frac, 0.0) AS top_bigram_frac
          FROM w JOIN g5 USING (doc_id) LEFT JOIN top USING (doc_id)
-         ORDER BY w.doc_id"""
+         ORDER BY w.doc_id""",
+
+    "x24_dedup_incremental" ->
+      """WITH f AS (SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+           FROM documents),
+         hist AS (SELECT DISTINCT fp FROM f WHERE doc_id < 250),
+         batch AS (
+           SELECT doc_id, fp FROM f WHERE doc_id >= 250
+           UNION ALL
+           SELECT doc_id + 10000, fp FROM f
+           WHERE doc_id < 5 OR (doc_id >= 250 AND doc_id < 255)),
+         fresh AS (SELECT doc_id, fp FROM batch
+                   WHERE fp NOT IN (SELECT fp FROM hist)),
+         ranked AS (SELECT doc_id,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+           FROM fresh)
+         SELECT doc_id FROM ranked WHERE rn = 1 ORDER BY doc_id"""
   )
 }

@@ -35,6 +35,27 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Incremental exact dedup: drop rows of `newDocs` whose normalized-text
+    * fingerprint already exists in `history`, then dedup within the batch
+    * itself (lowest id wins). The daily-ingest shape: at 100 TB the
+    * history side is the (distinct) fingerprint INDEX — one narrow column
+    * shuffled by content key, not the historical corpus; in production it
+    * would be the persisted output of [[exactGroups]], so pass a frame
+    * with a precomputed `fp` column to skip re-hashing history. */
+  def dedupAgainstHistory(newDocs: DataFrame, history: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val histFp =
+      if (history.columns.contains("fp")) history.select(col("fp")).distinct()
+      else history.select(fingerprint(col(textCol)).as("fp")).distinct()
+    val fresh = newDocs
+      .withColumn("__fp", fingerprint(col(textCol)))
+      .join(histFp.withColumnRenamed("fp", "__fp").hint("shuffle_hash"),
+        Seq("__fp"), "left_anti")
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol).asc)
+    fresh.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "__fp")
+  }
+
   /** Inverted index: (id, distinct shingle). The base for exact-jaccard
     * candidate generation. `maxDocFreq` drops shingles appearing in more
     * documents than the cap — the standard hot-key guard that keeps the

@@ -139,6 +139,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(2) == ((3L, 0.0, 0.0)))
   }
 
+  test("dedupAgainstHistory drops history matches and in-batch copies; accepts a precomputed fp index") {
+    import graft.operators.Dedup
+    val history = Seq((1L, "old doc one"), (2L, "old doc two")).toDF("id", "text")
+    val batch = Seq(
+      (10L, "old doc one"),   // exact history dup -> dropped
+      (11L, "brand new doc"),
+      (12L, "brand new doc"), // in-batch dup of 11 -> dropped (lowest id wins)
+      (13L, "another new one")
+    ).toDF("id", "text")
+    val kept = Dedup.dedupAgainstHistory(batch, history, "id", "text")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(11L, 13L))
+    // precomputed fingerprint index short-circuits re-hashing history
+    val fpIndex = history.select(
+      graft.functions.TextFunctions.fingerprint($"text").as("fp"))
+    val kept2 = Dedup.dedupAgainstHistory(batch, fpIndex, "id", "text")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept2 == kept)
+  }
+
   test("piiScrub redacts emails and phones and counts them") {
     val d = Seq(
       (1L, "mail me at jo.doe+x@ex-ample.org or call 415-555-1234 ok"),
