@@ -143,7 +143,17 @@ final case class ColumnDef(
       * COLLECT, context.py:22,33; per-column override, column.py:83-87). */
     onErrorOpt: Option[ErrorPolicy] = None,
     minValue: Option[Any] = None,
-    maxValue: Option[Any] = None) {
+    maxValue: Option[Any] = None,
+    /** Custom named validations over the typed value — the Spark form of
+      * subclassing Column and overriding check_value (the reference's
+      * documented extension point, docs/user/advanced.md "custom column
+      * validation"; column.py check_value). Each predicate returns the
+      * INVALID condition; firings route through the column's on_error
+      * policy exactly like the built-in checks. Keep predicates to pure
+      * Column expressions (codegen'd); lookups against side data belong
+      * in a row step, as the reference docs also advise for multi-column
+      * or external checks. */
+    customChecks: Seq[(String, Column => Column)] = Nil) {
 
   // definition-time checks (column.py:89-105)
   ColumnDef.checkColName(name)
@@ -219,7 +229,16 @@ final case class ColumnDef(
         concat(lit(s"Value for $name is "), fixed.cast(StringType),
           lit(s", more than max $m"))))
 
-    val checks = Seq(nullErr, castErr, blankErr, allowedErr, minErr, maxErr).flatten
+    // custom checks run last, on the typed value, null-safe (a predicate
+    // returning null never fires — mirrors check_value running after the
+    // built-in null handling)
+    val customErrs = customChecks.map { case (checkName, invalid) =>
+      (fixed.isNotNull && coalesce(invalid(fixed), lit(false)),
+        concat(lit(s"Column '$name' value "), fixed.cast(StringType),
+          lit(s" failed check $checkName")))
+    }
+
+    val checks = Seq(nullErr, castErr, blankErr, allowedErr, minErr, maxErr).flatten ++ customErrs
     ColumnDef.Compiled(fixed, checks, policy)
   }
 }

@@ -133,6 +133,20 @@ class ColumnDefSpec extends SparkSpec {
     assert(got.head._1 == "Hello world")
   }
 
+  test("custom checks run on the typed value and route through the policy (docs/user/advanced.md custom column validation)") {
+    val evenOnly = ColumnDef("n", ColType.IntT,
+      customChecks = Seq("is_even" -> ((v: org.apache.spark.sql.Column) => v % 2 =!= 0)))
+    val got = runCol(evenOnly, Seq("4", "7", ""))
+    assert(got(0)._2.isEmpty)
+    assert(got(1)._2.exists(m => m.contains("failed check is_even") && m.contains("7")))
+    assert(got(2)._2.isEmpty) // null never reaches a custom check
+    // a null-returning predicate never fires (coalesce guard)
+    val nullPred = ColumnDef("s",
+      customChecks = Seq("never" -> ((_: org.apache.spark.sql.Column) =>
+        lit(null).cast("boolean"))))
+    assert(runCol(nullPred, Seq("x")).head._2.isEmpty)
+  }
+
   test("make_strict_name canonicalization (column.py:464-480 doctests)") {
     assert(ColumnDef.makeStrictName("Homeworld_Quadrant") == "homeworld quadrant")
     assert(ColumnDef.makeStrictName("Homeworld  quadrant") == "homeworld quadrant")

@@ -232,6 +232,26 @@ class PolicyAndGatesSpec extends SparkSpec {
     assertThrows[GraftError](pipe.run())
   }
 
+  test("outgoing-data-contract phase: a final columns-only phase reports contract violations (docs/user/advanced.md)") {
+    val dir = Files.createTempDirectory("graft_contract").toString
+    val src = csv(dir, "id,rate\n1,10.0\n2,-3.5\n3,8.0\n")
+    val transform = Phase("Transform", columns = Seq(
+      ColumnDef("id"), ColumnDef("rate", ColType.FloatT)))
+    // the contract phase declares what OUTGOING data must satisfy; the
+    // negative rate sails through Transform but is reported here
+    val contract = Phase("ContractChecker", columns = Seq(
+      ColumnDef("id", required = true, blank = false),
+      ColumnDef("rate", ColType.FloatT, minValue = Some(0.01),
+        onErrorOpt = Some(ErrorPolicy.Warn))))
+    val pipe = new Pipeline(spark, Seq(transform, contract),
+      Paths.get(dir, "out").toString, src, saveFormat = Format.Csv)
+    val out = pipe.run()
+    assert(out.count() == 3) // warn policy: reported, not dropped
+    val report = Files.readString(Paths.get(dir, "out", "errors_and_warnings.txt"))
+    assert(report.contains("less than min"))
+    assert(report.contains("ContractChecker"))
+  }
+
   test("streaming dedup drops duplicates within the watermark (Dedup family, streaming half)") {
     import graft.streaming.EventStreams
     val dir = Files.createTempDirectory("graft_sdedup").toString
