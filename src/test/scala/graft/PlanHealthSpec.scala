@@ -56,4 +56,31 @@ class PlanHealthSpec extends SparkSpec {
         !p.contains("windowspecdefinition()"), s"$name has an unpartitioned window")
     }
   }
+
+  test("x17: hash split is a pure narrow projection (no exchange at all)") {
+    val p = plan("x17_hash_split")
+    // one final sort for the oracle ordering is the only allowed exchange
+    assert("Exchange".r.findAllIn(p).size <= 1, s"hashSplit introduced shuffles:\n$p")
+    assert(!p.contains("Window ["), "hashSplit must not window")
+  }
+
+  test("x19/x23: packing and repetition scores never use a partition-less window") {
+    for (name <- Seq("x19_pack_sequences", "x23_repetition_scores")) {
+      val p = plan(name)
+      assert(!p.contains("windowspecdefinition()"),
+        s"$name moved all rows to one window task:\n$p")
+    }
+  }
+
+  test("x20: the benchmark shingle set is broadcast — the corpus side never shuffles before the overlap count") {
+    val p = plan("x20_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast benchmark join:\n$p")
+  }
+
+  test("x24: incremental dedup anti-joins on the content key without broadcasting the batch") {
+    val p = plan("x24_dedup_incremental")
+    assert(p.contains("LeftAnti"), s"expected an anti-join:\n$p")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      s"history anti-join must key-shuffle, not broadcast the batch:\n$p")
+  }
 }
