@@ -582,6 +582,20 @@ object SparkEntry {
       graft.operators.Dedup.dedupAgainstHistory(batch, history, "doc_id", "text")
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- X: semi-structured extraction — get_json_object (codegen'd)
+    //      over the events props column, aggregated per type. Long sums
+    //      stay LongType (exact); the DuckDB twin casts its HUGEINT sum
+    //      back to BIGINT ----
+    "x25_json_extract" -> { (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          count_distinct(col("k")).as("n_distinct_k"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -1066,6 +1080,12 @@ object SparkEntry {
          ranked AS (SELECT doc_id,
              row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
            FROM fresh)
-         SELECT doc_id FROM ranked WHERE rn = 1 ORDER BY doc_id"""
+         SELECT doc_id FROM ranked WHERE rn = 1 ORDER BY doc_id""",
+
+    "x25_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(count(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS n_distinct_k
+         FROM events GROUP BY event_type ORDER BY event_type"""
   )
 }

@@ -59,6 +59,19 @@ class CliSpec extends SparkSpec {
     assert(err.getMessage.contains("Cannot parse arguments"))
   }
 
+  test("run drives the curation pipeline from a parquet source end-to-end") {
+    spark
+    val workDir = Files.createTempDirectory("graft-cli-cur").toString
+    val out = new ByteArrayOutputStream()
+    Console.withOut(out) {
+      Main.main(Array("run", "curation", workDir,
+        "/root/testdata/sf0.001/documents.parquet", "--format", "parquet"))
+    }
+    assert(out.toString.contains("pipeline curation finished"))
+    val files = Files.list(Paths.get(workDir)).toArray.map(_.toString)
+    assert(files.exists(_.endsWith("Dedup_output.parquet")))
+  }
+
   test("debug runs phases without checkpoints, printing counts and event tallies") {
     spark
     val workDir = Files.createTempDirectory("graft-cli").toString
