@@ -596,6 +596,44 @@ object SparkEntry {
           sum(col("k")).as("sum_k"),
           count_distinct(col("k")).as("n_distinct_k"))
         .orderBy(col("event_type"))
+    },
+
+    // ---- X: hierarchical rollup (region -> nation subtotals + grand
+    //      total): one Expand-based aggregation, no per-level re-scan ----
+    "x26_rollup" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast(dec)).cast(DecimalType(38, 2)).as("sum_acctbal"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    },
+
+    // ---- ST: sliding (hopping) windows — each event lands in
+    //      length/slide windows; batch twin of the streaming form ----
+    "st3_sliding_window" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("win_start"), col("event_type"), col("n"))
+        .orderBy(col("win_start"), col("event_type"))
+    },
+
+    // ---- X: lead/lag per-user event analytics (keyed windows — the
+    //      partition key bounds every window task) ----
+    "x27_lead_lag" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .withColumn("gap_seconds",
+          (unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w))))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("prev_type"), col("gap_seconds"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
     }
   )
 
@@ -1086,6 +1124,35 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
            CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
            CAST(count(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS n_distinct_k
-         FROM events GROUP BY event_type ORDER BY event_type"""
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "x26_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_acctbal
+         FROM customer
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)
+         ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""",
+
+    "st3_sliding_window" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, event_type FROM events),
+         w AS (SELECT event_type, s FROM e, UNNEST([
+             CAST(to_timestamp(floor(epoch(t) / 1800) * 1800) AS TIMESTAMP),
+             CAST(to_timestamp(floor(epoch(t) / 1800) * 1800 - 1800) AS TIMESTAMP)]) u(s))
+         SELECT s AS win_start, event_type, count(*) AS n
+         FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""",
+
+    "x27_lead_lag" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+             CAST(ts AS TIMESTAMP) AS t FROM events),
+         l AS (SELECT event_id, user_id, event_type, t,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev_type,
+             CAST(floor(epoch(t)) AS BIGINT)
+               - CAST(floor(epoch(lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id))) AS BIGINT)
+               AS gap_seconds
+           FROM e)
+         SELECT event_id, user_id, event_type, prev_type, gap_seconds
+         FROM l ORDER BY user_id, t, event_id"""
   )
 }
