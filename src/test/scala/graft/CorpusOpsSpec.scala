@@ -159,6 +159,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(kept2 == kept)
   }
 
+  test("edge cases: empty inputs and degenerate quotas do not throw") {
+    val empty = Seq.empty[(Long, Long)].toDF("id", "n_tokens")
+    assert(CorpusOps.packSequences(empty, "id", "n_tokens", 512).count() == 0)
+    val emptyDocs = Seq.empty[(Long, String, String)].toDF("id", "text", "src")
+    assert(CorpusOps.hashSplit(emptyDocs, "id").count() == 0)
+    assert(CorpusOps.quotaPerKey(emptyDocs, "src", "id", cap = 5).count() == 0)
+    // a weighted source with zero rows caps the whole mix at zero
+    val oneSided = Seq((1L, "t", "a")).toDF("id", "text", "src")
+    assert(CorpusOps.mixToWeights(oneSided, "src", "id",
+      Map("a" -> 1, "missing" -> 1)).count() == 0)
+    // cap larger than any group is the identity
+    val docs6 = docs
+    assert(CorpusOps.quotaPerKey(docs6, "src", "id", cap = 100).count() == docs6.count())
+  }
+
   test("piiScrub redacts emails and phones and counts them") {
     val d = Seq(
       (1L, "mail me at jo.doe+x@ex-ample.org or call 415-555-1234 ok"),
