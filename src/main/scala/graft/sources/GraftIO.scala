@@ -142,6 +142,11 @@ object GraftIO {
         line = reader.readLine()
       if (line == null) None
       else {
+        // Intentional deviation from the reference's curious-quote quirk
+        // (tests/test_csv.py:66-71: `"id", "name"` keeps the raw ` "name"`
+        // until a later phase canonicalizes it): we trim/unquote at read
+        // time. Both converge after ColumnDef.makeStrictName, and the
+        // early normal form keeps Spark schema names sane.
         val headers = splitCsvLine(line, delimiter)
           .map(_.trim.stripPrefix("\"").stripSuffix("\""))
         val dups = headers.groupBy(identity).filter(_._2.length > 1).keys
