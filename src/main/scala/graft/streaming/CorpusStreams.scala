@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.operators.Dedup
+
+/** Streaming ingest for a documents corpus: the streaming half of the
+  * curation story (the batch half is examples.PretrainPrep).
+  */
+object CorpusStreams {
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** File-based stream over a directory of documents parquet. */
+  def readDocs(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(docSchema).parquet(dir)
+
+  /** Incremental exact dedup on a document stream via foreachBatch: each
+    * micro-batch is deduped against the STATIC historical fingerprint
+    * index and within itself (Dedup.dedupAgainstHistory), then handed to
+    * `writeBatch` — which in production appends to the corpus sink AND
+    * unions the batch's fingerprints into the index for the next day's
+    * run. foreachBatch is the right tool here (not
+    * dropDuplicatesWithinWatermark): the history index predates the
+    * stream, so there is no watermark horizon that could bound it as
+    * stream state — it stays a static side input of the batch join.
+    *
+    * Cross-MICRO-batch duplicates within one run are bounded by pairing
+    * this with [[EventStreams.dedupStream]]-style watermark dedup
+    * upstream, or by folding each batch's fingerprints into the index
+    * inside `writeBatch` (exactly what the daily-ingest pipeline does).
+    */
+  def incrementalDedupStream(docs: DataFrame, historyFp: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text")(
+      writeBatch: (DataFrame, Long) => Unit): StreamingQuery = {
+    val q = docs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatch(Dedup.dedupAgainstHistory(batch, historyFp, idCol, textCol),
+          batchId)
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+}

@@ -162,6 +162,30 @@ class ExtensionOpsSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("foreachBatch incremental dedup: streamed batches drop history and in-batch duplicates") {
+    import graft.streaming.CorpusStreams
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_docs").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val docs = Tables.load(spark, sfDir, "documents")
+    // history = first half of the corpus; streamed file contains ALL docs,
+    // so the history half must be dropped by the fingerprint anti-join
+    val history = docs.filter(col("doc_id") < 250)
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = CorpusStreams.incrementalDedupStream(
+      CorpusStreams.readDocs(spark, dir), history) { (kept, _) =>
+      collected.synchronized {
+        collected ++= kept.select(col("doc_id")).collect().map(_.getLong(0))
+      }
+    }
+    try {
+      val expected = docs.filter(col("doc_id") >= 250)
+        .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+      assert(collected.sorted.toSeq == expected)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState running totals converge to the batch per-user aggregate") {
     val dir = java.nio.file.Files.createTempDirectory("graft_state").toString
     java.nio.file.Files.copy(
