@@ -622,6 +622,32 @@ object SparkEntry {
         .orderBy(col("win_start"), col("event_type"))
     },
 
+    // ---- X: grouped exact percentiles (order statistics per key; the
+    //      grand-total twin is x13, the bounded-memory scale path is
+    //      operators.Percentiles) ----
+    "x28_grouped_percentiles" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.9)").as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // ---- X: top-k per group (rank window bounded by the group key —
+    //      never a global sort) ----
+    "x29_topk_per_group" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_orderpriority"), col("rk").cast(LongType).as("rk"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("rk"))
+    },
+
     // ---- X: lead/lag per-user event analytics (keyed windows — the
     //      partition key bounds every window task) ----
     "x27_lead_lag" -> { (s, dir) =>
@@ -1153,6 +1179,21 @@ object SparkEntry {
                AS gap_seconds
            FROM e)
          SELECT event_id, user_id, event_type, prev_type, gap_seconds
-         FROM l ORDER BY user_id, t, event_id"""
+         FROM l ORDER BY user_id, t, event_id""",
+
+    "x28_grouped_percentiles" ->
+      """SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           count(*) AS n
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "x29_topk_per_group" ->
+      """SELECT o_orderpriority, CAST(rk AS BIGINT) AS rk, o_orderkey, o_totalprice
+         FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+               FROM orders)
+         WHERE rk <= 3 ORDER BY o_orderpriority, rk"""
   )
 }
