@@ -58,22 +58,33 @@ object Curation {
         // the narrow (doc_id, text) projection those walks need: a few
         // bytes per doc, serialized, spill-safe — unlike persisting the
         // full frame (events array + metrics), which measured SLOWER than
-        // recompute here. Blocks are reclaimed by the ContextCleaner once
-        // the step's output frame is unreachable (same contract as
-        // RowNum.assign).
+        // recompute here.
+        val spark = df.sparkSession
         val slim = df.select(col("doc_id"), col("text"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-        // 32 hashes x 8 bands (vs the 64x16 default): the curation
-        // threshold is 0.8 but the near-dup clusters this step exists to
-        // kill sit at j >= 0.9, where 8 4-row bands miss a pair with
-        // p = (1-0.9^4)^8 ~ 2e-4 — and recall is DETERMINISTIC for fixed
-        // data (md5 family), certified by the e1 oracle at all three SFs.
-        // Halves the signature aggregation and banding cost of the
-        // pipeline's hottest stage.
-        val pairs = Dedup.minhashLshPairs(slim, "doc_id", "text",
-          n = 3, threshold = 0.8, numHashes = 32, bands = 8)
-        val losers = pairs.select(col("id_b").as("doc_id")).distinct()
-        df.join(broadcast(losers), Seq("doc_id"), "left_anti")
+        try {
+          // 32 hashes x 8 bands (vs the 64x16 default): the curation
+          // threshold is 0.8 but the near-dup clusters this step exists to
+          // kill sit at j >= 0.9, where 8 4-row bands miss a pair with
+          // p = (1-0.9^4)^8 ~ 2e-4 — and recall is DETERMINISTIC for fixed
+          // data (md5 family), certified by the e1 oracle at all three SFs.
+          // Halves the signature aggregation and banding cost of the
+          // pipeline's hottest stage.
+          val pairs = Dedup.minhashLshPairs(slim, "doc_id", "text",
+            n = 3, threshold = 0.8, numHashes = 32, bands = 8)
+          // collect the loser ids NOW: they are bounded by near-dup
+          // density and must fit in memory anyway (the anti-join
+          // broadcasts them) — and the eager materialization is what lets
+          // slim's blocks be released deterministically in the finally
+          // instead of leaking until the ContextCleaner gets to them
+          val idField = df.schema("doc_id")
+          val loserRows = pairs.select(col("id_b")).distinct().collect()
+            .map(r => org.apache.spark.sql.Row(r.get(0)))
+          val losers = spark.createDataFrame(
+            java.util.Arrays.asList(loserRows: _*),
+            org.apache.spark.sql.types.StructType(Seq(idField)))
+          df.join(broadcast(losers), Seq("doc_id"), "left_anti")
+        } finally slim.unpersist(false)
       }))
 
   val phases: Seq[Phase] = Seq(analyze, filter, dedup)
