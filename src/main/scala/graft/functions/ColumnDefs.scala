@@ -95,8 +95,13 @@ object ColType {
         case Some(tz) =>
           // offset-carrying inputs were already anchored by the parser;
           // only naive ones are re-anchored from the declared zone.
-          // ISO 8601 offsets: Z, +HH, +HHMM, +HH:MM
-          val hasOffset = s.rlike("(Z|[+-][0-9]{2}(:?[0-9]{2})?)$")
+          // ISO 8601 offsets: Z, +HH, +HHMM, +HH:MM — but only AFTER a
+          // time component: a bare date like '2024-01-01' ends in '-01',
+          // which a suffix-only probe would misread as a UTC offset and
+          // skip the re-anchoring (the reference anchors dates too,
+          // column.py:377-379)
+          val hasOffset = s.rlike(
+            "[0-9]{2}:[0-9]{2}(:[0-9]{2}(\\.[0-9]+)?)?\\s*(Z|[+-][0-9]{2}(:?[0-9]{2})?)$")
           when(hasOffset, parsed).otherwise(to_utc_timestamp(parsed, tz))
       }
       when(!isPresent(c), lit(null).cast(TimestampType)).otherwise(zoned)

@@ -76,6 +76,13 @@ object CorpusOps {
     val in = df.filter(col(sourceCol).isInCollection(weights.keys.toSeq))
     val counts = in.groupBy(col(sourceCol)).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // fail fast on a weighted source with no rows: the quota rule would
+    // make the ENTIRE mix empty (n = 0), while a SQL replay that inner-
+    // joins quotas to present sources would silently keep mixing — the
+    // two engines must not diverge on a config typo
+    val missing = weights.keySet.filter(s => counts.getOrElse(s, 0L) == 0L)
+    require(missing.isEmpty,
+      s"mixToWeights: weighted source(s) absent from corpus: ${missing.toSeq.sorted.mkString(", ")}")
     val n = weights.map { case (s, w) =>
       counts.getOrElse(s, 0L) * totalW / w
     }.min
@@ -134,8 +141,9 @@ object CorpusOps {
     * partition offsets, then a per-partition streaming scan — NOT a
     * partition-less `Window.orderBy`, which would move every row to one
     * task. The sorted input is persisted (MEMORY_AND_DISK_SER) around the
-    * two passes so the upstream executes once; blocks are reclaimed by the
-    * ContextCleaner with the frame's lineage (same contract as
+    * two passes so the upstream executes once; the blocks are scoped to the
+    * first Dataset action on the output
+    * ([[graft.plans.Persists.releaseOnNextAction]] — same contract as
     * `plans.RowNum.assign`).
     *
     * Output: input columns + `start_offset` (exclusive cumsum of
@@ -168,6 +176,7 @@ object CorpusOps {
         Row.fromSeq(r.toSeq :+ start :+ (start / capacity))
       }
     }
+    graft.plans.Persists.releaseOnNextAction(df.sparkSession, rdd0)
     df.sparkSession.createDataFrame(rdd, schema)
   }
 

@@ -34,4 +34,38 @@ object Persists {
     * no-leak invariant. */
   def livePersistedRdds(spark: SparkSession): Int =
     spark.sparkContext.getPersistentRDDs.size
+
+  /** Scope `rdd`'s persisted blocks to the FIRST Dataset action that
+    * completes after this call: a one-shot [[QueryExecutionListener]]
+    * unpersists them on `onSuccess`/`onFailure` and unregisters itself.
+    *
+    * Why this is always safe: the owner's own internal passes are raw RDD
+    * actions (collect on a mapPartitions), which do NOT go through
+    * `SQLExecution`/the listener — only the consumer's Dataset action
+    * (write, count, collect) fires it. And an unpersist is never a
+    * correctness hazard: the RDD recomputes from lineage with the same
+    * deterministic partition layout (the numbering offsets were computed
+    * once and broadcast) — early release can only cost recompute time.
+    * Listener delivery is async (listener-bus thread), so release lands
+    * milliseconds after the action rather than inside it. */
+  def releaseOnNextAction(spark: SparkSession, rdd: org.apache.spark.rdd.RDD[_]): Unit =
+    onNextAction(spark)(() => rdd.unpersist(blocking = false))
+
+  /** Run `release` once, after the first Dataset action completing after
+    * this call (success or failure). See [[releaseOnNextAction]]. */
+  def onNextAction(spark: SparkSession)(release: () => Unit): Unit = {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val lm = spark.listenerManager
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val listener = new QueryExecutionListener {
+      private def done(): Unit = if (fired.compareAndSet(false, true)) {
+        release()
+        lm.unregister(this)
+      }
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = done()
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = done()
+    }
+    lm.register(listener)
+  }
 }

@@ -125,6 +125,10 @@ final class Pipeline(
           org.apache.spark.sql.functions.col(Events.RowNumCol).cast("long"))
       }
     }
+    // the LAST phase's cache serves the caller's first action on the
+    // returned frame, then it is dead weight — scope it to that action
+    // (the loop only unpersisted predecessors)
+    prevCached.foreach(c => Persists.onNextAction(spark)(() => c.unpersist(false)))
     Events.dropInternal(df)
   }
 

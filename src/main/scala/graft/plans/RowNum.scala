@@ -27,12 +27,18 @@ object RowNum {
     * them: the count pass executes the upstream ONCE and materializes it;
     * the numbering pass reads the stored partitions instead of recomputing
     * (zipWithIndex would re-execute the whole upstream for its count job).
-    * Blocks are dropped by the ContextCleaner once the returned frame's
-    * lineage is garbage-collected; MEMORY_AND_DISK spills rather than
-    * OOMing at scale. Count and numbering run on the SAME RDD instance —
-    * a separately-built (e.g. column-pruned) plan can partition/order rows
-    * differently, which would scramble the offsets. */
-  def assign(df: DataFrame): DataFrame = assignImpl(df)._1
+    * The blocks are scoped to the FIRST Dataset action on the returned
+    * frame ([[Persists.releaseOnNextAction]]) — deterministic release, not
+    * ContextCleaner-when-GC'd (which leaked blocks across a 50-query bench
+    * session, billing one query's storage to the next). MEMORY_AND_DISK
+    * spills rather than OOMing at scale. Count and numbering run on the
+    * SAME RDD instance — a separately-built (e.g. column-pruned) plan can
+    * partition/order rows differently, which would scramble the offsets. */
+  def assign(df: DataFrame): DataFrame = {
+    val (numbered, persisted) = assignImpl(df)
+    Persists.releaseOnNextAction(df.sparkSession, persisted)
+    numbered
+  }
 
   private def assignImpl(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[Row]) = {
     val withoutOld = df.drop(RowNumCol)

@@ -62,15 +62,39 @@ object GraftIO {
       .option("header", "true")
       .option("comment", "#")
       .option("delimiter", delimiter)
+      // RFC-4180 quote escaping ("" inside a quoted field), matching the
+      // ragged-row probe's collapsing regex — Spark's default is backslash
+      // escape, under which parser and probe would disagree on field
+      // counts for lines with escaped quotes
+      .option("escape", "\"")
       // all strings, as in the reference: typing happens in Phase columns
       .option("inferSchema", "false")
     val df = headers match {
       case None =>
-        // glob/dir source: a single raw header line is ill-defined; fall
-        // back to Spark's native permissive behavior
-        base.csv(path)
+        // glob/dir source: probe EVERY matched file driver-side so the
+        // reference's per-file semantics hold (io.py:34-60 — dup-header
+        // error, ragged-row errors), then read the whole glob in one
+        // distributed pass. Header probing is one tiny driver read per
+        // file (first non-comment line); the ragged check stays a single
+        // distributed job over the full glob.
+        val files = resolveFiles(spark, path)
+        val probed = files.flatMap(f => readHeaders(f, delimiter).map(f -> _))
+        if (probed.isEmpty) base.csv(path) // nothing probe-able (e.g. remote FS)
+        else {
+          val (firstFile, (_, canon)) = probed.head
+          probed.find(_._2._2 != canon).foreach { case (f, (_, hs)) =>
+            throw DataException(
+              s"CSV files under <$path> disagree on headers: <$firstFile> has " +
+                s"<${canon.mkString(",")}> but <$f> has <${hs.mkString(",")}>")
+          }
+          checkRaggedRows(spark, path, delimiter,
+            probed.map(_._2._1).distinct, canon)
+          val schema = org.apache.spark.sql.types.StructType(
+            canon.map(h => org.apache.spark.sql.types.StructField(h, StringType)))
+          base.option("mode", "PERMISSIVE").schema(schema).csv(path)
+        }
       case Some((headerLine, hs)) =>
-        checkRaggedRows(spark, path, delimiter, headerLine, hs)
+        checkRaggedRows(spark, path, delimiter, Seq(headerLine), hs)
         // with an explicit N-column schema, PERMISSIVE null-fills short
         // rows and keeps the first N fields of long ones — both fine,
         // because checkRaggedRows already rejected every genuinely
@@ -100,7 +124,7 @@ object GraftIO {
     * beyond the N-th field is just delimiters/whitespace), else
     * "Inconsistent # of fields". */
   private def checkRaggedRows(spark: SparkSession, path: String,
-      delimiter: String, headerLine: String, hs: Seq[String]): Unit = {
+      delimiter: String, headerLines: Seq[String], hs: Seq[String]): Unit = {
     val d = java.util.regex.Pattern.quote(delimiter)
     val n = hs.length
     val v = col("value")
@@ -116,7 +140,7 @@ object GraftIO {
     val tokensStripped = fieldCount(regexp_replace(v, s"(?:$d\\s*)+$$", ""))
     val blank = trim(regexp_replace(regexp_replace(v, d, ""), "\\s", "")) === ""
     val isData = v.isNotNull && !blank && !v.startsWith("#") &&
-      v =!= lit(headerLine)
+      !v.isin(headerLines: _*)
     val bad = isData &&
       (tokens < n || (tokens > n && tokensStripped > n))
     spark.read.text(path).filter(bad)
@@ -125,6 +149,25 @@ object GraftIO {
         val what = if (r.getBoolean(1)) "Fields missing" else "Inconsistent # of fields"
         throw DataException(s"$what in record <${r.getString(0)}>")
       }
+  }
+
+  /** Resolve a path/glob/dir to its matched data files (Hadoop glob
+    * semantics — the same resolution Spark's reader performs), skipping
+    * hidden/_metadata files. Used to run the reference's per-file header
+    * checks on multi-file sources. */
+  private def resolveFiles(spark: SparkSession, path: String): Seq[String] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val p = new HPath(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+    matched.flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+        else Seq(st)
+      }
+      .map(_.getPath)
+      .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+      .map(_.toUri.getPath)
+      .sorted
   }
 
   /** Probe the raw header line driver-side with a quote-aware tokenizer

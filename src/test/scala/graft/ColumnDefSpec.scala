@@ -170,4 +170,19 @@ class ColumnDefSpec extends SparkSpec {
       java.time.Instant.parse("2020-06-01T12:00:00Z")))
     assert(got.forall(_._2.isEmpty))
   }
+
+  test("DateTimeColumn default_tz anchors DATE-ONLY values too ('-01' suffix is not an offset)") {
+    // '2024-01-01' ends in '-01', which a suffix-only offset probe would
+    // misread as a UTC offset; the reference anchors bare dates in the
+    // declared zone like any other naive value (column.py:377-379)
+    val got = runCol(
+      ColumnDef("t", ColType.DateTimeT(defaultTz = Some("America/New_York"))),
+      Seq("2024-01-01", "2024-07-01"))
+    val instants = got.map(_._1.asInstanceOf[java.sql.Timestamp].toInstant)
+    // midnight in New York: EST (-5) in January, EDT (-4) in July
+    assert(instants == Seq(
+      java.time.Instant.parse("2024-01-01T05:00:00Z"),
+      java.time.Instant.parse("2024-07-01T04:00:00Z")))
+    assert(got.forall(_._2.isEmpty))
+  }
 }

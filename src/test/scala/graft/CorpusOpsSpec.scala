@@ -110,6 +110,16 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!mixed.select("src").as[String].collect().contains("d"))
   }
 
+  test("mixToWeights fails fast on a weighted source absent from the corpus") {
+    // a missing source would force n=0 (empty mix) here, while a SQL
+    // replay inner-joining quotas to present sources would keep mixing —
+    // the engines must not silently diverge on a config typo
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "src")
+    val e = intercept[IllegalArgumentException](
+      CorpusOps.mixToWeights(df, "src", "id", Map("a" -> 1, "b" -> 1, "nope" -> 2)))
+    assert(e.getMessage.contains("nope"))
+  }
+
   test("decontaminate flags exactly the docs sharing shingles with the benchmark") {
     val corpus = Seq(
       (10L, "alpha beta gamma delta epsilon"), // near-copy of bench doc 1
@@ -165,10 +175,10 @@ class CorpusOpsSpec extends SparkSpec {
     val emptyDocs = Seq.empty[(Long, String, String)].toDF("id", "text", "src")
     assert(CorpusOps.hashSplit(emptyDocs, "id").count() == 0)
     assert(CorpusOps.quotaPerKey(emptyDocs, "src", "id", cap = 5).count() == 0)
-    // a weighted source with zero rows caps the whole mix at zero
+    // a weighted source with zero rows is a config error, not an empty mix
     val oneSided = Seq((1L, "t", "a")).toDF("id", "text", "src")
-    assert(CorpusOps.mixToWeights(oneSided, "src", "id",
-      Map("a" -> 1, "missing" -> 1)).count() == 0)
+    assertThrows[IllegalArgumentException](CorpusOps.mixToWeights(
+      oneSided, "src", "id", Map("a" -> 1, "missing" -> 1)))
     // cap larger than any group is the identity
     val docs6 = docs
     assert(CorpusOps.quotaPerKey(docs6, "src", "id", cap = 100).count() == docs6.count())

@@ -151,4 +151,68 @@ class GraftIOSpec extends SparkSpec {
     assert(df.columns.toSeq == Seq("key", "value"))
     assert(GraftIO.dfToMapping(df) == m)
   }
+
+  // ---- multi-file sources: the reference's per-file header semantics
+  //      (io.py:34-60) applied to globs/dirs ----
+
+  private def tmpDir(files: (String, String)*): java.nio.file.Path = {
+    val dir = Files.createTempDirectory("graft_io_multi")
+    files.foreach { case (n, c) => Files.writeString(dir.resolve(n), c) }
+    dir
+  }
+
+  test("read_csv over a dir unions consistent files (headers checked per file)") {
+    val dir = tmpDir(
+      "a.csv" -> "name,age\nalice,30\nbob,40\n",
+      "b.csv" -> "name,age\ncarol,50\n")
+    val df = GraftIO.readCsv(spark, dir.toString)
+    assert(df.columns.toSeq == Seq("name", "age"))
+    assert(df.count() == 3)
+  }
+
+  test("read_csv over a glob applies the dup-header error to EVERY file") {
+    val dir = tmpDir(
+      "a.csv" -> "name,age\nalice,30\n",
+      "b.csv" -> "name,name\nx,y\n")
+    val e = intercept[DataException](GraftIO.readCsv(spark, s"$dir/*.csv"))
+    assert(e.getMessage.contains("Duplicate header names"))
+  }
+
+  test("read_csv over a glob errors when files disagree on headers") {
+    val dir = tmpDir(
+      "a.csv" -> "name,age\nalice,30\n",
+      "b.csv" -> "name,height\nx,180\n")
+    val e = intercept[DataException](GraftIO.readCsv(spark, s"$dir/*.csv"))
+    assert(e.getMessage.contains("disagree on headers"))
+  }
+
+  test("read_csv over a dir catches ragged rows in ANY file") {
+    val dir = tmpDir(
+      "a.csv" -> "a,b,c\n1,2,3\n",
+      "b.csv" -> "a,b,c\n4,5\n")
+    val e = intercept[DataException](GraftIO.readCsv(spark, dir.toString))
+    assert(e.getMessage.contains("Fields missing"))
+  }
+
+  // ---- quote handling: parser (escape='"', RFC 4180) and ragged-row
+  //      probe must agree on field counts ----
+
+  test("read_csv RFC-4180 escaped quotes: parser and ragged probe agree") {
+    val p = tmp("a,b\n\"say \"\"hi, there\"\"\",2\n")
+    val df = GraftIO.readCsv(spark, p)
+    assert(df.count() == 1)
+    assert(df.head().getString(0) == "say \"hi, there\"")
+  }
+
+  test("read_csv unterminated quote: probe raises no spurious ragged error") {
+    // '"oops,2' never closes its quote: the parser reads the rest of the
+    // line into the first field and null-fills b; the probe counts the
+    // line's raw delimiter (no quoted section collapses) and also sees
+    // >= 2 fields — both engines accept the line, no DataException
+    val p = tmp("a,b\n\"oops,2\nx,3\n")
+    val df = GraftIO.readCsv(spark, p)
+    assert(df.count() == 2)
+    val byA = df.collect().map(r => Option(r.getString(0)).getOrElse("") -> r.getString(1)).toMap
+    assert(byA.contains("x") && byA("x") == "3")
+  }
 }
