@@ -653,6 +653,17 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy(col("o_orderpriority"))
     },
+    //      ... and its bounded-memory scale twin: same answer from the
+    //      keyed-window order-statistics plan (one shuffle, spillable
+    //      window buffer instead of percentile()'s in-heap value buffer);
+    //      the oracle replays quantile_cont, so the gate PROVES the scale
+    //      plan's result identity (the x16/x18 pattern)
+    "x30_grouped_percentiles_sorted" -> { (s, dir) =>
+      graft.operators.Percentiles
+        .groupedSorted(t(s, dir, "orders"), "o_orderpriority", "o_totalprice",
+          Seq(0.5, 0.9), Seq("p50", "p90"))
+        .orderBy(col("o_orderpriority"))
+    },
 
     // ---- X: top-k per group (rank window bounded by the group key —
     //      never a global sort) ----
@@ -1223,6 +1234,12 @@ object SparkEntry {
            quantile_cont(o_totalprice, 0.5) AS p50,
            quantile_cont(o_totalprice, 0.9) AS p90,
            count(*) AS n
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "x30_grouped_percentiles_sorted" ->
+      """SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "x29_topk_per_group" ->

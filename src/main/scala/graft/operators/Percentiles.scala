@@ -79,4 +79,48 @@ object Percentiles {
         org.apache.spark.sql.types.StructField(c,
           org.apache.spark.sql.types.DoubleType))))
   }
+
+  /** Exact continuous percentiles PER GROUP, bounded memory — the grouped
+    * twin of [[exactSorted]] (the scale path where [[exact]]'s
+    * `percentile()` would buffer every group value in one aggregation
+    * buffer).
+    *
+    * Shape: (1) per-group counts — a map-side-combined groupBy producing
+    * #groups rows, broadcast-joined back; (2) ONE shuffle+sort on
+    * (group, value) for a keyed `row_number` window (never a global sort);
+    * (3) each percentile's bracket rows contribute `v*(1-frac)` /
+    * `v*frac` terms summed per group (at most two non-null terms per
+    * percentile, so the double sum is order-independent). The
+    * interpolation replicates Spark's `Percentile` aggregate / DuckDB's
+    * `quantile_cont` bit for bit: `lower*(1-frac) + higher*frac` with
+    * 0-based `pos = p*(n-1)`.
+    *
+    * A pathologically hot group is one window task, but it streams from
+    * the spillable window buffer rather than an in-heap aggregation
+    * buffer — disk-bounded, not heap-bounded. */
+  def groupedSorted(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Double], names: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val colNames = if (names.nonEmpty) names else ps.indices.map(i => s"p$i")
+    require(colNames.length == ps.length, "one output name per percentile")
+    val vals = df.select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val counts = vals.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val ranked = vals
+      .join(broadcast(counts), Seq("g"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("v"))))
+    val aggs = ps.zip(colNames).map { case (p, name) =>
+      // 0-based pos within the group's sorted values (Percentile semantics)
+      val pos = lit(p) * (col("n") - lit(1)).cast("double")
+      val lo = floor(pos).cast("long") + lit(1L)
+      val hi = ceil(pos).cast("long") + lit(1L)
+      val frac = pos - floor(pos)
+      val term = when(col("rk") === lo && col("rk") === hi, col("v"))
+        .when(col("rk") === lo, col("v") * (lit(1.0) - frac))
+        .when(col("rk") === hi, col("v") * frac)
+      sum(term).as(name)
+    }
+    ranked.groupBy(col("g").as(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -223,6 +223,28 @@ class ExtensionOpsSpec extends SparkSpec {
     }
   }
 
+  test("groupedSorted matches percentile() per group bit for bit, incl. tiny groups") {
+    import spark.implicits._
+    val orders = Tables.load(spark, sfDir, "orders")
+    val ps = Seq(0.25, 0.5, 0.9)
+    val names = Seq("a", "b", "c")
+    val byWindow = graft.operators.Percentiles
+      .groupedSorted(orders, "o_orderpriority", "o_totalprice", ps, names)
+      .collect().map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val byBuffer = orders.groupBy(col("o_orderpriority"))
+      .agg(expr("percentile(o_totalprice, 0.25)"),
+        expr("percentile(o_totalprice, 0.5)"),
+        expr("percentile(o_totalprice, 0.9)"))
+      .collect().map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(byWindow.keySet == byBuffer.keySet)
+    byBuffer.foreach { case (g, vs) => assert(byWindow(g) == vs, g) }
+    // 1- and 2-element groups exercise the lo==hi and interpolation edges
+    val tiny = Seq(("a", 10.0), ("b", 1.0), ("b", 2.0)).toDF("g", "v")
+    val got = graft.operators.Percentiles.groupedSorted(tiny, "g", "v", Seq(0.5), Seq("p"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("a" -> 10.0, "b" -> 1.5))
+  }
+
   test("profileApprox: exact counts/min/max, HLL distinct within tolerance, no Expand") {
     val cust = Tables.load(spark, sfDir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
