@@ -393,12 +393,20 @@ object SparkEntry {
     //      with a deterministic md5-derived fake feature — the image/audio
     //      libs are not in this container) ----
     "x11_multimodal_stub" -> { (s, dir) =>
-      t(s, dir, "documents")
+      // the REAL pluggable decode path (Multimodal.decode): BMP/WAV codec
+      // detection runs over every payload; text bytes match no magic, so
+      // every row falls through to the deterministic stub codec — whose
+      // md5-fold features the DuckDB oracle replays in SQL. Real-codec
+      // decoding (byte-level BMP pixel scan, WAV PCM stats) is spec-gated
+      // (MultimodalSpec) since an oracle can't decode media in SQL.
+      val mm = t(s, dir, "documents")
         .withColumn("content", col("text").cast(BinaryType))
+      graft.operators.Multimodal.decode(mm, "content")
         .select(col("doc_id"),
+          col("decoded.codec").as("codec"),
           octet_length(col("content")).as("byte_len"),
-          (graft.functions.TextFunctions.md5Long(col("text")) % 1000).cast(DoubleType)
-            ./(lit(1000.0)).as("stub_feature"))
+          col("features")(0).as("f0"), col("features")(1).as("f1"),
+          col("features")(2).as("f2"), col("features")(3).as("f3"))
         .orderBy(col("doc_id"))
     },
 
@@ -964,8 +972,12 @@ object SparkEntry {
 
     "x11_multimodal_stub" ->
       """SELECT doc_id,
+           'stub' AS codec,
            CAST(octet_length(encode(text)) AS INT) AS byte_len,
-           CAST(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000 AS DOUBLE) / 1000.0 AS stub_feature
+           CAST(('0x' || substr(md5(text),  1, 4))::INT / 65536.0 AS REAL) AS f0,
+           CAST(('0x' || substr(md5(text),  5, 4))::INT / 65536.0 AS REAL) AS f1,
+           CAST(('0x' || substr(md5(text),  9, 4))::INT / 65536.0 AS REAL) AS f2,
+           CAST(('0x' || substr(md5(text), 13, 4))::INT / 65536.0 AS REAL) AS f3
          FROM documents ORDER BY doc_id""",
 
     "x12_asof_join" ->

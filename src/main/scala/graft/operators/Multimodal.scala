@@ -8,11 +8,14 @@ import org.apache.spark.sql.types._
   * payloads plus a typed metadata struct, with decode / feature-extract
   * running per-partition in bounded batches.
   *
-  * The decode step itself is STUBBED (this container has no image/audio
-  * codecs): [[decodeStub]] derives a deterministic fake feature vector from
-  * the payload bytes. Everything around it — schema, per-partition
-  * batching, feature column shape — is the real plumbing a codec plug-in
-  * would drop into.
+  * Decoding is PLUGGABLE ([[Codec]]): [[decode]] detects the payload
+  * format against a codec list and runs the first match per-partition.
+  * Two real pure-JVM codecs ship — [[BmpCodec]] (uncompressed 24-bit BMP:
+  * header parse + pixel scan → mean-color features) and [[WavCodec]]
+  * (RIFF/WAVE 16-bit PCM: chunk walk → RMS/peak/ZCR features) — so the
+  * plumbing is exercised by genuine byte-level decodes. Formats with no
+  * codec in the container (JPEG, MP3, H.264…) fall back to [[StubCodec]],
+  * a deterministic md5-derived fake, keeping the pipeline total.
   */
 object Multimodal {
 
@@ -61,33 +64,204 @@ object Multimodal {
       posexplode(slices).as(Seq("frame_idx", "frame")): _*)
   }
 
-  /** STUB decode: deterministic pseudo-feature from payload bytes (md5 of
-    * the bytes, folded into `dims` floats in [0,1)). A real deployment
-    * replaces the body with a codec call; the signature — binary in,
-    * float-array out, executed per partition in one pass — stays.
-    */
-  def decodeStub(df: DataFrame, contentCol: String = "content",
-      dims: Int = 4): DataFrame = {
-    require(dims <= 8, s"decodeStub folds a 16-byte md5 digest into byte " +
-      s"pairs — at most 8 dims (got $dims)")
-    val outSchema = df.schema.add(StructField("features", ArrayType(FloatType)))
+  // ---------------------------------------------------------------- codecs
+
+  /** One decoded payload: media metadata + a compact feature vector.
+    * Fields not applicable to the media kind are -1. */
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("codec", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_samples", LongType)))
+
+  /** A byte-level media decoder. Implementations must be pure functions of
+    * the payload (decoding runs on executors; results must be identical
+    * across retries) and return None on corrupt/unsupported payloads so
+    * [[decode]] can fall through to the stub. */
+  trait Codec extends Serializable {
+    def name: String
+    /** Cheap magic-bytes probe — may not allocate or scan the payload. */
+    def detect(bytes: Array[Byte]): Boolean
+    /** Full decode: (decodedSchema row, `dims` features), or None. */
+    def decode(bytes: Array[Byte], dims: Int): Option[(Row, Array[Float])]
+  }
+
+  /** Pad/truncate a feature vector to `dims`. */
+  private def fit(f: Array[Float], dims: Int): Array[Float] =
+    if (f.length == dims) f
+    else if (f.length > dims) f.take(dims)
+    else f ++ Array.fill(dims - f.length)(0.0f)
+
+  private def u16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def i32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+  /** Uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB): a full header
+    * parse + pixel scan — features are mean R/G/B and mean luma in [0,1].
+    * Bottom-up vs top-down row order doesn't matter for means, so
+    * negative heights are handled by |height|. */
+  object BmpCodec extends Codec {
+    val name = "image/bmp"
+    def detect(b: Array[Byte]): Boolean =
+      b.length >= 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte
+    def decode(b: Array[Byte], dims: Int): Option[(Row, Array[Float])] = {
+      if (!detect(b)) return None
+      val dataOff = i32(b, 10)
+      val hdrSize = i32(b, 14)
+      val width = i32(b, 18)
+      val heightRaw = i32(b, 22)
+      val bpp = u16(b, 28)
+      val compression = i32(b, 30)
+      if (hdrSize < 40 || bpp != 24 || compression != 0 ||
+        width <= 0 || heightRaw == 0 || dataOff < 54) return None
+      val height = math.abs(heightRaw)
+      val rowSize = ((width * 3 + 3) / 4) * 4 // rows padded to 4 bytes
+      if (dataOff.toLong + rowSize.toLong * height > b.length) return None
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < height) {
+        val ro = dataOff + y * rowSize
+        var x = 0
+        while (x < width) {
+          val po = ro + x * 3 // pixel order is BGR
+          sb += b(po) & 0xff; sg += b(po + 1) & 0xff; sr += b(po + 2) & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = width.toLong * height
+      val mr = sr.toDouble / n / 255.0
+      val mg = sg.toDouble / n / 255.0
+      val mb = sb.toDouble / n / 255.0
+      val luma = 0.299 * mr + 0.587 * mg + 0.114 * mb
+      Some((Row(name, width, height, 3, -1, -1L),
+        fit(Array(mr.toFloat, mg.toFloat, mb.toFloat, luma.toFloat), dims)))
+    }
+  }
+
+  /** RIFF/WAVE, 16-bit PCM (format tag 1): chunk walk for fmt/data, then
+    * one pass over the samples — features are RMS, mean |amplitude|, peak
+    * (all normalized by 2^15) and zero-crossing rate. */
+  object WavCodec extends Codec {
+    val name = "audio/wav"
+    def detect(b: Array[Byte]): Boolean =
+      b.length >= 44 &&
+        b(0) == 'R'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte &&
+        b(3) == 'F'.toByte && b(8) == 'W'.toByte && b(9) == 'A'.toByte &&
+        b(10) == 'V'.toByte && b(11) == 'E'.toByte
+    def decode(b: Array[Byte], dims: Int): Option[(Row, Array[Float])] = {
+      if (!detect(b)) return None
+      var off = 12
+      var channels = -1; var sampleRate = -1; var bits = -1
+      var dataOff = -1; var dataLen = -1
+      while (off + 8 <= b.length && (channels < 0 || dataOff < 0)) {
+        val id = new String(b, off, 4, "US-ASCII")
+        val size = i32(b, off + 4)
+        if (size < 0 || off + 8 + size > b.length) return None
+        id match {
+          case "fmt " =>
+            if (size < 16) return None
+            val fmtTag = u16(b, off + 8)
+            if (fmtTag != 1) return None // PCM only
+            channels = u16(b, off + 10)
+            sampleRate = i32(b, off + 12)
+            bits = u16(b, off + 22)
+          case "data" =>
+            dataOff = off + 8; dataLen = size
+          case _ => // skip unknown chunk
+        }
+        off += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      if (channels <= 0 || sampleRate <= 0 || bits != 16 || dataOff < 0) return None
+      val bytesPerFrame = channels * 2
+      val nFrames = dataLen.toLong / bytesPerFrame
+      val nSamples = nFrames * channels
+      if (nSamples == 0) return None
+      var sumSq = 0.0; var sumAbs = 0.0; var peak = 0L; var crossings = 0L
+      var prevSign = 0; var i = 0L
+      while (i < nSamples) {
+        val o = dataOff + (i * 2).toInt
+        val s = (u16(b, o) << 16) >> 16 // sign-extend 16-bit LE
+        val a = math.abs(s.toLong)
+        sumSq += s.toDouble * s.toDouble
+        sumAbs += a.toDouble
+        if (a > peak) peak = a
+        val sign = java.lang.Integer.signum(s)
+        if (sign != 0) {
+          if (prevSign != 0 && sign != prevSign) crossings += 1
+          prevSign = sign
+        }
+        i += 1
+      }
+      val norm = 32768.0
+      val rms = math.sqrt(sumSq / nSamples) / norm
+      val meanAbs = sumAbs / nSamples / norm
+      val peakN = peak.toDouble / norm
+      val zcr = crossings.toDouble / nSamples
+      Some((Row(name, -1, -1, channels, sampleRate, nFrames),
+        fit(Array(rms.toFloat, meanAbs.toFloat, peakN.toFloat, zcr.toFloat), dims)))
+    }
+  }
+
+  /** Deterministic fallback for formats without a codec in this container:
+    * md5 of the payload folded into byte-pair floats in [0,1). Keeps the
+    * decode total (every row gets features) and is replayable in SQL
+    * (the x11 gate replays it in DuckDB). */
+  object StubCodec extends Codec {
+    val name = "stub"
+    private val md = new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+    def detect(bytes: Array[Byte]): Boolean = true
+    def decode(bytes: Array[Byte], dims: Int): Option[(Row, Array[Float])] = {
+      val digest = md.get()
+      digest.reset()
+      val h = digest.digest(bytes)
+      val feats = Array.tabulate(dims) { i =>
+        (((h(2 * i) & 0xff) << 8 | (h(2 * i + 1) & 0xff)).toFloat / 65536.0f)
+      }
+      Some((Row(name, -1, -1, -1, -1, -1L), feats))
+    }
+  }
+
+  val defaultCodecs: Seq[Codec] = Seq(BmpCodec, WavCodec)
+
+  /** Decode a binary column: first detecting codec wins; a codec that
+    * detects but fails to decode (corrupt payload) falls through to the
+    * stub rather than failing the job — corrupt media at 100 TB is a
+    * statistical certainty and must not kill the pipeline. Runs
+    * per-partition in one pass (the mapInPandas shape), adding a
+    * `decoded` metadata struct and a `features` array<float> column. */
+  def decode(df: DataFrame, contentCol: String = "content",
+      codecs: Seq[Codec] = defaultCodecs, dims: Int = 4): DataFrame = {
+    require(dims <= 8, s"the stub fallback folds a 16-byte md5 digest into " +
+      s"byte pairs — at most 8 dims (got $dims)")
+    val outSchema = df.schema
+      .add(StructField("decoded", decodedSchema))
+      .add(StructField("features", ArrayType(FloatType)))
     val contentIdx = df.schema.fieldIndex(contentCol)
     val rdd = df.rdd.mapPartitions { rows =>
-      val digest = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
         val bytes = r.get(contentIdx) match {
           case b: Array[Byte] => b
           case other => String.valueOf(other).getBytes("UTF-8")
         }
-        digest.reset()
-        val h = digest.digest(bytes)
-        val feats = (0 until dims).map { i =>
-          // ??? real codec goes here; fake: byte pairs -> [0,1)
-          (((h(2 * i) & 0xff) << 8 | (h(2 * i + 1) & 0xff)).toFloat / 65536.0f)
-        }.toArray
-        Row.fromSeq(r.toSeq :+ feats)
+        val (meta, feats) = codecs.find(_.detect(bytes))
+          .flatMap(_.decode(bytes, dims))
+          .getOrElse(StubCodec.decode(bytes, dims).get)
+        Row.fromSeq(r.toSeq :+ meta :+ feats)
       }
     }
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
+
+  /** Stub-only decode (back-compat shape: adds just `features`). */
+  def decodeStub(df: DataFrame, contentCol: String = "content",
+      dims: Int = 4): DataFrame =
+    decode(df, contentCol, codecs = Seq.empty, dims = dims).drop("decoded")
 }
