@@ -649,6 +649,19 @@ object SparkEntry {
         .orderBy(col("win_start"), col("event_type"))
     },
 
+    // ---- ST: stream-stream attribution join, batch twin. This calls the
+    //      SAME streaming code (watermarks are no-ops in batch), so the
+    //      gate certifies the streaming operator's join logic, not a
+    //      re-implementation ----
+    "st4_attribution_join" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      graft.streaming.EventStreams.attributionJoinStream(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "view"),
+        maxDelay = "2 hours")
+        .orderBy(col("l_event_id"), col("r_event_id"))
+    },
+
     // ---- X: grouped exact percentiles (order statistics per key; the
     //      grand-total twin is x13, the bounded-memory scale path is
     //      operators.Percentiles) ----
@@ -698,6 +711,86 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("prev_type"), col("gap_seconds"))
         .orderBy(col("user_id"), col("ts"), col("event_id"))
+    },
+
+    // ---- X: prefix-filtered AllPairs jaccard — the large-vocabulary
+    //      scale path (index only the first z-ceil(t*z)+1 shingles per doc
+    //      in global (docfreq, shingle) order; exact by pigeonhole, no
+    //      recall loss). Oracle replays the naive inverted-index rule, so
+    //      the gate PROVES the pruned plan's result identity ----
+    "x36_dedup_jaccard_prefix" -> { (s, dir) =>
+      graft.operators.Dedup.ngramJaccardPairsPrefix(
+        t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ---- X: exact distinct count per key, two-stage (the scale
+    //      replacement for COUNT(DISTINCT): the heavy dedup stage is keyed
+    //      on (key, value) so a hot key spreads across the cluster; the
+    //      oracle replays the plain COUNT(DISTINCT) rule, so the gate
+    //      PROVES the two-stage plan's result identity) ----
+    "x31_distinct_users" -> { (s, dir) =>
+      graft.operators.Scale.distinctCountPerKey(
+        t(s, dir, "events"), "event_type", "user_id", as = "n_users")
+        .orderBy(col("event_type"))
+    },
+
+    // ---- X: point-in-interval range join, equi-bucketed (the naive range
+    //      predicate is a broadcast-nested-loop/cartesian cliff at scale;
+    //      the bucketed plan is an ordinary shuffle hash join — the oracle
+    //      replays the naive predicate, proving result identity) ----
+    "x32_range_join" -> { (s, dir) =>
+      // 25 overlapping 50h "promo windows" striding 30h across Jan 2024
+      // (epoch 1704067200 = 2024-01-01T00:00:00Z), derived from nation so
+      // the interval side is a real (small) table, not literals
+      val iv = t(s, dir, "nation").select(
+        col("n_nationkey").as("promo_id"),
+        (lit(1704067200L) + col("n_nationkey") * 108000L).as("lo"),
+        (lit(1704067200L) + col("n_nationkey") * 108000L + 180000L).as("hi"))
+      val pts = t(s, dir, "events")
+        .select(col("event_id"), unix_timestamp(col("ts")).as("pt"))
+      graft.operators.RangeJoin
+        .intervalJoin(pts, iv, "pt", "lo", "hi", step = 86400L)
+        .groupBy(col("promo_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_event"),
+          max(col("event_id")).as("last_event"))
+        .orderBy(col("promo_id"))
+    },
+
+    // ---- X: deterministic stratified sample (per-source keep rates; the
+    //      md5-bucket threshold is narrow — no shuffle — and stable under
+    //      corpus growth, unlike sampleBy's RNG) ----
+    "x33_stratified_sample" -> { (s, dir) =>
+      graft.operators.CorpusOps.stratifiedSample(
+        t(s, dir, "documents"), "source", "doc_id",
+        fractions = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+        default = 0.1)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- X: nearest-centroid assignment (centroids = lowest-vec_id
+    //      vector per label, broadcast; corpus scanned once, never
+    //      shuffled wider than its unique id) ----
+    "x34_nearest_centroid" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val minIds = e.groupBy(col("label").as("cl"))
+        .agg(min(col("vec_id")).as("cvid"))
+      val centroids = e.join(minIds,
+          e("label") === minIds("cl") && e("vec_id") === minIds("cvid"))
+        .select(col("label"), col("embedding"))
+      graft.operators.Similarity.nearestCentroid(
+        e, centroids, "vec_id", "embedding", "label")
+        .orderBy(col("vec_id"))
+    },
+
+    // ---- X: top-k n-grams per group (vocabulary/boilerplate audit;
+    //      group-bounded rank window, never a global sort) ----
+    "x35_bigram_topk" -> { (s, dir) =>
+      graft.operators.CorpusOps.topNgramsPerGroup(
+        t(s, dir, "documents"), "lang", "text", n = 2, k = 3)
+        .orderBy(col("lang"), col("rk"))
     },
 
     // ---- A/B probe pair pinning the driver hasher's decimal behavior:
@@ -1261,6 +1354,84 @@ object SparkEntry {
                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
                FROM orders)
          WHERE rk <= 3 ORDER BY o_orderpriority, rk""",
+
+    "st4_attribution_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+             CAST(ts AS TIMESTAMP) AS t FROM events)
+         SELECT l.user_id, l.event_id AS l_event_id, r.event_id AS r_event_id,
+           l.t AS l_ts, r.t AS r_ts
+         FROM e l JOIN e r ON l.user_id = r.user_id
+           AND l.event_type = 'click' AND r.event_type = 'view'
+           AND r.t >= l.t AND r.t < l.t + INTERVAL 2 HOUR
+         ORDER BY l_event_id, r_event_id""",
+
+    // same oracle as x2: the Spark side runs the prefix-filtered plan,
+    // the oracle replays the naive rule — the gate proves identity
+    "x36_dedup_jaccard_prefix" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+                FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1))) t(i)),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                   FROM sh a JOIN sh b USING (s)
+                   WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT id_a, id_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+         FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+         WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+         ORDER BY id_a, id_b""",
+
+    "x31_distinct_users" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "x32_range_join" ->
+      """WITH e AS (SELECT event_id,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS pt
+           FROM events),
+         iv AS (SELECT n_nationkey AS promo_id,
+             1704067200 + n_nationkey * 108000 AS lo,
+             1704067200 + n_nationkey * 108000 + 180000 AS hi
+           FROM nation)
+         SELECT promo_id, count(*) AS n_events,
+           min(event_id) AS first_event, max(event_id) AS last_event
+         FROM e JOIN iv ON e.pt >= iv.lo AND e.pt < iv.hi
+         GROUP BY promo_id ORDER BY promo_id""",
+
+    "x33_stratified_sample" ->
+      """SELECT doc_id, source FROM documents
+         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 <
+           CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+                       WHEN 'src2' THEN 2500 ELSE 1000 END
+         ORDER BY doc_id""",
+
+    "x34_nearest_centroid" ->
+      """WITH e AS (SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         c AS (SELECT e.label AS cl, e.v AS cv
+           FROM e JOIN (SELECT label, min(vec_id) AS mv
+                        FROM embeddings GROUP BY label) m
+             ON e.label = m.label AND e.vec_id = m.mv),
+         s AS (SELECT e.vec_id, c.cl,
+             list_sum(list_transform(range(1, 65), i -> e.v[i] * c.cv[i]))
+               / (sqrt(list_sum(list_transform(range(1, 65), i -> e.v[i] * e.v[i])))
+                  * sqrt(list_sum(list_transform(range(1, 65), i -> c.cv[i] * c.cv[i])))) AS cos
+           FROM e CROSS JOIN c),
+         r AS (SELECT vec_id, cl, cos,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cl ASC) AS rn
+           FROM s)
+         SELECT vec_id, cl AS label, cos FROM r WHERE rn = 1 ORDER BY vec_id""",
+
+    "x35_bigram_topk" ->
+      """WITH w AS (SELECT lang, string_split(text, ' ') AS ws FROM documents),
+         bg AS (SELECT lang, array_to_string(ws[i:i+1], ' ') AS gram
+                FROM w, UNNEST(range(1, greatest(len(ws), 1))) t(i)),
+         cnt AS (SELECT lang, gram, count(*) AS n FROM bg GROUP BY 1, 2),
+         r AS (SELECT lang, gram, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, gram ASC) AS rk
+           FROM cnt)
+         SELECT lang, CAST(rk AS BIGINT) AS rk, gram, n
+         FROM r WHERE rk <= 3 ORDER BY lang, rk""",
 
     "z1_probe_sum_decimal" ->
       """SELECT CAST(sum(CAST(n_nationkey AS DECIMAL(28,2))) AS DECIMAL(38,2)) AS probe_sum

@@ -53,6 +53,45 @@ object CorpusOps {
       coalesce(col(keyCol).cast("string"), lit(""))), lit(buckets.toLong)) < keep)
   }
 
+  /** Top-k n-grams per group by occurrence count (positional n-grams, so
+    * repeats count) — the corpus-statistics op behind vocabulary audits
+    * and boilerplate discovery. One explode + one partial-agged
+    * groupBy(group, gram) + a rank window BOUNDED BY the group key (never
+    * a global sort). A pathologically hot group can pre-reduce through
+    * [[quotaPerKey]]'s two-stage trick; gram counts themselves partial-
+    * aggregate map-side so the shuffle carries (group, gram, partial n).
+    * Ties break lexicographically on the gram for determinism. */
+  def topNgramsPerGroup(df: DataFrame, groupCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    val grams = df.select(col(groupCol).as("grp"),
+        explode(TextFunctions.ngrams(col(textCol), n)).as("gram"))
+      .groupBy(col("grp"), col("gram")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("n").desc, col("gram").asc)
+    grams.withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= k)
+      .select(col("grp").as(groupCol), col("rk"), col("gram"), col("n"))
+  }
+
+  /** Deterministic STRATIFIED sample: a per-stratum keep fraction (e.g.
+    * downsample boilerplate-heavy web sources hard, keep books at 100%).
+    * Same md5-bucket arithmetic as [[hashSample]] — narrow, no shuffle,
+    * stable under corpus growth — with the threshold looked up from the
+    * stratum column. Strata missing from `fractions` keep `default`
+    * (0.0 = drop unlisted strata; null stratum uses `default` too). */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+      fractions: Map[String, Double], default: Double = 0.0,
+      buckets: Int = 10000): DataFrame = {
+    require((fractions.values.toSeq :+ default).forall(f => f >= 0 && f <= 1),
+      s"fractions must be in [0,1]: $fractions default=$default")
+    val keep = fractions.foldLeft(lit(math.round(default * buckets))) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum, lit(math.round(f * buckets))).otherwise(acc)
+    }
+    df.filter(pmod(TextFunctions.md5Long(
+      coalesce(col(keyCol).cast("string"), lit(""))), lit(buckets.toLong)) < keep)
+  }
+
   /** Deterministic corpus mixing: downsample sources so their proportions
     * hit integer target `weights` EXACTLY (the data-mixture step of a
     * pretraining pipeline: "4 parts web, 2 parts code, 1 part books").

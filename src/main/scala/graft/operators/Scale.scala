@@ -62,6 +62,21 @@ object Scale {
         stage2.tail.map { case (n, g) => g(col(n)).as(n) }: _*)
   }
 
+  /** Exact distinct count per key, two-stage: stage 1 deduplicates
+    * (key, value) pairs — a groupBy whose partial aggregation collapses
+    * per-partition duplicates map-side — stage 2 counts survivors per key.
+    * The scale replacement for `countDistinct`: Spark plans COUNT(DISTINCT)
+    * as a single Expand+agg whose per-key hash-set state concentrates on
+    * the reducer owning a hot key; here the heavy dedup stage is keyed on
+    * (key, value), which spreads a hot key across the cluster, and stage 2
+    * only ever sees pre-deduplicated rows. Approximate alternative at even
+    * larger cardinalities: `approx_count_distinct` (HLL, no exact-oracle
+    * gate possible). */
+  def distinctCountPerKey(df: DataFrame, key: String, valueCol: String,
+      as: String = "n_distinct"): DataFrame =
+    df.select(col(key), col(valueCol)).distinct()
+      .groupBy(col(key)).agg(count(lit(1)).as(as))
+
   /** Convenience: salted count per key. */
   def saltedCount(df: DataFrame, key: String, discriminator: String,
       salts: Int = 16): DataFrame =

@@ -69,6 +69,34 @@ object Similarity {
     scores.reduce((a, b) => when(b("score") > a("score"), b).otherwise(a))("ci")
   }
 
+  /** Nearest-centroid assignment: label every corpus vector with the
+    * centroid maximizing cosine similarity (ties broken by lowest label) —
+    * the classify/cluster-assign step of an embedding pipeline (and one
+    * k-means Lloyd iteration's E-step). Centroids broadcast; the corpus is
+    * scanned once, never shuffled — the same 100 TB shape as
+    * [[bruteForceTopK]] with k=1, but returning exactly one row per corpus
+    * vector via max_by instead of a window. All per-row double math
+    * (sequential-order dot products), no cross-row float accumulation. */
+  def nearestCentroid(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, labelCol: String): DataFrame = {
+    def dot(x: Column, y: Column): Column =
+      graft.functions.VectorExpressions.dot(corpus.sparkSession, x, y)
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val cent = centroids.select(col(labelCol).as("cl"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cnorm", sqrt(dot(col("cv"), col("cv"))))
+    // (cos, -label) struct max == cos desc, label asc — one partial-agged
+    // groupBy on the corpus id (which is unique, so partials collapse
+    // centroid candidates map-side and the shuffle carries one struct/row)
+    val scored = c.crossJoin(broadcast(cent))
+      .withColumn("cos", dot(col("v"), col("cv"))
+        / (sqrt(dot(col("v"), col("v"))) * col("cnorm")))
+    scored.groupBy(col("id"))
+      .agg(max(struct(col("cos"), (-col("cl")).as("negl"))).as("best"))
+      .select(col("id").as(idCol),
+        (-col("best.negl")).as(labelCol),
+        col("best.cos").as("cos"))
+  }
+
   /** IVF-probed approximate top-k: corpus rows are assigned to one bucket;
     * queries probe all buckets whose centroid score is within the top
     * `nprobe` for the query. Recall < 1.0 by construction (documented);

@@ -106,6 +106,40 @@ object EventStreams {
       dimKey: String): DataFrame =
     events.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
 
+  /** Stream-STREAM attribution join: each left event (e.g. a click) pairs
+    * with the right events (e.g. views) of the SAME user whose timestamp
+    * falls in [left.ts, left.ts + maxDelay) — the canonical two-stream
+    * funnel/attribution shape, and the one streaming join that buffers
+    * state on both sides.
+    *
+    * At scale the two constraints that keep state bounded are encoded
+    * here, not left to the caller: BOTH sides carry a watermark, and the
+    * join condition includes the event-time RANGE (Spark derives each
+    * side's state-eviction horizon from exactly that pair — an equi-only
+    * condition would buffer the streams forever). State is keyed on
+    * user_id, so it shuffles once per side and never concentrates beyond
+    * the hottest user's horizon window.
+    *
+    * The batch twin is SparkEntry's `st4_attribution_join` (same
+    * predicate as a plain join), oracle-replayed in SQL.
+    */
+  def attributionJoinStream(left: DataFrame, right: DataFrame,
+      maxDelay: String = "10 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val l = left.select(col("event_id").as("l_event_id"),
+        col("user_id").as("l_user_id"), col("ts").as("l_ts"))
+      .withWatermark("l_ts", watermarkDelay)
+    val r = right.select(col("event_id").as("r_event_id"),
+        col("user_id").as("r_user_id"), col("ts").as("r_ts"))
+      .withWatermark("r_ts", watermarkDelay)
+    l.join(r,
+      col("l_user_id") === col("r_user_id") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") < col("l_ts") + expr(s"interval $maxDelay"))
+      .select(col("l_user_id").as("user_id"),
+        col("l_event_id"), col("r_event_id"), col("l_ts"), col("r_ts"))
+  }
+
   /** Drive a streaming frame synchronously into an in-memory table (test /
     * smoke harness; production would use a real sink + trigger). */
   def runToMemory(df: DataFrame, queryName: String,

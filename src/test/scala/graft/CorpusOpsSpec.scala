@@ -88,6 +88,46 @@ class CorpusOpsSpec extends SparkSpec {
     assert(CorpusOps.hashSample(withNull, "id", 1.0).count() == 2)
   }
 
+  test("stratifiedSample: per-stratum rates, subset of hashSample, deterministic") {
+    val many = (1L to 2000L).map(i =>
+      (i, "txt", if (i % 2 == 0) "keep" else if (i % 3 == 0) "half" else "rest"))
+      .toDF("id", "text", "src")
+    val out = CorpusOps.stratifiedSample(many, "src", "id",
+      fractions = Map("keep" -> 1.0, "half" -> 0.5), default = 0.0)
+    val kept = out.select("id", "src").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // rate 1.0 keeps every row of its stratum; rate 0.0 keeps none
+    assert(kept.count(_._2 == "keep") == 1000)
+    assert(!kept.exists(_._2 == "rest"))
+    // the 0.5 stratum keeps the SAME rows hashSample(0.5) would (one
+    // shared md5-bucket rule, so strata compose with global sampling)
+    val half = CorpusOps.hashSample(many.filter(col("src") === "half"), "id", 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(kept.filter(_._2 == "half").map(_._1).toSet == half)
+    // deterministic rerun
+    val again = CorpusOps.stratifiedSample(many, "src", "id",
+      fractions = Map("keep" -> 1.0, "half" -> 0.5), default = 0.0)
+      .select("id").as[Long].collect().toSet
+    assert(again == kept.map(_._1).toSet)
+    assertThrows[IllegalArgumentException](
+      CorpusOps.stratifiedSample(many, "src", "id", Map("keep" -> 1.5)))
+  }
+
+  test("topNgramsPerGroup ranks positional n-grams with lexicographic ties") {
+    val df = Seq(
+      (1L, "a b a b a b", "g1"),   // bigrams: "a b" x3, "b a" x2
+      (2L, "c d", "g1"),           // "c d" x1
+      (3L, "z z z", "g2"),         // "z z" x2
+      (4L, "one", "g2")            // shorter than n: contributes nothing
+    ).toDF("id", "text", "grp")
+    val out = CorpusOps.topNgramsPerGroup(df, "grp", "text", n = 2, k = 2)
+      .orderBy(col("grp"), col("rk"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("g1", 1L, "a b", 3L), ("g1", 2L, "b a", 2L),
+      ("g2", 1L, "z z", 2L)))
+  }
+
   test("mixToWeights hits the integer target ratio exactly, stable subset") {
     // 12/6/6 docs of three sources; weights 2:1:1 -> N=min(12*4/2,6*4,6*4)=24,
     // quotas = (12, 6, 6): all kept. Weights 1:1:2 -> N=min(48,24,12)=12,

@@ -70,6 +70,28 @@ class ExtensionOpsSpec extends SparkSpec {
       s"IVF top-1 recall too low: $agree/${exactTop1.size}")
   }
 
+  test("nearestCentroid assigns max-cosine centroid, ties to lowest label") {
+    val corpus = Seq(
+      (1L, Array(1f, 0f)),    // exactly centroid 0's direction
+      (2L, Array(0f, 2f)),    // exactly centroid 1's direction (norm-invariant)
+      (3L, Array(1f, 1f)),    // equidistant: cos tie -> lowest label wins
+      (4L, Array(-1f, -0.1f)) // both cosines negative; centroid 1 is least negative
+    ).toDF("vec_id", "embedding")
+    val centroids = Seq(
+      (0, Array(2f, 0f)),
+      (1, Array(0f, 1f))
+    ).toDF("label", "embedding")
+    val got = Similarity.nearestCentroid(corpus, centroids, "vec_id", "embedding", "label")
+      .orderBy(col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(got.map(g => g._1 -> g._2).toSeq ==
+      Seq(1L -> 0, 2L -> 1, 3L -> 0, 4L -> 1))
+    // (-1,-0.1): cos to (2,0) = -1/1.005 ~ -0.995; to (0,1) = -0.1/1.005 ~ -0.0995 -> centroid 1
+    assert(math.abs(got(0)._3 - 1.0) < 1e-12) // exact-direction match has cos 1
+    // every corpus vector gets exactly one row
+    assert(got.length == 4)
+  }
+
   test("multimodal plumbing: binary payload + meta + stubbed per-partition decode") {
     val mm = Multimodal.asMultimodal(docs.limit(20), "text", "image", "source")
     val out = Multimodal.decodeStub(mm)
@@ -137,6 +159,28 @@ class ExtensionOpsSpec extends SparkSpec {
       val sess = spark.table("sess_counts")
       assert(sess.count() > 0)
       assert(sess.filter(col("session_end") < col("session_start")).isEmpty)
+    } finally sq.stop()
+  }
+
+  test("stream-stream attribution join matches the batch twin (same code, batch mode)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_ss").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = EventStreams.readEvents(spark, dir)
+    // stream-stream self-join: both sides are filters of one file stream;
+    // inner joins emit in append mode as soon as both rows arrive
+    val joined = EventStreams.attributionJoinStream(
+      stream.filter(col("event_type") === "click"),
+      stream.filter(col("event_type") === "view"),
+      maxDelay = "2 hours", watermarkDelay = "0 seconds")
+    val sq = EventStreams.runToMemory(joined, "attrib", outputMode = "append")
+    try {
+      val streamed = spark.table("attrib")
+      val batch = SparkEntry.queries("st4_attribution_join")(spark, sfDir)
+      assert(streamed.count() == batch.count() && batch.count() == 5)
+      assert(streamed.exceptAll(
+        batch.select(streamed.columns.map(col): _*)).isEmpty)
     } finally sq.stop()
   }
 

@@ -44,6 +44,18 @@ class ScaleSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("distinctCountPerKey equals countDistinct, and never plans an Expand") {
+    val df = (1 to 2000).map(i => (s"t${i % 3}", (i % 37).toLong)).toDF("key", "uid")
+    val plain = df.groupBy("key").agg(countDistinct(col("uid")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val staged = Scale.distinctCountPerKey(df, "key", "uid", as = "n")
+    assert(staged.collect().map(r => r.getString(0) -> r.getLong(1)).toMap == plain)
+    // the point of the two-stage plan: dedup keyed on (key, value) via
+    // HashAggregate, no single-reducer distinct state
+    val plan = staged.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"two-stage distinct planned an Expand:\n$plan")
+  }
+
   test("bucketed tables join with no shuffle exchange on either side") {
     val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
