@@ -177,12 +177,37 @@ object Dedup {
   }
 
   /** MinHash signatures: numHashes min-hashes over the shingle set, from a
-    * 2-universal affine family h_i(s) = (a(s) + i*b(s)) masked to 63 bits,
+    * 2-universal affine family h_i(s) = (a(s) + i*b(s)) mod (2^31-1),
     * where a,b are two md5-derived base hashes — 2 md5 evaluations per
-    * shingle instead of numHashes (the md5-per-seed variant was the
-    * dominant cost of the whole LSH pipeline). One groupBy(id) with
-    * numHashes partial-agg mins — map-side combined, single shuffle. */
+    * shingle (the md5-per-seed variant was the dominant cost of the whole
+    * LSH pipeline). Computed per ROW by the codegen'd graft_minhash
+    * expression ([[graft.functions.MinhashSignature]]): zero shuffles —
+    * at 100 TB the signature stage is a pure map, and the only shuffle in
+    * LSH dedup is the banded candidate join. Output schema (id, h0..h_k-1)
+    * is unchanged from the agg plan. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int): DataFrame = {
+    // One-pass NARROW projection via the graft_minhash expression — no
+    // explode, no shuffle; the signature stage's cost is pure CPU. The
+    // family is bit-identical to [[minhashSignaturesAgg]] (the original
+    // explode+agg plan, kept below as the in-repo equivalence oracle), so
+    // every recall certification carries over unchanged.
+    // empty-shingle docs drop BEFORE the signature projection, on the
+    // cheap token-count proxy (shingles nonempty <=> >= n tokens): a
+    // filter on sig.isNotNull would be pushed below the Project and
+    // re-evaluate the whole signature — measured 2x the md5 work
+    val sig = df.filter(size(tokens(col(textCol))) >= n)
+      .select(col(idCol).as("id"),
+        graft.functions.MinhashExpression.signature(df.sparkSession,
+          shingles(col(textCol), n), numHashes).as("sig"))
+    sig.select(col("id") +:
+      (0 until numHashes).map(i => col("sig").getItem(i).as(s"h$i")): _*)
+  }
+
+  /** The original explode + groupBy(id) signature plan. Superseded by the
+    * narrow [[minhashSignatures]] for execution, kept as the equivalence
+    * oracle: a spec asserts both produce bit-identical signatures. */
+  def minhashSignaturesAgg(df: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int): DataFrame = {
     // 32-bit bases keep ha + i*hb under 2^40 — no long overflow, which
     // ANSI mode (Spark 4 default) would turn into a task failure.

@@ -31,6 +31,19 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(exact.nonEmpty) // the synthetic docs contain planted near-dups
   }
 
+  test("graft_minhash expression signatures are bit-identical to the explode+agg plan") {
+    val a = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, numHashes = 64)
+    val b = Dedup.minhashSignaturesAgg(docs, "doc_id", "text", n = 3, numHashes = 64)
+    assert(a.count() == b.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // empty-shingle docs drop from both plans
+    val empty = Seq((1L, "only two"), (2L, "")).toDF("doc_id", "text")
+    assert(Dedup.minhashSignatures(empty, "doc_id", "text", 3, 8).count() == 0)
+    // ... and the narrow plan has NO exchange before the signature project
+    val plan = a.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"signature stage still shuffles:\n$plan")
+  }
+
   test("capped ngram jaccard (candidate + full-set verify) is pair- and value-identical to uncapped") {
     def asMap(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
