@@ -28,7 +28,7 @@ object MinhashUtil {
   private val Seed0 = Array[Byte]('0', '|')
   private val Seed1 = Array[Byte]('1', '|')
 
-  private def first60(digest: Array[Byte]): Long = {
+  private[functions] def first60(digest: Array[Byte]): Long = {
     var v = 0L
     var k = 0
     while (k < 8) { v = (v << 8) | (digest(k) & 0xFFL); k += 1 }

@@ -279,9 +279,20 @@ object Dedup {
   }
 
   /** 60-bit SimHash per document: md5-hash each distinct token, weight by
-    * its occurrence count, sign-sum each bit. One explode + one groupBy(id)
-    * with 60 conditional sums (all codegen'd). */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * its occurrence count, sign-sum each bit. Computed per ROW by the
+    * codegen'd graft_simhash expression — zero shuffles (the explode +
+    * groupBy plan is kept as [[simhashAgg]], the in-repo equivalence
+    * oracle; a spec asserts bit-identical fingerprints). Docs whose text
+    * is null drop, like the exploded plan. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        graft.functions.SimhashExpression.fingerprint(df.sparkSession,
+          tokens(col(textCol))).as("simhash"))
+
+  /** The original explode + two-agg simhash plan, kept as the equivalence
+    * oracle for [[simhash]]. */
+  def simhashAgg(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("w"))
       .groupBy(col("id"), col("w")).agg(count(lit(1)).as("cnt"))
       .withColumn("h", md5Long(col("w")))

@@ -53,6 +53,20 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(capped == exact)
   }
 
+  test("graft_simhash expression fingerprints are bit-identical to the explode+agg plan") {
+    val a = Dedup.simhash(docs, "doc_id", "text")
+    val b = Dedup.simhashAgg(docs, "doc_id", "text")
+    assert(a.count() == b.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    val plan = a.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"fingerprint stage still shuffles:\n$plan")
+    // repeated tokens weight the sign-sums: "x x y" differs from "x y"
+    // only by the count of x, and both plans agree on each
+    val rep = Seq((1L, "x x y"), (2L, "x y")).toDF("doc_id", "text")
+    assert(Dedup.simhash(rep, "doc_id", "text").exceptAll(
+      Dedup.simhashAgg(rep, "doc_id", "text")).isEmpty)
+  }
+
   test("simhash near-dup pairs are high word-set-jaccard pairs") {
     val sim = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
     assert(sim.count() > 0)
