@@ -288,6 +288,19 @@ object GraftIO {
   def saveParquet(df: DataFrame, target: String): Unit =
     df.write.mode("overwrite").parquet(target)
 
+  /** Hive-partitioned parquet sink — the 100 TB layout primitive. Readers
+    * filtering on `partitionCols` prune whole directories at planning time
+    * (PartitionFilters in the scan, zero I/O for excluded partitions), so
+    * pick low-cardinality, always-filtered columns (source, lang, date).
+    * High-cardinality keys belong in `Scale.bucketedWrite` instead — a
+    * partition column with millions of values melts the file system and
+    * the catalog long before it helps a query. */
+  def savePartitionedParquet(df: DataFrame, target: String,
+      partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "partitionCols must be non-empty")
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(target)
+  }
+
   def save(df: DataFrame, path: String, format: Option[Format] = None): Unit =
     format.getOrElse(Format.forPath(path)) match {
       case Format.Csv => saveCsv(df, path)

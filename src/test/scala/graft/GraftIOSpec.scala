@@ -215,4 +215,23 @@ class GraftIOSpec extends SparkSpec {
     val byA = df.collect().map(r => Option(r.getString(0)).getOrElse("") -> r.getString(1)).toMap
     assert(byA.contains("x") && byA("x") == "3")
   }
+
+  test("savePartitionedParquet: hive layout, scans prune on the partition column") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/docs"
+    val df = Seq((1L, "hello", "en"), (2L, "hallo", "de"), (3L, "bonjour", "fr"),
+      (4L, "world", "en")).toDF("id", "text", "lang")
+    GraftIO.savePartitionedParquet(df, dir, Seq("lang"))
+    // hive directory layout
+    val langDirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(langDirs.toSeq == Seq("lang=de", "lang=en", "lang=fr"))
+    // a filter on the partition column prunes at planning time
+    val back = spark.read.parquet(dir).filter(org.apache.spark.sql.functions.col("lang") === "en")
+    assert(back.count() == 2)
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("lang"),
+      s"partition filter did not reach the scan:\n$scan")
+    assertThrows[IllegalArgumentException](
+      GraftIO.savePartitionedParquet(df, dir, Seq.empty))
+  }
 }
