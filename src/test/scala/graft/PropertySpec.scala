@@ -101,6 +101,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: bucketed intervalJoin equals the naive range join for random intervals") {
+    val ptGen = Gen.listOfN(40, Gen.chooseNum(-200L, 200L))
+    val ivGen = Gen.listOfN(12, for {
+      lo <- Gen.chooseNum(-150L, 150L)
+      w <- Gen.chooseNum(0L, 80L) // 0-width intervals are legal (match nothing)
+    } yield (lo, lo + w))
+    val stepGen = Gen.oneOf(1L, 7L, 10L, 64L, 1000L)
+    forAll(Gen.zip(ptGen, ivGen, stepGen)) { case (pts, ivs, step) =>
+      val points = pts.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("pid", "v")
+      val intervals = ivs.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+        .toDF("iid", "lo", "hi")
+      val naive = points.join(intervals, col("v") >= col("lo") && col("v") < col("hi"))
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      val got = graft.operators.RangeJoin
+        .intervalJoin(points, intervals, "v", "lo", "hi", step)
+        .select("pid", "iid").as[(Long, Long)].collect().toList
+      assert(got.toSet == naive && got.size == naive.size,
+        s"step=$step mismatch: ${got.toSet.diff(naive)} / ${naive.diff(got.toSet)}")
+    }
+  }
+
   test("property: exact jaccard pairs are symmetric-free and within [0,1]") {
     val wordGen = Gen.oneOf("red", "blue", "green", "dog", "cat")
     val docGen = Gen.listOfN(8, wordGen).map(_.mkString(" "))
