@@ -155,7 +155,15 @@ object Dedup {
       n: Int, threshold: Double, maxDocFreq: Option[Int] = None): DataFrame = {
     val sh = shingleIndex(df, idCol, textCol, n, maxDocFreq)
     val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("dfq"))
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    // per-doc set size: NARROW when the index is uncapped (size of the
+    // distinct shingle array per row — no groupBy over |corpus|x|shingles|
+    // index rows); a cap changes which shingles are indexed, so only then
+    // is the re-aggregation of the capped index needed
+    val sizes = maxDocFreq match {
+      case None => df.select(col(idCol).as("id"),
+        size(shingles(col(textCol), n)).cast(LongType).as("sz"))
+      case Some(_) => sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    }
     val prefix = sh
       .join(dfreq, Seq("s"))
       .withColumn("rk", row_number().over(
