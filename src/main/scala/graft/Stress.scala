@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-trend harness (opt-in; NOT part of the bench or the gate):
+  * replicates the sf tables 1x/2x/4x/... with content perturbed so corpora
+  * grow realistically (disjoint shingle vocabularies per replica — no
+  * cross-replica near-dups, linear vocabulary growth), then times the
+  * operators whose 100 TB behavior the design leans on. The deliverable is
+  * the TREND: per-row cost staying ~flat as the corpus doubles is measured
+  * evidence the plan shapes scale; superlinear growth is a red flag the
+  * small-SF gate can't see.
+  *
+  * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.Stress 1 2 4"
+  * Prints one JSON line per (op, multiplier).
+  */
+object Stress {
+
+  /** Replica r of the documents table: ids offset into a disjoint range;
+    * every inter-token gap gets a replica marker token, so every 3-gram
+    * shingle contains it — replicas share NO shingles (near-dup structure
+    * within a replica is preserved, across replicas none is added). */
+  private def replicateDocs(docs: DataFrame, m: Int): DataFrame =
+    (0 until m).map { r =>
+      docs.select(
+        (col("doc_id") + lit(r.toLong * 1000000L)).as("doc_id"),
+        (if (r == 0) col("text")
+         else regexp_replace(col("text"), " ", s" zr$r ")).as("text"),
+        col("lang"), col("source"))
+    }.reduce(_ unionByName _)
+
+  private def replicateEvents(events: DataFrame, m: Int): DataFrame =
+    (0 until m).map { r =>
+      events.select(
+        (col("event_id") + lit(r.toLong * 100000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(r.toLong * 1000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val mults = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 4)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+    Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect() // warm codegen
+
+    for (m <- mults) {
+      val docs = replicateDocs(Tables.load(spark, sfDir, "documents"), m)
+      val events = replicateEvents(Tables.load(spark, sfDir, "events"), m)
+      val nDocs = docs.count(); val nEvents = events.count() // materialize inputs fairly
+
+      val ops: Seq[(String, () => Long)] = Seq(
+        "exact_dedup" -> (() =>
+          operators.Dedup.exactDedup(docs, "doc_id", "text").count()),
+        "minhash_lsh_pairs" -> (() =>
+          operators.Dedup.minhashLshPairs(docs, "doc_id", "text",
+            n = 3, threshold = 0.8).count()),
+        "hash_split" -> (() =>
+          operators.CorpusOps.hashSplit(docs, "doc_id")
+            .groupBy("split").count().count()),
+        "pack_sequences" -> (() =>
+          operators.CorpusOps.packSequences(
+            docs.select(col("doc_id"),
+              functions.TextFunctions.tokenCount(col("text"))
+                .cast("long").as("n_tokens")),
+            "doc_id", "n_tokens", 512).count()),
+        "top_ngrams" -> (() =>
+          operators.CorpusOps.topNgramsPerGroup(docs, "lang", "text", 2, 5).count()),
+        "distinct_users" -> (() =>
+          operators.Scale.distinctCountPerKey(events, "event_type", "user_id").count()),
+        "interval_join" -> (() => {
+          val iv = Tables.load(spark, sfDir, "nation").select(
+            col("n_nationkey").as("promo_id"),
+            (lit(1704067200L) + col("n_nationkey") * 108000L).as("lo"),
+            (lit(1704067200L) + col("n_nationkey") * 108000L + 180000L).as("hi"))
+          val pts = events.select(col("event_id"), unix_timestamp(col("ts")).as("pt"))
+          operators.RangeJoin.intervalJoin(pts, iv, "pt", "lo", "hi", 86400L).count()
+        }))
+
+      for ((name, run) <- ops) {
+        val t0 = System.nanoTime()
+        val rows = run()
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.plans.Persists.releaseAll(spark)
+        println(s"""{"op":"$name","mult":$m,"docs":$nDocs,"events":$nEvents,""" +
+          s""""out_rows":$rows,"sec":${math.round(dt * 1000) / 1000.0}}""")
+      }
+    }
+    spark.stop()
+  }
+}
