@@ -92,13 +92,32 @@ case class SimhashFingerprint(child: Expression) extends UnaryExpression {
 
 object SimhashExpression {
   val Name = "graft_simhash"
+  private val NameNN = "graft_simhash_nn"
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       Name, exprs => SimhashFingerprint(exprs(0)), "built-in")
+    // known-not-null variant: ONLY for inputs proven non-empty (e.g.
+    // split() of a non-null string, which always yields >= 1 element).
+    // The tag lets the optimizer FOLD the isnotnull() a downstream join
+    // key would otherwise push down — that pushed filter re-evaluates the
+    // whole fingerprint (measured as a 3x md5 bill in the banded join).
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      NameNN, exprs => org.apache.spark.sql.catalyst.expressions.KnownNotNull(
+        SimhashFingerprint(exprs(0))), "built-in")
+  }
 
   def fingerprint(spark: SparkSession, tokens: Column): Column = {
     register(spark)
     call_function(Name, tokens)
+  }
+
+  /** Caller contract: `tokens` is non-null and non-empty for every row
+    * (filter first). In exchange, downstream join keys derived from the
+    * fingerprint stay non-nullable and no recomputing null-filter is
+    * pushed below the projection. */
+  def fingerprintNonNull(spark: SparkSession, tokens: Column): Column = {
+    register(spark)
+    call_function(NameNN, tokens)
   }
 }

@@ -294,8 +294,12 @@ object Dedup {
     * is null drop, like the exploded plan. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.filter(col(textCol).isNotNull)
+      // non-null variant is sound here: split() of a non-null string
+      // always yields >= 1 element, so the fingerprint can't be null —
+      // and band keys derived from it stay non-nullable (no pushed
+      // isnotnull filter re-evaluating the fingerprint below the project)
       .select(col(idCol).as("id"),
-        graft.functions.SimhashExpression.fingerprint(df.sparkSession,
+        graft.functions.SimhashExpression.fingerprintNonNull(df.sparkSession,
           tokens(col(textCol))).as("simhash"))
 
   /** The original explode + two-agg simhash plan, kept as the equivalence

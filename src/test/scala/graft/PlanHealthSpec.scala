@@ -84,4 +84,52 @@ class PlanHealthSpec extends SparkSpec {
     assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
       s"history anti-join must key-shuffle, not broadcast the batch:\n$p")
   }
+
+  test("x31: two-stage distinct never plans an Expand (no single-reducer distinct state)") {
+    val p = plan("x31_distinct_users")
+    assert(!p.contains("Expand"), s"two-stage distinct planned an Expand:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"expected partial aggregation:\n$p")
+  }
+
+  test("x32: the range join is an equi shuffle join, never BNL/cartesian") {
+    val p = plan("x32_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join fell off the equi-bucketed plan:\n$p")
+    assert(p.contains("ShuffledHashJoin"), s"expected the pinned bucket join:\n$p")
+  }
+
+  test("x33: stratified sampling is a pure narrow filter (no exchange beyond the output sort)") {
+    val p = plan("x33_stratified_sample")
+    assert("Exchange".r.findAllIn(p).size <= 1, s"stratifiedSample introduced shuffles:\n$p")
+    assert(!p.contains("Window ["), "stratifiedSample must not window")
+  }
+
+  test("x34: centroids broadcast; the corpus shuffles only for its per-id agg") {
+    val p = plan("x34_nearest_centroid")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"expected the centroid side to broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"corpus x centroids must not be a cartesian shuffle:\n$p")
+  }
+
+  test("x3/x4: one-pass signature expressions never re-evaluate inside a pushed filter") {
+    // duplication WITHIN one Project is handled at runtime by codegen
+    // subexpression elimination; the expensive failure mode is a pushed
+    // isnotnull(...) FILTER re-running the whole signature per row
+    for ((name, marker) <- Seq("x3_dedup_minhash_lsh" -> "minhashsignature",
+        "x4_dedup_simhash" -> "simhashfingerprint")) {
+      val p = plan(name).toLowerCase
+      assert(p.contains(marker), s"$name no longer uses the one-pass expression")
+      val filterLines = p.linesIterator.filter(_.trim.startsWith("+- filter")).toSeq ++
+        p.linesIterator.filter(_.trim.startsWith("filter")).toSeq
+      assert(!filterLines.exists(_.contains(marker)),
+        s"$name re-evaluates $marker inside a Filter:\n${filterLines.mkString("\n")}")
+    }
+  }
+
+  test("st4: the stream-stream twin keys its join on user_id (shuffle or broadcast hash, no BNL)") {
+    val p = plan("st4_attribution_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"attribution join must stay an equi-keyed join with a range filter:\n$p")
+  }
 }
