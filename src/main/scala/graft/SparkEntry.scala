@@ -793,6 +793,16 @@ object SparkEntry {
         .orderBy(col("lang"), col("rk"))
     },
 
+    // exact top-k frequent tokens via per-partition Misra-Gries sketch +
+    // candidate recount (no full-vocabulary shuffle); the oracle replays
+    // the naive groupBy-all rule — the gate proves sketch == naive
+    "x37_frequent_items" -> { (s, dir) =>
+      val items = t(s, dir, "documents").select(
+        explode(graft.functions.TextFunctions.ngrams(col("text"), 1)).as("item"))
+      graft.operators.FrequentItems.topK(items, "item", k = 20)
+        .orderBy(col("rk"))
+    },
+
     // ---- A/B probe pair pinning the driver hasher's decimal behavior:
     //      the SAME tiny sum, once as a NATURALLY-typed DECIMAL(38,2)
     //      output (sum over DECIMAL(28,2) — the j3 shape, no Cast node;
@@ -1432,6 +1442,15 @@ object SparkEntry {
            FROM cnt)
          SELECT lang, CAST(rk AS BIGINT) AS rk, gram, n
          FROM r WHERE rk <= 3 ORDER BY lang, rk""",
+
+    "x37_frequent_items" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS item FROM documents),
+         cnt AS (SELECT item, count(*) AS n FROM w GROUP BY 1),
+         r AS (SELECT item, n,
+             row_number() OVER (ORDER BY n DESC, item ASC) AS rk
+           FROM cnt)
+         SELECT CAST(rk AS BIGINT) AS rk, item, n FROM r WHERE rk <= 20
+         ORDER BY rk""",
 
     "z1_probe_sum_decimal" ->
       """SELECT CAST(sum(CAST(n_nationkey AS DECIMAL(28,2))) AS DECIMAL(38,2)) AS probe_sum
