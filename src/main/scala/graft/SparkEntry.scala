@@ -803,6 +803,17 @@ object SparkEntry {
         .orderBy(col("rk"))
     },
 
+    // corpus-wide boilerplate-unit removal (RefinedWeb line-dedup shape;
+    // token-level here because the synthetic docs are single-line): Spark
+    // runs the scale plan (distinct-pair docfreq agg + narrow in-place
+    // array filter, no reassembly shuffle); the oracle replays the naive
+    // explode/re-aggregate rule — the gate proves the two identical
+    "x38_scrub_boilerplate" -> { (s, dir) =>
+      graft.operators.CorpusOps.scrubBoilerplate(
+        t(s, dir, "documents"), "doc_id", "text", delim = " ", num = 1, den = 2)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- A/B probe pair pinning the driver hasher's decimal behavior:
     //      the SAME tiny sum, once as a NATURALLY-typed DECIMAL(38,2)
     //      output (sum over DECIMAL(28,2) — the j3 shape, no Cast node;
@@ -1451,6 +1462,20 @@ object SparkEntry {
            FROM cnt)
          SELECT CAST(rk AS BIGINT) AS rk, item, n FROM r WHERE rk <= 20
          ORDER BY rk""",
+
+    "x38_scrub_boilerplate" ->
+      """WITH n AS (SELECT count(*) AS n FROM documents),
+         w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         tok AS (SELECT doc_id, ws[i] AS unit, i AS pos
+                 FROM w, UNNEST(range(1, len(ws)+1)) t(i)),
+         dfreq AS (SELECT unit, count(DISTINCT doc_id) AS d FROM tok GROUP BY 1),
+         bl AS (SELECT unit FROM dfreq, n WHERE d*2 > n*1),
+         keep AS (SELECT doc_id, unit, pos FROM tok
+                  WHERE unit NOT IN (SELECT unit FROM bl)),
+         agg AS (SELECT doc_id, string_agg(unit, ' ' ORDER BY pos) AS scrubbed
+                 FROM keep GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(a.scrubbed, '') AS scrubbed
+         FROM documents d LEFT JOIN agg a USING(doc_id) ORDER BY doc_id""",
 
     "z1_probe_sum_decimal" ->
       """SELECT CAST(sum(CAST(n_nationkey AS DECIMAL(28,2))) AS DECIMAL(38,2)) AS probe_sum

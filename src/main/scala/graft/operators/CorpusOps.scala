@@ -288,4 +288,44 @@ object CorpusOps {
       .withColumn(as,
         regexp_replace(regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
           PhonePattern, "<PHONE>"))
+
+  /** Corpus-wide boilerplate removal (the RefinedWeb/CCNet line-dedup
+    * step): drop every text UNIT that occurs in more than `num/den` of all
+    * documents, preserving the order of what survives. `delim` picks the
+    * unit — "\n" for the real line-level pass on web corpora; the gated
+    * query uses " " (token level) because the synthetic docs are
+    * single-line, which degenerates to corpus-adaptive stopword removal.
+    *
+    * Plan shape (the part that must survive 100 TB):
+    *  1. the unit->document-frequency table aggregates DISTINCT per-doc
+    *     units (`array_distinct` applied narrowly BEFORE the explode, so
+    *     the shuffle carries unique (doc,unit) pairs, partial-agged on the
+    *     map side);
+    *  2. the boilerplate set is collected to the driver — BOUNDED: a unit
+    *     needs > N*num/den documents, so at most (avg units/doc)*den/num
+    *     units can qualify, independent of corpus size;
+    *  3. the scrub itself is a NARROW per-row array filter against that
+    *     in-literal set — documents are never exploded, reassembled, or
+    *     shuffled (the naive plan re-aggregates the whole corpus with
+    *     string_agg; the oracle replays that rule, proving identity).
+    *
+    * The threshold is exact integer arithmetic (docfreq*den > N*num), so
+    * any engine replaying the rule selects the same set. */
+  def scrubBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      delim: String = "\n", num: Int = 1, den: Int = 2,
+      as: String = "scrubbed"): DataFrame = {
+    require(num > 0 && den > 0 && num < den, s"need 0 < num/den < 1: $num/$den")
+    val n = df.count()
+    val quoted = java.util.regex.Pattern.quote(delim)
+    val units = df.select(
+      explode(array_distinct(split(col(textCol), quoted, -1))).as("unit"))
+    val boilerplate = units.groupBy("unit")
+      .agg(count(lit(1)).as("docfreq"))
+      .filter(col("docfreq") * den > n * num)
+      .select("unit").collect().map(_.getString(0)).sorted
+    val bl = lit(boilerplate)
+    df.select(col(idCol), array_join(
+      filter(split(col(textCol), quoted, -1), u => !array_contains(bl, u)),
+      delim).as(as))
+  }
 }

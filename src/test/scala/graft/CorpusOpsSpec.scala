@@ -238,4 +238,44 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(2)._2 == 2L && out(2)._3 == 2L)
     assert(!out(2)._4.contains("@") && out(2)._4.contains("<PHONE>"))
   }
+
+  test("scrubBoilerplate drops >num/den-docfreq units, preserves order, '' when all drop") {
+    val d = Seq(
+      (1L, "COOKIE NOTICE\nreal content one\nFOOTER"),
+      (2L, "COOKIE NOTICE\nreal content two\nFOOTER"),
+      (3L, "COOKIE NOTICE\nunique paragraph\nanother unique"),
+      (4L, "COOKIE NOTICE\nFOOTER")
+    ).toDF("id", "text")
+    // threshold 1/2 of 4 docs = 2: COOKIE NOTICE (4 docs) and FOOTER (3) go
+    val out = CorpusOps.scrubBoilerplate(d, "id", "text", delim = "\n")
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, "real content one"),
+      (2L, "real content two"),
+      (3L, "unique paragraph\nanother unique"),
+      (4L, "")))
+  }
+
+  test("scrubBoilerplate repeated unit within ONE doc is not boilerplate (docfreq, not termfreq)") {
+    val d = Seq(
+      (1L, "x\nx\nx\nx\nx"), // 5 occurrences but only 1 document
+      (2L, "y\nz")
+    ).toDF("id", "text")
+    val out = CorpusOps.scrubBoilerplate(d, "id", "text", delim = "\n")
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "x\nx\nx\nx\nx"), (2L, "y\nz")))
+  }
+
+  test("scrubBoilerplate scrub plan is narrow: no exchange, no re-explode") {
+    val d = Seq((1L, "a\nb"), (2L, "a\nc")).toDF("id", "text")
+    val plan = CorpusOps.scrubBoilerplate(d, "id", "text", delim = "\n")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scrub output plan shuffles:\n$plan")
+    assert(!plan.toLowerCase.contains("generate"), s"scrub output plan explodes:\n$plan")
+  }
+
+  test("scrubBoilerplate rejects a degenerate threshold") {
+    assertThrows[IllegalArgumentException](
+      CorpusOps.scrubBoilerplate(docs, "id", "text", num = 2, den = 2))
+  }
 }
