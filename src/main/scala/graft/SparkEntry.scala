@@ -814,6 +814,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // near-dup clusters = connected components over the minhash-LSH pair
+    // graph (iterative min-label propagation + pointer jumping on RDDs);
+    // the oracle computes the same components with a recursive CTE over
+    // the exact-jaccard pair rule — x3's gate already proves LSH pairs ==
+    // exact pairs at this SF, this gate proves the closure on top
+    "x39_dedup_components" -> { (s, dir) =>
+      val pairs = graft.operators.Dedup.minhashLshPairs(
+        t(s, dir, "documents"), "doc_id", "text")
+      graft.operators.ConnectedComponents.labels(pairs, "id_a", "id_b")
+        .orderBy(col("id"))
+    },
+
     // ---- A/B probe pair pinning the driver hasher's decimal behavior:
     //      the SAME tiny sum, once as a NATURALLY-typed DECIMAL(38,2)
     //      output (sum over DECIMAL(28,2) — the j3 shape, no Cast node;
@@ -1476,6 +1488,27 @@ object SparkEntry {
                  FROM keep GROUP BY doc_id)
          SELECT d.doc_id, coalesce(a.scrubbed, '') AS scrubbed
          FROM documents d LEFT JOIN agg a USING(doc_id) ORDER BY doc_id""",
+
+    "x39_dedup_components" ->
+      """WITH RECURSIVE
+         w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+                FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1))) t(i)),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                   FROM sh a JOIN sh b USING (s)
+                   WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         pairs AS (SELECT id_a, id_b
+                   FROM inter JOIN sz sa ON id_a = sa.doc_id
+                              JOIN sz sb ON id_b = sb.doc_id
+                   WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8),
+         edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach(a, b) AS (SELECT u, v FROM edges
+                         UNION
+                         SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u)
+         SELECT a AS id, least(min(b), a) AS component
+         FROM reach GROUP BY a ORDER BY id""",
 
     "z1_probe_sum_decimal" ->
       """SELECT CAST(sum(CAST(n_nationkey AS DECIMAL(28,2))) AS DECIMAL(38,2)) AS probe_sum
