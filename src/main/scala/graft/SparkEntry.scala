@@ -826,6 +826,17 @@ object SparkEntry {
         .orderBy(col("id"))
     },
 
+    // event-level sessionization: per-user session ordinals by 30-min
+    // inactivity gap (keyed lag + running sum; the event-level twin of
+    // st2's session AGGREGATE). Exact micros gap arithmetic on both sides
+    "x40_sessionize" -> { (s, dir) =>
+      graft.operators.Temporal.sessionize(
+        t(s, dir, "events").select("user_id", "event_id", "ts"),
+        "user_id", "ts", "event_id", gapSeconds = 1800)
+        .select(col("user_id"), col("event_id"), col("session_id"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
     // ---- A/B probe pair pinning the driver hasher's decimal behavior:
     //      the SAME tiny sum, once as a NATURALLY-typed DECIMAL(38,2)
     //      output (sum over DECIMAL(28,2) — the j3 shape, no Cast node;
@@ -1509,6 +1520,18 @@ object SparkEntry {
                          SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u)
          SELECT a AS id, least(min(b), a) AS component
          FROM reach GROUP BY a ORDER BY id""",
+
+    "x40_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+         g AS (SELECT user_id, event_id, t,
+             CASE WHEN lag(t) OVER w IS NULL
+                  OR epoch_us(t) - epoch_us(lag(t) OVER w) > 1800000000
+             THEN 1 ELSE 0 END AS is_new
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+         SELECT user_id, event_id,
+           CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+         FROM g ORDER BY user_id, event_id""",
 
     "z1_probe_sum_decimal" ->
       """SELECT CAST(sum(CAST(n_nationkey AS DECIMAL(28,2))) AS DECIMAL(38,2)) AS probe_sum

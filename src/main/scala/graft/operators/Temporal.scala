@@ -55,4 +55,32 @@ object Temporal {
     val rightOut = rightCols.map(c => col(s"__match.$c").as(s"$rightPrefix$c"))
     carried.select(leftOut ++ rightOut: _*)
   }
+
+  /** Sessionization: assign every event a per-key session ordinal — a new
+    * session starts when the gap since the key's previous event exceeds
+    * `gapSeconds`. This is the event-level twin of the session AGGREGATE
+    * (`session_window`): the aggregate collapses sessions to one row;
+    * this keeps every event, labeled, so downstream ops can join within
+    * sessions (funnel steps, per-session sequence packing).
+    *
+    * Scale shape: keyed windows only (lag + running sum, one shuffle on
+    * the key, never a global sort); per-key state is the window frame.
+    * Gap arithmetic is exact integer MICROSECONDS (`unix_micros`, DuckDB
+    * `epoch_us`) — no sub-second truncation disagreements between
+    * engines. `tieCol` must make (tsCol, tieCol) unique per key so the
+    * running sum's frame is a total order.
+    */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      gapSeconds: Long, as: String = "session_id"): DataFrame = {
+    val order = Seq(col(tsCol).asc, col(tieCol).asc)
+    val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(unix_micros(col(tsCol)), 1).over(w)
+    val isNew = when(prev.isNull ||
+      unix_micros(col(tsCol)) - prev > gapSeconds * 1000000L, 1L).otherwise(0L)
+    // two projections: window functions don't nest (lag feeds the sum)
+    df.withColumn("__is_new", isNew)
+      .withColumn(as, sum(col("__is_new")).over(run))
+      .drop("__is_new")
+  }
 }

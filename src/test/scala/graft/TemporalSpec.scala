@@ -43,4 +43,34 @@ class TemporalSpec extends SparkSpec {
     val joined = Temporal.asofJoin(e, o, "user_id", "o_custkey", "ts", "o_orderdate")
     assert(joined.count() == e.count())
   }
+
+  test("sessionize: new session on gap > threshold, per key, boundary is exclusive") {
+    import java.sql.Timestamp
+    def ts(min: Long, micros: Long = 0): Timestamp = {
+      val t = new Timestamp(min * 60000L); t.setNanos((micros * 1000).toInt); t
+    }
+    val df = Seq(
+      // user 1: events at 0, 10, 45 min (gap 35 > 30 => new session), 46
+      (1L, 1L, ts(0)), (1L, 2L, ts(10)), (1L, 3L, ts(45)), (1L, 4L, ts(46)),
+      // user 2: exactly 30:00.000000 gap is NOT a new session (strict >)
+      (2L, 5L, ts(0)), (2L, 6L, ts(30)),
+      // user 2: 30 min + 1 microsecond IS
+      (2L, 7L, ts(60, 1))
+    ).toDF("user_id", "event_id", "ts")
+    val out = Temporal.sessionize(df, "user_id", "ts", "event_id", gapSeconds = 1800)
+      .select("user_id", "event_id", "session_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 5L, 1L), (2L, 6L, 1L), (2L, 7L, 2L)))
+  }
+
+  test("sessionize ties on ts break by tieCol deterministically") {
+    import java.sql.Timestamp
+    val t0 = new Timestamp(0L)
+    val df = Seq((1L, 2L, t0), (1L, 1L, t0)).toDF("user_id", "event_id", "ts")
+    val out = Temporal.sessionize(df, "user_id", "ts", "event_id", gapSeconds = 1)
+      .select("event_id", "session_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L), (2L, 1L)))
+  }
 }
