@@ -837,6 +837,18 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_id"))
     },
 
+    // incremental near-dup: the new batch (doc_id % 10 != 0) banded
+    // AGAINST the history snapshot (doc_id % 10 == 0) — the corpus never
+    // self-joins; oracle replays the exact-jaccard cross rule
+    "x41_neardup_vs_history" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.Dedup.minhashLshPairsAgainst(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // ---- A/B probe pair pinning the driver hasher's decimal behavior:
     //      the SAME tiny sum, once as a NATURALLY-typed DECIMAL(38,2)
     //      output (sum over DECIMAL(28,2) — the j3 shape, no Cast node;
@@ -1532,6 +1544,20 @@ object SparkEntry {
            CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
          FROM g ORDER BY user_id, event_id""",
+
+    "x41_neardup_vs_history" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+                FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1))) t(i)),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                   FROM sh a JOIN sh b USING (s)
+                   WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+                   GROUP BY 1, 2)
+         SELECT id_a, id_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+         FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+         WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+         ORDER BY id_a, id_b""",
 
     "z1_probe_sum_decimal" ->
       """SELECT CAST(sum(CAST(n_nationkey AS DECIMAL(28,2))) AS DECIMAL(38,2)) AS probe_sum

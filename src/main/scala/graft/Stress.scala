@@ -83,7 +83,14 @@ object Stress {
             (lit(1704067200L) + col("n_nationkey") * 108000L + 180000L).as("hi"))
           val pts = events.select(col("event_id"), unix_timestamp(col("ts")).as("pt"))
           operators.RangeJoin.intervalJoin(pts, iv, "pt", "lo", "hi", 86400L).count()
-        }))
+        }),
+        "dedup_components" -> (() =>
+          operators.ConnectedComponents.labels(
+            operators.Dedup.minhashLshPairs(docs, "doc_id", "text",
+              threshold = 0.8), "id_a", "id_b").count()),
+        "sessionize" -> (() =>
+          operators.Temporal.sessionize(events, "user_id", "ts", "event_id",
+            gapSeconds = 1800).count()))
 
       for ((name, run) <- ops) {
         val t0 = System.nanoTime()

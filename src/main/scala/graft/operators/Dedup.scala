@@ -79,11 +79,19 @@ object Dedup {
     * Shared by every near-dup variant so their outputs are value-identical
     * to the brute-force oracle for any pair they surface. */
   private def verifyJaccard(cand: DataFrame, df: DataFrame, idCol: String,
-      textCol: String, n: Int, threshold: Double): DataFrame = {
-    val docSh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("arr"))
+      textCol: String, n: Int, threshold: Double): DataFrame =
+    verifyJaccardAcross(cand, df, df, idCol, textCol, n, threshold)
+
+  /** Exact-jaccard verification of candidate pairs whose two sides come
+    * from DIFFERENT frames (id_a from `left`, id_b from `right`). */
+  private def verifyJaccardAcross(cand: DataFrame, left: DataFrame,
+      right: DataFrame, idCol: String, textCol: String, n: Int,
+      threshold: Double): DataFrame = {
+    val shA = left.select(col(idCol).as("id_a"), shingles(col(textCol), n).as("arr_a"))
+    val shB = right.select(col(idCol).as("id_b"), shingles(col(textCol), n).as("arr_b"))
     cand
-      .join(docSh.toDF("id_a", "arr_a").hint("shuffle_hash"), Seq("id_a"))
-      .join(docSh.toDF("id_b", "arr_b").hint("shuffle_hash"), Seq("id_b"))
+      .join(shA.hint("shuffle_hash"), Seq("id_a"))
+      .join(shB.hint("shuffle_hash"), Seq("id_b"))
       .withColumn("c", size(array_intersect(col("arr_a"), col("arr_b"))))
       .withColumn("jaccard", col("c").cast(DoubleType) /
         (size(col("arr_a")) + size(col("arr_b")) - col("c")).cast(DoubleType))
@@ -261,18 +269,8 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = minhashSignatures(df, idCol, textCol, n, numHashes)
-
-    // the bucket key is the band's raw signature slice (a struct) — no
-    // re-hashing needed, the join key IS the band values
-    val bandCols = (0 until bands).map { b =>
-      val cols = (b * rows until (b + 1) * rows).zipWithIndex
-        .map { case (i, j) => col(s"h$i").as(s"v$j") }
-      struct(lit(b).as("band"), struct(cols: _*).as("bucket"))
-    }
-    val buckets = sig.select(col("id"),
-      explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val buckets = bandBuckets(
+      minhashSignatures(df, idCol, textCol, n, numHashes), bands, rows)
 
     // shuffle_hash: post-explode size estimates are garbage and an AQE
     // broadcast of the banded side is the run-to-run 2-130s instability
@@ -284,6 +282,46 @@ object Dedup {
 
     // verify candidates with exact jaccard over full shingle sets
     verifyJaccard(cand, df, idCol, textCol, n, threshold)
+  }
+
+  /** Banded LSH buckets of a signature frame: the bucket key is the
+    * band's raw signature slice (a struct) — no re-hashing needed, the
+    * join key IS the band values. */
+  private def bandBuckets(sig: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).zipWithIndex
+        .map { case (i, j) => col(s"h$i").as(s"v$j") }
+      struct(lit(b).as("band"), struct(cols: _*).as("bucket"))
+    }
+    sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** MinHash-LSH near-dup detection of `corpus` AGAINST `history` — the
+    * incremental-ingest path: yesterday's corpus is a fixed snapshot, only
+    * the new batch is banded against it, and the corpus never self-joins
+    * (at 100 TB the nightly batch is ~0.1% of the snapshot; a self-join of
+    * the union would re-pay the full-corpus pair search every night).
+    * Both sides use the SAME md5-affine family, so a document's signature
+    * is frame-independent and recall certified for the self-join variant
+    * (x3's exact-jaccard gate) carries over: cross pairs are a subset of
+    * the union's pairs. Output: (id_a from corpus, id_b from history,
+    * jaccard >= threshold), exact-verified like the self-join variant.
+    */
+  def minhashLshPairsAgainst(corpus: DataFrame, history: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, threshold: Double = 0.8,
+      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val bc = bandBuckets(
+      minhashSignatures(corpus, idCol, textCol, n, numHashes), bands, rows)
+    val bh = bandBuckets(
+      minhashSignatures(history, idCol, textCol, n, numHashes), bands, rows)
+    val cand = bc.toDF("id_a", "band", "bucket")
+      .join(bh.toDF("id_b", "band", "bucket").hint("shuffle_hash"),
+        Seq("band", "bucket"))
+      .select("id_a", "id_b").distinct()
+    verifyJaccardAcross(cand, corpus, history, idCol, textCol, n, threshold)
   }
 
   /** 60-bit SimHash per document: md5-hash each distinct token, weight by

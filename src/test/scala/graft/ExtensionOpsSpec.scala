@@ -31,6 +31,23 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(exact.nonEmpty) // the synthetic docs contain planted near-dups
   }
 
+  test("minhash vs HISTORY == self-join pairs restricted to the cross split") {
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val history = docs.filter(col("doc_id") % 10 === 0)
+    val cross = Dedup.minhashLshPairsAgainst(corpus, history, "doc_id", "text")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: all near-dup pairs of the union, keeping only
+    // (corpus, history) pairs — in either orientation of the self-join
+    val all = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = all.collect {
+      case (a, b) if a % 10 != 0 && b % 10 == 0 => (a, b)
+      case (a, b) if b % 10 != 0 && a % 10 == 0 => (b, a)
+    }
+    assert(cross == expected)
+    assert(cross.nonEmpty)
+  }
+
   test("graft_minhash expression signatures are bit-identical to the explode+agg plan") {
     val a = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, numHashes = 64)
     val b = Dedup.minhashSignaturesAgg(docs, "doc_id", "text", n = 3, numHashes = 64)
