@@ -849,6 +849,16 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // ExactSubstr-style local overlap: document pairs sharing >= 1 exact
+    // 6-token window (k=6 because the synthetic docs are short; the
+    // published k is ~50) — flags copied passages document-level jaccard
+    // dilutes. Exact counts, no verification step needed
+    "x42_shared_windows" -> { (s, dir) =>
+      graft.operators.Dedup.sharedWindowPairs(
+        t(s, dir, "documents"), "doc_id", "text", k = 6)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // ---- A/B probe pair pinning the driver hasher's decimal behavior:
     //      the SAME tiny sum, once as a NATURALLY-typed DECIMAL(38,2)
     //      output (sum over DECIMAL(28,2) — the j3 shape, no Cast node;
@@ -1558,6 +1568,14 @@ object SparkEntry {
          FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
          ORDER BY id_a, id_b""",
+
+    "x42_shared_windows" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+5], ' ') AS s
+                FROM w, UNNEST(range(1, greatest(len(ws) - 4, 1))) t(i))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+         FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "z1_probe_sum_decimal" ->
       """SELECT CAST(sum(CAST(n_nationkey AS DECIMAL(28,2))) AS DECIMAL(38,2)) AS probe_sum

@@ -324,6 +324,31 @@ object Dedup {
     verifyJaccardAcross(cand, corpus, history, idCol, textCol, n, threshold)
   }
 
+  /** ExactSubstr-style overlap detector (the window-granular exact dedup
+    * of "Deduplicating Training Data Makes Language Models Better",
+    * Lee et al. 2022): pairs of documents sharing at least one exact
+    * k-token window, with the count of distinct shared windows. Unlike
+    * [[ngramJaccardPairs]] (whole-document set similarity), this flags
+    * LOCAL verbatim overlap — a copied paragraph inside two otherwise
+    * unrelated documents, which jaccard at document granularity dilutes
+    * below any useful threshold.
+    *
+    * Same inverted-index cost model as the jaccard family: one
+    * shingle-keyed shuffle into a partial-agged groupBy, cost sum of
+    * docfreq^2 per window. At the published k (~50 tokens) windows are
+    * nearly unique, so the index is near-linear; `maxDocFreq` caps the
+    * boilerplate windows if not (a pair is missed only if EVERY shared
+    * window is hotter than the cap). Output: (id_a, id_b, n_shared),
+    * id_a < id_b, exact when uncapped. */
+  def sharedWindowPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 50, maxDocFreq: Option[Int] = None): DataFrame = {
+    val sh = shingleIndex(df, idCol, textCol, k, maxDocFreq)
+    sh.toDF("id_a", "s")
+      .join(sh.toDF("id_b", "s").hint("shuffle_hash"), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+  }
+
   /** 60-bit SimHash per document: md5-hash each distinct token, weight by
     * its occurrence count, sign-sum each bit. Computed per ROW by the
     * codegen'd graft_simhash expression — zero shuffles (the explode +

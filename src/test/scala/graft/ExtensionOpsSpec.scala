@@ -48,6 +48,38 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(cross.nonEmpty)
   }
 
+  test("sharedWindowPairs flags a copied passage that document-level jaccard dilutes") {
+    val passage = "the quick brown fox jumps over the lazy dog tonight"
+    val d = Seq(
+      (1L, s"alpha beta gamma delta $passage epsilon zeta eta theta iota kappa " +
+        "lam mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"),
+      (2L, s"one two three four $passage five six seven eight nine ten eleven " +
+        "twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen"),
+      (3L, "entirely different content with no overlap at all whatsoever here")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.sharedWindowPairs(d, "doc_id", "text", k = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    // the 10-word passage contributes exactly one shared 10-token window
+    assert(pairs == Set((1L, 2L, 1L)))
+    // document-level jaccard at the dedup threshold misses it entirely
+    assert(Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.8).count() == 0)
+  }
+
+  test("sharedWindowPairs counts distinct shared windows; docFreq cap drops hot windows") {
+    val d = Seq(
+      (1L, "a b c d e f"), // windows of 3: "a b c","b c d","c d e","d e f"
+      (2L, "a b c d x y"), // shares "a b c","b c d"
+      (3L, "a b c z z z")  // shares "a b c" with 1 and 2
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.sharedWindowPairs(d, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L)))
+    // cap=2 kills "a b c" (docfreq 3); only the (1,2) "b c d" window survives
+    val capped = Dedup.sharedWindowPairs(d, "doc_id", "text", k = 3,
+      maxDocFreq = Some(2)).as[(Long, Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L, 1L)))
+  }
+
   test("graft_minhash expression signatures are bit-identical to the explode+agg plan") {
     val a = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, numHashes = 64)
     val b = Dedup.minhashSignaturesAgg(docs, "doc_id", "text", n = 3, numHashes = 64)
