@@ -33,12 +33,17 @@ import org.apache.spark.sql.types.LongType
   */
 object FrequentItems {
 
-  /** Per-partition Misra-Gries candidates of a Dataset[String]. */
-  private def mgCandidates(items: Dataset[String], capacity: Int): Dataset[String] = {
+  /** Per-partition Misra-Gries candidates of a Dataset[String], plus the
+    * partition's row count folded into the same scan (as a null-item row)
+    * so the certificate's total-N needs no third pass over the corpus. */
+  private def mgCandidates(items: Dataset[String],
+      capacity: Int): Dataset[(String, Long)] = {
     import items.sparkSession.implicits._
     items.mapPartitions { it =>
       val counters = new java.util.HashMap[String, Long]()
+      var total = 0L
       it.foreach { x =>
+        total += 1
         val c = counters.get(x)
         if (c != 0L || counters.containsKey(x)) counters.put(x, c + 1L)
         else if (counters.size < capacity) counters.put(x, 1L)
@@ -52,7 +57,8 @@ object FrequentItems {
         }
       }
       import scala.jdk.CollectionConverters._
-      counters.keySet().iterator().asScala
+      counters.keySet().iterator().asScala.map((_, 0L)) ++
+        Iterator((null: String, total))
     }
   }
 
@@ -78,13 +84,15 @@ object FrequentItems {
         .select(col("rk"), col("item"), col("n"))
     }
 
-    val cand = mgCandidates(items, capacity).distinct().toDF("item")
+    // one sketch pass yields candidates AND the total row count (null key)
+    val sketch = mgCandidates(items, capacity).toDF("item", "cnt").collect()
+    val total = sketch.filter(_.isNullAt(0)).map(_.getLong(1)).sum
+    val cand = sketch.collect { case r if !r.isNullAt(0) => r.getString(0) }
+      .distinct.toSeq
     val recount = items.toDF("item")
-      .join(broadcast(cand), Seq("item"), "left_semi")
+      .join(broadcast(cand.toDF("item")), Seq("item"), "left_semi")
       .groupBy("item").agg(count(lit(1)).as("n"))
     val top = rank(recount).collect()
-
-    val total = items.count()
     val certified = top.length >= k &&
       top.last.getAs[Long]("n") > total / capacity
     if (certified) {
