@@ -859,6 +859,19 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // ---- E2: the NIGHTLY-INGEST composition (quality gate -> exact
+    //      dedup vs history -> banded near-dup AGAINST the snapshot ->
+    //      in-batch components, keep cluster min), every stage replayed
+    //      by the oracle from the naive rules ----
+    "e2_incremental_ingest" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.examples.IncrementalIngest.run(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- A/B probe pair pinning the driver hasher's decimal behavior:
     //      the SAME tiny sum, once as a NATURALLY-typed DECIMAL(38,2)
     //      output (sum over DECIMAL(28,2) — the j3 shape, no Cast node;
@@ -1576,6 +1589,57 @@ object SparkEntry {
          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
          FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "e2_incremental_ingest" ->
+      """WITH RECURSIVE
+         batch AS (SELECT doc_id, text, lang, source FROM documents WHERE doc_id % 10 <> 0),
+         hist AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+         q AS (SELECT * FROM batch WHERE len(string_split(text, ' ')) >= 8),
+         f AS (SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+           FROM q),
+         hfp AS (SELECT DISTINCT
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+           FROM hist),
+         exact AS (SELECT doc_id FROM (
+             SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+             FROM f WHERE fp NOT IN (SELECT fp FROM hfp)) WHERE rn = 1),
+         sdoc AS (SELECT d.* FROM q d JOIN exact e USING (doc_id)),
+         w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM sdoc),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+                FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1))) t(i)),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         hw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM hist),
+         hsh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+                 FROM hw, UNNEST(range(1, greatest(len(ws) - 1, 1))) t(i)),
+         hsz AS (SELECT doc_id, count(*) AS n FROM hsh GROUP BY doc_id),
+         xc AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                FROM sh a JOIN hsh b USING (s) GROUP BY 1, 2),
+         xlosers AS (SELECT DISTINCT id_a AS doc_id
+                     FROM xc JOIN sz sa ON id_a = sa.doc_id
+                             JOIN hsz sb ON id_b = sb.doc_id
+                     WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8),
+         s2 AS (SELECT * FROM sdoc WHERE doc_id NOT IN (SELECT doc_id FROM xlosers)),
+         sh2 AS (SELECT * FROM sh WHERE doc_id IN (SELECT doc_id FROM s2)),
+         sz2 AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+         i2 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                FROM sh2 a JOIN sh2 b USING (s)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         p2 AS (SELECT id_a, id_b
+                FROM i2 JOIN sz2 sa ON id_a = sa.doc_id
+                        JOIN sz2 sb ON id_b = sb.doc_id
+                WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8),
+         edges AS (SELECT id_a AS u, id_b AS v FROM p2
+                   UNION SELECT id_b, id_a FROM p2),
+         reach(a, b) AS (SELECT u, v FROM edges
+                         UNION
+                         SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u),
+         comp AS (SELECT a AS doc_id, least(min(b), a) AS component
+                  FROM reach GROUP BY a),
+         losers2 AS (SELECT doc_id FROM comp WHERE doc_id <> component)
+         SELECT doc_id, lang, source FROM s2
+         WHERE doc_id NOT IN (SELECT doc_id FROM losers2)
+         ORDER BY doc_id""",
 
     "z1_probe_sum_decimal" ->
       """SELECT CAST(sum(CAST(n_nationkey AS DECIMAL(28,2))) AS DECIMAL(38,2)) AS probe_sum
