@@ -88,6 +88,12 @@ object Stress {
           operators.ConnectedComponents.labels(
             operators.Dedup.minhashLshPairs(docs, "doc_id", "text",
               threshold = 0.8), "id_a", "id_b").count()),
+        // the nightly-ingest flagship: 90/10 batch/history split (stable
+        // under replication — replica id offsets are multiples of 10)
+        "incremental_ingest" -> (() =>
+          examples.IncrementalIngest.run(
+            docs.filter(col("doc_id") % 10 =!= 0),
+            docs.filter(col("doc_id") % 10 === 0)).count()),
         "sessionize" -> (() =>
           operators.Temporal.sessionize(events, "user_id", "ts", "event_id",
             gapSeconds = 1800).count()))

@@ -48,8 +48,7 @@ object Curation {
       },
       Step.batch("near_dedup_minhash") { (df, _) =>
         // greedy near-dup removal: for every near-dup pair keep the lower
-        // id; higher ids become a drop list (one broadcastable frame —
-        // pair volume is near-dup density, not corpus size).
+        // id; higher ids become a drop list, removed with an anti-join.
         //
         // The pair search walks the survivor frame several times
         // (signatures + both sides of the exact-jaccard verify), and each
@@ -72,20 +71,29 @@ object Curation {
           // pipeline's hottest stage.
           val pairs = Dedup.minhashLshPairs(slim, "doc_id", "text",
             n = 3, threshold = 0.8, numHashes = 32, bands = 8)
-          // collect the loser ids NOW: they are bounded by near-dup
-          // density and must fit in memory anyway (the anti-join
-          // broadcasts them) — and the eager materialization is what lets
-          // slim's blocks be released deterministically in the finally
-          // instead of leaking until the ContextCleaner gets to them
-          val idField = df.schema("doc_id")
-          val loserRows = pairs.select(col("id_b")).distinct().collect()
-            .map(r => org.apache.spark.sql.Row(r.get(0)))
-          val losers = spark.createDataFrame(
-            java.util.Arrays.asList(loserRows: _*),
-            org.apache.spark.sql.types.StructType(Seq(idField)))
-          df.join(broadcast(losers), Seq("doc_id"), "left_anti")
+          // the loser set stays a FRAME — persisted and counted NOW (so
+          // the pair search executes exactly once and slim's blocks can be
+          // released deterministically in the finally), NEVER collected:
+          // real web corpora run 30-50% duplicate rates, where losers is a
+          // corpus-scale set and a driver round-trip is an OOM. The count
+          // picks the removal join: a broadcast fast-path under an
+          // explicit size guard, else a key-shuffled anti-join.
+          val losers = pairs.select(col("id_b").as("doc_id")).distinct()
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+          val nLosers = losers.count()
+          graft.plans.Persists.onNextAction(spark)(() => losers.unpersist(false))
+          val removal =
+            if (nLosers <= BroadcastLoserMax) broadcast(losers)
+            else losers.hint("shuffle_hash")
+          df.join(removal, Seq("doc_id"), "left_anti")
         } finally slim.unpersist(false)
       }))
+
+  /** Loser sets at or below this row count take the broadcast anti-join
+    * fast-path; above it the removal is a key-shuffled anti-join (a
+    * million longs broadcast in a few MB; a 30-50%-dup-rate corpus's
+    * loser set does not). */
+  val BroadcastLoserMax: Long = 1000000L
 
   val phases: Seq[Phase] = Seq(analyze, filter, dedup)
 }

@@ -6,6 +6,7 @@ import org.apache.spark.storage.StorageLevel
 
 import graft.functions.TextFunctions
 import graft.operators.{ConnectedComponents, Dedup}
+import graft.plans.Persists
 
 /** End-to-end NIGHTLY-INGEST curation: given a new `batch` and the
   * `history` snapshot it must not duplicate, emit the batch survivors —
@@ -16,17 +17,26 @@ import graft.operators.{ConnectedComponents, Dedup}
   *  1. quality gate — narrow filter, drops rows before anything shuffles;
   *  2. exact dedup, in-batch + vs history — the history side is its
   *     distinct fingerprint INDEX (one narrow column), never the corpus;
-  *  3. near-dup vs history — the batch is banded AGAINST the snapshot
-  *     ([[Dedup.minhashLshPairsAgainst]]); the snapshot never self-joins;
+  *  3. near-dup vs history — the batch is banded AGAINST the snapshot;
+  *     the snapshot never self-joins;
   *  4. in-batch near-dup clusters — pair graph -> transitive closure
   *     ([[ConnectedComponents]]), keep each cluster's min id (pairwise
   *     keep-min under-deletes chains: {A~B, B~C} must leave ONE doc).
   *
-  * Loser sets are collected/broadcast — bounded by near-dup density of
-  * the BATCH (not snapshot size), the same bound the anti-join broadcast
-  * needs anyway. The narrow (doc_id, text) projection is persisted
-  * around the pair walks and released deterministically (the Curation
-  * lesson: persist the slim frame, never the wide one).
+  * The batch's minhash band-buckets are computed ONCE on the persisted
+  * narrow (doc_id, text) frame ([[Dedup.minhashBandBuckets]]) and feed
+  * BOTH the vs-history join and the in-batch pair search — the signature
+  * stage is the md5-dominant cost of the pipeline and must not run twice.
+  * Loser sets stay DataFrames end to end: persisted, counted (so each
+  * pair search executes exactly once), and removed with `left_anti`
+  * `shuffle_hash` joins — never collected to the driver. At RefinedWeb
+  * dup rates (30-50%) the loser set is corpus-scale; a driver round-trip
+  * is an OOM, and the anti-join shape costs one key shuffle regardless of
+  * density. 32 hashes x 8 bands: at the j>=0.9 similarity of true
+  * near-dup clusters a pair escapes 8 4-row bands with p=(1-0.9^4)^8
+  * ~ 2e-4, and recall is DETERMINISTIC for fixed data (md5 family) —
+  * certified by the e2 oracle replaying every stage from the naive rules
+  * at sf0.01 and sf0.1.
   *
   * Driver gate: e2 replays every stage in SQL (fingerprint rule, exact
   * jaccard cross + self pairs, recursive-CTE closure) — the whole
@@ -36,44 +46,70 @@ import graft.operators.{ConnectedComponents, Dedup}
 object IncrementalIngest {
 
   def run(batch: DataFrame, history: DataFrame,
-      minTokens: Int = 8, threshold: Double = 0.8): DataFrame = {
+      minTokens: Int = 8, threshold: Double = 0.8,
+      numHashes: Int = 32, bands: Int = 8): DataFrame = {
     val spark = batch.sparkSession
 
     // 1. quality gate (narrow, first)
     val q = batch.filter(TextFunctions.tokenCount(col("text")) >= minTokens)
 
-    // 2. exact dedup: in-batch lowest-id-per-fingerprint, minus history fps
+    // 2. exact dedup: in-batch lowest-id-per-fingerprint, minus history
+    // fps. Persisted WIDE (documents rows are id + text + a few tags;
+    // text dominates either way): the pair walks read its narrow
+    // projection, and the final anti-joins read the same blocks instead
+    // of re-running the fingerprint dedup — released after the
+    // consumer's first action, like the loser frames.
     val exact = Dedup.dedupAgainstHistory(q, history, "doc_id", "text")
-
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val slim = exact.select(col("doc_id"), col("text"))
+
+    // the batch's band buckets — signed ONCE, shared by stages 3 and 4
+    val buckets = Dedup.minhashBandBuckets(slim, "doc_id", "text",
+      numHashes = numHashes, bands = bands)
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     try {
-      import spark.implicits._
       val histSlim = history.select(col("doc_id"), col("text"))
+      val histBuckets = Dedup.minhashBandBuckets(histSlim, "doc_id", "text",
+        numHashes = numHashes, bands = bands)
 
       // 3. near-dup vs history: batch docs similar to ANY snapshot doc
-      // drop. Loser ids are collected EAGERLY (bounded by batch near-dup
-      // density — the same bound the broadcast anti-join needs anyway);
-      // a lazy loser plan would re-run the pair search at every reuse.
-      val crossLosers = spark.createDataset(
-        Dedup.minhashLshPairsAgainst(
-            slim, histSlim, "doc_id", "text", threshold = threshold)
-          .select(col("id_a")).distinct().collect().map(_.getLong(0)).toSeq)
-        .toDF("doc_id")
-      val noHist = slim.join(broadcast(crossLosers), Seq("doc_id"), "left_anti")
+      // drop. The loser set stays a FRAME — persisted and materialized NOW
+      // (count(), not collect(): the pair search must run exactly once,
+      // and its blocks outlive this scope until the consumer's first
+      // action), then anti-joined twice below.
+      val crossLosers = Dedup.lshPairsFromBucketsAcross(
+          buckets, histBuckets, slim, histSlim, "doc_id", "text",
+          threshold = threshold)
+        .select(col("id_a").as("doc_id")).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      crossLosers.count()
+      Persists.onNextAction(spark)(() => crossLosers.unpersist(false))
+      Persists.onNextAction(spark)(() => exact.unpersist(false))
 
-      // 4. in-batch clusters: closure over the pair graph, keep component min
-      val pairs = Dedup.minhashLshPairs(noHist, "doc_id", "text",
-        threshold = threshold)
-      val clusterLosers = spark.createDataset(
-        ConnectedComponents.labels(pairs, "id_a", "id_b")
-          .filter(col("id") =!= col("component"))
-          .select(col("id")).collect().map(_.getLong(0)).toSeq)
-        .toDF("doc_id")
+      // 4. in-batch clusters over the survivors: REUSE the batch buckets
+      // (filtered by the same anti-join — no re-signing), closure over the
+      // pair graph, keep each component's min id
+      val survivorBuckets = buckets.join(
+        crossLosers.withColumnRenamed("doc_id", "id").hint("shuffle_hash"),
+        Seq("id"), "left_anti")
+      val pairs = Dedup.lshPairsFromBuckets(survivorBuckets, slim,
+        "doc_id", "text", threshold = threshold)
+      val clusterLosers = ConnectedComponents.labels(pairs, "id_a", "id_b")
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("doc_id"))
 
       exact
-        .join(broadcast(crossLosers), Seq("doc_id"), "left_anti")
-        .join(broadcast(clusterLosers), Seq("doc_id"), "left_anti")
-    } finally slim.unpersist(blocking = false)
+        .join(crossLosers.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+        .join(clusterLosers.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+    } catch {
+      // the on-next-action releases above only arm on success; don't
+      // leak exact's blocks past a failed pair search
+      case t: Throwable => exact.unpersist(blocking = false); throw t
+    } finally {
+      // fully consumed by the eager stages above (crossLosers' count and
+      // ConnectedComponents' internal actions); the returned plan depends
+      // only on the persisted exact + the two loser frames
+      buckets.unpersist(blocking = false)
+    }
   }
 }

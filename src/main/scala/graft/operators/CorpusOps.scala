@@ -310,7 +310,13 @@ object CorpusOps {
     *     string_agg; the oracle replays that rule, proving identity).
     *
     * The threshold is exact integer arithmetic (docfreq*den > N*num), so
-    * any engine replaying the rule selects the same set. */
+    * any engine replaying the rule selects the same set.
+    *
+    * NOTE: EAGER — steps 1-2 (the corpus count and the boilerplate-set
+    * collect) run at CALL time, not at the returned frame's first action;
+    * the returned frame only carries the narrow per-row scrub. Null-text
+    * documents scrub to "" (the same value a document consisting entirely
+    * of boilerplate scrubs to), not null. */
   def scrubBoilerplate(df: DataFrame, idCol: String, textCol: String,
       delim: String = "\n", num: Int = 1, den: Int = 2,
       as: String = "scrubbed"): DataFrame = {
@@ -324,8 +330,8 @@ object CorpusOps {
       .filter(col("docfreq") * den > n * num)
       .select("unit").collect().map(_.getString(0)).sorted
     val bl = lit(boilerplate)
-    df.select(col(idCol), array_join(
+    df.select(col(idCol), coalesce(array_join(
       filter(split(col(textCol), quoted, -1), u => !array_contains(bl, u)),
-      delim).as(as))
+      delim), lit("")).as(as))
   }
 }

@@ -79,19 +79,46 @@ object Dedup {
     * Shared by every near-dup variant so their outputs are value-identical
     * to the brute-force oracle for any pair they surface. */
   private def verifyJaccard(cand: DataFrame, df: DataFrame, idCol: String,
-      textCol: String, n: Int, threshold: Double): DataFrame =
-    verifyJaccardAcross(cand, df, df, idCol, textCol, n, threshold)
+      textCol: String, n: Int, threshold: Double,
+      perDocShingles: Boolean = false): DataFrame =
+    verifyJaccardAcross(cand, df, df, idCol, textCol, n, threshold, perDocShingles)
 
   /** Exact-jaccard verification of candidate pairs whose two sides come
-    * from DIFFERENT frames (id_a from `left`, id_b from `right`). */
+    * from DIFFERENT frames (id_a from `left`, id_b from `right`).
+    *
+    * Two shapes, picked by the CANDIDATE VOLUME of the generator:
+    *
+    *  - `perDocShingles = false` (banded LSH flows, candidates ~ output):
+    *    the pair join carries TEXT and shingles evaluate after it, per
+    *    pair — one corpus-keyed shuffle of the text total; the ~2x
+    *    re-evaluation that project-collapse inlining costs (once in the
+    *    threshold Filter, once in the output Project) is over near-dup
+    *    pairs only, which banding keeps close to the true pair count.
+    *  - `perDocShingles = true` (inverted-index flows — capped/prefix
+    *    candidates far above the output, and most docs produce at least
+    *    one candidate): shingle arrays are computed ONCE PER DOC before
+    *    the pair join, as join-side attributes that no optimizer rule can
+    *    inline into downstream expressions (measured 2x on the
+    *    prefix-filter plan when evaluated per pair instead).
+    */
   private def verifyJaccardAcross(cand: DataFrame, left: DataFrame,
       right: DataFrame, idCol: String, textCol: String, n: Int,
-      threshold: Double): DataFrame = {
-    val shA = left.select(col(idCol).as("id_a"), shingles(col(textCol), n).as("arr_a"))
-    val shB = right.select(col(idCol).as("id_b"), shingles(col(textCol), n).as("arr_b"))
-    cand
-      .join(shA.hint("shuffle_hash"), Seq("id_a"))
-      .join(shB.hint("shuffle_hash"), Seq("id_b"))
+      threshold: Double, perDocShingles: Boolean = false): DataFrame = {
+    val (sa, sb) =
+      if (perDocShingles) (
+        left.select(col(idCol).as("id_a"), shingles(col(textCol), n).as("arr_a")),
+        right.select(col(idCol).as("id_b"), shingles(col(textCol), n).as("arr_b")))
+      else (
+        left.select(col(idCol).as("id_a"), col(textCol).as("__t_a")),
+        right.select(col(idCol).as("id_b"), col(textCol).as("__t_b")))
+    val joined = cand
+      .join(sa.hint("shuffle_hash"), Seq("id_a"))
+      .join(sb.hint("shuffle_hash"), Seq("id_b"))
+    val arred =
+      if (perDocShingles) joined
+      else joined.withColumn("arr_a", shingles(col("__t_a"), n))
+        .withColumn("arr_b", shingles(col("__t_b"), n))
+    arred
       .withColumn("c", size(array_intersect(col("arr_a"), col("arr_b"))))
       .withColumn("jaccard", col("c").cast(DoubleType) /
         (size(col("arr_a")) + size(col("arr_b")) - col("c")).cast(DoubleType))
@@ -144,7 +171,8 @@ object Dedup {
           .join(sh.toDF("id_b", "s").hint("shuffle_hash"), Seq("s"))
           .filter(col("id_a") < col("id_b"))
           .select("id_a", "id_b").distinct()
-        verifyJaccard(cand, df, idCol, textCol, n, threshold)
+        verifyJaccard(cand, df, idCol, textCol, n, threshold,
+          perDocShingles = true)
     }
   }
 
@@ -189,7 +217,8 @@ object Dedup {
     // other variant (surfaced pairs carry the exact uncapped jaccard);
     // verifying against capped sets would emit different values and
     // different pairs than the count-based capped variant
-    verifyJaccard(cand, df, idCol, textCol, n, threshold)
+    verifyJaccard(cand, df, idCol, textCol, n, threshold,
+      perDocShingles = true)
   }
 
   /** MinHash signatures: numHashes min-hashes over the shingle set, from a
@@ -266,12 +295,33 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8,
-      numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    val buckets = bandBuckets(
-      minhashSignatures(df, idCol, textCol, n, numHashes), bands, rows)
+      numHashes: Int = 64, bands: Int = 16): DataFrame =
+    lshPairsFromBuckets(
+      minhashBandBuckets(df, idCol, textCol, n, numHashes, bands),
+      df, idCol, textCol, n, threshold)
 
+  /** The banded-bucket stage of [[minhashLshPairs]] on its own: (id, band,
+    * bucket) rows — the signature computation is the md5-dominant cost of
+    * the whole LSH pipeline, so when one corpus participates in SEVERAL
+    * pair searches (vs-history AND in-batch in a nightly ingest), compute
+    * this once on a persisted narrow frame and feed each search via
+    * [[lshPairsFromBuckets]] / [[lshPairsFromBucketsAcross]]. */
+  def minhashBandBuckets(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    bandBuckets(minhashSignatures(df, idCol, textCol, n, numHashes),
+      bands, numHashes / bands)
+  }
+
+  /** Near-dup pairs from PRECOMPUTED band buckets (self-join): candidates
+    * share a (band, bucket), then exact-jaccard verification against
+    * `corpus`'s shingle sets — value-identical to [[minhashLshPairs]] when
+    * `buckets = minhashBandBuckets(corpus, ...)`. `buckets` may be a
+    * SUBSET of the corpus's buckets (e.g. survivors of an earlier dedup
+    * stage): only pairs within the subset are surfaced. */
+  def lshPairsFromBuckets(buckets: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
     // shuffle_hash: post-explode size estimates are garbage and an AQE
     // broadcast of the banded side is the run-to-run 2-130s instability
     val cand = buckets.toDF("id_a", "band", "bucket")
@@ -281,7 +331,22 @@ object Dedup {
       .select("id_a", "id_b").distinct()
 
     // verify candidates with exact jaccard over full shingle sets
-    verifyJaccard(cand, df, idCol, textCol, n, threshold)
+    verifyJaccard(cand, corpus, idCol, textCol, n, threshold)
+  }
+
+  /** Cross-frame twin of [[lshPairsFromBuckets]]: candidates pair
+    * `bucketsA` (id_a, from `left`) against `bucketsB` (id_b, from
+    * `right`). Both bucket frames must come from the same (n, numHashes,
+    * bands) family — signatures are frame-independent, so precomputed
+    * history buckets can be reused across nightly batches. */
+  def lshPairsFromBucketsAcross(bucketsA: DataFrame, bucketsB: DataFrame,
+      left: DataFrame, right: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val cand = bucketsA.toDF("id_a", "band", "bucket")
+      .join(bucketsB.toDF("id_b", "band", "bucket").hint("shuffle_hash"),
+        Seq("band", "bucket"))
+      .select("id_a", "id_b").distinct()
+    verifyJaccardAcross(cand, left, right, idCol, textCol, n, threshold)
   }
 
   /** Banded LSH buckets of a signature frame: the bucket key is the
@@ -310,19 +375,11 @@ object Dedup {
     */
   def minhashLshPairsAgainst(corpus: DataFrame, history: DataFrame,
       idCol: String, textCol: String, n: Int = 3, threshold: Double = 0.8,
-      numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    val bc = bandBuckets(
-      minhashSignatures(corpus, idCol, textCol, n, numHashes), bands, rows)
-    val bh = bandBuckets(
-      minhashSignatures(history, idCol, textCol, n, numHashes), bands, rows)
-    val cand = bc.toDF("id_a", "band", "bucket")
-      .join(bh.toDF("id_b", "band", "bucket").hint("shuffle_hash"),
-        Seq("band", "bucket"))
-      .select("id_a", "id_b").distinct()
-    verifyJaccardAcross(cand, corpus, history, idCol, textCol, n, threshold)
-  }
+      numHashes: Int = 64, bands: Int = 16): DataFrame =
+    lshPairsFromBucketsAcross(
+      minhashBandBuckets(corpus, idCol, textCol, n, numHashes, bands),
+      minhashBandBuckets(history, idCol, textCol, n, numHashes, bands),
+      corpus, history, idCol, textCol, n, threshold)
 
   /** ExactSubstr-style overlap detector (the window-granular exact dedup
     * of "Deduplicating Training Data Makes Language Models Better",

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -13,52 +13,80 @@ import org.apache.spark.sql.types.LongType
   * never reach a top-k. This operator:
   *
   *  1. summarizes each PARTITION with a Misra-Gries sketch of `capacity`
-  *     counters (classic guarantee: any item with per-partition frequency
-  *     > n_p/capacity survives the partition's sketch). Union over
-  *     partitions => every item with GLOBAL frequency > N/capacity is a
-  *     candidate. Narrow: no shuffle; output is <= capacity rows/partition.
+  *     counters, then MERGES the sketches distributedly (treeAggregate —
+  *     the mergeable-summaries merge of Agarwal et al., PODS 2012: sum
+  *     counters, subtract the (capacity+1)-th largest, drop non-positive).
+  *     The driver therefore receives ONE sketch of <= capacity counters,
+  *     not capacity x numPartitions candidate rows (at 10^5-10^6
+  *     partitions the un-merged union is itself a driver OOM). The merged
+  *     guarantee: any item with global frequency > N/(capacity+1) keeps a
+  *     positive counter, so every possible top-k member under the
+  *     certificate below is a candidate.
   *  2. exactly recounts ONLY the candidates (broadcast semi-join filter,
   *     then an ordinary partial-agged groupBy whose key space is
   *     #candidates, not #vocabulary) and takes the top-k.
   *
   * EXACTNESS is certified at runtime, not assumed: if the k-th recounted
-  * frequency exceeds N/capacity, no non-candidate can belong to the top-k
-  * (their frequency is <= N/capacity), so the result equals the naive
-  * plan's bit for bit — the x37 oracle replays the naive rule and the
-  * gate proves it. If the certificate fails (capacity too small for the
-  * distribution), the operator falls back to the exact groupBy — always
-  * correct, just not sketch-accelerated.
+  * frequency exceeds N/capacity (> N/(capacity+1), the merged sketch's
+  * survival bound), no non-candidate can belong to the top-k, so the
+  * result equals the naive plan's bit for bit — the x37 oracle replays
+  * the naive rule and the gate proves it. If the certificate fails
+  * (capacity too small for the distribution), the operator falls back to
+  * the exact groupBy — always correct, just not sketch-accelerated.
   *
   * Ties break (count desc, item asc), matching the SQL replay.
   */
 object FrequentItems {
 
-  /** Per-partition Misra-Gries candidates of a Dataset[String], plus the
-    * partition's row count folded into the same scan (as a null-item row)
-    * so the certificate's total-N needs no third pass over the corpus. */
-  private def mgCandidates(items: Dataset[String],
-      capacity: Int): Dataset[(String, Long)] = {
-    import items.sparkSession.implicits._
-    items.mapPartitions { it =>
-      val counters = new java.util.HashMap[String, Long]()
-      var total = 0L
-      it.foreach { x =>
-        total += 1
-        val c = counters.get(x)
-        if (c != 0L || counters.containsKey(x)) counters.put(x, c + 1L)
-        else if (counters.size < capacity) counters.put(x, 1L)
-        else {
-          // decrement-all step; drop zeroed counters
-          val iter = counters.entrySet().iterator()
-          while (iter.hasNext) {
-            val e = iter.next()
-            if (e.getValue == 1L) iter.remove() else e.setValue(e.getValue - 1L)
-          }
+  /** Serializable Misra-Gries summary: `capacity` counters + the total
+    * element count (so the certificate needs no extra corpus pass).
+    * [[add]] is the classic streaming update; [[merge]] sums counters and,
+    * when more than `capacity` survive, subtracts the (capacity+1)-th
+    * largest value from all and drops the non-positive — the standard
+    * mergeable-summaries merge, preserving the error bound N/(capacity+1)
+    * over the combined stream. */
+  private final class MgSummary(val capacity: Int) extends Serializable {
+    val counters = new java.util.HashMap[String, Long]()
+    var total = 0L
+
+    def add(x: String): this.type = {
+      total += 1L
+      val c = counters.get(x) // null unboxes to 0L for absent keys
+      if (c != 0L || counters.containsKey(x)) counters.put(x, c + 1L)
+      else if (counters.size < capacity) counters.put(x, 1L)
+      else {
+        // decrement-all step; drop zeroed counters
+        val it = counters.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue == 1L) it.remove() else e.setValue(e.getValue - 1L)
         }
       }
-      import scala.jdk.CollectionConverters._
-      counters.keySet().iterator().asScala.map((_, 0L)) ++
-        Iterator((null: String, total))
+      this
+    }
+
+    def merge(o: MgSummary): this.type = {
+      total += o.total
+      val oi = o.counters.entrySet().iterator()
+      while (oi.hasNext) {
+        val e = oi.next()
+        val c = counters.get(e.getKey)
+        counters.put(e.getKey, c + e.getValue)
+      }
+      if (counters.size > capacity) {
+        val values = new Array[Long](counters.size)
+        var i = 0
+        val vi = counters.values().iterator()
+        while (vi.hasNext) { values(i) = vi.next(); i += 1 }
+        java.util.Arrays.sort(values)
+        val d = values(values.length - capacity - 1) // (capacity+1)-th largest
+        val ei = counters.entrySet().iterator()
+        while (ei.hasNext) {
+          val e = ei.next()
+          if (e.getValue <= d) ei.remove() else e.setValue(e.getValue - d)
+        }
+      }
+      this
     }
   }
 
@@ -84,11 +112,15 @@ object FrequentItems {
         .select(col("rk"), col("item"), col("n"))
     }
 
-    // one sketch pass yields candidates AND the total row count (null key)
-    val sketch = mgCandidates(items, capacity).toDF("item", "cnt").collect()
-    val total = sketch.filter(_.isNullAt(0)).map(_.getLong(1)).sum
-    val cand = sketch.collect { case r if !r.isNullAt(0) => r.getString(0) }
-      .distinct.toSeq
+    // one narrow pass: per-partition sketches merged UP THE TREE (depth 2
+    // => the driver receives ~sqrt(numPartitions) pre-merged summaries,
+    // each <= capacity counters; raise depth for >10^6 partitions) —
+    // yields candidates AND the total row count in the same scan
+    val summary = items.rdd.treeAggregate(new MgSummary(capacity))(
+      (sk, x) => sk.add(x), (a, b) => a.merge(b), depth = 2)
+    val total = summary.total
+    import scala.jdk.CollectionConverters._
+    val cand = summary.counters.keySet().iterator().asScala.toSeq
     val recount = items.toDF("item")
       .join(broadcast(cand.toDF("item")), Seq("item"), "left_semi")
       .groupBy("item").agg(count(lit(1)).as("n"))

@@ -10,12 +10,15 @@ import org.apache.spark.sql.types._
   *
   * Decoding is PLUGGABLE ([[Codec]]): [[decode]] detects the payload
   * format against a codec list and runs the first match per-partition.
-  * Two real pure-JVM codecs ship — [[BmpCodec]] (uncompressed 24-bit BMP:
-  * header parse + pixel scan → mean-color features) and [[WavCodec]]
-  * (RIFF/WAVE 16-bit PCM: chunk walk → RMS/peak/ZCR features) — so the
-  * plumbing is exercised by genuine byte-level decodes. Formats with no
-  * codec in the container (JPEG, MP3, H.264…) fall back to [[StubCodec]],
-  * a deterministic md5-derived fake, keeping the pipeline total.
+  * Three real pure-JVM codecs ship — [[BmpCodec]] (uncompressed 24-bit
+  * BMP: header parse + pixel scan → mean-color features), [[PngCodec]]
+  * (zlib-compressed PNG: chunk walk → Inflater → scanline unfilter →
+  * mean-color features) and [[WavCodec]] (RIFF/WAVE 16-bit PCM: chunk
+  * walk → RMS/peak/ZCR features) — so the plumbing is exercised by
+  * genuine byte-level decodes, including one compressed format. Formats
+  * with no codec in the container (JPEG, MP3, H.264…) fall back to
+  * [[StubCodec]], a deterministic md5-derived fake, keeping the pipeline
+  * total.
   */
 object Multimodal {
 
@@ -143,6 +146,127 @@ object Multimodal {
     }
   }
 
+  /** PNG (ISO/IEC 15948), 8-bit depth, color types 0 (gray), 2 (RGB) and
+    * 6 (RGBA), non-interlaced: chunk walk concatenates the IDAT zlib
+    * stream, `java.util.zip.Inflater` (in the JDK — no new deps)
+    * decompresses it, and the five scanline filters (None/Sub/Up/
+    * Average/Paeth) are reversed in one pass — a REAL compressed-format
+    * decode, unlike BMP's plain pixel scan. Features are mean R/G/B and
+    * mean luma in [0,1] (gray replicates into all three channels; alpha
+    * is ignored for the means). Chunk CRCs are not verified — a corrupt
+    * stream fails structurally (inflate error / short data) and falls
+    * through to the stub like every codec miss. */
+  object PngCodec extends Codec {
+    val name = "image/png"
+    private val Sig: Array[Byte] =
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    def detect(b: Array[Byte]): Boolean =
+      b.length >= 33 && java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(b, 0, 8), Sig)
+
+    private def i32be(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+
+    private def paeth(a: Int, bb: Int, c: Int): Int = {
+      val p = a + bb - c
+      val pa = math.abs(p - a); val pb = math.abs(p - bb); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) bb else c
+    }
+
+    def decode(b: Array[Byte], dims: Int): Option[(Row, Array[Float])] = {
+      if (!detect(b)) return None
+      // IHDR is mandated to be the first chunk, at offset 8, length 13
+      if (i32be(b, 8) != 13 ||
+        new String(b, 12, 4, "US-ASCII") != "IHDR") return None
+      val width = i32be(b, 16)
+      val height = i32be(b, 20)
+      val depth = b(24) & 0xff
+      val colorType = b(25) & 0xff
+      val interlace = b(28) & 0xff
+      if (width <= 0 || height <= 0 || depth != 8 || interlace != 0) return None
+      val bpp = colorType match {
+        case 0 => 1 case 2 => 3 case 6 => 4 case _ => return None
+      }
+      val stride = width.toLong * bpp
+      // (stride+1)*height raw bytes must fit an array — cap at ~256 MB
+      if ((stride + 1) * height > (1L << 28)) return None
+
+      // concatenate the IDAT stream (chunks need not align to anything)
+      var off = 8
+      val idat = new java.io.ByteArrayOutputStream()
+      var end = false
+      while (!end && off + 12 <= b.length) {
+        val len = i32be(b, off)
+        if (len < 0 || off + 12 + len > b.length) return None
+        val typ = new String(b, off + 4, 4, "US-ASCII")
+        if (typ == "IDAT") idat.write(b, off + 8, len)
+        if (typ == "IEND") end = true
+        off += 12 + len
+      }
+      if (idat.size() == 0) return None
+
+      val rowBytes = stride.toInt
+      val raw = new Array[Byte]((rowBytes + 1) * height)
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      try {
+        var got = 0
+        while (got < raw.length && !inf.finished()) {
+          val k = inf.inflate(raw, got, raw.length - got)
+          if (k == 0 && (inf.needsInput() || inf.needsDictionary())) return None
+          got += k
+        }
+        if (got < raw.length) return None
+      } catch {
+        case _: java.util.zip.DataFormatException => return None
+      } finally inf.end()
+
+      // reverse the per-scanline filter in place (output = `img`)
+      val img = new Array[Byte](rowBytes * height)
+      var y = 0
+      while (y < height) {
+        val filter = raw((rowBytes + 1) * y) & 0xff
+        val ro = (rowBytes + 1) * y + 1
+        val oo = rowBytes * y
+        var x = 0
+        while (x < rowBytes) {
+          val cur = raw(ro + x) & 0xff
+          val left = if (x >= bpp) img(oo + x - bpp) & 0xff else 0
+          val up = if (y > 0) img(oo - rowBytes + x) & 0xff else 0
+          val ul = if (x >= bpp && y > 0) img(oo - rowBytes + x - bpp) & 0xff else 0
+          val v = filter match {
+            case 0 => cur
+            case 1 => cur + left
+            case 2 => cur + up
+            case 3 => cur + ((left + up) >> 1)
+            case 4 => cur + paeth(left, up, ul)
+            case _ => return None
+          }
+          img(oo + x) = (v & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var i = 0
+      while (i < img.length) {
+        if (bpp == 1) { val g = img(i) & 0xff; sr += g; sg += g; sb += g }
+        else { sr += img(i) & 0xff; sg += img(i + 1) & 0xff; sb += img(i + 2) & 0xff }
+        i += bpp
+      }
+      val n = width.toLong * height
+      val mr = sr.toDouble / n / 255.0
+      val mg = sg.toDouble / n / 255.0
+      val mb = sb.toDouble / n / 255.0
+      val luma = 0.299 * mr + 0.587 * mg + 0.114 * mb
+      // channels: RGBA reports 4; RGB and gray-replicated report 3
+      Some((Row(name, width, height, if (bpp == 4) 4 else 3, -1, -1L),
+        fit(Array(mr.toFloat, mg.toFloat, mb.toFloat, luma.toFloat), dims)))
+    }
+  }
+
   /** RIFF/WAVE, 16-bit PCM (format tag 1): chunk walk for fmt/data, then
     * one pass over the samples — features are RMS, mean |amplitude|, peak
     * (all normalized by 2^15) and zero-crossing rate. */
@@ -229,7 +353,7 @@ object Multimodal {
     }
   }
 
-  val defaultCodecs: Seq[Codec] = Seq(BmpCodec, WavCodec)
+  val defaultCodecs: Seq[Codec] = Seq(BmpCodec, PngCodec, WavCodec)
 
   /** Decode a binary column: first detecting codec wins; a codec that
     * detects but fails to decode (corrupt payload) falls through to the

@@ -42,12 +42,14 @@ object RangeJoin {
     require(step > 0, s"step must be positive: $step")
     require(joinType == "inner" || joinType == "left",
       s"intervalJoin supports inner/left; got '$joinType'")
-    // all-integer floor division ((c - pmod(c, step)) / step): exact for
-    // any long (a double quantization would lose ulps past 2^53 — epoch
-    // micros get there), and floor (not truncate-toward-zero) so negative
-    // values bucket monotonically
+    // all-integer floor division: (c - pmod(c, step)) is the exact floor
+    // multiple of step (pmod is non-negative, so this floors rather than
+    // truncating toward zero for negative values), and `div` is Catalyst's
+    // IntegralDivide — true long division, exact for any long. Column./
+    // would be DOUBLE division (loses ulps past 2^53 — epoch micros get
+    // there) and only stayed correct incidentally via bucket monotonicity.
     def bucketOf(c: Column): Column =
-      ((c - pmod(c, lit(step))) / step).cast("long")
+      call_function("div", c - pmod(c, lit(step)), lit(step))
 
     val p = points.withColumn("__graft_bucket__", bucketOf(col(pointCol)))
     // empty intervals (hi <= lo) match nothing; sequence() would throw on

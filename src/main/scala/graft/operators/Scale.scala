@@ -71,11 +71,13 @@ object Scale {
     * (key, value), which spreads a hot key across the cluster, and stage 2
     * only ever sees pre-deduplicated rows. Approximate alternative at even
     * larger cardinalities: `approx_count_distinct` (HLL, no exact-oracle
-    * gate possible). */
+    * gate possible). Counts NON-NULL values like COUNT(DISTINCT v): the
+    * distinct() keeps one (key, null) row per key, so the final count must
+    * be count(value) — count(1) would bill that row as a distinct item. */
   def distinctCountPerKey(df: DataFrame, key: String, valueCol: String,
       as: String = "n_distinct"): DataFrame =
     df.select(col(key), col(valueCol)).distinct()
-      .groupBy(col(key)).agg(count(lit(1)).as(as))
+      .groupBy(col(key)).agg(count(col(valueCol)).as(as))
 
   /** Convenience: salted count per key. */
   def saltedCount(df: DataFrame, key: String, discriminator: String,

@@ -70,13 +70,19 @@ object Similarity {
   }
 
   /** Nearest-centroid assignment: label every corpus vector with the
-    * centroid maximizing cosine similarity (ties broken by lowest label) —
-    * the classify/cluster-assign step of an embedding pipeline (and one
-    * k-means Lloyd iteration's E-step). Centroids broadcast; the corpus is
-    * scanned once, never shuffled — the same 100 TB shape as
-    * [[bruteForceTopK]] with k=1, but returning exactly one row per corpus
-    * vector via max_by instead of a window. All per-row double math
-    * (sequential-order dot products), no cross-row float accumulation. */
+    * centroid maximizing cosine similarity (ties broken by lowest label,
+    * for ANY orderable label type — the tie-break is struct ordering, not
+    * numeric negation) — the classify/cluster-assign step of an embedding
+    * pipeline (and one k-means Lloyd iteration's E-step). Centroids
+    * broadcast; the corpus is scanned once, never shuffled — the same
+    * 100 TB shape as [[bruteForceTopK]] with k=1, but returning exactly
+    * one row per corpus vector via min_by instead of a window. All
+    * per-row double math (sequential-order dot products), no cross-row
+    * float accumulation. A zero-norm vector (either side) yields NaN
+    * cosine; NaN sorts ABOVE every double in Spark, so an unguarded
+    * max/min would crown zero-norm centroids nondeterministically — the
+    * ranking key demotes NaN below every real cosine (the reported `cos`
+    * stays NaN so callers can see the degenerate match). */
   def nearestCentroid(corpus: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, labelCol: String): DataFrame = {
     def dot(x: Column, y: Column): Column =
@@ -84,16 +90,18 @@ object Similarity {
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val cent = centroids.select(col(labelCol).as("cl"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cnorm", sqrt(dot(col("cv"), col("cv"))))
-    // (cos, -label) struct max == cos desc, label asc — one partial-agged
-    // groupBy on the corpus id (which is unique, so partials collapse
-    // centroid candidates map-side and the shuffle carries one struct/row)
+    // min(struct(-score, label, cos)) == score desc, label asc — one
+    // partial-agged groupBy on the corpus id (which is unique, so partials
+    // collapse centroid candidates map-side, one struct/row on the wire);
+    // score = nanvl(cos, -2) so NaN (zero-norm) loses to any real cosine
     val scored = c.crossJoin(broadcast(cent))
       .withColumn("cos", dot(col("v"), col("cv"))
         / (sqrt(dot(col("v"), col("v"))) * col("cnorm")))
     scored.groupBy(col("id"))
-      .agg(max(struct(col("cos"), (-col("cl")).as("negl"))).as("best"))
+      .agg(min(struct((-nanvl(col("cos"), lit(-2.0))).as("negscore"),
+        col("cl").as("label"), col("cos"))).as("best"))
       .select(col("id").as(idCol),
-        (-col("best.negl")).as(labelCol),
+        col("best.label").as(labelCol),
         col("best.cos").as("cos"))
   }
 

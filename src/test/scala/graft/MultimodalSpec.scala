@@ -46,6 +46,77 @@ class MultimodalSpec extends SparkSpec {
     buf.array()
   }
 
+  /** Minimal PNG writer: 8-bit gray/RGB/RGBA scanlines, one CHOSEN filter
+    * per row applied forward (so the decoder must reverse exactly that
+    * filter), zlib via Deflater, correct chunk CRCs. `idatSplit` > 1
+    * spreads the zlib stream over several IDAT chunks (legal per spec —
+    * chunk boundaries are arbitrary). */
+  private def png(width: Int, height: Int, bpp: Int, pixels: Array[Byte],
+      filters: Array[Int], idatSplit: Int = 1): Array[Byte] = {
+    require(pixels.length == width * height * bpp && filters.length == height)
+    val colorType = bpp match { case 1 => 0; case 3 => 2; case 4 => 6 }
+    val stride = width * bpp
+    val raw = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until height) {
+      val f = filters(y)
+      raw.write(f)
+      for (x <- 0 until stride) {
+        val cur = pixels(y * stride + x) & 0xff
+        val left = if (x >= bpp) pixels(y * stride + x - bpp) & 0xff else 0
+        val up = if (y > 0) pixels((y - 1) * stride + x) & 0xff else 0
+        val ul = if (x >= bpp && y > 0) pixels((y - 1) * stride + x - bpp) & 0xff else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) >> 1
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+        }
+        raw.write((cur - pred) & 0xff)
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw.toByteArray); defl.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val zbuf = new Array[Byte](4096)
+    while (!defl.finished()) zout.write(zbuf, 0, defl.deflate(zbuf))
+    defl.end()
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = ByteBuffer.allocate(12 + data.length) // big-endian default
+      out.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val ihdr = ByteBuffer.allocate(13).putInt(width).putInt(height)
+      .put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val z = zout.toByteArray
+    val per = math.max(1, (z.length + idatSplit - 1) / idatSplit)
+    val idats = z.grouped(per).map(chunk("IDAT", _)).reduce(_ ++ _)
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ idats ++ chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Expected mean R/G/B + luma computed directly from the pixel array. */
+  private def meansOf(pixels: Array[Byte], bpp: Int): Array[Float] = {
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var i = 0
+    while (i < pixels.length) {
+      if (bpp == 1) { val g = pixels(i) & 0xff; sr += g; sg += g; sb += g }
+      else { sr += pixels(i) & 0xff; sg += pixels(i + 1) & 0xff; sb += pixels(i + 2) & 0xff }
+      i += bpp
+    }
+    val n = pixels.length / bpp
+    val (mr, mg, mb) = (sr.toDouble / n / 255, sg.toDouble / n / 255, sb.toDouble / n / 255)
+    Array(mr.toFloat, mg.toFloat, mb.toFloat,
+      (0.299 * mr + 0.587 * mg + 0.114 * mb).toFloat)
+  }
+
   private def decodeOne(bytes: Array[Byte]) = {
     val row = Multimodal.decode(Seq((1L, bytes)).toDF("id", "content"), "content").head()
     (row.getStruct(2), row.getSeq[Float](3))
@@ -91,6 +162,72 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(feats(1) - 0.5f) < 1e-6, "meanAbs")
     assert(math.abs(feats(2) - 0.5f) < 1e-6, "peak")
     assert(math.abs(feats(3) - (n - 1).toFloat / n) < 1e-6, "zcr")
+  }
+
+  test("PngCodec decodes a real zlib-compressed PNG: all five scanline filters") {
+    // 4x5 RGB, one row per filter type (None/Sub/Up/Average/Paeth) with
+    // varied pixels so every filter actually transforms the bytes
+    val w = 4; val h = 5; val bpp = 3
+    val pixels = Array.tabulate(w * h * bpp)(i => ((i * 37 + 11) % 251).toByte)
+    val bytes = png(w, h, bpp, pixels, filters = Array(0, 1, 2, 3, 4))
+    val (meta, feats) = decodeOne(bytes)
+    assert(meta.getString(0) == "image/png")
+    assert(meta.getInt(1) == w && meta.getInt(2) == h)
+    assert(meta.getInt(3) == 3)
+    val want = meansOf(pixels, bpp)
+    for (i <- 0 until 4)
+      assert(math.abs(feats(i) - want(i)) < 1e-6, s"feature $i: ${feats(i)} vs ${want(i)}")
+  }
+
+  test("PngCodec: gray replicates channels, RGBA ignores alpha, IDAT may split") {
+    val gray = Array.tabulate(6)(i => (i * 40).toByte) // 3x2 gray
+    val (gm, gf) = decodeOne(png(3, 2, 1, gray, Array(0, 1)))
+    assert(gm.getInt(3) == 3 && gf(0) == gf(1) && gf(1) == gf(2))
+    assert(math.abs(gf(0) - meansOf(gray, 1)(0)) < 1e-6)
+
+    val rgba = Array.tabulate(2 * 2 * 4)(i => ((i * 53 + 7) % 256).toByte)
+    val (am, af) = decodeOne(png(2, 2, 4, rgba, Array(4, 3), idatSplit = 3))
+    assert(am.getString(0) == "image/png" && am.getInt(3) == 4)
+    val wantA = meansOf(rgba, 4)
+    for (i <- 0 until 4) assert(math.abs(af(i) - wantA(i)) < 1e-6)
+  }
+
+  test("PngCodec agrees with an independent encoder (JDK ImageIO)") {
+    val w = 7; val h = 5
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 41 + y * 97) % 256 << 16) |
+        ((x * 13 + y * 57) % 256 << 8) | ((x * 71 + y * 29) % 256))
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", baos))
+    val (meta, feats) = decodeOne(baos.toByteArray)
+    assert(meta.getString(0) == "image/png")
+    assert(meta.getInt(1) == w && meta.getInt(2) == h)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = img.getRGB(x, y)
+      sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+    }
+    val n = w * h
+    assert(math.abs(feats(0) - sr.toDouble / n / 255) < 1e-6)
+    assert(math.abs(feats(1) - sg.toDouble / n / 255) < 1e-6)
+    assert(math.abs(feats(2) - sb.toDouble / n / 255) < 1e-6)
+  }
+
+  test("PngCodec: corrupt or unsupported PNGs fall through to the stub") {
+    val good = png(3, 2, 3, Array.fill(18)(100.toByte), Array(0, 0))
+    // truncate the IDAT stream mid-chunk
+    val truncated = good.take(good.length - 20)
+    // flip the interlace flag (Adam7 unsupported)
+    val interlaced = good.clone(); interlaced(28) = 1
+    // 16-bit depth unsupported
+    val deep = good.clone(); deep(24) = 16
+    val out = Multimodal.decode(
+      Seq((1L, truncated), (2L, interlaced), (3L, deep))
+        .toDF("id", "content"), "content")
+      .select(col("decoded.codec")).collect().map(_.getString(0))
+    assert(out.forall(_ == "stub"), out.mkString(","))
   }
 
   test("mixed frame: per-row codec dispatch with stub fallback for unknown bytes") {

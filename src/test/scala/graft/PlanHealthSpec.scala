@@ -127,6 +127,20 @@ class PlanHealthSpec extends SparkSpec {
     }
   }
 
+  test("e1/e2: dedup loser sets stay frames — no driver round-trip in the pipeline plans") {
+    // the round-3 shape collected near-dup loser ids to the driver and
+    // re-created them as a LocalTableScan; at real web-corpus dup rates
+    // (30-50%) that set is corpus-scale and the collect is a driver OOM.
+    // The scale-safe shape is an anti-join on the persisted loser frame
+    // (InMemoryTableScan / Scan ExistingRDD), which this pins.
+    for (name <- Seq("e1_curation_pipeline", "e2_incremental_ingest")) {
+      val p = plan(name)
+      assert(!p.contains("LocalTableScan"),
+        s"$name materializes a driver-collected set in its plan:\n$p")
+      assert(p.contains("LeftAnti"), s"$name lost its anti-join removal:\n$p")
+    }
+  }
+
   test("st4: the stream-stream twin keys its join on user_id (shuffle or broadcast hash, no BNL)") {
     val p = plan("st4_attribution_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
