@@ -18,15 +18,21 @@ import org.apache.spark.sql.functions._
 object Stress {
 
   /** Replica r of the documents table: ids offset into a disjoint range;
-    * every inter-token gap gets a replica marker token, so every 3-gram
-    * shingle contains it — replicas share NO shingles (near-dup structure
-    * within a replica is preserved, across replicas none is added). */
+    * every TOKEN gets a replica suffix, so replicas share NO shingles
+    * (disjoint vocabularies) while each replica keeps the original's
+    * n-gram structure exactly — near-dup relationships within a replica
+    * are preserved, none are added across replicas, and shingle
+    * selectivity matches real text. (The earlier construction — a marker
+    * token in every inter-token GAP — degraded half of all 3-grams to
+    * effective unigrams, `marker w marker`, inflating LSH background
+    * collisions ~500x over real data; useful as an adversarial
+    * robustness case, wrong as a growth model.) */
   private def replicateDocs(docs: DataFrame, m: Int): DataFrame =
     (0 until m).map { r =>
       docs.select(
         (col("doc_id") + lit(r.toLong * 1000000L)).as("doc_id"),
         (if (r == 0) col("text")
-         else regexp_replace(col("text"), " ", s" zr$r ")).as("text"),
+         else regexp_replace(col("text"), "(\\S+)", s"$$1zr$r")).as("text"),
         col("lang"), col("source"))
     }.reduce(_ unionByName _)
 

@@ -79,46 +79,33 @@ object Dedup {
     * Shared by every near-dup variant so their outputs are value-identical
     * to the brute-force oracle for any pair they surface. */
   private def verifyJaccard(cand: DataFrame, df: DataFrame, idCol: String,
-      textCol: String, n: Int, threshold: Double,
-      perDocShingles: Boolean = false): DataFrame =
-    verifyJaccardAcross(cand, df, df, idCol, textCol, n, threshold, perDocShingles)
+      textCol: String, n: Int, threshold: Double): DataFrame =
+    verifyJaccardAcross(cand, df, df, idCol, textCol, n, threshold)
 
   /** Exact-jaccard verification of candidate pairs whose two sides come
     * from DIFFERENT frames (id_a from `left`, id_b from `right`).
     *
-    * Two shapes, picked by the CANDIDATE VOLUME of the generator:
-    *
-    *  - `perDocShingles = false` (banded LSH flows, candidates ~ output):
-    *    the pair join carries TEXT and shingles evaluate after it, per
-    *    pair — one corpus-keyed shuffle of the text total; the ~2x
-    *    re-evaluation that project-collapse inlining costs (once in the
-    *    threshold Filter, once in the output Project) is over near-dup
-    *    pairs only, which banding keeps close to the true pair count.
-    *  - `perDocShingles = true` (inverted-index flows — capped/prefix
-    *    candidates far above the output, and most docs produce at least
-    *    one candidate): shingle arrays are computed ONCE PER DOC before
-    *    the pair join, as join-side attributes that no optimizer rule can
-    *    inline into downstream expressions (measured 2x on the
-    *    prefix-filter plan when evaluated per pair instead).
-    */
+    * Shingle arrays are computed ONCE PER DOC, before the pair join, as
+    * join-side attributes. The tempting alternative — carry raw text
+    * through the join and shingle per candidate pair — is cheaper only
+    * while candidates ~ output, and candidate volume is a property of
+    * the DATA, not the algorithm: project-collapse inlines a post-join
+    * shingles() into the threshold Filter and the output Project (and
+    * higher-order functions are interpreted, so codegen subexpression
+    * elimination never deduplicates them), so each candidate pays ~4
+    * interpreted shingle evaluations. Measured: a boilerplate-degraded
+    * corpus whose banding emitted 255k candidates for 511 true pairs ran
+    * 64s with per-pair evaluation vs ~10s per-doc; the prefix-filter plan
+    * (x36) regressed 2.7x the same way. Per-doc is worst-case-safe at one
+    * extra corpus-keyed array shuffle. */
   private def verifyJaccardAcross(cand: DataFrame, left: DataFrame,
       right: DataFrame, idCol: String, textCol: String, n: Int,
-      threshold: Double, perDocShingles: Boolean = false): DataFrame = {
-    val (sa, sb) =
-      if (perDocShingles) (
-        left.select(col(idCol).as("id_a"), shingles(col(textCol), n).as("arr_a")),
-        right.select(col(idCol).as("id_b"), shingles(col(textCol), n).as("arr_b")))
-      else (
-        left.select(col(idCol).as("id_a"), col(textCol).as("__t_a")),
-        right.select(col(idCol).as("id_b"), col(textCol).as("__t_b")))
-    val joined = cand
-      .join(sa.hint("shuffle_hash"), Seq("id_a"))
-      .join(sb.hint("shuffle_hash"), Seq("id_b"))
-    val arred =
-      if (perDocShingles) joined
-      else joined.withColumn("arr_a", shingles(col("__t_a"), n))
-        .withColumn("arr_b", shingles(col("__t_b"), n))
-    arred
+      threshold: Double): DataFrame = {
+    val shA = left.select(col(idCol).as("id_a"), shingles(col(textCol), n).as("arr_a"))
+    val shB = right.select(col(idCol).as("id_b"), shingles(col(textCol), n).as("arr_b"))
+    cand
+      .join(shA.hint("shuffle_hash"), Seq("id_a"))
+      .join(shB.hint("shuffle_hash"), Seq("id_b"))
       .withColumn("c", size(array_intersect(col("arr_a"), col("arr_b"))))
       .withColumn("jaccard", col("c").cast(DoubleType) /
         (size(col("arr_a")) + size(col("arr_b")) - col("c")).cast(DoubleType))
@@ -171,8 +158,7 @@ object Dedup {
           .join(sh.toDF("id_b", "s").hint("shuffle_hash"), Seq("s"))
           .filter(col("id_a") < col("id_b"))
           .select("id_a", "id_b").distinct()
-        verifyJaccard(cand, df, idCol, textCol, n, threshold,
-          perDocShingles = true)
+        verifyJaccard(cand, df, idCol, textCol, n, threshold)
     }
   }
 
@@ -217,8 +203,7 @@ object Dedup {
     // other variant (surfaced pairs carry the exact uncapped jaccard);
     // verifying against capped sets would emit different values and
     // different pairs than the count-based capped variant
-    verifyJaccard(cand, df, idCol, textCol, n, threshold,
-      perDocShingles = true)
+    verifyJaccard(cand, df, idCol, textCol, n, threshold)
   }
 
   /** MinHash signatures: numHashes min-hashes over the shingle set, from a

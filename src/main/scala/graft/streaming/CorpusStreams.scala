@@ -51,4 +51,32 @@ object CorpusStreams {
     q.processAllAvailable()
     q
   }
+
+  /** Streaming twin of [[graft.examples.IncrementalIngest]]: each
+    * micro-batch runs the FULL nightly-ingest composition — quality gate,
+    * exact dedup vs history, banded near-dup AGAINST the snapshot,
+    * in-batch component clusters — and hands the survivors to
+    * `writeBatch`. foreachBatch is structural here, not a shortcut: three
+    * of the four stages join against a PRE-STREAM static snapshot (no
+    * watermark horizon can bound it as stream state), and the in-batch
+    * closure is an iterative RDD computation — batch semantics applied
+    * per micro-batch. In production `writeBatch` appends survivors to the
+    * corpus sink AND folds their fingerprints/band buckets into the
+    * history indexes, so the next trigger (or night) dedups against an
+    * up-to-date snapshot. A spec gates each micro-batch's survivors
+    * against the batch pipeline's output on the same data. */
+  def nightlyIngestStream(docs: DataFrame, history: DataFrame,
+      minTokens: Int = 8, threshold: Double = 0.8)(
+      writeBatch: (DataFrame, Long) => Unit): StreamingQuery = {
+    val q = docs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatch(
+          graft.examples.IncrementalIngest.run(batch, history, minTokens, threshold),
+          batchId)
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
 }

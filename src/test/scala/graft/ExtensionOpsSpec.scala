@@ -306,6 +306,28 @@ class ExtensionOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch nightly ingest matches the batch e2 pipeline on the same data") {
+    import graft.streaming.CorpusStreams
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_ingest").toString
+    val docs = Tables.load(spark, sfDir, "documents")
+    val batch = docs.filter(col("doc_id") % 10 =!= 0)
+    val history = docs.filter(col("doc_id") % 10 === 0)
+    // the stream carries only the new batch (history predates the stream)
+    batch.write.mode("overwrite").parquet(dir)
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = CorpusStreams.nightlyIngestStream(
+      CorpusStreams.readDocs(spark, dir), history) { (kept, _) =>
+      collected.synchronized {
+        collected ++= kept.select(col("doc_id")).collect().map(_.getLong(0))
+      }
+    }
+    try {
+      val expected = graft.examples.IncrementalIngest.run(batch, history)
+        .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+      assert(expected.nonEmpty && collected.sorted.toSeq == expected)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState running totals converge to the batch per-user aggregate") {
     val dir = java.nio.file.Files.createTempDirectory("graft_state").toString
     java.nio.file.Files.copy(
