@@ -47,6 +47,29 @@ object IncrementalIngest {
 
   def run(batch: DataFrame, history: DataFrame,
       minTokens: Int = 8, threshold: Double = 0.8,
+      numHashes: Int = 32, bands: Int = 8): DataFrame =
+    runWithIndexes(batch, history,
+      historyFp = history.select(TextFunctions.fingerprint(col("text")).as("fp")).distinct(),
+      historyBuckets = Dedup.minhashBandBuckets(
+        history.select(col("doc_id"), col("text")), "doc_id", "text",
+        numHashes = numHashes, bands = bands),
+      minTokens = minTokens, threshold = threshold)
+
+  /** The production entry point: a real nightly run dedups against
+    * PERSISTED history indexes — the snapshot's distinct fingerprint
+    * column ([[Dedup.exactGroups]] output) and its minhash band buckets
+    * ([[Dedup.minhashBandBuckets]], SAME (n, numHashes, bands) family;
+    * signatures are frame-independent) — updated incrementally with each
+    * night's survivors, never recomputed from the 100 TB snapshot.
+    * `history` itself (doc_id, text) is still required: cross-pair
+    * candidates are exact-jaccard-verified against the snapshot's text.
+    * `numHashes`/`bands` must be the family `historyBuckets` was built
+    * with (the batch is signed with the same one). [[run]] delegates here
+    * after deriving both indexes; a spec asserts the two entry points
+    * agree. */
+  def runWithIndexes(batch: DataFrame, history: DataFrame,
+      historyFp: DataFrame, historyBuckets: DataFrame,
+      minTokens: Int = 8, threshold: Double = 0.8,
       numHashes: Int = 32, bands: Int = 8): DataFrame = {
     val spark = batch.sparkSession
 
@@ -59,7 +82,7 @@ object IncrementalIngest {
     // projection, and the final anti-joins read the same blocks instead
     // of re-running the fingerprint dedup — released after the
     // consumer's first action, like the loser frames.
-    val exact = Dedup.dedupAgainstHistory(q, history, "doc_id", "text")
+    val exact = Dedup.dedupAgainstHistory(q, historyFp, "doc_id", "text")
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val slim = exact.select(col("doc_id"), col("text"))
 
@@ -69,8 +92,6 @@ object IncrementalIngest {
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     try {
       val histSlim = history.select(col("doc_id"), col("text"))
-      val histBuckets = Dedup.minhashBandBuckets(histSlim, "doc_id", "text",
-        numHashes = numHashes, bands = bands)
 
       // 3. near-dup vs history: batch docs similar to ANY snapshot doc
       // drop. The loser set stays a FRAME — persisted and materialized NOW
@@ -78,7 +99,7 @@ object IncrementalIngest {
       // and its blocks outlive this scope until the consumer's first
       // action), then anti-joined twice below.
       val crossLosers = Dedup.lshPairsFromBucketsAcross(
-          buckets, histBuckets, slim, histSlim, "doc_id", "text",
+          buckets, historyBuckets, slim, histSlim, "doc_id", "text",
           threshold = threshold)
         .select(col("id_a").as("doc_id")).distinct()
         .persist(StorageLevel.MEMORY_AND_DISK_SER)

@@ -24,21 +24,26 @@ class ConnectedComponentsSpec extends SparkSpec {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
-  private def sparkLabels(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    ConnectedComponents.labels(edges.toDF("a", "b"), "a", "b")
+  private def sparkLabels(edges: Seq[(Long, Long)],
+      smallGraphMax: Long = ConnectedComponents.SmallGraphMaxEdges): Map[Long, Long] =
+    ConnectedComponents.labels(edges.toDF("a", "b"), "a", "b",
+      smallGraphMax = smallGraphMax)
       .as[(Long, Long)].collect().toMap
 
-  test("matches union-find on a random pair graph") {
+  test("matches union-find on a random pair graph — both paths, identical labels") {
     val rnd = new scala.util.Random(7)
     val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
       .filter(e => e._1 != e._2)
-    assert(sparkLabels(edges) == unionFind(edges))
+    val want = unionFind(edges)
+    assert(sparkLabels(edges) == want, "driver fast path")
+    assert(sparkLabels(edges, smallGraphMax = 0) == want, "distributed path")
   }
 
   test("long chain collapses to one component (pointer jumping, few rounds)") {
-    // a 64-node path: naive propagation needs 63 rounds, jumping needs ~log
+    // a 64-node path on the DISTRIBUTED path: naive propagation needs 63
+    // rounds, jumping needs ~log
     val edges = (0L until 63L).map(i => (i, i + 1))
-    val out = sparkLabels(edges)
+    val out = sparkLabels(edges, smallGraphMax = 0)
     assert(out.size == 64 && out.values.forall(_ == 0L))
   }
 
@@ -61,13 +66,16 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(out == Map(3L -> 3L, 20L -> 2L))
   }
 
-  test("no persisted blocks survive the consumer's first action") {
-    val df = ConnectedComponents.labels(Seq((1L, 2L)).toDF("a", "b"), "a", "b")
-    df.count()
-    // listener delivery is async — poll like PersistsSpec does
-    val deadline = System.nanoTime() + 5000L * 1000 * 1000
-    while (Persists.livePersistedRdds(spark) > 0 && System.nanoTime() < deadline)
-      Thread.sleep(50)
-    assert(Persists.livePersistedRdds(spark) == 0)
+  test("no persisted blocks survive the consumer's first action (either path)") {
+    for (max <- Seq(ConnectedComponents.SmallGraphMaxEdges, 0L)) {
+      val df = ConnectedComponents.labels(Seq((1L, 2L)).toDF("a", "b"), "a", "b",
+        smallGraphMax = max)
+      df.count()
+      // listener delivery is async — poll like PersistsSpec does
+      val deadline = System.nanoTime() + 5000L * 1000 * 1000
+      while (Persists.livePersistedRdds(spark) > 0 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(Persists.livePersistedRdds(spark) == 0, s"smallGraphMax=$max")
+    }
   }
 }

@@ -306,6 +306,24 @@ class ExtensionOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nightly ingest with precomputed history indexes equals the recompute path") {
+    // the production shape: the snapshot's fingerprint index (exactGroups
+    // output) and band buckets are persisted artifacts, not recomputed —
+    // result must be identical to the derive-everything entry point
+    val batch = docs.filter(col("doc_id") % 10 =!= 0)
+    val history = docs.filter(col("doc_id") % 10 === 0)
+    val viaRun = graft.examples.IncrementalIngest.run(batch, history)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val fpIndex = Dedup.exactGroups(history, "doc_id", "text").select(col("fp"))
+    val bucketIndex = Dedup.minhashBandBuckets(
+      history.select(col("doc_id"), col("text")), "doc_id", "text",
+      numHashes = 32, bands = 8)
+    val viaIndexes = graft.examples.IncrementalIngest.runWithIndexes(
+        batch, history, fpIndex, bucketIndex)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(viaRun.nonEmpty && viaIndexes == viaRun)
+  }
+
   test("foreachBatch nightly ingest matches the batch e2 pipeline on the same data") {
     import graft.streaming.CorpusStreams
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_ingest").toString
