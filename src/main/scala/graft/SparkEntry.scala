@@ -859,6 +859,24 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // SemDeDup (Abbas et al. 2023): cluster the embedding space (x34's
+    // deterministic centroids: each label's lowest-id vector), collapse
+    // within-cluster cosine near-dups to the lowest id. The oracle
+    // replays assignment + within-cluster pairs + anti-join naively —
+    // proving the cluster-partitioned plan against the published rule
+    "x43_semdedup" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val minIds = e.groupBy(col("label").as("cl"))
+        .agg(min(col("vec_id")).as("cvid"))
+      val centroids = e.join(minIds,
+          e("label") === minIds("cl") && e("vec_id") === minIds("cvid"))
+        .select(col("label"), col("embedding"))
+      graft.operators.Dedup.semDedup(
+        e, centroids, "vec_id", "embedding", "label", threshold = 0.35)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    },
+
     // ---- E2: the NIGHTLY-INGEST composition (quality gate -> exact
     //      dedup vs history -> banded near-dup AGAINST the snapshot ->
     //      in-batch components, keep cluster min), every stage replayed
@@ -1589,6 +1607,34 @@ object SparkEntry {
          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
          FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "x43_semdedup" ->
+      """WITH e AS (SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         c AS (SELECT e.label AS ccl, e.v AS cv
+           FROM e JOIN (SELECT label, min(vec_id) AS mv
+                        FROM embeddings GROUP BY label) m
+             ON e.label = m.label AND e.vec_id = m.mv),
+         s AS (SELECT e.vec_id, c.ccl,
+             list_sum(list_transform(range(1, 65), i -> e.v[i] * c.cv[i]))
+               / (sqrt(list_sum(list_transform(range(1, 65), i -> e.v[i] * e.v[i])))
+                  * sqrt(list_sum(list_transform(range(1, 65), i -> c.cv[i] * c.cv[i])))) AS cos
+           FROM e CROSS JOIN c),
+         a AS (SELECT vec_id, ccl FROM (
+             SELECT vec_id, ccl,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, ccl ASC) AS rn
+             FROM s) WHERE rn = 1),
+         losers AS (SELECT DISTINCT ey.vec_id AS id_b
+           FROM a x JOIN a y ON x.ccl = y.ccl AND x.vec_id < y.vec_id
+           JOIN e ex ON ex.vec_id = x.vec_id
+           JOIN e ey ON ey.vec_id = y.vec_id
+           WHERE list_sum(list_transform(range(1, 65), i -> ex.v[i] * ey.v[i]))
+               / (sqrt(list_sum(list_transform(range(1, 65), i -> ex.v[i] * ex.v[i])))
+                  * sqrt(list_sum(list_transform(range(1, 65), i -> ey.v[i] * ey.v[i])))) >= 0.35)
+         SELECT vec_id, label FROM embeddings
+         WHERE vec_id NOT IN (SELECT id_b FROM losers)
+         ORDER BY vec_id""",
 
     "e2_incremental_ingest" ->
       """WITH RECURSIVE

@@ -477,6 +477,42 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC dedup by
+    * partitioning the embedding space into clusters and collapsing
+    * within-cluster pairs with cosine >= threshold to the lowest id.
+    * Pairs in different clusters are never compared — the published
+    * recall trade-off that turns the corpus-quadratic pair search into
+    * sum over clusters of |cluster|^2 (~n^2/k for balanced k-means), with
+    * candidate generation an ordinary equi-join on the cluster id — the
+    * same bounded-fan-out shape as every other dedup variant (pick k so
+    * the largest cluster's self-join stays tractable; the hot-cluster
+    * failure mode is the same as a hot shingle, and the fix is more
+    * centroids). `centroids` carries (labelCol, vecCol): at 100 TB the
+    * k-means / coreset output, broadcast once by
+    * [[Similarity.nearestCentroid]] — the corpus is scanned, never
+    * shuffled, for assignment. Returns the surviving rows of `df`
+    * unchanged. */
+  def semDedup(df: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, threshold: Double): DataFrame = {
+    def dot(x: Column, y: Column): Column =
+      graft.functions.VectorExpressions.dot(df.sparkSession, x, y)
+    val assigned = Similarity.nearestCentroid(df, centroids, idCol, vecCol, labelCol)
+      .select(col(idCol).as("id"), col(labelCol).as("cl"))
+    // norms precomputed per vector (like embeddingCosinePairs); the
+    // within-cluster join is shuffle_hash-pinned on the cluster id
+    val e = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .join(assigned.hint("shuffle_hash"), Seq("id"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      .select(col("id"), col("v"), col("norm"), col("cl"))
+    val losers = e.toDF("id_a", "v_a", "norm_a", "cl")
+      .join(e.toDF("id_b", "v_b", "norm_b", "cl").hint("shuffle_hash"), Seq("cl"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", dot(col("v_a"), col("v_b")) / (col("norm_a") * col("norm_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(losers.hint("shuffle_hash"), Seq(idCol), "left_anti")
+  }
+
   /** Sign-random-projection LSH (deterministic: the "random" hyperplanes
     * are the coordinate axes of the first 60 dims — i.e. sign bits),
     * banded like simhash, then exact-cosine verification. Recall is below

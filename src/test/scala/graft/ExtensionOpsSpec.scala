@@ -306,6 +306,28 @@ class ExtensionOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("semDedup equals brute-force pairs restricted to the same cluster") {
+    val minIds = embs.groupBy(col("label").as("cl")).agg(min(col("vec_id")).as("cvid"))
+    val centroids = embs.join(minIds,
+        embs("label") === minIds("cl") && embs("vec_id") === minIds("cvid"))
+      .select(col("label"), col("embedding"))
+    val out = Dedup.semDedup(embs, centroids, "vec_id", "embedding", "label", 0.35)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    // naive replay: assign every vector, take ALL cosine pairs (brute
+    // force), keep only same-cluster ones, drop the higher id of each
+    val assigned = Similarity.nearestCentroid(embs, centroids, "vec_id", "embedding", "label")
+      .select(col("vec_id"), col("label").as("cl"))
+    val losers = Dedup.embeddingCosinePairs(embs, "vec_id", "embedding", 0.35)
+      .join(assigned.toDF("id_a", "cl_a"), Seq("id_a"))
+      .join(assigned.toDF("id_b", "cl_b"), Seq("id_b"))
+      .filter(col("cl_a") === col("cl_b"))
+      .select("id_b").as[Long].collect().toSet
+    assert(losers.nonEmpty, "vacuous case: no within-cluster near-dups in the test data")
+    val want = embs.select("vec_id").as[Long].collect()
+      .filterNot(losers).sorted.toSeq
+    assert(out == want)
+  }
+
   test("nightly ingest with precomputed history indexes equals the recompute path") {
     // the production shape: the snapshot's fingerprint index (exactGroups
     // output) and band buckets are persisted artifacts, not recomputed —
