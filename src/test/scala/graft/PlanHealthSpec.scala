@@ -141,6 +141,14 @@ class PlanHealthSpec extends SparkSpec {
     }
   }
 
+  test("x43: semDedup broadcasts centroids; the within-cluster join is equi-keyed, no cartesian") {
+    val p = plan("x43_semdedup")
+    assert(!p.contains("CartesianProduct"),
+      s"within-cluster pair search fell off the equi-keyed plan:\n$p")
+    assert(p.contains("ShuffledHashJoin"), s"expected the pinned cluster join:\n$p")
+    assert(p.contains("LeftAnti"), s"expected the loser anti-join:\n$p")
+  }
+
   test("st4: the stream-stream twin keys its join on user_id (shuffle or broadcast hash, no BNL)") {
     val p = plan("st4_attribution_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
