@@ -36,12 +36,15 @@ object Similarity {
       .withColumn("qnorm", sqrt(dot(col("qv"), col("qv"))))
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cnorm", sqrt(dot(col("cv"), col("cv"))))
+    // zero-norm guard (see nearestCentroid): try_divide instead of an
+    // ANSI throw, NaN reported, ranked below every real cosine
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
+      .orderBy(nanvl(col("cos"), lit(-2.0)).desc, col("neighbor_id").asc)
     c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       // norms precomputed per row; expression still dot/(sqrt(na)*sqrt(nb))
-      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
+      .withColumn("cos", coalesce(try_divide(dot(col("qv"), col("cv")),
+        col("qnorm") * col("cnorm")), lit(Double.NaN)))
       // rank as long: SQL engines type row_number() as BIGINT and the
       // oracle hash compare is type-sensitive
       .withColumn("rank", row_number().over(w).cast(LongType))
@@ -78,11 +81,13 @@ object Similarity {
     * 100 TB shape as [[bruteForceTopK]] with k=1, but returning exactly
     * one row per corpus vector via min_by instead of a window. All
     * per-row double math (sequential-order dot products), no cross-row
-    * float accumulation. A zero-norm vector (either side) yields NaN
-    * cosine; NaN sorts ABOVE every double in Spark, so an unguarded
-    * max/min would crown zero-norm centroids nondeterministically — the
-    * ranking key demotes NaN below every real cosine (the reported `cos`
-    * stays NaN so callers can see the degenerate match). */
+    * float accumulation. Zero-norm vectors (either side) are guarded:
+    * under ANSI mode a plain divide THROWS on the zero divisor
+    * (DIVIDE_BY_ZERO kills the task — one degenerate embedding in 100 TB
+    * must not fail the job), so the cosine is try_divide, reported as NaN
+    * for the degenerate case, and the ranking key demotes it below every
+    * real cosine (unguarded, NaN sorts ABOVE every double in Spark and a
+    * zero-norm centroid would win nondeterministically). */
   def nearestCentroid(corpus: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, labelCol: String): DataFrame = {
     def dot(x: Column, y: Column): Column =
@@ -95,8 +100,8 @@ object Similarity {
     // collapse centroid candidates map-side, one struct/row on the wire);
     // score = nanvl(cos, -2) so NaN (zero-norm) loses to any real cosine
     val scored = c.crossJoin(broadcast(cent))
-      .withColumn("cos", dot(col("v"), col("cv"))
-        / (sqrt(dot(col("v"), col("v"))) * col("cnorm")))
+      .withColumn("cos", coalesce(try_divide(dot(col("v"), col("cv")),
+        sqrt(dot(col("v"), col("v"))) * col("cnorm")), lit(Double.NaN)))
     scored.groupBy(col("id"))
       .agg(min(struct((-nanvl(col("cos"), lit(-2.0))).as("negscore"),
         col("cl").as("label"), col("cos"))).as("best"))
@@ -130,11 +135,11 @@ object Similarity {
     def dot(x: Column, y: Column): Column =
       graft.functions.VectorExpressions.dot(corpus.sparkSession, x, y)
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
+      .orderBy(nanvl(col("cos"), lit(-2.0)).desc, col("neighbor_id").asc)
     c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", dot(col("qv"), col("cv"))
-        / (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("cv"), col("cv")))))
+      .withColumn("cos", coalesce(try_divide(dot(col("qv"), col("cv")),
+        sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("cv"), col("cv")))), lit(Double.NaN)))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))

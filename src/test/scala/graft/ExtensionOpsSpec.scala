@@ -168,6 +168,31 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(got.length == 4)
   }
 
+  test("nearestCentroid: string labels order lexically; zero-norm centroids lose") {
+    // the tie-break is struct ordering, not numeric negation — any
+    // orderable label type works; and a zero-norm centroid (NaN cosine)
+    // must never beat a real one (NaN sorts above doubles in a bare max)
+    val corpus = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val centroids = Seq(
+      ("east", Array(1f, 0f)),
+      ("north", Array(0f, 1f)),
+      ("degenerate", Array(0f, 0f)) // zero norm -> NaN cosine vs everything
+    ).toDF("label", "embedding")
+    val got = Similarity.nearestCentroid(corpus, centroids, "vec_id", "embedding", "label")
+      .orderBy(col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq(1L -> "east", 2L -> "north"))
+    // all-degenerate centroid set: the NaN guard still yields one row per
+    // vector (lowest label), with the NaN cosine visible to the caller
+    val onlyZero = Similarity.nearestCentroid(corpus,
+      centroids.filter(col("label") === "degenerate"),
+      "vec_id", "embedding", "label")
+      .collect().map(r => (r.getString(1), r.getDouble(2)))
+    assert(onlyZero.length == 2 &&
+      onlyZero.forall { case (l, c) => l == "degenerate" && c.isNaN })
+  }
+
   test("multimodal plumbing: binary payload + meta + stubbed per-partition decode") {
     val mm = Multimodal.asMultimodal(docs.limit(20), "text", "image", "source")
     val out = Multimodal.decodeStub(mm)

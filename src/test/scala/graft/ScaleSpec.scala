@@ -56,6 +56,16 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("Expand"), s"two-stage distinct planned an Expand:\n$plan")
   }
 
+  test("distinctCountPerKey ignores null values, like COUNT(DISTINCT)") {
+    // the distinct() stage keeps one (key, null) row per key — it must
+    // contribute 0, including the all-null group
+    val df = Seq(("a", Some(1L)), ("a", Some(1L)), ("a", None),
+      ("b", None), ("b", None)).toDF("key", "uid")
+    val got = Scale.distinctCountPerKey(df, "key", "uid", as = "n")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 1L, "b" -> 0L))
+  }
+
   test("bucketed tables join with no shuffle exchange on either side") {
     val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
