@@ -449,11 +449,16 @@ object Dedup {
   // ---- embedding near-dup ----
 
   /** Cosine similarity between two double arrays — explicit dot/sqrt form
-    * so an oracle can reproduce the exact IEEE operation order. */
+    * so an oracle can reproduce the exact IEEE operation order. Zero-norm
+    * inputs yield NaN via try_divide instead of the ANSI DIVIDE_BY_ZERO
+    * task failure (one degenerate embedding must not kill a corpus job);
+    * a NaN cosine fails every `>= threshold` filter, so degenerate
+    * vectors simply pair with nothing. */
   def cosine(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    coalesce(try_divide(dot(a, b), sqrt(dot(a, a)) * sqrt(dot(b, b))),
+      lit(Double.NaN))
   }
 
   private def asDouble(vec: Column): Column =
@@ -472,7 +477,10 @@ object Dedup {
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
     e.toDF("id_a", "v_a", "norm_a").crossJoin(e.toDF("id_b", "v_b", "norm_b"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", dot(col("v_a"), col("v_b")) / (col("norm_a") * col("norm_b")))
+      // try_divide: zero-norm rows drop at the threshold filter instead
+      // of throwing DIVIDE_BY_ZERO under ANSI (see [[cosine]])
+      .withColumn("cos", try_divide(dot(col("v_a"), col("v_b")),
+        col("norm_a") * col("norm_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
@@ -507,7 +515,10 @@ object Dedup {
     val losers = e.toDF("id_a", "v_a", "norm_a", "cl")
       .join(e.toDF("id_b", "v_b", "norm_b", "cl").hint("shuffle_hash"), Seq("cl"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", dot(col("v_a"), col("v_b")) / (col("norm_a") * col("norm_b")))
+      // try_divide: zero-norm rows drop at the threshold filter instead
+      // of throwing DIVIDE_BY_ZERO under ANSI (see [[cosine]])
+      .withColumn("cos", try_divide(dot(col("v_a"), col("v_b")),
+        col("norm_a") * col("norm_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_b").as(idCol)).distinct()
     df.join(losers.hint("shuffle_hash"), Seq(idCol), "left_anti")

@@ -331,6 +331,14 @@ class ExtensionOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("embedding near-dup: zero vectors pair with nothing instead of failing the job") {
+    val df = Seq((1L, Array(0f, 0f)), (2L, Array(1f, 0f)), (3L, Array(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingCosinePairs(df, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((2L, 3L)))
+  }
+
   test("semDedup equals brute-force pairs restricted to the same cluster") {
     val minIds = embs.groupBy(col("label").as("cl")).agg(min(col("vec_id")).as("cvid"))
     val centroids = embs.join(minIds,
