@@ -890,6 +890,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // ---- E3: the SAME nightly ingest through the production entry point
+    //      (runWithIndexes): exact-dedup fp index and minhash band
+    //      buckets come in PRECOMPUTED, as the persisted snapshot
+    //      artifacts a real nightly job maintains — gated against the
+    //      identical oracle as e2 (the semantics must not depend on
+    //      whether the indexes were derived or loaded) ----
+    "e3_ingest_with_indexes" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val history = docs.filter(col("doc_id") % 10 === 0)
+      graft.examples.IncrementalIngest.runWithIndexes(
+        docs.filter(col("doc_id") % 10 =!= 0), history,
+        historyFp = graft.operators.Dedup.exactGroups(history, "doc_id", "text")
+          .select(col("fp")),
+        historyBuckets = graft.operators.Dedup.minhashBandBuckets(
+          history.select(col("doc_id"), col("text")), "doc_id", "text",
+          numHashes = 32, bands = 8))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- A/B probe pair pinning the driver hasher's decimal behavior:
     //      the SAME tiny sum, once as a NATURALLY-typed DECIMAL(38,2)
     //      output (sum over DECIMAL(28,2) — the j3 shape, no Cast node;
@@ -1636,7 +1656,27 @@ object SparkEntry {
          WHERE vec_id NOT IN (SELECT id_b FROM losers)
          ORDER BY vec_id""",
 
-    "e2_incremental_ingest" ->
+    "e2_incremental_ingest" -> IngestOracleSql,
+
+    // identical semantics through the precomputed-index entry point:
+    // whether the history fp/bucket indexes were derived or loaded must
+    // not change a single surviving row
+    "e3_ingest_with_indexes" -> IngestOracleSql,
+
+    "z1_probe_sum_decimal" ->
+      """SELECT CAST(sum(CAST(n_nationkey AS DECIMAL(28,2))) AS DECIMAL(38,2)) AS probe_sum
+         FROM nation""",
+
+    "z2_probe_sum_double" ->
+      """SELECT CAST(CAST(sum(CAST(n_nationkey AS DECIMAL(28,2))) AS VARCHAR) AS DOUBLE) AS probe_sum
+         FROM nation"""
+  )
+
+  /** The nightly-ingest oracle: every stage replayed from the naive rules
+    * (fingerprint dedup, exact-jaccard cross and self pairs, recursive-CTE
+    * transitive closure). Shared by e2 (derive-everything entry point) and
+    * e3 (precomputed history indexes) — both must match it exactly. */
+  private val IngestOracleSql: String =
       """WITH RECURSIVE
          batch AS (SELECT doc_id, text, lang, source FROM documents WHERE doc_id % 10 <> 0),
          hist AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
@@ -1685,14 +1725,5 @@ object SparkEntry {
          losers2 AS (SELECT doc_id FROM comp WHERE doc_id <> component)
          SELECT doc_id, lang, source FROM s2
          WHERE doc_id NOT IN (SELECT doc_id FROM losers2)
-         ORDER BY doc_id""",
-
-    "z1_probe_sum_decimal" ->
-      """SELECT CAST(sum(CAST(n_nationkey AS DECIMAL(28,2))) AS DECIMAL(38,2)) AS probe_sum
-         FROM nation""",
-
-    "z2_probe_sum_double" ->
-      """SELECT CAST(CAST(sum(CAST(n_nationkey AS DECIMAL(28,2))) AS VARCHAR) AS DOUBLE) AS probe_sum
-         FROM nation"""
-  )
+         ORDER BY doc_id"""
 }
