@@ -877,6 +877,44 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     },
 
+    // ---- X: BM25 lexical retrieval (Robertson et al.) — the relevance/
+    //      decontamination ranking step. No inverted index, no vocabulary
+    //      shuffle: a bounded (term, df) collect + ONE narrow scoring
+    //      scan + TakeOrderedAndProject for the global top-k ----
+    "x44_bm25_topk" -> { (s, dir) =>
+      graft.operators.Retrieval.bm25TopK(
+        t(s, dir, "documents"), "doc_id", "text",
+        query = Seq("dup", "vector", "stream"), k = 20)
+    },
+
+    // ---- X: corpus-self-trained bigram-LM quality score (CCNet shape:
+    //      perplexity bands select head/middle/tail). Train = one explode
+    //      + one bigram-key groupBy; prefix counts derive from the
+    //      already-reduced bigram table; scoring joins are
+    //      shuffle_hash-pinned on the n-gram keys ----
+    "x45_bigram_nll" -> { (s, dir) =>
+      graft.operators.LanguageModel.bigramNll(
+        t(s, dir, "documents"), "doc_id", "text", alpha = 1.0)
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- X: one k-means Lloyd iteration over the embeddings (E-step =
+    //      x34's broadcast nearest-centroid assignment, M-step = ONE
+    //      partial-agged groupBy(cluster) with 64 avg columns — the
+    //      shuffle never explodes the corpus by the dimensionality).
+    //      Initial centroids: each label's lowest-id vector (x34's) ----
+    "x46_kmeans_step" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val minIds = e.groupBy(col("label").as("cl"))
+        .agg(min(col("vec_id")).as("cvid"))
+      val centroids = e.join(minIds,
+          e("label") === minIds("cl") && e("vec_id") === minIds("cvid"))
+        .select(col("label"), col("embedding"))
+      graft.operators.Similarity.lloydStep(
+        e, centroids, "vec_id", "embedding", "label", dims = 64)
+        .orderBy(col("cluster"), col("dim"))
+    },
+
     // ---- E2: the NIGHTLY-INGEST composition (quality gate -> exact
     //      dedup vs history -> banded near-dup AGAINST the snapshot ->
     //      in-batch components, keep cluster min), every stage replayed
@@ -1655,6 +1693,77 @@ object SparkEntry {
          SELECT vec_id, label FROM embeddings
          WHERE vec_id NOT IN (SELECT id_b FROM losers)
          ORDER BY vec_id""",
+
+    // BM25 with the same canonical left-fold over SORTED terms
+    // (dup, stream, vector) the Spark side uses, so the double sums
+    // associate identically; scores rounded to 6 before ranking
+    "x44_bm25_topk" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         st AS (SELECT count(*) AS n,
+                  avg(CAST(len(ts) AS DOUBLE)) AS avgdl FROM toks),
+         d1 AS (SELECT count(*) AS df FROM toks WHERE list_contains(ts, 'dup')),
+         d2 AS (SELECT count(*) AS df FROM toks WHERE list_contains(ts, 'stream')),
+         d3 AS (SELECT count(*) AS df FROM toks WHERE list_contains(ts, 'vector')),
+         tfv AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl,
+                  CAST(len(list_filter(ts, x -> x = 'dup')) AS DOUBLE) AS tf1,
+                  CAST(len(list_filter(ts, x -> x = 'stream')) AS DOUBLE) AS tf2,
+                  CAST(len(list_filter(ts, x -> x = 'vector')) AS DOUBLE) AS tf3
+                 FROM toks),
+         sc AS (SELECT doc_id,
+             round(((0.0
+               + ln((st.n - d1.df + 0.5) / (d1.df + 0.5) + 1.0) * (tf1 * 2.2)
+                 / (tf1 + 1.2 * (0.25 + 0.75 * dl / st.avgdl)))
+               + ln((st.n - d2.df + 0.5) / (d2.df + 0.5) + 1.0) * (tf2 * 2.2)
+                 / (tf2 + 1.2 * (0.25 + 0.75 * dl / st.avgdl)))
+               + ln((st.n - d3.df + 0.5) / (d3.df + 0.5) + 1.0) * (tf3 * 2.2)
+                 / (tf3 + 1.2 * (0.25 + 0.75 * dl / st.avgdl)), 6) AS score
+           FROM tfv CROSS JOIN st CROSS JOIN d1 CROSS JOIN d2 CROSS JOIN d3)
+         SELECT doc_id, score FROM sc WHERE score > 0.0
+         ORDER BY score DESC, doc_id LIMIT 20""",
+
+    // add-one-smoothed bigram LM trained on the corpus itself; docs with
+    // < 2 tokens have no bigrams and are excluded on both sides
+    "x45_bigram_nll" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         tl AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 2),
+         bi AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+                FROM tl, UNNEST(range(1, len(ws))) t(i)),
+         c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+         c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+         vv AS (SELECT count(DISTINCT u.w) AS v
+                FROM (SELECT unnest(ws) AS w FROM tl) u),
+         sc AS (SELECT b.doc_id, count(*) AS n_bigrams,
+                  sum(ln((c2.c2 + 1.0) / (CAST(c1.c1 AS DOUBLE) + 1.0 * vv.v))) AS ll
+                FROM bi b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+                CROSS JOIN vv GROUP BY b.doc_id)
+         SELECT doc_id, n_bigrams, round(-ll / n_bigrams, 6) AS nll
+         FROM sc ORDER BY doc_id""",
+
+    // one Lloyd iteration: x34's assignment CTEs verbatim (that cosine is
+    // gate-proven bit-identical to the Spark plan), then per-cluster
+    // per-dimension means, rounded to 6 on both sides
+    "x46_kmeans_step" ->
+      """WITH e AS (SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         c AS (SELECT e.label AS cl, e.v AS cv
+           FROM e JOIN (SELECT label, min(vec_id) AS mv
+                        FROM embeddings GROUP BY label) m
+             ON e.label = m.label AND e.vec_id = m.mv),
+         s AS (SELECT e.vec_id, c.cl,
+             list_sum(list_transform(range(1, 65), i -> e.v[i] * c.cv[i]))
+               / (sqrt(list_sum(list_transform(range(1, 65), i -> e.v[i] * e.v[i])))
+                  * sqrt(list_sum(list_transform(range(1, 65), i -> c.cv[i] * c.cv[i])))) AS cos
+           FROM e CROSS JOIN c),
+         a AS (SELECT vec_id, cl FROM (
+             SELECT vec_id, cl,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cl ASC) AS rn
+             FROM s) WHERE rn = 1),
+         m AS (SELECT a.cl AS cluster, i.i AS dim, round(avg(e.v[i.i]), 6) AS c
+               FROM a JOIN e USING (vec_id), UNNEST(range(1, 65)) i(i)
+               GROUP BY 1, 2)
+         SELECT cluster, CAST(dim AS BIGINT) AS dim, c FROM m
+         ORDER BY cluster, dim""",
 
     "e2_incremental_ingest" -> IngestOracleSql,
 

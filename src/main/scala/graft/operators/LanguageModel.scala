@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-trained n-gram language-model scoring — the CCNet-style quality
+  * signal (Wenzek et al. 2020: perplexity under a reference LM buckets
+  * web text into head/middle/tail quality bands). Here the reference LM
+  * is trained on the corpus itself in one pass: add-alpha-smoothed bigram
+  * conditionals P(w2|w1) = (c(w1 w2) + a) / (c(w1 ·) + a·V).
+  *
+  * 100 TB shape:
+  *  - Training is two corpus-aggregate tables: bigram counts (one
+  *    explode + one partial-agged groupBy on the bigram key) and prefix
+  *    counts DERIVED from the already-aggregated bigram table (a second
+  *    groupBy over |vocab^2|-bounded rows, never a second corpus scan).
+  *    Vocabulary size V is one countDistinct over the same exploded pass.
+  *  - Scoring joins each document's bigrams against the count tables on
+  *    the bigram/prefix keys — `shuffle_hash`-pinned (the count tables
+  *    are corpus-vocabulary-sized; a sort-merge would sort the corpus,
+  *    a broadcast would assume the vocabulary fits one executor; at real
+  *    scale the LM would additionally be pruned to a top-V vocabulary
+  *    with an <unk> bucket, which this API exposes via `topV`).
+  *  - Per-document reduce is one partial-agged groupBy(id): sum of log
+  *    conditionals and the bigram count; the returned nll is rounded to
+  *    6 decimals for cross-engine double reproducibility.
+  *
+  * Documents with fewer than 2 tokens have no bigrams and are excluded
+  * (the oracle replays the same rule).
+  */
+object LanguageModel {
+
+  /** (id, w1, w2) positional bigrams of the whitespace token stream. */
+  private def bigrams(toks: DataFrame): DataFrame =
+    toks
+      .select(col("id"), posexplode(slice(col("ts"), lit(1), size(col("ts")) - 1))
+        .as(Seq("i", "w1")), col("ts"))
+      .select(col("id"), col("w1"),
+        element_at(col("ts"), col("i") + 2).as("w2"))
+
+  /** Average negative log-likelihood per bigram under the corpus's own
+    * add-alpha bigram LM: (id, n_bigrams, nll). Lower = more typical of
+    * the corpus (CCNet "head"); higher = rare constructions or noise.
+    * `topV` > 0 prunes the LM vocabulary to the topV most frequent
+    * unigrams, mapping the rest to a shared <unk> token BEFORE counting —
+    * the bounded-LM path real scale needs (0 = no pruning; the default,
+    * and what the oracle replays). */
+  def bigramNll(docs: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 1.0, topV: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    val raw = docs.select(col(idCol).as("id"),
+      TextFunctions.tokens(col(textCol)).as("ts"))
+      .filter(size(col("ts")) >= 2)
+
+    val toks =
+      if (topV <= 0) raw
+      else {
+        // bounded collect: exactly topV vocabulary strings
+        val keep = raw.select(explode(col("ts")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("w").asc).limit(topV)
+          .collect().map(_.getString(0))
+        val kv = lit(keep)
+        raw.select(col("id"), transform(col("ts"),
+          w => when(array_contains(kv, w), w).otherwise(lit("<unk>"))).as("ts"))
+      }
+
+    val bi = bigrams(toks)
+    // one corpus scan -> bigram count table; prefix counts + V derive
+    // from already-reduced frames, not from re-scanning the corpus
+    val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val v = toks.select(explode(col("ts")).as("w")).agg(
+      countDistinct(col("w")).as("v")).head().getLong(0)
+
+    val scored = bi
+      .join(c2.hint("shuffle_hash"), Seq("w1", "w2"))
+      .join(c1.hint("shuffle_hash"), Seq("w1"))
+      .withColumn("lp", log((col("c2") + alpha) / (col("c1") + alpha * v)))
+    scored.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("ll"))
+      .select(col("id").as(idCol), col("n_bigrams"),
+        round(-col("ll") / col("n_bigrams"), 6).as("nll"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Term-based retrieval over a document corpus — the scoring half of a
+  * decontamination / relevance-filter pipeline (rank corpus documents
+  * against a benchmark query or a quality probe, keep or drop the top
+  * band). Reference analogue: phaser's filter steps select rows by
+  * computed predicates; BM25 is the standard lexical relevance score
+  * (Robertson et al., TREC-3) a curation pipeline adds on top.
+  *
+  * 100 TB shape — the whole point of this formulation:
+  *  - NO inverted index is materialized and NO full-vocabulary shuffle
+  *    runs. The only corpus-wide aggregates are one partial-agged stats
+  *    scan (N, avgdl) and one document-frequency scan whose explode is
+  *    pre-filtered to the query's own terms (`array_intersect` against a
+  *    broadcast literal — at most |query| rows survive per document).
+  *  - Driver traffic is BOUNDED BY THE QUERY, not the corpus: one stats
+  *    row plus at most |query| (term, df) rows. Both collects are
+  *    O(|query|) — the same bounded-collect contract as
+  *    [[CorpusOps.scrubBoilerplate]]'s threshold set.
+  *  - Scoring is a single NARROW pass: per-term tf via `filter(tokens)`
+  *    higher-order functions with idf folded in as literals, summed in
+  *    canonical (sorted-term) order so the double result is reproducible
+  *    across engines and partitionings. No shuffle at all until the final
+  *    global top-k, which Spark executes as TakeOrderedAndProject (per-
+  *    partition heaps + driver merge of k rows), never a full sort.
+  */
+object Retrieval {
+
+  /** BM25 top-k: score every document against `query` terms, return the
+    * k best as (id, score) with score rounded to 6 decimals (cross-engine
+    * double reproducibility; see SparkEntry's x8 precedent). Documents
+    * matching no query term are filtered before the top-k (score 0 rows
+    * never reach the heap). Ties break on ascending id. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      query: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "query must have at least one term")
+    val terms = query.distinct.sorted
+    val toks = docs.select(col(idCol).as("id"),
+      TextFunctions.tokens(col(textCol)).as("ts"))
+
+    // one partial-agged scan: corpus size + average document length
+    val st = toks.agg(count(lit(1)).as("n"),
+      avg(size(col("ts")).cast("double")).as("avgdl")).head()
+    val n = st.getLong(0)
+    val avgdl = st.getDouble(1)
+
+    // per-term document frequency: array_intersect dedups within the doc
+    // BEFORE the explode, so the shuffle carries <= |query| rows per doc
+    val dfMap = toks
+      .select(explode(array_intersect(col("ts"),
+        lit(terms.toArray))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // Robertson idf with the +1 floor (never negative): computed on the
+    // driver over the bounded df map, folded into the scan as literals
+    def idf(t: String): Double = {
+      val df = dfMap.getOrElse(t, 0L).toDouble
+      math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    }
+
+    val dl = size(col("ts")).cast("double")
+    // canonical left-fold over sorted terms: ((0 + t1) + t2) + ... — the
+    // oracle SQL repeats the same association so the doubles agree
+    val score = terms.foldLeft(lit(0.0)) { (acc, term) =>
+      val tf = size(filter(col("ts"), x => x === lit(term))).cast("double")
+      acc + lit(idf(term)) * (tf * (k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / avgdl))
+    }
+
+    toks.select(col("id").as(idCol), round(score, 6).as("score"))
+      .filter(col("score") > 0.0)
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

@@ -144,4 +144,55 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
+
+  /** One k-means Lloyd iteration (M-step after [[nearestCentroid]]'s
+    * E-step): per-cluster per-dimension means of the assigned vectors,
+    * returned FLAT as (cluster, dim, c) with dim 1-based — the
+    * oracle-comparable shape ([[kmeansFit]] reassembles arrays).
+    *
+    * 100 TB shape: the update is ONE partial-agged groupBy(cluster) with
+    * `dims` avg columns — the shuffle carries one 64-double row per
+    * (map partition x cluster), NOT 64 exploded rows per corpus vector
+    * (a posexplode-then-groupBy would multiply the shuffle by the
+    * dimensionality). Assignment broadcasts the centroids and never
+    * shuffles the corpus (see [[nearestCentroid]]); means are rounded to
+    * 6 decimals for cross-engine double reproducibility. Vectors shorter
+    * than `dims` contribute nulls past their end (try_element_at), which
+    * avg ignores — same null semantics as the SQL oracle's list index. */
+  def lloydStep(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, labelCol: String,
+      dims: Int): DataFrame = {
+    val assigned = nearestCentroid(corpus, centroids, idCol, vecCol, labelCol)
+      .select(col(idCol).as("id"), col(labelCol).as("cluster"))
+    val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val joined = vecs.join(assigned, Seq("id"))
+    val avgs = (1 to dims).map(i =>
+      avg(try_element_at(col("v"), lit(i))).as(s"_c$i"))
+    joined.groupBy(col("cluster")).agg(avgs.head, avgs.tail: _*)
+      .select(col("cluster"), posexplode(
+        array((1 to dims).map(i => col(s"_c$i")): _*)).as(Seq("d0", "m")))
+      .select(col("cluster"), (col("d0") + 1).cast(LongType).as("dim"),
+        round(col("m"), 6).as("c"))
+  }
+
+  /** Full Lloyd loop: `iters` alternations of assign + update, starting
+    * from `centroids`, returning the final (labelCol, vecCol) centroid
+    * frame. Each round's centroids are a cluster-count-sized frame —
+    * persisted would be overkill; they collapse to a broadcast literal in
+    * the next assignment. Empty clusters drop out (their centroid has no
+    * assigned vectors — standard Lloyd behavior; callers wanting k fixed
+    * re-seed externally). */
+  def kmeansFit(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, labelCol: String,
+      dims: Int, iters: Int): DataFrame = {
+    var cent = centroids.select(col(labelCol), col(vecCol))
+    for (_ <- 1 to iters) {
+      val flat = lloydStep(corpus, cent, idCol, vecCol, labelCol, dims)
+      cent = flat.groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("dm"))
+        .select(col("cluster").as(labelCol),
+          transform(col("dm"), x => x("c")).as(vecCol))
+    }
+    cent
+  }
 }

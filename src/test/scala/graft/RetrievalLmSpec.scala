@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{LanguageModel, Retrieval, Similarity}
+
+/** BM25 retrieval, bigram-LM quality scoring, and the k-means Lloyd step
+  * — hand-computed closed-form values on tiny corpora. */
+class RetrievalLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- BM25 ----
+
+  test("bm25TopK: tf ranking, zero-match exclusion, hand-computed score") {
+    val docs = Seq(
+      (1L, "cat dog"), (2L, "cat cat"), (3L, "bird")
+    ).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text",
+      query = Seq("cat"), k = 10).collect()
+    // doc 3 matches nothing -> excluded; doc 2 (tf=2) beats doc 1 (tf=1)
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L, 1L))
+    // N=3, df=2, avgdl=5/3; idf=ln(1.6); d2: idf*2*2.2/(2+1.2*(0.25+0.75*2/(5/3)))
+    val idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    val d2 = idf * (2.0 * 2.2) / (2.0 + 1.2 * (0.25 + 0.75 * 2.0 / (5.0 / 3.0)))
+    assert(math.abs(out.head.getDouble(1) - d2) < 1e-6)
+  }
+
+  test("bm25TopK: k bounds the result; rarer term outscores common term") {
+    // 'rare' in 1 of 4 docs, 'common' in all 4 — equal tf and length
+    val docs = Seq(
+      (1L, "rare pad"), (2L, "common pad"), (3L, "common pad"), (4L, "common pad")
+    ).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text",
+      query = Seq("rare", "common"), k = 1).collect()
+    assert(out.length == 1 && out.head.getLong(0) == 1L)
+  }
+
+  // ---- bigram LM ----
+
+  test("bigramNll: hand-computed add-one-smoothed values") {
+    // d1 'a b a b': bigrams ab,ba,ab; d2 'a b': ab
+    // c2(ab)=3, c2(ba)=1, c1(a)=3, c1(b)=1, V=2
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = LanguageModel.bigramNll(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 3 has < 2 tokens -> excluded
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val lpAb = math.log(4.0 / 5.0); val lpBa = math.log(2.0 / 3.0)
+    val want1 = BigDecimal(-(2 * lpAb + lpBa) / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want2 = BigDecimal(-lpAb)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0).getLong(1) == 3L && out(0).getDouble(2) == want1)
+    assert(out(1).getLong(1) == 1L && out(1).getDouble(2) == want2)
+  }
+
+  test("bigramNll: corpus-typical text scores lower nll than rare text") {
+    val common = (1L to 8L).map(i => (i, "the cat sat on the mat"))
+    val docs = (common :+ (9L -> "zyx qwv jkl pqr")).toDF("doc_id", "text")
+    val nll = LanguageModel.bigramNll(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(nll(1L) < nll(9L))
+  }
+
+  test("bigramNll topV: pruned vocabulary maps tail tokens to <unk>") {
+    // 'a b' dominates; with topV=2 every other token becomes <unk>, so
+    // the two rare docs share identical <unk>-bigrams and identical nll
+    val docs = (1L to 6L).map(i => (i, "a b a b"))
+      .++(Seq(7L -> "qq ww", 8L -> "ee rr")).toDF("doc_id", "text")
+    val nll = LanguageModel.bigramNll(docs, "doc_id", "text", topV = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(nll(7L) == nll(8L))
+  }
+
+  // ---- k-means ----
+
+  private val corpus = Seq(
+    (10L, Array(2f, 0f)), (11L, Array(0f, 3f)), (12L, Array(1f, 1f))
+  ).toDF("vec_id", "embedding")
+  private val cents = Seq(
+    (0, Array(1f, 0f)), (1, Array(0f, 1f))
+  ).toDF("label", "embedding")
+
+  test("lloydStep: cosine assignment + per-dim means, ties to lowest label") {
+    // (2,0)->c0; (0,3)->c1; (1,1) ties (cos .7071 both) -> label 0
+    val got = Similarity.lloydStep(corpus, cents,
+      "vec_id", "embedding", "label", dims = 2)
+      .orderBy("cluster", "dim")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      (0, 1L, 1.5), (0, 2L, 0.5), (1, 1L, 0.0), (1, 2L, 3.0)))
+  }
+
+  test("kmeansFit: stable fixed point after the first iteration") {
+    val fit = Similarity.kmeansFit(corpus, cents,
+      "vec_id", "embedding", "label", dims = 2, iters = 2)
+      .orderBy("label")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toList).toMap
+    assert(fit(0) == List(1.5, 0.5) && fit(1) == List(0.0, 3.0))
+  }
+}
