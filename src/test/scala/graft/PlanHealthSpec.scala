@@ -149,6 +149,39 @@ class PlanHealthSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), s"expected the loser anti-join:\n$p")
   }
 
+  test("x44: BM25 scoring is one narrow scan — zero exchanges, top-k via TakeOrdered") {
+    // df/avgdl fold in as literals at build time (bounded collects); the
+    // scoring plan itself must stay scan -> project -> filter -> heap-k,
+    // with no shuffle and no global sort
+    val p = plan("x44_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be a per-partition heap + driver merge, not a sort:\n$p")
+    assert(!p.contains("Exchange"), s"BM25 scoring scan must not shuffle:\n$p")
+  }
+
+  test("x45: LM scoring joins stay shuffle-hash on the n-gram keys, aggs partial") {
+    val p = plan("x45_bigram_nll")
+    assert(p.contains("ShuffledHashJoin"), s"expected pinned n-gram joins:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sort-merge join would sort the corpus bigrams:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"LM joins must stay equi-keyed:\n$p")
+  }
+
+  test("x46: Lloyd M-step aggregates per-dim columns — the explode sits above the shuffle") {
+    // the anti-pattern is posexplode-then-groupBy, which multiplies the
+    // shuffle by the dimensionality; the one Generate (the flat output
+    // fan-out) must execute AFTER every exchange (= print before it)
+    val p = plan("x46_kmeans_step")
+    assert(p.contains("Generate"), s"expected the flat-output posexplode:\n$p")
+    // the range exchange ABOVE the Generate is the output ordering; the
+    // invariant is about the aggregation (hash-partitioning) shuffles
+    assert(p.indexOf("Generate") < p.indexOf("Exchange hashpartitioning"),
+      s"posexplode ran below the agg shuffle — M-step explodes the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"corpus x centroids must not be a cartesian shuffle:\n$p")
+  }
+
   test("st4: the stream-stream twin keys its join on user_id (shuffle or broadcast hash, no BNL)") {
     val p = plan("st4_attribution_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
