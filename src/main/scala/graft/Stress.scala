@@ -36,6 +36,16 @@ object Stress {
         col("lang"), col("source"))
     }.reduce(_ unionByName _)
 
+  /** Replica r of the embeddings table: disjoint id ranges, identical
+    * vectors/labels — cluster count stays fixed while membership grows,
+    * the regime a Lloyd step sees on a growing corpus. */
+  private def replicateEmbeddings(embs: DataFrame, m: Int): DataFrame =
+    (0 until m).map { r =>
+      embs.select(
+        (col("vec_id") + lit(r.toLong * 1000000L)).as("vec_id"),
+        col("embedding"), col("label"))
+    }.reduce(_ unionByName _)
+
   private def replicateEvents(events: DataFrame, m: Int): DataFrame =
     (0 until m).map { r =>
       events.select(
@@ -102,7 +112,28 @@ object Stress {
             docs.filter(col("doc_id") % 10 === 0)).count()),
         "sessionize" -> (() =>
           operators.Temporal.sessionize(events, "user_id", "ts", "event_id",
-            gapSeconds = 1800).count()))
+            gapSeconds = 1800).count()),
+        // narrow scoring scan: per-doc cost must stay flat as the corpus
+        // doubles (query terms live in replica 0's vocabulary only — df
+        // constant, scan linear)
+        "bm25_topk" -> (() =>
+          operators.Retrieval.bm25TopK(docs, "doc_id", "text",
+            query = Seq("dup", "vector", "stream"), k = 20).count()),
+        // LM table grows with the (disjoint-per-replica) vocabulary; the
+        // trend probes the bigram-key shuffle joins
+        "bigram_nll" -> (() =>
+          operators.LanguageModel.bigramNll(docs, "doc_id", "text").count()),
+        "kmeans_step" -> (() => {
+          val embs = replicateEmbeddings(
+            Tables.load(spark, sfDir, "embeddings"), m)
+          val minIds = embs.groupBy(col("label").as("cl"))
+            .agg(min(col("vec_id")).as("cvid"))
+          val cents = embs.join(minIds,
+              embs("label") === minIds("cl") && embs("vec_id") === minIds("cvid"))
+            .select(col("label"), col("embedding"))
+          operators.Similarity.lloydStep(
+            embs, cents, "vec_id", "embedding", "label", dims = 64).count()
+        }))
 
       for ((name, run) <- ops) {
         val t0 = System.nanoTime()
