@@ -915,6 +915,26 @@ object SparkEntry {
         .orderBy(col("cluster"), col("dim"))
     },
 
+    // ---- X: CCNet head/middle/tail banding — tertile buckets of the
+    //      bigram-LM nll; thresholds are an O(1) driver collect over the
+    //      persisted scored frame (gate-proven percentile()) ----
+    "x47_quality_bands" -> { (s, dir) =>
+      graft.operators.LanguageModel.qualityBands(
+        t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- X: Gopher rule filter (Rae et al. 2021) — ONE narrow codegen'd
+    //      projection; per-rule verdict columns for drop auditing ----
+    "x48_gopher_filter" -> { (s, dir) =>
+      graft.operators.QualityFilters.gopherFilter(
+        t(s, dir, "documents"), "doc_id", "text",
+        minTokens = 30, maxTokens = 80,
+        minMeanLen = 3.0, maxMeanLen = 6.0,
+        maxDup5gram = 0.3, minStopHits = 2)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- E2: the NIGHTLY-INGEST composition (quality gate -> exact
     //      dedup vs history -> banded near-dup AGAINST the snapshot ->
     //      in-batch components, keep cluster min), every stage replayed
@@ -1764,6 +1784,55 @@ object SparkEntry {
                GROUP BY 1, 2)
          SELECT cluster, CAST(dim AS BIGINT) AS dim, c FROM m
          ORDER BY cluster, dim""",
+
+    // x45's LM verbatim, then tertile cut points (quantile_cont ==
+    // Spark percentile, the x13-proven pair) and the band CASE
+    "x47_quality_bands" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         tl AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 2),
+         bi AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+                FROM tl, UNNEST(range(1, len(ws))) t(i)),
+         c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+         c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+         vv AS (SELECT count(DISTINCT u.w) AS v
+                FROM (SELECT unnest(ws) AS w FROM tl) u),
+         sc AS (SELECT b.doc_id,
+                  round(-sum(ln((c2.c2 + 1.0) / (CAST(c1.c1 AS DOUBLE) + 1.0 * vv.v)))
+                        / count(*), 6) AS nll
+                FROM bi b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+                CROSS JOIN vv GROUP BY b.doc_id),
+         q AS (SELECT quantile_cont(nll, 1.0/3) AS t1,
+                 quantile_cont(nll, 2.0/3) AS t2 FROM sc)
+         SELECT doc_id, nll,
+           CASE WHEN nll <= t1 THEN 'head'
+                WHEN nll <= t2 THEN 'middle' ELSE 'tail' END AS band
+         FROM sc CROSS JOIN q ORDER BY doc_id""",
+
+    "x48_gopher_filter" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+             string_split(lower(text), ' ') AS wl FROM documents),
+         m AS (SELECT doc_id, len(ws) AS n_tok,
+             CASE WHEN len(ws) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+                       / CAST(len(ws) AS DOUBLE) END AS mlen,
+             CASE WHEN len(ws) < 5 THEN 0.0
+                  ELSE 1.0 - CAST(len(list_distinct(
+                         [array_to_string(ws[i:i+4], ' ')
+                          FOR i IN range(1, greatest(len(ws) - 3, 1))])) AS DOUBLE)
+                       / CAST(greatest(len(ws) - 4, 1) AS DOUBLE) END AS dup5,
+             len(list_filter(wl,
+               x -> x IN ('the','a','of','and','to','in','is','it','for','on',
+                          'der','die','das','und','ist','ein','zu','mit','auf','nicht',
+                          'le','la','les','et','est','un','une','dans','pour','que'))) AS hits
+           FROM w)
+         SELECT doc_id,
+           (n_tok >= 30 AND n_tok <= 80) AS r_len,
+           (mlen >= 3.0 AND mlen <= 6.0) AS r_wordlen,
+           (dup5 <= 0.3) AS r_rep,
+           (hits >= 2) AS r_stop,
+           (n_tok >= 30 AND n_tok <= 80 AND mlen >= 3.0 AND mlen <= 6.0
+            AND dup5 <= 0.3 AND hits >= 2) AS keep
+         FROM m ORDER BY doc_id""",
 
     "e2_incremental_ingest" -> IngestOracleSql,
 

@@ -84,4 +84,28 @@ object LanguageModel {
       .select(col("id").as(idCol), col("n_bigrams"),
         round(-col("ll") / col("n_bigrams"), 6).as("nll"))
   }
+
+  /** CCNet's head/middle/tail banding: tertile buckets of [[bigramNll]].
+    * The scored frame is persisted around the two passes (threshold agg +
+    * band scan; blocks released on the consumer's first action); the
+    * tertile cut points are an O(1) driver collect — `percentile()` here
+    * is a one-group aggregate over one double per document, the same
+    * bounded shape as the x13 gate. At petabyte document counts swap the
+    * threshold pass to [[Percentiles.exactSorted]] (identical values,
+    * bounded executor memory) — the banding scan is unchanged. */
+  def qualityBands(docs: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 1.0, topV: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    val scored = bigramNll(docs, idCol, textCol, alpha, topV)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val th = scored.agg(
+      expr("percentile(nll, 1.0/3)").as("t1"),
+      expr("percentile(nll, 2.0/3)").as("t2")).head()
+    val (t1, t2) = (th.getDouble(0), th.getDouble(1))
+    graft.plans.Persists.onNextAction(spark)(() => { scored.unpersist(); () })
+    scored.select(col(idCol), col("nll"),
+      when(col("nll") <= t1, lit("head"))
+        .when(col("nll") <= t2, lit("middle"))
+        .otherwise(lit("tail")).as("band"))
+  }
 }

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.functions.TextFunctions
+
+/** Rule-based document quality filtering — the Gopher-style gate (Rae et
+  * al. 2021, app. A1: token-count window, mean-word-length window,
+  * duplicate-n-gram ceiling, function-word floor) every large-scale
+  * pretraining corpus applies before the expensive dedup stages.
+  *
+  * 100 TB shape: every rule is a pure per-row codegen'd scalar over the
+  * token array — the whole filter is ONE narrow projection (no shuffle,
+  * no UDF, no driver traffic), so it composes with the scan and costs a
+  * single pass regardless of corpus size. Rules are emitted as separate
+  * boolean columns (audit-friendly: a curation run reports WHICH rule
+  * dropped how many docs) plus the combined `keep`.
+  */
+object QualityFilters {
+
+  /** Per-document rule verdicts: (id, r_len, r_wordlen, r_rep, r_stop,
+    * keep). `r_len` = token count within [minTokens, maxTokens];
+    * `r_wordlen` = mean token length within [minMeanLen, maxMeanLen];
+    * `r_rep` = duplicate-5-gram fraction <= maxDup5gram; `r_stop` = at
+    * least minStopHits function-word tokens (union of the language
+    * stop lists). keep = all four. */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 50, maxTokens: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxDup5gram: Double = 0.3, minStopHits: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val nTok = TextFunctions.tokenCount(t)
+    val rLen = nTok >= minTokens && nTok <= maxTokens
+    val mLen = TextFunctions.meanTokenLen(t)
+    val rWordlen = mLen >= minMeanLen && mLen <= maxMeanLen
+    val rRep = TextFunctions.dupNgramFraction(t, 5) <= maxDup5gram
+    val stopAll = TextFunctions.stopwords.values.flatten.toSeq.distinct
+    val hits = size(filter(TextFunctions.tokens(lower(t)),
+      w => w.isin(stopAll: _*)))
+    val rStop = hits >= minStopHits
+    df.select(col(idCol), rLen.as("r_len"), rWordlen.as("r_wordlen"),
+      rRep.as("r_rep"), rStop.as("r_stop"),
+      (rLen && rWordlen && rRep && rStop).as("keep"))
+  }
+}

@@ -92,6 +92,43 @@ class RetrievalLmSpec extends SparkSpec {
       (0, 1L, 1.5), (0, 2L, 0.5), (1, 1L, 0.0), (1, 2L, 3.0)))
   }
 
+  // ---- quality bands / rule filter ----
+
+  test("qualityBands: typical docs band head, rare docs band tail") {
+    val docs = ((1L to 6L).map(i => (i, "the cat sat on the mat"))
+      ++ Seq(7L -> "the cat sat on a rug", 8L -> "zz qq jj kk ww vv"))
+      .toDF("doc_id", "text")
+    val bands = graft.operators.LanguageModel
+      .qualityBands(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(bands(1L) == "head")
+    assert(bands(8L) == "tail")
+    assert(bands.size == 8)
+  }
+
+  test("gopherFilter: each rule trips independently; clean doc keeps") {
+    val good = "the cat sat on the mat with a dog and a bird nearby today"
+    val docs = Seq(
+      (1L, good),                                    // keeps
+      (2L, "too short"),                             // r_len
+      (3L, good + (" extraordinarily" * 3).trim),    // long words pull mean len
+      (4L, ("the cat sat on mat " * 12).trim),       // dup 5-grams
+      (5L, ("zz qq jj kk ww vv " * 3).trim)          // no stopwords
+    ).toDF("doc_id", "text")
+    val out = graft.operators.QualityFilters.gopherFilter(
+      docs, "doc_id", "text",
+      minTokens = 10, maxTokens = 100, minMeanLen = 2.0, maxMeanLen = 4.5,
+      maxDup5gram = 0.3, minStopHits = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5))).toMap
+    assert(out(1L) == ((true, true, true, true, true)))
+    assert(!out(2L)._1 && !out(2L)._5)               // too few tokens
+    assert(!out(3L)._2 && !out(3L)._5)               // mean word length high
+    assert(!out(4L)._3 && !out(4L)._5)               // repeated 5-grams
+    assert(!out(5L)._4 && !out(5L)._5)               // no function words
+  }
+
   test("kmeansFit: stable fixed point after the first iteration") {
     val fit = Similarity.kmeansFit(corpus, cents,
       "vec_id", "embedding", "label", dims = 2, iters = 2)
