@@ -984,6 +984,69 @@ object SparkEntry {
       t(s, dir, "nation")
         .agg(sum(col("n_nationkey").cast(DecimalType(28, 2)))
           .cast(StringType).cast(DoubleType).as("probe_sum"))
+    },
+
+    // ---- X: DSIR importance weights (Xie et al. 2023) — hashed-unigram
+    //      log-likelihood ratio of the target slice (lang='en') vs the
+    //      raw corpus. ONE counting scan (conditional agg per bucket),
+    //      B-row ratio table broadcast into ONE scoring scan ----
+    "x49_dsir_weights" -> { (s, dir) =>
+      graft.operators.Selection.dsirWeights(
+        t(s, dir, "documents"), "doc_id", "text",
+        target = col("lang") === "en", buckets = 64)
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- X: hashed bag-of-words logistic classifier — one exact batch
+    //      gradient step from zero weights (label: lang='en'), weights
+    //      rounded to 6 then broadcast for the scoring pass. The
+    //      distributed-training shape: gradient = partial-agged
+    //      groupBy(bucket), model state O(B) ----
+    "x50_bow_classifier" -> { (s, dir) =>
+      graft.operators.Selection.bowLogisticScore(
+        t(s, dir, "documents"), "doc_id", "text",
+        label = col("lang") === "en", buckets = 64, learningRate = 4.0)
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- X: product-quantization codes (Jégou et al. 2011) — 8
+    //      subspaces x 16 deterministic centroids (the 16 lowest-id
+    //      vectors), argmin inlined as one codegen'd expression tree:
+    //      encoding is a single narrow scan, no join, no shuffle ----
+    "x51_pq_codes" -> { (s, dir) =>
+      graft.operators.Quantization.pqCodes(
+        t(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy(col("vec_id"), col("sub"))
+    },
+
+    // ---- X: ADC top-k search over the PQ codes — the m x k distance
+    //      table for query vec_id=0 broadcasts; candidates are scored
+    //      from codes alone (the compressed-domain scan that makes
+    //      100 TB ANN affordable). Rank by ROUNDED distance + id ----
+    "x52_pq_search" -> { (s, dir) =>
+      graft.operators.Quantization.adcTopK(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, topK = 20)
+    },
+
+    // ---- X: TextRank (Mihalcea & Tarau 2004) — 3 weighted-PageRank
+    //      power iterations over the corpus bigram graph. Per iteration:
+    //      one shuffle_hash join + one partial-agged groupBy(dst);
+    //      state = one (node, pr) row per vocabulary token ----
+    "x53_pagerank" -> { (s, dir) =>
+      graft.operators.GraphRank.textRank(
+        t(s, dir, "documents"), "doc_id", "text",
+        damping = 0.85, iters = 3)
+        .orderBy(col("node"))
+    },
+
+    // ---- X: temperature-scaled source mixing weights (w_s ~ n_s^(1/T),
+    //      T=2 upweights small sources) — the sampling table a weighted
+    //      mixer consumes; one groupBy(source), #sources-row normalize ----
+    "x54_temperature_mix" -> { (s, dir) =>
+      graft.operators.Selection.temperatureMixWeights(
+        t(s, dir, "documents"), "source", temperature = 2.0)
+        .orderBy(col("source"))
     }
   )
 
@@ -1847,7 +1910,140 @@ object SparkEntry {
 
     "z2_probe_sum_double" ->
       """SELECT CAST(CAST(sum(CAST(n_nationkey AS DECIMAL(28,2))) AS VARCHAR) AS DOUBLE) AS probe_sum
-         FROM nation"""
+         FROM nation""",
+
+    // DSIR: hashed-unigram (md5 mod 64) log-ratio of the lang='en' slice
+    // vs the raw corpus, add-one smoothed; per-doc sum rounded to 6
+    "x49_dsir_weights" ->
+      """WITH tk AS (SELECT doc_id, (lang = 'en') AS tgt,
+             unnest(string_split(text, ' ')) AS w FROM documents),
+         tb AS (SELECT doc_id, tgt,
+             ('0x' || substr(md5(w), 1, 15))::BIGINT % 64 AS b FROM tk),
+         cnt AS (SELECT b, count(*) AS cr,
+             sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct FROM tb GROUP BY 1),
+         tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM cnt),
+         lr AS (SELECT b, ln((ct + 1.0) / (tt + 64.0))
+                  - ln((cr + 1.0) / (tr + 64.0)) AS lr
+                FROM cnt CROSS JOIN tot),
+         sc AS (SELECT doc_id, count(*) AS n_tok, sum(lr.lr) AS s
+                FROM tb JOIN lr USING (b) GROUP BY 1)
+         SELECT doc_id, n_tok, round(s, 6) AS dsir_logw
+         FROM sc ORDER BY doc_id""",
+
+    // one exact batch gradient step from w=0 (every prediction 0.5), lr=4,
+    // length-normalized hashed-BoW features; weights rounded to 6 BEFORE
+    // scoring so both engines score with identical parameters
+    "x50_bow_classifier" ->
+      """WITH base AS (SELECT doc_id,
+             CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE) AS y,
+             string_split(text, ' ') AS ts FROM documents),
+         b2 AS (SELECT * FROM base WHERE len(ts) > 0),
+         tok AS (SELECT doc_id, y, CAST(len(ts) AS DOUBLE) AS n,
+             unnest(ts) AS w FROM b2),
+         tf AS (SELECT doc_id, y, n,
+             ('0x' || substr(md5(w), 1, 15))::BIGINT % 64 AS b,
+             CAST(count(*) AS DOUBLE) / n AS x
+           FROM tok GROUP BY 1, 2, 3, 4),
+         nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM b2),
+         wt AS (SELECT b, round(-4.0 * sum((0.5 - y) * x) / max(nd.nd), 6) AS wb
+                FROM tf CROSS JOIN nd GROUP BY b),
+         bias AS (SELECT round(-4.0 * sum(0.5 - y) / max(nd.nd), 6) AS w0
+                  FROM b2 CROSS JOIN nd),
+         sc AS (SELECT tf.doc_id, tf.y, sum(wt.wb * tf.x) AS z
+                FROM tf JOIN wt USING (b) GROUP BY 1, 2)
+         SELECT doc_id, y AS label,
+           round(1.0 / (1.0 + exp(-(z + (SELECT w0 FROM bias)))), 6) AS p
+         FROM sc ORDER BY doc_id""",
+
+    // PQ codes: per subspace j (0..7), argmin over the 16 lowest-id
+    // vectors' sub-slices; squared-L2 via the x34-proven list_sum fold
+    // (bit-identical to the Spark expression), ties to the lowest index
+    "x51_pq_codes" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         s AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
+               FROM e ORDER BY vec_id LIMIT 16),
+         d AS (SELECT e.vec_id, t.j, s.c,
+             list_sum(list_transform(range(1, 9),
+               i -> (e.v[t.j * 8 + i] - s.cv[t.j * 8 + i])
+                  * (e.v[t.j * 8 + i] - s.cv[t.j * 8 + i]))) AS d
+           FROM e CROSS JOIN s, UNNEST(range(0, 8)) t(j)),
+         codes AS (SELECT vec_id, j, c FROM (
+             SELECT vec_id, j, c,
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
+             FROM d) WHERE rn = 1)
+         SELECT vec_id, CAST(j AS BIGINT) AS sub, CAST(c AS BIGINT) AS code
+         FROM codes ORDER BY vec_id, sub""",
+
+    // ADC: x51's codes verbatim + the m x k query distance table for
+    // vec_id = 0; approx distance = sum of table lookups, rounded to 6
+    // BEFORE ranking (the x44 rank-by-rounded convention)
+    "x52_pq_search" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         s AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
+               FROM e ORDER BY vec_id LIMIT 16),
+         q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         dt AS (SELECT t.j, s.c,
+             list_sum(list_transform(range(1, 9),
+               i -> (q.qv[t.j * 8 + i] - s.cv[t.j * 8 + i])
+                  * (q.qv[t.j * 8 + i] - s.cv[t.j * 8 + i]))) AS d
+           FROM q CROSS JOIN s, UNNEST(range(0, 8)) t(j)),
+         d AS (SELECT e.vec_id, t.j, s.c,
+             list_sum(list_transform(range(1, 9),
+               i -> (e.v[t.j * 8 + i] - s.cv[t.j * 8 + i])
+                  * (e.v[t.j * 8 + i] - s.cv[t.j * 8 + i]))) AS d
+           FROM e CROSS JOIN s, UNNEST(range(0, 8)) t(j)),
+         codes AS (SELECT vec_id, j, c FROM (
+             SELECT vec_id, j, c,
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
+             FROM d) WHERE rn = 1),
+         sc AS (SELECT codes.vec_id, round(sum(dt.d), 6) AS adist
+                FROM codes JOIN dt ON codes.j = dt.j AND codes.c = dt.c
+                WHERE codes.vec_id <> 0 GROUP BY 1)
+         SELECT vec_id, adist FROM sc
+         ORDER BY adist ASC, vec_id ASC LIMIT 20""",
+
+    // TextRank: 3 power iterations over the bigram transition graph,
+    // teleport (1.0 - 0.85)/N spelled identically on both sides (the two
+    // literals differ by an ulp from 0.15); final pr rounded to 6
+    "x53_pagerank" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         tl AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 2),
+         bi AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+                FROM tl, UNNEST(range(1, len(ws))) t(i)),
+         e AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS wt FROM bi GROUP BY 1, 2),
+         ow AS (SELECT w1, sum(wt) AS ow FROM e GROUP BY 1),
+         tr AS (SELECT e.w1 AS src, e.w2 AS dst, e.wt / ow.ow AS p
+                FROM e JOIN ow USING (w1)),
+         nodes AS (SELECT DISTINCT node FROM
+             (SELECT src AS node FROM tr UNION ALL SELECT dst FROM tr)),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+         c1 AS (SELECT tr.dst AS node, sum(tr.p * r0.pr) AS cin
+                FROM tr JOIN r0 ON tr.src = r0.node GROUP BY 1),
+         r1 AS (SELECT nodes.node, (1.0 - 0.85) / nn.n + 0.85 * coalesce(c1.cin, 0.0) AS pr
+                FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.node = c1.node),
+         c2 AS (SELECT tr.dst AS node, sum(tr.p * r1.pr) AS cin
+                FROM tr JOIN r1 ON tr.src = r1.node GROUP BY 1),
+         r2 AS (SELECT nodes.node, (1.0 - 0.85) / nn.n + 0.85 * coalesce(c2.cin, 0.0) AS pr
+                FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.node = c2.node),
+         c3 AS (SELECT tr.dst AS node, sum(tr.p * r2.pr) AS cin
+                FROM tr JOIN r2 ON tr.src = r2.node GROUP BY 1),
+         r3 AS (SELECT nodes.node, (1.0 - 0.85) / nn.n + 0.85 * coalesce(c3.cin, 0.0) AS pr
+                FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.node = c3.node)
+         SELECT node, round(pr, 6) AS pr FROM r3 ORDER BY node""",
+
+    // temperature sampling table: w_s ~ n_s^(1/2), normalized
+    "x54_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+         s AS (SELECT source, n_docs,
+             pow(CAST(n_docs AS DOUBLE), 1.0 / 2.0) AS sw FROM c),
+         t AS (SELECT sum(sw) AS tot FROM s)
+         SELECT source, n_docs, round(sw / t.tot, 6) AS weight
+         FROM s CROSS JOIN t ORDER BY source"""
   )
 
   /** The nightly-ingest oracle: every stage replayed from the naive rules

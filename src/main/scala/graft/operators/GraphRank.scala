@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.functions.TextFunctions
+
+/** Weighted PageRank power iteration over an edge frame, and its TextRank
+  * specialization (Mihalcea & Tarau 2004: rank tokens by the stationary
+  * distribution of a random walk over the co-occurrence graph — a
+  * keyword/salience signal for corpus analysis).
+  *
+  * 100 TB shape: the graph is held as (src, dst, p) transition rows —
+  * built once with a single groupBy(src) for out-weights — and each
+  * iteration is one shuffle_hash join of the rank frame onto the
+  * transition frame plus one partial-agged groupBy(dst). State per
+  * iteration is one (node, pr) row per vertex; nothing ever collects to
+  * the driver. The transition and node frames are persisted across
+  * iterations and released on the consumer's first action
+  * ([[graft.plans.Persists]] lifecycle, the ConnectedComponents pattern).
+  *
+  * Dangling nodes (in-edges only) keep the teleport term and simply
+  * don't redistribute — the TextRank convention, replayable exactly in
+  * SQL (no global dangling-mass reduction, which would add a cross-engine
+  * scalar dependency per round).
+  */
+object GraphRank {
+
+  /** `iters` PageRank power iterations from the uniform vector over the
+    * nodes of `edges` (union of endpoints). Returns (node, pr) with pr
+    * rounded to 6 decimals (full precision inside the iteration; the
+    * cross-engine contract is the rounded fixpoint approximation). */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      wtCol: String, damping: Double = 0.85, iters: Int = 3): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(wtCol).cast(DoubleType).as("wt"))
+    val outw = e.groupBy(col("src")).agg(sum(col("wt")).as("ow"))
+    val trans = e.join(outw.hint("shuffle_hash"), Seq("src"))
+      .select(col("src"), col("dst"), (col("wt") / col("ow")).as("p"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val n = nodes.count().toDouble
+    val teleport = (1.0 - damping) / n
+
+    var r = nodes.select(col("node"), lit(1.0 / n).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = trans
+        .join(r.hint("shuffle_hash"), trans("src") === r("node"))
+        .select(trans("dst").as("node"), (col("p") * col("pr")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("cin"))
+      r = nodes.join(contrib.hint("shuffle_hash"), Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) + lit(damping) * coalesce(col("cin"), lit(0.0))).as("pr"))
+    }
+    graft.plans.Persists.onNextAction(spark) { () =>
+      trans.unpersist(); nodes.unpersist(); ()
+    }
+    r.select(col("node"), round(col("pr"), 6).as("pr"))
+  }
+
+  /** TextRank over the corpus's directed bigram graph: nodes are tokens,
+    * edge (w1 -> w2) weighted by the corpus bigram count. Tokens that
+    * never co-occur (only seen in single-token documents) are not in the
+    * graph. The bigram count table is the SAME one-explode one-groupBy
+    * reduction the bigram LM trains on ([[LanguageModel]]) — vocabulary-
+    * squared-bounded, never corpus-sized after the first reduce. */
+  def textRank(docs: DataFrame, idCol: String, textCol: String,
+      damping: Double = 0.85, iters: Int = 3): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+        TextFunctions.tokens(col(textCol)).as("ts"))
+      .filter(size(col("ts")) >= 2)
+    val bi = toks
+      .select(posexplode(slice(col("ts"), lit(1), size(col("ts")) - 1))
+        .as(Seq("i", "w1")), col("ts"))
+      .select(col("w1"), element_at(col("ts"), col("i") + 2).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("wt"))
+    pageRank(bi, "w1", "w2", "wt", damping, iters)
+  }
+}

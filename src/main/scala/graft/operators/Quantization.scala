@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Product quantization (Jégou et al. 2011, "Product Quantization for
+  * Nearest Neighbor Search") over an embedding column — the memory-side
+  * scale lever for ANN: a d-dim float vector (256 B at d=64) compresses
+  * to m one-byte codes, so a 100 TB embedding corpus's index fits in
+  * ~m/(4d) of the raw footprint and asymmetric-distance (ADC) search
+  * scans codes, not vectors.
+  *
+  * Spark shape:
+  *  - The codebook is DETERMINISTIC here: per subspace, the candidate
+  *    centroids are the sub-vectors of the k lowest-id corpus rows (a
+  *    bounded O(k·d) driver collect — the same seeding x34/x46 use; a
+  *    learned codebook would come from [[Similarity.kmeansFit]] per
+  *    subspace and drop in unchanged).
+  *  - Encoding is ONE narrow corpus scan: the per-subspace argmin over k
+  *    centroids is a pure codegen'd expression tree with the codebook
+  *    inlined as literals (the [[Similarity.ivfAssign]] pattern) — no
+  *    join, no shuffle, no UDF.
+  *  - ADC search broadcasts the m×k distance table (computed once from
+  *    the query) and reduces each row's m codes — candidate scoring
+  *    never touches the original vectors.
+  *
+  * All sub-distances are squared L2 accumulated left-to-right over the
+  * sub-dimensions — the same IEEE order as the DuckDB oracle's
+  * `list_sum(list_transform(...))`, so code assignments are bit-exact
+  * across engines; ADC distances are rounded to 6 before ranking (gate
+  * convention for cross-row double sums).
+  */
+object Quantization {
+
+  private def asDouble(vec: Column): Column =
+    transform(vec, v => v.cast(DoubleType))
+
+  /** The k lowest-id vectors as the deterministic codebook seeds. */
+  private def seeds(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int): Array[Array[Double]] =
+    corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .orderBy(col("id")).limit(k)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /** Squared L2 between the sub-vector [j*dsub, (j+1)*dsub) of `vec` and
+    * the same slice of a literal centroid, folded left-to-right. Missing
+    * elements (vector shorter than the slice) count as 0 — the corpus
+    * contract is fixed-length vectors; the guard keeps a ragged row from
+    * killing the job under ANSI. */
+  private def subSqDist(vec: Column, cent: Array[Double], j: Int, dsub: Int): Column =
+    (0 until dsub).map { d =>
+      val x = coalesce(try_element_at(vec, lit(j * dsub + d + 1)), lit(0.0))
+      val diff = x - lit(cent(j * dsub + d))
+      diff * diff
+    }.reduce(_ + _)
+
+  /** Per-subspace code: argmin over the k centroids, ties to the lowest
+    * centroid index. array_min over (d, c) structs — struct ordering is
+    * d asc then c asc, exactly the oracle's ORDER BY — keeps every
+    * distance subtree in the plan ONCE (a when-chain fold would duplicate
+    * both branches per step: 2^k expression blowup, which OOMs the
+    * analyzer at k=16 x 8 subspaces). */
+  private def subCode(vec: Column, cb: Array[Array[Double]], j: Int, dsub: Int): Column =
+    array_min(array(cb.zipWithIndex.map { case (cent, c) =>
+      struct(subSqDist(vec, cent, j, dsub).as("d"), lit(c.toLong).as("c"))
+    }: _*))("c")
+
+  /** PQ codes in long format: (idCol, sub, code), sub 0-based. One narrow
+    * scan; the posexplode multiplies OUTPUT rows by m, not the scan. */
+  def pqCodes(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, dsub: Int = 8, k: Int = 16): DataFrame = {
+    val cb = seeds(corpus, idCol, vecCol, k)
+    require(cb.nonEmpty, "pqCodes: empty corpus")
+    val v = asDouble(col(vecCol))
+    val codes = array((0 until m).map(j => subCode(v, cb, j, dsub)): _*)
+    corpus.select(col(idCol), posexplode(codes).as(Seq("sub", "code")))
+      .select(col(idCol), col("sub").cast(LongType).as("sub"), col("code"))
+  }
+
+  /** ADC top-k: approximate squared-L2 distance of every corpus row to
+    * the query row `queryId` = sum over subspaces of the precomputed
+    * (query sub-vector -> assigned centroid) distance. The distance table
+    * is m×k rows, broadcast; ranking follows the x44 convention (round to
+    * 6, then order by the ROUNDED distance with the id tiebreak, so both
+    * engines rank identical keys). The query row itself is excluded. */
+  def adcTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, topK: Int,
+      m: Int = 8, dsub: Int = 8, k: Int = 16): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cb = seeds(corpus, idCol, vecCol, k)
+    val qRows = corpus.filter(col(idCol) === queryId)
+      .select(asDouble(col(vecCol))).limit(1).collect()
+    require(qRows.nonEmpty, s"adcTopK: query id $queryId not in corpus")
+    val q = qRows(0).getSeq[Double](0).toArray
+    // m*k-entry distance table, same left-to-right fold as the encoder
+    val dtable = (0 until m).flatMap { j =>
+      (0 until k).map { c =>
+        var s = 0.0
+        var d = 0
+        while (d < dsub) {
+          val i = j * dsub + d
+          val x = (if (i < q.length) q(i) else 0.0) - cb(c)(i)
+          s += x * x
+          d += 1
+        }
+        (j.toLong, c.toLong, s)
+      }
+    }.toDF("sub", "code", "d")
+    pqCodes(corpus, idCol, vecCol, m, dsub, k)
+      .filter(col(idCol) =!= queryId)
+      .join(broadcast(dtable), Seq("sub", "code"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("d")), 6).as("adist"))
+      .orderBy(col("adist").asc, col(idCol).asc)
+      .limit(topK)
+  }
+}

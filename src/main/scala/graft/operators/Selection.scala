@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.functions.TextFunctions
+
+/** Data-selection operators for pretraining pipelines: DSIR-style hashed
+  * n-gram importance weights (Xie et al. 2023, "Data Selection for
+  * Language Models via Importance Resampling") and a hashed bag-of-words
+  * linear classifier (the fastText-style quality-filter shape used by
+  * GPT-3/LLaMA-era web curation: score every page by a tiny linear model
+  * over hashed token features).
+  *
+  * Both share one scale skeleton:
+  *  - features are TOKEN HASH BUCKETS (md5 mod B) — the model state is a
+  *    fixed B-sized table regardless of corpus vocabulary, so "training"
+  *    is one partial-agged groupBy(bucket) whose output is B rows, and
+  *    the learned table broadcasts back for scoring. No vocabulary-sized
+  *    shuffle anywhere, no driver state beyond O(B).
+  *  - scoring is one more corpus pass joining the exploded token stream
+  *    against the broadcast table and reducing per document.
+  *
+  * All hashing goes through md5 ([[TextFunctions.md5Long]]) so any engine
+  * can replay it; double accumulations follow the gate convention (final
+  * scores rounded to 6, learned per-bucket values rounded to 6 BEFORE
+  * scoring so both engines score with bit-identical parameters).
+  */
+object Selection {
+
+  /** Token stream (id, w) with its hash bucket. One explode, no shuffle. */
+  private def tokenBuckets(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .withColumn("b", pmod(TextFunctions.md5Long(col("w")), lit(buckets.toLong)))
+
+  /** DSIR importance log-weight per document: how much more likely the
+    * document's hashed-unigram bag is under the TARGET distribution
+    * (rows matching `target`) than under the RAW corpus distribution.
+    * log w(d) = sum over token occurrences of
+    *   ln p_target(bucket) - ln p_raw(bucket)
+    * with add-one smoothing over B buckets. Documents from the target
+    * slice score high; selecting top-weight raw documents tilts the
+    * corpus toward the target domain (the DSIR recipe).
+    *
+    * 100 TB shape: ONE corpus scan counts both distributions (a
+    * conditional aggregate per bucket — the target side is a filtered sum
+    * in the same groupBy), yielding a B-row table whose log-ratios
+    * broadcast back into the ONE scoring scan. The totals reduce the
+    * B-row frame, not the corpus. Returns (idCol, n_tok, dsir_logw)
+    * with dsir_logw rounded to 6.
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      target: Column, buckets: Int = 64): DataFrame = {
+    val toks = tokenBuckets(docs, idCol, textCol, buckets)
+    // counting pass carries the target flag alongside each occurrence
+    val flagged = docs.withColumn("__tgt", target)
+      .select(col(idCol).as("id"), col("__tgt"),
+        explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .withColumn("b", pmod(TextFunctions.md5Long(col("w")), lit(buckets.toLong)))
+    val counts = flagged.groupBy(col("b")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"))
+    val totals = counts.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+    val ratios = counts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((col("ct") + 1.0) / (col("tt") + buckets.toDouble))
+          - log((col("cr") + 1.0) / (col("tr") + buckets.toDouble))).as("lr"))
+    toks.join(broadcast(ratios), Seq("b"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("lr")).as("s"))
+      .select(col("id").as(idCol), col("n_tok"),
+        round(col("s"), 6).as("dsir_logw"))
+  }
+
+  /** Hashed bag-of-words logistic classifier: ONE full-batch gradient
+    * step from zero weights against `label` (1.0/0.0), then score every
+    * document with the learned weights. From w = 0 every prediction is
+    * sigma(0) = 0.5, so the exact batch gradient is
+    *   g_b    = (1/N) sum_docs (0.5 - y_d) * x_{d,b}
+    *   g_bias = (1/N) sum_docs (0.5 - y_d)
+    * with x_{d,b} = tf of bucket b in doc d / doc token count (length-
+    * normalized, so features are bounded regardless of document size).
+    * Weights w = -lr * g are rounded to 6 decimals before scoring (both
+    * engines then score with identical parameters); the returned
+    * probability p = sigma(w0 + sum_b w_b x_{d,b}) is rounded to 6.
+    *
+    * This is the distributed-training story in miniature: the gradient is
+    * a partial-agged groupBy(bucket) over the per-(doc,bucket) tf frame —
+    * map-side combine everywhere, B-row result, broadcast back. More
+    * steps = iterate the same two frames (each later step needs the
+    * current per-doc margin, still one corpus pass per step).
+    * Returns (idCol, label, p) ordered as given.
+    */
+  def bowLogisticScore(docs: DataFrame, idCol: String, textCol: String,
+      label: Column, buckets: Int = 64, learningRate: Double = 4.0): DataFrame = {
+    val base = docs.select(col(idCol).as("id"),
+        label.cast(DoubleType).as("y"),
+        TextFunctions.tokens(col(textCol)).as("ts"))
+      .filter(size(col("ts")) > 0)
+    // per-(doc, bucket) length-normalized term frequency — the feature frame
+    val tf = base
+      .select(col("id"), col("y"), size(col("ts")).cast(DoubleType).as("n"),
+        explode(col("ts")).as("w"))
+      .withColumn("b", pmod(TextFunctions.md5Long(col("w")), lit(buckets.toLong)))
+      .groupBy(col("id"), col("y"), col("n"), col("b"))
+      .agg(count(lit(1)).cast(DoubleType).as("tf"))
+      .withColumn("x", col("tf") / col("n"))
+    val nDocs = base.count().toDouble
+    // batch gradient at w=0: B-row aggregate + one scalar; rounded weights
+    val wtab = tf.groupBy(col("b"))
+      .agg(sum((lit(0.5) - col("y")) * col("x")).as("g"))
+      .select(col("b"), round(lit(-learningRate) * col("g") / nDocs, 6).as("wb"))
+    val bias = {
+      val g = base.agg(sum(lit(0.5) - col("y")).as("g")).head().getDouble(0)
+      BigDecimal(-learningRate * g / nDocs)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    tf.join(broadcast(wtab), Seq("b"))
+      .groupBy(col("id"), col("y"))
+      .agg(sum(col("wb") * col("x")).as("z"))
+      .select(col("id").as(idCol), col("y").as("label"),
+        round(lit(1.0) / (lit(1.0) + exp(-(col("z") + bias))), 6).as("p"))
+  }
+
+  /** Temperature-scaled source mixing weights (the multilingual/multi-
+    * source sampling rule: w_s proportional to n_s^(1/T), T > 1 upweights
+    * small sources). Output is one row per source with its document count
+    * and normalized sampling weight (rounded to 6) — the table a sampler
+    * ([[CorpusOps.mixToWeights]] / weighted interleave) consumes. One
+    * partial-agged groupBy(source); the normalization reduces the
+    * #sources-row frame only. */
+  def temperatureMixWeights(docs: DataFrame, sourceCol: String,
+      temperature: Double): DataFrame = {
+    require(temperature > 0.0, "temperature must be positive")
+    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_docs"))
+    val scaled = counts.withColumn("sw",
+      pow(col("n_docs").cast(DoubleType), lit(1.0 / temperature)))
+    val tot = scaled.agg(sum(col("sw")).as("tot"))
+    scaled.crossJoin(broadcast(tot))
+      .select(col(sourceCol), col("n_docs"),
+        round(col("sw") / col("tot"), 6).as("weight"))
+  }
+}

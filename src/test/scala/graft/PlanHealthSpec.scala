@@ -187,4 +187,38 @@ class PlanHealthSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"attribution join must stay an equi-keyed join with a range filter:\n$p")
   }
+
+  test("x49/x50: the learned B-row tables broadcast back — the token stream never sort-merges") {
+    for (name <- Seq("x49_dsir_weights", "x50_bow_classifier")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name must broadcast its bucket table, not shuffle the corpus for it:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$name sort-merges — the corpus-side token stream is being sorted:\n$p")
+    }
+  }
+
+  test("x51: PQ encoding is one narrow scan — no join, no exchange beyond the output sort") {
+    val p = plan("x51_pq_codes")
+    assert(!p.contains("Join"), s"PQ encoding must inline the codebook as literals:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"PQ encoding introduced shuffles beyond the oracle-order sort:\n$p")
+  }
+
+  test("x52: ADC scoring joins the broadcast distance table and reduces partially") {
+    val p = plan("x52_pq_search")
+    assert(p.contains("BroadcastHashJoin"), s"the m x k table must broadcast:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"ADC reduce must partial-aggregate map-side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-k must be TakeOrdered, not a full sort:\n$p")
+  }
+
+  test("x53: every PageRank iteration joins shuffle-hash and aggregates partially — no BNL, no cartesian") {
+    val p = plan("x53_pagerank")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"PageRank iteration fell off the equi-join plan:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"rank-onto-transition joins must stay pinned shuffle-hash:\n$p")
+  }
 }

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{GraphRank, Quantization, Selection}
+
+/** DSIR importance weights, the hashed-BoW logistic classifier,
+  * temperature mixing, TextRank, and product quantization — hand-computed
+  * closed-form values on tiny inputs. */
+class SelectionGraphPqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- DSIR ----
+
+  test("dsirWeights: disjoint vocabularies give the closed-form log-ratio") {
+    // target docs say only 'tok', raw-only docs say only 'row'; md5
+    // buckets of the two tokens differ (deterministic fixed strings)
+    val docs = Seq(
+      (1L, "tok tok", "en"), (2L, "tok", "en"),
+      (3L, "row row row", "de")
+    ).toDF("doc_id", "text", "lang")
+    val out = Selection.dsirWeights(docs, "doc_id", "text",
+      target = col("lang") === "en", buckets = 64)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 1L, 3L)) // n_tok
+    // corpus: tok x3 (all target), row x3 (none target); tr=6, tt=3
+    val lrTok = math.log((3 + 1.0) / (3 + 64.0)) - math.log((3 + 1.0) / (6 + 64.0))
+    val lrRow = math.log((0 + 1.0) / (3 + 64.0)) - math.log((3 + 1.0) / (6 + 64.0))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0).getDouble(2) == r6(2 * lrTok))
+    assert(out(1).getDouble(2) == r6(lrTok))
+    assert(out(2).getDouble(2) == r6(3 * lrRow))
+    // the target-typical doc outranks the raw-only doc
+    assert(out(0).getDouble(2) > out(2).getDouble(2))
+  }
+
+  // ---- hashed-BoW logistic classifier ----
+
+  test("bowLogisticScore: one-step weights separate disjoint classes (hand case)") {
+    // N=2; doc1 (y=1) is all 'aa', doc2 (y=0) all 'bb' -> x=1.0 in each
+    // doc's own bucket. g_a=(0.5-1)/2=-0.25 -> w_a=+1 at lr=4; g_b=+0.25
+    // -> w_b=-1; bias g=0 -> w0=0. p1=sigma(1), p2=sigma(-1).
+    val docs = Seq((1L, "aa aa", "en"), (2L, "bb bb", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = Selection.bowLogisticScore(docs, "doc_id", "text",
+      label = col("lang") === "en", buckets = 64, learningRate = 4.0)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getDouble(1)).toSeq == Seq(1.0, 0.0)) // labels
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0).getDouble(2) == r6(1.0 / (1.0 + math.exp(-1.0))))
+    assert(out(1).getDouble(2) == r6(1.0 / (1.0 + math.exp(1.0))))
+  }
+
+  test("bowLogisticScore: empty-text docs are excluded, mixed doc scores between the classes") {
+    val docs = Seq(
+      (1L, "aa aa aa aa", "en"), (2L, "bb bb bb bb", "de"),
+      (3L, "aa bb aa bb", "de"), (4L, "", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = Selection.bowLogisticScore(docs, "doc_id", "text",
+      label = col("lang") === "en").orderBy("doc_id").collect()
+    // "" splits to one empty token (size 1) — still scored; only truly
+    // tokenless frames would drop. Mixed doc sits strictly between.
+    val p = out.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(p(3L) < p(1L) && p(3L) > p(2L))
+  }
+
+  // ---- temperature mixing ----
+
+  test("temperatureMixWeights: T=2 takes square roots, weights normalize") {
+    val df = ((1 to 4).map(i => (i.toLong, "big")) :+ (5L, "small"))
+      .toDF("doc_id", "source")
+    val out = Selection.temperatureMixWeights(df, "source", temperature = 2.0)
+      .orderBy("source").collect()
+    // counts 4 and 1 -> sw 2 and 1 -> weights 2/3, 1/3
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq(("big", 4L, 0.666667), ("small", 1L, 0.333333)))
+  }
+
+  test("temperatureMixWeights: T=1 reduces to proportional mixing") {
+    val df = ((1 to 3).map(i => (i.toLong, "a")) :+ (4L, "b"))
+      .toDF("doc_id", "source")
+    val out = Selection.temperatureMixWeights(df, "source", temperature = 1.0)
+      .orderBy("source").collect()
+    assert(out.map(_.getDouble(2)).toSeq == Seq(0.75, 0.25))
+  }
+
+  // ---- PageRank / TextRank ----
+
+  test("pageRank: hand-computed two-node chain") {
+    // a -> b: teleport 0.075; pr(a) stays teleport-only, pr(b) converges
+    // to 0.075 + 0.85 * 0.075 = 0.13875 from iteration 2 on
+    val edges = Seq(("a", "b", 1L)).toDF("src", "dst", "wt")
+    val out = GraphRank.pageRank(edges, "src", "dst", "wt",
+      damping = 0.85, iters = 3).orderBy("node").collect()
+    assert(out.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("a", 0.075), ("b", 0.13875)))
+  }
+
+  test("textRank: hub token collects rank; mass stays bounded") {
+    // star: every doc is "x hub" -> edges x->hub from 3 distinct x
+    val docs = Seq((1L, "a hub"), (2L, "b hub"), (3L, "c hub"))
+      .toDF("doc_id", "text")
+    val out = GraphRank.textRank(docs, "doc_id", "text").collect()
+    val pr = out.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pr("hub") > pr("a") && pr("a") == pr("b") && pr("b") == pr("c"))
+    assert(pr.values.sum <= 1.0 + 1e-6)
+    assert(pr.values.forall(_ > 0.0))
+  }
+
+  test("textRank: single-token documents contribute no nodes") {
+    val docs = Seq((1L, "a b"), (2L, "solo")).toDF("doc_id", "text")
+    val nodes = GraphRank.textRank(docs, "doc_id", "text")
+      .collect().map(_.getString(0)).toSet
+    assert(nodes == Set("a", "b"))
+  }
+
+  // ---- product quantization ----
+
+  test("pqCodes: vectors identical to a seed get that seed's code; ties go low") {
+    // 4-dim vectors, m=2 subspaces of 2 dims, k=2 seeds (ids 0, 1)
+    val vecs = Seq(
+      (0L, Array(0f, 0f, 0f, 0f)), (1L, Array(1f, 1f, 1f, 1f)),
+      (2L, Array(1f, 1f, 0f, 0f)), (3L, Array(9f, 9f, 9f, 9f))
+    ).toDF("vec_id", "embedding")
+    val out = Quantization.pqCodes(vecs, "vec_id", "embedding",
+      m = 2, dsub = 2, k = 2)
+      .orderBy("vec_id", "sub").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 0L), (0L, 1L, 0L),  // equals seed 0
+      (1L, 0L, 1L), (1L, 1L, 1L),  // equals seed 1
+      (2L, 0L, 1L), (2L, 1L, 0L),  // split: first half near seed 1
+      (3L, 0L, 1L), (3L, 1L, 1L))) // far, but seed 1 is nearer
+  }
+
+  test("adcTopK: distances are the table sums; quantization collapses cells") {
+    val vecs = Seq(
+      (0L, Array(0f, 0f, 0f, 0f)), (1L, Array(1f, 1f, 1f, 1f)),
+      (2L, Array(1f, 1f, 1f, 1f)), (3L, Array(10f, 10f, 10f, 10f))
+    ).toDF("vec_id", "embedding")
+    val out = Quantization.adcTopK(vecs, "vec_id", "embedding",
+      queryId = 0L, topK = 3, m = 2, dsub = 2, k = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // every non-query vector codes to seed 1 in both subspaces -> ADC
+    // distance 2+2=4 for all three; ids break the tie
+    assert(out.toSeq == Seq((1L, 4.0), (2L, 4.0), (3L, 4.0)))
+  }
+
+  test("adcTopK on real embeddings: self-consistent with exact distance on codebook cells") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val out = Quantization.adcTopK(e, "vec_id", "embedding",
+      queryId = 0L, topK = 10)
+    assert(out.count() == 10)
+    val ds = out.collect().map(_.getDouble(1))
+    assert(ds.toSeq == ds.sorted.toSeq && ds.forall(_ >= 0.0))
+  }
+}
