@@ -44,37 +44,18 @@ object Quantization {
       .collect()
       .map(_.getSeq[Double](1).toArray)
 
-  /** Squared L2 between the sub-vector [j*dsub, (j+1)*dsub) of `vec` and
-    * the same slice of a literal centroid, folded left-to-right. Missing
-    * elements (vector shorter than the slice) count as 0 — the corpus
-    * contract is fixed-length vectors; the guard keeps a ragged row from
-    * killing the job under ANSI. */
-  private def subSqDist(vec: Column, cent: Array[Double], j: Int, dsub: Int): Column =
-    (0 until dsub).map { d =>
-      val x = coalesce(try_element_at(vec, lit(j * dsub + d + 1)), lit(0.0))
-      val diff = x - lit(cent(j * dsub + d))
-      diff * diff
-    }.reduce(_ + _)
-
-  /** Per-subspace code: argmin over the k centroids, ties to the lowest
-    * centroid index. array_min over (d, c) structs — struct ordering is
-    * d asc then c asc, exactly the oracle's ORDER BY — keeps every
-    * distance subtree in the plan ONCE (a when-chain fold would duplicate
-    * both branches per step: 2^k expression blowup, which OOMs the
-    * analyzer at k=16 x 8 subspaces). */
-  private def subCode(vec: Column, cb: Array[Array[Double]], j: Int, dsub: Int): Column =
-    array_min(array(cb.zipWithIndex.map { case (cent, c) =>
-      struct(subSqDist(vec, cent, j, dsub).as("d"), lit(c.toLong).as("c"))
-    }: _*))("c")
-
   /** PQ codes in long format: (idCol, sub, code), sub 0-based. One narrow
-    * scan; the posexplode multiplies OUTPUT rows by m, not the scan. */
+    * scan — the whole per-row encode (m argmins over k centroids) is the
+    * single codegen'd [[graft.functions.PqExpression]] loop; the
+    * posexplode multiplies OUTPUT rows by m, not the scan. (A declarative
+    * argmin tree at this geometry blows janino's 64 KB method limit and
+    * drops the stage to interpreted eval — see the expression's docs.) */
   def pqCodes(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int = 8, dsub: Int = 8, k: Int = 16): DataFrame = {
     val cb = seeds(corpus, idCol, vecCol, k)
     require(cb.nonEmpty, "pqCodes: empty corpus")
-    val v = asDouble(col(vecCol))
-    val codes = array((0 until m).map(j => subCode(v, cb, j, dsub)): _*)
+    val codes = graft.functions.PqExpression.codes(
+      corpus.sparkSession, asDouble(col(vecCol)), cb, m, dsub)
     corpus.select(col(idCol), posexplode(codes).as(Seq("sub", "code")))
       .select(col(idCol), col("sub").cast(LongType).as("sub"), col("code"))
   }
