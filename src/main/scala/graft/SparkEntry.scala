@@ -1047,6 +1047,38 @@ object SparkEntry {
       graft.operators.Selection.temperatureMixWeights(
         t(s, dir, "documents"), "source", temperature = 2.0)
         .orderBy(col("source"))
+    },
+
+    // ---- X: resample + gap fill + forward fill — hourly per-type event
+    //      series, every bucket in the observed range materialized, sums
+    //      carried forward over gaps. Corpus is touched ONCE (the
+    //      bucketed agg); the scaffold is a generated sequence ----
+    "x55_resample_gapfill" -> { (s, dir) =>
+      graft.operators.Temporal.resampleGapFill(
+        t(s, dir, "events"), "event_type", "ts", "value",
+        bucketSeconds = 3600L)
+        .orderBy(col("event_type"), col("bucket_start"))
+    },
+
+    // ---- X: PMI collocations over adjacent token pairs — the phrase
+    //      table for tokenizer audits / boilerplate phrase discovery.
+    //      One corpus explode; scoring joins are vocabulary-bounded ----
+    "x56_pmi_collocations" -> { (s, dir) =>
+      graft.operators.LanguageModel.pmiCollocations(
+        t(s, dir, "documents"), "doc_id", "text", minCount = 5L)
+        .orderBy(col("w1"), col("w2"))
+    },
+
+    // ---- X: fuzzy record linkage — every 100th customer probed against
+    //      the full corpus at edit distance <= 1. Probe side broadcast;
+    //      ONE narrow corpus scan (length band + thresholded DP), the
+    //      corpus is never shuffled ----
+    "x57_fuzzy_link" -> { (s, dir) =>
+      val cust = t(s, dir, "customer")
+      graft.operators.FuzzyJoin.linkProbes(
+        cust, cust.filter(col("c_custkey") % 100 === 0),
+        "c_custkey", "c_name", k = 1)
+        .orderBy(col("probe_c_custkey"), col("c_custkey"))
     }
   )
 
@@ -2043,7 +2075,64 @@ object SparkEntry {
              pow(CAST(n_docs AS DOUBLE), 1.0 / 2.0) AS sw FROM c),
          t AS (SELECT sum(sw) AS tot FROM s)
          SELECT source, n_docs, round(sw / t.tot, 6) AS weight
-         FROM s CROSS JOIN t ORDER BY source"""
+         FROM s CROSS JOIN t ORDER BY source""",
+
+    // hourly resample with gap + forward fill; exact integer bucket
+    // arithmetic (epoch_us floor-div), exact decimal sums, dvs output
+    "x55_resample_gapfill" ->
+      """WITH e AS (SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS b, value
+           FROM events),
+         obs AS (SELECT event_type, b, count(*) AS n,
+                   sum(CAST(value AS DECIMAL(18,6))) AS sv
+                 FROM e GROUP BY 1, 2),
+         rng AS (SELECT min(b) AS mn, max(b) AS mx FROM obs),
+         scaf AS (SELECT k.event_type, r.mn + t.i AS b
+                  FROM (SELECT DISTINCT event_type FROM obs) k
+                  CROSS JOIN rng r, UNNEST(range(0, r.mx - r.mn + 1)) t(i)),
+         j AS (SELECT s.event_type, s.b, coalesce(o.n, 0) AS n, o.sv
+               FROM scaf s LEFT JOIN obs o
+                 ON s.event_type = o.event_type AND s.b = o.b),
+         f AS (SELECT event_type, b, n, sv,
+                 last_value(sv IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+               FROM j)
+         SELECT event_type, make_timestamp(b * 3600000000) AS bucket_start,
+           n, CAST(CAST(sv AS VARCHAR) AS DOUBLE) AS sum_value,
+           CAST(CAST(fv AS VARCHAR) AS DOUBLE) AS filled_value
+         FROM f ORDER BY event_type, bucket_start""",
+
+    // PMI over adjacent token pairs; all-long counts, ONE double
+    // expression ordered identically on both sides, round(6)
+    "x56_pmi_collocations" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+         tl AS (SELECT ws FROM w WHERE len(ws) >= 2),
+         bi AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+                FROM tl, UNNEST(range(1, len(ws))) t(i)),
+         c2 AS (SELECT w1, w2, count(*) AS c_ab FROM bi GROUP BY 1, 2),
+         c1 AS (SELECT w, count(*) AS c_w
+                FROM (SELECT unnest(ws) AS w FROM tl) GROUP BY 1),
+         tot AS (SELECT (SELECT sum(c_ab) FROM c2) AS n_bi,
+                        (SELECT sum(c_w) FROM c1) AS n_tok)
+         SELECT c2.w1, c2.w2, c2.c_ab,
+           round(ln((CAST(c_ab AS DOUBLE) * CAST(n_tok AS DOUBLE)
+                      * CAST(n_tok AS DOUBLE))
+                  / (CAST(n_bi AS DOUBLE) * CAST(a.c_w AS DOUBLE)
+                      * CAST(b.c_w AS DOUBLE))), 6) AS pmi
+         FROM c2 JOIN c1 a ON c2.w1 = a.w JOIN c1 b ON c2.w2 = b.w
+         CROSS JOIN tot
+         WHERE c_ab >= 5 ORDER BY w1, w2""",
+
+    // fuzzy linkage: naive probe x corpus cross with full levenshtein
+    "x57_fuzzy_link" ->
+      """WITH p AS (SELECT c_custkey AS probe_c_custkey, c_name AS pn
+                    FROM customer WHERE c_custkey % 100 = 0)
+         SELECT p.probe_c_custkey, c.c_custkey,
+           CAST(levenshtein(p.pn, c.c_name) AS BIGINT) AS dist
+         FROM p JOIN customer c ON p.probe_c_custkey <> c.c_custkey
+         WHERE levenshtein(p.pn, c.c_name) <= 1
+         ORDER BY probe_c_custkey, c_custkey"""
   )
 
   /** The nightly-ingest oracle: every stage replayed from the naive rules

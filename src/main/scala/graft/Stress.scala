@@ -123,6 +123,32 @@ object Stress {
         // trend probes the bigram-key shuffle joins
         "bigram_nll" -> (() =>
           operators.LanguageModel.bigramNll(docs, "doc_id", "text").count()),
+        // corpus-sized bucketed agg, then everything on the reduced
+        // frame: replicas land in the SAME (type, bucket) cells, so the
+        // trend isolates the one corpus scan (reduced frame constant)
+        "resample_gapfill" -> (() =>
+          operators.Temporal.resampleGapFill(events, "event_type", "ts",
+            "value", bucketSeconds = 3600L).count()),
+        // vocabulary (and the pair table) grows linearly with the
+        // disjoint-vocab replicas — probes the pair-key agg + broadcast
+        // scoring joins under vocabulary growth
+        "pmi_collocations" -> (() =>
+          operators.LanguageModel.pmiCollocations(docs, "doc_id", "text",
+            minCount = 5L).count()),
+        // fixed probe set vs a growing corpus: the broadcast-probe scan
+        // must stay linear (per-row cost flat), matches constant
+        "fuzzy_link" -> (() => {
+          val cust = (0 until m).map { r =>
+            val c = Tables.load(spark, sfDir, "customer")
+            c.select((col("c_custkey") + lit(r.toLong * 10000000L)).as("c_custkey"),
+              (if (r == 0) col("c_name")
+               else concat(col("c_name"), lit(s"r$r"))).as("c_name"))
+          }.reduce(_ unionByName _)
+          operators.FuzzyJoin.linkProbes(cust,
+            cust.filter(col("c_custkey") % 100 === 0 &&
+              col("c_custkey") < 10000000L),
+            "c_custkey", "c_name", k = 1).count()
+        }),
         "kmeans_step" -> (() => {
           val embs = replicateEmbeddings(
             Tables.load(spark, sfDir, "embeddings"), m)

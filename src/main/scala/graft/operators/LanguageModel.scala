@@ -108,4 +108,59 @@ object LanguageModel {
         .when(col("nll") <= t2, lit("middle"))
         .otherwise(lit("tail")).as("band"))
   }
+
+  /** PMI collocation mining (Church & Hanks 1990): score every adjacent
+    * word pair by pointwise mutual information,
+    * `pmi = ln( (c_ab / N_bi) / ((c_a / N_tok) * (c_b / N_tok)) )` —
+    * high-PMI pairs are multiword units ("phrase table") used for
+    * tokenizer audits, boilerplate phrase discovery, and n-gram merging
+    * before dedup.
+    *
+    * 100 TB shape: ONE corpus explode feeds the positional bigram count
+    * table (partial-agged groupBy on the pair key); unigram counts and
+    * both totals derive from already-vocabulary-bounded frames — the
+    * corpus is never re-scanned. Scoring joins are on the vocabulary
+    * count tables only (broadcast: a pruned top-V vocabulary fits one
+    * executor by construction; see [[bigramNll]]'s `topV` note).
+    *
+    * All counts stay long; the single per-row double expression is
+    * ordered identically to the DuckDB replay, rounded to 6 decimals.
+    * Output: (w1, w2, c_ab long, pmi double), filtered to
+    * `c_ab >= minCount`.
+    */
+  def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 5L): DataFrame = {
+    val spark = docs.sparkSession
+    val toks = docs.select(col(idCol).as("id"),
+      TextFunctions.tokens(col(textCol)).as("ts"))
+      .filter(size(col("ts")) >= 2)
+    val bi = bigrams(toks)
+    // both count tables are consumed twice (scoring joins + totals);
+    // persist the REDUCED frames so each corpus explode runs exactly once
+    // — deterministic release after the consumer's first action
+    val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // unigram counts over ALL token positions (not just bigram lefts):
+    // derived from one explode of the same token frame
+    val c1 = toks.select(explode(col("ts")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val totals = c2.agg(sum(col("c_ab")).as("n_bi"))
+      .crossJoin(c1.agg(sum(col("c_w")).as("n_tok")))
+    graft.plans.Persists.onNextAction(spark)(() => {
+      c2.unpersist(); c1.unpersist(); ()
+    })
+    c2.filter(col("c_ab") >= minCount)
+      .join(broadcast(c1.withColumnRenamed("w", "w1")
+        .withColumnRenamed("c_w", "c_a")), Seq("w1"))
+      .join(broadcast(c1.withColumnRenamed("w", "w2")
+        .withColumnRenamed("c_w", "c_b")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round(log(
+          (col("c_ab").cast("double") * col("n_tok").cast("double") *
+            col("n_tok").cast("double")) /
+          (col("n_bi").cast("double") * col("c_a").cast("double") *
+            col("c_b").cast("double"))), 6).as("pmi"))
+  }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StringType}
 
 /** Temporal joins. Spark has no ASOF JOIN operator; per the custom-operator
   * preference order, this composes built-ins instead of adding a planner
@@ -82,5 +83,59 @@ object Temporal {
     df.withColumn("__is_new", isNew)
       .withColumn(as, sum(col("__is_new")).over(run))
       .drop("__is_new")
+  }
+
+  /** Time-series resample with gap fill and forward fill: bucket events
+    * into fixed `bucketSeconds` windows per key, then materialize EVERY
+    * bucket in the observed global range for every key — absent buckets
+    * get n=0 / null sum — and carry the last observed sum forward
+    * (`filled_value`). The resample-then-gap-fill shape every monitoring
+    * and training-telemetry pipeline needs before charting, anomaly
+    * scoring, or windowed models: downstream ops can assume a dense,
+    * aligned per-key series.
+    *
+    * Scale shape:
+    *  - The only corpus-sized operation is the first partial-agged
+    *    groupBy(key, bucket); everything after runs on the REDUCED frame
+    *    (|keys| x |buckets| rows).
+    *  - The scaffold is generated, not stored: distinct keys cross-joined
+    *    with a 1-row global [min,max] bucket frame, then one
+    *    `sequence(...)` explode — a narrow Generate, no driver collect
+    *    (the range never materializes on the driver).
+    *  - Gap fill is a left join equi-keyed on (key, bucket); forward
+    *    fill is a keyed running `last(ignoreNulls)` window — one shuffle
+    *    each, both on the reduced frame.
+    *  - Bucket arithmetic is exact integer micros (`unix_micros` +
+    *    IntegralDivide `div`; DuckDB `epoch_us(...) // ...`) — no
+    *    double rounding at bucket edges.
+    *
+    * Sums are exact DecimalType(18,6) internally; output re-types them
+    * double-via-string per the engine's exactness convention. Output:
+    * (key, bucket_start timestamp, n long, sum_value, filled_value).
+    */
+  def resampleGapFill(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, bucketSeconds: Long): DataFrame = {
+    val step = bucketSeconds * 1000000L
+    val bucketed = df.select(col(keyCol), col(valueCol),
+      expr(s"unix_micros(`$tsCol`) div ${step}L").as("__b"))
+    val obs = bucketed.groupBy(col(keyCol), col("__b"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .as("__sv"))
+    // generated scaffold: |keys| x [min..max] buckets, no driver collect
+    val range = obs.agg(min(col("__b")).as("__mn"), max(col("__b")).as("__mx"))
+    val scaffold = obs.select(col(keyCol)).distinct()
+      .crossJoin(range)
+      .select(col(keyCol),
+        explode(sequence(col("__mn"), col("__mx"))).as("__b"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scaffold.join(obs, Seq(keyCol, "__b"), "left")
+      .withColumn("__ff", last(col("__sv"), ignoreNulls = true).over(w))
+      .select(col(keyCol),
+        timestamp_micros(col("__b") * step).as("bucket_start"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        col("__sv").cast(StringType).cast(DoubleType).as("sum_value"),
+        col("__ff").cast(StringType).cast(DoubleType).as("filled_value"))
   }
 }

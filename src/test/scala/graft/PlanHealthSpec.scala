@@ -221,4 +221,37 @@ class PlanHealthSpec extends SparkSpec {
     assert(p.contains("ShuffledHashJoin"),
       s"rank-onto-transition joins must stay pinned shuffle-hash:\n$p")
   }
+
+  test("x55: resample aggregates partially; the fill window is keyed; gap join is equi-keyed") {
+    val p = plan("x55_resample_gapfill")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"bucketed agg must partial-aggregate map-side:\n$p")
+    assert(!p.contains("windowspecdefinition()"),
+      s"forward-fill window lost its partition key (global single-task window):\n$p")
+    // the scaffold-to-observation gap join carries both equi keys
+    assert(!p.contains("CartesianProduct"),
+      s"gap-fill join fell off the (key, bucket) equi-join:\n$p")
+  }
+
+  test("x56: PMI scoring joins broadcast the vocabulary tables — the pair table never sort-merges") {
+    val p = plan("x56_pmi_collocations")
+    assert(p.contains("BroadcastHashJoin"),
+      s"unigram count tables must broadcast onto the pair table:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"x56 sort-merges — a vocabulary join is shuffling the pair table:\n$p")
+    // the twice-consumed count tables are persisted: each corpus explode
+    // EXECUTES once — every further use is a cached-relation scan (the
+    // rendered plan repeats the cached subtree, so count scans, not
+    // Generate nodes)
+    assert(p.contains("InMemoryTableScan"),
+      s"x56 count tables lost their persist — the corpus re-explodes per join:\n$p")
+  }
+
+  test("x57: fuzzy link broadcasts the probe side and never shuffles the corpus") {
+    val p = plan("x57_fuzzy_link")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"probe set must broadcast (non-equi length-band predicate):\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the corpus must reach the probe join unshuffled:\n$p")
+  }
 }

@@ -136,4 +136,33 @@ class RetrievalLmSpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toList).toMap
     assert(fit(0) == List(1.5, 0.5) && fit(1) == List(0.0, 3.0))
   }
+
+  // ---- PMI collocations ----
+
+  test("pmiCollocations: hand-computed PMI, minCount prunes, unigrams count all positions") {
+    // one doc "x y x y x y": bigrams (x,y)x3 (y,x)x2 -> N_bi=5;
+    // unigrams c_x=3 c_y=3, N_tok=6 (ALL positions, incl. the last token
+    // that never starts a bigram)
+    val docs = Seq((1L, "x y x y x y")).toDF("doc_id", "text")
+    val out = LanguageModel.pmiCollocations(docs, "doc_id", "text", minCount = 3L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // (y,x) has c_ab=2 < 3 -> pruned
+    assert(out.keySet == Set(("x", "y")))
+    val expected = BigDecimal(math.log((3.0 * 6 * 6) / (5.0 * 3 * 3)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(("x", "y")) == ((3L, expected)))
+  }
+
+  test("pmiCollocations: single-token docs contribute nothing") {
+    val docs = Seq((1L, "a b"), (2L, "a"), (3L, "b")).toDF("doc_id", "text")
+    val out = LanguageModel.pmiCollocations(docs, "doc_id", "text", minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    // docs 2,3 are <2 tokens: excluded from bigrams AND unigram totals,
+    // so c_a=c_b=1, N_tok=2, N_bi=1 -> pmi = ln(1*2*2/(1*1*1)) = ln 4
+    assert(out.keySet == Set(("a", "b")))
+    val expected = BigDecimal(math.log(4.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(("a", "b")) == expected)
+  }
 }

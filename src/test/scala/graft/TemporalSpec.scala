@@ -73,4 +73,33 @@ class TemporalSpec extends SparkSpec {
       .select("event_id", "session_id").as[(Long, Long)].collect().toSet
     assert(out == Set((1L, 1L), (2L, 1L)))
   }
+
+  test("resampleGapFill: dense scaffold, zero-filled gaps, forward fill") {
+    // key a: observations in hour buckets 0 and 2 (gap at 1);
+    // key b: only hour 1 — its hours 0 and 2 come from the GLOBAL range
+    val df = Seq(
+      ("a", ts("1970-01-01 00:10:00"), 1.5),
+      ("a", ts("1970-01-01 00:20:00"), 2.5),
+      ("a", ts("1970-01-01 02:59:00"), 10.0),
+      ("b", ts("1970-01-01 01:00:00"), 7.0)
+    ).toDF("k", "ts", "v")
+    val out = Temporal.resampleGapFill(df, "k", "ts", "v", bucketSeconds = 3600L)
+      .select(col("k"), hour(col("bucket_start")).as("h"), col("n"),
+        col("sum_value"), col("filled_value"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2),
+         if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+         if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    // every (key, hour 0..2) pair materialized: 6 rows
+    assert(out.size == 6)
+    assert(out(("a", 0)) == ((2L, Some(4.0), Some(4.0))))
+    // gap bucket: n=0, null sum, forward-filled from hour 0
+    assert(out(("a", 1)) == ((0L, None, Some(4.0))))
+    assert(out(("a", 2)) == ((1L, Some(10.0), Some(10.0))))
+    // before b's first observation: nothing to carry -> null fill
+    assert(out(("b", 0)) == ((0L, None, None)))
+    assert(out(("b", 1)) == ((1L, Some(7.0), Some(7.0))))
+    assert(out(("b", 2)) == ((0L, None, Some(7.0))))
+  }
 }
