@@ -1079,6 +1079,27 @@ object SparkEntry {
         cust, cust.filter(col("c_custkey") % 100 === 0),
         "c_custkey", "c_name", k = 1)
         .orderBy(col("probe_c_custkey"), col("c_custkey"))
+    },
+
+    // ---- X: Efraimidis-Spirakis weighted sample without replacement,
+    //      50 per source, weight = token count — deterministic md5
+    //      uniforms, ONE narrow scan + a keyed top-k window ----
+    "x58_weighted_sample" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      graft.operators.Selection.weightedSample(
+        d, "source", "doc_id",
+        weight = size(split(col("text"), " ")).cast(DoubleType), k = 50)
+        .orderBy(col("source"), col("doc_id"))
+    },
+
+    // ---- X: sliding-window chunking, 64-token windows every 48 tokens
+    //      (16 overlap) — one narrow Generate per doc, exact long
+    //      arithmetic, no shuffle/join ----
+    "x59_chunk_overlap" -> { (s, dir) =>
+      graft.operators.CorpusOps.chunkDocuments(
+        t(s, dir, "documents"), "doc_id", "text",
+        window = 64, stride = 48)
+        .orderBy(col("doc_id"), col("chunk_id"))
     }
   )
 
@@ -2132,7 +2153,38 @@ object SparkEntry {
            CAST(levenshtein(p.pn, c.c_name) AS BIGINT) AS dist
          FROM p JOIN customer c ON p.probe_c_custkey <> c.c_custkey
          WHERE levenshtein(p.pn, c.c_name) <= 1
-         ORDER BY probe_c_custkey, c_custkey"""
+         ORDER BY probe_c_custkey, c_custkey""",
+
+    // E-S weighted sample: md5-derived exact-ratio uniforms, one ln
+    // rounded to 6, bigint row_number — same race replayed naively
+    "x58_weighted_sample" ->
+      """WITH b AS (SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS w,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                % 1000000 + 1) / 1000001.0 AS u
+           FROM documents),
+         k AS (SELECT source, doc_id, w, round(-ln(u) / w, 6) AS e FROM b),
+         r AS (SELECT *, CAST(row_number() OVER (
+                 PARTITION BY source ORDER BY e ASC, doc_id ASC) AS BIGINT)
+                 AS rank FROM k)
+         SELECT source, doc_id, w, e, rank FROM r
+         WHERE rank <= 50 ORDER BY source, doc_id""",
+
+    // sliding-window chunking: all-integer starts/slices, list_slice
+    // clamps exactly like Spark's slice
+    "x59_chunk_overlap" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         c AS (SELECT doc_id, ws,
+             CASE WHEN len(ws) <= 64 THEN 1
+                  ELSE (len(ws) - 64 + 47) // 48 + 1 END AS nc FROM d),
+         e AS (SELECT doc_id, ws, t.i AS chunk_id
+               FROM c, UNNEST(range(0, nc)) t(i))
+         SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(ws[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS BIGINT)
+             AS n_tokens,
+           array_to_string(ws[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')
+             AS chunk_text
+         FROM e ORDER BY doc_id, chunk_id"""
   )
 
   /** The nightly-ingest oracle: every stage replayed from the naive rules

@@ -226,6 +226,39 @@ object CorpusOps {
       s"tokensCol must be numeric, got ${other.getClass.getName}")
   }
 
+  /** Sliding-window document chunking: split each document's token stream
+    * into `window`-token chunks every `stride` tokens (overlap =
+    * window - stride), the context-window preparation step for training
+    * and RAG indexing ([[packSequences]] packs WHOLE short docs; this
+    * splits LONG docs). Chunk starts are 0, stride, 2*stride, ... and the
+    * last chunk is the (possibly shorter) remainder; a document of
+    * <= `window` tokens yields exactly one chunk of itself.
+    *
+    * 100 TB shape: ONE narrow Generate per document — the chunk count and
+    * every slice come from per-row integer arithmetic (exact long floor
+    * division, no doubles) over the already-split token array; no
+    * shuffle, no join, and chunk rows inherit the input's partitioning.
+    * Output: (id, chunk_id long, n_tokens long, chunk_text).
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      "need 1 <= stride <= window")
+    val ts = TextFunctions.tokens(col(textCol))
+    val n = size(ts).cast(LongType)
+    // ceil((n - window) / stride) + 1 in exact long math, min 1
+    val nChunks = when(n <= window, lit(1L)).otherwise(
+      call_function("div", n - window + (stride - 1), lit(stride.toLong)) + 1L)
+    docs.select(col(idCol), ts.as("__ts"),
+        posexplode(sequence(lit(0L), nChunks - 1L)).as(Seq("chunk_id", "__i")))
+      .select(col(idCol), col("chunk_id").cast(LongType).as("chunk_id"),
+        slice(col("__ts"), (col("__i") * stride + 1L).cast("int"), lit(window))
+          .as("__chunk"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("__chunk")).cast(LongType).as("n_tokens"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing at least
     * `minOverlap` word n-gram shingles with any benchmark document (the
     * standard eval-leakage check run before training). Returns

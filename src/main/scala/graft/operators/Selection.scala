@@ -143,4 +143,37 @@ object Selection {
       .select(col(sourceCol), col("n_docs"),
         round(col("sw") / col("tot"), 6).as("weight"))
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement, k per group
+    * (Efraimidis & Spirakis 2006, exponential-race form): each row draws
+    * a reproducible uniform u from md5(id) and gets race key
+    * `e = -ln(u) / w` — the k smallest e per group are exactly an
+    * E-S weighted sample without replacement (selection probability
+    * proportional to w at every step). The workhorse for weighted
+    * source mixing when [[temperatureMixWeights]] supplies target
+    * proportions and the corpus must be SUBSAMPLED to them, with
+    * lineage-stable membership across reruns (no RNG state).
+    *
+    * 100 TB shape: one narrow scan computes (group, id, e); per-group
+    * top-k is a keyed window — the same presalted-window upgrade as the
+    * quota sampler applies verbatim if a single group is corpus-sized.
+    * Exactness: u = (md5_60bit(id) mod 1e6 + 1) / 1000001 — a ratio of
+    * exact integers, bit-identical on any IEEE engine; the single `ln`
+    * is rounded to 6 with id tie-break, per the engine's transcendental
+    * convention. Output: (group, id, w, e double, rank long).
+    */
+  def weightedSample(df: DataFrame, groupCol: String, idCol: String,
+      weight: Column, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val u = (pmod(TextFunctions.md5Long(col(idCol)), lit(1000000L)) + 1)
+      .cast(DoubleType) / lit(1000001.0)
+    val e = round(-log(u) / weight.cast(DoubleType), 6)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("e").asc, col(idCol).asc)
+    df.select(col(groupCol), col(idCol),
+        weight.cast(DoubleType).as("w"), e.as("e"))
+      .withColumn("rank",
+        row_number().over(win).cast(org.apache.spark.sql.types.LongType))
+      .filter(col("rank") <= k)
+  }
 }

@@ -278,4 +278,35 @@ class CorpusOpsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       CorpusOps.scrubBoilerplate(docs, "id", "text", num = 2, den = 2))
   }
+
+  test("chunkDocuments: overlap, short remainder, and exact-window edges") {
+    val d = Seq(
+      (1L, "a b c d e"),      // n=5, w=3, s=2 -> [a b c][c d e]
+      (2L, "a b c d e f"),    // n=6 -> [a b c][c d e][e f]
+      (3L, "a b"),            // n<w -> one chunk of itself
+      (4L, "a b c")           // n==w -> exactly one chunk
+    ).toDF("id", "text")
+    val out = CorpusOps.chunkDocuments(d, "id", "text", window = 3, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getString(3))).toMap
+    assert(out == Map(
+      (1L, 0L) -> ((3L, "a b c")), (1L, 1L) -> ((3L, "c d e")),
+      (2L, 0L) -> ((3L, "a b c")), (2L, 1L) -> ((3L, "c d e")),
+      (2L, 2L) -> ((2L, "e f")),
+      (3L, 0L) -> ((2L, "a b")),
+      (4L, 0L) -> ((3L, "a b c"))))
+  }
+
+  test("chunkDocuments: chunking is one narrow Generate — no shuffle, no join") {
+    val d = Seq((1L, "a b c d e")).toDF("id", "text")
+    val plan = CorpusOps.chunkDocuments(d, "id", "text", 3, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"chunking must stay narrow:\n$plan")
+  }
+
+  test("chunkDocuments rejects stride > window") {
+    assertThrows[IllegalArgumentException](
+      CorpusOps.chunkDocuments(docs, "id", "text", window = 3, stride = 4))
+  }
 }

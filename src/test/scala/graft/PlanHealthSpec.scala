@@ -51,7 +51,8 @@ class PlanHealthSpec extends SparkSpec {
 
   test("windows in gated queries are partitioned or eliminated (no global single-task window)") {
     for (name <- Seq("b3_sort_by", "r4_renumber", "q2_topk_orders", "r3_explode",
-        "x27_lead_lag", "x29_topk_per_group", "x40_sessionize")) {
+        "x27_lead_lag", "x29_topk_per_group", "x40_sessionize",
+        "x58_weighted_sample")) {
       val p = plan(name)
       assert(!p.contains("Window [") ||
         !p.contains("windowspecdefinition()"), s"$name has an unpartitioned window")

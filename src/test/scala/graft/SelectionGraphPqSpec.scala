@@ -155,4 +155,48 @@ class SelectionGraphPqSpec extends SparkSpec {
     val ds = out.collect().map(_.getDouble(1))
     assert(ds.toSeq == ds.sorted.toSeq && ds.forall(_ >= 0.0))
   }
+
+  // ---- weighted sampling without replacement ----
+
+  test("weightedSample: race keys match a JVM replay of the md5 formula") {
+    val docs = Seq((1L, "g", 2.0), (7L, "g", 5.0), (13L, "g", 1.0),
+      (2L, "h", 3.0), (8L, "h", 3.0)).toDF("id", "grp", "wt")
+    val out = Selection.weightedSample(docs, "grp", "id", col("wt"), k = 10)
+      .collect().map(r => r.getLong(1) -> (r.getDouble(2), r.getDouble(3))).toMap
+
+    def expectedKey(id: Long, w: Double): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      val u = (java.lang.Long.parseLong(hex, 16) % 1000000L + 1) / 1000001.0
+      BigDecimal(-math.log(u) / w)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    for ((id, w) <- Seq((1L, 2.0), (7L, 5.0), (13L, 1.0), (2L, 3.0), (8L, 3.0)))
+      assert(out(id) == ((w, expectedKey(id, w))), s"id=$id")
+  }
+
+  test("weightedSample: k bounds each group; ranks are 1..k; deterministic") {
+    val docs = (1L to 40L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
+      .toDF("id", "grp")
+    val run1 = Selection.weightedSample(docs, "grp", "id", lit(1.0), k = 5)
+    val got = run1.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4)))
+    assert(got.length == 10)
+    assert(got.groupBy(_._1).forall { case (_, rs) =>
+      rs.map(_._3).sorted.toSeq == (1L to 5L) })
+    val run2 = Selection.weightedSample(docs, "grp", "id", lit(1.0), k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4)))
+    assert(got.toSet == run2.toSet)
+  }
+
+  test("weightedSample: higher weight wins the race under equal uniforms") {
+    // same id string -> same uniform is impossible (ids are the hash key),
+    // so probe monotonicity directly: for one id, raising w lowers e
+    val one = Seq((5L, "g")).toDF("id", "grp")
+    val e1 = Selection.weightedSample(one, "grp", "id", lit(1.0), 1)
+      .head().getDouble(3)
+    val e4 = Selection.weightedSample(one, "grp", "id", lit(4.0), 1)
+      .head().getDouble(3)
+    assert(e4 < e1)
+  }
 }
