@@ -1100,6 +1100,24 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text",
         window = 64, stride = 48)
         .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
+    // ---- X: strict-order funnel view -> click -> purchase — one
+    //      collect_list shuffle + a per-user array fold, no per-step
+    //      join chain ----
+    "x60_funnel" -> { (s, dir) =>
+      graft.operators.EventAnalytics.funnel(
+        t(s, dir, "events"), "user_id", "event_type", "ts",
+        steps = Seq("view", "click", "purchase"))
+        .orderBy(col("user_id"))
+    },
+
+    // ---- X: weekly retention cohorts — ONE corpus shuffle carrying
+    //      min(bucket) + collect_set(bucket) per user, no Expand ----
+    "x61_retention" -> { (s, dir) =>
+      graft.operators.EventAnalytics.retentionCohorts(
+        t(s, dir, "events"), "user_id", "ts")
+        .orderBy(col("cohort_bucket"), col("bucket_offset"))
     }
   )
 
@@ -2184,7 +2202,43 @@ object SparkEntry {
              AS n_tokens,
            array_to_string(ws[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')
              AS chunk_text
-         FROM e ORDER BY doc_id, chunk_id"""
+         FROM e ORDER BY doc_id, chunk_id""",
+
+    // funnel: the greedy earliest walk == the per-step min-chain (taking
+    // the earliest valid occurrence of each step only loosens every later
+    // constraint); strictly-after semantics on each hop
+    "x60_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         s1 AS (SELECT user_id, min(us) AS t1 FROM e
+                WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id)
+                WHERE event_type = 'click' AND us > t1 GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN s2 USING (user_id)
+                WHERE event_type = 'purchase' AND us > t2 GROUP BY 1),
+         base AS (SELECT DISTINCT user_id FROM e
+                  WHERE event_type IN ('view', 'click', 'purchase'))
+         SELECT b.user_id,
+           CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+                     WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS steps_completed,
+           t1 AS first_us, coalesce(t3, t2, t1) AS last_us
+         FROM base b LEFT JOIN s1 USING (user_id)
+           LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+         ORDER BY user_id""",
+
+    // retention cohorts: exact integer week buckets of epoch micros;
+    // DISTINCT (user, bucket) then count == the collect_set explode
+    "x61_retention" ->
+      """WITH e AS (SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS bk
+           FROM events),
+         f AS (SELECT user_id, min(bk) AS cohort_bucket FROM e GROUP BY 1),
+         a AS (SELECT DISTINCT user_id, bk FROM e)
+         SELECT f.cohort_bucket, a.bk - f.cohort_bucket AS bucket_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+         FROM a JOIN f USING (user_id) GROUP BY 1, 2
+         ORDER BY cohort_bucket, bucket_offset"""
   )
 
   /** The nightly-ingest oracle: every stage replayed from the naive rules

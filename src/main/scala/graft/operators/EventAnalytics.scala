@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Event-sequence analytics: ordered-funnel completion and retention
+  * cohorts over an event log. Complements [[Temporal.sessionize]] (gap
+  * sessions), per-key lead/lag (x27), and the streaming attribution join
+  * (st4): funnels ask "how deep into an ordered step sequence did each
+  * user get", cohorts ask "of the users first seen in bucket B, how many
+  * were active k buckets later" — the two staple product/trace-analysis
+  * queries neither of those shapes answers.
+  */
+object EventAnalytics {
+
+  /** Strict-order funnel: for each user, the greedy earliest walk through
+    * `steps` — step 1 at its minimum timestamp t1, step i+1 at the minimum
+    * timestamp strictly after step i's — and how deep it got. Greedy
+    * earliest is optimal for an unbounded-horizon funnel: taking the
+    * earliest valid occurrence of each step only loosens the constraint
+    * on every later step, so no other walk reaches deeper.
+    *
+    * 100 TB shape: ONE shuffle — events are filtered to the step types in
+    * a narrow scan (non-step rows never move), then a single partial-agged
+    * `collect_list` per user; the walk itself is a per-row array fold
+    * (`aggregate`) over each user's own sorted events, state O(1),
+    * per-user cost O(own events). No per-step join chain (k steps would be
+    * k corpus shuffles) and no cross-user window.
+    *
+    * Users with at least one event of ANY step type appear in the output;
+    * a user who never fired step 1 reports steps_completed = 0 with null
+    * timestamps. Ties: an event at exactly the previous step's timestamp
+    * does NOT advance the walk (strictly-after semantics, the common
+    * funnel definition). Output: (user, steps_completed long,
+    * first_us long, last_us long) — exact integer microseconds.
+    */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      "steps must be non-empty and distinct")
+    // (ts, 1-based step index); sort_array orders by (ts, idx) so a
+    // same-instant earlier step sorts before a later one
+    val ev = struct(unix_micros(col(tsCol)).as("ts"),
+      array_position(typedLit(steps), col(typeCol)).as("idx"))
+    val init = struct(lit(0L).as("depth"),
+      lit(null).cast(LongType).as("first_us"),
+      lit(null).cast(LongType).as("last_us"))
+    val walk = (acc: Column, e: Column) => {
+      val take = e("idx") === acc("depth") + 1L &&
+        (acc("depth") === 0L || e("ts") > acc("last_us"))
+      when(take, struct((acc("depth") + 1L).as("depth"),
+        when(acc("depth") === 0L, e("ts")).otherwise(acc("first_us"))
+          .as("first_us"),
+        e("ts").as("last_us")))
+        .otherwise(acc)
+    }
+    events.select(col(userCol), ev.as("__e"))
+      .filter(col("__e")("idx") > 0L)
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(col("__e"))).as("__evs"))
+      .select(col(userCol), aggregate(col("__evs"), init, walk).as("__f"))
+      .select(col(userCol), col("__f")("depth").as("steps_completed"),
+        col("__f")("first_us").as("first_us"),
+        col("__f")("last_us").as("last_us"))
+  }
+
+  /** Retention cohorts: bucket time into `bucketSeconds`-wide windows
+    * (exact integer micros via IntegralDivide — no double rounding at
+    * bucket edges; DuckDB `epoch_us(...) // ...`), cohort each user by
+    * the bucket of their first event, and count distinct active users per
+    * (cohort bucket, bucket offset). Offset 0 is the cohort size itself.
+    *
+    * 100 TB shape: ONE corpus shuffle — a single partial-agged
+    * groupBy(user) carries both min(bucket) and collect_set(bucket)
+    * (per-user set bounded by the number of buckets, not events; map-side
+    * merge dedups before the shuffle). The explode and final agg run on
+    * the user-bounded frame, output is cohorts x offsets rows. The naive
+    * shape (first-seen agg + corpus self-join + COUNT(DISTINCT)) is two
+    * corpus shuffles plus an Expand; this is one, with no Expand.
+    * Output: (cohort_bucket long, bucket_offset long, n_users long).
+    */
+  def retentionCohorts(events: DataFrame, userCol: String, tsCol: String,
+      bucketSeconds: Long = 604800L): DataFrame = {
+    require(bucketSeconds >= 1L, "bucketSeconds must be >= 1")
+    val bk = call_function("div", unix_micros(col(tsCol)),
+      lit(bucketSeconds * 1000000L))
+    events.select(col(userCol).as("__u"), bk.as("__bk"))
+      .groupBy(col("__u"))
+      .agg(min(col("__bk")).as("cohort_bucket"),
+        collect_set(col("__bk")).as("__bks"))
+      .select(col("cohort_bucket"), explode(col("__bks")).as("__bk"))
+      .groupBy(col("cohort_bucket"),
+        (col("__bk") - col("cohort_bucket")).as("bucket_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

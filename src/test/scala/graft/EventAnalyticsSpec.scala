@@ -1,0 +1,122 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.EventAnalytics
+
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def us(s: String) = ts(s).getTime * 1000L
+
+  private val steps = Seq("view", "click", "buy")
+
+  test("funnel: greedy earliest walk, strict ordering, depth per user") {
+    val ev = Seq(
+      // u1 completes in order, with noise events interleaved
+      (1L, "view",  ts("2024-01-01 10:00:00")),
+      (1L, "error", ts("2024-01-01 10:01:00")),
+      (1L, "click", ts("2024-01-01 10:02:00")),
+      (1L, "view",  ts("2024-01-01 10:03:00")), // dup step ignored
+      (1L, "buy",   ts("2024-01-01 10:04:00")),
+      // u2: click BEFORE its first view -> that click can't count
+      (2L, "click", ts("2024-01-01 09:00:00")),
+      (2L, "view",  ts("2024-01-01 10:00:00")),
+      // u3: only non-step-1 events -> depth 0, null timestamps
+      (3L, "click", ts("2024-01-01 10:00:00")),
+      (3L, "buy",   ts("2024-01-01 10:01:00"))
+    ).toDF("user_id", "event_type", "ts")
+
+    val out = EventAnalytics.funnel(ev, "user_id", "event_type", "ts", steps)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+
+    assert(out(1L) == ((3L, us("2024-01-01 10:00:00"), us("2024-01-01 10:04:00"))))
+    assert(out(2L) == ((1L, us("2024-01-01 10:00:00"), us("2024-01-01 10:00:00"))))
+    assert(out(3L) == ((0L, -1L, -1L)))
+    // u3's noise-only sibling: a user with NO step-type events is absent
+    assert(!out.contains(4L))
+  }
+
+  test("funnel: same-instant next step does NOT advance (strictly after)") {
+    val ev = Seq(
+      (1L, "view",  ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:00:00")), // equal ts -> rejected
+      (1L, "click", ts("2024-01-01 10:00:01")), // first strictly-after click
+      (2L, "view",  ts("2024-01-01 10:00:00")),
+      (2L, "click", ts("2024-01-01 10:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val out = EventAnalytics.funnel(ev, "user_id", "event_type", "ts", steps)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(out(1L) == ((2L, us("2024-01-01 10:00:01"))))
+    assert(out(2L) == ((1L, us("2024-01-01 10:00:00"))))
+  }
+
+  test("funnel: greedy earliest start never loses depth vs a later start") {
+    // view@10:00 then buy@10:01, click@10:02, buy@10:03: greedy takes the
+    // 10:00 view, skips the too-early buy, then click, then the later buy
+    val ev = Seq(
+      (1L, "view",  ts("2024-01-01 10:00:00")),
+      (1L, "buy",   ts("2024-01-01 10:01:00")),
+      (1L, "click", ts("2024-01-01 10:02:00")),
+      (1L, "buy",   ts("2024-01-01 10:03:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val r = EventAnalytics.funnel(ev, "user_id", "event_type", "ts", steps).head()
+    assert(r.getLong(1) == 3L && r.getLong(3) == us("2024-01-01 10:03:00"))
+  }
+
+  test("funnel plans ONE shuffle: no per-step join chain") {
+    val ev = Seq((1L, "view", ts("2024-01-01 10:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val plan = EventAnalytics.funnel(ev, "user_id", "event_type", "ts", steps)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"funnel must not join:\n$plan")
+    assert(plan.split("Exchange").length - 1 <= 1,
+      s"funnel must shuffle at most once:\n$plan")
+  }
+
+  test("retentionCohorts: cohort by first bucket, distinct users per offset") {
+    // bucketSeconds=60: minute buckets for a readable fixture
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:10")), // u1 cohort minute 0
+      (1L, ts("2024-01-01 10:00:50")), // same bucket, still one user
+      (1L, ts("2024-01-01 10:02:10")), // active at offset 2
+      (2L, ts("2024-01-01 10:00:30")), // u2 cohort minute 0
+      (2L, ts("2024-01-01 10:01:30")), // offset 1
+      (3L, ts("2024-01-01 10:01:40"))  // u3 cohort minute 1
+    ).toDF("user_id", "ts")
+    val base = us("2024-01-01 10:00:00") / 60000000L
+    val out = EventAnalytics.retentionCohorts(ev, "user_id", "ts", 60L)
+      .collect().map(r => (r.getLong(0) - base, r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(out == Map(
+      (0L, 0L) -> 2L, // u1, u2 at their own cohort bucket
+      (0L, 1L) -> 1L, // u2
+      (0L, 2L) -> 1L, // u1
+      (1L, 0L) -> 1L  // u3's cohort
+    ))
+  }
+
+  test("retentionCohorts plans ONE corpus shuffle and no Expand") {
+    val ev = Seq((1L, ts("2024-01-01 10:00:10"))).toDF("user_id", "ts")
+    val plan = EventAnalytics.retentionCohorts(ev, "user_id", "ts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"no COUNT(DISTINCT) Expand:\n$plan")
+    assert(!plan.contains("Join"), s"no first-seen self-join:\n$plan")
+  }
+
+  test("funnel rejects duplicate or empty step lists") {
+    val ev = Seq((1L, "view", ts("2024-01-01 10:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    assertThrows[IllegalArgumentException](
+      EventAnalytics.funnel(ev, "user_id", "event_type", "ts", Seq.empty))
+    assertThrows[IllegalArgumentException](
+      EventAnalytics.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "view")))
+  }
+}
