@@ -1118,6 +1118,28 @@ object SparkEntry {
       graft.operators.EventAnalytics.retentionCohorts(
         t(s, dir, "events"), "user_id", "ts")
         .orderBy(col("cohort_bucket"), col("bucket_offset"))
+    },
+
+    // ---- X: equi-width histogram, exact-width buckets (512/16 = 32,
+    //      exactly representable) with overflow clamped to the top bin —
+    //      one narrow scan + a bins-bounded agg ----
+    "x62_histogram" -> { (s, dir) =>
+      graft.operators.Profile.histogram(
+        t(s, dir, "events"), "value", lo = 0.0, hi = 512.0, bins = 16)
+        .orderBy(col("bin"))
+    },
+
+    // ---- E: entity resolution on a stable sparse slice (multiples of
+    //      7 — realistic cluster structure, not one digit-chained blob) —
+    //      PassJoin
+    //      candidate pairs, component clusters, min_by canonical pick;
+    //      oracle replays naive pairs + a recursive closure ----
+    "e4_entity_resolution" -> { (s, dir) =>
+      graft.operators.EntityResolution.resolve(
+        t(s, dir, "customer")
+          .filter(col("c_custkey") % 7 === 0 && col("c_custkey") <= 2100),
+        "c_custkey", "c_name", k = 1)
+        .orderBy(col("entity_id"))
     }
   )
 
@@ -2238,7 +2260,39 @@ object SparkEntry {
          SELECT f.cohort_bucket, a.bk - f.cohort_bucket AS bucket_offset,
            CAST(count(*) AS BIGINT) AS n_users
          FROM a JOIN f USING (user_id) GROUP BY 1, 2
-         ORDER BY cohort_bucket, bucket_offset"""
+         ORDER BY cohort_bucket, bucket_offset""",
+
+    // equi-width histogram: identical double arithmetic (width 32.0 is
+    // exact), clamp into edge bins, empty bins absent
+    "x62_histogram" ->
+      """WITH b AS (SELECT CAST(least(greatest(
+             floor((value - 0.0) / ((512.0 - 0.0) / 16)), 0), 15) AS BIGINT)
+             AS bin FROM events WHERE value IS NOT NULL)
+         SELECT bin, 0.0 + bin * ((512.0 - 0.0) / 16) AS lo_edge,
+           CAST(count(*) AS BIGINT) AS n
+         FROM b GROUP BY bin ORDER BY bin""",
+
+    // entity resolution: naive ED<=1 pairs + transitive closure + arg_min
+    // canonical — the composed twin of the x57 + x39 oracles
+    "e4_entity_resolution" ->
+      """WITH RECURSIVE
+         r AS (SELECT c_custkey AS id, c_name AS name FROM customer
+               WHERE c_custkey % 7 = 0 AND c_custkey <= 2100),
+         p AS (SELECT a.id AS ida, b.id AS idb FROM r a JOIN r b
+               ON a.id < b.id AND levenshtein(a.name, b.name) <= 1),
+         edges AS (SELECT ida AS u, idb AS v FROM p
+                   UNION SELECT idb, ida FROM p),
+         reach(a, b) AS (SELECT u, v FROM edges
+                         UNION
+                         SELECT r2.a, e.v FROM reach r2 JOIN edges e
+                           ON r2.b = e.u),
+         comp AS (SELECT a AS id, least(min(b), a) AS component
+                  FROM reach GROUP BY a),
+         m AS (SELECT r.id, r.name, coalesce(c.component, r.id) AS entity_id
+               FROM r LEFT JOIN comp c USING (id))
+         SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members,
+           arg_min(name, id) AS canonical_name
+         FROM m GROUP BY entity_id ORDER BY entity_id"""
   )
 
   /** The nightly-ingest oracle: every stage replayed from the naive rules

@@ -159,7 +159,27 @@ object Stress {
             .select(col("label"), col("embedding"))
           operators.Similarity.lloydStep(
             embs, cents, "vec_id", "embedding", "label", dims = 64).count()
-        }))
+        }),
+        // ONE collect_list shuffle + per-user fold: per-row cost must stay
+        // flat as replicas add users (disjoint user-id ranges)
+        "funnel" -> (() =>
+          operators.EventAnalytics.funnel(events, "user_id", "event_type",
+            "ts", steps = Seq("view", "click", "purchase")).count()),
+        // ONE corpus shuffle; per-user set bounded by the time span
+        "retention" -> (() =>
+          operators.EventAnalytics.retentionCohorts(events, "user_id", "ts",
+            bucketSeconds = 86400L).count()),
+        // narrow scan + keyed top-k window; replicas multiply group
+        // membership, k fixed — probes the race-key window under growth
+        "weighted_sample" -> (() =>
+          operators.Selection.weightedSample(docs, "source", "doc_id",
+            weight = size(split(col("text"), " ")).cast("double"),
+            k = 50).count()),
+        // pure narrow Generate: output rows grow linearly, wall-clock must
+        // track the scan
+        "chunk_documents" -> (() =>
+          operators.CorpusOps.chunkDocuments(docs, "doc_id", "text",
+            window = 64, stride = 48).count()))
 
       for ((name, run) <- ops) {
         val t0 = System.nanoTime()

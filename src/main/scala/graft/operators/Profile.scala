@@ -47,4 +47,32 @@ object Profile {
         Option(row.getAs[String](s"__max_$c")).orNull)
     }.toDF("col_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
   }
+
+  /** Equi-width histogram of a numeric column over [lo, hi): `bins` equal
+    * buckets, under/overflow clamped into the edge buckets (the standard
+    * profiling histogram; pair with [[Percentiles]] for equi-DEPTH cuts).
+    *
+    * 100 TB shape: one narrow scan computes the bin id per row, then ONE
+    * partial-agged groupBy over at most `bins` keys — the shuffle carries
+    * (bins x partitions) partial rows, never the corpus. Bin arithmetic is
+    * `floor((v - lo) / width)` in doubles, identical expression order on
+    * any IEEE engine (DuckDB twin: the same formula verbatim). Empty bins
+    * are absent from the output (generate a scaffold downstream if a dense
+    * vector is needed). Output: (bin long, lo_edge double, n long); null
+    * values are dropped.
+    */
+  def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+      bins: Int): DataFrame = {
+    require(bins >= 1 && hi > lo, "need bins >= 1 and hi > lo")
+    val width = (hi - lo) / bins
+    val bin = least(greatest(
+      floor((col(valueCol).cast("double") - lo) / width).cast("long"),
+      lit(0L)), lit(bins - 1L))
+    df.filter(col(valueCol).isNotNull)
+      .select(bin.as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"), (lit(lo) + col("bin") * width).as("lo_edge"),
+        col("n"))
+  }
 }

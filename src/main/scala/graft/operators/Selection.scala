@@ -155,24 +155,41 @@ object Selection {
     * lineage-stable membership across reruns (no RNG state).
     *
     * 100 TB shape: one narrow scan computes (group, id, e); per-group
-    * top-k is a keyed window — the same presalted-window upgrade as the
-    * quota sampler applies verbatim if a single group is corpus-sized.
+    * top-k is a keyed window. If a single group is corpus-sized (e.g.
+    * sampling k from ONE source), pass `presaltBuckets` > 1: a pre-pass
+    * window over (group, md5(id) mod buckets) keeps each subgroup's
+    * k smallest race keys — a superset of the global winners, so the
+    * final window sees at most buckets*k rows per group instead of the
+    * whole group in one task. Result-identical (the quota sampler's
+    * two-stage top-k, CorpusOpsSpec-proven, applied to the race key).
     * Exactness: u = (md5_60bit(id) mod 1e6 + 1) / 1000001 — a ratio of
     * exact integers, bit-identical on any IEEE engine; the single `ln`
     * is rounded to 6 with id tie-break, per the engine's transcendental
     * convention. Output: (group, id, w, e double, rank long).
     */
   def weightedSample(df: DataFrame, groupCol: String, idCol: String,
-      weight: Column, k: Int): DataFrame = {
+      weight: Column, k: Int, presaltBuckets: Int = 1): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    require(presaltBuckets >= 1, "presaltBuckets must be >= 1")
     val u = (pmod(TextFunctions.md5Long(col(idCol)), lit(1000000L)) + 1)
       .cast(DoubleType) / lit(1000001.0)
     val e = round(-log(u) / weight.cast(DoubleType), 6)
+    val scored = df.select(col(groupCol), col(idCol),
+      weight.cast(DoubleType).as("w"), e.as("e"))
+    val pre =
+      if (presaltBuckets == 1) scored
+      else {
+        val salted = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(groupCol),
+            pmod(TextFunctions.md5Long(col(idCol)), lit(presaltBuckets.toLong)))
+          .orderBy(col("e").asc, col(idCol).asc)
+        scored.withColumn("__graft_presalt_rn__", row_number().over(salted))
+          .filter(col("__graft_presalt_rn__") <= k)
+          .drop("__graft_presalt_rn__")
+      }
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col("e").asc, col(idCol).asc)
-    df.select(col(groupCol), col(idCol),
-        weight.cast(DoubleType).as("w"), e.as("e"))
-      .withColumn("rank",
+    pre.withColumn("rank",
         row_number().over(win).cast(org.apache.spark.sql.types.LongType))
       .filter(col("rank") <= k)
   }

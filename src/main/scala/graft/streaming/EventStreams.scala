@@ -69,6 +69,9 @@ object EventStreams {
   /** Explicit per-key state carried across micro-batches. */
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 
+  final case class FunnelState(user_id: Long, steps_completed: Long,
+    first_us: Option[Long], last_us: Option[Long])
+
   /** Custom keyed state via flatMapGroupsWithState — the escape hatch for
     * stateful logic that windows/session_window can't express (running
     * aggregates, CEP-ish per-key machines). Emits the updated per-user
@@ -93,6 +96,52 @@ object EventStreams {
           val next = UserRunning(user, n, total)
           state.update(next)
           Iterator(next)
+      }
+  }
+
+  /** Streaming strict-order funnel — the incremental twin of
+    * [[graft.operators.EventAnalytics.funnel]]. State per user is the
+    * walk itself: (depth, first_us, last_us), O(1) regardless of event
+    * volume. Each micro-batch folds its group's step-type events in
+    * event-time order through the same greedy walk as the batch operator.
+    *
+    * Ordering contract: the walk is exact when events arrive in event-time
+    * order ACROSS micro-batches (per-batch disorder is repaired by the
+    * in-batch sort). An event older than the last accepted step cannot
+    * retroactively improve the walk and is skipped — the standard
+    * late-data posture for streaming funnels; feed near-ordered logs (or
+    * a watermark-sorted upstream) for exact parity with the batch
+    * operator, which ExtensionOpsSpec gates.
+    *
+    * At scale: state is one small struct per user in the state store; no
+    * per-event state growth (contrast the attribution join, which must
+    * buffer events for its time range). NoTimeout keeps the example
+    * deterministic; production would evict via event-time timeout once a
+    * user's walk can no longer advance. */
+  def funnelStream(events: DataFrame, steps: Seq[String]): Dataset[FunnelState] = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      "steps must be non-empty and distinct")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepIdx = steps.zipWithIndex.map { case (s, i) => s -> (i + 1L) }.toMap
+    events.select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .as[(Long, String, Long)]
+      .filter(r => stepIdx.contains(r._2))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelState](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, String, Long)],
+            state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(user, 0L, None, None))
+          // same acceptance rule as the batch fold: next step, strictly
+          // after the last accepted timestamp
+          for ((_, tpe, ts) <- rows.toSeq.sortBy(r => (r._3, stepIdx(r._2))))
+            if (stepIdx(tpe) == st.steps_completed + 1 &&
+                (st.steps_completed == 0 || ts > st.last_us.get))
+              st = FunnelState(user, st.steps_completed + 1,
+                if (st.steps_completed == 0) Some(ts) else st.first_us, Some(ts))
+          state.update(st)
+          Iterator(st)
       }
   }
 

@@ -423,6 +423,30 @@ class ExtensionOpsSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("streaming funnel state converges to the batch funnel walk") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val steps = Seq("view", "click", "purchase")
+    val sq = EventStreams.runToMemory(
+      EventStreams.funnelStream(EventStreams.readEvents(spark, dir), steps)
+        .toDF(), "funnel_stream", outputMode = "update")
+    try {
+      // depth is monotone, so the deepest emitted update = the final state
+      val streamed = spark.table("funnel_stream")
+        .groupBy(col("user_id"))
+        .agg(max(col("steps_completed")).as("steps_completed"))
+      val batch = graft.operators.EventAnalytics.funnel(
+        Tables.load(spark, sfDir, "events"), "user_id", "event_type", "ts",
+        steps).select(col("user_id"), col("steps_completed"))
+      assert(streamed.count() == batch.count() && batch.count() > 0)
+      assert(streamed.join(batch, Seq("user_id"))
+        .filter(streamed("steps_completed") =!= batch("steps_completed"))
+        .isEmpty)
+    } finally sq.stop()
+  }
+
   test("percentile scale paths: exactSorted matches percentile(); approx is close") {
     val orders = Tables.load(spark, sfDir, "orders")
     val ps = Seq(0.5, 0.9, 0.99)
@@ -458,6 +482,24 @@ class ExtensionOpsSpec extends SparkSpec {
     val got = graft.operators.Percentiles.groupedSorted(tiny, "g", "v", Seq(0.5), Seq("p"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(got == Map("a" -> 10.0, "b" -> 1.5))
+  }
+
+  test("histogram: exact-width bins, edge values, clamping, nulls dropped") {
+    val vals = Seq(Some(0.0), Some(31.9), Some(32.0), Some(95.0), Some(-5.0),
+      Some(1000.0), None).map(Tuple1(_)).toDF("v")
+    // lo=0, hi=128, bins=4 -> width 32: [0,32) [32,64) [64,96) [96,128)
+    val out = graft.operators.Profile.histogram(vals, "v", 0.0, 128.0, 4)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(out == Map(
+      0L -> ((0.0, 3L)),   // 0.0, 31.9, and -5.0 clamped up
+      1L -> ((32.0, 1L)),  // 32.0 lands exactly on its lower edge
+      2L -> ((64.0, 1L)),  // 95.0
+      3L -> ((96.0, 1L)))) // 1000.0 clamped down; null dropped
+    // bins-bounded agg: one partial-agged groupBy, no window, no join
+    val plan = graft.operators.Profile.histogram(vals, "v", 0.0, 128.0, 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"))
+    assert(!plan.contains("Join") && !plan.contains("Window"))
   }
 
   test("profileApprox: exact counts/min/max, HLL distinct within tolerance, no Expand") {

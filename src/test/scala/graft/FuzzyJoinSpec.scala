@@ -69,4 +69,28 @@ class FuzzyJoinSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == naive)
   }
+
+  test("entity resolution: typo clusters collapse to the min-id golden record") {
+    val recs = Seq(
+      (10L, "acme corp"),   // cluster {10, 11, 12}: one-edit chain
+      (11L, "acme corp."),
+      (12L, "acme cor"),
+      (20L, "zenith ltd"),  // cluster {20, 21}
+      (21L, "zenith ltd."),
+      (30L, "unrelated co") // singleton
+    ).toDF("rid", "name")
+    val out = graft.operators.EntityResolution.resolve(recs, "rid", "name", k = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out == Map(
+      10L -> ((3L, "acme corp")),
+      20L -> ((2L, "zenith ltd")),
+      30L -> ((1L, "unrelated co"))))
+  }
+
+  test("entity resolution: no pairs at all -> every record is its own entity") {
+    val recs = Seq((1L, "aaaa"), (2L, "bbbb"), (3L, "cccc")).toDF("rid", "name")
+    val out = graft.operators.EntityResolution.resolve(recs, "rid", "name", k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
 }

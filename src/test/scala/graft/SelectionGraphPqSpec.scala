@@ -189,6 +189,17 @@ class SelectionGraphPqSpec extends SparkSpec {
     assert(got.toSet == run2.toSet)
   }
 
+  test("weightedSample: presalted two-stage top-k is result-identical") {
+    val docs = (1L to 200L).map(i => (i, if (i % 3 == 0) "a" else "b", 1.0 + i % 7))
+      .toDF("id", "grp", "wt")
+    val plain = Selection.weightedSample(docs, "grp", "id", col("wt"), k = 9)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getLong(4)))
+    val salted = Selection.weightedSample(docs, "grp", "id", col("wt"), k = 9,
+        presaltBuckets = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getLong(4)))
+    assert(plain.toSet == salted.toSet && salted.length == plain.length)
+  }
+
   test("weightedSample: higher weight wins the race under equal uniforms") {
     // same id string -> same uniform is impossible (ids are the hash key),
     // so probe monotonicity directly: for one id, raising w lowers e
