@@ -66,18 +66,13 @@ object Quantization {
     * is m×k rows, broadcast; ranking follows the x44 convention (round to
     * 6, then order by the ROUNDED distance with the id tiebreak, so both
     * engines rank identical keys). The query row itself is excluded. */
-  def adcTopK(corpus: DataFrame, idCol: String, vecCol: String,
-      queryId: Long, topK: Int,
-      m: Int = 8, dsub: Int = 8, k: Int = 16): DataFrame = {
-    val spark = corpus.sparkSession
+  /** The query's m*k ADC distance table (same left-to-right fold as the
+    * encoder) as a broadcast-able frame (sub, code, d). */
+  private def distTable(spark: org.apache.spark.sql.SparkSession,
+      q: Array[Double], cb: Array[Array[Double]],
+      m: Int, dsub: Int, k: Int): DataFrame = {
     import spark.implicits._
-    val cb = seeds(corpus, idCol, vecCol, k)
-    val qRows = corpus.filter(col(idCol) === queryId)
-      .select(asDouble(col(vecCol))).limit(1).collect()
-    require(qRows.nonEmpty, s"adcTopK: query id $queryId not in corpus")
-    val q = qRows(0).getSeq[Double](0).toArray
-    // m*k-entry distance table, same left-to-right fold as the encoder
-    val dtable = (0 until m).flatMap { j =>
+    (0 until m).flatMap { j =>
       (0 until k).map { c =>
         var s = 0.0
         var d = 0
@@ -90,8 +85,72 @@ object Quantization {
         (j.toLong, c.toLong, s)
       }
     }.toDF("sub", "code", "d")
+  }
+
+  private def queryVec(corpus: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, who: String): Array[Double] = {
+    val qRows = corpus.filter(col(idCol) === queryId)
+      .select(asDouble(col(vecCol))).limit(1).collect()
+    require(qRows.nonEmpty, s"$who: query id $queryId not in corpus")
+    qRows(0).getSeq[Double](0).toArray
+  }
+
+  def adcTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, topK: Int,
+      m: Int = 8, dsub: Int = 8, k: Int = 16): DataFrame = {
+    val cb = seeds(corpus, idCol, vecCol, k)
+    val q = queryVec(corpus, idCol, vecCol, queryId, "adcTopK")
+    val dtable = distTable(corpus.sparkSession, q, cb, m, dsub, k)
     pqCodes(corpus, idCol, vecCol, m, dsub, k)
       .filter(col(idCol) =!= queryId)
+      .join(broadcast(dtable), Seq("sub", "code"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("d")), 6).as("adist"))
+      .orderBy(col("adist").asc, col(idCol).asc)
+      .limit(topK)
+  }
+
+  /** IVF-ADC top-k — the full FAISS-style IVFPQ serving composition
+    * (Jégou et al. 2011 §IV): a coarse quantizer prunes the corpus to the
+    * query's `nprobe` inverted lists, then candidates are ranked by ADC
+    * from their PQ codes alone. The coarse quantizer is
+    * [[Similarity.ivfAssign]]'s deterministic sign-pattern centroids and
+    * the PQ codebook is the global one (codes match [[pqCodes]] /
+    * [[adcTopK]] exactly — no per-list residual re-training), so
+    * `nprobe = numCentroids` degrades EXACTLY to [[adcTopK]] (spec-gated).
+    * Recall < 1 for smaller nprobe by construction, like [[Similarity.ivfTopK]].
+    *
+    * 100 TB shape: the serving read touches ~nprobe/numCentroids of the
+    * corpus (one narrow scan computing bucket + codes, filtered by the
+    * probe literal — partition-prunable if the corpus is stored bucketed
+    * by list id); the m*k distance table broadcasts; exact vectors are
+    * never moved at query time; top-k is a bins-bounded agg + TakeOrdered.
+    * Output: (idCol, adist), ranked (round 6, id tie-break).
+    */
+  def ivfAdcTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, topK: Int, numCentroids: Int = 16, nprobe: Int = 4,
+      dims: Int = 64, m: Int = 8, dsub: Int = 8, k: Int = 16): DataFrame = {
+    val spark = corpus.sparkSession
+    val cb = seeds(corpus, idCol, vecCol, k)
+    val q = queryVec(corpus, idCol, vecCol, queryId, "ivfAdcTopK")
+    val dtable = distTable(spark, q, cb, m, dsub, k)
+    // probe lists via the SAME Catalyst expressions as the corpus-side
+    // assignment (evaluated on the 1-row query frame — no reimplementation
+    // drift between the probe scorer and the bucket scorer)
+    val probes = corpus.filter(col(idCol) === queryId)
+      .select(explode(Similarity.ivfProbes(asDouble(col(vecCol)),
+        numCentroids, nprobe, dims)).as("ci"))
+      .collect().map(_.getInt(0))
+    val candidates = corpus
+      .filter(col(idCol) =!= queryId)
+      .withColumn("__bucket",
+        Similarity.ivfAssign(asDouble(col(vecCol)), numCentroids, dims))
+      .filter(col("__bucket").isin(probes.map(Integer.valueOf): _*))
+      .drop("__bucket")
+    val codes = graft.functions.PqExpression.codes(
+      spark, asDouble(col(vecCol)), cb, m, dsub)
+    candidates.select(col(idCol), posexplode(codes).as(Seq("sub", "code")))
+      .select(col(idCol), col("sub").cast(LongType).as("sub"), col("code"))
       .join(broadcast(dtable), Seq("sub", "code"))
       .groupBy(col(idCol))
       .agg(round(sum(col("d")), 6).as("adist"))

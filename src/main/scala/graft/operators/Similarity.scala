@@ -67,9 +67,17 @@ object Similarity {
         val sign = when(md5Long(lit(s"$ci,$d")) % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
         sign * coalesce(try_element_at(vec, lit(d + 1)), lit(0.0))
       }
-      struct(terms.reduce(_ + _).as("score"), lit(ci).as("ci"))
+      // negated score so array_sort's ascending (negscore, ci) order IS
+      // (score desc, ci asc): the argmax with the first-max (lowest-ci)
+      // tie-break. IEEE negation is exact and order-reversing, and Spark
+      // struct ordering treats -0.0 == 0.0, so ties fall through to ci.
+      struct((-terms.reduce(_ + _)).as("negscore"), lit(ci).as("ci"))
     }
-    scores.reduce((a, b) => when(b("score") > a("score"), b).otherwise(a))("ci")
+    // NOT scores.reduce((a,b) => when(b > a, b).otherwise(a)): each step
+    // of that fold embeds the accumulator twice, so the Column tree is
+    // O(2^numCentroids) — at 16 centroids the Column->Expression
+    // conversion alone OOMs an 8g driver. array_sort keeps it linear.
+    element_at(array_sort(array(scores: _*)), 1)("ci")
   }
 
   /** Nearest-centroid assignment: label every corpus vector with the
@@ -114,23 +122,32 @@ object Similarity {
     * queries probe all buckets whose centroid score is within the top
     * `nprobe` for the query. Recall < 1.0 by construction (documented);
     * candidate volume drops to ~nprobe/numCentroids of the corpus. */
+  /** Top-`nprobe` probe buckets for a query vector: the centroid ids with
+    * the highest [[ivfAssign]] scores, as an array (score desc, ci desc on
+    * ties — the reverse of array_sort's (score asc, ci asc)). Shared by
+    * [[ivfTopK]] and [[Quantization.ivfAdcTopK]]. */
+  def ivfProbes(vec: Column, numCentroids: Int, nprobe: Int,
+      dims: Int): Column = {
+    val probeCols = (0 until numCentroids).map { ci =>
+      val terms = (0 until dims).map { d =>
+        val sign = when(md5Long(lit(s"$ci,$d")) % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
+        sign * coalesce(try_element_at(vec, lit(d + 1)), lit(0.0))
+      }
+      struct(terms.reduce(_ + _).as("score"), lit(ci).as("ci"))
+    }
+    transform(slice(reverse(array_sort(array(probeCols: _*))), 1, nprobe),
+      p => p("ci"))
+  }
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       numCentroids: Int = 16, nprobe: Int = 4, dims: Int = 64): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("bucket", ivfAssign(col("cv"), numCentroids, dims))
     val qBase = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-    // query probes: top-nprobe centroid ids by the same scoring
-    val probeCols = (0 until numCentroids).map { ci =>
-      val terms = (0 until dims).map { d =>
-        val sign = when(md5Long(lit(s"$ci,$d")) % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
-        sign * coalesce(try_element_at(col("qv"), lit(d + 1)), lit(0.0))
-      }
-      struct(terms.reduce(_ + _).as("score"), lit(ci).as("ci"))
-    }
     val q = qBase.withColumn("probes",
-      slice(reverse(array_sort(array(probeCols: _*))), 1, nprobe))
-      .withColumn("bucket", explode(transform(col("probes"), p => p("ci"))))
+      ivfProbes(col("qv"), numCentroids, nprobe, dims))
+      .withColumn("bucket", explode(col("probes")))
       .select(col("query_id"), col("qv"), col("bucket"))
     def dot(x: Column, y: Column): Column =
       graft.functions.VectorExpressions.dot(corpus.sparkSession, x, y)

@@ -49,6 +49,17 @@ class PlanHealthSpec extends SparkSpec {
     assert(p.length < 200000, s"p1 plan string is ${p.length} chars — expression blowup?")
   }
 
+  test("x63: IVF-ADC probe filter stays linear in centroids; distance table broadcasts") {
+    // ivfAssign's argmax once folded when(b>a,b).otherwise(a) over the
+    // centroid structs — O(2^numCentroids) Column tree; at 16 centroids
+    // the Column->Expression conversion alone OOM'd an 8g driver. The
+    // array_sort argmax is linear; this bound catches any re-blowup.
+    val p = plan("x63_ivf_adc")
+    assert(p.length < 500000, s"x63 plan is ${p.length} chars — expression blowup?")
+    assert(p.contains("BroadcastHashJoin"), s"ADC distance table must broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop join leaked into x63")
+  }
+
   test("windows in gated queries are partitioned or eliminated (no global single-task window)") {
     for (name <- Seq("b3_sort_by", "r4_renumber", "q2_topk_orders", "r3_explode",
         "x27_lead_lag", "x29_topk_per_group", "x40_sessionize",

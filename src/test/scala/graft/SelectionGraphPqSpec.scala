@@ -156,6 +156,34 @@ class SelectionGraphPqSpec extends SparkSpec {
     assert(ds.toSeq == ds.sorted.toSeq && ds.forall(_ >= 0.0))
   }
 
+  // ---- IVF-ADC composition ----
+
+  test("ivfAdcTopK with nprobe = numCentroids degrades exactly to adcTopK") {
+    val embs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val full = Quantization.adcTopK(embs, "vec_id", "embedding",
+      queryId = 0L, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ivf = Quantization.ivfAdcTopK(embs, "vec_id", "embedding",
+      queryId = 0L, topK = 10, numCentroids = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ivf == full)
+  }
+
+  test("ivfAdcTopK partial probing returns true ADC distances for its candidates") {
+    val embs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val n = embs.count().toInt
+    val all = Quantization.adcTopK(embs, "vec_id", "embedding",
+      queryId = 0L, topK = n)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivf = Quantization.ivfAdcTopK(embs, "vec_id", "embedding",
+      queryId = 0L, topK = 10, numCentroids = 8, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ivf.nonEmpty && ivf.length <= 10)
+    // pruning changes WHICH ids are scored, never their score
+    ivf.foreach { case (id, d) => assert(all(id) == d, s"id=$id") }
+    assert(ivf.map(_._2).toSeq == ivf.map(_._2).sorted.toSeq)
+  }
+
   // ---- weighted sampling without replacement ----
 
   test("weightedSample: race keys match a JVM replay of the md5 formula") {
