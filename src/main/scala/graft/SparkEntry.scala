@@ -1139,6 +1139,24 @@ object SparkEntry {
         queryId = 0L, topK = 20, numCentroids = 16, nprobe = 4)
     },
 
+    // ---- X: Bloom-prefiltered dedup-vs-history — the x24 shape with the
+    //      history fp index compacted into a broadcast Bloom filter: rows
+    //      failing the probe are provably fresh from a narrow scan (no
+    //      false negatives); only probable-hits take the exact anti-join.
+    //      Result is row-identical to the plain anti-join for any fpp ----
+    "x64_bloom_dedup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val history = docs.filter(col("doc_id") < 250)
+      val copies = docs
+        .filter(col("doc_id") < 5 || (col("doc_id") >= 250 && col("doc_id") < 255))
+        .withColumn("doc_id", col("doc_id") + 10000)
+      val batch = docs.filter(col("doc_id") >= 250).unionByName(copies)
+      graft.operators.Dedup.freshAgainstHistoryBloom(
+        batch, history, "doc_id", "text", expectedItems = 1000)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- E: entity resolution on a stable sparse slice (multiples of
     //      7 — realistic cluster structure, not one digit-chained blob) —
     //      PassJoin
@@ -2330,6 +2348,23 @@ object SparkEntry {
                 GROUP BY 1)
          SELECT vec_id, adist FROM sc
          ORDER BY adist ASC, vec_id ASC LIMIT 20""",
+
+    // Bloom-prefiltered vs-history dedup: the Bloom filter is pure
+    // pruning (no false negatives), so the oracle is the PLAIN anti-join
+    // — x24's CTEs without the in-batch ranked step
+    "x64_bloom_dedup" ->
+      """WITH f AS (SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+           FROM documents),
+         hist AS (SELECT DISTINCT fp FROM f WHERE doc_id < 250),
+         batch AS (
+           SELECT doc_id, fp FROM f WHERE doc_id >= 250
+           UNION ALL
+           SELECT doc_id + 10000, fp FROM f
+           WHERE doc_id < 5 OR (doc_id >= 250 AND doc_id < 255))
+         SELECT doc_id FROM batch
+         WHERE fp NOT IN (SELECT fp FROM hist)
+         ORDER BY doc_id""",
 
     // entity resolution: naive ED<=1 pairs + transitive closure + arg_min
     // canonical — the composed twin of the x57 + x39 oracles

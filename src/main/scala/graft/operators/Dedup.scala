@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.util.sketch.BloomFilter
 
 import graft.functions.TextFunctions._
 
@@ -54,6 +55,68 @@ object Dedup {
     val w = Window.partitionBy(col("__fp")).orderBy(col(idCol).asc)
     fresh.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn", "__fp")
+  }
+
+  /** Serialized Bloom filter over a one-string-column frame of
+    * fingerprints. Built with a distributed treeAggregate merge (the
+    * [[FrequentItems]] pattern): every partition fills its own filter
+    * over the fps it holds, filters OR-merge up a tree, and the driver
+    * receives only finished `bits/8`-byte images — never raw keys.
+    * EAGER (runs a job at call time). Insertions are the fingerprint's
+    * UTF-8 bytes, the exact bytes [[graft.functions.BloomMightContain]]
+    * probes. Size the filter for the HISTORY cardinality: 1e9 keys at 1%
+    * fpp is ~1.2 GB — broadcast-able on large-memory executors, and fpp
+    * only costs extra exact-join traffic, never correctness. */
+  def buildFpBloom(fps: DataFrame, fpCol: String, expectedItems: Long,
+      fpp: Double = 0.01): Array[Byte] = {
+    val bf = fps.select(col(fpCol)).na.drop().rdd.treeAggregate(
+      BloomFilter.create(expectedItems, fpp))(
+      (f, row) => {
+        f.putBinary(row.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        f
+      },
+      (a, b) => { a.mergeInPlace(b); a })
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    out.toByteArray
+  }
+
+  /** Batch rows whose fingerprint is NOT in history, with the history fp
+    * index compacted into a broadcast Bloom filter so the batch itself
+    * never shuffles (contrast [[dedupAgainstHistory]], whose anti-join
+    * shuffles every batch row by fingerprint):
+    *
+    *  - rows FAILING the Bloom probe are provably fresh (no false
+    *    negatives) and flow straight to the output from a narrow scan;
+    *  - only the probable-hit sliver (true dups + ~fpp of the rest)
+    *    takes the exact `shuffle_hash` anti-join that removes real dups —
+    *    at realistic ingest dup rates that is a few percent of the batch.
+    *
+    * The batch is scanned twice (once per side of the Bloom split) — at
+    * 100 TB two narrow columnar scans are far cheaper than one full-batch
+    * shuffle, and the scans are of the SOURCE, not a materialization.
+    * Output keeps in-batch duplicates (this is the vs-history gate only;
+    * compose with [[exactDedup]] for the full nightly shape) and is
+    * row-identical to the plain anti-join for ANY fpp — the filter is a
+    * pruning device, not an approximation of the result. History must fit
+    * the sized filter ([[buildFpBloom]] is eager; pass `expectedItems`
+    * at or above the true distinct-fp count to hold the fpp bound). */
+  def freshAgainstHistoryBloom(newDocs: DataFrame, history: DataFrame,
+      idCol: String, textCol: String, expectedItems: Long,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = newDocs.sparkSession
+    val histFp =
+      if (history.columns.contains("fp")) history.select(col("fp")).distinct()
+      else history.select(fingerprint(col(textCol)).as("fp")).distinct()
+    val bloomBytes = buildFpBloom(histFp, "fp", expectedItems, fpp)
+    val batch = newDocs.withColumn("__fp", fingerprint(col(textCol)))
+    val hit = graft.functions.BloomExpression.mightContain(
+      spark, col("__fp"), bloomBytes)
+    val provablyFresh = batch.filter(!hit)
+    val confirmedFresh = batch.filter(hit)
+      .join(histFp.withColumnRenamed("fp", "__fp").hint("shuffle_hash"),
+        Seq("__fp"), "left_anti")
+    provablyFresh.unionByName(confirmedFresh).drop("__fp")
   }
 
   /** Inverted index: (id, distinct shingle). The base for exact-jaccard

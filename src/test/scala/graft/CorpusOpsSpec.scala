@@ -209,6 +209,47 @@ class CorpusOpsSpec extends SparkSpec {
     assert(kept2 == kept)
   }
 
+  test("freshAgainstHistoryBloom == plain anti-join; Bloom probe has no false negatives") {
+    import graft.operators.Dedup
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text")
+    val history = docs.filter($"doc_id" < 100)
+    val copies = docs.filter($"doc_id" < 5)
+      .withColumn("doc_id", $"doc_id" + 10000)
+    val batch = docs.filter($"doc_id" >= 100).unionByName(copies)
+    val bloomed = Dedup.freshAgainstHistoryBloom(
+      batch, history, "doc_id", "text", expectedItems = 500)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // oracle: the plain exact anti-join (no Bloom), in-batch dups kept
+    val fp = graft.functions.TextFunctions.fingerprint($"text")
+    val exact = batch.withColumn("__fp", fp)
+      .join(history.select(fp.as("__fp")).distinct(), Seq("__fp"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(bloomed == exact)
+    assert(bloomed.intersect(Seq(10000L, 10001L, 10002L)).isEmpty,
+      "history copies must be dropped")
+    // no false negatives: every inserted fingerprint must probe true
+    val bytes = Dedup.buildFpBloom(
+      history.select(fp.as("fp")).distinct(), "fp", expectedItems = 500)
+    val probed = history.select(fp.as("fp")).distinct()
+      .withColumn("hit",
+        graft.functions.BloomExpression.mightContain(spark, $"fp", bytes))
+      .filter(!$"hit").count()
+    assert(probed == 0, "a Bloom filter must never miss an inserted key")
+  }
+
+  test("bloom expression: tiny-fpp filter rejects almost all absent keys") {
+    import graft.operators.Dedup
+    val present = (0 until 200).map(i => s"key_$i").toDF("fp")
+    val bytes = Dedup.buildFpBloom(present, "fp", expectedItems = 200, fpp = 0.001)
+    val absent = (0 until 2000).map(i => s"other_$i").toDF("fp")
+      .withColumn("hit",
+        graft.functions.BloomExpression.mightContain(spark, $"fp", bytes))
+      .filter($"hit").count()
+    // 2000 absent keys at fpp 1e-3: expect ~2 hits; 40 would mean broken sizing
+    assert(absent < 40, s"false-positive count $absent is far above the fpp bound")
+  }
+
   test("edge cases: empty inputs and degenerate quotas do not throw") {
     val empty = Seq.empty[(Long, Long)].toDF("id", "n_tokens")
     assert(CorpusOps.packSequences(empty, "id", "n_tokens", 512).count() == 0)
