@@ -31,22 +31,40 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
     graft.plans.Persists.releaseAll(spark)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // A failed rep must never masquerade as a fast time (round-4 incident:
+    // analysis errors were swallowed and 17 broken queries "ran" in 0.05 s).
+    // Failed queries are excluded from `queries`/total, reported under
+    // `errors`, and fail the whole run's exit code.
+    val raw = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var err: Option[String] = None
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+          err = Some((e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("")).replaceAll("\\s+", " ").take(300))
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         graft.plans.Persists.releaseAll(spark)
         dt
       }
       System.gc() // broadcast/driver-heap hygiene between queries
-      name -> times.min
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+      (name, times.min, err)
+    }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val ok = raw.collect { case (n, t, None) => n -> t }
+    val errors = raw.collect { case (n, _, Some(e)) => n -> e }
+    errors.foreach { case (n, e) => System.err.println(s"[bench] FAILED $n: $e") }
+    val qs = ok.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"failed":${errors.size},"sf":"$sfDir"}"""
     println(line)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
@@ -54,5 +72,6 @@ object Bench {
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

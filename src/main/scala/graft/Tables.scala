@@ -29,12 +29,28 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$table.parquet")
-    if (table == "events")
-      // ts arrives as long nanos (nanosAsLong); truncate to micros with
-      // integer division (a double divide would lose precision at 1e18 ns),
-      // matching DuckDB's CAST(ts_ns AS TIMESTAMP) on the oracle side.
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (table == "events") normalizeEventTs(df) else df
+  }
+
+  /** Normalize the events `ts` column to a session-TZ TimestampType
+    * (micros), whatever physical type the testdata generator used this
+    * round. The driver has shipped both INT64 TIMESTAMP(NANOS) (read as
+    * long via nanosAsLong) and TIMESTAMP_MICROS isAdjustedToUTC=false
+    * (read as TimestampNTZ); hard-coding either breaks every events reader
+    * when the generator flips, so sniff the loaded type instead:
+    *  - LongType: nanos → truncate to micros with integer division (a
+    *    double divide would lose precision at 1e18 ns)
+    *  - TimestampNTZType: reinterpret the naive micros in the session TZ
+    *    (UTC per sessionConfigs) — same instants DuckDB sees
+    *  - TimestampType: already what we want.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 }

@@ -15,11 +15,20 @@ object Verify {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws must be loudly visible in the artifact, not just
+    // stderr — in round 4, 17 formerly-green queries silently vanished from
+    // the correctness report because a missing row is indistinguishable
+    // from a never-registered query. Write a failure manifest and exit
+    // nonzero so a dump with missing rows can never pass silently.
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = (e.getClass.getName + ": " +
+          Option(e.getMessage).getOrElse("")).replaceAll("\\s+", " ").take(500)
+        System.err.println(s"[verify] $name failed: $msg")
+        failed(name) = msg
       }
       // the write above IS the query's materialization — any persisted
       // blocks a two-pass operator left behind are dead weight now
@@ -40,6 +49,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/failed_queries.json"), failJson)
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

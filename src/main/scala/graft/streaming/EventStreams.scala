@@ -15,20 +15,31 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** The events schema as read from a stream source (ts as long nanos, the
-    * same physical shape the driver's parquet uses). */
-  val rawSchema: StructType = StructType(Seq(
+  /** The events schema as read from a stream source, parameterized on the
+    * physical `ts` type the files actually use (the driver's generator has
+    * shipped both INT64 nanos and TIMESTAMP_MICROS NTZ — see
+    * [[graft.Tables.normalizeEventTs]]). */
+  def rawSchema(tsType: DataType = TimestampNTZType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos (parquet TIMESTAMP(NANOS) via nanosAsLong)
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-based stream source over a directory of events parquet. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(rawSchema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  /** File-based stream source over a directory of events parquet.
+    * Structured Streaming needs the schema up front, so sniff it once with
+    * a batch read of whatever files are already in the dir (file-stream
+    * sources always start from a staged directory here), then normalize
+    * `ts` to session-TZ TimestampType exactly like the batch loader.
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val tsType =
+      try spark.read.parquet(dir).schema("ts").dataType
+      catch { case _: Exception => TimestampNTZType }
+    val raw = spark.readStream.schema(rawSchema(tsType)).parquet(dir)
+    graft.Tables.normalizeEventTs(raw)
+  }
 
   /** Tumbling-window counts + sums with a watermark for state eviction.
     * At scale: state is keyed (window, event_type) — bounded by the
