@@ -1157,6 +1157,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // ---- X: IVF-ADC SERVING from a precomputed index — the build/serve
+    //      split x63 lacks (round-4 verdict #3): codebook + (bucket,
+    //      codes) index built once (offline at scale, persisted bucketed
+    //      by list id), the query answered from the index alone — no
+    //      corpus re-encode at query time. Same ranking as x63 by
+    //      construction (QuantizationSpec gates equality) ----
+    "x65_ivf_adc_serve" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val cb = graft.operators.Quantization.pqCodebook(emb, "vec_id", "embedding")
+      val idx = graft.operators.Quantization.pqIndex(emb, "vec_id", "embedding", cb)
+      graft.operators.Quantization.ivfAdcTopKWithIndex(
+        emb, idx, cb, "vec_id", "embedding",
+        queryId = 0L, topK = 20, numCentroids = 16, nprobe = 4)
+    },
+
     // ---- E: entity resolution on a stable sparse slice (multiples of
     //      7 — realistic cluster structure, not one digit-chained blob) —
     //      PassJoin
@@ -1170,6 +1185,54 @@ object SparkEntry {
         .orderBy(col("entity_id"))
     }
   )
+
+  /** The x63 IVF-ADC oracle SQL — shared verbatim by x65 (the
+    * precomputed-index serving twin returns the identical result set,
+    * so both gate against one oracle). */
+  private val ivfAdcOracle: String =
+    """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         bscore AS (SELECT e.vec_id, t.ci,
+             list_sum(list_transform(range(1, 65), i ->
+               CASE WHEN (('0x' || substr(md5(CAST(t.ci AS VARCHAR) || ',' ||
+                   CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT % 2) = 0
+                 THEN 1.0 ELSE -1.0 END
+               * coalesce(e.v[i], 0.0))) AS score
+           FROM e, UNNEST(range(0, 16)) t(ci)),
+         bucket AS (SELECT vec_id, ci AS bucket FROM (
+             SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id
+               ORDER BY score DESC, ci ASC) AS rn FROM bscore)
+           WHERE rn = 1),
+         probes AS (SELECT ci FROM (
+             SELECT ci, row_number() OVER (ORDER BY score DESC, ci DESC)
+               AS rn FROM bscore WHERE vec_id = 0)
+           WHERE rn <= 4),
+         cand AS (SELECT e.vec_id, e.v FROM e JOIN bucket USING (vec_id)
+                  WHERE bucket.bucket IN (SELECT ci FROM probes)
+                    AND e.vec_id <> 0),
+         s AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
+               FROM e ORDER BY vec_id LIMIT 16),
+         q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         dt AS (SELECT t.j, s.c,
+             list_sum(list_transform(range(1, 9),
+               i -> (q.qv[t.j * 8 + i] - s.cv[t.j * 8 + i])
+                  * (q.qv[t.j * 8 + i] - s.cv[t.j * 8 + i]))) AS d
+           FROM q CROSS JOIN s, UNNEST(range(0, 8)) t(j)),
+         d AS (SELECT cand.vec_id, t.j, s.c,
+             list_sum(list_transform(range(1, 9),
+               i -> (cand.v[t.j * 8 + i] - s.cv[t.j * 8 + i])
+                  * (cand.v[t.j * 8 + i] - s.cv[t.j * 8 + i]))) AS d
+           FROM cand CROSS JOIN s, UNNEST(range(0, 8)) t(j)),
+         codes AS (SELECT vec_id, j, c FROM (
+             SELECT vec_id, j, c,
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
+             FROM d) WHERE rn = 1),
+         sc AS (SELECT codes.vec_id, round(sum(dt.d), 6) AS adist
+                FROM codes JOIN dt ON codes.j = dt.j AND codes.c = dt.c
+                GROUP BY 1)
+         SELECT vec_id, adist FROM sc
+         ORDER BY adist ASC, vec_id ASC LIMIT 20"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -2304,50 +2367,11 @@ object SparkEntry {
     // signs from the same md5("ci,d") convention, assignment tie-break
     // ci ASC (Spark keeps the first max), probe tie-break ci DESC
     // (reverse of array_sort)
-    "x63_ivf_adc" ->
-      """WITH e AS (SELECT vec_id,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings),
-         bscore AS (SELECT e.vec_id, t.ci,
-             list_sum(list_transform(range(1, 65), i ->
-               CASE WHEN (('0x' || substr(md5(CAST(t.ci AS VARCHAR) || ',' ||
-                   CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT % 2) = 0
-                 THEN 1.0 ELSE -1.0 END
-               * coalesce(e.v[i], 0.0))) AS score
-           FROM e, UNNEST(range(0, 16)) t(ci)),
-         bucket AS (SELECT vec_id, ci AS bucket FROM (
-             SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id
-               ORDER BY score DESC, ci ASC) AS rn FROM bscore)
-           WHERE rn = 1),
-         probes AS (SELECT ci FROM (
-             SELECT ci, row_number() OVER (ORDER BY score DESC, ci DESC)
-               AS rn FROM bscore WHERE vec_id = 0)
-           WHERE rn <= 4),
-         cand AS (SELECT e.vec_id, e.v FROM e JOIN bucket USING (vec_id)
-                  WHERE bucket.bucket IN (SELECT ci FROM probes)
-                    AND e.vec_id <> 0),
-         s AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
-               FROM e ORDER BY vec_id LIMIT 16),
-         q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-         dt AS (SELECT t.j, s.c,
-             list_sum(list_transform(range(1, 9),
-               i -> (q.qv[t.j * 8 + i] - s.cv[t.j * 8 + i])
-                  * (q.qv[t.j * 8 + i] - s.cv[t.j * 8 + i]))) AS d
-           FROM q CROSS JOIN s, UNNEST(range(0, 8)) t(j)),
-         d AS (SELECT cand.vec_id, t.j, s.c,
-             list_sum(list_transform(range(1, 9),
-               i -> (cand.v[t.j * 8 + i] - s.cv[t.j * 8 + i])
-                  * (cand.v[t.j * 8 + i] - s.cv[t.j * 8 + i]))) AS d
-           FROM cand CROSS JOIN s, UNNEST(range(0, 8)) t(j)),
-         codes AS (SELECT vec_id, j, c FROM (
-             SELECT vec_id, j, c,
-               row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
-             FROM d) WHERE rn = 1),
-         sc AS (SELECT codes.vec_id, round(sum(dt.d), 6) AS adist
-                FROM codes JOIN dt ON codes.j = dt.j AND codes.c = dt.c
-                GROUP BY 1)
-         SELECT vec_id, adist FROM sc
-         ORDER BY adist ASC, vec_id ASC LIMIT 20""",
+    "x63_ivf_adc" -> ivfAdcOracle,
+
+    // serving twin: identical result set, Spark side reads a precomputed
+    // (bucket, codes) index instead of re-encoding the corpus
+    "x65_ivf_adc_serve" -> ivfAdcOracle,
 
     // Bloom-prefiltered vs-history dedup: the Bloom filter is pure
     // pruning (no false negatives), so the oracle is the PLAIN anti-join

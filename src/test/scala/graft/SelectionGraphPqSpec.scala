@@ -184,6 +184,31 @@ class SelectionGraphPqSpec extends SparkSpec {
     assert(ivf.map(_._2).toSeq == ivf.map(_._2).sorted.toSeq)
   }
 
+  test("ivfAdcTopKWithIndex serves the identical result set to ivfAdcTopK") {
+    val embs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val direct = Quantization.ivfAdcTopK(embs, "vec_id", "embedding",
+      queryId = 0L, topK = 20, numCentroids = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val cb = Quantization.pqCodebook(embs, "vec_id", "embedding")
+    val idx = Quantization.pqIndex(embs, "vec_id", "embedding", cb)
+    val served = Quantization.ivfAdcTopKWithIndex(embs, idx, cb,
+      "vec_id", "embedding", queryId = 0L, topK = 20,
+      numCentroids = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served == direct)
+    // ... and survives an index round-trip through parquet (the offline
+    // build/serve split: the index is a persisted artifact, not a plan)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
+    idx.write.mode("overwrite").parquet(s"$dir/index")
+    cb.write.mode("overwrite").parquet(s"$dir/codebook")
+    val served2 = Quantization.ivfAdcTopKWithIndex(embs,
+      spark.read.parquet(s"$dir/index"), spark.read.parquet(s"$dir/codebook"),
+      "vec_id", "embedding", queryId = 0L, topK = 20,
+      numCentroids = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served2 == direct)
+  }
+
   // ---- weighted sampling without replacement ----
 
   test("weightedSample: race keys match a JVM replay of the md5 formula") {
