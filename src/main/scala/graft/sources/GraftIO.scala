@@ -55,13 +55,22 @@ object GraftIO {
     * declares an explicit all-string schema + corrupt-record column and a
     * bounded eager probe rejects genuinely malformed rows (the reference
     * reads eagerly too; this costs one extra pass over the CSV, which is
-    * the debug-scale format — parquet is the scale path). */
-  def readCsv(spark: SparkSession, path: String, delimiter: String = ","): DataFrame = {
-    val headers = readHeaders(path, delimiter)
+    * the debug-scale format — parquet is the scale path).
+    *
+    * `encoding` covers the reference's non-UTF-8 sources
+    * (tests/test_csv.py:102-105 reads a latin1 file cleanly): the header
+    * probe decodes with the same charset, and the ragged-row probe is
+    * charset-agnostic (it counts ASCII delimiter/quote bytes only — any
+    * mojibake from reading latin1 bytes as UTF-8 never changes a field
+    * count). */
+  def readCsv(spark: SparkSession, path: String, delimiter: String = ",",
+      encoding: String = "UTF-8"): DataFrame = {
+    val headers = readHeaders(path, delimiter, encoding)
     val base = spark.read
       .option("header", "true")
       .option("comment", "#")
       .option("delimiter", delimiter)
+      .option("encoding", encoding)
       // RFC-4180 quote escaping ("" inside a quoted field), matching the
       // ragged-row probe's collapsing regex — Spark's default is backslash
       // escape, under which parser and probe would disagree on field
@@ -78,7 +87,7 @@ object GraftIO {
         // file (first non-comment line); the ragged check stays a single
         // distributed job over the full glob.
         val files = resolveFiles(spark, path)
-        val probed = files.flatMap(f => readHeaders(f, delimiter).map(f -> _))
+        val probed = files.flatMap(f => readHeaders(f, delimiter, encoding).map(f -> _))
         if (probed.isEmpty) base.csv(path) // nothing probe-able (e.g. remote FS)
         else {
           val (firstFile, (_, canon)) = probed.head
@@ -175,10 +184,12 @@ object GraftIO {
     * delimiter); raises on duplicate names (io.py:41-42, Spark would
     * silently suffix-dedup them). Returns (rawHeaderLine, names); None for
     * globs/dirs where a single header line is ill-defined. */
-  private def readHeaders(path: String, delimiter: String): Option[(String, Seq[String])] = {
+  private def readHeaders(path: String, delimiter: String,
+      encoding: String = "UTF-8"): Option[(String, Seq[String])] = {
     val p = Paths.get(path)
     if (!Files.isRegularFile(p)) return None
-    val reader = new BufferedReader(new FileReader(path))
+    val reader = new BufferedReader(new java.io.InputStreamReader(
+      new java.io.FileInputStream(path), encoding))
     try {
       var line = reader.readLine()
       while (line != null && (line.trim.isEmpty || line.startsWith("#")))
@@ -243,7 +254,8 @@ object GraftIO {
     * to empty (FixNansIterator, io.py:87-112); ragged-row union is native
     * (the DataFrame schema is already the union). Arrays/structs are
     * stringified to match the reference's CSV behavior. */
-  def saveCsv(df: DataFrame, target: String): Unit = {
+  def saveCsv(df: DataFrame, target: String,
+      encoding: String = "UTF-8"): Unit = {
     val cleaned = df.columns.foldLeft(df) { (d, c) =>
       d.schema(c).dataType match {
         case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
@@ -256,7 +268,7 @@ object GraftIO {
     }
     writeSingleFile(target) { tmpDir =>
       cleaned.coalesce(1).write.mode("overwrite")
-        .option("header", "true").csv(tmpDir)
+        .option("header", "true").option("encoding", encoding).csv(tmpDir)
     }
   }
 

@@ -108,6 +108,24 @@ class GraftIOSpec extends SparkSpec {
       df.orderBy("a").collect().map(_.getString(1)).toSeq)
   }
 
+  test("read_csv reads latin1 files via the encoding parameter (test_csv.py:102-105)") {
+    val dir = Files.createTempDirectory("graft_io_l1")
+    val p = dir.resolve("latin1.csv")
+    // "José" in latin1: the é is single byte 0xE9 — invalid as UTF-8, so a
+    // default read would mangle it; the header probe and the Spark reader
+    // must both decode with the declared charset
+    Files.write(p, "\n\nid,name\n1,José\n".getBytes("ISO-8859-1"))
+    val df = GraftIO.readCsv(spark, p.toString, encoding = "ISO-8859-1")
+    val r = df.collect().head
+    assert((r.getString(0), r.getString(1)) == ("1", "José"))
+    // round-trip: save back as latin1, bytes decode under latin1 again
+    val out = dir.resolve("out.csv").toString
+    GraftIO.saveCsv(df, out, encoding = "ISO-8859-1")
+    val back = new String(Files.readAllBytes(Paths.get(out)), "ISO-8859-1")
+    assert(back.contains("José"))
+    assert(!new String(Files.readAllBytes(Paths.get(out)), "UTF-8").contains("José"))
+  }
+
   test("save_csv normalizes NaN to empty (io.py:87-112)") {
     import spark.implicits._
     val df = Seq(("a", Double.NaN), ("b", 1.5)).toDF("k", "v")
