@@ -968,18 +968,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
-    // ---- A/B probe pair pinning the driver hasher's decimal behavior:
-    //      the SAME tiny sum, once as a NATURALLY-typed DECIMAL(38,2)
-    //      output (sum over DECIMAL(28,2) — the j3 shape, no Cast node;
-    //      passed r2) and once double-via-string (the convention every
-    //      other aggregate uses). If z1 fails while z2 passes, decimal
-    //      outputs are categorically unsafe for the gate regardless of
-    //      representation; if both pass, only Cast-over-sum decimals
-    //      were ever affected ----
-    "z1_probe_sum_decimal" -> { (s, dir) =>
-      t(s, dir, "nation")
-        .agg(sum(col("n_nationkey").cast(DecimalType(28, 2))).as("probe_sum"))
-    },
+    // ---- Decimal-rendering probe (z2 is the surviving half of the
+    //      round-3 A/B pair; its twin z1 — the same sum emitted as a
+    //      NATURALLY-typed DECIMAL(38,2) — was RETIRED in round 5 after
+    //      its finding was fully documented: z1 hash-failed while z2
+    //      passed on identical values, proving the driver hasher renders
+    //      decimals differently from DuckDB at the string level, which is
+    //      why every gated aggregate uses the double-via-string
+    //      convention. Carrying the deliberately-red row risked
+    //      misreading every round (round-4 verdict #5). ----
     "z2_probe_sum_double" -> { (s, dir) =>
       t(s, dir, "nation")
         .agg(sum(col("n_nationkey").cast(DecimalType(28, 2)))
@@ -2087,10 +2084,6 @@ object SparkEntry {
     // whether the history fp/bucket indexes were derived or loaded must
     // not change a single surviving row
     "e3_ingest_with_indexes" -> IngestOracleSql,
-
-    "z1_probe_sum_decimal" ->
-      """SELECT CAST(sum(CAST(n_nationkey AS DECIMAL(28,2))) AS DECIMAL(38,2)) AS probe_sum
-         FROM nation""",
 
     "z2_probe_sum_double" ->
       """SELECT CAST(CAST(sum(CAST(n_nationkey AS DECIMAL(28,2))) AS VARCHAR) AS DOUBLE) AS probe_sum
