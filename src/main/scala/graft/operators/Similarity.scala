@@ -57,28 +57,19 @@ object Similarity {
     * assignment = argmax of signed coordinate sums. Not k-means quality,
     * but deterministic, cheap, and the bucketing/probing plumbing is the
     * same as a learned IVF. */
-  def ivfAssign(vec: Column, numCentroids: Int, dims: Int): Column = {
-    val scores = (0 until numCentroids).map { ci =>
-      // score_ci = sum_d sign(md5(ci,d)) * v[d]; vectors shorter than
-      // `dims` are zero-padded (try_element_at: a plain element_at past
-      // the end is an ANSI task failure, and a null score would silently
-      // dump every short vector into centroid 0)
-      val terms = (0 until dims).map { d =>
-        val sign = when(md5Long(lit(s"$ci,$d")) % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
-        sign * coalesce(try_element_at(vec, lit(d + 1)), lit(0.0))
-      }
-      // negated score so array_sort's ascending (negscore, ci) order IS
-      // (score desc, ci asc): the argmax with the first-max (lowest-ci)
-      // tie-break. IEEE negation is exact and order-reversing, and Spark
-      // struct ordering treats -0.0 == 0.0, so ties fall through to ci.
-      struct((-terms.reduce(_ + _)).as("negscore"), lit(ci).as("ci"))
-    }
-    // NOT scores.reduce((a,b) => when(b > a, b).otherwise(a)): each step
-    // of that fold embeds the accumulator twice, so the Column tree is
-    // O(2^numCentroids) — at 16 centroids the Column->Expression
-    // conversion alone OOMs an 8g driver. array_sort keeps it linear.
-    element_at(array_sort(array(scores: _*)), 1)("ci")
-  }
+  def ivfAssign(vec: Column, numCentroids: Int, dims: Int): Column =
+    // score_ci = sum_d sign(md5(ci,d)) * v[d] (vectors shorter than `dims`
+    // zero-padded), argmax with the lowest-ci tie-break — emitted by the
+    // compact codegen'd [[graft.functions.IvfAssignExpr]]. The declarative
+    // form (array_sort over numCentroids structs of dims-term sums) is a
+    // ~4k-node tree at 16x64: its generated code blew janino's 64 KB
+    // method limit and dropped the whole stage to interpreted eval — the
+    // entire 9.6 s cost of round-4's x63 (the arithmetic itself is ~40M
+    // flops). One deviation: a NULL vector now yields a NULL bucket
+    // (was: bucket 0 via coalesce) — strictly better semantics, and the
+    // corpus contract has no null embeddings.
+    graft.functions.IvfExpressions.assign(
+      org.apache.spark.sql.SparkSession.active, vec, numCentroids, dims)
 
   /** Nearest-centroid assignment: label every corpus vector with the
     * centroid maximizing cosine similarity (ties broken by lowest label,
@@ -127,17 +118,12 @@ object Similarity {
     * ties — the reverse of array_sort's (score asc, ci asc)). Shared by
     * [[ivfTopK]] and [[Quantization.ivfAdcTopK]]. */
   def ivfProbes(vec: Column, numCentroids: Int, nprobe: Int,
-      dims: Int): Column = {
-    val probeCols = (0 until numCentroids).map { ci =>
-      val terms = (0 until dims).map { d =>
-        val sign = when(md5Long(lit(s"$ci,$d")) % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
-        sign * coalesce(try_element_at(vec, lit(d + 1)), lit(0.0))
-      }
-      struct(terms.reduce(_ + _).as("score"), lit(ci).as("ci"))
-    }
-    transform(slice(reverse(array_sort(array(probeCols: _*))), 1, nprobe),
-      p => p("ci"))
-  }
+      dims: Int): Column =
+    // top-nprobe centroids by (score desc, ci desc on ties) — the same
+    // codegen'd-loop cure as [[ivfAssign]] (see there for why the
+    // declarative reverse(array_sort(...)) form was catastrophic).
+    graft.functions.IvfExpressions.probes(
+      org.apache.spark.sql.SparkSession.active, vec, numCentroids, nprobe, dims)
 
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
