@@ -92,6 +92,89 @@ object SparkEntry {
         as = "rank")
     },
 
+    // ---- classic multi-join OLAP shapes (TPC-H Q3/Q5/Q10 on the graft
+    //      schema): the dims (nation/region) broadcast explicitly; the
+    //      fact-fact joins (lineitem-orders-customer) shuffle on their
+    //      keys and AQE picks the runtime strategy — the honest 100 TB
+    //      plan (customer does NOT broadcast at scale). Ordering rides on
+    //      the EXACT decimal revenue in both engines; output re-types
+    //      double-via-string per the q1 convention ----
+    "q3_shipping_priority" -> { (s, dir) =>
+      val cutoff = lit("1998-03-15 00:00:00").cast(TimestampNTZType)
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < cutoff)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val rev = sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+        (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(4, 2))))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(rev.as("rev_dec"))
+        .orderBy(col("rev_dec").desc, col("l_orderkey").asc)
+        .limit(10)
+        .select(col("l_orderkey"),
+          col("rev_dec").cast(StringType).cast(DoubleType).as("revenue"),
+          col("o_orderdate"), col("o_orderpriority"))
+    },
+
+    "q5_local_supplier_volume" -> { (s, dir) =>
+      val lo = lit("1996-01-01 00:00:00").cast(TimestampNTZType)
+      val hi = lit("1997-01-01 00:00:00").cast(TimestampNTZType)
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+      val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val rev = sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+        (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(4, 2))))
+      // the local-supplier condition c_nationkey = s_nationkey rides the
+      // supplier join; nation+region prune to one region via broadcast
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(rev.as("rev_dec"))
+        .orderBy(col("rev_dec").desc, col("n_name").asc)
+        .select(col("n_name"),
+          col("rev_dec").cast(StringType).cast(DoubleType).as("revenue"))
+    },
+
+    "q10_returned_items" -> { (s, dir) =>
+      val lo = lit("1996-10-01 00:00:00").cast(TimestampNTZType)
+      val hi = lit("1997-01-01 00:00:00").cast(TimestampNTZType)
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val n = t(s, dir, "nation")
+      val rev = sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+        (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(4, 2))))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(rev.as("rev_dec"))
+        .orderBy(col("rev_dec").desc, col("c_custkey").asc)
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"),
+          col("rev_dec").cast(StringType).cast(DoubleType).as("revenue"),
+          col("c_acctbal"), col("n_name"))
+    },
+
     // ---- J1/J2: lookup join + aggregation into mapping ----
     "j1_lookup_join" -> { (s, dir) =>
       val c = t(s, dir, "customer")
@@ -1249,6 +1332,62 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_totalprice,
            row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
          FROM orders ORDER BY rank LIMIT 10""",
+
+    // TPC-H Q3/Q5/Q10 shapes: top-k selection ordered by the EXACT
+    // decimal revenue (identical in both engines), output re-typed
+    // double-via-string per the q1 convention
+    "q3_shipping_priority" ->
+      """WITH rev AS (
+           SELECT l_orderkey, o_orderdate, o_orderpriority,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS rev_dec
+           FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON o_orderkey = l_orderkey
+           WHERE c_mktsegment = 'BUILDING'
+             AND o_orderdate < TIMESTAMP '1998-03-15'
+             AND l_shipdate > TIMESTAMP '1998-03-15'
+           GROUP BY 1, 2, 3)
+         SELECT l_orderkey, CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+         FROM rev ORDER BY rev_dec DESC, l_orderkey ASC LIMIT 10""",
+
+    "q5_local_supplier_volume" ->
+      """SELECT n_name,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE)
+             AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY n_name
+         ORDER BY sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) DESC,
+           n_name ASC""",
+
+    "q10_returned_items" ->
+      """WITH rev AS (
+           SELECT c_custkey, c_name, c_acctbal, n_name,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS rev_dec
+           FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON o_orderkey = l_orderkey
+           JOIN nation ON c_nationkey = n_nationkey
+           WHERE l_returnflag = 'R'
+             AND o_orderdate >= TIMESTAMP '1996-10-01'
+             AND o_orderdate < TIMESTAMP '1997-01-01'
+           GROUP BY 1, 2, 3, 4)
+         SELECT c_custkey, c_name, CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+         FROM rev ORDER BY rev_dec DESC, c_custkey ASC LIMIT 20""",
+
     "j1_lookup_join" ->
       """SELECT r_name, n_name, count(*) AS n_customers,
            CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_acctbal
