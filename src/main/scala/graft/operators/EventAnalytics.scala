@@ -94,4 +94,46 @@ object EventAnalytics {
         (col("__bk") - col("cohort_bucket")).as("bucket_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Volume-anomaly detection: flag the (type, bucket) cells whose event
+    * count deviates from that type's mean by more than `sigma` population
+    * standard deviations — the monitoring staple over an event log
+    * ("which hours spiked").
+    *
+    * The z-score test is INTEGER-EXACT: |cnt - S/n| > sigma*sqrt(SS/n -
+    * S²/n²) is evaluated as (n*cnt - S)² > sigma²*(n*SS - S²) — both
+    * sides products of BIGINT aggregates in DECIMAL(38,0), so the flag
+    * set is bit-identical across engines (a double sqrt/mean would flip
+    * borderline cells on summation-order 1-ulp noise and is unhashable
+    * cross-engine). Constant-volume types have zero variance and zero
+    * deviation: nothing flags.
+    *
+    * 100 TB shape: ONE corpus shuffle to (type, bucket) counts
+    * (partial-agged — the wire carries cells, not events); the per-type
+    * stats frame is |types| rows, broadcast back. No window, no
+    * self-join. Output: (event_type, bucket_us long, cnt long), the
+    * flagged cells only.
+    */
+  def countOutliers(events: DataFrame, typeCol: String, tsCol: String,
+      bucketSeconds: Long = 3600L, sigma: Int = 2): DataFrame = {
+    require(bucketSeconds >= 1L && sigma >= 1, "bucketSeconds and sigma must be >= 1")
+    val busc = bucketSeconds * 1000000L
+    val bk = call_function("div", unix_micros(col(tsCol)), lit(busc))
+    val cells = events
+      .select(col(typeCol).as("event_type"), bk.as("bk"))
+      .groupBy(col("event_type"), col("bk"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = cells.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"),
+        sum(col("cnt") * col("cnt")).as("ss"))
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val diff = (col("n") * col("cnt") - col("s")).cast(d38)
+    cells.join(broadcast(stats), Seq("event_type"))
+      .filter(diff * diff >
+        lit(sigma.toLong * sigma).cast(d38) *
+          (col("n").cast(d38) * col("ss").cast(d38) -
+           col("s").cast(d38) * col("s").cast(d38)))
+      .select(col("event_type"), (col("bk") * lit(busc)).as("bucket_us"),
+        col("cnt"))
+  }
 }

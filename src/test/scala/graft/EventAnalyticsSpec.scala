@@ -119,4 +119,29 @@ class EventAnalyticsSpec extends SparkSpec {
       EventAnalytics.funnel(ev, "user_id", "event_type", "ts",
         Seq("view", "view")))
   }
+
+  test("countOutliers: spike hours flag, constant-volume types never do") {
+    // "steady": exactly 3 events every hour for 12 hours (zero variance —
+    // nothing may flag). "spiky": 3/hour for 11 hours, 40 in hour 6.
+    def hour(h: Int, m: Int) = ts(f"2024-01-01 $h%02d:$m%02d:00")
+    val steady = for (h <- 0 until 12; i <- 0 until 3)
+      yield (s"e$h$i", "steady", hour(h, i + 1))
+    val spiky = (for (h <- 0 until 12 if h != 6; i <- 0 until 3)
+      yield (s"s$h$i", "spiky", hour(h, i + 1))) ++
+      (0 until 40).map(i => (s"sp$i", "spiky", hour(6, i + 1)))
+    val ev = (steady ++ spiky).toDF("event_id", "event_type", "ts")
+
+    val out = EventAnalytics.countOutliers(ev, "event_type", "ts",
+      bucketSeconds = 3600L, sigma = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
+    assert(out.forall(_._1 == "spiky"))
+    assert(out.map(_._3).toSeq == Seq(40L))
+    assert(out.head._2 == us("2024-01-01 06:00:00"))
+    // the integer inequality replayed on the spiky stats: n=12, S=73,
+    // SS=1721 -> (12*40-73)^2 = 165649 > 4*(12*1721-73^2) = 61292; and
+    // for a 3-count hour (12*3-73)^2 = 1369 < 61292
+    assert(math.pow(12 * 40 - 73, 2) > 4 * (12 * 1721 - 73 * 73))
+    assert(math.pow(12 * 3 - 73, 2) < 4 * (12 * 1721 - 73 * 73))
+  }
 }
