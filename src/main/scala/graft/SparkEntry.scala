@@ -1275,6 +1275,18 @@ object SparkEntry {
           .filter(col("c_custkey") % 7 === 0 && col("c_custkey") <= 2100),
         "c_custkey", "c_name", k = 1)
         .orderBy(col("entity_id"))
+    },
+
+    // ---- E: leakage-safe split — near-dups must share a split (a
+    //      near-dup of a training doc in eval = contamination). Group by
+    //      the transitive closure of the LSH pair graph, md5-split the
+    //      GROUP key; oracle replays naive jaccard pairs + recursive
+    //      closure (the x39 CTEs) + the x17 split rule on the group ----
+    "e5_leakage_safe_split" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.CorpusOps.leakageSafeSplit(docs, "doc_id",
+        graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -2511,6 +2523,37 @@ object SparkEntry {
     // signs from the same md5("ci,d") convention, assignment tie-break
     // ci ASC (Spark keeps the first max), probe tie-break ci DESC
     // (reverse of array_sort)
+    // leakage-safe split: naive jaccard pairs + recursive closure (x39's
+    // CTE chain) -> group key = component min (singletons = own id) ->
+    // the x17 md5 split rule on the GROUP key
+    "e5_leakage_safe_split" ->
+      """WITH RECURSIVE
+         w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+                FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1))) t(i)),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                   FROM sh a JOIN sh b USING (s)
+                   WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         pairs AS (SELECT id_a, id_b
+                   FROM inter JOIN sz sa ON id_a = sa.doc_id
+                              JOIN sz sb ON id_b = sb.doc_id
+                   WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8),
+         edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach(a, b) AS (SELECT u, v FROM edges
+                         UNION
+                         SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u),
+         comp AS (SELECT a AS id, least(min(b), a) AS component
+                  FROM reach GROUP BY a),
+         g AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS group_key
+               FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+         SELECT doc_id, group_key,
+           CASE WHEN ('0x' || substr(md5(CAST(group_key AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(group_key AS VARCHAR)), 1, 15))::BIGINT % 100 < 95 THEN 'val'
+                ELSE 'test' END AS split
+         FROM g ORDER BY doc_id""",
+
     // volume anomalies: the same integer-exact inequality verbatim; '//'
     // on positive epoch micros == Spark's div
     "x66_count_outliers" ->

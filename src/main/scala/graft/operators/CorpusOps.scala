@@ -53,6 +53,33 @@ object CorpusOps {
       coalesce(col(keyCol).cast("string"), lit(""))), lit(buckets.toLong)) < keep)
   }
 
+  /** Leakage-safe train/val/test split: near-duplicate documents MUST land
+    * in the same split — a near-dup of a training doc in the eval split is
+    * eval contamination ([[hashSplit]] on the doc id alone cannot see it).
+    * `pairs` is any near-dup pair frame ((id_a, id_b) — MinHash LSH,
+    * SimHash, embedding cosine...); documents are grouped by the
+    * transitive closure of the pairs ([[ConnectedComponents]] — A~B, B~C
+    * puts all three together even though A and C never paired), singletons
+    * form their own group, and the md5 split rule is applied to the GROUP
+    * key. Same-group => same split, by construction.
+    *
+    * 100 TB shape: the pair graph is pair-bounded (not corpus-bounded);
+    * the closure is pointer-jumping O(log diameter) rounds; the label
+    * join is one shuffle_hash equi-join of the corpus against the
+    * paired-node labels; the split itself is a narrow projection. Output:
+    * (idCol, group_key long, split string). */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      shares: Seq[(String, Int)] = Seq("train" -> 90, "val" -> 5, "test" -> 5),
+      buckets: Int = 100, as: String = "split"): DataFrame = {
+    val labels = ConnectedComponents.labels(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", idCol)
+    val grouped = df.select(col(idCol))
+      .join(labels.hint("shuffle_hash"), Seq(idCol), "left")
+      .withColumn("group_key", coalesce(col("component"), col(idCol)))
+      .drop("component")
+    hashSplit(grouped, "group_key", shares, buckets, as)
+  }
+
   /** Top-k n-grams per group by occurrence count (positional n-grams, so
     * repeats count) — the corpus-statistics op behind vocabulary audits
     * and boilerplate discovery. One explode + one partial-agged

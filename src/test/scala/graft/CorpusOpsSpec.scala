@@ -350,4 +350,21 @@ class CorpusOpsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       CorpusOps.chunkDocuments(docs, "id", "text", window = 3, stride = 4))
   }
+
+  test("leakageSafeSplit: near-dup chains share a split, singletons split on their own id") {
+    import spark.implicits._
+    val corpus = (1L to 5L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // chain 1~2, 2~3: all three must group together even though 1 and 3
+    // never paired directly
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = CorpusOps.leakageSafeSplit(corpus, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(Seq(1L, 2L, 3L).map(out(_)._1).distinct == Seq(1L))
+    assert(Seq(1L, 2L, 3L).map(out(_)._2).distinct.size == 1)
+    assert(out(4L)._1 == 4L && out(5L)._1 == 5L)
+    // the group split IS hashSplit of the group key: replay on doc 4
+    val expected = CorpusOps.hashSplit(Seq(Tuple1(4L)).toDF("k"), "k")
+      .collect().head.getString(1)
+    assert(out(4L)._2 == expected)
+  }
 }
