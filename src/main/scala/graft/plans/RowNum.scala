@@ -23,29 +23,41 @@ object RowNum {
 
   /** Assign 1..n in current row order. Numbering is inherently two passes
     * (per-partition offsets need every partition's count before any row can
-    * be numbered), so the input RDD is persisted MEMORY_AND_DISK_SER around
-    * them: the count pass executes the upstream ONCE and materializes it;
-    * the numbering pass reads the stored partitions instead of recomputing
-    * (zipWithIndex would re-execute the whole upstream for its count job).
-    * The blocks are scoped to the FIRST Dataset action on the returned
-    * frame ([[Persists.releaseOnNextAction]]) — deterministic release, not
+    * be numbered), so the input is persisted around them: the count pass
+    * executes the upstream ONCE and materializes it; the numbering pass
+    * reads the stored partitions instead of recomputing. The blocks are
+    * scoped to the FIRST Dataset action on the returned frame
+    * ([[Persists.onNextAction]]) — deterministic release, not
     * ContextCleaner-when-GC'd (which leaked blocks across a 50-query bench
-    * session, billing one query's storage to the next). MEMORY_AND_DISK
-    * spills rather than OOMing at scale. Count and numbering run on the
-    * SAME RDD instance — a separately-built (e.g. column-pruned) plan can
-    * partition/order rows differently, which would scramble the offsets. */
+    * session, billing one query's storage to the next).
+    *
+    * Both passes stay in COLUMNAR Dataset land (round-5 change): the
+    * original implementation dropped to `df.rdd`, which converts every
+    * InternalRow to a boxed external Row and then Java-serializes those
+    * objects into the persist — 3.6 of p1's 3.7 s at sf0.1 was that
+    * round-trip alone. Now the frame is Dataset-persisted (compressed
+    * columnar), the count pass is a raw RDD action over
+    * `queryExecution.toRdd` (no Row boxing; raw RDD actions also do NOT
+    * fire [[Persists.onNextAction]] listeners, so an enclosing operator's
+    * armed release cannot trigger early), and the numbering pass is a pure
+    * PROJECTION: `monotonically_increasing_id()` is (partitionId << 33) +
+    * per-partition counter by contract, so decoding (pid, local index) and
+    * adding the broadcast per-partition offset yields exactly the old
+    * zipWithIndex numbering — same partition layout, same in-partition
+    * order, now codegen'd. Count and numbering run on the SAME cached
+    * frame — a separately-built (e.g. column-pruned) plan could partition
+    * rows differently, which would scramble the offsets. */
   def assign(df: DataFrame): DataFrame = {
-    val (numbered, persisted) = assignImpl(df)
-    Persists.releaseOnNextAction(df.sparkSession, persisted)
+    val (numbered, release) = assignImpl(df)
+    Persists.onNextAction(df.sparkSession)(release)
     numbered
   }
 
-  private def assignImpl(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[Row]) = {
+  private def assignImpl(df: DataFrame): (DataFrame, () => Unit) = {
     val withoutOld = df.drop(RowNumCol)
-    val schema = withoutOld.schema.add(StructField(RowNumCol, LongType, nullable = false))
-    val rdd0 = withoutOld.rdd
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val counts = rdd0
+    val cached = withoutOld.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = cached.queryExecution.toRdd
       // fold into a Long: Iterator.size returns Int and a >2^31-row
       // partition would overflow negative, scrambling every later offset
       .mapPartitionsWithIndex((pid, it) =>
@@ -53,12 +65,14 @@ object RowNum {
       .collect().toMap
     val maxPid = if (counts.isEmpty) -1 else counts.keys.max
     val offsets = (0 to maxPid).scanLeft(0L)((acc, pid) => acc + counts.getOrElse(pid, 0L))
-    val bc = df.sparkSession.sparkContext.broadcast(offsets.toArray)
-    val rdd = rdd0.mapPartitionsWithIndex { case (pid, it) =>
-      var n = if (pid < bc.value.length) bc.value(pid) else 0L
-      it.map { row => n += 1; Row.fromSeq(row.toSeq :+ n) }
-    }
-    (df.sparkSession.createDataFrame(rdd, schema), rdd0)
+    // mid = (pid << 33) + localIdx; row_num = offsets(pid) + localIdx + 1.
+    // offsets inline as an array literal — one narrow codegen'd projection.
+    val mid = monotonically_increasing_id()
+    val rowNum = element_at(lit(offsets.toArray),
+        (shiftright(mid, 33) + 1).cast("int")) +
+      mid.bitwiseAND(lit((1L << 33) - 1)) + 1L
+    val numbered = cached.withColumn(RowNumCol, rowNum)
+    (numbered, () => { cached.unpersist(blocking = false); () })
   }
 
   def ensure(df: DataFrame): DataFrame =
@@ -70,9 +84,9 @@ object RowNum {
     * short-lived query frames, wasteful when the caller fully consumes
     * the numbered frame inside one action, e.g. a collect). */
   def withAssigned[T](df: DataFrame)(f: DataFrame => T): T = {
-    val (numbered, persisted) = assignImpl(df)
+    val (numbered, release) = assignImpl(df)
     try f(numbered)
-    finally persisted.unpersist(false)
+    finally release()
   }
 
   /** Number rows of `appended` after the current max of `existing`
