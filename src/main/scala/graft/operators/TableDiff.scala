@@ -223,6 +223,7 @@ object TableDiffCli {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$workDir/diff_index.html"), index.toString)
       println(s"[graft] pipeline diff index written to $workDir/diff_index.html")
+      maybeOpen(s"$workDir/diff_index.html")
 
     case workDir :: file1 :: file2 :: rest =>
       val out = rest match {
@@ -237,12 +238,24 @@ object TableDiffCli {
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
         TableDiff.htmlReport(diffed))
       println(s"[graft] diff written to $out: $counters")
+      maybeOpen(out)
     case _ =>
       System.err.println(
         """usage: graft diff <pipeline> <workdir>          (per-phase checkpoint diffs)
           |       graft diff <workdir> <file1> <file2> [--out report.html]""".stripMargin)
       sys.exit(2)
   }
+
+  /** Best-effort browser launch of the wrapper page (reference
+    * cli/commands/diff.py auto-opens it). Opt-in via GRAFT_DIFF_OPEN=1 —
+    * a surprise browser is wrong for CI/headless runs, and the attempt
+    * must never fail the diff itself. */
+  private def maybeOpen(path: String): Unit =
+    if (sys.env.get("GRAFT_DIFF_OPEN").contains("1"))
+      try new ProcessBuilder("xdg-open", path).start()
+      catch { case _: Exception =>
+        System.err.println(s"[graft] could not open $path in a browser")
+      }
 
   /** Checkpoints carry the row-number column as strings after CSV re-read;
     * standalone files may lack it entirely (fall back to line order). */

@@ -266,4 +266,54 @@ class PlanHealthSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"),
       s"the corpus must reach the probe join unshuffled:\n$p")
   }
+
+  test("q3/q5/q10: no cartesian products; the fact joins stay equi-keyed") {
+    for (name <- Seq("q3_shipping_priority", "q5_local_supplier_volume",
+        "q10_returned_items")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name fell off its equi-joins:\n$p")
+      // date/segment/flag filters must reach the scans, not evaluate post-join
+      assert(p.contains("PushedFilters: [Is") || p.contains("PushedFilters: [Eq") ||
+        p.contains("PushedFilters: [Gr") || p.contains("PushedFilters: [Le"),
+        s"$name lost filter pushdown:\n$p")
+    }
+  }
+
+  test("x65: serving reads the PQ index, never re-encodes corpus vectors") {
+    // build the index once, then inspect the SERVING plan only: it must
+    // scan the (id, bucket, codes) index and the two corpus point lookups
+    // (query vec + probes are collected before planning) — the graft_pq
+    // encode expression must NOT appear anywhere in the serving plan.
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val cb = operators.Quantization.pqCodebook(emb, "vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ph_idx").toString
+    operators.Quantization.pqIndex(emb, "vec_id", "embedding", cb)
+      .write.mode("overwrite").parquet(dir)
+    val served = operators.Quantization.ivfAdcTopKWithIndex(
+      emb, spark.read.parquet(dir), cb, "vec_id", "embedding",
+      queryId = 0L, topK = 10, numCentroids = 16, nprobe = 4)
+    val p = served.queryExecution.executedPlan.toString
+    assert(!p.contains("graft_pq_encode") && !p.contains("graft_ivf_assign"),
+      s"serving plan re-encodes the corpus:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"ADC distance table must broadcast:\n$p")
+  }
+
+  test("x66: outlier stats broadcast; cells aggregate partially; no window") {
+    val p = plan("x66_count_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-type stats must broadcast back onto cells:\n$p")
+    assert(!p.contains("Window ["), s"x66 must not window:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"cell counts must partial-aggregate map-side:\n$p")
+  }
+
+  test("e5: the split is component-keyed — no global window, no cartesian") {
+    val p = plan("e5_leakage_safe_split")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"e5 leaked a non-equi join:\n$p")
+    assert(!p.contains("windowspecdefinition()"),
+      s"e5 has an unpartitioned window:\n$p")
+  }
 }
