@@ -160,7 +160,17 @@ object Dedup {
     * corpus whose banding emitted 255k candidates for 511 true pairs ran
     * 64s with per-pair evaluation vs ~10s per-doc; the prefix-filter plan
     * (x36) regressed 2.7x the same way. Per-doc is worst-case-safe at one
-    * extra corpus-keyed array shuffle. */
+    * extra corpus-keyed array shuffle.
+    *
+    * A second tempting alternative — semi-join-prune each side to its
+    * candidate ids before shingling, so only candidate docs' arrays move
+    * — was measured in round 5 and REJECTED: the prune needs cand
+    * materialized (one extra eager job) plus two corpus (id, text)
+    * shuffles and two more join stages, and at sf0.1 it DOUBLED x36
+    * (5.2 -> 10.5s) and cost x3/x41 ~40% each. The array shuffle it
+    * saves is only ~3x the text bytes it adds, and candidates are
+    * usually a tiny fraction of the corpus anyway — stage count, not
+    * shuffle volume, dominates this operator. */
   private def verifyJaccardAcross(cand: DataFrame, left: DataFrame,
       right: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double): DataFrame = {
