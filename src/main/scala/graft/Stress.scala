@@ -219,7 +219,19 @@ object Stress {
         // track the scan
         "chunk_documents" -> (() =>
           operators.CorpusOps.chunkDocuments(docs, "doc_id", "text",
-            window = 64, stride = 48).count()))
+            window = 64, stride = 48).count()),
+        // component-grouped split: pair graph + closure + narrow split —
+        // replicas multiply components, never chain across replicas
+        "leakage_safit" -> (() =>
+          operators.CorpusOps.leakageSafeSplit(docs, "doc_id",
+            operators.Dedup.minhashLshPairs(docs, "doc_id", "text",
+              threshold = 0.8)).count()),
+        // cells bounded by span x types: the corpus shuffle partial-aggs
+        // to the SAME cell count at every multiplier (replicas share the
+        // time range), so wall must stay ~flat
+        "count_outliers" -> (() =>
+          operators.EventAnalytics.countOutliers(events, "event_type", "ts",
+            bucketSeconds = 3600L, sigma = 2).count()))
 
       // SPARK_GRAFT_STRESS_OPS=a,b,c runs only the named ops (bisection
       // runs shouldn't pay the full sweep per hypothesis)
