@@ -1237,6 +1237,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // ---- X: per-node triangle counts over the near-dup pair graph —
+    //      the clustering-coefficient numerator; separates template
+    //      families (dense near-cliques) from chain-shaped coincidental
+    //      overlap. Oriented wedge join + closure equi-join ----
+    "x67_triangle_counts" -> { (s, dir) =>
+      graft.operators.GraphRank.triangleCounts(
+        graft.operators.Dedup.minhashLshPairs(
+          t(s, dir, "documents"), "doc_id", "text"),
+        "id_a", "id_b")
+        .orderBy(col("id"))
+    },
+
     // ---- X: volume-anomaly detection over the event log — integer-exact
     //      z-score test ((n*cnt - S)^2 > sigma^2*(n*SS - S^2), all
     //      DECIMAL(38,0) products of BIGINT aggregates), so the flag set
@@ -2553,6 +2565,28 @@ object SparkEntry {
                 WHEN ('0x' || substr(md5(CAST(group_key AS VARCHAR)), 1, 15))::BIGINT % 100 < 95 THEN 'val'
                 ELSE 'test' END AS split
          FROM g ORDER BY doc_id""",
+
+    // triangles: naive jaccard pairs (id_a < id_b already — the oriented
+    // form), wedge + closure joins, unnest the three corners
+    "x67_triangle_counts" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+                FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1))) t(i)),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                   FROM sh a JOIN sh b USING (s)
+                   WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         pairs AS (SELECT id_a, id_b
+                   FROM inter JOIN sz sa ON id_a = sa.doc_id
+                              JOIN sz sb ON id_b = sb.doc_id
+                   WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8),
+         tri AS (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+                 FROM pairs e1
+                 JOIN pairs e2 ON e1.id_a = e2.id_a AND e1.id_b < e2.id_b
+                 JOIN pairs e3 ON e3.id_a = e1.id_b AND e3.id_b = e2.id_b)
+         SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
+         FROM (SELECT unnest([a, b, c]) AS id FROM tri)
+         GROUP BY id ORDER BY id""",
 
     // volume anomalies: the same integer-exact inequality verbatim; '//'
     // on positive epoch micros == Spark's div

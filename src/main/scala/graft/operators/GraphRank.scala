@@ -81,4 +81,35 @@ object GraphRank {
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("wt"))
     pageRank(bi, "w1", "w2", "wt", damping, iters)
   }
+
+  /** Per-node triangle counts over an undirected pair graph — the
+    * clustering-coefficient numerator. On a near-dup pair graph this
+    * separates TEMPLATE families (boilerplate expansions form dense
+    * near-cliques — triangle-rich) from chain-shaped coincidental
+    * overlaps (quote-of-a-quote threads — triangle-free), a curation
+    * diagnostic the pair count alone can't give.
+    *
+    * Shape: edges normalize to a < b (each undirected edge once — the
+    * standard orientation, so each triangle a<b<c is found exactly once
+    * as wedge (a,b),(a,c) closed by (b,c)); the wedge build is a
+    * shuffle_hash self-join on the lower endpoint and the closure check
+    * is a second equi-join onto the edge frame. Cost is sum over nodes of
+    * deg_oriented^2 — on near-dup graphs, bounded by cluster sizes; for
+    * general graphs with power-law hubs, cap candidate degree upstream
+    * (the [[Dedup.shingleIndex]] maxDocFreq pattern). Nodes in no
+    * triangle are absent from the output. Output: (id, n_triangles). */
+  def triangleCounts(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = pairs
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull &&
+        col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .distinct()
+    val tri = e.toDF("a", "b")
+      .join(e.toDF("a", "c").hint("shuffle_hash"), Seq("a"))
+      .filter(col("b") < col("c"))
+      .join(e.toDF("b", "c").hint("shuffle_hash"), Seq("b", "c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+  }
 }

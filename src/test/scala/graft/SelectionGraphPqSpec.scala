@@ -209,6 +209,22 @@ class SelectionGraphPqSpec extends SparkSpec {
     assert(served2 == direct)
   }
 
+  test("triangleCounts: one triangle + tail; 4-clique gives 3 per node; orientation-insensitive") {
+    // triangle {1,2,3} plus the tail edge (3,4): nodes 1-3 get one
+    // triangle each, node 4 is in none and absent
+    val e1 = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("id_a", "id_b")
+    val out1 = GraphRank.triangleCounts(e1, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out1 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // a 4-clique has C(3,2)=3 triangles through every node; reversed and
+    // duplicated edges must not change the counts
+    val clique = (for (a <- 1L to 4L; b <- 1L to 4L if a != b) yield (a, b))
+      .toDF("id_a", "id_b") // both orientations + self-dedup exercised
+    val out2 = GraphRank.triangleCounts(clique, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
   // ---- weighted sampling without replacement ----
 
   test("weightedSample: race keys match a JVM replay of the md5 formula") {
