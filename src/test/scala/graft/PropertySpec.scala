@@ -132,4 +132,55 @@ class PropertySpec extends SparkSpec {
       assert(pairs.forall { case (a, b, j) => a < b && j >= 0.0 && j <= 1.0 })
     }
   }
+
+  test("property: IVF assign/probes codegen == interpreted eval == Scala replay") {
+    // The hand-written doGenCode is the classic divergence risk: the
+    // DataFrame path runs the GENERATED loop, a direct eval() runs
+    // nullSafeEval, and the replay below recomputes scores with the same
+    // left-to-right IEEE fold from the same JVM sign matrix. All three
+    // must agree — including short vectors (zero-padded), null elements
+    // (as 0.0), the zero vector (all-ties: assign -> lowest ci, probes
+    // -> highest ci first), and negative components.
+    import graft.functions.IvfExpressions
+    val c = 8; val dims = 16; val np = 3
+    val signs = IvfExpressions.signMatrix(c, dims)
+    def replayScores(v: Seq[Option[Double]]): Array[Double] =
+      Array.tabulate(c) { ci =>
+        var s = 0.0
+        (0 until dims).foreach { d =>
+          s += signs(ci)(d) * (if (d < v.length) v(d).getOrElse(0.0) else 0.0)
+        }
+        s
+      }
+    def replayAssign(v: Seq[Option[Double]]): Int = {
+      val sc = replayScores(v)
+      var bi = 0
+      (1 until c).foreach(ci => if (sc(ci) > sc(bi)) bi = ci)
+      bi
+    }
+    def replayProbes(v: Seq[Option[Double]]): Seq[Int] =
+      replayScores(v).zipWithIndex
+        .sortBy { case (s, ci) => (-s, -ci) }.take(np).map(_._2).toSeq
+
+    val vecGen = for {
+      n <- Gen.choose(0, dims + 4) // short, exact, and over-length vectors
+      v <- Gen.listOfN(n, Gen.frequency(
+        8 -> Gen.choose(-5.0, 5.0).map(Option(_)),
+        1 -> Gen.const(Option(0.0)),
+        1 -> Gen.const(Option.empty[Double])))
+    } yield v
+    val cases = samples(vecGen, 8) :+ Seq.fill(dims)(Option(0.0)) // all-ties row
+    val df = cases.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "vec")
+    val out = df.select(col("id"),
+        IvfExpressions.assign(spark, col("vec"), c, dims).as("bucket"),
+        IvfExpressions.probes(spark, col("vec"), c, np, dims).as("probes"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getSeq[Int](2))).toMap
+    cases.zipWithIndex.foreach { case (v, i) =>
+      val (bucket, probes) = out(i.toLong)
+      assert(bucket == replayAssign(v), s"assign diverged on case $i: $v")
+      assert(probes == replayProbes(v), s"probes diverged on case $i: $v")
+    }
+  }
 }
