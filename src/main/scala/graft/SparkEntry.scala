@@ -1249,6 +1249,57 @@ object SparkEntry {
         .orderBy(col("id"))
     },
 
+    // ---- X: image near-dup by perceptual hash (dHash64 over the REAL
+    //      BMP/PNG decoders + 8x8-bit banded hamming). No SQL engine can
+    //      decode an image, so this is a rows-only gate (no oracleSql);
+    //      determinism comes from the inputs: each doc renders its
+    //      normalized-text md5 as a BMP (text dups => identical images,
+    //      hamming 0), and a sparse doc_id slice gets a small pixel edit
+    //      (near-dups of its text partners, 0 < hamming <= 6). The
+    //      byte-level contract is MultimodalSpec-gated ----
+    "x68_image_neardup" -> { (s, dir) =>
+      // corpus = every doc's image, plus copies of docs 0-19 (offset ids):
+      // copies of 10-19 are byte-identical (pairs at hamming 0), copies
+      // of 0-9 carry a small pixel edit (pairs at 0 < hamming <= 6) —
+      // the x64 pattern of synthesizing dup structure from stable slices
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val withCopies = docs.unionByName(
+        docs.filter(col("doc_id") < 20)
+          .withColumn("doc_id", col("doc_id") + 100000))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("content", BinaryType)))
+      val w = 36; val h = 32
+      val imgs = s.createDataFrame(withCopies.rdd.mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          val norm = Option(r.getString(1)).getOrElse("")
+            .trim.toLowerCase.replaceAll("\\s+", " ")
+          val dig = md.digest(norm.getBytes("UTF-8"))
+          // digest-seeded xorshift64: pseudo-random pixels per image (a
+          // TILED digest pattern made every image's dHash near-constant
+          // — 12.5M "near-dup" pairs at sf0.1, i.e. all of them)
+          var st = java.nio.ByteBuffer.wrap(dig).getLong
+          if (st == 0L) st = 0x9e3779b97f4a7c15L
+          val gray = Array.fill(w * h) {
+            st ^= st << 13; st ^= st >>> 7; st ^= st << 17
+            (st & 0xff).toInt
+          }
+          val id = r.getLong(0)
+          if (id >= 100000L && id < 100010L)
+            // edited copy: zero the top-right 8x8 block — touches dHash
+            // cells (cy 0-1, cx 7-8), so at most 4 comparison bits can
+            // flip: a guaranteed near-dup (hamming <= 4 < the 6 cap),
+            // never an escapee
+            for (y <- 0 until 8; x <- 0 until 8) gray(y * w + (w - 8 + x)) = 0
+          org.apache.spark.sql.Row(id,
+            graft.operators.Multimodal.renderBmpGray(w, h, gray))
+        }
+      }, schema)
+      graft.operators.Multimodal.imageNearDupPairs(imgs, "doc_id", "content",
+        maxHamming = 6)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // ---- X: volume-anomaly detection over the event log — integer-exact
     //      z-score test ((n*cnt - S)^2 > sigma^2*(n*SS - S^2), all
     //      DECIMAL(38,0) products of BIGINT aggregates), so the flag set

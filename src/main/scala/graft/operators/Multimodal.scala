@@ -174,7 +174,10 @@ object Multimodal {
       if (pa <= pb && pa <= pc) a else if (pb <= pc) bb else c
     }
 
-    def decode(b: Array[Byte], dims: Int): Option[(Row, Array[Float])] = {
+    /** Full pixel decode shared by [[decode]] (channel means) and
+      * [[Multimodal.grayGrid]] (perceptual hashing): (width, height,
+      * bytes-per-pixel, unfiltered row-major pixel bytes). */
+    private[operators] def pixels(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
       if (!detect(b)) return None
       // IHDR is mandated to be the first chunk, at offset 8, length 13
       if (i32be(b, 8) != 13 ||
@@ -248,23 +251,27 @@ object Multimodal {
         }
         y += 1
       }
-
-      var sr = 0L; var sg = 0L; var sb = 0L
-      var i = 0
-      while (i < img.length) {
-        if (bpp == 1) { val g = img(i) & 0xff; sr += g; sg += g; sb += g }
-        else { sr += img(i) & 0xff; sg += img(i + 1) & 0xff; sb += img(i + 2) & 0xff }
-        i += bpp
-      }
-      val n = width.toLong * height
-      val mr = sr.toDouble / n / 255.0
-      val mg = sg.toDouble / n / 255.0
-      val mb = sb.toDouble / n / 255.0
-      val luma = 0.299 * mr + 0.587 * mg + 0.114 * mb
-      // channels: RGBA reports 4; RGB and gray-replicated report 3
-      Some((Row(name, width, height, if (bpp == 4) 4 else 3, -1, -1L),
-        fit(Array(mr.toFloat, mg.toFloat, mb.toFloat, luma.toFloat), dims)))
+      Some((width, height, bpp, img))
     }
+
+    def decode(b: Array[Byte], dims: Int): Option[(Row, Array[Float])] =
+      pixels(b).map { case (width, height, bpp, img) =>
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = 0
+        while (i < img.length) {
+          if (bpp == 1) { val g = img(i) & 0xff; sr += g; sg += g; sb += g }
+          else { sr += img(i) & 0xff; sg += img(i + 1) & 0xff; sb += img(i + 2) & 0xff }
+          i += bpp
+        }
+        val n = width.toLong * height
+        val mr = sr.toDouble / n / 255.0
+        val mg = sg.toDouble / n / 255.0
+        val mb = sb.toDouble / n / 255.0
+        val luma = 0.299 * mr + 0.587 * mg + 0.114 * mb
+        // channels: RGBA reports 4; RGB and gray-replicated report 3
+        (Row(name, width, height, if (bpp == 4) 4 else 3, -1, -1L),
+          fit(Array(mr.toFloat, mg.toFloat, mb.toFloat, luma.toFloat), dims))
+      }
   }
 
   /** RIFF/WAVE, 16-bit PCM (format tag 1): chunk walk for fmt/data, then
@@ -388,4 +395,182 @@ object Multimodal {
   def decodeStub(df: DataFrame, contentCol: String = "content",
       dims: Int = 4): DataFrame =
     decode(df, contentCol, codecs = Seq.empty, dims = dims).drop("decoded")
+
+  // ---- perceptual hashing (image near-dup at scale) ----
+
+  /** Deterministic 24-bit grayscale BMP writer (top-down `gray` values
+    * 0-255, row-major; stored bottom-up as positive-height BMPs are).
+    * The synthetic-image generator for pipelines and gates: rendering a
+    * document fingerprint through this gives every text-dup an IDENTICAL
+    * image, so image-dedup results are predictable without shipping real
+    * media in testdata. */
+  def renderBmpGray(width: Int, height: Int, gray: Array[Int]): Array[Byte] = {
+    require(gray.length == width * height, "gray must be width*height values")
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val dataSize = rowSize * height
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putShort(0).putShort(0).putInt(54)
+    buf.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = height - 1
+    while (y >= 0) { // bottom-up row order
+      var x = 0
+      while (x < width) {
+        val v = (gray(y * width + x) & 0xff).toByte
+        buf.put(v).put(v).put(v)
+        x += 1
+      }
+      var pad = rowSize - width * 3
+      while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+
+  /** Row-major luma grid of an image payload (BMP/PNG only): the decoded
+    * pixel grid collapsed to Rec. 601 luma floats in [0, 255]. */
+  private def grayGrid(b: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    if (BmpCodec.detect(b)) {
+      // re-walk the BMP pixel scan, keeping the grid this time
+      val dataOff = i32(b, 10); val hdrSize = i32(b, 14)
+      val width = i32(b, 18); val heightRaw = i32(b, 22)
+      val bpp = u16(b, 28); val compression = i32(b, 30)
+      if (hdrSize < 40 || bpp != 24 || compression != 0 ||
+        width <= 0 || heightRaw == 0 || dataOff < 54) return None
+      val height = math.abs(heightRaw)
+      val rowSize = ((width * 3 + 3) / 4) * 4
+      if (dataOff.toLong + rowSize.toLong * height > b.length) return None
+      val g = new Array[Float](width * height)
+      var y = 0
+      while (y < height) {
+        // BMP rows are bottom-up for positive heights: flip so the grid
+        // is top-down like PNG (orientation matters for dHash, unlike
+        // the channel means)
+        val srcY = if (heightRaw > 0) height - 1 - y else y
+        val ro = dataOff + srcY * rowSize
+        var x = 0
+        while (x < width) {
+          val po = ro + x * 3
+          g(y * width + x) = (0.114f * (b(po) & 0xff) +
+            0.587f * (b(po + 1) & 0xff) + 0.299f * (b(po + 2) & 0xff))
+          x += 1
+        }
+        y += 1
+      }
+      Some((width, height, g))
+    } else PngCodec.pixels(b).map { case (width, height, bpp, img) =>
+      val g = new Array[Float](width * height)
+      var p = 0
+      var i = 0
+      while (p < width * height) {
+        g(p) =
+          if (bpp == 1) (img(i) & 0xff).toFloat
+          else 0.299f * (img(i) & 0xff) + 0.587f * (img(i + 1) & 0xff) +
+            0.114f * (img(i + 2) & 0xff)
+        p += 1
+        i += bpp
+      }
+      (width, height, g)
+    }
+  }
+
+  /** 64-bit perceptual difference hash (dHash): luma grid box-averaged
+    * down to 9x8 cells, bit (y*8 + x) set iff cell(x,y) > cell(x+1,y) —
+    * the horizontal-gradient sign pattern. Identical pixel content hashes
+    * identically ACROSS formats (a BMP and a PNG of the same image get
+    * the same hash — cross-format image dedup for free), small
+    * pixel-level edits flip few bits, and hamming distance between
+    * hashes approximates visual difference. None for non-image payloads
+    * or images smaller than the 9x8 cell grid. */
+  def dHash64(bytes: Array[Byte]): Option[Long] =
+    grayGrid(bytes).flatMap { case (w, h, g) =>
+      if (w < 9 || h < 8) None
+      else {
+        // box-average downscale to 9x8: cell (cx, cy) averages the pixel
+        // rect [cx*w/9, (cx+1)*w/9) x [cy*h/8, (cy+1)*h/8)
+        val cells = Array.ofDim[Double](8, 9)
+        var cy = 0
+        while (cy < 8) {
+          val y0 = cy * h / 8; val y1 = (cy + 1) * h / 8
+          var cx = 0
+          while (cx < 9) {
+            val x0 = cx * w / 9; val x1 = (cx + 1) * w / 9
+            var s = 0.0
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) { s += g(y * w + x); x += 1 }
+              y += 1
+            }
+            cells(cy)(cx) = s / ((y1 - y0).toLong * (x1 - x0))
+            cx += 1
+          }
+          cy += 1
+        }
+        var hash = 0L
+        var bit = 0
+        cy = 0
+        while (cy < 8) {
+          var cx = 0
+          while (cx < 8) {
+            if (cells(cy)(cx) > cells(cy)(cx + 1)) hash |= (1L << bit)
+            bit += 1
+            cx += 1
+          }
+          cy += 1
+        }
+        Some(hash)
+      }
+    }
+
+  /** (idCol, phash long) for the image payloads of a binary column —
+    * non-image rows are dropped. One per-partition batched pass (the
+    * [[decode]] shape); at 100 TB this is the offline hash-build scan,
+    * persisted next to the corpus like any fingerprint index. */
+  def imageHashes(df: DataFrame, idCol: String,
+      contentCol: String = "content"): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol), StructField("phash", LongType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val contentIdx = df.schema.fieldIndex(contentCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        r.get(contentIdx) match {
+          case b: Array[Byte] =>
+            dHash64(b).map(h => Row(r.get(idIdx), h))
+          case _ => None
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  /** Image near-dup pairs by banded hamming over [[dHash64]] — the
+    * [[Dedup.simhashPairs]] shape on the perceptual hash: 8 bands of 8
+    * bits, candidates share a band value (pigeonhole: a pair within
+    * `maxHamming` <= 7 differing bits has at least one clean band —
+    * recall is EXACT, not probabilistic), verified by exact hamming.
+    * Candidate volume is band-bucket-bounded, never all-pairs. Output:
+    * (id_a, id_b, hamming), id_a < id_b. */
+  def imageNearDupPairs(df: DataFrame, idCol: String,
+      contentCol: String = "content", maxHamming: Int = 6): DataFrame = {
+    require(maxHamming <= 7, "8x8-bit banding guarantees recall only for hamming <= 7")
+    val hashed = imageHashes(df, idCol, contentCol)
+    val chunks = (0 until 8).map(j =>
+      struct(lit(j).as("chunk"),
+        shiftright(col("phash"), j * 8).bitwiseAND(lit(0xffL)).as("ck")))
+    val banded = hashed.select(col(idCol).as("id"), col("phash"),
+      explode(array(chunks: _*)).as("cc"))
+      .select(col("id"), col("phash"), col("cc.chunk"), col("cc.ck"))
+    banded.toDF("id_a", "ph_a", "chunk", "ck")
+      .join(banded.toDF("id_b", "ph_b", "chunk", "ck").hint("shuffle_hash"),
+        Seq("chunk", "ck"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "ph_a", "ph_b").distinct()
+      .withColumn("hamming", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 }

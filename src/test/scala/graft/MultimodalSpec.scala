@@ -269,4 +269,70 @@ class MultimodalSpec extends SparkSpec {
       (((h(2 * i) & 0xff) << 8 | (h(2 * i + 1) & 0xff)).toFloat / 65536.0f))
     assert(got == want.toSeq)
   }
+
+  /** 24-bit BMP with arbitrary grayscale pixel content (row-major,
+    * TOP-DOWN input; written bottom-up as positive-height BMPs store). */
+  private def bmpPx(width: Int, height: Int, gray: Array[Int]): Array[Byte] = {
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val dataSize = rowSize * height
+    val buf = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putShort(0).putShort(0).putInt(54)
+    buf.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (y <- (height - 1) to 0 by -1) { // bottom-up row order
+      for (x <- 0 until width) {
+        val v = gray(y * width + x).toByte
+        buf.put(v).put(v).put(v)
+      }
+      for (_ <- 0 until rowSize - width * 3) buf.put(0.toByte)
+    }
+    buf.array()
+  }
+
+  test("dHash64 is identical across formats and robust to small edits") {
+    val w = 36; val h = 32
+    // horizontal gradient: every cell row increases left->right, so every
+    // dHash bit is 0 (cell(x) > cell(x+1) never holds)
+    val grad = Array.tabulate(h * w)(i => (i % w) * 255 / (w - 1))
+    val bmpBytes = bmpPx(w, h, grad)
+    val pngBytes = png(w, h, 1, grad.map(_.toByte), Array.fill(h)(0))
+    val hb = Multimodal.dHash64(bmpBytes).get
+    val hp = Multimodal.dHash64(pngBytes).get
+    assert(hb == 0L, f"gradient dHash should be 0, got $hb%016x")
+    // cross-format: same pixels => same hash (BMP and PNG of one image
+    // dedup against each other)
+    assert(hb == hp)
+    // a small local edit (one darkened cell region) flips few bits
+    val edited = grad.clone()
+    for (y <- 0 until 4; x <- 0 until 4) edited(y * w + (w - 4 + x)) = 0
+    val he = Multimodal.dHash64(bmpPx(w, h, edited)).get
+    assert(java.lang.Long.bitCount(hb ^ he) > 0 &&
+      java.lang.Long.bitCount(hb ^ he) <= 6)
+    // the reversed gradient is maximally different
+    val hr = Multimodal.dHash64(bmpPx(w, h, grad.map(255 - _))).get
+    assert(java.lang.Long.bitCount(hb ^ hr) == 64)
+    // sub-grid images and non-images produce no hash
+    assert(Multimodal.dHash64(bmpPx(8, 4, Array.fill(32)(7))).isEmpty)
+    assert(Multimodal.dHash64("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("imageNearDupPairs: banded hamming finds the edited copy, not the inverse") {
+    val w = 36; val h = 32
+    val grad = Array.tabulate(h * w)(i => (i % w) * 255 / (w - 1))
+    val edited = grad.clone()
+    for (y <- 0 until 4; x <- 0 until 4) edited(y * w + (w - 4 + x)) = 0
+    val frame = Seq(
+      (1L, bmpPx(w, h, grad)),
+      (2L, png(w, h, 1, grad.map(_.toByte), Array.fill(h)(0))), // exact dup, other format
+      (3L, bmpPx(w, h, edited)), // near dup
+      (4L, bmpPx(w, h, grad.map(255 - _))), // inverse — far
+      (5L, "plain text bytes".getBytes("UTF-8")) // not an image
+    ).toDF("id", "content")
+    val pairs = Multimodal.imageNearDupPairs(frame, "id", "content", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairs((1L, 2L)) == 0) // cross-format exact dup
+    assert(pairs((1L, 3L)) > 0 && pairs((1L, 3L)) <= 6)
+  }
 }
