@@ -175,6 +175,118 @@ object SparkEntry {
           col("c_acctbal"), col("n_name"))
     },
 
+    // ---- TPC-H Q4 (order-priority checking, adapted: no l_commitdate /
+    //      l_receiptdate in the testdata schema, so "late" means shipped
+    //      more than 90 days after the order date). The point is the SEMI
+    //      join: the EXISTS probe never widens orders with lineitem
+    //      columns, and Spark's LeftSemi + AQE picks broadcast vs shuffle
+    //      by runtime size ----
+    "q4_priority_check" -> { (s, dir) =>
+      val lo = lit("1996-07-01 00:00:00").cast(TimestampNTZType)
+      val hi = lit("1996-10-01 00:00:00").cast(TimestampNTZType)
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      o.join(l,
+          o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 90 DAY"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // ---- TPC-H Q6 (forecast revenue): the pure scan-filter-agg probe.
+    //      All three predicates and both columns must reach the parquet
+    //      scan (PushedFilters + 4-column ReadSchema); the plan is one
+    //      WholeStageCodegen span with a partial/final agg pair ----
+    "q6_forecast_revenue" -> { (s, dir) =>
+      val lo = lit("1997-01-01 00:00:00").cast(TimestampNTZType)
+      val hi = lit("1998-01-01 00:00:00").cast(TimestampNTZType)
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+            col("l_discount").cast(DecimalType(4, 2))).as("rev_dec"))
+        .select(col("rev_dec").cast(StringType).cast(DoubleType).as("revenue"))
+    },
+
+    // ---- TPC-H Q14 (promo effect): fact-dim join + conditional agg.
+    //      part is a dimension here but GROWS with SF in real TPC-H, so no
+    //      explicit broadcast hint — AQE decides from runtime size (it
+    //      broadcasts at these SFs, falls back to shuffle at 100 TB).
+    //      Both engines compute the two exact decimal sums, then the same
+    //      double division ----
+    "q14_promo_effect" -> { (s, dir) =>
+      val lo = lit("1997-09-01 00:00:00").cast(TimestampNTZType)
+      val hi = lit("1997-10-01 00:00:00").cast(TimestampNTZType)
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_type"))
+      val rev = col("l_extendedprice").cast(DecimalType(12, 2)) *
+        (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(4, 2)))
+      def d(c: org.apache.spark.sql.Column) = c.cast(StringType).cast(DoubleType)
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0).cast(DecimalType(12, 2)))).as("promo_dec"),
+          sum(rev).as("total_dec"))
+        .select((lit(100.0) * d(col("promo_dec")) / d(col("total_dec")))
+          .as("promo_pct"))
+    },
+
+    // ---- TPC-H Q18 (large-volume orders): group-HAVING on the fact, then
+    //      re-join the qualifying keys. The HAVING output (~1.5k keys at
+    //      sf0.01) is tiny relative to lineitem, so the plan aggregates
+    //      FIRST and joins the reduced set — never the other way round ----
+    "q18_large_orders" -> { (s, dir) =>
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      val qty = l.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast(DecimalType(12, 2))).as("qty_dec"))
+        .filter(col("qty_dec") > lit(180).cast(DecimalType(12, 2)))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_totalprice"))
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      qty.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .orderBy(col("qty_dec").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          col("qty_dec").cast(StringType).cast(DoubleType).as("sum_qty"))
+    },
+
+    // ---- TPC-H Q19 (discounted revenue, adapted: no shipmode/shipinstruct
+    //      columns): the DISJUNCTIVE join-predicate probe. The OR-of-ANDs
+    //      mixes part and lineitem attributes, so only the join key itself
+    //      is an equi-condition; the residual disjunction must stay a
+    //      post-join Filter that Catalyst can still use for partial
+    //      pruning (brand/size conjuncts push to the part scan via OR
+    //      factoring) ----
+    "q19_discounted_revenue" -> { (s, dir) =>
+      val l = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+      val p = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val cond =
+        (col("p_brand") === "Brand#4" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#19" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(20, 40))
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(cond)
+        .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+          (lit(1).cast(DecimalType(3, 2)) -
+            col("l_discount").cast(DecimalType(4, 2)))).as("rev_dec"))
+        .select(col("rev_dec").cast(StringType).cast(DoubleType).as("revenue"))
+    },
+
     // ---- J1/J2: lookup join + aggregation into mapping ----
     "j1_lookup_join" -> { (s, dir) =>
       val c = t(s, dir, "customer")
@@ -1300,6 +1412,68 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // ---- X: canonical-document selection — collapse each near-dup
+    //      cluster (components of the x3/x39 LSH pairs) to its LONGEST
+    //      member (ties: lowest doc_id), singletons keep themselves. The
+    //      argmax is a partial-aggregable max(struct(score,-id,id)) — one
+    //      narrow shuffle, no per-cluster window sort; the oracle replays
+    //      components via the recursive CTE + a window argmax ----
+    "x69_canonical_per_cluster" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text")
+      graft.operators.Dedup.canonicalPerCluster(docs, pairs, "doc_id",
+          col("n_chars"))
+        .orderBy(col("cluster"))
+    },
+
+    // ---- X: near-dup cluster-size distribution — how much of the corpus
+    //      sits in dup groups of each size (the curation dashboard number
+    //      that decides dedup aggressiveness). Two narrow count aggs over
+    //      the component labels ----
+    "x70_cluster_size_dist" -> { (s, dir) =>
+      val pairs = graft.operators.Dedup.minhashLshPairs(
+        t(s, dir, "documents"), "doc_id", "text")
+      graft.operators.ConnectedComponents.labels(pairs, "id_a", "id_b")
+        .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("cluster_size"))
+    },
+
+    // ---- X: vocabulary coverage / OOV rate — per-document fraction of
+    //      token occurrences outside the corpus top-500 vocabulary (the
+    //      tokenizer-fit diagnostic before training). One corpus explode
+    //      feeds BOTH the frequency table and the per-doc scan; the
+    //      500-row vocab broadcasts, ties at the cutoff break on token
+    //      text so the boundary is deterministic in both engines ----
+    "x71_vocab_oov" -> { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok").asc).limit(500)
+        .select(col("tok"), lit(1).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          (sum(when(col("in_vocab").isNull, 1L).otherwise(0L)) /
+            count(lit(1))).as("oov_rate"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- X: CUBE over the event log (event_type x hour-of-day with all
+    //      subtotal planes) — the grouping-sets twin of x26's ROLLUP.
+    //      Spark expands to one Expand + a single hash agg; ordering pins
+    //      NULLS FIRST explicitly because the engines' defaults differ ----
+    "x72_cube_events" -> { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"), hour(col("ts")).cast(LongType).as("hr"),
+          col("value"))
+        .cube(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6)))
+            .cast(StringType).cast(DoubleType).as("sum_value"))
+        .orderBy(asc_nulls_first("event_type"), asc_nulls_first("hr"))
+    },
+
     // ---- X: volume-anomaly detection over the event log — integer-exact
     //      z-score test ((n*cnt - S)^2 > sigma^2*(n*SS - S^2), all
     //      DECIMAL(38,0) products of BIGINT aggregates), so the flag set
@@ -1474,6 +1648,64 @@ object SparkEntry {
          SELECT c_custkey, c_name, CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue,
            c_acctbal, n_name
          FROM rev ORDER BY rev_dec DESC, c_custkey ASC LIMIT 20""",
+
+    "q4_priority_check" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+           AND o_orderdate < TIMESTAMP '1996-10-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           * CAST(l_discount AS DECIMAL(4,2))) AS VARCHAR) AS DOUBLE) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+
+    "q14_promo_effect" ->
+      """WITH s AS (
+           SELECT
+             sum(CASE WHEN p_type = 'PROMO'
+               THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+               ELSE CAST(0 AS DECIMAL(12,2)) END) AS promo_dec,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS total_dec
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+             AND l_shipdate < TIMESTAMP '1997-10-01')
+         SELECT 100.0 * CAST(CAST(promo_dec AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(total_dec AS VARCHAR) AS DOUBLE) AS promo_pct
+         FROM s""",
+
+    "q18_large_orders" ->
+      """WITH qty AS (
+           SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty_dec
+           FROM lineitem GROUP BY l_orderkey
+           HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > CAST(180 AS DECIMAL(12,2)))
+         SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(CAST(qty_dec AS VARCHAR) AS DOUBLE) AS sum_qty
+         FROM qty
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY qty_dec DESC, o_orderkey ASC LIMIT 100""",
+
+    "q19_discounted_revenue" ->
+      """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE)
+           AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1 AND 20)
+            OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+                AND l_quantity BETWEEN 10 AND 30)
+            OR (p_brand = 'Brand#19' AND p_size BETWEEN 20 AND 50
+                AND l_quantity BETWEEN 20 AND 40)""",
 
     "j1_lookup_join" ->
       """SELECT r_name, n_name, count(*) AS n_customers,
@@ -2121,6 +2353,84 @@ object SparkEntry {
                          SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u)
          SELECT a AS id, least(min(b), a) AS component
          FROM reach GROUP BY a ORDER BY id""",
+
+    "x69_canonical_per_cluster" ->
+      """WITH RECURSIVE
+         w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+                FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1))) t(i)),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                   FROM sh a JOIN sh b USING (s)
+                   WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         pairs AS (SELECT id_a, id_b
+                   FROM inter JOIN sz sa ON id_a = sa.doc_id
+                              JOIN sz sb ON id_b = sb.doc_id
+                   WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8),
+         edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach(a, b) AS (SELECT u, v FROM edges
+                         UNION
+                         SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u),
+         lab AS (SELECT a AS id, least(min(b), a) AS component
+                 FROM reach GROUP BY a),
+         m AS (SELECT d.doc_id, coalesce(l.component, d.doc_id) AS cluster,
+                      d.n_chars
+               FROM documents d LEFT JOIN lab l ON d.doc_id = l.id),
+         r AS (SELECT cluster, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY cluster
+                   ORDER BY n_chars DESC, doc_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY cluster) AS n_members
+               FROM m)
+         SELECT cluster, doc_id AS kept_id, n_members, n_chars AS kept_score
+         FROM r WHERE rn = 1 ORDER BY cluster""",
+
+    "x70_cluster_size_dist" ->
+      """WITH RECURSIVE
+         w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+                FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1))) t(i)),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                   FROM sh a JOIN sh b USING (s)
+                   WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         pairs AS (SELECT id_a, id_b
+                   FROM inter JOIN sz sa ON id_a = sa.doc_id
+                              JOIN sz sb ON id_b = sb.doc_id
+                   WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8),
+         edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach(a, b) AS (SELECT u, v FROM edges
+                         UNION
+                         SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u),
+         lab AS (SELECT a AS id, least(min(b), a) AS component
+                 FROM reach GROUP BY a),
+         cs AS (SELECT component, count(*) AS cluster_size
+                FROM lab GROUP BY component)
+         SELECT cluster_size, count(*) AS n_clusters
+         FROM cs GROUP BY cluster_size ORDER BY cluster_size""",
+
+    "x71_vocab_oov" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+         freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+         vocab AS (SELECT tok FROM freq ORDER BY c DESC, tok ASC LIMIT 500),
+         j AS (SELECT t.doc_id,
+                 CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+               FROM tok t LEFT JOIN vocab v ON t.tok = v.tok)
+         SELECT doc_id, count(*) AS n_tokens,
+           CAST(sum(oov) AS DOUBLE) / count(*) AS oov_rate
+         FROM j GROUP BY doc_id ORDER BY doc_id""",
+
+    "x72_cube_events" ->
+      """SELECT event_type,
+           CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
+           count(*) AS n,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+             AS sum_value
+         FROM events
+         GROUP BY CUBE(event_type, CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT))
+         ORDER BY event_type ASC NULLS FIRST, hr ASC NULLS FIRST""",
 
     "x40_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t FROM events),

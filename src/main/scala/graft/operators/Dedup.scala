@@ -625,4 +625,34 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
+
+  /** Canonical-document selection: collapse each near-dup cluster to ONE
+    * representative — the standard curation move after pair discovery
+    * (keep the longest/highest-quality member, drop the rest) rather than
+    * the keep-lowest-id rule the plain dedup entries use. Clusters are
+    * connected components of `pairs`; documents in no pair are their own
+    * singleton cluster. The winner is argmax of `scoreCol` with ties to
+    * the LOWEST id — encoded as `max(struct(score, -id, id))`, a partial-
+    * aggregable one-shuffle argmax (no per-cluster window sort).
+    *
+    * Scale shape: the labels frame is bounded by near-dup NODES (a small
+    * fraction of the corpus), so the corpus-side left join streams; the
+    * cluster agg shuffles one narrow row per document. Output: one row per
+    * kept document (cluster, kept_id, n_members, best score).
+    */
+  def canonicalPerCluster(df: DataFrame, pairs: DataFrame, idCol: String,
+      scoreCol: Column): DataFrame = {
+    val labels = ConnectedComponents.labels(pairs, "id_a", "id_b")
+      .toDF("id", "cluster")
+    val members = df
+      .select(col(idCol).cast(LongType).as("id"), scoreCol.cast(LongType).as("score"))
+      .join(labels, Seq("id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("id")))
+    members.groupBy(col("cluster"))
+      .agg(
+        max(struct(col("score"), (-col("id")).as("neg_id"), col("id"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster"), col("best.id").as("kept_id"),
+        col("n_members"), col("best.score").as("kept_score"))
+  }
 }

@@ -22,6 +22,18 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(out.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 4L))
   }
 
+  test("canonicalPerCluster keeps argmax score per component, ties to lowest id, singletons kept") {
+    val df = Seq(
+      (1L, 10L), (2L, 30L), (3L, 30L), // cluster {1,2,3}: 2 and 3 tie at 30 -> keep 2
+      (4L, 5L), (5L, 9L),              // cluster {4,5}: keep 5
+      (6L, 7L)                         // singleton: keeps itself
+    ).toDF("id", "len")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Dedup.canonicalPerCluster(df, pairs, "id", col("len"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set((1L, 2L, 3L, 30L), (4L, 5L, 2L, 9L), (6L, 6L, 1L, 7L)))
+  }
+
   test("minhash LSH finds the same pairs as exact ngram jaccard (recall check)") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
