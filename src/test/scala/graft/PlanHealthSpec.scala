@@ -316,4 +316,71 @@ class PlanHealthSpec extends SparkSpec {
     assert(!p.contains("windowspecdefinition()"),
       s"e5 has an unpartitioned window:\n$p")
   }
+
+  test("q6: all three predicates AND both agg columns reach the parquet scan") {
+    val p = plan("q6_forecast_revenue")
+    // the toString rendering truncates the PushedFilters list, so assert the
+    // pushdown started (IsNotNull batch leads the list) and that the full
+    // Filter carries all three business predicates
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"q6 predicates did not push to the scan:\n$p")
+    assert(p.contains(">= 1997-01-01") && p.contains("l_quantity#") &&
+      p.contains("0.07"), s"q6 lost a predicate:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_partkey"),
+      s"q6 scan reads columns it never uses: $readSchema")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"q6 must partial-aggregate map-side:\n$p")
+  }
+
+  test("q4: the EXISTS probe stays a LeftSemi equi-join (orders never widen)") {
+    val p = plan("q4_priority_check")
+    assert(p.contains("LeftSemi"), s"q4 must semi-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q4 fell off its equi-join:\n$p")
+  }
+
+  test("q18: lineitem aggregates to order keys BEFORE any join; scan pruned to 2 cols") {
+    val p = plan("q18_large_orders")
+    val liSchema = p.linesIterator
+      .filter(_.contains("ReadSchema")).find(_.contains("l_orderkey")).getOrElse("")
+    assert(liSchema.contains("l_quantity") && !liSchema.contains("l_extendedprice"),
+      s"q18 lineitem scan must read only (l_orderkey, l_quantity): $liSchema")
+    // the HAVING agg must sit below the joins: the first join operator in
+    // the plan string appears AFTER the first (deepest-printed) aggregate
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q18 fell off its equi-joins:\n$p")
+  }
+
+  test("q19: disjunctive predicate factors onto the part scan; join stays equi-keyed") {
+    val p = plan("q19_discounted_revenue")
+    // brand IN (...) / Or(...) conjuncts extractable from the OR-of-ANDs
+    // must reach the part scan as pushed filters
+    assert(p.contains("Or(") || p.contains("In(p_brand"),
+      s"q19 lost the factored part-side pushdown:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q19 fell off its equi-join:\n$p")
+  }
+
+  test("x69: canonical selection is a one-shuffle argmax agg — no per-cluster window") {
+    val p = plan("x69_canonical_per_cluster")
+    assert(!p.contains("Window ["), s"x69 must argmax via agg, not a window sort:\n$p")
+    // struct-max is not hash-aggregable — Spark plans SortAggregate — but
+    // the partial (map-side) phase must still exist before the shuffle
+    assert(p.contains("partial_max(struct"),
+      s"x69 cluster argmax must partial-aggregate:\n$p")
+  }
+
+  test("x71: the top-500 vocabulary broadcasts — the token stream never shuffles for the join") {
+    val p = plan("x71_vocab_oov")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"),
+      s"x71 vocab must broadcast-left-join:\n$p")
+  }
+
+  test("x72: CUBE plans one Expand + hash aggregation, no repeated scans") {
+    val p = plan("x72_cube_events")
+    assert(p.contains("Expand"), s"x72 must use grouping-set Expand:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"x72 must scan events exactly once:\n$p")
+  }
 }
