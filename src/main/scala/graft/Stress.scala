@@ -231,7 +231,31 @@ object Stress {
         // time range), so wall must stay ~flat
         "count_outliers" -> (() =>
           operators.EventAnalytics.countOutliers(events, "event_type", "ts",
-            bucketSeconds = 3600L, sigma = 2).count()))
+            bucketSeconds = 3600L, sigma = 2).count()),
+        // pair graph + closure + one argmax shuffle: must track the pair
+        // search (components never chain across replicas)
+        "canonical_select" -> (() =>
+          operators.Dedup.canonicalPerCluster(
+            docs.withColumn("len", length(col("text"))),
+            operators.Dedup.minhashLshPairs(docs, "doc_id", "text",
+              threshold = 0.8),
+            "doc_id", col("len")).count()),
+        // disjoint replica vocabularies grow the frequency table linearly,
+        // but the vocab stays 500 rows (broadcast) and the per-doc agg is
+        // one corpus shuffle — wall must track the explode, not the vocab
+        "vocab_oov" -> (() => {
+          val toks = docs.select(col("doc_id"),
+            explode(split(col("text"), " ")).as("tok"))
+          val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+            .orderBy(col("c").desc, col("tok").asc).limit(500)
+            .select(col("tok"), lit(1).as("in_vocab"))
+          toks.join(broadcast(vocab), Seq("tok"), "left")
+            .groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_tokens"),
+              (sum(when(col("in_vocab").isNull, 1L).otherwise(0L)) /
+                count(lit(1))).as("oov_rate"))
+            .count()
+        }))
 
       // SPARK_GRAFT_STRESS_OPS=a,b,c runs only the named ops (bisection
       // runs shouldn't pay the full sweep per hypothesis)
