@@ -287,6 +287,52 @@ object SparkEntry {
         .select(col("rev_dec").cast(StringType).cast(DoubleType).as("revenue"))
     },
 
+    // ---- TPC-H Q15 (top supplier): aggregate per supplier, then select
+    //      the argmax row(s) by equality against the 1-row max — the max
+    //      broadcasts (scale-safe scalar subquery), revenue compared as
+    //      EXACT decimal so the equality can't 1-ulp-miss ----
+    "q15_top_supplier" -> { (s, dir) =>
+      val lo = lit("1996-01-01 00:00:00").cast(TimestampNTZType)
+      val hi = lit("1996-04-01 00:00:00").cast(TimestampNTZType)
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+          (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(4, 2))))
+          .as("rev_dec"))
+      val mx = rev.agg(max(col("rev_dec")).as("mx"))
+      val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+      rev.join(broadcast(mx), col("rev_dec") === col("mx"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .orderBy(col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("rev_dec").cast(StringType).cast(DoubleType).as("total_rev"))
+    },
+
+    // ---- TPC-H Q17 (small-quantity revenue): the correlated per-part
+    //      average, DEcorrelated into one keyed window over the brand's
+    //      lineitems — one shuffle on l_partkey, no second lineitem scan,
+    //      no join-back. The threshold qty < 0.2*avg(qty) is evaluated
+    //      integer-exactly as 5*n*qty < S (DECIMAL products of the exact
+    //      per-part sum/count), so no borderline 1-ulp row flips ----
+    "q17_small_qty_revenue" -> { (s, dir) =>
+      val p = t(s, dir, "part").filter(col("p_brand") === "Brand#4")
+        .select(col("p_partkey"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val w = Window.partitionBy(col("l_partkey"))
+      val joined = l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .withColumn("s_dec",
+          sum(col("l_quantity").cast(DecimalType(12, 2))).over(w))
+        .withColumn("n_rows", count(lit(1)).over(w))
+      joined
+        .filter(col("l_quantity").cast(DecimalType(12, 2)) *
+          lit(5).cast(DecimalType(3, 0)) * col("n_rows") < col("s_dec"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2))).as("rev_dec"))
+        .select((col("rev_dec").cast(StringType).cast(DoubleType) / lit(7.0))
+          .as("avg_yearly"))
+    },
+
     // ---- J1/J2: lookup join + aggregation into mapping ----
     "j1_lookup_join" -> { (s, dir) =>
       val c = t(s, dir, "customer")
@@ -1706,6 +1752,34 @@ object SparkEntry {
                 AND l_quantity BETWEEN 10 AND 30)
             OR (p_brand = 'Brand#19' AND p_size BETWEEN 20 AND 50
                 AND l_quantity BETWEEN 20 AND 40)""",
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey, sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS rev_dec
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name,
+           CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS total_rev
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE rev_dec = (SELECT max(rev_dec) FROM rev)
+         ORDER BY s_suppkey""",
+
+    "q17_small_qty_revenue" ->
+      """WITH b AS (
+           SELECT l_quantity, l_extendedprice,
+             sum(CAST(l_quantity AS DECIMAL(12,2)))
+               OVER (PARTITION BY l_partkey) AS s_dec,
+             count(*) OVER (PARTITION BY l_partkey) AS n_rows
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_brand = 'Brand#4')
+         SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR)
+             AS DOUBLE) / 7.0 AS avg_yearly
+         FROM b
+         WHERE CAST(l_quantity AS DECIMAL(12,2)) * CAST(5 AS DECIMAL(3,0)) * n_rows
+           < s_dec""",
 
     "j1_lookup_join" ->
       """SELECT r_name, n_name, count(*) AS n_customers,

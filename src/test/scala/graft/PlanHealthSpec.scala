@@ -362,6 +362,22 @@ class PlanHealthSpec extends SparkSpec {
       s"q19 fell off its equi-join:\n$p")
   }
 
+  test("q15: the scalar max broadcasts back as an equi join — no second lineitem pass for the argmax") {
+    val p = plan("q15_top_supplier")
+    assert(p.contains("BroadcastHashJoin"), s"q15 max row must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q15 fell off its equi-joins:\n$p")
+  }
+
+  test("q17: the per-part average decorrelates into ONE keyed window over ONE lineitem scan") {
+    val p = plan("q17_small_qty_revenue")
+    assert("Scan parquet".r.findAllIn(p).size == 2, // lineitem + part, once each
+      s"q17 must scan lineitem exactly once:\n$p")
+    assert(p.contains("windowspecdefinition(l_partkey"),
+      s"q17 window must be keyed on l_partkey:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"q17 brand parts must broadcast:\n$p")
+  }
+
   test("x69: canonical selection is a one-shuffle argmax agg — no per-cluster window") {
     val p = plan("x69_canonical_per_cluster")
     assert(!p.contains("Window ["), s"x69 must argmax via agg, not a window sort:\n$p")
