@@ -1520,6 +1520,42 @@ object SparkEntry {
         .orderBy(asc_nulls_first("event_type"), asc_nulls_first("hr"))
     },
 
+    // ---- X: CDC MERGE (upsert/delete apply) — a change batch derived
+    //      deterministically from stable key slices (U: %7 doubles the
+    //      price, D: %13, I: %11 re-keyed +10M) applied to the orders
+    //      snapshot in ONE equi full-outer shuffle join + a narrow
+    //      projection; the oracle replays MERGE semantics as FULL JOIN +
+    //      CASE ----
+    "x73_merge_upsert" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val upd = o.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("op", lit("U"))
+      val del = o.filter(col("o_orderkey") % 13 === 0 && col("o_orderkey") % 7 =!= 0)
+        .withColumn("op", lit("D"))
+      val ins = o.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+        .withColumn("op", lit("I"))
+      graft.operators.Cdc.mergeUpsert(
+          o, upd.unionByName(del).unionByName(ins), "o_orderkey")
+        .orderBy(col("o_orderkey"))
+    },
+
+    // ---- X: SCD2 historization — validity intervals per business key
+    //      from the ordered event log (valid_from = entry ts, valid_to =
+    //      the key's next ts, null = current). One KEYED window; interval
+    //      bounds exported as epoch micros so both engines emit BIGINT ----
+    "x74_scd2_intervals" -> { (s, dir) =>
+      graft.operators.Cdc.scd2Intervals(
+          t(s, dir, "events").select("user_id", "event_id", "ts"),
+          "user_id", "ts", tieCols = Seq("event_id"))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("valid_from")).as("valid_from_us"),
+          unix_micros(col("valid_to")).as("valid_to_us"),
+          col("is_current"))
+        .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
+    },
+
     // ---- X: volume-anomaly detection over the event log — integer-exact
     //      z-score test ((n*cnt - S)^2 > sigma^2*(n*SS - S^2), all
     //      DECIMAL(38,0) products of BIGINT aggregates), so the flag set
@@ -2505,6 +2541,44 @@ object SparkEntry {
          FROM events
          GROUP BY CUBE(event_type, CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT))
          ORDER BY event_type ASC NULLS FIRST, hr ASC NULLS FIRST""",
+
+    "x73_merge_upsert" ->
+      """WITH ch AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+                  o_totalprice * 2 AS o_totalprice, o_orderdate,
+                  o_orderpriority, 'U' AS op
+           FROM orders WHERE o_orderkey % 7 = 0
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  o_orderdate, o_orderpriority, 'D'
+           FROM orders WHERE o_orderkey % 13 = 0 AND o_orderkey % 7 <> 0
+           UNION ALL
+           SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+                  o_totalprice, o_orderdate, o_orderpriority, 'I'
+           FROM orders WHERE o_orderkey % 11 = 0),
+         m AS (
+           SELECT coalesce(c.o_orderkey, s.o_orderkey) AS o_orderkey,
+             CASE WHEN c.op IN ('I','U') THEN c.o_custkey ELSE s.o_custkey END AS o_custkey,
+             CASE WHEN c.op IN ('I','U') THEN c.o_orderstatus ELSE s.o_orderstatus END AS o_orderstatus,
+             CASE WHEN c.op IN ('I','U') THEN c.o_totalprice ELSE s.o_totalprice END AS o_totalprice,
+             CASE WHEN c.op IN ('I','U') THEN c.o_orderdate ELSE s.o_orderdate END AS o_orderdate,
+             CASE WHEN c.op IN ('I','U') THEN c.o_orderpriority ELSE s.o_orderpriority END AS o_orderpriority,
+             c.op AS op
+           FROM orders s FULL JOIN ch c ON s.o_orderkey = c.o_orderkey)
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate, o_orderpriority
+         FROM m WHERE op IS NULL OR op <> 'D' ORDER BY o_orderkey""",
+
+    "x74_scd2_intervals" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t
+                    FROM events)
+         SELECT user_id, event_id,
+           epoch_us(t) AS valid_from_us,
+           epoch_us(lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id))
+             AS valid_to_us,
+           lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+             AS is_current
+         FROM e ORDER BY user_id, valid_from_us, event_id""",
 
     "x40_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t FROM events),

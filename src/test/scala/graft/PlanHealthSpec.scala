@@ -393,6 +393,22 @@ class PlanHealthSpec extends SparkSpec {
       s"x71 vocab must broadcast-left-join:\n$p")
   }
 
+  test("x73: MERGE apply is one equi full-outer shuffle join — no BNL, no window") {
+    val p = plan("x73_merge_upsert")
+    assert(p.contains("FullOuter"), s"x73 must full-outer join on the key:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"x73 fell off its equi-join:\n$p")
+    assert(!p.contains("Window ["), s"x73 must not window:\n$p")
+  }
+
+  test("x74: SCD2 history is one keyed window (partitioned by the business key)") {
+    val p = plan("x74_scd2_intervals")
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"x74 window must be keyed on user_id:\n$p")
+    assert(!p.contains("windowspecdefinition()"),
+      s"x74 has an unpartitioned window:\n$p")
+  }
+
   test("x72: CUBE plans one Expand + hash aggregation, no repeated scans") {
     val p = plan("x72_cube_events")
     assert(p.contains("Expand"), s"x72 must use grouping-set Expand:\n$p")
