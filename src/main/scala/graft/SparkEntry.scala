@@ -1556,6 +1556,22 @@ object SparkEntry {
         .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
     },
 
+    // ---- X: Z-order (Morton) interleave of two bucketed dims — the
+    //      multi-column data-skipping layout key. The value computation
+    //      (what the oracle can check) is a pure codegen'd shift/mask
+    //      projection; ScaleSpec proves the LAYOUT property (range-split
+    //      z-chunks keep BOTH dims' spans ~sqrt-bounded where a lexico
+    //      sort leaves the second dim unbounded) ----
+    "x75_zorder" -> { (s, dir) =>
+      val e = t(s, dir, "events").select(col("event_id"),
+        pmod(col("user_id"), lit(256L)).as("a"),
+        hour(col("ts")).cast(LongType).as("b"))
+      e.select(col("event_id"),
+          graft.operators.Scale.zOrderValue(col("a"), col("b"), bits = 8)
+            .as("zval"))
+        .orderBy(col("event_id"))
+    },
+
     // ---- X: volume-anomaly detection over the event log — integer-exact
     //      z-score test ((n*cnt - S)^2 > sigma^2*(n*SS - S^2), all
     //      DECIMAL(38,0) products of BIGINT aggregates), so the flag set
@@ -2541,6 +2557,15 @@ object SparkEntry {
          FROM events
          GROUP BY CUBE(event_type, CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT))
          ORDER BY event_type ASC NULLS FIRST, hr ASC NULLS FIRST""",
+
+    "x75_zorder" -> {
+      val terms = (0 until 8).map(i =>
+        s"((((a >> $i) & 1) << ${2 * i}) | (((b >> $i) & 1) << ${2 * i + 1}))")
+        .mkString(" | ")
+      s"""WITH e AS (SELECT event_id, user_id % 256 AS a,
+            CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS b FROM events)
+          SELECT event_id, ($terms) AS zval FROM e ORDER BY event_id"""
+    },
 
     "x73_merge_upsert" ->
       """WITH ch AS (

@@ -109,4 +109,33 @@ object Scale {
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
   }
+
+  /** Z-order (Morton) interleave of two bucketed dimensions — the
+    * multi-column data-skipping layout: files range-partitioned on the
+    * Z-value keep BOTH dimensions' per-file min/max ranges narrow
+    * (~sqrt(files) of the domain each), so predicates on EITHER column
+    * prune files, where a lexicographic sort prunes only its leading
+    * column. Inputs must already be bucketed to [0, 2^bits) ints (rank,
+    * modulo, or range bucketing — caller's choice); the interleave itself
+    * is `bits` shift/mask terms per column, a pure codegen'd projection.
+    */
+  def zOrderValue(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Lay a frame out for multi-dimensional data skipping: range-partition
+    * on the Z-value of the two bucketed dims into `numFiles` partitions
+    * and sort within each — `.write.parquet` then produces one file per
+    * partition whose footer min/max stats are tight in BOTH dims. */
+  def zOrderLayout(df: DataFrame, aBucket: Column, bBucket: Column,
+      numFiles: Int, bits: Int = 16): DataFrame = {
+    val z = zOrderValue(aBucket, bBucket, bits).as("__graft_zval")
+    df.withColumn("__graft_zval", z)
+      .repartitionByRange(numFiles, col("__graft_zval"))
+      .sortWithinPartitions(col("__graft_zval"))
+  }
 }

@@ -82,6 +82,40 @@ class ScaleSpec extends SparkSpec {
       orders.join(lineitem, Seq("o_orderkey")).count())
   }
 
+  test("zOrderValue round-trips bit interleave; z-range chunks bound BOTH dims where a lex sort doesn't") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // full 64x64 grid; 6-bit interleave
+    val grid = spark.range(64L * 64)
+      .select((col("id") / 64).cast("long").as("a"), (col("id") % 64).as("b"))
+    val z = grid.withColumn("z",
+      operators.Scale.zOrderValue(col("a"), col("b"), bits = 6))
+    // bijectivity: 4096 distinct z-values in [0, 4096)
+    val stats = z.agg(countDistinct("z"), min("z"), max("z")).head()
+    assert(stats.getLong(0) == 4096 && stats.getLong(1) == 0L && stats.getLong(2) == 4095L)
+    // spot-check the interleave definition
+    val probe = z.filter(col("a") === 5 && col("b") === 3).head().getAs[Long]("z")
+    // a=101, b=011 -> z bits (b2 a2 b1 a1 b0 a0) = 0 1 1 0 1 1 = 27... compute:
+    def morton(a: Long, b: Long): Long =
+      (0 until 6).map(i => (((a >> i) & 1) << (2 * i)) | (((b >> i) & 1) << (2 * i + 1))).reduce(_ | _)
+    assert(probe == morton(5, 3))
+    // locality: split the z-ordered grid into 16 contiguous chunks of 256
+    // rows (z IS the dense rank here — 4096 consecutive values — so the
+    // chunk id is simply z div 256, i.e. perfectly aligned 16x16 blocks):
+    // per-chunk span of EACH dim is 15. A lexicographic sort by a leaves
+    // b spanning the full domain in every chunk.
+    val spans = z.withColumn("chunk", (col("z") / 256).cast("long"))
+      .groupBy("chunk")
+      .agg((max("a") - min("a")).as("sa"), (max("b") - min("b")).as("sb"))
+      .agg(max("sa"), max("sb")).head()
+    assert(spans.getLong(0) == 15 && spans.getLong(1) == 15,
+      s"z-chunks must bound both dims at 15: $spans")
+    val lexSpans = grid.withColumn("chunk", (col("a") / 4).cast("long")) // 16 chunks of 4 a-values
+      .groupBy("chunk").agg((max("b") - min("b")).as("sb"))
+      .agg(max("sb")).head()
+    assert(lexSpans.getLong(0) == 63, "lex chunks leave the second dim unbounded")
+  }
+
   test("strictCheckpointCompat re-reads checkpoints (types re-stringified, like the reference)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_strict").toString
     val src = java.nio.file.Paths.get(dir, "in.csv")
