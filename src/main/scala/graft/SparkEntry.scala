@@ -333,6 +333,285 @@ object SparkEntry {
           .as("avg_yearly"))
     },
 
+    // ---- TPC-H Q7 (volume shipping): bilateral trade between two nations
+    //      by ship year. The nation filter is applied to supplier and
+    //      customer BEFORE the fact joins (broadcast the 2-row nation
+    //      slice), so both fact sides shrink before shuffling; the
+    //      cross-pair condition (one nation each way) stays a residual
+    //      predicate on the joined frame ----
+    "q7_volume_shipping" -> { (s, dir) =>
+      val lo = lit("1996-01-01 00:00:00").cast(TimestampNTZType)
+      val hi = lit("1998-01-01 00:00:00").cast(TimestampNTZType)
+      val pair = Seq("NATION_1", "NATION_2")
+      val n1 = t(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+          col("l_extendedprice"), col("l_discount"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast(LongType).as("l_year"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+          (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(4, 2))))
+          .as("rev_dec"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+          col("rev_dec").cast(StringType).cast(DoubleType).as("revenue"))
+    },
+
+    // ---- TPC-H Q8 (national market share): one nation's share of a
+    //      part-type's revenue inside a customer region, by order year.
+    //      Share = conditional decimal sum / total decimal sum — one
+    //      aggregate pass, no second scan; region prunes customers via a
+    //      broadcast dim chain before the fact join ----
+    "q8_market_share" -> { (s, dir) =>
+      val lo = lit("1996-01-01 00:00:00").cast(TimestampNTZType)
+      val hi = lit("1998-01-01 00:00:00").cast(TimestampNTZType)
+      val p = t(s, dir, "part").filter(col("p_type") === "ECONOMY")
+        .select(col("p_partkey"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+      val r = t(s, dir, "region").filter(col("r_name") === "EUROPE")
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(n2.join(broadcast(r),
+          col("n_regionkey") === col("r_regionkey")).select(col("cn_key"))),
+          col("c_nationkey") === col("cn_key"))
+        .select(col("c_custkey"))
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+      val vol = col("l_extendedprice").cast(DecimalType(12, 2)) *
+        (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(4, 2)))
+      def d(c: org.apache.spark.sql.Column) = c.cast(StringType).cast(DoubleType)
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_5", vol)
+            .otherwise(lit(0).cast(DecimalType(12, 2)))).as("nat_dec"),
+          sum(vol).as("all_dec"))
+        .orderBy(col("o_year"))
+        .select(col("o_year"), (d(col("nat_dec")) / d(col("all_dec"))).as("mkt_share"))
+    },
+
+    // ---- TPC-H Q9 (product-type profit, adapted: the testdata has no
+    //      partsupp/ps_supplycost, so cost = p_retailprice * quantity).
+    //      Both profit terms are decimal products with the SAME scale so
+    //      the per-row subtraction — and therefore the sum — is exact and
+    //      order-independent in both engines ----
+    "q9_product_profit" -> { (s, dir) =>
+      val p = t(s, dir, "part").filter(col("p_name").like("%red%"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val n = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name").as("nation"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      val profit = col("l_extendedprice").cast(DecimalType(12, 2)) *
+        (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(4, 2))) -
+        col("p_retailprice").cast(DecimalType(12, 2)) *
+        col("l_quantity").cast(DecimalType(12, 2))
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).cast(LongType).as("o_year"))
+        .agg(sum(profit).as("profit_dec"))
+        .orderBy(col("nation"), col("o_year").desc)
+        .select(col("nation"), col("o_year"),
+          col("profit_dec").cast(StringType).cast(DoubleType).as("sum_profit"))
+    },
+
+    // ---- TPC-H Q11 (important stock, adapted: inventory value per part is
+    //      derived from lineitem, no partsupp). The share threshold is
+    //      evaluated as an integer-exact decimal cross-multiply
+    //      (value*10000 > total*7, i.e. share > 0.07%) against the
+    //      broadcast 1-row grand total — never a double division that
+    //      could 1-ulp-flip a borderline part ----
+    "q11_important_stock" -> { (s, dir) =>
+      val pv = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_quantity"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+          col("l_quantity").cast(DecimalType(12, 2))).as("value_dec"))
+      val tot = pv.agg(sum(col("value_dec")).as("total_dec"))
+      pv.crossJoin(broadcast(tot))
+        .filter(col("value_dec") * lit(10000) > col("total_dec") * lit(7))
+        .orderBy(col("value_dec").desc, col("l_partkey"))
+        .select(col("l_partkey"),
+          col("value_dec").cast(StringType).cast(DoubleType).as("part_value"))
+    },
+
+    // ---- TPC-H Q12 (ship-mode priority, adapted: no l_shipmode /
+    //      commit/receipt dates — l_linestatus stands in for the mode and
+    //      "late" means shipped >60 days after the order date). The
+    //      classic join + conditional-count shape ----
+    "q12_shipmode_priority" -> { (s, dir) =>
+      val lo = lit("1996-01-01 00:00:00").cast(TimestampNTZType)
+      val hi = lit("1997-01-01 00:00:00").cast(TimestampNTZType)
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .select(col("l_orderkey"), col("l_shipdate"), col("l_linestatus"))
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      o.join(l, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_linestatus"))
+    },
+
+    // ---- TPC-H Q13 (customer order-count distribution): LEFT join with a
+    //      non-key residual condition (priority filter rides the join, not
+    //      a WHERE — customers with only urgent orders still count as 0),
+    //      then a two-level aggregation. count(col) counts non-null, so
+    //      the outer-join nulls become the 0 bucket for free ----
+    "q13_customer_distribution" -> { (s, dir) =>
+      val c = t(s, dir, "customer").select(col("c_custkey"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // ---- TPC-H Q16 (parts/supplier relationship, adapted: supplier
+    //      exclusion is acctbal<0 instead of the comment scan). NOT IN
+    //      compiles to a broadcast ANTI join (the excluded set is tiny);
+    //      distinct suppliers per (brand,type,size) is a partial-agg
+    //      countDistinct, no Expand explosion ----
+    "q16_parts_suppliers" -> { (s, dir) =>
+      val sizes = Seq(1, 4, 7, 10, 14, 19, 25, 28, 31, 36)
+      val p = t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#3" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(sizes: _*))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      val badSup = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      val l = t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(badSup), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    },
+
+    // ---- TPC-H Q20 (potential promotion, adapted: "availability" is the
+    //      shipped quantity per (supplier,part) in the year, no partsupp).
+    //      The qualifying-supplier set is derived by aggregate-then-filter
+    //      and applied to supplier as a LEFT SEMI join — supplier rows
+    //      never widen with lineitem columns ----
+    "q20_potential_promotion" -> { (s, dir) =>
+      val lo = lit("1997-01-01 00:00:00").cast(TimestampNTZType)
+      val hi = lit("1998-01-01 00:00:00").cast(TimestampNTZType)
+      val p = t(s, dir, "part").filter(col("p_name").like("%red%"))
+        .select(col("p_partkey"))
+      val shipped = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .select(col("l_suppkey"), col("l_partkey"), col("l_quantity"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity").cast(DecimalType(12, 2))).as("qty_dec"))
+        .filter(col("qty_dec") > lit(60).cast(DecimalType(12, 2)))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .select(col("l_suppkey"))
+      t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+        .join(shipped, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .orderBy(col("s_suppkey"))
+    },
+
+    // ---- TPC-H Q21 (suppliers who kept orders waiting, adapted: "late" is
+    //      l_returnflag='R'). The correlated EXISTS / NOT EXISTS pair is
+    //      DEcorrelated into ONE per-order aggregate — n distinct suppliers
+    //      and n distinct late suppliers — then a single equi-join back to
+    //      the candidate rows. Two lineitem scans total (candidates +
+    //      per-order profile), versus the naive four of the nested-EXISTS
+    //      plan, and no correlated re-probe per row ----
+    "q21_waiting_supplier" -> { (s, dir) =>
+      val perOrder = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("po_orderkey"), col("l_suppkey"),
+          col("l_returnflag"))
+        .groupBy(col("po_orderkey"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+            .as("n_late_supp"))
+        .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+        .select(col("po_orderkey"))
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"))
+      val l1 = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+      l1.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(perOrder, col("l_orderkey") === col("po_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    },
+
+    // ---- TPC-H Q22 (global sales opportunity, adapted: nation names stand
+    //      in for phone country codes; "no recent orders" replaces "no
+    //      orders" because every synthetic customer has some). The scalar
+    //      avg threshold is a broadcast 1-row (count,sum) frame compared
+    //      integer-exactly (bal*n > sum), and the recent-order exclusion
+    //      is a LEFT ANTI join on the date-pruned orders scan ----
+    "q22_global_sales" -> { (s, dir) =>
+      val nations = Seq("NATION_3", "NATION_7", "NATION_11", "NATION_15",
+        "NATION_19")
+      val n = t(s, dir, "nation").filter(col("n_name").isin(nations: _*))
+        .select(col("n_nationkey"), col("n_name"))
+      val sel = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      val m = sel.filter(col("c_acctbal") > 0)
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast(DecimalType(18, 2))).as("s_dec"))
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01 00:00:00").cast(TimestampNTZType))
+        .select(col("o_custkey"))
+      sel.crossJoin(broadcast(m))
+        .filter(col("c_acctbal").cast(DecimalType(18, 2)) * col("n") > col("s_dec"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("n_name").as("cntry"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast(DecimalType(18, 2)))
+            .cast(StringType).cast(DoubleType).as("totacctbal"))
+        .orderBy(col("cntry"))
+    },
+
     // ---- J1/J2: lookup join + aggregation into mapping ----
     "j1_lookup_join" -> { (s, dir) =>
       val c = t(s, dir, "customer")
@@ -1832,6 +2111,153 @@ object SparkEntry {
          FROM b
          WHERE CAST(l_quantity AS DECIMAL(12,2)) * CAST(5 AS DECIMAL(3,0)) * n_rows
            < s_dec""",
+
+    "q7_volume_shipping" ->
+      """WITH v AS (
+           SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS rev_dec
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+           WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+             AND l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1998-01-01'
+           GROUP BY 1, 2, 3)
+         SELECT supp_nation, cust_nation, l_year,
+           CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue
+         FROM v ORDER BY supp_nation, cust_nation, l_year""",
+
+    "q8_market_share" ->
+      """WITH v AS (
+           SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) AS vol_dec,
+             n1.n_name AS supp_nation
+           FROM part
+           JOIN lineitem ON p_partkey = l_partkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+           JOIN region ON n2.n_regionkey = r_regionkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+             AND o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1998-01-01')
+         SELECT o_year,
+           CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN vol_dec
+             ELSE CAST(0 AS DECIMAL(12,2)) END) AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(sum(vol_dec) AS VARCHAR) AS DOUBLE) AS mkt_share
+         FROM v GROUP BY o_year ORDER BY o_year""",
+
+    "q9_product_profit" ->
+      """WITH v AS (
+           SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+               - CAST(p_retailprice AS DECIMAL(12,2))
+                 * CAST(l_quantity AS DECIMAL(12,2))) AS profit_dec
+           FROM part
+           JOIN lineitem ON p_partkey = l_partkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN nation ON s_nationkey = n_nationkey
+           WHERE p_name LIKE '%red%'
+           GROUP BY 1, 2)
+         SELECT nation, o_year, CAST(CAST(profit_dec AS VARCHAR) AS DOUBLE) AS sum_profit
+         FROM v ORDER BY nation, o_year DESC""",
+
+    "q11_important_stock" ->
+      """WITH pv AS (
+           SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(l_quantity AS DECIMAL(12,2))) AS value_dec
+           FROM lineitem GROUP BY l_partkey),
+         tot AS (SELECT sum(value_dec) AS total_dec FROM pv)
+         SELECT l_partkey, CAST(CAST(value_dec AS VARCHAR) AS DOUBLE) AS part_value
+         FROM pv, tot
+         WHERE value_dec * 10000 > total_dec * 7
+         ORDER BY value_dec DESC, l_partkey""",
+
+    "q12_shipmode_priority" ->
+      """SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+           AND l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+         GROUP BY l_linestatus ORDER BY l_linestatus""",
+
+    "q13_customer_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           GROUP BY c_custkey)
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+
+    "q16_parts_suppliers" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM part JOIN lineitem ON p_partkey = l_partkey
+         WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+           AND p_size IN (1, 4, 7, 10, 14, 19, 25, 28, 31, 36)
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY 1, 2, 3
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+
+    "q20_potential_promotion" ->
+      """WITH shipped AS (
+           SELECT l_suppkey, l_partkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty_dec
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1998-01-01'
+           GROUP BY 1, 2)
+         SELECT s_suppkey, s_name FROM supplier
+         WHERE s_suppkey IN (
+           SELECT l_suppkey FROM shipped JOIN part ON l_partkey = p_partkey
+           WHERE p_name LIKE '%red%' AND qty_dec > CAST(60 AS DECIMAL(12,2)))
+         ORDER BY s_suppkey""",
+
+    "q21_waiting_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+         FROM supplier
+         JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+         JOIN orders ON o_orderkey = l1.l_orderkey
+         WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                       WHERE l3.l_orderkey = l1.l_orderkey
+                         AND l3.l_suppkey <> l1.l_suppkey
+                         AND l3.l_returnflag = 'R')
+         GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""",
+
+    "q22_global_sales" ->
+      """WITH sel AS (
+           SELECT c_custkey, c_acctbal, n_name
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11', 'NATION_15',
+             'NATION_19')),
+         m AS (
+           SELECT count(*) AS n, sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s_dec
+           FROM sel WHERE c_acctbal > 0)
+         SELECT n_name AS cntry, CAST(count(*) AS BIGINT) AS numcust,
+           CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+             AS totacctbal
+         FROM sel, m
+         WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s_dec
+           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                           AND o_orderdate >= TIMESTAMP '2000-01-01')
+         GROUP BY n_name ORDER BY n_name""",
 
     "j1_lookup_join" ->
       """SELECT r_name, n_name, count(*) AS n_customers,
