@@ -35,7 +35,14 @@ object Bench {
     // analysis errors were swallowed and 17 broken queries "ran" in 0.05 s).
     // Failed queries are excluded from `queries`/total, reported under
     // `errors`, and fail the whole run's exit code.
-    val raw = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2,... restricts the sweep (builder-side
+    // bisection aid — an in-sweep slowdown that vanishes solo needs the
+    // exact query prefix to reproduce; the driver never sets this)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val raw = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       var err: Option[String] = None
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

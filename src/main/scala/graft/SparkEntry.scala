@@ -1851,6 +1851,26 @@ object SparkEntry {
         .orderBy(col("event_id"))
     },
 
+    // ---- X: first-order Markov transition matrix over per-user event
+    //      sequences — one keyed window (shuffle by user) + one
+    //      partial-agged cell shuffle; the probability normalization runs
+    //      on the k^2 cell frame, not the corpus ----
+    "x76_event_transitions" -> { (s, dir) =>
+      graft.operators.EventAnalytics.transitionMatrix(
+        t(s, dir, "events"), "user_id", "event_type", "ts", "event_id")
+        .orderBy(col("cur"), col("nxt"))
+    },
+
+    // ---- X: per-document top-k TF-IDF keywords (raw-ratio idf variant:
+    //      score = tf*N/df — rank-identical to log-idf and one
+    //      correctly-rounded integer division, so cross-engine exact).
+    //      tf/df/join/window all keyed shuffles; N is one broadcast row ----
+    "x77_tfidf_terms" -> { (s, dir) =>
+      graft.operators.Retrieval.tfidfTopTerms(
+        t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("rk"))
+    },
+
     // ---- X: volume-anomaly detection over the event log — integer-exact
     //      z-score test ((n*cnt - S)^2 > sigma^2*(n*SS - S^2), all
     //      DECIMAL(38,0) products of BIGINT aggregates), so the flag set
@@ -2992,6 +3012,40 @@ object SparkEntry {
             CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS b FROM events)
           SELECT event_id, ($terms) AS zval FROM e ORDER BY event_id"""
     },
+
+    "x76_event_transitions" ->
+      """WITH seq AS (
+           SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS nxt
+           FROM events),
+         c AS (
+           SELECT cur, nxt, count(*) AS cnt
+           FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2)
+         SELECT cur, nxt, cnt,
+           CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER (PARTITION BY cur) AS DOUBLE)
+             AS prob
+         FROM c ORDER BY cur, nxt""",
+
+    "x77_tfidf_terms" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         tf AS (
+           SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         dfreq AS (
+           SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT doc_id, term, tf, df,
+             CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score
+           FROM tf JOIN dfreq USING (term), n),
+         r AS (
+           SELECT doc_id, term, tf, df, score,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, term ASC) AS rk
+           FROM scored)
+         SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf, df, score
+         FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
 
     "x73_merge_upsert" ->
       """WITH ch AS (

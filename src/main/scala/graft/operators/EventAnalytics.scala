@@ -136,4 +136,40 @@ object EventAnalytics {
       .select(col("event_type"), (col("bk") * lit(busc)).as("bucket_us"),
         col("cnt"))
   }
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * for every ordered pair of consecutive event types (within one user's
+    * timeline), the transition count and the conditional probability
+    * P(next | current). The staple "where do users go from here" model
+    * behind next-event prediction, anomalous-flow detection, and
+    * clickstream simulation.
+    *
+    * 100 TB shape: one keyed window (shuffle by user — each user's
+    * timeline sorts independently, no global order), then one partial-agged
+    * shuffle to (cur, next) cells. The probability normalization runs on
+    * the |types|² cell frame — k² rows, not events — so the second window
+    * is free. The tie column makes the per-user order total (two events at
+    * the same instant would otherwise make `lead` nondeterministic).
+    *
+    * Probabilities are exact-integer divisions done once in double
+    * (cnt/total, both exact BIGINTs — a single correctly-rounded IEEE op,
+    * reproducible across engines).
+    */
+  def transitionMatrix(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DoubleType
+    val perUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val cells = events
+      .select(col(userCol), col(typeCol).as("cur"), col(tsCol), col(tieCol))
+      .withColumn("nxt", lead(col("cur"), 1).over(perUser))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("cur"), col("nxt"))
+      .agg(count(lit(1)).as("cnt"))
+    val perCur = Window.partitionBy(col("cur"))
+    cells.withColumn("prob",
+      col("cnt").cast(DoubleType) /
+        sum(col("cnt")).over(perCur).cast(DoubleType))
+  }
 }

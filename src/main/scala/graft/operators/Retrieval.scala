@@ -79,4 +79,45 @@ object Retrieval {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Per-document top-k TF-IDF keywords — the corpus-wide dual of
+    * [[bm25TopK]]: instead of ranking documents against one query, rank
+    * every document's OWN terms by distinctiveness (keyword extraction /
+    * topic labeling / index-term selection for every document at once).
+    *
+    * Scoring uses the raw-ratio idf variant score = tf * N / df rather
+    * than a logarithm: log is monotone, so per-document term RANKINGS are
+    * identical to log-idf, and the ratio is one correctly-rounded IEEE
+    * division of two exact integers — bit-reproducible across engines,
+    * where `ln` implementations may differ in the last ulp and flip
+    * near-tied ranks.
+    *
+    * 100 TB shape: tf is one partial-agged shuffle on (doc, term); df
+    * re-aggregates the tf frame (term cardinality, not corpus size); the
+    * tf⋈df join shuffles on term with no broadcast of the growing
+    * vocabulary; the final top-k per document is a keyed window over the
+    * doc's own terms (shuffle by doc), never a global sort. The corpus
+    * count N is ONE broadcast scalar row.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be >= 1")
+    val tf = docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val perDoc = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+      .withColumn("rk", row_number().over(perDoc).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("rk"), col("term"), col("tf"), col("df"),
+        col("score"))
+  }
 }

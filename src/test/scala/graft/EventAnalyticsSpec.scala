@@ -144,4 +144,36 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(math.pow(12 * 40 - 73, 2) > 4 * (12 * 1721 - 73 * 73))
     assert(math.pow(12 * 3 - 73, 2) < 4 * (12 * 1721 - 73 * 73))
   }
+
+  test("transitionMatrix: per-user consecutive pairs, probabilities sum to 1") {
+    val ev = Seq(
+      // u1: a -> b -> a -> c   (pairs: a->b, b->a, a->c)
+      (1L, "a", ts("2024-01-01 10:00:00"), 1L),
+      (1L, "b", ts("2024-01-01 10:01:00"), 2L),
+      (1L, "a", ts("2024-01-01 10:02:00"), 3L),
+      (1L, "c", ts("2024-01-01 10:03:00"), 4L),
+      // u2: a -> b              (pair: a->b)
+      (2L, "a", ts("2024-01-01 09:00:00"), 5L),
+      (2L, "b", ts("2024-01-01 09:05:00"), 6L),
+      // u3: single event -> contributes no pair
+      (3L, "c", ts("2024-01-01 08:00:00"), 7L),
+      // same-instant tie within u4: event_id breaks it (8 before 9)
+      (4L, "b", ts("2024-01-01 07:00:00"), 8L),
+      (4L, "c", ts("2024-01-01 07:00:00"), 9L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+
+    val out = EventAnalytics.transitionMatrix(ev, "user_id", "event_type",
+      "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+
+    assert(out(("a", "b")) == ((2L, 2.0 / 3)))
+    assert(out(("a", "c")) == ((1L, 1.0 / 3)))
+    assert(out(("b", "a"))._1 == 1L)
+    assert(out(("b", "c"))._1 == 1L) // the u4 tie resolved by event_id
+    assert(!out.keySet.exists(_._1 == "c")) // no c->? pair anywhere
+    // probabilities per cur sum to 1 exactly for these denominators
+    val byCur = out.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2._2).sum)
+    byCur.foreach { case (_, p) => assert(math.abs(p - 1.0) < 1e-12) }
+  }
 }

@@ -165,4 +165,27 @@ class RetrievalLmSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(out(("a", "b")) == expected)
   }
+
+  test("tfidfTopTerms: rare terms outrank common ones; k bounds per doc") {
+    val docs = Seq(
+      (1L, "the the the cat cat zebra"), // tf: the=3 cat=2 zebra=1
+      (2L, "the dog"),
+      (3L, "the cat dog")
+    ).toDF("doc_id", "text")
+    // N=3; df: the=3, cat=2, dog=2, zebra=1
+    val out = Retrieval.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    // doc1 scores: zebra 1*3/1=3, cat 2*3/2=3, the 3*3/3=3 — all tie at 3;
+    // ties break term-ascending: cat, the, zebra -> top2 = cat, the
+    assert(out((1L, 1L))._1 == "cat" && out((1L, 1L))._4 == 3.0)
+    assert(out((1L, 2L))._1 == "the")
+    // doc2: dog 1*3/2=1.5 beats the 1*3/3=1
+    assert(out((2L, 1L)) == (("dog", 1L, 2L, 1.5)))
+    assert(out((2L, 2L)) == (("the", 1L, 3L, 1.0)))
+    // k=2 bounds every doc (doc3 has 3 distinct terms)
+    assert(out.keySet.map(_._2).max == 2L)
+  }
 }
