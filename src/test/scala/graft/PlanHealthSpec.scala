@@ -415,4 +415,92 @@ class PlanHealthSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).size == 1,
       s"x72 must scan events exactly once:\n$p")
   }
+
+  test("q7/q8/q9: nation slices broadcast; every fact join stays equi-keyed") {
+    for (name <- Seq("q7_volume_shipping", "q8_market_share",
+        "q9_product_profit")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name must broadcast its dimension slices:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name fell off its equi-joins:\n$p")
+    }
+  }
+
+  test("q11: per-part values aggregate BEFORE the scalar total broadcasts back") {
+    val p = plan("q11_important_stock")
+    // the only non-equi join is the intended 1-row scalar broadcast
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1,
+      s"q11 must have exactly the one scalar-total BNL:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"q11 per-part agg must partial-aggregate:\n$p")
+  }
+
+  test("q12: the ship-date range reaches the lineitem scan; no cartesian") {
+    val p = plan("q12_shipmode_priority")
+    val liSchema = p.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString("\n")
+    assert(liSchema.contains("l_shipdate"),
+      s"q12 lost the lineitem date pushdown:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q12 fell off its equi-join:\n$p")
+  }
+
+  test("q13: LEFT join keeps zero-order customers; priority filter pushes to the orders scan") {
+    val p = plan("q13_customer_distribution")
+    assert(p.contains("LeftOuter"), s"q13 must left-join:\n$p")
+    assert(p.linesIterator.filter(_.contains("PushedFilters"))
+      .exists(_.contains("o_orderpriority")),
+      s"q13 must push the priority filter into the orders scan:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 3,
+      s"q13 needs its two-level aggregation:\n$p")
+  }
+
+  test("q16: supplier exclusion is a broadcast ANTI join; sizes push to the part scan") {
+    val p = plan("q16_parts_suppliers")
+    assert(p.contains("LeftAnti"), s"q16 must anti-join the excluded suppliers:\n$p")
+    assert(p.linesIterator.filter(_.contains("PushedFilters"))
+      .exists(s => s.contains("In(p_size") || s.contains("p_size")),
+      s"q16 must push the size IN-list into the part scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q16 fell off its equi-joins:\n$p")
+  }
+
+  test("q20: qualifying suppliers reach supplier as a LEFT SEMI (no widening)") {
+    val p = plan("q20_potential_promotion")
+    assert(p.contains("LeftSemi"), s"q20 must semi-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q20 fell off its equi-joins:\n$p")
+  }
+
+  test("q21: EXISTS pair decorrelates to 4 scans total (2x lineitem), all equi-joined") {
+    val p = plan("q21_waiting_supplier")
+    assert("Scan parquet".r.findAllIn(p).size == 4,
+      s"q21 must scan lineitem twice + orders + supplier, nothing more:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q21 fell off its equi-joins:\n$p")
+  }
+
+  test("q22: the recent-orders exclusion is an equi ANTI join; only the 1-row stats frame BNLs") {
+    val p = plan("q22_global_sales")
+    assert(p.contains("LeftAnti"), s"q22 must anti-join recent orders:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"q22 must BNL only the scalar stats row:\n$p")
+  }
+
+  test("x76: the transition window is keyed by user; normalization runs on the cell frame") {
+    val p = plan("x76_event_transitions")
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"x76 lead window must be keyed on user_id:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"x76 cell counts must partial-aggregate:\n$p")
+  }
+
+  test("x77: tf-idf windows are keyed by document; the df join never broadcasts the vocabulary") {
+    val p = plan("x77_tfidf_terms")
+    assert(p.contains("windowspecdefinition(doc_id"),
+      s"x77 top-k window must be keyed on doc_id:\n$p")
+    assert(!p.contains("windowspecdefinition()"),
+      s"x77 has an unpartitioned window:\n$p")
+  }
 }
