@@ -1871,6 +1871,29 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("rk"))
     },
 
+    // ---- X: gate-provable HLL distinct sketch — md5-derived registers
+    //      (max-rho cells, 256/group survive the shuffle) + exact-integer
+    //      harmonic sum, so the estimate reproduces bit-for-bit on any
+    //      engine (unlike approx_count_distinct's private sketch). Exact
+    //      twin joined alongside for the accuracy read ----
+    "x78_hll_distinct" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      // two cardinality regimes in one gate: user_id (n < 2.5m — the
+      // linear-counting branch) and event_id (n >> m — the raw harmonic
+      // branch), each against its exact twin
+      val hllU = graft.operators.Profile.hllDistinct(ev, "event_type", "user_id")
+        .select(col("event_type"), col("hll_est").as("user_est"))
+      val hllE = graft.operators.Profile.hllDistinct(ev, "event_type", "event_id")
+        .select(col("event_type"), col("hll_est").as("event_est"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("event_id")).as("n_events"))
+      exact.join(hllU, Seq("event_type")).join(hllE, Seq("event_type"))
+        .orderBy(col("event_type"))
+        .select(col("event_type"), col("n_users"), col("user_est"),
+          col("n_events"), col("event_est"))
+    },
+
     // ---- X: volume-anomaly detection over the event log — integer-exact
     //      z-score test ((n*cnt - S)^2 > sigma^2*(n*SS - S^2), all
     //      DECIMAL(38,0) products of BIGINT aggregates), so the flag set
@@ -3046,6 +3069,57 @@ object SparkEntry {
            FROM scored)
          SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf, df, score
          FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
+
+    "x78_hll_distinct" ->
+      """WITH hu AS (
+           SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+           FROM events),
+         he AS (
+           SELECT event_type,
+             ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h
+           FROM events),
+         cu AS (
+           SELECT event_type, h % 256 AS j,
+             max(53 - length(ltrim(bin(h // 256), '0'))) AS m
+           FROM hu GROUP BY 1, 2),
+         ce AS (
+           SELECT event_type, h % 256 AS j,
+             max(53 - length(ltrim(bin(h // 256), '0'))) AS m
+           FROM he GROUP BY 1, 2),
+         su AS (
+           SELECT event_type,
+             0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0
+               / CAST(sum(CAST(1 AS BIGINT) << (53 - m))
+                 + (256 - count(*)) * 9007199254740992 AS DOUBLE) AS raw,
+             count(*) AS nr
+           FROM cu GROUP BY 1),
+         se AS (
+           SELECT event_type,
+             0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0
+               / CAST(sum(CAST(1 AS BIGINT) << (53 - m))
+                 + (256 - count(*)) * 9007199254740992 AS DOUBLE) AS raw,
+             count(*) AS nr
+           FROM ce GROUP BY 1),
+         eu AS (
+           SELECT event_type,
+             round(CASE WHEN raw <= 640.0 AND nr < 256
+               THEN 256.0 * ln(256.0 / CAST(256 - nr AS DOUBLE))
+               ELSE raw END, 4) AS user_est
+           FROM su),
+         ee AS (
+           SELECT event_type,
+             round(CASE WHEN raw <= 640.0 AND nr < 256
+               THEN 256.0 * ln(256.0 / CAST(256 - nr AS DOUBLE))
+               ELSE raw END, 4) AS event_est
+           FROM se),
+         ex AS (
+           SELECT event_type, count(DISTINCT user_id) AS n_users,
+             count(DISTINCT event_id) AS n_events
+           FROM events GROUP BY 1)
+         SELECT event_type, n_users, user_est, n_events, event_est
+         FROM ex JOIN eu USING (event_type) JOIN ee USING (event_type)
+         ORDER BY event_type""",
 
     "x73_merge_upsert" ->
       """WITH ch AS (

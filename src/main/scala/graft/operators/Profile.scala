@@ -75,4 +75,61 @@ object Profile {
       .select(col("bin"), (lit(lo) + col("bin") * width).as("lo_edge"),
         col("n"))
   }
+
+  /** Deterministic HyperLogLog distinct estimate per group (Flajolet et
+    * al. 2007), built from the repo's md5-long hash so the SAME registers
+    * — and therefore the SAME estimate, bit for bit — reproduce on any
+    * engine. Spark's `approx_count_distinct` is also HLL but its hash and
+    * register layout are implementation-private; this variant exists so a
+    * sketch-based cardinality can be GATE-PROVEN against an oracle rather
+    * than trusted, and so registers persisted by one system can be merged
+    * by another (max per register is the merge).
+    *
+    * Layout: 60-bit md5 hash; low 8 bits pick one of m=256 registers; the
+    * remaining 52 bits w give rho = (leading zeros of w in 52 bits) + 1,
+    * computed EXACTLY as 53 - bitlength(w) via string `bin()` (no
+    * floating log). The harmonic denominator sums 2^(53-M_j) as exact
+    * BIGINTs — the 2^53 scaling keeps even the rho=53 (w=0) register
+    * integral; absent registers contribute 2^53 each and the max total
+    * 2^61 fits comfortably — so the only floating steps are the final
+    * alpha*m^2*2^53/S division and (below 2.5m) the standard
+    * linear-counting correction m*ln(m/V) over the exact empty-register
+    * count V — both written in one fixed literal order both engines
+    * replay (ln + round-to-4 is the established cross-engine recipe, see
+    * LanguageModel's gated NLL scores).
+    *
+    * 100 TB shape: one narrow projection (hash + register + rho), one
+    * partial-agged shuffle to (group, register) max-rho cells — at most
+    * 256 rows per group survive — then a per-group fold of those cells.
+    * The exact `count_distinct` twin this replaces would Expand the corpus.
+    * Output: (group, n_registers long, hll_est double rounded to 4).
+    */
+  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val h = graft.functions.TextFunctions.md5Long(col(valueCol))
+    val cells = df
+      .select(col(groupCol), h.as("h"))
+      // NB: Spark's two-arg SQL ltrim is (trimStr, str) — REVERSED from
+      // DuckDB/Postgres — so the Scala `ltrim(col, trim)` function is the
+      // unambiguous spelling here
+      .select(col(groupCol), expr("h % 256").as("j"),
+        (lit(53) - length(ltrim(bin(expr("h div 256")), "0"))).as("rho"))
+      .groupBy(col(groupCol), col("j"))
+      .agg(max(col("rho")).as("m"))
+    val two53 = 9007199254740992L // 2^53
+    val raw =
+      lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
+        lit(65536.0) * lit(two53.toDouble) /
+        (col("s_present") + (lit(256L) - col("n_registers")) * lit(two53))
+          .cast("double")
+    val lc = lit(256.0) *
+      log(lit(256.0) / (lit(256L) - col("n_registers")).cast("double"))
+    cells.groupBy(col(groupCol))
+      .agg(
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), 53 - m)")).as("s_present"),
+        count(lit(1)).as("n_registers"))
+      .select(col(groupCol), col("n_registers"),
+        round(
+          when(raw <= 640.0 && col("n_registers") < 256L, lc).otherwise(raw),
+          4).as("hll_est"))
+  }
 }

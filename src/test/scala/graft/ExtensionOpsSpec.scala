@@ -538,4 +538,25 @@ class ExtensionOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!aggPlan.contains("Expand"))
   }
+
+  test("hllDistinct: both regimes accurate, partitioning-invariant, no Expand") {
+    // raw-harmonic regime: 3000 distincts >> m=256 -> within ~4 sigma
+    // (sigma = 1.04/sqrt(256) = 6.5%); LC regime: 40 << 2.5m -> within 10%
+    val big = spark.range(3000).selectExpr("'g' AS g", "CAST(id AS STRING) AS v")
+    val small = spark.range(40).selectExpr("'h' AS g", "CAST(id + 90000 AS STRING) AS v")
+    val df = big.union(small)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Profile.hllDistinct(d, "g", "v")
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val out = run(df)
+    assert(math.abs(out("g") - 3000.0) / 3000.0 < 0.26, s"raw est ${out("g")}")
+    assert(math.abs(out("h") - 40.0) / 40.0 < 0.10, s"LC est ${out("h")}")
+    // determinism: the estimate is a pure function of the value SET, not
+    // of partitioning or row order (register max is commutative)
+    assert(run(df.repartition(7)) == out)
+    // sketch shape: max-rho cells then a bounded fold — no Expand, no Join
+    val plan = graft.operators.Profile.hllDistinct(df, "g", "v")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand") && !plan.contains("Join"), plan)
+  }
 }
