@@ -558,14 +558,18 @@ object SparkEntry {
     //      per-order profile), versus the naive four of the nested-EXISTS
     //      plan, and no correlated re-probe per row ----
     "q21_waiting_supplier" -> { (s, dir) =>
+      // the two distinct-counts are computed via (order, supplier) CELLS —
+      // one partial-agged shuffle that map-side-combines the ~7 lines per
+      // pair — rather than Spark's multi-countDistinct Expand, which would
+      // double every lineitem row before the shuffle
       val perOrder = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("po_orderkey"), col("l_suppkey"),
-          col("l_returnflag"))
+          (col("l_returnflag") === "R").as("is_late"))
+        .groupBy(col("po_orderkey"), col("l_suppkey"))
+        .agg(max(col("is_late")).as("late"))
         .groupBy(col("po_orderkey"))
-        .agg(
-          countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
-            .as("n_late_supp"))
+        .agg(count(lit(1)).as("n_supp"),
+          sum(when(col("late"), 1L).otherwise(0L)).as("n_late_supp"))
         .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
         .select(col("po_orderkey"))
       val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
