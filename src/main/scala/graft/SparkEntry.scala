@@ -1898,6 +1898,48 @@ object SparkEntry {
           col("n_events"), col("event_est"))
     },
 
+    // ---- X: pre-flight join-skew probe (the st4 view x purchase shape):
+    //      both sides reduce to per-key counts before anything joins —
+    //      the diagnostic that decides salting/broadcast/AQE thresholds
+    //      without paying for the join ----
+    "x79_join_skew_probe" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      graft.operators.Scale.joinSkewProbe(
+        ev.filter(col("event_type") === "view"), "user_id",
+        ev.filter(col("event_type") === "purchase"), "user_id",
+        topK = 10)
+    },
+
+    // ---- X: confusion matrix for the x7 language labeler against the
+    //      ground-truth lang column — cells + row-normalized rates; the
+    //      normalization window runs on the k^2 cell frame ----
+    "x80_langid_confusion" -> { (s, dir) =>
+      val pred = t(s, dir, "documents").select(col("lang"),
+        graft.functions.TextFunctions.langId(col("text")).as("predicted"))
+      graft.operators.Evaluation.confusionMatrix(pred, "lang", "predicted")
+        .orderBy(col("actual"), col("predicted"))
+    },
+
+    // ---- X: reliability curve for a [0,1] heuristic scorer (en-stopword
+    //      density as an is-English predictor) — decile bins over the
+    //      6-decimal scores (DECIMAL(18,6) recovers them exactly, so
+    //      per-bin sums are order-independent) vs observed positive rate.
+    //      The one-step x50 scorer clusters at 0.5 (1 bin — useless as a
+    //      curve); the density score spreads across all 10 ----
+    "x81_score_calibration" -> { (s, dir) =>
+      import graft.functions.TextFunctions
+      val scored = t(s, dir, "documents").select(
+        round(least(
+          TextFunctions.stopwordHits(col("text"), "en").cast(DoubleType) /
+            greatest(size(TextFunctions.tokens(lower(col("text")))), lit(1))
+              .cast(DoubleType) * lit(5.0),
+          lit(1.0)), 6).as("p"),
+        (col("lang") === "en").as("label"))
+      graft.operators.Evaluation.calibrationCurve(scored, "p", "label",
+        bins = 10)
+        .orderBy(col("bin"))
+    },
+
     // ---- X: volume-anomaly detection over the event log — integer-exact
     //      z-score test ((n*cnt - S)^2 > sigma^2*(n*SS - S^2), all
     //      DECIMAL(38,0) products of BIGINT aggregates), so the flag set
@@ -3124,6 +3166,56 @@ object SparkEntry {
          SELECT event_type, n_users, user_est, n_events, event_est
          FROM ex JOIN eu USING (event_type) JOIN ee USING (event_type)
          ORDER BY event_type""",
+
+    "x79_join_skew_probe" ->
+      """WITH lc AS (
+           SELECT user_id AS key, count(*) AS cnt_l FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         rc AS (
+           SELECT user_id AS key, count(*) AS cnt_r FROM events
+           WHERE event_type = 'purchase' GROUP BY 1)
+         SELECT key, cnt_l, cnt_r, cnt_l * cnt_r AS out_rows
+         FROM lc JOIN rc USING (key)
+         ORDER BY out_rows DESC, key ASC LIMIT 10""",
+
+    "x80_langid_confusion" ->
+      """WITH h AS (SELECT lang,
+           len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ('the','a','of','and','to','in','is','it','for','on'))) AS en,
+           len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ('der','die','das','und','ist','ein','zu','mit','auf','nicht'))) AS de,
+           len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ('le','la','les','et','est','un','une','dans','pour','que'))) AS fr
+         FROM documents),
+         p AS (SELECT lang AS actual,
+           CASE WHEN greatest(en, de, fr) = 0 THEN 'und'
+                WHEN de >= en AND de >= fr THEN 'de'
+                WHEN en >= fr THEN 'en'
+                ELSE 'fr' END AS predicted
+         FROM h),
+         c AS (SELECT actual, predicted, count(*) AS n FROM p GROUP BY 1, 2)
+         SELECT actual, predicted, n,
+           CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY actual) AS DOUBLE)
+             AS rate
+         FROM c ORDER BY actual, predicted""",
+
+    "x81_score_calibration" ->
+      """WITH scored AS (SELECT
+             round(least(CAST(len(list_filter(string_split(lower(text), ' '),
+               w -> w IN ('the','a','of','and','to','in','is','it','for','on')))
+                 AS DOUBLE)
+               / CAST(greatest(len(string_split(lower(text), ' ')), 1) AS DOUBLE)
+               * 5.0, 1.0), 6) AS p,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM documents),
+         binned AS (SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin,
+             CAST(p AS DECIMAL(18,6)) AS p_dec, CAST(y AS BIGINT) AS y
+           FROM scored)
+         SELECT bin, count(*) AS n,
+           CAST(CAST(sum(p_dec) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS mean_score,
+           CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS frac_pos
+         FROM binned GROUP BY bin ORDER BY bin""",
 
     "x73_merge_upsert" ->
       """WITH ch AS (

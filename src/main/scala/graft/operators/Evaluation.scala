@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, StringType}
+
+/** Model-evaluation reports over corpus-scale predictions — the QA loop
+  * for the classifier/heuristic operators (langId, bowLogisticScore,
+  * quality filters): a labeler is only trustworthy with its confusion
+  * matrix and calibration curve next to it. The reference has no model
+  * machinery; these mirror its REPORTING habit (phase summaries,
+  * TableDiff counters) applied to predictions.
+  *
+  * Both reports reduce the corpus to tiny cell frames before any
+  * non-keyed work — the shapes survive 100 TB because the expensive part
+  * is always one partial-agged groupBy over the prediction pass.
+  */
+object Evaluation {
+
+  /** Confusion matrix with row-normalized rates: one row per observed
+    * (actual, predicted) pair — n and P(predicted | actual). The
+    * normalization window runs on the k^2 cell frame (k = label
+    * cardinality), not the corpus; the rate is one correctly-rounded
+    * IEEE division of two exact BIGINTs, reproducible across engines.
+    */
+  def confusionMatrix(df: DataFrame, actualCol: String,
+      predictedCol: String): DataFrame = {
+    val cells = df
+      .select(col(actualCol).as("actual"), col(predictedCol).as("predicted"))
+      .groupBy(col("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+    val perActual = Window.partitionBy(col("actual"))
+    cells.withColumn("rate",
+      col("n").cast(DoubleType) / sum(col("n")).over(perActual).cast(DoubleType))
+  }
+
+  /** Reliability (calibration) curve: scores binned into `bins` equal
+    * buckets over [0,1]; per bucket the count, mean predicted score, and
+    * observed positive rate. A well-calibrated scorer has mean_score ≈
+    * frac_pos per bin.
+    *
+    * Exactness: scores are expected to be 6-decimal-rounded doubles (the
+    * repo's scorer convention, e.g. bowLogisticScore) — casting to
+    * DECIMAL(18,6) recovers the decimal value exactly (the nearest
+    * 6-decimal to such a double is unique), so the per-bin sum is
+    * order-independent and the means divide exactly once in double.
+    * The bin id floor(score*bins) clamps 1.0 into the top bin.
+    *
+    * 100 TB shape: one narrow projection + one partial-agged groupBy over
+    * at most `bins` keys.
+    */
+  def calibrationCurve(df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1, "bins must be >= 1")
+    def d(c: Column) = c.cast(StringType).cast(DoubleType)
+    val bin = least(floor(col(scoreCol) * bins).cast("long"), lit(bins - 1L))
+    df.select(bin.as("bin"),
+        col(scoreCol).cast(DecimalType(18, 6)).as("p_dec"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("p_dec")).as("sp"),
+        sum(col("y")).as("npos"))
+      .select(col("bin"), col("n"),
+        (d(col("sp")) / col("n").cast(DoubleType)).as("mean_score"),
+        (col("npos").cast(DoubleType) / col("n").cast(DoubleType))
+          .as("frac_pos"))
+  }
+}

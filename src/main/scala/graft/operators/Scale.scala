@@ -138,4 +138,30 @@ object Scale {
       .repartitionByRange(numFiles, col("__graft_zval"))
       .sortWithinPartitions(col("__graft_zval"))
   }
+
+  /** Pre-flight skew diagnostic for a planned equi-join: per-key row
+    * counts on both sides and the per-key output cardinality cnt_l*cnt_r,
+    * top-k keys. The numbers that decide whether a join needs
+    * [[saltedJoin]], a broadcast, or an AQE skew threshold BEFORE paying
+    * for the join — the sum of out_rows over all keys is the join's exact
+    * output size, and one dominant key is the shuffle straggler.
+    *
+    * 100 TB shape: both sides reduce to per-key counts with map-side
+    * partial aggregation (the wire carries keys, not rows); the count
+    * frames join on the key and TakeOrdered keeps k rows. Nothing about
+    * the probe is heavier than two groupBy-counts.
+    */
+  def joinSkewProbe(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String, topK: Int): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val lc = left.groupBy(col(leftKey).as("key"))
+      .agg(count(lit(1)).as("cnt_l"))
+    val rc = right.groupBy(col(rightKey).as("key"))
+      .agg(count(lit(1)).as("cnt_r"))
+    lc.join(rc, Seq("key"))
+      .select(col("key"), col("cnt_l"), col("cnt_r"),
+        (col("cnt_l") * col("cnt_r")).as("out_rows"))
+      .orderBy(col("out_rows").desc, col("key").asc)
+      .limit(topK)
+  }
 }

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Evaluation
+
+class EvaluationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("confusionMatrix: cells, row-normalized rates, absent pairs omitted") {
+    val df = Seq(
+      ("en", "en"), ("en", "en"), ("en", "de"),
+      ("de", "de"),
+      ("fr", "en")
+    ).toDF("truth", "guess")
+    val out = Evaluation.confusionMatrix(df, "truth", "guess")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(("en", "en")) == ((2L, 2.0 / 3)))
+    assert(out(("en", "de")) == ((1L, 1.0 / 3)))
+    assert(out(("de", "de")) == ((1L, 1.0)))
+    assert(out(("fr", "en")) == ((1L, 1.0)))
+    assert(out.size == 4) // zero cells never materialize
+  }
+
+  test("calibrationCurve: binning edges, exact decimal means, top-bin clamp") {
+    val df = Seq(
+      (0.05, false), (0.05, true),   // bin 0: mean 0.05, pos rate 0.5
+      (0.95, true), (1.0, true),     // bin 9 (1.0 clamps down): mean 0.975
+      (0.333333, false)              // bin 3
+    ).toDF("p", "y")
+    val out = Evaluation.calibrationCurve(df, "p", "y", bins = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(0L) == ((2L, 0.05, 0.5)))
+    assert(out(9L) == ((2L, 0.975, 1.0)))
+    assert(out(3L) == ((1L, 0.333333, 0.0)))
+    assert(out.size == 3)
+  }
+}

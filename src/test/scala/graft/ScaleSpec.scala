@@ -10,6 +10,22 @@ import graft.sources.Format
 class ScaleSpec extends SparkSpec {
   import spark.implicits._
 
+  test("joinSkewProbe: per-key products predict the join's exact output size") {
+    val left = Seq("hot", "hot", "hot", "warm", "warm", "cold", "lonely")
+      .zipWithIndex.map { case (k, i) => (k, i) }.toDF("k", "l")
+    val right = Seq("hot", "hot", "warm", "cold", "cold", "orphan")
+      .zipWithIndex.map { case (k, i) => (k, i) }.toDF("j", "r")
+    val probe = Scale.joinSkewProbe(left, "k", right, "j", topK = 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // matched keys only; sorted by output contribution
+    assert(probe.toSeq == Seq( // equal out_rows tie-break: key ascending
+      "hot" -> ((3L, 2L, 6L)), "cold" -> ((1L, 2L, 2L)), "warm" -> ((2L, 1L, 2L))))
+    // sum(out_rows) IS the join size
+    assert(probe.map(_._2._3).sum == left.join(right, $"k" === $"j").count())
+    // topK caps the report
+    assert(Scale.joinSkewProbe(left, "k", right, "j", topK = 1).count() == 1)
+  }
+
   test("saltedJoin equals plain join on skewed data") {
     // hot key: 90% of rows share key 'hot'
     val big = (1 to 1000).map(i =>
