@@ -255,7 +255,14 @@ object Stress {
               (sum(when(col("in_vocab").isNull, 1L).otherwise(0L)) /
                 count(lit(1))).as("oov_rate"))
             .count()
-        }))
+        }),
+        "event_transitions" -> (() =>
+          operators.EventAnalytics.transitionMatrix(events,
+            "user_id", "event_type", "ts", "event_id").count()),
+        "tfidf_terms" -> (() =>
+          operators.Retrieval.tfidfTopTerms(docs, "doc_id", "text", 3).count()),
+        "hll_distinct" -> (() =>
+          operators.Profile.hllDistinct(events, "event_type", "user_id").count()))
 
       // SPARK_GRAFT_STRESS_OPS=a,b,c runs only the named ops (bisection
       // runs shouldn't pay the full sweep per hypothesis)
