@@ -51,8 +51,9 @@ object Main {
         case "csv" => Format.Csv
         case "json" => Format.JsonRecord
         case "parquet" => Format.Parquet
+        case "orc" => Format.Orc
         case other => sys.error(
-          s"Unknown --format '$other'; supported: csv, json, parquet")
+          s"Unknown --format '$other'; supported: csv, json, parquet, orc")
       }.getOrElse(Format.Csv)
       // any other --<name> <path> flag is an extra-source init (the
       // reference's incremental args for uninitialized extra sources,

@@ -18,6 +18,7 @@ object Format {
   case object Csv extends Format { val extension = "csv" }
   case object JsonRecord extends Format { val extension = "json" }
   case object Parquet extends Format { val extension = "parquet" }
+  case object Orc extends Format { val extension = "orc" }
 
   def forPath(path: String): Format = {
     val ext = path.reverse.takeWhile(_ != '.').reverse.toLowerCase
@@ -25,6 +26,7 @@ object Format {
       case "csv" => Csv
       case "json" => JsonRecord
       case "parquet" => Parquet
+      case "orc" => Orc
       case other => throw GraftError(s"Unknown file format: '$other' (path $path)")
     }
   }
@@ -243,11 +245,18 @@ object GraftIO {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC: the other columnar scale format (Spark-native reader/writer,
+    * same pushdown/pruning machinery as parquet) — pipelines exchanging
+    * data with Hive/Trino estates read and write it by extension. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   def read(spark: SparkSession, path: String, format: Option[Format] = None): DataFrame =
     format.getOrElse(Format.forPath(path)) match {
       case Format.Csv => readCsv(spark, path)
       case Format.JsonRecord => readJson(spark, path)
       case Format.Parquet => readParquet(spark, path)
+      case Format.Orc => readOrc(spark, path)
     }
 
   /** S3 save_csv (io.py:164-190): one CSV file with header; NaN normalized
@@ -300,6 +309,9 @@ object GraftIO {
   def saveParquet(df: DataFrame, target: String): Unit =
     df.write.mode("overwrite").parquet(target)
 
+  def saveOrc(df: DataFrame, target: String): Unit =
+    df.write.mode("overwrite").orc(target)
+
   /** Hive-partitioned parquet sink — the 100 TB layout primitive. Readers
     * filtering on `partitionCols` prune whole directories at planning time
     * (PartitionFilters in the scan, zero I/O for excluded partitions), so
@@ -318,6 +330,7 @@ object GraftIO {
       case Format.Csv => saveCsv(df, path)
       case Format.JsonRecord => saveJsonRecord(df, path)
       case Format.Parquet => saveParquet(df, path)
+      case Format.Orc => saveOrc(df, path)
     }
 
   // ---- ExtraMapping <-> key/value table (io.py:231-242) ----

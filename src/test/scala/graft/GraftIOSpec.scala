@@ -160,7 +160,26 @@ class GraftIOSpec extends SparkSpec {
     assert(Format.forPath("x.csv") == Format.Csv)
     assert(Format.forPath("x.json") == Format.JsonRecord)
     assert(Format.forPath("x.parquet") == Format.Parquet)
+    assert(Format.forPath("x.orc") == Format.Orc)
     assertThrows[graft.plans.GraftError](Format.forPath("x.xlsx"))
+  }
+
+  test("orc round-trip preserves schema and values; filters push to the orc scan") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val df = spark.range(100).selectExpr(
+      "id", "CAST(id * 2 AS DOUBLE) AS d", "CAST(id AS STRING) AS s")
+    GraftIO.save(df, s"$dir/t.orc")
+    val back = GraftIO.read(spark, s"$dir/t.orc")
+    // file readback is nullable (same as parquet) — compare names/types
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy(col("id")).collect().toSeq ==
+      df.orderBy(col("id")).collect().toSeq)
+    // same pushdown machinery as parquet: the predicate reaches the scan
+    val plan = back.filter(col("id") > 90).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,90)]"),
+      s"orc scan lost pushdown:\n$plan")
   }
 
   test("ExtraMapping <-> key/value table round-trip (io.py:231-242)") {
