@@ -24,4 +24,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(s3.sql(
       "SELECT graft_dot(array(1.0d, 0.0d), array(0.0d, 1.0d)) AS d").head.getDouble(0) == 0.0)
   }
+
+  test("GraftExtensions resolves graft_minhash/graft_simhash from SQL; values match the Scala entry points") {
+    val s2 = spark.newSession()
+    graft.functions.MinhashExpression.register(s2)
+    graft.functions.SimhashExpression.register(s2)
+    // same builders the extension injects — SQL text resolves and agrees
+    // with the Column-API wrappers bit-for-bit
+    val viaSql = s2.sql(
+      "SELECT graft_minhash(split('a b c', ' '), 4) AS mh, " +
+        "graft_simhash(split('a b c', ' ')) AS sh").head
+    import org.apache.spark.sql.functions.{col, split}
+    val viaApi = {
+      val df = s2.sql("SELECT 'a b c' AS t")
+      df.select(
+        graft.functions.MinhashExpression.signature(s2, split(col("t"), " "), 4).as("mh"),
+        graft.functions.SimhashExpression.fingerprint(s2, split(col("t"), " ")).as("sh"))
+        .head
+    }
+    assert(viaSql.getSeq[Long](0) == viaApi.getSeq[Long](0))
+    assert(viaSql.getLong(1) == viaApi.getLong(1))
+    // injection into a bare SparkSessionExtensions is side-effect free
+    // (builders only run at resolution time)
+    new graft.plans.GraftExtensions()
+      .apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
 }
