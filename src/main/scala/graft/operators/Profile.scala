@@ -104,10 +104,16 @@ object Profile {
     * The exact `count_distinct` twin this replaces would Expand the corpus.
     * Output: (group, n_registers long, hll_est double rounded to 4).
     */
-  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    hllEstimate(hllRegisters(df, groupCol, valueCol), groupCol)
+
+  /** The sketch state: (group, register j, max rho) cells — at most 256
+    * rows per group whatever the input size, mergeable by max(rho), and
+    * exactly what a streaming aggregation can hold as bounded state
+    * (see streaming.EventStreams.hllDistinctStream). */
+  def hllRegisters(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val h = graft.functions.TextFunctions.md5Long(col(valueCol))
-    val cells = df
-      .select(col(groupCol), h.as("h"))
+    df.select(col(groupCol), h.as("h"))
       // NB: Spark's two-arg SQL ltrim is (trimStr, str) — REVERSED from
       // DuckDB/Postgres — so the Scala `ltrim(col, trim)` function is the
       // unambiguous spelling here
@@ -115,6 +121,11 @@ object Profile {
         (lit(53) - length(ltrim(bin(expr("h div 256")), "0"))).as("rho"))
       .groupBy(col(groupCol), col("j"))
       .agg(max(col("rho")).as("m"))
+  }
+
+  /** Fold register cells to the per-group estimate (see [[hllDistinct]]
+    * for the exactness argument). */
+  def hllEstimate(cells: DataFrame, groupCol: String): DataFrame = {
     val two53 = 9007199254740992L // 2^53
     val raw =
       lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *

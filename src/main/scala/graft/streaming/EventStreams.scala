@@ -211,4 +211,32 @@ object EventStreams {
     sq.processAllAvailable()
     sq
   }
+
+  /** Streaming distinct-count per group WITHOUT identity state: the HLL
+    * register cells (Profile.hllRegisters — (group, j, max rho)) ARE the
+    * streaming aggregation, so Spark's state store holds at most
+    * 256 rows per group no matter how many distinct values flow past —
+    * the alternative, `dropDuplicates` + count, keys state by VALUE and
+    * grows without bound (watermarks can't save a distinct-count whose
+    * horizon is "forever"). Each trigger folds the current registers to
+    * per-group estimates (Profile.hllEstimate) and hands them to
+    * `writeBatch`; because register max is commutative and the hash is
+    * md5-deterministic, the estimate after N micro-batches is IDENTICAL
+    * to the batch hllDistinct over the union of all batches — the spec
+    * gates exactly that.
+    */
+  def hllDistinctStream(events: DataFrame, groupCol: String, valueCol: String)(
+      writeBatch: (DataFrame, Long) => Unit): StreamingQuery = {
+    val cells = graft.operators.Profile.hllRegisters(events, groupCol, valueCol)
+    val q = cells.writeStream
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatch(
+          graft.operators.Profile.hllEstimate(batch, groupCol), batchId)
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
 }

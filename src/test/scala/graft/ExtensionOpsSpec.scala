@@ -259,6 +259,28 @@ class ExtensionOpsSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("streaming HLL distinct equals the batch sketch; state is register-bounded") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_hll").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = EventStreams.readEvents(spark, dir)
+    @volatile var last: Array[(String, Long, Double)] = Array.empty
+    val sq = EventStreams.hllDistinctStream(stream, "event_type", "user_id") {
+      (est, _) =>
+        last = est.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    }
+    try {
+      val batch = graft.operators.Profile
+        .hllDistinct(Tables.load(spark, sfDir, "events"), "event_type", "user_id")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      // commutative register max + deterministic hash => stream == batch
+      assert(last.sortBy(_._1).toSeq == batch.sortBy(_._1).toSeq)
+      // the streaming state is register cells, never values: <= 256/group
+      assert(last.forall(_._2 <= 256L))
+    } finally sq.stop()
+  }
+
   test("session windows produce bounded per-user sessions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream2").toString
     java.nio.file.Files.copy(
