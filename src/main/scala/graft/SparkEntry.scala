@@ -852,6 +852,30 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // ---- X: deterministic negative sampling for contrastive pairs —
+    //      md5(anchor#i) into the dense id space, no RNG state, pure
+    //      projection after the k-explode ----
+    "x82_negative_pairs" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.Selection.negativePairs(docs, "doc_id", k = 3,
+        n = docs.count())
+        .orderBy(col("anchor"), col("i"))
+    },
+
+    // ---- X: one label-propagation step over the near-dup graph —
+    //      neighbor-majority label via partial-agged min(struct(-cnt,
+    //      label)) argmax (x69's pattern, no per-node window). The Spark
+    //      side walks the LSH pairs; the oracle replays the naive
+    //      jaccard>=0.8 graph the x3 gate proves identical ----
+    "x83_label_propagation" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = graft.operators.Dedup.minhashLshPairs(
+        docs, "doc_id", "text", n = 3, threshold = 0.8)
+      graft.operators.GraphRank.labelPropagationStep(
+        pairs, "id_a", "id_b", docs, "doc_id", "lang")
+        .orderBy(col("node"))
+    },
+
     // ---- X: SimHash near-dup (60-bit, banded hamming<=3) ----
     "x4_dedup_simhash" -> { (s, dir) =>
       graft.operators.Dedup.simhashPairs(
@@ -2489,6 +2513,40 @@ object SparkEntry {
          FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
          ORDER BY id_a, id_b""",
+
+    "x82_negative_pairs" ->
+      """WITH n AS (SELECT count(*) AS n FROM documents),
+         a AS (SELECT doc_id AS anchor, CAST(i AS BIGINT) AS i
+               FROM documents, UNNEST(range(3)) t(i)),
+         c AS (SELECT anchor, i,
+             ('0x' || substr(md5(anchor || '#' || i), 1, 15))::BIGINT
+               % (SELECT n FROM n) AS negative
+           FROM a)
+         SELECT anchor, i, negative FROM c
+         WHERE negative <> anchor ORDER BY anchor, i""",
+
+    "x83_label_propagation" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+                FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1))) t(i)),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                   FROM sh a JOIN sh b USING (s)
+                   WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         p AS (SELECT id_a, id_b
+               FROM inter JOIN sz sa ON id_a = sa.doc_id
+                 JOIN sz sb ON id_b = sb.doc_id
+               WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8),
+         sym AS (SELECT id_a AS a, id_b AS b FROM p
+                 UNION SELECT id_b, id_a FROM p),
+         nl AS (SELECT a, d.lang AS nl FROM sym JOIN documents d ON b = doc_id),
+         v AS (SELECT a, nl, count(*) AS cnt FROM nl GROUP BY 1, 2),
+         best AS (SELECT a, nl,
+             row_number() OVER (PARTITION BY a ORDER BY cnt DESC, nl ASC) AS rk
+           FROM v)
+         SELECT a AS node, d.lang AS old_label, best.nl AS new_label
+         FROM best JOIN documents d ON a = d.doc_id
+         WHERE rk = 1 ORDER BY node""",
 
     "x4_dedup_simhash" ->
       """WITH tok AS (SELECT doc_id, w, count(*) AS cnt FROM (

@@ -112,4 +112,40 @@ object GraphRank {
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** One label-propagation step (the community/semi-supervised staple
+    * over the near-dup graph): every node with at least one neighbor
+    * adopts the MAJORITY label among its neighbors, ties broken by
+    * ascending label. The argmax is a partial-agged `min(struct(-count,
+    * label))` — one shuffle on node, no per-node window sort — following
+    * x69's canonical-selection pattern. Iterating to convergence is
+    * `maxIter` calls re-labeling between steps (each step one pass, like
+    * the Lloyd step x46).
+    *
+    * Output: (node, old_label, new_label) for every node with >= 1
+    * neighbor; isolated nodes keep their label by definition and are not
+    * emitted.
+    */
+  def labelPropagationStep(pairs: DataFrame, aCol: String, bCol: String,
+      labels: DataFrame, idCol: String, labelCol: String): DataFrame = {
+    val e = pairs
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull &&
+        col(aCol) =!= col(bCol))
+      .select(col(aCol).as("a"), col(bCol).as("b"))
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+    val nbrLabel = sym
+      .join(labels.select(col(idCol).as("b"), col(labelCol).as("nl")),
+        Seq("b"))
+    val votes = nbrLabel
+      .groupBy(col("a"), col("nl"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("a"))
+      .agg(min(struct((-col("cnt")).as("neg"), col("nl").as("l"))).as("w"))
+      .select(col("a").as("node"), col("w")("l").as("new_label"))
+    votes
+      .join(labels.select(col(idCol).as("node"),
+        col(labelCol).as("old_label")), Seq("node"))
+      .select(col("node"), col("old_label"), col("new_label"))
+  }
 }

@@ -193,4 +193,30 @@ object Selection {
         row_number().over(win).cast(org.apache.spark.sql.types.LongType))
       .filter(col("rank") <= k)
   }
+
+  /** Deterministic negative sampling for contrastive training pairs: for
+    * every anchor id, k pseudo-random partner ids drawn by md5 hashing
+    * (anchor, draw index) into the id space — reproducible across runs
+    * and engines, no RNG state, no shuffle beyond one narrow projection.
+    *
+    * CONTRACT: ids must be dense [0, n) (the testdata shape; pre-index
+    * with RowNum.assign otherwise) — the draw is `md5(anchor#i) % n`, so
+    * a sparse id space would sample nonexistent partners. Draws that hit
+    * the anchor itself are dropped (self-pairs are useless negatives), so
+    * an anchor yields BETWEEN k-collisions and k rows; callers needing an
+    * exact k should over-draw. No join is needed to materialize the pair
+    * list; joining payloads back on `negative` is a standard keyed join.
+    *
+    * 100 TB shape: explode(k) then a pure projection — the output is
+    * k*n rows but each partition computes its own independently.
+    */
+  def negativePairs(ids: DataFrame, idCol: String, k: Int, n: Long): DataFrame = {
+    require(k >= 1 && n >= 2, "need k >= 1 and n >= 2")
+    val draw = TextFunctions.md5Long(
+      concat(col("anchor").cast("string"), lit("#"), col("i").cast("string")))
+    ids.select(col(idCol).as("anchor"))
+      .withColumn("i", explode(sequence(lit(0L), lit(k - 1L))))
+      .withColumn("negative", pmod(draw, lit(n)))
+      .filter(col("negative") =!= col("anchor"))
+  }
 }

@@ -37,4 +37,32 @@ class EvaluationSpec extends SparkSpec {
     assert(out(3L) == ((1L, 0.333333, 0.0)))
     assert(out.size == 3)
   }
+
+  test("labelPropagationStep: neighbor majority, ascending-label ties, isolated nodes absent") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L)).toDF("a", "b")
+    val labels = Seq((1L, "x"), (2L, "y"), (3L, "y"), (4L, "z"), (99L, "q"))
+      .toDF("id", "lab")
+    val out = graft.operators.GraphRank
+      .labelPropagationStep(pairs, "a", "b", labels, "id", "lab")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out(1L) == (("x", "y")))       // neighbors y,y,z -> majority y
+    assert(out(2L) == (("y", "x")))       // neighbors x(1), y(3): 1x,1y tie -> "x" asc
+    assert(out(3L) == (("y", "x")))       // neighbors 1(x), 2(y): tie -> x
+    assert(out(4L) == (("z", "x")))       // sole neighbor 1 -> x
+    assert(!out.contains(99L))            // isolated: not emitted
+  }
+
+  test("negativePairs: deterministic, in-range, never the anchor") {
+    val ids = spark.range(20).toDF("id")
+    val out = graft.operators.Selection.negativePairs(ids, "id", k = 4, n = 20L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.forall { case (a, _, neg) => neg != a && neg >= 0 && neg < 20 })
+    // up to k draws per anchor; only self-collisions are dropped
+    val perAnchor = out.groupBy(_._1).view.mapValues(_.length)
+    assert(perAnchor.values.forall(c => c >= 3 && c <= 4))
+    // byte-for-byte reproducible (pure hash, no RNG state)
+    val again = graft.operators.Selection.negativePairs(ids, "id", k = 4, n = 20L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sorted.toSeq == again.sorted.toSeq)
+  }
 }
