@@ -503,4 +503,33 @@ class PlanHealthSpec extends SparkSpec {
     assert(!p.contains("windowspecdefinition()"),
       s"x77 has an unpartitioned window:\n$p")
   }
+
+  test("x78: HLL registers partial-aggregate; no Expand, no window") {
+    val p = plan("x78_hll_distinct")
+    assert("HashAggregate".r.findAllIn(p).size >= 4, // cells + fold, partial+final
+      s"x78 register cells must partial-aggregate:\n$p")
+    assert(!p.contains("Window ["), s"x78 must not window:\n$p")
+  }
+
+  test("x79: the skew probe aggregates both sides BEFORE the key join") {
+    val p = plan("x79_join_skew_probe")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"x79 top-k must be a bounded heap, not a global sort:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"x79 fell off its equi-join:\n$p")
+  }
+
+  test("x82: negative sampling is a pure projection — no join, no shuffle below the sort") {
+    val p = plan("x82_negative_pairs")
+    assert(!p.contains("Join"), s"x82 must not join:\n$p")
+    assert(!p.contains("Window ["), s"x82 must not window:\n$p")
+  }
+
+  test("x83: the majority-label argmax is a partial-agged struct-min, not a per-node window sort") {
+    val p = plan("x83_label_propagation")
+    assert(p.contains("partial_min(struct") || p.contains("partial_min"),
+      s"x83 argmax must partial-aggregate:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"x83 fell off its equi-joins:\n$p")
+  }
 }
