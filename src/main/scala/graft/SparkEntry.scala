@@ -1922,6 +1922,18 @@ object SparkEntry {
           col("n_events"), col("event_est"))
     },
 
+    // ---- X: windowed funnel (ClickHouse windowFunnel semantics): deepest
+    //      view->click->purchase chain completing within 24h, non-strict
+    //      ordering. DP fold keeps the LATEST chain-start per depth
+    //      (greedy-earliest is wrong under a deadline); same one-shuffle
+    //      collect_list shape as x60 ----
+    "x84_funnel_within" -> { (s, dir) =>
+      graft.operators.EventAnalytics.funnelWithin(
+        t(s, dir, "events"), "user_id", "event_type", "ts",
+        steps = Seq("view", "click", "purchase"), windowSeconds = 86400L)
+        .orderBy(col("user_id"))
+    },
+
     // ---- X: pre-flight join-skew probe (the st4 view x purchase shape):
     //      both sides reduce to per-key counts before anything joins —
     //      the diagnostic that decides salting/broadcast/AQE thresholds
@@ -3224,6 +3236,27 @@ object SparkEntry {
          SELECT event_type, n_users, user_est, n_events, event_est
          FROM ex JOIN eu USING (event_type) JOIN ee USING (event_type)
          ORDER BY event_type""",
+
+    "x84_funnel_within" ->
+      """WITH s1 AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+         s2 AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+         s3 AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+         d3 AS (SELECT DISTINCT a.user_id FROM s1 a
+                JOIN s2 b ON a.user_id = b.user_id AND b.ts >= a.ts
+                JOIN s3 c ON b.user_id = c.user_id AND c.ts >= b.ts
+                WHERE epoch_us(c.ts) - epoch_us(a.ts) <= 86400000000),
+         d2 AS (SELECT DISTINCT a.user_id FROM s1 a
+                JOIN s2 b ON a.user_id = b.user_id AND b.ts >= a.ts
+                WHERE epoch_us(b.ts) - epoch_us(a.ts) <= 86400000000),
+         anystep AS (SELECT DISTINCT user_id FROM events
+                     WHERE event_type IN ('view', 'click', 'purchase')),
+         d1 AS (SELECT DISTINCT user_id FROM s1)
+         SELECT u.user_id,
+           CAST(CASE WHEN u.user_id IN (SELECT user_id FROM d3) THEN 3
+                WHEN u.user_id IN (SELECT user_id FROM d2) THEN 2
+                WHEN u.user_id IN (SELECT user_id FROM d1) THEN 1
+                ELSE 0 END AS BIGINT) AS steps_completed
+         FROM anystep u ORDER BY user_id""",
 
     "x79_join_skew_probe" ->
       """WITH lc AS (

@@ -65,6 +65,59 @@ object EventAnalytics {
         col("__f")("last_us").as("last_us"))
   }
 
+  /** Windowed funnel (the ClickHouse `windowFunnel` shape): deepest step
+    * sequence whose FIRST and LAST events are at most `windowSeconds`
+    * apart, with non-strict time ordering (an event at the same instant
+    * as the previous step may chain — the windowFunnel default). The
+    * unbounded [[funnel]] asks "did they ever get there"; this asks "did
+    * they get there within an hour" — the conversion-rate form.
+    *
+    * Greedy-earliest is NOT optimal under a deadline (a later step-1
+    * occurrence can complete inside ITS window where the earliest can't),
+    * so the walk is a small DP: state = per-depth LATEST chain-start
+    * time. Processing events in (ts, idx) order, a chain reaching depth
+    * d-1 extends iff ts - start <= window, and among such chains the
+    * latest start strictly dominates (loosest window for every later
+    * step; the d-1th event time is <= ts for all processed chains). The
+    * state is k longs per user — same O(k) bound as the unbounded walk.
+    *
+    * 100 TB shape: identical to [[funnel]] — one narrow step-filtered
+    * scan, ONE partial-agged collect_list shuffle, per-row array fold.
+    * Output: (user, steps_completed long); users with >= 1 step-typed
+    * event appear, depth 0 when step 1 never fired.
+    */
+  def funnelWithin(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String], windowSeconds: Long): DataFrame = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      "steps must be non-empty and distinct")
+    require(windowSeconds >= 1, "windowSeconds must be >= 1")
+    val k = steps.size
+    val winUs = windowSeconds * 1000000L
+    val ev = struct(unix_micros(col(tsCol)).as("ts"),
+      array_position(typedLit(steps), col(typeCol)).as("idx"))
+    // starts[d-1] = latest chain-start reaching depth d (null = unreached)
+    val init = typedLit(Seq.fill(k)(null.asInstanceOf[java.lang.Long]))
+    val walk = (acc: Column, e: Column) =>
+      transform(sequence(lit(1), lit(k)), d => {
+        val cur = element_at(acc, d) // greatest() skips nulls
+        when(d === e("idx"),
+          when(d === 1, greatest(cur, e("ts")))
+            .otherwise {
+              val prev = element_at(acc, d - 1)
+              when(prev.isNotNull && e("ts") - prev <= winUs,
+                greatest(cur, prev)).otherwise(cur)
+            })
+          .otherwise(cur)
+      })
+    events.select(col(userCol), ev.as("__e"))
+      .filter(col("__e")("idx") > 0L)
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(col("__e"))).as("__evs"))
+      .select(col(userCol),
+        size(filter(aggregate(col("__evs"), init, walk),
+          x => x.isNotNull)).cast(LongType).as("steps_completed"))
+  }
+
   /** Retention cohorts: bucket time into `bucketSeconds`-wide windows
     * (exact integer micros via IntegralDivide — no double rounding at
     * bucket edges; DuckDB `epoch_us(...) // ...`), cohort each user by

@@ -145,6 +145,38 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(math.pow(12 * 3 - 73, 2) < 4 * (12 * 1721 - 73 * 73))
   }
 
+  test("funnelWithin: latest-start DP beats greedy; window and tie semantics") {
+    def t0(sec: Long) = new Timestamp(1704067200000L + sec * 1000L)
+    val ev = Seq(
+      // u1: the greedy-killer — earliest A opens a window with no B, a
+      // LATER A completes. greedy-from-earliest reports 1; the DP must
+      // report 2 (chain A@100 -> B@105, span 5 <= 10)
+      (1L, "A", t0(0L), 1L),
+      (1L, "A", t0(100L), 2L),
+      (1L, "B", t0(105L), 3L),
+      // u2: B before any A never chains -> depth 1
+      (2L, "B", t0(0L), 4L),
+      (2L, "A", t0(50L), 5L),
+      // u3: full chain exactly at the window edge (span == window: in)
+      (3L, "A", t0(0L), 6L),
+      (3L, "B", t0(5L), 7L),
+      (3L, "C", t0(10L), 8L),
+      // u4: chain exists but spans 11 > 10 -> depth 2 (A->B spans 4)
+      (4L, "A", t0(0L), 9L),
+      (4L, "B", t0(4L), 10L),
+      (4L, "C", t0(11L), 11L),
+      // u5: same-instant chaining allowed (non-strict, windowFunnel default)
+      (5L, "A", t0(20L), 12L),
+      (5L, "B", t0(20L), 13L),
+      // u6: only non-step-1 events -> depth 0
+      (6L, "C", t0(0L), 14L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val out = EventAnalytics.funnelWithin(ev, "user_id", "event_type", "ts",
+      Seq("A", "B", "C"), windowSeconds = 10L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 1L, 3L -> 3L, 4L -> 2L, 5L -> 2L, 6L -> 0L))
+  }
+
   test("transitionMatrix: per-user consecutive pairs, probabilities sum to 1") {
     val ev = Seq(
       // u1: a -> b -> a -> c   (pairs: a->b, b->a, a->c)
