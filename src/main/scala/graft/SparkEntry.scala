@@ -1934,6 +1934,47 @@ object SparkEntry {
         .orderBy(col("user_id"))
     },
 
+    // ---- X: multi-model touch attribution (first/last/participation —
+    //      integer-exact; linear's 1/n double sums are order-dependent
+    //      and deliberately absent): user-keyed conv x touch band join,
+    //      struct-extreme argmin/argmax per conversion, channel counts ----
+    "x85_attribution" -> { (s, dir) =>
+      graft.operators.EventAnalytics.touchAttribution(
+        t(s, dir, "events"), "user_id", "event_type", "ts", "event_id",
+        convType = "purchase", touchType = "view",
+        channel = pmod(get_json_object(col("props"), "$.k").cast(LongType),
+          lit(4L)),
+        windowSeconds = 86400L)
+        .orderBy(col("channel"))
+    },
+
+    // ---- X: top-k length-3 event paths (order-2 sequences; x76 is
+    //      order-1): two leads share ONE keyed window sort, then a
+    //      partial-agged path count + TakeOrdered ----
+    "x86_top_paths" -> { (s, dir) =>
+      graft.operators.EventAnalytics.topPaths(
+        t(s, dir, "events"), "user_id", "event_type", "ts", "event_id",
+        k = 20)
+    },
+
+    // ---- X: winsorization — clamp into the [p1, p99] percentile band
+    //      (percentile_cont cutoffs both engines replicate bit-for-bit,
+    //      broadcast 1-row frame + narrow clip); exact decimal sums ----
+    "x87_winsorize" -> { (s, dir) =>
+      def d(c: org.apache.spark.sql.Column) = c.cast(StringType).cast(DoubleType)
+      val w = graft.operators.Percentiles.winsorize(
+        t(s, dir, "orders"), "o_totalprice", 0.01, 0.99)
+      w.agg(
+        sum(when(col("o_totalprice") < col("__w_lo"), 1L).otherwise(0L))
+          .as("n_below"),
+        sum(when(col("o_totalprice") > col("__w_hi"), 1L).otherwise(0L))
+          .as("n_above"),
+        sum(col("o_totalprice").cast(DecimalType(18, 6))).as("sr"),
+        sum(col("o_totalprice__w").cast(DecimalType(18, 6))).as("sw"))
+        .select(col("n_below"), col("n_above"),
+          d(col("sr")).as("sum_raw"), d(col("sw")).as("sum_winsorized"))
+    },
+
     // ---- X: pre-flight join-skew probe (the st4 view x purchase shape):
     //      both sides reduce to per-key counts before anything joins —
     //      the diagnostic that decides salting/broadcast/AQE thresholds
@@ -3257,6 +3298,64 @@ object SparkEntry {
                 WHEN u.user_id IN (SELECT user_id FROM d1) THEN 1
                 ELSE 0 END AS BIGINT) AS steps_completed
          FROM anystep u ORDER BY user_id""",
+
+    "x85_attribution" ->
+      """WITH conv AS (SELECT user_id AS u, epoch_us(ts) AS conv_us,
+             event_id AS conv_id
+           FROM events WHERE event_type = 'purchase'),
+         touch AS (SELECT user_id AS u, epoch_us(ts) AS touch_us,
+             event_id AS touch_id,
+             CAST(props->>'$.k' AS BIGINT) % 4 AS channel
+           FROM events WHERE event_type = 'view'),
+         paired AS (SELECT conv_id, channel, touch_us, touch_id
+           FROM conv JOIN touch USING (u)
+           WHERE touch_us <= conv_us AND conv_us - touch_us <= 86400000000),
+         fr AS (SELECT conv_id, channel,
+             row_number() OVER (PARTITION BY conv_id
+               ORDER BY touch_us ASC, touch_id ASC) AS rk
+           FROM paired),
+         lr AS (SELECT conv_id, channel,
+             row_number() OVER (PARTITION BY conv_id
+               ORDER BY touch_us DESC, touch_id DESC) AS rk
+           FROM paired),
+         f AS (SELECT channel, count(*) AS first_touch FROM fr
+               WHERE rk = 1 GROUP BY 1),
+         l AS (SELECT channel, count(*) AS last_touch FROM lr
+               WHERE rk = 1 GROUP BY 1),
+         p AS (SELECT channel, count(*) AS participating
+               FROM (SELECT DISTINCT conv_id, channel FROM paired)
+               GROUP BY 1)
+         SELECT channel,
+           coalesce(first_touch, 0) AS first_touch,
+           coalesce(last_touch, 0) AS last_touch,
+           coalesce(participating, 0) AS participating
+         FROM f FULL JOIN l USING (channel) FULL JOIN p USING (channel)
+         ORDER BY channel""",
+
+    "x86_top_paths" ->
+      """WITH seq AS (SELECT event_type AS t0,
+             lead(event_type, 1) OVER w AS t1,
+             lead(event_type, 2) OVER w AS t2
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         p AS (SELECT t0 || '>' || t1 || '>' || t2 AS path, count(*) AS n
+               FROM seq WHERE t1 IS NOT NULL AND t2 IS NOT NULL GROUP BY 1)
+         SELECT path, n, row_number() OVER (ORDER BY n DESC, path ASC) AS rank
+         FROM p ORDER BY n DESC, path ASC LIMIT 20""",
+
+    "x87_winsorize" ->
+      """WITH cuts AS (SELECT quantile_cont(o_totalprice, 0.01) AS lo,
+             quantile_cont(o_totalprice, 0.99) AS hi FROM orders)
+         SELECT
+           CAST(sum(CASE WHEN o_totalprice < lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_below,
+           CAST(sum(CASE WHEN o_totalprice > hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_above,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR)
+             AS DOUBLE) AS sum_raw,
+           CAST(CAST(sum(CAST(least(greatest(o_totalprice, lo), hi)
+             AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_winsorized
+         FROM orders, cuts""",
 
     "x79_join_skew_probe" ->
       """WITH lc AS (

@@ -190,6 +190,82 @@ object EventAnalytics {
         col("cnt"))
   }
 
+  /** Top-k most frequent length-3 event paths (the order-2 sequence view;
+    * [[transitionMatrix]] is order-1): consecutive type triples per user
+    * timeline, counted corpus-wide. One keyed window (two leads share the
+    * same frame — a single sort/shuffle), one partial-agged path count,
+    * TakeOrdered top-k. Output: (path "a>b>c", n, rank). */
+  def topPaths(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be >= 1")
+    val perUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val paths = events
+      .select(col(userCol), col(typeCol).as("t0"), col(tsCol), col(tieCol))
+      .withColumn("t1", lead(col("t0"), 1).over(perUser))
+      .withColumn("t2", lead(col("t0"), 2).over(perUser))
+      .filter(col("t1").isNotNull && col("t2").isNotNull)
+      .select(concat_ws(">", col("t0"), col("t1"), col("t2")).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(k)
+    // the k surviving rows arrive sorted; their row numbers ARE the ranks
+    graft.plans.RowNum.assign(paths)
+      .withColumnRenamed(graft.plans.Events.RowNumCol, "rank")
+      .select(col("path"), col("n"), col("rank"))
+      .orderBy(col("rank"))
+  }
+
+  /** Multi-model touch attribution: for every conversion event, the
+    * touch events of the same user inside the lookback window, credited
+    * per channel under three INTEGER-EXACT models — first-touch,
+    * last-touch, and participation (>=1 touch in the window). Linear
+    * (1/n fractional) credit is deliberately absent: summing corpus-many
+    * 1/n doubles is summation-order-dependent and can't be gated exactly;
+    * the three count models answer the same ranking questions.
+    *
+    * 100 TB shape: the conversion-touch pairing is an equi-join on user
+    * with a residual time-band predicate — per-user work bounded by that
+    * user's own events times the window, never a cross-user product. The
+    * first/last argmin/argmax are partial-agged struct extremes per
+    * conversion (x69's pattern), then per-channel counts — the output
+    * frame is |channels| rows.
+    */
+  def touchAttribution(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieCol: String, convType: String, touchType: String,
+      channel: Column, windowSeconds: Long): DataFrame = {
+    require(windowSeconds >= 1, "windowSeconds must be >= 1")
+    val winUs = windowSeconds * 1000000L
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(userCol).as("__u"), unix_micros(col(tsCol)).as("conv_us"),
+        col(tieCol).as("conv_id"))
+    val touch = events.filter(col(typeCol) === touchType)
+      .select(col(userCol).as("__u"), unix_micros(col(tsCol)).as("touch_us"),
+        col(tieCol).as("touch_id"), channel.as("channel"))
+    val paired = conv.join(touch, Seq("__u"))
+      .filter(col("touch_us") <= col("conv_us") &&
+        col("conv_us") - col("touch_us") <= winUs)
+      .select(col("conv_id"), col("channel"), col("touch_us"), col("touch_id"))
+    def extreme(agg: Column => Column, name: String): DataFrame = paired
+      .groupBy(col("conv_id"))
+      .agg(agg(struct(col("touch_us"), col("touch_id"), col("channel")))
+        .as("w"))
+      .groupBy(col("w")("channel").as("channel"))
+      .agg(count(lit(1)).as(name))
+    val firsts = extreme(min, "first_touch")
+    val lasts = extreme(max, "last_touch")
+    val parts = paired.select(col("conv_id"), col("channel")).distinct()
+      .groupBy(col("channel")).agg(count(lit(1)).as("participating"))
+    firsts.join(lasts, Seq("channel"), "full_outer")
+      .join(parts, Seq("channel"), "full_outer")
+      .select(col("channel"),
+        coalesce(col("first_touch"), lit(0L)).as("first_touch"),
+        coalesce(col("last_touch"), lit(0L)).as("last_touch"),
+        coalesce(col("participating"), lit(0L)).as("participating"))
+  }
+
   /** First-order Markov transition matrix over per-user event sequences:
     * for every ordered pair of consecutive event types (within one user's
     * timeline), the transition count and the conditional probability

@@ -123,4 +123,24 @@ object Percentiles {
     }
     ranked.groupBy(col("g").as(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Winsorize (percentile clipping), the numeric-cleaning staple: clamp
+    * `valueCol` into its own [pLo, pHi] percentile band. Cutoffs come
+    * from [[exact]] (percentile_cont semantics both engines replicate bit
+    * for bit) as a broadcast 1-row frame; the clip itself is a narrow
+    * projection. Adds `<valueCol>__w` (clamped) plus the cutoffs as
+    * `__w_lo`/`__w_hi`; callers aggregate or drop as needed. Nulls stay
+    * null (they were never in the distribution).
+    */
+  def winsorize(df: DataFrame, valueCol: String,
+      pLo: Double, pHi: Double): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
+    val cuts = exact(df, valueCol, Seq(pLo, pHi))
+      .select(col("p0").as("__w_lo"), col("p1").as("__w_hi"))
+    df.crossJoin(org.apache.spark.sql.functions.broadcast(cuts))
+      .withColumn(s"${valueCol}__w",
+        when(col(valueCol).isNull, lit(null))
+          .otherwise(least(greatest(col(valueCol), col("__w_lo")),
+            col("__w_hi"))))
+  }
 }

@@ -177,6 +177,29 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out == Map(1L -> 2L, 2L -> 1L, 3L -> 3L, 4L -> 2L, 5L -> 2L, 6L -> 0L))
   }
 
+  test("touchAttribution: first/last/participation counts, window exclusion") {
+    def t0(sec: Long) = new Timestamp(1704067200000L + sec * 1000L)
+    val ev = Seq(
+      // u1: touches ch0@0, ch1@50, conversion@60 (window 100): first=ch0,
+      // last=ch1, both participate
+      (1L, "view", t0(0L), 1L, 0L),
+      (1L, "view", t0(50L), 2L, 1L),
+      (1L, "buy", t0(60L), 3L, -1L),
+      // u2: only touch is OUTSIDE the window (200s before) -> no credit
+      (2L, "view", t0(0L), 4L, 2L),
+      (2L, "buy", t0(200L), 5L, -1L),
+      // u3: touch AFTER the conversion never counts
+      (3L, "buy", t0(10L), 6L, -1L),
+      (3L, "view", t0(20L), 7L, 0L)
+    ).toDF("user_id", "event_type", "ts", "event_id", "ch")
+    val out = EventAnalytics.touchAttribution(ev, "user_id", "event_type",
+      "ts", "event_id", convType = "buy", touchType = "view",
+      channel = col("ch"), windowSeconds = 100L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(0L -> ((1L, 0L, 1L)), 1L -> ((0L, 1L, 1L))))
+  }
+
   test("transitionMatrix: per-user consecutive pairs, probabilities sum to 1") {
     val ev = Seq(
       // u1: a -> b -> a -> c   (pairs: a->b, b->a, a->c)
