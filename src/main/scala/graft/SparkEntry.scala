@@ -333,6 +333,46 @@ object SparkEntry {
           .as("avg_yearly"))
     },
 
+    // ---- TPC-H Q2 (minimum-cost supplier, adapted: no partsupp, so
+    //      "supplies part p" = shipped it in lineitem and cost =
+    //      s_acctbal): for each EUROPE-region brass-ish part (p_type
+    //      STANDARD, p_size 15), the supplier with the minimum cost —
+    //      the per-part argmin is a partial-agged min(struct(cost,
+    //      suppkey)) over the (part, supplier) cells, never a window;
+    //      region prunes suppliers via the broadcast dim chain ----
+    "q2b_min_cost_supplier" -> { (s, dir) =>
+      val p = t(s, dir, "part")
+        .filter(col("p_type") === "STANDARD" &&
+          col("p_size").isin(5, 15, 25, 35, 45))
+        .select(col("p_partkey"), col("p_name"))
+      val n = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val r = t(s, dir, "region").filter(col("r_name") === "EUROPE")
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(n.join(broadcast(r),
+          col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val cells = l.join(p, col("l_partkey") === col("p_partkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+      // cost compared as exact decimal so the argmin can't 1-ulp-flip;
+      // suppkey breaks exact-cost ties deterministically
+      val best = cells
+        .groupBy(col("p_partkey"), col("p_name"))
+        .agg(min(struct(col("s_acctbal").cast(DecimalType(18, 2)).as("c"),
+          col("s_suppkey").as("k"))).as("w"))
+        .select(col("p_partkey"), col("p_name"), col("w")("k").as("s_suppkey"))
+      best.join(sup, Seq("s_suppkey"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"))
+    },
+
     // ---- TPC-H Q7 (volume shipping): bilateral trade between two nations
     //      by ship year. The nation filter is applied to supplier and
     //      customer BEFORE the fact joins (broadcast the 2-row nation
@@ -2277,6 +2317,32 @@ object SparkEntry {
          FROM b
          WHERE CAST(l_quantity AS DECIMAL(12,2)) * CAST(5 AS DECIMAL(3,0)) * n_rows
            < s_dec""",
+
+    "q2b_min_cost_supplier" ->
+      """WITH sup AS (
+           SELECT s_suppkey, s_name, s_acctbal, n_name
+           FROM supplier
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'EUROPE'),
+         ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+         cells AS (
+           SELECT p_partkey, p_name, s_suppkey, s_acctbal
+           FROM part
+           JOIN ps ON p_partkey = l_partkey
+           JOIN sup ON l_suppkey = s_suppkey
+           WHERE p_type = 'STANDARD' AND p_size IN (5, 15, 25, 35, 45)),
+         best AS (
+           SELECT p_partkey, p_name, s_suppkey FROM (
+             SELECT p_partkey, p_name, s_suppkey,
+               row_number() OVER (PARTITION BY p_partkey
+                 ORDER BY CAST(s_acctbal AS DECIMAL(18,2)) ASC, s_suppkey ASC)
+                 AS rk
+             FROM cells) WHERE rk = 1)
+         SELECT s.s_acctbal, s.s_name, s.n_name, b.p_partkey, b.p_name
+         FROM best b JOIN sup s USING (s_suppkey)
+         ORDER BY s.s_acctbal DESC, s.n_name, s.s_name, b.p_partkey
+         LIMIT 100""",
 
     "q7_volume_shipping" ->
       """WITH v AS (

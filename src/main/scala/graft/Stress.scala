@@ -262,7 +262,19 @@ object Stress {
         "tfidf_terms" -> (() =>
           operators.Retrieval.tfidfTopTerms(docs, "doc_id", "text", 3).count()),
         "hll_distinct" -> (() =>
-          operators.Profile.hllDistinct(events, "event_type", "user_id").count()))
+          operators.Profile.hllDistinct(events, "event_type", "user_id").count()),
+        "funnel_within" -> (() =>
+          operators.EventAnalytics.funnelWithin(events, "user_id",
+            "event_type", "ts", Seq("view", "click", "purchase"),
+            windowSeconds = 86400L).count()),
+        "attribution" -> (() =>
+          operators.EventAnalytics.touchAttribution(events, "user_id",
+            "event_type", "ts", "event_id", "purchase", "view",
+            pmod(get_json_object(col("props"), "$.k").cast("long"), lit(4L)),
+            windowSeconds = 86400L).count()),
+        "top_paths" -> (() =>
+          operators.EventAnalytics.topPaths(events, "user_id", "event_type",
+            "ts", "event_id", k = 20).count()))
 
       // SPARK_GRAFT_STRESS_OPS=a,b,c runs only the named ops (bisection
       // runs shouldn't pay the full sweep per hypothesis)

@@ -183,4 +183,30 @@ class PropertySpec extends SparkSpec {
       assert(probes == replayProbes(v), s"probes diverged on case $i: $v")
     }
   }
+
+  test("property: funnelWithin(huge window) equals the unbounded funnel on distinct-ts timelines") {
+    // with DISTINCT per-user timestamps the two walks agree: no window
+    // constraint binds, and strict-vs-non-strict tie semantics (the one
+    // intended difference) never trigger. Random event streams over the
+    // step alphabet + noise types.
+    val typeGen = Gen.oneOf("A", "B", "C", "noise1", "noise2")
+    val evGen = Gen.listOfN(40,
+      Gen.zip(Gen.chooseNum(1L, 4L), typeGen))
+    forAll(evGen) { rows =>
+      // distinct ts per user: index-derived timestamps
+      val ev = rows.zipWithIndex.map { case ((u, t), i) =>
+        (u, t, new java.sql.Timestamp(1704067200000L + i * 1000L), i.toLong)
+      }.toDF("user_id", "event_type", "ts", "event_id")
+      val steps = Seq("A", "B", "C")
+      val unbounded = graft.operators.EventAnalytics
+        .funnel(ev, "user_id", "event_type", "ts", steps)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val windowed = graft.operators.EventAnalytics
+        .funnelWithin(ev, "user_id", "event_type", "ts", steps,
+          windowSeconds = 1000000L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(windowed == unbounded,
+        s"funnel variants diverged: $windowed vs $unbounded")
+    }
+  }
 }
