@@ -2015,6 +2015,36 @@ object SparkEntry {
           d(col("sr")).as("sum_raw"), d(col("sw")).as("sum_winsorized"))
     },
 
+    // ---- X: snake-order balanced sharding — global weight-desc rank via
+    //      the range-partitioned RowNum (no single-partition window), then
+    //      a pure-projection boustrophedon shard id; gate reads per-shard
+    //      (count, weight) balance ----
+    "x88_balanced_shards" -> { (s, dir) =>
+      graft.operators.CorpusOps.balancedShards(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", nShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("shard"))
+    },
+
+    // ---- X: token-budget epoch mixing — floor(B/T) full epochs per
+    //      source plus an md5-chosen INTEGER-EXACT fraction repeating once
+    //      more ((B mod T)*1e6 div T per-million threshold, no double
+    //      ratio); narrow explode, no shuffle. src3's zero budget proves
+    //      the drop path ----
+    "x89_epoch_mix" -> { (s, dir) =>
+      graft.operators.CorpusOps.epochMix(
+        t(s, dir, "documents"), "doc_id", "source", "n_chars",
+        budgets = Map("src0" -> 20000L, "src1" -> 9000L, "src2" -> 4000L,
+          "src3" -> 0L))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source"))
+    },
+
     // ---- X: pre-flight join-skew probe (the st4 view x purchase shape):
     //      both sides reduce to per-key counts before anything joins —
     //      the diagnostic that decides salting/broadcast/AQE thresholds
@@ -3422,6 +3452,39 @@ object SparkEntry {
            CAST(CAST(sum(CAST(least(greatest(o_totalprice, lo), hi)
              AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_winsorized
          FROM orders, cuts""",
+
+    "x88_balanced_shards" ->
+      """WITH r AS (SELECT n_chars,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rk
+           FROM documents),
+         s AS (SELECT n_chars,
+             CASE WHEN (rk - 1) % 16 < 8 THEN (rk - 1) % 16
+                  ELSE 15 - ((rk - 1) % 16) END AS shard
+           FROM r)
+         SELECT shard, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM s GROUP BY shard ORDER BY shard""",
+
+    "x89_epoch_mix" ->
+      """WITH b(source, budget) AS (VALUES
+           ('src0', CAST(20000 AS BIGINT)), ('src1', CAST(9000 AS BIGINT)),
+           ('src2', CAST(4000 AS BIGINT)), ('src3', CAST(0 AS BIGINT))),
+         t AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS t
+               FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')
+               GROUP BY 1),
+         c AS (SELECT d.source, d.doc_id, d.n_chars,
+             (budget // t)
+               + CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 1000000 < ((budget % t) * 1000000) // t
+                 THEN 1 ELSE 0 END AS copies
+           FROM documents d JOIN t USING (source) JOIN b USING (source)),
+         e AS (SELECT source, doc_id, n_chars
+               FROM c, UNNEST(range(copies)) u(i)
+               WHERE copies >= 1)
+         SELECT source, count(*) AS n_rows,
+           count(DISTINCT doc_id) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM e GROUP BY source ORDER BY source""",
 
     "x79_join_skew_probe" ->
       """WITH lc AS (

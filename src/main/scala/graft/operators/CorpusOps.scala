@@ -394,4 +394,73 @@ object CorpusOps {
       filter(split(col(textCol), quoted, -1), u => !array_contains(bl, u)),
       delim), lit("")).as(as))
   }
+
+  /** Snake-order balanced sharding (the output-layout step before a
+    * pretraining run: N files whose token totals match within one
+    * document): rank documents by weight descending globally, then deal
+    * rank r into shard via the boustrophedon walk 0..n-1, n-1..0, ... —
+    * the classic near-LPT heuristic whose per-shard sums differ by at
+    * most one document's weight from each other when weights are
+    * similar, and which needs NO driver state or iterative bin state.
+    *
+    * 100 TB shape: the global rank is [[graft.plans.RowNum]]'s
+    * range-partitioned sort + per-partition offsets (no single-partition
+    * window); the shard id is then a pure projection. Output: input
+    * columns + `shard` (long in [0, nShards)).
+    */
+  def balancedShards(df: DataFrame, idCol: String, weightCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    val sorted = df.orderBy(col(weightCol).desc, col(idCol).asc)
+    val ranked = graft.plans.RowNum.assign(sorted)
+      .withColumnRenamed(graft.plans.Events.RowNumCol, "__graft_rank__")
+    val pos = (col("__graft_rank__") - 1L) % (2L * nShards)
+    ranked.withColumn("shard",
+        when(pos < nShards, pos).otherwise(lit(2L * nShards - 1L) - pos))
+      .drop("__graft_rank__")
+  }
+
+  /** Token-budget epoch mixing (the "2 epochs of wiki, 0.3 of web" step):
+    * for each source with a token budget B, every document is emitted
+    * floor(B/T) times (T = the source's total weight) plus one more time
+    * for a deterministic md5-chosen fraction of documents, so each
+    * source's emitted weight lands within one document of its budget in
+    * expectation. The fractional cut is INTEGER-EXACT: a document repeats
+    * the extra time iff md5(id) % 1e6 < ((B mod T) * 1e6) div T — no
+    * double ratio that could 1-ulp-flip membership between engines.
+    *
+    * 100 TB shape: per-source totals are one partial-agged aggregate
+    * (|sources| rows, broadcast back as literals via the budgets fold);
+    * the emission is a narrow explode — each partition replicates its own
+    * rows, no shuffle. Sources without a budget are dropped. Output:
+    * input columns + `epoch_copy` (long, 1-based copy index).
+    */
+  def epochMix(df: DataFrame, idCol: String, sourceCol: String,
+      weightCol: String, budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty && budgets.values.forall(_ >= 0),
+      "budgets must be non-negative")
+    val in = df.filter(col(sourceCol).isInCollection(budgets.keys.toSeq))
+    val totals = in.groupBy(col(sourceCol))
+      .agg(sum(col(weightCol).cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = budgets.keySet.filter(s => totals.getOrElse(s, 0L) == 0L)
+    require(missing.isEmpty,
+      s"epochMix: budgeted source(s) absent or weightless: ${missing.toSeq.sorted.mkString(", ")}")
+    val full = budgets.map { case (s, b) => s -> b / totals(s) }
+    val thr = budgets.map { case (s, b) =>
+      s -> (b % totals(s)) * 1000000L / totals(s)
+    }
+    def bySource(m: Map[String, Long]): Column =
+      m.foldLeft(lit(0L)) { case (acc, (s, v)) =>
+        when(col(sourceCol) === s, lit(v)).otherwise(acc)
+      }
+    val copies = bySource(full) +
+      when(pmod(TextFunctions.md5Long(col(idCol)), lit(1000000L)) <
+        bySource(thr), 1L).otherwise(0L)
+    in.withColumn("__graft_copies__", copies)
+      .filter(col("__graft_copies__") >= 1L)
+      .withColumn("epoch_copy",
+        explode(sequence(lit(1L), col("__graft_copies__"))))
+      .drop("__graft_copies__")
+  }
 }

@@ -367,4 +367,45 @@ class CorpusOpsSpec extends SparkSpec {
       .collect().head.getString(1)
     assert(out(4L)._2 == expected)
   }
+
+  test("balancedShards: snake deal, near-equal weights, partition-invariant") {
+    // 32 docs with weights 32..1: snake over 4 shards must land every
+    // consecutive weight-sorted block of 8 as one full snake period
+    val df = (1L to 32L).map(i => (i, 33L - i)).toDF("doc_id", "w")
+    val out = CorpusOps.balancedShards(df, "doc_id", "w", nShards = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // rank 1 (w=32) -> shard 0; rank 4 -> shard 3; rank 5 -> shard 3
+    // (snake back); rank 8 -> shard 0
+    assert(out(1L) == 0L && out(4L) == 3L && out(5L) == 3L && out(8L) == 0L)
+    val sums = CorpusOps.balancedShards(df, "doc_id", "w", 4)
+      .groupBy("shard").sum("w").collect().map(_.getLong(1))
+    assert(sums.max - sums.min <= 4L, s"unbalanced: ${sums.toSeq}")
+    val re = CorpusOps.balancedShards(df.repartition(7), "doc_id", "w", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(re == out)
+  }
+
+  test("epochMix: full epochs + exact fractional threshold; zero budget drops the source") {
+    val df = (1L to 10L).map(i => (i, if (i <= 5) "a" else "b", 10L))
+      .toDF("doc_id", "source", "w") // T_a = T_b = 50
+    // a: budget 120 -> 2 full epochs + 40% extra; b: 0 -> dropped
+    val out = CorpusOps.epochMix(df, "doc_id", "source", "w",
+      Map("a" -> 120L, "b" -> 0L))
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(rows.forall(_._2 == "a"))
+    val perDoc = rows.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    // every source-a doc appears 2 or 3 times with 1-based copy indexes
+    assert(perDoc.keySet == (1L to 5L).toSet)
+    assert(perDoc.values.forall(cs => cs == Seq(1L, 2L) || cs == Seq(1L, 2L, 3L)))
+    // the extra-copy set replays the md5 per-million threshold exactly
+    val extra = perDoc.filter(_._2.size == 3).keySet
+    val thr = (120L % 50L) * 1000000L / 50L
+    val replay = (1L to 5L).filter { id =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(h, 16) % 1000000L < thr
+    }.toSet
+    assert(extra == replay)
+  }
 }
