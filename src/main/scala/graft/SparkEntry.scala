@@ -2015,6 +2015,33 @@ object SparkEntry {
           d(col("sr")).as("sum_raw"), d(col("sw")).as("sum_winsorized"))
     },
 
+    // ---- E: pretraining data-refresh flagship — quality gate -> token-
+    //      budget epoch mixing -> snake-balanced shards, the output-side
+    //      half of the curation story (e1 is the input-side half). Every
+    //      stage is one of the individually-gated ops composed; the gate
+    //      reads per-shard balance and source diversity ----
+    "e6_pretrain_mix" -> { (s, dir) =>
+      import graft.functions.TextFunctions
+      val docs = t(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1", "src2", "src3"))
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+        .filter(col("quality") >= 0.4)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val mixed = graft.operators.CorpusOps.epochMix(
+        docs, "doc_id", "source", "n_chars",
+        budgets = Map("src0" -> 8000L, "src1" -> 4000L, "src2" -> 2000L,
+          "src3" -> 1000L))
+        // replicated rows need a unique shard-rank tiebreak id
+        .withColumn("mix_id", col("doc_id") * 10L + col("epoch_copy"))
+      graft.operators.CorpusOps.balancedShards(
+        mixed.select(col("mix_id"), col("source"), col("n_chars")),
+        "mix_id", "n_chars", nShards = 4)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("shard"))
+    },
+
     // ---- X: snake-order balanced sharding — global weight-desc rank via
     //      the range-partitioned RowNum (no single-partition window), then
     //      a pure-projection boustrophedon shard id; gate reads per-shard
@@ -3452,6 +3479,47 @@ object SparkEntry {
            CAST(CAST(sum(CAST(least(greatest(o_totalprice, lo), hi)
              AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_winsorized
          FROM orders, cuts""",
+
+    "e6_pretrain_mix" ->
+      """WITH q AS (SELECT doc_id, source, n_chars,
+           round((least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.5
+                  + least(CASE WHEN len(string_split(lower(text), ' ')) = 0 THEN 0.0
+                       ELSE CAST(len(list_filter(string_split(lower(text), ' '),
+                              w -> w IN ('the','a','of','and','to','in','is','it','for','on',
+                                         'der','die','das','und','ist','ein','zu','mit','auf','nicht',
+                                         'le','la','les','et','est','un','une','dans','pour','que'))) AS DOUBLE)
+                            / len(string_split(lower(text), ' ')) END * 5.0, 1.0) * 0.3)
+                 * (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+                      ELSE CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                           / length(text) END) * 5.0, 1.0) * 0.5), 6) AS quality
+           FROM documents
+           WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+         f AS (SELECT doc_id, source, n_chars FROM q WHERE quality >= 0.4),
+         b(source, budget) AS (VALUES
+           ('src0', CAST(8000 AS BIGINT)), ('src1', CAST(4000 AS BIGINT)),
+           ('src2', CAST(2000 AS BIGINT)), ('src3', CAST(1000 AS BIGINT))),
+         t AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS t
+               FROM f GROUP BY 1),
+         c AS (SELECT f.source, f.doc_id, f.n_chars,
+             (budget // t)
+               + CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 1000000 < ((budget % t) * 1000000) // t
+                 THEN 1 ELSE 0 END AS copies
+           FROM f JOIN t USING (source) JOIN b USING (source)),
+         e AS (SELECT source, doc_id * 10 + (i + 1) AS mix_id, n_chars
+               FROM c, UNNEST(range(copies)) u(i)
+               WHERE copies >= 1),
+         r AS (SELECT source, n_chars,
+             row_number() OVER (ORDER BY n_chars DESC, mix_id ASC) AS rk
+           FROM e),
+         s AS (SELECT source, n_chars,
+             CASE WHEN (rk - 1) % 8 < 4 THEN (rk - 1) % 8
+                  ELSE 7 - ((rk - 1) % 8) END AS shard
+           FROM r)
+         SELECT shard, count(*) AS n_rows,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           count(DISTINCT source) AS n_sources
+         FROM s GROUP BY shard ORDER BY shard""",
 
     "x88_balanced_shards" ->
       """WITH r AS (SELECT n_chars,
