@@ -24,6 +24,13 @@ object BenchOne {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
     Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
+    // SPARK_GRAFT_CONF="k=v;k=v" — ad-hoc session-conf overrides for
+    // bisection runs (e.g. spark.sql.adaptive.enabled=false to test
+    // whether a bimodal timing is an AQE plan flip)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      builder.config(k.trim, v.trim)
+    })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect() // session warmup
