@@ -2042,6 +2042,17 @@ object SparkEntry {
         .orderBy(col("shard"))
     },
 
+    // ---- X: per-user EWMA over event time — order-canonical fold (one
+    //      collect_list shuffle, identical 2-mult-1-add step sequence on
+    //      any engine), NOT the closed-form sum whose distributed
+    //      summation order is irreproducible ----
+    "x90_ewma" -> { (s, dir) =>
+      graft.operators.Temporal.ewma(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "value",
+        alpha = 0.25)
+        .orderBy(col("user_id"))
+    },
+
     // ---- X: snake-order balanced sharding — global weight-desc rank via
     //      the range-partitioned RowNum (no single-partition window), then
     //      a pure-projection boustrophedon shard id; gate reads per-shard
@@ -3520,6 +3531,20 @@ object SparkEntry {
            CAST(sum(n_chars) AS BIGINT) AS sum_chars,
            count(DISTINCT source) AS n_sources
          FROM s GROUP BY shard ORDER BY shard""",
+
+    "x90_ewma" ->
+      """WITH l AS (
+           SELECT user_id,
+             list_transform(
+               list_sort(list({'ts': epoch_us(ts), 'tie': event_id,
+                 'value': CAST(value AS DOUBLE)})),
+               e -> e.value) AS vals
+           FROM events GROUP BY user_id)
+         SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events,
+           round(CASE WHEN len(vals) = 1 THEN vals[1]
+             ELSE list_reduce(vals, (acc, x) -> acc * 0.75 + 0.25 * x)
+             END, 6) AS ewma
+         FROM l ORDER BY user_id""",
 
     "x88_balanced_shards" ->
       """WITH r AS (SELECT n_chars,

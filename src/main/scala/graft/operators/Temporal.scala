@@ -138,4 +138,34 @@ object Temporal {
         col("__sv").cast(StringType).cast(DoubleType).as("sum_value"),
         col("__ff").cast(StringType).cast(DoubleType).as("filled_value"))
   }
+
+  /** Per-key exponentially-weighted moving average over event time — the
+    * anomaly-baseline / trend-smoothing primitive: w_1 = x_1,
+    * w_t = (1-alpha)*w_{t-1} + alpha*x_t in (ts, tie) order, final w_n
+    * per key.
+    *
+    * The recurrence is ORDER-CANONICAL by construction: one
+    * partial-agged collect_list shuffle per key (the funnel shape), the
+    * sorted fold runs the identical 2-mult-1-add step sequence on any
+    * engine, so the double result is reproducible — unlike the closed
+    * form sum(x_i*(1-a)^(n-i)), whose distributed summation order is
+    * not. State O(1), per-key cost O(own events). Output: (key, n_events
+    * long, ewma double rounded to 6).
+    */
+  def ewma(events: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valueCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val ev = struct(unix_micros(col(tsCol)).as("ts"), col(tieCol).as("tie"),
+      col(valueCol).cast(DoubleType).as("value"))
+    events.select(col(keyCol), ev.as("__e"))
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(col("__e"))).as("__evs"))
+      .select(col(keyCol),
+        size(col("__evs")).cast("long").as("n_events"),
+        round(aggregate(
+          slice(transform(col("__evs"), e => e("value")), lit(2),
+            size(col("__evs"))),
+          element_at(transform(col("__evs"), e => e("value")), 1),
+          (acc, x) => acc * lit(1.0 - alpha) + lit(alpha) * x), 6).as("ewma"))
+  }
 }

@@ -102,4 +102,24 @@ class TemporalSpec extends SparkSpec {
     assert(out(("b", 1)) == ((1L, Some(7.0), Some(7.0))))
     assert(out(("b", 2)) == ((0L, None, Some(7.0))))
   }
+
+  test("ewma: seeded recurrence in (ts, tie) order; single-event key returns its value") {
+    def ts(sec: Long) = new java.sql.Timestamp(1704067200000L + sec * 1000L)
+    val ev = Seq(
+      // u1: values 1, 2, 3 in time order; alpha 0.5 ->
+      // w = ((1*0.5 + 0.5*2) = 1.5) * 0.5 + 0.5*3 = 2.25
+      (1L, ts(0L), 1L, 1.0), (1L, ts(10L), 2L, 2.0), (1L, ts(20L), 3L, 3.0),
+      // u2: same-instant tie resolved by event_id (4 before 5):
+      // w = 10*0.5 + 0.5*20 = 15
+      (2L, ts(0L), 4L, 10.0), (2L, ts(0L), 5L, 20.0),
+      // u3: single event -> its own value
+      (3L, ts(0L), 6L, 42.5)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = graft.operators.Temporal
+      .ewma(ev, "user_id", "ts", "event_id", "value", alpha = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) == ((3L, 2.25)))
+    assert(out(2L) == ((2L, 15.0)))
+    assert(out(3L) == ((1L, 42.5)))
+  }
 }
