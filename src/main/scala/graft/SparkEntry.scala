@@ -2042,6 +2042,15 @@ object SparkEntry {
         .orderBy(col("shard"))
     },
 
+    // ---- X: source-drift report — symmetric add-one-smoothed KL over
+    //      the top-100 combined-count tokens; both engines sum the
+    //      ln-terms in canonical ascending-token order (driver foldLeft
+    //      here, ordered aggregate in the oracle) so the doubles agree ----
+    "x91_source_drift" -> { (s, dir) =>
+      graft.operators.LanguageModel.sourceDrift(
+        t(s, dir, "documents"), "text", "source", "src0", "src1", k = 100)
+    },
+
     // ---- X: per-user EWMA over event time — order-canonical fold (one
     //      collect_list shuffle, identical 2-mult-1-add step sequence on
     //      any engine), NOT the closed-form sum whose distributed
@@ -3531,6 +3540,29 @@ object SparkEntry {
            CAST(sum(n_chars) AS BIGINT) AS sum_chars,
            count(DISTINCT source) AS n_sources
          FROM s GROUP BY shard ORDER BY shard""",
+
+    "x91_source_drift" ->
+      """WITH tok AS (SELECT source AS src, unnest(string_split(text, ' ')) AS tok
+           FROM documents WHERE source IN ('src0', 'src1')),
+         c AS (SELECT tok,
+             sum(CASE WHEN src = 'src0' THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN src = 'src1' THEN 1 ELSE 0 END) AS cb
+           FROM tok GROUP BY 1),
+         top AS (SELECT tok, ca, cb FROM c
+                 ORDER BY ca + cb DESC, tok ASC LIMIT 100),
+         t AS (SELECT CAST(sum(ca + 1) AS DOUBLE) AS na,
+             CAST(sum(cb + 1) AS DOUBLE) AS nb,
+             CAST(sum(ca) AS BIGINT) AS ta, CAST(sum(cb) AS BIGINT) AS tb
+           FROM top),
+         kl AS (SELECT
+             sum(((ca + 1) / na) * ln(((ca + 1) / na) / ((cb + 1) / nb))
+               ORDER BY tok ASC) AS kl_ab,
+             sum(((cb + 1) / nb) * ln(((cb + 1) / nb) / ((ca + 1) / na))
+               ORDER BY tok ASC) AS kl_ba
+           FROM top, t)
+         SELECT ta AS n_tokens_a, tb AS n_tokens_b,
+           round(kl_ab, 6) AS kl_ab, round(kl_ba, 6) AS kl_ba
+         FROM kl, t""",
 
     "x90_ewma" ->
       """WITH l AS (

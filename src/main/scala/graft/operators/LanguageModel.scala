@@ -163,4 +163,50 @@ object LanguageModel {
           (col("n_bi").cast("double") * col("c_a").cast("double") *
             col("c_b").cast("double"))), 6).as("pmi"))
   }
+
+  /** Source-drift report: symmetric KL divergence between two corpus
+    * slices' token distributions, restricted to the top-k tokens by
+    * combined count (the BM25 pattern — the driver sees k rows, never the
+    * vocabulary) with add-one smoothing over the restricted counts.
+    *
+    * Reproducibility: the divergence is a sum of k ln-terms, and floating
+    * summation order matters — so BOTH engines sum in canonical ascending
+    * token order (here a driver-side foldLeft over the k collected rows;
+    * the oracle uses DuckDB's ordered aggregate `sum(... ORDER BY
+    * token)`), making the double bit-identical. Output: one row
+    * (n_tokens_a, n_tokens_b, kl_ab, kl_ba) rounded to 6.
+    *
+    * 100 TB shape: one partial-agged (token, source) count shuffle; the
+    * top-k cut is TakeOrdered; everything after runs on k rows.
+    */
+  def sourceDrift(docs: DataFrame, textCol: String, sourceCol: String,
+      srcA: String, srcB: String, k: Int): DataFrame = {
+    require(k >= 1 && srcA != srcB, "need k >= 1 and distinct sources")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs
+      .filter(col(sourceCol).isin(srcA, srcB))
+      .select(col(sourceCol).as("src"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(
+        sum(when(col("src") === srcA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("src") === srcB, 1L).otherwise(0L)).as("cb"))
+      .orderBy((col("ca") + col("cb")).desc, col("tok").asc)
+      .limit(k)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1) // canonical ascending-token fold order
+    val na = counts.map(_._2 + 1L).sum.toDouble // add-one smoothed totals
+    val nb = counts.map(_._3 + 1L).sum.toDouble
+    val (klAb, klBa) = counts.foldLeft((0.0, 0.0)) {
+      case ((ab, ba), (_, ca, cb)) =>
+        val p = (ca + 1L).toDouble / na
+        val q = (cb + 1L).toDouble / nb
+        (ab + p * math.log(p / q), ba + q * math.log(q / p))
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((counts.map(_._2).sum, counts.map(_._3).sum, r6(klAb), r6(klBa)))
+      .toDF("n_tokens_a", "n_tokens_b", "kl_ab", "kl_ba")
+  }
 }
