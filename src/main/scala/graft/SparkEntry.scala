@@ -2042,6 +2042,21 @@ object SparkEntry {
         .orderBy(col("shard"))
     },
 
+    // ---- X: exact ROC-AUC (Mann-Whitney with midrank ties) — integer-
+    //      exact until one final division; per-score groups first, the
+    //      cumulative walk bounded by the 6-decimal score codomain ----
+    "x92_auc" -> { (s, dir) =>
+      import graft.functions.TextFunctions
+      val scored = t(s, dir, "documents").select(
+        round(least(
+          TextFunctions.stopwordHits(col("text"), "en").cast(DoubleType) /
+            greatest(size(TextFunctions.tokens(lower(col("text")))), lit(1))
+              .cast(DoubleType) * lit(5.0),
+          lit(1.0)), 6).as("p"),
+        (col("lang") === "en").as("label"))
+      graft.operators.Evaluation.aucExact(scored, "p", "label")
+    },
+
     // ---- X: source-drift report — symmetric add-one-smoothed KL over
     //      the top-100 combined-count tokens; both engines sum the
     //      ln-terms in canonical ascending-token order (driver foldLeft
@@ -3540,6 +3555,28 @@ object SparkEntry {
            CAST(sum(n_chars) AS BIGINT) AS sum_chars,
            count(DISTINCT source) AS n_sources
          FROM s GROUP BY shard ORDER BY shard""",
+
+    "x92_auc" ->
+      """WITH scored AS (SELECT
+             round(least(CAST(len(list_filter(string_split(lower(text), ' '),
+               w -> w IN ('the','a','of','and','to','in','is','it','for','on')))
+                 AS DOUBLE)
+               / CAST(greatest(len(string_split(lower(text), ' ')), 1) AS DOUBLE)
+               * 5.0, 1.0), 6) AS p,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM documents),
+         g AS (SELECT p AS s, count(*) AS n, sum(y) AS npos
+               FROM scored GROUP BY 1),
+         c AS (SELECT s, n, npos,
+             sum(n) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM g),
+         t AS (SELECT sum(npos * (2 * cum - n + 1)) AS s2,
+             sum(npos) AS np, sum(n - npos) AS nn FROM c)
+         SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+           CAST(s2 - np * (np + 1) AS DOUBLE) / CAST(2 * np * nn AS DOUBLE)
+             AS auc
+         FROM t""",
 
     "x91_source_drift" ->
       """WITH tok AS (SELECT source AS src, unnest(string_split(text, ' ')) AS tok

@@ -35,6 +35,43 @@ object Evaluation {
       col("n").cast(DoubleType) / sum(col("n")).over(perActual).cast(DoubleType))
   }
 
+  /** Exact ROC-AUC via the Mann-Whitney U statistic with midrank tie
+    * handling — INTEGER-EXACT until one final division: AUC =
+    * (2*S - np*(np+1)) / (2*np*nn) where S is the positive class's
+    * midrank sum, and 2*midrank per score group is the integer
+    * 2*cumulative_count - n + 1. No per-row global sort survives the
+    * plan: rows reduce to per-score groups first (one partial-agged
+    * shuffle), and the cumulative walk runs over the GROUP frame, whose
+    * size is bounded by the score CODOMAIN (<= 1e6+1 for the repo's
+    * 6-decimal-rounded scores), not the corpus. Returns one row
+    * (n_pos, n_neg, auc). Degenerate single-class inputs are rejected
+    * (AUC undefined).
+    */
+  def aucExact(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = df.select(col(scoreCol).as("s"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("npos"))
+    // cumulative count over the ascending-score GROUP frame (codomain-
+    // bounded — see scaladoc; the window is explicitly unpartitioned
+    // because its input is the reduced frame, never corpus rows)
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val parts = g
+      .withColumn("cum", sum(col("n")).over(w))
+      .agg(
+        sum(col("npos") * (lit(2L) * col("cum") - col("n") + 1L)).as("s2"),
+        sum(col("npos")).as("np"),
+        sum(col("n") - col("npos")).as("nn"))
+      .head()
+    val (s2, np, nn) = (parts.getLong(0), parts.getLong(1), parts.getLong(2))
+    require(np > 0 && nn > 0, s"AUC undefined: n_pos=$np n_neg=$nn")
+    val auc = (s2 - np * (np + 1L)).toDouble / (2L * np * nn).toDouble
+    Seq((np, nn, auc)).toDF("n_pos", "n_neg", "auc")
+  }
+
   /** Reliability (calibration) curve: scores binned into `bins` equal
     * buckets over [0,1]; per bucket the count, mean predicted score, and
     * observed positive rate. A well-calibrated scorer has mean_score ≈

@@ -38,6 +38,25 @@ class EvaluationSpec extends SparkSpec {
     assert(out.size == 3)
   }
 
+  test("aucExact: midrank tie handling matches the pairwise definition; degenerate input rejected") {
+    // pairs: (.9 beats .5), (.9 beats .1), (.5 ties .5 -> 1/2), (.5 beats .1)
+    // AUC = 3.5 / 4 = 0.875
+    val df = Seq((0.9, true), (0.5, true), (0.5, false), (0.1, false))
+      .toDF("p", "y")
+    val r = graft.operators.Evaluation.aucExact(df, "p", "y").head()
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((2L, 2L, 0.875)))
+    // perfect separation -> 1.0; inverted -> 0.0
+    val sep = Seq((0.9, true), (0.8, true), (0.2, false)).toDF("p", "y")
+    assert(graft.operators.Evaluation.aucExact(sep, "p", "y").head().getDouble(2) == 1.0)
+    val inv = Seq((0.1, true), (0.8, false)).toDF("p", "y")
+    assert(graft.operators.Evaluation.aucExact(inv, "p", "y").head().getDouble(2) == 0.0)
+    // single-class inputs are rejected, not silently 0/0
+    intercept[IllegalArgumentException] {
+      graft.operators.Evaluation.aucExact(
+        Seq((0.5, true)).toDF("p", "y"), "p", "y").collect()
+    }
+  }
+
   test("labelPropagationStep: neighbor majority, ascending-label ties, isolated nodes absent") {
     val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L)).toDF("a", "b")
     val labels = Seq((1L, "x"), (2L, "y"), (3L, "y"), (4L, "z"), (99L, "q"))
