@@ -2042,6 +2042,15 @@ object SparkEntry {
         .orderBy(col("shard"))
     },
 
+    // ---- X: Cohen's kappa for the x7 labeler vs ground truth —
+    //      chance-corrected agreement, integer-exact until one division:
+    //      (N*trace - sum(row_i*col_i)) / (N^2 - sum(row_i*col_i)) ----
+    "x93_kappa" -> { (s, dir) =>
+      val pred = t(s, dir, "documents").select(col("lang"),
+        graft.functions.TextFunctions.langId(col("text")).as("predicted"))
+      graft.operators.Evaluation.cohensKappa(pred, "lang", "predicted")
+    },
+
     // ---- X: exact ROC-AUC (Mann-Whitney with midrank ties) — integer-
     //      exact until one final division; per-score groups first, the
     //      cumulative walk bounded by the 6-decimal score codomain ----
@@ -3555,6 +3564,34 @@ object SparkEntry {
            CAST(sum(n_chars) AS BIGINT) AS sum_chars,
            count(DISTINCT source) AS n_sources
          FROM s GROUP BY shard ORDER BY shard""",
+
+    "x93_kappa" ->
+      """WITH h AS (SELECT lang,
+           len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ('the','a','of','and','to','in','is','it','for','on'))) AS en,
+           len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ('der','die','das','und','ist','ein','zu','mit','auf','nicht'))) AS de,
+           len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ('le','la','les','et','est','un','une','dans','pour','que'))) AS fr
+         FROM documents),
+         p AS (SELECT lang AS a,
+           CASE WHEN greatest(en, de, fr) = 0 THEN 'und'
+                WHEN de >= en AND de >= fr THEN 'de'
+                WHEN en >= fr THEN 'en'
+                ELSE 'fr' END AS b
+         FROM h),
+         c AS (SELECT a, b, count(*) AS c FROM p GROUP BY 1, 2),
+         m AS (SELECT
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(coalesce(sum(c) FILTER (a = b), 0) AS BIGINT) AS trace
+           FROM c),
+         rt AS (SELECT a AS l, sum(c) AS r FROM c GROUP BY 1),
+         ct AS (SELECT b AS l, sum(c) AS q FROM c GROUP BY 1),
+         s AS (SELECT CAST(coalesce(sum(r * q), 0) AS BIGINT) AS s
+               FROM rt JOIN ct USING (l))
+         SELECT n, trace,
+           CAST(n * trace - s AS DOUBLE) / CAST(n * n - s AS DOUBLE) AS kappa
+         FROM m, s""",
 
     "x92_auc" ->
       """WITH scored AS (SELECT

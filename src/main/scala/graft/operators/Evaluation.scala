@@ -35,6 +35,31 @@ object Evaluation {
       col("n").cast(DoubleType) / sum(col("n")).over(perActual).cast(DoubleType))
   }
 
+  /** Cohen's kappa — chance-corrected agreement between two labelings,
+    * INTEGER-EXACT until one final division: kappa = (N*trace - S) /
+    * (N^2 - S) where trace = sum of diagonal cells and S = sum over
+    * labels of row_total * col_total. The cell/marginal frames are
+    * k^2/k rows; everything heavier is one partial-agged count shuffle.
+    * Returns one row (n, trace, kappa). Degenerate pe = 1 (both sides
+    * constant and equal) is rejected — kappa is undefined there.
+    */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells = df.select(col(aCol).as("a"), col(bCol).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.get(0), r.get(1), r.getLong(2)))
+    // k^2-bounded driver fold (label cardinality, not corpus)
+    val n = cells.map(_._3).sum
+    val trace = cells.collect { case (a, b, c) if a == b => c }.sum
+    val rows = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+    val cols = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+    val s = rows.map { case (l, r) => r * cols.getOrElse(l, 0L) }.sum
+    require(n * n != s, "kappa undefined: expected agreement is 1")
+    val kappa = (n * trace - s).toDouble / (n * n - s).toDouble
+    Seq((n, trace, kappa)).toDF("n", "trace", "kappa")
+  }
+
   /** Exact ROC-AUC via the Mann-Whitney U statistic with midrank tie
     * handling — INTEGER-EXACT until one final division: AUC =
     * (2*S - np*(np+1)) / (2*np*nn) where S is the positive class's

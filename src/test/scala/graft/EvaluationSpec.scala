@@ -57,6 +57,24 @@ class EvaluationSpec extends SparkSpec {
     }
   }
 
+  test("cohensKappa: hand-computed 2x2; perfect and chance-level agreement") {
+    // cells: (A,A)=20 (A,B)=5 (B,A)=10 (B,B)=15 -> N=50, trace=35,
+    // S = 25*30 + 25*20 = 1250 -> kappa = (50*35-1250)/(2500-1250) = 0.4
+    val df = (Seq.fill(20)(("A", "A")) ++ Seq.fill(5)(("A", "B")) ++
+      Seq.fill(10)(("B", "A")) ++ Seq.fill(15)(("B", "B"))).toDF("a", "b")
+    val r = graft.operators.Evaluation.cohensKappa(df, "a", "b").head()
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((50L, 35L, 0.4)))
+    // identical labelings -> 1.0
+    val same = Seq(("x", "x"), ("y", "y"), ("x", "x")).toDF("a", "b")
+    assert(graft.operators.Evaluation.cohensKappa(same, "a", "b")
+      .head().getDouble(2) == 1.0)
+    // both constant and equal: pe = 1, undefined -> rejected
+    intercept[IllegalArgumentException] {
+      graft.operators.Evaluation.cohensKappa(
+        Seq(("x", "x")).toDF("a", "b"), "a", "b").collect()
+    }
+  }
+
   test("labelPropagationStep: neighbor majority, ascending-label ties, isolated nodes absent") {
     val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L)).toDF("a", "b")
     val labels = Seq((1L, "x"), (2L, "y"), (3L, "y"), (4L, "z"), (99L, "q"))
