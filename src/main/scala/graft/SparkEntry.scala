@@ -2051,6 +2051,57 @@ object SparkEntry {
       graft.operators.Evaluation.cohensKappa(pred, "lang", "predicted")
     },
 
+    // ---- X: count-min sketch point queries (Cormode & Muthukrishnan) —
+    //      md5-rowed cells so the SAME estimates reproduce on any engine
+    //      (the x78 HLL argument, for frequencies instead of
+    //      cardinalities); one narrow depth-explode scan, the shuffle
+    //      carries only depth x width cells ----
+    "x94_countmin" -> { (s, dir) =>
+      import s.implicits._
+      val toks = t(s, dir, "documents")
+        .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("tok"))
+      val queryItems = Seq("the", "data", "vector", "stream", "dup",
+        "quality", "model", "of", "train", "zz_absent_token").toDF("tok")
+      graft.operators.FrequentItems.countMin(
+        toks, "tok", queryItems, "tok", depth = 4, width = 512)
+        .orderBy(col("item"))
+    },
+
+    // ---- X: reciprocal-rank fusion of BM25 and cosine-ANN candidates —
+    //      hybrid retrieval merge; both retrievers are the gate-proven
+    //      x44/x6 plans, fusion itself is candidate-sized ----
+    "x95_rrf_fusion" -> { (s, dir) =>
+      val lex = graft.operators.Retrieval.bm25TopK(
+        t(s, dir, "documents"), "doc_id", "text",
+        query = Seq("dup", "vector", "stream"), k = 20)
+      val e = t(s, dir, "embeddings")
+      val sem = graft.operators.Similarity.bruteForceTopK(
+        e.filter(col("vec_id") === 0), e, "vec_id", "embedding", k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("cos").as("score"))
+      graft.operators.Retrieval.rrfFuse(lex, sem, "doc_id", k = 15)
+        .orderBy(col("rrf_rank"))
+    },
+
+    // ---- X: n-gram CONTAINMENT pairs — |A ∩ B| / min(|A|, |B|), the
+    //      short-doc-inside-long-doc dual of x2's jaccard (union-divided
+    //      jaccard dilutes subsumption; containment scores it ~1) ----
+    "x96_containment" -> { (s, dir) =>
+      graft.operators.Dedup.ngramContainmentPairs(
+        t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.9)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ---- X: inter-arrival regularity per user (bot/scraper signal) —
+    //      CV^2 test evaluated integer-exactly in DECIMAL(38,0)/HUGEINT
+    //      products (the x66 recipe), one keyed window + one partial-agged
+    //      groupBy ----
+    "x97_gap_regularity" -> { (s, dir) =>
+      graft.operators.EventAnalytics.gapRegularity(
+        t(s, dir, "events"), "user_id", "ts", "event_id")
+        .orderBy(col("user_id"))
+    },
+
     // ---- X: exact ROC-AUC (Mann-Whitney with midrank ties) — integer-
     //      exact until one final division; per-score groups first, the
     //      cumulative walk bounded by the 6-decimal score codomain ----
@@ -3564,6 +3615,105 @@ object SparkEntry {
            CAST(sum(n_chars) AS BIGINT) AS sum_chars,
            count(DISTINCT source) AS n_sources
          FROM s GROUP BY shard ORDER BY shard""",
+
+    "x94_countmin" ->
+      """WITH it AS (SELECT unnest(string_split(text, ' ')) AS item FROM documents),
+         cells AS (SELECT r,
+             ('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || item), 1, 15))::BIGINT
+               % 512 AS bucket,
+             count(*) AS n
+           FROM it, UNNEST(range(4)) t(r) GROUP BY 1, 2),
+         q(item) AS (VALUES ('the'), ('data'), ('vector'), ('stream'), ('dup'),
+           ('quality'), ('model'), ('of'), ('train'), ('zz_absent_token')),
+         qb AS (SELECT item, r,
+             ('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || item), 1, 15))::BIGINT
+               % 512 AS bucket
+           FROM q, UNNEST(range(4)) t(r)),
+         est AS (SELECT item, min(coalesce(c.n, 0)) AS e
+                 FROM qb LEFT JOIN cells c USING (r, bucket) GROUP BY 1)
+         SELECT item, CAST(e AS BIGINT) AS cm_est FROM est ORDER BY item""",
+
+    // lexical side = x44's bm25 replay (k=20); semantic side = x6's cosine
+    // replay restricted to query vec 0 (k=20); fusion adds the two
+    // reciprocal terms in the same fixed order and rounds to 6
+    "x95_rrf_fusion" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         st AS (SELECT count(*) AS n,
+                  avg(CAST(len(ts) AS DOUBLE)) AS avgdl FROM toks),
+         d1 AS (SELECT count(*) AS df FROM toks WHERE list_contains(ts, 'dup')),
+         d2 AS (SELECT count(*) AS df FROM toks WHERE list_contains(ts, 'stream')),
+         d3 AS (SELECT count(*) AS df FROM toks WHERE list_contains(ts, 'vector')),
+         tfv AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl,
+                  CAST(len(list_filter(ts, x -> x = 'dup')) AS DOUBLE) AS tf1,
+                  CAST(len(list_filter(ts, x -> x = 'stream')) AS DOUBLE) AS tf2,
+                  CAST(len(list_filter(ts, x -> x = 'vector')) AS DOUBLE) AS tf3
+                 FROM toks),
+         sc AS (SELECT doc_id,
+             round(((0.0
+               + ln((st.n - d1.df + 0.5) / (d1.df + 0.5) + 1.0) * (tf1 * 2.2)
+                 / (tf1 + 1.2 * (0.25 + 0.75 * dl / st.avgdl)))
+               + ln((st.n - d2.df + 0.5) / (d2.df + 0.5) + 1.0) * (tf2 * 2.2)
+                 / (tf2 + 1.2 * (0.25 + 0.75 * dl / st.avgdl)))
+               + ln((st.n - d3.df + 0.5) / (d3.df + 0.5) + 1.0) * (tf3 * 2.2)
+                 / (tf3 + 1.2 * (0.25 + 0.75 * dl / st.avgdl)), 6) AS score
+           FROM tfv CROSS JOIN st CROSS JOIN d1 CROSS JOIN d2 CROSS JOIN d3),
+         lex AS (SELECT doc_id, score FROM sc WHERE score > 0.0
+                 ORDER BY score DESC, doc_id LIMIT 20),
+         lr AS (SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS lex_rank
+           FROM lex),
+         e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+         sem0 AS (SELECT c.vec_id AS doc_id,
+             list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i]))
+               / (sqrt(list_sum(list_transform(range(1, 65), i -> q.v[i] * q.v[i])))
+                  * sqrt(list_sum(list_transform(range(1, 65), i -> c.v[i] * c.v[i])))) AS cos
+           FROM e q, e c WHERE q.vec_id = 0 AND c.vec_id <> 0),
+         sem AS (SELECT doc_id, cos FROM sem0
+                 ORDER BY cos DESC, doc_id ASC LIMIT 20),
+         sr AS (SELECT doc_id,
+             row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS sem_rank
+           FROM sem),
+         f AS (SELECT doc_id, lex_rank, sem_rank,
+             round(coalesce(1.0 / (60.0 + CAST(lex_rank AS DOUBLE)), 0.0)
+               + coalesce(1.0 / (60.0 + CAST(sem_rank AS DOUBLE)), 0.0), 6)
+               AS rrf_score
+           FROM lr FULL JOIN sr USING (doc_id)),
+         r AS (SELECT doc_id, lex_rank, sem_rank, rrf_score,
+             row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS rrf_rank
+           FROM f)
+         SELECT doc_id, rrf_rank, rrf_score, lex_rank, sem_rank FROM r
+         WHERE rrf_rank <= 15 ORDER BY rrf_rank""",
+
+    "x96_containment" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+                FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1))) t(i)),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                   FROM sh a JOIN sh b USING (s)
+                   WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT id_a, id_b,
+           CAST(c AS DOUBLE) / least(sa.n, sb.n) AS containment
+         FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+         WHERE CAST(c AS DOUBLE) / least(sa.n, sb.n) >= 0.9
+         ORDER BY id_a, id_b""",
+
+    // HUGEINT (int128) products mirror Spark's DECIMAL(38,0): the CV^2
+    // flag 100*(n*SS - S^2) < S^2 is integer-exact on both engines
+    "x97_gap_regularity" ->
+      """WITH g AS (SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+           FROM events),
+         a AS (SELECT user_id, count(*) AS n_gaps, sum(gap) AS s,
+             sum(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT)) AS ss
+           FROM g WHERE gap IS NOT NULL GROUP BY 1)
+         SELECT user_id, n_gaps, CAST(s AS BIGINT) AS sum_gap_us,
+           (100 * (CAST(n_gaps AS HUGEINT) * ss
+                   - CAST(s AS HUGEINT) * CAST(s AS HUGEINT))
+             < CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS regular
+         FROM a WHERE n_gaps >= 3 ORDER BY user_id""",
 
     "x93_kappa" ->
       """WITH h AS (SELECT lang,

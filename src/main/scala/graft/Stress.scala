@@ -274,7 +274,29 @@ object Stress {
             windowSeconds = 86400L).count()),
         "top_paths" -> (() =>
           operators.EventAnalytics.topPaths(events, "user_id", "event_type",
-            "ts", "event_id", k = 20).count()))
+            "ts", "event_id", k = 20).count()),
+        // sketch cells bounded at depth x width whatever the corpus: the
+        // build shuffle is constant-size, wall must track the token
+        // explode linearly (query items live in replica 0's vocabulary)
+        "countmin" -> (() => {
+          import spark.implicits._
+          operators.FrequentItems.countMin(
+            docs.select(explode(split(col("text"), " ")).as("tok")), "tok",
+            Seq("the", "data", "vector", "stream").toDF("tok"), "tok",
+            depth = 4, width = 512).count()
+        }),
+        // inverted-index pair search: disjoint replica vocabularies keep
+        // candidates within replicas — same trend contract as the jaccard
+        // family (docfreq-capped index bounds the fan-out)
+        "containment" -> (() =>
+          operators.Dedup.ngramContainmentPairs(docs, "doc_id", "text",
+            n = 3, threshold = 0.9, maxDocFreq = Some(50)).count()),
+        // one keyed lag window + one partial-agged groupBy per user:
+        // replicas add users, per-user cost fixed — wall must stay flat
+        // per row
+        "gap_regularity" -> (() =>
+          operators.EventAnalytics.gapRegularity(events, "user_id", "ts",
+            "event_id").count()))
 
       // SPARK_GRAFT_STRESS_OPS=a,b,c runs only the named ops (bisection
       // runs shouldn't pay the full sweep per hypothesis)

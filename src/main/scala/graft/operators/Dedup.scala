@@ -235,6 +235,59 @@ object Dedup {
     }
   }
 
+  /** N-gram CONTAINMENT near-dup pairs: containment(a,b) =
+    * |Sa ∩ Sb| / min(|Sa|, |Sb|) — the asymmetric-length dual of
+    * [[ngramJaccardPairs]]. Jaccard divides by the UNION, so a short
+    * document fully embedded in a long one (a quoted article inside a
+    * page, a doc re-published with appended boilerplate) scores only
+    * ~|Sa|/|Sb| and slips under any practical jaccard threshold;
+    * max-containment scores it ~1 regardless of the length ratio. The
+    * standard second pass of a dedup stack (jaccard catches same-length
+    * near-dups, containment catches subsumption).
+    *
+    * Same machinery and 100 TB shape as the jaccard variant: uncapped =
+    * count-based inverted index, one shingle-keyed shuffle into a
+    * partial-agg groupBy, sizes joined shuffle_hash (no broadcast of a
+    * corpus-sized side); with `maxDocFreq` the capped index generates
+    * candidates only and each pair is verified with exact containment
+    * over the full shingle sets. Output: (id_a, id_b, containment) with
+    * containment >= threshold, id_a < id_b. */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxDocFreq: Option[Int] = None): DataFrame = {
+    val sh = shingleIndex(df, idCol, textCol, n, maxDocFreq)
+    maxDocFreq match {
+      case None =>
+        val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+        val inter = sh.toDF("id_a", "s")
+          .join(sh.toDF("id_b", "s").hint("shuffle_hash"), Seq("s"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("c"))
+        inter
+          .join(sizes.toDF("id_a", "sz_a").hint("shuffle_hash"), Seq("id_a"))
+          .join(sizes.toDF("id_b", "sz_b").hint("shuffle_hash"), Seq("id_b"))
+          .withColumn("containment", col("c").cast(DoubleType) /
+            least(col("sz_a"), col("sz_b")).cast(DoubleType))
+          .filter(col("containment") >= threshold)
+          .select(col("id_a"), col("id_b"), col("containment"))
+      case Some(_) =>
+        val cand = sh.toDF("id_a", "s")
+          .join(sh.toDF("id_b", "s").hint("shuffle_hash"), Seq("s"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+        val shA = df.select(col(idCol).as("id_a"), shingles(col(textCol), n).as("arr_a"))
+        val shB = df.select(col(idCol).as("id_b"), shingles(col(textCol), n).as("arr_b"))
+        cand
+          .join(shA.hint("shuffle_hash"), Seq("id_a"))
+          .join(shB.hint("shuffle_hash"), Seq("id_b"))
+          .withColumn("c", size(array_intersect(col("arr_a"), col("arr_b"))))
+          .withColumn("containment", col("c").cast(DoubleType) /
+            least(size(col("arr_a")), size(col("arr_b"))).cast(DoubleType))
+          .filter(col("containment") >= threshold)
+          .select(col("id_a"), col("id_b"), col("containment"))
+    }
+  }
+
   /** N-gram Jaccard with PREFIX FILTERING (AllPairs/PPJoin candidate
     * pruning): shingles are globally ordered by (document frequency asc,
     * shingle asc); a document of set size z indexes only its first

@@ -136,4 +136,61 @@ object FrequentItems {
       rank(items.toDF("item").groupBy("item").agg(count(lit(1)).as("n")))
     }
   }
+
+  // --------------------------------------------------------------------
+  // Count-min sketch (Cormode & Muthukrishnan 2005) — the point-query
+  // frequency companion to [[topK]] (which answers "what are the heavy
+  // items"; count-min answers "how often does THIS item occur" for any
+  // item, from O(depth x width) state). Like Profile.hllRegisters, the
+  // hash rows go through the repo's md5-long so the SAME cells — and
+  // therefore the SAME estimates, integer-exact — reproduce on any
+  // engine: a sketch one system built can be queried (or merged, cell-
+  // wise +) by another, and the x94 gate PROVES the estimates rather
+  // than trusting a private hash. Guarantee: est >= true count always;
+  // est <= true + 2N/width with probability 1 - (1/2)^depth.
+  // --------------------------------------------------------------------
+
+  private def cmBucket(item: org.apache.spark.sql.Column,
+      r: org.apache.spark.sql.Column, width: Int) =
+    pmod(graft.functions.TextFunctions.md5Long(
+      concat(r.cast("string"), lit("|"), item)), lit(width.toLong))
+
+  /** Build the sketch: (r, bucket, n) cells, r in [0, depth). 100 TB
+    * shape: ONE narrow scan explodes each item into its `depth` (row,
+    * bucket) coordinates; the hash agg partial-combines per partition, so
+    * the shuffle carries at most depth x width x partitions cell rows —
+    * never the item stream. Cells from different corpora merge by
+    * cell-wise sum (same (r, bucket) key space for equal depth/width). */
+  def countMinCells(df: DataFrame, itemCol: String, depth: Int,
+      width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, "need depth >= 1, width >= 2")
+    df.select(col(itemCol).cast("string").as("item"))
+      .filter(col("item").isNotNull)
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("r"), col("item"))
+      .select(col("r"), cmBucket(col("item"), col("r"), width).as("bucket"))
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Point-query the sketch for each distinct item in `queries`: the
+    * estimate is min over rows of the item's cell (absent cell = 0). The
+    * cell frame is depth x width rows at most — broadcast — so the query
+    * side never shuffles. Output (item, cm_est long), integer-exact. */
+  def countMinEstimate(cells: DataFrame, queries: DataFrame, itemCol: String,
+      depth: Int, width: Int): DataFrame = {
+    val qb = queries.select(col(itemCol).cast("string").as("item"))
+      .filter(col("item").isNotNull).distinct()
+      .select(col("item"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("item"), col("r"),
+        cmBucket(col("item"), col("r"), width).as("bucket"))
+    qb.join(broadcast(cells), Seq("r", "bucket"), "left")
+      .groupBy(col("item"))
+      .agg(min(coalesce(col("n"), lit(0L))).as("cm_est"))
+  }
+
+  /** Build + query in one call (the x94 gate shape). */
+  def countMin(df: DataFrame, itemCol: String, queries: DataFrame,
+      queryItemCol: String, depth: Int = 4, width: Int = 512): DataFrame =
+    countMinEstimate(countMinCells(df, itemCol, depth, width),
+      queries, queryItemCol, depth, width)
 }

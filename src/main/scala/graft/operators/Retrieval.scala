@@ -120,4 +120,44 @@ object Retrieval {
       .select(col(idCol), col("rk"), col("term"), col("tf"), col("df"),
         col("score"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of a lexical and
+    * a semantic candidate list — the standard hybrid-retrieval merge
+    * (BM25 ∪ ANN) for RAG / decontamination lookup: score-scale-free, so
+    * BM25 log-scores and cosine similarities need no calibration, only
+    * their RANKS: rrf(d) = Σ_lists 1/(k0 + rank_list(d)).
+    *
+    * Inputs are the two candidate frames (id, score); ranks are assigned
+    * here by (score desc, id asc) — each frame is top-k-bounded (tens of
+    * rows) by construction, so the rank windows and the full-outer id
+    * join are candidate-sized, never corpus-sized: at 100 TB the heavy
+    * lifting stays in the upstream retrievers (bm25TopK's TakeOrdered,
+    * ADC/IVF's pruned scan) and fusion is a driver-scale merge. The two
+    * reciprocal terms are added in a FIXED order (lexical + semantic) and
+    * rounded to 6, so the double reproduces on any engine. Output:
+    * (id, rrf long-rank 1..k, rrf_score, lex_rank, sem_rank) with absent
+    * ranks null. */
+  def rrfFuse(lexical: DataFrame, semantic: DataFrame, idCol: String,
+      k: Int, k0: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && k0 >= 0, "need k >= 1, k0 >= 0")
+    def ranked(df: DataFrame, rankName: String): DataFrame = {
+      // candidate-list-sized window (the retriever already cut to top-k)
+      val w = Window.orderBy(col("score").desc, col(idCol).asc)
+      df.select(col(idCol), col("score"))
+        .withColumn(rankName, row_number().over(w).cast("long"))
+        .select(col(idCol), col(rankName))
+    }
+    val term: String => Column = r =>
+      coalesce(lit(1.0) / (lit(k0.toDouble) + col(r).cast("double")), lit(0.0))
+    val fused = ranked(lexical, "lex_rank")
+      .join(ranked(semantic, "sem_rank"), Seq(idCol), "full_outer")
+      .select(col(idCol), col("lex_rank"), col("sem_rank"),
+        round(term("lex_rank") + term("sem_rank"), 6).as("rrf_score"))
+    val w = Window.orderBy(col("rrf_score").desc, col(idCol).asc)
+    fused.withColumn("rrf_rank", row_number().over(w).cast("long"))
+      .filter(col("rrf_rank") <= k)
+      .select(col(idCol), col("rrf_rank"), col("rrf_score"),
+        col("lex_rank"), col("sem_rank"))
+  }
 }

@@ -231,4 +231,47 @@ class EventAnalyticsSpec extends SparkSpec {
     val byCur = out.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2._2).sum)
     byCur.foreach { case (_, p) => assert(math.abs(p - 1.0) < 1e-12) }
   }
+
+  test("gapRegularity: metronome flagged, bursty not, short users excluded") {
+    val ev = Seq(
+      // u1: four exact 60s gaps -> variance 0 -> CV 0 -> regular
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (1L, ts("2024-01-01 10:01:00"), 2L),
+      (1L, ts("2024-01-01 10:02:00"), 3L),
+      (1L, ts("2024-01-01 10:03:00"), 4L),
+      (1L, ts("2024-01-01 10:04:00"), 5L),
+      // u2: bursty gaps (1s, 1s, 1h, 10s) -> CV >> 0.1 -> organic
+      (2L, ts("2024-01-01 10:00:00"), 6L),
+      (2L, ts("2024-01-01 10:00:01"), 7L),
+      (2L, ts("2024-01-01 10:00:02"), 8L),
+      (2L, ts("2024-01-01 11:00:02"), 9L),
+      (2L, ts("2024-01-01 11:00:12"), 10L),
+      // u3: only 2 gaps -> below minGaps, not judged
+      (3L, ts("2024-01-01 10:00:00"), 11L),
+      (3L, ts("2024-01-01 10:01:00"), 12L),
+      (3L, ts("2024-01-01 10:02:00"), 13L)
+    ).toDF("user_id", "ts", "event_id")
+    val out = EventAnalytics.gapRegularity(ev, "user_id", "ts", "event_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(1L) == ((4L, 240000000L, true)))
+    assert(out(2L)._1 == 4L && !out(2L)._3)
+    assert(!out.contains(3L))
+  }
+
+  test("gapRegularity: near-metronome within 10% CV still flags; 2x jitter does not") {
+    // gaps 59s, 60s, 61s, 60s: mean 60s, sd ~0.707s, CV ~0.012 -> regular
+    val tight = Seq(0L, 59L, 119L, 180L, 240L)
+    // gaps 30s, 90s, 30s, 90s: mean 60s, sd 30s, CV 0.5 -> not regular
+    val loose = Seq(0L, 30L, 120L, 150L, 240L)
+    def evs(u: Long, offs: Seq[Long], base: Long) = offs.zipWithIndex.map {
+      case (o, i) => (u, new java.sql.Timestamp(1704103200000L + o * 1000L),
+        base + i)
+    }
+    val ev = (evs(1L, tight, 100L) ++ evs(2L, loose, 200L))
+      .toDF("user_id", "ts", "event_id")
+    val out = EventAnalytics.gapRegularity(ev, "user_id", "ts", "event_id")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out(1L) && !out(2L))
+  }
 }

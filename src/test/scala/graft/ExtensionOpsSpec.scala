@@ -581,4 +581,33 @@ class ExtensionOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Expand") && !plan.contains("Join"), plan)
   }
+
+  test("containment catches short-in-long subsumption jaccard misses; capped == uncapped") {
+    // long doc of 40 distinct tokens; short doc = its first 12 tokens
+    // (an embedded quote / doc+boilerplate shape); one unrelated doc
+    val longDoc = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val shortDoc = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val other = (100 to 140).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, longDoc), (2L, shortDoc), (3L, other))
+      .toDF("doc_id", "text")
+    // jaccard of the pair is 10/38 ≈ 0.26 — invisible at any practical
+    // threshold — while containment is exactly 1.0
+    assert(Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.8).count() == 0)
+    val con = Dedup.ngramContainmentPairs(d, "doc_id", "text", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(con == Seq((1L, 2L, 1.0)))
+    // capped candidate+verify path surfaces the same pairs and values
+    val capped = Dedup.ngramContainmentPairs(d, "doc_id", "text", 3, 0.9,
+      maxDocFreq = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(capped == con)
+    // sub-threshold containment stays out: a doc sharing 8 of its 10
+    // trigrams scores 0.8 < 0.9
+    val partial = (1 to 10).map(i => s"tok$i").mkString(" ") + " zz yy"
+    val d2 = d.unionAll(Seq((4L, partial)).toDF("doc_id", "text"))
+    val con2 = Dedup.ngramContainmentPairs(d2, "doc_id", "text", 3, 0.9)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!con2.contains((1L, 4L)))
+  }
 }

@@ -66,4 +66,42 @@ class FrequentItemsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       FrequentItems.topK(Seq("a").toDF("item"), "item", k = 8, capacity = 8))
   }
+
+  // ---- count-min sketch ----
+
+  test("count-min: generous width reproduces exact counts, absent item 0") {
+    val items = (1 to 30).flatMap(i => Seq.fill(i)(f"t$i%02d"))
+    val df = items.toDF("item").repartition(5)
+    val q = Seq("t01", "t15", "t30", "zz_absent").toDF("item")
+    val est = FrequentItems.countMin(df, "item", q, "item",
+      depth = 4, width = 2048)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 30 distinct items in 4 x 2048 cells: no item collides in all rows
+    assert(est == Map("t01" -> 1L, "t15" -> 15L, "t30" -> 30L,
+      "zz_absent" -> 0L))
+  }
+
+  test("count-min: overestimate-only under forced collisions; cells merge by sum") {
+    import graft.operators.FrequentItems.{countMinCells, countMinEstimate}
+    val items = (1 to 50).flatMap(i => Seq.fill(1 + i % 7)(s"w$i"))
+    val df = items.toDF("item")
+    val q = (1 to 50).map(i => s"w$i").toDF("item")
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // width 8 forces heavy collisions: every estimate must still be >= exact
+    val est = FrequentItems.countMin(df, "item", q, "item",
+      depth = 3, width = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (item, n) =>
+      assert(est(item) >= n, s"$item estimated ${est(item)} < exact $n")
+    }
+    // mergeability: summing the two halves' cells == one-pass cells, so
+    // per-corpus sketches combine without re-reading either corpus
+    val (h1, h2) = items.splitAt(items.size / 2)
+    val merged = countMinCells(h1.toDF("item"), "item", 3, 8)
+      .unionAll(countMinCells(h2.toDF("item"), "item", 3, 8))
+      .groupBy("r", "bucket").agg(sum(col("n")).as("n"))
+    val estMerged = countMinEstimate(merged, q, "item", 3, 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(estMerged == est)
+  }
 }

@@ -532,4 +532,28 @@ class PlanHealthSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"x83 fell off its equi-joins:\n$p")
   }
+
+  test("x94: count-min cells partial-aggregate; the query join broadcasts the bounded cell frame") {
+    val p = plan("x94_countmin")
+    // build side: the depth-explode feeds a partial+final HashAggregate
+    // pair — the shuffle carries <= depth x width cells, never the tokens
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"x94 cells must partial-aggregate:\n$p")
+    // query side: cells (bounded frame) broadcast to the query items —
+    // no shuffle of either side for the lookup
+    assert(p.contains("BroadcastHashJoin"),
+      s"x94 cell lookup must broadcast the bounded cell frame:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"rogue join in x94:\n$p")
+  }
+
+  test("x97: the gap window is keyed by user; no join, no global sort below the output order") {
+    val p = plan("x97_gap_regularity")
+    assert(p.contains("Window"), s"x97 needs the keyed lag window:\n$p")
+    // the lag window must partition by user_id — an unkeyed window would
+    // funnel the event log through one task
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"x97 window lost its user partitioning:\n$p")
+    assert(!p.contains("Join"), s"x97 grew a join it doesn't need:\n$p")
+  }
 }

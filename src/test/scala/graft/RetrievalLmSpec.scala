@@ -188,4 +188,36 @@ class RetrievalLmSpec extends SparkSpec {
     // k=2 bounds every doc (doc3 has 3 distinct terms)
     assert(out.keySet.map(_._2).max == 2L)
   }
+
+  test("rrfFuse: hand-computed fusion, absent ranks contribute zero") {
+    val lex = Seq((1L, 5.0), (2L, 4.0), (3L, 3.0)).toDF("id", "score")
+    val sem = Seq((2L, 0.9), (4L, 0.8)).toDF("id", "score")
+    val out = Retrieval.rrfFuse(lex, sem, "id", k = 4, k0 = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long]))).toMap
+    // ranks: lex 1->1, 2->2, 3->3; sem 2->1, 4->2 (k0 = 10):
+    //   id2 = 1/12 + 1/11 ≈ .174242  (in both lists)
+    //   id1 = 1/11 ≈ .090909, id4 = 1/12 ≈ .083333, id3 = 1/13 ≈ .076923
+    assert(out(2L)._1 == 1L && out(1L)._1 == 2L &&
+      out(4L)._1 == 3L && out(3L)._1 == 4L)
+    assert(math.abs(out(2L)._2 - (1.0 / 12 + 1.0 / 11)) < 1e-6)
+    assert(math.abs(out(4L)._2 - 1.0 / 12) < 1e-6)
+    // a doc absent from one list carries a null rank there
+    assert(out(4L)._3.isEmpty && out(4L)._4.contains(2L))
+    assert(out(3L)._3.contains(3L) && out(3L)._4.isEmpty)
+  }
+
+  test("rrfFuse: k cuts the fused list, both-lists docs beat single-list ties") {
+    // same scores => ranks follow id asc; doc in BOTH lists at rank 2
+    // beats a doc at rank 1 of only one list iff 2/(k0+2) > 1/(k0+1)
+    // (true for every k0 >= 0): membership in both lists dominates
+    val lex = Seq((10L, 1.0), (20L, 0.9)).toDF("id", "score")
+    val sem = Seq((30L, 1.0), (20L, 0.9)).toDF("id", "score")
+    val out = Retrieval.rrfFuse(lex, sem, "id", k = 2, k0 = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 2)
+    assert(out.head == ((20L, 1L))) // 2/62 > 1/61
+  }
 }
