@@ -2102,6 +2102,33 @@ object SparkEntry {
         .orderBy(col("user_id"))
     },
 
+    // ---- X: per-type MAD outliers — median/MAD have 50% breakdown where
+    //      mean/stddev tests are inflated by the very outliers they hunt;
+    //      two grouped percentile aggs + broadcast cut joins ----
+    "x98_mad_outliers" -> { (s, dir) =>
+      graft.operators.Percentiles.madOutliers(
+        t(s, dir, "events"), "event_type", "event_id", "value", k = 3.0)
+        .orderBy(col("event_type"), col("event_id"))
+    },
+
+    // ---- X: recall@20 of the IVF-ADC index (x63's gate-proven plan)
+    //      against brute-force cosine (x6's) — the acceptance number for
+    //      the probe/code budget; fusion-sized inputs, corpus untouched ----
+    "x99_ann_recall" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val approx = graft.operators.Quantization.ivfAdcTopK(
+        e, "vec_id", "embedding", queryId = 0L, topK = 20,
+        numCentroids = 16, nprobe = 4)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("adist").asc, col("vec_id").asc)).cast("long"))
+        .select(lit(0L).as("query_id"), col("vec_id").as("neighbor_id"),
+          col("rank"))
+      val exact = graft.operators.Similarity.bruteForceTopK(
+        e.filter(col("vec_id") === 0), e, "vec_id", "embedding", k = 20)
+      graft.operators.Evaluation.recallAtK(
+        approx, exact, "query_id", "neighbor_id", "rank", k = 20)
+    },
+
     // ---- X: exact ROC-AUC (Mann-Whitney with midrank ties) — integer-
     //      exact until one final division; per-score groups first, the
     //      cumulative walk bounded by the 6-decimal score codomain ----
@@ -3698,6 +3725,41 @@ object SparkEntry {
          FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
          WHERE CAST(c AS DOUBLE) / least(sa.n, sb.n) >= 0.9
          ORDER BY id_a, id_b""",
+
+    // quantile_cont == Spark percentile() (the x13-proven pair); all
+    // post-median arithmetic is the same IEEE expression on both engines
+    "x98_mad_outliers" ->
+      """WITH v AS (SELECT event_type, event_id, CAST(value AS DOUBLE) AS v
+           FROM events WHERE value IS NOT NULL),
+         m AS (SELECT event_type, quantile_cont(v, 0.5) AS med
+               FROM v GROUP BY 1),
+         d AS (SELECT v.event_type, v.event_id, v.v, m.med,
+                 abs(v.v - m.med) AS ad
+               FROM v JOIN m USING (event_type)),
+         md AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+                FROM d GROUP BY 1)
+         SELECT d.event_type, d.event_id, d.v AS value, d.med, md.mad
+         FROM d JOIN md USING (event_type)
+         WHERE d.ad > 3.0 * md.mad
+         ORDER BY d.event_type, d.event_id""",
+
+    // approx side = the x63 IVF-ADC replay verbatim (as a derived table);
+    // exact side = the x6 brute-cosine replay for query 0
+    "x99_ann_recall" ->
+      s"""WITH a AS (SELECT vec_id AS neighbor_id FROM ($ivfAdcOracle)),
+         e2 AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         s0 AS (SELECT c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i]))
+               / (sqrt(list_sum(list_transform(range(1, 65), i -> q.v[i] * q.v[i])))
+                  * sqrt(list_sum(list_transform(range(1, 65), i -> c.v[i] * c.v[i])))) AS cos
+           FROM e2 q, e2 c WHERE q.vec_id = 0 AND c.vec_id <> 0),
+         ex AS (SELECT neighbor_id FROM s0
+                ORDER BY cos DESC, neighbor_id ASC LIMIT 20),
+         h AS (SELECT count(*) AS n_hit FROM ex JOIN a USING (neighbor_id))
+         SELECT CAST(0 AS BIGINT) AS query_id, CAST(n_hit AS BIGINT) AS n_hit,
+           CAST(n_hit AS DOUBLE) / CAST(20 AS DOUBLE) AS recall FROM h""",
 
     // HUGEINT (int128) products mirror Spark's DECIMAL(38,0): the CV^2
     // flag 100*(n*SS - S^2) < S^2 is integer-exact on both engines

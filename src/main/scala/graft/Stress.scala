@@ -296,7 +296,13 @@ object Stress {
         // per row
         "gap_regularity" -> (() =>
           operators.EventAnalytics.gapRegularity(events, "user_id", "ts",
-            "event_id").count()))
+            "event_id").count()),
+        // two grouped percentile aggs (per-group value buffers — the
+        // documented QA-scale trade; groupedSorted is the bounded path):
+        // watch that the trend stays linear while groups stay fixed
+        "mad_outliers" -> (() =>
+          operators.Percentiles.madOutliers(events, "event_type",
+            "event_id", "value", k = 3.0).count()))
 
       // SPARK_GRAFT_STRESS_OPS=a,b,c runs only the named ops (bisection
       // runs shouldn't pay the full sweep per hypothesis)

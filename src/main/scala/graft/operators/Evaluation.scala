@@ -128,4 +128,33 @@ object Evaluation {
         (col("npos").cast(DoubleType) / col("n").cast(DoubleType))
           .as("frac_pos"))
   }
+
+  /** Recall@k of an approximate neighbor list against the exact one —
+    * the acceptance test for every ANN trade-off in the repo (IVF probe
+    * counts, PQ code budgets, LSH banding): "how much of the true top-k
+    * does the cheap index return". Both inputs carry (query, neighbor,
+    * rank); rows past rank k are ignored, so retriever outputs plug in
+    * unchanged.
+    *
+    * 100 TB shape: both frames are top-k-bounded per query by
+    * construction (#queries x k rows), so the semi-join and per-query
+    * count are candidate-sized — the corpus was already reduced by the
+    * retrievers being compared. Every exact-side query appears in the
+    * output (0 hits included, via the left join); recall is one
+    * correctly-rounded IEEE division of two exact integers. Output:
+    * (query, n_hit long, recall double). */
+  def recallAtK(approx: DataFrame, exact: DataFrame, queryCol: String,
+      idCol: String, rankCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val a = approx.filter(col(rankCol) <= k).select(col(queryCol), col(idCol))
+    val e = exact.filter(col(rankCol) <= k).select(col(queryCol), col(idCol))
+    val hits = e.join(a, Seq(queryCol, idCol), "left_semi")
+      .groupBy(col(queryCol)).agg(count(lit(1)).as("n_hit"))
+    e.select(col(queryCol)).distinct()
+      .join(hits, Seq(queryCol), "left")
+      .select(col(queryCol),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast(DoubleType) /
+          lit(k.toDouble)).as("recall"))
+  }
 }

@@ -143,4 +143,39 @@ object Percentiles {
           .otherwise(least(greatest(col(valueCol), col("__w_lo")),
             col("__w_hi"))))
   }
+
+  /** Per-group MAD outliers — the robust sibling of [[winsorize]] (clip)
+    * and EventAnalytics.countOutliers (volume z-score): flag rows whose
+    * value sits more than k median-absolute-deviations from the group
+    * median. Mean/stddev outlier tests are circular — a heavy outlier
+    * inflates the stddev that is supposed to expose it; the median and
+    * MAD have 50% breakdown, the standard robust detector for telemetry
+    * values and quality scores.
+    *
+    * Two grouped exact-percentile aggregates (median of v, then median of
+    * |v - med|) and two broadcast joins of the #groups-row cut frames; the
+    * corpus is scanned twice and never self-joined. `percentile()`
+    * buffers each group's values — the QA-scale trade; at true corpus
+    * scale swap the median calls for [[groupedSorted]] (bounded-memory
+    * order statistics, proven value-identical in the x13/x16 gates). All
+    * post-median arithmetic is the same IEEE expression on both engines
+    * (abs, one multiply, one compare) — no ulp ambiguity. Output: the
+    * flagged rows as (group, id, value, med, mad). */
+  def madOutliers(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, k: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    require(k > 0, "k must be > 0")
+    val v = df.select(col(groupCol), col(idCol),
+      col(valueCol).cast("double").as("v")).filter(col("v").isNotNull)
+    val med = v.groupBy(col(groupCol))
+      .agg(expr("percentile(v, 0.5)").as("med"))
+    val dev = v.join(broadcast(med), Seq(groupCol))
+      .withColumn("ad", abs(col("v") - col("med")))
+    val mad = dev.groupBy(col(groupCol))
+      .agg(expr("percentile(ad, 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq(groupCol))
+      .filter(col("ad") > lit(k) * col("mad"))
+      .select(col(groupCol), col(idCol), col("v").as(valueCol),
+        col("med"), col("mad"))
+  }
 }

@@ -239,4 +239,31 @@ object EventStreams {
     q.processAllAvailable()
     q
   }
+
+  /** Streaming count-min frequencies — [[hllDistinctStream]]'s sibling for
+    * "how often", not "how many distinct": the sketch cells
+    * (FrequentItems.countMinCells — (row, bucket, n)) ARE the streaming
+    * aggregation, so the state store holds at most depth x width rows
+    * forever, where a per-item groupBy count keys state by ITEM and grows
+    * with the vocabulary (watermarks can't bound an all-time frequency).
+    * Counts sum commutatively and the hash rows are md5-deterministic, so
+    * after N micro-batches the cells — and every point estimate derived
+    * from them — are IDENTICAL to the batch sketch over the batches'
+    * union (the spec gates that). Each trigger hands the current cells
+    * to `writeBatch`; query them with FrequentItems.countMinEstimate. */
+  def countMinStream(events: DataFrame, itemCol: String,
+      depth: Int = 4, width: Int = 512)(
+      writeBatch: (DataFrame, Long) => Unit): StreamingQuery = {
+    val cells = graft.operators.FrequentItems.countMinCells(
+      events, itemCol, depth, width)
+    val q = cells.writeStream
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatch(batch, batchId)
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
 }

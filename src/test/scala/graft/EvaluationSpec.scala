@@ -102,4 +102,25 @@ class EvaluationSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.sorted.toSeq == again.sorted.toSeq)
   }
+
+  test("recallAtK: per-query hit counts, zero-hit queries included, rank cutoff honored") {
+    import spark.implicits._
+    // exact top-3 per query; approx overlaps 2/3 for q1, 0/3 for q2
+    val exact = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3),
+      // rank 4 rows must not count toward recall@3 on either side
+      (1L, 99L, 4)).toDF("q", "n", "rank")
+    val approx = Seq(
+      (1L, 10L, 1), (1L, 12L, 2), (1L, 77L, 3),
+      (2L, 88L, 1), (2L, 89L, 2), (2L, 90L, 3),
+      (2L, 20L, 4) // true neighbor found, but past the cutoff
+    ).toDF("q", "n", "rank")
+    val out = graft.operators.Evaluation
+      .recallAtK(approx, exact, "q", "n", "rank", k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) == ((2L, 2.0 / 3)))
+    assert(out(2L) == ((0L, 0.0))) // zero hits still yields a row
+    assert(out.size == 2)
+  }
 }

@@ -582,6 +582,44 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(!plan.contains("Expand") && !plan.contains("Join"), plan)
   }
 
+  test("madOutliers: only the heavy tail trips; constant groups flag nothing") {
+    val df = (Seq((1.0, 1L), (2.0, 2L), (3.0, 3L), (4.0, 4L), (5.0, 5L),
+      (100.0, 6L)).map { case (v, i) => ("g", i, v) } ++
+      Seq(7L, 8L, 9L).map(i => ("h", i, 42.0)))
+      .toDF("grp", "id", "v")
+    val out = graft.operators.Percentiles
+      .madOutliers(df, "grp", "id", "v", k = 3.0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // g: median 3.5, MAD 1.5 -> only |100 - 3.5| = 96.5 > 4.5 trips
+    // (a mean/stddev test at 3 sigma would MISS it: the outlier inflates
+    // sigma to ~39, and 100 sits only ~2.1 sigma out)
+    // h: MAD 0, no deviation > 0 -> nothing flagged
+    assert(out.toSeq == Seq(("g", 6L, 100.0)))
+  }
+
+  test("streaming count-min cells == batch sketch over the same events") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_cm").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = EventStreams.readEvents(spark, dir)
+    @volatile var cells: Array[(Int, Long, Long)] = Array.empty
+    val sq = EventStreams.countMinStream(stream, "event_type",
+      depth = 3, width = 64) { (batch, _) =>
+      cells = batch.collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2)))
+    }
+    try {
+      val batchCells = graft.operators.FrequentItems
+        .countMinCells(Tables.load(spark, sfDir, "events"), "event_type", 3, 64)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      // commutative cell sums + md5-deterministic rows => identical state
+      assert(cells.sorted.toSeq == batchCells.sorted.toSeq)
+      // bounded state: never more than depth x width cells
+      assert(cells.length <= 3 * 64)
+    } finally sq.stop()
+  }
+
   test("containment catches short-in-long subsumption jaccard misses; capped == uncapped") {
     // long doc of 40 distinct tokens; short doc = its first 12 tokens
     // (an embedded quote / doc+boilerplate shape); one unrelated doc
