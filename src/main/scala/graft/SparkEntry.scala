@@ -2111,6 +2111,49 @@ object SparkEntry {
         .orderBy(col("event_type"), col("event_id"))
     },
 
+    // ---- X: session-level feature table over x40's sessionize — event
+    //      count, exact integer-micros start/end/duration, decimal-exact
+    //      value total; the keyed window's shuffle co-partitions the
+    //      groupBy, no second corpus shuffle ----
+    "x100_session_features" -> { (s, dir) =>
+      graft.operators.Temporal.sessionFeatures(
+        t(s, dir, "events"), "user_id", "ts", "event_id",
+        gapSeconds = 1800, valueCol = "value")
+        .orderBy(col("user_id"), col("session_id"))
+    },
+
+    // ---- X: corpus snapshot diff — added/removed/changed/unchanged
+    //      counts between two corpus versions by id + content
+    //      fingerprint; one full-outer id join, texts never move ----
+    "x101_corpus_diff" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val old = docs.filter(col("doc_id") % 7 =!= 0)
+      val neu = docs.filter(col("doc_id") % 3 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      graft.operators.Cdc.corpusDiff(old, neu, "doc_id", "text")
+        .orderBy(col("status"))
+    },
+
+    // ---- X: quantile normalization of per-source scores onto the pooled
+    //      distribution — rank-based scorer calibration; keyed rank
+    //      window + RowNum pooled order stats + two rank-keyed joins ----
+    "x102_quantile_normalize" -> { (s, dir) =>
+      graft.operators.Percentiles.quantileNormalize(
+        t(s, dir, "documents"), "source", "doc_id", "n_chars")
+        .orderBy(col("source"), col("doc_id"))
+    },
+
+    // ---- X: rolling HLL distinct users per day over a trailing 7-bucket
+    //      window — register cells merge by a range-frame max; state is
+    //      span x 256 cells, never w overlapping value sets ----
+    "x103_rolling_distinct" -> { (s, dir) =>
+      graft.operators.Profile.rollingHllDistinct(
+        t(s, dir, "events"), "ts", "user_id",
+        bucketSeconds = 86400L, windowBuckets = 7)
+        .orderBy(col("bucket_us"))
+    },
+
     // ---- X: recall@20 of the IVF-ADC index (x63's gate-proven plan)
     //      against brute-force cosine (x6's) — the acceptance number for
     //      the probe/code budget; fusion-sized inputs, corpus untouched ----
@@ -3725,6 +3768,102 @@ object SparkEntry {
          FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
          WHERE CAST(c AS DOUBLE) / least(sa.n, sb.n) >= 0.9
          ORDER BY id_a, id_b""",
+
+    // x40's session CTEs + one aggregation; sums exact DECIMAL(18,6),
+    // re-typed double-via-string per the engine convention
+    "x100_session_features" ->
+      """WITH e AS (SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS t
+           FROM events),
+         g AS (SELECT user_id, event_id, value, t,
+             CASE WHEN lag(t) OVER w IS NULL
+                  OR epoch_us(t) - epoch_us(lag(t) OVER w) > 1800000000
+             THEN 1 ELSE 0 END AS is_new
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+         s AS (SELECT user_id, value, t,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM g)
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           min(epoch_us(t)) AS start_us, max(epoch_us(t)) AS end_us,
+           max(epoch_us(t)) - min(epoch_us(t)) AS duration_us,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+             AS sum_value
+         FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""",
+
+    "x101_corpus_diff" ->
+      """WITH o AS (SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_old
+           FROM documents WHERE doc_id % 7 <> 0),
+         n AS (SELECT doc_id,
+             md5(regexp_replace(lower(trim(
+               CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END)),
+               '\s+', ' ', 'g')) AS fp_new
+           FROM documents WHERE doc_id % 3 <> 0),
+         j AS (SELECT fp_old, fp_new
+               FROM o FULL JOIN n ON o.doc_id = n.doc_id)
+         SELECT CASE WHEN fp_old IS NULL THEN 'added'
+                     WHEN fp_new IS NULL THEN 'removed'
+                     WHEN fp_old = fp_new THEN 'unchanged'
+                     ELSE 'changed' END AS status, count(*) AS n
+         FROM j GROUP BY 1 ORDER BY status""",
+
+    // percentile()/quantile_cont bracket arithmetic (0-based pos =
+    // p*(N-1)) with identical expression order; norm rounded to 6
+    "x102_quantile_normalize" ->
+      """WITH v AS (SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS v
+           FROM documents),
+         t AS (SELECT count(*) AS n FROM v),
+         p AS (SELECT v AS pv, row_number() OVER
+             (ORDER BY v ASC, source ASC, doc_id ASC) AS rk FROM v),
+         r AS (SELECT source, doc_id, v,
+             row_number() OVER (PARTITION BY source
+               ORDER BY v ASC, doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY source) AS ns
+           FROM v),
+         w AS (SELECT source, doc_id, v,
+             CASE WHEN ns = 1 THEN 0.0
+                  ELSE CAST(rn - 1 AS DOUBLE) / CAST(ns - 1 AS DOUBLE) END
+               * CAST(t.n - 1 AS DOUBLE) AS pos
+           FROM r, t),
+         b AS (SELECT source, doc_id, v, pos,
+             CAST(floor(pos) AS BIGINT) + 1 AS lo,
+             CAST(ceil(pos) AS BIGINT) + 1 AS hi,
+             pos - floor(pos) AS frac
+           FROM w)
+         SELECT b.source, b.doc_id, b.v AS n_chars,
+           round(plo.pv + (phi.pv - plo.pv) * b.frac, 6) AS norm
+         FROM b JOIN p plo ON b.lo = plo.rk JOIN p phi ON b.hi = phi.rk
+         ORDER BY source, doc_id""",
+
+    // x78's register/rho/estimate replay over a generated dense
+    // (bucket x register) scaffold with a range-frame rolling max
+    "x103_rolling_distinct" ->
+      """WITH h AS (SELECT epoch_us(ts) // 86400000000 AS bk,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+           FROM events),
+         c AS (SELECT bk, h % 256 AS j,
+             max(53 - length(ltrim(bin(h // 256), '0'))) AS m
+           FROM h GROUP BY 1, 2),
+         rng AS (SELECT unnest(range(
+             (SELECT min(bk) FROM c), (SELECT max(bk) FROM c) + 1)) AS bk),
+         sc AS (SELECT rng.bk, t.j FROM rng, UNNEST(range(0, 256)) t(j)),
+         roll AS (SELECT sc.bk, sc.j,
+             max(c.m) OVER (PARTITION BY sc.j ORDER BY sc.bk
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS rm
+           FROM sc LEFT JOIN c ON sc.bk = c.bk AND sc.j = c.j),
+         cells AS (SELECT bk, j, rm AS m FROM roll WHERE rm IS NOT NULL),
+         s AS (SELECT bk,
+             0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0
+               / CAST(sum(CAST(1 AS BIGINT) << (53 - m))
+                 + (256 - count(*)) * 9007199254740992 AS DOUBLE) AS raw,
+             count(*) AS nr
+           FROM cells GROUP BY 1)
+         SELECT bk * 86400000000 AS bucket_us, CAST(nr AS BIGINT) AS n_registers,
+           round(CASE WHEN raw <= 640.0 AND nr < 256
+             THEN 256.0 * ln(256.0 / CAST(256 - nr AS DOUBLE))
+             ELSE raw END, 4) AS hll_est
+         FROM s ORDER BY bucket_us""",
 
     // quantile_cont == Spark percentile() (the x13-proven pair); all
     // post-median arithmetic is the same IEEE expression on both engines

@@ -302,7 +302,17 @@ object Stress {
         // watch that the trend stays linear while groups stay fixed
         "mad_outliers" -> (() =>
           operators.Percentiles.madOutliers(events, "event_type",
-            "event_id", "value", k = 3.0).count()))
+            "event_id", "value", k = 3.0).count()),
+        // keyed session window + co-partitioned groupBy: per-row cost
+        // must stay flat as replicas add users
+        "session_features" -> (() =>
+          operators.Temporal.sessionFeatures(events, "user_id", "ts",
+            "event_id", gapSeconds = 1800, valueCol = "value").count()),
+        // one corpus scan to span x 256 cells; everything after is
+        // scaffold-sized — wall must track the scan only
+        "rolling_distinct" -> (() =>
+          operators.Profile.rollingHllDistinct(events, "ts", "user_id",
+            bucketSeconds = 86400L, windowBuckets = 7).count()))
 
       // SPARK_GRAFT_STRESS_OPS=a,b,c runs only the named ops (bisection
       // runs shouldn't pay the full sweep per hypothesis)

@@ -58,4 +58,32 @@ object Cdc {
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Corpus snapshot diff — the refresh-audit report between two corpus
+    * versions: how many documents were added, removed, changed (same id,
+    * different normalized content), or unchanged. The number every
+    * scheduled re-crawl / re-curation run publishes before the new
+    * snapshot is accepted; TableDiff answers this for row-numbered
+    * pipeline checkpoints, this answers it for id-keyed corpora where
+    * content equality means fingerprint equality
+    * ([[graft.functions.TextFunctions.fingerprint]] — whitespace-
+    * normalized lowercase md5, the x1 dedup key, so "changed" ignores
+    * formatting-only edits).
+    *
+    * Scale shape: two narrow fingerprint scans (the texts themselves
+    * never move — only (id, fp) rows shuffle), ONE equi full-outer join
+    * on id, a narrow status CASE, and a partial-agged count over 4 keys.
+    * Output: (status, n) — at most 4 rows. */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val fp = graft.functions.TextFunctions.fingerprint _
+    val o = oldDf.select(col(idCol).as("id"), fp(col(textCol)).as("fp_old"))
+    val n = newDf.select(col(idCol).as("id"), fp(col(textCol)).as("fp_new"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(when(col("fp_old").isNull, "added")
+        .when(col("fp_new").isNull, "removed")
+        .when(col("fp_old") === col("fp_new"), "unchanged")
+        .otherwise("changed").as("status"))
+      .groupBy(col("status")).agg(count(lit(1)).as("n"))
+  }
 }

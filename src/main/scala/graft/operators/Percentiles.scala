@@ -178,4 +178,56 @@ object Percentiles {
       .select(col(groupCol), col(idCol), col("v").as(valueCol),
         col("med"), col("mad"))
   }
+
+  /** Quantile normalization of per-group scores onto the POOLED score
+    * distribution — the calibration move when heterogeneous scorers (one
+    * quality model per source/language) must be thresholded together: a
+    * document at its source's p-th percentile maps to the pooled
+    * distribution's p-th percentile value, so one global cutoff means the
+    * same thing for every source. Rank-based (no distributional
+    * assumption), the standard cross-batch normalization from
+    * bioinformatics applied to curation scores.
+    *
+    * 100 TB shape: the per-group rank is a KEYED window; the pooled order
+    * statistics come from a range-partitioned sort + per-partition
+    * offsets ([[graft.plans.RowNum.assign]] — never a one-task global
+    * window); the percentile lookup is two equi shuffle joins on the
+    * pooled rank (bracket rows lo/hi), with the #groups-row size frame
+    * broadcast. Interpolation replicates the percentile()/quantile_cont
+    * arithmetic (0-based pos = p*(N-1)) with identical expression order
+    * on both engines; `norm` is rounded to 6. Output: (group, id, score,
+    * norm). */
+  def quantileNormalize(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String): DataFrame = {
+    import graft.plans.{Events, RowNum}
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.broadcast
+    val v = df.select(col(groupCol), col(idCol),
+      col(scoreCol).cast("double").as("v")).filter(col("v").isNotNull)
+    val pooled = RowNum.assign(
+      v.select(col("v").as("pv"), col(groupCol).as("pg"), col(idCol).as("pid"))
+        .orderBy(col("pv").asc, col("pg").asc, col("pid").asc))
+      .withColumnRenamed(Events.RowNumCol, "rk")
+      .select(col("rk"), col("pv"))
+    val nTotal = v.count()
+    require(nTotal > 0, "quantileNormalize needs at least one non-null score")
+    val wSrc = Window.partitionBy(col(groupCol))
+      .orderBy(col("v").asc, col(idCol).asc)
+    val sizes = v.groupBy(col(groupCol)).agg(count(lit(1)).as("ns"))
+    val pr = when(col("ns") === 1L, lit(0.0))
+      .otherwise((col("rn") - 1L).cast("double") / (col("ns") - 1L).cast("double"))
+    val withPos = v
+      .withColumn("rn", row_number().over(wSrc).cast("long"))
+      .join(broadcast(sizes), Seq(groupCol))
+      .withColumn("pos", pr * lit((nTotal - 1).toDouble))
+      .withColumn("lo", (floor(col("pos")) + 1).cast("long"))
+      .withColumn("hi", (ceil(col("pos")) + 1).cast("long"))
+      .withColumn("frac", col("pos") - floor(col("pos")))
+    withPos
+      .join(pooled.toDF("lo", "v_lo").hint("shuffle_hash"), Seq("lo"))
+      .join(pooled.toDF("hi", "v_hi").hint("shuffle_hash"), Seq("hi"))
+      .select(col(groupCol), col(idCol), col("v").as(scoreCol),
+        round(col("v_lo") + (col("v_hi") - col("v_lo")) * col("frac"), 6)
+          .as("norm"))
+  }
 }

@@ -123,6 +123,50 @@ object Profile {
       .agg(max(col("rho")).as("m"))
   }
 
+  /** Rolling HLL distinct over time buckets: the distinct count for every
+    * trailing window of `windowBuckets` buckets (weekly-active-users over
+    * daily buckets, rolling distinct IPs, ...). THE demonstration of why
+    * the register sketch beats count_distinct at scale: rolling exact
+    * distincts need every window's VALUE SET (w overlapping corpus-sized
+    * states), while HLL registers merge by max — the rolling state is a
+    * 256-cell frame per bucket, merged across the window by one
+    * range-frame max.
+    *
+    * 100 TB shape: ONE corpus scan partial-aggs to (bucket, register,
+    * max-rho) cells; the dense scaffold (every bucket in the observed
+    * range x 256 registers) is GENERATED (sequence explode x a broadcast
+    * 256-row frame — the window max needs a row to land on even when the
+    * register was absent from that bucket); the rolling max is a window
+    * PARTITIONED BY REGISTER over |buckets| rows — everything after the
+    * first scan is bounded by span x 256, not the corpus. Same md5
+    * registers as [[hllDistinct]], so the estimates reproduce bit-for-bit
+    * on any engine. Output: (bucket_us, n_registers, hll_est), one row
+    * per observed-range bucket. */
+  def rollingHllDistinct(df: DataFrame, tsCol: String, valueCol: String,
+      bucketSeconds: Long, windowBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bucketSeconds >= 1L && windowBuckets >= 1,
+      "bucketSeconds and windowBuckets must be >= 1")
+    val busc = bucketSeconds * 1000000L
+    val bucketed = df.select(
+      call_function("div", unix_micros(col(tsCol)), lit(busc)).as("bk"),
+      col(valueCol).as("v"))
+    val cells = hllRegisters(bucketed, "bk", "v")
+    val buckets = cells.agg(min(col("bk")).as("lo"), max(col("bk")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("bk"))
+    val regs = df.sparkSession.range(0, 256).toDF("j")
+    val w = Window.partitionBy(col("j")).orderBy(col("bk"))
+      .rangeBetween(-(windowBuckets - 1L), 0L)
+    val rolled = buckets.crossJoin(broadcast(regs))
+      .join(cells, Seq("bk", "j"), "left")
+      .withColumn("rm", max(col("m")).over(w))
+      .filter(col("rm").isNotNull)
+      .select(col("bk"), col("j"), col("rm").as("m"))
+    hllEstimate(rolled, "bk")
+      .select((col("bk") * busc).as("bucket_us"), col("n_registers"),
+        col("hll_est"))
+  }
+
   /** Fold register cells to the per-group estimate (see [[hllDistinct]]
     * for the exactness argument). */
   def hllEstimate(cells: DataFrame, groupCol: String): DataFrame = {

@@ -85,6 +85,33 @@ object Temporal {
       .drop("__is_new")
   }
 
+  /** Session-level feature table: one row per [[sessionize]]d session with
+    * the features every engagement/bot/conversion model starts from —
+    * event count, exact start/end/duration in integer microseconds, and
+    * the session's value total (exact DecimalType internally, re-typed
+    * double-via-string per the engine convention). The event-level
+    * session labels stay joinable (same keyCol + session_id).
+    *
+    * Scale shape: sessionize's keyed windows (one shuffle on the key),
+    * then ONE partial-agged groupBy(key, session) — already co-partitioned
+    * by the window shuffle, so no second corpus shuffle. Output:
+    * (key, session_id, n_events, start_us, end_us, duration_us,
+    * sum_value). */
+  def sessionFeatures(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, gapSeconds: Long, valueCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    sessionize(df, keyCol, tsCol, tieCol, gapSeconds)
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col(tsCol))).as("start_us"),
+        max(unix_micros(col(tsCol))).as("end_us"),
+        sum(col(valueCol).cast(dec)).as("__sv"))
+      .select(col(keyCol), col("session_id"), col("n_events"),
+        col("start_us"), col("end_us"),
+        (col("end_us") - col("start_us")).as("duration_us"),
+        col("__sv").cast("string").cast("double").as("sum_value"))
+  }
+
   /** Time-series resample with gap fill and forward fill: bucket events
     * into fixed `bucketSeconds` windows per key, then materialize EVERY
     * bucket in the observed global range for every key — absent buckets

@@ -39,4 +39,21 @@ class CdcSpec extends SparkSpec {
       (1L, 12L, 200L, None, true),
       (2L, 20L, 50L, None, true)))
   }
+
+  test("corpusDiff: added/removed/changed/unchanged; formatting-only edits are unchanged") {
+    val old = Seq(
+      (1L, "alpha beta"), (2L, "gamma delta"), (3L, "kept as is"),
+      (4L, "will vanish")).toDF("doc_id", "text")
+    val neu = Seq(
+      (1L, "alpha beta"),            // unchanged
+      (2L, "gamma delta REVISED"),   // changed
+      (3L, "  Kept   AS  is  "),     // formatting-only: fingerprint equal
+      (5L, "brand new doc")          // added
+      // 4 absent -> removed
+    ).toDF("doc_id", "text")
+    val out = Cdc.corpusDiff(old, neu, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("added" -> 1L, "removed" -> 1L, "changed" -> 1L,
+      "unchanged" -> 2L))
+  }
 }

@@ -582,6 +582,48 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(!plan.contains("Expand") && !plan.contains("Join"), plan)
   }
 
+  test("quantileNormalize: endpoints map to pooled extremes, interior interpolates") {
+    // pooled sorted values: 0,1,2,3,5,6,10,100 (N=8)
+    val df = Seq(
+      ("a", 1L, 1.0), ("a", 2L, 3.0), ("a", 3L, 100.0),
+      ("b", 4L, 2.0), ("b", 5L, 10.0),
+      ("c", 6L, 0.0), ("c", 7L, 5.0), ("c", 8L, 6.0)
+    ).toDF("src", "id", "score")
+    val out = graft.operators.Percentiles
+      .quantileNormalize(df, "src", "id", "score")
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    // every source's min maps to the pooled min, max to the pooled max
+    assert(out(1L) == 0.0 && out(3L) == 100.0)
+    assert(out(4L) == 0.0 && out(5L) == 100.0)
+    assert(out(6L) == 0.0 && out(8L) == 100.0)
+    // a 3-element source's middle rank (p = .5) lands at pooled pos
+    // 0.5 * 7 = 3.5 -> halfway between the 4th (3) and 5th (5) value
+    assert(out(2L) == 4.0 && out(7L) == 4.0)
+  }
+
+  test("rollingHllDistinct: window 1 == per-bucket sketch; wide window == global sketch") {
+    val events = Tables.load(spark, sfDir, "events")
+    val day = 86400000000L
+    val roll1 = graft.operators.Profile
+      .rollingHllDistinct(events, "ts", "user_id", 86400L, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val perBucket = graft.operators.Profile.hllDistinct(
+      events.select(expr(s"unix_micros(ts) div $day").as("bk"),
+        col("user_id").as("v")), "bk", "v")
+      .collect().map(r => (r.getLong(0) * day, r.getLong(1), r.getDouble(2)))
+    assert(roll1.sortBy(_._1).toSeq == perBucket.sortBy(_._1).toSeq)
+    // a window covering the whole span makes the LAST bucket the global
+    // sketch (register max over everything)
+    val rollAll = graft.operators.Profile
+      .rollingHllDistinct(events, "ts", "user_id", 86400L, 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val global = graft.operators.Profile.hllDistinct(
+      events.select(lit(1L).as("g"), col("user_id").as("v")), "g", "v")
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).head
+    val last = rollAll.maxBy(_._1)
+    assert((last._2, last._3) == global)
+  }
+
   test("madOutliers: only the heavy tail trips; constant groups flag nothing") {
     val df = (Seq((1.0, 1L), (2.0, 2L), (3.0, 3L), (4.0, 4L), (5.0, 5L),
       (100.0, 6L)).map { case (v, i) => ("g", i, v) } ++

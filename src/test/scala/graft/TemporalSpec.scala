@@ -122,4 +122,24 @@ class TemporalSpec extends SparkSpec {
     assert(out(2L) == ((2L, 15.0)))
     assert(out(3L) == ((1L, 42.5)))
   }
+
+  test("sessionFeatures: per-session counts, exact micros duration, decimal value sum") {
+    def ts(sec: Long) = new java.sql.Timestamp(1704067200000L + sec * 1000L)
+    val base = 1704067200000000L
+    val ev = Seq(
+      // u1 session 1: 3 events over 90s; session 2 after a >30min gap
+      (1L, ts(0L), 1L, 1.25), (1L, ts(30L), 2L, 2.50), (1L, ts(90L), 3L, 0.25),
+      (1L, ts(90L + 1801L), 4L, 10.00),
+      // u2: single event
+      (2L, ts(5L), 5L, 7.75)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = graft.operators.Temporal
+      .sessionFeatures(ev, "user_id", "ts", "event_id",
+        gapSeconds = 1800, valueCol = "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(5), r.getDouble(6))).toMap
+    assert(out((1L, 1L)) == ((3L, base, 90000000L, 4.0)))
+    assert(out((1L, 2L)) == ((1L, base + 1891L * 1000000L, 0L, 10.0)))
+    assert(out((2L, 1L)) == ((1L, base + 5000000L, 0L, 7.75)))
+  }
 }
