@@ -2111,6 +2111,30 @@ object SparkEntry {
         .orderBy(col("event_type"), col("event_id"))
     },
 
+    // ---- X: exact weighted quantiles (token-weighted doc-length bands:
+    //      'half the TOKENS live in docs shorter than X') — inverse-CDF,
+    //      integer-exact 100*cumw >= p*W rule; range-partitioned sort +
+    //      per-partition weight offsets, one filtered-min agg for all ps ----
+    "x104_weighted_quantiles" -> { (s, dir) =>
+      graft.operators.Percentiles.weightedQuantiles(
+        t(s, dir, "documents").select(col("n_chars"),
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("long").as("n_tokens")),
+        "n_chars", "n_tokens", percents = Seq(25, 50, 75, 90))
+    },
+
+    // ---- X: hard-negative mining — per query the MOST similar corpus
+    //      item still below the near-dup threshold (informative
+    //      contrastive negatives; >= threshold would be false negatives);
+    //      brute oracle form, IVF/ADC candidates are the scale path ----
+    "x105_hard_negatives" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      graft.operators.Selection.hardNegatives(
+        e.filter(col("vec_id") < 5), e, "vec_id", "embedding",
+        dupThreshold = 0.35)
+        .orderBy(col("query_id"))
+    },
+
     // ---- X: session-level feature table over x40's sessionize — event
     //      count, exact integer-micros start/end/duration, decimal-exact
     //      value total; the keyed window's shuffle co-partitions the
@@ -3768,6 +3792,42 @@ object SparkEntry {
          FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
          WHERE CAST(c AS DOUBLE) / least(sa.n, sb.n) >= 0.9
          ORDER BY id_a, id_b""",
+
+    // inverse-CDF weighted quantiles: ties are safe because a tie group
+    // crosses the integer threshold iff its order-independent END
+    // cumulative weight does
+    "x104_weighted_quantiles" ->
+      """WITH v AS (SELECT CAST(n_chars AS DOUBLE) AS v,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+           FROM documents
+           WHERE n_chars IS NOT NULL AND len(string_split(text, ' ')) > 0),
+         c AS (SELECT v, sum(w) OVER (ORDER BY v
+                 ROWS UNBOUNDED PRECEDING) AS cw FROM v),
+         t AS (SELECT sum(w) AS tw FROM v)
+         SELECT
+           min(CASE WHEN cw * 100 >= 25 * tw THEN v END) AS p25,
+           min(CASE WHEN cw * 100 >= 50 * tw THEN v END) AS p50,
+           min(CASE WHEN cw * 100 >= 75 * tw THEN v END) AS p75,
+           min(CASE WHEN cw * 100 >= 90 * tw THEN v END) AS p90
+         FROM c, t""",
+
+    // the x6 cosine replay, filtered below the dup threshold, argmax per
+    // query (ties to the lowest id), rounded AFTER selection
+    "x105_hard_negatives" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         s AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i]))
+               / (sqrt(list_sum(list_transform(range(1, 65), i -> q.v[i] * q.v[i])))
+                  * sqrt(list_sum(list_transform(range(1, 65), i -> c.v[i] * c.v[i])))) AS cos
+           FROM e q, e c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+         f AS (SELECT * FROM s WHERE cos < 0.35),
+         r AS (SELECT query_id, cand_id, cos,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, cand_id ASC) AS rn FROM f)
+         SELECT query_id, cand_id AS hard_neg_id, round(cos, 6) AS cos
+         FROM r WHERE rn = 1 ORDER BY query_id""",
 
     // x40's session CTEs + one aggregation; sums exact DECIMAL(18,6),
     // re-typed double-via-string per the engine convention

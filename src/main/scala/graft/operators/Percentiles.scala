@@ -179,6 +179,62 @@ object Percentiles {
         col("med"), col("mad"))
   }
 
+  /** Exact WEIGHTED quantiles — "the median document length weighted by
+    * token count" answers 'half the TOKENS live in docs shorter than X',
+    * where the unweighted median answers the (much less useful) per-doc
+    * question; the same shape prices storage by bytes, traffic by cost,
+    * sources by token budget. Inverse-CDF convention, integer-exact: the
+    * p-percent quantile is the smallest value v whose cumulative weight
+    * (own row included) satisfies 100*cumw >= p*W — no interpolation, no
+    * float thresholds, so the answer is a value FROM THE DATA and
+    * reproduces on any engine (ties in v are safe: whether a tie GROUP
+    * crosses the threshold depends only on its order-independent end
+    * cumulative weight).
+    *
+    * 100 TB shape: one range-partitioned sort by value + per-partition
+    * weight offsets (the packSequences/RowNum.assign pattern — a
+    * bounded-size offset array on the driver, never a one-task window),
+    * then ONE filtered-min aggregate evaluates every requested percent in
+    * the same pass. Weights must be non-negative integers (cast to long).
+    * Output: one row, a `p<N>` double column per requested percent. */
+  def weightedQuantiles(df: DataFrame, valueCol: String, weightCol: String,
+      percents: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType, DoubleType}
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      "percents must be within [1, 100]")
+    val spark = df.sparkSession
+    val sorted = df
+      .select(col(valueCol).cast("double").as("v"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("v").isNotNull && col("w") > 0L)
+      .orderBy(col("v").asc)
+    val rdd0 = sorted.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val sums = rdd0.mapPartitionsWithIndex((pid, it) =>
+      Iterator(pid -> it.foldLeft(0L)((acc, r) => acc + r.getLong(1))))
+      .collect().toMap
+    val maxPid = if (sums.isEmpty) -1 else sums.keys.max
+    val offsets = (0 to maxPid).scanLeft(0L)((acc, pid) =>
+      acc + sums.getOrElse(pid, 0L))
+    val total = offsets.last
+    require(total > 0L, "weightedQuantiles needs positive total weight")
+    val bc = spark.sparkContext.broadcast(offsets.toArray)
+    val cum = spark.createDataFrame(
+      rdd0.mapPartitionsWithIndex { case (pid, it) =>
+        var off = if (pid < bc.value.length) bc.value(pid) else 0L
+        it.map { r => off += r.getLong(1); Row(r.getDouble(0), off) }
+      },
+      StructType(Seq(StructField("v", DoubleType, nullable = false),
+        StructField("cw", LongType, nullable = false))))
+    graft.plans.Persists.releaseOnNextAction(spark, rdd0)
+    val aggs = percents.map { p =>
+      min(when(col("cw") * 100L >= lit(p.toLong) * total, col("v")))
+        .as(s"p$p")
+    }
+    cum.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Quantile normalization of per-group scores onto the POOLED score
     * distribution — the calibration move when heterogeneous scorers (one
     * quality model per source/language) must be thresholded together: a

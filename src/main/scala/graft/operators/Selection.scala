@@ -219,4 +219,36 @@ object Selection {
       .withColumn("negative", pmod(draw, lit(n)))
       .filter(col("negative") =!= col("anchor"))
   }
+
+  /** Hard-negative mining for contrastive training — the quality upgrade
+    * over [[negativePairs]]' random draws: for each query, the MOST
+    * similar corpus item that is still below the near-dup threshold. Too
+    * similar (>= threshold) would be a false negative (it's a duplicate
+    * in disguise — training on it teaches the model to separate copies);
+    * random negatives are too easy (Karpukhin et al. 2020's in-batch vs
+    * hard-negative gap). The band just under the dup threshold is where
+    * contrastive gradients are informative.
+    *
+    * This is the exact brute form (query-set x corpus, like
+    * Similarity.bruteForceTopK — the oracle baseline); at corpus scale
+    * run the same filter+argmax over IVF-probed or ADC candidates
+    * (Similarity.ivfTopK / Quantization.adcTopK), which preserve the
+    * cosine ordering this selects by. The argmax is a partial-aggregable
+    * max(struct(cos, -id)) — x69's pattern, no per-query window, ties to
+    * the lowest id. Output: (query_id, hard_neg_id, cos rounded to 6 —
+    * rounded AFTER selection so the argmax sees raw doubles). */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, dupThreshold: Double): DataFrame = {
+    val toD: Column => Column = v => transform(v, x => x.cast(DoubleType))
+    val q = queries.select(col(idCol).as("query_id"), toD(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("cand_id"), toD(col(vecCol)).as("cv"))
+    q.crossJoin(c)
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", Dedup.cosine(col("qv"), col("cv")))
+      .filter(col("cos") < dupThreshold)
+      .groupBy(col("query_id"))
+      .agg(max(struct(col("cos"), (-col("cand_id")).as("nid"))).as("best"))
+      .select(col("query_id"), (-col("best.nid")).as("hard_neg_id"),
+        round(col("best.cos"), 6).as("cos"))
+  }
 }

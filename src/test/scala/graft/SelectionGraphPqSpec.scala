@@ -279,4 +279,43 @@ class SelectionGraphPqSpec extends SparkSpec {
       .head().getDouble(3)
     assert(e4 < e1)
   }
+
+  test("hardNegatives: most-similar-below-threshold wins; dups and self excluded") {
+    val q = Seq((0L, Seq(1.0f, 0.0f))).toDF("id", "vec")
+    val c = Seq(
+      (0L, Seq(1.0f, 0.0f)),   // self: excluded
+      (1L, Seq(2.0f, 0.0f)),   // cos 1.0 >= 0.9: a disguised dup, excluded
+      (2L, Seq(1.0f, 1.0f)),   // cos ~.7071: the informative hard negative
+      (3L, Seq(0.0f, 1.0f)),   // cos 0
+      (4L, Seq(1.0f, 1.0f))    // same cos as 2 -> tie to LOWER id
+    ).toDF("id", "vec")
+    val out = graft.operators.Selection
+      .hardNegatives(q, c, "id", "vec", dupThreshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 1)
+    assert(out.head._1 == 0L && out.head._2 == 2L)
+    assert(math.abs(out.head._3 - math.sqrt(0.5)) < 1e-6)
+  }
+
+  test("weightedQuantiles: inverse-CDF thresholds, partition-invariant") {
+    val df = Seq((1.0, 1L), (2.0, 1L), (3.0, 6L), (4.0, 2L))
+      .toDF("v", "w")
+    def run(d: org.apache.spark.sql.DataFrame) = graft.operators.Percentiles
+      .weightedQuantiles(d, "v", "w", Seq(10, 50, 80, 90, 100))
+      .head()
+    val r = run(df)
+    // W=10, cum = 1,2,8,10: p10 -> cw>=1 -> 1; p50 -> cw>=5 -> 3 (the
+    // token-mass median, NOT the row median 2.x); p80 -> cw>=8 -> 3;
+    // p90 -> cw>=9 -> 4; p100 -> 4
+    assert((r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+      r.getDouble(4)) == ((1.0, 3.0, 3.0, 4.0, 4.0)))
+    // the range-partitioned offsets make the answer partitioning-proof
+    assert(run(df.repartition(7)) == r)
+    // all weights equal degrades to the unweighted inverse-CDF quantile
+    val eq = graft.operators.Percentiles.weightedQuantiles(
+      Seq((1.0, 1L), (2.0, 1L), (3.0, 1L), (4.0, 1L)).toDF("v", "w"),
+      "v", "w", Seq(25, 50, 75, 100)).head()
+    assert((eq.getDouble(0), eq.getDouble(1), eq.getDouble(2),
+      eq.getDouble(3)) == ((1.0, 2.0, 3.0, 4.0)))
+  }
 }
