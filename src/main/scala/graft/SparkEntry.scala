@@ -2111,6 +2111,41 @@ object SparkEntry {
         .orderBy(col("event_type"), col("event_id"))
     },
 
+    // ---- X: precision-recall curve at every distinct score threshold —
+    //      x92's ROC companion, defined on score GROUPS so there is no
+    //      within-tie rank ambiguity; corpus reduces to the score
+    //      codomain before the cumulative window ----
+    "x106_pr_curve" -> { (s, dir) =>
+      import graft.functions.TextFunctions
+      val scored = t(s, dir, "documents").select(
+        round(least(
+          TextFunctions.stopwordHits(col("text"), "en").cast(DoubleType) /
+            greatest(size(TextFunctions.tokens(lower(col("text")))), lit(1))
+              .cast(DoubleType) * lit(5.0),
+          lit(1.0)), 6).as("p"),
+        (col("lang") === "en").as("label"))
+      graft.operators.Evaluation.prCurve(scored, "p", "label")
+        .orderBy(col("threshold").desc)
+    },
+
+    // ---- X: per-source exact-duplicate rate — the dedup dashboard
+    //      (two-stage distinct on (source, fp), no COUNT DISTINCT
+    //      Expand; #sources-row output) ----
+    "x107_dup_rate" -> { (s, dir) =>
+      graft.operators.Dedup.dupRateReport(
+        t(s, dir, "documents"), "source", "text")
+        .orderBy(col("source"))
+    },
+
+    // ---- X: per-document n-gram novelty — fraction of a doc's shingles
+    //      appearing in NO other doc; one explode feeds docfreq AND the
+    //      per-doc re-agg, docfreq join shuffle_hash-pinned ----
+    "x108_novelty" -> { (s, dir) =>
+      graft.operators.Dedup.noveltyScores(
+        t(s, dir, "documents"), "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- X: exact weighted quantiles (token-weighted doc-length bands:
     //      'half the TOKENS live in docs shorter than X') — inverse-CDF,
     //      integer-exact 100*cumw >= p*W rule; range-partitioned sort +
@@ -3792,6 +3827,52 @@ object SparkEntry {
          FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
          WHERE CAST(c AS DOUBLE) / least(sa.n, sb.n) >= 0.9
          ORDER BY id_a, id_b""",
+
+    // the x92 scored CTE + cumulative counts over the threshold-desc
+    // group frame; "prec" not "precision" (SQL type keyword)
+    "x106_pr_curve" ->
+      """WITH scored AS (SELECT
+             round(least(CAST(len(list_filter(string_split(lower(text), ' '),
+               w -> w IN ('the','a','of','and','to','in','is','it','for','on')))
+                 AS DOUBLE)
+               / CAST(greatest(len(string_split(lower(text), ' ')), 1) AS DOUBLE)
+               * 5.0, 1.0), 6) AS p,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM documents),
+         g AS (SELECT p AS threshold, count(*) AS n, sum(y) AS npos
+               FROM scored GROUP BY 1),
+         t AS (SELECT sum(npos) AS np FROM g),
+         c AS (SELECT threshold,
+             sum(npos) OVER (ORDER BY threshold DESC
+               ROWS UNBOUNDED PRECEDING) AS tp,
+             sum(n - npos) OVER (ORDER BY threshold DESC
+               ROWS UNBOUNDED PRECEDING) AS fp
+           FROM g)
+         SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS prec,
+           CAST(tp AS DOUBLE) / CAST(t.np AS DOUBLE) AS recall
+         FROM c, t ORDER BY threshold DESC""",
+
+    "x107_dup_rate" ->
+      """WITH f AS (SELECT source,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+           FROM documents)
+         SELECT source, count(*) AS n_docs,
+           count(DISTINCT fp) AS n_unique,
+           CAST(count(*) - count(DISTINCT fp) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS dup_rate
+         FROM f GROUP BY 1 ORDER BY source""",
+
+    "x108_novelty" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+                FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1))) t(i)),
+         dfq AS (SELECT s, count(*) AS dfq FROM sh GROUP BY 1)
+         SELECT doc_id, count(*) AS n_shingles,
+           CAST(sum(CASE WHEN dfq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           CAST(sum(CASE WHEN dfq = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS novelty
+         FROM sh JOIN dfq USING (s) GROUP BY 1 ORDER BY doc_id""",
 
     // inverse-CDF weighted quantiles: ties are safe because a tie group
     // crosses the integer threshold iff its order-independent END

@@ -235,6 +235,54 @@ object Dedup {
     }
   }
 
+  /** Per-source exact-duplicate rate — the dedup dashboard number that
+    * decides where cleaning effort goes (a source at 40% dup rate is a
+    * crawler bug or a mirror; at 2% it's organic): per group, total docs,
+    * distinct fingerprints, and the duplicate fraction. Uses the x1
+    * fingerprint (whitespace-normalized lowercase md5) so formatting-only
+    * copies count as duplicates.
+    *
+    * 100 TB shape: one narrow fingerprint scan; the distinct count is the
+    * two-stage (group, fp)-distinct shape (Scale.distinctCountPerKey —
+    * no COUNT(DISTINCT) Expand, hot groups spread over their fp space);
+    * the final join is #groups-sized. dup_rate is one division of exact
+    * integers. Output: (group, n_docs, n_unique, dup_rate). */
+  def dupRateReport(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val fp = df.select(col(groupCol).as("grp"),
+      fingerprint(col(textCol)).as("fp"))
+    val uniq = Scale.distinctCountPerKey(fp, "grp", "fp", as = "n_unique")
+    fp.groupBy(col("grp")).agg(count(lit(1)).as("n_docs"))
+      .join(uniq, Seq("grp"))
+      .select(col("grp").as(groupCol), col("n_docs"), col("n_unique"),
+        ((col("n_docs") - col("n_unique")).cast(DoubleType) /
+          col("n_docs").cast(DoubleType)).as("dup_rate"))
+  }
+
+  /** Per-document n-gram NOVELTY: the fraction of a document's distinct
+    * shingles that appear in NO other document (corpus docfreq 1) — high
+    * novelty marks original content, low novelty marks template/mirror/
+    * boilerplate-heavy text even when no single pair crosses a near-dup
+    * threshold (the aggregate complement of the pair-wise detectors).
+    *
+    * 100 TB shape: ONE shingle explode feeds the docfreq table and the
+    * per-doc re-aggregation; the docfreq join is shuffle_hash-pinned on
+    * the shingle key (no broadcast of the growing vocabulary). Documents
+    * shorter than n tokens have no shingles and are absent from the
+    * output. Output: (id, n_shingles, n_novel, novelty). */
+  def noveltyScores(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val sh = shingleIndex(df, idCol, textCol, n)
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("dfq"))
+    sh.join(dfreq.hint("shuffle_hash"), Seq("s"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("dfq") === 1L, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("id").as(idCol), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast(DoubleType) /
+          col("n_shingles").cast(DoubleType)).as("novelty"))
+  }
+
   /** N-gram CONTAINMENT near-dup pairs: containment(a,b) =
     * |Sa ∩ Sb| / min(|Sa|, |Sb|) — the asymmetric-length dual of
     * [[ngramJaccardPairs]]. Jaccard divides by the UNION, so a short

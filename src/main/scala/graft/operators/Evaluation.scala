@@ -129,6 +129,40 @@ object Evaluation {
           .as("frac_pos"))
   }
 
+  /** Precision-recall curve at every distinct score threshold — the
+    * threshold-picking companion to [[aucExact]] (ROC ranks; PR answers
+    * "if I keep everything scoring >= s, what fraction is good and what
+    * fraction of the good did I keep" — the actual curation decision,
+    * and the honest view under class imbalance where ROC flatters).
+    *
+    * Defined on distinct-score GROUPS, so there is NO within-tie ordering
+    * ambiguity (rank-based AP definitions differ across libraries exactly
+    * there): per threshold s, TP/FP are cumulative counts over the
+    * >= s region — integer-exact — and precision/recall are two
+    * correctly-rounded divisions. 100 TB shape: one partial-agged
+    * groupBy(score) reduces the corpus to the score CODOMAIN (bounded by
+    * the 6-decimal scorer convention); the cumulative window runs
+    * unpartitioned on that reduced frame only. Output: (threshold, tp,
+    * fp, precision, recall) ordered by threshold desc. */
+  def prCurve(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val g = df.select(col(scoreCol).as("threshold"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("npos"))
+    val w = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val np = g.agg(sum(col("npos"))).head().getLong(0)
+    require(np > 0, "prCurve undefined: no positive labels")
+    g.withColumn("tp", sum(col("npos")).over(w))
+      .withColumn("fp", sum(col("n") - col("npos")).over(w))
+      // "prec", not "precision": PRECISION is a SQL type keyword and an
+      // unquotable alias in some engines the oracle replays through
+      .select(col("threshold"), col("tp"), col("fp"),
+        (col("tp").cast(DoubleType) /
+          (col("tp") + col("fp")).cast(DoubleType)).as("prec"),
+        (col("tp").cast(DoubleType) / lit(np.toDouble)).as("recall"))
+  }
+
   /** Recall@k of an approximate neighbor list against the exact one —
     * the acceptance test for every ANN trade-off in the repo (IVF probe
     * counts, PQ code budgets, LSH banding): "how much of the true top-k

@@ -103,6 +103,22 @@ class EvaluationSpec extends SparkSpec {
     assert(out.sorted.toSeq == again.sorted.toSeq)
   }
 
+  test("prCurve: cumulative tp/fp per distinct threshold, tie-safe") {
+    import spark.implicits._
+    // two positives TIED at .9 — group-level definition has no rank
+    // ambiguity where per-row AP definitions diverge
+    val df = Seq((0.9, true), (0.9, true), (0.8, false), (0.7, true),
+      (0.5, false)).toDF("p", "y")
+    val out = graft.operators.Evaluation.prCurve(df, "p", "y")
+      .collect().map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(0.9) == ((2L, 0L, 1.0, 2.0 / 3)))
+    assert(out(0.8) == ((2L, 1L, 2.0 / 3, 2.0 / 3)))
+    assert(out(0.7) == ((3L, 1L, 0.75, 1.0)))
+    assert(out(0.5) == ((3L, 2L, 0.6, 1.0)))
+    assert(out.size == 4)
+  }
+
   test("recallAtK: per-query hit counts, zero-hit queries included, rank cutoff honored") {
     import spark.implicits._
     // exact top-3 per query; approx overlaps 2/3 for q1, 0/3 for q2

@@ -582,6 +582,40 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(!plan.contains("Expand") && !plan.contains("Join"), plan)
   }
 
+  test("dupRateReport: formatting-only copies count as dups; clean source rates 0") {
+    val d = Seq(
+      ("web", 1L, "same doc"), ("web", 2L, "  Same   DOC "), // dup pair
+      ("web", 3L, "unique one"),
+      ("books", 4L, "alpha"), ("books", 5L, "beta")
+    ).toDF("source", "doc_id", "text")
+    val out = Dedup.dupRateReport(d, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("web") == ((3L, 2L, 1.0 / 3)))
+    assert(out("books") == ((2L, 2L, 0.0)))
+  }
+
+  test("noveltyScores: template-heavy docs score low, original docs high") {
+    val template = "copyright footer terms of service apply here"
+    val d = Seq(
+      (1L, s"original insight number one $template"),
+      (2L, s"different novel content here $template"),
+      (3L, "completely standalone text nobody else shares at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.noveltyScores(d, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+      .map(t => t._1 -> t).toMap
+    // doc3 shares nothing: every shingle docfreq 1 -> novelty 1.0
+    assert(out(3L)._4 == 1.0)
+    // docs 1/2 share the template's trigrams -> strictly below 1
+    assert(out(1L)._4 < 1.0 && out(2L)._4 < 1.0)
+    // novelty = n_novel / n_shingles exactly
+    out.values.foreach { case (_, ns, nn, nov) =>
+      assert(nov == nn.toDouble / ns.toDouble)
+    }
+  }
+
   test("quantileNormalize: endpoints map to pooled extremes, interior interpolates") {
     // pooled sorted values: 0,1,2,3,5,6,10,100 (N=8)
     val df = Seq(
