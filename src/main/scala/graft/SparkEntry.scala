@@ -2111,6 +2111,33 @@ object SparkEntry {
         .orderBy(col("event_type"), col("event_id"))
     },
 
+    // ---- E: one-row corpus report card — the datasheet summary a
+    //      refresh publishes next to x101's diff counts: size, sources,
+    //      dup rate, English fraction, mean quality, median length; main
+    //      stats in ONE partial-agged scan, distincts as reduced side
+    //      frames (no countDistinct Expand) ----
+    "e7_corpus_report" -> { (s, dir) =>
+      graft.operators.Profile.corpusReportCard(t(s, dir, "documents"))
+    },
+
+    // ---- X: interpolated trigram LM scoring (Jelinek-Mercer over
+    //      add-alpha uni/bi/trigram estimates) — x45's longer-context
+    //      sibling; one trigram explode, five shuffle_hash n-gram joins ----
+    "x109_trigram_nll" -> { (s, dir) =>
+      graft.operators.LanguageModel.trigramNllInterp(
+        t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- X: code-switch detection — split-half language ID disagreement
+    //      (document-level ID averages mixtures away); one narrow
+    //      projection, no shuffle ----
+    "x110_code_switch" -> { (s, dir) =>
+      graft.operators.QualityFilters.codeSwitchFlags(
+        t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // ---- X: precision-recall curve at every distinct score threshold —
     //      x92's ROC companion, defined on score GROUPS so there is no
     //      within-tie rank ambiguity; corpus reduces to the score
@@ -3827,6 +3854,114 @@ object SparkEntry {
          FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
          WHERE CAST(c AS DOUBLE) / least(sa.n, sb.n) >= 0.9
          ORDER BY id_a, id_b""",
+
+    // composes the x1 fingerprint, x7 langId CASE (en/de/fr lists are
+    // disjoint, so their sum equals the combined stopword-hit count),
+    // x8 quality formula (rounded-6 -> exact DECIMAL(18,6) sum), and the
+    // x13 percentile pair, into one datasheet row
+    "e7_corpus_report" ->
+      """WITH h AS (SELECT source, n_chars, text,
+           len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ('the','a','of','and','to','in','is','it','for','on'))) AS en,
+           len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ('der','die','das','und','ist','ein','zu','mit','auf','nicht'))) AS de,
+           len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ('le','la','les','et','est','un','une','dans','pour','que'))) AS fr
+         FROM documents),
+         b AS (SELECT source, n_chars,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+             CASE WHEN greatest(en, de, fr) = 0 THEN 'und'
+                  WHEN de >= en AND de >= fr THEN 'de'
+                  WHEN en >= fr THEN 'en'
+                  ELSE 'fr' END AS lp,
+             CAST(round((least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.5
+               + least((CASE WHEN len(string_split(lower(text), ' ')) = 0 THEN 0.0
+                   ELSE CAST(en + de + fr AS DOUBLE)
+                        / len(string_split(lower(text), ' ')) END) * 5.0, 1.0) * 0.3)
+               * (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+                   ELSE CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                        / length(text) END) * 5.0, 1.0) * 0.5), 6)
+               AS DECIMAL(18,6)) AS q
+           FROM h),
+         m AS (SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             CAST(sum(CASE WHEN lp = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+             sum(q) AS sq, quantile_cont(n_chars, 0.5) AS p50_chars FROM b),
+         u AS (SELECT count(DISTINCT fp) AS n_unique FROM b),
+         s AS (SELECT count(DISTINCT source) AS n_sources FROM b)
+         SELECT m.n_docs, CAST(s.n_sources AS BIGINT) AS n_sources,
+           m.total_chars,
+           CAST(m.n_docs - u.n_unique AS DOUBLE) / CAST(m.n_docs AS DOUBLE)
+             AS dup_rate,
+           CAST(m.n_en AS DOUBLE) / CAST(m.n_docs AS DOUBLE) AS pct_en,
+           CAST(CAST(m.sq AS VARCHAR) AS DOUBLE) / CAST(m.n_docs AS DOUBLE)
+             AS mean_quality,
+           m.p50_chars
+         FROM m, u, s""",
+
+    // interpolation terms summed in the same l1+l2+l3 order; denominators
+    // (T + alpha*V) are exact integers evaluated in double on both sides
+    "x109_trigram_nll" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         tl AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 3),
+         tr AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3
+                FROM tl, UNNEST(range(1, len(ws) - 1)) t(i)),
+         bi AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+                FROM tl, UNNEST(range(1, len(ws))) t(i)),
+         c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tr GROUP BY 1, 2, 3),
+         c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+         c1 AS (SELECT w, count(*) AS c1
+                FROM (SELECT unnest(ws) AS w FROM tl) GROUP BY 1),
+         st AS (SELECT CAST(sum(c1) AS DOUBLE) AS t,
+                  CAST(count(*) AS DOUBLE) AS v FROM c1),
+         sc AS (SELECT tr.doc_id, count(*) AS n_trigrams,
+             sum(ln(0.1 * (c1c.c1 + 1.0) / (st.t + 1.0 * st.v)
+                  + 0.3 * (c2b.c2 + 1.0) / (c1b.c1 + 1.0 * st.v)
+                  + 0.6 * (c3.c3 + 1.0) / (c2a.c2 + 1.0 * st.v))) AS ll
+           FROM tr
+           JOIN c3 USING (w1, w2, w3)
+           JOIN c2 c2a ON c2a.w1 = tr.w1 AND c2a.w2 = tr.w2
+           JOIN c2 c2b ON c2b.w1 = tr.w2 AND c2b.w2 = tr.w3
+           JOIN c1 c1b ON c1b.w = tr.w2
+           JOIN c1 c1c ON c1c.w = tr.w3
+           CROSS JOIN st
+           GROUP BY 1)
+         SELECT doc_id, n_trigrams, round(-ll / n_trigrams, 6) AS nll
+         FROM sc ORDER BY doc_id""",
+
+    "x110_code_switch" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         f AS (SELECT doc_id,
+             array_to_string(ws[1:len(ws) // 2], ' ') AS h1,
+             array_to_string(ws[len(ws) // 2 + 1:len(ws)], ' ') AS h2
+           FROM w WHERE len(ws) >= 4),
+         s AS (SELECT doc_id,
+           len(list_filter(string_split(lower(h1), ' '),
+             w -> w IN ('the','a','of','and','to','in','is','it','for','on'))) AS en1,
+           len(list_filter(string_split(lower(h1), ' '),
+             w -> w IN ('der','die','das','und','ist','ein','zu','mit','auf','nicht'))) AS de1,
+           len(list_filter(string_split(lower(h1), ' '),
+             w -> w IN ('le','la','les','et','est','un','une','dans','pour','que'))) AS fr1,
+           len(list_filter(string_split(lower(h2), ' '),
+             w -> w IN ('the','a','of','and','to','in','is','it','for','on'))) AS en2,
+           len(list_filter(string_split(lower(h2), ' '),
+             w -> w IN ('der','die','das','und','ist','ein','zu','mit','auf','nicht'))) AS de2,
+           len(list_filter(string_split(lower(h2), ' '),
+             w -> w IN ('le','la','les','et','est','un','une','dans','pour','que'))) AS fr2
+           FROM f),
+         l AS (SELECT doc_id,
+             CASE WHEN greatest(en1, de1, fr1) = 0 THEN 'und'
+                  WHEN de1 >= en1 AND de1 >= fr1 THEN 'de'
+                  WHEN en1 >= fr1 THEN 'en'
+                  ELSE 'fr' END AS lang_head,
+             CASE WHEN greatest(en2, de2, fr2) = 0 THEN 'und'
+                  WHEN de2 >= en2 AND de2 >= fr2 THEN 'de'
+                  WHEN en2 >= fr2 THEN 'en'
+                  ELSE 'fr' END AS lang_tail
+           FROM s)
+         SELECT doc_id, lang_head, lang_tail,
+           (lang_head <> lang_tail AND lang_head <> 'und'
+             AND lang_tail <> 'und') AS code_switch
+         FROM l ORDER BY doc_id""",
 
     // the x92 scored CTE + cumulative counts over the threshold-desc
     // group frame; "prec" not "precision" (SQL type keyword)

@@ -85,6 +85,56 @@ object LanguageModel {
         round(-col("ll") / col("n_bigrams"), 6).as("nll"))
   }
 
+  /** Interpolated TRIGRAM LM scoring — [[bigramNll]]'s longer-context
+    * sibling (Jelinek-Mercer interpolation: p = l1*p1 + l2*p2 + l3*p3
+    * over add-alpha unigram/bigram/trigram estimates). The interpolation
+    * is what makes a sparse trigram table usable: an unseen trigram backs
+    * off smoothly to its bigram/unigram mass instead of falling to the
+    * smoothing floor, so the score separates "novel but well-formed" from
+    * "malformed" better than the pure bigram model.
+    *
+    * Same 100 TB skeleton as [[bigramNll]]: ONE trigram explode feeds the
+    * c3 table; the bigram/unigram tables derive from the same filtered
+    * doc set; all five scoring joins are shuffle_hash-pinned on n-gram
+    * keys (no vocabulary broadcast); (T, V) is one bounded driver row.
+    * Docs need >= 3 tokens. Output: (id, n_trigrams, nll rounded 6). */
+  def trigramNllInterp(docs: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 1.0, l1: Double = 0.1, l2: Double = 0.3,
+      l3: Double = 0.6): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      TextFunctions.tokens(col(textCol)).as("ts"))
+      .filter(size(col("ts")) >= 3)
+    val tri = toks
+      .select(col("id"), posexplode(slice(col("ts"), lit(1), size(col("ts")) - 2))
+        .as(Seq("i", "w1")), col("ts"))
+      .select(col("id"), col("w1"),
+        element_at(col("ts"), col("i") + 2).as("w2"),
+        element_at(col("ts"), col("i") + 3).as("w3"))
+    val c3 = tri.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c3"))
+    val c2 = bigrams(toks).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val c1 = toks.select(explode(col("ts")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val st = c1.agg(sum(col("c1")).as("t"), count(lit(1)).as("v")).head()
+    val (t, v) = (st.getLong(0), st.getLong(1))
+    val scored = tri
+      .join(c3.hint("shuffle_hash"), Seq("w1", "w2", "w3"))
+      .join(c2.toDF("w1", "w2", "c2a").hint("shuffle_hash"), Seq("w1", "w2"))
+      .join(c2.toDF("w2", "w3", "c2b").hint("shuffle_hash"), Seq("w2", "w3"))
+      .join(c1.toDF("w2", "c1b").hint("shuffle_hash"), Seq("w2"))
+      .join(c1.toDF("w3", "c1c").hint("shuffle_hash"), Seq("w3"))
+      // fixed l1+l2+l3 term order — the oracle repeats the association
+      .withColumn("lp", log(
+        lit(l1) * (col("c1c") + alpha) / (t + alpha * v) +
+        lit(l2) * (col("c2b") + alpha) / (col("c1b") + alpha * v) +
+        lit(l3) * (col("c3") + alpha) / (col("c2a") + alpha * v)))
+    scored.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("lp")).as("ll"))
+      .select(col("id").as(idCol), col("n_trigrams"),
+        round(-col("ll") / col("n_trigrams"), 6).as("nll"))
+  }
+
   /** CCNet's head/middle/tail banding: tertile buckets of [[bigramNll]].
     * The scored frame is persisted around the two passes (threshold agg +
     * band scan; blocks released on the consumer's first action); the

@@ -123,6 +123,56 @@ object Profile {
       .agg(max(col("rho")).as("m"))
   }
 
+  /** One-row corpus report card — the numbers a dataset datasheet leads
+    * with, computed in one pass plus two 1-row side frames: corpus size,
+    * source count, total characters, exact-duplicate rate, English
+    * fraction (per the x7 heuristic), mean quality score, and the median
+    * document length. The go/no-go summary a refresh pipeline publishes
+    * next to [[graft.operators.Cdc.corpusDiff]]'s status counts.
+    *
+    * Exactness: quality scores are 6-decimal-rounded, so the DECIMAL(18,6)
+    * cast is exact and the sum order-independent; the mean divides the
+    * exact sum (via the double-via-string hop) by an integer once.
+    * dup_rate and pct_en are single divisions of exact counts; the median
+    * is the x13-proven percentile pair.
+    *
+    * 100 TB shape: the main aggregate is ONE partial-agged scan (the
+    * percentile's value buffer is the documented QA-scale trade —
+    * Percentiles.exactSorted is the bounded swap); the distinct-fp and
+    * distinct-source counts run as separate reduced frames crossJoined
+    * back as broadcast 1-row results — deliberately NOT countDistinct in
+    * the main agg, which would Expand the corpus once per distinct. At
+    * sketch scale swap them for [[hllDistinct]]. */
+  def corpusReportCard(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", sourceCol: String = "source",
+      nCharsCol: String = "n_chars"): DataFrame = {
+    import graft.functions.TextFunctions
+    val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val base = docs.select(col(sourceCol).as("src"), col(nCharsCol).as("nc"),
+      TextFunctions.fingerprint(col(textCol)).as("fp"),
+      TextFunctions.langId(col(textCol)).as("lp"),
+      TextFunctions.qualityScore(col(textCol)).cast(d6).as("q"))
+    val main = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("nc")).as("total_chars"),
+      sum(when(col("lp") === "en", 1L).otherwise(0L)).as("n_en"),
+      sum(col("q")).as("sq"),
+      expr("percentile(nc, 0.5)").as("p50_chars"))
+    val uniq = base.select(col("fp")).distinct()
+      .agg(count(lit(1)).as("n_unique"))
+    val srcs = base.select(col("src")).distinct()
+      .agg(count(lit(1)).as("n_sources"))
+    main.crossJoin(broadcast(uniq)).crossJoin(broadcast(srcs))
+      .select(col("n_docs"), col("n_sources"), col("total_chars"),
+        ((col("n_docs") - col("n_unique")).cast("double") /
+          col("n_docs").cast("double")).as("dup_rate"),
+        (col("n_en").cast("double") / col("n_docs").cast("double"))
+          .as("pct_en"),
+        (col("sq").cast("string").cast("double") /
+          col("n_docs").cast("double")).as("mean_quality"),
+        col("p50_chars"))
+  }
+
   /** Rolling HLL distinct over time buckets: the distinct count for every
     * trailing window of `windowBuckets` buckets (weekly-active-users over
     * daily buckets, rolling distinct IPs, ...). THE demonstration of why

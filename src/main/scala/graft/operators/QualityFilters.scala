@@ -44,4 +44,32 @@ object QualityFilters {
       rRep.as("r_rep"), rStop.as("r_stop"),
       (rLen && rWordlen && rRep && rStop).as("keep"))
   }
+
+  /** Code-switch (mixed-language) detection: language-ID the FIRST and
+    * SECOND half of each document's token stream independently and flag
+    * documents whose halves disagree (both halves determinate). A
+    * document-level language ID (x7) averages the mixture away — a page
+    * that is half English half German IDs as whichever half is longer,
+    * and then poisons whichever monolingual bucket it lands in; the
+    * split-half test is the cheap first-order mixture detector (the
+    * windowed generalization follows the same shape with more slices).
+    *
+    * ONE narrow codegen'd projection (two langId folds over array
+    * slices), no shuffle; docs need >= 4 tokens so each half has >= 2.
+    * Output: (id, lang_head, lang_tail, code_switch boolean). */
+  def codeSwitchFlags(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val ws = TextFunctions.tokens(col(textCol))
+    val n = size(ws)
+    val half = floor(n / lit(2)).cast("int")
+    val head = array_join(slice(ws, lit(1), half), " ")
+    val tail = array_join(slice(ws, half + lit(1), n - half), " ")
+    df.filter(n >= 4)
+      .select(col(idCol),
+        TextFunctions.langId(head).as("lang_head"),
+        TextFunctions.langId(tail).as("lang_tail"))
+      .withColumn("code_switch",
+        col("lang_head") =!= col("lang_tail") &&
+          col("lang_head") =!= "und" && col("lang_tail") =!= "und")
+  }
 }

@@ -582,6 +582,43 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(!plan.contains("Expand") && !plan.contains("Join"), plan)
   }
 
+  test("codeSwitchFlags: mixed halves flag, monolingual and und halves don't") {
+    val d = Seq(
+      (1L, "the is of it der die das und"),       // en head, de tail -> flag
+      (2L, "the a of and is it in for"),          // en both -> no flag
+      (3L, "zz qq ww rr the a of and"),           // und head -> no flag
+      (4L, "the a of")                            // 3 tokens: excluded
+    ).toDF("doc_id", "text")
+    val out = graft.operators.QualityFilters
+      .codeSwitchFlags(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getBoolean(3))).toMap
+    assert(out(1L) == (("en", "de", true)))
+    assert(out(2L) == (("en", "en", false)))
+    assert(out(3L)._1 == "und" && !out(3L)._3)
+    assert(!out.contains(4L))
+  }
+
+  test("corpusReportCard: one-row datasheet with exact rates") {
+    val d = Seq(
+      (1L, "the a of and", "web", 10L),
+      (2L, "the a of and", "web", 10L),   // exact dup of doc 1
+      (3L, "der und ist zu", "web", 20L),
+      (4L, "zz qq ww", "books", 30L)
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val r = graft.operators.Profile.corpusReportCard(d).head()
+    assert(r.getLong(0) == 4L)         // n_docs
+    assert(r.getLong(1) == 2L)         // n_sources
+    assert(r.getLong(2) == 70L)        // total_chars
+    assert(r.getDouble(3) == 0.25)     // dup_rate: 4 docs, 3 distinct fps
+    assert(r.getDouble(4) == 0.5)      // pct_en: docs 1,2
+    // mean quality equals the independent per-doc score average
+    val qs = d.select(graft.functions.TextFunctions.qualityScore(col("text")))
+      .collect().map(x => BigDecimal(x.getDouble(0)))
+    assert(r.getDouble(5) == (qs.sum / 4).toDouble)
+    assert(r.getDouble(6) == 15.0)     // p50 of 10,10,20,30
+  }
+
   test("dupRateReport: formatting-only copies count as dups; clean source rates 0") {
     val d = Seq(
       ("web", 1L, "same doc"), ("web", 2L, "  Same   DOC "), // dup pair

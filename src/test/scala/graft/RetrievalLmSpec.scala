@@ -189,6 +189,29 @@ class RetrievalLmSpec extends SparkSpec {
     assert(out.keySet.map(_._2).max == 2L)
   }
 
+  test("trigramNllInterp: closed-form interpolated probabilities; rare docs score higher") {
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b d"))
+      .toDF("doc_id", "text")
+    // counts: c3(a,b,c)=2 c3(a,b,d)=1; c2(a,b)=3 c2(b,c)=2 c2(b,d)=1;
+    // c1: a=3 b=3 c=2 d=1; T=9 V=4
+    def p(c3: Long, c2pref: Long, c2: Long, c1mid: Long, c1last: Long) =
+      0.1 * (c1last + 1.0) / (9.0 + 1.0 * 4.0) +
+        0.3 * (c2 + 1.0) / (c1mid + 1.0 * 4.0) +
+        0.6 * (c3 + 1.0) / (c2pref + 1.0 * 4.0)
+    val out = graft.operators.LanguageModel
+      .trigramNllInterp(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc1/doc2: one trigram (a,b,c): p3 uses c2(a,b), p2 uses c2(b,c)
+    // and c1(b), p1 uses c1(c)
+    assert(out(1L) == ((1L, r6(-math.log(p(2L, 3L, 2L, 3L, 2L))))))
+    assert(out(2L) == out(1L))
+    // doc3's (a,b,d) is rarer at every level -> strictly higher nll
+    assert(out(3L) == ((1L, r6(-math.log(p(1L, 3L, 1L, 3L, 1L))))))
+    assert(out(3L)._2 > out(1L)._2)
+  }
+
   test("rrfFuse: hand-computed fusion, absent ranks contribute zero") {
     val lex = Seq((1L, 5.0), (2L, 4.0), (3L, 3.0)).toDF("id", "score")
     val sem = Seq((2L, 0.9), (4L, 0.8)).toDF("id", "score")
