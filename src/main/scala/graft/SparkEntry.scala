@@ -2111,6 +2111,28 @@ object SparkEntry {
         .orderBy(col("event_type"), col("event_id"))
     },
 
+    // ---- X: per-source token-weighted length quantiles — x104 for every
+    //      key at once; keyed window cumsum, never a global sort ----
+    "x111_weighted_quantiles_by_key" -> { (s, dir) =>
+      graft.operators.Percentiles.weightedQuantilesByKey(
+        t(s, dir, "documents").select(col("source"), col("n_chars"),
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("long").as("n_tokens")),
+        "source", "n_chars", "n_tokens", percents = Seq(50, 90))
+        .orderBy(col("source"))
+    },
+
+    // ---- X: session-level association rules (support/confidence/lift) —
+    //      market-basket discovery over sessionized event types; corpus
+    //      reduces to distinct (session, type) before the equi-keyed
+    //      pair join ----
+    "x112_session_rules" -> { (s, dir) =>
+      graft.operators.EventAnalytics.sessionRules(
+        t(s, dir, "events"), "user_id", "event_type", "ts", "event_id",
+        gapSeconds = 1800, minPairCount = 5)
+        .orderBy(col("ante"), col("cons"))
+    },
+
     // ---- E: one-row corpus report card — the datasheet summary a
     //      refresh publishes next to x101's diff counts: size, sources,
     //      dup rate, English fraction, mean quality, median length; main
@@ -3854,6 +3876,51 @@ object SparkEntry {
          FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
          WHERE CAST(c AS DOUBLE) / least(sa.n, sb.n) >= 0.9
          ORDER BY id_a, id_b""",
+
+    "x111_weighted_quantiles_by_key" ->
+      """WITH v AS (SELECT source, CAST(n_chars AS DOUBLE) AS v,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+           FROM documents
+           WHERE n_chars IS NOT NULL AND len(string_split(text, ' ')) > 0),
+         c AS (SELECT source, v, sum(w) OVER (PARTITION BY source
+                 ORDER BY v ROWS UNBOUNDED PRECEDING) AS cw FROM v),
+         tt AS (SELECT source, sum(w) AS tw FROM v GROUP BY 1)
+         SELECT source,
+           min(CASE WHEN cw * 100 >= 50 * tw THEN v END) AS p50,
+           min(CASE WHEN cw * 100 >= 90 * tw THEN v END) AS p90
+         FROM c JOIN tt USING (source) GROUP BY source ORDER BY source""",
+
+    // x40's session CTEs -> distinct (session, type) baskets -> pair
+    // counts; all three measures divide exact BIGINTs
+    "x112_session_rules" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+             CAST(ts AS TIMESTAMP) AS t FROM events),
+         g AS (SELECT user_id, event_type, t, event_id,
+             CASE WHEN lag(t) OVER w IS NULL
+                  OR epoch_us(t) - epoch_us(lag(t) OVER w) > 1800000000
+             THEN 1 ELSE 0 END AS is_new
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+         s AS (SELECT user_id, event_type,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+               ROWS UNBOUNDED PRECEDING) AS sid
+           FROM g),
+         it AS (SELECT DISTINCT user_id, sid, event_type FROM s),
+         ns AS (SELECT count(*) AS n_sessions
+                FROM (SELECT DISTINCT user_id, sid FROM it)),
+         sg AS (SELECT event_type AS t, count(*) AS n_t FROM it GROUP BY 1),
+         pr AS (SELECT a.event_type AS ante, b.event_type AS cons,
+                  count(*) AS n_ab
+                FROM it a JOIN it b
+                  ON a.user_id = b.user_id AND a.sid = b.sid
+                WHERE a.event_type <> b.event_type GROUP BY 1, 2),
+         fr AS (SELECT * FROM pr WHERE n_ab >= 5)
+         SELECT ante, cons, n_ab, sa.n_t AS n_a, sb.n_t AS n_b,
+           CAST(n_ab AS DOUBLE) / CAST(ns.n_sessions AS DOUBLE) AS support,
+           CAST(n_ab AS DOUBLE) / CAST(sa.n_t AS DOUBLE) AS confidence,
+           CAST(n_ab * ns.n_sessions AS DOUBLE)
+             / CAST(sa.n_t * sb.n_t AS DOUBLE) AS lift
+         FROM fr JOIN sg sa ON fr.ante = sa.t JOIN sg sb ON fr.cons = sb.t
+         CROSS JOIN ns ORDER BY ante, cons""",
 
     // composes the x1 fingerprint, x7 langId CASE (en/de/fr lists are
     // disjoint, so their sum equals the combined stopword-hit count),

@@ -302,6 +302,57 @@ object EventAnalytics {
         sum(col("cnt")).over(perCur).cast(DoubleType))
   }
 
+  /** Session-level association rules (support / confidence / lift) over
+    * event types — market-basket mining with [[Temporal.sessionize]]d
+    * sessions as the baskets: "sessions containing `ante` also contain
+    * `cons`" with exact counts, the exploratory step before any funnel
+    * definition exists (funnels test a HYPOTHESIZED sequence; rules
+    * DISCOVER which type pairs co-occur beyond chance — lift > 1).
+    *
+    * 100 TB shape: sessionize's keyed window, then the corpus reduces to
+    * DISTINCT (session, type) rows — bounded by sessions x type
+    * cardinality, not events; the pair self-join is equi-keyed on the
+    * session id (per-session fan-out = distinct-types², small by
+    * definition of a session); counts partial-agg on the k² type-pair
+    * key space. All three measures are divisions of exact BIGINTs; the
+    * session total rides along as a broadcast 1-row frame. Both rule
+    * orientations are emitted (confidence is asymmetric). Output:
+    * (ante, cons, n_ab, n_a, n_b, support, confidence, lift). */
+  def sessionRules(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieCol: String, gapSeconds: Long,
+      minPairCount: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    require(gapSeconds >= 1L && minPairCount >= 1L,
+      "gapSeconds and minPairCount must be >= 1")
+    val items = Temporal.sessionize(
+        events.select(col(userCol).as("u"), col(typeCol).as("t"),
+          col(tsCol).as("ts"), col(tieCol).as("tie")),
+        "u", "ts", "tie", gapSeconds)
+      .select(col("u"), col("session_id").as("sid"), col("t"))
+      .distinct()
+    val nSessions = items.select(col("u"), col("sid")).distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val singles = items.groupBy(col("t")).agg(count(lit(1)).as("n_t"))
+    val pairs = items.toDF("u", "sid", "ante")
+      .join(items.toDF("u", "sid", "cons").hint("shuffle_hash"),
+        Seq("u", "sid"))
+      .filter(col("ante") =!= col("cons"))
+      .groupBy(col("ante"), col("cons"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairCount)
+    pairs
+      .join(broadcast(singles.toDF("ante", "n_a")), Seq("ante"))
+      .join(broadcast(singles.toDF("cons", "n_b")), Seq("cons"))
+      .crossJoin(broadcast(nSessions))
+      .select(col("ante"), col("cons"), col("n_ab"), col("n_a"), col("n_b"),
+        (col("n_ab").cast(DoubleType) / col("n_sessions").cast(DoubleType))
+          .as("support"),
+        (col("n_ab").cast(DoubleType) / col("n_a").cast(DoubleType))
+          .as("confidence"),
+        ((col("n_ab") * col("n_sessions")).cast(DoubleType) /
+          (col("n_a") * col("n_b")).cast(DoubleType)).as("lift"))
+  }
+
   /** Inter-arrival regularity per user — the standard bot/scraper signal
     * over an event log: organic users emit bursty gaps (high coefficient
     * of variation), schedulers and scripts emit metronome gaps (CV near

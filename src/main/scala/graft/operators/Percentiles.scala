@@ -235,6 +235,35 @@ object Percentiles {
     cum.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-key exact weighted quantiles — [[weightedQuantiles]] for every
+    * group at once (token-weighted length bands per source, cost bands
+    * per tenant). Same integer-exact inverse-CDF rule; the cumulative
+    * weight comes from a KEYED window (shuffle by key, sort within the
+    * key's frame — never a global sort), totals from one partial-agged
+    * groupBy, and one grouped filtered-min agg evaluates every percent.
+    * Tie groups are safe for the same end-weight-invariance reason.
+    * Output: (key, p<N>... doubles). */
+  def weightedQuantilesByKey(df: DataFrame, keyCol: String, valueCol: String,
+      weightCol: String, percents: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      "percents must be within [1, 100]")
+    val v = df.select(col(keyCol), col(valueCol).cast("double").as("v"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("v").isNotNull && col("w") > 0L)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = v.withColumn("cw", sum(col("w")).over(w))
+    val tot = v.groupBy(col(keyCol)).agg(sum(col("w")).as("tw"))
+    val aggs = percents.map { p =>
+      min(when(col("cw") * 100L >= lit(p.toLong) * col("tw"), col("v")))
+        .as(s"p$p")
+    }
+    cum.join(tot.hint("shuffle_hash"), Seq(keyCol))
+      .groupBy(col(keyCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Quantile normalization of per-group scores onto the POOLED score
     * distribution — the calibration move when heterogeneous scorers (one
     * quality model per source/language) must be thresholded together: a

@@ -232,6 +232,32 @@ class EventAnalyticsSpec extends SparkSpec {
     byCur.foreach { case (_, p) => assert(math.abs(p - 1.0) < 1e-12) }
   }
 
+  test("sessionRules: support/confidence/lift from exact basket counts") {
+    // 4 users, 1 session each: {a,b}, {a,b,c}, {a}, {b,c}
+    val ev = Seq(
+      (1L, "a", ts("2024-01-01 10:00:00"), 1L),
+      (1L, "b", ts("2024-01-01 10:01:00"), 2L),
+      (2L, "a", ts("2024-01-01 10:00:00"), 3L),
+      (2L, "b", ts("2024-01-01 10:01:00"), 4L),
+      (2L, "c", ts("2024-01-01 10:02:00"), 5L),
+      (2L, "a", ts("2024-01-01 10:03:00"), 6L), // dup type in session: ignored
+      (3L, "a", ts("2024-01-01 10:00:00"), 7L),
+      (4L, "b", ts("2024-01-01 10:00:00"), 8L),
+      (4L, "c", ts("2024-01-01 10:01:00"), 9L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val out = EventAnalytics.sessionRules(ev, "user_id", "event_type",
+      "ts", "event_id", gapSeconds = 1800)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(5), r.getDouble(6), r.getDouble(7))).toMap
+    // N=4 sessions; c(a)=3 c(b)=3 c(c)=2; c(a,b)=2 c(a,c)=1 c(b,c)=2
+    assert(out(("a", "b")) == ((2L, 0.5, 2.0 / 3, 2.0 * 4 / (3 * 3))))
+    assert(out(("b", "a")) == ((2L, 0.5, 2.0 / 3, 2.0 * 4 / (3 * 3))))
+    assert(out(("b", "c")) == ((2L, 0.5, 2.0 / 3, 2.0 * 4 / (3 * 2))))
+    assert(out(("c", "b"))._3 == 1.0) // every c-session contains b
+    assert(out(("a", "c")) == ((1L, 0.25, 1.0 / 3, 1.0 * 4 / (3 * 2))))
+    assert(out.size == 6) // both orientations of 3 pairs
+  }
+
   test("gapRegularity: metronome flagged, bursty not, short users excluded") {
     val ev = Seq(
       // u1: four exact 60s gaps -> variance 0 -> CV 0 -> regular

@@ -297,6 +297,23 @@ class SelectionGraphPqSpec extends SparkSpec {
     assert(math.abs(out.head._3 - math.sqrt(0.5)) < 1e-6)
   }
 
+  test("weightedQuantilesByKey: per-key thresholds match the global op per key") {
+    val df = Seq(
+      ("a", 1.0, 1L), ("a", 2.0, 1L), ("a", 3.0, 6L), ("a", 4.0, 2L),
+      ("b", 10.0, 5L), ("b", 20.0, 5L)
+    ).toDF("k", "v", "w")
+    val out = graft.operators.Percentiles
+      .weightedQuantilesByKey(df, "k", "v", "w", Seq(50, 90))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out("a") == ((3.0, 4.0))) // the x104 fixture, keyed
+    assert(out("b") == ((10.0, 20.0))) // cw: 5,10 -> p50 at 10, p90 at 20
+    // agreement with the global operator restricted to one key
+    val solo = graft.operators.Percentiles.weightedQuantiles(
+      df.filter(col("k") === "a"), "v", "w", Seq(50, 90)).head()
+    assert((solo.getDouble(0), solo.getDouble(1)) == out("a"))
+  }
+
   test("weightedQuantiles: inverse-CDF thresholds, partition-invariant") {
     val df = Seq((1.0, 1L), (2.0, 1L), (3.0, 6L), (4.0, 2L))
       .toDF("v", "w")
