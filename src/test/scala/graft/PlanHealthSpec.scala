@@ -556,4 +556,46 @@ class PlanHealthSpec extends SparkSpec {
       s"x97 window lost its user partitioning:\n$p")
     assert(!p.contains("Join"), s"x97 grew a join it doesn't need:\n$p")
   }
+
+  test("x100: session window keyed by user; the groupBy rides the window's shuffle") {
+    val p = plan("x100_session_features")
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"x100 session window lost its user partitioning:\n$p")
+    // co-partitioned aggregation: exactly ONE Exchange below the output
+    // sort — the groupBy(user, session) reuses the window's partitioning
+    val body = p.split("TakeOrderedAndProject|Sort ").last
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"x100 grew extra shuffles:\n$p")
+  }
+
+  test("x103: everything after the register cells is scaffold-sized; window keyed by register") {
+    val p = plan("x103_rolling_distinct")
+    assert(p.contains("windowspecdefinition(j"),
+      s"x103 rolling max must partition by register j:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"x103 scaffold fell off its broadcast:\n$p")
+  }
+
+  test("x111: per-key cumsum is a keyed window; totals join stays shuffle-hash") {
+    val p = plan("x111_weighted_quantiles_by_key")
+    assert(p.contains("windowspecdefinition(source"),
+      s"x111 cumsum window lost its key partitioning:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"rogue join in x111:\n$p")
+  }
+
+  test("x112: baskets deduplicate BEFORE the pair join; pair join equi-keyed on the session") {
+    val p = plan("x112_session_rules")
+    // the distinct (session, type) reduction must sit below the self-join
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      s"x112 pair join must be an equi shuffle join:\n$p")
+    // only the broadcast 1-row session-total frame may BNL (the q22
+    // precedent); a data-sized cartesian is banned
+    assert(!p.contains("CartesianProduct"),
+      s"x112 fell off its equi keys:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"x112 grew a second nested-loop join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"x112 lost its partial aggregations:\n$p")
+  }
 }
