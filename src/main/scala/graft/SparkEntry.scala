@@ -2111,6 +2111,28 @@ object SparkEntry {
         .orderBy(col("event_type"), col("event_id"))
     },
 
+    // ---- X: vocabulary growth curve (Heaps'-law diagnostic) — cumulative
+    //      distinct tokens per corpus quartile in id order; first-seen
+    //      rank via one explode + min partial-agg, RowNum ranks ----
+    "x113_vocab_growth" -> { (s, dir) =>
+      graft.operators.CorpusOps.vocabGrowthCurve(
+        t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("quartile"))
+    },
+
+    // ---- X: benchmark-overlap severity report — per eval item, what
+    //      fraction of its shingles the training corpus already contains
+    //      (the reverse direction of x20's decontaminate); corpus side
+    //      deduplicates on the shingle key, no broadcast of the big side ----
+    "x114_benchmark_overlap" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.CorpusOps.benchmarkOverlapReport(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- X: per-source token-weighted length quantiles — x104 for every
     //      key at once; keyed window cumsum, never a global sort ----
     "x111_weighted_quantiles_by_key" -> { (s, dir) =>
@@ -3876,6 +3898,44 @@ object SparkEntry {
          FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
          WHERE CAST(c AS DOUBLE) / least(sa.n, sb.n) >= 0.9
          ORDER BY id_a, id_b""",
+
+    // integer-exact quartile rule ((frk-1)*4) div N and the ceil identity
+    // (k*N+3) div 4 on both engines
+    "x113_vocab_growth" ->
+      """WITH r AS (SELECT doc_id, text,
+             row_number() OVER (ORDER BY doc_id ASC) AS rk FROM documents),
+         n AS (SELECT count(*) AS n FROM documents),
+         fs AS (SELECT w, min(rk) AS frk
+                FROM (SELECT rk, unnest(string_split(text, ' ')) AS w FROM r)
+                GROUP BY 1),
+         pq AS (SELECT ((frk - 1) * 4) // n.n + 1 AS quartile,
+                  count(*) AS new_tokens
+                FROM fs, n GROUP BY 1),
+         sc AS (SELECT CAST(unnest(range(1, 5)) AS BIGINT) AS quartile),
+         cu AS (SELECT sc.quartile,
+                  sum(coalesce(new_tokens, 0)) OVER (ORDER BY sc.quartile
+                    ROWS UNBOUNDED PRECEDING) AS vocab
+                FROM sc LEFT JOIN pq USING (quartile))
+         SELECT quartile, (quartile * n.n + 3) // 4 AS n_docs,
+           CAST(vocab AS BIGINT) AS vocab
+         FROM cu, n ORDER BY quartile""",
+
+    "x114_benchmark_overlap" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         cs AS (SELECT DISTINCT array_to_string(ws[i:i+2], ' ') AS s
+                FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1))) t(i)
+                WHERE doc_id % 50 <> 0),
+         bs AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+                FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1))) t(i)
+                WHERE doc_id % 50 = 0),
+         tot AS (SELECT doc_id, count(*) AS n_shingles FROM bs GROUP BY 1),
+         h AS (SELECT doc_id, count(*) AS n_overlap FROM bs
+               WHERE s IN (SELECT s FROM cs) GROUP BY 1)
+         SELECT tot.doc_id, n_shingles,
+           CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(coalesce(n_overlap, 0) AS DOUBLE)
+             / CAST(n_shingles AS DOUBLE) AS coverage
+         FROM tot LEFT JOIN h USING (doc_id) ORDER BY doc_id""",
 
     "x111_weighted_quantiles_by_key" ->
       """WITH v AS (SELECT source, CAST(n_chars AS DOUBLE) AS v,

@@ -308,6 +308,81 @@ object CorpusOps {
       .filter(col("n_overlap") >= minOverlap)
   }
 
+  /** The OTHER direction of [[decontaminate]]: per BENCHMARK item, what
+    * fraction of its shingles appears anywhere in the training corpus —
+    * the leakage-severity report an eval owner reads ([[decontaminate]]
+    * flags corpus docs to drop; this quantifies how compromised each eval
+    * item already is — an item at 95% coverage is memorizable from
+    * training data even after the flagged docs are removed).
+    *
+    * The big side is now the CORPUS shingle set, so no broadcast: the
+    * corpus deduplicates to distinct shingles (one partial-agged shuffle
+    * on the shingle key) and the benchmark's (item, shingle) rows
+    * LEFT-SEMI join it on the same key — benchmark-sized output from a
+    * shingle-keyed equi shuffle, never a cartesian. Coverage is one
+    * division of exact counts. Output: (id, n_shingles, n_overlap,
+    * coverage) for every benchmark item (0-coverage rows included). */
+  def benchmarkOverlapReport(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val corpusSh = corpus
+      .select(explode(TextFunctions.shingles(col(textCol), n)).as("s"))
+      .distinct()
+    val benchSh = Dedup.shingleIndex(benchmark, idCol, textCol, n)
+    val totals = benchSh.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val hits = benchSh
+      .join(corpusSh.hint("shuffle_hash"), Seq("s"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_overlap"))
+    totals.join(hits, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)).cast(DoubleType) /
+          col("n_shingles").cast(DoubleType)).as("coverage"))
+  }
+
+  /** Vocabulary growth curve (the Heaps'-law diagnostic a tokenizer
+    * budget is sized from): cumulative distinct-token count after each
+    * quarter of the corpus in id order. Sublinear growth means the
+    * vocabulary is saturating — more data buys fewer new tokens; linear
+    * growth means the corpus keeps introducing novel vocabulary (or
+    * noise) and an OOV strategy matters.
+    *
+    * Each token is attributed to its FIRST-occurrence document rank (one
+    * explode + min partial-agg — the token stream shuffles once on the
+    * token key), ranks come from the range-partitioned RowNum (no
+    * one-task window), and the quartile fold runs on a 4-row frame. The
+    * bucket rule is integer-exact: quartile = ((rank-1)*4) div N.
+    * Output: (quartile 1..4, n_docs cumulative, vocab cumulative). */
+  def vocabGrowthCurve(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import graft.plans.{Events, RowNum}
+    import org.apache.spark.sql.expressions.Window
+    val ranked = RowNum.assign(docs.select(col(idCol), col(textCol))
+        .orderBy(col(idCol).asc))
+      .withColumnRenamed(Events.RowNumCol, "rk")
+    val n = docs.count()
+    require(n >= 4, "vocabGrowthCurve needs at least 4 documents")
+    val firstSeen = ranked
+      .select(col("rk"), explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(min(col("rk")).as("frk"))
+    val q = call_function("div", (col("frk") - 1L) * 4L, lit(n)) + 1L
+    val perQ = firstSeen.select(q.as("quartile"))
+      .groupBy(col("quartile")).agg(count(lit(1)).as("new_tokens"))
+    val w = Window.orderBy(col("quartile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // DENSE 4-row output (a saturated vocabulary would otherwise emit
+    // only quartile 1 and hide the saturation it should show); the
+    // unpartitioned window is bounded at 4 rows by construction
+    docs.sparkSession.range(1L, 5L).toDF("quartile")
+      .join(perQ, Seq("quartile"), "left")
+      .withColumn("vocab", sum(coalesce(col("new_tokens"), lit(0L))).over(w))
+      .select(col("quartile"),
+        // docs in quartiles <= k: count of ranks r with ((r-1)*4) div n < k
+        // == ceil(k*n/4) exactly = (k*n + 3) div 4
+        call_function("div", col("quartile") * n + 3L, lit(4L)).as("n_docs"),
+        col("vocab"))
+  }
+
   /** Gopher-style repetition signals per document:
     *  - `dup_5gram_frac`: fraction of 5-gram occurrences that repeat an
     *    earlier one — a pure scalar expression (no shuffle).

@@ -408,4 +408,33 @@ class CorpusOpsSpec extends SparkSpec {
     }.toSet
     assert(extra == replay)
   }
+
+  test("vocabGrowthCurve: dense quartiles, first-occurrence attribution, exact doc counts") {
+    val docs = Seq((10L, "a b"), (20L, "a c"), (30L, "a b"), (40L, "d"))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.vocabGrowthCurve(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .sortBy(_._1)
+    // first-seen ranks: a,b -> 1; c -> 2; d -> 4. Quartile 3 introduces
+    // NOTHING and must still appear (the saturation signal)
+    assert(out == Seq((1L, 1L, 2L), (2L, 2L, 3L), (3L, 3L, 3L),
+      (4L, 4L, 4L)))
+  }
+
+  test("benchmarkOverlapReport: full/partial/zero coverage per eval item") {
+    val corpus = Seq((100L, "x y q"), (101L, "p q r s")).toDF("doc_id", "text")
+    // corpus bigrams: {x y, y q, p q, q r, r s}
+    val bench = Seq(
+      (1L, "x y q"),     // bigrams {x y, y q}: both present -> 1.0
+      (2L, "x y z"),     // {x y, y z}: one present -> 0.5
+      (3L, "m n o")      // {m n, n o}: none -> 0.0, row still emitted
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.benchmarkOverlapReport(corpus, bench,
+      "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((2L, 2L, 1.0)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((2L, 0L, 0.0)))
+  }
 }
