@@ -2111,6 +2111,23 @@ object SparkEntry {
         .orderBy(col("event_type"), col("event_id"))
     },
 
+    // ---- X: time-to-convert percentiles — the latency view x60's depth
+    //      count doesn't give; exact integer micros until the final
+    //      x13-proven interpolation ----
+    "x115_time_to_convert" -> { (s, dir) =>
+      graft.operators.EventAnalytics.timeToConvert(
+        t(s, dir, "events"), "user_id", "event_type", "ts",
+        startType = "view", convType = "purchase")
+    },
+
+    // ---- X: top-k skip-gram pairs within a 3-token window — the
+    //      word2vec context definition; one narrow nested-transform
+    //      Generate, partial-agged pair counts, TakeOrdered ----
+    "x116_skipgram_topk" -> { (s, dir) =>
+      graft.operators.LanguageModel.skipgramTopK(
+        t(s, dir, "documents"), "text", window = 3, k = 30)
+    },
+
     // ---- X: vocabulary growth curve (Heaps'-law diagnostic) — cumulative
     //      distinct tokens per corpus quartile in id order; first-seen
     //      rank via one explode + min partial-agg, RowNum ranks ----
@@ -3898,6 +3915,28 @@ object SparkEntry {
          FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
          WHERE CAST(c AS DOUBLE) / least(sa.n, sb.n) >= 0.9
          ORDER BY id_a, id_b""",
+
+    "x115_time_to_convert" ->
+      """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS v_us FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(epoch_us(ts) - v_us) AS delta_us
+               FROM events e JOIN v USING (user_id)
+               WHERE event_type = 'purchase' AND epoch_us(ts) > v_us
+               GROUP BY 1)
+         SELECT count(*) AS n_converted,
+           quantile_cont(delta_us, 0.25) AS p25_us,
+           quantile_cont(delta_us, 0.5) AS p50_us,
+           quantile_cont(delta_us, 0.75) AS p75_us
+         FROM c""",
+
+    "x116_skipgram_topk" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+         p AS (SELECT ws[i] AS w1, ws[j] AS w2
+               FROM w,
+                 UNNEST(range(1, len(ws))) t(i),
+                 UNNEST(range(i + 1, least(i + 3, len(ws)) + 1)) u(j))
+         SELECT w1, w2, count(*) AS n FROM p GROUP BY 1, 2
+         ORDER BY n DESC, w1 ASC, w2 ASC LIMIT 30""",
 
     // integer-exact quartile rule ((frk-1)*4) div N and the ceil identity
     // (k*N+3) div 4 on both engines

@@ -302,6 +302,37 @@ object EventAnalytics {
         sum(col("cnt")).over(perCur).cast(DoubleType))
   }
 
+  /** Time-to-convert distribution: for each user, the delay from their
+    * FIRST `startType` event to the earliest `convType` event strictly
+    * after it, summarized as exact percentiles — the latency view the
+    * funnel's depth count (x60) doesn't give: "how long does conversion
+    * take", in exact integer microseconds until the final interpolation.
+    *
+    * 100 TB shape: two partial-agged groupBys (first start per user;
+    * earliest qualifying conversion per user) joined shuffle_hash on the
+    * user key; the percentile aggregate runs over one delta per CONVERTED
+    * user (the x13-proven percentile/quantile_cont pair — swap in
+    * Percentiles.exactSorted at extreme user counts). Output: one row
+    * (n_converted, p<N>_us... doubles). */
+  def timeToConvert(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, startType: String, convType: String,
+      percents: Seq[Int] = Seq(25, 50, 75)): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      "percents must be within [1, 100]")
+    val starts = events.filter(col(typeCol) === startType)
+      .groupBy(col(userCol))
+      .agg(min(unix_micros(col(tsCol))).as("v_us"))
+    val deltas = events.filter(col(typeCol) === convType)
+      .select(col(userCol), unix_micros(col(tsCol)).as("p_us"))
+      .join(starts.hint("shuffle_hash"), Seq(userCol))
+      .filter(col("p_us") > col("v_us"))
+      .groupBy(col(userCol))
+      .agg(min(col("p_us") - col("v_us")).as("delta_us"))
+    val aggs = count(lit(1)).as("n_converted") +: percents.map(p =>
+      expr(s"percentile(delta_us, ${p / 100.0})").as(s"p${p}_us"))
+    deltas.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Session-level association rules (support / confidence / lift) over
     * event types — market-basket mining with [[Temporal.sessionize]]d
     * sessions as the baskets: "sessions containing `ante` also contain

@@ -85,6 +85,37 @@ object LanguageModel {
         round(-col("ll") / col("n_bigrams"), 6).as("nll"))
   }
 
+  /** Top-k SKIP-GRAM co-occurrence pairs: ordered token pairs within a
+    * `window`-token span, counted corpus-wide — [[pmiCollocations]]'
+    * wider-context sibling (adjacent bigrams find fixed phrases;
+    * window-w pairs find collocations that tolerate interveners:
+    * "turn ... off", "neither ... nor" — the word2vec context
+    * definition). The count table is the input to any windowed-PMI or
+    * embedding-style analysis.
+    *
+    * 100 TB shape: pair generation is ONE narrow nested-transform
+    * Generate per document (fan-out <= window x tokens, no self-join of
+    * positions), the count is a partial-agged groupBy on the pair key,
+    * and the top-k is TakeOrderedAndProject — never a full sort. Ties
+    * break (count desc, w1 asc, w2 asc). Output: (w1, w2, n). */
+  def skipgramTopK(docs: DataFrame, textCol: String, window: Int,
+      k: Int): DataFrame = {
+    require(window >= 1 && k >= 1, "window and k must be >= 1")
+    val ws = TextFunctions.tokens(col(textCol))
+    // sequence(1, 0) generates a DESCENDING [1, 0] — guard short docs
+    val pairs = docs.select(
+      when(size(ws) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+        .otherwise(flatten(transform(sequence(lit(1), size(ws) - 1), i =>
+          transform(sequence(i + 1, least(i + window, size(ws))), j =>
+            struct(element_at(ws, i).as("w1"),
+              element_at(ws, j).as("w2")))))).as("ps"))
+      .select(explode(col("ps")).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
   /** Interpolated TRIGRAM LM scoring — [[bigramNll]]'s longer-context
     * sibling (Jelinek-Mercer interpolation: p = l1*p1 + l2*p2 + l3*p3
     * over add-alpha unigram/bigram/trigram estimates). The interpolation

@@ -232,6 +232,28 @@ class EventAnalyticsSpec extends SparkSpec {
     byCur.foreach { case (_, p) => assert(math.abs(p - 1.0) < 1e-12) }
   }
 
+  test("timeToConvert: first-start to earliest-strictly-after conversion, exact micros") {
+    val ev = Seq(
+      // u1: view at t0, purchase 60s later (an earlier purchase at t0
+      // does NOT count — strictly after)
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "purchase", ts("2024-01-01 10:00:00")),
+      (1L, "purchase", ts("2024-01-01 10:01:00")),
+      // u2: converts 120s after the FIRST view (second view ignored)
+      (2L, "view", ts("2024-01-01 09:00:00")),
+      (2L, "view", ts("2024-01-01 09:01:00")),
+      (2L, "purchase", ts("2024-01-01 09:02:00")),
+      // u3: views, never converts
+      (3L, "view", ts("2024-01-01 08:00:00")),
+      // u4: purchases without a view: not converted
+      (4L, "purchase", ts("2024-01-01 08:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val r = EventAnalytics.timeToConvert(ev, "user_id", "event_type", "ts",
+      "view", "purchase", percents = Seq(50)).head()
+    assert(r.getLong(0) == 2L)                 // u1, u2
+    assert(r.getDouble(1) == 90000000.0)       // median of 60s, 120s
+  }
+
   test("sessionRules: support/confidence/lift from exact basket counts") {
     // 4 users, 1 session each: {a,b}, {a,b,c}, {a}, {b,c}
     val ev = Seq(

@@ -189,6 +189,27 @@ class RetrievalLmSpec extends SparkSpec {
     assert(out.keySet.map(_._2).max == 2L)
   }
 
+  test("skipgramTopK: window pairs with interveners, short docs safe") {
+    val docs = Seq(
+      (1L, "turn the lights off"), // window 3: (turn,off) IS a pair
+      (2L, "turn it off"),
+      (3L, "x")                    // 1 token: no pairs, no crash
+    ).toDF("doc_id", "text")
+    val out = graft.operators.LanguageModel
+      .skipgramTopK(docs, "text", window = 3, k = 50)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // "turn ... off" co-occurs in BOTH docs despite different interveners
+    // — the collocation adjacency (x56) cannot see
+    assert(out(("turn", "off")) == 2L)
+    assert(out(("turn", "the")) == 1L && out(("the", "lights")) == 1L)
+    // pairs are ordered and window-bounded: no (off, turn); doc1's
+    // distance-3 (turn, off) sits exactly at the window edge
+    assert(!out.contains(("off", "turn")))
+    // doc1: 6 pairs, doc2: 3 pairs, one key shared -> 8 distinct
+    assert(out.size == 8)
+  }
+
   test("trigramNllInterp: closed-form interpolated probabilities; rare docs score higher") {
     val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b d"))
       .toDF("doc_id", "text")
