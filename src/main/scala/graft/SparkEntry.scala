@@ -2111,6 +2111,17 @@ object SparkEntry {
         .orderBy(col("event_type"), col("event_id"))
     },
 
+    // ---- E: user-360 flagship — one row per user composing the gated
+    //      event operators: sessions (x100), lifetime value, funnel depth
+    //      (x60), regularity flag (x97); a chain of user-keyed shuffles,
+    //      no broadcast of any user-sized frame ----
+    "e8_user360" -> { (s, dir) =>
+      graft.examples.UserProfile.run(
+        t(s, dir, "events"), "user_id", "event_type", "ts", "event_id",
+        "value", steps = Seq("view", "click", "purchase"))
+        .orderBy(col("user_id"))
+    },
+
     // ---- X: time-to-convert percentiles — the latency view x60's depth
     //      count doesn't give; exact integer micros until the final
     //      x13-proven interpolation ----
@@ -3915,6 +3926,61 @@ object SparkEntry {
          FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
          WHERE CAST(c AS DOUBLE) / least(sa.n, sb.n) >= 0.9
          ORDER BY id_a, id_b""",
+
+    // replays the proven fragments: x40 sessions, decimal value sums,
+    // the x60 min-chain funnel, the x97 HUGEINT regularity flag
+    "e8_user360" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+             CAST(ts AS TIMESTAMP) AS t FROM events),
+         g AS (SELECT user_id, event_id, t,
+             CASE WHEN lag(t) OVER w IS NULL
+                  OR epoch_us(t) - epoch_us(lag(t) OVER w) > 1800000000
+             THEN 1 ELSE 0 END AS is_new
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+         s AS (SELECT user_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM g),
+         ses AS (SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+                  count(*) AS n_events FROM s GROUP BY 1),
+         val AS (SELECT user_id,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+               AS total_value
+           FROM e GROUP BY 1),
+         eu AS (SELECT user_id, event_type, epoch_us(t) AS us FROM e),
+         s1 AS (SELECT user_id, min(us) AS t1 FROM eu
+                WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT eu.user_id, min(us) AS t2 FROM eu JOIN s1 USING (user_id)
+                WHERE event_type = 'click' AND us > t1 GROUP BY 1),
+         s3 AS (SELECT eu.user_id, min(us) AS t3 FROM eu JOIN s2 USING (user_id)
+                WHERE event_type = 'purchase' AND us > t2 GROUP BY 1),
+         fb AS (SELECT DISTINCT user_id FROM eu
+                WHERE event_type IN ('view', 'click', 'purchase')),
+         dep AS (SELECT fb.user_id,
+             CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+                       WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS steps_completed
+           FROM fb LEFT JOIN s1 USING (user_id)
+             LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)),
+         gp AS (SELECT user_id,
+             epoch_us(t) - lag(epoch_us(t))
+               OVER (PARTITION BY user_id ORDER BY t, event_id) AS gap
+           FROM e),
+         ra AS (SELECT user_id, count(*) AS n_gaps, sum(gap) AS sg,
+             sum(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT)) AS ss
+           FROM gp WHERE gap IS NOT NULL GROUP BY 1),
+         reg AS (SELECT user_id,
+             (100 * (CAST(n_gaps AS HUGEINT) * ss
+                     - CAST(sg AS HUGEINT) * CAST(sg AS HUGEINT))
+               < CAST(sg AS HUGEINT) * CAST(sg AS HUGEINT)) AS regular
+           FROM ra WHERE n_gaps >= 3)
+         SELECT ses.user_id, n_sessions, n_events, total_value,
+           CAST(coalesce(dep.steps_completed, 0) AS BIGINT) AS steps_completed,
+           coalesce(reg.regular, false) AS regular
+         FROM ses JOIN val USING (user_id)
+         LEFT JOIN dep USING (user_id)
+         LEFT JOIN reg USING (user_id)
+         ORDER BY user_id""",
 
     "x115_time_to_convert" ->
       """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS v_us FROM events

@@ -232,6 +232,25 @@ class EventAnalyticsSpec extends SparkSpec {
     byCur.foreach { case (_, p) => assert(math.abs(p - 1.0) < 1e-12) }
   }
 
+  test("UserProfile.run: every user keeps a row; depth/regular default for non-qualifiers") {
+    val ev = Seq(
+      // u1: full funnel in one session, 4 metronome gaps -> regular
+      (1L, "view", ts("2024-01-01 10:00:00"), 1L, 1.0),
+      (1L, "click", ts("2024-01-01 10:01:00"), 2L, 2.0),
+      (1L, "purchase", ts("2024-01-01 10:02:00"), 3L, 3.0),
+      (1L, "view", ts("2024-01-01 10:03:00"), 4L, 1.0),
+      (1L, "view", ts("2024-01-01 10:04:00"), 5L, 1.0),
+      // u2: one non-step event, too few gaps -> depth 0, regular false
+      (2L, "error", ts("2024-01-01 09:00:00"), 6L, 5.5)
+    ).toDF("user_id", "event_type", "ts", "event_id", "value")
+    val out = graft.examples.UserProfile.run(ev, "user_id", "event_type",
+      "ts", "event_id", "value", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(out(1L) == ((1L, 5L, 8.0, 3L, true)))
+    assert(out(2L) == ((1L, 1L, 5.5, 0L, false)))
+  }
+
   test("timeToConvert: first-start to earliest-strictly-after conversion, exact micros") {
     val ev = Seq(
       // u1: view at t0, purchase 60s later (an earlier purchase at t0
