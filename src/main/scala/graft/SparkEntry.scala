@@ -2111,6 +2111,33 @@ object SparkEntry {
         .orderBy(col("event_type"), col("event_id"))
     },
 
+    // ---- X: cross-source overlap matrix — which sources mirror each
+    //      other; distinct (source, shingle) reduction, fan-out bounded
+    //      by #sources^2 per shingle ----
+    "x117_source_overlap" -> { (s, dir) =>
+      graft.operators.CorpusOps.sourceOverlapMatrix(
+        t(s, dir, "documents"), "source", "text", n = 3)
+        .orderBy(col("src_a"), col("src_b"))
+    },
+
+    // ---- X: personalized PageRank from a seed set over the corpus
+    //      bigram graph — soft label expansion any number of hops from
+    //      the seeds (x83 spreads hard labels one hop) ----
+    "x118_personalized_pr" -> { (s, dir) =>
+      import s.implicits._
+      val toks = t(s, dir, "documents")
+        .select(graft.functions.TextFunctions.tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 2)
+      val bi = toks
+        .select(posexplode(slice(col("ts"), lit(1), size(col("ts")) - 1))
+          .as(Seq("i", "w1")), col("ts"))
+        .select(col("w1"), element_at(col("ts"), col("i") + 2).as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("wt"))
+      graft.operators.GraphRank.personalizedPageRank(
+        bi, "w1", "w2", "wt", Seq("the", "data").toDF("w"), "w")
+        .orderBy(col("node"))
+    },
+
     // ---- E: user-360 flagship — one row per user composing the gated
     //      event operators: sessions (x100), lifetime value, funnel depth
     //      (x60), regularity flag (x97); a chain of user-keyed shuffles,
@@ -3926,6 +3953,56 @@ object SparkEntry {
          FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
          WHERE CAST(c AS DOUBLE) / least(sa.n, sb.n) >= 0.9
          ORDER BY id_a, id_b""",
+
+    "x117_source_overlap" ->
+      """WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT DISTINCT source AS src,
+                  array_to_string(ws[i:i+2], ' ') AS s
+                FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1))) t(i)),
+         sz AS (SELECT src, count(*) AS sz FROM sh GROUP BY 1),
+         inter AS (SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_shared
+                   FROM sh a JOIN sh b USING (s)
+                   WHERE a.src < b.src GROUP BY 1, 2)
+         SELECT src_a, src_b, n_shared,
+           CAST(n_shared AS DOUBLE) / least(sa.sz, sb.sz) AS overlap
+         FROM inter JOIN sz sa ON src_a = sa.src JOIN sz sb ON src_b = sb.src
+         ORDER BY src_a, src_b""",
+
+    // x53's unrolled 3 iterations with the teleport mass restarted at
+    // the seeds: rv = 0.15/|seeds| on seeds, 0 elsewhere; r0 = seed-
+    // uniform mass 1
+    "x118_personalized_pr" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         tl AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 2),
+         bi AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+                FROM tl, UNNEST(range(1, len(ws))) t(i)),
+         e AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS wt FROM bi GROUP BY 1, 2),
+         ow AS (SELECT w1, sum(wt) AS ow FROM e GROUP BY 1),
+         tr AS (SELECT e.w1 AS src, e.w2 AS dst, e.wt / ow.ow AS p
+                FROM e JOIN ow USING (w1)),
+         nodes AS (SELECT DISTINCT node FROM
+             (SELECT src AS node FROM tr UNION ALL SELECT dst FROM tr)),
+         rv AS (SELECT node,
+             CASE WHEN node IN ('the', 'data') THEN (1.0 - 0.85) / 2.0
+                  ELSE 0.0 END AS rv
+           FROM nodes),
+         r0 AS (SELECT node,
+             CASE WHEN node IN ('the', 'data') THEN 1.0 / 2.0
+                  ELSE 0.0 END AS pr
+           FROM nodes),
+         c1 AS (SELECT tr.dst AS node, sum(tr.p * r0.pr) AS cin
+                FROM tr JOIN r0 ON tr.src = r0.node GROUP BY 1),
+         r1 AS (SELECT rv.node, rv.rv + 0.85 * coalesce(c1.cin, 0.0) AS pr
+                FROM rv LEFT JOIN c1 ON rv.node = c1.node),
+         c2 AS (SELECT tr.dst AS node, sum(tr.p * r1.pr) AS cin
+                FROM tr JOIN r1 ON tr.src = r1.node GROUP BY 1),
+         r2 AS (SELECT rv.node, rv.rv + 0.85 * coalesce(c2.cin, 0.0) AS pr
+                FROM rv LEFT JOIN c2 ON rv.node = c2.node),
+         c3 AS (SELECT tr.dst AS node, sum(tr.p * r2.pr) AS cin
+                FROM tr JOIN r2 ON tr.src = r2.node GROUP BY 1),
+         r3 AS (SELECT rv.node, rv.rv + 0.85 * coalesce(c3.cin, 0.0) AS pr
+                FROM rv LEFT JOIN c3 ON rv.node = c3.node)
+         SELECT node, round(pr, 6) AS pr FROM r3 ORDER BY node""",
 
     // replays the proven fragments: x40 sessions, decimal value sums,
     // the x60 min-chain funnel, the x97 HUGEINT regularity flag

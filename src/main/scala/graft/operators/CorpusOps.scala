@@ -340,6 +340,38 @@ object CorpusOps {
           col("n_shingles").cast(DoubleType)).as("coverage"))
   }
 
+  /** Cross-source overlap matrix — which sources MIRROR each other: for
+    * every source pair, the shared distinct-shingle count and the
+    * containment-style overlap |A ∩ B| / min(|A|, |B|). High-overlap
+    * pairs are mirrors / syndication feeds / re-crawls of one another —
+    * the SOURCE-granular view where [[Dedup.dupRateReport]] is
+    * within-source and pair detectors are per-document; this matrix is
+    * read before deciding which whole sources to drop.
+    *
+    * 100 TB shape: the corpus reduces to DISTINCT (source, shingle) rows
+    * (one partial-agged shuffle); the self-join fans out per shingle by
+    * at most #sources² (sources are tens, not millions) on the shingle
+    * key; pair counts partial-agg on the #sources² key space, sizes
+    * broadcast back. Output: (src_a, src_b, n_shared, overlap), a < b. */
+  def sourceOverlapMatrix(docs: DataFrame, sourceCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val sh = docs.select(col(sourceCol).as("src"),
+        explode(TextFunctions.shingles(col(textCol), n)).as("s"))
+      .distinct()
+    val sizes = sh.groupBy(col("src")).agg(count(lit(1)).as("sz"))
+    sh.toDF("src_a", "s")
+      .join(sh.toDF("src_b", "s").hint("shuffle_hash"), Seq("s"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.toDF("src_a", "sz_a")), Seq("src_a"))
+      .join(broadcast(sizes.toDF("src_b", "sz_b")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        (col("n_shared").cast(DoubleType) /
+          least(col("sz_a"), col("sz_b")).cast(DoubleType)).as("overlap"))
+  }
+
   /** Vocabulary growth curve (the Heaps'-law diagnostic a tokenizer
     * budget is sized from): cumulative distinct-token count after each
     * quarter of the corpus in id order. Sublinear growth means the

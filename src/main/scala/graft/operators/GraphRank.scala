@@ -63,6 +63,63 @@ object GraphRank {
     r.select(col("node"), round(col("pr"), 6).as("pr"))
   }
 
+  /** Personalized PageRank from a seed set (Haveliwala 2002): identical
+    * power iteration to [[pageRank]], but the teleport mass restarts at
+    * the SEEDS instead of uniformly — ranks become "importance relative
+    * to the seeds". On a near-dup/link graph: "which documents sit
+    * closest, in random-walk reach, to these known-good (or known-bad)
+    * documents" — the label-expansion move when only a handful of
+    * curated labels exist ([[labelPropagationStep]] spreads hard labels
+    * one hop; PPR spreads soft mass any number of hops, damped).
+    *
+    * Same shapes as pageRank: per iteration ONE shuffle_hash join + one
+    * partial-agged groupBy(dst); the seed frame is #seeds rows joined
+    * once into the restart vector. Nodes unreachable from the seeds
+    * decay to 0 (exactly 0 — the teleport never reaches them). Output:
+    * (node, pr) rounded to 6. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      wtCol: String, seeds: DataFrame, seedCol: String,
+      damping: Double = 0.85, iters: Int = 3): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(wtCol).cast(DoubleType).as("wt"))
+    val outw = e.groupBy(col("src")).agg(sum(col("wt")).as("ow"))
+    val trans = e.join(outw.hint("shuffle_hash"), Seq("src"))
+      .select(col("src"), col("dst"), (col("wt") / col("ow")).as("p"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val seedSet = seeds.select(col(seedCol).as("node")).distinct()
+    val ns = seedSet.count().toDouble
+    require(ns > 0, "personalizedPageRank needs at least one seed")
+    // restart vector: (1-d)/|seeds| on seeds, 0 elsewhere
+    val restart = nodes
+      .join(seedSet.withColumn("__isSeed", lit(1)).hint("shuffle_hash"),
+        Seq("node"), "left")
+      .select(col("node"),
+        when(col("__isSeed").isNotNull, lit((1.0 - damping) / ns))
+          .otherwise(lit(0.0)).as("rv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
+    var r = restart.select(col("node"),
+      (col("rv") / lit(1.0 - damping)).as("pr")) // start: seed-uniform mass 1
+    for (_ <- 1 to iters) {
+      val contrib = trans
+        .join(r.hint("shuffle_hash"), trans("src") === r("node"))
+        .select(trans("dst").as("node"), (col("p") * col("pr")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("cin"))
+      r = restart.join(contrib.hint("shuffle_hash"), Seq("node"), "left")
+        .select(col("node"),
+          (col("rv") + lit(damping) * coalesce(col("cin"), lit(0.0))).as("pr"))
+    }
+    graft.plans.Persists.onNextAction(spark) { () =>
+      trans.unpersist(); nodes.unpersist(); restart.unpersist(); ()
+    }
+    r.select(col("node"), round(col("pr"), 6).as("pr"))
+  }
+
   /** TextRank over the corpus's directed bigram graph: nodes are tokens,
     * edge (w1 -> w2) weighted by the corpus bigram count. Tokens that
     * never co-occur (only seen in single-token documents) are not in the

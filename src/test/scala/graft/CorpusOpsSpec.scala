@@ -409,6 +409,19 @@ class CorpusOpsSpec extends SparkSpec {
     assert(extra == replay)
   }
 
+  test("sourceOverlapMatrix: mirrors surface, disjoint sources absent") {
+    val docs = Seq(
+      ("A", "one two three four"),        // trigrams {1 2 3, 2 3 4}
+      ("B", "one two three five"),        // shares {one two three} with A
+      ("C", "p q r s")                    // disjoint
+    ).toDF("source", "text")
+    val out = CorpusOps.sourceOverlapMatrix(docs, "source", "text", n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(("A", "B")) == ((1L, 0.5))) // 1 shared / min(2, 2)
+    assert(!out.contains(("A", "C")) && !out.contains(("B", "C")))
+  }
+
   test("vocabGrowthCurve: dense quartiles, first-occurrence attribution, exact doc counts") {
     val docs = Seq((10L, "a b"), (20L, "a c"), (30L, "a b"), (40L, "d"))
       .toDF("doc_id", "text")

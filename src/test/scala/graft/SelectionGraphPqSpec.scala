@@ -280,6 +280,25 @@ class SelectionGraphPqSpec extends SparkSpec {
     assert(e4 < e1)
   }
 
+  test("personalizedPageRank: closed-form chain from the seed; unreachable nodes exactly 0") {
+    val edges = Seq(("a", "b", 1.0), ("b", "c", 1.0), ("d", "a", 1.0))
+      .toDF("s", "d", "w")
+    val seeds = Seq("a").toDF("w")
+    val out = graft.operators.GraphRank
+      .personalizedPageRank(edges, "s", "d", "w", seeds, "w")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // rv(a)=.15; r0(a)=1. Walk: r3(a)=.15 (d holds no mass to pass),
+    // r3(b)=.85*.15, r3(c)=.85*.85*.15 -> wait: c receives b's PREVIOUS
+    // mass each round; closed form below is the 3-iteration unroll:
+    //   r1 = (a .15, b .85, c 0, d 0)
+    //   r2 = (a .15, b .1275, c .7225, d 0)
+    //   r3 = (a .15, b .1275, c .108375, d 0)
+    assert(out("a") == 0.15)
+    assert(out("b") == 0.1275)
+    assert(out("c") == 0.108375)
+    assert(out("d") == 0.0) // teleport never reaches a non-seed source
+  }
+
   test("hardNegatives: most-similar-below-threshold wins; dups and self excluded") {
     val q = Seq((0L, Seq(1.0f, 0.0f))).toDF("id", "vec")
     val c = Seq(
