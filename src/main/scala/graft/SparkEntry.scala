@@ -2111,6 +2111,25 @@ object SparkEntry {
         .orderBy(col("event_type"), col("event_id"))
     },
 
+    // ---- X: behavioral-sequence NLL per user — the x45 LM trick on
+    //      event-type transitions: sequences improbable under the
+    //      population's own statistics are anomalies per-cell volume
+    //      tests can't see; k^2 LM tables broadcast ----
+    "x119_sequence_nll" -> { (s, dir) =>
+      graft.operators.EventAnalytics.sequenceNll(
+        t(s, dir, "events"), "user_id", "event_type", "ts", "event_id")
+        .orderBy(col("user_id"))
+    },
+
+    // ---- X: lifetime audience overlap between event types — x112's
+    //      lifetime-granularity sibling; distinct (type, user) reduction,
+    //      user-keyed self-join with k^2-bounded fan-out ----
+    "x120_audience_overlap" -> { (s, dir) =>
+      graft.operators.EventAnalytics.audienceOverlap(
+        t(s, dir, "events"), "user_id", "event_type")
+        .orderBy(col("type_a"), col("type_b"))
+    },
+
     // ---- X: cross-source overlap matrix — which sources mirror each
     //      other; distinct (source, shingle) reduction, fan-out bounded
     //      by #sources^2 per shingle ----
@@ -3953,6 +3972,38 @@ object SparkEntry {
          FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
          WHERE CAST(c AS DOUBLE) / least(sa.n, sb.n) >= 0.9
          ORDER BY id_a, id_b""",
+
+    // the x45 smoothed-LM fold over x76's keyed-lead transition pairs;
+    // per-user ln sums rounded to 6 (the x45 precedent)
+    "x119_sequence_nll" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t,
+             event_id FROM events),
+         p AS (SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY t, event_id) AS nxt
+           FROM e),
+         pr AS (SELECT user_id, cur, nxt FROM p WHERE nxt IS NOT NULL),
+         c2 AS (SELECT cur, nxt, count(*) AS c2 FROM pr GROUP BY 1, 2),
+         c1 AS (SELECT cur, sum(c2) AS c1 FROM c2 GROUP BY 1),
+         vv AS (SELECT count(DISTINCT event_type) AS v FROM events),
+         sc AS (SELECT pr.user_id, count(*) AS n_transitions,
+             sum(ln((c2.c2 + 1.0) / (CAST(c1.c1 AS DOUBLE) + 1.0 * vv.v))) AS ll
+           FROM pr JOIN c2 USING (cur, nxt) JOIN c1 USING (cur)
+           CROSS JOIN vv GROUP BY 1)
+         SELECT user_id, n_transitions,
+           round(-ll / n_transitions, 6) AS nll
+         FROM sc ORDER BY user_id""",
+
+    "x120_audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events),
+         sz AS (SELECT t, count(*) AS n FROM ut GROUP BY 1),
+         pr AS (SELECT a.t AS type_a, b.t AS type_b, count(*) AS n_both
+                FROM ut a JOIN ut b USING (u)
+                WHERE a.t < b.t GROUP BY 1, 2)
+         SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
+           CAST(n_both AS DOUBLE) / least(sa.n, sb.n) AS overlap
+         FROM pr JOIN sz sa ON type_a = sa.t JOIN sz sb ON type_b = sb.t
+         ORDER BY type_a, type_b""",
 
     "x117_source_overlap" ->
       """WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),

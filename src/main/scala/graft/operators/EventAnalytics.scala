@@ -302,6 +302,76 @@ object EventAnalytics {
         sum(col("cnt")).over(perCur).cast(DoubleType))
   }
 
+  /** Per-user behavioral-sequence NLL under the corpus's own event-type
+    * bigram LM — the CCNet trick ([[graft.operators.LanguageModel]]
+    * x45) transferred from tokens to event streams: users whose
+    * transition sequences are IMPROBABLE under the population's own
+    * transition statistics (high NLL) are behavioral anomalies —
+    * replayed journeys, fraud scripts, broken clients — that per-cell
+    * volume tests (x66) and gap-regularity (x97) can't see, because
+    * each transition is individually common; the SEQUENCE is not.
+    *
+    * 100 TB shape: transitions come from ONE keyed lead window (x76's
+    * shape); the LM tables are k²/k rows (k = type cardinality) and
+    * BROADCAST back onto the transition frame; per-user scores are one
+    * partial-agged groupBy. Add-alpha smoothing over the k-type
+    * vocabulary; ln terms summed per user and rounded to 6 (the x45
+    * precedent). Users with < 2 events have no transitions and are
+    * absent. Output: (user, n_transitions, nll). */
+  def sequenceNll(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieCol: String, alpha: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .select(col(userCol), col(typeCol).as("cur"), col(tsCol), col(tieCol))
+      .withColumn("nxt", lead(col("cur"), 1).over(perUser))
+      .filter(col("nxt").isNotNull)
+      .select(col(userCol), col("cur"), col("nxt"))
+    val c2 = pairs.groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("cur")).agg(sum(col("c2")).as("c1"))
+    val v = events.select(col(typeCol)).distinct().count()
+    pairs
+      .join(broadcast(c2), Seq("cur", "nxt"))
+      .join(broadcast(c1), Seq("cur"))
+      .withColumn("lp", log((col("c2") + alpha) / (col("c1") + alpha * v)))
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_transitions"), sum(col("lp")).as("ll"))
+      .select(col(userCol), col("n_transitions"),
+        round(-col("ll") / col("n_transitions"), 6).as("nll"))
+  }
+
+  /** Lifetime audience-overlap matrix between event types: for every
+    * type pair, how many USERS did both, and the containment-style
+    * overlap |A ∩ B| / min(|A|, |B|) — [[sessionRules]]' lifetime-
+    * granularity sibling (rules ask "within one session"; this asks
+    * "ever" — the audience view that sizes feature bundles and decides
+    * which funnels are even worth defining).
+    *
+    * 100 TB shape: the event log reduces to DISTINCT (type, user) rows
+    * first; the self-join is equi-keyed on the user with per-user
+    * fan-out <= k² (k = type cardinality, tens); pair counts partial-agg
+    * on the k² key space, sizes broadcast back. Output:
+    * (type_a, type_b, n_a, n_b, n_both, overlap), a < b. */
+  def audienceOverlap(events: DataFrame, userCol: String,
+      typeCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val ut = events.select(col(typeCol).as("t"), col(userCol).as("u"))
+      .distinct()
+    val sizes = ut.groupBy(col("t")).agg(count(lit(1)).as("n"))
+    ut.toDF("type_a", "u")
+      .join(ut.toDF("type_b", "u").hint("shuffle_hash"), Seq("u"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(sizes.toDF("type_a", "n_a")), Seq("type_a"))
+      .join(broadcast(sizes.toDF("type_b", "n_b")), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        (col("n_both").cast(DoubleType) /
+          least(col("n_a"), col("n_b")).cast(DoubleType)).as("overlap"))
+  }
+
   /** Time-to-convert distribution: for each user, the delay from their
     * FIRST `startType` event to the earliest `convType` event strictly
     * after it, summarized as exact percentiles — the latency view the

@@ -232,6 +232,44 @@ class EventAnalyticsSpec extends SparkSpec {
     byCur.foreach { case (_, p) => assert(math.abs(p - 1.0) < 1e-12) }
   }
 
+  test("sequenceNll: typical sequences score lower than rare ones; closed-form check") {
+    // transitions: a->b x3, a->c x1; V=3 types; alpha=1
+    val ev = Seq(
+      (1L, "a", ts("2024-01-01 10:00:00"), 1L),
+      (1L, "b", ts("2024-01-01 10:01:00"), 2L),
+      (2L, "a", ts("2024-01-01 10:00:00"), 3L),
+      (2L, "b", ts("2024-01-01 10:01:00"), 4L),
+      (3L, "a", ts("2024-01-01 10:00:00"), 5L),
+      (3L, "b", ts("2024-01-01 10:01:00"), 6L),
+      (4L, "a", ts("2024-01-01 10:00:00"), 7L),
+      (4L, "c", ts("2024-01-01 10:01:00"), 8L),
+      (5L, "c", ts("2024-01-01 09:00:00"), 9L) // single event: no row
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val out = EventAnalytics.sequenceNll(ev, "user_id", "event_type",
+      "ts", "event_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    // p(b|a) = (3+1)/(4+3) = 4/7; p(c|a) = (1+1)/(4+3) = 2/7
+    assert(out(1L) == ((1L, r6(-math.log(4.0 / 7)))))
+    assert(out(4L) == ((1L, r6(-math.log(2.0 / 7)))))
+    assert(out(4L)._2 > out(1L)._2) // the rare journey scores higher
+    assert(!out.contains(5L))
+  }
+
+  test("audienceOverlap: lifetime user-set intersections, k^2-bounded") {
+    val ev = Seq(
+      (1L, "view"), (1L, "click"), (2L, "view"), (2L, "click"),
+      (3L, "view"), (4L, "buy"), (1L, "view") // dup (1, view) ignored
+    ).toDF("user_id", "event_type")
+    val out = EventAnalytics.audienceOverlap(ev, "user_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // view users {1,2,3}, click users {1,2}, buy users {4}
+    assert(out(("click", "view")) == ((2L, 3L, 2L, 1.0)))
+    assert(!out.keySet.exists(p => p._1 == "buy" || p._2 == "buy"))
+  }
+
   test("UserProfile.run: every user keeps a row; depth/regular default for non-qualifiers") {
     val ev = Seq(
       // u1: full funnel in one session, 4 metronome gaps -> regular
