@@ -2111,6 +2111,27 @@ object SparkEntry {
         .orderBy(col("event_type"), col("event_id"))
     },
 
+    // ---- X: burst collapse (trailing debounce) — duplicate-beacon /
+    //      double-click hygiene; one keyed lag window, first event of
+    //      each per-(user, type) burst survives ----
+    "x121_debounce" -> { (s, dir) =>
+      graft.operators.Temporal.debounce(
+        t(s, dir, "events"), "user_id", "event_type", "ts", "event_id",
+        withinSeconds = 600)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))
+    },
+
+    // ---- X: deterministic pair audit queue — band-balanced md5-stable
+    //      sample of near-dup pairs for human threshold tuning ----
+    "x122_pair_audit" -> { (s, dir) =>
+      val pairs = graft.operators.Dedup.ngramJaccardPairs(
+        t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5)
+      graft.operators.Dedup.pairAuditQueue(
+        pairs, "id_a", "id_b", "jaccard", bands = 10, perBand = 3)
+        .orderBy(col("band"), col("rk"))
+    },
+
     // ---- X: behavioral-sequence NLL per user — the x45 LM trick on
     //      event-type transitions: sequences improbable under the
     //      population's own statistics are anomalies per-cell volume
@@ -3972,6 +3993,44 @@ object SparkEntry {
          FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
          WHERE CAST(c AS DOUBLE) / least(sa.n, sb.n) >= 0.9
          ORDER BY id_a, id_b""",
+
+    "x121_debounce" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+           FROM events),
+         g AS (SELECT event_id, user_id, event_type, us,
+             lag(us) OVER (PARTITION BY user_id, event_type
+               ORDER BY us, event_id) AS prev
+           FROM e)
+         SELECT event_id, user_id, event_type FROM g
+         WHERE prev IS NULL OR us - prev > 600000000
+         ORDER BY event_id""",
+
+    // x2's pair rule at threshold 0.5, then the md5-stable band-keyed
+    // rank; floor(jaccard*10) clamps 1.0 into the top band on both sides
+    "x122_pair_audit" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+                FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1))) t(i)),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                   FROM sh a JOIN sh b USING (s)
+                   WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         p AS (SELECT id_a, id_b,
+                 CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+               FROM inter JOIN sz sa ON id_a = sa.doc_id
+                 JOIN sz sb ON id_b = sb.doc_id
+               WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+         q AS (SELECT least(CAST(floor(jaccard * 10) AS BIGINT), 9) AS band,
+                 ('0x' || substr(md5(CAST(id_a AS VARCHAR) || '#'
+                   || CAST(id_b AS VARCHAR)), 1, 15))::BIGINT AS k,
+                 id_a, id_b, jaccard
+               FROM p),
+         r AS (SELECT band, id_a, id_b, jaccard,
+                 row_number() OVER (PARTITION BY band
+                   ORDER BY k ASC, id_a ASC, id_b ASC) AS rk
+               FROM q)
+         SELECT band, rk, id_a, id_b, jaccard FROM r
+         WHERE rk <= 3 ORDER BY band, rk""",
 
     // the x45 smoothed-LM fold over x76's keyed-lead transition pairs;
     // per-user ln sums rounded to 6 (the x45 precedent)

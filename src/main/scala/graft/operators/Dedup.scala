@@ -259,6 +259,35 @@ object Dedup {
           col("n_docs").cast(DoubleType)).as("dup_rate"))
   }
 
+  /** Deterministic audit queue over a scored pair frame: `perBand` pairs
+    * sampled from each score band for HUMAN REVIEW — the
+    * threshold-tuning workflow (look at pairs at 0.80-0.85, at
+    * 0.85-0.90, ...) needs a reproducible, band-balanced sample, not the
+    * top of an id sort (which over-represents one corpus region) and not
+    * an RNG draw (which changes under reruns and partitioning). Selection
+    * ranks by md5(id_a#id_b) inside each band — stable across engines,
+    * reruns, and corpus growth (a pair keeps its draw forever).
+    *
+    * One narrow banding projection + a BAND-KEYED rank window bounded by
+    * bands x perBand output rows; the pair frame is already
+    * detector-bounded. Output: (band, rk, id_a, id_b, score). */
+  def pairAuditQueue(pairs: DataFrame, aCol: String, bCol: String,
+      scoreCol: String, bands: Int, perBand: Int): DataFrame = {
+    require(bands >= 1 && perBand >= 1, "bands and perBand must be >= 1")
+    val band = least(floor(col(scoreCol) * bands).cast(LongType),
+      lit(bands - 1L))
+    val key = md5Long(concat(col(aCol).cast("string"), lit("#"),
+      col(bCol).cast("string")))
+    val w = Window.partitionBy(col("band"))
+      .orderBy(col("__k").asc, col(aCol).asc, col(bCol).asc)
+    pairs
+      .select(band.as("band"), key.as("__k"), col(aCol), col(bCol),
+        col(scoreCol))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= perBand)
+      .select(col("band"), col("rk"), col(aCol), col(bCol), col(scoreCol))
+  }
+
   /** Per-document n-gram NOVELTY: the fraction of a document's distinct
     * shingles that appear in NO other document (corpus docfreq 1) — high
     * novelty marks original content, low novelty marks template/mirror/

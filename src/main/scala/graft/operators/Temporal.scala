@@ -85,6 +85,31 @@ object Temporal {
       .drop("__is_new")
   }
 
+  /** Burst collapse (trailing debounce): keep only the FIRST event of
+    * each per-(key, type) burst, where a burst is a chain of events with
+    * consecutive gaps <= `withinSeconds` — the double-click / retry /
+    * duplicate-beacon hygiene filter an event pipeline runs before any
+    * counting (a stuck client emitting 50 clicks in 3 seconds is one
+    * click). Exactly [[sessionize]]'s is-new rule on the (key, type)
+    * composite: an event survives iff no SAME-typed event from the same
+    * key precedes it within the window — so an hour-long burst still
+    * collapses to ONE event (the lag test resets on every raw event,
+    * kept or not).
+    *
+    * One keyed lag window (shuffle on (key, type)), exact integer micros,
+    * original columns preserved. */
+  def debounce(df: DataFrame, keyCol: String, typeCol: String, tsCol: String,
+      tieCol: String, withinSeconds: Long): DataFrame = {
+    require(withinSeconds >= 1L, "withinSeconds must be >= 1")
+    val w = Window.partitionBy(col(keyCol), col(typeCol))
+      .orderBy(col("__us"), col(tieCol))
+    df.withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__prev", lag(col("__us"), 1).over(w))
+      .filter(col("__prev").isNull ||
+        col("__us") - col("__prev") > withinSeconds * 1000000L)
+      .drop("__us", "__prev")
+  }
+
   /** Session-level feature table: one row per [[sessionize]]d session with
     * the features every engagement/bot/conversion model starts from —
     * event count, exact start/end/duration in integer microseconds, and

@@ -619,6 +619,31 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(r.getDouble(6) == 15.0)     // p50 of 10,10,20,30
   }
 
+  test("pairAuditQueue: band-balanced, capped, partition-stable sampling") {
+    // mid-band scores (x.x5) are floor-safe in doubles; a boundary score
+    // of exactly 1.0 would clamp into the top band
+    val pairs = (1 to 40).map(i =>
+      (i.toLong, (i + 100).toLong, 0.55 + (i % 5) * 0.1)) // bands 5..9
+      .toDF("id_a", "id_b", "score")
+    def run(df: org.apache.spark.sql.DataFrame) = graft.operators.Dedup
+      .pairAuditQueue(df, "id_a", "id_b", "score", bands = 10, perBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .sorted
+    val out = run(pairs)
+    // 5 populated bands x 2 per band, rk always 1..2
+    assert(out.length == 10)
+    assert(out.map(_._1).distinct.sorted == Seq(5L, 6L, 7L, 8L, 9L))
+    assert(out.forall(t => t._2 == 1L || t._2 == 2L))
+    // the clamp: score exactly 1.0 lands in band 9, not a band 10
+    val top = graft.operators.Dedup.pairAuditQueue(
+      Seq((1L, 2L, 1.0)).toDF("id_a", "id_b", "score"),
+      "id_a", "id_b", "score", bands = 10, perBand = 1)
+      .head()
+    assert(top.getLong(0) == 9L)
+    // md5-keyed selection is partitioning-proof
+    assert(run(pairs.repartition(7)) == out)
+  }
+
   test("dupRateReport: formatting-only copies count as dups; clean source rates 0") {
     val d = Seq(
       ("web", 1L, "same doc"), ("web", 2L, "  Same   DOC "), // dup pair

@@ -123,6 +123,27 @@ class TemporalSpec extends SparkSpec {
     assert(out(3L) == ((1L, 42.5)))
   }
 
+  test("debounce: hour-long burst collapses to one; separate bursts and types survive") {
+    def ts(sec: Long) = new java.sql.Timestamp(1704067200000L + sec * 1000L)
+    val ev = Seq(
+      // u1 click burst: events every 30s for 4 events (chain gaps < 60s)
+      // -> ONE survivor even though the burst spans 90s > window
+      (1L, "click", ts(0L), 1L), (1L, "click", ts(30L), 2L),
+      (1L, "click", ts(60L), 3L), (1L, "click", ts(90L), 4L),
+      // second burst 5 minutes later -> its first event survives
+      (1L, "click", ts(400L), 5L),
+      // same user, different type inside the burst: independent stream
+      (1L, "view", ts(10L), 6L),
+      // u2 single event
+      (2L, "click", ts(0L), 7L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val kept = graft.operators.Temporal
+      .debounce(ev, "user_id", "event_type", "ts", "event_id",
+        withinSeconds = 60)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 5L, 6L, 7L))
+  }
+
   test("sessionFeatures: per-session counts, exact micros duration, decimal value sum") {
     def ts(sec: Long) = new java.sql.Timestamp(1704067200000L + sec * 1000L)
     val base = 1704067200000000L
