@@ -2111,6 +2111,17 @@ object SparkEntry {
         .orderBy(col("event_type"), col("event_id"))
     },
 
+    // ---- X: minhash estimator calibration — per verified pair, the
+    //      signature-agreement estimate next to the exact jaccard; the
+    //      oracle rebuilds every signature FROM SCRATCH in SQL, so the
+    //      codegen'd graft_minhash expression is proven bit-for-bit
+    //      against an independent implementation ----
+    "x123_minhash_calibration" -> { (s, dir) =>
+      graft.operators.Dedup.minhashCalibration(
+        t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // ---- X: burst collapse (trailing debounce) — duplicate-beacon /
     //      double-click hygiene; one keyed lag window, first event of
     //      each per-(user, type) burst survives ----
@@ -2605,9 +2616,45 @@ object SparkEntry {
          SELECT vec_id, adist FROM sc
          ORDER BY adist ASC, vec_id ASC LIMIT 20"""
 
+  /** The x123 oracle: rebuild the minhash family FROM SCRATCH in SQL —
+    * two md5 bases, the affine family h_i = (ha%P + i*(hb%P)) % P, one
+    * min-aggregate per hash — so the codegen'd graft_minhash expression
+    * is certified against an independent implementation, not its own
+    * Scala replay. Built programmatically (64 signature columns). */
+  private val minhashCalibrationOracle: String = {
+    val P = 2147483647L
+    val sigCols = (0 until 64).map(i =>
+      s"min(((ha % $P) + $i * (hb % $P)) % $P) AS h$i").mkString(", ")
+    val agree = (0 until 64).map(i =>
+      s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+              FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1))) t(i)),
+       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                 FROM sh a JOIN sh b USING (s)
+                 WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+       p AS (SELECT id_a, id_b,
+               CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+             FROM inter JOIN sz sa ON id_a = sa.doc_id
+               JOIN sz sb ON id_b = sb.doc_id
+             WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8),
+       hs AS (SELECT doc_id,
+           ('0x' || substr(md5('0|' || s), 1, 15))::BIGINT & 4294967295 AS ha,
+           (('0x' || substr(md5('1|' || s), 1, 15))::BIGINT & 4294967295) | 1 AS hb
+         FROM sh),
+       sg AS (SELECT doc_id, $sigCols FROM hs GROUP BY doc_id)
+       SELECT p.id_a, p.id_b, p.jaccard,
+         CAST(($agree) AS DOUBLE) / 64 AS mh_est
+       FROM p JOIN sg sa ON p.id_a = sa.doc_id
+         JOIN sg sb ON p.id_b = sb.doc_id
+       ORDER BY id_a, id_b"""
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "x123_minhash_calibration" -> minhashCalibrationOracle,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
            CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,

@@ -288,6 +288,33 @@ object Dedup {
       .select(col("band"), col("rk"), col(aCol), col(bCol), col(scoreCol))
   }
 
+  /** MinHash estimator calibration over a verified pair set: for each
+    * exact-jaccard pair, the signature-agreement estimate
+    * (#{i : sig_i(a) = sig_i(b)} / numHashes) NEXT TO the true jaccard —
+    * the banding-parameter tuning table (bands/rows are chosen from the
+    * estimator's curve, so the curve itself deserves a gate), and the
+    * strongest cross-engine proof of the codegen'd `graft_minhash`
+    * expression: the x123 oracle rebuilds every signature from scratch
+    * in SQL (two md5 bases, the affine family, 64 min-aggregates) and
+    * the per-pair estimates must match BIT FOR BIT.
+    *
+    * Pair-frame-sized: signatures are one narrow projection; the two
+    * signature joins are id-keyed shuffle_hash. Output:
+    * (id_a, id_b, jaccard, mh_est). */
+  def minhashCalibration(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, numHashes: Int = 64): DataFrame = {
+    val pairs = ngramJaccardPairs(df, idCol, textCol, n, threshold)
+    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes)
+    val a = sigs.toDF("id_a" +: (0 until numHashes).map(i => s"a$i"): _*)
+    val b = sigs.toDF("id_b" +: (0 until numHashes).map(i => s"b$i"): _*)
+    val agree = (0 until numHashes).map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
+    pairs.join(a.hint("shuffle_hash"), Seq("id_a"))
+      .join(b.hint("shuffle_hash"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        (agree.cast(DoubleType) / numHashes).as("mh_est"))
+  }
+
   /** Per-document n-gram NOVELTY: the fraction of a document's distinct
     * shingles that appear in NO other document (corpus docfreq 1) — high
     * novelty marks original content, low novelty marks template/mirror/

@@ -619,6 +619,22 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(r.getDouble(6) == 15.0)     // p50 of 10,10,20,30
   }
 
+  test("minhashCalibration: estimates track exact jaccard on the verified pair set") {
+    val cal = Dedup.minhashCalibration(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(cal.nonEmpty)
+    // 64-hash binomial estimator: sd <= 1/16 at any p; 4 sd tolerance
+    cal.foreach { case (a, b, j, e) =>
+      assert(math.abs(e - j) <= 0.25, s"pair ($a,$b): jaccard=$j est=$e")
+    }
+    // calibration rows cover EXACTLY the detector's pair set
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cal.map(t => (t._1, t._2)).toSet == exact)
+  }
+
   test("pairAuditQueue: band-balanced, capped, partition-stable sampling") {
     // mid-band scores (x.x5) are floor-safe in doubles; a boundary score
     // of exactly 1.0 would clamp into the top band
