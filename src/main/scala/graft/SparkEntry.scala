@@ -2111,6 +2111,17 @@ object SparkEntry {
         .orderBy(col("event_type"), col("event_id"))
     },
 
+    // ---- X: simhash from-scratch replay — every document's 60-bit
+    //      fingerprint vs an independent SQL rebuild (md5 token hashes,
+    //      count-weighted bit votes); certifies the codegen'd
+    //      graft_simhash expression bit-for-bit, the x123 discipline for
+    //      the second custom expression ----
+    "x124_simhash_replay" -> { (s, dir) =>
+      graft.operators.Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("simhash"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- X: minhash estimator calibration — per verified pair, the
     //      signature-agreement estimate next to the exact jaccard; the
     //      oracle rebuilds every signature FROM SCRATCH in SQL, so the
@@ -2651,10 +2662,31 @@ object SparkEntry {
        ORDER BY id_a, id_b"""
   }
 
+  /** The x124 oracle: rebuild every simhash fingerprint from scratch in
+    * SQL — md5 token hashes, count-weighted ±1 votes per bit, bit set
+    * iff its vote sum > 0 — certifying graft_simhash independently
+    * (60 conditional-sum columns, built programmatically). */
+  private val simhashReplayOracle: String = {
+    val bits = (0 until 60).map(i =>
+      s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN cnt ELSE -cnt END) AS b$i")
+      .mkString(", ")
+    val fp = (0 until 60).map(i =>
+      s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       tc AS (SELECT doc_id, tok, count(*) AS cnt
+              FROM (SELECT doc_id, unnest(ws) AS tok FROM w) GROUP BY 1, 2),
+       hh AS (SELECT doc_id, cnt,
+                ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tc),
+       bits AS (SELECT doc_id, $bits FROM hh GROUP BY 1)
+       SELECT doc_id, CAST($fp AS BIGINT) AS simhash
+       FROM bits ORDER BY doc_id"""
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "x123_minhash_calibration" -> minhashCalibrationOracle,
+    "x124_simhash_replay" -> simhashReplayOracle,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
            CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
