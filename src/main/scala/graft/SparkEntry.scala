@@ -2111,6 +2111,34 @@ object SparkEntry {
         .orderBy(col("event_type"), col("event_id"))
     },
 
+    // ---- X: per-type value histograms side by side — x62 for every
+    //      group; one partial-agged groupBy over keys x bins cells ----
+    "x125_grouped_histogram" -> { (s, dir) =>
+      graft.operators.Profile.histogramByKey(
+        t(s, dir, "events"), "event_type", "value",
+        lo = 0.0, hi = 50.0, bins = 10)
+        .orderBy(col("event_type"), col("bin"))
+    },
+
+    // ---- X: exact mode per group (dominant language per source) —
+    //      two partial aggs, min(struct(-n, v)) argmax, no window ----
+    "x126_mode_by_key" -> { (s, dir) =>
+      graft.operators.Profile.modeByKey(
+        t(s, dir, "documents"), "source", "lang")
+        .orderBy(col("source"))
+    },
+
+    // ---- X: population stability index between event-id halves —
+    //      the standard numeric drift number; exact bin counts,
+    //      driver-folded ascending-bin sum (the x91 discipline) ----
+    "x127_psi" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      graft.operators.Profile.psi(
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1),
+        "value", lo = 0.0, hi = 50.0, bins = 10)
+    },
+
     // ---- X: simhash from-scratch replay — every document's 60-bit
     //      fingerprint vs an independent SQL rebuild (md5 token hashes,
     //      count-weighted bit votes); certifies the codegen'd
@@ -2687,6 +2715,49 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "x123_minhash_calibration" -> minhashCalibrationOracle,
     "x124_simhash_replay" -> simhashReplayOracle,
+
+    "x125_grouped_histogram" ->
+      """WITH b AS (SELECT event_type,
+             least(greatest(CAST(floor((CAST(value AS DOUBLE) - 0.0) / 5.0)
+               AS BIGINT), 0), 9) AS bin
+           FROM events WHERE value IS NOT NULL)
+         SELECT event_type, bin, CAST(0.0 + bin * 5.0 AS DOUBLE) AS lo_edge,
+           count(*) AS n
+         FROM b GROUP BY 1, 2 ORDER BY event_type, bin""",
+
+    "x126_mode_by_key" ->
+      """WITH c AS (SELECT source, CAST(lang AS VARCHAR) AS v, count(*) AS n
+                    FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2),
+         r AS (SELECT source, v, n, row_number() OVER (PARTITION BY source
+                 ORDER BY n DESC, v ASC) AS rk FROM c)
+         SELECT source, v AS mode, n AS n_mode FROM r WHERE rk = 1
+         ORDER BY source""",
+
+    // add-one-smoothed PSI over the dense bin scaffold; ordered-by-bin
+    // aggregate mirrors the driver's ascending foldLeft
+    "x127_psi" ->
+      """WITH e AS (SELECT least(greatest(CAST(floor((CAST(value AS DOUBLE)
+               - 0.0) / 5.0) AS BIGINT), 0), 9) AS bin
+           FROM events WHERE value IS NOT NULL AND event_id % 2 = 0),
+         a2 AS (SELECT least(greatest(CAST(floor((CAST(value AS DOUBLE)
+               - 0.0) / 5.0) AS BIGINT), 0), 9) AS bin
+           FROM events WHERE value IS NOT NULL AND event_id % 2 = 1),
+         ec AS (SELECT bin, count(*) AS n FROM e GROUP BY 1),
+         ac AS (SELECT bin, count(*) AS n FROM a2 GROUP BY 1),
+         t AS (SELECT (SELECT count(*) FROM e) AS ne,
+                 (SELECT count(*) FROM a2) AS na),
+         sc AS (SELECT CAST(unnest(range(10)) AS BIGINT) AS bin),
+         ps AS (SELECT sum(
+             ((coalesce(ec.n, 0) + 1.0) / (t.ne + 10.0)
+               - (coalesce(ac.n, 0) + 1.0) / (t.na + 10.0))
+             * ln(((coalesce(ec.n, 0) + 1.0) / (t.ne + 10.0))
+               / ((coalesce(ac.n, 0) + 1.0) / (t.na + 10.0)))
+             ORDER BY sc.bin) AS psi
+           FROM sc LEFT JOIN ec USING (bin) LEFT JOIN ac USING (bin)
+           CROSS JOIN t)
+         SELECT t.ne AS n_expected, t.na AS n_actual,
+           round(ps.psi, 6) AS psi
+         FROM t, ps""",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
            CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,

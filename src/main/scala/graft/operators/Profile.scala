@@ -123,6 +123,88 @@ object Profile {
       .agg(max(col("rho")).as("m"))
   }
 
+  /** Per-key equi-width histogram — [[histogram]] for every group at once
+    * (value distributions per event type / per source, side by side).
+    * Same exact bin arithmetic; ONE partial-agged groupBy over at most
+    * keys x bins cells. Output: (key, bin, lo_edge, n). */
+  def histogramByKey(df: DataFrame, keyCol: String, valueCol: String,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins >= 1 && hi > lo, "need bins >= 1 and hi > lo")
+    val width = (hi - lo) / bins
+    val bin = least(greatest(
+      floor((col(valueCol).cast("double") - lo) / width).cast("long"),
+      lit(0L)), lit(bins - 1L))
+    df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol), bin.as("bin"))
+      .groupBy(col(keyCol), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col(keyCol), col("bin"), (lit(lo) + col("bin") * width).as("lo_edge"),
+        col("n"))
+  }
+
+  /** Exact mode (most frequent value) per group, ties to the SMALLEST
+    * value — the categorical summary [[profile]]'s min/max can't give
+    * (dominant language per source, dominant event type per user).
+    * Two partial-agged aggregations — (key, value) counts, then the
+    * x69-style max(struct(count, neg-value-order)) argmax — never a
+    * per-key window sort. Values compare as strings for the tie (one
+    * uniform schema); counts are exact. Output: (key, mode, n_mode). */
+  def modeByKey(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val counts = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol), col(valueCol).cast("string").as("v"))
+      .groupBy(col(keyCol), col("v"))
+      .agg(count(lit(1)).as("n"))
+    // argmax by (n asc-in-struct? we need max n, tie -> min v): Spark
+    // struct ordering is field-by-field; there is no "descending string"
+    // negation, so invert the roles: take MIN of (-n, v)
+    counts.groupBy(col(keyCol))
+      .agg(min(struct((-col("n")).as("nn"), col("v"))).as("b"))
+      .select(col(keyCol), col("b.v").as("mode"), (-col("b.nn")).as("n_mode"))
+  }
+
+  /** Population stability index between two numeric distributions — the
+    * industry-standard drift number (PSI < 0.1 stable, > 0.25 shifted)
+    * for "did this feature/score move between snapshots", the NUMERIC
+    * sibling of LanguageModel.sourceDrift's token KL: both frames bin
+    * with [[histogram]]'s exact arithmetic, PSI = Σ (p_i - q_i)·ln(p_i/q_i)
+    * with add-one smoothing over the fixed bin scaffold (empty bins
+    * included — a mass shift INTO a previously-empty bin is exactly what
+    * PSI must see).
+    *
+    * Cross-engine exactness: the per-bin counts are exact; the driver
+    * folds the PSI sum in ascending-bin order (the x91 discipline —
+    * DuckDB replays with an ORDER BY bin ordered aggregate) and rounds
+    * to 6. Two partial-agged scans; the driver sees 2 x bins counts.
+    * Output: one row (n_expected, n_actual, psi). */
+  def psi(expected: DataFrame, actual: DataFrame, valueCol: String,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins >= 1 && hi > lo, "need bins >= 1 and hi > lo")
+    val spark = expected.sparkSession
+    import spark.implicits._
+    def binCounts(df: DataFrame): Map[Long, Long] = {
+      val width = (hi - lo) / bins
+      val bin = least(greatest(
+        floor((col(valueCol).cast("double") - lo) / width).cast("long"),
+        lit(0L)), lit(bins - 1L))
+      df.filter(col(valueCol).isNotNull).select(bin.as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val e = binCounts(expected)
+    val a = binCounts(actual)
+    val ne = e.values.sum
+    val na = a.values.sum
+    require(ne > 0 && na > 0, "both frames need at least one binned value")
+    val psiVal = (0L until bins.toLong).foldLeft(0.0) { (acc, i) =>
+      val p = (e.getOrElse(i, 0L) + 1.0) / (ne + bins).toDouble
+      val q = (a.getOrElse(i, 0L) + 1.0) / (na + bins).toDouble
+      acc + (p - q) * math.log(p / q)
+    }
+    Seq((ne, na, BigDecimal(psiVal).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("n_expected", "n_actual", "psi")
+  }
+
   /** One-row corpus report card — the numbers a dataset datasheet leads
     * with, computed in one pass plus two 1-row side frames: corpus size,
     * source count, total characters, exact-duplicate rate, English

@@ -619,6 +619,32 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(r.getDouble(6) == 15.0)     // p50 of 10,10,20,30
   }
 
+  test("histogramByKey / modeByKey: per-key bins with clamping; mode ties to smallest value") {
+    val d = Seq(("a", -5.0), ("a", 2.0), ("a", 99.0), ("b", 7.0))
+      .toDF("k", "v")
+    val h = graft.operators.Profile.histogramByKey(d, "k", "v", 0.0, 10.0, 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // a: -5 clamps to bin 0, 2 -> bin 0, 99 clamps to bin 1; b: 7 -> bin 1
+    assert(h == Map(("a", 0L) -> 2L, ("a", 1L) -> 1L, ("b", 1L) -> 1L))
+    val m = graft.operators.Profile.modeByKey(
+      Seq(("s1", "en"), ("s1", "en"), ("s1", "de"),
+        ("s2", "fr"), ("s2", "de")).toDF("src", "lang"), "src", "lang")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(m("s1") == (("en", 2L)))
+    assert(m("s2") == (("de", 1L))) // 1-1 tie -> alphabetically first
+  }
+
+  test("psi: zero for identical distributions, positive for shifts, finite on empty bins") {
+    val a = (1 to 100).map(i => (i % 10).toDouble).toDF("v")
+    val same = graft.operators.Profile.psi(a, a, "v", 0.0, 10.0, 10).head()
+    assert(same.getDouble(2) == 0.0)
+    // shift all mass up by 5: heavy movement across bins
+    val b = (1 to 100).map(i => (i % 10) / 2.0 ).toDF("v") // mass into low bins
+    val shifted = graft.operators.Profile.psi(a, b, "v", 0.0, 10.0, 10).head()
+    assert(shifted.getDouble(2) > 0.25, s"psi=${shifted.getDouble(2)}")
+    assert(shifted.getLong(0) == 100L && shifted.getLong(1) == 100L)
+  }
+
   test("minhashCalibration: estimates track exact jaccard on the verified pair set") {
     val cal = Dedup.minhashCalibration(docs, "doc_id", "text", 3, 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
