@@ -2111,6 +2111,26 @@ object SparkEntry {
         .orderBy(col("event_type"), col("event_id"))
     },
 
+    // ---- X: exact-sum Pearson r between quality score and doc length —
+    //      the feature-redundancy question; DECIMAL sums (built-in corr's
+    //      floating partial moments are merge-order-dependent), one
+    //      fixed-order double formula ----
+    "x128_quality_length_corr" -> { (s, dir) =>
+      graft.operators.Evaluation.pearsonExact(
+        t(s, dir, "documents").select(
+          graft.functions.TextFunctions.qualityScore(col("text")).as("q"),
+          col("n_chars")),
+        "q", "n_chars")
+    },
+
+    // ---- X: lag-1 autocorrelation of daily event volume — trending vs
+    //      memoryless vs oscillating load; all-integer sums over a dense
+    //      scaffold, one double formula ----
+    "x129_volume_autocorr" -> { (s, dir) =>
+      graft.operators.EventAnalytics.volumeAutocorr(
+        t(s, dir, "events"), "ts", bucketSeconds = 86400L)
+    },
+
     // ---- X: per-type value histograms side by side — x62 for every
     //      group; one partial-agged groupBy over keys x bins cells ----
     "x125_grouped_histogram" -> { (s, dir) =>
@@ -2715,6 +2735,61 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "x123_minhash_calibration" -> minhashCalibrationOracle,
     "x124_simhash_replay" -> simhashReplayOracle,
+
+    // the x8 quality formula -> DECIMAL(18,6) sums -> the same
+    // fixed-order r formula; double-via-string hops per the convention
+    "x128_quality_length_corr" ->
+      """WITH h AS (SELECT n_chars, text,
+           len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ('the','a','of','and','to','in','is','it','for','on',
+                        'der','die','das','und','ist','ein','zu','mit','auf','nicht',
+                        'le','la','les','et','est','un','une','dans','pour','que'))) AS sw
+         FROM documents),
+         q AS (SELECT
+             CAST(round((least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.5
+               + least((CASE WHEN len(string_split(lower(text), ' ')) = 0 THEN 0.0
+                   ELSE CAST(sw AS DOUBLE) / len(string_split(lower(text), ' ')) END) * 5.0, 1.0) * 0.3)
+               * (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+                   ELSE CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                        / length(text) END) * 5.0, 1.0) * 0.5), 6)
+               AS DECIMAL(18,6)) AS x,
+             CAST(n_chars AS DECIMAL(18,6)) AS y
+           FROM h),
+         s AS (SELECT count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             sum(x * x) AS sxx, sum(y * y) AS syy
+           FROM q)
+         SELECT n,
+           round((CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+               - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                 - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+               * sqrt(CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+                 - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))), 6)
+             AS r
+         FROM s""",
+
+    "x129_volume_autocorr" ->
+      """WITH c AS (SELECT epoch_us(ts) // 86400000000 AS bk, count(*) AS c
+           FROM events GROUP BY 1),
+         d AS (SELECT sc.bk, coalesce(c.c, 0) AS c
+               FROM (SELECT unnest(range((SELECT min(bk) FROM c),
+                       (SELECT max(bk) FROM c) + 1)) AS bk) sc
+               LEFT JOIN c USING (bk)),
+         p AS (SELECT c, lead(c) OVER (ORDER BY bk) AS cn FROM d),
+         pp AS (SELECT CAST(c AS BIGINT) AS x, CAST(cn AS BIGINT) AS y
+                FROM p WHERE cn IS NOT NULL),
+         s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+               FROM pp)
+         SELECT CAST(n AS BIGINT) AS n_pairs,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r
+         FROM s""",
 
     "x125_grouped_histogram" ->
       """WITH b AS (SELECT event_type,

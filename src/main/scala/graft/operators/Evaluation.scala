@@ -129,6 +129,36 @@ object Evaluation {
           .as("frac_pos"))
   }
 
+  /** Exact-sum Pearson correlation between two EXACT-REPRESENTABLE
+    * columns (integers, or 6-decimal-rounded scores — the repo's scorer
+    * convention): is quality just length in disguise, does score A add
+    * anything over score B — the feature-redundancy question asked
+    * before any filter is stacked on another.
+    *
+    * Why not `corr()`: built-in correlation accumulates FLOATING partial
+    * moments whose merge order varies with partitioning — irreproducible
+    * across engines and even across runs. Here all five sums accumulate
+    * in DECIMAL (exact, order-independent); the final r = (n·Σxy − ΣxΣy)
+    * / (√(n·Σxx − Σx²)·√(n·Σyy − Σy²)) is one fixed-order double formula
+    * both engines replay identically, rounded to 6. ONE partial-agged
+    * scan. Output: (n, r). */
+  def pearsonExact(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val v = df.select(col(xCol).cast(d6).as("x"), col(yCol).cast(d6).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    def d(c: Column) = c.cast(StringType).cast(DoubleType)
+    val s = v.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val n = col("n").cast(DoubleType)
+    val r = (n * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+      (sqrt(n * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+        sqrt(n * d(col("syy")) - d(col("sy")) * d(col("sy"))))
+    s.select(col("n"), round(r, 6).as("r"))
+  }
+
   /** Precision-recall curve at every distinct score threshold — the
     * threshold-picking companion to [[aucExact]] (ROC ranks; PR answers
     * "if I keep everything scoring >= s, what fraction is good and what

@@ -302,6 +302,49 @@ object EventAnalytics {
         sum(col("cnt")).over(perCur).cast(DoubleType))
   }
 
+  /** Lag-1 autocorrelation of bucketed event volume — "does today's
+    * traffic predict tomorrow's": near 1 = strongly trending/seasonal
+    * load (capacity plans hold), near 0 = memoryless arrivals, negative
+    * = oscillation (retry storms, thundering herds). The one-number
+    * time-series diagnostic read next to [[countOutliers]]' spike flags.
+    *
+    * ALL-INTEGER until the last step: bucket counts are exact BIGINTs
+    * over a DENSE generated scaffold (absent buckets are genuine zero
+    * days — skipping them would splice non-adjacent days together), the
+    * five correlation sums are BIGINT aggregates over the span-bounded
+    * pair frame, and r is one fixed-order double formula rounded to 6.
+    * One corpus shuffle (the bucket groupBy); everything after is
+    * span-sized. Output: (n_pairs, r). */
+  def volumeAutocorr(events: DataFrame, tsCol: String,
+      bucketSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DoubleType
+    require(bucketSeconds >= 1L, "bucketSeconds must be >= 1")
+    val busc = bucketSeconds * 1000000L
+    val cells = events
+      .select(call_function("div", unix_micros(col(tsCol)), lit(busc)).as("bk"))
+      .groupBy(col("bk")).agg(count(lit(1)).as("c"))
+    val dense = cells.agg(min(col("bk")).as("lo"), max(col("bk")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("bk"))
+      .join(cells, Seq("bk"), "left")
+      .select(col("bk"), coalesce(col("c"), lit(0L)).as("c"))
+    // span-bounded frame: the unpartitioned lead window is fine here
+    val w = Window.orderBy(col("bk"))
+    val pairs = dense.withColumn("cn", lead(col("c"), 1).over(w))
+      .filter(col("cn").isNotNull)
+    val s = pairs.agg(count(lit(1)).as("n"),
+      sum(col("c")).as("sx"), sum(col("cn")).as("sy"),
+      sum(col("c") * col("cn")).as("sxy"),
+      sum(col("c") * col("c")).as("sxx"),
+      sum(col("cn") * col("cn")).as("syy"))
+    val n = col("n").cast(DoubleType)
+    def d(c: Column) = c.cast(DoubleType)
+    val r = (n * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+      (sqrt(n * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+        sqrt(n * d(col("syy")) - d(col("sy")) * d(col("sy"))))
+    s.select(col("n").as("n_pairs"), round(r, 6).as("r"))
+  }
+
   /** Per-user behavioral-sequence NLL under the corpus's own event-type
     * bigram LM — the CCNet trick ([[graft.operators.LanguageModel]]
     * x45) transferred from tokens to event streams: users whose

@@ -103,6 +103,22 @@ class EvaluationSpec extends SparkSpec {
     assert(out.sorted.toSeq == again.sorted.toSeq)
   }
 
+  test("pearsonExact: perfect, inverse, and partition-invariant correlation") {
+    import spark.implicits._
+    val up = Seq((1.0, 2L), (2.0, 4L), (3.0, 6L)).toDF("x", "y")
+    val r1 = graft.operators.Evaluation.pearsonExact(up, "x", "y").head()
+    assert(r1.getLong(0) == 3L && r1.getDouble(1) == 1.0)
+    val down = Seq((1.0, 3L), (2.0, 2L), (3.0, 1L)).toDF("x", "y")
+    assert(graft.operators.Evaluation.pearsonExact(down, "x", "y")
+      .head().getDouble(1) == -1.0)
+    // decimal sums are order-independent: repartitioning changes nothing
+    val noisy = (1 to 50).map(i => (i.toDouble, (i % 7).toLong)).toDF("x", "y")
+    val a = graft.operators.Evaluation.pearsonExact(noisy, "x", "y").head()
+    val b = graft.operators.Evaluation
+      .pearsonExact(noisy.repartition(7), "x", "y").head()
+    assert(a == b)
+  }
+
   test("prCurve: cumulative tp/fp per distinct threshold, tie-safe") {
     import spark.implicits._
     // two positives TIED at .9 — group-level definition has no rank

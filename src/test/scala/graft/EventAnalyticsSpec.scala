@@ -232,6 +232,22 @@ class EventAnalyticsSpec extends SparkSpec {
     byCur.foreach { case (_, p) => assert(math.abs(p - 1.0) < 1e-12) }
   }
 
+  test("volumeAutocorr: alternating volume gives exactly -1; gap days are zero-filled") {
+    def at(day: Int, i: Int) =
+      new java.sql.Timestamp(1704067200000L + day * 86400000L + i * 1000L)
+    // day counts 1, 2, 1, 2 -> all-integer sums give r = -1 exactly
+    val ev = (Seq(at(0, 0)) ++ Seq(at(1, 0), at(1, 1)) ++
+      Seq(at(2, 0)) ++ Seq(at(3, 0), at(3, 1)))
+      .map(Tuple1(_)).toDF("ts")
+    val r = EventAnalytics.volumeAutocorr(ev, "ts", 86400L).head()
+    assert(r.getLong(0) == 3L && r.getDouble(1) == -1.0)
+    // a silent day enters as 0, not as a spliced pair: days 0 and 2
+    // populated, day 1 empty -> pairs (c0, 0) and (0, c2)
+    val gap = Seq(at(0, 0), at(2, 0), at(2, 1)).map(Tuple1(_)).toDF("ts")
+    val g = EventAnalytics.volumeAutocorr(gap, "ts", 86400L).head()
+    assert(g.getLong(0) == 2L) // 3 dense buckets -> 2 pairs
+  }
+
   test("sequenceNll: typical sequences score lower than rare ones; closed-form check") {
     // transitions: a->b x3, a->c x1; V=3 types; alpha=1
     val ev = Seq(
