@@ -2111,6 +2111,26 @@ object SparkEntry {
         .orderBy(col("event_type"), col("event_id"))
     },
 
+    // ---- X: exact Spearman rank correlation (midrank ties) between doc
+    //      length in chars and in tokens — monotone-transform-robust;
+    //      codomain-bounded midrank walks, integer-exact until one
+    //      formula ----
+    "x130_spearman" -> { (s, dir) =>
+      graft.operators.Evaluation.spearmanExact(
+        t(s, dir, "documents").select(col("n_chars"),
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("long").as("n_tokens")),
+        "n_chars", "n_tokens")
+    },
+
+    // ---- X: Cramér's V between language and source — categorical
+    //      association from exact cells, driver-folded chi-square in
+    //      canonical cell order ----
+    "x131_cramers_v" -> { (s, dir) =>
+      graft.operators.Evaluation.cramersV(
+        t(s, dir, "documents"), "lang", "source")
+    },
+
     // ---- X: exact-sum Pearson r between quality score and doc length —
     //      the feature-redundancy question; DECIMAL sums (built-in corr's
     //      floating partial moments are merge-order-dependent), one
@@ -2735,6 +2755,64 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "x123_minhash_calibration" -> minhashCalibrationOracle,
     "x124_simhash_replay" -> simhashReplayOracle,
+
+    // midranks as exact integers (2*cum - n + 1 per value group), the
+    // x128 decimal-sum pearson over them
+    "x130_spearman" ->
+      """WITH v AS (SELECT n_chars AS x,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+           FROM documents WHERE n_chars IS NOT NULL),
+         gx AS (SELECT x, count(*) AS n FROM v GROUP BY 1),
+         cx AS (SELECT x, 2 * sum(n) OVER (ORDER BY x
+                  ROWS UNBOUNDED PRECEDING) - n + 1 AS mrx FROM gx),
+         gy AS (SELECT y, count(*) AS n FROM v GROUP BY 1),
+         cy AS (SELECT y, 2 * sum(n) OVER (ORDER BY y
+                  ROWS UNBOUNDED PRECEDING) - n + 1 AS mry FROM gy),
+         j AS (SELECT CAST(mrx AS DECIMAL(19,6)) AS mx,
+                 CAST(mry AS DECIMAL(19,6)) AS my
+               FROM v JOIN cx USING (x) JOIN cy USING (y)),
+         s AS (SELECT count(*) AS n, sum(mx) AS sx, sum(my) AS sy,
+                 sum(mx * my) AS sxy, sum(mx * mx) AS sxx,
+                 sum(my * my) AS syy
+               FROM j)
+         SELECT n,
+           round((CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+               - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                 - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+               * sqrt(CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+                 - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))), 6)
+             AS r
+         FROM s""",
+
+    // chi-square over the DENSE (a, b) scaffold in canonical cell order
+    // (the driver's sorted double fold); expected counts in one fixed
+    // multiplication/division order
+    "x131_cramers_v" ->
+      """WITH c AS (SELECT CAST(lang AS VARCHAR) AS a,
+             CAST(source AS VARCHAR) AS b, count(*) AS c
+           FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+           GROUP BY 1, 2),
+         ra AS (SELECT DISTINCT a FROM c),
+         cb AS (SELECT DISTINCT b FROM c),
+         rn AS (SELECT a, sum(c) AS rn FROM c GROUP BY 1),
+         cn AS (SELECT b, sum(c) AS cn FROM c GROUP BY 1),
+         t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+         sc AS (SELECT ra.a, cb.b FROM ra CROSS JOIN cb),
+         ce AS (SELECT sc.a, sc.b, coalesce(c.c, 0) AS o, rn.rn, cn.cn
+                FROM sc LEFT JOIN c USING (a, b)
+                  JOIN rn USING (a) JOIN cn USING (b)),
+         chi AS (SELECT sum(
+             (o - (CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE)) / CAST(t.n AS DOUBLE))
+             * (o - (CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE)) / CAST(t.n AS DOUBLE))
+             / ((CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE)) / CAST(t.n AS DOUBLE))
+             ORDER BY a, b) AS chi2
+           FROM ce, t),
+         k AS (SELECT least((SELECT count(*) FROM ra),
+                 (SELECT count(*) FROM cb)) AS k)
+         SELECT t.n, round(chi.chi2, 6) AS chi2,
+           round(sqrt(chi.chi2 / (CAST(t.n AS DOUBLE) * (k.k - 1))), 6) AS v
+         FROM t, chi, k""",
 
     // the x8 quality formula -> DECIMAL(18,6) sums -> the same
     // fixed-order r formula; double-via-string hops per the convention

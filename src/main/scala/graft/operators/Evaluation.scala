@@ -159,6 +159,73 @@ object Evaluation {
     s.select(col("n"), round(r, 6).as("r"))
   }
 
+  /** Exact Spearman rank correlation via MIDRANKS — [[pearsonExact]] on
+    * the rank scale: robust to any monotone transform (log-scaled scores
+    * correlate identically), the right question when two scorers use
+    * different scales. Textbook tie handling: tied values share their
+    * average rank, computed EXACTLY as the integer 2·midrank =
+    * 2·cum − n + 1 over each column's value-GROUP frame (the x92
+    * codomain-bounded cumulative walk — never a corpus-sized rank
+    * window), and r is affine-invariant so the doubling cancels. Rank
+    * joins are value-keyed shuffles; the final correlation reuses
+    * pearsonExact's decimal sums. Inputs must be exact-representable
+    * (integers / rounded-6 scores). Output: (n, r). */
+  def spearmanExact(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val v = df.select(col(xCol).as("x"), col(yCol).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    def midranks(c: String): DataFrame = {
+      val w = Window.orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      v.groupBy(col(c)).agg(count(lit(1)).as("n"))
+        .withColumn("cum", sum(col("n")).over(w))
+        .select(col(c), (lit(2L) * col("cum") - col("n") + 1L).as(s"mr_$c"))
+    }
+    val ranked = v
+      .join(midranks("x").hint("shuffle_hash"), Seq("x"))
+      .join(midranks("y").hint("shuffle_hash"), Seq("y"))
+    pearsonExact(ranked, "mr_x", "mr_y")
+  }
+
+  /** Cramér's V — association strength between two CATEGORICAL columns
+    * (language x source: is language just a proxy for source?), the
+    * chi-square-based 0..1 number the confusion matrix doesn't summarize.
+    * Cell/marginal counts are exact from one partial-agged scan; the
+    * chi-square accumulates on the DRIVER over the k² cell frame in
+    * canonical (a, b) order (the x91 fold discipline — cells are
+    * label-cardinality-bounded, never corpus-sized), V = √(χ²/(n·(min(r,c)−1)))
+    * rounded to 6. Output: (n, chi2, v). */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells = df.select(col(aCol).cast(StringType).as("a"),
+        col(bCol).cast(StringType).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    require(cells.nonEmpty, "cramersV needs at least one cell")
+    val rows = cells.keys.map(_._1).toSeq.distinct.sorted
+    val colsK = cells.keys.map(_._2).toSeq.distinct.sorted
+    val rowN = rows.map(a => a -> cells.collect {
+      case ((x, _), n) if x == a => n }.sum).toMap
+    val colN = colsK.map(b => b -> cells.collect {
+      case ((_, y), n) if y == b => n }.sum).toMap
+    val n = cells.values.sum
+    val chi2 = rows.foldLeft(0.0) { (acc, a) =>
+      colsK.foldLeft(acc) { (acc2, b) =>
+        val e = rowN(a).toDouble * colN(b).toDouble / n.toDouble
+        val o = cells.getOrElse((a, b), 0L).toDouble
+        acc2 + (o - e) * (o - e) / e
+      }
+    }
+    val k = math.min(rows.size, colsK.size)
+    require(k >= 2, "cramersV needs at least 2 categories on each side")
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((n, r6(chi2), r6(math.sqrt(chi2 / (n.toDouble * (k - 1))))))
+      .toDF("n", "chi2", "v")
+  }
+
   /** Precision-recall curve at every distinct score threshold — the
     * threshold-picking companion to [[aucExact]] (ROC ranks; PR answers
     * "if I keep everything scoring >= s, what fraction is good and what

@@ -103,6 +103,36 @@ class EvaluationSpec extends SparkSpec {
     assert(out.sorted.toSeq == again.sorted.toSeq)
   }
 
+  test("spearmanExact: monotone-transform invariant; midrank ties hand-computed") {
+    import spark.implicits._
+    val df = Seq((1L, 2L), (2L, 5L), (3L, 11L), (4L, 13L), (5L, 40L))
+      .toDF("x", "y")
+    val r1 = graft.operators.Evaluation.spearmanExact(df, "x", "y")
+      .head().getDouble(1)
+    // squaring y (monotone on positives) must not change the rank corr
+    val r2 = graft.operators.Evaluation.spearmanExact(
+      df.select(col("x"), (col("y") * col("y")).as("y")), "x", "y")
+      .head().getDouble(1)
+    assert(r1 == 1.0 && r2 == 1.0)
+    // midrank ties: x = (1,1,2) vs y = (5,7,9) -> r = 6/sqrt(48)
+    val t = graft.operators.Evaluation.spearmanExact(
+      Seq((1L, 5L), (1L, 7L), (2L, 9L)).toDF("x", "y"), "x", "y")
+      .head().getDouble(1)
+    assert(math.abs(t - 6.0 / math.sqrt(48.0)) < 1e-6)
+  }
+
+  test("cramersV: perfect association 1, independence 0") {
+    import spark.implicits._
+    val perfect = Seq(("a", "p"), ("a", "p"), ("b", "q"), ("b", "q"))
+      .toDF("l", "s")
+    val vp = graft.operators.Evaluation.cramersV(perfect, "l", "s").head()
+    assert(vp.getLong(0) == 4L && vp.getDouble(2) == 1.0)
+    val indep = Seq(("a", "p"), ("a", "q"), ("b", "p"), ("b", "q"))
+      .toDF("l", "s")
+    assert(graft.operators.Evaluation.cramersV(indep, "l", "s")
+      .head().getDouble(2) == 0.0)
+  }
+
   test("pearsonExact: perfect, inverse, and partition-invariant correlation") {
     import spark.implicits._
     val up = Seq((1.0, 2L), (2.0, 4L), (3.0, 6L)).toDF("x", "y")
