@@ -312,7 +312,21 @@ object Stress {
         // scaffold-sized — wall must track the scan only
         "rolling_distinct" -> (() =>
           operators.Profile.rollingHllDistinct(events, "ts", "user_id",
-            bucketSeconds = 86400L, windowBuckets = 7).count()))
+            bucketSeconds = 86400L, windowBuckets = 7).count()),
+        // k^2 LM tables stay 25 rows at any multiplier; the keyed lead
+        // window and the per-user agg track the event count linearly
+        "sequence_nll" -> (() =>
+          operators.EventAnalytics.sequenceNll(events, "user_id",
+            "event_type", "ts", "event_id").count()),
+        // keyed lag window only: per-row cost flat as users double
+        "debounce" -> (() =>
+          operators.Temporal.debounce(events, "user_id", "event_type",
+            "ts", "event_id", withinSeconds = 600).count()),
+        // distinct (source, shingle) reduction feeds a #sources^2-bounded
+        // pair join: wall must track the explode, not the join
+        "source_overlap" -> (() =>
+          operators.CorpusOps.sourceOverlapMatrix(docs, "source", "text",
+            n = 3).count()))
 
       // SPARK_GRAFT_STRESS_OPS=a,b,c runs only the named ops (bisection
       // runs shouldn't pay the full sweep per hypothesis)

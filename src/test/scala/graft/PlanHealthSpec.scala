@@ -584,6 +584,40 @@ class PlanHealthSpec extends SparkSpec {
       s"rogue join in x111:\n$p")
   }
 
+  test("x119: the LM tables broadcast; transitions come from ONE user-keyed window") {
+    val p = plan("x119_sequence_nll")
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"x119 lead window lost its user partitioning:\n$p")
+    // k^2 and k-row count tables must broadcast — shuffling the
+    // transition frame by n-gram keys would be a corpus-sized shuffle
+    // for a bounded-size model
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"x119 LM tables must broadcast:\n$p")
+  }
+
+  test("x121: debounce is one keyed lag window, no join, no global sort below the output order") {
+    val p = plan("x121_debounce")
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"x121 window lost its (user, type) partitioning:\n$p")
+    assert(!p.contains("Join"), s"x121 grew a join:\n$p")
+  }
+
+  test("x128: the correlation is ONE partial-agged scan — no join, no window") {
+    val p = plan("x128_quality_length_corr")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"x128 sums must partial-aggregate:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"x128 should be a single scan:\n$p")
+  }
+
+  test("x117: the corpus reduces to distinct (source, shingle) BEFORE the pair join") {
+    val p = plan("x117_source_overlap")
+    assert(p.contains("ShuffledHashJoin"),
+      s"x117 pair join must stay shuffle-hash on the shingle key:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"x117 fell off its equi keys:\n$p")
+  }
+
   test("x112: baskets deduplicate BEFORE the pair join; pair join equi-keyed on the session") {
     val p = plan("x112_session_rules")
     // the distinct (session, type) reduction must sit below the self-join
