@@ -2111,6 +2111,22 @@ object SparkEntry {
         .orderBy(col("event_type"), col("event_id"))
     },
 
+    // ---- X: per-day churn — of yesterday's actives, who left; distinct
+    //      (user, bucket) reduction + equi anti-join, exact counts ----
+    "x132_churn" -> { (s, dir) =>
+      graft.operators.EventAnalytics.churn(
+        t(s, dir, "events"), "user_id", "ts", bucketSeconds = 86400L)
+        .orderBy(col("bucket_us"))
+    },
+
+    // ---- X: new-vs-returning DAU split — first-seen via one min-per-
+    //      user partial agg joined back on the user key ----
+    "x133_new_vs_returning" -> { (s, dir) =>
+      graft.operators.EventAnalytics.newVsReturning(
+        t(s, dir, "events"), "user_id", "ts", bucketSeconds = 86400L)
+        .orderBy(col("bucket_us"))
+    },
+
     // ---- X: exact Spearman rank correlation (midrank ties) between doc
     //      length in chars and in tokens — monotone-transform-robust;
     //      codomain-bounded midrank walks, integer-exact until one
@@ -2755,6 +2771,33 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "x123_minhash_calibration" -> minhashCalibrationOracle,
     "x124_simhash_replay" -> simhashReplayOracle,
+
+    "x132_churn" ->
+      """WITH d AS (SELECT DISTINCT user_id AS u,
+             epoch_us(ts) // 86400000000 AS bk FROM events),
+         s AS (SELECT u, bk + 1 AS bk FROM d),
+         pa AS (SELECT bk, count(*) AS n_prev_active FROM s GROUP BY 1),
+         ch AS (SELECT s.bk, count(*) AS n_churned FROM s
+                WHERE NOT EXISTS (SELECT 1 FROM d
+                  WHERE d.u = s.u AND d.bk = s.bk)
+                GROUP BY 1)
+         SELECT pa.bk * 86400000000 AS bucket_us, pa.n_prev_active,
+           CAST(coalesce(ch.n_churned, 0) AS BIGINT) AS n_churned,
+           CAST(coalesce(ch.n_churned, 0) AS DOUBLE)
+             / CAST(pa.n_prev_active AS DOUBLE) AS churn_rate
+         FROM pa LEFT JOIN ch ON pa.bk = ch.bk
+         ORDER BY bucket_us""",
+
+    "x133_new_vs_returning" ->
+      """WITH d AS (SELECT DISTINCT user_id AS u,
+             epoch_us(ts) // 86400000000 AS bk FROM events),
+         f AS (SELECT u, min(bk) AS fb FROM d GROUP BY 1)
+         SELECT d.bk * 86400000000 AS bucket_us, count(*) AS n_active,
+           CAST(sum(CASE WHEN f.fb = d.bk THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST(count(*) - sum(CASE WHEN f.fb = d.bk THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_returning
+         FROM d JOIN f USING (u) GROUP BY d.bk ORDER BY bucket_us""",
 
     // midranks as exact integers (2*cum - n + 1 per value group), the
     // x128 decimal-sum pearson over them

@@ -302,6 +302,62 @@ object EventAnalytics {
         sum(col("cnt")).over(perCur).cast(DoubleType))
   }
 
+  /** Per-bucket churn: of the users active in bucket b−1, how many did
+    * NOT return in bucket b — [[retentionCohorts]] asks "who came back
+    * k buckets after their FIRST visit"; churn asks the operational
+    * inverse, "who just left", the number an alerting dashboard tracks
+    * per day. All counts exact; rate is one division.
+    *
+    * 100 TB shape: the event log reduces to DISTINCT (user, bucket)
+    * rows once; the prior-bucket membership test is an equi anti-join on
+    * (user, bucket) (shift b−1 → b by projection, no self-join of raw
+    * events); per-bucket counts partial-agg on the span-bounded key
+    * space. Output: (bucket_us, n_prev_active, n_churned, churn_rate)
+    * for every bucket following an active bucket. */
+  def churn(events: DataFrame, userCol: String, tsCol: String,
+      bucketSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    require(bucketSeconds >= 1L, "bucketSeconds must be >= 1")
+    val busc = bucketSeconds * 1000000L
+    val d = events.select(col(userCol).as("u"),
+        call_function("div", unix_micros(col(tsCol)), lit(busc)).as("bk"))
+      .distinct()
+    val shifted = d.select(col("u"), (col("bk") + 1L).as("bk"))
+    val prevCounts = shifted.groupBy(col("bk"))
+      .agg(count(lit(1)).as("n_prev_active"))
+    val churned = shifted.join(d.hint("shuffle_hash"), Seq("u", "bk"),
+        "left_anti")
+      .groupBy(col("bk")).agg(count(lit(1)).as("n_churned"))
+    prevCounts.join(churned, Seq("bk"), "left")
+      .select((col("bk") * busc).as("bucket_us"), col("n_prev_active"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"),
+        (coalesce(col("n_churned"), lit(0L)).cast(DoubleType) /
+          col("n_prev_active").cast(DoubleType)).as("churn_rate"))
+  }
+
+  /** New-vs-returning decomposition per bucket — the DAU split every
+    * growth dashboard leads with: of the users active in bucket b, how
+    * many are seen for the FIRST time. One distinct (user, bucket)
+    * reduction; first-seen buckets from a partial-agged min per user,
+    * joined back shuffle_hash on the user key (no self-join of raw
+    * events, no Expand). Output: (bucket_us, n_active, n_new,
+    * n_returning) — exact counts. */
+  def newVsReturning(events: DataFrame, userCol: String, tsCol: String,
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds >= 1L, "bucketSeconds must be >= 1")
+    val busc = bucketSeconds * 1000000L
+    val d = events.select(col(userCol).as("u"),
+        call_function("div", unix_micros(col(tsCol)), lit(busc)).as("bk"))
+      .distinct()
+    val first = d.groupBy(col("u")).agg(min(col("bk")).as("fb"))
+    d.join(first.hint("shuffle_hash"), Seq("u"))
+      .groupBy(col("bk"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("fb") === col("bk"), 1L).otherwise(0L)).as("n_new"))
+      .select((col("bk") * busc).as("bucket_us"), col("n_active"),
+        col("n_new"), (col("n_active") - col("n_new")).as("n_returning"))
+  }
+
   /** Lag-1 autocorrelation of bucketed event volume — "does today's
     * traffic predict tomorrow's": near 1 = strongly trending/seasonal
     * load (capacity plans hold), near 0 = memoryless arrivals, negative

@@ -232,6 +232,30 @@ class EventAnalyticsSpec extends SparkSpec {
     byCur.foreach { case (_, p) => assert(math.abs(p - 1.0) < 1e-12) }
   }
 
+  test("churn / newVsReturning: exact membership deltas per day") {
+    def at(day: Int, u: Long) =
+      (u, new java.sql.Timestamp(1704067200000L + day * 86400000L))
+    // day0 {1,2,3}; day1 {2,3,4}; day2 {4}
+    val ev = Seq(at(0, 1L), at(0, 2L), at(0, 3L),
+      at(1, 2L), at(1, 3L), at(1, 4L), at(2, 4L))
+      .toDF("user_id", "ts")
+    val base = 1704067200000000L / 86400000000L * 86400000000L
+    val c = EventAnalytics.churn(ev, "user_id", "ts", 86400L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // after day0: 1 of 3 churned; after day1: 2,3 of 3 churned; after
+    // day2: user 4 churned (bucket 3 row exists because day2 was active)
+    assert(c(base + 86400000000L) == ((3L, 1L, 1.0 / 3)))
+    assert(c(base + 2 * 86400000000L) == ((3L, 2L, 2.0 / 3)))
+    assert(c(base + 3 * 86400000000L) == ((1L, 1L, 1.0)))
+    val nr = EventAnalytics.newVsReturning(ev, "user_id", "ts", 86400L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(nr(base) == ((3L, 3L, 0L)))
+    assert(nr(base + 86400000000L) == ((3L, 1L, 2L))) // 4 new; 2,3 return
+    assert(nr(base + 2 * 86400000000L) == ((1L, 0L, 1L)))
+  }
+
   test("volumeAutocorr: alternating volume gives exactly -1; gap days are zero-filled") {
     def at(day: Int, i: Int) =
       new java.sql.Timestamp(1704067200000L + day * 86400000L + i * 1000L)
