@@ -2111,6 +2111,17 @@ object SparkEntry {
         .orderBy(col("event_type"), col("event_id"))
     },
 
+    // ---- X: top token movers between corpus halves — the drill-down
+    //      behind x91's KL / x127's PSI one-numbers; vocabulary-keyed
+    //      join, TakeOrdered cuts, score rounded BEFORE ranking ----
+    "x134_token_movers" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.LanguageModel.tokenMovers(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "text", k = 15)
+        .orderBy(col("direction"), col("rk"))
+    },
+
     // ---- X: per-day churn — of yesterday's actives, who left; distinct
     //      (user, bucket) reduction + equi anti-join, exact counts ----
     "x132_churn" -> { (s, dir) =>
@@ -2771,6 +2782,34 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "x123_minhash_calibration" -> minhashCalibrationOracle,
     "x124_simhash_replay" -> simhashReplayOracle,
+
+    "x134_token_movers" ->
+      """WITH wa AS (SELECT unnest(string_split(text, ' ')) AS token
+           FROM documents WHERE doc_id % 2 = 0),
+         ca AS (SELECT token, count(*) AS c FROM wa GROUP BY 1),
+         wb AS (SELECT unnest(string_split(text, ' ')) AS token
+           FROM documents WHERE doc_id % 2 = 1),
+         cb AS (SELECT token, count(*) AS c FROM wb GROUP BY 1),
+         f AS (SELECT token, coalesce(ca.c, 0) AS n_a, coalesce(cb.c, 0) AS n_b
+               FROM ca FULL JOIN cb USING (token)
+               WHERE coalesce(ca.c, 0) + coalesce(cb.c, 0) >= 5),
+         t AS (SELECT CAST(sum(n_a + 1) AS BIGINT) AS ta,
+                 CAST(sum(n_b + 1) AS BIGINT) AS tb FROM f),
+         s AS (SELECT token, n_a, n_b,
+             round(ln((CAST(n_a + 1 AS DOUBLE) / t.ta)
+               / (CAST(n_b + 1 AS DOUBLE) / t.tb)), 6) AS score
+           FROM f, t),
+         up AS (SELECT 'up' AS direction, row_number() OVER
+                  (ORDER BY score DESC, token ASC) AS rk,
+                  token, n_a, n_b, score FROM s),
+         dn AS (SELECT 'down' AS direction, row_number() OVER
+                  (ORDER BY score ASC, token ASC) AS rk,
+                  token, n_a, n_b, score FROM s)
+         SELECT direction, rk, token, CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b, score
+         FROM (SELECT * FROM up WHERE rk <= 15
+               UNION ALL SELECT * FROM dn WHERE rk <= 15)
+         ORDER BY direction, rk""",
 
     "x132_churn" ->
       """WITH d AS (SELECT DISTINCT user_id AS u,

@@ -85,6 +85,50 @@ object LanguageModel {
         round(-col("ll") / col("n_bigrams"), 6).as("nll"))
   }
 
+  /** Top token MOVERS between two corpus slices — the drill-down behind
+    * [[sourceDrift]]'s one-number KL and Profile.psi's one-number index:
+    * WHICH tokens are most over-represented on each side (new boilerplate
+    * phrases, a vocabulary shift, an injected template). Score =
+    * smoothed log-ratio ln(((ca+1)/Ta) / ((cb+1)/Tb)) with Ta/Tb the
+    * add-one totals over the union vocabulary; rounded to 6 BEFORE
+    * ranking so both engines rank identical values (ties on the token).
+    *
+    * 100 TB shape: two token-count tables (one explode each), a
+    * token-keyed full-outer join — vocabulary-sized, never corpus-sized
+    * — totals as one broadcast row, and the two top-k cuts via
+    * orderBy+limit (TakeOrderedAndProject: per-partition heaps, no
+    * global sort, no vocabulary-sized window). `minCount` suppresses
+    * noise tokens. Output: (direction 'up'|'down', rk, token, n_a, n_b,
+    * score). */
+  def tokenMovers(a: DataFrame, b: DataFrame, textCol: String, k: Int,
+      minCount: Long = 5L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && minCount >= 0, "need k >= 1, minCount >= 0")
+    def counts(df: DataFrame, as: String): DataFrame = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as(as))
+    val j = counts(a, "ca").join(counts(b, "cb"), Seq("token"), "full_outer")
+      .select(col("token"), coalesce(col("ca"), lit(0L)).as("n_a"),
+        coalesce(col("cb"), lit(0L)).as("n_b"))
+      .filter(col("n_a") + col("n_b") >= minCount)
+    val totals = j.agg(sum(col("n_a") + 1L).as("ta"),
+      sum(col("n_b") + 1L).as("tb"))
+    val scored = j.crossJoin(broadcast(totals))
+      .select(col("token"), col("n_a"), col("n_b"),
+        round(log(((col("n_a") + 1L).cast("double") / col("ta")) /
+          ((col("n_b") + 1L).cast("double") / col("tb"))), 6).as("score"))
+    def cut(dir: String, ord: Seq[Column]): DataFrame = {
+      val w = Window.orderBy(ord: _*)
+      // k-row frame after the TakeOrdered limit — not a vocab-sized window
+      scored.orderBy(ord: _*).limit(k)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .select(lit(dir).as("direction"), col("rk"), col("token"),
+          col("n_a"), col("n_b"), col("score"))
+    }
+    cut("up", Seq(col("score").desc, col("token").asc))
+      .unionAll(cut("down", Seq(col("score").asc, col("token").asc)))
+  }
+
   /** Top-k SKIP-GRAM co-occurrence pairs: ordered token pairs within a
     * `window`-token span, counted corpus-wide — [[pmiCollocations]]'
     * wider-context sibling (adjacent bigrams find fixed phrases;

@@ -156,6 +156,42 @@ object EventStreams {
       }
   }
 
+  /** Streaming burst collapse — [[graft.operators.Temporal.debounce]]'s
+    * online twin: per (user, type) key, an event is emitted iff the gap
+    * since the key's previous RAW event exceeds `withinSeconds` — the
+    * identical lag rule, so the emitted ids match the batch operator on
+    * the same (near-ordered) stream, which the spec gates. State is ONE
+    * timestamp per (user, type) forever — the smallest possible debounce
+    * state (dropDuplicates-based dedup would key state by event identity
+    * and grow unboundedly). Same ordered-arrival contract as
+    * [[funnelStream]]; production evicts idle keys via event-time
+    * timeout. Output: the surviving (user_id, event_type, event_id,
+    * ts_us) rows. */
+  def debounceStream(events: DataFrame,
+      withinSeconds: Long): Dataset[(Long, String, Long, Long)] = {
+    require(withinSeconds >= 1L, "withinSeconds must be >= 1")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val winUs = withinSeconds * 1000000L
+    events.select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Long, (Long, String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), rows: Iterator[(Long, String, Long, Long)],
+            state: GroupState[Long]) =>
+          var last = state.getOption.getOrElse(Long.MinValue)
+          val kept = rows.toSeq.sortBy(r => (r._4, r._3)).flatMap { r =>
+            val keep = last == Long.MinValue || r._4 - last > winUs
+            last = r._4 // the lag rule resets on every RAW event
+            if (keep) Some(r) else None
+          }
+          state.update(last)
+          kept.iterator
+      }
+  }
+
   /** Stream-static enrichment join: each micro-batch of events joins a
     * static dimension frame (the streaming twin of J1's lookup join). The
     * static side is broadcast when small — no stream-side shuffle, no

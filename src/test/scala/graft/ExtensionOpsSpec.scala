@@ -481,6 +481,29 @@ class ExtensionOpsSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("streaming debounce emits exactly the batch survivors") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_db").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val sq = EventStreams.runToMemory(
+      EventStreams.debounceStream(
+        EventStreams.readEvents(spark, dir), withinSeconds = 600)
+        .toDF("user_id", "event_type", "event_id", "ts_us"),
+      "debounce_stream", outputMode = "append")
+    try {
+      val streamed = spark.table("debounce_stream")
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      val batch = graft.operators.Temporal.debounce(
+        Tables.load(spark, sfDir, "events"), "user_id", "event_type",
+        "ts", "event_id", withinSeconds = 600)
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      assert(batch.nonEmpty && streamed == batch)
+      // O(1) state per key means survivors < raw events (bursts collapsed)
+      assert(streamed.size < Tables.load(spark, sfDir, "events").count())
+    } finally sq.stop()
+  }
+
   test("percentile scale paths: exactSorted matches percentile(); approx is close") {
     val orders = Tables.load(spark, sfDir, "orders")
     val ps = Seq(0.5, 0.9, 0.99)

@@ -189,6 +189,16 @@ class RetrievalLmSpec extends SparkSpec {
     assert(out.keySet.map(_._2).max == 2L)
   }
 
+  test("tokenMovers: side-heavy tokens lead their direction; balanced tokens don't") {
+    val a = (1 to 10).map(i => (i.toLong, "alpha common")).toDF("id", "text")
+    val b = (1 to 10).map(i => (i.toLong, "beta common")).toDF("id", "text")
+    val out = graft.operators.LanguageModel.tokenMovers(a, b, "text", k = 1)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(out("up") == ((1L, "alpha")))   // only in A
+    assert(out("down") == ((1L, "beta")))  // only in B
+  }
+
   test("skipgramTopK: window pairs with interveners, short docs safe") {
     val docs = Seq(
       (1L, "turn the lights off"), // window 3: (turn,off) IS a pair
