@@ -2111,6 +2111,24 @@ object SparkEntry {
         .orderBy(col("event_type"), col("event_id"))
     },
 
+    // ---- X: hour-of-week traffic fingerprint — integer epoch
+    //      arithmetic (engine DOW conventions differ; epoch division
+    //      doesn't); <= 168 cells ----
+    "x135_hour_of_week" -> { (s, dir) =>
+      graft.operators.EventAnalytics.hourOfWeekProfile(
+        t(s, dir, "events"), "ts")
+        .orderBy(col("dow"), col("hour"))
+    },
+
+    // ---- X: funnel summary table — x60's depths rolled up to per-step
+    //      reach counts and conversion rates; k-row cumulative pass ----
+    "x136_funnel_summary" -> { (s, dir) =>
+      graft.operators.EventAnalytics.funnelSummary(
+        t(s, dir, "events"), "user_id", "event_type", "ts",
+        steps = Seq("view", "click", "purchase"))
+        .orderBy(col("step"))
+    },
+
     // ---- X: top token movers between corpus halves — the drill-down
     //      behind x91's KL / x127's PSI one-numbers; vocabulary-keyed
     //      join, TakeOrdered cuts, score rounded BEFORE ranking ----
@@ -2782,6 +2800,46 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "x123_minhash_calibration" -> minhashCalibrationOracle,
     "x124_simhash_replay" -> simhashReplayOracle,
+
+    "x135_hour_of_week" ->
+      """WITH u AS (SELECT epoch_us(ts) AS us FROM events)
+         SELECT (us // 86400000000 + 4) % 7 AS dow,
+           (us % 86400000000) // 3600000000 AS hour, count(*) AS n
+         FROM u GROUP BY 1, 2 ORDER BY dow, hour""",
+
+    // the x60 funnel CTEs -> depth histogram -> k-row reach/rate pass
+    "x136_funnel_summary" ->
+      """WITH e AS (SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         s1 AS (SELECT user_id, min(us) AS t1 FROM e
+                WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id)
+                WHERE event_type = 'click' AND us > t1 GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN s2 USING (user_id)
+                WHERE event_type = 'purchase' AND us > t2 GROUP BY 1),
+         base AS (SELECT DISTINCT user_id FROM e
+                  WHERE event_type IN ('view', 'click', 'purchase')),
+         d AS (SELECT CASE WHEN t3 IS NOT NULL THEN 3
+                           WHEN t2 IS NOT NULL THEN 2
+                           WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS depth
+               FROM base b LEFT JOIN s1 USING (user_id)
+                 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)),
+         h AS (SELECT depth, count(*) AS n_at FROM d GROUP BY 1),
+         sc AS (SELECT CAST(unnest(range(1, 4)) AS BIGINT) AS step),
+         r AS (SELECT sc.step,
+             (SELECT CAST(coalesce(sum(n_at), 0) AS BIGINT) FROM h
+              WHERE depth >= sc.step) AS n_reached
+           FROM sc),
+         f AS (SELECT step, n_reached,
+             lag(n_reached) OVER (ORDER BY step) AS prev,
+             first_value(n_reached) OVER (ORDER BY step) AS fst
+           FROM r)
+         SELECT step, n_reached,
+           CASE WHEN prev IS NULL THEN 1.0
+                ELSE CAST(n_reached AS DOUBLE) / CAST(prev AS DOUBLE) END
+             AS step_rate,
+           CAST(n_reached AS DOUBLE) / CAST(fst AS DOUBLE) AS overall_rate
+         FROM f ORDER BY step""",
 
     "x134_token_movers" ->
       """WITH wa AS (SELECT unnest(string_split(text, ' ')) AS token

@@ -302,6 +302,61 @@ object EventAnalytics {
         sum(col("cnt")).over(perCur).cast(DoubleType))
   }
 
+  /** Hour-of-week seasonal profile: event counts per (day-of-week, hour)
+    * cell — the traffic fingerprint capacity planning and the x66/x129
+    * anomaly baselines are read against (a Tuesday-3am spike means
+    * something different from a Monday-9am one). Day-of-week and hour
+    * derive from INTEGER epoch arithmetic ((days+4) mod 7 with 0=Sunday;
+    * 1970-01-01 was a Thursday), not calendar functions — engine
+    * conventions for DOW numbering differ (Spark starts Sunday=1,
+    * ISO starts Monday=1), epoch division doesn't. One partial-agged
+    * groupBy over at most 168 cells. Output: (dow 0-6, hour 0-23, n). */
+  def hourOfWeekProfile(events: DataFrame, tsCol: String): DataFrame = {
+    val us = unix_micros(col(tsCol))
+    val day = call_function("div", us, lit(86400000000L))
+    val dow = pmod(day + 4L, lit(7L))
+    val hour = call_function("div",
+      pmod(us, lit(86400000000L)), lit(3600000000L))
+    events.select(dow.as("dow"), hour.as("hour"))
+      .groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Funnel summary table — [[funnel]]'s per-user depths rolled up to the
+    * per-step report a dashboard renders: users reaching each step, the
+    * step-over-step conversion rate, and the rate from step 1. One
+    * k-row cumulative pass over the depth histogram (k = #steps); rates
+    * are single divisions of exact counts. Output: (step 1..k,
+    * n_reached, step_rate, overall_rate). */
+  def funnelSummary(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DoubleType
+    val depths = funnel(events, userCol, typeCol, tsCol, steps)
+      .groupBy(col("steps_completed")).agg(count(lit(1)).as("n_at"))
+    val spark = events.sparkSession
+    import spark.implicits._
+    val scaffold = steps.indices.map(i => (i + 1).toLong).toDF("step")
+    // k-row frames: the unpartitioned windows are bounded by #steps
+    val wDesc = Window.orderBy(col("step").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val reached = scaffold
+      .join(depths.withColumnRenamed("steps_completed", "step"),
+        Seq("step"), "left")
+      .withColumn("n_reached", sum(coalesce(col("n_at"), lit(0L))).over(wDesc))
+    val wAsc = Window.orderBy(col("step").asc)
+    reached
+      .withColumn("prev", lag(col("n_reached"), 1).over(wAsc))
+      .withColumn("first", first(col("n_reached")).over(
+        wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("step"), col("n_reached"),
+        when(col("prev").isNull, lit(1.0))
+          .otherwise(col("n_reached").cast(DoubleType) /
+            col("prev").cast(DoubleType)).as("step_rate"),
+        (col("n_reached").cast(DoubleType) /
+          col("first").cast(DoubleType)).as("overall_rate"))
+  }
+
   /** Per-bucket churn: of the users active in bucket b−1, how many did
     * NOT return in bucket b — [[retentionCohorts]] asks "who came back
     * k buckets after their FIRST visit"; churn asks the operational

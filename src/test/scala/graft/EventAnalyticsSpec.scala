@@ -232,6 +232,37 @@ class EventAnalyticsSpec extends SparkSpec {
     byCur.foreach { case (_, p) => assert(math.abs(p - 1.0) < 1e-12) }
   }
 
+  test("hourOfWeekProfile: epoch DOW arithmetic (1970-01-01 is Thursday=4)") {
+    val ev = Seq(
+      new java.sql.Timestamp(0L),                      // Thu 00h
+      new java.sql.Timestamp(3600000L * 26),           // Fri 02h
+      new java.sql.Timestamp(86400000L * 3)            // Sun 00h (day 3)
+    ).map(Tuple1(_)).toDF("ts")
+    val out = EventAnalytics.hourOfWeekProfile(ev, "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((4L, 0L) -> 1L, (5L, 2L) -> 1L, (0L, 0L) -> 1L))
+  }
+
+  test("funnelSummary: reach counts are cumulative-from-deepest, rates exact") {
+    val ev = Seq(
+      // u1 full funnel; u2 view+click; u3 view only; u4 none of the steps
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:01:00")),
+      (1L, "purchase", ts("2024-01-01 10:02:00")),
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      (2L, "click", ts("2024-01-01 10:01:00")),
+      (3L, "view", ts("2024-01-01 10:00:00")),
+      (4L, "error", ts("2024-01-01 10:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val out = EventAnalytics.funnelSummary(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((3L, 1.0, 1.0)))
+    assert(out(2L) == ((2L, 2.0 / 3, 2.0 / 3)))
+    assert(out(3L) == ((1L, 0.5, 1.0 / 3)))
+  }
+
   test("churn / newVsReturning: exact membership deltas per day") {
     def at(day: Int, u: Long) =
       (u, new java.sql.Timestamp(1704067200000L + day * 86400000L))
