@@ -2111,6 +2111,25 @@ object SparkEntry {
         .orderBy(col("event_type"), col("event_id"))
     },
 
+    // ---- X: language-ID confidence margin — the accept/review signal
+    //      next to x7's hard label; integer-exact 2·max + min − sum ----
+    "x137_langid_margin" -> { (s, dir) =>
+      import graft.functions.TextFunctions
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_pred"),
+        TextFunctions.langIdMargin(col("text")).cast("long").as("margin"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- X: near-dup cluster cohesion — per component: size, pair
+    //      count, density (template family vs chain), mean score ----
+    "x138_cluster_cohesion" -> { (s, dir) =>
+      val pairs = graft.operators.Dedup.ngramJaccardPairs(
+        t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.8)
+      graft.operators.Dedup.clusterCohesion(pairs, "id_a", "id_b", "jaccard")
+        .orderBy(col("cluster"))
+    },
+
     // ---- X: hour-of-week traffic fingerprint — integer epoch
     //      arithmetic (engine DOW conventions differ; epoch division
     //      doesn't); <= 168 cells ----
@@ -2800,6 +2819,58 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "x123_minhash_calibration" -> minhashCalibrationOracle,
     "x124_simhash_replay" -> simhashReplayOracle,
+
+    "x137_langid_margin" ->
+      """WITH h AS (SELECT doc_id,
+           len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ('the','a','of','and','to','in','is','it','for','on'))) AS en,
+           len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ('der','die','das','und','ist','ein','zu','mit','auf','nicht'))) AS de,
+           len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ('le','la','les','et','est','un','une','dans','pour','que'))) AS fr
+         FROM documents)
+         SELECT doc_id,
+           CASE WHEN greatest(en, de, fr) = 0 THEN 'und'
+                WHEN de >= en AND de >= fr THEN 'de'
+                WHEN en >= fr THEN 'en'
+                ELSE 'fr' END AS lang_pred,
+           CAST(2 * greatest(en, de, fr) + least(en, de, fr)
+             - (en + de + fr) AS BIGINT) AS margin
+         FROM h ORDER BY doc_id""",
+
+    // x39's pair + recursive-closure CTEs, then per-cluster aggregates;
+    // density divides exact integers, mean_score rounds the small
+    // per-cluster average (the x45 precedent)
+    "x138_cluster_cohesion" ->
+      """WITH RECURSIVE
+         w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+                FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1))) t(i)),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                   FROM sh a JOIN sh b USING (s)
+                   WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         pj AS (SELECT id_a, id_b,
+                  CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+                FROM inter JOIN sz sa ON id_a = sa.doc_id
+                           JOIN sz sb ON id_b = sb.doc_id
+                WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8),
+         edges AS (SELECT id_a AS u, id_b AS v FROM pj
+                   UNION SELECT id_b, id_a FROM pj),
+         reach(a, b) AS (SELECT u, v FROM edges
+                         UNION
+                         SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u),
+         lab AS (SELECT a AS id, least(min(b), a) AS cluster
+                 FROM reach GROUP BY a),
+         szs AS (SELECT cluster, count(*) AS n_nodes FROM lab GROUP BY 1),
+         pc AS (SELECT lab.cluster, count(*) AS n_pairs,
+                  round(avg(jaccard), 6) AS mean_score
+                FROM pj JOIN lab ON pj.id_a = lab.id GROUP BY 1)
+         SELECT pc.cluster, szs.n_nodes, pc.n_pairs,
+           CAST(pc.n_pairs AS DOUBLE) * 2.0
+             / CAST(szs.n_nodes * (szs.n_nodes - 1) AS DOUBLE) AS density,
+           pc.mean_score
+         FROM pc JOIN szs USING (cluster) ORDER BY cluster""",
 
     "x135_hour_of_week" ->
       """WITH u AS (SELECT epoch_us(ts) AS us FROM events)

@@ -72,6 +72,19 @@ object TextFunctions {
   def stopwordHits(text: Column, lang: String): Column =
     size(filter(tokens(lower(text)), w => w.isin(stopwords(lang): _*)))
 
+  /** Language-ID confidence margin: best stopword-hit count minus the
+    * runner-up's — the ACCEPT/REVIEW signal next to [[langId]]'s hard
+    * label (margin 0 = a coin flip between two languages; the x110
+    * code-switch test and this margin together cover "mixed" and
+    * "ambiguous", which a bare label conflates). Integer-exact:
+    * max − second = 2·max + min − sum over the three hit counts. */
+  def langIdMargin(text: Column): Column = {
+    val en = stopwordHits(text, "en")
+    val de = stopwordHits(text, "de")
+    val fr = stopwordHits(text, "fr")
+    lit(2) * greatest(en, de, fr) + least(en, de, fr) - (en + de + fr)
+  }
+
   /** Predicted language: highest stopword-hit count, ties broken by
     * alphabetical language code, 'und' (undetermined) when no hits.
     * Fold runs over languages in reverse-alphabetical order taking >= so

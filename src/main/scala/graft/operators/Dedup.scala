@@ -288,6 +288,37 @@ object Dedup {
       .select(col("band"), col("rk"), col(aCol), col(bCol), col(scoreCol))
   }
 
+  /** Near-dup CLUSTER cohesion report: per connected component of the
+    * pair graph, its size, detected-pair count, pair DENSITY (pairs /
+    * possible pairs — dense ≈ template family, sparse ≈ chain of
+    * coincidental overlaps; the cluster-level reading of x67's triangle
+    * counts) and the mean pair score. Density is a division of exact
+    * integers; the mean averages the handful of per-cluster scores
+    * (rounded to 6, the x45 summation precedent — clusters are small by
+    * the detector's construction).
+    *
+    * Shapes: pointer-jumping labels (ConnectedComponents), one
+    * shuffle_hash label join onto the pair frame, partial-agged
+    * per-cluster aggregates. Output: (cluster, n_nodes, n_pairs,
+    * density, mean_score). */
+  def clusterCohesion(pairs: DataFrame, aCol: String, bCol: String,
+      scoreCol: String): DataFrame = {
+    val labels = ConnectedComponents.labels(pairs, aCol, bCol)
+    val sizes = labels.groupBy(col("component").as("cluster"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val perCluster = pairs
+      .join(labels.toDF(aCol, "cluster").hint("shuffle_hash"), Seq(aCol))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col(scoreCol)), 6).as("mean_score"))
+    perCluster.join(sizes.hint("shuffle_hash"), Seq("cluster"))
+      .select(col("cluster"), col("n_nodes"), col("n_pairs"),
+        (col("n_pairs").cast(DoubleType) * 2.0 /
+          (col("n_nodes") * (col("n_nodes") - 1L)).cast(DoubleType))
+          .as("density"),
+        col("mean_score"))
+  }
+
   /** MinHash estimator calibration over a verified pair set: for each
     * exact-jaccard pair, the signature-agreement estimate
     * (#{i : sig_i(a) = sig_i(b)} / numHashes) NEXT TO the true jaccard —

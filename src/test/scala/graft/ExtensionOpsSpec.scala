@@ -668,6 +668,35 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(shifted.getLong(0) == 100L && shifted.getLong(1) == 100L)
   }
 
+  test("clusterCohesion: triangle is dense, chain is sparse, scores averaged") {
+    // cluster A: triangle {1,2,3} (density 1); cluster B: chain 10-11-12
+    // (density 2/3)
+    val pairs = Seq(
+      (1L, 2L, 0.9), (1L, 3L, 0.8), (2L, 3L, 1.0),
+      (10L, 11L, 0.85), (11L, 12L, 0.95)
+    ).toDF("id_a", "id_b", "jaccard")
+    val out = Dedup.clusterCohesion(pairs, "id_a", "id_b", "jaccard")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(1L) == ((3L, 3L, 1.0, 0.9)))
+    assert(out(10L)._1 == 3L && out(10L)._2 == 2L)
+    assert(math.abs(out(10L)._3 - 2.0 / 3) < 1e-12)
+    assert(out(10L)._4 == 0.9) // (0.85 + 0.95) / 2
+  }
+
+  test("langIdMargin: ambiguous docs margin 0, clear docs positive") {
+    import graft.functions.TextFunctions
+    val d = Seq(
+      (1L, "the a of and to"),       // clearly en: margin 5
+      (2L, "the der"),               // en-de coin flip: margin 0
+      (3L, "zz qq")                  // no hits anywhere: margin 0
+    ).toDF("doc_id", "text")
+    val out = d.select(col("doc_id"),
+      TextFunctions.langIdMargin(col("text")).cast("long").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 5L, 2L -> 0L, 3L -> 0L))
+  }
+
   test("minhashCalibration: estimates track exact jaccard on the verified pair set") {
     val cal = Dedup.minhashCalibration(docs, "doc_id", "text", 3, 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
