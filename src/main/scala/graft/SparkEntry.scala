@@ -2111,6 +2111,22 @@ object SparkEntry {
         .orderBy(col("event_type"), col("event_id"))
     },
 
+    // ---- X: small-cell disclosure worklist — (lang, source) cells
+    //      under the suppression threshold; the SDC rule before any
+    //      cross-tab ships ----
+    "x139_small_cells" -> { (s, dir) =>
+      graft.operators.Profile.smallCells(
+        t(s, dir, "documents"), Seq("lang", "source"), k = 10L)
+        .orderBy(col("lang"), col("source"))
+    },
+
+    // ---- X: exact-dedup savings accounting — total vs surviving tokens,
+    //      the number that justifies the dedup stage; all-integer ----
+    "x140_dedup_savings" -> { (s, dir) =>
+      graft.operators.Dedup.dedupSavings(
+        t(s, dir, "documents"), "doc_id", "text")
+    },
+
     // ---- X: language-ID confidence margin — the accept/review signal
     //      next to x7's hard label; integer-exact 2·max + min − sum ----
     "x137_langid_margin" -> { (s, dir) =>
@@ -2819,6 +2835,26 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "x123_minhash_calibration" -> minhashCalibrationOracle,
     "x124_simhash_replay" -> simhashReplayOracle,
+
+    "x139_small_cells" ->
+      """SELECT lang, source, count(*) AS n FROM documents
+         GROUP BY 1, 2 HAVING count(*) < 10
+         ORDER BY lang, source""",
+
+    "x140_dedup_savings" ->
+      """WITH f AS (SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+           FROM documents),
+         keep AS (SELECT fp, min(doc_id) AS keeper FROM f GROUP BY 1),
+         kt AS (SELECT CAST(sum(tok) AS BIGINT) AS kept_tokens
+                FROM f JOIN keep ON f.doc_id = keep.keeper),
+         tt AS (SELECT CAST(sum(tok) AS BIGINT) AS total_tokens FROM f)
+         SELECT tt.total_tokens, kt.kept_tokens,
+           tt.total_tokens - kt.kept_tokens AS dup_tokens,
+           CAST(tt.total_tokens - kt.kept_tokens AS DOUBLE)
+             / CAST(tt.total_tokens AS DOUBLE) AS savings_rate
+         FROM tt, kt""",
 
     "x137_langid_margin" ->
       """WITH h AS (SELECT doc_id,

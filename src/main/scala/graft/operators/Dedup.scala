@@ -288,6 +288,28 @@ object Dedup {
       .select(col("band"), col("rk"), col(aCol), col(bCol), col(scoreCol))
   }
 
+  /** Exact-dedup SAVINGS estimate — the before/after token accounting
+    * that justifies (or kills) a dedup stage: total corpus tokens, the
+    * tokens surviving exact dedup (lowest-id keeper per fingerprint),
+    * and the savings rate. ALL-INTEGER: token counts are exact longs,
+    * the rate is one division. Two partial-agged passes (corpus totals;
+    * keeper totals via the fingerprint window) — no join of the corpus
+    * against itself. Output: one row (total_tokens, kept_tokens,
+    * dup_tokens, savings_rate). */
+  def dedupSavings(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val tok = tokenCount(col(textCol)).cast(LongType)
+    val total = df.agg(sum(tok).as("total_tokens"))
+    val kept = exactDedup(df, idCol, textCol)
+      .agg(sum(tok).as("kept_tokens"))
+    total.crossJoin(broadcast(kept))
+      .select(col("total_tokens"), col("kept_tokens"),
+        (col("total_tokens") - col("kept_tokens")).as("dup_tokens"),
+        ((col("total_tokens") - col("kept_tokens")).cast(DoubleType) /
+          col("total_tokens").cast(DoubleType)).as("savings_rate"))
+  }
+
   /** Near-dup CLUSTER cohesion report: per connected component of the
     * pair graph, its size, detected-pair count, pair DENSITY (pairs /
     * possible pairs — dense ≈ template family, sparse ≈ chain of

@@ -162,6 +162,19 @@ object Profile {
       .select(col(keyCol), col("b.v").as("mode"), (-col("b.nn")).as("n_mode"))
   }
 
+  /** Small-cell disclosure report — the statistical-disclosure-control
+    * rule applied before any cross-tab leaves the pipeline: cells of the
+    * grouping with fewer than `k` rows identify near-unique subjects and
+    * must be suppressed or coarsened. Returns the OFFENDING cells (the
+    * suppression worklist), not just a count. One partial-agged groupBy
+    * over the cell key space; exact counts. Output: (cols..., n) for
+    * cells with n < k. */
+  def smallCells(df: DataFrame, cols: Seq[String], k: Long): DataFrame = {
+    require(cols.nonEmpty && k >= 2, "need grouping cols and k >= 2")
+    df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("n"))
+      .filter(col("n") < k)
+  }
+
   /** Population stability index between two numeric distributions — the
     * industry-standard drift number (PSI < 0.1 stable, > 0.25 shifted)
     * for "did this feature/score move between snapshots", the NUMERIC

@@ -668,6 +668,21 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(shifted.getLong(0) == 100L && shifted.getLong(1) == 100L)
   }
 
+  test("smallCells / dedupSavings: suppression worklist and token accounting") {
+    val d = Seq(
+      ("en", "web", 1L, "alpha beta"), ("en", "web", 2L, "alpha beta"),
+      ("en", "web", 3L, "gamma delta"),
+      ("de", "web", 4L, "eins zwei drei")
+    ).toDF("lang", "source", "doc_id", "text")
+    val cells = graft.operators.Profile.smallCells(d, Seq("lang", "source"), 3L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(cells.toSeq == Seq(("de", "web", 1L))) // en-web has 3 rows: safe
+    val sav = graft.operators.Dedup.dedupSavings(d, "doc_id", "text").head()
+    // 2+2+2+3 = 9 total tokens; the duplicate "alpha beta" loses 2
+    assert((sav.getLong(0), sav.getLong(1), sav.getLong(2)) == ((9L, 7L, 2L)))
+    assert(sav.getDouble(3) == 2.0 / 9)
+  }
+
   test("clusterCohesion: triangle is dense, chain is sparse, scores averaged") {
     // cluster A: triangle {1,2,3} (density 1); cluster B: chain 10-11-12
     // (density 2/3)
