@@ -2111,6 +2111,21 @@ object SparkEntry {
         .orderBy(col("event_type"), col("event_id"))
     },
 
+    // ---- X: embedding-norm QA — zero vectors break cosine, norm spread
+    //      decides dot-product rankings; one narrow norm scan ----
+    "x141_embedding_norms" -> { (s, dir) =>
+      graft.operators.Similarity.normProfile(
+        t(s, dir, "embeddings"), "embedding")
+    },
+
+    // ---- X: IVF list-balance report — probe latency is governed by the
+    //      largest touched lists; same codegen'd assignment as the x63
+    //      index build ----
+    "x142_ivf_balance" -> { (s, dir) =>
+      graft.operators.Similarity.ivfBalance(
+        t(s, dir, "embeddings"), "embedding", numCentroids = 16, dims = 64)
+    },
+
     // ---- X: small-cell disclosure worklist — (lang, source) cells
     //      under the suppression threshold; the SDC rule before any
     //      cross-tab ships ----
@@ -2835,6 +2850,42 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "x123_minhash_calibration" -> minhashCalibrationOracle,
     "x124_simhash_replay" -> simhashReplayOracle,
+
+    "x141_embedding_norms" ->
+      """WITH ev AS (SELECT list_transform(embedding,
+             x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         nn AS (SELECT round(sqrt(list_sum(
+             list_transform(v, x -> x * x))), 6) AS nm FROM ev)
+         SELECT count(*) AS n,
+           CAST(sum(CASE WHEN nm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero,
+           min(nm) AS min_norm, quantile_cont(nm, 0.5) AS p50_norm,
+           max(nm) AS max_norm
+         FROM nn""",
+
+    // x63's sign-pattern assignment CTEs (the gate-proven scorer), then
+    // list-size statistics
+    "x142_ivf_balance" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         bscore AS (SELECT e.vec_id, t.ci,
+             list_sum(list_transform(range(1, 65), i ->
+               CASE WHEN (('0x' || substr(md5(CAST(t.ci AS VARCHAR) || ',' ||
+                   CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT % 2) = 0
+                 THEN 1.0 ELSE -1.0 END
+               * coalesce(e.v[i], 0.0))) AS score
+           FROM e, UNNEST(range(0, 16)) t(ci)),
+         bucket AS (SELECT vec_id, ci AS bucket FROM (
+             SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id
+               ORDER BY score DESC, ci ASC) AS rn FROM bscore)
+           WHERE rn = 1),
+         s AS (SELECT bucket, count(*) AS sz FROM bucket GROUP BY 1)
+         SELECT count(*) AS n_buckets, CAST(min(sz) AS BIGINT) AS min_size,
+           quantile_cont(sz, 0.5) AS p50_size,
+           CAST(max(sz) AS BIGINT) AS max_size,
+           CAST(max(sz) AS DOUBLE) / quantile_cont(sz, 0.5) AS imbalance
+         FROM s""",
 
     "x139_small_cells" ->
       """SELECT lang, source, count(*) AS n FROM documents

@@ -24,6 +24,48 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = Dedup.cosine(a, b)
 
+  /** Embedding-norm QA profile — the pre-flight before ANY cosine-based
+    * stage: zero vectors make cosine NaN (they pair with nothing, per
+    * Dedup.cosine's contract — but a CORPUS of them means an upstream
+    * encoder bug), and a wide norm spread under dot-product retrieval
+    * means magnitude, not direction, decides rankings. One narrow
+    * per-row norm projection (ordered left-fold, deterministic) + one
+    * aggregate; min/max compare identical doubles, the median is the
+    * x13-proven percentile. Output: (n, n_zero, min_norm, p50_norm,
+    * max_norm), norms rounded to 6. */
+  def normProfile(df: DataFrame, vecCol: String): DataFrame = {
+    val norm = round(sqrt(aggregate(asDouble(col(vecCol)), lit(0.0),
+      (acc, v) => acc + v * v)), 6)
+    df.select(norm.as("nm"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("nm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        min(col("nm")).as("min_norm"),
+        expr("percentile(nm, 0.5)").as("p50_norm"),
+        max(col("nm")).as("max_norm"))
+  }
+
+  /** IVF list-balance report — the serving-health number FAISS operators
+    * watch: probe latency is governed by the LARGEST lists a query
+    * touches, so a skewed assignment (hot centroids) means tail latency
+    * regardless of the mean. Buckets from the SAME codegen'd assignment
+    * expression the index builds with (no scorer drift); sizes
+    * partial-agg to numCentroids rows; the imbalance ratio divides exact
+    * counts. Output: (n_buckets, min_size, p50_size, max_size,
+    * imbalance = max/p50). */
+  def ivfBalance(corpus: DataFrame, vecCol: String, numCentroids: Int,
+      dims: Int): DataFrame = {
+    val sizes = corpus
+      .select(ivfAssign(asDouble(col(vecCol)), numCentroids, dims).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("sz"))
+    sizes.agg(count(lit(1)).as("n_buckets"),
+        min(col("sz")).as("min_size"),
+        expr("percentile(sz, 0.5)").as("p50_size"),
+        max(col("sz")).as("max_size"))
+      .select(col("n_buckets"), col("min_size"), col("p50_size"),
+        col("max_size"),
+        (col("max_size").cast("double") / col("p50_size")).as("imbalance"))
+  }
+
   /** Exact top-k neighbors for each query vector. `queries` and `corpus`
     * both carry (idCol, vecCol); self-matches are excluded. The join is a
     * broadcast of the (small) query set against the corpus — no shuffle of
