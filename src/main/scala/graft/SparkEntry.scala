@@ -2111,6 +2111,26 @@ object SparkEntry {
         .orderBy(col("event_type"), col("event_id"))
     },
 
+    // ---- X: referential-integrity audit — orphan lineitems against a
+    //      deliberately-holed orders dimension (orderkey % 100 == 0
+    //      removed), proving the anti-join counts what inner joins would
+    //      silently drop ----
+    "x143_ref_integrity" -> { (s, dir) =>
+      graft.operators.Profile.refIntegrityReport(
+        t(s, dir, "lineitem"),
+        t(s, dir, "orders").filter(col("o_orderkey") % 100 =!= 0),
+        "l_orderkey", "o_orderkey")
+    },
+
+    // ---- X: functional-dependency violations — "lang determines
+    //      source" is false; the report lists each lang with its
+    //      distinct-source count (two-stage distinct, no Expand) ----
+    "x144_fd_violations" -> { (s, dir) =>
+      graft.operators.Profile.fdViolations(
+        t(s, dir, "documents"), "lang", "source")
+        .orderBy(col("lang"))
+    },
+
     // ---- X: embedding-norm QA — zero vectors break cosine, norm spread
     //      decides dot-product rankings; one narrow norm scan ----
     "x141_embedding_norms" -> { (s, dir) =>
@@ -2850,6 +2870,24 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "x123_minhash_calibration" -> minhashCalibrationOracle,
     "x124_simhash_replay" -> simhashReplayOracle,
+
+    "x143_ref_integrity" ->
+      """WITH p AS (SELECT DISTINCT o_orderkey FROM orders
+                    WHERE o_orderkey % 100 <> 0),
+         t AS (SELECT count(*) AS n_child FROM lineitem),
+         o AS (SELECT count(*) AS n_orphans FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM p
+                 WHERE p.o_orderkey = l.l_orderkey))
+         SELECT t.n_child, o.n_orphans,
+           CAST(o.n_orphans AS DOUBLE) / CAST(t.n_child AS DOUBLE)
+             AS orphan_rate
+         FROM t, o""",
+
+    "x144_fd_violations" ->
+      """WITH d AS (SELECT DISTINCT lang, source FROM documents
+                    WHERE lang IS NOT NULL AND source IS NOT NULL)
+         SELECT lang, count(*) AS n_distinct_dep FROM d
+         GROUP BY 1 HAVING count(*) > 1 ORDER BY lang""",
 
     "x141_embedding_norms" ->
       """WITH ev AS (SELECT list_transform(embedding,

@@ -162,6 +162,40 @@ object Profile {
       .select(col(keyCol), col("b.v").as("mode"), (-col("b.nn")).as("n_mode"))
   }
 
+  /** Referential-integrity audit: how many child rows point at a parent
+    * key that doesn't exist — the first data-quality gate on any
+    * star-schema load (an orphan fact row silently vanishes from every
+    * inner join downstream, so the join results LOOK clean while
+    * undercounting). One equi LEFT ANTI join on the key (the parent side
+    * reduces to its distinct keys first) + exact counts. Output: one row
+    * (n_child, n_orphans, orphan_rate). */
+  def refIntegrityReport(child: DataFrame, parent: DataFrame,
+      childKey: String, parentKey: String): DataFrame = {
+    val keys = parent.select(col(parentKey).as(childKey)).distinct()
+    val nChild = child.count()
+    val orphans = child.select(col(childKey))
+      .join(keys.hint("shuffle_hash"), Seq(childKey), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    orphans.select(lit(nChild).as("n_child"), col("n_orphans"),
+      (col("n_orphans").cast("double") / lit(nChild.toDouble))
+        .as("orphan_rate"))
+  }
+
+  /** Functional-dependency violation report: for "A should determine B"
+    * (an order has one customer, a doc has one language), the A values
+    * that map to MORE than one distinct B — the schema-assumption check
+    * profiling tools run before anyone writes a join that silently
+    * fans out. Two-stage distinct (the x31 shape — no COUNT DISTINCT
+    * Expand). Output: (det value, n_distinct_dep) for violators only. */
+  def fdViolations(df: DataFrame, detCol: String,
+      depCol: String): DataFrame = {
+    df.select(col(detCol), col(depCol))
+      .filter(col(detCol).isNotNull && col(depCol).isNotNull)
+      .distinct()
+      .groupBy(col(detCol)).agg(count(lit(1)).as("n_distinct_dep"))
+      .filter(col("n_distinct_dep") > 1L)
+  }
+
   /** Small-cell disclosure report — the statistical-disclosure-control
     * rule applied before any cross-tab leaves the pipeline: cells of the
     * grouping with fewer than `k` rows identify near-unique subjects and
