@@ -2111,6 +2111,29 @@ object SparkEntry {
         .orderBy(col("event_type"), col("event_id"))
     },
 
+    // ---- X: source quality league table — per-source exact-sum mean
+    //      quality and its z vs the GLOBAL distribution; which sources
+    //      drag the corpus, in refresh-comparable units ----
+    "x145_source_league" -> { (s, dir) =>
+      graft.operators.Evaluation.sourceLeague(
+        t(s, dir, "documents").select(col("source"),
+          graft.functions.TextFunctions.qualityScore(col("text")).as("q")),
+        "source", "q")
+        .orderBy(col("source"))
+    },
+
+    // ---- X: tokenization-stability check — docs whose text does NOT
+    //      round-trip split/join (irregular whitespace): every
+    //      token-based op silently renormalizes these ----
+    "x146_tokenization_stable" -> { (s, dir) =>
+      import graft.functions.TextFunctions
+      t(s, dir, "documents")
+        .select((col("text") === array_join(
+          TextFunctions.tokens(col("text")), " ")).as("stable"))
+        .groupBy(col("stable")).agg(count(lit(1)).as("n"))
+        .orderBy(col("stable"))
+    },
+
     // ---- X: referential-integrity audit — orphan lineitems against a
     //      deliberately-holed orders dimension (orderkey % 100 == 0
     //      removed), proving the anti-join counts what inner joins would
@@ -2870,6 +2893,42 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "x123_minhash_calibration" -> minhashCalibrationOracle,
     "x124_simhash_replay" -> simhashReplayOracle,
+
+    // the x8 quality formula -> exact DECIMAL sums per source and
+    // globally -> the same fixed-order mean/sd/z formula
+    "x145_source_league" ->
+      """WITH h AS (SELECT source, text,
+           len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ('the','a','of','and','to','in','is','it','for','on',
+                        'der','die','das','und','ist','ein','zu','mit','auf','nicht',
+                        'le','la','les','et','est','un','une','dans','pour','que'))) AS sw
+         FROM documents),
+         q AS (SELECT source,
+             CAST(round((least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.5
+               + least((CASE WHEN len(string_split(lower(text), ' ')) = 0 THEN 0.0
+                   ELSE CAST(sw AS DOUBLE) / len(string_split(lower(text), ' ')) END) * 5.0, 1.0) * 0.3)
+               * (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+                   ELSE CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                        / length(text) END) * 5.0, 1.0) * 0.5), 6)
+               AS DECIMAL(18,6)) AS x
+           FROM h),
+         g AS (SELECT count(*) AS gn, sum(x) AS gsx, sum(x * x) AS gsxx FROM q),
+         p AS (SELECT source, count(*) AS n, sum(x) AS sx FROM q GROUP BY 1)
+         SELECT p.source, p.n,
+           round(CAST(CAST(p.sx AS VARCHAR) AS DOUBLE) / CAST(p.n AS DOUBLE), 6)
+             AS mean_score,
+           round((CAST(CAST(p.sx AS VARCHAR) AS DOUBLE) / CAST(p.n AS DOUBLE)
+               - CAST(CAST(g.gsx AS VARCHAR) AS DOUBLE) / CAST(g.gn AS DOUBLE))
+             / sqrt(CAST(CAST(g.gsxx AS VARCHAR) AS DOUBLE) / CAST(g.gn AS DOUBLE)
+               - (CAST(CAST(g.gsx AS VARCHAR) AS DOUBLE) / CAST(g.gn AS DOUBLE))
+                 * (CAST(CAST(g.gsx AS VARCHAR) AS DOUBLE) / CAST(g.gn AS DOUBLE))), 6)
+             AS z
+         FROM p, g ORDER BY source""",
+
+    "x146_tokenization_stable" ->
+      """SELECT (text = array_to_string(string_split(text, ' '), ' ')) AS stable,
+           count(*) AS n
+         FROM documents GROUP BY 1 ORDER BY stable""",
 
     "x143_ref_integrity" ->
       """WITH p AS (SELECT DISTINCT o_orderkey FROM orders

@@ -159,6 +159,34 @@ object Evaluation {
     s.select(col("n"), round(r, 6).as("r"))
   }
 
+  /** Source league table: per group, the exact-sum mean of a
+    * 6-decimal-rounded score and its z-score against the GLOBAL
+    * distribution — which sources drag corpus quality down, in units
+    * (global sds) that are comparable across refreshes. Means divide
+    * exact DECIMAL sums once; the global mean/sd come from the same
+    * exact moments ([[pearsonExact]]'s discipline: no floating partial
+    * aggregates), and z = (mean_g − mean)/sd is a fixed-order double
+    * formula rounded to 6. Two partial-agged scans + a broadcast 1-row
+    * stats frame. Output: (group, n, mean_score, z). */
+  def sourceLeague(df: DataFrame, groupCol: String,
+      scoreCol: String): DataFrame = {
+    val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val v = df.select(col(groupCol), col(scoreCol).cast(d6).as("x"))
+      .filter(col("x").isNotNull)
+    def d(c: Column) = c.cast(StringType).cast(DoubleType)
+    val g = v.agg(count(lit(1)).as("gn"), sum(col("x")).as("gsx"),
+      sum(col("x") * col("x")).as("gsxx"))
+    val per = v.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val gn = col("gn").cast(DoubleType)
+    val mean = d(col("sx")) / col("n").cast(DoubleType)
+    val gmean = d(col("gsx")) / gn
+    val sd = sqrt(d(col("gsxx")) / gn - (d(col("gsx")) / gn) * (d(col("gsx")) / gn))
+    per.crossJoin(broadcast(g))
+      .select(col(groupCol), col("n"), round(mean, 6).as("mean_score"),
+        round((mean - gmean) / sd, 6).as("z"))
+  }
+
   /** Exact Spearman rank correlation via MIDRANKS — [[pearsonExact]] on
     * the rank scale: robust to any monotone transform (log-scaled scores
     * correlate identically), the right question when two scorers use
