@@ -2111,6 +2111,30 @@ object SparkEntry {
         .orderBy(col("event_type"), col("event_id"))
     },
 
+    // ---- X: near-dup savings accounting — x140's ROI number for the
+    //      NEAR-dup stage: tokens kept when every near-dup cluster
+    //      collapses to its canonical member (x69's gate-proven pick) ----
+    "x147_neardup_savings" -> { (s, dir) =>
+      import graft.functions.TextFunctions
+      val docs = t(s, dir, "documents")
+      val pairs = graft.operators.Dedup.minhashLshPairs(
+        docs, "doc_id", "text", threshold = 0.8)
+      val keepers = graft.operators.Dedup.canonicalPerCluster(
+        docs.withColumn("len", col("n_chars")), pairs, "doc_id",
+        col("len"))
+        .select(col("kept_id").as("doc_id"))
+      val tok = TextFunctions.tokenCount(col("text")).cast("long")
+      val total = docs.agg(sum(tok).as("total_tokens"))
+      val kept = docs.join(keepers.hint("shuffle_hash"), Seq("doc_id"),
+          "left_semi")
+        .agg(sum(tok).as("kept_tokens"))
+      total.crossJoin(broadcast(kept))
+        .select(col("total_tokens"), col("kept_tokens"),
+          (col("total_tokens") - col("kept_tokens")).as("dup_tokens"),
+          ((col("total_tokens") - col("kept_tokens")).cast("double") /
+            col("total_tokens").cast("double")).as("savings_rate"))
+    },
+
     // ---- X: source quality league table — per-source exact-sum mean
     //      quality and its z vs the GLOBAL distribution; which sources
     //      drag the corpus, in refresh-comparable units ----
@@ -2893,6 +2917,45 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "x123_minhash_calibration" -> minhashCalibrationOracle,
     "x124_simhash_replay" -> simhashReplayOracle,
+
+    // x69's recursive-closure + canonical-pick CTEs feed the same
+    // all-integer token accounting as x140
+    "x147_neardup_savings" ->
+      """WITH RECURSIVE
+         w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+                FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1))) t(i)),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                   FROM sh a JOIN sh b USING (s)
+                   WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         pairs AS (SELECT id_a, id_b
+                   FROM inter JOIN sz sa ON id_a = sa.doc_id
+                              JOIN sz sb ON id_b = sb.doc_id
+                   WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8),
+         edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach(a, b) AS (SELECT u, v FROM edges
+                         UNION
+                         SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u),
+         lab AS (SELECT a AS id, least(min(b), a) AS component
+                 FROM reach GROUP BY a),
+         m AS (SELECT d.doc_id, coalesce(l.component, d.doc_id) AS cluster,
+                      d.n_chars,
+                      CAST(len(string_split(d.text, ' ')) AS BIGINT) AS tok
+               FROM documents d LEFT JOIN lab l ON d.doc_id = l.id),
+         r AS (SELECT doc_id, tok,
+                 row_number() OVER (PARTITION BY cluster
+                   ORDER BY n_chars DESC, doc_id ASC) AS rn
+               FROM m),
+         kt AS (SELECT CAST(sum(tok) AS BIGINT) AS kept_tokens
+                FROM r WHERE rn = 1),
+         tt AS (SELECT CAST(sum(tok) AS BIGINT) AS total_tokens FROM m)
+         SELECT tt.total_tokens, kt.kept_tokens,
+           tt.total_tokens - kt.kept_tokens AS dup_tokens,
+           CAST(tt.total_tokens - kt.kept_tokens AS DOUBLE)
+             / CAST(tt.total_tokens AS DOUBLE) AS savings_rate
+         FROM tt, kt""",
 
     // the x8 quality formula -> exact DECIMAL sums per source and
     // globally -> the same fixed-order mean/sd/z formula
