@@ -2111,6 +2111,26 @@ object SparkEntry {
         .orderBy(col("event_type"), col("event_id"))
     },
 
+    // ---- X: empirical 60-bit fingerprint collision audit — the
+    //      birthday-bound argument turned into a measured per-refresh
+    //      certificate; two-stage distincts, no Expand ----
+    "x148_hash_collisions" -> { (s, dir) =>
+      graft.operators.Dedup.hashCollisionAudit(
+        t(s, dir, "documents"), "text")
+    },
+
+    // ---- X: per-source extremes review queue — top/bottom 2 quality
+    //      docs per source; the tails x122's mid-band sampler doesn't
+    //      surface ----
+    "x149_extremes_queue" -> { (s, dir) =>
+      import graft.functions.TextFunctions
+      graft.operators.Profile.extremesByKey(
+        t(s, dir, "documents").select(col("source"), col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("q")),
+        "source", "doc_id", "q", k = 2)
+        .orderBy(col("source"), col("end"), col("rk"))
+    },
+
     // ---- X: near-dup savings accounting — x140's ROI number for the
     //      NEAR-dup stage: tokens kept when every near-dup cluster
     //      collapses to its canonical member (x69's gate-proven pick) ----
@@ -2917,6 +2937,46 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "x123_minhash_calibration" -> minhashCalibrationOracle,
     "x124_simhash_replay" -> simhashReplayOracle,
+
+    "x148_hash_collisions" ->
+      """WITH t AS (SELECT DISTINCT regexp_replace(lower(trim(text)),
+             '\s+', ' ', 'g') AS nt FROM documents),
+         a AS (SELECT count(*) AS n_distinct_texts FROM t),
+         b AS (SELECT count(*) AS n_distinct_fps FROM (
+             SELECT DISTINCT ('0x' || substr(md5(nt), 1, 15))::BIGINT
+             FROM t))
+         SELECT a.n_distinct_texts, b.n_distinct_fps,
+           a.n_distinct_texts - b.n_distinct_fps AS n_collisions
+         FROM a, b""",
+
+    // the x8 quality formula, then keyed rank windows from both ends
+    "x149_extremes_queue" ->
+      """WITH h AS (SELECT source, doc_id, text,
+           len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ('the','a','of','and','to','in','is','it','for','on',
+                        'der','die','das','und','ist','ein','zu','mit','auf','nicht',
+                        'le','la','les','et','est','un','une','dans','pour','que'))) AS sw
+         FROM documents),
+         q AS (SELECT source, doc_id,
+             round((least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.5
+               + least((CASE WHEN len(string_split(lower(text), ' ')) = 0 THEN 0.0
+                   ELSE CAST(sw AS DOUBLE) / len(string_split(lower(text), ' ')) END) * 5.0, 1.0) * 0.3)
+               * (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+                   ELSE CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                        / length(text) END) * 5.0, 1.0) * 0.5), 6) AS q
+           FROM h),
+         tp AS (SELECT source, 'top' AS "end",
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY q DESC, doc_id ASC) AS rk, doc_id, q
+                FROM q),
+         bt AS (SELECT source, 'bottom' AS "end",
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY q ASC, doc_id ASC) AS rk, doc_id, q
+                FROM q)
+         SELECT source, "end", rk, doc_id, q
+         FROM (SELECT * FROM tp WHERE rk <= 2
+               UNION ALL SELECT * FROM bt WHERE rk <= 2)
+         ORDER BY source, "end", rk""",
 
     // x69's recursive-closure + canonical-pick CTEs feed the same
     // all-integer token accounting as x140

@@ -288,6 +288,24 @@ object Dedup {
       .select(col("band"), col("rk"), col(aCol), col(bCol), col(scoreCol))
   }
 
+  /** Empirical hash-collision audit for the 60-bit fingerprint every
+    * md5-based operator keys on: distinct normalized texts vs distinct
+    * fingerprintLong values — any gap is a REAL collision on THIS
+    * corpus, turning the birthday-bound argument (~n²/2^61) into a
+    * measured certificate per refresh. Two-stage distinct counts (the
+    * x31 shape, no Expand); one narrow normalize scan. Output: one row
+    * (n_distinct_texts, n_distinct_fps, n_collisions). */
+  def hashCollisionAudit(df: DataFrame, textCol: String): DataFrame = {
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    val texts = df.select(norm.as("nt")).distinct()
+    val nTexts = texts.agg(count(lit(1)).as("n_distinct_texts"))
+    val nFps = texts.select(md5Long(col("nt")).as("fp")).distinct()
+      .agg(count(lit(1)).as("n_distinct_fps"))
+    nTexts.crossJoin(broadcast(nFps))
+      .select(col("n_distinct_texts"), col("n_distinct_fps"),
+        (col("n_distinct_texts") - col("n_distinct_fps")).as("n_collisions"))
+  }
+
   /** Exact-dedup SAVINGS estimate — the before/after token accounting
     * that justifies (or kills) a dedup stage: total corpus tokens, the
     * tokens surviving exact dedup (lowest-id keeper per fingerprint),

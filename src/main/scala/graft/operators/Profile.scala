@@ -162,6 +162,31 @@ object Profile {
       .select(col(keyCol), col("b.v").as("mode"), (-col("b.nn")).as("n_mode"))
   }
 
+  /** Per-group EXTREMES review queue: the top-k and bottom-k rows by a
+    * score within every group — the human-review workflow behind any
+    * scorer rollout (read the best and worst of each source before
+    * trusting the mean; x122 samples MID-band pairs, this surfaces the
+    * tails). Two keyed rank windows (shuffle by group, never global),
+    * output bounded at groups x 2k. Ties to the id. Output: (group, end
+    * 'top'|'bottom', rk, id, score). */
+  def extremesByKey(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be >= 1")
+    val v = df.select(col(groupCol), col(idCol), col(scoreCol))
+      .filter(col(scoreCol).isNotNull)
+    def cut(end: String, desc: Boolean): DataFrame = {
+      val ord = if (desc) Seq(col(scoreCol).desc, col(idCol).asc)
+        else Seq(col(scoreCol).asc, col(idCol).asc)
+      val w = Window.partitionBy(col(groupCol)).orderBy(ord: _*)
+      v.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= k)
+        .select(col(groupCol), lit(end).as("end"), col("rk"), col(idCol),
+          col(scoreCol))
+    }
+    cut("top", desc = true).unionAll(cut("bottom", desc = false))
+  }
+
   /** Referential-integrity audit: how many child rows point at a parent
     * key that doesn't exist — the first data-quality gate on any
     * star-schema load (an orphan fact row silently vanishes from every
