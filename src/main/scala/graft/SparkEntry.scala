@@ -2111,6 +2111,14 @@ object SparkEntry {
         .orderBy(col("event_type"), col("event_id"))
     },
 
+    // ---- X: out-of-orderness report — the watermark-sizing diagnostic:
+    //      per-user arrival-order time regressions, worst case in exact
+    //      micros; a delay below this tail silently drops events ----
+    "x150_out_of_orderness" -> { (s, dir) =>
+      graft.operators.EventAnalytics.outOfOrderness(
+        t(s, dir, "events"), "user_id", "event_id", "ts")
+    },
+
     // ---- X: empirical 60-bit fingerprint collision audit — the
     //      birthday-bound argument turned into a measured per-refresh
     //      certificate; two-stage distincts, no Expand ----
@@ -2937,6 +2945,20 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "x123_minhash_calibration" -> minhashCalibrationOracle,
     "x124_simhash_replay" -> simhashReplayOracle,
+
+    "x150_out_of_orderness" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+               ORDER BY event_id) AS prev
+           FROM events),
+         f AS (SELECT * FROM p WHERE prev IS NOT NULL)
+         SELECT count(*) AS n_pairs,
+           CAST(sum(CASE WHEN us < prev THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_inversions,
+           CAST(sum(CASE WHEN us < prev THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS inversion_rate,
+           CAST(max(greatest(prev - us, 0)) AS BIGINT) AS max_regression_us
+         FROM f""",
 
     "x148_hash_collisions" ->
       """WITH t AS (SELECT DISTINCT regexp_replace(lower(trim(text)),

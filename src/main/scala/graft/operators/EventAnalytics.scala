@@ -302,6 +302,37 @@ object EventAnalytics {
         sum(col("cnt")).over(perCur).cast(DoubleType))
   }
 
+  /** Out-of-orderness report — THE watermark-sizing diagnostic: in
+    * arrival order (the ingestion sequence column), how often does event
+    * time step BACKWARD, and by how much at worst. A watermark delay
+    * below the observed regression tail silently DROPS those events from
+    * every windowed aggregate; above it, state lingers longer than
+    * needed — this report is how the delay is chosen from data instead
+    * of folklore. Measured per user (the keyed lag window — arrival
+    * order is only meaningful within a partition's sequence at scale)
+    * and aggregated: pair count, inversion count/rate, and the maximum
+    * backward step in exact microseconds. Output: one row (n_pairs,
+    * n_inversions, inversion_rate, max_regression_us). */
+  def outOfOrderness(events: DataFrame, userCol: String, seqCol: String,
+      tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DoubleType
+    val w = Window.partitionBy(col(userCol)).orderBy(col(seqCol))
+    val pairs = events
+      .select(col(userCol), col(seqCol), unix_micros(col(tsCol)).as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .filter(col("prev").isNotNull)
+    pairs.agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("us") < col("prev"), 1L).otherwise(0L))
+          .as("n_inversions"),
+        max(greatest(col("prev") - col("us"), lit(0L)))
+          .as("max_regression_us"))
+      .select(col("n_pairs"), col("n_inversions"),
+        (col("n_inversions").cast(DoubleType) /
+          col("n_pairs").cast(DoubleType)).as("inversion_rate"),
+        col("max_regression_us"))
+  }
+
   /** Hour-of-week seasonal profile: event counts per (day-of-week, hour)
     * cell — the traffic fingerprint capacity planning and the x66/x129
     * anomaly baselines are read against (a Tuesday-3am spike means

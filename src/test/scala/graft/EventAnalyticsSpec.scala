@@ -232,6 +232,24 @@ class EventAnalyticsSpec extends SparkSpec {
     byCur.foreach { case (_, p) => assert(math.abs(p - 1.0) < 1e-12) }
   }
 
+  test("outOfOrderness: inversion count and worst backward step in exact micros") {
+    val ev = Seq(
+      // u1 arrival order 1,2,3,4 with one 90s time regression at seq 3
+      (1L, 1L, ts("2024-01-01 10:00:00")),
+      (1L, 2L, ts("2024-01-01 10:05:00")),
+      (1L, 3L, ts("2024-01-01 10:03:30")), // 90s late
+      (1L, 4L, ts("2024-01-01 10:06:00")),
+      // u2 perfectly ordered
+      (2L, 5L, ts("2024-01-01 09:00:00")),
+      (2L, 6L, ts("2024-01-01 09:01:00"))
+    ).toDF("user_id", "event_id", "ts")
+    val r = EventAnalytics.outOfOrderness(ev, "user_id", "event_id", "ts")
+      .head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 1L)
+    assert(r.getDouble(2) == 0.25)
+    assert(r.getLong(3) == 90000000L) // the watermark must cover 90s
+  }
+
   test("hourOfWeekProfile: epoch DOW arithmetic (1970-01-01 is Thursday=4)") {
     val ev = Seq(
       new java.sql.Timestamp(0L),                      // Thu 00h
