@@ -2111,6 +2111,32 @@ object SparkEntry {
         .orderBy(col("event_type"), col("event_id"))
     },
 
+    // ---- X: top behavioral segment signatures — each user's canonical
+    //      distinct-type set, counted corpus-wide; segmentation read
+    //      before personas are hand-defined ----
+    "x151_segment_signatures" -> { (s, dir) =>
+      graft.operators.EventAnalytics.segmentSignatures(
+        t(s, dir, "events"), "user_id", "event_type", k = 10)
+        .orderBy(col("rk"))
+    },
+
+    // ---- X: MRR of the true top-1 inside the IVF-ADC list — recall@k's
+    //      first-position sibling, the one-result-consumed metric ----
+    "x152_mrr" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val approx = graft.operators.Quantization.ivfAdcTopK(
+        e, "vec_id", "embedding", queryId = 0L, topK = 20,
+        numCentroids = 16, nprobe = 4)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("adist").asc, col("vec_id").asc)).cast("long"))
+        .select(lit(0L).as("query_id"), col("vec_id").as("neighbor_id"),
+          col("rank"))
+      val exact = graft.operators.Similarity.bruteForceTopK(
+        e.filter(col("vec_id") === 0), e, "vec_id", "embedding", k = 20)
+      graft.operators.Evaluation.mrr(
+        approx, exact, "query_id", "neighbor_id", "rank")
+    },
+
     // ---- X: out-of-orderness report — the watermark-sizing diagnostic:
     //      per-user arrival-order time regressions, worst case in exact
     //      micros; a delay below this tail silently drops events ----
@@ -2945,6 +2971,40 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "x123_minhash_calibration" -> minhashCalibrationOracle,
     "x124_simhash_replay" -> simhashReplayOracle,
+
+    "x151_segment_signatures" ->
+      """WITH d AS (SELECT DISTINCT user_id AS u, event_type AS t FROM events),
+         sig AS (SELECT u, array_to_string(list_sort(list(t)), ',')
+                   AS signature, count(*) AS n_types
+                 FROM d GROUP BY 1),
+         c AS (SELECT signature, n_types, count(*) AS n_users
+               FROM sig GROUP BY 1, 2),
+         r AS (SELECT signature, n_types, n_users,
+             row_number() OVER (ORDER BY n_users DESC, signature ASC) AS rk
+           FROM c)
+         SELECT rk, signature, CAST(n_types AS BIGINT) AS n_types, n_users
+         FROM r WHERE rk <= 10 ORDER BY rk""",
+
+    "x152_mrr" ->
+      s"""WITH a0 AS (SELECT vec_id AS neighbor_id, adist FROM ($ivfAdcOracle)),
+         a AS (SELECT neighbor_id, row_number() OVER
+                 (ORDER BY adist ASC, neighbor_id ASC) AS ar FROM a0),
+         e2 AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         s0 AS (SELECT c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i]))
+               / (sqrt(list_sum(list_transform(range(1, 65), i -> q.v[i] * q.v[i])))
+                  * sqrt(list_sum(list_transform(range(1, 65), i -> c.v[i] * c.v[i])))) AS cos
+           FROM e2 q, e2 c WHERE q.vec_id = 0 AND c.vec_id <> 0),
+         ex1 AS (SELECT neighbor_id FROM s0
+                 ORDER BY cos DESC, neighbor_id ASC LIMIT 1),
+         h AS (SELECT coalesce(CAST(1.0 AS DOUBLE) / a.ar, 0.0) AS rr
+               FROM ex1 LEFT JOIN a USING (neighbor_id))
+         SELECT CAST(1 AS BIGINT) AS n_queries,
+           CAST(CASE WHEN rr > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_found,
+           round(rr, 6) AS mrr
+         FROM h""",
 
     "x150_out_of_orderness" ->
       """WITH p AS (SELECT user_id, epoch_us(ts) AS us,

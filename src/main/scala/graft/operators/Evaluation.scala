@@ -288,6 +288,29 @@ object Evaluation {
         (col("tp").cast(DoubleType) / lit(np.toDouble)).as("recall"))
   }
 
+  /** Mean reciprocal rank of the TRUE top-1 inside an approximate list —
+    * [[recallAtK]]'s first-position sibling: recall@k says the right
+    * answers are SOMEWHERE in the list; MRR says how close the single
+    * best answer sits to the top, the metric that matters when only one
+    * result is consumed (RAG context slot 1, dedup canonical pick).
+    * Per query: 1/rank of the exact rank-1 item in the approx list, 0
+    * if absent — an exact rational; the mean over queries divides once
+    * and rounds to 6 (#queries-bounded sum, the x45 precedent). Both
+    * inputs candidate-sized. Output: (n_queries, n_found, mrr). */
+  def mrr(approx: DataFrame, exact: DataFrame, queryCol: String,
+      idCol: String, rankCol: String): DataFrame = {
+    val truth = exact.filter(col(rankCol) === 1)
+      .select(col(queryCol), col(idCol))
+    val hits = truth.join(
+        approx.select(col(queryCol), col(idCol), col(rankCol).as("__ar")),
+        Seq(queryCol, idCol), "left")
+      .select(col(queryCol),
+        coalesce(lit(1.0) / col("__ar").cast(DoubleType), lit(0.0)).as("rr"))
+    hits.agg(count(lit(1)).as("n_queries"),
+        sum(when(col("rr") > 0.0, 1L).otherwise(0L)).as("n_found"),
+        round(sum(col("rr")) / count(lit(1)), 6).as("mrr"))
+  }
+
   /** Recall@k of an approximate neighbor list against the exact one —
     * the acceptance test for every ANN trade-off in the repo (IVF probe
     * counts, PQ code budgets, LSH banding): "how much of the true top-k

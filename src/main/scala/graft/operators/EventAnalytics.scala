@@ -302,6 +302,34 @@ object EventAnalytics {
         sum(col("cnt")).over(perCur).cast(DoubleType))
   }
 
+  /** Top-k behavioral SEGMENT signatures: each user's distinct
+    * event-type SET, canonicalized (sorted, comma-joined) and counted
+    * corpus-wide — the unsupervised segmentation read before anyone
+    * hand-defines personas ("viewers who never click" is a signature,
+    * not a hypothesis). The set per user is sort-canonical so the
+    * signature is partitioning- and arrival-order-proof. One distinct
+    * (user, type) reduction, one per-user set agg, one partial-agged
+    * signature count, TakeOrdered. Output: (rk, signature, n_types,
+    * n_users). */
+  def segmentSignatures(events: DataFrame, userCol: String,
+      typeCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be >= 1")
+    val sig = events.select(col(userCol).as("u"), col(typeCol).as("t"))
+      .distinct()
+      .groupBy(col("u"))
+      .agg(array_join(array_sort(collect_set(col("t"))), ",").as("signature"),
+        count(lit(1)).as("n_types"))
+    val top = sig.groupBy(col("signature"), col("n_types"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("signature").asc)
+      .limit(k)
+    // k-row frame after the TakeOrdered limit
+    val w = Window.orderBy(col("n_users").desc, col("signature").asc)
+    top.withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("rk"), col("signature"), col("n_types"), col("n_users"))
+  }
+
   /** Out-of-orderness report — THE watermark-sizing diagnostic: in
     * arrival order (the ingestion sequence column), how often does event
     * time step BACKWARD, and by how much at worst. A watermark delay

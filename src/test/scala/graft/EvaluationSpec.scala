@@ -103,6 +103,21 @@ class EvaluationSpec extends SparkSpec {
     assert(out.sorted.toSeq == again.sorted.toSeq)
   }
 
+  test("mrr: reciprocal of the true top-1's approx rank; absent scores 0") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L, 1), (1L, 11L, 2),
+      (2L, 20L, 1), (3L, 30L, 1)).toDF("q", "n", "rank")
+    val approx = Seq(
+      (1L, 99L, 1), (1L, 98L, 2), (1L, 10L, 3), // q1's true top-1 at rank 3
+      (2L, 20L, 1)                              // q2's at rank 1; q3 absent
+    ).toDF("q", "n", "rank")
+    val r = graft.operators.Evaluation.mrr(approx, exact, "q", "n", "rank")
+      .head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    // (1/3 + 1 + 0) / 3
+    assert(math.abs(r.getDouble(2) - (1.0 / 3 + 1.0) / 3) < 1e-6)
+  }
+
   test("spearmanExact: monotone-transform invariant; midrank ties hand-computed") {
     import spark.implicits._
     val df = Seq((1L, 2L), (2L, 5L), (3L, 11L), (4L, 13L), (5L, 40L))

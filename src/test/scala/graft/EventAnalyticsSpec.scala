@@ -232,6 +232,21 @@ class EventAnalyticsSpec extends SparkSpec {
     byCur.foreach { case (_, p) => assert(math.abs(p - 1.0) < 1e-12) }
   }
 
+  test("segmentSignatures: canonical sorted sets, counted and ranked") {
+    val ev = Seq(
+      (1L, "view"), (1L, "click"), (1L, "view"), // {click,view}
+      (2L, "click"), (2L, "view"),               // {click,view}
+      (3L, "view"),                              // {view}
+      (4L, "buy")                                // {buy}
+    ).toDF("user_id", "event_type")
+    val out = EventAnalytics.segmentSignatures(ev, "user_id", "event_type",
+      k = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.head == ((1L, "click,view", 2L, 2L)))
+    assert(out.map(_._2).toSet == Set("click,view", "view", "buy"))
+  }
+
   test("outOfOrderness: inversion count and worst backward step in exact micros") {
     val ev = Seq(
       // u1 arrival order 1,2,3,4 with one 90s time regression at seq 3
