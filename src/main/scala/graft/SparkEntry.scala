@@ -2111,6 +2111,15 @@ object SparkEntry {
         .orderBy(col("event_type"), col("event_id"))
     },
 
+    // ---- X: temporal-concentration entropy per type — scheduled
+    //      sources concentrate their hour-of-week mass (low bits),
+    //      organic traffic spreads; driver-folded canonical-order sum ----
+    "x153_type_time_entropy" -> { (s, dir) =>
+      graft.operators.EventAnalytics.typeTimeEntropy(
+        t(s, dir, "events"), "event_type", "ts")
+        .orderBy(col("event_type"))
+    },
+
     // ---- X: top behavioral segment signatures — each user's canonical
     //      distinct-type set, counted corpus-wide; segmentation read
     //      before personas are hand-defined ----
@@ -2971,6 +2980,24 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "x123_minhash_calibration" -> minhashCalibrationOracle,
     "x124_simhash_replay" -> simhashReplayOracle,
+
+    "x153_type_time_entropy" ->
+      """WITH u AS (SELECT CAST(event_type AS VARCHAR) AS t,
+             epoch_us(ts) AS us FROM events),
+         c AS (SELECT t, (us // 86400000000 + 4) % 7 AS dow,
+                 (us % 86400000000) // 3600000000 AS hour, count(*) AS n
+               FROM u GROUP BY 1, 2, 3),
+         tt AS (SELECT t, CAST(sum(n) AS BIGINT) AS n_events,
+                  count(*) AS n_cells FROM c GROUP BY 1),
+         e AS (SELECT c.t, sum(
+             -(CAST(c.n AS DOUBLE) / tt.n_events)
+               * (ln(CAST(c.n AS DOUBLE) / tt.n_events) / ln(2.0))
+             ORDER BY c.dow, c.hour) AS h
+           FROM c JOIN tt USING (t) GROUP BY c.t)
+         SELECT tt.t AS event_type, tt.n_events,
+           CAST(tt.n_cells AS BIGINT) AS n_cells,
+           round(e.h, 6) AS entropy_bits
+         FROM tt JOIN e ON tt.t = e.t ORDER BY event_type""",
 
     "x151_segment_signatures" ->
       """WITH d AS (SELECT DISTINCT user_id AS u, event_type AS t FROM events),

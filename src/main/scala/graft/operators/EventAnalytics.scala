@@ -302,6 +302,42 @@ object EventAnalytics {
         sum(col("cnt")).over(perCur).cast(DoubleType))
   }
 
+  /** Temporal-concentration entropy per event type: the Shannon entropy
+    * of each type's hour-of-week distribution (x135's cells), in bits —
+    * a SCHEDULED source (cron ingests, batch beacons) concentrates its
+    * mass in a few cells (low entropy) where organic traffic spreads
+    * (high); the source-level scheduling detector next to x97's per-user
+    * gap regularity. Cells are exact counts; each type's entropy folds
+    * its <= 168 cells ON THE DRIVER in canonical (dow, hour) order (the
+    * x91 discipline — types x 168 is bounded), -Σ p·log2 p, rounded to
+    * 6. Output: (event_type, n_events, n_cells, entropy_bits). */
+  def typeTimeEntropy(events: DataFrame, typeCol: String,
+      tsCol: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val us = unix_micros(col(tsCol))
+    val day = call_function("div", us, lit(86400000000L))
+    val cells = events.select(col(typeCol).cast("string").as("t"),
+        pmod(day + 4L, lit(7L)).as("dow"),
+        call_function("div", pmod(us, lit(86400000000L)),
+          lit(3600000000L)).as("hour"))
+      .groupBy(col("t"), col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val byType = cells.groupBy(_._1).toSeq.sortBy(_._1)
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    byType.map { case (t, cs) =>
+      val total = cs.map(_._4).sum
+      val h = cs.sortBy(c => (c._2, c._3)).foldLeft(0.0) { (acc, c) =>
+        val p = c._4.toDouble / total.toDouble
+        acc - p * (math.log(p) / math.log(2.0))
+      }
+      (t, total, cs.length.toLong, r6(h))
+    }.toDF("event_type", "n_events", "n_cells", "entropy_bits")
+  }
+
   /** Top-k behavioral SEGMENT signatures: each user's distinct
     * event-type SET, canonicalized (sorted, comma-joined) and counted
     * corpus-wide — the unsupervised segmentation read before anyone

@@ -232,6 +232,23 @@ class EventAnalyticsSpec extends SparkSpec {
     byCur.foreach { case (_, p) => assert(math.abs(p - 1.0) < 1e-12) }
   }
 
+  test("typeTimeEntropy: a single-cell type scores 0 bits, a uniform 2-cell type 1 bit") {
+    def at(day: Int, hour: Int, i: Int) = new java.sql.Timestamp(
+      1704067200000L + day * 86400000L + hour * 3600000L + i * 1000L)
+    val ev = (
+      // "cron": all events in one (dow, hour) cell -> 0 bits
+      (1 to 4).map(i => ("cron", at(0, 3, i))) ++
+      // "organic": split evenly across two cells -> exactly 1 bit
+      (1 to 2).map(i => ("organic", at(0, 3, i))) ++
+      (1 to 2).map(i => ("organic", at(1, 9, i)))
+    ).toDF("event_type", "ts")
+    val out = EventAnalytics.typeTimeEntropy(ev, "event_type", "ts")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("cron") == ((4L, 1L, 0.0)))
+    assert(out("organic") == ((4L, 2L, 1.0)))
+  }
+
   test("segmentSignatures: canonical sorted sets, counted and ranked") {
     val ev = Seq(
       (1L, "view"), (1L, "click"), (1L, "view"), // {click,view}
