@@ -2111,6 +2111,34 @@ object SparkEntry {
         .orderBy(col("event_type"), col("event_id"))
     },
 
+    // ---- X: cross-source duplication flow — which source pairs share
+    //      literal copies (the mirror-of-which evidence x117's
+    //      vocabulary overlap can't give) ----
+    "x154_dup_flow" -> { (s, dir) =>
+      // synthesize a mirror feed republishing every 20th doc, so the
+      // flow matrix has real cross-source traffic to expose
+      val docs = t(s, dir, "documents")
+      val mirror = docs.filter(col("doc_id") % 20 === 0)
+        .withColumn("source", lit("mirror"))
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      graft.operators.Dedup.dupFlowMatrix(
+        docs.unionByName(mirror), "source", "text")
+        .orderBy(col("src_a"), col("src_b"))
+    },
+
+    // ---- X: decile gains table for the quality scorer vs the en label
+    //      — "review the top 20%, catch X%" — equi-depth deciles from
+    //      the range-partitioned rank, integer-exact membership ----
+    "x155_gains_table" -> { (s, dir) =>
+      import graft.functions.TextFunctions
+      graft.operators.Evaluation.gainsTable(
+        t(s, dir, "documents").select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("q"),
+          (col("lang") === "en").as("y")),
+        "doc_id", "q", "y")
+        .orderBy(col("decile"))
+    },
+
     // ---- X: temporal-concentration entropy per type — scheduled
     //      sources concentrate their hour-of-week mass (low bits),
     //      organic traffic spreads; driver-folded canonical-order sum ----
@@ -2980,6 +3008,59 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "x123_minhash_calibration" -> minhashCalibrationOracle,
     "x124_simhash_replay" -> simhashReplayOracle,
+
+    "x154_dup_flow" ->
+      """WITH all_docs AS (
+           SELECT source, text FROM documents
+           UNION ALL
+           SELECT 'mirror' AS source, text FROM documents
+           WHERE doc_id % 20 = 0),
+         fs AS (SELECT DISTINCT
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+             source AS src
+           FROM all_docs)
+         SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_shared_fps
+         FROM fs a JOIN fs b USING (fp)
+         WHERE a.src < b.src GROUP BY 1, 2 ORDER BY src_a, src_b""",
+
+    // the x8 quality formula -> rank deciles via the same integer rule
+    // as the Spark RowNum path; counts exact, rates single divisions
+    "x155_gains_table" ->
+      """WITH h AS (SELECT doc_id, lang, text,
+           len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ('the','a','of','and','to','in','is','it','for','on',
+                        'der','die','das','und','ist','ein','zu','mit','auf','nicht',
+                        'le','la','les','et','est','un','une','dans','pour','que'))) AS sw
+         FROM documents),
+         q AS (SELECT doc_id,
+             round((least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.5
+               + least((CASE WHEN len(string_split(lower(text), ' ')) = 0 THEN 0.0
+                   ELSE CAST(sw AS DOUBLE) / len(string_split(lower(text), ' ')) END) * 5.0, 1.0) * 0.3)
+               * (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+                   ELSE CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                        / length(text) END) * 5.0, 1.0) * 0.5), 6) AS q,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM h),
+         r AS (SELECT q, y,
+             row_number() OVER (ORDER BY q DESC, doc_id ASC) AS rk FROM q),
+         nn AS (SELECT count(*) AS n FROM q),
+         d AS (SELECT ((rk - 1) * 10) // nn.n + 1 AS decile, y FROM r, nn),
+         p AS (SELECT decile, count(*) AS n,
+                 CAST(sum(y) AS BIGINT) AS n_pos FROM d GROUP BY 1),
+         tp AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tot FROM p),
+         c AS (SELECT decile, n, n_pos,
+             CAST(sum(n_pos) OVER (ORDER BY decile
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos,
+             CAST(sum(n) OVER (ORDER BY decile
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+           FROM p)
+         SELECT c.decile, c.n, c.n_pos, c.cum_pos,
+           CAST(c.cum_pos AS DOUBLE) / CAST(tp.tot AS DOUBLE)
+             AS capture_rate,
+           round((CAST(c.cum_pos AS DOUBLE) / CAST(c.cum_n AS DOUBLE))
+             / (CAST(tp.tot AS DOUBLE) / CAST(nn.n AS DOUBLE)), 6)
+             AS cum_lift
+         FROM c, tp, nn ORDER BY decile""",
 
     "x153_type_time_entropy" ->
       """WITH u AS (SELECT CAST(event_type AS VARCHAR) AS t,

@@ -288,6 +288,27 @@ object Dedup {
       .select(col("band"), col("rk"), col(aCol), col(bCol), col(scoreCol))
   }
 
+  /** Cross-source duplication flow — which source PAIRS share exact
+    * copies: for every fingerprint present in more than one source, the
+    * (source, source) pairs it connects, counted. [[dupRateReport]] says
+    * how dirty each source is internally and
+    * [[CorpusOps.sourceOverlapMatrix]] measures vocabulary similarity;
+    * this is the harder evidence — literal copy traffic — that decides
+    * which feed is a mirror OF WHICH. Distinct (fp, source) reduction
+    * (one partial-agged shuffle), fp-keyed self-join with fan-out
+    * bounded by #sources² per fingerprint. Output: (src_a, src_b,
+    * n_shared_fps), a < b. */
+  def dupFlowMatrix(df: DataFrame, sourceCol: String,
+      textCol: String): DataFrame = {
+    val fs = df.select(fingerprint(col(textCol)).as("fp"),
+      col(sourceCol).as("src")).distinct()
+    fs.toDF("fp", "src_a")
+      .join(fs.toDF("fp", "src_b").hint("shuffle_hash"), Seq("fp"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared_fps"))
+  }
+
   /** Empirical hash-collision audit for the 60-bit fingerprint every
     * md5-based operator keys on: distinct normalized texts vs distinct
     * fingerprintLong values — any gap is a REAL collision on THIS

@@ -288,6 +288,47 @@ object Evaluation {
         (col("tp").cast(DoubleType) / lit(np.toDouble)).as("recall"))
   }
 
+  /** Decile gains table — the triage-ROI chart for a scorer: sort by
+    * score descending, split into 10 EQUI-DEPTH deciles, and report per
+    * decile the positives captured, the cumulative capture rate, and
+    * the cumulative lift over random — "reviewing the top 20% catches
+    * X% of the bad docs" is the sentence that sizes a review budget,
+    * and [[aucExact]]'s one number can't say it.
+    *
+    * Decile membership is INTEGER-EXACT: global rank from the
+    * range-partitioned RowNum (sorted score desc, id asc — never a
+    * one-task window), decile = ((rank−1)·10) div n. All counts exact;
+    * rates/lift are single divisions. Output: (decile 1..10, n, n_pos,
+    * cum_pos, capture_rate, cum_lift). */
+  def gainsTable(df: DataFrame, idCol: String, scoreCol: String,
+      labelCol: String): DataFrame = {
+    import graft.plans.{Events, RowNum}
+    val v = df.select(col(idCol), col(scoreCol).as("s"),
+        col(labelCol).cast("long").as("y"))
+      .filter(col("s").isNotNull && col("y").isNotNull)
+    val n = v.count()
+    require(n >= 10, "gainsTable needs at least 10 rows")
+    val ranked = RowNum.assign(v.orderBy(col("s").desc, col(idCol).asc))
+      .withColumnRenamed(Events.RowNumCol, "rk")
+    val dec = call_function("div", (col("rk") - 1L) * 10L, lit(n)) + 1L
+    val per = ranked.select(dec.as("decile"), col("y"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // 10-row frame: bounded unpartitioned windows
+    val totPos = per.agg(sum(col("n_pos"))).head().getLong(0)
+    require(totPos > 0, "gainsTable needs at least one positive label")
+    per
+      .withColumn("cum_pos", sum(col("n_pos")).over(w))
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .select(col("decile"), col("n"), col("n_pos"), col("cum_pos"),
+        (col("cum_pos").cast(DoubleType) / lit(totPos.toDouble))
+          .as("capture_rate"),
+        round((col("cum_pos").cast(DoubleType) / col("cum_n").cast(DoubleType)) /
+          (lit(totPos.toDouble) / lit(n.toDouble)), 6).as("cum_lift"))
+  }
+
   /** Mean reciprocal rank of the TRUE top-1 inside an approximate list —
     * [[recallAtK]]'s first-position sibling: recall@k says the right
     * answers are SOMEWHERE in the list; MRR says how close the single

@@ -103,6 +103,23 @@ class EvaluationSpec extends SparkSpec {
     assert(out.sorted.toSeq == again.sorted.toSeq)
   }
 
+  test("gainsTable: a perfect scorer captures all positives in the top deciles") {
+    import spark.implicits._
+    // 20 rows, scores = id desc-aligned; positives = the 4 best scores
+    val df = (1 to 20).map(i => (i.toLong, (21 - i).toDouble, i <= 4))
+      .toDF("id", "q", "y")
+    val out = graft.operators.Evaluation.gainsTable(df, "id", "q", "y")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    // decile 1 = ranks 1-2 = ids 1,2 (both positive): lift = (2/2)/(4/20) = 5
+    assert(out(1L) == ((2L, 2L, 2L, 0.5, 5.0)))
+    // by decile 2 all 4 positives are captured
+    assert(out(2L)._3 == 4L && out(2L)._4 == 1.0)
+    // bottom decile: cumulative lift decays to exactly 1
+    assert(out(10L)._5 == 1.0)
+  }
+
   test("mrr: reciprocal of the true top-1's approx rank; absent scores 0") {
     import spark.implicits._
     val exact = Seq((1L, 10L, 1), (1L, 11L, 2),

@@ -668,6 +668,19 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(shifted.getLong(0) == 100L && shifted.getLong(1) == 100L)
   }
 
+  test("dupFlowMatrix: literal copy traffic between sources, within-source dups invisible") {
+    val d = Seq(
+      ("A", "shared doc one"), ("B", "shared doc one"),   // A<->B copy
+      ("A", "shared doc two"), ("C", "  Shared   DOC two "), // A<->C (formatting)
+      ("B", "b only"), ("B", "b only"),                  // within-B dup: no pair
+      ("C", "c only")
+    ).toDF("source", "text")
+    val out = Dedup.dupFlowMatrix(d, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(out == Map(("A", "B") -> 1L, ("A", "C") -> 1L))
+  }
+
   test("smallCells / dedupSavings: suppression worklist and token accounting") {
     val d = Seq(
       ("en", "web", 1L, "alpha beta"), ("en", "web", 2L, "alpha beta"),
