@@ -93,31 +93,47 @@ object IncrementalIngest {
     try {
       val histSlim = history.select(col("doc_id"), col("text"))
 
-      // 3. near-dup vs history: batch docs similar to ANY snapshot doc
-      // drop. The loser set stays a FRAME — persisted and materialized NOW
-      // (count(), not collect(): the pair search must run exactly once,
-      // and its blocks outlive this scope until the consumer's first
-      // action), then anti-joined twice below.
-      val crossLosers = Dedup.lshPairsFromBucketsAcross(
-          buckets, historyBuckets, slim, histSlim, "doc_id", "text",
-          threshold = threshold)
-        .select(col("id_a").as("doc_id")).distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK_SER)
-      crossLosers.count()
+      // Stages 3-4 run ~8 sequential eager actions (the loser count, the
+      // closure's edge count + pointer-jump rounds). AQE re-optimizes
+      // every stage of every one of them; at bench scale that fixed
+      // per-action scheduling cost is 2-3x the query's real work and
+      // BIMODAL (r5's recorded 16.9 s vs 6.3 s fresh-JVM truth) — while
+      // the plans here are already the shapes AQE would pick: every join
+      // is an explicit shuffle_hash/broadcast, sized by the narrow
+      // persisted frames. Pin AQE off for THIS pipeline's internal
+      // actions only; the session default stays ON (it measurably helps
+      // the single-action LSH sweeps, x3/x36). The consumer's final
+      // action (cached `exact` + two anti-joins) runs under the session
+      // default — one action, no re-optimization cascade.
+      val (crossLosers, clusterLosers) = Persists.withSessionConf(spark)(
+        "spark.sql.adaptive.enabled" -> "false") {
+        // 3. near-dup vs history: batch docs similar to ANY snapshot doc
+        // drop. The loser set stays a FRAME — persisted and materialized
+        // NOW (count(), not collect(): the pair search must run exactly
+        // once, and its blocks outlive this scope until the consumer's
+        // first action), then anti-joined twice below.
+        val crossLosers = Dedup.lshPairsFromBucketsAcross(
+            buckets, historyBuckets, slim, histSlim, "doc_id", "text",
+            threshold = threshold)
+          .select(col("id_a").as("doc_id")).distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK_SER)
+        crossLosers.count()
+
+        // 4. in-batch clusters over the survivors: REUSE the batch buckets
+        // (filtered by the same anti-join — no re-signing), closure over
+        // the pair graph, keep each component's min id
+        val survivorBuckets = buckets.join(
+          crossLosers.withColumnRenamed("doc_id", "id").hint("shuffle_hash"),
+          Seq("id"), "left_anti")
+        val pairs = Dedup.lshPairsFromBuckets(survivorBuckets, slim,
+          "doc_id", "text", threshold = threshold)
+        val clusterLosers = ConnectedComponents.labels(pairs, "id_a", "id_b")
+          .filter(col("id") =!= col("component"))
+          .select(col("id").as("doc_id"))
+        (crossLosers, clusterLosers)
+      }
       Persists.onNextAction(spark)(() => crossLosers.unpersist(false))
       Persists.onNextAction(spark)(() => exact.unpersist(false))
-
-      // 4. in-batch clusters over the survivors: REUSE the batch buckets
-      // (filtered by the same anti-join — no re-signing), closure over the
-      // pair graph, keep each component's min id
-      val survivorBuckets = buckets.join(
-        crossLosers.withColumnRenamed("doc_id", "id").hint("shuffle_hash"),
-        Seq("id"), "left_anti")
-      val pairs = Dedup.lshPairsFromBuckets(survivorBuckets, slim,
-        "doc_id", "text", threshold = threshold)
-      val clusterLosers = ConnectedComponents.labels(pairs, "id_a", "id_b")
-        .filter(col("id") =!= col("component"))
-        .select(col("id").as("doc_id"))
 
       exact
         .join(crossLosers.hint("shuffle_hash"), Seq("doc_id"), "left_anti")

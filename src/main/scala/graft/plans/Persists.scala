@@ -51,6 +51,28 @@ object Persists {
   def releaseOnNextAction(spark: SparkSession, rdd: org.apache.spark.rdd.RDD[_]): Unit =
     onNextAction(spark)(() => rdd.unpersist(blocking = false))
 
+  /** Run `body` with session confs temporarily overridden, restoring the
+    * prior values (or unsetting) on the way out. Runtime SQL confs apply at
+    * ACTION time, not plan-build time, so this scopes an override to the
+    * eager actions a pipeline runs internally — e.g. the ingest pipelines
+    * pin `spark.sql.adaptive.enabled=false` around their sequential
+    * count/closure actions (AQE's per-stage re-optimization across ~8
+    * sequential actions was bisected as a 2-3x bimodal wall-time tail at
+    * bench scale, while the fixed plans are already the shapes AQE would
+    * pick) without touching the session default, which stays ON for the
+    * single-action LSH queries AQE measurably helps. NOT thread-safe
+    * across concurrently-running queries in one session — callers are
+    * sequential pipelines. */
+  def withSessionConf[T](spark: SparkSession)(confs: (String, String)*)(body: => T): T = {
+    val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** Run `release` once, after the first Dataset action completing after
     * this call (success or failure). See [[releaseOnNextAction]]. */
   def onNextAction(spark: SparkSession)(release: () => Unit): Unit = {
