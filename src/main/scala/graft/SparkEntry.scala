@@ -1755,17 +1755,21 @@ object SparkEntry {
     },
 
     // ---- X: image near-dup by perceptual hash (dHash64 over the REAL
-    //      BMP/PNG decoders + 8x8-bit banded hamming). No SQL engine can
-    //      decode an image, so this is a rows-only gate (no oracleSql);
-    //      determinism comes from the inputs: each doc renders its
-    //      normalized-text md5 as a BMP (text dups => identical images,
-    //      hamming 0), and a sparse doc_id slice gets a small pixel edit
-    //      (near-dups of its text partners, 0 < hamming <= 6). The
-    //      byte-level contract is MultimodalSpec-gated ----
+    //      BMP decoder + 8x8-bit banded hamming) — with a HASH-EXACT
+    //      oracle: each doc renders its normalized-text md5's first 8
+    //      bytes as a hash-ENCODED BMP (renderBmpHashEncoded: decode +
+    //      dHash round-trips the bytes bit-for-bit), so a SQL engine
+    //      that can't decode pixels still computes the expected hashes
+    //      from md5 hex pairs and replays the banded hamming join. Text
+    //      dups => identical images (hamming 0); copies of docs 0-9 get
+    //      3 hash bits flipped pre-render (mask 0x29 on byte 0), and the
+    //      decoder must recover exactly those 3 bits from the changed
+    //      pixels. The pixel-level decode contract is additionally
+    //      MultimodalSpec-gated (incl. JPEG cross-format) ----
     "x68_image_neardup" -> { (s, dir) =>
-      // corpus = every doc's image, plus copies of docs 0-19 (offset ids):
-      // copies of 10-19 are byte-identical (pairs at hamming 0), copies
-      // of 0-9 carry a small pixel edit (pairs at 0 < hamming <= 6) —
+      // corpus = every doc's image, plus copies of docs 0-19 (offset
+      // ids): copies of 10-19 are byte-identical (pairs at hamming 0),
+      // copies of 0-9 carry the 3-bit hash edit (pairs at hamming 3) —
       // the x64 pattern of synthesizing dup structure from stable slices
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val withCopies = docs.unionByName(
@@ -1773,31 +1777,19 @@ object SparkEntry {
           .withColumn("doc_id", col("doc_id") + 100000))
       val schema = StructType(Seq(
         StructField("doc_id", LongType), StructField("content", BinaryType)))
-      val w = 36; val h = 32
       val imgs = s.createDataFrame(withCopies.rdd.mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { r =>
+          // normalization = TextFunctions.fingerprint's (the x1-proven
+          // cross-engine convention: trim -> lower -> collapse \s+)
           val norm = Option(r.getString(1)).getOrElse("")
             .trim.toLowerCase.replaceAll("\\s+", " ")
-          val dig = md.digest(norm.getBytes("UTF-8"))
-          // digest-seeded xorshift64: pseudo-random pixels per image (a
-          // TILED digest pattern made every image's dHash near-constant
-          // — 12.5M "near-dup" pairs at sf0.1, i.e. all of them)
-          var st = java.nio.ByteBuffer.wrap(dig).getLong
-          if (st == 0L) st = 0x9e3779b97f4a7c15L
-          val gray = Array.fill(w * h) {
-            st ^= st << 13; st ^= st >>> 7; st ^= st << 17
-            (st & 0xff).toInt
-          }
+          val hb = md.digest(norm.getBytes("UTF-8")).take(8)
           val id = r.getLong(0)
           if (id >= 100000L && id < 100010L)
-            // edited copy: zero the top-right 8x8 block — touches dHash
-            // cells (cy 0-1, cx 7-8), so at most 4 comparison bits can
-            // flip: a guaranteed near-dup (hamming <= 4 < the 6 cap),
-            // never an escapee
-            for (y <- 0 until 8; x <- 0 until 8) gray(y * w + (w - 8 + x)) = 0
+            hb(0) = (hb(0) ^ 0x29).toByte // bits 0,3,5: hamming exactly 3
           org.apache.spark.sql.Row(id,
-            graft.operators.Multimodal.renderBmpGray(w, h, gray))
+            graft.operators.Multimodal.renderBmpHashEncoded(hb))
         }
       }, schema)
       graft.operators.Multimodal.imageNearDupPairs(imgs, "doc_id", "content",
@@ -2237,15 +2229,13 @@ object SparkEntry {
         .orderBy(col("source"))
     },
 
-    // ---- X: tokenization-stability check — docs whose text does NOT
-    //      round-trip split/join (irregular whitespace): every
-    //      token-based op silently renormalizes these ----
+    // ---- X: tokenization-stability check — docs whose text is NOT in
+    //      canonical single-space form (leading/trailing/doubled
+    //      whitespace, tabs): these skew every token-based op downstream.
+    //      One operator call (CorpusOps.tokenizationStability) ----
     "x146_tokenization_stable" -> { (s, dir) =>
-      import graft.functions.TextFunctions
-      t(s, dir, "documents")
-        .select((col("text") === array_join(
-          TextFunctions.tokens(col("text")), " ")).as("stable"))
-        .groupBy(col("stable")).agg(count(lit(1)).as("n"))
+      graft.operators.CorpusOps.tokenizationStability(
+        t(s, dir, "documents"), "text")
         .orderBy(col("stable"))
     },
 
@@ -2679,6 +2669,22 @@ object SparkEntry {
         .orderBy(col("query_id"))
     },
 
+    // ---- X: hard negatives through the IVF-probed SCALE path — the
+    //      implemented approximate sibling of x105's brute crossJoin (the
+    //      x63→x65 pattern). The oracle replays the SAME probing in SQL
+    //      (md5-sign centroid scores, argmax bucket, top-nprobe probes,
+    //      bucket-equi candidates, then x105's filter-and-argmax) — the
+    //      x63 cross-engine pattern, certifying the pruned semantics
+    //      exactly rather than hoping nprobe=4 recalls the brute argmax.
+    //      PlanHealthSpec asserts no cartesian survives in this plan ----
+    "x156_hard_negatives_ivf" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      graft.operators.Selection.hardNegativesIvf(
+        e.filter(col("vec_id") < 5), e, "vec_id", "embedding",
+        dupThreshold = 0.35, numCentroids = 16, nprobe = 4)
+        .orderBy(col("query_id"))
+    },
+
     // ---- X: session-level feature table over x40's sessionize — event
     //      count, exact integer-micros start/end/duration, decimal-exact
     //      value total; the keyed window's shuffle co-partitions the
@@ -2903,6 +2909,25 @@ object SparkEntry {
   /** The x63 IVF-ADC oracle SQL — shared verbatim by x65 (the
     * precomputed-index serving twin returns the identical result set,
     * so both gate against one oracle). */
+  /** The x105 oracle: brute query x corpus cosine, filter below the
+    * dup threshold, argmax per query (ties to the lowest id), rounded
+    * AFTER selection. */
+  private val hardNegativesOracle: String =
+    """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         s AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i]))
+               / (sqrt(list_sum(list_transform(range(1, 65), i -> q.v[i] * q.v[i])))
+                  * sqrt(list_sum(list_transform(range(1, 65), i -> c.v[i] * c.v[i])))) AS cos
+           FROM e q, e c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+         f AS (SELECT * FROM s WHERE cos < 0.35),
+         r AS (SELECT query_id, cand_id, cos,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, cand_id ASC) AS rn FROM f)
+         SELECT query_id, cand_id AS hard_neg_id, round(cos, 6) AS cos
+         FROM r WHERE rn = 1 ORDER BY query_id"""
+
   private val ivfAdcOracle: String =
     """WITH e AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -3239,7 +3264,8 @@ object SparkEntry {
          FROM p, g ORDER BY source""",
 
     "x146_tokenization_stable" ->
-      """SELECT (text = array_to_string(string_split(text, ' '), ' ')) AS stable,
+      """SELECT (text = array_to_string(
+             regexp_split_to_array(trim(text), '\s+'), ' ')) AS stable,
            count(*) AS n
          FROM documents GROUP BY 1 ORDER BY stable""",
 
@@ -4630,6 +4656,42 @@ object SparkEntry {
          SELECT a AS id, least(min(b), a) AS component
          FROM reach GROUP BY a ORDER BY id""",
 
+    // the x68 hash-exact image oracle: the expected dHash64 of each
+    // hash-ENCODED BMP is, by renderBmpHashEncoded's construction, the
+    // first 8 md5 bytes of the doc's normalized text — computable from
+    // md5 hex pairs without decoding a pixel. Replay the corpus-with-
+    // copies construction, the 3-bit edit (xor 0x29 = 41 on byte 0 for
+    // copy ids 100000-100009), the 8x8-bit banded candidate join, and
+    // the exact-hamming verify. If the BMP decoder, the box-average
+    // downscale, or the gradient-sign packing drifted by ONE bit
+    // anywhere over the corpus, the hash compare fails
+    "x68_image_neardup" ->
+      """WITH base AS (SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS hx
+           FROM documents),
+         corpus AS (
+           SELECT doc_id AS id, hx, FALSE AS edited FROM base
+           UNION ALL
+           SELECT doc_id + 100000, hx, doc_id < 10 FROM base
+           WHERE doc_id < 20),
+         b AS (SELECT id,
+             list_transform(range(0, 8), j ->
+               xor((strpos('0123456789abcdef', substr(hx, 2*j + 1, 1)) - 1) * 16
+                     + strpos('0123456789abcdef', substr(hx, 2*j + 2, 1)) - 1,
+                   CASE WHEN edited AND j = 0 THEN 41 ELSE 0 END)) AS bytes
+           FROM corpus),
+         banded AS (SELECT id, bytes, t.j AS band, bytes[t.j + 1] AS bucket
+           FROM b, UNNEST(range(0, 8)) t(j)),
+         cand AS (SELECT DISTINCT a.id AS id_a, c.id AS id_b
+           FROM banded a JOIN banded c ON a.band = c.band AND a.bucket = c.bucket
+           WHERE a.id < c.id),
+         h AS (SELECT cand.id_a, cand.id_b,
+             CAST(list_sum(list_transform(range(0, 8), j ->
+               bit_count(xor(x.bytes[j + 1], y.bytes[j + 1])))) AS INT) AS hamming
+           FROM cand JOIN b x ON x.id = cand.id_a JOIN b y ON y.id = cand.id_b)
+         SELECT id_a, id_b, hamming FROM h WHERE hamming <= 6
+         ORDER BY id_a, id_b""",
+
     "x69_canonical_per_cluster" ->
       """WITH RECURSIVE
          w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -5459,15 +5521,43 @@ object SparkEntry {
 
     // the x6 cosine replay, filtered below the dup threshold, argmax per
     // query (ties to the lowest id), rounded AFTER selection
-    "x105_hard_negatives" ->
+    "x105_hard_negatives" -> hardNegativesOracle,
+
+    // the IVF-probed scale path, replayed in full: the x63 oracle's
+    // md5-sign centroid scoring assigns every corpus vector its argmax
+    // bucket (ties: lowest ci) and every query its top-4 probes (ties:
+    // HIGHEST ci — the ivfProbes convention), candidates are the probed
+    // buckets' members, then x105's filter-below-threshold + argmax.
+    // Certifies the pruned candidate set AND the per-pair math
+    // cross-engine (not just "IVF happened to agree with brute")
+    "x156_hard_negatives_ivf" ->
       """WITH e AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
-         s AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         bscore AS (SELECT e.vec_id, t.ci,
+             list_sum(list_transform(range(1, 65), i ->
+               CASE WHEN (('0x' || substr(md5(CAST(t.ci AS VARCHAR) || ',' ||
+                   CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT % 2) = 0
+                 THEN 1.0 ELSE -1.0 END
+               * coalesce(e.v[i], 0.0))) AS score
+           FROM e, UNNEST(range(0, 16)) t(ci)),
+         bucket AS (SELECT vec_id, ci AS bucket FROM (
+             SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id
+               ORDER BY score DESC, ci ASC) AS rn FROM bscore)
+           WHERE rn = 1),
+         probes AS (SELECT vec_id AS query_id, ci AS bucket FROM (
+             SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id
+               ORDER BY score DESC, ci DESC) AS rn
+             FROM bscore WHERE vec_id < 5)
+           WHERE rn <= 4),
+         s AS (SELECT p.query_id, c.vec_id AS cand_id,
              list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i]))
                / (sqrt(list_sum(list_transform(range(1, 65), i -> q.v[i] * q.v[i])))
                   * sqrt(list_sum(list_transform(range(1, 65), i -> c.v[i] * c.v[i])))) AS cos
-           FROM e q, e c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+           FROM probes p JOIN bucket b ON p.bucket = b.bucket
+             JOIN e c ON c.vec_id = b.vec_id
+             JOIN e q ON q.vec_id = p.query_id
+           WHERE c.vec_id <> p.query_id),
          f AS (SELECT * FROM s WHERE cos < 0.35),
          r AS (SELECT query_id, cand_id, cos,
              row_number() OVER (PARTITION BY query_id

@@ -570,4 +570,21 @@ object CorpusOps {
         explode(sequence(lit(1L), col("__graft_copies__"))))
       .drop("__graft_copies__")
   }
+
+  /** Tokenization-stability report: for each doc, is the text already in
+    * canonical single-space form — i.e. does it round-trip
+    * trim + split-on-whitespace-RUNS + single-space-join unchanged?
+    * Docs that do not (leading/trailing whitespace, doubled spaces, tabs)
+    * produce empty or whitespace-bearing tokens under the engine's
+    * space-split tokenizer ([[TextFunctions.tokens]]), silently skewing
+    * every token-count, shingle, and n-gram downstream; the (stable, n)
+    * histogram quantifies how much of the corpus that touches. (The
+    * round-5 inline form compared against split-on-SINGLE-space + join,
+    * which is the identity for any string — it counted nothing.) One
+    * narrow projection + one partial-agged 2-row groupBy — the cheapest
+    * possible full-corpus scan shape. */
+  def tokenizationStability(df: DataFrame, textCol: String): DataFrame =
+    df.select((col(textCol) === array_join(
+        split(trim(col(textCol)), "\\s+"), " ")).as("stable"))
+      .groupBy(col("stable")).agg(count(lit(1)).as("n"))
 }

@@ -10,15 +10,17 @@ import org.apache.spark.sql.types._
   *
   * Decoding is PLUGGABLE ([[Codec]]): [[decode]] detects the payload
   * format against a codec list and runs the first match per-partition.
-  * Three real pure-JVM codecs ship — [[BmpCodec]] (uncompressed 24-bit
-  * BMP: header parse + pixel scan → mean-color features), [[PngCodec]]
+  * Four real codecs ship — [[BmpCodec]] (uncompressed 24-bit BMP: header
+  * parse + pixel scan → mean-color features), [[PngCodec]]
   * (zlib-compressed PNG: chunk walk → Inflater → scanline unfilter →
-  * mean-color features) and [[WavCodec]] (RIFF/WAVE 16-bit PCM: chunk
-  * walk → RMS/peak/ZCR features) — so the plumbing is exercised by
-  * genuine byte-level decodes, including one compressed format. Formats
-  * with no codec in the container (JPEG, MP3, H.264…) fall back to
-  * [[StubCodec]], a deterministic md5-derived fake, keeping the pipeline
-  * total.
+  * mean-color features), [[JpegCodec]] (baseline JFIF via the JDK's
+  * `javax.imageio` decoder — real crawls are overwhelmingly JPEG — with
+  * the same from-scratch mean-color feature extraction over the decoded
+  * pixel grid) and [[WavCodec]] (RIFF/WAVE 16-bit PCM: chunk walk →
+  * RMS/peak/ZCR features) — so the plumbing is exercised by genuine
+  * byte-level decodes, including two compressed formats. Formats with no
+  * codec in the container (MP3, H.264…) fall back to [[StubCodec]], a
+  * deterministic md5-derived fake, keeping the pipeline total.
   */
 object Multimodal {
 
@@ -274,6 +276,52 @@ object Multimodal {
       }
   }
 
+  /** Baseline JPEG (JFIF/EXIF, SOF0/SOF2): the entropy decode + IDCT runs
+    * through the JDK's `javax.imageio` reader (java.desktop module — in
+    * the JVM already, no new deps; a from-scratch Huffman+IDCT would be a
+    * codec project, not an analytics engine). Feature extraction over the
+    * decoded pixel grid is the same from-scratch mean-R/G/B + mean-luma
+    * pass as [[BmpCodec]]/[[PngCodec]]. Deterministic per JVM (libjpeg's
+    * integer IDCT), which is the executor-retry contract; JPEG being
+    * LOSSY means features of a re-encoded image differ slightly from the
+    * source's — exact-oracle queries stay on BMP/PNG, JPEG is gated by
+    * metadata exactness (dimensions survive any quality) plus
+    * epsilon-banded feature checks (MultimodalSpec). */
+  object JpegCodec extends Codec {
+    val name = "image/jpeg"
+    def detect(b: Array[Byte]): Boolean =
+      b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+        (b(2) & 0xff) == 0xff
+    def decode(b: Array[Byte], dims: Int): Option[(Row, Array[Float])] = {
+      if (!detect(b)) return None
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return None
+        val w = img.getWidth; val h = img.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        val row = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
+          var x = 0
+          while (x < w) {
+            val p = row(x)
+            sr += (p >>> 16) & 0xff; sg += (p >>> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        val mr = sr.toDouble / n / 255.0
+        val mg = sg.toDouble / n / 255.0
+        val mb = sb.toDouble / n / 255.0
+        val luma = 0.299 * mr + 0.587 * mg + 0.114 * mb
+        Some((Row(name, w, h, 3, -1, -1L),
+          fit(Array(mr.toFloat, mg.toFloat, mb.toFloat, luma.toFloat), dims)))
+      } catch { case _: Exception => None }
+    }
+  }
+
   /** RIFF/WAVE, 16-bit PCM (format tag 1): chunk walk for fmt/data, then
     * one pass over the samples — features are RMS, mean |amplitude|, peak
     * (all normalized by 2^15) and zero-crossing rate. */
@@ -360,7 +408,7 @@ object Multimodal {
     }
   }
 
-  val defaultCodecs: Seq[Codec] = Seq(BmpCodec, PngCodec, WavCodec)
+  val defaultCodecs: Seq[Codec] = Seq(BmpCodec, PngCodec, JpegCodec, WavCodec)
 
   /** Decode a binary column: first detecting codec wins; a codec that
     * detects but fails to decode (corrupt payload) falls through to the
@@ -429,7 +477,77 @@ object Multimodal {
     buf.array()
   }
 
-  /** Row-major luma grid of an image payload (BMP/PNG only): the decoded
+  /** Render a 36x32 gray BMP whose [[dHash64]] is EXACTLY the given 8
+    * bytes (bits 8j..8j+7 of the hash = byte j): each of the 8 cell-rows
+    * (4 pixel rows each) is a left-to-right walk over the 9 cell-columns
+    * (4 pixel columns each) starting at gray 128, stepping -8 when the
+    * corresponding hash bit is set (so cell > next-cell ⇒ bit reads back
+    * 1) and +8 when clear. Cells are uniform and 4x4 with exact 36/9 and
+    * 32/8 cell boundaries, so the box-average recovers the per-cell luma
+    * exactly and every comparison has an 8-gray-level margin — decode +
+    * dHash round-trips the bytes bit-for-bit, which is what makes an
+    * image-pipeline query ORACLE-EXACT: a SQL engine that can't decode
+    * pixels can still compute the expected bytes (e.g. from md5 hex
+    * pairs) and replay the banded hamming join on them. */
+  def renderBmpHashEncoded(hashBytes: Array[Byte]): Array[Byte] = {
+    require(hashBytes.length == 8, "need exactly 8 hash bytes")
+    val w = 36; val h = 32
+    val gray = new Array[Int](w * h)
+    var cy = 0
+    while (cy < 8) {
+      var v = 128
+      var cx = 0
+      while (cx < 9) {
+        var py = 0
+        while (py < 4) {
+          var px = 0
+          while (px < 4) {
+            gray((cy * 4 + py) * w + (cx * 4 + px)) = v
+            px += 1
+          }
+          py += 1
+        }
+        if (cx < 8)
+          v += (if (((hashBytes(cy) >> cx) & 1) == 1) -8 else 8)
+        cx += 1
+      }
+      cy += 1
+    }
+    renderBmpGray(w, h, gray)
+  }
+
+  /** Encode a gray pixel grid as baseline JPEG via the JDK's `javax.
+    * imageio` writer (fixture/synthesis utility — the decode side is
+    * [[JpegCodec]]). Quality in (0, 1]. */
+  def encodeJpegGray(width: Int, height: Int, gray: Array[Int],
+      quality: Float = 0.92f): Array[Byte] = {
+    require(gray.length == width * height, "gray must be width*height values")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = gray(y * width + x) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    } finally { ios.close(); writer.dispose() }
+    out.toByteArray
+  }
+
+  /** Row-major luma grid of an image payload (BMP/PNG/JPEG): the decoded
     * pixel grid collapsed to Rec. 601 luma floats in [0, 255]. */
   private def grayGrid(b: Array[Byte]): Option[(Int, Int, Array[Float])] = {
     if (BmpCodec.detect(b)) {
@@ -460,6 +578,29 @@ object Multimodal {
         y += 1
       }
       Some((width, height, g))
+    } else if (JpegCodec.detect(b)) {
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val g = new Array[Float](w * h)
+          val row = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, row, 0, w)
+            var x = 0
+            while (x < w) {
+              val p = row(x)
+              g(y * w + x) = 0.299f * ((p >>> 16) & 0xff) +
+                0.587f * ((p >>> 8) & 0xff) + 0.114f * (p & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          Some((w, h, g))
+        }
+      } catch { case _: Exception => None }
     } else PngCodec.pixels(b).map { case (width, height, bpp, img) =>
       val g = new Array[Float](width * height)
       var p = 0

@@ -251,4 +251,47 @@ object Selection {
       .select(col("query_id"), (-col("best.nid")).as("hard_neg_id"),
         round(col("best.cos"), 6).as("cos"))
   }
+
+  /** The SCALE path for [[hardNegatives]]: the same filter-then-argmax
+    * evaluated over IVF-PROBED candidates instead of the full query x
+    * corpus cartesian. Corpus vectors are bucketed once by the
+    * deterministic sign-pattern centroid family ([[Similarity.ivfAssign]]
+    * — broadcast scoring, one corpus scan, never shuffled); each query
+    * probes its top-`nprobe` buckets, and the candidate join is
+    * bucket-equi (probed queries broadcast — the query set is the small
+    * side of hard-negative mining by construction). Candidate volume is
+    * ~nprobe/numCentroids of the corpus per query; each corpus row lives
+    * in exactly one bucket, so no pair is scored twice and no dedup pass
+    * is needed. The per-pair math (codegen'd sequential-order dot, NaN
+    * guard, argmax as a partial-aggregable max(struct(cos, -id))) is
+    * bit-identical to the brute form's — the x156 gate replays the FULL
+    * pruned computation (centroid scores, bucket argmax, top-nprobe
+    * probes, filter-and-argmax) in independent SQL, the x63 cross-engine
+    * pattern, and PlanHealthSpec asserts no cartesian survives in the
+    * plan. Like all IVF serving, recall < 1.0 vs the brute argmax by
+    * construction: raise `nprobe` to trade cost for recall (nprobe =
+    * numCentroids degenerates to exact, bucket-partitioned brute). */
+  def hardNegativesIvf(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, dupThreshold: Double,
+      numCentroids: Int = 16, nprobe: Int = 4, dims: Int = 64): DataFrame = {
+    val toD: Column => Column = v => transform(v, x => x.cast(DoubleType))
+    def dot(x: Column, y: Column): Column =
+      graft.functions.VectorExpressions.dot(corpus.sparkSession, x, y)
+    val c = corpus.select(col(idCol).as("cand_id"), toD(col(vecCol)).as("cv"))
+      .withColumn("bucket", Similarity.ivfAssign(col("cv"), numCentroids, dims))
+    val q = queries.select(col(idCol).as("query_id"), toD(col(vecCol)).as("qv"))
+      .withColumn("bucket", explode(
+        Similarity.ivfProbes(col("qv"), numCentroids, nprobe, dims)))
+      .select(col("query_id"), col("qv"), col("bucket"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", coalesce(try_divide(dot(col("qv"), col("cv")),
+        sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("cv"), col("cv")))),
+        lit(Double.NaN)))
+      .filter(col("cos") < dupThreshold)
+      .groupBy(col("query_id"))
+      .agg(max(struct(col("cos"), (-col("cand_id")).as("nid"))).as("best"))
+      .select(col("query_id"), (-col("best.nid")).as("hard_neg_id"),
+        round(col("best.cos"), 6).as("cos"))
+  }
 }

@@ -450,4 +450,18 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(2L) == ((2L, 1L, 0.5)))
     assert(out(3L) == ((2L, 0L, 0.0)))
   }
+
+  test("tokenizationStability counts exactly the docs that round-trip split/join") {
+    val d = Seq(
+      (1L, "a b c"),        // stable
+      (2L, " a b c"),       // leading space
+      (3L, "a  b c"),       // double space
+      (4L, "a b c "),       // trailing space
+      (5L, "a\tb c"),       // tab separator renormalizes to single space
+      (6L, "single")        // stable
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.tokenizationStability(d, "text")
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(out == Map(true -> 2L, false -> 4L))
+  }
 }

@@ -335,4 +335,62 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs((1L, 2L)) == 0) // cross-format exact dup
     assert(pairs((1L, 3L)) > 0 && pairs((1L, 3L)) <= 6)
   }
+
+  test("JpegCodec decodes a real JFIF payload: dimensions exact, means near-exact") {
+    val w = 24; val h = 16
+    // smooth horizontal gradient — kind to the DCT, so the lossy
+    // round-trip stays within a couple of gray levels
+    val grad = Array.tabulate(h * w)(i => 64 + (i % w) * 4)
+    val jpeg = Multimodal.encodeJpegGray(w, h, grad, quality = 0.95f)
+    assert(Multimodal.JpegCodec.detect(jpeg))
+    assert(!Multimodal.BmpCodec.detect(jpeg) && !Multimodal.PngCodec.detect(jpeg))
+    val (meta, feats) = decodeOne(jpeg)
+    assert(meta.getString(0) == "image/jpeg")
+    assert(meta.getInt(1) == w && meta.getInt(2) == h && meta.getInt(3) == 3)
+    val want = grad.sum.toDouble / grad.length / 255.0
+    // JPEG is lossy: metadata is exact, means are epsilon-banded
+    for (i <- 0 until 4)
+      assert(math.abs(feats(i) - want) < 3.0 / 255.0,
+        s"channel $i: ${feats(i)} vs $want")
+    // corrupt payload (truncated entropy stream) falls through to the stub
+    val (badMeta, _) = decodeOne(jpeg.take(jpeg.length / 3))
+    assert(badMeta.getString(0) == "stub")
+  }
+
+  test("dHash64 over a JPEG re-encode stays near the source BMP's hash") {
+    val w = 36; val h = 32
+    val grad = Array.tabulate(h * w)(i => 64 + (i % w) * 3)
+    val hBmp = Multimodal.dHash64(bmpPx(w, h, grad)).get
+    val hJpeg = Multimodal.dHash64(
+      Multimodal.encodeJpegGray(w, h, grad, quality = 0.95f)).get
+    // lossy but perceptually identical: few (often zero) gradient-sign
+    // flips — cross-format near-dup territory, nowhere near the ~32-bit
+    // distance of unrelated images
+    assert(java.lang.Long.bitCount(hBmp ^ hJpeg) <= 6,
+      f"jpeg hash drifted: ${java.lang.Long.bitCount(hBmp ^ hJpeg)} bits")
+  }
+
+  test("renderBmpHashEncoded: decode + dHash64 round-trips arbitrary bytes exactly") {
+    val cases = Seq(
+      Array.fill[Byte](8)(0),
+      Array.fill[Byte](8)(-1), // 0xff x8
+      Array[Byte](0x29, 0, 0, 0, 0, 0, 0, 0),
+      Array.tabulate[Byte](8)(j => ((j * 73 + 11) % 256).toByte),
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("the quick brown fox".getBytes("UTF-8")).take(8))
+    for (bytes <- cases) {
+      val img = Multimodal.renderBmpHashEncoded(bytes)
+      val hash = Multimodal.dHash64(img).get
+      val want = (0 until 8).map(j => (bytes(j) & 0xffL) << (8 * j)).reduce(_ | _)
+      assert(hash == want,
+        f"bytes ${bytes.map(b => f"${b & 0xff}%02x").mkString} -> $hash%016x != $want%016x")
+    }
+    // the x68 edit contract: xor on byte 0 flips exactly those dHash bits
+    val base = java.security.MessageDigest.getInstance("MD5")
+      .digest("some doc".getBytes("UTF-8")).take(8)
+    val edited = base.clone(); edited(0) = (edited(0) ^ 0x29).toByte
+    val h0 = Multimodal.dHash64(Multimodal.renderBmpHashEncoded(base)).get
+    val h1 = Multimodal.dHash64(Multimodal.renderBmpHashEncoded(edited)).get
+    assert(java.lang.Long.bitCount(h0 ^ h1) == 3 && (h0 ^ h1) == 0x29L)
+  }
 }

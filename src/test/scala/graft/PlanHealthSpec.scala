@@ -161,6 +161,16 @@ class PlanHealthSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), s"expected the loser anti-join:\n$p")
   }
 
+  test("x156: IVF hard negatives join bucket-equi with a broadcast query side — no cartesian") {
+    // the whole point of the scale path: candidates come from a
+    // bucket-equality join (probed queries broadcast), never the
+    // query x corpus cartesian that x105's brute oracle baseline uses
+    val p = plan("x156_hard_negatives_ivf")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"IVF hard negatives fell back to a cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected the probed query side to broadcast:\n$p")
+  }
+
   test("x44: BM25 scoring is one narrow scan — zero exchanges, top-k via TakeOrdered") {
     // df/avgdl fold in as literals at build time (bounded collects); the
     // scoring plan itself must stay scan -> project -> filter -> heap-k,

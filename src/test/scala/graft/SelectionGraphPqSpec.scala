@@ -316,6 +316,34 @@ class SelectionGraphPqSpec extends SparkSpec {
     assert(math.abs(out.head._3 - math.sqrt(0.5)) < 1e-6)
   }
 
+  test("hardNegativesIvf: nprobe=numCentroids degenerates to the brute result exactly") {
+    // with every bucket probed the candidate set IS the corpus, so the
+    // scale path must reproduce hardNegatives bit-for-bit (same dot
+    // order, same argmax tie-break) — the x156 cross-engine gate's
+    // in-process twin
+    val ids = (0L until 40L)
+    val c = ids.map(i => (i, Seq.tabulate(8)(d =>
+      (math.sin(i * 7.0 + d * 3.0) * 5.0).toFloat))).toDF("id", "vec")
+    val q = c.filter(col("id") < 4)
+    val brute = graft.operators.Selection
+      .hardNegatives(q, c, "id", "vec", dupThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ivfAll = graft.operators.Selection
+      .hardNegativesIvf(q, c, "id", "vec", dupThreshold = 0.5,
+        numCentroids = 8, nprobe = 8, dims = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(ivfAll == brute)
+    // pruned probing returns a subset of queries, each with a candidate
+    // drawn from its probed buckets and below the dup threshold
+    val pruned = graft.operators.Selection
+      .hardNegativesIvf(q, c, "id", "vec", dupThreshold = 0.5,
+        numCentroids = 8, nprobe = 2, dims = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pruned.map(_._1).distinct.length == pruned.length)
+    assert(pruned.forall(_._3 < 0.5))
+    assert(pruned.forall(p => p._1 != p._2))
+  }
+
   test("weightedQuantilesByKey: per-key thresholds match the global op per key") {
     val df = Seq(
       ("a", 1.0, 1L), ("a", 2.0, 1L), ("a", 3.0, 6L), ("a", 4.0, 2L),
