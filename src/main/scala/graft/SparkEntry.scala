@@ -2077,10 +2077,18 @@ object SparkEntry {
 
     // ---- X: n-gram CONTAINMENT pairs — |A ∩ B| / min(|A|, |B|), the
     //      short-doc-inside-long-doc dual of x2's jaccard (union-divided
-    //      jaccard dilutes subsumption; containment scores it ~1) ----
+    //      jaccard dilutes subsumption; containment scores it ~1).
+    //      Gated through the CAPPED form (maxDocFreq=50): the 100 TB
+    //      default — hot shingles pruned from candidate generation, each
+    //      candidate verified with exact containment over full shingle
+    //      sets. Both corpora have max trigram docfreq 25 (sf0.1; 7 at
+    //      sf0.01 — measured), so the cap provably drops nothing and the
+    //      uncapped SQL replay stays the oracle: the capped plan must be
+    //      value-identical, not merely plausible ----
     "x96_containment" -> { (s, dir) =>
       graft.operators.Dedup.ngramContainmentPairs(
-        t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.9)
+        t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.9,
+        maxDocFreq = Some(50))
         .orderBy(col("id_a"), col("id_b"))
     },
 

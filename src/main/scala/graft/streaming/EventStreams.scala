@@ -33,11 +33,16 @@ object EventStreams {
     * sources always start from a staged directory here), then normalize
     * `ts` to session-TZ TimestampType exactly like the batch loader.
     */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  def readEvents(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val tsType =
       try spark.read.parquet(dir).schema("ts").dataType
       catch { case _: Exception => TimestampNTZType }
-    val raw = spark.readStream.schema(rawSchema(tsType)).parquet(dir)
+    val reader = spark.readStream.schema(rawSchema(tsType))
+    // staged replays (watermark-advance tests, backfill rehearsals) need
+    // files to arrive as separate micro-batches, not one AvailableNow gulp
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val raw = reader.parquet(dir)
     graft.Tables.normalizeEventTs(raw)
   }
 
@@ -301,5 +306,111 @@ object EventStreams {
       .start()
     q.processAllAvailable()
     q
+  }
+
+  /** Streaming hour-of-week seasonal profile — the live twin of x135's
+    * [[graft.operators.EventAnalytics.hourOfWeekProfile]], and it IS that
+    * operator applied to a streaming frame: the declarative groupBy's
+    * state is the (dow, hour) cells, bounded at 168 rows FOREVER, so no
+    * watermark is needed — the cheapest possible always-on traffic
+    * monitor (complete output mode; each trigger re-emits the whole
+    * 168-row profile). Commutative counts ⇒ after any number of
+    * micro-batches the profile equals the batch op over the batches'
+    * union (spec-gated). */
+  def hourOfWeekStream(events: DataFrame): DataFrame =
+    graft.operators.EventAnalytics.hourOfWeekProfile(events, "ts")
+
+  /** Streaming out-of-orderness monitor — the live twin of x150's
+    * [[graft.operators.EventAnalytics.outOfOrderness]], measuring the
+    * event-time regression tail that SIZES every other stream's
+    * watermark (this monitor itself must not drop late data, so it keys
+    * state by user with no event-time horizon). State per user is ONE
+    * (last event-time) pair — the same minimal-state shape as
+    * [[debounceStream]], and the same ordered-arrival contract: within a
+    * micro-batch rows are replayed in `event_id` (ingestion-sequence)
+    * order, across batches in arrival order, matching the batch
+    * operator's seq-ordered lag exactly when ingestion order is
+    * batch-monotone (spec-gated on the file replay). Emits one
+    * (user_id, n_pairs, n_inversions, max_regression_us) DELTA row per
+    * user per micro-batch; the dashboard (or the spec) sums pairs and
+    * inversions and maxes the regression — all commutative, so the
+    * rolled-up totals equal the batch report over the batches' union.
+    * Production evicts idle users via event-time timeout. */
+  def outOfOrdernessStream(events: DataFrame)
+      : Dataset[(Long, Long, Long, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("event_id"), unix_micros(col("ts")))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long)],
+            state: GroupState[Long]) =>
+          var pairs = 0L; var inv = 0L; var maxReg = 0L
+          var last = state.getOption.getOrElse(Long.MinValue)
+          rows.toSeq.sortBy(_._2).foreach { r =>
+            if (last != Long.MinValue) {
+              pairs += 1L
+              if (r._3 < last) { inv += 1L; maxReg = maxReg.max(last - r._3) }
+            }
+            last = r._3
+          }
+          state.update(last)
+          if (pairs > 0L) Iterator((user, pairs, inv, maxReg)) else Iterator.empty
+      }
+  }
+
+  /** Streaming per-bucket churn monitor — the live twin of x132's
+    * [[graft.operators.EventAnalytics.churn]]. State per user is ONE
+    * long (the last active bucket). Two emission paths cover the two
+    * ways a bucket-(b+1) row arises: (data) when a user reappears in
+    * bucket b' > b, emit the transition row for bucket b+1 — prev-active
+    * 1, churned 1 iff b' > b+1; (timeout) when the WATERMARK passes the
+    * end of bucket b+1 without the user returning, the event-time
+    * timeout fires and emits the trailing (prev-active 1, churned 1) row
+    * — the streaming-native answer to "who just left", which no pure
+    * aggregation can express (absence is not an event). Emitted rows are
+    * (bucket_us, prev_active_inc, churned_inc) increments; summing per
+    * bucket reproduces the batch operator's exact counts once the
+    * watermark has closed the buckets (spec-gated via a staged two-file
+    * replay). Late data beyond the watermark re-opens nothing —
+    * the standard watermark contract, same as every windowed agg. */
+  def churnStream(events: DataFrame, bucketSeconds: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[(Long, Long, Long)] = {
+    require(bucketSeconds >= 1L, "bucketSeconds must be >= 1")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val busc = bucketSeconds * 1000000L
+    // the watermark column must SURVIVE the projection for event-time
+    // timeout to resolve — carry ts alongside its micros twin
+    events.withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), unix_micros(col("ts")), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+            state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the end of bucket last+1 with no return:
+            // the user churned there; state closes
+            val last = state.get
+            state.remove()
+            Iterator(((last + 1L) * busc, 1L, 1L))
+          } else {
+            var last = state.getOption.getOrElse(Long.MinValue)
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+            rows.map(_._2 / busc).toSeq.distinct.sorted.foreach { b =>
+              if (last != Long.MinValue && b > last)
+                out += (((last + 1L) * busc, 1L, if (b > last + 1L) 1L else 0L))
+              if (b > last) last = b
+            }
+            state.update(last)
+            // fire once the watermark clears bucket last+1 entirely
+            state.setTimeoutTimestamp((last + 2L) * busc / 1000L)
+            out.iterator
+          }
+      }
   }
 }

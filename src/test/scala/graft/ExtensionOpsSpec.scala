@@ -908,4 +908,94 @@ class ExtensionOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(!con2.contains((1L, 4L)))
   }
+
+  test("streaming hour-of-week profile equals the batch x135 operator") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_how").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val sq = EventStreams.runToMemory(
+      EventStreams.hourOfWeekStream(EventStreams.readEvents(spark, dir)),
+      "how_stream", outputMode = "complete")
+    try {
+      val streamed = spark.table("how_stream")
+      val batch = graft.operators.EventAnalytics.hourOfWeekProfile(
+        Tables.load(spark, sfDir, "events"), "ts")
+      assert(streamed.count() == batch.count() && batch.count() > 0)
+      assert(streamed.exceptAll(batch).isEmpty)
+      // state bound: the profile can never exceed the 168 cells
+      assert(streamed.count() <= 168)
+    } finally sq.stop()
+  }
+
+  test("streaming out-of-orderness deltas roll up to the batch x150 report") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_ooo").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val sq = EventStreams.runToMemory(
+      EventStreams.outOfOrdernessStream(EventStreams.readEvents(spark, dir))
+        .toDF("user_id", "n_pairs", "n_inversions", "max_regression_us"),
+      "ooo_stream", outputMode = "append")
+    try {
+      val rolled = spark.table("ooo_stream")
+        .agg(sum("n_pairs").as("n_pairs"),
+          sum("n_inversions").as("n_inversions"),
+          max("max_regression_us").as("max_regression_us"))
+        .head()
+      val batch = graft.operators.EventAnalytics.outOfOrderness(
+        Tables.load(spark, sfDir, "events"), "user_id", "event_id", "ts")
+        .head()
+      assert(rolled.getLong(0) == batch.getLong(0))
+      assert(rolled.getLong(1) == batch.getLong(1))
+      assert(rolled.getLong(2) == batch.getLong(3))
+      assert(batch.getLong(0) > 0)
+    } finally sq.stop()
+  }
+
+  test("streaming churn increments converge to the batch x132 operator once buckets close") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val bucketSeconds = 3600L
+    val usOf: (Long, Long) => java.sql.Timestamp = (bucket, off) =>
+      new java.sql.Timestamp(bucket * bucketSeconds * 1000L + off * 1000L)
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val churn = EventStreams.churnStream(
+      input.toDF().toDF("user_id", "ts"), bucketSeconds)
+      .toDF("bucket_us", "prev_active_inc", "churned_inc")
+    val q = churn.writeStream.format("memory").queryName("churn_stream")
+      .outputMode("append").start()
+    try {
+      // user 1 active in buckets 10, 11, 13 (returns: no churn at 11,
+      // churn at 12); user 2 active in 10 only (trailing churn at 11);
+      // user 3 active in 11, 12 (no churn at 12, trailing churn at 13)
+      val events = Seq(
+        (1L, usOf(10, 5)), (1L, usOf(11, 9)), (1L, usOf(13, 1)),
+        (2L, usOf(10, 30)),
+        (3L, usOf(11, 2)), (3L, usOf(12, 40)))
+      input.addData(events: _*)
+      q.processAllAvailable()
+      // two watermark-advancing sentinels: the first carries the real
+      // data's max event time into the watermark, the second pushes the
+      // watermark past every open bucket so trailing churn fires
+      input.addData((99L, usOf(100, 0)))
+      q.processAllAvailable()
+      input.addData((98L, usOf(200, 0)))
+      q.processAllAvailable()
+      // the sentinels are synthetic users: their own trailing-churn rows
+      // land in far-future buckets — out of scope of the comparison
+      val streamed = spark.table("churn_stream")
+        .filter(col("bucket_us") < lit(50L * bucketSeconds * 1000000L))
+        .groupBy(col("bucket_us"))
+        .agg(sum("prev_active_inc").as("n_prev_active"),
+          sum("churned_inc").as("n_churned"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.operators.EventAnalytics.churn(
+        events.toDF("user_id", "ts"), "user_id", "ts", bucketSeconds)
+        .select("bucket_us", "n_prev_active", "n_churned")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batch.nonEmpty && streamed == batch,
+        s"streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
 }
