@@ -450,9 +450,9 @@ object Dedup {
     * containment >= threshold, id_a < id_b. */
   def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDocFreq: Option[Int] = None): DataFrame = {
-    val sh = shingleIndex(df, idCol, textCol, n, maxDocFreq)
     maxDocFreq match {
       case None =>
+        val sh = shingleIndex(df, idCol, textCol, n, None)
         val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
         val inter = sh.toDF("id_a", "s")
           .join(sh.toDF("id_b", "s").hint("shuffle_hash"), Seq("s"))
@@ -466,14 +466,55 @@ object Dedup {
             least(col("sz_a"), col("sz_b")).cast(DoubleType))
           .filter(col("containment") >= threshold)
           .select(col("id_a"), col("id_b"), col("containment"))
-      case Some(_) =>
-        val cand = sh.toDF("id_a", "s")
-          .join(sh.toDF("id_b", "s").hint("shuffle_hash"), Seq("s"))
+      case Some(cap) =>
+        // the df-annotated index feeds THREE sibling stages (the per-doc
+        // size/hot agg and both legs of the pair self-join), which Spark
+        // schedules concurrently — a lazily-persisted frame would be
+        // computed by each of them in parallel before any cache block
+        // lands. Build it ONCE eagerly (the e2/e3 pipeline pattern:
+        // persist + count), release on the caller's next action.
+        val spark = df.sparkSession
+        val idx = df.select(col(idCol).as("id"),
+          explode(shingles(col(textCol), n)).as("s"))
+        val dfc = idx.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        val idxf = idx.join(dfc.hint("shuffle_hash"), Seq("s"))
+          .select(col("id"), col("s"), (col("df") <= cap).as("keep"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        idxf.count() // materialize BEFORE registering the release hook
+        graft.plans.Persists.onNextAction(spark)(
+          () => { idxf.unpersist(false); () })
+        // candidate pairs keep their CAPPED-intersection count from the
+        // same partial-agged groupBy the uncapped form uses (a count is
+        // strictly cheaper than the distinct-project it replaces), which
+        // admits a SOUND prune before the expensive full-array verify:
+        // true_c <= capped_c + min(hot_a, hot_b) — a shared shingle is
+        // either capped-visible or hot in BOTH docs — so any pair with
+        // capped_c + min(hot_a, hot_b) < t * min(|A|, |B|) can be
+        // discarded without computing its exact intersection. On clean
+        // corpora (hot ≈ 0) the verify set collapses to ~the output
+        // pairs, on boilerplate corpora the bound stays correct and the
+        // verify set is capped by how much hot mass the docs share.
+        val sizes = idxf.groupBy(col("id")).agg(
+          count(lit(1)).as("szf"),
+          sum(when(col("keep"), 0L).otherwise(1L)).as("hot"))
+        val capped = idxf.filter(col("keep")).select(col("id"), col("s"))
+        val counts = capped.toDF("id_a", "s")
+          .join(capped.toDF("id_b", "s").hint("shuffle_hash"), Seq("s"))
           .filter(col("id_a") < col("id_b"))
-          .select("id_a", "id_b").distinct()
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("cc"))
+        val pruned = counts
+          .join(sizes.select(col("id").as("id_a"), col("szf").as("szf_a"),
+            col("hot").as("hot_a")).hint("shuffle_hash"), Seq("id_a"))
+          .join(sizes.select(col("id").as("id_b"), col("szf").as("szf_b"),
+            col("hot").as("hot_b")).hint("shuffle_hash"), Seq("id_b"))
+          .filter((col("cc") + least(col("hot_a"), col("hot_b")))
+            .cast(DoubleType) >=
+            lit(threshold) * least(col("szf_a"), col("szf_b")).cast(DoubleType))
+          .select(col("id_a"), col("id_b"))
         val shA = df.select(col(idCol).as("id_a"), shingles(col(textCol), n).as("arr_a"))
         val shB = df.select(col(idCol).as("id_b"), shingles(col(textCol), n).as("arr_b"))
-        cand
+        pruned
           .join(shA.hint("shuffle_hash"), Seq("id_a"))
           .join(shB.hint("shuffle_hash"), Seq("id_b"))
           .withColumn("c", size(array_intersect(col("arr_a"), col("arr_b"))))

@@ -909,6 +909,23 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(!con2.contains((1L, 4L)))
   }
 
+  test("capped containment: hot shingles count in the verify, prune bound is sound") {
+    // "aa bb cc" appears in all 13 docs -> df > cap, dropped from the
+    // candidate index but NOT from the exact verify
+    val boiler = (1 to 10).map(i => (100L + i, s"aa bb cc f$i g$i"))
+    val d = (Seq(
+      (1L, "aa bb cc x1 x2"),           // 3 shingles, 1 hot
+      (2L, "aa bb cc x1 x2 extra"),     // shares ALL of doc1's shingles
+      (4L, "aa bb cc x1 q1 q2 q3 q4")   // candidate via "bb cc x1", true containment 2/3
+    ) ++ boiler).toDF("doc_id", "text")
+    val out = Dedup.ngramContainmentPairs(d, "doc_id", "text", 3, 0.9,
+      maxDocFreq = Some(5))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // (1,2): capped_c=2, hot overlap 1 -> exact 3/3 = 1.0, found even
+    // though a third of its intersection is cap-invisible
+    assert(out == Seq((1L, 2L, 1.0)))
+  }
+
   test("streaming hour-of-week profile equals the batch x135 operator") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_how").toString
     java.nio.file.Files.copy(

@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Measure an ABSOLUTE perf baseline for the bench gate (round-6 ask):
+wall-clock for DuckDB to run every oracle SQL in a Verify dump against the
+same parquet tables the Spark engine reads.
+
+The reference engine publishes no numbers (BASELINE.md), so the "within 2x
+of baseline" gate had nothing absolute to compare against. This pins one:
+DuckDB is the independent engine that already certifies every query's
+VALUES, so its wall-time over the identical workload is the natural
+single-node yardstick. Spark carries JVM+planning overhead per query and
+pays for distribution it can't use at sf0.1, so parity-or-better against
+an embedded columnar engine at this scale is a strong showing; the figure
+of merit is the ratio trend round-over-round.
+
+Usage: python3 tools/oracle_baseline.py <sfDir> <verifyOutDir> [runs]
+  (verifyOutDir only needs oracle_sql.json — run graft.Verify first)
+
+Writes oracle_baseline.json: {"sf":..., "runs":N, "total_sec": best,
+"per_query": {name: best_sec}, "n_queries":...}
+"""
+import json
+import sys
+import time
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    runs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    sqls = json.load(open(f"{out_dir}/oracle_sql.json"))
+    per_query = {}
+    totals = []
+    for r in range(runs):
+        con = duckdb.connect()  # fresh engine per sweep, like the bench JVM
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        t_sweep = time.monotonic()
+        for name, sql in sorted(sqls.items()):
+            t0 = time.monotonic()
+            con.execute(sql).fetchall()
+            dt = time.monotonic() - t0
+            if name not in per_query or dt < per_query[name]:
+                per_query[name] = dt
+        totals.append(time.monotonic() - t_sweep)
+        con.close()
+    result = {"sf": sf_dir, "runs": runs, "total_sec": min(totals),
+              "totals": totals, "n_queries": len(sqls),
+              "per_query": {k: round(v, 4) for k, v in per_query.items()}}
+    with open("oracle_baseline.json", "w") as f:
+        json.dump(result, f, indent=0, sort_keys=True)
+    print(json.dumps({k: result[k] for k in
+                      ("sf", "runs", "total_sec", "totals", "n_queries")}))
+
+
+if __name__ == "__main__":
+    main()
