@@ -2693,6 +2693,94 @@ object SparkEntry {
         .orderBy(col("query_id"))
     },
 
+    // ---- X: JPEG round-trip through the REAL codec — each doc renders a
+    //      uniform-gray image whose dimensions and level are integer
+    //      formulas of doc_id, the JDK writer ENCODES it as baseline
+    //      JFIF, JpegCodec DECODES it, and the query emits the decoded
+    //      metadata (exact through any quality) plus the mean luma
+    //      quantized to 32 gray levels (uniform images are DC-only, so
+    //      the lossy round-trip sits within a couple of levels — 16
+    //      levels of margin). The oracle knows the formulas, so a wrong
+    //      SOF parse, a channel swap, or a luma drift > 16/255 hash-fails ----
+    "x157_jpeg_decode" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id")).filter(col("doc_id") < 500)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("content", BinaryType)))
+      val imgs = s.createDataFrame(docs.rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = 16 + (id % 7).toInt * 8
+          val h = 16 + (id % 5).toInt * 8
+          val v = 96 + (id % 3).toInt * 32
+          org.apache.spark.sql.Row(id, graft.operators.Multimodal
+            .encodeJpegGray(w, h, Array.fill(w * h)(v), 0.92f))
+        }
+      }, schema)
+      graft.operators.Multimodal.decode(imgs, "content")
+        .select(col("doc_id"), col("decoded.codec").as("codec"),
+          col("decoded.width").as("width"),
+          col("decoded.height").as("height"),
+          col("decoded.channels").as("channels"),
+          round(element_at(col("features"), 4) * lit(255.0) / lit(32.0))
+            .cast(LongType).as("q_luma"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- X: Zipf fit of the vocabulary — ln(freq) ~ ln(rank) OLS over
+    //      the top-500 frequencies; slope near -1 is natural language,
+    //      flatter flags boilerplate mass. TakeOrdered top-k, k-row
+    //      regression sums ----
+    "x158_zipf_slope" -> { (s, dir) =>
+      graft.operators.CorpusOps.zipfSlope(
+        t(s, dir, "documents"), "text", topRanks = 500)
+    },
+
+    // ---- X: pairwise-diversity audit of a selected sample WITHOUT a
+    //      pair join — mean pairwise squared distance from per-dimension
+    //      power sums (sum-of-squares identity), O(n·d) for an O(n²·d)
+    //      metric; the selection-QA companion to x141's norm profile ----
+    "x159_sample_diversity" -> { (s, dir) =>
+      graft.operators.Similarity.sampleDiversity(
+        t(s, dir, "embeddings").filter(pmod(col("vec_id"), lit(10L)) === 0L),
+        "embedding")
+    },
+
+    // ---- X: jaccard threshold-sweep histogram — the knee plot dedup
+    //      thresholds are chosen from, one inverted-index pass for ALL
+    //      bands; banding is (20·c) div u INTEGER arithmetic, so no
+    //      binary-unrepresentable 0.05 boundary can disagree between
+    //      engines ----
+    "x160_threshold_sweep" -> { (s, dir) =>
+      graft.operators.Dedup.jaccardThresholdSweep(
+        t(s, dir, "documents"), "doc_id", "text", n = 3,
+        minBucket = 10, buckets = 20)
+        .orderBy(col("band"))
+    },
+
+    // ---- X: IVF index UPSERT — nightly vector-index maintenance on the
+    //      x65 build/serve split: only the batch is scored (ivfAssign is
+    //      a pure function of the vector), incoming ids replace standing
+    //      rows, and the merged index is ROW-IDENTICAL to a full rebuild
+    //      over the union corpus, which is exactly what the oracle
+    //      replays (the x63 bucket CTE over all vectors). Per-bucket
+    //      (total, incoming) report ----
+    "x161_ivf_index_upsert" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val standing = e.filter(pmod(col("vec_id"), lit(10L)) =!= 0L)
+        .select(col("vec_id"), graft.operators.Similarity
+          .ivfAssign(transform(col("embedding"), x => x.cast(DoubleType)),
+            16, 64).as("bucket"))
+      val incoming = e.filter(
+        pmod(col("vec_id"), lit(10L)) === 0L || col("vec_id") < 50L)
+      graft.operators.Similarity.ivfIndexUpsert(
+          standing, incoming, "vec_id", "embedding", 16, 64)
+        .groupBy(col("bucket").cast(LongType).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"))
+        .orderBy(col("bucket"))
+    },
+
     // ---- X: session-level feature table over x40's sessionize — event
     //      count, exact integer-micros start/end/duration, decimal-exact
     //      value total; the keyed window's shuffle co-partitions the
@@ -5572,6 +5660,91 @@ object SparkEntry {
                ORDER BY cos DESC, cand_id ASC) AS rn FROM f)
          SELECT query_id, cand_id AS hard_neg_id, round(cos, 6) AS cos
          FROM r WHERE rn = 1 ORDER BY query_id""",
+
+    // the x157 JPEG round-trip: dimensions/channels are exact through
+    // any quality; the 32-level luma quantization absorbs the lossy DC
+    // round-trip (uniform image, <= 2 levels drift vs 16 of margin)
+    "x157_jpeg_decode" ->
+      """SELECT doc_id, 'image/jpeg' AS codec,
+           CAST(16 + (doc_id % 7) * 8 AS INT) AS width,
+           CAST(16 + (doc_id % 5) * 8 AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(3 + (doc_id % 3) AS BIGINT) AS q_luma
+         FROM documents WHERE doc_id < 500 ORDER BY doc_id""",
+
+    // the x158 Zipf fit: identical rank order (freq desc, token asc),
+    // identical k-row regression sums, round-6 at the end
+    "x158_zipf_slope" ->
+      """WITH fr AS (SELECT w, count(*) AS f
+             FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+             GROUP BY w ORDER BY f DESC, w ASC LIMIT 500),
+         r AS (SELECT f, row_number() OVER (ORDER BY f DESC, w ASC) AS r FROM fr),
+         p AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y FROM r),
+         s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(x * y) AS sxy FROM p)
+         SELECT n AS n_ranks,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+             AS intercept
+         FROM s""",
+
+    // the x159 diversity identity, replayed: per-dimension power sums,
+    // sum_{i<j}||xi-xj||^2 = n*sum||xi||^2 - sum_d (sum_i x_id)^2
+    "x159_sample_diversity" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id % 10 = 0),
+         x AS (SELECT t.i AS d, coalesce(e.v[t.i], 0.0) AS val
+               FROM e, UNNEST(range(1, 65)) t(i)),
+         pd AS (SELECT d, sum(val * val) AS ss_d, sum(val) AS s_d
+                FROM x GROUP BY d),
+         f AS (SELECT sum(ss_d) AS ss, sum(s_d * s_d) AS s_sq FROM pd),
+         c AS (SELECT count(*) AS n FROM e)
+         SELECT n,
+           round(CASE WHEN n >= 2 THEN (n * ss - s_sq) / (n * (n - 1) / 2.0)
+             ELSE 0.0 END, 6) AS mean_pairwise_sq,
+           round(ss / n, 6) AS mean_norm_sq
+         FROM f, c""",
+
+    // the x160 sweep: x2's inverted-index pair machinery aggregated by
+    // integer band (20*c) // union instead of filtered at one threshold
+    "x160_threshold_sweep" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+                FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1))) t(i)),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                   FROM sh a JOIN sh b USING (s)
+                   WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         bands AS (SELECT (20 * c) // (sa.n + sb.n - c) AS band
+                   FROM inter JOIN sz sa ON id_a = sa.doc_id
+                     JOIN sz sb ON id_b = sb.doc_id)
+         SELECT band, round(CAST(band AS DOUBLE) / 20, 6) AS band_lo,
+           count(*) AS n_pairs
+         FROM bands WHERE band >= 10 GROUP BY band ORDER BY band""",
+
+    // the x161 upsert gate: the merged index must equal a full rebuild
+    // over the union corpus — the x63 bucket CTE over ALL vectors, with
+    // the incoming-batch predicate deciding is_new
+    "x161_ivf_index_upsert" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         bscore AS (SELECT e.vec_id, t.ci,
+             list_sum(list_transform(range(1, 65), i ->
+               CASE WHEN (('0x' || substr(md5(CAST(t.ci AS VARCHAR) || ',' ||
+                   CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT % 2) = 0
+                 THEN 1.0 ELSE -1.0 END
+               * coalesce(e.v[i], 0.0))) AS score
+           FROM e, UNNEST(range(0, 16)) t(ci)),
+         bucket AS (SELECT vec_id, ci AS bucket FROM (
+             SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id
+               ORDER BY score DESC, ci ASC) AS rn FROM bscore)
+           WHERE rn = 1)
+         SELECT bucket, count(*) AS n,
+           CAST(sum(CASE WHEN vec_id % 10 = 0 OR vec_id < 50
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+         FROM bucket GROUP BY bucket ORDER BY bucket""",
 
     // x40's session CTEs + one aggregation; sums exact DECIMAL(18,6),
     // re-typed double-via-string per the engine convention

@@ -587,4 +587,40 @@ object CorpusOps {
     df.select((col(textCol) === array_join(
         split(trim(col(textCol)), "\\s+"), " ")).as("stable"))
       .groupBy(col("stable")).agg(count(lit(1)).as("n"))
+
+  /** Zipf fit of the corpus vocabulary: OLS of ln(freq) over ln(rank) for
+    * the top `topRanks` token frequencies (rank ties broken by token, so
+    * both engines rank identical rows). A healthy natural-language corpus
+    * sits near slope -1; a flatter slope flags template/boilerplate mass
+    * (many tokens at similar frequency), a steeper one flags a degenerate
+    * vocabulary — the one-number companion to [[graft.operators
+    * .LanguageModel]]'s per-doc scores and x113's growth curve.
+    *
+    * 100 TB shape: one token explode into a partial-agged count, a
+    * TakeOrdered top-k cut (per-partition heaps, never a global sort),
+    * then all regression sums over the k-row frame (the k-row window is
+    * bounded by `topRanks`, not the vocabulary). Doubles are summed over
+    * k rows and rounded to 6 at the end — the established cross-engine
+    * float convention (x45/x109). Output: one row (n_ranks, slope,
+    * intercept). */
+  def zipfSlope(df: DataFrame, textCol: String,
+      topRanks: Int = 500): DataFrame = {
+    val freqs = df.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w").asc).limit(topRanks)
+    val ranked = freqs.withColumn("r",
+      row_number().over(Window.orderBy(col("f").desc, col("w").asc)))
+    val pts = ranked.select(
+      log(col("r").cast(DoubleType)).as("x"),
+      log(col("f").cast(DoubleType)).as("y"))
+    pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("n").as("n_ranks"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+          col("n"), 6).as("intercept"))
+  }
 }

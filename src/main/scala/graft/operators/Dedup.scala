@@ -945,4 +945,39 @@ object Dedup {
       .select(col("cluster"), col("best.id").as("kept_id"),
         col("n_members"), col("best.score").as("kept_score"))
   }
+
+  /** Jaccard THRESHOLD-SWEEP histogram — the knee plot a dedup threshold
+    * is actually chosen from: pair counts per jaccard band over every
+    * pair at or above `minBucket`/`buckets`, from ONE pass of the
+    * count-based inverted index (the same machinery as
+    * [[ngramJaccardPairs]], aggregated by band instead of filtered at a
+    * single threshold — running the pair search once per candidate
+    * threshold is the naive alternative this replaces). Banding is
+    * INTEGER-exact in both engines: band = (buckets·|A∩B|) div |A∪B|
+    * never touches a float, so no 0.05-step boundary can disagree
+    * between engines (0.05 is not representable in binary). Output:
+    * (band, band_lo, n_pairs) for non-empty bands, band b covering
+    * jaccard ∈ [b/buckets, (b+1)/buckets) and band == buckets meaning
+    * exactly 1.0. */
+  def jaccardThresholdSweep(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minBucket: Int = 10, buckets: Int = 20): DataFrame = {
+    val sh = shingleIndex(df, idCol, textCol, n, None)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.toDF("id_a", "s")
+      .join(sh.toDF("id_b", "s").hint("shuffle_hash"), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.toDF("id_a", "sz_a").hint("shuffle_hash"), Seq("id_a"))
+      .join(sizes.toDF("id_b", "sz_b").hint("shuffle_hash"), Seq("id_b"))
+      .select(call_function("div", lit(buckets.toLong) * col("c"),
+        col("sz_a") + col("sz_b") - col("c")).as("band"))
+      .filter(col("band") >= minBucket.toLong)
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("band"),
+        round(col("band").cast(DoubleType) / buckets, 6).as("band_lo"),
+        col("n_pairs"))
+  }
 }

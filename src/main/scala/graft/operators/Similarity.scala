@@ -240,4 +240,54 @@ object Similarity {
     }
     cent
   }
+
+  /** Pairwise-diversity audit of a (selected) vector sample WITHOUT any
+    * pair join: the mean pairwise squared euclidean distance falls out of
+    * per-dimension power sums —
+    *   Σ_{i<j}‖xᵢ−xⱼ‖² = n·Σᵢ‖xᵢ‖² − Σ_d (Σᵢ x_{id})²
+    * — so a metric that naively costs O(n²·d) is two aggregations: one
+    * posexplode into a d-row per-dimension (Σx, Σx²) table, one d-row
+    * fold, one count; combined via 1-row crossJoins (the j4 pattern).
+    * The selection-QA companion to [[normProfile]]: a diverse sample has
+    * high mean pairwise distance relative to its mean norm; near-dup or
+    * mode-collapsed selections show up immediately. Doubles rounded to 6
+    * at the end (the x45 convention). Output: one row (n,
+    * mean_pairwise_sq, mean_norm_sq). */
+  def sampleDiversity(df: DataFrame, vecCol: String): DataFrame = {
+    val e = df.select(posexplode(asDouble(col(vecCol))).as(Seq("d", "v")))
+    val perDim = e.groupBy(col("d"))
+      .agg(sum(col("v") * col("v")).as("ss_d"), sum(col("v")).as("s_d"))
+    val folded = perDim.agg(sum(col("ss_d")).as("ss"),
+      sum(col("s_d") * col("s_d")).as("s_sq"))
+    val cnt = df.agg(count(lit(1)).as("n"))
+    folded.crossJoin(cnt)
+      .select(col("n"),
+        round(when(col("n") >= 2L,
+          (col("n") * col("ss") - col("s_sq")) /
+            (col("n") * (col("n") - 1L) / lit(2.0))).otherwise(lit(0.0)), 6)
+          .as("mean_pairwise_sq"),
+        round(col("ss") / col("n"), 6).as("mean_norm_sq"))
+  }
+
+  /** UPSERT a batch of vectors into an IVF bucket index — the nightly
+    * maintenance twin of the x65 build/serve split: assignment is a pure
+    * deterministic function of the vector (the codegen'd sign-pattern
+    * [[ivfAssign]]), so merging newly-assigned rows over the standing
+    * index is ROW-IDENTICAL to a full rebuild over the union corpus (the
+    * x161 gate replays exactly that in SQL) while touching only the
+    * batch — the standing index is read for the anti-join's key column
+    * and never re-scored. Incoming ids REPLACE existing rows (re-embedded
+    * documents move buckets atomically); `is_new` marks the batch's rows
+    * so downstream balance reports can split standing vs incoming mass.
+    * Output: (idCol, bucket, is_new). */
+  def ivfIndexUpsert(index: DataFrame, newVecs: DataFrame, idCol: String,
+      vecCol: String, numCentroids: Int, dims: Int): DataFrame = {
+    val incoming = newVecs.select(col(idCol),
+      ivfAssign(asDouble(col(vecCol)), numCentroids, dims).as("bucket"),
+      lit(true).as("is_new"))
+    val kept = index.select(col(idCol), col("bucket"), lit(false).as("is_new"))
+      .join(incoming.select(col(idCol)).hint("shuffle_hash"),
+        Seq(idCol), "left_anti")
+    kept.unionByName(incoming)
+  }
 }

@@ -451,6 +451,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(3L) == ((2L, 0L, 0.0)))
   }
 
+  test("zipfSlope recovers an exact power law") {
+    // freq(rank) = 2^(10-rank) for ranks 1..4 -> ln f = 10 ln 2 - rank ln 2;
+    // over x = ln(rank) the OLS slope is NOT -ln2 (x is ln rank, not rank),
+    // so build the fixture the other way: freq = round(1000 / rank) chosen
+    // so f * rank is exact -> ln f = ln 1000 - ln rank, slope exactly -1
+    val words = (1 to 4).flatMap { r =>
+      val f = 1200 / r // 1200, 600, 400, 300 — exact integer ratios
+      Seq.fill(f)(s"w$r")
+    }
+    val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val out = graft.operators.CorpusOps.zipfSlope(df, "text", topRanks = 4).head()
+    assert(out.getLong(0) == 4L)
+    assert(out.getDouble(1) == -1.0) // ln f = ln 1200 - 1 * ln r, exactly
+    assert(math.abs(out.getDouble(2) - math.log(1200.0)) < 1e-5)
+  }
+
   test("tokenizationStability counts exactly the docs that round-trip split/join") {
     val d = Seq(
       (1L, "a b c"),        // stable

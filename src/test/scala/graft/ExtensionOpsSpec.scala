@@ -926,6 +926,71 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(out == Seq((1L, 2L, 1.0)))
   }
 
+  test("sampleDiversity matches the brute-force pairwise mean") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 2.0f)),
+      (2L, Seq(0.0f, 1.0f, -1.0f)),
+      (3L, Seq(3.0f, 3.0f, 0.0f)),
+      (4L, Seq(-1.0f, 0.5f, 1.0f)))
+    val brute = (for {
+      (a, va) <- vecs; (b, vb) <- vecs if a < b
+    } yield va.zip(vb).map { case (x, y) => (x - y).toDouble * (x - y) }.sum)
+    val want = brute.sum / brute.length
+    val out = graft.operators.Similarity
+      .sampleDiversity(vecs.toDF("id", "vec"), "vec").head()
+    assert(out.getLong(0) == 4L)
+    assert(math.abs(out.getDouble(1) - want) < 1e-9)
+    val normSq = vecs.map(_._2.map(x => x.toDouble * x).sum).sum / 4
+    assert(math.abs(out.getDouble(2) - normSq) < 1e-9)
+    // degenerate single-row sample: no pairs, mean 0 by contract
+    val one = graft.operators.Similarity
+      .sampleDiversity(vecs.take(1).toDF("id", "vec"), "vec").head()
+    assert(one.getLong(0) == 1L && one.getDouble(1) == 0.0)
+  }
+
+  test("jaccardThresholdSweep bands agree with per-threshold pair counts") {
+    val base = (1 to 12).map(i => s"t$i").mkString(" ")
+    val d = Seq(
+      (1L, base),
+      (2L, base),                                      // jaccard 1.0 -> band 20
+      (3L, (1 to 11).map(i => s"t$i").mkString(" ")),  // 9/10 vs doc1 -> band 18
+      (4L, (1 to 8).map(i => s"t$i").mkString(" "))    // 6/10 -> band 12
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .jaccardThresholdSweep(d, "doc_id", "text", n = 3, minBucket = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // doc1/doc2 identical (band 20); docs 1,2 vs 3: inter 9, union 10
+    // -> 180//10 = 18; docs 1,2 vs 4: inter 6, union 10 -> 12; doc3 vs 4:
+    // inter 6, union 9 -> 120//9 = 13
+    assert(out == Map(20L -> 1L, 18L -> 2L, 12L -> 2L, 13L -> 1L))
+    // cross-check: every pair >= 0.8 in ngramJaccardPairs lands in a
+    // band >= 16
+    val above = graft.operators.Dedup
+      .ngramJaccardPairs(d, "doc_id", "text", 3, 0.8).count()
+    assert(above == out.filterKeys(_ >= 16).values.sum)
+  }
+
+  test("ivfIndexUpsert equals a full rebuild; incoming ids replace standing rows") {
+    val toD: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      v => transform(v, x => x.cast("double"))
+    val all = embs.select(col("vec_id"), col("embedding"))
+    val standing = all.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"),
+        Similarity.ivfAssign(toD(col("embedding")), 8, 64).as("bucket"))
+    val incoming = all.filter(col("vec_id") % 2 === 1 || col("vec_id") < 6)
+    val merged = Similarity.ivfIndexUpsert(
+      standing, incoming, "vec_id", "embedding", 8, 64)
+    // row-identity with a from-scratch rebuild over the union corpus
+    val rebuilt = all.select(col("vec_id"),
+      Similarity.ivfAssign(toD(col("embedding")), 8, 64).as("bucket"))
+    assert(merged.count() == rebuilt.count())
+    assert(merged.select("vec_id", "bucket").exceptAll(rebuilt).isEmpty)
+    // replace semantics: overlapping ids (even ids < 6) carry is_new
+    val overlap = merged.filter(col("vec_id") === 0 || col("vec_id") === 2)
+      .select("is_new").collect().map(_.getBoolean(0))
+    assert(overlap.length == 2 && overlap.forall(identity))
+  }
+
   test("streaming hour-of-week profile equals the batch x135 operator") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_how").toString
     java.nio.file.Files.copy(
