@@ -2317,6 +2317,16 @@ object SparkEntry {
         .orderBy(col("cluster"))
     },
 
+    // ---- X: hour-of-week SPIKE cells — x135's baseline turned into an
+    //      alarm: worst epoch-week vs the cell's all-weeks mean, flagged
+    //      all-integer (max·weeks > 2·total), zero-weeks counted via the
+    //      global distinct-week denominator ----
+    "x162_hour_of_week_anomaly" -> { (s, dir) =>
+      graft.operators.EventAnalytics.hourOfWeekAnomaly(
+        t(s, dir, "events"), "ts")
+        .orderBy(col("dow"), col("hour"))
+    },
+
     // ---- X: hour-of-week traffic fingerprint — integer epoch
     //      arithmetic (engine DOW conventions differ; epoch division
     //      doesn't); <= 168 cells ----
@@ -2528,6 +2538,22 @@ object SparkEntry {
         t(s, dir, "events"), "user_id", "event_type", "ts", "event_id",
         "value", steps = Seq("view", "click", "purchase"))
         .orderBy(col("user_id"))
+    },
+
+    // ---- E2E: nightly vector-index maintenance — the embedding-side
+    //      sibling of e3's document ingest on the x63/x65 build/serve
+    //      split: standing index + batch upsert (only the batch scored,
+    //      incoming ids replace standing rows) + per-bucket health
+    //      report with the hot-list flag. The oracle replays a full
+    //      rebuild over the union corpus — the merge must be
+    //      row-identical to it ----
+    "e9_vector_maintenance" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      graft.examples.VectorIndexMaintenance.run(
+        e.filter(pmod(col("vec_id"), lit(10L)) =!= 0L),
+        e.filter(pmod(col("vec_id"), lit(10L)) === 0L || col("vec_id") < 50L),
+        "vec_id", "embedding", numCentroids = 16, dims = 64)
+        .orderBy(col("bucket"))
     },
 
     // ---- X: time-to-convert percentiles — the latency view x60's depth
@@ -3496,6 +3522,21 @@ object SparkEntry {
          SELECT (us // 86400000000 + 4) % 7 AS dow,
            (us % 86400000000) // 3600000000 AS hour, count(*) AS n
          FROM u GROUP BY 1, 2 ORDER BY dow, hour""",
+
+    // x135's cells per epoch-week, rolled to worst-week-vs-mean with the
+    // all-integer spike compare and the global distinct-week denominator
+    "x162_hour_of_week_anomaly" ->
+      """WITH u AS (SELECT epoch_us(ts) AS us FROM events),
+         c AS (SELECT (us // 86400000000) // 7 AS wk,
+                 (us // 86400000000 + 4) % 7 AS dow,
+                 (us % 86400000000) // 3600000000 AS hour, count(*) AS n
+               FROM u GROUP BY 1, 2, 3),
+         wkt AS (SELECT count(DISTINCT wk) AS n_weeks FROM c)
+         SELECT dow, hour, count(*) AS n_weeks_active,
+           CAST(sum(n) AS BIGINT) AS total, max(n) AS max_week,
+           (max(n) * (SELECT n_weeks FROM wkt) > CAST(sum(n) AS BIGINT) * 2)
+             AS spike
+         FROM c GROUP BY dow, hour ORDER BY dow, hour""",
 
     // the x60 funnel CTEs -> depth histogram -> k-row reach/rate pass
     "x136_funnel_summary" ->
@@ -5722,6 +5763,35 @@ object SparkEntry {
          SELECT band, round(CAST(band AS DOUBLE) / 20, 6) AS band_lo,
            count(*) AS n_pairs
          FROM bands WHERE band >= 10 GROUP BY band ORDER BY band""",
+
+    // the e9 maintenance report: the x63 bucket CTE over ALL vectors;
+    // before = standing predicate, after = everything (the upsert must
+    // be row-identical to the rebuild), hot = integer twice-the-mean
+    "e9_vector_maintenance" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         bscore AS (SELECT e.vec_id, t.ci,
+             list_sum(list_transform(range(1, 65), i ->
+               CASE WHEN (('0x' || substr(md5(CAST(t.ci AS VARCHAR) || ',' ||
+                   CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT % 2) = 0
+                 THEN 1.0 ELSE -1.0 END
+               * coalesce(e.v[i], 0.0))) AS score
+           FROM e, UNNEST(range(0, 16)) t(ci)),
+         bucket AS (SELECT vec_id, ci AS bucket FROM (
+             SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id
+               ORDER BY score DESC, ci ASC) AS rn FROM bscore)
+           WHERE rn = 1),
+         g AS (SELECT bucket, count(*) AS n_after,
+             CAST(sum(CASE WHEN vec_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_before,
+             CAST(sum(CASE WHEN vec_id % 10 = 0 OR vec_id < 50
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+           FROM bucket GROUP BY bucket),
+         t AS (SELECT sum(n_after) AS tot FROM g)
+         SELECT CAST(bucket AS BIGINT) AS bucket, n_before, n_after, n_new,
+           (n_after * 16 > tot * 2) AS hot
+         FROM g, t ORDER BY bucket""",
 
     // the x161 upsert gate: the merged index must equal a full rebuild
     // over the union corpus — the x63 bucket CTE over ALL vectors, with

@@ -417,6 +417,37 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Hour-of-week SPIKE cells — [[hourOfWeekProfile]] is the baseline,
+    * this is the alarm over it: for each (dow, hour) cell, compare the
+    * single worst epoch-week against the cell's all-weeks mean and flag
+    * cells whose peak exceeds twice it. The comparison is ALL-INTEGER
+    * (max_week · n_weeks > 2 · total — the e9/x142 "twice the mean"
+    * recipe), so no engine can disagree on a boundary; the mean's
+    * denominator is the GLOBAL distinct epoch-week count (a quiet cell's
+    * zero-weeks depress its mean — skipping them would hide a spike in
+    * an otherwise-dead hour). Two partial-agged groupBys (week-cell then
+    * cell) plus a 1-row distinct-weeks crossJoin. Output: (dow, hour,
+    * n_weeks_active, total, max_week, spike). */
+  def hourOfWeekAnomaly(events: DataFrame, tsCol: String): DataFrame = {
+    val us = unix_micros(col(tsCol))
+    val day = call_function("div", us, lit(86400000000L))
+    val cells = events.select(
+        call_function("div", day, lit(7L)).as("wk"),
+        pmod(day + 4L, lit(7L)).as("dow"),
+        call_function("div",
+          pmod(us, lit(86400000000L)), lit(3600000000L)).as("hour"))
+      .groupBy(col("wk"), col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+    val weeks = cells.agg(countDistinct(col("wk")).as("n_weeks"))
+    cells.groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n_weeks_active"), sum(col("n")).as("total"),
+        max(col("n")).as("max_week"))
+      .crossJoin(weeks)
+      .select(col("dow"), col("hour"), col("n_weeks_active"), col("total"),
+        col("max_week"),
+        (col("max_week") * col("n_weeks") > col("total") * 2L).as("spike"))
+  }
+
   /** Funnel summary table — [[funnel]]'s per-user depths rolled up to the
     * per-step report a dashboard renders: users reaching each step, the
     * step-over-step conversion rate, and the rate from step 1. One

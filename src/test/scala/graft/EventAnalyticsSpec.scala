@@ -293,6 +293,27 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out == Map((4L, 0L) -> 1L, (5L, 2L) -> 1L, (0L, 0L) -> 1L))
   }
 
+  test("hourOfWeekAnomaly flags the worst week against the zero-inclusive mean") {
+    // cell (Thu, 0h): weeks 0,1,2 carry 1,1,7 events -> max 7, total 9,
+    // 3 global weeks: 7*3 > 9*2 -> spike. Cell (Thu, 1h): only week 0
+    // carries 1 event; 1*3 > 1*2 -> spike TOO (a single active week
+    // always spikes vs its zero-depressed mean — by design: one hot
+    // hour in an otherwise dead cell IS an anomaly). Cell (Fri, 0h):
+    // 1,1,1 across all three weeks -> 1*3 > 3*2 false -> quiet.
+    val wk = 86400000L * 7
+    val ev = (
+      Seq(0L, wk, 2 * wk) ++ Seq.fill(6)(2 * wk) ++ // Thu 0h: 1,1,7
+      Seq(3600000L) ++                              // Thu 1h: week 0 only
+      Seq(86400000L, 86400000L + wk, 86400000L + 2 * wk) // Fri 0h: 1,1,1
+    ).map(ms => Tuple1(new java.sql.Timestamp(ms))).toDF("ts")
+    val out = graft.operators.EventAnalytics.hourOfWeekAnomaly(ev, "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out((4L, 0L)) == ((3L, 9L, 7L, true)))
+    assert(out((4L, 1L)) == ((1L, 1L, 1L, true)))
+    assert(out((5L, 0L)) == ((3L, 3L, 1L, false)))
+  }
+
   test("funnelSummary: reach counts are cumulative-from-deepest, rates exact") {
     val ev = Seq(
       // u1 full funnel; u2 view+click; u3 view only; u4 none of the steps
