@@ -2327,6 +2327,44 @@ object SparkEntry {
         .orderBy(col("dow"), col("hour"))
     },
 
+    // ---- X: nDCG@10 of the IVF-probed ranking against the brute exact
+    //      one — the position-weighted retrieval metric between x99's
+    //      recall (set overlap) and x152's MRR (top-1); graded rel =
+    //      k-rank+1, ideal DCG folded as a literal ----
+    "x163_ndcg" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      val approx = graft.operators.Similarity.ivfTopK(
+        q, e, "vec_id", "embedding", k = 10, numCentroids = 16, nprobe = 4)
+      val exact = graft.operators.Similarity.bruteForceTopK(
+        q, e, "vec_id", "embedding", k = 10)
+      graft.operators.Evaluation.ndcgAtK(
+        approx, exact, "query_id", "neighbor_id", "rank", k = 10)
+        .orderBy(col("query_id"))
+    },
+
+    // ---- X: PQ reconstruction-error profile — the squared-L2 loss the
+    //      quantizer actually incurs per vector (sum of assigned
+    //      sub-centroid distances = the min sub-distance, so the oracle
+    //      replays a tie-insensitive min over the codebook); the number
+    //      that justifies serving from codes at all ----
+    "x164_pq_recon_error" -> { (s, dir) =>
+      graft.operators.Quantization.reconstructionErrorProfile(
+        t(s, dir, "embeddings"), "vec_id", "embedding")
+    },
+
+    // ---- X: Murphy decomposition of the Brier score over the quality
+    //      score as a probability of lang=en — is the score CALIBRATED
+    //      or merely an ordering; integer binning, <= 10 cells ----
+    "x165_brier" -> { (s, dir) =>
+      import graft.functions.TextFunctions
+      graft.operators.Evaluation.brierDecomposition(
+        t(s, dir, "documents").select(
+          TextFunctions.qualityScore(col("text")).as("p"),
+          (col("lang") === "en").as("y")),
+        "p", "y", bins = 10)
+    },
+
     // ---- X: hour-of-week traffic fingerprint — integer epoch
     //      arithmetic (engine DOW conventions differ; epoch division
     //      doesn't); <= 168 cells ----
@@ -3522,6 +3560,116 @@ object SparkEntry {
          SELECT (us // 86400000000 + 4) % 7 AS dow,
            (us % 86400000000) // 3600000000 AS hour, count(*) AS n
          FROM u GROUP BY 1, 2 ORDER BY dow, hour""",
+
+    // the x163 nDCG oracle: the x156 probe replay produces the approx
+    // ranking, the x6 brute CTE the exact one with graded rel = 11-rank;
+    // dcg sums rel/log2(pos+1) at approx positions, ideal is the exact
+    // list scoring itself (a closed form of k)
+    "x163_ndcg" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         bscore AS (SELECT e.vec_id, t.ci,
+             list_sum(list_transform(range(1, 65), i ->
+               CASE WHEN (('0x' || substr(md5(CAST(t.ci AS VARCHAR) || ',' ||
+                   CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT % 2) = 0
+                 THEN 1.0 ELSE -1.0 END
+               * coalesce(e.v[i], 0.0))) AS score
+           FROM e, UNNEST(range(0, 16)) t(ci)),
+         bucket AS (SELECT vec_id, ci AS bucket FROM (
+             SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id
+               ORDER BY score DESC, ci ASC) AS rn FROM bscore)
+           WHERE rn = 1),
+         probes AS (SELECT vec_id AS query_id, ci AS bucket FROM (
+             SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id
+               ORDER BY score DESC, ci DESC) AS rn
+             FROM bscore WHERE vec_id < 5)
+           WHERE rn <= 4),
+         cs AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i]))
+               / (sqrt(list_sum(list_transform(range(1, 65), i -> q.v[i] * q.v[i])))
+                  * sqrt(list_sum(list_transform(range(1, 65), i -> c.v[i] * c.v[i])))) AS cos
+           FROM probes p JOIN bucket b ON p.bucket = b.bucket
+             JOIN e c ON c.vec_id = b.vec_id
+             JOIN e q ON q.vec_id = p.query_id
+           WHERE c.vec_id <> p.query_id),
+         appx AS (SELECT query_id, neighbor_id, pos FROM (
+             SELECT query_id, neighbor_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS pos
+             FROM cs) WHERE pos <= 10),
+         bs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i]))
+               / (sqrt(list_sum(list_transform(range(1, 65), i -> q.v[i] * q.v[i])))
+                  * sqrt(list_sum(list_transform(range(1, 65), i -> c.v[i] * c.v[i])))) AS cos
+           FROM e q, e c WHERE q.vec_id < 5 AND q.vec_id != c.vec_id),
+         ex AS (SELECT query_id, neighbor_id, 11 - rank AS rel FROM (
+             SELECT query_id, neighbor_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+             FROM bs) WHERE rank <= 10),
+         d AS (SELECT a.query_id,
+             sum(CAST(coalesce(ex.rel, 0) AS DOUBLE) / log2(a.pos + 1.0)) AS dcg
+           FROM appx a LEFT JOIN ex ON a.query_id = ex.query_id
+             AND a.neighbor_id = ex.neighbor_id
+           GROUP BY a.query_id),
+         ideal AS (SELECT sum(CAST(11 - r AS DOUBLE) / log2(r + 1.0)) AS idcg
+           FROM UNNEST(range(1, 11)) t(r))
+         SELECT query_id, round(dcg / idcg, 6) AS ndcg
+         FROM d, ideal ORDER BY query_id""",
+
+    // the x164 oracle: per (vector, sub-block) MIN distance over the 16
+    // lowest-id seed vectors (tie-insensitive — equals the assigned
+    // centroid's distance), summed per vector, then the x141 profile tail
+    "x164_pq_recon_error" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         s AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
+               FROM e ORDER BY vec_id LIMIT 16),
+         d AS (SELECT e.vec_id, t.j, s.c,
+             list_sum(list_transform(range(1, 9),
+               i -> (e.v[t.j * 8 + i] - s.cv[t.j * 8 + i])
+                  * (e.v[t.j * 8 + i] - s.cv[t.j * 8 + i]))) AS d
+           FROM e CROSS JOIN s, UNNEST(range(0, 8)) t(j)),
+         md AS (SELECT vec_id, j, min(d) AS dmin FROM d GROUP BY 1, 2),
+         er AS (SELECT vec_id, round(sum(dmin), 6) AS err FROM md GROUP BY 1)
+         SELECT count(*) AS n, round(avg(err), 6) AS mean_err,
+           quantile_cont(err, 0.5) AS p50_err,
+           quantile_cont(err, 0.9) AS p90_err, max(err) AS max_err
+         FROM er""",
+
+    // the x165 oracle: x155's quality-score CTEs as p, integer decile
+    // binning, the Murphy terms from exact bin sums
+    "x165_brier" ->
+      """WITH h AS (SELECT doc_id, lang, text,
+           len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ('the','a','of','and','to','in','is','it','for','on',
+                        'der','die','das','und','ist','ein','zu','mit','auf','nicht',
+                        'le','la','les','et','est','un','une','dans','pour','que'))) AS sw
+         FROM documents),
+         v AS (SELECT
+             round((least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.5
+               + least((CASE WHEN len(string_split(lower(text), ' ')) = 0 THEN 0.0
+                   ELSE CAST(sw AS DOUBLE) / len(string_split(lower(text), ' ')) END) * 5.0, 1.0) * 0.3)
+               * (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+                   ELSE CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                        / length(text) END) * 5.0, 1.0) * 0.5), 6) AS p,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+           FROM h),
+         b AS (SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin, p, y FROM v),
+         pb AS (SELECT bin, count(*) AS nb, sum(p) AS sp, sum(y) AS sy,
+                  sum((p - y) * (p - y)) AS sq
+                FROM b GROUP BY bin),
+         tt AS (SELECT CAST(sum(nb) AS BIGINT) AS n, sum(sy) AS sy_all,
+                  sum(sq) AS sq_all FROM pb)
+         SELECT tt.n AS n,
+           round(tt.sq_all / tt.n, 6) AS brier,
+           round(sum(pb.nb * (pb.sp / pb.nb - pb.sy / pb.nb)
+             * (pb.sp / pb.nb - pb.sy / pb.nb)) / max(tt.n), 6) AS reliability,
+           round(sum(pb.nb * (pb.sy / pb.nb - tt.sy_all / tt.n)
+             * (pb.sy / pb.nb - tt.sy_all / tt.n)) / max(tt.n), 6) AS resolution,
+           round((max(tt.sy_all) / max(tt.n))
+             * (1.0 - max(tt.sy_all) / max(tt.n)), 6) AS uncertainty
+         FROM pb, tt GROUP BY tt.n, tt.sy_all, tt.sq_all""",
 
     // x135's cells per epoch-week, rolled to worst-week-vs-mean with the
     // all-integer spike compare and the global distinct-week denominator

@@ -339,6 +339,84 @@ object Evaluation {
           .as("cum_lift"))
   }
 
+  /** nDCG@k of an approximate ranking against the exact one — the
+    * position-weighted retrieval score that [[recallAtK]] (set overlap)
+    * and [[mrr]] (top-1 position) bracket: every exact top-k item
+    * carries graded relevance k−rank+1, the approximate list earns
+    * rel/log2(pos+1) at the position it actually shows the item, and
+    * the ideal DCG (the exact list scoring itself) normalizes to [0,1].
+    * The ideal is a closed-form constant of k — folded in as a literal,
+    * not recomputed per query. Inputs are two candidate-frame rankings
+    * shaped (queryCol, idCol, rankCol) — both candidate-sized, joined
+    * shuffle_hash on (query, id); ≤k log terms per query, rounded to 6
+    * (the x45 float convention). Output: (queryCol, ndcg). */
+  def ndcgAtK(approx: DataFrame, exact: DataFrame, queryCol: String,
+      idCol: String, rankCol: String, k: Int): DataFrame = {
+    require(k >= 1, "ndcgAtK needs k >= 1")
+    val a = approx.filter(col(rankCol) <= k)
+      .select(col(queryCol), col(idCol), col(rankCol).as("__pos"))
+    val t = exact.filter(col(rankCol) <= k)
+      .select(col(queryCol), col(idCol),
+        (lit(k.toLong) + 1L - col(rankCol)).as("__rel"))
+    val ideal = (1 to k).map(r =>
+      (k - r + 1).toDouble / (math.log(r + 1.0) / math.log(2.0))).sum
+    a.join(t.hint("shuffle_hash"), Seq(queryCol, idCol), "left")
+      .groupBy(col(queryCol))
+      .agg(sum(coalesce(col("__rel"), lit(0L)).cast(DoubleType) /
+        log(2.0, col("__pos").cast(DoubleType) + 1.0)).as("__dcg"))
+      .select(col(queryCol), round(col("__dcg") / lit(ideal), 6).as("ndcg"))
+  }
+
+  /** Murphy decomposition of the Brier score over equal-width probability
+    * bins — the one-table answer to "is the score a PROBABILITY or just
+    * an ordering": brier = reliability − resolution + uncertainty, where
+    * reliability (miscalibration mass; want ~0) weighs each bin's
+    * (mean score − base rate)², resolution rewards bins whose base
+    * rates separate from the global rate, and uncertainty is the
+    * no-skill floor ȳ(1−ȳ). The x81 calibration table shows the curve;
+    * this is its scalar summary. The Murphy identity
+    * brier = rel − res + unc is exact when scores are constant within a
+    * bin (the spec gates that case); continuous scores add the
+    * within-bin variance/covariance residual, so brier is also reported
+    * directly — the gap IS the binning residual, itself a diagnostic.
+    *
+    * Binning is INTEGER (bin = least(floor(p·bins), bins−1)); all
+    * aggregates are one partial-agged groupBy over ≤`bins` cells plus
+    * the j4-style 1-row crossJoins; doubles round to 6 at the end.
+    * Scores must lie in [0,1]. Output: one row (n, brier, reliability,
+    * resolution, uncertainty). */
+  def brierDecomposition(df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1, "brierDecomposition needs bins >= 1")
+    val v = df.select(col(scoreCol).cast(DoubleType).as("p"),
+        col(labelCol).cast(DoubleType).as("y"))
+      .filter(col("p").isNotNull && col("y").isNotNull)
+      .withColumn("bin", least(floor(col("p") * bins), lit((bins - 1).toLong)))
+    val perBin = v.groupBy(col("bin"))
+      .agg(count(lit(1)).as("nb"), sum(col("p")).as("sp"),
+        sum(col("y")).as("sy"),
+        sum((col("p") - col("y")) * (col("p") - col("y"))).as("sq"))
+    val tot = perBin.agg(sum(col("nb")).as("n"), sum(col("sy")).as("sy_all"),
+      sum(col("sq")).as("sq_all"))
+    perBin.crossJoin(tot)
+      .select(col("nb"), col("sp"), col("sy"), col("n"), col("sy_all"),
+        col("sq_all"))
+      .agg(
+        first(col("n")).as("n"),
+        round(first(col("sq_all")) / first(col("n")), 6).as("brier"),
+        round(sum(col("nb") *
+          (col("sp") / col("nb") - col("sy") / col("nb")) *
+          (col("sp") / col("nb") - col("sy") / col("nb"))) / first(col("n")), 6)
+          .as("reliability"),
+        round(sum(col("nb") *
+          (col("sy") / col("nb") - col("sy_all") / col("n")) *
+          (col("sy") / col("nb") - col("sy_all") / col("n"))) / first(col("n")), 6)
+          .as("resolution"),
+        round((first(col("sy_all")) / first(col("n"))) *
+          (lit(1.0) - first(col("sy_all")) / first(col("n"))), 6)
+          .as("uncertainty"))
+  }
+
   /** Mean reciprocal rank of the TRUE top-1 inside an approximate list —
     * [[recallAtK]]'s first-position sibling: recall@k says the right
     * answers are SOMEWHERE in the list; MRR says how close the single

@@ -226,4 +226,42 @@ object Quantization {
       .orderBy(col("adist").asc, col(idCol).asc)
       .limit(topK)
   }
+
+  /** PQ reconstruction-error profile — how much geometry the quantizer
+    * actually throws away, the number that justifies (or vetoes) serving
+    * from codes: per vector, the squared L2 distance to its PQ
+    * reconstruction = Σ over sub-blocks of the distance to the ASSIGNED
+    * sub-centroid, which for an argmin assignment is the minimum
+    * sub-distance — so the oracle replays it as a min over the codebook
+    * with no tie-break sensitivity. Encoder and profile share the same
+    * codegen'd [[graft.functions.PqExpression]] argmin; the per-block
+    * distance is then one bounded higher-order fold against the
+    * broadcast codebook literal (m·dsub terms per row, never a join).
+    * Per-vector errors round to 6 (the normProfile convention), then one
+    * aggregate: count/mean plus exact-interpolation p50/p90 (the
+    * x13/x141 percentile convention) and max. Output: one row (n,
+    * mean_err, p50_err, p90_err, max_err). */
+  def reconstructionErrorProfile(corpus: DataFrame, idCol: String,
+      vecCol: String, m: Int = 8, dsub: Int = 8, k: Int = 16): DataFrame = {
+    val cb = seeds(corpus, idCol, vecCol, k)
+    require(cb.nonEmpty, "reconstructionErrorProfile: empty corpus")
+    val codes = graft.functions.PqExpression.codes(
+      corpus.sparkSession, asDouble(col(vecCol)), cb, m, dsub)
+    val cbCol = array(cb.map(row => array(row.map(lit(_)): _*)): _*)
+    val dist = aggregate(sequence(lit(1), lit(dsub)), lit(0.0),
+      (acc, i) => {
+        val idx = (col("sub") * dsub + i).cast("int")
+        val x = element_at(col("v"), idx)
+        val c = element_at(element_at(cbCol, (col("code") + 1).cast("int")), idx)
+        acc + (x - c) * (x - c)
+      })
+    corpus.select(col(idCol), asDouble(col(vecCol)).as("v"),
+        posexplode(codes).as(Seq("sub", "code")))
+      .select(col(idCol), dist.as("d"))
+      .groupBy(col(idCol)).agg(round(sum(col("d")), 6).as("err"))
+      .agg(count(lit(1)).as("n"), round(avg(col("err")), 6).as("mean_err"),
+        expr("percentile(err, 0.5)").as("p50_err"),
+        expr("percentile(err, 0.9)").as("p90_err"),
+        max(col("err")).as("max_err"))
+  }
 }

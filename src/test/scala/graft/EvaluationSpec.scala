@@ -217,4 +217,51 @@ class EvaluationSpec extends SparkSpec {
     assert(out(2L) == ((0L, 0.0))) // zero hits still yields a row
     assert(out.size == 2)
   }
+
+  test("ndcgAtK: exact-vs-itself is 1, disjoint is 0, one swap is hand-computable") {
+    import spark.implicits._
+    val exact = Seq(
+      (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 20L, 1L), (2L, 21L, 2L), (2L, 22L, 3L)).toDF("q", "n", "rank")
+    val self = graft.operators.Evaluation
+      .ndcgAtK(exact, exact, "q", "n", "rank", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(self == Map(1L -> 1.0, 2L -> 1.0))
+    // q1 swaps positions 1 and 2; q2 finds nothing relevant
+    val approx = Seq(
+      (1L, 11L, 1L), (1L, 10L, 2L), (1L, 12L, 3L),
+      (2L, 88L, 1L), (2L, 89L, 2L), (2L, 90L, 3L)).toDF("q", "n", "rank")
+    val out = graft.operators.Evaluation
+      .ndcgAtK(approx, exact, "q", "n", "rank", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def l2(x: Double) = math.log(x) / math.log(2.0)
+    val ideal = 3.0 / l2(2) + 2.0 / l2(3) + 1.0 / l2(4)
+    val swapped = 2.0 / l2(2) + 3.0 / l2(3) + 1.0 / l2(4)
+    assert(math.abs(out(1L) - swapped / ideal) < 1e-6)
+    assert(out(2L) == 0.0)
+  }
+
+  test("brierDecomposition: Murphy identity on bin-constant scores, hand values") {
+    import spark.implicits._
+    // two bins, scores constant within each: p=0.25 (3 pos of 4),
+    // p=0.75 (3 pos of 4); base rate 6/8
+    val df = (Seq.fill(3)((0.25, 1.0)) ++ Seq((0.25, 0.0)) ++
+      Seq.fill(3)((0.75, 1.0)) ++ Seq((0.75, 0.0))).toDF("p", "y")
+    val r = graft.operators.Evaluation
+      .brierDecomposition(df, "p", "y", bins = 10).head()
+    val n = r.getLong(0)
+    val (brier, rel, res, unc) =
+      (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(n == 8L)
+    // per-row (p-y)^2: 3*(0.75)^2 + (0.25)^2 + 3*(0.25)^2 + (0.75)^2 over 8
+    assert(math.abs(brier - (4 * 0.5625 + 4 * 0.0625) / 8) < 1e-9)
+    // bin .25: |p̄ - ȳb| = 0.5 -> 0.25; bin .75: p̄ = ȳb -> 0; weighted
+    // (4·0.25 + 4·0)/8 = 0.125. ȳb = 0.75 = ȳ in both -> resolution 0;
+    // uncertainty 0.75·0.25
+    assert(math.abs(rel - 0.125) < 1e-9)
+    assert(res == 0.0)
+    assert(math.abs(unc - 0.1875) < 1e-9)
+    // the Murphy identity holds exactly for bin-constant scores
+    assert(math.abs(brier - (rel - res + unc)) < 1e-9)
+  }
 }

@@ -316,6 +316,24 @@ class SelectionGraphPqSpec extends SparkSpec {
     assert(math.abs(out.head._3 - math.sqrt(0.5)) < 1e-6)
   }
 
+  test("reconstructionErrorProfile: seed vectors reconstruct exactly; off-seed error is hand-exact") {
+    val vecs = Seq(
+      (0L, Seq(0.0f, 0.0f)),
+      (1L, Seq(1.0f, 1.0f)),
+      (2L, Seq(0.4f, 0.4f))) // nearest seed (0,0): err = 2 * 0.4^2 = 0.32
+    val out = graft.operators.Quantization.reconstructionErrorProfile(
+      vecs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      m = 1, dsub = 2, k = 2).head()
+    assert(out.getLong(0) == 3L)
+    val f = 0.4f.toDouble // the float literal's exact double value
+    val err = 2 * f * f
+    assert(math.abs(out.getDouble(1) - err / 3) < 1e-6) // mean
+    assert(out.getDouble(2) == 0.0)                     // p50
+    // p90: position 1.8 between sorted 0 and err
+    assert(math.abs(out.getDouble(3) - 0.8 * err) < 1e-6)
+    assert(math.abs(out.getDouble(4) - err) < 1e-6)     // max
+  }
+
   test("hardNegativesIvf: nprobe=numCentroids degenerates to the brute result exactly") {
     // with every bucket probed the candidate set IS the corpus, so the
     // scale path must reproduce hardNegatives bit-for-bit (same dot
