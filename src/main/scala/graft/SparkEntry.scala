@@ -2365,6 +2365,18 @@ object SparkEntry {
         "p", "y", bins = 10)
     },
 
+    // ---- X: greedy k-center (farthest-first) diverse-seed selection —
+    //      k bounded corpus scans, each a broadcast-literal least() +
+    //      partial-agged argmax; the CONSTRUCTIVE sibling of x159's
+    //      diversity audit. The oracle unrolls the k=4 greedy steps as
+    //      chained CTEs — same distances, same (d desc, id asc)
+    //      tie-break ----
+    "x166_kcenter" -> { (s, dir) =>
+      graft.operators.Selection.kCenterGreedy(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 4)
+        .orderBy(col("rk"))
+    },
+
     // ---- X: hour-of-week traffic fingerprint — integer epoch
     //      arithmetic (engine DOW conventions differ; epoch division
     //      doesn't); <= 168 cells ----
@@ -3670,6 +3682,39 @@ object SparkEntry {
            round((max(tt.sy_all) / max(tt.n))
              * (1.0 - max(tt.sy_all) / max(tt.n)), 6) AS uncertainty
          FROM pb, tt GROUP BY tt.n, tt.sy_all, tt.sq_all""",
+
+    // the x166 greedy unroll: c1 = lowest id; each step scores min
+    // distance to the chosen set (same sequential-order fold) and takes
+    // (d desc, id asc); emitted d is the selection-time coverage radius²
+    "x166_kcenter" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id ASC LIMIT 1),
+         d1 AS (SELECT e.vec_id, e.v,
+             list_sum(list_transform(range(1, 65),
+               i -> (e.v[i] - c1.v[i]) * (e.v[i] - c1.v[i]))) AS d
+           FROM e, c1 WHERE e.vec_id <> c1.vec_id),
+         c2 AS (SELECT vec_id, v, d FROM d1
+                ORDER BY d DESC, vec_id ASC LIMIT 1),
+         d2 AS (SELECT d1.vec_id, d1.v, least(d1.d,
+             list_sum(list_transform(range(1, 65),
+               i -> (d1.v[i] - c2.v[i]) * (d1.v[i] - c2.v[i])))) AS d
+           FROM d1, c2 WHERE d1.vec_id <> c2.vec_id),
+         c3 AS (SELECT vec_id, v, d FROM d2
+                ORDER BY d DESC, vec_id ASC LIMIT 1),
+         d3 AS (SELECT d2.vec_id, d2.v, least(d2.d,
+             list_sum(list_transform(range(1, 65),
+               i -> (d2.v[i] - c3.v[i]) * (d2.v[i] - c3.v[i])))) AS d
+           FROM d2, c3 WHERE d2.vec_id <> c3.vec_id),
+         c4 AS (SELECT vec_id, v, d FROM d3
+                ORDER BY d DESC, vec_id ASC LIMIT 1)
+         SELECT CAST(1 AS BIGINT) AS rk, (SELECT vec_id FROM c1) AS id,
+           0.0 AS d
+         UNION ALL SELECT 2, vec_id, round(d, 6) FROM c2
+         UNION ALL SELECT 3, vec_id, round(d, 6) FROM c3
+         UNION ALL SELECT 4, vec_id, round(d, 6) FROM c4
+         ORDER BY rk""",
 
     // x135's cells per epoch-week, rolled to worst-week-vs-mean with the
     // all-integer spike compare and the global distinct-week denominator

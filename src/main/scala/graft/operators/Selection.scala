@@ -271,6 +271,57 @@ object Selection {
     * plan. Like all IVF serving, recall < 1.0 vs the brute argmax by
     * construction: raise `nprobe` to trade cost for recall (nprobe =
     * numCentroids degenerates to exact, bucket-partitioned brute). */
+  /** Greedy k-center (farthest-first) seed selection — the
+    * maximally-DIVERSE k-subset heuristic (2-approximation of the
+    * k-center objective): start from the lowest id, then repeatedly take
+    * the point whose distance to its nearest already-chosen center is
+    * LARGEST (ties to the lowest id). The classic pick for labeling/eval
+    * seed sets and kmeans++-style initialization when the sample must be
+    * spread, not typical — the structural opposite of
+    * [[Similarity.sampleDiversity]]'s audit (that measures spread, this
+    * constructs it).
+    *
+    * Inherently sequential in k: each round is ONE corpus scan computing
+    * the min-distance-to-chosen (a least() over ≤k broadcast center
+    * literals — never a join) reduced by a partial-aggregable
+    * max(struct(d, -id)) argmax, plus a point lookup of the winner's
+    * vector. 2(k−1)+1 bounded driver actions total — k is tens, and each
+    * action is embarrassingly parallel, which IS the 100 TB shape of
+    * greedy k-center (no known one-pass exact form). Distances are
+    * sequential-order folds so any engine replays them; emitted d (the
+    * selection-time min-distance — the running coverage radius²) rounds
+    * to 6. Output: (rk 1..k, id, d), d = 0 for the first center. */
+  def kCenterGreedy(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "kCenterGreedy needs k >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toD: Column => Column = v => transform(v, x => x.cast(DoubleType))
+    val v = df.select(col(idCol).cast("long").as("id"), toD(col(vecCol)).as("v"))
+    val first = v.orderBy(col("id").asc).limit(1).collect()(0)
+    var chosen = Vector[(Long, Seq[Double], Double)](
+      (first.getLong(0), first.getSeq[Double](1), 0.0))
+    def distTo(center: Seq[Double]): Column = {
+      val cArr = array(center.map(lit(_)): _*)
+      aggregate(zip_with(col("v"), cArr, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    for (_ <- 2 to k) {
+      val md = chosen.map(c => distTo(c._2)).reduce(least(_, _))
+      val chosenIds = chosen.map(_._1)
+      val best = v.filter(!col("id").isin(chosenIds: _*))
+        .select(col("id"), md.as("d"))
+        .agg(max(struct(col("d"), (-col("id")).as("nid"))).as("b"))
+        .select(col("b.d"), (-col("b.nid")).as("id")).collect()(0)
+      val vec = v.filter(col("id") === best.getLong(1)).collect()(0).getSeq[Double](1)
+      chosen = chosen :+ ((best.getLong(1), vec, best.getDouble(0)))
+    }
+    chosen.zipWithIndex
+      .map { case ((id, _, d), i) => (i + 1L, id, d) }
+      .toDF("rk", "id", "d_raw")
+      .select(col("rk"), col("id"), round(col("d_raw"), 6).as("d"))
+  }
+
   def hardNegativesIvf(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, dupThreshold: Double,
       numCentroids: Int = 16, nprobe: Int = 4, dims: Int = 64): DataFrame = {

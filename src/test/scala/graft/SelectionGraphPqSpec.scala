@@ -334,6 +334,21 @@ class SelectionGraphPqSpec extends SparkSpec {
     assert(math.abs(out.getDouble(4) - err) < 1e-6)     // max
   }
 
+  test("kCenterGreedy: farthest-first order and coverage radii are hand-exact") {
+    val vecs = Seq(
+      (0L, Seq(0.0f, 0.0f)),   // first (lowest id)
+      (1L, Seq(10.0f, 0.0f)),  // farthest from 0 -> second, d=100
+      (2L, Seq(0.0f, 1.0f)),   // stays near 0 -> last, d=1
+      (3L, Seq(5.0f, 5.0f)))   // min(50 to v0, 50 to v1)=50 -> third
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Selection
+      .kCenterGreedy(vecs, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      .sortBy(_._1)
+    assert(out == Seq((1L, 0L, 0.0), (2L, 1L, 100.0), (3L, 3L, 50.0),
+      (4L, 2L, 1.0)))
+  }
+
   test("hardNegativesIvf: nprobe=numCentroids degenerates to the brute result exactly") {
     // with every bucket probed the candidate set IS the corpus, so the
     // scale path must reproduce hardNegatives bit-for-bit (same dot
