@@ -171,6 +171,32 @@ class PlanHealthSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"expected the probed query side to broadcast:\n$p")
   }
 
+  test("x159: the O(n²) diversity metric plans with NO data-sized join") {
+    // the whole point of the power-sum identity: pairwise distance with
+    // no pair join — only the j4-style 1-row crossJoins may appear
+    val p = plan("x159_sample_diversity")
+    assert(!p.contains("ShuffledHashJoin") && !p.contains("SortMergeJoin"),
+      s"sampleDiversity grew a data-sized join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"sampleDiversity planned a cartesian over data:\n$p")
+  }
+
+  test("x161: index upsert anti-joins on the key — no cartesian, no corpus re-scoring join") {
+    val p = plan("x161_ivf_index_upsert")
+    assert(p.contains("LeftAnti"), s"upsert lost its replace anti-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"upsert fell off the keyed plan:\n$p")
+  }
+
+  test("x160: the sweep histogram keeps pinned shuffle-hash joins and partial aggregation") {
+    val p = plan("x160_threshold_sweep")
+    assert(p.contains("ShuffledHashJoin"), s"expected pinned index joins:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"sweep joins must stay equi-keyed:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial aggregation in the sweep:\n$p")
+  }
+
   test("x44: BM25 scoring is one narrow scan — zero exchanges, top-k via TakeOrdered") {
     // df/avgdl fold in as literals at build time (bounded collects); the
     // scoring plan itself must stay scan -> project -> filter -> heap-k,
