@@ -2365,6 +2365,29 @@ object SparkEntry {
         "p", "y", bins = 10)
     },
 
+    // ---- X: dominant-frequency recovery through the REAL from-scratch
+    //      radix-2 FFT — each doc synthesizes a pure sinusoid at DFT bin
+    //      1+(doc_id%100) as genuine 16-bit PCM WAV bytes, the WAV
+    //      parser + FFT must recover exactly that bin (and ~all of the
+    //      positive-frequency power: purity 1.000). A wrong butterfly,
+    //      a sample-parse endianness slip, or an off-by-one in the bin
+    //      argmax hash-fails against pure arithmetic ----
+    "x167_wav_spectral" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id")).filter(col("doc_id") < 500)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("content", BinaryType)))
+      val wavs = s.createDataFrame(docs.rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          org.apache.spark.sql.Row(id, graft.operators.Multimodal
+            .renderWavSine(256, 1 + (id % 100).toInt, 16000, 8191))
+        }
+      }, schema)
+      graft.operators.Multimodal.wavSpectralPeak(wavs, "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
     // ---- X: greedy k-center (farthest-first) diverse-seed selection —
     //      k bounded corpus scans, each a broadcast-literal least() +
     //      partial-agged argmax; the CONSTRUCTIVE sibling of x159's
@@ -3682,6 +3705,16 @@ object SparkEntry {
            round((max(tt.sy_all) / max(tt.n))
              * (1.0 - max(tt.sy_all) / max(tt.n)), 6) AS uncertainty
          FROM pb, tt GROUP BY tt.n, tt.sy_all, tt.sq_all""",
+
+    // the x167 spectral oracle IS the synthesis formula: a pure sinusoid
+    // at bin 1+(doc_id%100) must come back as exactly that dominant bin
+    // with purity 1.000 (quantization distortion is ~1e-8 of the power)
+    "x167_wav_spectral" ->
+      """SELECT doc_id, CAST(16000 AS INT) AS sample_rate,
+           CAST(256 AS BIGINT) AS n_samples,
+           CAST(1 + doc_id % 100 AS BIGINT) AS dominant_bin,
+           CAST(1.0 AS DOUBLE) AS purity
+         FROM documents WHERE doc_id < 500 ORDER BY doc_id""",
 
     // the x166 greedy unroll: c1 = lowest id; each step scores min
     // distance to the chosen set (same sequential-order fold) and takes

@@ -477,6 +477,163 @@ object Multimodal {
     buf.array()
   }
 
+  /** Iterative radix-2 Cooley–Tukey FFT, in place, from the textbook
+    * definition (bit-reversal permutation + butterfly passes with a
+    * recurrence-updated twiddle). Length must be a power of two.
+    * Deterministic double arithmetic — the executor-retry contract every
+    * codec shares. */
+  def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require(n == im.length && n > 0 && (n & (n - 1)) == 0,
+      "fft needs equal power-of-2 length arrays")
+    var j = 0
+    var i = 1
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang); val wi = math.sin(ang)
+      var base = 0
+      while (base < n) {
+        var cr = 1.0; var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val hi = base + k + len / 2
+          val ur = re(base + k); val ui = im(base + k)
+          val vr = re(hi) * cr - im(hi) * ci
+          val vi = re(hi) * ci + im(hi) * cr
+          re(base + k) = ur + vr; im(base + k) = ui + vi
+          re(hi) = ur - vr; im(hi) = ui - vi
+          val ncr = cr * wr - ci * wi; ci = cr * wi + ci * wr; cr = ncr
+          k += 1
+        }
+        base += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** Parse a 16-bit PCM WAV payload to (sampleRate, channels, samples) —
+    * the same chunk walk as [[WavCodec]], kept as a separate total parser
+    * so DSP operators can reach raw samples without re-deriving the
+    * container format. Multi-channel payloads return interleaved
+    * samples. */
+  def wavSamples(b: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    if (!WavCodec.detect(b)) return None
+    var off = 12
+    var channels = -1; var sampleRate = -1; var bits = -1
+    var dataOff = -1; var dataLen = -1
+    while (off + 8 <= b.length && (channels < 0 || dataOff < 0)) {
+      val id = new String(b, off, 4, "US-ASCII")
+      val size = i32(b, off + 4)
+      if (size < 0 || off + 8 + size > b.length) return None
+      id match {
+        case "fmt " =>
+          if (size < 16) return None
+          if (u16(b, off + 8) != 1) return None
+          channels = u16(b, off + 10)
+          sampleRate = i32(b, off + 12)
+          bits = u16(b, off + 22)
+        case "data" =>
+          dataOff = off + 8; dataLen = size
+        case _ =>
+      }
+      off += 8 + size + (size & 1)
+    }
+    if (channels <= 0 || sampleRate <= 0 || bits != 16 || dataOff < 0) return None
+    val n = dataLen / 2
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      out(i) = ((u16(b, dataOff + i * 2) << 16) >> 16).toShort
+      i += 1
+    }
+    Some((sampleRate, channels, out))
+  }
+
+  /** Synthesize a mono 16-bit PCM WAV: `n` samples of a pure sinusoid at
+    * DFT bin `bin` (i.e. `bin` full cycles over the n samples),
+    * amplitude in [0, 32767]. Fixture/synthesis utility — the analysis
+    * side is [[wavSpectralPeak]]. */
+  def renderWavSine(n: Int, bin: Int, sampleRate: Int = 16000,
+      amplitude: Int = 8191): Array[Byte] = {
+    val samples = Array.tabulate(n)(i =>
+      math.rint(amplitude * math.sin(2.0 * math.Pi * bin * i / n)).toShort)
+    val dataLen = n * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1)
+      .putShort(1).putInt(sampleRate).putInt(sampleRate * 2).putShort(2)
+      .putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => buf.putShort(s))
+    buf.array()
+  }
+
+  /** Dominant-frequency report of WAV payloads through the REAL
+    * [[fft]]: first `nfft` mono samples (zero-padded; channel 0 of
+    * interleaved audio), power per positive-frequency bin, argmax over
+    * bins 1..nfft/2 (DC excluded, ties to the LOWEST bin), plus the
+    * winning bin's share of positive-frequency power rounded to 3 — a
+    * spectral-purity score (a pure tone scores 1.000, broadband noise
+    * ~0). The per-partition batched scan every codec op uses; non-WAV
+    * payloads are dropped. Output: (idCol, sample_rate, n_samples,
+    * dominant_bin, purity). */
+  def wavSpectralPeak(df: DataFrame, idCol: String,
+      contentCol: String = "content", nfft: Int = 256): DataFrame = {
+    require(nfft >= 4 && (nfft & (nfft - 1)) == 0, "nfft must be a power of 2 >= 4")
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("dominant_bin", LongType, nullable = false),
+      StructField("purity", DoubleType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val contentIdx = df.schema.fieldIndex(contentCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        r.get(contentIdx) match {
+          case b: Array[Byte] =>
+            wavSamples(b).map { case (rate, channels, samples) =>
+              val re = new Array[Double](nfft)
+              val im = new Array[Double](nfft)
+              var i = 0
+              val nMono = samples.length / channels
+              while (i < nfft && i < nMono) {
+                re(i) = samples(i * channels).toDouble
+                i += 1
+              }
+              fft(re, im)
+              var best = 1; var bestP = -1.0; var tot = 0.0
+              var k = 1
+              while (k <= nfft / 2) {
+                val p = re(k) * re(k) + im(k) * im(k)
+                tot += p
+                if (p > bestP) { bestP = p; best = k }
+                k += 1
+              }
+              val purity = if (tot > 0.0) bestP / tot else 0.0
+              Row(r.get(idIdx), rate, nMono.toLong, best.toLong,
+                math.rint(purity * 1000.0) / 1000.0)
+            }
+          case _ => None
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
   /** Render a 36x32 gray BMP whose [[dHash64]] is EXACTLY the given 8
     * bytes (bits 8j..8j+7 of the hash = byte j): each of the 8 cell-rows
     * (4 pixel rows each) is a left-to-right walk over the 9 cell-columns

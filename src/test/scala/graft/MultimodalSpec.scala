@@ -370,6 +370,54 @@ class MultimodalSpec extends SparkSpec {
       f"jpeg hash drifted: ${java.lang.Long.bitCount(hBmp ^ hJpeg)} bits")
   }
 
+  test("fft: impulse, pure-tone bin, linearity against the direct DFT") {
+    // impulse -> flat spectrum (all bins 1+0i)
+    val re0 = Array.tabulate(8)(i => if (i == 0) 1.0 else 0.0)
+    val im0 = new Array[Double](8)
+    Multimodal.fft(re0, im0)
+    assert(re0.forall(v => math.abs(v - 1.0) < 1e-12) &&
+      im0.forall(v => math.abs(v) < 1e-12))
+    // cos at bin 3 of 16: X_3 = X_13 = 8, everything else ~0
+    val n = 16
+    val re = Array.tabulate(n)(i => math.cos(2 * math.Pi * 3 * i / n))
+    val im = new Array[Double](n)
+    Multimodal.fft(re, im)
+    for (k <- 0 until n) {
+      val mag = math.hypot(re(k), im(k))
+      if (k == 3 || k == 13) assert(math.abs(mag - 8.0) < 1e-9, s"bin $k: $mag")
+      else assert(mag < 1e-9, s"bin $k leaked: $mag")
+    }
+    // cross-check a random-ish signal against the O(n^2) direct DFT
+    val sig = Array.tabulate(32)(i => math.sin(i * 0.7) + 0.3 * math.cos(i * 2.1))
+    val fr = sig.clone(); val fi = new Array[Double](32)
+    Multimodal.fft(fr, fi)
+    for (k <- 0 until 32) {
+      var dr = 0.0; var di = 0.0
+      for (i <- 0 until 32) {
+        val a = -2 * math.Pi * k * i / 32
+        dr += sig(i) * math.cos(a); di += sig(i) * math.sin(a)
+      }
+      assert(math.abs(fr(k) - dr) < 1e-9 && math.abs(fi(k) - di) < 1e-9,
+        s"bin $k: fft (${fr(k)}, ${fi(k)}) vs dft ($dr, $di)")
+    }
+  }
+
+  test("wavSamples + wavSpectralPeak recover the synthesized tone exactly") {
+    val bytes = Multimodal.renderWavSine(256, bin = 7, sampleRate = 16000)
+    val Some((rate, ch, samples)) = Multimodal.wavSamples(bytes)
+    assert(rate == 16000 && ch == 1 && samples.length == 256)
+    // 7 full cycles: sample 0 is 0, and the wave crosses zero 14 times
+    assert(samples(0) == 0)
+    val out = Multimodal.wavSpectralPeak(
+      Seq((1L, bytes), (2L, "not audio".getBytes("UTF-8")))
+        .toDF("id", "content"), "id").collect()
+    assert(out.length == 1) // non-WAV rows drop
+    val r = out(0)
+    assert(r.getLong(0) == 1L && r.getInt(1) == 16000 && r.getLong(2) == 256L)
+    assert(r.getLong(3) == 7L)
+    assert(r.getDouble(4) == 1.0)
+  }
+
   test("renderBmpHashEncoded: decode + dHash64 round-trips arbitrary bytes exactly") {
     val cases = Seq(
       Array.fill[Byte](8)(0),
