@@ -2388,6 +2388,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // ---- X: top principal direction by 3 pinned power-iteration steps
+    //      — the anisotropy probe before trusting cosine retrieval (one
+    //      rogue direction dominating similarity means whitening is
+    //      due); per step one centered-projection pass + one 64-wide avg
+    //      agg, driver holds only the 64-vector ----
+    "x168_power_iteration" -> { (s, dir) =>
+      graft.operators.Similarity.powerIterationTop(
+        t(s, dir, "embeddings"), "embedding", iters = 3, dims = 64)
+    },
+
     // ---- X: greedy k-center (farthest-first) diverse-seed selection —
     //      k bounded corpus scans, each a broadcast-literal least() +
     //      partial-agged argmax; the CONSTRUCTIVE sibling of x159's
@@ -3705,6 +3715,55 @@ object SparkEntry {
            round((max(tt.sy_all) / max(tt.n))
              * (1.0 - max(tt.sy_all) / max(tt.n)), 6) AS uncertainty
          FROM pb, tt GROUP BY tt.n, tt.sy_all, tt.sq_all""",
+
+    // the x168 oracle unrolls the exact 3 power steps: per-dim means as
+    // a list, v0 = the e0 axis, each step s = sequential-order centered
+    // projection then a per-dim avg and the sign-at-component-0 /
+    // norm normalization — the same arithmetic the operator runs
+    "x168_power_iteration" ->
+      """WITH e AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         cnt AS (SELECT count(*) AS n FROM e),
+         mu AS (SELECT list(m ORDER BY d) AS mu FROM (
+             SELECT t.i AS d, avg(v[t.i]) AS m
+             FROM e, UNNEST(range(1, 65)) t(i) GROUP BY t.i)),
+         v0 AS (SELECT list_transform(range(1, 65),
+             i -> CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END) AS v),
+         s1 AS (SELECT e.v, list_sum(list_transform(range(1, 65),
+             i -> (e.v[i] - mu.mu[i]) * v0.v[i])) AS s FROM e, mu, v0),
+         w1 AS (SELECT list(w ORDER BY d) AS w FROM (
+             SELECT t.i AS d, avg((s1.v[t.i] - mu.mu[t.i]) * s1.s) AS w
+             FROM s1, mu, UNNEST(range(1, 65)) t(i) GROUP BY t.i)),
+         v1 AS (SELECT list_transform(w, x ->
+             (CASE WHEN w[1] < 0 THEN -1.0 ELSE 1.0 END) * x
+             / sqrt(list_sum(list_transform(w, y -> y * y)))) AS v FROM w1),
+         s2 AS (SELECT e.v, list_sum(list_transform(range(1, 65),
+             i -> (e.v[i] - mu.mu[i]) * v1.v[i])) AS s FROM e, mu, v1),
+         w2 AS (SELECT list(w ORDER BY d) AS w FROM (
+             SELECT t.i AS d, avg((s2.v[t.i] - mu.mu[t.i]) * s2.s) AS w
+             FROM s2, mu, UNNEST(range(1, 65)) t(i) GROUP BY t.i)),
+         v2 AS (SELECT list_transform(w, x ->
+             (CASE WHEN w[1] < 0 THEN -1.0 ELSE 1.0 END) * x
+             / sqrt(list_sum(list_transform(w, y -> y * y)))) AS v FROM w2),
+         s3 AS (SELECT e.v, list_sum(list_transform(range(1, 65),
+             i -> (e.v[i] - mu.mu[i]) * v2.v[i])) AS s FROM e, mu, v2),
+         w3 AS (SELECT list(w ORDER BY d) AS w FROM (
+             SELECT t.i AS d, avg((s3.v[t.i] - mu.mu[t.i]) * s3.s) AS w
+             FROM s3, mu, UNNEST(range(1, 65)) t(i) GROUP BY t.i)),
+         fin AS (SELECT w,
+             sqrt(list_sum(list_transform(w, y -> y * y))) AS nrm,
+             CASE WHEN w[1] < 0 THEN -1.0 ELSE 1.0 END AS flip
+           FROM w3)
+         SELECT cnt.n, round(fin.nrm, 6) AS eigenvalue,
+           round(fin.flip * fin.w[1] / fin.nrm, 6) AS c0,
+           round(fin.flip * fin.w[2] / fin.nrm, 6) AS c1,
+           round(fin.flip * fin.w[3] / fin.nrm, 6) AS c2,
+           round(fin.flip * fin.w[4] / fin.nrm, 6) AS c3,
+           round(fin.flip * fin.w[5] / fin.nrm, 6) AS c4,
+           round(fin.flip * fin.w[6] / fin.nrm, 6) AS c5,
+           round(fin.flip * fin.w[7] / fin.nrm, 6) AS c6,
+           round(fin.flip * fin.w[8] / fin.nrm, 6) AS c7
+         FROM fin, cnt""",
 
     // the x167 spectral oracle IS the synthesis formula: a pure sinusoid
     // at bin 1+(doc_id%100) must come back as exactly that dominant bin

@@ -269,6 +269,62 @@ object Similarity {
         round(col("ss") / col("n"), 6).as("mean_norm_sq"))
   }
 
+  /** Top principal direction of an embedding corpus by POWER ITERATION —
+    * the anisotropy probe run before trusting cosine retrieval: a large
+    * top eigenvalue share means one rogue direction (an encoder bias, a
+    * length artifact) dominates every similarity, and mean-removal /
+    * whitening is due. Defined as the estimate after exactly `iters`
+    * deterministic steps from the e₀ axis (an estimator with a pinned
+    * iteration count is oracle-replayable; convergence diagnostics ride
+    * the eigenvalue trajectory, not a data-dependent stop rule).
+    *
+    * Per step: one corpus pass computing the centered projection
+    * s = (x−μ)·v (a sequential-order fold against broadcast literals —
+    * never a join) and one partial-agged pass of `dims` avg columns for
+    * w = E[(x−μ)s] (the lloydStep shuffle shape: one `dims`-wide row per
+    * partition, NOT a posexplode fan-out); the driver holds only the
+    * `dims`-vector between steps (2·iters+1 bounded actions). Sign is
+    * normalized so component 0 is non-negative; eigenvalue estimate =
+    * ‖w‖ of the final step (the Rayleigh quotient for a unit v). Output:
+    * one row (n, eigenvalue, c0..c7 — the first 8 components), all
+    * rounded to 6. */
+  def powerIterationTop(df: DataFrame, vecCol: String, iters: Int = 3,
+      dims: Int = 64): DataFrame = {
+    require(iters >= 1, "powerIterationTop needs iters >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(asDouble(col(vecCol)).as("v"))
+    val muRow = v.agg(
+      (1 to dims).map(i => avg(element_at(col("v"), i)).as(s"m$i")).head,
+      (1 to dims).map(i => avg(element_at(col("v"), i)).as(s"m$i")).tail: _*)
+      .collect()(0)
+    val mu = Array.tabulate(dims)(i => muRow.getDouble(i))
+    val n = v.count()
+    var vec = Array.tabulate(dims)(i => if (i == 0) 1.0 else 0.0)
+    var lambda = 0.0
+    for (_ <- 1 to iters) {
+      val sCol = (1 to dims).map(i =>
+        (element_at(col("v"), i) - lit(mu(i - 1))) * lit(vec(i - 1)))
+        .reduce(_ + _)
+      val withS = v.withColumn("s", sCol)
+      val wRow = withS.agg(
+        (1 to dims).map(i => avg(
+          (element_at(col("v"), i) - lit(mu(i - 1))) * col("s")).as(s"w$i")).head,
+        (1 to dims).map(i => avg(
+          (element_at(col("v"), i) - lit(mu(i - 1))) * col("s")).as(s"w$i")).tail: _*)
+        .collect()(0)
+      val w = Array.tabulate(dims)(i => wRow.getDouble(i))
+      lambda = math.sqrt(w.map(x => x * x).sum)
+      val flip = if (w(0) < 0.0) -1.0 else 1.0
+      vec = w.map(x => flip * x / lambda)
+    }
+    def c(i: Int): Double = if (i < dims) vec(i) else 0.0
+    Seq((n, lambda, c(0), c(1), c(2), c(3), c(4), c(5), c(6), c(7)))
+      .toDF("n", "l_raw", "r0", "r1", "r2", "r3", "r4", "r5", "r6", "r7")
+      .select(col("n") +: round(col("l_raw"), 6).as("eigenvalue") +:
+        (0 to 7).map(i => round(col(s"r$i"), 6).as(s"c$i")): _*)
+  }
+
   /** UPSERT a batch of vectors into an IVF bucket index — the nightly
     * maintenance twin of the x65 build/serve split: assignment is a pure
     * deterministic function of the vector (the codegen'd sign-pattern

@@ -334,6 +334,23 @@ class SelectionGraphPqSpec extends SparkSpec {
     assert(math.abs(out.getDouble(4) - err) < 1e-6)     // max
   }
 
+  test("powerIterationTop recovers a known principal direction and eigenvalue") {
+    // rank-1 data along (0.6, 0.8) with weights (-2,-1,1,2) + a mean
+    // offset: covariance = 2.5·uuᵀ, so one step is already exact and
+    // three pinned steps must report eigenvalue 2.5, components (0.6,
+    // 0.8) with the sign fixed at component 0
+    val u = (0.6, 0.8)
+    val data = Seq(-2.0, -1.0, 1.0, 2.0).zipWithIndex.map { case (t, i) =>
+      (i.toLong, Seq((10.0 + t * u._1).toFloat, (5.0 + t * u._2).toFloat))
+    }
+    val out = graft.operators.Similarity.powerIterationTop(
+      data.toDF("id", "vec"), "vec", iters = 3, dims = 2).head()
+    assert(out.getLong(0) == 4L)
+    assert(math.abs(out.getDouble(1) - 2.5) < 1e-5)
+    assert(math.abs(out.getDouble(2) - 0.6) < 1e-5)
+    assert(math.abs(out.getDouble(3) - 0.8) < 1e-5)
+  }
+
   test("kCenterGreedy: farthest-first order and coverage radii are hand-exact") {
     val vecs = Seq(
       (0L, Seq(0.0f, 0.0f)),   // first (lowest id)
