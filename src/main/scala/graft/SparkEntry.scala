@@ -2398,6 +2398,63 @@ object SparkEntry {
         t(s, dir, "embeddings"), "embedding", iters = 3, dims = 64)
     },
 
+    // ---- X: offline CUSUM changepoint per event type — the level-shift
+    //      locator; the statistic is the D-scaled running deviation
+    //      D*C_t - t*T in pure int64 (no double cumsum drift), argmax
+    //      with earliest-bucket tie-break ----
+    "x169_cusum_changepoint" -> { (s, dir) =>
+      graft.operators.Temporal.cusumChangepoint(
+        t(s, dir, "events"), "event_type", "ts", bucketSeconds = 86400L)
+        .orderBy(col("event_type"))
+    },
+
+    // ---- X: Theil–Sen robust daily-volume trend per event type — the
+    //      median (lower, selection not interpolation) of all pairwise
+    //      slopes; pairs are per-key calendar-bounded ----
+    "x170_theilsen_trend" -> { (s, dir) =>
+      graft.operators.Temporal.theilSenSlope(
+        t(s, dir, "events"), "event_type", "ts", bucketSeconds = 86400L)
+        .orderBy(col("event_type"))
+    },
+
+    // ---- X: split-conformal coverage audit of the stopword-ratio
+    //      scorer (x81/x92's p) at alpha=0.1 — even doc_id calibrates,
+    //      odd evaluates; q is a distributed sort+limit order statistic,
+    //      never a single-partition window ----
+    "x171_conformal_coverage" -> { (s, dir) =>
+      import graft.functions.TextFunctions
+      val scored = t(s, dir, "documents").select(
+        col("doc_id"),
+        round(least(
+          TextFunctions.stopwordHits(col("text"), "en").cast(DoubleType) /
+            greatest(size(TextFunctions.tokens(lower(col("text")))), lit(1))
+              .cast(DoubleType) * lit(5.0),
+          lit(1.0)), 6).as("p"),
+        (col("lang") === "en").as("label"))
+      graft.operators.Evaluation.conformalCoverage(scored, "doc_id", "p",
+        "label", alpha = 0.1)
+    },
+
+    // ---- X: seasonal-naive MASE backtest (m=7 on daily value sums) —
+    //      is there weekly structure worth modeling? calendar-aligned
+    //      by bucket VALUE so gaps never misalign the season ----
+    "x172_seasonal_backtest" -> { (s, dir) =>
+      graft.operators.Temporal.seasonalNaiveBacktest(
+        t(s, dir, "events"), "event_type", "ts", "value",
+        bucketSeconds = 86400L, season = 7)
+        .orderBy(col("event_type"))
+    },
+
+    // ---- X: Holt double-exponential level+trend forecast per event
+    //      type — x90 ewma's level-only sibling; same order-canonical
+    //      sorted fold, struct accumulator ----
+    "x173_holt_forecast" -> { (s, dir) =>
+      graft.operators.Temporal.holtLinear(
+        t(s, dir, "events"), "event_type", "ts", "value",
+        bucketSeconds = 86400L, alpha = 0.5, beta = 0.3)
+        .orderBy(col("event_type"))
+    },
+
     // ---- X: greedy k-center (farthest-first) diverse-seed selection —
     //      k bounded corpus scans, each a broadcast-literal least() +
     //      partial-agged argmax; the CONSTRUCTIVE sibling of x159's
@@ -3764,6 +3821,118 @@ object SparkEntry {
            round(fin.flip * fin.w[7] / fin.nrm, 6) AS c6,
            round(fin.flip * fin.w[8] / fin.nrm, 6) AS c7
          FROM fin, cnt""",
+
+    // x169: the same D-scaled integer CUSUM — window cumsum + argmax
+    // with (sa DESC, bk ASC) tie-break, all exact int arithmetic
+    "x169_cusum_changepoint" ->
+      """WITH d AS (SELECT event_type AS k, epoch_us(ts) // 86400000000 AS bk,
+             count(*) AS n
+           FROM events GROUP BY 1, 2),
+         c AS (SELECT k, bk, n,
+             row_number() OVER (PARTITION BY k ORDER BY bk) AS t,
+             sum(n) OVER (PARTITION BY k ORDER BY bk) AS c
+           FROM d),
+         g AS (SELECT k, max(t) AS nb, max(c) AS tot FROM c GROUP BY k),
+         s AS (SELECT c.k, c.bk, abs(g.nb * c.c - c.t * g.tot) AS sa, g.nb
+           FROM c JOIN g USING (k)),
+         r AS (SELECT k, bk, sa, nb,
+             row_number() OVER (PARTITION BY k ORDER BY sa DESC, bk ASC) AS rk
+           FROM s)
+         SELECT k AS event_type,
+           CAST(bk * 86400000000 AS BIGINT) AS cp_bucket_us,
+           CAST(sa AS BIGINT) AS s_abs_scaled, CAST(nb AS BIGINT) AS n_buckets
+         FROM r WHERE rk = 1 ORDER BY event_type""",
+
+    // x170: all pairwise slopes per key, lower median by selection —
+    // ss[(m+1) // 2] — identical to the Spark element_at fold
+    "x170_theilsen_trend" ->
+      """WITH d AS (SELECT event_type AS k, epoch_us(ts) // 86400000000 AS bk,
+             count(*) AS n
+           FROM events GROUP BY 1, 2),
+         p AS (SELECT a.k,
+             CAST(b.n - a.n AS DOUBLE) / CAST(b.bk - a.bk AS DOUBLE) AS s
+           FROM d a JOIN d b ON a.k = b.k AND a.bk < b.bk),
+         l AS (SELECT k, list_sort(list(s)) AS ss FROM p GROUP BY k)
+         SELECT k AS event_type, CAST(len(ss) AS BIGINT) AS n_pairs,
+           round(ss[CAST((len(ss) + 1) // 2 AS INT)], 6) AS slope
+         FROM l ORDER BY event_type""",
+
+    // x171: same scorer as x81/x92; q = ceil((n+1)*0.9)-th smallest
+    // calibration nonconformity (both engines run the identical double
+    // product before ceil), eval coverage + mean set size
+    "x171_conformal_coverage" ->
+      """WITH scored AS (SELECT doc_id,
+             round(least(CAST(len(list_filter(string_split(lower(text), ' '),
+               w -> w IN ('the','a','of','and','to','in','is','it','for','on')))
+                 AS DOUBLE)
+               / CAST(greatest(len(string_split(lower(text), ' ')), 1) AS DOUBLE)
+               * 5.0, 1.0), 6) AS p,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM documents),
+         cal AS (SELECT CASE WHEN y = 1 THEN 1.0 - p ELSE p END AS s
+           FROM scored WHERE doc_id % 2 = 0),
+         nn AS (SELECT count(*) AS n FROM cal),
+         r AS (SELECT s, row_number() OVER (ORDER BY s) AS rn FROM cal),
+         q AS (SELECT max(r.s) AS q, min(nn.n) AS n_cal FROM r, nn
+           WHERE r.rn <= least(nn.n,
+             CAST(ceil((nn.n + 1) * CAST(0.9 AS DOUBLE)) AS BIGINT))),
+         ev AS (SELECT p, y FROM scored WHERE doc_id % 2 = 1)
+         SELECT CAST(n_cal AS BIGINT) AS n_cal, round(q.q, 6) AS q,
+           count(*) AS n_eval,
+           round(CAST(sum(CASE WHEN (CASE WHEN y = 1 THEN 1.0 - p ELSE p END)
+                 <= q.q THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS coverage,
+           round(CAST(sum((CASE WHEN 1.0 - p <= q.q THEN 1 ELSE 0 END)
+               + (CASE WHEN p <= q.q THEN 1 ELSE 0 END)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS avg_set_size
+         FROM ev, q GROUP BY n_cal, q.q""",
+
+    // x172: calendar-aligned lag joins on bucket VALUE; decimal-exact
+    // |diffs|, double division only at the means
+    "x172_seasonal_backtest" ->
+      """WITH d AS (SELECT event_type AS k, epoch_us(ts) // 86400000000 AS bk,
+             sum(CAST(value AS DECIMAL(18,6))) AS x
+           FROM events GROUP BY 1, 2),
+         m1 AS (SELECT a.k, count(*) AS n1,
+             CAST(CAST(sum(abs(a.x - b.x)) AS VARCHAR) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS mae1
+           FROM d a JOIN d b ON a.k = b.k AND a.bk = b.bk + 1 GROUP BY a.k),
+         m7 AS (SELECT a.k, count(*) AS n_s,
+             CAST(CAST(sum(abs(a.x - b.x)) AS VARCHAR) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS mae_s
+           FROM d a JOIN d b ON a.k = b.k AND a.bk = b.bk + 7 GROUP BY a.k)
+         SELECT m1.k AS event_type, n1, round(mae1, 6) AS mae1,
+           n_s, round(mae_s, 6) AS mae_s,
+           round(mae_s / mae1, 6) AS mase
+         FROM m1 JOIN m7 ON m1.k = m7.k ORDER BY event_type""",
+
+    // x173: the recurrence replayed as a recursive CTE, one step per
+    // iteration — NOT list_reduce: DuckDB 1.0's struct-accumulator
+    // list_reduce aliases updated fields mid-lambda (the new 'l' is
+    // visible while 'b' still evaluates), silently changing the
+    // recurrence. The CTE's self-join keeps (l, b) a clean snapshot.
+    "x173_holt_forecast" ->
+      """WITH RECURSIVE d AS (SELECT event_type AS k,
+             epoch_us(ts) // 86400000000 AS bk,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR)
+               AS DOUBLE) AS x
+           FROM events GROUP BY 1, 2),
+         idx AS (SELECT k, x,
+             row_number() OVER (PARTITION BY k ORDER BY bk) AS t FROM d),
+         nb AS (SELECT k, max(t) AS n FROM idx GROUP BY k),
+         rec AS (
+           SELECT k, t, x AS l, CAST(0.0 AS DOUBLE) AS b
+           FROM idx WHERE t = 1
+           UNION ALL
+           SELECT i.k, i.t,
+             0.5 * i.x + 0.5 * (r.l + r.b) AS l,
+             0.3 * (0.5 * i.x + 0.5 * (r.l + r.b) - r.l) + 0.7 * r.b AS b
+           FROM rec r JOIN idx i ON i.k = r.k AND i.t = r.t + 1)
+         SELECT r.k AS event_type, CAST(nb.n AS BIGINT) AS n_buckets,
+           round(r.l, 6) AS level, round(r.b, 6) AS trend,
+           round(r.l + r.b, 6) AS forecast_1
+         FROM rec r JOIN nb ON nb.k = r.k AND nb.n = r.t
+         ORDER BY event_type""",
 
     // the x167 spectral oracle IS the synthesis formula: a pure sinusoid
     // at bin 1+(doc_id%100) must come back as exactly that dominant bin

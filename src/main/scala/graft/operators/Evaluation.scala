@@ -468,4 +468,55 @@ object Evaluation {
         (coalesce(col("n_hit"), lit(0L)).cast(DoubleType) /
           lit(k.toDouble)).as("recall"))
   }
+
+  /** Split-conformal coverage audit for a binary scorer: does the
+    * distribution-free 1-alpha guarantee actually hold on held-out
+    * data? Rows with even id form the calibration split, odd the eval
+    * split (hash-free parity keeps the oracle replay trivial and the
+    * split leakage-safe per id). Nonconformity of a row is
+    * 1 - p_true(label); the conformal quantile q is the
+    * ceil((n+1)(1-alpha))-th smallest calibration nonconformity
+    * (clamped to n), and an eval row's prediction SET contains a label
+    * y iff 1 - p_y <= q. Reported: empirical coverage (true label in
+    * set) and mean set size — the efficiency/validity trade-off on one
+    * line. Coverage far below 1-alpha means the score is miscalibrated
+    * in a way [[calibrationCurve]]'s binning can hide.
+    *
+    * 100 TB shape: q is the max of a distributed TakeOrdered over the
+    * calibration frame (sort+limit k, never a single-partition window,
+    * never a collect of the split); the eval pass is one broadcast of
+    * the 1-row q frame and one partial agg. k is exact-integer-derived,
+    * so both engines select the identical order statistic. Output 1
+    * row: (n_cal, q, n_eval, coverage, avg_set_size).
+    */
+  def conformalCoverage(df: DataFrame, idCol: String, scoreCol: String,
+      labelCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha must be in (0, 1)")
+    val base = df.select(pmod(col(idCol), lit(2L)).as("__par"),
+      col(scoreCol).cast(DoubleType).as("__p"), col(labelCol).as("__y"))
+    val cal = base.filter(col("__par") === 0)
+      .select(when(col("__y"), lit(1.0) - col("__p"))
+        .otherwise(col("__p")).as("__s"))
+    val n = cal.count()
+    require(n > 0, "empty calibration split")
+    val k = math.min(n, math.ceil((n + 1) * (1.0 - alpha)).toLong)
+    val q = cal.orderBy(col("__s").asc).limit(k.toInt)
+      .agg(max(col("__s")).as("__q"), lit(n).as("n_cal"))
+    base.filter(col("__par") === 1)
+      .crossJoin(broadcast(q))
+      .select(col("n_cal"), col("__q"),
+        when(col("__y"), lit(1.0) - col("__p")).otherwise(col("__p"))
+          .as("__strue"),
+        ((lit(1.0) - col("__p") <= col("__q")).cast("int") +
+          (col("__p") <= col("__q")).cast("int")).as("__setsz"))
+      .groupBy(col("n_cal"), col("__q"))
+      .agg(count(lit(1)).as("n_eval"),
+        (sum((col("__strue") <= col("__q")).cast("long"))
+          .cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("__cov"),
+        (sum(col("__setsz").cast("long")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("__avg"))
+      .select(col("n_cal"), round(col("__q"), 6).as("q"),
+        col("n_eval"), round(col("__cov"), 6).as("coverage"),
+        round(col("__avg"), 6).as("avg_set_size"))
+  }
 }

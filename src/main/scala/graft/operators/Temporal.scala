@@ -220,4 +220,181 @@ object Temporal {
           element_at(transform(col("__evs"), e => e("value")), 1),
           (acc, x) => acc * lit(1.0 - alpha) + lit(alpha) * x), 6).as("ewma"))
   }
+
+  /** Offline CUSUM changepoint per key: where does each key's daily
+    * volume most sharply shift level? For the observed buckets of a key
+    * (ordered, gaps ignored), the classic offline CUSUM statistic is
+    * S_t = sum_{i<=t}(n_i - mean); the changepoint estimate is the
+    * bucket maximizing |S_t|. To keep both engines bit-identical the
+    * statistic is computed SCALED BY D (the key's bucket count):
+    * D*S_t = D*C_t - t*T with C_t the running count sum and T the key
+    * total — pure int64 arithmetic, no double drift in the running sum
+    * (a windowed double cumsum is engine-order-sensitive; this isn't).
+    *
+    * Scale shape: one (key, bucket) count agg (partial-agged), one
+    * PER-KEY window for (t, C_t) — never a global sort — and one
+    * max-struct agg per key. Buckets per key are calendar-bounded, so
+    * per-key state stays O(days) at any corpus size. Ties on |S| break
+    * to the EARLIEST bucket via max(struct(s_abs, -bucket)). Output:
+    * (key, cp_bucket_us long, s_abs_scaled long, n_buckets long).
+    */
+  def cusumChangepoint(events: DataFrame, keyCol: String, tsCol: String,
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds >= 1L, "bucketSeconds must be >= 1")
+    val busc = bucketSeconds * 1000000L
+    val daily = events
+      .select(col(keyCol).as("__k"),
+        call_function("div", unix_micros(col(tsCol)), lit(busc)).as("__bk"))
+      .groupBy(col("__k"), col("__bk")).agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col("__k")).orderBy(col("__bk"))
+    val cum = daily
+      .withColumn("__t", row_number().over(w).cast("long"))
+      .withColumn("__c", sum(col("__n")).over(w))
+    cum.groupBy(col("__k"))
+      .agg(max(col("__t")).as("n_buckets"),
+        max(col("__c")).as("__tot"),
+        collect_list(struct(col("__bk"), col("__t"), col("__c"))).as("__rows"))
+      .select(col("__k").as(keyCol), col("n_buckets"), col("__tot"),
+        aggregate(col("__rows"),
+          struct(lit(-1L).as("sa"), lit(0L).as("nbk")),
+          (acc, r) => {
+            val sa = abs(col("n_buckets") * r("__c") - r("__t") * col("__tot"))
+            when(sa > acc("sa") ||
+                (sa === acc("sa") && -r("__bk") > acc("nbk")),
+              struct(sa.as("sa"), (-r("__bk")).as("nbk"))).otherwise(acc)
+          }).as("__m"))
+      .select(col(keyCol),
+        ((-col("__m.nbk")) * busc).as("cp_bucket_us"),
+        col("__m.sa").as("s_abs_scaled"),
+        col("n_buckets").cast("long").as("n_buckets"))
+  }
+
+  /** Theil–Sen robust trend per key: the median of all pairwise slopes
+    * (n_j - n_i)/(bk_j - bk_i) over the key's daily counts — the
+    * breakdown-50% alternative to the OLS slope that one outlier day
+    * can swing arbitrarily ([[graft.operators.CorpusOps.zipfSlope]] is
+    * the OLS form). "Median" is pinned to the ceil(m/2)-th SMALLEST
+    * slope (lower median) — a selection, not an interpolation, so both
+    * engines agree bit-for-bit on duplicated slope values.
+    *
+    * Scale shape: the pair frame is a PER-KEY self-join of daily
+    * aggregates — m <= days(days-1)/2 pairs per key, calendar-bounded
+    * regardless of row count (366 days -> <67k pairs/key), so the
+    * quadratic is in the bounded dimension, never in corpus size. One
+    * count agg, one shuffle_hash self-join on the key, one sorted-fold
+    * agg. Output: (key, n_pairs long, slope double rounded 6).
+    */
+  def theilSenSlope(events: DataFrame, keyCol: String, tsCol: String,
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds >= 1L, "bucketSeconds must be >= 1")
+    val busc = bucketSeconds * 1000000L
+    val daily = events
+      .select(col(keyCol).as("__k"),
+        call_function("div", unix_micros(col(tsCol)), lit(busc)).as("__bk"))
+      .groupBy(col("__k"), col("__bk")).agg(count(lit(1)).as("__n"))
+    val a = daily.select(col("__k"), col("__bk").as("__b1"), col("__n").as("__n1"))
+    val b = daily.select(col("__k"), col("__bk").as("__b2"), col("__n").as("__n2"))
+    a.join(b.hint("shuffle_hash"), Seq("__k"))
+      .filter(col("__b1") < col("__b2"))
+      .select(col("__k"),
+        ((col("__n2") - col("__n1")).cast(DoubleType) /
+          (col("__b2") - col("__b1")).cast(DoubleType)).as("__s"))
+      .groupBy(col("__k"))
+      .agg(sort_array(collect_list(col("__s"))).as("__ss"))
+      .select(col("__k").as(keyCol),
+        size(col("__ss")).cast("long").as("n_pairs"),
+        round(element_at(col("__ss"),
+          ((size(col("__ss")) + 1) / 2).cast("int")), 6).as("slope"))
+  }
+
+  /** Holt double-exponential smoothing per key over bucketed value sums
+    * — level + trend where [[ewma]] is level-only, giving a one-step
+    * forecast that tracks drifting volume. Recurrence (l_1 = x_1,
+    * b_1 = 0): l_t = alpha*x_t + (1-alpha)*(l_{t-1}+b_{t-1});
+    * b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}.
+    *
+    * Same order-canonical design as [[ewma]]: bucket sums are exact
+    * DecimalType(18,6) (re-typed double via string), the per-key series
+    * is sorted once and folded with a struct accumulator — the identical
+    * double op sequence on any engine, unlike any closed form. State
+    * O(1) per key, series length calendar-bounded. Output: (key,
+    * n_buckets long, level, trend, forecast_1 double rounded 6).
+    */
+  def holtLinear(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, bucketSeconds: Long,
+      alpha: Double, beta: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    require(beta >= 0 && beta <= 1, "beta must be in [0, 1]")
+    require(bucketSeconds >= 1L, "bucketSeconds must be >= 1")
+    val busc = bucketSeconds * 1000000L
+    val daily = events
+      .select(col(keyCol).as("__k"),
+        call_function("div", unix_micros(col(tsCol)), lit(busc)).as("__bk"),
+        col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 6))
+          .as("__v"))
+      .groupBy(col("__k"), col("__bk"))
+      .agg(sum(col("__v")).cast(StringType).cast(DoubleType).as("__x"))
+    val step: (Column, Column) => Column = (acc, x) => {
+      val lNew = lit(alpha) * x + lit(1.0 - alpha) * (acc("l") + acc("b"))
+      struct(lNew.as("l"),
+        (lit(beta) * (lNew - acc("l")) + lit(1.0 - beta) * acc("b")).as("b"))
+    }
+    daily.groupBy(col("__k"))
+      .agg(sort_array(collect_list(struct(col("__bk"), col("__x")))).as("__sv"))
+      .select(col("__k"), transform(col("__sv"), e => e("__x")).as("__xs"))
+      .select(col("__k"),
+        size(col("__xs")).cast("long").as("n_buckets"),
+        aggregate(slice(col("__xs"), lit(2), size(col("__xs"))),
+          struct(element_at(col("__xs"), 1).as("l"), lit(0.0).as("b")),
+          step).as("__h"))
+      .select(col("__k").as(keyCol), col("n_buckets"),
+        round(col("__h.l"), 6).as("level"),
+        round(col("__h.b"), 6).as("trend"),
+        round(col("__h.l") + col("__h.b"), 6).as("forecast_1"))
+  }
+
+  /** Seasonal-naive forecast backtest per key: how much better does the
+    * season-m naive forecast (x_t := x_{t-m}) do than the plain naive
+    * (x_t := x_{t-1})? MASE-style ratio over the key's bucketed value
+    * sums; mase < 1 means the series has real seasonal structure at
+    * period m (for daily buckets, m=7 tests weekly shape) — the
+    * sanity gate to run BEFORE shipping any seasonal model.
+    *
+    * Strictly calendar-aligned: errors join bucket bk to bk-1 / bk-m by
+    * VALUE (missing days produce no pair), not by row offset, so gaps
+    * never misalign the season. Sums are exact decimal; |diffs| stay
+    * decimal and only the final mean divides in double. Two
+    * shuffle_hash self-joins of the per-key daily aggregate — pair
+    * count <= days per key, calendar-bounded. Output: (key, n1 long,
+    * mae1, n_s long, mae_s, mase double rounded 6).
+    */
+  def seasonalNaiveBacktest(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, bucketSeconds: Long, season: Int): DataFrame = {
+    require(season >= 2, "season must be >= 2")
+    require(bucketSeconds >= 1L, "bucketSeconds must be >= 1")
+    val busc = bucketSeconds * 1000000L
+    val daily = events
+      .select(col(keyCol).as("__k"),
+        call_function("div", unix_micros(col(tsCol)), lit(busc)).as("__bk"),
+        col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 6))
+          .as("__v"))
+      .groupBy(col("__k"), col("__bk")).agg(sum(col("__v")).as("__x"))
+    def maeAtLag(lag: Int, nName: String, maeName: String): DataFrame = {
+      val cur = daily.select(col("__k"), col("__bk"), col("__x"))
+      val prev = daily.select(col("__k"), (col("__bk") + lag).as("__bk"),
+        col("__x").as("__xp"))
+      cur.join(prev.hint("shuffle_hash"), Seq("__k", "__bk"))
+        .groupBy(col("__k"))
+        .agg(count(lit(1)).as(nName),
+          (sum(abs(col("__x") - col("__xp"))).cast(StringType)
+            .cast(DoubleType) / count(lit(1)).cast(DoubleType)).as(maeName))
+    }
+    maeAtLag(1, "n1", "__mae1")
+      .join(maeAtLag(season, "n_s", "__maeS").hint("shuffle_hash"),
+        Seq("__k"))
+      .select(col("__k").as(keyCol), col("n1"),
+        round(col("__mae1"), 6).as("mae1"),
+        col("n_s"), round(col("__maeS"), 6).as("mae_s"),
+        round(col("__maeS") / col("__mae1"), 6).as("mase"))
+  }
 }

@@ -264,4 +264,24 @@ class EvaluationSpec extends SparkSpec {
     // the Murphy identity holds exactly for bin-constant scores
     assert(math.abs(brier - (rel - res + unc)) < 1e-9)
   }
+
+  test("conformalCoverage: hand-run split-conformal quantile, coverage, set size") {
+    import spark.implicits._
+    // even ids calibrate (nonconformity 0.1,0.2,0.3,0.4,0.1), odd eval;
+    // alpha=0.2 -> k=ceil(6*0.8)=5 -> q=0.4 (5th smallest)
+    val df = Seq(
+      (0L, 0.9, true), (2L, 0.8, true), (4L, 0.3, false),
+      (6L, 0.6, true), (8L, 0.1, false),
+      (1L, 0.7, true), (3L, 0.5, false), (5L, 0.2, false),
+      (7L, 0.9, true), (9L, 0.4, false)
+    ).toDF("id", "p", "label")
+    val r = graft.operators.Evaluation
+      .conformalCoverage(df, "id", "p", "label", alpha = 0.2)
+      .collect().head
+    assert(r.getLong(0) == 5L)      // n_cal
+    assert(r.getDouble(1) == 0.4)   // q
+    assert(r.getLong(2) == 5L)      // n_eval
+    assert(r.getDouble(3) == 0.8)   // coverage: eval id 3 (s=0.5) misses
+    assert(r.getDouble(4) == 0.8)   // avg prediction-set size
+  }
 }

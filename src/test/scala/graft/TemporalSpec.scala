@@ -163,4 +163,79 @@ class TemporalSpec extends SparkSpec {
     assert(out((1L, 2L)) == ((1L, base + 1891L * 1000000L, 0L, 10.0)))
     assert(out((2L, 1L)) == ((1L, base + 5000000L, 0L, 7.75)))
   }
+
+  test("cusumChangepoint: finds the level-shift bucket, exact scaled statistic") {
+    def dayTs(d: Int, i: Int) =
+      new java.sql.Timestamp(d * 86400000L + i * 1000L)
+    // key "a": 6 days at counts 2,2,2,8,8,8 — shift after day 2 (0-based),
+    // |S| peaks at t=3 (day index 2): D*C_t - t*T = 6*6 - 3*30 = -54.
+    val rows = for {
+      (n, d) <- Seq(2, 2, 2, 8, 8, 8).zipWithIndex
+      i <- 1 to n
+    } yield ("a", dayTs(d, i))
+    val df = rows.toDF("k", "ts")
+    val out = Temporal.cusumChangepoint(df, "k", "ts", 86400L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq == Seq(("a", 2L * 86400000000L, 54L, 6L)))
+  }
+
+  test("cusumChangepoint tie breaks to the earliest bucket") {
+    def dayTs(d: Int, i: Int) =
+      new java.sql.Timestamp(d * 86400000L + i * 1000L)
+    // symmetric series 1,3,1: S_1 = 3*1-1*5 = -2, S_2 = 3*4-2*5 = 2 —
+    // equal |S|, must pick day 0
+    val rows = for {
+      (n, d) <- Seq(1, 3, 1).zipWithIndex
+      i <- 1 to n
+    } yield ("a", dayTs(d, i))
+    val out = Temporal.cusumChangepoint(rows.toDF("k", "ts"), "k", "ts", 86400L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((0L, 2L)))
+  }
+
+  test("theilSenSlope: lower-median pairwise slope shrugs off the outlier day OLS can't") {
+    def dayTs(d: Int, i: Int) =
+      new java.sql.Timestamp(d * 86400000L + i * 1000L)
+    // daily counts 1,2,3,4,50: the true trend is +1/day; the day-4 spike
+    // drags OLS to ~10.6/day but the pairwise-slope median stays small
+    val rows = for {
+      (n, d) <- Seq(1, 2, 3, 4, 50).zipWithIndex
+      i <- 1 to n
+    } yield ("a", dayTs(d, i))
+    val out = Temporal.theilSenSlope(rows.toDF("k", "ts"), "k", "ts", 86400L)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).head
+    assert(out._1 == 10L) // 5 days -> 10 pairs
+    assert(out._2 == 1.0) // 5th smallest of the 10 sorted slopes
+  }
+
+  test("holtLinear matches the hand-run level/trend recurrence") {
+    def dayTs(d: Int) = new java.sql.Timestamp(d * 86400000L)
+    val df = Seq(("a", dayTs(0), 10.0), ("a", dayTs(1), 12.0),
+      ("a", dayTs(2), 9.0), ("a", dayTs(3), 15.0)).toDF("k", "ts", "v")
+    val r = Temporal.holtLinear(df, "k", "ts", "v", 86400L,
+      alpha = 0.5, beta = 0.3).collect().head
+    // l1=10,b1=0; l2=11,b2=.3; l3=10.15,b3=-.045; l4=12.5525,b4=.68925
+    assert(r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 12.5525)
+    assert(r.getDouble(3) == 0.68925)
+    assert(r.getDouble(4) == 13.24175)
+  }
+
+  test("seasonalNaiveBacktest: a perfectly weekly series scores mase 0; gaps align by value") {
+    def dayTs(d: Int) = new java.sql.Timestamp(d * 86400000L)
+    // 21 days of period-7 values — seasonal naive is exact (mae_s = 0),
+    // plain naive is not; drop day 10 to exercise value-aligned joins
+    val df = (0 until 21).filter(_ != 10)
+      .map(d => ("a", dayTs(d), (d % 7 + 1).toDouble))
+      .toDF("k", "ts", "v")
+    val r = Temporal.seasonalNaiveBacktest(df, "k", "ts", "v", 86400L, 7)
+      .collect().head
+    // n1: consecutive-day pairs (19 of them: gaps at 9->11); nS: day d vs
+    // d-7 pairs where both exist (13: days 7..20 minus d=10 and d=17)
+    assert((r.getLong(1), r.getLong(3)) == ((18L, 12L)))
+    assert(r.getDouble(4) == 0.0) // mae_s
+    assert(r.getDouble(2) > 0.0)  // mae1
+    assert(r.getDouble(5) == 0.0) // mase
+  }
 }
