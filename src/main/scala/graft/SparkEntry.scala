@@ -2455,6 +2455,25 @@ object SparkEntry {
         .orderBy(col("event_type"))
     },
 
+    // ---- X: distributed BPE merge learning (4 rounds) — iterations run
+    //      on the word-frequency VOCAB, never the corpus; each round is
+    //      one partial-agged pair count + a 1-row argmax, ties to the
+    //      lexicographically smallest pair ----
+    "x174_bpe_merges" -> { (s, dir) =>
+      graft.operators.Bpe.learnMergesDf(t(s, dir, "documents"), "text",
+        numMerges = 4)
+    },
+
+    // ---- X: BPE segmentation statistics — the 4 learned merges applied
+    //      back to the corpus (rank order, literal left-to-right
+    //      replaces), per-document subword accounting ----
+    "x175_bpe_segment" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.Bpe.learnMerges(docs, "text", 4)
+      graft.operators.Bpe.segmentStats(docs, "doc_id", "text", merges)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- X: greedy k-center (farthest-first) diverse-seed selection —
     //      k bounded corpus scans, each a broadcast-literal least() +
     //      partial-agged argmax; the CONSTRUCTIVE sibling of x159's
@@ -3905,6 +3924,100 @@ object SparkEntry {
            n_s, round(mae_s, 6) AS mae_s,
            round(mae_s / mae1, 6) AS mase
          FROM m1 JOIN m7 ON m1.k = m7.k ORDER BY event_type""",
+
+    // x174: the 4 BPE rounds unrolled as chained CTEs — identical pair
+    // counting (lateral unnest over the symbol list), identical
+    // (cnt DESC, a, b) argmax, identical literal sentinel-space replace
+    "x174_bpe_merges" ->
+      """WITH v0 AS (
+           SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s,
+             wc
+           FROM (SELECT w, count(*) AS wc FROM (
+               SELECT unnest(string_split(lower(text), ' ')) AS w
+               FROM documents)
+             WHERE w <> '' GROUP BY w)),
+         p1 AS (SELECT sy[t.i] AS a, sy[t.i+1] AS b, sum(wc) AS cnt
+           FROM (SELECT string_split(trim(s), ' ') AS sy, wc FROM v0),
+                UNNEST(range(1, len(sy))) t(i) GROUP BY 1, 2),
+         m1 AS (SELECT a, b, CAST(cnt AS BIGINT) AS cnt FROM p1
+           ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         v1 AS (SELECT replace(s, ' ' || m1.a || ' ' || m1.b || ' ',
+             ' ' || m1.a || m1.b || ' ') AS s, wc FROM v0, m1),
+         p2 AS (SELECT sy[t.i] AS a, sy[t.i+1] AS b, sum(wc) AS cnt
+           FROM (SELECT string_split(trim(s), ' ') AS sy, wc FROM v1),
+                UNNEST(range(1, len(sy))) t(i) GROUP BY 1, 2),
+         m2 AS (SELECT a, b, CAST(cnt AS BIGINT) AS cnt FROM p2
+           ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         v2 AS (SELECT replace(s, ' ' || m2.a || ' ' || m2.b || ' ',
+             ' ' || m2.a || m2.b || ' ') AS s, wc FROM v1, m2),
+         p3 AS (SELECT sy[t.i] AS a, sy[t.i+1] AS b, sum(wc) AS cnt
+           FROM (SELECT string_split(trim(s), ' ') AS sy, wc FROM v2),
+                UNNEST(range(1, len(sy))) t(i) GROUP BY 1, 2),
+         m3 AS (SELECT a, b, CAST(cnt AS BIGINT) AS cnt FROM p3
+           ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         v3 AS (SELECT replace(s, ' ' || m3.a || ' ' || m3.b || ' ',
+             ' ' || m3.a || m3.b || ' ') AS s, wc FROM v2, m3),
+         p4 AS (SELECT sy[t.i] AS a, sy[t.i+1] AS b, sum(wc) AS cnt
+           FROM (SELECT string_split(trim(s), ' ') AS sy, wc FROM v3),
+                UNNEST(range(1, len(sy))) t(i) GROUP BY 1, 2),
+         m4 AS (SELECT a, b, CAST(cnt AS BIGINT) AS cnt FROM p4
+           ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)
+         SELECT CAST(1 AS BIGINT) AS rank, a AS lhs, b AS rhs,
+           cnt AS pair_count FROM m1
+         UNION ALL SELECT CAST(2 AS BIGINT), a, b, cnt FROM m2
+         UNION ALL SELECT CAST(3 AS BIGINT), a, b, cnt FROM m3
+         UNION ALL SELECT CAST(4 AS BIGINT), a, b, cnt FROM m4
+         ORDER BY rank""",
+
+    // x175: the same 4 learned merges applied back per word (nested
+    // literal replaces, rank order innermost-first), then per-document
+    // subword accounting
+    "x175_bpe_segment" ->
+      """WITH v0 AS (
+           SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s,
+             wc
+           FROM (SELECT w, count(*) AS wc FROM (
+               SELECT unnest(string_split(lower(text), ' ')) AS w
+               FROM documents)
+             WHERE w <> '' GROUP BY w)),
+         p1 AS (SELECT sy[t.i] AS a, sy[t.i+1] AS b, sum(wc) AS cnt
+           FROM (SELECT string_split(trim(s), ' ') AS sy, wc FROM v0),
+                UNNEST(range(1, len(sy))) t(i) GROUP BY 1, 2),
+         m1 AS (SELECT a, b FROM p1 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         v1 AS (SELECT replace(s, ' ' || m1.a || ' ' || m1.b || ' ',
+             ' ' || m1.a || m1.b || ' ') AS s, wc FROM v0, m1),
+         p2 AS (SELECT sy[t.i] AS a, sy[t.i+1] AS b, sum(wc) AS cnt
+           FROM (SELECT string_split(trim(s), ' ') AS sy, wc FROM v1),
+                UNNEST(range(1, len(sy))) t(i) GROUP BY 1, 2),
+         m2 AS (SELECT a, b FROM p2 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         v2 AS (SELECT replace(s, ' ' || m2.a || ' ' || m2.b || ' ',
+             ' ' || m2.a || m2.b || ' ') AS s, wc FROM v1, m2),
+         p3 AS (SELECT sy[t.i] AS a, sy[t.i+1] AS b, sum(wc) AS cnt
+           FROM (SELECT string_split(trim(s), ' ') AS sy, wc FROM v2),
+                UNNEST(range(1, len(sy))) t(i) GROUP BY 1, 2),
+         m3 AS (SELECT a, b FROM p3 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         v3 AS (SELECT replace(s, ' ' || m3.a || ' ' || m3.b || ' ',
+             ' ' || m3.a || m3.b || ' ') AS s, wc FROM v2, m3),
+         p4 AS (SELECT sy[t.i] AS a, sy[t.i+1] AS b, sum(wc) AS cnt
+           FROM (SELECT string_split(trim(s), ' ') AS sy, wc FROM v3),
+                UNNEST(range(1, len(sy))) t(i) GROUP BY 1, 2),
+         m4 AS (SELECT a, b FROM p4 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         words AS (SELECT doc_id,
+             unnest(string_split(lower(text), ' ')) AS w FROM documents),
+         seg AS (SELECT doc_id,
+             replace(replace(replace(replace(
+               ' ' || array_to_string(string_split(w, ''), ' ') || ' ',
+               ' ' || m1.a || ' ' || m1.b || ' ', ' ' || m1.a || m1.b || ' '),
+               ' ' || m2.a || ' ' || m2.b || ' ', ' ' || m2.a || m2.b || ' '),
+               ' ' || m3.a || ' ' || m3.b || ' ', ' ' || m3.a || m3.b || ' '),
+               ' ' || m4.a || ' ' || m4.b || ' ', ' ' || m4.a || m4.b || ' ')
+               AS s
+           FROM words, m1, m2, m3, m4 WHERE w <> '')
+         SELECT doc_id, count(*) AS n_words,
+           CAST(sum(len(string_split(trim(s), ' '))) AS BIGINT) AS n_subwords,
+           round(CAST(sum(len(string_split(trim(s), ' '))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS avg_subwords_per_word
+         FROM seg GROUP BY doc_id ORDER BY doc_id""",
 
     // x173: the recurrence replayed as a recursive CTE, one step per
     // iteration — NOT list_reduce: DuckDB 1.0's struct-accumulator

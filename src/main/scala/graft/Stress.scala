@@ -326,7 +326,30 @@ object Stress {
         // pair join: wall must track the explode, not the join
         "source_overlap" -> (() =>
           operators.CorpusOps.sourceOverlapMatrix(docs, "source", "text",
-            n = 3).count()))
+            n = 3).count()),
+        // keyed window over the calendar-bounded daily frame: wall must
+        // track the count agg's scan, never the day*day tail
+        "cusum_changepoint" -> (() =>
+          operators.Temporal.cusumChangepoint(events, "event_type", "ts",
+            86400L).count()),
+        // the pair self-join is days^2 per key — FIXED as replicas grow
+        // (same calendar); only the daily count agg sees more rows
+        "theilsen" -> (() =>
+          operators.Temporal.theilSenSlope(events, "event_type", "ts",
+            86400L).count()),
+        // sort+limit order statistic over the calibration half + one
+        // broadcast: the TakeOrdered k is n-derived but tiny vs corpus
+        "conformal" -> (() =>
+          operators.Evaluation.conformalCoverage(
+            events.select(col("event_id"),
+              (pmod(col("event_id"), lit(100L)) / lit(100.0)).as("p"),
+              (col("event_type") === "view").as("y")),
+            "event_id", "p", "y", alpha = 0.1).count()),
+        // two equi lag joins of the daily aggregate — join inputs are
+        // calendar-bounded, so wall tracks the bucket agg only
+        "seasonal_backtest" -> (() =>
+          operators.Temporal.seasonalNaiveBacktest(events, "event_type",
+            "ts", "value", 86400L, season = 7).count()))
 
       // SPARK_GRAFT_STRESS_OPS=a,b,c runs only the named ops (bisection
       // runs shouldn't pay the full sweep per hypothesis)

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.TextFunctions
+
+/** From-scratch distributed BPE merge learning (Sennrich et al. 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units") — the
+  * tokenizer-training step of a pretraining data pipeline. Each round
+  * counts adjacent symbol pairs over the corpus and merges the most
+  * frequent pair into one symbol; after k rounds the merge list IS the
+  * (rank-ordered) tokenizer.
+  *
+  * 100 TB shape — the classic trainer trick, distributed: iterations run
+  * on the WORD-FREQUENCY VOCABULARY (distinct word, count), never the
+  * corpus. The corpus is scanned exactly once to build that vocab (one
+  * explode + partial-agged groupBy); every merge round is then a narrow
+  * map + one partial-agged pair-count agg over vocab-sized rows, and the
+  * only driver traffic is each round's 1-row argmax. Words are held as
+  * SPACE-JOINED SYMBOL STRINGS padded with sentinel spaces (" h e l l o ")
+  * so that applying merge (a,b) is one literal `replace(" a b ", " ab ")`
+  * — non-overlapping left-to-right in every engine, which is exactly the
+  * greedy application order reference BPE uses. Ties on pair count break
+  * to the lexicographically smallest (left, right) via a min-struct agg,
+  * so the learned merge list is fully deterministic.
+  */
+object Bpe {
+
+  /** The corpus's word-frequency vocabulary: (word, wc long) over
+    * lowercased whitespace tokens — the ONE corpus-scale scan of the
+    * trainer; empty tokens (from repeated separators) are dropped. */
+  def wordVocab(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextFunctions.tokens(lower(col(textCol))))
+        .as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+
+  /** " h e l l o " — chars joined by single spaces, sentinel-padded so a
+    * merge is one literal mid-string replace. */
+  private def symbolize(word: Column): Column =
+    concat(lit(" "),
+      array_join(filter(split(word, ""), s => s =!= ""), " "), lit(" "))
+
+  /** One learned merge. */
+  final case class Merge(rank: Int, left: String, right: String, count: Long)
+
+  /** Learn `numMerges` BPE merges from the corpus. Returns the bounded
+    * driver-side merge list (rank order = merge priority); rounds whose
+    * best pair count is 0 (vocabulary fully merged) stop early. */
+  def learnMerges(docs: DataFrame, textCol: String,
+      numMerges: Int): Seq[Merge] = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    val vocab = wordVocab(docs, textCol)
+      .select(symbolize(col("word")).as("s"), col("wc"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      var merges = Vector.empty[Merge]
+      var cur = vocab.select(col("s"), col("wc"))
+      var done = false
+      for (r <- 1 to numMerges if !done) {
+        val syms = split(trim(col("s")), " ")
+        val best = cur
+          .select(col("wc"), syms.as("__sy"))
+          .filter(size(col("__sy")) >= 2)
+          .select(col("wc"), explode(arrays_zip(
+            slice(col("__sy"), lit(1), size(col("__sy")) - 1).as("a"),
+            slice(col("__sy"), lit(2), size(col("__sy")) - 1).as("b")))
+            .as("__p"))
+          .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
+          .agg(sum(col("wc")).as("cnt"))
+          // min over (-cnt, a, b): highest count, then smallest pair
+          .agg(min(struct((-col("cnt")).as("nc"), col("a"), col("b")))
+            .as("m"))
+          .select(col("m.a"), col("m.b"), (-col("m.nc")).as("cnt"))
+          .collect()
+        if (best.isEmpty || best(0).isNullAt(0)) done = true
+        else {
+          val (a, b, c) = (best(0).getString(0), best(0).getString(1),
+            best(0).getLong(2))
+          merges = merges :+ Merge(r, a, b, c)
+          cur = cur.select(
+            call_function("replace", col("s"),
+              lit(s" $a $b "), lit(s" $a$b ")).as("s"),
+            col("wc"))
+        }
+      }
+      merges
+    } finally vocab.unpersist(blocking = false)
+  }
+
+  /** The merge list as a gated DataFrame: (rank, lhs, rhs, pair_count)
+    * — lhs/rhs, not left/right, to spare the oracle SQL the reserved
+    * keywords. */
+  def learnMergesDf(docs: DataFrame, textCol: String,
+      numMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    learnMerges(docs, textCol, numMerges)
+      .map(m => (m.rank, m.left, m.right, m.count))
+      .toDF("rank", "lhs", "rhs", "pair_count")
+      .select(col("rank").cast("long").as("rank"), col("lhs"),
+        col("rhs"), col("pair_count"))
+  }
+
+  /** Segment every document with an already-learned merge list: applies
+    * the merges in rank order to each word and returns per-document
+    * subword statistics — (idCol, n_words, n_subwords long,
+    * avg_subwords_per_word double rounded 6). The merge list is bounded
+    * (driver-side literals compiled into the plan, like a broadcast
+    * dict); the pass is one narrow corpus scan, no join, no shuffle
+    * beyond the id agg. */
+  def segmentStats(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val applied = merges.sortBy(_.rank).foldLeft(
+      symbolize(col("word")): Column) { (c, m) =>
+      call_function("replace", c,
+        lit(s" ${m.left} ${m.right} "), lit(s" ${m.left}${m.right} "))
+    }
+    docs
+      .select(col(idCol),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
+      .filter(col("word") =!= "")
+      .select(col(idCol), size(split(trim(applied), " ")).as("__ns"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__ns")).as("n_subwords"))
+      .select(col(idCol), col("n_words"), col("n_subwords"),
+        round(col("n_subwords").cast("double") /
+          col("n_words").cast("double"), 6).as("avg_subwords_per_word"))
+  }
+}

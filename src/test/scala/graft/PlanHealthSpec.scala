@@ -668,4 +668,48 @@ class PlanHealthSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 4,
       s"x112 lost its partial aggregations:\n$p")
   }
+
+  test("x169: CUSUM window is keyed; no join, no global sort below the output order") {
+    val p = plan("x169_cusum_changepoint")
+    assert(!p.contains("Join"), s"x169 should be agg+window only:\n$p")
+    // exactly one window spec, partitioned by the key
+    assert(p.contains("Window"), s"x169 lost its keyed window:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"x169 daily counts must partial-aggregate:\n$p")
+  }
+
+  test("x170: Theil-Sen pairs come from an equi self-join of the DAILY frame, not the corpus") {
+    val p = plan("x170_theilsen_trend")
+    assert(p.contains("ShuffledHashJoin"),
+      s"x170 pair join must stay shuffle-hash on the key:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"x170 fell off its equi key:\n$p")
+    // both join inputs are the bucketed aggregate — 2 partial+final pairs
+    // below the join, 1 pair above for the slope fold
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"x170 lost the daily-count reduction below the self-join:\n$p")
+  }
+
+  test("x171: the conformal quantile is a distributed TakeOrdered; q broadcasts to the eval pass") {
+    val p = plan("x171_conformal_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"x171's order statistic must be sort+limit, not a global window:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"x171's 1-row q frame must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"x171 grew a real cartesian:\n$p")
+    // the banned shape: a whole-frame row_number over one partition
+    assert(!p.contains("Window"), s"x171 must not use a global window:\n$p")
+  }
+
+  test("x172/x173: backtest lag joins are equi shuffle-hash; Holt is join-free") {
+    val p = plan("x172_seasonal_backtest")
+    assert(p.contains("ShuffledHashJoin"),
+      s"x172 lag joins must stay shuffle-hash on (key, bucket):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"x172 fell off its equi keys:\n$p")
+    val h = plan("x173_holt_forecast")
+    assert(!h.contains("Join"), s"x173 should be two aggs and a fold:\n$h")
+    assert("HashAggregate".r.findAllIn(h).size >= 2,
+      s"x173 bucket sums must partial-aggregate:\n$h")
+  }
 }
