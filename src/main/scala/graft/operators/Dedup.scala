@@ -453,9 +453,12 @@ object Dedup {
     * count-based inverted index, one shingle-keyed shuffle into a
     * partial-agg groupBy, sizes joined shuffle_hash (no broadcast of a
     * corpus-sized side); with `maxDocFreq` the capped index generates
-    * candidates only and each pair is verified with exact containment
-    * over the full shingle sets. Output: (id_a, id_b, containment) with
-    * containment >= threshold, id_a < id_b. */
+    * candidates, pairs where either side holds no hot shingle emit their
+    * containment directly from the capped count (exact for them — a
+    * shared shingle is capped-visible or hot in both docs), and only
+    * hot-overlapping pairs pay the exact full-set verify. Output:
+    * (id_a, id_b, containment) with containment >= threshold,
+    * id_a < id_b. */
   def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDocFreq: Option[Int] = None): DataFrame = {
     maxDocFreq match {
@@ -489,6 +492,11 @@ object Dedup {
           .select(col("id"), col("s"), (col("df") <= cap).as("keep"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
         idxf.count() // materialize BEFORE registering the release hook
+        // Does ANY shingle exceed the cap? One limit-1 scan of the cached
+        // index, probed BEFORE the release hook below so it can't consume
+        // the hook's one-shot trigger. Drives the fast-path split under
+        // the prune filter.
+        val anyHot = !idxf.filter(!col("keep")).isEmpty
         graft.plans.Persists.onNextAction(spark)(
           () => { idxf.unpersist(false); () })
         // candidate pairs keep their CAPPED-intersection count from the
@@ -498,10 +506,7 @@ object Dedup {
         // true_c <= capped_c + min(hot_a, hot_b) — a shared shingle is
         // either capped-visible or hot in BOTH docs — so any pair with
         // capped_c + min(hot_a, hot_b) < t * min(|A|, |B|) can be
-        // discarded without computing its exact intersection. On clean
-        // corpora (hot ≈ 0) the verify set collapses to ~the output
-        // pairs, on boilerplate corpora the bound stays correct and the
-        // verify set is capped by how much hot mass the docs share.
+        // discarded without computing its exact intersection.
         val sizes = idxf.groupBy(col("id")).agg(
           count(lit(1)).as("szf"),
           sum(when(col("keep"), 0L).otherwise(1L)).as("hot"))
@@ -511,7 +516,7 @@ object Dedup {
           .filter(col("id_a") < col("id_b"))
           .groupBy(col("id_a"), col("id_b"))
           .agg(count(lit(1)).as("cc"))
-        val pruned = counts
+        val scored = counts
           .join(sizes.select(col("id").as("id_a"), col("szf").as("szf_a"),
             col("hot").as("hot_a")).hint("shuffle_hash"), Seq("id_a"))
           .join(sizes.select(col("id").as("id_b"), col("szf").as("szf_b"),
@@ -519,17 +524,38 @@ object Dedup {
           .filter((col("cc") + least(col("hot_a"), col("hot_b")))
             .cast(DoubleType) >=
             lit(threshold) * least(col("szf_a"), col("szf_b")).cast(DoubleType))
-          .select(col("id_a"), col("id_b"))
-        val shA = df.select(col(idCol).as("id_a"), shingles(col(textCol), n).as("arr_a"))
-        val shB = df.select(col(idCol).as("id_b"), shingles(col(textCol), n).as("arr_b"))
-        pruned
-          .join(shA.hint("shuffle_hash"), Seq("id_a"))
-          .join(shB.hint("shuffle_hash"), Seq("id_b"))
-          .withColumn("c", size(array_intersect(col("arr_a"), col("arr_b"))))
-          .withColumn("containment", col("c").cast(DoubleType) /
-            least(size(col("arr_a")), size(col("arr_b"))).cast(DoubleType))
+        // FAST PATH: a shared shingle is either capped-visible or hot in
+        // BOTH docs, so when min(hot_a, hot_b) = 0 the pair shares no
+        // cap-dropped shingle and capped_c IS the exact intersection —
+        // emit its containment directly from cc/min(szf). Only pairs where
+        // both sides carry hot shingles can have cap-hidden overlap; they
+        // alone pay the full-array verify. On clean corpora (no shingle
+        // over the cap anywhere — idxf probe below, one limit-1 scan of
+        // the cached index) the verify branch is provably empty and is
+        // not even planned, so the capped form costs the same as the
+        // uncapped one plus the docfreq join.
+        val exact = scored.filter(least(col("hot_a"), col("hot_b")) === 0)
+          .withColumn("containment", col("cc").cast(DoubleType) /
+            least(col("szf_a"), col("szf_b")).cast(DoubleType))
           .filter(col("containment") >= threshold)
           .select(col("id_a"), col("id_b"), col("containment"))
+        if (!anyHot) exact
+        else {
+          val pruned = scored
+            .filter(least(col("hot_a"), col("hot_b")) > 0)
+            .select(col("id_a"), col("id_b"))
+          val shA = df.select(col(idCol).as("id_a"), shingles(col(textCol), n).as("arr_a"))
+          val shB = df.select(col(idCol).as("id_b"), shingles(col(textCol), n).as("arr_b"))
+          val verified = pruned
+            .join(shA.hint("shuffle_hash"), Seq("id_a"))
+            .join(shB.hint("shuffle_hash"), Seq("id_b"))
+            .withColumn("c", size(array_intersect(col("arr_a"), col("arr_b"))))
+            .withColumn("containment", col("c").cast(DoubleType) /
+              least(size(col("arr_a")), size(col("arr_b"))).cast(DoubleType))
+            .filter(col("containment") >= threshold)
+            .select(col("id_a"), col("id_b"), col("containment"))
+          exact.unionByName(verified)
+        }
     }
   }
 
