@@ -2474,6 +2474,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // ---- X: the BPE trainer at production-shaped merge count (k=64,
+    //      localCheckpoint every 16 rounds keeping the vocab lineage
+    //      bounded — the piece that lets the same loop run to 30k merges
+    //      without stacking a 30k-deep fold plan) ----
+    "x176_bpe_merges64" -> { (s, dir) =>
+      graft.operators.Bpe.learnMergesDf(t(s, dir, "documents"), "text",
+        numMerges = 64, checkpointEvery = 4)
+    },
+
     // ---- X: greedy k-center (farthest-first) diverse-seed selection —
     //      k bounded corpus scans, each a broadcast-literal least() +
     //      partial-agged argmax; the CONSTRUCTIVE sibling of x159's
@@ -3309,6 +3318,92 @@ object SparkEntry {
        FROM bits ORDER BY doc_id"""
   }
 
+  /** DuckDB-side greedy merge application: the exact dual of
+    * [[graft.operators.Bpe.applyMerge]] — a left-to-right list_reduce
+    * fold over the symbol array that merges the accumulator's LAST
+    * symbol with the incoming one iff they equal (m.a, m.b). Appending
+    * m.b straight onto an accumulator ending in symbol m.a turns that
+    * trailing symbol into the merged a||b with no suffix surgery. The
+    * accumulator is a plain VARCHAR, so x173's DuckDB struct-accumulator
+    * aliasing hazard doesn't apply. A literal replace(' a b ',' ab ')
+    * is NOT usable here: it eats the shared boundary space, merging runs
+    * of 4+ repeated symbols only alternately. */
+  private def bpeDuckFold(inner: String, m: String): String =
+    s"' ' || list_reduce(string_split(trim($inner), ' '), (acc, x) -> " +
+      s"CASE WHEN x = $m.b AND list_extract(string_split(acc, ' '), " +
+      s"len(string_split(acc, ' '))) = $m.a THEN acc || $m.b " +
+      s"ELSE acc || ' ' || x END) || ' '"
+
+  /** The k-round BPE oracle CTE chain (v0 word-frequency vocab, then per
+    * round: p_r pair counts, m_r argmax, v_r rebuilt vocab). Each m_r
+    * falls back to a sentinel row (a = b = ' ', cnt NULL) when p_r is
+    * empty — a lone space can never equal a symbol, so the fold becomes
+    * a no-op and a fully-merged vocabulary degrades each remaining round
+    * to nothing, exactly like the Spark trainer's early stop (a plain
+    * cross join against an EMPTY m_r would instead erase the whole
+    * result). v_r CTEs are pinned MATERIALIZED: each is referenced
+    * twice (p_{r+1} and v_{r+1}), and inlining would recompute the fold
+    * chain quadratically. */
+  private def bpeOracleCtes(k: Int): String = {
+    val v0 =
+      """v0 AS MATERIALIZED (
+         SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s,
+           wc
+         FROM (SELECT w, count(*) AS wc FROM (
+             SELECT unnest(string_split(lower(text), ' ')) AS w
+             FROM documents)
+           WHERE w <> '' GROUP BY w))"""
+    val rounds = (1 to k).flatMap { r =>
+      val p =
+        s"""p$r AS (SELECT sy[t.i] AS a, sy[t.i+1] AS b, sum(wc) AS cnt
+           FROM (SELECT string_split(trim(s), ' ') AS sy, wc FROM v${r - 1}),
+                UNNEST(range(1, len(sy))) t(i) GROUP BY 1, 2)"""
+      val m =
+        s"""m$r AS (SELECT a, b, CAST(cnt AS BIGINT) AS cnt FROM
+             (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a ASC, b ASC
+              LIMIT 1)
+           UNION ALL SELECT ' ', ' ', NULL
+             WHERE NOT EXISTS (SELECT 1 FROM p$r))"""
+      val v =
+        if (r == k) Nil
+        else Seq(s"""v$r AS MATERIALIZED (SELECT ${bpeDuckFold("s", s"m$r")}
+             AS s, wc FROM v${r - 1}, m$r)""")
+      Seq(p, m) ++ v
+    }
+    (v0 +: rounds).mkString(",\n         ")
+  }
+
+  /** x174/x176: the learned k-round merge list. Sentinel rounds (NULL
+    * pair_count) are filtered so a degenerate corpus yields the same
+    * short list the Spark trainer's early stop returns. */
+  private def bpeMergesOracle(k: Int): String = {
+    val unions = (1 to k).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS rank, a AS lhs, b AS rhs, " +
+        s"cnt AS pair_count FROM m$r").mkString("\n         UNION ALL ")
+    s"""WITH ${bpeOracleCtes(k)}
+         SELECT rank, lhs, rhs, pair_count FROM ($unions)
+         WHERE pair_count IS NOT NULL ORDER BY rank"""
+  }
+
+  /** x175: the k learned merges folded back over every word (rank order,
+    * innermost first), then per-document subword accounting. */
+  private def bpeSegmentOracle(k: Int): String = {
+    val applied = (1 to k).foldLeft(
+      "' ' || array_to_string(string_split(w, ''), ' ') || ' '") {
+      (inner, r) => bpeDuckFold(inner, s"m$r")
+    }
+    val froms = ("words" +: (1 to k).map(r => s"m$r")).mkString(", ")
+    s"""WITH ${bpeOracleCtes(k)},
+         words AS (SELECT doc_id,
+             unnest(string_split(lower(text), ' ')) AS w FROM documents),
+         seg AS (SELECT doc_id, $applied AS s FROM $froms WHERE w <> '')
+         SELECT doc_id, count(*) AS n_words,
+           CAST(sum(len(string_split(trim(s), ' '))) AS BIGINT) AS n_subwords,
+           round(CAST(sum(len(string_split(trim(s), ' '))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS avg_subwords_per_word
+         FROM seg GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -3925,99 +4020,14 @@ object SparkEntry {
            round(mae_s / mae1, 6) AS mase
          FROM m1 JOIN m7 ON m1.k = m7.k ORDER BY event_type""",
 
-    // x174: the 4 BPE rounds unrolled as chained CTEs — identical pair
-    // counting (lateral unnest over the symbol list), identical
-    // (cnt DESC, a, b) argmax, identical literal sentinel-space replace
-    "x174_bpe_merges" ->
-      """WITH v0 AS (
-           SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s,
-             wc
-           FROM (SELECT w, count(*) AS wc FROM (
-               SELECT unnest(string_split(lower(text), ' ')) AS w
-               FROM documents)
-             WHERE w <> '' GROUP BY w)),
-         p1 AS (SELECT sy[t.i] AS a, sy[t.i+1] AS b, sum(wc) AS cnt
-           FROM (SELECT string_split(trim(s), ' ') AS sy, wc FROM v0),
-                UNNEST(range(1, len(sy))) t(i) GROUP BY 1, 2),
-         m1 AS (SELECT a, b, CAST(cnt AS BIGINT) AS cnt FROM p1
-           ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
-         v1 AS (SELECT replace(s, ' ' || m1.a || ' ' || m1.b || ' ',
-             ' ' || m1.a || m1.b || ' ') AS s, wc FROM v0, m1),
-         p2 AS (SELECT sy[t.i] AS a, sy[t.i+1] AS b, sum(wc) AS cnt
-           FROM (SELECT string_split(trim(s), ' ') AS sy, wc FROM v1),
-                UNNEST(range(1, len(sy))) t(i) GROUP BY 1, 2),
-         m2 AS (SELECT a, b, CAST(cnt AS BIGINT) AS cnt FROM p2
-           ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
-         v2 AS (SELECT replace(s, ' ' || m2.a || ' ' || m2.b || ' ',
-             ' ' || m2.a || m2.b || ' ') AS s, wc FROM v1, m2),
-         p3 AS (SELECT sy[t.i] AS a, sy[t.i+1] AS b, sum(wc) AS cnt
-           FROM (SELECT string_split(trim(s), ' ') AS sy, wc FROM v2),
-                UNNEST(range(1, len(sy))) t(i) GROUP BY 1, 2),
-         m3 AS (SELECT a, b, CAST(cnt AS BIGINT) AS cnt FROM p3
-           ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
-         v3 AS (SELECT replace(s, ' ' || m3.a || ' ' || m3.b || ' ',
-             ' ' || m3.a || m3.b || ' ') AS s, wc FROM v2, m3),
-         p4 AS (SELECT sy[t.i] AS a, sy[t.i+1] AS b, sum(wc) AS cnt
-           FROM (SELECT string_split(trim(s), ' ') AS sy, wc FROM v3),
-                UNNEST(range(1, len(sy))) t(i) GROUP BY 1, 2),
-         m4 AS (SELECT a, b, CAST(cnt AS BIGINT) AS cnt FROM p4
-           ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)
-         SELECT CAST(1 AS BIGINT) AS rank, a AS lhs, b AS rhs,
-           cnt AS pair_count FROM m1
-         UNION ALL SELECT CAST(2 AS BIGINT), a, b, cnt FROM m2
-         UNION ALL SELECT CAST(3 AS BIGINT), a, b, cnt FROM m3
-         UNION ALL SELECT CAST(4 AS BIGINT), a, b, cnt FROM m4
-         ORDER BY rank""",
-
-    // x175: the same 4 learned merges applied back per word (nested
-    // literal replaces, rank order innermost-first), then per-document
-    // subword accounting
-    "x175_bpe_segment" ->
-      """WITH v0 AS (
-           SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s,
-             wc
-           FROM (SELECT w, count(*) AS wc FROM (
-               SELECT unnest(string_split(lower(text), ' ')) AS w
-               FROM documents)
-             WHERE w <> '' GROUP BY w)),
-         p1 AS (SELECT sy[t.i] AS a, sy[t.i+1] AS b, sum(wc) AS cnt
-           FROM (SELECT string_split(trim(s), ' ') AS sy, wc FROM v0),
-                UNNEST(range(1, len(sy))) t(i) GROUP BY 1, 2),
-         m1 AS (SELECT a, b FROM p1 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
-         v1 AS (SELECT replace(s, ' ' || m1.a || ' ' || m1.b || ' ',
-             ' ' || m1.a || m1.b || ' ') AS s, wc FROM v0, m1),
-         p2 AS (SELECT sy[t.i] AS a, sy[t.i+1] AS b, sum(wc) AS cnt
-           FROM (SELECT string_split(trim(s), ' ') AS sy, wc FROM v1),
-                UNNEST(range(1, len(sy))) t(i) GROUP BY 1, 2),
-         m2 AS (SELECT a, b FROM p2 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
-         v2 AS (SELECT replace(s, ' ' || m2.a || ' ' || m2.b || ' ',
-             ' ' || m2.a || m2.b || ' ') AS s, wc FROM v1, m2),
-         p3 AS (SELECT sy[t.i] AS a, sy[t.i+1] AS b, sum(wc) AS cnt
-           FROM (SELECT string_split(trim(s), ' ') AS sy, wc FROM v2),
-                UNNEST(range(1, len(sy))) t(i) GROUP BY 1, 2),
-         m3 AS (SELECT a, b FROM p3 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
-         v3 AS (SELECT replace(s, ' ' || m3.a || ' ' || m3.b || ' ',
-             ' ' || m3.a || m3.b || ' ') AS s, wc FROM v2, m3),
-         p4 AS (SELECT sy[t.i] AS a, sy[t.i+1] AS b, sum(wc) AS cnt
-           FROM (SELECT string_split(trim(s), ' ') AS sy, wc FROM v3),
-                UNNEST(range(1, len(sy))) t(i) GROUP BY 1, 2),
-         m4 AS (SELECT a, b FROM p4 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
-         words AS (SELECT doc_id,
-             unnest(string_split(lower(text), ' ')) AS w FROM documents),
-         seg AS (SELECT doc_id,
-             replace(replace(replace(replace(
-               ' ' || array_to_string(string_split(w, ''), ' ') || ' ',
-               ' ' || m1.a || ' ' || m1.b || ' ', ' ' || m1.a || m1.b || ' '),
-               ' ' || m2.a || ' ' || m2.b || ' ', ' ' || m2.a || m2.b || ' '),
-               ' ' || m3.a || ' ' || m3.b || ' ', ' ' || m3.a || m3.b || ' '),
-               ' ' || m4.a || ' ' || m4.b || ' ', ' ' || m4.a || m4.b || ' ')
-               AS s
-           FROM words, m1, m2, m3, m4 WHERE w <> '')
-         SELECT doc_id, count(*) AS n_words,
-           CAST(sum(len(string_split(trim(s), ' '))) AS BIGINT) AS n_subwords,
-           round(CAST(sum(len(string_split(trim(s), ' '))) AS DOUBLE)
-             / CAST(count(*) AS DOUBLE), 6) AS avg_subwords_per_word
-         FROM seg GROUP BY doc_id ORDER BY doc_id""",
+    // x174/x175/x176: the k BPE rounds unrolled as chained CTEs —
+    // identical pair counting (lateral unnest over the symbol list),
+    // identical (cnt DESC, a, b) argmax, identical left-to-right greedy
+    // merge fold, sentinel-guarded rounds (generated: bpeMergesOracle /
+    // bpeSegmentOracle)
+    "x174_bpe_merges" -> bpeMergesOracle(4),
+    "x175_bpe_segment" -> bpeSegmentOracle(4),
+    "x176_bpe_merges64" -> bpeMergesOracle(64),
 
     // x173: the recurrence replayed as a recursive CTE, one step per
     // iteration — NOT list_reduce: DuckDB 1.0's struct-accumulator

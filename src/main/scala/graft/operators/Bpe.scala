@@ -19,12 +19,11 @@ import graft.functions.TextFunctions
   * explode + partial-agged groupBy); every merge round is then a narrow
   * map + one partial-agged pair-count agg over vocab-sized rows, and the
   * only driver traffic is each round's 1-row argmax. Words are held as
-  * SPACE-JOINED SYMBOL STRINGS padded with sentinel spaces (" h e l l o ")
-  * so that applying merge (a,b) is one literal `replace(" a b ", " ab ")`
-  * — non-overlapping left-to-right in every engine, which is exactly the
-  * greedy application order reference BPE uses. Ties on pair count break
-  * to the lexicographically smallest (left, right) via a min-struct agg,
-  * so the learned merge list is fully deterministic.
+  * SPACE-JOINED SYMBOL STRINGS padded with sentinel spaces (" h e l l o ");
+  * applying merge (a,b) folds left-to-right over the symbol array
+  * ([[applyMerge]]) — the same greedy scan reference BPE uses. Ties on
+  * pair count break to the lexicographically smallest (left, right) via
+  * a min-struct agg, so the learned merge list is fully deterministic.
   */
 object Bpe {
 
@@ -43,19 +42,65 @@ object Bpe {
     concat(lit(" "),
       array_join(filter(split(word, ""), s => s =!= ""), " "), lit(" "))
 
+  /** Apply ONE merge (a,b) to a sentinel-padded symbol string: fold
+    * left-to-right over the symbol array, merging the accumulator's last
+    * symbol with the incoming one iff they equal (a,b). This IS reference
+    * BPE's greedy scan — after a merge the new `ab` symbol is never the
+    * `a` of the next step of the same pass (b is non-empty, so ab != a),
+    * matching the scan's i += 2 skip. A single literal
+    * `replace(" a b ", " ab ")` is NOT equivalent: the match consumes the
+    * shared boundary space, so a run of 4+ repeated symbols merges only
+    * alternately (" a a a a " -> " aa a a " where greedy BPE gives
+    * " aa aa "). `get` (0-based, null out-of-range) keeps the
+    * empty-accumulator probe ANSI-safe. */
+  private[operators] def applyMerge(s: Column, a: String, b: String): Column =
+    concat(lit(" "), array_join(
+      aggregate(
+        split(trim(s), " "),
+        array().cast("array<string>"),
+        (acc, x) => when(
+          x === lit(b) && get(acc, size(acc) - 1) === lit(a),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x)))),
+      " "), lit(" "))
+
   /** One learned merge. */
   final case class Merge(rank: Int, left: String, right: String, count: Long)
 
   /** Learn `numMerges` BPE merges from the corpus. Returns the bounded
     * driver-side merge list (rank order = merge priority); rounds whose
-    * best pair count is 0 (vocabulary fully merged) stop early. */
+    * best pair count is 0 (vocabulary fully merged) stop early.
+    *
+    * `checkpointEvery`: every that-many rounds the working vocabulary is
+    * localCheckpoint'ed (eager), snapping its lineage — without this a
+    * production-scale trainer (30k merges) stacks one fold expression per
+    * round into a 30k-deep plan that breaks analysis/codegen long before
+    * the data does. Snapshots are vocab-sized cached blocks, at most
+    * numMerges/checkpointEvery of them, all dropped by the caller's
+    * next [[graft.plans.Persists.releaseAll]]. */
   def learnMerges(docs: DataFrame, textCol: String,
-      numMerges: Int): Seq[Merge] = {
+      numMerges: Int, checkpointEvery: Int = 16): Seq[Merge] = {
     require(numMerges >= 1, "numMerges must be >= 1")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val vocab = wordVocab(docs, textCol)
       .select(symbolize(col("word")).as("s"), col("wc"))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    try {
+    // Materialize the vocab at full session parallelism BEFORE the round
+    // loop: the one corpus-scale scan must not run under the loop's
+    // reduced-shuffle conf below.
+    vocab.count()
+    // The trainer is a chain of numMerges tiny sequential actions (one
+    // 1-row argmax each); their per-round fixed cost, not data, dominates
+    // wall time (measured: k=64 costs the same at sf0.001 and sf0.1). Pin
+    // AQE off around them like the ingest pipelines do
+    // (Persists.withSessionConf doc) and drop shuffle parallelism: each
+    // round's exchange carries only post-partial-agg (a,b,cnt) rows —
+    // bounded by the corpus's distinct adjacent-pair count, never vocab-
+    // or corpus-sized — so launching the session's full shuffle-partition
+    // fan-out per round is pure scheduling overhead, k times over.
+    try graft.plans.Persists.withSessionConf(docs.sparkSession)(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "2") {
       var merges = Vector.empty[Merge]
       var cur = vocab.select(col("s"), col("wc"))
       var done = false
@@ -80,10 +125,8 @@ object Bpe {
           val (a, b, c) = (best(0).getString(0), best(0).getString(1),
             best(0).getLong(2))
           merges = merges :+ Merge(r, a, b, c)
-          cur = cur.select(
-            call_function("replace", col("s"),
-              lit(s" $a $b "), lit(s" $a$b ")).as("s"),
-            col("wc"))
+          cur = cur.select(applyMerge(col("s"), a, b).as("s"), col("wc"))
+          if (r % checkpointEvery == 0) cur = cur.localCheckpoint(true)
         }
       }
       merges
@@ -94,10 +137,10 @@ object Bpe {
     * — lhs/rhs, not left/right, to spare the oracle SQL the reserved
     * keywords. */
   def learnMergesDf(docs: DataFrame, textCol: String,
-      numMerges: Int): DataFrame = {
+      numMerges: Int, checkpointEvery: Int = 16): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    learnMerges(docs, textCol, numMerges)
+    learnMerges(docs, textCol, numMerges, checkpointEvery)
       .map(m => (m.rank, m.left, m.right, m.count))
       .toDF("rank", "lhs", "rhs", "pair_count")
       .select(col("rank").cast("long").as("rank"), col("lhs"),
@@ -115,8 +158,7 @@ object Bpe {
       merges: Seq[Merge]): DataFrame = {
     val applied = merges.sortBy(_.rank).foldLeft(
       symbolize(col("word")): Column) { (c, m) =>
-      call_function("replace", c,
-        lit(s" ${m.left} ${m.right} "), lit(s" ${m.left}${m.right} "))
+      applyMerge(c, m.left, m.right)
     }
     docs
       .select(col(idCol),

@@ -46,6 +46,30 @@ class BpeSpec extends SparkSpec {
       ((1L, 1L, 1.0)))
   }
 
+  test("merge application is greedy left-to-right on repeated-symbol runs (aaaa -> aa aa)") {
+    // ' a a a a ': greedy scan merges positions (1,2) and (3,4) ->
+    // [aa, aa]. A single literal replace(' a a ',' aa ') would eat the
+    // shared boundary space and stop at [aa, a, a] — and the surviving
+    // (a,a) occurrences would then re-win later rounds. With the fold,
+    // round 2's best pair is (aa,aa).
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val ms = Bpe.learnMerges(docs, "text", numMerges = 2)
+    assert(ms.map(m => (m.left, m.right, m.count)) ==
+      Seq(("a", "a", 3L), ("aa", "aa", 1L)))
+    // and segmentation with only merge 1 yields 2 subwords, not 3
+    val seg = Bpe.segmentStats(docs, "doc_id", "text", ms.take(1)).collect()
+    assert(seg(0).getLong(2) == 2L)
+  }
+
+  test("checkpointed trainer learns the identical merge list") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val plain = Bpe.learnMerges(docs, "text", numMerges = 12,
+      checkpointEvery = 1000) // never snapshots within 12 rounds
+    val snapped = Bpe.learnMerges(docs, "text", numMerges = 12,
+      checkpointEvery = 4) // 3 snapshots
+    assert(plain == snapped)
+  }
+
   test("learnMergesDf on the corpus sample is rank-ordered with positive counts") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val rows = Bpe.learnMergesDf(docs, "text", numMerges = 3)
