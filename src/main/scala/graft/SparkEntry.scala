@@ -4017,7 +4017,7 @@ object SparkEntry {
            FROM d a JOIN d b ON a.k = b.k AND a.bk = b.bk + 7 GROUP BY a.k)
          SELECT m1.k AS event_type, n1, round(mae1, 6) AS mae1,
            n_s, round(mae_s, 6) AS mae_s,
-           round(mae_s / mae1, 6) AS mase
+           round(mae_s / nullif(mae1, 0), 6) AS mase
          FROM m1 JOIN m7 ON m1.k = m7.k ORDER BY event_type""",
 
     // x174/x175/x176: the k BPE rounds unrolled as chained CTEs —

@@ -482,13 +482,64 @@ object Evaluation {
     * line. Coverage far below 1-alpha means the score is miscalibrated
     * in a way [[calibrationCurve]]'s binning can hide.
     *
-    * 100 TB shape: q is the max of a distributed TakeOrdered over the
-    * calibration frame (sort+limit k, never a single-partition window,
-    * never a collect of the split); the eval pass is one broadcast of
-    * the 1-row q frame and one partial agg. k is exact-integer-derived,
-    * so both engines select the identical order statistic. Output 1
-    * row: (n_cal, q, n_eval, coverage, avg_set_size).
+    * 100 TB shape: the conformal quantile is an exact distributed order
+    * statistic, never a sort of ~(1-alpha)·n rows into one task. The
+    * k-th smallest is taken through whichever TAIL is shorter (k-th
+    * smallest = (n-k+1)-th largest, and for the typical alpha the upper
+    * tail is only ~alpha·n); when even that tail is too large to
+    * TakeOrdered, a rank-guaranteed approxQuantile BRACKET narrows the
+    * frame to ~4e-4·n rows first (exact count below the bracket, exact
+    * selection within it — two bounded extra passes, still the exact
+    * statistic). k stays Long throughout. The eval pass is one
+    * broadcast of the 1-row q frame and one partial agg. Output 1 row:
+    * (n_cal, q, n_eval, coverage, avg_set_size).
     */
+  /** Exact k-th smallest (1-based, 1 <= k <= n) of column `c` over an
+    * `n`-row frame, as a driver Double, in a bounded number of
+    * distributed passes. The element is reached through whichever tail
+    * is shorter (k-th smallest = (n-k+1)-th largest); a tail within
+    * `direct` rows is a plain TakeOrdered + agg. When BOTH tails exceed
+    * it, a rank-guaranteed approxQuantile bracket [lo, hi] around rank
+    * k narrows the frame to ~4·eps·n rows: count strictly-below-lo
+    * exactly, resolve lo-tie mass exactly, then TakeOrdered only the
+    * in-bracket remainder — still the exact order statistic, never an
+    * approximation. */
+  private def kthSmallest(frame: DataFrame, c: String, k: Long,
+      n: Long): Double = {
+    val m = n - k + 1 // the same element, counted from the top
+    val direct = 10L * 1000 * 1000
+    def takeAsc(fr: DataFrame, kk: Long): Double =
+      fr.orderBy(col(c).asc).limit(kk.toInt).agg(max(col(c)))
+        .head().getDouble(0)
+    if (math.min(k, m) <= direct) {
+      if (k <= m) takeAsc(frame, k)
+      else frame.orderBy(col(c).desc).limit(m.toInt).agg(min(col(c)))
+        .head().getDouble(0)
+    } else {
+      val eps = 1e-4
+      val f = k.toDouble / n
+      val Array(lo, hi) = frame.stat.approxQuantile(c,
+        Array(math.max(0.0, f - 2 * eps), math.min(1.0, f + 2 * eps)), eps)
+      if (lo == hi) lo // point mass across the whole bracket
+      else {
+        val below = frame.filter(col(c) < lo).count()
+        val j = k - below // rank within the bracket
+        require(j >= 1, s"approxQuantile bracket missed rank $k " +
+          s"(below=$below) — eps guarantee violated")
+        val bracket = frame.filter(col(c) >= lo && col(c) <= hi)
+        val loTies = bracket.filter(col(c) === lo).count()
+        if (j <= loTies) lo
+        else {
+          val rest = j - loTies
+          require(rest <= Int.MaxValue, "order-statistic bracket holds " +
+            s"> Int.MaxValue rows past the lo ties (rest=$rest); " +
+            "tighten approxQuantile eps")
+          takeAsc(bracket.filter(col(c) > lo), rest)
+        }
+      }
+    }
+  }
+
   def conformalCoverage(df: DataFrame, idCol: String, scoreCol: String,
       labelCol: String, alpha: Double): DataFrame = {
     require(alpha > 0 && alpha < 1, "alpha must be in (0, 1)")
@@ -500,8 +551,9 @@ object Evaluation {
     val n = cal.count()
     require(n > 0, "empty calibration split")
     val k = math.min(n, math.ceil((n + 1) * (1.0 - alpha)).toLong)
-    val q = cal.orderBy(col("__s").asc).limit(k.toInt)
-      .agg(max(col("__s")).as("__q"), lit(n).as("n_cal"))
+    val qv = kthSmallest(cal, "__s", k, n)
+    val q = cal.sparkSession.range(1).select(lit(qv).as("__q"),
+      lit(n).as("n_cal"))
     base.filter(col("__par") === 1)
       .crossJoin(broadcast(q))
       .select(col("n_cal"), col("__q"),

@@ -395,6 +395,11 @@ object Temporal {
       .select(col("__k").as(keyCol), col("n1"),
         round(col("__mae1"), 6).as("mae1"),
         col("n_s"), round(col("__maeS"), 6).as("mae_s"),
-        round(col("__maeS") / col("__mae1"), 6).as("mase"))
+        // mae1 = 0 (constant consecutive values) pins mase to NULL on
+        // both engines: Spark's non-ANSI divide yields NULL here while
+        // DuckDB double division can yield inf/nan, so the oracle uses
+        // nullif(mae1, 0) to agree
+        round(when(col("__mae1") =!= 0.0,
+          col("__maeS") / col("__mae1")), 6).as("mase"))
   }
 }

@@ -231,8 +231,9 @@ class TemporalSpec extends SparkSpec {
       .toDF("k", "ts", "v")
     val r = Temporal.seasonalNaiveBacktest(df, "k", "ts", "v", 86400L, 7)
       .collect().head
-    // n1: consecutive-day pairs (19 of them: gaps at 9->11); nS: day d vs
-    // d-7 pairs where both exist (13: days 7..20 minus d=10 and d=17)
+    // n1: consecutive-day pairs (18: d=1..20 minus d=10 and d=11); nS:
+    // day d vs d-7 pairs where both exist (12: days 7..20 minus d=10 and
+    // d=17)
     assert((r.getLong(1), r.getLong(3)) == ((18L, 12L)))
     assert(r.getDouble(4) == 0.0) // mae_s
     assert(r.getDouble(2) > 0.0)  // mae1
