@@ -6,16 +6,140 @@ import org.apache.spark.sql.SparkSession
   * bench_result.json — a stdout scrape can be defeated by sbt's [info]
   * prefix; the file cannot).
   *
-  * Self-defense against cross-query contamination: each query runs
-  * SPARK_GRAFT_BENCH_REPS times (default 3) and reports the MIN, and after
-  * every rep all persisted RDDs and cached relations are dropped
-  * ([[graft.plans.Persists.releaseAll]]) — two-pass operators persist their
-  * input around the numbering passes, and without the release one query's
-  * blocks bill the next query's time (the round-2 driver bench measured a
-  * contiguous 2-15x bulge from exactly this).
+  * FORKED BY DEFAULT: the full sweep runs as child JVMs of ~16 queries
+  * each (SPARK_GRAFT_BENCH_CHUNK), results merged into one artifact.
+  * Two rounds of bisection proved a single-JVM 227-query sweep
+  * accumulates state that per-query rep-min + releaseAll + System.gc
+  * cannot undo: round 5's e2/e3 AQE bimodality, then round 6's
+  * e1 4.6x / x96 1.8x / x138 1.8x inflation vs the same queries in
+  * fresh driver-mode JVMs (~30% aggregate overstatement). Chunking
+  * bounds any residual cross-query contamination to 15 same-chunk
+  * neighbors and makes the recorded artifact agree with fresh-JVM
+  * truth. SPARK_GRAFT_BENCH_FORK=0 forces the old inline sweep;
+  * SPARK_GRAFT_BENCH_ONLY (builder-side bisection) implies it.
+  *
+  * Inline-mode self-defense (per child): each query runs
+  * SPARK_GRAFT_BENCH_REPS times (default 3) and reports the MIN, and
+  * after every rep all persisted RDDs and cached relations are dropped
+  * ([[graft.plans.Persists.releaseAll]]) — two-pass operators persist
+  * their input around the numbering passes, and without the release one
+  * query's blocks bill the next query's time (the round-2 driver bench
+  * measured a contiguous 2-15x bulge from exactly this).
   */
 object Bench {
+
   def main(args: Array[String]): Unit = {
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val forkRequested = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK", "1") != "0"
+    // forking re-launches this class with the parent's own classpath; that
+    // only works when the JVM was started with the real app classpath
+    // (sbt run/fork=true and spark-submit both do this). A launcher-jar
+    // classpath can't be reused — fall back to the inline sweep.
+    val cp = System.getProperty("java.class.path")
+    val forkable = cp != null && cp.contains("spark-sql") &&
+      new java.io.File(new java.io.File(
+        System.getProperty("java.home"), "bin"), "java").canExecute
+    if (forkRequested && only.isEmpty && forkable) runForked(cp)
+    else runInline(only)
+  }
+
+  // must mirror build.sbt's jdk17AddOpens (JavaModuleOptions.
+  // defaultModuleOptions) — children are raw `java`, not sbt-forked
+  private val jdk17AddOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def writeLine(ok: Seq[(String, Double)],
+      errors: Seq[(String, String)], sfDir: String): Unit = {
+    val qs = ok.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"failed":${errors.size},"sf":"$sfDir"}"""
+    println(line)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
+  }
+
+  /** Parent: split the sorted query list into chunks, run each in a fresh
+    * child JVM (same classpath, same envs, SPARK_GRAFT_BENCH_ONLY set to
+    * the chunk), merge the chunk artifacts. A chunk that dies without
+    * writing its artifact reports every query it owned as failed. */
+  private def runForked(cp: String): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val chunkSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_CHUNK", "16").toInt
+    val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val chunks = names.grouped(chunkSize).toSeq
+    val dir = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("target", "bench_chunks"))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    var ok = Vector.empty[(String, Double)]
+    var errors = Vector.empty[(String, String)]
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val out = dir.resolve(s"chunk_$i.json").toFile
+      val log = dir.resolve(s"chunk_$i.log").toFile
+      out.delete()
+      val cmd = (Seq(javaBin) ++ jdk17AddOpens ++ Seq(
+        s"-Xmx$mem", "-Dspark.ui.enabled=false",
+        "-Dspark.sql.session.timeZone=UTC",
+        "-cp", cp, "graft.Bench")).toArray
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_BENCH_ONLY", chunk.mkString(","))
+      pb.environment().put("SPARK_GRAFT_BENCH_OUT", out.getAbsolutePath)
+      pb.environment().put("SPARK_GRAFT_BENCH_FORK", "0")
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(log)
+      val t0 = System.nanoTime()
+      val code = pb.start().waitFor()
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (out.isFile) {
+        val node = om.readTree(out)
+        val qs = node.get("queries")
+        qs.fieldNames().forEachRemaining { q =>
+          ok = ok :+ (q -> qs.get(q).asDouble())
+        }
+        val es = node.get("errors")
+        es.fieldNames().forEachRemaining { q =>
+          errors = errors :+ (q -> es.get(q).asText())
+        }
+        System.err.println(f"[bench] chunk ${i + 1}/${chunks.size} " +
+          f"(${chunk.size} queries) exit=$code wall=$dt%.1fs")
+      } else {
+        chunk.foreach(q => errors = errors :+
+          (q -> s"chunk JVM exited $code without artifact (see $log)"))
+        System.err.println(s"[bench] chunk ${i + 1}/${chunks.size} FAILED " +
+          s"exit=$code without artifact; see $log")
+      }
+    }
+    ok = ok.sortBy(_._1)
+    errors.foreach { case (n, e) => System.err.println(s"[bench] FAILED $n: $e") }
+    writeLine(ok, errors, sfDir)
+    if (errors.nonEmpty) sys.exit(1)
+  }
+
+  /** One JVM, one session, the named queries (or all), rep-min timing. */
+  private def runInline(only: Option[Set[String]]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
@@ -35,11 +159,6 @@ object Bench {
     // analysis errors were swallowed and 17 broken queries "ran" in 0.05 s).
     // Failed queries are excluded from `queries`/total, reported under
     // `errors`, and fail the whole run's exit code.
-    // SPARK_GRAFT_BENCH_ONLY=q1,q2,... restricts the sweep (builder-side
-    // bisection aid — an in-sweep slowdown that vanishes solo needs the
-    // exact query prefix to reproduce; the driver never sets this)
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val raw = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
@@ -57,27 +176,10 @@ object Bench {
       System.gc() // broadcast/driver-heap hygiene between queries
       (name, times.min, err)
     }
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
     val ok = raw.collect { case (n, t, None) => n -> t }
     val errors = raw.collect { case (n, _, Some(e)) => n -> e }
     errors.foreach { case (n, e) => System.err.println(s"[bench] FAILED $n: $e") }
-    val qs = ok.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
-    val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-    val total = ok.map(_._2).sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"failed":${errors.size},"sf":"$sfDir"}"""
-    println(line)
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
-    }
+    writeLine(ok, errors, sfDir)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -349,7 +349,39 @@ object Stress {
         // calendar-bounded, so wall tracks the bucket agg only
         "seasonal_backtest" -> (() =>
           operators.Temporal.seasonalNaiveBacktest(events, "event_type",
-            "ts", "value", 86400L, season = 7).count()))
+            "ts", "value", 86400L, season = 7).count()),
+        // k bounded corpus scans (2(k-1)+1 actions, broadcast-literal
+        // distances): wall must track the scan count linearly with the
+        // corpus, rounds fixed at k
+        "kcenter" -> (() =>
+          operators.Selection.kCenterGreedy(
+            replicateEmbeddings(Tables.load(spark, sfDir, "embeddings"), m),
+            "vec_id", "embedding", k = 4).count()),
+        // ONE inverted-index pair pass histogrammed into 20 integer
+        // bands: wall must track the pair search (within-replica only —
+        // disjoint vocabularies), never the band count
+        "threshold_sweep" -> (() =>
+          operators.Dedup.jaccardThresholdSweep(docs, "doc_id", "text",
+            n = 3, minBucket = 10, buckets = 20).count()),
+        // trainer rounds are vocab-sized with a 1-row argmax each; the
+        // corpus is scanned once into the word vocab. Replica-suffixed
+        // tokens grow the vocab linearly but hold symbol structure, so
+        // per-round cost must stay ~flat (fixed k = 16 with a
+        // mid-trainer localCheckpoint at 8)
+        "bpe_train" -> (() =>
+          operators.Bpe.learnMergesDf(docs, "text", numMerges = 16,
+            checkpointEvery = 8).count()),
+        // keyed anti-join replace + <=numCentroids-row health windows:
+        // only the 10% batch is scored, the standing corpus is never
+        // re-scanned for assignment — wall must track the batch scan
+        "ivf_upsert" -> (() => {
+          val embs = replicateEmbeddings(
+            Tables.load(spark, sfDir, "embeddings"), m)
+          examples.VectorIndexMaintenance.run(
+            embs.filter(pmod(col("vec_id"), lit(10L)) =!= 0L),
+            embs.filter(pmod(col("vec_id"), lit(10L)) === 0L),
+            "vec_id", "embedding", numCentroids = 16, dims = 64).count()
+        }))
 
       // SPARK_GRAFT_STRESS_OPS=a,b,c runs only the named ops (bisection
       // runs shouldn't pay the full sweep per hypothesis)

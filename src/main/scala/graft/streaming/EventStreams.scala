@@ -413,4 +413,84 @@ object EventStreams {
           }
       }
   }
+
+  /** Streaming hour-of-week SPIKE cells — the live twin of x162's
+    * [[graft.operators.EventAnalytics.hourOfWeekAnomaly]]. The batch op
+    * consumes every (epoch-week, dow, hour) cell; streaming-native those
+    * cells are a WATERMARKED 7-day-window count (Spark's tumbling
+    * windows align to the epoch, so `window.start / 7d` is exactly the
+    * batch op's `div(day, 7)` week index), each emitted ONCE when the
+    * watermark closes its week. State is the open weeks' cells —
+    * <= 168 per week within the watermark horizon, evicted on close.
+    * The dashboard (or the spec) folds closed cells into the per-cell
+    * report: n_weeks_active / total / max_week are commutative and the
+    * global denominator is a count-distinct over closed week indexes,
+    * so the rolled-up spike flags equal the batch op's once the weeks
+    * have closed — the same converge-on-close contract as
+    * [[churnStream]]. Output per closed cell: (wk, dow, hour, n). */
+  def hourOfWeekCellStream(events: DataFrame,
+      watermarkDelay: String = "0 seconds"): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val day = call_function("div", us, lit(86400000000L))
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "7 days"),
+        pmod(day + 4L, lit(7L)).as("dow"),
+        call_function("div",
+          pmod(us, lit(86400000000L)), lit(3600000000L)).as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        call_function("div", unix_micros(col("window.start")),
+          lit(604800000000L)).as("wk"),
+        col("dow"), col("hour"), col("n"))
+  }
+
+  /** Streaming CUSUM changepoint monitor — the live twin of x169's
+    * [[graft.operators.Temporal.cusumChangepoint]]. State per key is its
+    * per-bucket event counts — CALENDAR-BOUNDED (days, not events; the
+    * batch op's own per-key boundedness argument), so like
+    * [[hourOfWeekStream]] it needs no watermark and never drops late
+    * data: a late event lands in its historical bucket and the next
+    * estimate self-corrects, which a watermark-evicted design cannot do.
+    * Each micro-batch updates the touched keys' counts and re-emits
+    * their current changepoint row — the batch statistic recomputed
+    * exactly (pure int64 D*C_t - t*T, earliest-bucket tie-break) over
+    * the counts seen so far, O(days) per touched key — so the LAST
+    * emission per key always equals the batch operator over the
+    * batches' union (spec-gated, including a late-data batch). Output:
+    * (key, cp_bucket_us, s_abs_scaled, n_buckets). */
+  def cusumStream(events: DataFrame, keyCol: String, bucketSeconds: Long)
+      : Dataset[(String, Long, Long, Long)] = {
+    require(bucketSeconds >= 1L, "bucketSeconds must be >= 1")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val busc = bucketSeconds * 1000000L
+    events.select(col(keyCol).cast(StringType), unix_micros(col("ts")))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Map[Long, Long], (String, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)],
+            state: GroupState[Map[Long, Long]]) =>
+          var counts = state.getOption.getOrElse(Map.empty[Long, Long])
+          rows.foreach { r =>
+            val bk = Math.floorDiv(r._2, busc)
+            counts = counts.updated(bk, counts.getOrElse(bk, 0L) + 1L)
+          }
+          state.update(counts)
+          // the batch fold, verbatim, over the bounded bucket map
+          val sorted = counts.toSeq.sortBy(_._1)
+          val d = sorted.size.toLong
+          val tot = sorted.iterator.map(_._2).sum
+          var c = 0L; var t = 0L
+          var bestSa = -1L; var bestNbk = 0L
+          sorted.foreach { case (bk, n) =>
+            t += 1L; c += n
+            val sa = math.abs(d * c - t * tot)
+            if (sa > bestSa || (sa == bestSa && -bk > bestNbk)) {
+              bestSa = sa; bestNbk = -bk
+            }
+          }
+          Iterator((key, -bestNbk * busc, bestSa, d))
+      }
+  }
 }

@@ -1080,4 +1080,95 @@ class ExtensionOpsSpec extends SparkSpec {
         s"streamed=$streamed batch=$batch")
     } finally q.stop()
   }
+
+  test("streaming hour-of-week cells roll up to the batch x162 spike report") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tsOf: (Long, Long) => java.sql.Timestamp = (day, hour) =>
+      new java.sql.Timestamp((day * 86400L + hour * 3600L + 60L) * 1000L)
+    val input = MemoryStream[java.sql.Timestamp]
+    val cells = EventStreams.hourOfWeekCellStream(input.toDF().toDF("ts"))
+    val q = cells.writeStream.format("memory").queryName("how_cells")
+      .outputMode("append").start()
+    try {
+      // 3 epoch weeks of traffic on two (dow,hour) cells; cell A spikes
+      // in week 2 (5 events vs 1,1) — max*3 = 15 > 2*7; cell B is flat
+      val events = Seq(
+        tsOf(0, 9), tsOf(7, 9), tsOf(14, 9), tsOf(14, 9), tsOf(14, 9),
+        tsOf(14, 9), tsOf(14, 9),
+        tsOf(1, 13), tsOf(8, 13), tsOf(15, 13))
+      input.addData(events: _*)
+      q.processAllAvailable()
+      // two watermark-advancing sentinels (far-future weeks): the first
+      // folds the real max event time into the watermark, the second
+      // closes every real week
+      input.addData(tsOf(7000, 0)); q.processAllAvailable()
+      input.addData(tsOf(7100, 0)); q.processAllAvailable()
+      val closed = spark.table("how_cells").filter(col("wk") < 1000L)
+      // every real cell closed exactly once
+      assert(closed.count() == closed.select("wk", "dow", "hour").distinct().count())
+      val weeks = closed.agg(countDistinct(col("wk")).as("n_weeks"))
+      val rolled = closed.groupBy(col("dow"), col("hour"))
+        .agg(count(lit(1)).as("n_weeks_active"), sum("n").as("total"),
+          max("n").as("max_week"))
+        .crossJoin(weeks)
+        .select(col("dow"), col("hour"), col("n_weeks_active"), col("total"),
+          col("max_week"),
+          (col("max_week") * col("n_weeks") > col("total") * 2L).as("spike"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getBoolean(5))).toSet
+      val batch = graft.operators.EventAnalytics.hourOfWeekAnomaly(
+        events.map(Tuple1(_)).toDF("ts"), "ts")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getBoolean(5))).toSet
+      assert(batch.nonEmpty && rolled == batch,
+        s"rolled=$rolled batch=$batch")
+      assert(rolled.exists(_._6), "the staged spike cell must flag")
+    } finally q.stop()
+  }
+
+  test("streaming CUSUM estimates converge to the batch x169 operator, surviving late data") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tsOf: (Long, Long) => java.sql.Timestamp = (day, off) =>
+      new java.sql.Timestamp((day * 86400L + off) * 1000L)
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val est = EventStreams.cusumStream(
+      input.toDF().toDF("event_type", "ts"), "event_type", 86400L)
+      .toDF("event_type", "cp_bucket_us", "s_abs_scaled", "n_buckets")
+    val q = est.writeStream.format("memory").queryName("cusum_stream")
+      .outputMode("append").start()
+    try {
+      // key "a": level shift after day 2 (1,1 then 5,5,5); key "b" flat
+      val batch1 = Seq(
+        "a" -> tsOf(0, 1), "a" -> tsOf(1, 1),
+        "a" -> tsOf(2, 1), "a" -> tsOf(2, 2), "a" -> tsOf(2, 3),
+        "a" -> tsOf(2, 4), "a" -> tsOf(2, 5),
+        "a" -> tsOf(3, 1), "a" -> tsOf(3, 2), "a" -> tsOf(3, 3),
+        "a" -> tsOf(3, 4), "a" -> tsOf(3, 5),
+        "b" -> tsOf(0, 9), "b" -> tsOf(1, 9))
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      // a LATE batch lands day-1 data for "a" — a watermarked design
+      // would drop it; this monitor self-corrects
+      val batch2 = Seq("a" -> tsOf(1, 7), "a" -> tsOf(4, 1))
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      def cusumOf(evs: Seq[(String, java.sql.Timestamp)], key: String) =
+        graft.operators.Temporal.cusumChangepoint(
+          evs.toDF("event_type", "ts"), "event_type", "ts",
+          bucketSeconds = 86400L)
+          .filter(col("event_type") === key)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).head
+      val emitted = spark.table("cusum_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // key "a" emitted twice: the batch-1 estimate, then the corrected
+      // one over the union; key "b" (untouched by batch 2) exactly once
+      assert(emitted.filter(_._1 == "a").toSeq.sorted ==
+        Seq(cusumOf(batch1, "a"), cusumOf(batch1 ++ batch2, "a")).sorted,
+        s"emitted=${emitted.toSeq}")
+      assert(emitted.filter(_._1 == "b").toSeq == Seq(cusumOf(batch1, "b")))
+    } finally q.stop()
+  }
 }
