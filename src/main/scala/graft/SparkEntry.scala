@@ -2483,6 +2483,36 @@ object SparkEntry {
         numMerges = 64, checkpointEvery = 4)
     },
 
+    // ---- X: int8 scalar-quantization recall — the OTHER standard ANN
+    //      memory lever next to PQ (x51/x52): 4x smaller vectors, decode
+    //      is two flops/element in the ORIGINAL space. Asymmetric: float
+    //      query vs SQ8-reconstructed corpus, recall@20 against exact
+    //      float search; both rankings broadcast-query narrow scans ----
+    "x177_sq8_recall" -> { (s, dir) =>
+      graft.operators.Quantization.sq8Recall(
+        t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 20)
+    },
+
+    // ---- X: Matryoshka truncation recall (Kusupati et al. 2022) —
+    //      rank on the first 16/32 of 64 dims, recall@20 vs the full
+    //      vector; the prefix index reads dims/d of the bytes ----
+    "x178_matryoshka_recall" -> { (s, dir) =>
+      graft.operators.Similarity.matryoshkaRecall(
+        t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L,
+        k = 20, widths = Seq(16, 32))
+    },
+
+    // ---- X: Johnson–Lindenstrauss ±1 random projection 64 -> 16 with a
+    //      distance-preservation audit vs the query row — the dim-
+    //      reduction lever before any pair search; sign matrix is
+    //      md5-derived, inlined as literals (ONE codegen'd narrow scan,
+    //      no join), replayed verbatim by the oracle's md5 ----
+    "x179_jl_distortion" -> { (s, dir) =>
+      graft.operators.Similarity.jlDistortion(
+        t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L,
+        kOut = 16, dims = 64)
+    },
+
     // ---- X: greedy k-center (farthest-first) diverse-seed selection —
     //      k bounded corpus scans, each a broadcast-literal least() +
     //      partial-agged argmax; the CONSTRUCTIVE sibling of x159's
@@ -4028,6 +4058,108 @@ object SparkEntry {
     "x174_bpe_merges" -> bpeMergesOracle(4),
     "x175_bpe_segment" -> bpeSegmentOracle(4),
     "x176_bpe_merges64" -> bpeMergesOracle(64),
+
+    // x177: SQ8 params from the same global min/max agg, codes via the
+    // engine-portable floor(+0.5) half-up, asymmetric cosine ranking
+    // replayed with the x99 fold conventions
+    "x177_sq8_recall" ->
+      """WITH e2 AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         p AS (SELECT min(list_aggregate(v, 'min')) AS vmin,
+             max(list_aggregate(v, 'max')) AS vmax FROM e2),
+         sc AS (SELECT vmin, (vmax - vmin) / 255.0 AS s FROM p),
+         rc AS (SELECT vec_id,
+             list_transform(v, x ->
+               vmin + least(255.0, floor((x - vmin) / s + 0.5)) * s) AS r
+           FROM e2, sc),
+         q AS (SELECT v FROM e2 WHERE vec_id = 0),
+         sa AS (SELECT c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 65), i -> q.v[i] * c.r[i]))
+               / (sqrt(list_sum(list_transform(range(1, 65), i -> q.v[i] * q.v[i])))
+                  * sqrt(list_sum(list_transform(range(1, 65), i -> c.r[i] * c.r[i])))) AS cos
+           FROM rc c, q WHERE c.vec_id <> 0),
+         a AS (SELECT neighbor_id FROM sa
+               ORDER BY cos DESC, neighbor_id ASC LIMIT 20),
+         se AS (SELECT c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i]))
+               / (sqrt(list_sum(list_transform(range(1, 65), i -> q.v[i] * q.v[i])))
+                  * sqrt(list_sum(list_transform(range(1, 65), i -> c.v[i] * c.v[i])))) AS cos
+           FROM e2 c, q WHERE c.vec_id <> 0),
+         ex AS (SELECT neighbor_id FROM se
+                ORDER BY cos DESC, neighbor_id ASC LIMIT 20),
+         h AS (SELECT count(*) AS n_hit FROM ex JOIN a USING (neighbor_id))
+         SELECT CAST(0 AS BIGINT) AS query_id, CAST(n_hit AS BIGINT) AS n_hit,
+           CAST(n_hit AS DOUBLE) / CAST(20 AS DOUBLE) AS recall FROM h""",
+
+    // x178: prefix-sliced cosine rankings vs the full vector, one row
+    // per width; DuckDB's v[1:d] == Spark's slice(v, 1, d)
+    "x178_matryoshka_recall" ->
+      """WITH e2 AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         q AS (SELECT v FROM e2 WHERE vec_id = 0),
+         se AS (SELECT c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i]))
+               / (sqrt(list_sum(list_transform(range(1, 65), i -> q.v[i] * q.v[i])))
+                  * sqrt(list_sum(list_transform(range(1, 65), i -> c.v[i] * c.v[i])))) AS cos
+           FROM e2 c, q WHERE c.vec_id <> 0),
+         ex AS (SELECT neighbor_id FROM se
+                ORDER BY cos DESC, neighbor_id ASC LIMIT 20),
+         s16 AS (SELECT c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 17), i -> q.v[i] * c.v[i]))
+               / (sqrt(list_sum(list_transform(range(1, 17), i -> q.v[i] * q.v[i])))
+                  * sqrt(list_sum(list_transform(range(1, 17), i -> c.v[i] * c.v[i])))) AS cos
+           FROM e2 c, q WHERE c.vec_id <> 0),
+         a16 AS (SELECT neighbor_id FROM s16
+                 ORDER BY cos DESC, neighbor_id ASC LIMIT 20),
+         s32 AS (SELECT c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 33), i -> q.v[i] * c.v[i]))
+               / (sqrt(list_sum(list_transform(range(1, 33), i -> q.v[i] * q.v[i])))
+                  * sqrt(list_sum(list_transform(range(1, 33), i -> c.v[i] * c.v[i])))) AS cos
+           FROM e2 c, q WHERE c.vec_id <> 0),
+         a32 AS (SELECT neighbor_id FROM s32
+                 ORDER BY cos DESC, neighbor_id ASC LIMIT 20),
+         h16 AS (SELECT count(*) AS n FROM ex JOIN a16 USING (neighbor_id)),
+         h32 AS (SELECT count(*) AS n FROM ex JOIN a32 USING (neighbor_id))
+         SELECT CAST(16 AS BIGINT) AS dims, CAST(n AS BIGINT) AS n_hit,
+             CAST(n AS DOUBLE) / CAST(20 AS DOUBLE) AS recall FROM h16
+         UNION ALL
+         SELECT CAST(32 AS BIGINT), CAST(n AS BIGINT),
+             CAST(n AS DOUBLE) / CAST(20 AS DOUBLE) FROM h32
+         ORDER BY dims""",
+
+    // x179: the SAME md5-parity sign matrix rebuilt in SQL, the same
+    // left-to-right folds; rows identical to the query (d2o = 0)
+    // excluded by both engines
+    "x179_jl_distortion" ->
+      """WITH e2 AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         sm AS (SELECT j, list(CASE WHEN substr(md5('jl|' || j || '|' || i), 1, 1)
+                 IN ('0','1','2','3','4','5','6','7')
+               THEN 1.0 ELSE -1.0 END ORDER BY i) AS s
+           FROM range(0, 16) t(j), range(0, 64) u(i) GROUP BY j),
+         smm AS (SELECT list(s ORDER BY j) AS m FROM sm),
+         q AS (SELECT v FROM e2 WHERE vec_id = 0),
+         yq AS (SELECT list_transform(range(1, 17), j ->
+             list_sum(list_transform(range(1, 65), i -> m[j][i] * v[i])) / 4.0) AS yq
+           FROM smm, q),
+         yy AS (SELECT c.vec_id,
+             list_sum(list_transform(range(1, 65),
+               i -> (c.v[i] - q.v[i]) * (c.v[i] - q.v[i]))) AS d2o,
+             list_transform(range(1, 17), j ->
+               list_sum(list_transform(range(1, 65), i -> m[j][i] * c.v[i])) / 4.0) AS y
+           FROM e2 c, smm, q WHERE c.vec_id <> 0),
+         r AS (SELECT vec_id, d2o,
+             list_sum(list_transform(range(1, 17), j ->
+               (y[j] - yq[j]) * (y[j] - yq[j]))) AS d2p
+           FROM yy, yq),
+         rr AS (SELECT round(sqrt(d2p / d2o), 6) AS ratio FROM r WHERE d2o > 0)
+         SELECT CAST(count(*) AS BIGINT) AS n,
+           round(avg(ratio), 6) AS mean_ratio,
+           quantile_cont(ratio, 0.5) AS p50_ratio,
+           min(ratio) AS min_ratio, max(ratio) AS max_ratio FROM rr""",
 
     // x173: the recurrence replayed as a recursive CTE, one step per
     // iteration — NOT list_reduce: DuckDB 1.0's struct-accumulator

@@ -227,6 +227,69 @@ object Quantization {
       .limit(topK)
   }
 
+  // ---------------------------------------------------------------- SQ8
+
+  /** Global int8 scalar-quantization params over every element of every
+    * vector: ONE partial-agged aggregate over per-row array_min/array_max
+    * (two doubles reach the driver). Symmetric-range SQ is the other
+    * standard ANN memory lever next to PQ (FAISS `SQ8`, Lucene/HNSW int8):
+    * 4x smaller vectors, reconstruction is two flops per element, and —
+    * unlike PQ — the decoded vector lives in the ORIGINAL space, so exact
+    * rescoring pipelines reuse it directly. */
+  def sq8Params(corpus: DataFrame, vecCol: String): (Double, Double, Double) = {
+    val r = corpus.agg(
+      min(array_min(asDouble(col(vecCol)))).as("vmin"),
+      max(array_max(asDouble(col(vecCol)))).as("vmax")).collect()(0)
+    val vmin = r.getDouble(0)
+    val vmax = r.getDouble(1)
+    require(vmax > vmin, "sq8Params: degenerate value range")
+    (vmin, vmax, (vmax - vmin) / 255.0)
+  }
+
+  /** code_i = floor((x_i - vmin)/scale + 0.5) in [0, 255] — half-up via
+    * floor(+0.5), the only rounding rule that is bit-identical across
+    * engines (`round()` half-even/half-away conventions differ). */
+  private def sq8Code(x: Column, vmin: Double, scale: Double): Column =
+    least(lit(255.0), floor((x - lit(vmin)) / lit(scale) + lit(0.5)))
+
+  /** The persistable SQ8 index: (idCol, codes array<int>) from ONE narrow
+    * corpus scan — no join, no shuffle; at 100 TB this is the build-once
+    * artifact served instead of float vectors (with (vmin, vmax) stored
+    * alongside, here re-derivable from [[sq8Params]]). */
+  def sq8Index(corpus: DataFrame, idCol: String, vecCol: String,
+      vmin: Double, scale: Double): DataFrame =
+    corpus.select(col(idCol),
+      transform(asDouble(col(vecCol)),
+        x => sq8Code(x, vmin, scale).cast("int")).as("codes"))
+
+  /** Exact-on-reconstructions cosine top-k: the FLOAT query against the
+    * corpus decoded from its SQ8 codes (vmin + code*scale) — the
+    * asymmetric convention (query never quantized), same as ADC. One
+    * narrow decode-and-score scan via [[Similarity.bruteForceTopK]]'s
+    * broadcast-query plan: the corpus neither shuffles nor joins.
+    * Output: (query_id, neighbor_id, cos, rank). */
+  def sq8TopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, topK: Int): DataFrame = {
+    val (vmin, _, scale) = sq8Params(corpus, vecCol)
+    val recon = corpus.select(col(idCol),
+      transform(asDouble(col(vecCol)),
+        x => lit(vmin) + sq8Code(x, vmin, scale) * lit(scale)).as(vecCol))
+    Similarity.bruteForceTopK(
+      corpus.filter(col(idCol) === queryId), recon, idCol, vecCol, topK)
+  }
+
+  /** Recall@k of SQ8-reconstructed search against exact float search —
+    * the acceptance number for the 4x memory saving. Both rankings are
+    * TakeOrdered-bounded; the recall join is k-row vs k-row. Output:
+    * (query_id, n_hit, recall). */
+  def sq8Recall(corpus: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val approx = sq8TopK(corpus, idCol, vecCol, queryId, k)
+    val exact = Similarity.bruteForceTopK(
+      corpus.filter(col(idCol) === queryId), corpus, idCol, vecCol, k)
+    Evaluation.recallAtK(approx, exact, "query_id", "neighbor_id", "rank", k)
+  }
+
   /** PQ reconstruction-error profile — how much geometry the quantizer
     * actually throws away, the number that justifies (or vetoes) serving
     * from codes: per vector, the squared L2 distance to its PQ

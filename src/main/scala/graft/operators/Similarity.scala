@@ -346,4 +346,89 @@ object Similarity {
         Seq(idCol), "left_anti")
     kept.unionByName(incoming)
   }
+
+  /** Matryoshka truncation recall (Kusupati et al. 2022, "Matryoshka
+    * Representation Learning" — the serving trick of ranking on a PREFIX
+    * of the embedding): recall@k of cosine top-k computed on the first
+    * `dims` coordinates against full-vector top-k, one row per requested
+    * prefix width. Truncation is a narrow `slice` projection — at 100 TB
+    * the prefix index is dims/d of the vector bytes and the scan plan is
+    * [[bruteForceTopK]]'s broadcast-query shape unchanged; the recall
+    * join is k-row vs k-row per width. Output: (dims, n_hit, recall),
+    * ordered by dims. */
+  def matryoshkaRecall(corpus: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, widths: Seq[Int]): DataFrame = {
+    require(widths.nonEmpty, "matryoshkaRecall: no widths")
+    val exact = bruteForceTopK(
+      corpus.filter(col(idCol) === queryId), corpus, idCol, vecCol, k)
+    widths.map { d =>
+      val trunc = corpus.select(col(idCol),
+        slice(asDouble(col(vecCol)), 1, d).as(vecCol))
+      val approx = bruteForceTopK(
+        trunc.filter(col(idCol) === queryId), trunc, idCol, vecCol, k)
+      Evaluation.recallAtK(approx, exact, "query_id", "neighbor_id", "rank", k)
+        .select(lit(d.toLong).as("dims"), col("n_hit"), col("recall"))
+    }.reduce(_.unionByName(_)).orderBy(col("dims"))
+  }
+
+  /** Johnson–Lindenstrauss random projection (Achlioptas 2003 database-
+    * friendly variant: entries are ±1/sqrt(kOut)) with a distance-
+    * preservation audit — the dimensionality lever BEFORE any pair
+    * search: shingle/embedding spaces project to kOut dims with pairwise
+    * distances preserved within 1±eps w.h.p., so LSH/dedup stages run on
+    * kOut-dim vectors.
+    *
+    * The sign matrix is DETERMINISTIC and engine-portable: s(j,i) = +1
+    * iff the first hex digit of md5("jl|j|i") is in 0..7 — computed on
+    * the driver here (kOut x dims booleans, inlined as literals so the
+    * projection is ONE narrow codegen'd scan: no join, no shuffle) and
+    * replayed verbatim by the DuckDB oracle's md5. Per row the audit
+    * reports the distance-ratio sqrt(d2_proj / d2_orig) to the `queryId`
+    * row, folded left-to-right in both engines; the output is one
+    * aggregate row (n, mean_ratio, p50_ratio, min_ratio, max_ratio) over
+    * per-row ratios rounded to 6 — mean ~1 with tight quantiles is the
+    * JL guarantee made measurable. */
+  def jlDistortion(corpus: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, kOut: Int, dims: Int): DataFrame = {
+    val signs: Array[Array[Double]] = Array.tabulate(kOut, dims) { (j, i) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"jl|$j|$i".getBytes("UTF-8"))
+      if (((md(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+    }
+    val rt = math.sqrt(kOut.toDouble)
+    val q = corpus.filter(col(idCol) === queryId)
+      .select(asDouble(col(vecCol))).limit(1).collect()
+    require(q.nonEmpty, s"jlDistortion: query id $queryId not in corpus")
+    val qv = q(0).getSeq[Double](0).toArray.padTo(dims, 0.0)
+    val yq = signs.map(row =>
+      row.zip(qv).foldLeft(0.0) { case (a, (s, x)) => a + s * x } / rt)
+    val v = asDouble(col(vecCol))
+    // Codegen-friendly shape (higher-order folds are interpreted — the
+    // STRESS.md hazard): each y_j is a literal-coefficient sum TREE over
+    // element_at, materialized as its own column so the follow-up
+    // projection references cheap attributes, and each column's generated
+    // code stays far under janino's method limit. Left-assoc reduce ==
+    // the oracle's left-to-right list_sum.
+    def yj(j: Int): Column =
+      signs(j).zipWithIndex.map { case (s, i) =>
+        lit(s) * element_at(v, i + 1)
+      }.reduce(_ + _) / lit(rt)
+    val d2orig = qv.zipWithIndex.map { case (x, i) =>
+      (element_at(v, i + 1) - lit(x)) * (element_at(v, i + 1) - lit(x))
+    }.reduce(_ + _)
+    val d2proj = (0 until kOut).map { j =>
+      (col(s"__y$j") - lit(yq(j))) * (col(s"__y$j") - lit(yq(j)))
+    }.reduce(_ + _)
+    corpus.filter(col(idCol) =!= queryId)
+      .select(d2orig.as("__d2o") +: (0 until kOut).map(j => yj(j).as(s"__y$j")): _*)
+      // rows identical to the query have d2_orig = 0 — the ratio is
+      // undefined there (0/0); both engines exclude them
+      .filter(col("__d2o") > 0.0)
+      .select(round(sqrt(d2proj / col("__d2o")), 6).as("ratio"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("ratio")), 6).as("mean_ratio"),
+        expr("percentile(ratio, 0.5)").as("p50_ratio"),
+        min(col("ratio")).as("min_ratio"),
+        max(col("ratio")).as("max_ratio"))
+  }
 }

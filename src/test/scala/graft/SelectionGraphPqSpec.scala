@@ -432,4 +432,71 @@ class SelectionGraphPqSpec extends SparkSpec {
     assert((eq.getDouble(0), eq.getDouble(1), eq.getDouble(2),
       eq.getDouble(3)) == ((1.0, 2.0, 3.0, 4.0)))
   }
+
+  // ---- SQ8 scalar quantization ----
+
+  test("sq8: integer-grid corpus quantizes losslessly -> recall 1") {
+    // values span exactly [0, 255] so scale = 1.0 and every code is the
+    // value itself: reconstruction is bit-exact, rankings identical
+    val e = Seq(
+      (0L, Seq(0f, 10f, 20f, 255f)), (1L, Seq(1f, 11f, 21f, 254f)),
+      (2L, Seq(100f, 90f, 80f, 70f)), (3L, Seq(0f, 0f, 0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val (vmin, vmax, scale) = Quantization.sq8Params(e, "embedding")
+    assert((vmin, vmax, scale) == ((0.0, 255.0, 1.0)))
+    val codes = Quantization.sq8Index(e, "vec_id", "embedding", vmin, scale)
+      .orderBy("vec_id").collect().map(_.getSeq[Int](1))
+    assert(codes(0) == Seq(0, 10, 20, 255) && codes(3) == Seq(0, 0, 0, 1))
+    val r = Quantization.sq8Recall(e, "vec_id", "embedding", 0L, k = 3)
+      .head()
+    assert(r.getLong(1) == 3L && r.getDouble(2) == 1.0)
+  }
+
+  test("sq8: reconstruction error bounded by scale/2 (half-up rounding)") {
+    val e = Seq((0L, Seq(0f, 510f)), (1L, Seq(1f, 3f)), (2L, Seq(509f, 2f)))
+      .toDF("vec_id", "embedding")
+    val (vmin, _, scale) = Quantization.sq8Params(e, "embedding")
+    assert(scale == 2.0)
+    val idx = Quantization.sq8Index(e, "vec_id", "embedding", vmin, scale)
+      .orderBy("vec_id").collect().map(_.getSeq[Int](1))
+    // 1 -> floor(0.5+0.5)=1 -> recon 2 (err 1 = scale/2); 509 -> code 255
+    assert(idx(1) == Seq(1, 2) && idx(2) == Seq(255, 1))
+    assert(idx.flatten.forall(c => c >= 0 && c <= 255))
+  }
+
+  // ---- Matryoshka truncation recall ----
+
+  test("matryoshkaRecall: full width is recall 1; a misleading prefix is not") {
+    // full cosine: id2 (0.9, 0) is the true top-1 of q=(1,0); on the
+    // 1-dim prefix both candidates tie at cos=1 and the id tie-break
+    // picks id1 -> recall@1 = 0 at width 1, 1 at width 2
+    val e = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(1f, 10f)), (2L, Seq(0.9f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.matryoshkaRecall(
+      e, "vec_id", "embedding", 0L, k = 1, widths = Seq(1, 2))
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((1L, 0L, 0.0), (2L, 1L, 1.0)))
+  }
+
+  // ---- Johnson–Lindenstrauss projection audit ----
+
+  test("jlDistortion: deterministic, excludes exact query copies, ratios near 1") {
+    val vecs = (0L until 24L).map { id =>
+      id -> Seq.tabulate(64)(i => (math.sin(id * 13.0 + i) * 3.0).toFloat)
+    }
+    // id 23 duplicates the query vector exactly -> d2_orig = 0, excluded
+    val e = (vecs.dropRight(1) :+ (23L -> vecs.head._2))
+      .toDF("vec_id", "embedding")
+    val run1 = graft.operators.Similarity.jlDistortion(
+      e, "vec_id", "embedding", 0L, kOut = 16, dims = 64).head()
+    val run2 = graft.operators.Similarity.jlDistortion(
+      e, "vec_id", "embedding", 0L, kOut = 16, dims = 64).head()
+    assert(run1 == run2) // literal sign matrix: no RNG anywhere
+    assert(run1.getLong(0) == 22L) // 24 - query - exact copy
+    assert(run1.getDouble(1) > 0.5 && run1.getDouble(1) < 1.5) // mean ~1
+    assert(run1.getDouble(3) > 0.0) // min ratio positive
+    assert(run1.getDouble(4) < 3.0) // max ratio bounded
+  }
 }
