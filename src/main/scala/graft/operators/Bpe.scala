@@ -67,6 +67,77 @@ object Bpe {
   /** One learned merge. */
   final case class Merge(rank: Int, left: String, right: String, count: Long)
 
+  /** The (-cnt, a, b) struct-min tie-break, replayed on the driver: order
+    * by count DESC, then (a, b) ASC under Spark's STRING ordering — which
+    * is unsigned byte-wise over UTF-8 (UTF8String), NOT Java's UTF-16
+    * compareTo; the two differ on supplementary characters, so the local
+    * fast path compares UTF-8 bytes to stay bit-identical. */
+  private def utf8Less(x: String, y: String): Boolean = {
+    val a = x.getBytes("UTF-8"); val b = y.getBytes("UTF-8")
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** The round loop of [[learnMerges]] run on a driver-collected
+    * vocabulary — SAME pair counting, SAME (cnt DESC, a ASC, b ASC)
+    * argmax, SAME greedy left-to-right merge scan (the i += 2 skip:
+    * a just-merged symbol is never the `a` of the immediately following
+    * pair in the same pass), so the learned list is row-identical to the
+    * distributed path (spec-gated property). Exists because k rounds of
+    * sub-second distributed actions are pure fixed cost when the vocab
+    * fits on the driver — the ConnectedComponents union-find precedent. */
+  private def learnMergesLocal(vocab0: Array[(Array[String], Long)],
+      numMerges: Int): Seq[Merge] = {
+    var cur = vocab0
+    var merges = Vector.empty[Merge]
+    var done = false
+    var r = 1
+    while (r <= numMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      cur.foreach { case (syms, wc) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + wc)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        var bk: (String, String) = null
+        var bc = Long.MinValue
+        counts.foreach { case (k, c) =>
+          if (c > bc || (c == bc && (utf8Less(k._1, bk._1) ||
+              (k._1 == bk._1 && utf8Less(k._2, bk._2))))) { bk = k; bc = c }
+        }
+        val (a, b) = bk
+        merges = merges :+ Merge(r, a, b, bc)
+        val ab = a + b
+        cur = cur.map { case (syms, wc) =>
+          if (syms.length < 2) (syms, wc)
+          else {
+            val out = Array.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                out += ab; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.result(), wc)
+          }
+        }
+      }
+      r += 1
+    }
+    merges
+  }
+
   /** Learn `numMerges` BPE merges from the corpus. Returns the bounded
     * driver-side merge list (rank order = merge priority); rounds whose
     * best pair count is 0 (vocabulary fully merged) stop early.
@@ -77,9 +148,18 @@ object Bpe {
     * round into a 30k-deep plan that breaks analysis/codegen long before
     * the data does. Snapshots are vocab-sized cached blocks, at most
     * numMerges/checkpointEvery of them, all dropped by the caller's
-    * next [[graft.plans.Persists.releaseAll]]. */
+    * next [[graft.plans.Persists.releaseAll]].
+    *
+    * `maxDriverVocab`: vocabularies at or under this row count (known
+    * exactly from the materializing count) run the round loop on the
+    * driver ([[learnMergesLocal]], result-identical) — k rounds of
+    * sub-second distributed actions are fixed cost, not data; at real
+    * scale a 10M-type vocabulary exceeds the guard and takes the
+    * distributed loop. 0 disables the fast path (specs gate the two
+    * paths against each other). */
   def learnMerges(docs: DataFrame, textCol: String,
-      numMerges: Int, checkpointEvery: Int = 16): Seq[Merge] = {
+      numMerges: Int, checkpointEvery: Int = 16,
+      maxDriverVocab: Int = 1 << 16): Seq[Merge] = {
     require(numMerges >= 1, "numMerges must be >= 1")
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val vocab = wordVocab(docs, textCol)
@@ -88,7 +168,14 @@ object Bpe {
     // Materialize the vocab at full session parallelism BEFORE the round
     // loop: the one corpus-scale scan must not run under the loop's
     // reduced-shuffle conf below.
-    vocab.count()
+    val vocabRows = vocab.count()
+    if (vocabRows <= maxDriverVocab.toLong && maxDriverVocab > 0) {
+      val local = vocab.collect().map { row =>
+        (row.getString(0).trim.split(" ").filter(_.nonEmpty), row.getLong(1))
+      }
+      vocab.unpersist(blocking = false)
+      return learnMergesLocal(local, numMerges)
+    }
     // The trainer is a chain of numMerges tiny sequential actions (one
     // 1-row argmax each); their per-round fixed cost, not data, dominates
     // wall time (measured: k=64 costs the same at sf0.001 and sf0.1). Pin
@@ -137,10 +224,11 @@ object Bpe {
     * — lhs/rhs, not left/right, to spare the oracle SQL the reserved
     * keywords. */
   def learnMergesDf(docs: DataFrame, textCol: String,
-      numMerges: Int, checkpointEvery: Int = 16): DataFrame = {
+      numMerges: Int, checkpointEvery: Int = 16,
+      maxDriverVocab: Int = 1 << 16): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    learnMerges(docs, textCol, numMerges, checkpointEvery)
+    learnMerges(docs, textCol, numMerges, checkpointEvery, maxDriverVocab)
       .map(m => (m.rank, m.left, m.right, m.count))
       .toDF("rank", "lhs", "rhs", "pair_count")
       .select(col("rank").cast("long").as("rank"), col("lhs"),

@@ -486,19 +486,46 @@ object Dedup {
         // persist + count), release on the caller's next action.
         val spark = df.sparkSession
         val idx = df.select(col(idCol).as("id"),
-          explode(shingles(col(textCol), n)).as("s"))
-        val dfc = idx.groupBy(col("s")).agg(count(lit(1)).as("df"))
-        val idxf = idx.join(dfc.hint("shuffle_hash"), Seq("s"))
-          .select(col("id"), col("s"), (col("df") <= cap).as("keep"))
+            explode(shingles(col(textCol), n)).as("s"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-        idxf.count() // materialize BEFORE registering the release hook
-        // Does ANY shingle exceed the cap? One limit-1 scan of the cached
-        // index, probed BEFORE the release hook below so it can't consume
-        // the hook's one-shot trigger. Drives the fast-path split under
-        // the prune filter.
-        val anyHot = !idxf.filter(!col("keep")).isEmpty
-        graft.plans.Persists.onNextAction(spark)(
-          () => { idxf.unpersist(false); () })
+        // Only the HOT side of the docfreq table is ever consulted
+        // (keep == "not hot"), and it is small by construction: at most
+        // total_shingle_rows / cap DISTINCT values. So instead of
+        // annotating every index row with its df through a corpus-sized
+        // shuffle join (the round-6 shape — two extra full exchanges),
+        // aggregate once, keep the hot set, and BROADCAST it when it fits
+        // (guard below; a boilerplate-saturated corpus where it doesn't
+        // falls back to the shuffle-annotated plan). The docfreq
+        // annotation is NOT a count window either: an unordered window
+        // still sorts every partition by s (WindowExec groups by
+        // sorting), measured 1.0 s slower than the hash exchanges.
+        val hotSet = idx.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select(col("s"), lit(true).as("__h"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        val hotCount = hotSet.count() // materializes idx + hotSet
+        val anyHot = hotCount > 0L
+        // ~24 B/shingle -> <= ~12 MB broadcast at the guard
+        val broadcastable = hotCount <= 500000L
+        val marked0 =
+          if (broadcastable)
+            idx.join(broadcast(hotSet), Seq("s"), "left")
+              .select(col("id"), col("s"), col("__h").isNull.as("keep"))
+          else
+            idx.join(hotSet.hint("shuffle_hash"), Seq("s"), "left")
+              .select(col("id"), col("s"), col("__h").isNull.as("keep"))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        val idxf = marked0
+        // the annotated frame feeds three concurrently-scheduled sibling
+        // stages; a lazily-persisted frame would be computed by each in
+        // parallel before any cache block lands — materialize eagerly
+        // (broadcast mode needs no barrier: the join is a narrow map over
+        // the already-cached idx)
+        if (!broadcastable) idxf.count()
+        graft.plans.Persists.onNextAction(spark)(() => {
+          idx.unpersist(false); hotSet.unpersist(false)
+          if (!broadcastable) idxf.unpersist(false)
+          ()
+        })
         // candidate pairs keep their CAPPED-intersection count from the
         // same partial-agged groupBy the uncapped form uses (a count is
         // strictly cheaper than the distinct-project it replaces), which

@@ -62,12 +62,27 @@ class BpeSpec extends SparkSpec {
   }
 
   test("checkpointed trainer learns the identical merge list") {
+    // maxDriverVocab = 0 forces the distributed round loop — the
+    // checkpoint cadence is inert on the driver fast path
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val plain = Bpe.learnMerges(docs, "text", numMerges = 12,
-      checkpointEvery = 1000) // never snapshots within 12 rounds
+      checkpointEvery = 1000, maxDriverVocab = 0) // never snapshots
     val snapped = Bpe.learnMerges(docs, "text", numMerges = 12,
-      checkpointEvery = 4) // 3 snapshots
+      checkpointEvery = 4, maxDriverVocab = 0) // 3 snapshots
     assert(plain == snapped)
+  }
+
+  test("driver fast path learns the identical merge list to the distributed loop") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val dist = Bpe.learnMerges(docs, "text", numMerges = 16,
+      maxDriverVocab = 0)
+    val local = Bpe.learnMerges(docs, "text", numMerges = 16)
+    assert(local == dist)
+    // and on a tie-heavy synthetic vocab (every pair count equal)
+    import spark.implicits._
+    val tie = Seq((1L, "ab ba ab ba")).toDF("doc_id", "text")
+    assert(Bpe.learnMerges(tie, "text", numMerges = 3) ==
+      Bpe.learnMerges(tie, "text", numMerges = 3, maxDriverVocab = 0))
   }
 
   test("learnMergesDf on the corpus sample is rank-ordered with positive counts") {
