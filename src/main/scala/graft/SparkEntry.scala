@@ -2513,6 +2513,16 @@ object SparkEntry {
         kOut = 16, dims = 64)
     },
 
+    // ---- X: two-stage retrieval — SQ8 coarse cut (100 candidates from
+    //      codes alone) + exact float re-rank of only those rows; the
+    //      production serving shape. Recall@20 vs exact search; by
+    //      construction >= x177's single-stage number ----
+    "x180_sq8_rerank" -> { (s, dir) =>
+      graft.operators.Quantization.sq8RerankRecall(
+        t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L,
+        k = 20, candidates = 100)
+    },
+
     // ---- X: greedy k-center (farthest-first) diverse-seed selection —
     //      k bounded corpus scans, each a broadcast-literal least() +
     //      partial-agged argmax; the CONSTRUCTIVE sibling of x159's
@@ -4089,6 +4099,40 @@ object SparkEntry {
          ex AS (SELECT neighbor_id FROM se
                 ORDER BY cos DESC, neighbor_id ASC LIMIT 20),
          h AS (SELECT count(*) AS n_hit FROM ex JOIN a USING (neighbor_id))
+         SELECT CAST(0 AS BIGINT) AS query_id, CAST(n_hit AS BIGINT) AS n_hit,
+           CAST(n_hit AS DOUBLE) / CAST(20 AS DOUBLE) AS recall FROM h""",
+
+    // x180: x177's SQ8 ranking cut at 100, exact cosines re-ranked over
+    // the cut, recall of the re-ranked top-20 vs exact search
+    "x180_sq8_rerank" ->
+      """WITH e2 AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         p AS (SELECT min(list_aggregate(v, 'min')) AS vmin,
+             max(list_aggregate(v, 'max')) AS vmax FROM e2),
+         sc AS (SELECT vmin, (vmax - vmin) / 255.0 AS s FROM p),
+         rc AS (SELECT vec_id,
+             list_transform(v, x ->
+               vmin + least(255.0, floor((x - vmin) / s + 0.5)) * s) AS r
+           FROM e2, sc),
+         q AS (SELECT v FROM e2 WHERE vec_id = 0),
+         sa AS (SELECT c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 65), i -> q.v[i] * c.r[i]))
+               / (sqrt(list_sum(list_transform(range(1, 65), i -> q.v[i] * q.v[i])))
+                  * sqrt(list_sum(list_transform(range(1, 65), i -> c.r[i] * c.r[i])))) AS cos
+           FROM rc c, q WHERE c.vec_id <> 0),
+         cand AS (SELECT neighbor_id FROM sa
+                  ORDER BY cos DESC, neighbor_id ASC LIMIT 100),
+         se AS (SELECT c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i]))
+               / (sqrt(list_sum(list_transform(range(1, 65), i -> q.v[i] * q.v[i])))
+                  * sqrt(list_sum(list_transform(range(1, 65), i -> c.v[i] * c.v[i])))) AS cos
+           FROM e2 c, q WHERE c.vec_id <> 0),
+         rr AS (SELECT s.neighbor_id FROM se s JOIN cand USING (neighbor_id)
+                ORDER BY s.cos DESC, s.neighbor_id ASC LIMIT 20),
+         ex AS (SELECT neighbor_id FROM se
+                ORDER BY cos DESC, neighbor_id ASC LIMIT 20),
+         h AS (SELECT count(*) AS n_hit FROM ex JOIN rr USING (neighbor_id))
          SELECT CAST(0 AS BIGINT) AS query_id, CAST(n_hit AS BIGINT) AS n_hit,
            CAST(n_hit AS DOUBLE) / CAST(20 AS DOUBLE) AS recall FROM h""",
 

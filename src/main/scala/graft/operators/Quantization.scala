@@ -290,6 +290,35 @@ object Quantization {
     Evaluation.recallAtK(approx, exact, "query_id", "neighbor_id", "rank", k)
   }
 
+  /** Two-stage retrieval: SQ8 coarse candidate generation + exact float
+    * re-rank — the standard production serving shape (quantized index
+    * narrows the corpus to `candidates` rows, exact scoring touches only
+    * those). At 100 TB stage 1 scans codes (4x smaller than vectors) and
+    * stage 2 is `candidates` id-keyed point lookups; recall losses happen
+    * only when a true neighbor falls outside the coarse cut. Output:
+    * (query_id, neighbor_id, cos, rank) — exact cosines, re-ranked. */
+  def sq8RerankTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, topK: Int, candidates: Int = 100): DataFrame = {
+    require(candidates >= topK, "sq8RerankTopK: candidates < topK")
+    val cand = sq8TopK(corpus, idCol, vecCol, queryId, candidates)
+      .select(col("neighbor_id").as(idCol))
+    val sub = corpus.join(broadcast(cand), Seq(idCol), "left_semi")
+    Similarity.bruteForceTopK(
+      corpus.filter(col(idCol) === queryId), sub, idCol, vecCol, topK)
+  }
+
+  /** Recall@k of the two-stage pipeline against exact search — by
+    * construction >= [[sq8Recall]] at the same k (the re-rank can only
+    * fix coarse-ranking mistakes inside the candidate cut, never add
+    * new ones). */
+  def sq8RerankRecall(corpus: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, candidates: Int = 100): DataFrame = {
+    val approx = sq8RerankTopK(corpus, idCol, vecCol, queryId, k, candidates)
+    val exact = Similarity.bruteForceTopK(
+      corpus.filter(col(idCol) === queryId), corpus, idCol, vecCol, k)
+    Evaluation.recallAtK(approx, exact, "query_id", "neighbor_id", "rank", k)
+  }
+
   /** PQ reconstruction-error profile — how much geometry the quantizer
     * actually throws away, the number that justifies (or vetoes) serving
     * from codes: per vector, the squared L2 distance to its PQ

@@ -464,6 +464,24 @@ class SelectionGraphPqSpec extends SparkSpec {
     assert(idx.flatten.forall(c => c >= 0 && c <= 255))
   }
 
+  test("sq8RerankTopK: an all-corpus cut degrades to exact search; recall >= single-stage") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val n = e.count().toInt
+    val exact = graft.operators.Similarity.bruteForceTopK(
+      e.filter(col("vec_id") === 0), e, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val full = Quantization.sq8RerankTopK(
+      e, "vec_id", "embedding", 0L, 10, candidates = n)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(full == exact) // cut covers the corpus -> re-rank IS exact
+    val single = Quantization.sq8Recall(e, "vec_id", "embedding", 0L, 10)
+      .head().getDouble(2)
+    val rerank = Quantization.sq8RerankRecall(
+      e, "vec_id", "embedding", 0L, 10, candidates = 50)
+      .head().getDouble(2)
+    assert(rerank >= single) // re-rank can only fix mistakes inside the cut
+  }
+
   // ---- Matryoshka truncation recall ----
 
   test("matryoshkaRecall: full width is recall 1; a misleading prefix is not") {
