@@ -207,6 +207,13 @@ object Dedup {
     maxDocFreq match {
       case None =>
         val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+        // Sizes join AFTER the pair aggregation on purpose: carrying
+        // |A|/|B| through the index rows (size(arr) before the explode,
+        // first() in the pair agg) looks like it saves three exchanges,
+        // but it widens the candidate-join intermediate — the Σ df²
+        // blowup that dominates this pipeline's volume at every scale —
+        // and measured 1.8x SLOWER at sf0.1 (2.4 -> 4.2 s). Join the
+        // doc-sized sizes frame against the collapsed pair frame instead.
         // shuffle_hash hint: Catalyst's size estimate after an explode is
         // garbage and it happily broadcasts the whole inverted index — fatal
         // at scale; a shingle-keyed shuffle-hash join is bounded on both sides
