@@ -159,11 +159,20 @@ object Bench {
     // analysis errors were swallowed and 17 broken queries "ran" in 0.05 s).
     // Failed queries are excluded from `queries`/total, reported under
     // `errors`, and fail the whole run's exit code.
+    // Steady-state reps (the JMH warmup discipline): in a fresh JVM the
+    // first reps still pay JIT compilation — heavier queries measurably
+    // keep dropping at rep 3 (x96: 7.4/3.4/3.0 s, solo capture) — so
+    // after the base `reps`, keep repping while the latest rep IMPROVED
+    // the running min by >3%, up to SPARK_GRAFT_BENCH_MAX_REPS (default
+    // 6). The reported number is the min: the query's steady-state cost,
+    // which is what a long-lived driver actually pays.
+    val maxReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_REPS", "6").toInt
+      .max(reps)
     val raw = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
       var err: Option[String] = None
-      val times = (1 to reps).map { _ =>
+      def rep(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case e: Throwable =>
           err = Some((e.getClass.getSimpleName + ": " +
@@ -172,6 +181,11 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         graft.plans.Persists.releaseAll(spark)
         dt
+      }
+      var times = (1 to reps).map(_ => rep()).toVector
+      while (err.isEmpty && times.length < maxReps &&
+          times.last < times.dropRight(1).min * 0.97) {
+        times = times :+ rep()
       }
       System.gc() // broadcast/driver-heap hygiene between queries
       (name, times.min, err)
