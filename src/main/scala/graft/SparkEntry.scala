@@ -2523,6 +2523,52 @@ object SparkEntry {
         k = 20, candidates = 100)
     },
 
+    // ---- X: per-doc token-distribution stats (Shannon entropy / TTR /
+    //      top-token share) — the gibberish detector; entropy's Σ c·ln c
+    //      term is integer-quantized per (doc, token) group so the sum
+    //      is order-independent across engines ----
+    "x181_token_entropy" -> { (s, dir) =>
+      graft.operators.QualityFilters.tokenEntropyStats(
+        t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("id"))
+    },
+
+    // ---- X: segment-level exact dedup keep-first (CCNet-style line
+    //      dedup on 16-token segments) — first-occurrence via ONE
+    //      segment-keyed row_number window (state bounded per segment),
+    //      reassembly via per-doc sort_array, never a corpus-order
+    //      window ----
+    "x182_segment_dedup" -> { (s, dir) =>
+      graft.operators.CorpusOps.segmentDedup(
+        t(s, dir, "documents"), "doc_id", "text", segTokens = 16)
+        .orderBy(col("id"))
+    },
+
+    // ---- X: token-budget selection — "the best 15k tokens" by quality
+    //      (n_chars) descending; the global cumulative window is
+    //      decomposed into a value-sized prefix table + a window over
+    //      ONLY the boundary value's group (bounded), proven identical
+    //      to the oracle's single global cumsum ----
+    "x183_token_budget" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast(LongType).as("n_tok"))
+      graft.operators.Selection.tokenBudgetSelect(
+        d, "doc_id", "n_chars", "n_tok", budgetTokens = 15000L)
+        .orderBy(col("id"))
+    },
+
+    // ---- X: IDF-weighted Jaccard near-dup pairs — boilerplate overlap
+    //      discounted; idf quantized to integer microweights so every
+    //      sum is exact cross-engine; df<=50 cap is a SEMANTIC zero
+    //      weight (oracle replays it), bounding the index join fan-out ----
+    "x184_idf_jaccard" -> { (s, dir) =>
+      graft.operators.Dedup.idfWeightedJaccardPairs(
+        t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5,
+        maxDocFreq = Some(50))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // ---- X: greedy k-center (farthest-first) diverse-seed selection —
     //      k bounded corpus scans, each a broadcast-literal least() +
     //      partial-agged argmax; the CONSTRUCTIVE sibling of x159's
@@ -4067,6 +4113,93 @@ object SparkEntry {
     // bpeSegmentOracle)
     "x174_bpe_merges" -> bpeMergesOracle(4),
     "x175_bpe_segment" -> bpeSegmentOracle(4),
+
+    // x181: the Σ c·ln(c) entropy term is summed on the integer
+    // microweight grid (round(ln(c)*1e6) per (doc, token) GROUP), so
+    // both engines add exact longs; the outer ln(n) is a single double
+    // eval, then one shared rounding
+    "x181_token_entropy" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents),
+         c AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY doc_id, tok),
+         a AS (SELECT doc_id AS id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                 count(*) AS n_types, max(c) AS max_c,
+                 CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT))
+                   AS BIGINT) AS ent_micro
+               FROM c GROUP BY doc_id),
+         r AS (SELECT id, n_tokens, n_types,
+                 round(ln(CAST(n_tokens AS DOUBLE))
+                   - CAST(ent_micro AS DOUBLE)
+                     / (1e6 * CAST(n_tokens AS DOUBLE)), 6) AS entropy,
+                 round(CAST(n_types AS DOUBLE)
+                   / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+                 round(CAST(max_c AS DOUBLE)
+                   / CAST(n_tokens AS DOUBLE), 6) AS top_share
+               FROM a)
+         SELECT id, n_tokens, n_types, entropy, ttr, top_share,
+           (entropy < 2.0 OR top_share > 0.2) AS low_diversity
+         FROM r ORDER BY id""",
+
+    // x182: identical 16-token segmentation (1-based inclusive list
+    // slice = Spark's slice(arr, start, len)), identical keep-first
+    // rule (row_number over (segment) ordered by (doc_id, pos)),
+    // identical ordered reassembly
+    "x182_segment_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         s AS (SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
+                 array_to_string(
+                   toks[CAST(u.i*16+1 AS BIGINT):CAST(u.i*16+16 AS BIGINT)],
+                   ' ') AS seg
+               FROM t, UNNEST(range(CAST(ceil(len(toks) / 16.0) AS BIGINT))) u(i)),
+         k AS (SELECT doc_id, pos, seg, row_number()
+                 OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn FROM s),
+         a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                 string_agg(seg, ' ' ORDER BY pos) AS kept_text
+               FROM k WHERE rn = 1 GROUP BY doc_id),
+         n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs
+               FROM s GROUP BY doc_id)
+         SELECT n.doc_id AS id, n.n_segs,
+           coalesce(a.n_kept, 0) AS n_kept,
+           coalesce(a.kept_text, '') AS kept_text
+         FROM n LEFT JOIN a USING (doc_id) ORDER BY id""",
+
+    // x183: the oracle runs the NAIVE single global cumulative window the
+    // Spark plan decomposes (per-value prefix + boundary-group window);
+    // row-set equality proves the decomposition
+    "x183_token_budget" ->
+      """WITH d AS (SELECT doc_id AS id, n_chars AS quality,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+               FROM documents),
+         c AS (SELECT id, quality, n_tok,
+                 sum(n_tok) OVER (ORDER BY quality DESC, id ASC
+                   ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+         SELECT id, quality, n_tok FROM c WHERE cum <= 15000 ORDER BY id""",
+
+    // x184: idf quantized to integer microweights (one rounding on the
+    // vocab-sized frame), every sum exact, threshold exact long
+    // arithmetic; df<=50 is the SEMANTIC zero-weight cap both sides
+    "x184_idf_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+                FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1))) t(i)),
+         nd AS (SELECT count(*) AS n FROM documents),
+         wt AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+         ww AS (SELECT s, CAST(round(ln(CAST(nd.n AS DOUBLE) / CAST(df AS DOUBLE))
+                  * 1e6) AS BIGINT) AS w
+                FROM wt, nd WHERE df <= 50),
+         wi AS (SELECT sh.doc_id, sh.s, ww.w FROM sh JOIN ww USING (s)),
+         dw AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS tw
+                FROM wi GROUP BY doc_id),
+         iw AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(sum(a.w) AS BIGINT) AS iw
+                FROM wi a JOIN wi b USING (s)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT id_a, id_b,
+           round(CAST(iw AS DOUBLE)
+             / CAST(ta.tw + tb.tw - iw AS DOUBLE), 6) AS wjaccard
+         FROM iw JOIN dw ta ON id_a = ta.doc_id JOIN dw tb ON id_b = tb.doc_id
+         WHERE iw * 1000000 >= 500000 * (ta.tw + tb.tw - iw)
+         ORDER BY id_a, id_b""",
     "x176_bpe_merges64" -> bpeMergesOracle(64),
 
     // x177: SQ8 params from the same global min/max agg, codes via the

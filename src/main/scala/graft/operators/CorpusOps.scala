@@ -502,6 +502,50 @@ object CorpusOps {
       delim), lit("")).as(as))
   }
 
+  /** Segment-level exact dedup, keep-first (the CCNet/RefinedWeb line-dedup
+    * stage adapted to delimiter-free text): cut each document into
+    * fixed-size token segments, keep only the GLOBALLY first occurrence of
+    * each distinct segment (first = lowest (doc_id, position)), and
+    * reassemble each document from its surviving segments in original
+    * order. Kills templated spans and mirror-page chunks that whole-doc
+    * dedup misses because the surrounding text differs; repeated segments
+    * WITHIN one document dedup too (a template loop keeps one copy).
+    *
+    * 100 TB shape: segments posexplode narrowly (positions come from the
+    * token array, no window over the corpus order); first-occurrence is
+    * ONE row_number window PARTITIONED BY the segment value — state per
+    * key is the segment's occurrence list, bounded by that segment's
+    * duplication, never corpus-sized; reassembly is one groupBy on the
+    * doc id with a sort_array over the doc's own (bounded) kept
+    * positions. The left join restores documents whose every segment
+    * lost (kept_text = ''), so output row count equals input.
+    * Output: (id, n_segs, n_kept, kept_text), ordered reassembly. */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = 16): DataFrame = {
+    require(segTokens >= 1, "segTokens must be >= 1")
+    val ws = TextFunctions.tokens(col(textCol))
+    val nSeg = ceil(size(ws).cast(DoubleType) / lit(segTokens)).cast(LongType)
+    val segs = df.select(col(idCol).as("id"),
+      posexplode(transform(sequence(lit(0L), nSeg - 1L),
+        i => array_join(
+          slice(ws, (i * segTokens + 1L).cast("int"), lit(segTokens)), " "))))
+      .toDF("id", "pos", "seg")
+    val first = segs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("seg")).orderBy(col("id"), col("pos"))))
+      .filter(col("rn") === 1)
+    val kept = first.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("seg")))),
+          s => s.getField("seg")), " ").as("kept_text"))
+    df.select(col(idCol).as("id"), nSeg.as("n_segs"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
   /** Snake-order balanced sharding (the output-layout step before a
     * pretraining run: N files whose token totals match within one
     * document): rank documents by weight descending globally, then deal

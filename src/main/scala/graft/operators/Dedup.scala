@@ -242,6 +242,71 @@ object Dedup {
     }
   }
 
+  /** IDF-weighted n-gram Jaccard near-dup pairs — the dedup variant that
+    * discounts boilerplate overlap: two docs sharing only stock phrases
+    * (high docfreq, low IDF) score near 0 even when their raw Jaccard
+    * clears the threshold, while overlap on rare content counts fully.
+    * sim(A,B) = Σ_{s∈A∩B} idf(s) / Σ_{s∈A∪B} idf(s), idf = ln(N/df).
+    *
+    * Engine-portability: idf is quantized ONCE per shingle to an integer
+    * microweight w = round(ln(N/df)·1e6) (one double→long rounding on a
+    * vocab-sized frame), so every per-doc and per-pair aggregate is an
+    * EXACT integer sum — no float-summation order dependence across
+    * engines — and the threshold test is exact long arithmetic
+    * (inter·1e6 ≥ τµ·union). The emitted similarity is one double
+    * division of two exact longs.
+    *
+    * 100 TB shape: same skeleton as [[ngramJaccardPairs]] — distinct
+    * (id, shingle) inverted index, docfreq from ONE partial-agged
+    * vocab-sized groupBy, weights joined back on the shingle key
+    * (shuffle-hash; both sides bounded), pair candidates from the
+    * index self-join, per-doc total weights joined AFTER the pair
+    * aggregation (the measured-1.8x-faster shape, see ngramJaccardPairs).
+    *
+    * `maxDocFreq` here is a SEMANTIC cap, not a candidate heuristic:
+    * shingles with df > cap are assigned weight ZERO (dropped from the
+    * weighted index, so they generate no candidates and no weight mass
+    * on either side of the ratio). That is the natural weighted-dedup
+    * reading — IDF already sends boilerplate weight toward 0, the cap
+    * truncates it — and it keeps the operator oracle-exact (the replay
+    * filters df <= cap identically) while bounding the index join's
+    * Σ df² fan-out at scale.
+    * Output: (id_a, id_b, wjaccard) with wjaccard >= threshold, id_a <
+    * id_b, wjaccard rounded to 6 digits. */
+  def idfWeightedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxDocFreq: Option[Int] = None): DataFrame = {
+    val tauMicro = math.round(threshold * 1e6) // exact long threshold
+    val sh = shingleIndex(df, idCol, textCol, n, maxDocFreq = None)
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    // vocab-sized; the ONLY place a double is rounded to the integer grid
+    val wts = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("s"), col("df"),
+        round(log(col("n_docs").cast(DoubleType) / col("df").cast(DoubleType))
+          * lit(1e6)).cast(LongType).as("w"))
+    val hotPruned = maxDocFreq match {
+      case Some(cap) => wts.filter(col("df") <= cap)
+      case None => wts
+    }
+    val wIdx = sh.join(hotPruned.select(col("s"), col("w")).hint("shuffle_hash"),
+      Seq("s"))
+    val docW = wIdx.groupBy(col("id")).agg(sum(col("w")).as("tw"))
+    val inter = wIdx.select(col("id").as("id_a"), col("s"), col("w"))
+      .join(wIdx.select(col("id").as("id_b"), col("s")).hint("shuffle_hash"),
+        Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("w")).as("iw"))
+    inter
+      .join(docW.toDF("id_a", "tw_a").hint("shuffle_hash"), Seq("id_a"))
+      .join(docW.toDF("id_b", "tw_b").hint("shuffle_hash"), Seq("id_b"))
+      .withColumn("uw", col("tw_a") + col("tw_b") - col("iw"))
+      .filter(col("iw") * lit(1000000L) >= lit(tauMicro) * col("uw"))
+      .select(col("id_a"), col("id_b"),
+        round(col("iw").cast(DoubleType) / col("uw").cast(DoubleType), 6)
+          .as("wjaccard"))
+  }
+
   /** Per-source exact-duplicate rate — the dedup dashboard number that
     * decides where cleaning effort goes (a source at 40% dup rate is a
     * crawler bug or a mirror; at 2% it's organic): per group, total docs,

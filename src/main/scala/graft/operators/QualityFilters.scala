@@ -72,4 +72,52 @@ object QualityFilters {
         col("lang_head") =!= col("lang_tail") &&
           col("lang_head") =!= "und" && col("lang_tail") =!= "und")
   }
+
+  /** Per-document token-distribution stats — the gibberish/degenerate-text
+    * detector that length and stopword rules miss: Shannon entropy of the
+    * token histogram (a 60-token doc repeating one word has entropy 0; one
+    * with 60 distinct tokens has ln 60), type-token ratio, and the top
+    * token's share of the stream. Low entropy + high top-share = keyboard
+    * mash, tag soup, or a template loop; flagged via `low_diversity`.
+    *
+    * Engine-portability: H = ln(n) − Σ c·ln(c) / n is computed with the
+    * Σ term QUANTIZED — each per-token term contributes c·round(ln(c)·1e6)
+    * to an exact integer sum (one double→long rounding per (doc, token)
+    * GROUP, not per occurrence), so the cross-engine result is one
+    * identical double expression over exact longs, not an
+    * order-dependent float sum. ln(c)=0 at c=1, so singleton tokens —
+    * the bulk — contribute exactly 0.
+    *
+    * 100 TB shape: explode → two groupBys co-keyed on the doc id (the
+    * second rides the first's shuffle partitioning) — per-doc cost is
+    * linear in the token count, no corpus-sized join, no window. The
+    * low_diversity test is on the ROUNDED values (integer-grid exact
+    * across engines). Output: (id, n_tokens, n_types, entropy, ttr,
+    * top_share, low_diversity). */
+  def tokenEntropyStats(df: DataFrame, idCol: String, textCol: String,
+      minEntropy: Double = 2.0, maxTopShare: Double = 0.2): DataFrame = {
+    val counts = df
+      .select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy(col("id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    counts
+      .groupBy(col("id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        max(col("c")).as("max_c"),
+        sum(col("c") * round(log(col("c").cast(DoubleType)) * lit(1e6))
+          .cast("long")).as("ent_micro"))
+      .select(col("id"), col("n_tokens"), col("n_types"),
+        round(log(col("n_tokens").cast(DoubleType)) -
+          col("ent_micro").cast(DoubleType) /
+            (lit(1e6) * col("n_tokens").cast(DoubleType)), 6).as("entropy"),
+        round(col("n_types").cast(DoubleType) /
+          col("n_tokens").cast(DoubleType), 6).as("ttr"),
+        round(col("max_c").cast(DoubleType) /
+          col("n_tokens").cast(DoubleType), 6).as("top_share"))
+      .withColumn("low_diversity",
+        col("entropy") < minEntropy || col("top_share") > maxTopShare)
+  }
 }

@@ -1,8 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.functions.TextFunctions
 
@@ -344,5 +345,59 @@ object Selection {
       .agg(max(struct(col("cos"), (-col("cand_id")).as("nid"))).as("best"))
       .select(col("query_id"), (-col("best.nid")).as("hard_neg_id"),
         round(col("best.cos"), 6).as("cos"))
+  }
+
+  /** Token-budget selection (the "best N billion tokens" curation cut):
+    * rank documents by a quality key descending and keep the prefix whose
+    * cumulative token count fits `budgetTokens` — a document is selected
+    * iff its running total (in (quality DESC, id ASC) order) is within
+    * budget, i.e. the SlimPajama-style top-slice under a global token
+    * budget.
+    *
+    * The naive plan is a cumulative-sum window over the GLOBAL order —
+    * one partition holding the whole corpus. This implementation gets the
+    * identical answer with bounded state via a two-phase prefix sum:
+    *  1. aggregate token totals PER DISTINCT QUALITY VALUE (partial-agged
+    *     groupBy; the quality codomain — here an integer score — is
+    *     orders of magnitude smaller than the corpus);
+    *  2. one cumulative window over that value-sized frame (rows =
+    *     |codomain|, broadcastable) finds each value's base offset and
+    *     the single BOUNDARY value where the budget crosses;
+    *  3. docs in values strictly inside the budget are selected with a
+    *     broadcast semi-join — NO per-doc window at all; only the
+    *     boundary value's docs (one value group, bounded by that value's
+    *     frequency) pay an exact intra-group running sum, partitioned
+    *     by the value (never a global window).
+    * Exactly the distributed prefix-sum decomposition: global cumsum =
+    * per-group base + intra-group cumsum.
+    *
+    * Output: (id, quality, n_tok) for selected documents only — identical
+    * row set to the single-window plan. Ties break by id ascending. */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, qualityCol: String,
+      tokenCol: String, budgetTokens: Long): DataFrame = {
+    val d = df.select(col(idCol).as("id"), col(qualityCol).as("quality"),
+      col(tokenCol).cast(LongType).as("n_tok"))
+    // value-sized frame: one row per distinct quality value
+    val byVal = d.groupBy(col("quality"))
+      .agg(sum(col("n_tok")).as("tot"))
+      .withColumn("cum", sum(col("tot")).over(
+        Window.orderBy(col("quality").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("base", col("cum") - col("tot"))
+    val fullIn = byVal.filter(col("cum") <= budgetTokens).select("quality")
+    val boundary = byVal
+      .filter(col("base") < budgetTokens && col("cum") > budgetTokens)
+      .select(col("quality"), col("base"))
+    val selectedFull = d.join(broadcast(fullIn), Seq("quality"), "leftsemi")
+    val selectedBoundary = d
+      .join(broadcast(boundary), Seq("quality"))
+      .withColumn("run", col("base") + sum(col("n_tok")).over(
+        Window.partitionBy(col("quality"))
+          .orderBy(col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("run") <= budgetTokens)
+      .select(col("id"), col("quality"), col("n_tok"))
+    selectedFull.select(col("id"), col("quality"), col("n_tok"))
+      .unionByName(selectedBoundary)
   }
 }

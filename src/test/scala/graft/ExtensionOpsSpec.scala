@@ -1171,4 +1171,107 @@ class ExtensionOpsSpec extends SparkSpec {
       assert(emitted.filter(_._1 == "b").toSeq == Seq(cusumOf(batch1, "b")))
     } finally q.stop()
   }
+
+  test("tokenEntropyStats: degenerate doc flags, diverse doc doesn't; exact values") {
+    val d = Seq(
+      (1L, "a a a a"),                          // H=0, top_share=1 -> flag
+      (2L, "t1 t2 t3 t4 t5 t6 t7 t8"),         // H=ln 8 ~ 2.079 > 2 -> clean
+      (3L, "u1 u1 u2 u3 u4 u5 u6 u7 u8 u9")    // H > 2, top_share 0.2 -> clean
+    ).toDF("doc_id", "text")
+    val out = graft.operators.QualityFilters
+      .tokenEntropyStats(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def rd(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1: n=4, types=1, ent_micro = 4*round(ln(4)*1e6)
+    val e1 = rd(math.log(4) - 4 * math.round(math.log(4) * 1e6) / (1e6 * 4))
+    assert(out(1L).getLong(1) == 4L && out(1L).getLong(2) == 1L)
+    assert(out(1L).getDouble(3) == e1 && out(1L).getDouble(5) == 1.0)
+    assert(out(1L).getBoolean(6)) // low_diversity
+    // doc 2: all singletons -> Σ c·ln c = 0 exactly, H = ln 8
+    assert(out(2L).getDouble(3) == rd(math.log(8)))
+    assert(out(2L).getDouble(4) == 1.0 && !out(2L).getBoolean(6))
+    // doc 3: n=10, one token twice -> H = ln 10 - 2 ln 2 / 10 on the grid
+    val e3 = rd(math.log(10) - 2 * math.round(math.log(2) * 1e6) / (1e6 * 10))
+    assert(out(3L).getDouble(3) == e3)
+    assert(out(3L).getDouble(5) == 0.2 && !out(3L).getBoolean(6))
+  }
+
+  test("segmentDedup: cross-doc and within-doc segments keep first; empty-loser rows survive") {
+    val d = Seq(
+      (1L, "a b c d"),   // segs "a b","c d" -> both first
+      (2L, "a b x y"),   // "a b" lost to doc 1; keeps "x y"
+      (3L, "c d"),       // sole seg lost to doc 1 -> kept_text ""
+      (4L, "p q p q"),   // within-doc repeat -> keeps one "p q"
+      (5L, "e f g")      // odd tail: segs "e f","g"
+    ).toDF("doc_id", "text")
+    val out = graft.operators.CorpusOps
+      .segmentDedup(d, "doc_id", "text", segTokens = 2)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 2L, "a b c d")))
+    assert(out(2L) == ((2L, 1L, "x y")))
+    assert(out(3L) == ((1L, 0L, "")))   // every segment lost, row retained
+    assert(out(4L) == ((2L, 1L, "p q")))
+    assert(out(5L) == ((2L, 2L, "e f g")))
+  }
+
+  test("tokenBudgetSelect == the naive global cumulative window, boundary mid-tie-group") {
+    // quality groups: q=10 {1,2}, q=9 {3,4}, q=8 {5}; budget 15 crosses
+    // INSIDE the q=9 group (cum 5,10,14,18) -> ids 1,2,3 exactly
+    val d = Seq((1L, 10L, 5L), (2L, 10L, 5L), (3L, 9L, 4L), (4L, 9L, 4L),
+      (5L, 8L, 3L)).toDF("id", "quality", "n_tok")
+    val out = graft.operators.Selection
+      .tokenBudgetSelect(d, "id", "quality", "n_tok", budgetTokens = 15L)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L, 3L))
+    // brute single-order cumsum on a larger random-ish frame
+    val rows = (1L to 200L).map(i => (i, (i * 7) % 13, 1L + (i * 3) % 5))
+    val brute = rows.sortBy { case (id, q, _) => (-q, id) }
+      .scanLeft((0L, 0L, 0L, 0L)) { case ((_, _, _, cum), (id, q, t)) =>
+        (id, q, t, cum + t) }
+      .drop(1).takeWhile(_._4 <= 137L).map(_._1).toSet
+    val got = graft.operators.Selection
+      .tokenBudgetSelect(rows.toDF("id", "quality", "n_tok"),
+        "id", "quality", "n_tok", budgetTokens = 137L)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == brute && got.nonEmpty)
+  }
+
+  test("idfWeightedJaccardPairs matches a local replay; boilerplate-only overlap scores low") {
+    val d = Seq(
+      (1L, "x y z a b c"),   // shares "x y z" (df 3) with everyone,
+      (2L, "x y z a b d"),   //   and rare content with doc 1 only
+      (3L, "x y z p q r"),
+      (4L, "m n o p q r")
+    ).toDF("doc_id", "text")
+    val texts = Map(1L -> "x y z a b c", 2L -> "x y z a b d",
+      3L -> "x y z p q r", 4L -> "m n o p q r")
+    def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    def replay(cap: Option[Int]): Set[(Long, Long, Double)] = {
+      val all = texts.view.mapValues(sh).toMap
+      val df3 = all.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      val w = df3.collect { case (s, df) if cap.forall(df <= _) =>
+        s -> math.round(math.log(4.0 / df) * 1e6) }.toMap.withDefaultValue(0L)
+      val tw = all.view.mapValues(_.iterator.map(w).sum).toMap
+      (for {
+        a <- texts.keys; b <- texts.keys if a < b
+        iw = (all(a) & all(b)).iterator.map(w).sum
+        uw = tw(a) + tw(b) - iw
+        if uw > 0 && iw * 1000000L >= math.round(0.3 * 1e6) * uw
+      } yield (a, b, BigDecimal(iw.toDouble / uw)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    }
+    def run(cap: Option[Int]) = graft.operators.Dedup
+      .idfWeightedJaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.3,
+        maxDocFreq = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val un = run(None)
+    assert(un == replay(None) && un.map(p => (p._1, p._2)).contains((1L, 2L)))
+    // docs 1 and 3 share ONLY boilerplate-ish shingles ("x y z" df 3,
+    // ln(4/3) weight) — raw jaccard 1/7 is already low, but weighted
+    // similarity must be lower still (idf discounts the shared mass)
+    assert(!un.map(p => (p._1, p._2)).contains((1L, 3L)))
+    // cap=2: the df-3 "x y z" shingle zero-weights; replay agrees
+    assert(run(Some(2)) == replay(Some(2)))
+  }
 }

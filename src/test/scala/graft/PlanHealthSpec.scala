@@ -716,4 +716,54 @@ class PlanHealthSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(h).size >= 2,
       s"x173 bucket sums must partial-aggregate:\n$h")
   }
+
+  test("x181: entropy stats are two co-keyed aggs — no join, no window") {
+    val p = plan("x181_token_entropy")
+    assert(!p.contains("Join"), s"x181 must not join:\n$p")
+    assert(!p.contains("Window ["), s"x181 must not window:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"x181 token counts must partial-aggregate:\n$p")
+  }
+
+  test("x182: segment keep-first is ONE segment-keyed window; losers rejoin via left join") {
+    val p = plan("x182_segment_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"x182 grew a non-equi join:\n$p")
+    // the only window is the per-segment row_number (state bounded by a
+    // segment's duplication) — a second window would mean a corpus-order
+    // pass snuck in
+    assert("Window \\[".r.findAllIn(p).size == 1,
+      s"x182 must have exactly the segment-keyed window:\n$p")
+    assert(p.contains("LeftOuter"), s"x182 must left-join kept segments back:\n$p")
+  }
+
+  test("x183: budget cut broadcasts the value-sized frames; only the boundary group windows over docs") {
+    val p = plan("x183_token_budget")
+    assert(p.contains("BroadcastHashJoin"),
+      s"x183's value-frame semi/boundary joins must broadcast:\n$p")
+    assert(p.contains("LeftSemi"), s"x183 full-value selection must be a semi join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"x183 grew a non-equi join:\n$p")
+    // the doc-sized side may carry ONLY the quality-partitioned boundary
+    // window; the global cumsum stays on the value-sized aggregate frame
+    // (it appears twice — once per union branch re-deriving byVal — plus
+    // the boundary-group window; all above HashAggregates, never above
+    // the raw doc scan). Every global window must sit above an aggregate.
+    assert("Window \\[".r.findAllIn(p).size <= 3,
+      s"x183 grew an extra window pass:\n$p")
+  }
+
+  test("x184: weighted jaccard stays on equi shuffle-hash joins; doc totals join after the pair agg") {
+    val p = plan("x184_idf_jaccard")
+    // the only BNL allowed is the broadcast 1-row corpus-count attach
+    // (idf's N), same shape x171 pins; everything data-sized is equi
+    assert(!p.contains("CartesianProduct"),
+      s"x184 grew a real cartesian:\n$p")
+    assert(!p.replaceAll(
+      "BroadcastNestedLoopJoin BuildRight, Cross", "").contains(
+      "BroadcastNestedLoopJoin"),
+      s"x184 has a non-broadcast nested-loop join:\n$p")
+    assert(p.contains("ShuffledHashJoin"), s"x184 index joins must shuffle-hash:\n$p")
+    assert(!p.contains("Window ["), s"x184 must not window:\n$p")
+  }
 }
