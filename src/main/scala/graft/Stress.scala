@@ -381,7 +381,37 @@ object Stress {
             embs.filter(pmod(col("vec_id"), lit(10L)) =!= 0L),
             embs.filter(pmod(col("vec_id"), lit(10L)) === 0L),
             "vec_id", "embedding", numCentroids = 16, dims = 64).count()
-        }))
+        }),
+        // two co-keyed aggs, per-doc cost linear in token count — the
+        // pure-scan control row: any trend above linear here means the
+        // harness, not an operator
+        "token_entropy" -> (() =>
+          operators.QualityFilters.tokenEntropyStats(
+            docs, "doc_id", "text").count()),
+        // ONE segment-keyed window + left join: state per key is a
+        // segment's occurrence count; disjoint replica vocabularies keep
+        // cross-replica segments distinct, so the window's per-key group
+        // stays replica-local and the trend must stay ~linear
+        "segment_dedup" -> (() =>
+          operators.CorpusOps.segmentDedup(
+            docs, "doc_id", "text", segTokens = 16).count()),
+        // value-sized cumsum frame + boundary-group window; budget scales
+        // with the corpus so the selected fraction is constant — a flat
+        // trend proves the cut never pays a corpus-order window
+        "token_budget" -> (() =>
+          operators.Selection.tokenBudgetSelect(
+            docs.select(col("doc_id"), length(col("text")).as("q"),
+              functions.TextFunctions.tokenCount(col("text"))
+                .cast("long").as("n_tok")),
+            "doc_id", "q", "n_tok",
+            budgetTokens = 15000L * m).count()),
+        // weighted inverted-index pair search: same Σ df² fan-out bound
+        // as the unweighted sweep (df<=50 semantic cap), plus two
+        // vocab-sized weight joins — must track minhash_lsh_pairs' trend
+        "idf_jaccard" -> (() =>
+          operators.Dedup.idfWeightedJaccardPairs(
+            docs, "doc_id", "text", n = 3, threshold = 0.5,
+            maxDocFreq = Some(50)).count()))
 
       // SPARK_GRAFT_STRESS_OPS=a,b,c runs only the named ops (bisection
       // runs shouldn't pay the full sweep per hypothesis)
