@@ -2569,6 +2569,48 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // ---- X: winnowing fingerprint near-dup pairs (Schleimer 2003, the
+    //      MOSS algorithm) — deterministic shared-span guarantee at
+    //      ~2/(w+1) index density; selection is a pure narrow array
+    //      transform (no window, no shuffle before the sparse index);
+    //      fp-freq<=50 is the hot cap the oracle replays ----
+    "x185_winnowing" -> { (s, dir) =>
+      graft.operators.Dedup.winnowingPairs(
+        t(s, dir, "documents"), "doc_id", "text", k = 3, w = 4,
+        minShared = 2, maxFpFreq = Some(50))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ---- X: adjusted Rand index of the nearest-centroid clustering
+    //      (x34's assignment) vs ground-truth labels — chance-corrected
+    //      partition agreement, all pair counting in exact integers on
+    //      the tiny contingency frame ----
+    "x186_cluster_ari" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val minIds = e.groupBy(col("label").as("cl"))
+        .agg(min(col("vec_id")).as("cvid"))
+      val centroids = e.join(minIds,
+          e("label") === minIds("cl") && e("vec_id") === minIds("cvid"))
+        .select(col("label"), col("embedding"))
+      val assigned = graft.operators.Similarity.nearestCentroid(
+          e, centroids, "vec_id", "embedding", "label")
+        .select(col("vec_id"), col("label").as("cluster"))
+      val withTruth = assigned.join(
+        e.select(col("vec_id"), col("label").as("truth")), Seq("vec_id"))
+      graft.operators.Evaluation.adjustedRandIndex(
+        withTruth, "cluster", "truth")
+    },
+
+    // ---- X: per-language CCNet perplexity tertiles — order-statistic
+    //      boundaries on the integer milli-grid (bounded codomain), the
+    //      bounded-memory per-lang sibling of x47's global interpolated
+    //      bands; only window runs over the (lang x grid) count frame ----
+    "x187_ccnet_buckets" -> { (s, dir) =>
+      graft.operators.LanguageModel.perLangPerplexityBuckets(
+        t(s, dir, "documents"), "doc_id", "text", "lang")
+        .orderBy(col("id"))
+    },
+
     // ---- X: greedy k-center (farthest-first) diverse-seed selection —
     //      k bounded corpus scans, each a broadcast-literal least() +
     //      partial-agged argmax; the CONSTRUCTIVE sibling of x159's
@@ -4200,6 +4242,127 @@ object SparkEntry {
          FROM iw JOIN dw ta ON id_a = ta.doc_id JOIN dw tb ON id_b = tb.doc_id
          WHERE iw * 1000000 >= 500000 * (ta.tw + tb.tw - iw)
          ORDER BY id_a, id_b""",
+
+    // x185: identical positional 3-gram md5 hashes; window minima via a
+    // doc-keyed frame (CURRENT ROW .. 3 FOLLOWING truncates at the tail
+    // exactly like Spark's slice); only distinct selected VALUES matter,
+    // so tie-break rules can't diverge; fp-freq<=50 cap replayed
+    "x185_winnowing" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT doc_id, CAST(u.i AS BIGINT) AS p,
+                 CAST(('0x' || substr(md5(array_to_string(ws[u.i:u.i+2], ' ')),
+                   1, 15)) AS BIGINT) AS h
+               FROM t, UNNEST(range(1, greatest(len(ws) - 2, 0) + 1)) u(i)),
+         wm AS (SELECT doc_id, p,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                 count(*) OVER (PARTITION BY doc_id) AS ng
+               FROM g),
+         sel AS (SELECT DISTINCT doc_id, fp FROM wm
+                 WHERE p <= greatest(ng - 3, 1)),
+         cold AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 50),
+         idx AS (SELECT doc_id, sel.fp FROM sel JOIN cold USING (fp)),
+         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  count(*) AS n_shared
+                FROM idx a JOIN idx b USING (fp)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT id_a, id_b, n_shared FROM pr
+         WHERE n_shared >= 2 ORDER BY id_a, id_b""",
+
+    // x186: x34's assignment CTEs verbatim, then ARI pair counting —
+    // every C(n,2) term is integer arithmetic cast BIGINT; the final
+    // expression repeats Spark's association order exactly
+    "x186_cluster_ari" ->
+      """WITH e AS (SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         c AS (SELECT e.label AS cl, e.v AS cv
+           FROM e JOIN (SELECT label, min(vec_id) AS mv
+                        FROM embeddings GROUP BY label) m
+             ON e.label = m.label AND e.vec_id = m.mv),
+         s AS (SELECT e.vec_id, e.label AS truth, c.cl,
+             list_sum(list_transform(range(1, 65), i -> e.v[i] * c.cv[i]))
+               / (sqrt(list_sum(list_transform(range(1, 65), i -> e.v[i] * e.v[i])))
+                  * sqrt(list_sum(list_transform(range(1, 65), i -> c.cv[i] * c.cv[i])))) AS cos
+           FROM e CROSS JOIN c),
+         r AS (SELECT vec_id, truth, cl,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cl ASC) AS rn
+           FROM s),
+         a AS (SELECT vec_id, cl AS cluster, truth FROM r WHERE rn = 1),
+         cells AS (SELECT cluster, truth, count(*) AS n FROM a GROUP BY 1, 2),
+         rw AS (SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+                  CAST(sum(a * (a - 1) / 2) AS BIGINT) AS sa
+                FROM (SELECT cluster, CAST(sum(n) AS BIGINT) AS a
+                      FROM cells GROUP BY 1)),
+         cl2 AS (SELECT CAST(count(*) AS BIGINT) AS n_labels,
+                  CAST(sum(b * (b - 1) / 2) AS BIGINT) AS sb
+                FROM (SELECT truth, CAST(sum(n) AS BIGINT) AS b
+                      FROM cells GROUP BY 1)),
+         tt AS (SELECT CAST(sum(n * (n - 1) / 2) AS BIGINT) AS sc,
+                  CAST(sum(n) AS BIGINT) AS n FROM cells)
+         SELECT tt.n, rw.n_clusters, cl2.n_labels,
+           tt.sc AS sum_comb_cells, rw.sa AS sum_comb_rows,
+           cl2.sb AS sum_comb_cols,
+           round(CASE WHEN CAST(rw.sa + cl2.sb AS DOUBLE) / 2.0
+                   - CAST(rw.sa AS DOUBLE) * CAST(cl2.sb AS DOUBLE)
+                     / CAST(tt.n * (tt.n - 1) / 2 AS DOUBLE) = 0.0 THEN 1.0
+             ELSE (CAST(tt.sc AS DOUBLE)
+                   - CAST(rw.sa AS DOUBLE) * CAST(cl2.sb AS DOUBLE)
+                     / CAST(tt.n * (tt.n - 1) / 2 AS DOUBLE))
+                / (CAST(rw.sa + cl2.sb AS DOUBLE) / 2.0
+                   - CAST(rw.sa AS DOUBLE) * CAST(cl2.sb AS DOUBLE)
+                     / CAST(tt.n * (tt.n - 1) / 2 AS DOUBLE)) END, 6) AS ari
+         FROM tt, rw, cl2""",
+
+    // x187: x109's LM CTEs verbatim through the rounded nll; the tertile
+    // boundaries are exact integer logic on the (lang, milli-grid) count
+    // frame — cum*3 >= n, no ceil, no interpolation — so both engines
+    // pick identical order-statistic boundaries
+    "x187_ccnet_buckets" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         tl AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 3),
+         tr AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3
+                FROM tl, UNNEST(range(1, len(ws) - 1)) t(i)),
+         bi AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+                FROM tl, UNNEST(range(1, len(ws))) t(i)),
+         c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tr GROUP BY 1, 2, 3),
+         c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+         c1 AS (SELECT w, count(*) AS c1
+                FROM (SELECT unnest(ws) AS w FROM tl) GROUP BY 1),
+         st AS (SELECT CAST(sum(c1) AS DOUBLE) AS t,
+                  CAST(count(*) AS DOUBLE) AS v FROM c1),
+         sc AS (SELECT tr.doc_id, count(*) AS n_trigrams,
+             sum(ln(0.1 * (c1c.c1 + 1.0) / (st.t + 1.0 * st.v)
+                  + 0.3 * (c2b.c2 + 1.0) / (c1b.c1 + 1.0 * st.v)
+                  + 0.6 * (c3.c3 + 1.0) / (c2a.c2 + 1.0 * st.v))) AS ll
+           FROM tr
+           JOIN c3 USING (w1, w2, w3)
+           JOIN c2 c2a ON c2a.w1 = tr.w1 AND c2a.w2 = tr.w2
+           JOIN c2 c2b ON c2b.w1 = tr.w2 AND c2b.w2 = tr.w3
+           JOIN c1 c1b ON c1b.w = tr.w2
+           JOIN c1 c1c ON c1c.w = tr.w3
+           CROSS JOIN st
+           GROUP BY 1),
+         nl AS (SELECT doc_id, round(-ll / n_trigrams, 6) AS nll FROM sc),
+         d AS (SELECT nl.doc_id AS id, documents.lang,
+                 CAST(round(nll * 1000) AS BIGINT) AS nll_milli
+               FROM nl JOIN documents ON nl.doc_id = documents.doc_id),
+         grid AS (SELECT lang, nll_milli, count(*) AS cnt
+                  FROM d GROUP BY 1, 2),
+         cg AS (SELECT lang, nll_milli, sum(cnt) OVER (PARTITION BY lang
+                  ORDER BY nll_milli ROWS UNBOUNDED PRECEDING) AS cum
+                FROM grid),
+         tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n
+                 FROM grid GROUP BY 1),
+         b AS (SELECT cg.lang,
+                 min(CASE WHEN cg.cum * 3 >= t.n THEN cg.nll_milli END) AS b1,
+                 min(CASE WHEN cg.cum * 3 >= 2 * t.n THEN cg.nll_milli END) AS b2
+               FROM cg JOIN tot t USING (lang) GROUP BY 1)
+         SELECT d.id, d.lang, d.nll_milli,
+           CASE WHEN d.nll_milli <= b.b1 THEN 'head'
+                WHEN d.nll_milli <= b.b2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+         FROM d JOIN b USING (lang) ORDER BY id""",
     "x176_bpe_merges64" -> bpeMergesOracle(64),
 
     // x177: SQ8 params from the same global min/max agg, codes via the

@@ -411,7 +411,21 @@ object Stress {
         "idf_jaccard" -> (() =>
           operators.Dedup.idfWeightedJaccardPairs(
             docs, "doc_id", "text", n = 3, threshold = 0.5,
-            maxDocFreq = Some(50)).count()))
+            maxDocFreq = Some(50)).count()),
+        // narrow fingerprint selection + a ~2/(w+1)-density index join:
+        // must track (and undercut) minhash_lsh_pairs' trend — the
+        // winnowing index is the SPARSE one
+        "winnowing" -> (() =>
+          operators.Dedup.winnowingPairs(
+            docs, "doc_id", "text", k = 3, w = 4, minShared = 2,
+            maxFpFreq = Some(50)).count()),
+        // LM count tables grow with the (replica-suffixed) vocabulary;
+        // the tertile machinery adds only grid-frame work — trend must
+        // match the underlying trigram scorer, never the corpus sort a
+        // naive per-lang quantile would pay
+        "ccnet_buckets" -> (() =>
+          operators.LanguageModel.perLangPerplexityBuckets(
+            docs, "doc_id", "text", "lang").count()))
 
       // SPARK_GRAFT_STRESS_OPS=a,b,c runs only the named ops (bisection
       // runs shouldn't pay the full sweep per hypothesis)

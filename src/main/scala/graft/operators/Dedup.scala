@@ -307,6 +307,74 @@ object Dedup {
           .as("wjaccard"))
   }
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS local fingerprinting algorithm): hash every
+    * token k-gram, slide a window of `w` consecutive hashes, and keep the
+    * MINIMUM hash of each window. The guarantee: any shared run of
+    * w + k − 1 tokens between two documents yields at least one shared
+    * selected fingerprint, while only ~2/(w+1) of all k-gram hashes are
+    * kept — the index this feeds is ~3x smaller than the full shingle
+    * index at w=4 with a detection guarantee MinHash can't give (MinHash
+    * bounds the MISS RATE probabilistically; winnowing bounds the matched
+    * SPAN deterministically).
+    *
+    * Only the distinct selected hash VALUES per document are emitted, so
+    * the window tie-break rule (rightmost vs leftmost min) is irrelevant
+    * — both select the same value set — which is what makes the operator
+    * exactly replayable on any engine with the same md5-derived hashes.
+    * Documents with fewer than w k-grams contribute their single
+    * truncated window (= global min); documents shorter than k tokens
+    * have no k-grams and drop out.
+    *
+    * 100 TB shape: ONE narrow projection — k-gram hashing and window
+    * minima are per-row array transforms (no corpus-order window, no
+    * shuffle) — then an explode of the ~2/(w+1)-density fingerprint set.
+    * Output: (id, fp) distinct per doc. */
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be >= 1")
+    val hs = transform(ngrams(col(textCol), k), g => md5Long(g))
+    val nw = greatest(size(col("hs")) - lit(w - 1), lit(1))
+    df.select(col(idCol).as("id"), hs.as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("id"),
+        explode(array_distinct(transform(sequence(lit(0), nw - 1),
+          i => array_min(slice(col("hs"), i + 1, lit(w)))))).as("fp"))
+  }
+
+  /** Near-dup candidate pairs from shared winnowing fingerprints: pairs
+    * sharing >= `minShared` selected fingerprints, with the shared count.
+    * By the winnowing guarantee, any pair sharing a token run of length
+    * >= w + k - 1 appears with n_shared >= 1 — so minShared = 2 means
+    * "two independent shared spans (or one long one)", the plagiarism-
+    * detector notion of a match, at ~1/(w+1)² the join volume of the
+    * full-shingle pair search.
+    *
+    * `maxFpFreq` is the hot-key guard (same role as shingle docfreq caps):
+    * fingerprints selected by more than that many documents are
+    * boilerplate and are dropped from the index BEFORE the self-join —
+    * a semantic cap the oracle replays, bounding the Σ df² fan-out.
+    * Output: (id_a, id_b, n_shared), id_a < id_b, all exact integers. */
+  def winnowingPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4, minShared: Int = 2,
+      maxFpFreq: Option[Int] = None): DataFrame = {
+    val idx0 = winnowingFingerprints(df, idCol, textCol, k, w)
+    val idx = maxFpFreq match {
+      case None => idx0
+      case Some(cap) =>
+        val hot = idx0.groupBy(col("fp")).agg(count(lit(1)).as("dfq"))
+          .filter(col("dfq") > cap)
+        // USING-join puts fp first; restore (id, fp) for positional toDF
+        idx0.join(hot, Seq("fp"), "left_anti").select(col("id"), col("fp"))
+    }
+    idx.toDF("id_a", "fp")
+      .join(idx.toDF("id_b", "fp").hint("shuffle_hash"), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Per-source exact-duplicate rate — the dedup dashboard number that
     * decides where cleaning effort goes (a source at 40% dup rate is a
     * crawler bug or a mirror; at 2% it's organic): per group, total docs,

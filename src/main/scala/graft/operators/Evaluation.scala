@@ -571,4 +571,48 @@ object Evaluation {
         col("n_eval"), round(col("__cov"), 6).as("coverage"),
         round(col("__avg"), 6).as("avg_set_size"))
   }
+
+  /** Adjusted Rand Index (Hubert & Arabie 1985) between a clustering
+    * assignment and reference labels — the chance-corrected agreement
+    * number that decides whether a clustering-based curation step
+    * (semantic sharding, cluster-balanced sampling, SemDeDup buckets)
+    * actually recovers the known structure: 1 = identical partitions,
+    * ~0 = no better than random, negative = worse than chance.
+    *
+    * Every pair-counting term is EXACT integer arithmetic — C(n,2) sums
+    * over the contingency cells, row and column marginals — so the only
+    * doubles are one fixed final expression over exact longs (identical
+    * cross-engine), rounded once.
+    *
+    * 100 TB shape: one partial-agged groupBy to the contingency frame
+    * (|clusters| x |labels| cells — tiny at any corpus size), then all
+    * marginal/total sums are aggregates of THAT frame; the three 1-row
+    * results combine via broadcast. The corpus is scanned exactly once.
+    * Output: one row (n, n_clusters, n_labels, sum_comb_cells,
+    * sum_comb_rows, sum_comb_cols, ari). */
+  def adjustedRandIndex(df: DataFrame, clusterCol: String,
+      labelCol: String): DataFrame = {
+    // n*(n-1) is always even; >>1 keeps the whole term in exact longs
+    // (Column./ would promote to double)
+    def comb2(c: Column): Column = shiftright(c * (c - lit(1L)), 1)
+    val cells = df.groupBy(col(clusterCol).as("c"), col(labelCol).as("l"))
+      .agg(count(lit(1)).as("n"))
+    val rows = cells.groupBy(col("c")).agg(sum(col("n")).as("a"))
+      .agg(count(lit(1)).as("n_clusters"), sum(comb2(col("a"))).as("sa"))
+    val cols = cells.groupBy(col("l")).agg(sum(col("n")).as("b"))
+      .agg(count(lit(1)).as("n_labels"), sum(comb2(col("b"))).as("sb"))
+    val tot = cells.agg(sum(comb2(col("n"))).as("sc"), sum(col("n")).as("n"))
+    val cn = comb2(col("n")).cast(DoubleType)
+    val expected = col("sa").cast(DoubleType) * col("sb").cast(DoubleType) / cn
+    val maxIdx = (col("sa") + col("sb")).cast(DoubleType) / lit(2.0)
+    tot.crossJoin(broadcast(rows)).crossJoin(broadcast(cols))
+      .select(col("n"), col("n_clusters"), col("n_labels"),
+        col("sc").as("sum_comb_cells"), col("sa").as("sum_comb_rows"),
+        col("sb").as("sum_comb_cols"),
+        // identical-trivial-partition edge (expected == max): ARI is 1
+        // by convention; the oracle repeats the CASE
+        round(when(maxIdx - expected === 0.0, lit(1.0))
+          .otherwise((col("sc").cast(DoubleType) - expected) /
+            (maxIdx - expected)), 6).as("ari"))
+  }
 }

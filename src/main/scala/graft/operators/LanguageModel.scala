@@ -337,4 +337,51 @@ object LanguageModel {
     Seq((counts.map(_._2).sum, counts.map(_._3).sum, r6(klAb), r6(klBa)))
       .toDF("n_tokens_a", "n_tokens_b", "kl_ab", "kl_ba")
   }
+
+  /** Per-LANGUAGE perplexity tertile bucketing — the faithful CCNet shape
+    * (Wenzek et al. 2020 band per language, since perplexity scales are
+    * not comparable across languages), and the bounded-memory sibling of
+    * [[qualityBands]]' global interpolated percentiles: boundaries here
+    * are ORDER STATISTICS on an integer grid, never an interpolation.
+    *
+    * The per-doc [[trigramNllInterp]] score (already rounded to 6
+    * decimals, cross-engine exact) is quantized to an integer milli-grid
+    * (round(nll*1000)); because nll is bounded by the LM's vocabulary
+    * smoothing (ln of bounded ratios — single digits in practice), the
+    * grid codomain is a few thousand cells REGARDLESS of corpus size.
+    * Tertile boundaries per lang are then exact integer logic on the
+    * (lang, grid-cell) count frame: b1 = smallest grid value whose
+    * cumulative count reaches n/3 (cum*3 >= n — no ceil, no division),
+    * b2 likewise for 2n/3. Docs bucket by comparing their OWN grid value
+    * to the broadcast boundaries: head (<= b1) / middle (<= b2) / tail.
+    *
+    * 100 TB shape: the only window runs over the (lang x grid)-sized
+    * count frame (bounded state per lang by the grid width, NOT by the
+    * corpus); documents are never globally ordered — the x183 prefix-sum
+    * decomposition applied to quantile selection.
+    * Output: (id, lang, nll_milli, bucket) per scored doc. */
+  def perLangPerplexityBuckets(docs: DataFrame, idCol: String,
+      textCol: String, langCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val nll = trigramNllInterp(docs, idCol, textCol)
+    val d = nll
+      .join(docs.select(col(idCol), col(langCol).as("lang")), Seq(idCol))
+      .select(col(idCol).as("id"), col("lang"),
+        round(col("nll") * 1000).cast("long").as("nll_milli"))
+    val grid = d.groupBy(col("lang"), col("nll_milli"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        w.partitionBy(col("lang")).orderBy(col("nll_milli"))
+          .rowsBetween(w.unboundedPreceding, w.currentRow)))
+    val tot = grid.groupBy(col("lang")).agg(sum(col("cnt")).as("n"))
+    val bounds = grid.join(tot, Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(min(when(col("cum") * 3 >= col("n"), col("nll_milli"))).as("b1"),
+        min(when(col("cum") * 3 >= col("n") * 2, col("nll_milli"))).as("b2"))
+    d.join(broadcast(bounds), Seq("lang"))
+      .select(col("id"), col("lang"), col("nll_milli"),
+        when(col("nll_milli") <= col("b1"), "head")
+          .when(col("nll_milli") <= col("b2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
 }

@@ -1274,4 +1274,92 @@ class ExtensionOpsSpec extends SparkSpec {
     // cap=2: the df-3 "x y z" shingle zero-weights; replay agrees
     assert(run(Some(2)) == replay(Some(2)))
   }
+
+  test("winnowingFingerprints matches a local replay; shared 6-token run guarantees a shared fp") {
+    def md5l(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16)
+    }
+    def replay(text: String, k: Int = 3, w: Int = 4): Set[Long] = {
+      val hs = text.split(" ").sliding(k).filter(_.length == k)
+        .map(g => md5l(g.mkString(" "))).toVector
+      if (hs.isEmpty) Set.empty
+      else (0 until math.max(hs.size - w + 1, 1))
+        .map(i => hs.slice(i, i + w).min).toSet
+    }
+    // docs 1 and 2 share the 6-token run "p q r s t u" (= w + k - 1 with
+    // k=3, w=4): the winnowing guarantee says they MUST share >= 1 fp
+    val texts = Map(
+      1L -> "a b c p q r s t u d e f",
+      2L -> "x y p q r s t u z w v",
+      3L -> "m n o",             // single k-gram: 1 truncated window
+      4L -> "g h")               // shorter than k: no fingerprints
+    val d = texts.toSeq.toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .winnowingFingerprints(d, "doc_id", "text")
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(1)).toSet }
+    assert(got == texts.collect {
+      case (id, t) if replay(t).nonEmpty => id -> replay(t) })
+    assert((got(1L) & got(2L)).nonEmpty) // the span guarantee
+    assert(got(3L).size == 1 && !got.contains(4L))
+    // pair counting + minShared: doc1/doc2 share exactly the replayed set
+    val pairs = graft.operators.Dedup
+      .winnowingPairs(d, "doc_id", "text", minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 2L)) == (replay(texts(1L)) & replay(texts(2L))).size)
+  }
+
+  test("adjustedRandIndex: identical partitions 1.0, hand contingency exact, relabeling-invariant") {
+    def ari(rows: Seq[(Long, String, String)]): org.apache.spark.sql.Row =
+      graft.operators.Evaluation.adjustedRandIndex(
+        rows.toDF("id", "cluster", "truth"), "cluster", "truth").head()
+    // identical partitions (modulo label names): ARI = 1
+    val ident = (1L to 12L).map(i => (i, s"c${i % 3}", s"t${i % 3}"))
+    assert(ari(ident).getDouble(6) == 1.0)
+    // hand case: clusters {a:1..4, b:5..8}, truth {x:1..3+5, y:4+6..8}
+    // contingency: (a,x)=3 (a,y)=1 (b,x)=1 (b,y)=3 -> sc=3+0+0+3=6
+    // marginals a=4,b=4 -> sa=12; x=4,y=4 -> sb=12; C(8,2)=28
+    // expected=12*12/28; max=12; ari=(6-e)/(12-e)
+    val rows = (1L to 8L).map { i =>
+      val c = if (i <= 4) "a" else "b"
+      val t = if (i <= 3 || i == 5) "x" else "y"
+      (i, c, t)
+    }
+    val r = ari(rows)
+    val e = 12.0 * 12.0 / 28.0
+    val want = BigDecimal((6.0 - e) / (12.0 - e))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((8L, 2L, 2L)))
+    assert((r.getLong(3), r.getLong(4), r.getLong(5)) == ((6L, 12L, 12L)))
+    assert(r.getDouble(6) == want)
+    // invariance under cluster relabeling (ARI ignores label identity)
+    val relabeled = rows.map { case (i, c, t) => (i, c + "_renamed", t) }
+    assert(ari(relabeled).getDouble(6) == want)
+  }
+
+  test("perLangPerplexityBuckets: per-lang tertile boundaries are minimal order statistics") {
+    val out = graft.operators.LanguageModel
+      .perLangPerplexityBuckets(docs, "doc_id", "text", "lang")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getString(3)))
+    assert(out.nonEmpty && out.map(_._3).toSet.subsetOf(Set("head", "middle", "tail")))
+    for ((lang, rows) <- out.groupBy(_._1)) {
+      val byB = rows.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+      val n = rows.length.toLong
+      // strict value separation: head <= b1 < middle <= b2 < tail
+      for {h <- byB.get("head"); m <- byB.get("middle")}
+        assert(h.max < m.min, s"$lang head/middle overlap")
+      for {m <- byB.get("middle"); t <- byB.get("tail")}
+        assert(m.max < t.min, s"$lang middle/tail overlap")
+      // b1 minimality: head holds >= n/3 docs, but dropping the boundary
+      // grid cell would fall below n/3
+      val head = byB.getOrElse("head", Array.empty[Long])
+      if (byB.contains("middle")) {
+        assert(head.length * 3 >= n, s"$lang head too small")
+        val atBoundary = head.count(_ == head.max)
+        assert((head.length - atBoundary) * 3 < n, s"$lang b1 not minimal")
+      }
+    }
+  }
 }

@@ -753,6 +753,39 @@ class PlanHealthSpec extends SparkSpec {
       s"x183 grew an extra window pass:\n$p")
   }
 
+  test("x185: winnowing selection is a narrow transform — no window anywhere; index join shuffle-hash") {
+    val p = plan("x185_winnowing")
+    // the whole point vs the SQL formulation: window minima are per-row
+    // array transforms, so the plan has NO Window operator at all
+    assert(!p.contains("Window ["), s"x185 must not window:\n$p")
+    assert(p.contains("ShuffledHashJoin"), s"x185 index join must shuffle-hash:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"x185 grew a non-equi join:\n$p")
+  }
+
+  test("x186: ARI reduces to the contingency frame before any non-keyed work") {
+    val p = plan("x186_cluster_ari")
+    assert(!p.contains("CartesianProduct"), s"x186 grew a real cartesian:\n$p")
+    // allowed BNLs: the broadcast centroid cross (x34's shape) and the
+    // 1-row marginal combines
+    assert(!p.replaceAll(
+      "BroadcastNestedLoopJoin BuildRight, Cross", "").contains(
+      "BroadcastNestedLoopJoin"),
+      s"x186 has a non-broadcast nested-loop join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"x186 marginals must partial-aggregate:\n$p")
+  }
+
+  test("x187: the tertile window runs over the (lang, grid) count frame; boundaries broadcast") {
+    val p = plan("x187_ccnet_buckets")
+    assert(!p.contains("CartesianProduct"), s"x187 grew a real cartesian:\n$p")
+    // the lang-partitioned cumsum sits ABOVE a HashAggregate (the grid
+    // frame), never above the raw doc scan; bounds join back broadcast
+    assert(p.contains("BroadcastHashJoin"), s"x187 bounds must broadcast:\n$p")
+    assert(!p.contains("windowspecdefinition()"),
+      s"x187 must not use an unpartitioned window:\n$p")
+  }
+
   test("x184: weighted jaccard stays on equi shuffle-hash joins; doc totals join after the pair agg") {
     val p = plan("x184_idf_jaccard")
     // the only BNL allowed is the broadcast 1-row corpus-count attach
