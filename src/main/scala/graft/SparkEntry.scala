@@ -2611,6 +2611,19 @@ object SparkEntry {
         .orderBy(col("id"))
     },
 
+    // ---- X: k-core of the near-dup graph (Seidman 1983 peeling) —
+    //      template families (dense cores) vs incidental chains/stars;
+    //      each peel round is two left_semi shuffle_hash joins + one
+    //      partial-agged degree groupBy; the loop early-stops at the
+    //      fixpoint of the same fixed-round program the oracle unrolls ----
+    "x188_kcore" -> { (s, dir) =>
+      graft.operators.GraphRank.kCore(
+        graft.operators.Dedup.minhashLshPairs(
+          t(s, dir, "documents"), "doc_id", "text"),
+        "id_a", "id_b", k = 2)
+        .orderBy(col("id"))
+    },
+
     // ---- X: greedy k-center (farthest-first) diverse-seed selection —
     //      k bounded corpus scans, each a broadcast-literal least() +
     //      partial-agged argmax; the CONSTRUCTIVE sibling of x159's
@@ -3501,6 +3514,43 @@ object SparkEntry {
     (v0 +: rounds).mkString(",\n         ")
   }
 
+  /** x188 oracle: x67's exact-jaccard pair CTEs (the LSH detector is
+    * gate-proven pair-identical to the naive jaccard), then `rounds`
+    * UNROLLED peel rounds — the identical fixed program the Spark loop
+    * early-stops inside (survivor sets only shrink, so a converged
+    * fixpoint is invariant under the remaining rounds; the gate fails
+    * loudly if the corpus ever needs more rounds than the unroll). */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    // every peel references its predecessor TWICE and the edge frame
+    // once — without MATERIALIZED, CTE inlining would double the plan
+    // tree per round (2^rounds scans of the pair search)
+    val peels = (1 until rounds).map { i =>
+      s"""s$i AS MATERIALIZED (SELECT e.a AS node FROM es e
+           JOIN s${i - 1} x ON e.a = x.node JOIN s${i - 1} y ON e.b = y.node
+           GROUP BY e.a HAVING count(*) >= $k)"""
+    }.mkString(",\n         ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+                FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1))) t(i)),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                   FROM sh a JOIN sh b USING (s)
+                   WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         pr AS (SELECT id_a, id_b
+                FROM inter JOIN sz sa ON id_a = sa.doc_id
+                           JOIN sz sb ON id_b = sb.doc_id
+                WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8),
+         es AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pr
+                UNION ALL SELECT id_b, id_a FROM pr),
+         s0 AS MATERIALIZED (SELECT a AS node FROM es
+                GROUP BY a HAVING count(*) >= $k),
+         $peels
+         SELECT e.a AS id, CAST(count(*) AS BIGINT) AS degree
+         FROM es e JOIN s${rounds - 1} x ON e.a = x.node
+                   JOIN s${rounds - 1} y ON e.b = y.node
+         GROUP BY e.a ORDER BY id"""
+  }
+
   /** x174/x176: the learned k-round merge list. Sentinel rounds (NULL
     * pair_count) are filtered so a degenerate corpus yields the same
     * short list the Spark trainer's early stop returns. */
@@ -4364,6 +4414,10 @@ object SparkEntry {
                 ELSE 'tail' END AS bucket
          FROM d JOIN b USING (lang) ORDER BY id""",
     "x176_bpe_merges64" -> bpeMergesOracle(64),
+
+    // x188: generated 16-round peel unroll over x67's pair CTEs — same
+    // fixed program the Spark loop early-stops inside
+    "x188_kcore" -> kCoreOracle(2, 16),
 
     // x177: SQ8 params from the same global min/max agg, codes via the
     // engine-portable floor(+0.5) half-up, asymmetric cosine ranking

@@ -205,4 +205,81 @@ object GraphRank {
         col(labelCol).as("old_label")), Seq("node"))
       .select(col("node"), col("old_label"), col("new_label"))
   }
+
+  /** k-core of the undirected graph (Seidman 1983): the maximal subgraph
+    * in which every node has degree >= k, found by iterated peeling —
+    * drop nodes with degree < k, recompute degrees in what remains,
+    * repeat to fixpoint. On a near-dup graph the k-core separates
+    * TEMPLATE FAMILIES (dense cores every member of which has many
+    * near-dup siblings) from incidental chains and stars that
+    * triangle counts ([[triangleCounts]]) score weakly and component
+    * size ([[graft.operators.Dedup.clusterCohesion]]) can't tell apart
+    * — the standard spam-farm / boilerplate-hub detector on link and
+    * similarity graphs.
+    *
+    * Distributed shape: edges symmetrize ONCE and persist; each peel
+    * round is two left_semi shuffle_hash joins of the edge frame onto
+    * the (node)-survivor frame plus one partial-agged degree groupBy —
+    * no window, no driver-side graph. Survivor frames are node-sized,
+    * persisted per round and released as soon as the next round's count
+    * materializes. The loop early-stops at the fixpoint (survivor sets
+    * only shrink, so equal COUNT means equal SET) or after `maxRounds`;
+    * peeling converges in a handful of rounds on similarity graphs
+    * (each round removes every node whose support collapsed), and the
+    * bounded-round contract is what makes the operator exactly
+    * replayable as a fixed-round SQL unroll — like the BPE trainer,
+    * both engines run the identical program.
+    *
+    * Output: (id, degree) for every k-core member, degree measured
+    * WITHIN the core (>= k by definition). Empty when no core exists. */
+  def kCore(pairs: DataFrame, aCol: String, bCol: String, k: Int,
+      maxRounds: Int = 16): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val spark = pairs.sparkSession
+    val e0 = pairs
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull &&
+        col(aCol) =!= col(bCol))
+      .select(col(aCol).as("a"), col(bCol).as("b"))
+      .distinct()
+    val edges = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      .persist(lvl)
+
+    // survivors within `cur`: both endpoints must survive, then degree
+    def peel(cur: DataFrame): DataFrame = edges
+      .join(cur.hint("shuffle_hash"), Seq("a"), "left_semi")
+      .join(cur.select(col("a").as("b")).hint("shuffle_hash"),
+        Seq("b"), "left_semi")
+      .groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k)
+      .select(col("a"))
+
+    var cur = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k).select(col("a"))
+      .persist(lvl)
+    var n = cur.count()
+    var rounds = 1
+    var converged = false
+    while (!converged && rounds < maxRounds && n > 0L) {
+      val next = peel(cur).persist(lvl)
+      val m = next.count()
+      // next is always a subset of cur, so equal count == equal set
+      converged = m == n
+      cur.unpersist()
+      cur = next
+      n = m
+      rounds += 1
+    }
+    val core = cur
+    graft.plans.Persists.onNextAction(spark) { () =>
+      edges.unpersist(); core.unpersist(); ()
+    }
+    edges
+      .join(core.hint("shuffle_hash"), Seq("a"), "left_semi")
+      .join(core.select(col("a").as("b")).hint("shuffle_hash"),
+        Seq("b"), "left_semi")
+      .groupBy(col("a")).agg(count(lit(1)).as("degree"))
+      .select(col("a").as("id"), col("degree"))
+  }
 }

@@ -493,4 +493,93 @@ object EventStreams {
           Iterator((key, -bestNbk * busc, bestSa, d))
       }
   }
+
+  /** Streaming session-window features — the live twin of x100's
+    * [[graft.operators.Temporal.sessionFeatures]], built on Spark's
+    * NATIVE `session_window` aggregation (engine-managed merging windows
+    * + watermark eviction — the built-in sibling of this file's
+    * hand-rolled mapGroupsWithState designs, and the reason to prefer it
+    * when the semantics fit: merge logic, state store layout, and skew
+    * handling come from the engine).
+    *
+    * The gap duration is `gapSeconds` PLUS ONE MICROSECOND: the built-in
+    * merges events whose gap is strictly less than the gap duration
+    * (windows are [ts, ts+gap) and merge on OVERLAP, so a gap of exactly
+    * `gapSeconds` lands adjacent, not overlapping), while the batch
+    * operator's rule is INCLUSIVE (a new session starts only when the
+    * gap EXCEEDS gapSeconds). At micros resolution the 1µs pad makes the
+    * two rules coincide exactly.
+    *
+    * Start/end are the session's OWN min/max event micros — not the
+    * padded window bounds — and the value total runs the batch op's
+    * exact decimal chain, so each row emitted on watermark close is
+    * row-identical to its batch feature row (minus the per-key session
+    * ordinal, which append mode cannot know without total per-key
+    * history; sessions are keyed by (key, start_us) instead). State per
+    * key is its OPEN sessions inside the watermark horizon, evicted on
+    * close. Output: (key, n_events, start_us, end_us, duration_us,
+    * sum_value) per closed session. */
+  def sessionWindowStream(events: DataFrame, keyCol: String,
+      gapSeconds: Long, valueCol: String,
+      watermarkDelay: String = "0 seconds"): DataFrame = {
+    require(gapSeconds >= 1L, "gapSeconds must be >= 1")
+    val dec = DecimalType(18, 6)
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(col(keyCol),
+        session_window(col("ts"), s"$gapSeconds seconds 1 microsecond"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"),
+        sum(col(valueCol).cast(dec)).as("__sv"))
+      .select(col(keyCol), col("n_events"), col("start_us"), col("end_us"),
+        (col("end_us") - col("start_us")).as("duration_us"),
+        col("__sv").cast("string").cast("double").as("sum_value"))
+  }
+
+  /** Streaming new-vs-returning increments — the live twin of x133's
+    * [[graft.operators.EventAnalytics.newVsReturning]]. State per user
+    * is its SET of active buckets (calendar-bounded — days, not events),
+    * and like [[cusumStream]] it runs with NO watermark so late data
+    * self-corrects instead of being dropped: a late event in an EARLIER
+    * bucket emits that bucket's activity increment and, when it steals
+    * the user's first-seen title, a RETRACTION row (`new_inc` −1) for
+    * the bucket previously credited — so per-bucket increment sums equal
+    * the batch operator's exact counts over the events seen so far, at
+    * any point, not just after a watermark closes (spec-gated including
+    * a late-arrival batch).
+    *
+    * Emitted rows: (bucket_us, active_inc, new_inc). Roll up as
+    * n_active = Σ active_inc, n_new = Σ new_inc,
+    * n_returning = n_active − n_new per bucket. */
+  def newVsReturningStream(events: DataFrame, bucketSeconds: Long)
+      : Dataset[(Long, Long, Long)] = {
+    require(bucketSeconds >= 1L, "bucketSeconds must be >= 1")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val busc = bucketSeconds * 1000000L
+    events.select(col("user_id"), unix_micros(col("ts")))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Set[Long], (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[(Long, Long)],
+            state: GroupState[Set[Long]]) =>
+          val seen = state.getOption.getOrElse(Set.empty[Long])
+          val fresh = rows.map(r => Math.floorDiv(r._2, busc)).toSet -- seen
+          if (fresh.isEmpty) Iterator.empty
+          else {
+            state.update(seen ++ fresh)
+            val active = fresh.toSeq.sorted.map(b => (b * busc, 1L, 0L))
+            val newMin = (seen ++ fresh).min
+            val credit =
+              if (seen.isEmpty) Seq((newMin * busc, 0L, 1L))
+              else if (newMin < seen.min)
+                // first-seen moved earlier: credit the new bucket,
+                // retract the stale credit
+                Seq((newMin * busc, 0L, 1L), (seen.min * busc, 0L, -1L))
+              else Seq.empty
+            (active ++ credit).iterator
+          }
+      }
+  }
 }

@@ -1362,4 +1362,103 @@ class ExtensionOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("kCore peels to the dense core: 4-clique survives, chain strands round by round") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("id_a", "id_b")
+    def core(k: Int): Map[Long, Long] =
+      graft.operators.GraphRank.kCore(pairs, "id_a", "id_b", k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // k=2: node 6 peels first (deg 1), which strands node 5 (deg 2 -> 1)
+    // — a SECOND round must fire; the 4-clique remains, each degree 3
+    assert(core(2) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(core(3) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(core(4).isEmpty)
+  }
+
+  test("streaming session windows converge to the batch x100 session features, inclusive-gap edge exact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tsOf: Long => java.sql.Timestamp = s => new java.sql.Timestamp(s * 1000L)
+    val gap = 100L
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val sess = EventStreams.sessionWindowStream(
+      input.toDF().toDF("user_id", "ts", "value"), "user_id", gap, "value")
+    val q = sess.writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    try {
+      // user 1: 0s, 100s (gap EXACTLY == gap -> SAME session, the
+      // inclusive-rule edge the 1µs pad exists for), 150s; then 351s
+      // (gap 201 > 100 -> new session). user 2: a singleton.
+      val events = Seq(
+        (1L, tsOf(0), 1.5), (1L, tsOf(100), 2.0), (1L, tsOf(150), 0.25),
+        (1L, tsOf(351), 4.0),
+        (2L, tsOf(50), 7.0))
+      input.addData(events: _*)
+      q.processAllAvailable()
+      // two watermark sentinels: fold the real max event time into the
+      // watermark, then push it past every open session
+      input.addData((99L, tsOf(100000), 0.0)); q.processAllAvailable()
+      input.addData((98L, tsOf(200000), 0.0)); q.processAllAvailable()
+      val streamed = spark.table("sess_stream")
+        .filter(col("user_id") < 90L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+      val batch = graft.operators.Temporal.sessionFeatures(
+        events.toDF("user_id", "ts", "value"), "user_id", "ts", "ts",
+        gap, "value")
+        .select(col("user_id"), col("n_events"), col("start_us"),
+          col("end_us"), col("duration_us"), col("sum_value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+      assert(batch.size == 3 && streamed == batch,
+        s"streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
+  test("streaming new-vs-returning increments equal batch x133 at every point, late first-seen retracts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val bucketSeconds = 3600L
+    val usOf: (Long, Long) => java.sql.Timestamp = (bucket, off) =>
+      new java.sql.Timestamp(bucket * bucketSeconds * 1000L + off * 1000L)
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val stream = EventStreams.newVsReturningStream(
+      input.toDF().toDF("user_id", "ts"), bucketSeconds)
+      .toDF("bucket_us", "active_inc", "new_inc")
+    val q = stream.writeStream.format("memory").queryName("nvr_stream")
+      .outputMode("append").start()
+    def rolled(): Set[(Long, Long, Long, Long)] =
+      spark.table("nvr_stream").groupBy(col("bucket_us"))
+        .agg(sum("active_inc").as("n_active"), sum("new_inc").as("n_new"))
+        .filter(col("n_active") > 0L)
+        .select(col("bucket_us"), col("n_active"), col("n_new"),
+          (col("n_active") - col("n_new")).as("n_returning"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    def batchOf(ev: Seq[(Long, java.sql.Timestamp)]) =
+      graft.operators.EventAnalytics.newVsReturning(
+        ev.toDF("user_id", "ts"), "user_id", "ts", bucketSeconds)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    try {
+      // batch 1: user 1 in buckets 10 and 11; user 2 in bucket 10
+      val first = Seq((1L, usOf(10, 5)), (1L, usOf(11, 9)), (2L, usOf(10, 30)))
+      input.addData(first: _*)
+      q.processAllAvailable()
+      assert(rolled() == batchOf(first), "mid-stream sums must already match")
+      // batch 2: user 1 arrives LATE in bucket 8 — first-seen moves from
+      // 10 to 8, the stale new-credit at 10 must retract; user 2 repeats
+      // bucket 10 (no emission); user 3 is brand new in 11
+      val second = Seq((1L, usOf(8, 2)), (2L, usOf(10, 45)), (3L, usOf(11, 1)))
+      input.addData(second: _*)
+      q.processAllAvailable()
+      val all = first ++ second
+      assert(rolled() == batchOf(all),
+        s"rolled=${rolled()} batch=${batchOf(all)}")
+      // the retraction really happened: bucket 10 shows active 2, new 1
+      // (user 2 only — user 1's credit moved to bucket 8)
+      assert(rolled().contains((10L * bucketSeconds * 1000000L, 2L, 1L, 1L)))
+    } finally q.stop()
+  }
 }

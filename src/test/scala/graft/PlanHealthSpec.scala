@@ -786,6 +786,19 @@ class PlanHealthSpec extends SparkSpec {
       s"x187 must not use an unpartitioned window:\n$p")
   }
 
+  test("x188: k-core output is left_semi shuffle-hash joins over the persisted edge frame — no cartesian, no window") {
+    val p = plan("x188_kcore")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"x188 grew a non-equi join:\n$p")
+    assert(p.contains("ShuffledHashJoin") && p.contains("LeftSemi"),
+      s"x188 membership must left_semi shuffle-hash:\n$p")
+    assert(!p.contains("Window ["), s"x188 must not window:\n$p")
+    // the peel loop's survivor frames read from the persisted edges, not
+    // a recomputed pair search: the final plan scans an InMemoryRelation
+    assert(p.contains("InMemoryTableScan"),
+      s"x188 must reuse the persisted edge frame:\n$p")
+  }
+
   test("x184: weighted jaccard stays on equi shuffle-hash joins; doc totals join after the pair agg") {
     val p = plan("x184_idf_jaccard")
     // the only BNL allowed is the broadcast 1-row corpus-count attach
