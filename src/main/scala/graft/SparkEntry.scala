@@ -2624,6 +2624,35 @@ object SparkEntry {
         .orderBy(col("id"))
     },
 
+    // ---- X: DP-style noisy cross-tab release (Laplace mechanism,
+    //      sensitivity-1 counts, b = 1/epsilon) — deterministic
+    //      md5-seeded uniform so the release is reproducible and
+    //      oracle-replayable; one partial-agged groupBy to the cell
+    //      frame, noise a narrow per-cell expression ----
+    "x189_dp_noisy_counts" -> { (s, dir) =>
+      graft.operators.Profile.dpNoisyCounts(
+        t(s, dir, "documents"), Seq("source", "lang"), epsilon = 1.0)
+        .orderBy(col("source"), col("lang"))
+    },
+
+    // ---- X: HITS hubs/authorities over the weighted bigram digraph
+    //      (x53's graph, directional reading) — UNNORMALIZED integer
+    //      iterations in DecimalType(38,0), bit-replayable with no
+    //      per-round global double; each half-round one shuffle_hash
+    //      join + one partial-agged groupBy ----
+    "x190_hits" -> { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(split(col("text"), " ").as("ts"))
+        .filter(size(col("ts")) >= 2)
+      val edges = toks
+        .select(posexplode(slice(col("ts"), lit(1), size(col("ts")) - 1))
+          .as(Seq("i", "w1")), col("ts"))
+        .select(col("w1"), element_at(col("ts"), col("i") + 2).as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("wt"))
+      graft.operators.GraphRank.hits(edges, "w1", "w2", "wt")
+        .orderBy(col("node"))
+    },
+
     // ---- X: greedy k-center (farthest-first) diverse-seed selection —
     //      k bounded corpus scans, each a broadcast-literal least() +
     //      partial-agged argmax; the CONSTRUCTIVE sibling of x159's
@@ -4418,6 +4447,42 @@ object SparkEntry {
     // x188: generated 16-round peel unroll over x67's pair CTEs — same
     // fixed program the Spark loop early-stops inside
     "x188_kcore" -> kCoreOracle(2, 16),
+
+    // x189: the Laplace inverse-CDF over the md5-60bit uniform, exactly
+    // the Spark expression (sign/ln/round all IEEE-identical on the
+    // derived double; 2^60 literal as a double divisor)
+    "x189_dp_noisy_counts" ->
+      """WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+                        FROM documents GROUP BY 1, 2),
+         z AS (SELECT source, lang, n,
+                 CAST(('0x' || substr(md5('42|' || source || '|' || lang),
+                   1, 15)) AS BIGINT) / 1152921504606846976.0 AS u
+               FROM cells)
+         SELECT source, lang,
+           round(n + (-1.0) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 6)
+             AS noisy_n,
+           CAST(1.0 AS DOUBLE) AS epsilon
+         FROM z ORDER BY source, lang""",
+
+    // x190: unnormalized integer HITS — HUGEINT carries the exact sums
+    // (Arrow maps it to decimal128(38,0), Spark's DecimalType(38,0))
+    "x190_hits" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+         tl AS (SELECT ws FROM w WHERE len(ws) >= 2),
+         bi AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+                FROM tl, UNNEST(range(1, len(ws))) t(i)),
+         e AS (SELECT w1, w2, CAST(count(*) AS HUGEINT) AS wt
+               FROM bi GROUP BY 1, 2),
+         a1 AS (SELECT w2, sum(wt) AS a1 FROM e GROUP BY 1),
+         h1 AS (SELECT e.w1, sum(e.wt * a1.a1) AS h1
+                FROM e JOIN a1 USING (w2) GROUP BY 1),
+         a2 AS (SELECT e.w2, sum(e.wt * h1.h1) AS a2
+                FROM e JOIN h1 USING (w1) GROUP BY 1)
+         SELECT COALESCE(a2.w2, h1.w1) AS node,
+           CAST(COALESCE(a2.a2, 0) AS DECIMAL(38, 0)) AS authority,
+           CAST(COALESCE(h1.h1, 0) AS DECIMAL(38, 0)) AS hub
+         FROM a2 FULL OUTER JOIN h1 ON a2.w2 = h1.w1
+         ORDER BY node""",
 
     // x177: SQ8 params from the same global min/max agg, codes via the
     // engine-portable floor(+0.5) half-up, asymmetric cosine ranking

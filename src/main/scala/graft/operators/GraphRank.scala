@@ -206,6 +206,41 @@ object GraphRank {
       .select(col("node"), col("old_label"), col("new_label"))
   }
 
+  /** HITS hubs and authorities (Kleinberg 1999) over the weighted
+    * directed graph — run UNNORMALIZED in exact integer arithmetic:
+    * with h0 = 1, a1 = Σ_in wt·h0 and h1 = Σ_out wt·a1 stay integers
+    * (DecimalType(38,0) — a2 is bounded by (Σwt)³, comfortably inside
+    * 38 digits at any corpus this library sees), so every iteration is
+    * bit-replayable on any engine. The textbook per-round L2
+    * normalization is a POSITIVE SCALAR per round — it changes no
+    * ordering and no ratio, but it would force a global double through
+    * both engines each round, the exact cross-engine hazard
+    * [[pageRank]]'s dangling-mass note documents. Two rounds: report
+    * a2 (authority) and h1 (hub); pure sources have authority 0, pure
+    * sinks hub 0.
+    *
+    * 100 TB shape: like [[pageRank]] — each half-round is one
+    * shuffle_hash join of the node-score frame onto the edge frame plus
+    * one partial-agged groupBy; scores are one row per node; nothing
+    * collects to the driver. Output: (node, authority, hub). */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      wtCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(wtCol).cast(dec).as("wt"))
+    val a1 = e.groupBy(col("dst")).agg(sum(col("wt")).as("a1"))
+    val h1 = e.join(a1.hint("shuffle_hash"), Seq("dst"))
+      .groupBy(col("src")).agg(sum(col("wt") * col("a1")).as("h1"))
+    val a2 = e.join(h1.hint("shuffle_hash"), Seq("src"))
+      .groupBy(col("dst")).agg(sum(col("wt") * col("h1")).as("a2"))
+    a2.select(col("dst").as("node"), col("a2"))
+      .join(h1.select(col("src").as("node"), col("h1")),
+        Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("a2"), lit(0)).cast(dec).as("authority"),
+        coalesce(col("h1"), lit(0)).cast(dec).as("hub"))
+  }
+
   /** k-core of the undirected graph (Seidman 1983): the maximal subgraph
     * in which every node has degree >= k, found by iterated peeling —
     * drop nodes with degree < k, recompute degrees in what remains,

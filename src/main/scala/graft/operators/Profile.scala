@@ -234,6 +234,42 @@ object Profile {
       .filter(col("n") < k)
   }
 
+  /** Differentially-private-STYLE noisy release of a cross-tab: per-cell
+    * counts plus Laplace(1/epsilon) noise — the Dwork et al. 2006
+    * mechanism ([[smallCells]] suppresses risky cells; this is the other
+    * standard disclosure control, publishing EVERY cell perturbed).
+    * Counts have sensitivity 1 under add/remove-one-row adjacency, so
+    * the Laplace scale is b = 1/epsilon.
+    *
+    * The uniform driving the inverse-CDF is DETERMINISTIC —
+    * u = md5_60bit(seed|cell)/2^60 — so a release is reproducible
+    * refresh-over-refresh and exactly replayable by the oracle; a
+    * production deployment swaps the seeded uniform for a crypto RNG
+    * (one expression), everything else identical. (Deterministic
+    * per-cell noise also means re-running the release leaks nothing new
+    * — fresh noise per query would compose the budget per run.)
+    * noise = −b · sign(u−½) · ln(1 − 2|u−½|): a fixed double expression
+    * over one exact integer, identical cross-engine (the trigram-LM ln
+    * discipline), rounded once.
+    *
+    * 100 TB shape: ONE partial-agged groupBy to the cell frame; the
+    * noise is a narrow per-cell expression on cell-count rows. Output:
+    * (cols…, noisy_n, epsilon). */
+  def dpNoisyCounts(df: DataFrame, cols: Seq[String], epsilon: Double,
+      seed: Int = 42): DataFrame = {
+    require(cols.nonEmpty && epsilon > 0.0, "need cells and epsilon > 0")
+    val cell = concat_ws("|", lit(seed.toString) +: cols.map(col): _*)
+    val u = graft.functions.TextFunctions.md5Long(cell).cast("double") /
+      lit(1152921504606846976.0) // 2^60
+    val ctr = u - lit(0.5)
+    val noise = lit(-1.0 / epsilon) * signum(ctr) *
+      log(lit(1.0) - lit(2.0) * abs(ctr))
+    df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("n"))
+      .select(cols.map(col) ++ Seq(
+        round(col("n") + noise, 6).as("noisy_n"),
+        lit(epsilon).as("epsilon")): _*)
+  }
+
   /** Population stability index between two numeric distributions — the
     * industry-standard drift number (PSI < 0.1 stable, > 0.25 shifted)
     * for "did this feature/score move between snapshots", the NUMERIC

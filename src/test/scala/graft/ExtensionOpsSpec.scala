@@ -1363,6 +1363,50 @@ class ExtensionOpsSpec extends SparkSpec {
     }
   }
 
+  test("hits: hand-computed integer hub/authority scores; pure source and sink get zeros") {
+    // a->b (wt 2), a->c (1), b->c (3): a1 = {b:2, c:4};
+    // h1 = {a: 2*2 + 1*4 = 8, b: 3*4 = 12};
+    // a2 = {b: 2*8 = 16, c: 1*8 + 3*12 = 44}
+    val edges = Seq(("a", "b", 2L), ("a", "c", 1L), ("b", "c", 3L))
+      .toDF("src", "dst", "wt")
+    val out = graft.operators.GraphRank.hits(edges, "src", "dst", "wt")
+      .collect().map(r => (r.getString(0),
+        r.getDecimal(1).longValueExact(), r.getDecimal(2).longValueExact()))
+      .toSet
+    assert(out == Set(("a", 0L, 8L), ("b", 16L, 12L), ("c", 44L, 0L)))
+  }
+
+  test("dpNoisyCounts: md5-seeded Laplace noise replays locally; scale halves when epsilon doubles") {
+    def md5l(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16)
+    }
+    def lap(cell: String, eps: Double): Double = {
+      val u = md5l(s"42|$cell").toDouble / 1152921504606846976.0
+      -1.0 / eps * math.signum(u - 0.5) * math.log(1.0 - 2.0 * math.abs(u - 0.5))
+    }
+    val df = Seq(("s1", "en"), ("s1", "en"), ("s1", "de"), ("s2", "en"))
+      .toDF("source", "lang")
+    def run(eps: Double): Map[(String, String), Double] =
+      graft.operators.Profile.dpNoisyCounts(df, Seq("source", "lang"), eps)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+        .toMap
+    val r1 = run(1.0)
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r1 == Map(
+      ("s1", "en") -> r6(2.0 + lap("s1|en", 1.0)),
+      ("s1", "de") -> r6(1.0 + lap("s1|de", 1.0)),
+      ("s2", "en") -> r6(1.0 + lap("s2|en", 1.0))))
+    // Laplace scale b = 1/eps: doubling epsilon halves every deviation
+    val r2 = run(2.0)
+    for (k <- r1.keys) {
+      val n = if (k == ("s1", "en")) 2.0 else 1.0
+      assert(math.abs((r2(k) - n) - (r1(k) - n) / 2.0) < 2e-6, s"$k")
+    }
+  }
+
   test("kCore peels to the dense core: 4-clique survives, chain strands round by round") {
     val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
       (3L, 4L), (4L, 5L), (5L, 6L)).toDF("id_a", "id_b")

@@ -799,6 +799,22 @@ class PlanHealthSpec extends SparkSpec {
       s"x188 must reuse the persisted edge frame:\n$p")
   }
 
+  test("x189: noisy release is one aggregate to the cell frame plus a narrow expression — no join, no window") {
+    val p = plan("x189_dp_noisy_counts")
+    assert(!p.contains("Join") && !p.contains("Window ["),
+      s"x189 must stay join/window-free:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"x189 cell counts must partial-aggregate:\n$p")
+  }
+
+  test("x190: HITS half-rounds are equi shuffle-hash joins on the edge frame — no cartesian") {
+    val p = plan("x190_hits")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"x190 grew a non-equi join:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"x190 score joins must shuffle-hash:\n$p")
+  }
+
   test("x184: weighted jaccard stays on equi shuffle-hash joins; doc totals join after the pair agg") {
     val p = plan("x184_idf_jaccard")
     // the only BNL allowed is the broadcast 1-row corpus-count attach
