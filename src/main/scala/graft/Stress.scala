@@ -425,7 +425,15 @@ object Stress {
         // naive per-lang quantile would pay
         "ccnet_buckets" -> (() =>
           operators.LanguageModel.perLangPerplexityBuckets(
-            docs, "doc_id", "text", "lang").count()))
+            docs, "doc_id", "text", "lang").count()),
+        // the iterative peel: pair volume grows with the replicas
+        // (within-replica near-dups only), round count stays the graph's
+        // own degeneracy depth — wall must track the pair search, not
+        // superlinear in rounds
+        "kcore" -> (() =>
+          operators.GraphRank.kCore(
+            operators.Dedup.minhashLshPairs(docs, "doc_id", "text"),
+            "id_a", "id_b", k = 2).count()))
 
       // SPARK_GRAFT_STRESS_OPS=a,b,c runs only the named ops (bisection
       // runs shouldn't pay the full sweep per hypothesis)

@@ -326,20 +326,21 @@ object Dedup {
     * truncated window (= global min); documents shorter than k tokens
     * have no k-grams and drop out.
     *
-    * 100 TB shape: ONE narrow projection — k-gram hashing and window
-    * minima are per-row array transforms (no corpus-order window, no
-    * shuffle) — then an explode of the ~2/(w+1)-density fingerprint set.
+    * 100 TB shape: ONE narrow projection — hashing and window minima run
+    * inside the codegen'd [[graft.functions.WinnowFingerprints]]
+    * expression, one pass per row (the graft_minhash treatment: the
+    * column-composed md5 transform + per-window slices were interpreted
+    * HOFs, the x116 hazard class, and dominated the operator's wall
+    * time) — then an explode of the ~2/(w+1)-density fingerprint set.
     * Output: (id, fp) distinct per doc. */
   def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, "k and w must be >= 1")
-    val hs = transform(ngrams(col(textCol), k), g => md5Long(g))
-    val nw = greatest(size(col("hs")) - lit(w - 1), lit(1))
-    df.select(col(idCol).as("id"), hs.as("hs"))
-      .filter(size(col("hs")) > 0)
-      .select(col("id"),
-        explode(array_distinct(transform(sequence(lit(0), nw - 1),
-          i => array_min(slice(col("hs"), i + 1, lit(w)))))).as("fp"))
+    df.select(col(idCol).as("id"),
+      graft.functions.WinnowExpression.fingerprints(
+        df.sparkSession, split(col(textCol), " "), k, w).as("fps"))
+      .filter(col("fps").isNotNull)
+      .select(col("id"), explode(col("fps")).as("fp"))
   }
 
   /** Near-dup candidate pairs from shared winnowing fingerprints: pairs
@@ -358,7 +359,16 @@ object Dedup {
   def winnowingPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, w: Int = 4, minShared: Int = 2,
       maxFpFreq: Option[Int] = None): DataFrame = {
+    // the selection scan (md5 per k-gram + the window-min ladder) is the
+    // expensive leg and feeds FOUR consumers (hot-list, cap anti-join,
+    // both self-join sides) — persist it once, release on the consumer's
+    // first action (the pageRank/kCore lifecycle); without this the plan
+    // re-runs the scan per consumer (measured 4x at sf0.1)
     val idx0 = winnowingFingerprints(df, idCol, textCol, k, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    graft.plans.Persists.onNextAction(df.sparkSession) { () =>
+      idx0.unpersist(); ()
+    }
     val idx = maxFpFreq match {
       case None => idx0
       case Some(cap) =>

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
 
-import graft.functions.{DotProduct, MinhashSignature, SimhashFingerprint, VectorExpressions}
+import graft.functions.{DotProduct, MinhashSignature, SimhashFingerprint, VectorExpressions, WinnowFingerprints}
 
 /** SparkSessionExtensions hook: registers graft's native expressions in the
   * session catalog so plain SQL resolves them without any Scala-side
@@ -37,5 +37,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimhashFingerprint].getName, "graft_simhash"),
       (exprs: Seq[Expression]) => SimhashFingerprint(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow"),
+      (exprs: Seq[Expression]) => (exprs(1), exprs(2)) match {
+        case (IntegerLiteral(k), IntegerLiteral(w)) =>
+          WinnowFingerprints(exprs(0), k, w)
+        case other => throw new IllegalArgumentException(
+          s"graft_winnow's k and w must be literal ints, got $other")
+      }))
   }
 }

@@ -29,21 +29,25 @@ class ExtensionsSpec extends SparkSpec {
     val s2 = spark.newSession()
     graft.functions.MinhashExpression.register(s2)
     graft.functions.SimhashExpression.register(s2)
+    graft.functions.WinnowExpression.register(s2)
     // same builders the extension injects — SQL text resolves and agrees
     // with the Column-API wrappers bit-for-bit
     val viaSql = s2.sql(
       "SELECT graft_minhash(split('a b c', ' '), 4) AS mh, " +
-        "graft_simhash(split('a b c', ' ')) AS sh").head
+        "graft_simhash(split('a b c', ' ')) AS sh, " +
+        "graft_winnow(split('a b c d e f', ' '), 3, 4) AS wf").head
     import org.apache.spark.sql.functions.{col, split}
     val viaApi = {
-      val df = s2.sql("SELECT 'a b c' AS t")
+      val df = s2.sql("SELECT 'a b c' AS t, 'a b c d e f' AS t6")
       df.select(
         graft.functions.MinhashExpression.signature(s2, split(col("t"), " "), 4).as("mh"),
-        graft.functions.SimhashExpression.fingerprint(s2, split(col("t"), " ")).as("sh"))
+        graft.functions.SimhashExpression.fingerprint(s2, split(col("t"), " ")).as("sh"),
+        graft.functions.WinnowExpression.fingerprints(s2, split(col("t6"), " "), 3, 4).as("wf"))
         .head
     }
     assert(viaSql.getSeq[Long](0) == viaApi.getSeq[Long](0))
     assert(viaSql.getLong(1) == viaApi.getLong(1))
+    assert(viaSql.getSeq[Long](2) == viaApi.getSeq[Long](2))
     // injection into a bare SparkSessionExtensions is side-effect free
     // (builders only run at resolution time)
     new graft.plans.GraftExtensions()
