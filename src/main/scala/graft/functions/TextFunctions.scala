@@ -31,14 +31,21 @@ object TextFunctions {
     array_distinct(ngrams(text, n))
 
   /** Word n-grams WITH duplicates (positional), as space-joined strings —
-    * the repetition-measure base ([[shingles]] is the distinct set form). */
+    * the repetition-measure base ([[shingles]] is the distinct set form).
+    * Backed by the one-pass codegen'd [[NgramShingles]] expression
+    * (string-identical to the former transform/slice/array_join HOF
+    * chain, which ran interpreted and allocated per gram — the x116
+    * hazard class; this is the hot scan under every shingle-keyed
+    * operator). */
   def ngrams(text: Column, n: Int): Column = {
-    val ws = tokens(text)
-    // guard: sequence(1, 0) would generate a DESCENDING [1, 0] in Spark
-    when(size(ws) < n, array().cast("array<string>"))
-      .otherwise(
-        transform(sequence(lit(1), size(ws) - (n - 1)),
-          i => array_join(slice(ws, i, lit(n)), " ")))
+    require(n >= 1, "n must be >= 1")
+    // columns are built on the driver, where an active session always
+    // exists — the same self-registration pattern as MinhashExpression,
+    // without threading a session through every TextFunctions caller
+    val spark = org.apache.spark.sql.SparkSession.active
+    NgramExpression.register(spark)
+    org.apache.spark.sql.functions.call_function(
+      NgramExpression.Name, tokens(text), org.apache.spark.sql.functions.lit(n))
   }
 
   /** Fraction of n-gram occurrences that are repeats of an earlier one:
