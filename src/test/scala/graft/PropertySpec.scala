@@ -209,4 +209,47 @@ class PropertySpec extends SparkSpec {
         s"funnel variants diverged: $windowed vs $unbounded")
     }
   }
+
+  test("property: graft_ngrams equals the slide-and-join reference over random unicode tokens") {
+    // tokens drawn from a unicode-ish alphabet, no whitespace (split
+    // semantics); doc sizes straddle n so the empty-below-n edge fires
+    val tokGen = Gen.nonEmptyListOf(
+      Gen.oneOf("a", "bb", "cßé", "日本", "x7", "_", "émü")).map(_.take(12))
+    forAll(Gen.zip(tokGen, Gen.chooseNum(1, 4)), n = 8) { case (toks, n) =>
+      val text = toks.mkString(" ")
+      val ws = text.split(" ", -1).toSeq
+      val want =
+        if (ws.size < n) Seq.empty[String]
+        else (0 to ws.size - n).map(i => ws.slice(i, i + n).mkString(" "))
+      val got = Seq(Tuple1(text)).toDF("text")
+        .select(graft.functions.TextFunctions.ngrams(col("text"), n).as("g"))
+        .head().getSeq[String](0)
+      assert(got == want, s"n=$n toks=$toks")
+    }
+  }
+
+  test("property: graft_winnow equals the md5 window-min replay over random docs") {
+    def md5l(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16)
+    }
+    def replay(toks: Seq[String], k: Int, w: Int): Set[Long] = {
+      val hs = toks.sliding(k).filter(_.length == k)
+        .map(g => md5l(g.mkString(" "))).toVector
+      if (hs.isEmpty) Set.empty
+      else (0 until math.max(hs.size - w + 1, 1))
+        .map(i => hs.slice(i, i + w).min).toSet
+    }
+    val tokGen = Gen.nonEmptyListOf(
+      Gen.oneOf("p", "qq", "röt", "漢字", "z9")).map(_.take(15))
+    forAll(Gen.zip(tokGen, Gen.chooseNum(1, 4), Gen.chooseNum(1, 5)),
+        n = 8) { case (toks, k, w) =>
+      val got = graft.operators.Dedup.winnowingFingerprints(
+          Seq((1L, toks.mkString(" "))).toDF("doc_id", "text"),
+          "doc_id", "text", k, w)
+        .collect().map(_.getLong(1)).toSet
+      assert(got == replay(toks, k, w), s"k=$k w=$w toks=$toks")
+    }
+  }
 }
