@@ -2653,6 +2653,17 @@ object SparkEntry {
         .orderBy(col("node"))
     },
 
+    // ---- X: Poisson bootstrap CI for the mean of an integer corpus
+    //      metric (Efron 1979, the at-scale resampling form) — B
+    //      replicate sums in ONE aggregate pass (2B integer agg
+    //      expressions, no explode, no row replication); weights invert
+    //      a pinned Poisson(1) CDF at a seeded md5 uniform, so the
+    //      release is deterministic and oracle-replayable ----
+    "x191_bootstrap_ci" -> { (s, dir) =>
+      graft.operators.Evaluation.bootstrapCiMean(
+        t(s, dir, "documents"), "doc_id", "n_chars")
+    },
+
     // ---- X: greedy k-center (farthest-first) diverse-seed selection —
     //      k bounded corpus scans, each a broadcast-literal least() +
     //      partial-agged argmax; the CONSTRUCTIVE sibling of x159's
@@ -3580,6 +3591,43 @@ object SparkEntry {
          GROUP BY e.a ORDER BY id"""
   }
 
+  /** x191 oracle: the same pinned Poisson(1) CDF literals, the same
+    * seeded md5 uniform, the same one-pass 2B-sum aggregate — generated
+    * from the identical threshold table the Spark operator folds. */
+  private def bootstrapOracle(b: Int, seed: Int): String = {
+    val cdf = graft.operators.Evaluation.PoissonCdf
+    def u(r: Int): String =
+      s"(CAST(('0x' || substr(md5('$seed|$r|' || CAST(doc_id AS VARCHAR)), " +
+        s"1, 15)) AS BIGINT) / 1152921504606846976.0)"
+    val us = (0 until b).map(r => s"${u(r)} AS u$r").mkString(",\n             ")
+    val ws = (0 until b).map { r =>
+      val cases = cdf.zipWithIndex
+        .map { case (c, k) => s"WHEN u$r < $c THEN $k" }.mkString(" ")
+      s"(CASE $cases ELSE ${cdf.size} END) AS w$r"
+    }.mkString(",\n             ")
+    val sums = (0 until b).map(r =>
+      s"sum(w$r * n_chars) AS wx$r, sum(w$r) AS w$r")
+      .mkString(",\n             ")
+    val ms = (0 until b).map(r =>
+      s"CAST(wx$r AS DOUBLE) / CAST(w$r AS DOUBLE)").mkString(", ")
+    s"""WITH un AS (SELECT n_chars, doc_id FROM documents),
+         uu AS (SELECT n_chars,
+             $us
+           FROM un),
+         ww AS (SELECT n_chars,
+             $ws
+           FROM uu),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS sx,
+             $sums
+           FROM ww),
+         m AS (SELECT n, sx, list_sort([$ms]) AS ms FROM s)
+         SELECT n, round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+           round(ms[2], 6) AS ci_lo, round(ms[${b - 1}], 6) AS ci_hi,
+           CAST($b AS BIGINT) AS n_replicates
+         FROM m"""
+  }
+
   /** x174/x176: the learned k-round merge list. Sentinel rounds (NULL
     * pair_count) are filtered so a degenerate corpus yields the same
     * short list the Spark trainer's early stop returns. */
@@ -4447,6 +4495,10 @@ object SparkEntry {
     // x188: generated 16-round peel unroll over x67's pair CTEs — same
     // fixed program the Spark loop early-stops inside
     "x188_kcore" -> kCoreOracle(2, 16),
+
+    // x191: generated 2B-sum bootstrap aggregate from the same pinned
+    // Poisson CDF table the operator folds
+    "x191_bootstrap_ci" -> bootstrapOracle(32, 7),
 
     // x189: the Laplace inverse-CDF over the md5-60bit uniform, exactly
     // the Spark expression (sign/ln/round all IEEE-identical on the

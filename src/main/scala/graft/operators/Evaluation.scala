@@ -572,6 +572,66 @@ object Evaluation {
         round(col("__avg"), 6).as("avg_set_size"))
   }
 
+  /** Poisson(1) CDF thresholds for the seeded bootstrap — FIXED literals
+    * shared verbatim with the SQL oracle, so the inverse-CDF draw is
+    * identical on any engine (u < c_k comparisons of one exact-integer-
+    * derived double against pinned constants). k > 9 has probability
+    * < 1.2e-7 and caps at 10. */
+  val PoissonCdf: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253, 0.999998874797402,
+    0.9999998885745216)
+
+  /** Poisson bootstrap confidence interval for the mean of an integer
+    * metric (Efron 1979; the Poisson(1) approximation to multinomial
+    * resampling — the standard form AT SCALE because each row draws its
+    * replicate weights independently, no global resample pass): B
+    * replicate means Σw_b·x / Σw_b with w_b ~ Poisson(1) per (row, b),
+    * CI from fixed order statistics of the sorted replicate means.
+    *
+    * DETERMINISTIC: w_b inverts the pinned [[PoissonCdf]] at
+    * u = md5_60bit(seed|b|key)/2^60 — reproducible refresh-over-refresh
+    * and exactly oracle-replayable (the x189 seeded-mechanism
+    * discipline). Sums are exact integers; each replicate mean is one
+    * double division; the CI bounds are ORDER STATISTICS of the B-array
+    * (b=32: the 2nd and 31st sorted means ≈ a 94% interval), never an
+    * interpolation.
+    *
+    * 100 TB shape: ONE aggregate pass with 2B integer agg expressions —
+    * no explode, no row replication, no shuffle beyond the single
+    * partial-agged reduce; everything after is a B-length array on one
+    * row. Output: one row (n, mean, ci_lo, ci_hi, n_replicates). */
+  def bootstrapCiMean(df: DataFrame, keyCol: String, valueCol: String,
+      b: Int = 32, seed: Int = 7): DataFrame = {
+    require(b >= 4, "need at least 4 replicates for order-stat bounds")
+    val x = col(valueCol).cast("long")
+    def weight(rep: Int): Column = {
+      val u = graft.functions.TextFunctions.md5Long(
+        concat_ws("|", lit(seed.toString), lit(rep.toString),
+          col(keyCol).cast("string"))).cast("double") /
+        lit(1152921504606846976.0) // 2^60
+      PoissonCdf.zipWithIndex.foldRight(lit(PoissonCdf.size.toLong)) {
+        case ((c, k), els) => when(u < c, k.toLong).otherwise(els)
+      }
+    }
+    val aggs =
+      Seq(count(lit(1)).as("n"), sum(x).as("sx")) ++
+        (0 until b).flatMap { r =>
+          val w = weight(r)
+          Seq(sum(w * x).as(s"wx$r"), sum(w).as(s"w$r"))
+        }
+    val means = array((0 until b).map(r =>
+      col(s"wx$r").cast("double") / col(s"w$r").cast("double")): _*)
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(col("n"),
+        round(col("sx").cast("double") / col("n").cast("double"), 6)
+          .as("mean"),
+        round(element_at(array_sort(means), 2), 6).as("ci_lo"),
+        round(element_at(array_sort(means), b - 1), 6).as("ci_hi"),
+        lit(b.toLong).as("n_replicates"))
+  }
+
   /** Adjusted Rand Index (Hubert & Arabie 1985) between a clustering
     * assignment and reference labels — the chance-corrected agreement
     * number that decides whether a clustering-based curation step

@@ -284,4 +284,42 @@ class EvaluationSpec extends SparkSpec {
     assert(r.getDouble(3) == 0.8)   // coverage: eval id 3 (s=0.5) misses
     assert(r.getDouble(4) == 0.8)   // avg prediction-set size
   }
+
+  test("bootstrapCiMean: replicate weights replay locally; CI brackets the mean; deterministic") {
+    def md5l(x: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16)
+    }
+    def pois(u: Double): Long = {
+      val cdf = Evaluation.PoissonCdf
+      val i = cdf.indexWhere(u < _)
+      if (i < 0) cdf.size.toLong else i.toLong
+    }
+    val rows = (1L to 200L).map(i => (i, 10L + (i % 17)))
+    val df = rows.toDF("doc_id", "n_chars")
+    val r = Evaluation.bootstrapCiMean(df, "doc_id", "n_chars",
+      b = 32, seed = 7).head()
+    // local replay of the full replicate-mean set
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ms = (0 until 32).map { rep =>
+      var wx = 0L; var w = 0L
+      rows.foreach { case (id, x) =>
+        val u = md5l(s"7|$rep|$id").toDouble / 1152921504606846976.0
+        val wt = pois(u); wx += wt * x; w += wt
+      }
+      wx.toDouble / w.toDouble
+    }.sorted
+    assert(r.getLong(0) == 200L)
+    assert(r.getDouble(1) == r6(rows.map(_._2).sum.toDouble / 200.0))
+    assert(r.getDouble(2) == r6(ms(1)))   // 2nd order stat
+    assert(r.getDouble(3) == r6(ms(30)))  // 31st order stat
+    assert(r.getDouble(2) <= r.getDouble(1) && r.getDouble(1) <= r.getDouble(3),
+      "CI must bracket the mean on this fixture")
+    // determinism: a second run is bit-identical
+    val r2 = Evaluation.bootstrapCiMean(df, "doc_id", "n_chars",
+      b = 32, seed = 7).head()
+    assert(r.toSeq == r2.toSeq)
+  }
 }
