@@ -2653,6 +2653,16 @@ object SparkEntry {
         .orderBy(col("node"))
     },
 
+    // ---- X: sketch-based join-size estimation (CM inner product, the
+    //      "will this self-join explode" planner pre-flight) — estimate
+    //      from O(depth x width) state per side; the gate ALSO computes
+    //      the exact Σ c(k)² truth and proves the one-sided bound ----
+    "x192_join_size_estimate" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").select(col("l_suppkey"))
+      graft.operators.FrequentItems.cmJoinSizeEstimate(
+        li, "l_suppkey", li, "l_suppkey", depth = 4, width = 512)
+    },
+
     // ---- X: Poisson bootstrap CI for the mean of an integer corpus
     //      metric (Efron 1979, the at-scale resampling form) — B
     //      replicate sums in ONE aggregate pass (2B integer agg
@@ -4499,6 +4509,27 @@ object SparkEntry {
     // x191: generated 2B-sum bootstrap aggregate from the same pinned
     // Poisson CDF table the operator folds
     "x191_bootstrap_ci" -> bootstrapOracle(32, 7),
+
+    // x192: x94's cell CTEs on both sides of the self-join key, per-row
+    // inner products, min — and the exact Σ c(k)² truth next to it
+    "x192_join_size_estimate" ->
+      """WITH ks AS (SELECT CAST(l_suppkey AS VARCHAR) AS item FROM lineitem
+                     WHERE l_suppkey IS NOT NULL),
+         cells AS (SELECT r,
+             ('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || item), 1, 15))::BIGINT
+               % 512 AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+           FROM ks, UNNEST(range(4)) t(r) GROUP BY 1, 2),
+         est AS (SELECT min(e) AS cm_estimate FROM (
+             SELECT r, sum(n * n) AS e FROM cells GROUP BY r)),
+         fk AS (SELECT item, CAST(count(*) AS BIGINT) AS c
+                FROM ks GROUP BY 1),
+         ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact_size FROM fk)
+         SELECT exact_size, CAST(cm_estimate AS BIGINT) AS cm_estimate,
+           cm_estimate >= exact_size AS overestimates,
+           round(CAST(cm_estimate - exact_size AS DOUBLE)
+             / CAST(exact_size AS DOUBLE), 6) AS rel_error
+         FROM ex, est""",
 
     // x189: the Laplace inverse-CDF over the md5-60bit uniform, exactly
     // the Spark expression (sign/ln/round all IEEE-identical on the

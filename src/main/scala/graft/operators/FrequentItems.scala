@@ -193,4 +193,47 @@ object FrequentItems {
       queryItemCol: String, depth: Int = 4, width: Int = 512): DataFrame =
     countMinEstimate(countMinCells(df, itemCol, depth, width),
       queries, queryItemCol, depth, width)
+
+  /** Equi-join SIZE estimation from two count-min sketches (Cormode &
+    * Muthukrishnan 2005 §4.2: |A ⋈_k B| = Σ_k cA(k)·cB(k) is the inner
+    * product of the frequency vectors, estimated by min over sketch rows
+    * of Σ_bucket cellA·cellB) — the "will this join explode" pre-flight a
+    * planner runs from O(depth × width) state per side WITHOUT touching
+    * either table again. Estimate >= exact always (same-bucket
+    * collisions only add mass); est <= exact + N_A·N_B/width w.h.p.
+    *
+    * The gate computes the EXACT size too (two key-count aggregates +
+    * one key join — the expensive truth this sketch exists to avoid) and
+    * proves the one-sided bound as data: `overestimates` must be true.
+    * All arithmetic integer-exact on md5-derived cells, so any engine
+    * reproduces the same estimate from the same sketches.
+    *
+    * 100 TB shape: each side is one [[countMinCells]] scan (shuffle
+    * bounded by depth × width × partitions); the inner product joins two
+    * ≤ depth×width cell frames. Output: one row (exact_size, cm_estimate,
+    * overestimates, rel_error). */
+  def cmJoinSizeEstimate(a: DataFrame, keyA: String, b: DataFrame,
+      keyB: String, depth: Int = 4, width: Int = 512): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val ca = countMinCells(a, keyA, depth, width)
+      .select(col("r"), col("bucket"), col("n").as("na"))
+    val cb = countMinCells(b, keyB, depth, width)
+      .select(col("r"), col("bucket"), col("n").as("nb"))
+    val est = ca.join(cb.hint("shuffle_hash"), Seq("r", "bucket"))
+      .groupBy(col("r")).agg(sum(col("na") * col("nb")).as("e"))
+      .agg(min(col("e")).as("cm_estimate"))
+    val fa = a.select(col(keyA).cast("string").as("k"))
+      .filter(col("k").isNotNull).groupBy(col("k"))
+      .agg(count(lit(1)).as("ca"))
+    val fb = b.select(col(keyB).cast("string").as("k"))
+      .filter(col("k").isNotNull).groupBy(col("k"))
+      .agg(count(lit(1)).as("cb"))
+    val exact = fa.join(fb.hint("shuffle_hash"), Seq("k"))
+      .agg(sum(col("ca") * col("cb")).as("exact_size"))
+    exact.crossJoin(broadcast(est))
+      .select(col("exact_size"), col("cm_estimate"),
+        (col("cm_estimate") >= col("exact_size")).as("overestimates"),
+        round((col("cm_estimate") - col("exact_size")).cast(DoubleType) /
+          col("exact_size").cast(DoubleType), 6).as("rel_error"))
+  }
 }

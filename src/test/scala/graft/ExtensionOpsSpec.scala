@@ -1363,6 +1363,29 @@ class ExtensionOpsSpec extends SparkSpec {
     }
   }
 
+  test("cmJoinSizeEstimate: exact inner product on a hand fixture; one-sided bound holds; collisions only add") {
+    val a = (Seq.fill(3)("a") ++ Seq.fill(2)("b") ++ Seq("c")).map(Tuple1(_))
+      .toDF("k")
+    // self-join size = 3² + 2² + 1² = 14; width 512 >> 3 keys, so with
+    // overwhelming probability no collision and the estimate is EXACT —
+    // and the bound must hold regardless
+    val r = graft.operators.FrequentItems
+      .cmJoinSizeEstimate(a, "k", a, "k").head()
+    assert(r.getLong(0) == 14L)
+    assert(r.getBoolean(2), "count-min join-size must never underestimate")
+    assert(r.getLong(1) == 14L, "3 keys in 512 buckets should not collide")
+    // asymmetric sides: A has a x3, b x1; B has a x2, c x5 -> exact 6
+    val b = (Seq.fill(2)("a") ++ Seq.fill(5)("c")).map(Tuple1(_)).toDF("k")
+    val a2 = (Seq.fill(3)("a") ++ Seq("b")).map(Tuple1(_)).toDF("k")
+    val r2 = graft.operators.FrequentItems
+      .cmJoinSizeEstimate(a2, "k", b, "k").head()
+    assert(r2.getLong(0) == 6L && r2.getBoolean(2))
+    // a tiny width forces collisions: the estimate may only grow
+    val r3 = graft.operators.FrequentItems
+      .cmJoinSizeEstimate(a2, "k", b, "k", depth = 4, width = 2).head()
+    assert(r3.getLong(1) >= 6L && r3.getBoolean(2))
+  }
+
   test("hits: hand-computed integer hub/authority scores; pure source and sink get zeros") {
     // a->b (wt 2), a->c (1), b->c (3): a1 = {b:2, c:4};
     // h1 = {a: 2*2 + 1*4 = 8, b: 3*4 = 12};

@@ -815,6 +815,17 @@ class PlanHealthSpec extends SparkSpec {
       s"x190 score joins must shuffle-hash:\n$p")
   }
 
+  test("x192: sketch sides and the exact truth reduce before joining; only the 1-row combine is a broadcast cross") {
+    val p = plan("x192_join_size_estimate")
+    assert(!p.contains("CartesianProduct"), s"x192 grew a real cartesian:\n$p")
+    assert(!p.replaceAll(
+      "BroadcastNestedLoopJoin BuildRight, Cross", "").contains(
+      "BroadcastNestedLoopJoin"),
+      s"x192's only cross must be the broadcast 1-row combine:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"x192 cell/count joins must shuffle-hash:\n$p")
+  }
+
   test("x184: weighted jaccard stays on equi shuffle-hash joins; doc totals join after the pair agg") {
     val p = plan("x184_idf_jaccard")
     // the only BNL allowed is the broadcast 1-row corpus-count attach
