@@ -2663,6 +2663,90 @@ object SparkEntry {
         li, "l_suppkey", li, "l_suppkey", depth = 4, width = 512)
     },
 
+    // ---- X: modularity of the SOURCE partition over the near-dup pair
+    //      graph (Newman-Girvan 2004) — is duplication intra-source or
+    //      cross-source; exact-integer within/degree sums against a
+    //      broadcast 1-row edge total. The oracle replays the true
+    //      jaccard>=0.8 graph the x3 gate proves identical to the LSH
+    //      pair set ----
+    "x193_source_modularity" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.GraphRank.partitionModularity(
+        graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text"),
+        "id_a", "id_b", docs, "doc_id", "source")
+        .orderBy(col("community"))
+    },
+
+    // ---- X: deterministic seeded epoch shuffle — a seeded-md5 global
+    //      permutation dealt round-robin into 8 shards (the between-epoch
+    //      training-data reshuffle, byte-reproducible under retries);
+    //      range-partitioned sort + two-pass rank, no single-partition
+    //      window ----
+    "x194_epoch_shuffle" -> { (s, dir) =>
+      graft.operators.CorpusOps.epochShuffle(
+        t(s, dir, "documents"), "doc_id", seed = 7, nShards = 8)
+        .select(col("doc_id"), col("shard"), col("shard_pos"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- X: compaction planner — per-source next-fit byte packing in
+    //      doc_id order against a 4 KiB target; one keyed window + one
+    //      partial-agged groupBy ----
+    "x195_compaction_plan" -> { (s, dir) =>
+      graft.operators.CorpusOps.compactionPlan(
+        t(s, dir, "documents"), "source", "doc_id", "n_chars",
+        targetBytes = 4096L)
+        .orderBy(col("source"), col("bin"))
+    },
+
+    // ---- X: Neyman-optimal stratified allocation (N_h*sigma_h) for a
+    //      200-row budget — the sqrt argument is exact BIGINT moments, so
+    //      the rounded allocations agree cross-engine ----
+    "x196_neyman_allocation" -> { (s, dir) =>
+      graft.operators.CorpusOps.neymanAllocation(
+        t(s, dir, "documents"), "source", "n_chars", totalN = 200L)
+        .orderBy(col("source"))
+    },
+
+    // ---- X: Fellegi-Sunter record-linkage weights — m/u agreement
+    //      probabilities per field over the x57 probe-sampled dist<=1
+    //      match pairs and the x82-style seeded negative pairs; two
+    //      1-row agreement aggregates fanned out per field ----
+    "x197_fs_weights" -> { (s, dir) =>
+      val cust = t(s, dir, "customer")
+      val matches = graft.operators.FuzzyJoin.linkProbes(
+          cust, cust.filter(col("c_custkey") % 100 === 0),
+          "c_custkey", "c_name", k = 1)
+        .select(col("probe_c_custkey"), col("c_custkey"))
+      val nonmatches = graft.operators.Selection.negativePairs(
+          cust, "c_custkey", k = 3, n = cust.count())
+        .select(col("anchor"), col("negative"))
+      graft.operators.EntityResolution.fellegiSunterWeights(
+        cust, "c_custkey", matches, nonmatches,
+        Seq("acct_sign" -> "c_acctbal >= 0", "nation" -> "c_nationkey",
+          "segment" -> "c_mktsegment"))
+        .orderBy(col("field"))
+    },
+
+    // ---- X: CUPED variance-reduced A/B readout (Deng et al. 2013) —
+    //      pre-period covariate, pooled theta, md5 arm assignment; one
+    //      per-user groupBy + a broadcast 1-row moment frame ----
+    "x198_cuped" -> { (s, dir) =>
+      graft.operators.EventAnalytics.cupedAdjust(
+        t(s, dir, "events"), "user_id", "ts", "value",
+        cutoff = "2024-01-16 00:00:00", arms = 2)
+        .orderBy(col("arm"))
+    },
+
+    // ---- X: range-partition planner — exact key-granular split layout
+    //      for 8 partitions; per-row work is one groupBy(key), everything
+    //      else runs on the bounded distinct-key frame ----
+    "x199_range_splits" -> { (s, dir) =>
+      graft.operators.Scale.rangeSplits(
+        t(s, dir, "documents"), "n_chars", nParts = 8)
+        .orderBy(col("part"))
+    },
+
     // ---- X: Poisson bootstrap CI for the mean of an integer corpus
     //      metric (Efron 1979, the at-scale resampling form) — B
     //      replicate sums in ONE aggregate pass (2B integer agg
@@ -4530,6 +4614,191 @@ object SparkEntry {
            round(CAST(cm_estimate - exact_size AS DOUBLE)
              / CAST(exact_size AS DOUBLE), 6) AS rel_error
          FROM ex, est""",
+
+    // x193: x67's true-jaccard pair CTEs + source membership; exact
+    // BIGINT within/degree sums; the q_contrib doubles divide the same
+    // integers in the same order as the Spark expression
+    "x193_source_modularity" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+                FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1))) t(i)),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                   FROM sh a JOIN sh b USING (s)
+                   WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         pairs AS (SELECT id_a, id_b
+                   FROM inter JOIN sz sa ON id_a = sa.doc_id
+                              JOIN sz sb ON id_b = sb.doc_id
+                   WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM pairs),
+         deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM
+                 (SELECT id_a AS id FROM pairs
+                  UNION ALL SELECT id_b FROM pairs) GROUP BY id),
+         nodes AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_nodes,
+                     CAST(sum(deg) AS BIGINT) AS deg_sum
+                   FROM deg JOIN documents d ON deg.id = d.doc_id
+                   GROUP BY 1),
+         wi AS (SELECT da.source AS src, CAST(count(*) AS BIGINT) AS wn
+                FROM pairs JOIN documents da ON id_a = da.doc_id
+                           JOIN documents db ON id_b = db.doc_id
+                WHERE da.source = db.source GROUP BY 1)
+         SELECT nodes.source AS community, n_nodes,
+           CAST(COALESCE(wn, 0) AS BIGINT) AS within_edges, deg_sum,
+           round(CAST(COALESCE(wn, 0) AS DOUBLE) / CAST(m_edges AS DOUBLE)
+             - (CAST(deg_sum AS DOUBLE) / (2.0 * CAST(m_edges AS DOUBLE)))
+             * (CAST(deg_sum AS DOUBLE) / (2.0 * CAST(m_edges AS DOUBLE))),
+             6) AS q_contrib
+         FROM nodes LEFT JOIN wi ON nodes.source = wi.src, m
+         ORDER BY community""",
+
+    // x194: the same seeded-md5 permutation replayed as one window
+    "x194_epoch_shuffle" ->
+      """WITH r AS (SELECT doc_id,
+             row_number() OVER (ORDER BY
+               ('0x' || substr(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT ASC,
+               doc_id ASC) AS rk
+           FROM documents)
+         SELECT doc_id, (rk - 1) % 8 AS shard, (rk - 1) // 8 AS shard_pos
+         FROM r ORDER BY doc_id""",
+
+    // x195: next-fit byte packing — integer cumulative sums, `//` ==
+    // Spark's IntegralDivide on non-negative values
+    "x195_compaction_plan" ->
+      """WITH f AS (SELECT source, doc_id, CAST(n_chars AS BIGINT) AS sz,
+             CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           FROM documents)
+         SELECT source, (cum - sz) // 4096 AS bin,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(sz) AS BIGINT) AS bytes,
+           round(CAST(sum(sz) AS DOUBLE) / 4096.0, 6) AS fill
+         FROM f GROUP BY source, (cum - sz) // 4096
+         ORDER BY source, bin""",
+
+    // x196: Neyman weights as sqrt of exact BIGINT moments; round-half-up
+    // on positives agrees between the engines
+    "x196_neyman_allocation" ->
+      """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_pop,
+             CAST(sum(n_chars) AS BIGINT) AS s1,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+           FROM documents GROUP BY 1),
+         w AS (SELECT source, n_pop,
+             sqrt(CAST(n_pop * s2 - s1 * s1 AS DOUBLE)) AS wt FROM s),
+         tot AS (SELECT sum(wt) AS wsum FROM w),
+         a AS (SELECT source, n_pop,
+             round(wt / CAST(n_pop AS DOUBLE), 6) AS sigma,
+             least(CAST(round(200.0 * wt / wsum, 0) AS BIGINT), n_pop)
+               AS alloc_n
+           FROM w, tot)
+         SELECT source, n_pop, sigma, alloc_n,
+           round(CAST(alloc_n AS DOUBLE) / CAST(n_pop AS DOUBLE), 6)
+             AS alloc_frac
+         FROM a ORDER BY source""",
+
+    // x197: x57's probe join as the match sample, x82's seeded draws as
+    // the non-match sample; (2s+1)/(2(n+1)) smoothing divides exact
+    // integers; log2 rounded 6 (the libm-ulp convention)
+    "x197_fs_weights" ->
+      """WITH p AS (SELECT c_custkey AS ka, c_name AS pn, c_nationkey AS na,
+                      (c_acctbal >= 0) AS ba, c_mktsegment AS sa
+                    FROM customer WHERE c_custkey % 100 = 0),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS mn,
+             CAST(sum(CASE WHEN p.na = c.c_nationkey THEN 1 ELSE 0 END)
+               AS BIGINT) AS m_nation,
+             CAST(sum(CASE WHEN p.ba = (c.c_acctbal >= 0) THEN 1
+               ELSE 0 END) AS BIGINT) AS m_acct_sign,
+             CAST(sum(CASE WHEN p.sa = c.c_mktsegment THEN 1 ELSE 0 END)
+               AS BIGINT) AS m_segment
+           FROM p JOIN customer c ON p.ka <> c.c_custkey
+           WHERE levenshtein(p.pn, c.c_name) <= 1),
+         cn AS (SELECT count(*) AS n FROM customer),
+         u0 AS (SELECT c_custkey AS anchor, CAST(i AS BIGINT) AS i
+                FROM customer, UNNEST(range(3)) t(i)),
+         up AS (SELECT anchor,
+             ('0x' || substr(md5(anchor || '#' || i), 1, 15))::BIGINT
+               % (SELECT n FROM cn) AS negative
+           FROM u0),
+         u AS (SELECT CAST(count(*) AS BIGINT) AS un,
+             CAST(sum(CASE WHEN a.c_nationkey = b.c_nationkey THEN 1
+               ELSE 0 END) AS BIGINT) AS u_nation,
+             CAST(sum(CASE WHEN (a.c_acctbal >= 0) = (b.c_acctbal >= 0)
+               THEN 1 ELSE 0 END) AS BIGINT) AS u_acct_sign,
+             CAST(sum(CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1
+               ELSE 0 END) AS BIGINT) AS u_segment
+           FROM up JOIN customer a ON up.anchor = a.c_custkey
+                   JOIN customer b ON up.negative = b.c_custkey
+           WHERE up.negative <> up.anchor),
+         f AS (SELECT 'acct_sign' AS field, m_acct_sign AS ms,
+                 u_acct_sign AS us, mn, un FROM m, u
+               UNION ALL
+               SELECT 'nation', m_nation, u_nation, mn, un FROM m, u
+               UNION ALL
+               SELECT 'segment', m_segment, u_segment, mn, un FROM m, u),
+         pr AS (SELECT field, mn, un,
+             CAST(ms * 2 + 1 AS DOUBLE) / CAST((mn + 1) * 2 AS DOUBLE) AS mp,
+             CAST(us * 2 + 1 AS DOUBLE) / CAST((un + 1) * 2 AS DOUBLE) AS up
+           FROM f)
+         SELECT field, mn AS n_match_pairs, un AS n_nonmatch_pairs,
+           round(mp, 6) AS m_prob, round(up, 6) AS u_prob,
+           round(log2(mp / up), 6) AS w_agree,
+           round(log2((1.0 - mp) / (1.0 - up)), 6) AS w_disagree
+         FROM pr ORDER BY field""",
+
+    // x198: CUPED — per-user conditional sums, pooled theta, the same
+    // expression tree on both sides into the round-6 convention
+    "x198_cuped" ->
+      """WITH pu AS (SELECT user_id,
+             sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+               THEN value ELSE 0.0 END) AS x,
+             sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+               THEN value ELSE 0.0 END) AS y,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               % 2 AS arm
+           FROM events GROUP BY user_id),
+         po AS (SELECT CAST(count(*) AS BIGINT) AS n_all, sum(x) AS sx,
+             sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy FROM pu),
+         th AS (SELECT pu.*,
+             CASE WHEN CAST(n_all AS DOUBLE) * sxx - sx * sx = 0.0 THEN 0.0
+               ELSE (CAST(n_all AS DOUBLE) * sxy - sx * sy) /
+                 (CAST(n_all AS DOUBLE) * sxx - sx * sx) END AS theta,
+             y - (CASE WHEN CAST(n_all AS DOUBLE) * sxx - sx * sx = 0.0
+               THEN 0.0
+               ELSE (CAST(n_all AS DOUBLE) * sxy - sx * sy) /
+                 (CAST(n_all AS DOUBLE) * sxx - sx * sx) END)
+               * (x - sx / CAST(n_all AS DOUBLE)) AS y_adj
+           FROM pu, po),
+         ag AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+             sum(y) AS ssy, sum(y * y) AS ssyy,
+             sum(y_adj) AS ssa, sum(y_adj * y_adj) AS ssaa
+           FROM th GROUP BY arm)
+         SELECT arm, n_users,
+           round(ssy / CAST(n_users AS DOUBLE), 6) AS mean_y,
+           round(ssa / CAST(n_users AS DOUBLE), 6) AS mean_y_adj,
+           round((ssyy - ssy * ssy / CAST(n_users AS DOUBLE))
+             / CAST(n_users AS DOUBLE), 6) AS var_y,
+           round((ssaa - ssa * ssa / CAST(n_users AS DOUBLE))
+             / CAST(n_users AS DOUBLE), 6) AS var_y_adj,
+           round(CASE WHEN ssyy - ssy * ssy / CAST(n_users AS DOUBLE) = 0.0
+             THEN NULL
+             ELSE 1.0 - ((ssaa - ssa * ssa / CAST(n_users AS DOUBLE))
+               / (ssyy - ssy * ssy / CAST(n_users AS DOUBLE))) END, 6)
+             AS var_reduction
+         FROM ag ORDER BY arm""",
+
+    // x199: key-granular range layout — all-integer part assignment
+    "x199_range_splits" ->
+      """WITH c AS (SELECT n_chars AS k, CAST(count(*) AS BIGINT) AS cnt
+                    FROM documents GROUP BY 1),
+         cc AS (SELECT k, cnt,
+             CAST(sum(cnt) OVER (ORDER BY k ASC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER () AS BIGINT) AS n
+           FROM c)
+         SELECT (cum - cnt) * 8 // n AS part, min(k) AS lo, max(k) AS hi,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           round(CAST(sum(cnt) AS DOUBLE) * 8 / CAST(max(n) AS DOUBLE), 6)
+             AS skew
+         FROM cc GROUP BY 1 ORDER BY part""",
 
     // x189: the Laplace inverse-CDF over the md5-60bit uniform, exactly
     // the Spark expression (sign/ln/round all IEEE-identical on the

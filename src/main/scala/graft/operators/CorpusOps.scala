@@ -667,4 +667,110 @@ object CorpusOps {
           (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
           col("n"), 6).as("intercept"))
   }
+
+  /** Deterministic seeded epoch shuffle: a reproducible global permutation
+    * of the corpus (order by a seeded md5 of the id) dealt round-robin into
+    * `nShards` shards, with the position within each shard. This is the
+    * "shuffle the training data between epochs" primitive: a different seed
+    * gives an independent permutation, the same seed always replays the
+    * same one — across reruns, retries, and cluster layouts — so a training
+    * job that dies at shard 317 resumes on byte-identical data.
+    *
+    * 100 TB shape: the sort is a range-partitioned distributed sort on the
+    * hash (Spark's exchange does the sampling), and the rank comes from
+    * [[graft.plans.RowNum.assign]]'s two-pass partition-offset numbering —
+    * no single-partition window anywhere. Round-robin dealing (rank mod
+    * shards) makes every shard a uniform sample of the hash order, so shard
+    * sizes differ by at most one row by construction.
+    */
+  def epochShuffle(df: DataFrame, idCol: String, seed: Int,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    val hashed = df.withColumn("__graft_eo__",
+      TextFunctions.md5LongSeeded(col(idCol), seed))
+    val ranked = graft.plans.RowNum.assign(
+        hashed.orderBy(col("__graft_eo__").asc, col(idCol).asc))
+      .withColumnRenamed(graft.plans.Events.RowNumCol, "__graft_rank__")
+    ranked
+      .withColumn("shard", (col("__graft_rank__") - 1L) % nShards)
+      // IntegralDivide: Column./ is DOUBLE division (RangeJoin.scala:48)
+      .withColumn("shard_pos", call_function("div",
+        col("__graft_rank__") - 1L, lit(nShards.toLong)))
+      .drop("__graft_eo__", "__graft_rank__")
+  }
+
+  /** Compaction plan for a small-files table: within each `keyCol`
+    * directory, walk the files in `orderCol` order and cut a new output
+    * bin every time the running byte total crosses `targetBytes` — the
+    * next-fit packing a compaction job actually executes (contiguous
+    * input ranges per output file, so the rewrite is a sequential read).
+    * Output: one row per (key, bin) with file count, byte total, and fill
+    * ratio vs the target — the report a table-maintenance service uses to
+    * decide which partitions are worth rewriting.
+    *
+    * 100 TB shape: one window partitioned by key (cumulative sum in file
+    * order) and one partial-agged groupBy — the sequential scan within a
+    * key is inherent to contiguous packing, and keys (table partitions)
+    * parallelize. Bin id is integer arithmetic on exact byte counts, so
+    * the plan is reproducible cross-engine.
+    */
+  def compactionPlan(df: DataFrame, keyCol: String, orderCol: String,
+      sizeCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1, "targetBytes must be >= 1")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(orderCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(keyCol), col(orderCol),
+        col(sizeCol).cast(LongType).as("__graft_sz__"))
+      .withColumn("__graft_cum__", sum(col("__graft_sz__")).over(w))
+      // a file belongs to the bin its FIRST byte lands in: bins overflow
+      // past the target by at most one file, and never split a file
+      // (IntegralDivide — Column./ would be double division)
+      .withColumn("bin", call_function("div",
+        col("__graft_cum__") - col("__graft_sz__"), lit(targetBytes)))
+      .groupBy(col(keyCol), col("bin"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("__graft_sz__")).as("bytes"))
+      .withColumn("fill",
+        round(col("bytes").cast(DoubleType) / targetBytes.toDouble, 6))
+  }
+
+  /** Neyman-optimal stratified sample allocation: given a total budget of
+    * `totalN` rows, allocate to each stratum proportionally to
+    * N_h * sigma_h (population size times population std of `valueCol`) —
+    * the allocation that minimizes the variance of the stratified mean
+    * estimator (Neyman 1934). The companion to [[stratifiedSample]]: this
+    * op decides the per-stratum fractions, that op executes them.
+    *
+    * Cross-engine exactness: N_h * sigma_h = sqrt(N_h * S2_h - S1_h^2)
+    * where S1/S2 are integer sums of the value and its square — the
+    * argument to sqrt is computed in exact BIGINT arithmetic in both
+    * engines, so the double weights (and hence the rounded allocations)
+    * agree bit-for-bit. One partial-agged groupBy plus a strata-sized
+    * window — nothing in the plan scales with rows beyond the scan.
+    */
+  def neymanAllocation(df: DataFrame, strataCol: String, valueCol: String,
+      totalN: Long): DataFrame = {
+    require(totalN >= 0, "totalN must be >= 0")
+    val v = col(valueCol).cast(LongType)
+    val per = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_pop"),
+        sum(v).as("__graft_s1__"), sum(v * v).as("__graft_s2__"))
+      .withColumn("__graft_w__",
+        sqrt((col("n_pop") * col("__graft_s2__") -
+          col("__graft_s1__") * col("__graft_s1__")).cast(DoubleType)))
+    // strata-count-sized window (sources/languages, not rows)
+    val tot = Window.partitionBy(lit(1))
+    per
+      .withColumn("__graft_wsum__", sum(col("__graft_w__")).over(tot))
+      .select(col(strataCol), col("n_pop"),
+        round(col("__graft_w__") / col("n_pop").cast(DoubleType), 6)
+          .as("sigma"),
+        least(round(lit(totalN.toDouble) * col("__graft_w__") /
+            col("__graft_wsum__"), 0).cast(LongType),
+          col("n_pop")).as("alloc_n"))
+      .withColumn("alloc_frac",
+        round(col("alloc_n").cast(DoubleType) /
+          col("n_pop").cast(DoubleType), 6))
+  }
 }

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** End-to-end entity resolution: fuzzy-duplicate records are clustered and
   * each cluster reduced to one canonical ("golden") record — the master-
@@ -40,5 +41,63 @@ object EntityResolution {
       .groupBy(col("entity_id"))
       .agg(count(lit(1)).as("n_members"),
         min_by(col(nameCol), col(idCol)).as("canonical_name"))
+  }
+
+  /** Fellegi-Sunter (1969) record-linkage weights: from a labeled match
+    * pair set and a labeled non-match pair set, estimate per comparison
+    * field the agreement probabilities m = P(agree | match) and
+    * u = P(agree | non-match) (add-half smoothed so neither log is ever
+    * taken of 0), and the log2 agreement / disagreement weights a scoring
+    * pass would sum per candidate pair. The calibration stage that turns
+    * [[FuzzyJoin]] candidates into a principled match score.
+    *
+    * `fields` maps output field name -> comparison SQL expression over
+    * `records` columns (e.g. `"substring(c_phone, 1, 3)"`), evaluated on
+    * both sides of each pair; agreement is null-safe equality.
+    *
+    * 100 TB shape: each pair frame takes two equi joins against the
+    * records frame (broadcast-able when records is a dimension; shuffle
+    * equi join otherwise) and collapses to ONE row of agreement sums via
+    * partial aggregation; the per-field fan-out happens on that 1-row
+    * frame. Probabilities divide exact integer counts, so both engines
+    * compute identical doubles into the final 6-digit round.
+    */
+  def fellegiSunterWeights(records: DataFrame, idCol: String,
+      matches: DataFrame, nonmatches: DataFrame,
+      fields: Seq[(String, String)]): DataFrame = {
+    require(fields.nonEmpty, "need at least one comparison field")
+    def agreeSums(pairs: DataFrame, prefix: String): DataFrame = {
+      val pa = pairs.columns(0)
+      val pb = pairs.columns(1)
+      val a = records.select(col(idCol).as("__ida") +:
+        fields.map { case (n, c) => expr(c).as(s"__a_$n") }: _*)
+      val b = records.select(col(idCol).as("__idb") +:
+        fields.map { case (n, c) => expr(c).as(s"__b_$n") }: _*)
+      val joined = pairs.select(col(pa).as("__ida"), col(pb).as("__idb"))
+        .join(a, Seq("__ida")).join(b, Seq("__idb"))
+      joined.agg(count(lit(1)).as(s"${prefix}_n"),
+        fields.map { case (n, _) =>
+          sum(when(col(s"__a_$n") <=> col(s"__b_$n"), 1L).otherwise(0L))
+            .as(s"${prefix}_s_$n")
+        }: _*)
+    }
+    val m = agreeSums(matches, "m")
+    val u = agreeSums(nonmatches, "u")
+    // smoothed probability as a ratio of exact integers: (2s+1)/(2(n+1))
+    def prob(s: Column, n: Column): Column =
+      (s * 2L + 1L).cast(DoubleType) / ((n + 1L) * 2L).cast(DoubleType)
+    val rows = fields.map { case (n, _) =>
+      struct(lit(n).as("field"),
+        prob(col(s"m_s_$n"), col("m_n")).as("mp"),
+        prob(col(s"u_s_$n"), col("u_n")).as("up"))
+    }
+    m.crossJoin(u)
+      .select(col("m_n"), col("u_n"), explode(array(rows: _*)).as("f"))
+      .select(col("f.field").as("field"),
+        col("m_n").as("n_match_pairs"), col("u_n").as("n_nonmatch_pairs"),
+        round(col("f.mp"), 6).as("m_prob"), round(col("f.up"), 6).as("u_prob"),
+        round(log2(col("f.mp") / col("f.up")), 6).as("w_agree"),
+        round(log2((lit(1.0) - col("f.mp")) / (lit(1.0) - col("f.up"))), 6)
+          .as("w_disagree"))
   }
 }

@@ -779,4 +779,67 @@ object EventAnalytics {
           col("sum_gap_us").cast(d38) * col("sum_gap_us").cast(d38))
       .select(col(userCol), col("n_gaps"), col("sum_gap_us"), col("regular"))
   }
+
+  /** CUPED variance reduction for an A/B readout (Deng, Xu, Kohavi &
+    * Walker 2013): per user, the experiment-period metric y is adjusted by
+    * the PRE-period covariate x — y_adj = y - theta * (x - mean(x)) with
+    * theta = cov(x, y) / var(x) pooled over all users — which removes the
+    * between-user variance x explains while leaving every arm's expected
+    * lift unchanged. Arms are assigned by deterministic hash of the user
+    * id (the engine's reproducible-split convention). Output: one row per
+    * arm with user count, raw and adjusted means, raw and adjusted
+    * population variances, and the variance-reduction ratio.
+    *
+    * 100 TB shape: one scan into a per-user partial-agged groupBy
+    * (conditional sums for the two periods), one 1-row pooled-moments
+    * aggregate broadcast back over the 2-row arm aggregate — no window, no
+    * join that scales with events. Double sums follow the engine's
+    * round-6-at-the-end convention (x45/x109).
+    */
+  def cupedAdjust(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, cutoff: String, arms: Int = 2): DataFrame = {
+    require(arms >= 2, "need at least 2 arms")
+    val d = (c: Column) => c.cast("double")
+    val perUser = events.groupBy(col(userCol))
+      .agg(
+        sum(when(col(tsCol) < lit(cutoff).cast("timestamp"),
+          col(valueCol)).otherwise(lit(0.0))).as("x"),
+        sum(when(col(tsCol) >= lit(cutoff).cast("timestamp"),
+          col(valueCol)).otherwise(lit(0.0))).as("y"))
+      .withColumn("arm", pmod(graft.functions.TextFunctions.md5Long(
+        col(userCol)), lit(arms.toLong)))
+    val pooled = perUser.agg(count(lit(1)).as("n_all"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"))
+    // degenerate covariate (all x equal): pin theta to 0 — no adjustment
+    // — rather than divide by zero (ANSI) / inf (non-ANSI); same CASE in
+    // the oracle (the x172 MASE convention)
+    val withTheta = perUser.crossJoin(broadcast(pooled))
+      .withColumn("theta",
+        when(d(col("n_all")) * col("sxx") - col("sx") * col("sx") === 0.0,
+          lit(0.0)).otherwise(
+          (d(col("n_all")) * col("sxy") - col("sx") * col("sy")) /
+            (d(col("n_all")) * col("sxx") - col("sx") * col("sx"))))
+      .withColumn("y_adj",
+        col("y") - col("theta") * (col("x") - col("sx") / d(col("n_all"))))
+    withTheta.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("y")).as("ssy"), sum(col("y") * col("y")).as("ssyy"),
+        sum(col("y_adj")).as("ssa"), sum(col("y_adj") * col("y_adj")).as("ssaa"))
+      .select(col("arm"), col("n_users"),
+        round(col("ssy") / d(col("n_users")), 6).as("mean_y"),
+        round(col("ssa") / d(col("n_users")), 6).as("mean_y_adj"),
+        round((col("ssyy") - col("ssy") * col("ssy") / d(col("n_users"))) /
+          d(col("n_users")), 6).as("var_y"),
+        round((col("ssaa") - col("ssa") * col("ssa") / d(col("n_users"))) /
+          d(col("n_users")), 6).as("var_y_adj"),
+        // an arm with zero raw variance has nothing to reduce: NULL
+        round(when(
+          col("ssyy") - col("ssy") * col("ssy") / d(col("n_users")) === 0.0,
+          lit(null).cast("double")).otherwise(lit(1.0) -
+          ((col("ssaa") - col("ssa") * col("ssa") / d(col("n_users"))) /
+           (col("ssyy") - col("ssy") * col("ssy") / d(col("n_users"))))), 6)
+          .as("var_reduction"))
+  }
 }

@@ -317,4 +317,59 @@ object GraphRank {
       .groupBy(col("a")).agg(count(lit(1)).as("degree"))
       .select(col("a").as("id"), col("degree"))
   }
+
+  /** Modularity of a node partition over an undirected graph (Newman &
+    * Girvan 2004): for each community c,
+    * q_c = within_c / m - (deg_c / 2m)^2, summing to the partition's
+    * modularity Q. Applied to the near-dup pair graph with the document's
+    * `source` as the community, it answers "is duplication intra-source
+    * (each source re-posts its own content) or cross-source (mirrors)?" —
+    * the graph-structure companion to the x154 duplicate-flow matrix.
+    * Output: one row per community with n_nodes, within_edges, deg_sum,
+    * and q_contrib (rounded 6).
+    *
+    * 100 TB shape: edges are deduped once; degrees come from one explode +
+    * partial-agged count; community attachment is an equi join against the
+    * membership frame; the per-community reduction is community-sized. The
+    * only non-equi piece is the 1-row total-edge frame, broadcast by
+    * construction. within/m and (deg/2m)^2 divide exact BIGINTs, so both
+    * engines compute identical doubles.
+    */
+  def partitionModularity(pairs: DataFrame, aCol: String, bCol: String,
+      membership: DataFrame, idCol: String, commCol: String): DataFrame = {
+    val e = pairs
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull &&
+        col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .distinct()
+    val mem = membership.select(col(idCol).as("__graft_mid__"),
+      col(commCol).as("__graft_comm__"))
+    val withComms = e
+      .join(mem.withColumnRenamed("__graft_mid__", "a")
+        .withColumnRenamed("__graft_comm__", "ca"), Seq("a"))
+      .join(mem.withColumnRenamed("__graft_mid__", "b")
+        .withColumnRenamed("__graft_comm__", "cb"), Seq("b"))
+    val total = e.agg(count(lit(1)).as("m_edges"))
+    val deg = e.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .join(mem.withColumnRenamed("__graft_mid__", "id"), Seq("id"))
+      .groupBy(col("__graft_comm__"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
+    val within = withComms.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("__graft_comm__"))
+      .agg(count(lit(1)).as("within_edges"))
+    deg.join(within, Seq("__graft_comm__"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("__graft_comm__").as("community"), col("n_nodes"),
+        coalesce(col("within_edges"), lit(0L)).as("within_edges"),
+        col("deg_sum"),
+        round(coalesce(col("within_edges"), lit(0L)).cast(DoubleType) /
+            col("m_edges").cast(DoubleType) -
+          (col("deg_sum").cast(DoubleType) /
+            (lit(2.0) * col("m_edges").cast(DoubleType))) *
+          (col("deg_sum").cast(DoubleType) /
+            (lit(2.0) * col("m_edges").cast(DoubleType))), 6)
+          .as("q_contrib"))
+  }
 }

@@ -164,4 +164,43 @@ object Scale {
       .orderBy(col("out_rows").desc, col("key").asc)
       .limit(topK)
   }
+
+  /** Range-partition planner: choose split boundaries over `keyCol` for
+    * `nParts` partitions and report the resulting layout — part id, key
+    * range, row count, and skew (size vs the ideal n/parts). The planning
+    * step behind a range-partitioned write or a sort-merge bucketing
+    * scheme: rows of EQUAL key must land in the same partition, so the
+    * plan assigns each distinct key to the partition its cumulative
+    * position (scaled by parts/n, integer arithmetic) falls in, and the
+    * report shows how much key-ties force the layout away from ideal.
+    *
+    * 100 TB shape: the only per-row work is one partial-agged
+    * groupBy(key); everything after runs on the DISTINCT-KEY frame, whose
+    * size is bounded by the key domain, not the corpus (the cumulative
+    * window is ordered but domain-sized — documented bounded, same class
+    * as x104's weighted quantiles). No global row sort: this is exactly
+    * what Spark's RangePartitioner approximates by sampling; the exact
+    * variant is the oracle-checkable form.
+    */
+  def rangeSplits(df: DataFrame, keyCol: String, nParts: Int): DataFrame = {
+    require(nParts >= 1, "nParts must be >= 1")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(keyCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    counts
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(tot))
+      // the key's FIRST row decides its partition: floor((cum-cnt)*P/n)
+      // in exact long arithmetic (IntegralDivide, not Column./'s double)
+      .withColumn("part", call_function("div",
+        (col("cum") - col("cnt")) * nParts.toLong, col("n")))
+      .groupBy(col("part"))
+      .agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"),
+        sum(col("cnt")).as("n_rows"),
+        max(col("n")).as("__n__"))
+      .select(col("part"), col("lo"), col("hi"), col("n_rows"),
+        round(col("n_rows").cast("double") * nParts.toLong /
+          col("__n__").cast("double"), 6).as("skew"))
+  }
 }

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CorpusOps, EntityResolution, EventAnalytics,
+  GraphRank, Scale}
+
+/** Round-7 additions: layout planners (compaction, range splits, epoch
+  * shuffle), sampling design (Neyman), linkage calibration (Fellegi-
+  * Sunter), partition quality (modularity), and CUPED. Each test is a
+  * hand-computable fixture — the cross-engine gates live in SparkEntry
+  * (x193-x199). */
+class PlannerLinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("epochShuffle: round-robin permutation — balanced, dense, seeded") {
+    val docs = (0L until 10L).toDF("id")
+    val out = CorpusOps.epochShuffle(docs, "id", seed = 7, nShards = 3)
+      .select("id", "shard", "shard_pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every doc exactly once, shard sizes differ by at most one
+    assert(out.map(_._1).sorted.toSeq == (0L until 10L))
+    val sizes = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes.keySet.subsetOf(Set(0L, 1L, 2L)))
+    assert(sizes.values.max - sizes.values.min <= 1)
+    // positions within each shard are dense from 0
+    sizes.foreach { case (s, n) =>
+      assert(out.filter(_._2 == s).map(_._3).sorted.toSeq == (0L until n.toLong))
+    }
+    // same seed replays the identical permutation; another seed does not
+    val again = CorpusOps.epochShuffle(docs, "id", seed = 7, nShards = 3)
+      .select("id", "shard", "shard_pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+    val other = CorpusOps.epochShuffle(docs, "id", seed = 8, nShards = 3)
+      .select("id", "shard", "shard_pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(other.sortBy(_._1).toSeq != out.sortBy(_._1).toSeq)
+  }
+
+  test("compactionPlan: next-fit packing never splits a file, overflows by at most one") {
+    val files = Seq(("a", 1L, 100L), ("a", 2L, 100L), ("a", 3L, 100L),
+      ("a", 4L, 100L), ("b", 5L, 600L), ("b", 6L, 10L))
+      .toDF("dir", "fid", "sz")
+    val plan = CorpusOps.compactionPlan(files, "dir", "fid", "sz", 250L)
+      .orderBy("dir", "bin")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // a: files 1-3 start below the 250 target (offsets 0/100/200) -> bin 0;
+    // file 4 starts at 300 -> bin 1. b: the 600-byte file owns bin 0
+    // alone (bins 0-2 by first-byte; one bin, never split), file 6 starts
+    // at 600 -> bin 2.
+    assert(plan.toSeq == Seq(("a", 0L, 3L, 300L), ("a", 1L, 1L, 100L),
+      ("b", 0L, 1L, 600L), ("b", 2L, 1L, 10L)))
+  }
+
+  test("neymanAllocation: budget flows to the high-variance stratum") {
+    val rows = Seq.fill(4)(("flat", 5L)) ++ Seq(("vary", 0L), ("vary", 10L),
+      ("vary", 0L), ("vary", 10L))
+    val out = CorpusOps.neymanAllocation(rows.toDF("stratum", "v"),
+        "stratum", "v", totalN = 4L)
+      .orderBy("stratum")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3), r.getDouble(4)))
+    // flat: sigma 0 -> 0 rows; vary: sigma 5 -> entire budget (capped at N_h)
+    assert(out.toSeq == Seq(("flat", 4L, 0.0, 0L, 0.0),
+      ("vary", 4L, 5.0, 4L, 1.0)))
+  }
+
+  test("rangeSplits: keys never split; ties concentrate and are reported as skew") {
+    val uniform = (1 to 10).map(k => ("r", k.toLong)).toDF("x", "k")
+    val even = Scale.rangeSplits(uniform, "k", nParts = 2)
+      .orderBy("part").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(even.toSeq == Seq((0L, 1L, 5L, 5L, 1.0), (1L, 6L, 10L, 5L, 1.0)))
+    // 9 copies of key 1: the tie block lands in one partition (skew 1.8)
+    val skewed = (Seq.fill(9)(1L) :+ 2L).map(("r", _)).toDF("x", "k")
+    val parts = Scale.rangeSplits(skewed, "k", nParts = 2)
+      .orderBy("part").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4)))
+    assert(parts.toSeq == Seq((0L, 9L, 1.8), (1L, 1L, 0.2)))
+  }
+
+  test("partitionModularity: hand-computed two-community graph") {
+    val pairs = Seq((1L, 2L), (3L, 4L), (1L, 3L)).toDF("a", "b")
+    val mem = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B")).toDF("id", "c")
+    val out = GraphRank.partitionModularity(pairs, "a", "b", mem, "id", "c")
+      .orderBy("community").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // m=3; A: within 1 (1-2), deg 2+1=3 -> 1/3 - (3/6)^2 = 0.083333
+    assert(out.toSeq == Seq(("A", 2L, 1L, 3L, 0.083333),
+      ("B", 2L, 1L, 3L, 0.083333)))
+    // all-edges-within single community: Q = 1 - 1 = 0 (null partition)
+    val one = GraphRank.partitionModularity(pairs, "a", "b",
+      mem.withColumn("c", lit("all")), "id", "c").collect()
+    assert(one.length == 1 && one(0).getDouble(4) == 0.0)
+  }
+
+  test("fellegiSunterWeights: smoothed m/u and log2 weights from labeled pairs") {
+    val recs = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "z")).toDF("id", "f")
+    val matches = Seq((1L, 2L)).toDF("pa", "pb")       // f agrees
+    val nons = Seq((1L, 3L), (1L, 4L), (3L, 4L)).toDF("pa", "pb") // 0 agree
+    val out = EntityResolution.fellegiSunterWeights(recs, "id",
+      matches, nons, Seq("field_f" -> "f")).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getLong(1) == 1L && r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 0.75)   // (2*1+1)/(2*2)
+    assert(r.getDouble(4) == 0.125)  // (2*0+1)/(2*4)
+    assert(r.getDouble(5) == 2.584963)  // log2(6)
+    assert(r.getDouble(6) == -1.807355) // log2(0.25/0.875)
+  }
+
+  test("cupedAdjust: a fully-explaining covariate zeroes adjusted variance") {
+    // y = 2x per user -> theta = 2, y_adj = 2*mean(x) for every user
+    val cutoff = "2024-01-16 00:00:00"
+    val evs = Seq(
+      (1L, "2024-01-10 00:00:00", 1.0), (1L, "2024-01-20 00:00:00", 2.0),
+      (2L, "2024-01-10 00:00:00", 2.0), (2L, "2024-01-20 00:00:00", 4.0),
+      (3L, "2024-01-10 00:00:00", 3.0), (3L, "2024-01-20 00:00:00", 6.0))
+      .toDF("user_id", "ts_s", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val out = EventAnalytics.cupedAdjust(evs, "user_id", "ts", "value",
+      cutoff, arms = 2).collect()
+    assert(out.map(_.getLong(1)).sum == 3L) // every user in exactly one arm
+    out.foreach { r =>
+      assert(r.getDouble(3) == 4.0) // mean_y_adj = 2 * mean(x) = 4
+      assert(r.getDouble(5) == 0.0) // var_y_adj = 0
+      // arms with y-variance show full reduction
+      if (r.getDouble(4) > 0) assert(r.getDouble(6) == 1.0)
+    }
+  }
+}
