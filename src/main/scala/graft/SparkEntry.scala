@@ -2728,6 +2728,49 @@ object SparkEntry {
         .orderBy(col("field"))
     },
 
+    // ---- X: isotonic calibration over 16 score bins via the min-max
+    //      closed form (Ayer 1955) — PAVA as a bounded relational join
+    //      instead of an ordered sweep; x81's reliability curve upgraded
+    //      to a usable monotone mapping ----
+    "x200_isotonic_fit" -> { (s, dir) =>
+      import graft.functions.TextFunctions
+      val scored = t(s, dir, "documents").select(
+        round(least(
+          TextFunctions.stopwordHits(col("text"), "en").cast(DoubleType) /
+            greatest(size(TextFunctions.tokens(lower(col("text")))), lit(1))
+              .cast(DoubleType) * lit(5.0),
+          lit(1.0)), 6).as("p"),
+        (col("lang") === "en").as("label"))
+      graft.operators.Evaluation.isotonicCalibration(scored, "p", "label",
+        bins = 16)
+        .orderBy(col("bin"))
+    },
+
+    // ---- X: Mann-Whitney U between the two hash arms on the per-user
+    //      event count — midranks + tie-corrected z, everything after
+    //      the per-user groupBy on the codomain-bounded value frame ----
+    "x201_mann_whitney" -> { (s, dir) =>
+      graft.operators.Experiment.mannWhitney(t(s, dir, "events"), "user_id")
+    },
+
+    // ---- X: sample-ratio-mismatch guardrail per event_type — chi-square
+    //      vs the expected 50/50 hash split; one distinct reduction +
+    //      segment-sized groupBy ----
+    "x202_srm_check" -> { (s, dir) =>
+      graft.operators.Experiment.srmCheck(
+        t(s, dir, "events"), "user_id", "event_type")
+        .orderBy(col("segment"))
+    },
+
+    // ---- X: quantile treatment effects — exact per-arm type-1 quantiles
+    //      of the per-user count metric at 25/50/75, one conditional
+    //      aggregate over the bounded cum frame ----
+    "x203_quantile_treatment" -> { (s, dir) =>
+      graft.operators.Experiment.quantileTreatment(
+        t(s, dir, "events"), "user_id")
+        .orderBy(col("q"))
+    },
+
     // ---- X: CUPED variance-reduced A/B readout (Deng et al. 2013) —
     //      pre-period covariate, pooled theta, md5 arm assignment; one
     //      per-user groupBy + a broadcast 1-row moment frame ----
@@ -4743,6 +4786,120 @@ object SparkEntry {
            round(log2(mp / up), 6) AS w_agree,
            round(log2((1.0 - mp) / (1.0 - up)), 6) AS w_disagree
          FROM pr ORDER BY field""",
+
+    // x200: x81's scored CTE into the min-max isotonic closed form —
+    // pooled rates divide exact integer cumulative sums
+    "x200_isotonic_fit" ->
+      """WITH scored AS (SELECT
+             round(least(CAST(len(list_filter(string_split(lower(text), ' '),
+               w -> w IN ('the','a','of','and','to','in','is','it','for','on')))
+                 AS DOUBLE)
+               / CAST(greatest(len(string_split(lower(text), ' ')), 1) AS DOUBLE)
+               * 5.0, 1.0), 6) AS p,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM documents),
+         binned AS (SELECT least(CAST(floor(p * 16) AS BIGINT), 15) AS bin,
+             CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+           FROM scored GROUP BY 1),
+         cum AS (SELECT bin, n, pos,
+             CAST(sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cn,
+             CAST(sum(pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cp
+           FROM binned),
+         segs AS (SELECT j.bin AS j, k.bin AS k,
+             CAST(k.cp - (j.cp - j.pos) AS DOUBLE)
+               / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS avg
+           FROM cum j JOIN cum k ON j.bin <= k.bin),
+         mins AS (SELECT b.bin AS i, s.j, min(s.avg) AS mn
+           FROM binned b JOIN segs s ON s.j <= b.bin AND b.bin <= s.k
+           GROUP BY 1, 2),
+         iso AS (SELECT i, max(mn) AS iso FROM mins GROUP BY 1)
+         SELECT b.bin, b.n, b.pos,
+           round(CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE), 6) AS raw_rate,
+           round(iso.iso, 6) AS iso_rate
+         FROM binned b JOIN iso ON b.bin = iso.i ORDER BY bin""",
+
+    // x201: midrank U from the distinct-count-value frame; tie-corrected
+    // normal z; all moments from exact integers
+    "x201_mann_whitney" ->
+      """WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS m,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               % 2 AS arm
+           FROM events GROUP BY user_id),
+         bv AS (SELECT m, CAST(count(*) AS BIGINT) AS t,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1
+           FROM pu GROUP BY m),
+         rk AS (SELECT m, t, t1,
+             CAST(sum(t) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cum
+           FROM bv),
+         ag AS (SELECT CAST(sum(t - t1) AS BIGINT) AS n0,
+             CAST(sum(t1) AS BIGINT) AS n1,
+             sum(CAST(t1 AS DOUBLE) * (CAST(cum - t AS DOUBLE)
+               + (CAST(t AS DOUBLE) + 1.0) / 2.0)) AS r1,
+             CAST(sum(t * t * t - t) AS BIGINT) AS ties
+           FROM rk)
+         SELECT n0, n1,
+           round(r1 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0,
+             6) AS u1,
+           round((r1 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0
+               - CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 2.0)
+             / sqrt(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 12.0 *
+               ((CAST(n0 + n1 AS DOUBLE) + 1.0)
+                 - CAST(ties AS DOUBLE) / (CAST(n0 + n1 AS DOUBLE)
+                   * (CAST(n0 + n1 AS DOUBLE) - 1.0)))), 6) AS z
+         FROM ag""",
+
+    // x202: chi-square for the 50/50 split collapses to (n0-n1)^2/n;
+    // the flag compares the ROUNDED statistic on both sides
+    "x202_srm_check" ->
+      """WITH u AS (SELECT DISTINCT event_type AS segment, user_id
+                    FROM events),
+         a AS (SELECT segment,
+             CAST(sum(CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+               1, 15))::BIGINT % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_arm0,
+             CAST(sum(CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+               1, 15))::BIGINT % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_arm1
+           FROM u GROUP BY 1),
+         c AS (SELECT segment, n_arm0, n_arm1, n_arm0 + n_arm1 AS n_total,
+             round((CAST(n_arm0 AS DOUBLE) - CAST(n_arm1 AS DOUBLE))
+               * (CAST(n_arm0 AS DOUBLE) - CAST(n_arm1 AS DOUBLE))
+               / CAST(n_arm0 + n_arm1 AS DOUBLE), 6) AS chi2
+           FROM a)
+         SELECT segment, n_arm0, n_arm1, n_total, chi2,
+           chi2 > 3.841459 AS mismatch
+         FROM c ORDER BY segment""",
+
+    // x203: type-1 quantiles picked by exact integer rank inequality on
+    // the per-arm cumulative value frame
+    "x203_quantile_treatment" ->
+      """WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS m,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               % 2 AS arm
+           FROM events GROUP BY user_id),
+         bv AS (SELECT arm, m, CAST(count(*) AS BIGINT) AS t
+                FROM pu GROUP BY 1, 2),
+         cum AS (SELECT arm, m, t,
+             CAST(sum(t) OVER (PARTITION BY arm ORDER BY m
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c,
+             CAST(sum(t) OVER (PARTITION BY arm) AS BIGINT) AS n
+           FROM bv),
+         qv AS (SELECT arm,
+             min(CASE WHEN c * 1000000 >= 250000 * n THEN m END) AS v25,
+             min(CASE WHEN c * 1000000 >= 500000 * n THEN m END) AS v50,
+             min(CASE WHEN c * 1000000 >= 750000 * n THEN m END) AS v75
+           FROM cum GROUP BY arm),
+         p AS (SELECT a0.v25 AS a025, a0.v50 AS a050, a0.v75 AS a075,
+                 a1.v25 AS a125, a1.v50 AS a150, a1.v75 AS a175
+               FROM qv a0, qv a1 WHERE a0.arm = 0 AND a1.arm = 1)
+         SELECT q, arm0, arm1, arm1 - arm0 AS diff FROM (
+           SELECT CAST(0.25 AS DOUBLE) AS q, a025 AS arm0, a125 AS arm1 FROM p
+           UNION ALL SELECT CAST(0.5 AS DOUBLE), a050, a150 FROM p
+           UNION ALL SELECT CAST(0.75 AS DOUBLE), a075, a175 FROM p)
+         ORDER BY q""",
 
     // x198: CUPED — per-user conditional sums, pooled theta, the same
     // expression tree on both sides into the round-6 convention

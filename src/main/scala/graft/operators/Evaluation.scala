@@ -675,4 +675,57 @@ object Evaluation {
           .otherwise((col("sc").cast(DoubleType) - expected) /
             (maxIdx - expected)), 6).as("ari"))
   }
+
+  /** Isotonic calibration over score bins via the min-max formula
+    * (Ayer et al. 1955; Barlow & Brunk 1972): the monotone fit at bin i
+    * is max over j<=i of min over k>=i of the pooled rate of bins j..k —
+    * the closed form of pool-adjacent-violators, chosen over PAVA's
+    * sequential sweep because it is a bounded relational join (B^2
+    * segments, B^3 triples for B bins) instead of an inherently ordered
+    * loop. The upgrade path from [[calibrationCurve]]'s raw reliability
+    * diagram to a usable monotone score->probability mapping.
+    *
+    * Cross-engine exactness: pooled rates divide exact integer
+    * cumulative sums, min/max over identical doubles are exact; only the
+    * two output rate columns round.
+    *
+    * 100 TB shape: one partial-agged groupBy(bin) reduces the corpus to
+    * <= `bins` rows; every join after that is on the bounded bin frame
+    * (B=16 -> 4096 triples). The non-equi joins are broadcast by
+    * construction and never see data-sized input.
+    */
+  def isotonicCalibration(df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 16): DataFrame = {
+    require(bins >= 1 && bins <= 64, s"bins must be in [1,64]: $bins")
+    val binned = df.select(
+        least(floor(col(scoreCol) * bins), lit(bins - 1L)).cast("long")
+          .as("bin"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+    // bounded (<= bins rows) cumulative frame
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = binned
+      .withColumn("cn", sum(col("n")).over(w))
+      .withColumn("cp", sum(col("pos")).over(w))
+    val jSide = cum.select(col("bin").as("j"),
+      (col("cn") - col("n")).as("cnj"), (col("cp") - col("pos")).as("cpj"))
+    val kSide = cum.select(col("bin").as("k"),
+      col("cn").as("cnk"), col("cp").as("cpk"))
+    val segs = jSide.join(broadcast(kSide), col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        ((col("cpk") - col("cpj")).cast(DoubleType) /
+          (col("cnk") - col("cnj")).cast(DoubleType)).as("avg"))
+    val triples = binned.select(col("bin").as("i"))
+      .join(broadcast(segs), col("j") <= col("i") && col("i") <= col("k"))
+    val iso = triples
+      .groupBy(col("i"), col("j")).agg(min(col("avg")).as("mn"))
+      .groupBy(col("i")).agg(max(col("mn")).as("iso"))
+    binned.join(iso, col("bin") === col("i"))
+      .select(col("bin"), col("n"), col("pos"),
+        round(col("pos").cast(DoubleType) / col("n").cast(DoubleType), 6)
+          .as("raw_rate"),
+        round(col("iso"), 6).as("iso_rate"))
+  }
 }

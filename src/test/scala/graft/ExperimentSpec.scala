@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Evaluation, Experiment}
+
+/** Experiment-readout suite: SRM guardrail, Mann-Whitney, quantile
+  * treatment effects, and the isotonic min-max fit. Statistics are
+  * checked against naive in-test reimplementations over the operator's
+  * own deterministic arms (the md5 family is pinned by x17/x82 gates);
+  * the cross-engine gates are x200-x203. */
+class ExperimentSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 9 users x (uid+1) events each: metric = event count = uid+1, all
+  // distinct -> no ties except those we add
+  private def mkEvents(counts: Map[Long, Int]) =
+    counts.toSeq.flatMap { case (u, n) => Seq.fill(n)((u, "e")) }
+      .toDF("user_id", "etype")
+
+  private def armsOf(users: Seq[Long]): Map[Long, Long] = {
+    val df = users.toDF("u")
+      .withColumn("arm", Experiment.armOf(col("u"), 2))
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("isotonicCalibration: min-max fit pools the violating bins and is monotone") {
+    // bins (of 4): rates 0, 0.5, 0.25, 1 -> bins 1-2 pool to 2/6
+    val rows = Seq((0.125, 0), (0.125, 0), (0.375, 1), (0.375, 0),
+      (0.625, 1), (0.625, 0), (0.625, 0), (0.625, 0), (0.875, 1))
+      .toDF("p", "label")
+    val out = Evaluation.isotonicCalibration(rows, "p", "label", bins = 4)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.toSeq == Seq((0L, 2L, 0L, 0.0, 0.0),
+      (1L, 2L, 1L, 0.5, 0.333333), (2L, 4L, 1L, 0.25, 0.333333),
+      (3L, 1L, 1L, 1.0, 1.0)))
+    // monotone by construction
+    assert(out.map(_._5).sliding(2).forall(w => w(0) <= w(1)))
+  }
+
+  test("mannWhitney: midrank U and tie-corrected z match a naive reimplementation") {
+    val counts = (0L until 9L).map(u => u -> (u.toInt % 4 + 1)).toMap
+    val events = mkEvents(counts)
+    val arms = armsOf(counts.keys.toSeq)
+    val out = Experiment.mannWhitney(events, "user_id").collect()(0)
+    // naive: midranks over the metric values
+    val vals = counts.toSeq.map { case (u, m) => (arms(u), m.toDouble) }
+    val sorted = vals.map(_._2).sorted
+    def midrank(v: Double): Double = {
+      val lo = sorted.indexOf(v) + 1
+      val hi = sorted.lastIndexOf(v) + 1
+      (lo + hi) / 2.0
+    }
+    val n1 = vals.count(_._1 == 1L)
+    val n0 = vals.size - n1
+    val r1 = vals.filter(_._1 == 1L).map(v => midrank(v._2)).sum
+    val u1 = r1 - n1 * (n1 + 1) / 2.0
+    val n = vals.size
+    val ties = sorted.groupBy(identity).values.map(_.size.toLong)
+      .map(t => t * t * t - t).sum
+    val z = (u1 - n0 * n1 / 2.0) / math.sqrt(
+      n0.toDouble * n1 / 12.0 * ((n + 1.0) - ties.toDouble / (n.toDouble * (n - 1.0))))
+    assert(out.getLong(0) == n0 && out.getLong(1) == n1)
+    assert(out.getDouble(2) == BigDecimal(u1).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out.getDouble(3) == BigDecimal(z).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("srmCheck: chi-square flags a forced imbalance and clears a balanced split") {
+    val users = (0L until 40L)
+    val arms = armsOf(users)
+    val (a0, a1) = (arms.values.count(_ == 0L), arms.values.count(_ == 1L))
+    val events = users.map(u => (u, "seg")).toDF("user_id", "etype")
+    val row = Experiment.srmCheck(events, "user_id", "etype").collect()(0)
+    assert(row.getLong(1) == a0 && row.getLong(2) == a1)
+    val chi2 = math.pow(a0.toDouble - a1, 2) / (a0 + a1)
+    assert(row.getDouble(4) == BigDecimal(chi2).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(row.getBoolean(5) == (row.getDouble(4) > 3.841459))
+    // a pathologically imbalanced segment must flag: replicate only arm-0
+    // users into a second segment
+    val arm0Users = users.filter(u => arms(u) == 0L)
+    assume(arm0Users.size >= 5)
+    val skewed = events.unionAll(
+      arm0Users.map(u => (u, "skewed")).toDF("user_id", "etype"))
+    val srm = Experiment.srmCheck(skewed, "user_id", "etype")
+      .filter(col("segment") === "skewed").collect()(0)
+    assert(srm.getBoolean(5), "all-one-arm segment must be flagged")
+  }
+
+  test("quantileTreatment: exact type-1 quantiles per arm and their difference") {
+    val counts = (0L until 12L).map(u => u -> (u.toInt + 1)).toMap
+    val events = mkEvents(counts)
+    val arms = armsOf(counts.keys.toSeq)
+    val out = Experiment.quantileTreatment(events, "user_id",
+        qs = Seq(0.5)).collect()(0)
+    def q50(vs: Seq[Int]): Long = {
+      val s = vs.sorted
+      s((math.ceil(s.size * 0.5) - 1).toInt).toLong
+    }
+    val v0 = counts.toSeq.filter { case (u, _) => arms(u) == 0L }.map(_._2)
+    val v1 = counts.toSeq.filter { case (u, _) => arms(u) == 1L }.map(_._2)
+    assume(v0.nonEmpty && v1.nonEmpty)
+    assert(out.getDouble(0) == 0.5)
+    assert(out.getLong(1) == q50(v0))
+    assert(out.getLong(2) == q50(v1))
+    assert(out.getLong(3) == q50(v1) - q50(v0))
+  }
+}

@@ -839,4 +839,104 @@ class PlanHealthSpec extends SparkSpec {
     assert(p.contains("ShuffledHashJoin"), s"x184 index joins must shuffle-hash:\n$p")
     assert(!p.contains("Window ["), s"x184 must not window:\n$p")
   }
+
+  test("x193: modularity's only cross is the broadcast 1-row edge total; memberships attach equi") {
+    val p = plan("x193_source_modularity")
+    assert(!p.contains("CartesianProduct"), s"x193 grew a real cartesian:\n$p")
+    assert(!p.replaceAll(
+      "BroadcastNestedLoopJoin BuildRight, Cross", "").contains(
+      "BroadcastNestedLoopJoin"),
+      s"x193's only cross must be the broadcast 1-row total:\n$p")
+    assert(!p.contains("Window ["), s"x193 must not window:\n$p")
+  }
+
+  test("x194: epoch shuffle is a range-partitioned sort + two-pass rank — no single-partition window, no join") {
+    val p = plan("x194_epoch_shuffle")
+    assert(!p.contains("Window ["),
+      s"x194 must rank via RowNum, not a global window:\n$p")
+    assert(!p.contains("Join"), s"x194 must stay join-free:\n$p")
+    assert(p.contains("Sort") && p.contains("rangepartitioning"),
+      s"x194's permutation must be a distributed range sort:\n$p")
+  }
+
+  test("x195: compaction plan is one keyed window + partial agg — no join, no global sort before the window") {
+    val p = plan("x195_compaction_plan")
+    assert(!p.contains("Join"), s"x195 must stay join-free:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"x195 bin rollup must partial-aggregate:\n$p")
+  }
+
+  test("x197: FS probe matches broadcast; agreement sums reduce to 1-row frames before the field fan-out") {
+    val p = plan("x197_fs_weights")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"x197 probe side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"x197 grew a real cartesian:\n$p")
+    // the 1-row m/u combine may be a broadcast cross; nothing else
+    assert(!p.replaceAll(
+      "BroadcastNestedLoopJoin BuildRight, Cross", "").replaceAll(
+      "BroadcastNestedLoopJoin BuildLeft, Cross", "").replaceAll(
+      "BroadcastNestedLoopJoin BuildRight, Inner", "").contains(
+      "BroadcastNestedLoopJoin"),
+      s"x197 has a non-broadcast nested-loop join:\n$p")
+  }
+
+  test("x198: CUPED is two aggregates + a broadcast 1-row moment attach — no window, no data-sized join") {
+    val p = plan("x198_cuped")
+    assert(!p.contains("Window ["), s"x198 must not window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"x198 grew a real cartesian:\n$p")
+    assert(!p.replaceAll(
+      "BroadcastNestedLoopJoin BuildRight, Cross", "").contains(
+      "BroadcastNestedLoopJoin"),
+      s"x198's only cross must be the broadcast 1-row moments:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"x198 per-user sums must partial-aggregate:\n$p")
+  }
+
+  test("x200: isotonic fit reduces the corpus to the bin frame before any non-equi join") {
+    val p = plan("x200_isotonic_fit")
+    assert(!p.contains("CartesianProduct"), s"x200 grew a real cartesian:\n$p")
+    // non-equi segment/triple joins are broadcast on the bounded bin frame
+    assert(!p.replaceAll("BroadcastNestedLoopJoin BuildRight, Inner", "")
+      .replaceAll("BroadcastNestedLoopJoin BuildRight, Cross", "")
+      .contains("BroadcastNestedLoopJoin"),
+      s"x200's bounded joins must broadcast:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"x200 bin rollup must partial-aggregate:\n$p")
+  }
+
+  test("x201: Mann-Whitney stays join-free; the rank window consumes the value frame, not rows") {
+    val p = plan("x201_mann_whitney")
+    assert(!p.contains("Join"), s"x201 must stay join-free:\n$p")
+    val winIdx = p.indexOf("Window [")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"x201's window must consume the aggregated value frame:\n$p")
+  }
+
+  test("x202: SRM is one distinct reduction + segment groupBy — no join, no window") {
+    val p = plan("x202_srm_check")
+    assert(!p.contains("Join") && !p.contains("Window ["),
+      s"x202 must stay join/window-free:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"x202 must partial-aggregate:\n$p")
+  }
+
+  test("x203: QTE's only cross is the broadcast 1-row arm combine") {
+    val p = plan("x203_quantile_treatment")
+    assert(!p.contains("CartesianProduct"), s"x203 grew a real cartesian:\n$p")
+    assert(!p.replaceAll("BroadcastNestedLoopJoin BuildRight, Cross", "")
+      .contains("BroadcastNestedLoopJoin"),
+      s"x203's only cross must be the broadcast 1-row combine:\n$p")
+  }
+
+  test("x199: range splits reduce per-row work to one groupBy(key); windows run on the distinct-key frame") {
+    val p = plan("x199_range_splits")
+    assert(!p.contains("Join"), s"x199 must stay join-free:\n$p")
+    // the groupBy(key) partial-agg must appear BELOW the window (the
+    // window input is the distinct-key frame, not raw rows)
+    val winIdx = p.indexOf("Window [")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"x199's window must consume the aggregated key frame:\n$p")
+  }
 }
