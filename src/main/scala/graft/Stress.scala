@@ -433,7 +433,39 @@ object Stress {
         "kcore" -> (() =>
           operators.GraphRank.kCore(
             operators.Dedup.minhashLshPairs(docs, "doc_id", "text"),
-            "id_a", "id_b", k = 2).count()))
+            "id_a", "id_b", k = 2).count()),
+        // pair volume grows with replicas (within-replica dups only);
+        // the membership joins and per-community rollup ride the same
+        // frames — wall must track the pair search
+        "source_modularity" -> (() =>
+          operators.GraphRank.partitionModularity(
+            operators.Dedup.minhashLshPairs(docs, "doc_id", "text"),
+            "id_a", "id_b", docs, "doc_id", "source").count()),
+        // distributed range sort + two-pass rank: per-row flat is the
+        // whole claim
+        "epoch_shuffle" -> (() =>
+          operators.CorpusOps.epochShuffle(docs, "doc_id", seed = 7,
+            nShards = 8).count()),
+        // keyed window: parallel across sources, sequential within —
+        // per-row flat while the per-source file count grows
+        "compaction_plan" -> (() =>
+          operators.CorpusOps.compactionPlan(
+            docs.withColumn("sz", length(col("text"))),
+            "source", "doc_id", "sz", targetBytes = 4096L).count()),
+        // one per-user partial agg + broadcast 1-row moments
+        "cuped" -> (() =>
+          operators.EventAnalytics.cupedAdjust(events, "user_id", "ts",
+            "value", "2024-01-16 00:00:00").count()),
+        // per-user agg, then the codomain-bounded value frame: the rank
+        // window must never see row-sized input
+        "mann_whitney" -> (() =>
+          operators.Experiment.mannWhitney(events, "user_id").count()),
+        // corpus -> 16-bin frame -> bounded joins; per-row flat
+        "isotonic" -> (() =>
+          operators.Evaluation.isotonicCalibration(
+            docs.select((length(col("text")) % 1000).cast("double")./(1000.0)
+              .as("p"), (col("lang") === "en").as("label")),
+            "p", "label", bins = 16).count()))
 
       // SPARK_GRAFT_STRESS_OPS=a,b,c runs only the named ops (bisection
       // runs shouldn't pay the full sweep per hypothesis)
