@@ -582,4 +582,50 @@ object EventStreams {
           }
       }
   }
+
+  /** JVM replica of [[graft.functions.TextFunctions.md5Long]] mod 2 — the
+    * deterministic hash arm (md5 hex of the id string, first 15 hex chars
+    * as a long). Bit-identical to the Column expression, so streamed arm
+    * counts match the batch operator's exactly. */
+  private def md5Arm(userId: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dig = md.digest(String.valueOf(userId)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 15 hex chars = 60 bits: 7 full bytes + the high nibble of the 8th
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (dig(i) & 0xFFL); i += 1 }
+    v = (v << 4) | ((dig(7) & 0xF0L) >> 4)
+    v % 2L
+  }
+
+  /** Streaming sample-ratio-mismatch monitor — the live twin of x202's
+    * [[graft.operators.Experiment.srmCheck]]. State per (segment, user)
+    * is ONE boolean (seen); the first appearance emits a per-arm count
+    * DELTA row, so the dashboard's running per-segment sums equal the
+    * batch operator's distinct-user arm counts at every point — the
+    * guardrail fires DURING the experiment, not at readout. Production
+    * evicts state via an event-time timeout once a segment's enrollment
+    * window closes. */
+  def srmStream(events: DataFrame,
+      segmentCol: String = "event_type"): Dataset[(String, Long, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col(segmentCol).cast("string"), col("user_id"))
+      .as[(String, Long)]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Boolean, (String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (String, Long), rows: Iterator[(String, Long)],
+            state: GroupState[Boolean]) =>
+          rows.foreach(_ => ()) // drain; only first appearance matters
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val arm = md5Arm(key._2)
+            Iterator((key._1,
+              if (arm == 0L) 1L else 0L, if (arm == 1L) 1L else 0L))
+          }
+      }
+  }
 }

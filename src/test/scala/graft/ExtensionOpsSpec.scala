@@ -1010,6 +1010,29 @@ class ExtensionOpsSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("streaming SRM deltas roll up to the batch x202 guardrail counts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_srm").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val sq = EventStreams.runToMemory(
+      EventStreams.srmStream(EventStreams.readEvents(spark, dir))
+        .toDF("segment", "d0", "d1"),
+      "srm_stream", outputMode = "append")
+    try {
+      val rolled = spark.table("srm_stream")
+        .groupBy(col("segment"))
+        .agg(sum("d0").as("n_arm0"), sum("d1").as("n_arm1"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.operators.Experiment.srmCheck(
+        Tables.load(spark, sfDir, "events"), "user_id", "event_type")
+        .select("segment", "n_arm0", "n_arm1")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batch.nonEmpty && rolled == batch,
+        s"streamed=$rolled batch=$batch")
+    } finally sq.stop()
+  }
+
   test("streaming out-of-orderness deltas roll up to the batch x150 report") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_ooo").toString
     java.nio.file.Files.copy(
