@@ -2728,6 +2728,16 @@ object SparkEntry {
         .orderBy(col("field"))
     },
 
+    // ---- E2E: experiment readout flagship — SRM guardrail worst-case,
+    //      CUPED means, Mann-Whitney z, and quantile treatment effects
+    //      in one long-format deterministic report ----
+    "e10_experiment_readout" -> { (s, dir) =>
+      graft.examples.ExperimentReadout.run(
+        t(s, dir, "events"), "user_id", "ts", "value",
+        cutoff = "2024-01-16 00:00:00", segmentCol = "event_type")
+        .orderBy(col("metric"))
+    },
+
     // ---- X: isotonic calibration over 16 score bins via the min-max
     //      closed form (Ayer 1955) — PAVA as a bounded relational join
     //      instead of an ordered sweep; x81's reliability curve upgraded
@@ -4787,6 +4797,120 @@ object SparkEntry {
            round(log2((1.0 - mp) / (1.0 - up)), 6) AS w_disagree
          FROM pr ORDER BY field""",
 
+    // e10: the x198/x201/x202/x203 oracle bodies assembled over one
+    // shared per-user CTE into the long-format readout
+    "e10_experiment_readout" ->
+      """WITH pu AS (SELECT user_id,
+             sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+               THEN value ELSE 0.0 END) AS x,
+             sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+               THEN value ELSE 0.0 END) AS y,
+             CAST(count(*) AS BIGINT) AS m,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               % 2 AS arm
+           FROM events GROUP BY user_id),
+         po AS (SELECT CAST(count(*) AS BIGINT) AS n_all, sum(x) AS sx,
+             sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy FROM pu),
+         th AS (SELECT pu.*,
+             y - (CASE WHEN CAST(n_all AS DOUBLE) * sxx - sx * sx = 0.0
+               THEN 0.0
+               ELSE (CAST(n_all AS DOUBLE) * sxy - sx * sy) /
+                 (CAST(n_all AS DOUBLE) * sxx - sx * sx) END)
+               * (x - sx / CAST(n_all AS DOUBLE)) AS y_adj
+           FROM pu, po),
+         ag AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+             sum(y) AS ssy, sum(y * y) AS ssyy,
+             sum(y_adj) AS ssa, sum(y_adj * y_adj) AS ssaa
+           FROM th GROUP BY arm),
+         cu AS (SELECT arm, n_users,
+             round(ssy / CAST(n_users AS DOUBLE), 6) AS mean_y,
+             round(ssa / CAST(n_users AS DOUBLE), 6) AS mean_y_adj,
+             round(CASE WHEN ssyy - ssy * ssy / CAST(n_users AS DOUBLE) = 0.0
+               THEN NULL
+               ELSE 1.0 - ((ssaa - ssa * ssa / CAST(n_users AS DOUBLE))
+                 / (ssyy - ssy * ssy / CAST(n_users AS DOUBLE))) END, 6)
+               AS var_reduction
+           FROM ag),
+         cw AS (SELECT a0.n_users AS n0, a0.mean_y AS my0,
+                  a0.mean_y_adj AS ma0, a0.var_reduction AS vr0,
+                  a1.n_users AS n1, a1.mean_y AS my1,
+                  a1.mean_y_adj AS ma1, a1.var_reduction AS vr1
+                FROM cu a0, cu a1 WHERE a0.arm = 0 AND a1.arm = 1),
+         bv AS (SELECT m, CAST(count(*) AS BIGINT) AS t,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1
+           FROM pu GROUP BY m),
+         rk AS (SELECT m, t, t1,
+             CAST(sum(t) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cum
+           FROM bv),
+         mg AS (SELECT CAST(sum(t - t1) AS BIGINT) AS mn0,
+             CAST(sum(t1) AS BIGINT) AS mn1,
+             sum(CAST(t1 AS DOUBLE) * (CAST(cum - t AS DOUBLE)
+               + (CAST(t AS DOUBLE) + 1.0) / 2.0)) AS r1,
+             CAST(sum(t * t * t - t) AS BIGINT) AS ties
+           FROM rk),
+         mv AS (SELECT mn0, mn1, r1, ties,
+             CAST(mn0 AS DOUBLE) * CAST(mn1 AS DOUBLE) / 12.0 *
+               ((CAST(mn0 + mn1 AS DOUBLE) + 1.0)
+                 - CAST(ties AS DOUBLE) / (CAST(mn0 + mn1 AS DOUBLE)
+                   * (CAST(mn0 + mn1 AS DOUBLE) - 1.0))) AS var
+           FROM mg),
+         mz AS (SELECT
+             round(CASE WHEN var <= 0.0 THEN NULL ELSE
+               (r1 - CAST(mn1 AS DOUBLE) * (CAST(mn1 AS DOUBLE) + 1.0)
+                 / 2.0 - CAST(mn0 AS DOUBLE) * CAST(mn1 AS DOUBLE) / 2.0)
+               / sqrt(var) END, 6) AS z
+           FROM mv),
+         su AS (SELECT DISTINCT event_type AS segment, user_id FROM events),
+         sa AS (SELECT segment,
+             CAST(sum(CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+               1, 15))::BIGINT % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_arm0,
+             CAST(sum(CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+               1, 15))::BIGINT % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_arm1
+           FROM su GROUP BY 1),
+         sc AS (SELECT max(round((CAST(n_arm0 AS DOUBLE)
+             - CAST(n_arm1 AS DOUBLE)) * (CAST(n_arm0 AS DOUBLE)
+             - CAST(n_arm1 AS DOUBLE))
+             / CAST(n_arm0 + n_arm1 AS DOUBLE), 6)) AS c
+           FROM sa),
+         qb AS (SELECT arm, m, CAST(count(*) AS BIGINT) AS t
+                FROM pu GROUP BY 1, 2),
+         qc AS (SELECT arm, m, t,
+             CAST(sum(t) OVER (PARTITION BY arm ORDER BY m
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c,
+             CAST(sum(t) OVER (PARTITION BY arm) AS BIGINT) AS n
+           FROM qb),
+         qv AS (SELECT arm,
+             min(CASE WHEN c * 1000000 >= 250000 * n THEN m END) AS v25,
+             min(CASE WHEN c * 1000000 >= 500000 * n THEN m END) AS v50,
+             min(CASE WHEN c * 1000000 >= 750000 * n THEN m END) AS v75
+           FROM qc GROUP BY arm),
+         qp AS (SELECT a0.v25 AS a025, a0.v50 AS a050, a0.v75 AS a075,
+                  a1.v25 AS a125, a1.v50 AS a150, a1.v75 AS a175
+                FROM qv a0, qv a1 WHERE a0.arm = 0 AND a1.arm = 1)
+         SELECT metric, arm0, arm1, delta FROM (
+           SELECT 'mean_y' AS metric, my0 AS arm0, my1 AS arm1,
+             round(my1 - my0, 6) AS delta FROM cw
+           UNION ALL SELECT 'mean_y_adj', ma0, ma1, round(ma1 - ma0, 6)
+             FROM cw
+           UNION ALL SELECT 'n_users', CAST(n0 AS DOUBLE),
+             CAST(n1 AS DOUBLE), CAST(n1 - n0 AS DOUBLE) FROM cw
+           UNION ALL SELECT 'var_reduction', vr0, vr1, round(vr1 - vr0, 6)
+             FROM cw
+           UNION ALL SELECT 'mw_z', CAST(NULL AS DOUBLE),
+             CAST(NULL AS DOUBLE), z FROM mz
+           UNION ALL SELECT 'srm_chi2_max', CAST(NULL AS DOUBLE),
+             CAST(NULL AS DOUBLE), c FROM sc
+           UNION ALL SELECT 'p25', CAST(a025 AS DOUBLE),
+             CAST(a125 AS DOUBLE), CAST(a125 - a025 AS DOUBLE) FROM qp
+           UNION ALL SELECT 'p50', CAST(a050 AS DOUBLE),
+             CAST(a150 AS DOUBLE), CAST(a150 - a050 AS DOUBLE) FROM qp
+           UNION ALL SELECT 'p75', CAST(a075 AS DOUBLE),
+             CAST(a175 AS DOUBLE), CAST(a175 - a075 AS DOUBLE) FROM qp)
+         ORDER BY metric""",
+
     // x200: x81's scored CTE into the min-max isotonic closed form —
     // pooled rates divide exact integer cumulative sums
     "x200_isotonic_fit" ->
@@ -4839,17 +4963,21 @@ object SparkEntry {
              sum(CAST(t1 AS DOUBLE) * (CAST(cum - t AS DOUBLE)
                + (CAST(t AS DOUBLE) + 1.0) / 2.0)) AS r1,
              CAST(sum(t * t * t - t) AS BIGINT) AS ties
-           FROM rk)
+           FROM rk),
+         v AS (SELECT n0, n1, r1, ties,
+             CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 12.0 *
+               ((CAST(n0 + n1 AS DOUBLE) + 1.0)
+                 - CAST(ties AS DOUBLE) / (CAST(n0 + n1 AS DOUBLE)
+                   * (CAST(n0 + n1 AS DOUBLE) - 1.0))) AS var
+           FROM ag)
          SELECT n0, n1,
            round(r1 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0,
              6) AS u1,
-           round((r1 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0
+           round(CASE WHEN var <= 0.0 THEN NULL ELSE
+             (r1 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0
                - CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 2.0)
-             / sqrt(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 12.0 *
-               ((CAST(n0 + n1 AS DOUBLE) + 1.0)
-                 - CAST(ties AS DOUBLE) / (CAST(n0 + n1 AS DOUBLE)
-                   * (CAST(n0 + n1 AS DOUBLE) - 1.0)))), 6) AS z
-         FROM ag""",
+             / sqrt(var) END, 6) AS z
+         FROM v""",
 
     // x202: chi-square for the 50/50 split collapses to (n0-n1)^2/n;
     // the flag compares the ROUNDED statistic on both sides

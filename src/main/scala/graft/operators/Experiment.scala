@@ -93,20 +93,24 @@ object Experiment {
       .withColumn("cum", sum(col("t")).over(w))
       .withColumn("avg_rank",
         d(col("cum") - col("t")) + (d(col("t")) + 1.0) / 2.0)
-    ranked.agg(
+    val agg = ranked.agg(
         sum(col("t") - col("t1")).as("n0"), sum(col("t1")).as("n1"),
         sum(d(col("t1")) * col("avg_rank")).as("r1"),
         sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
-      .select(col("n0"), col("n1"),
+    // degenerate inputs (an empty arm, or every metric value tied) have
+    // zero rank variance: pin z to NULL rather than 0/0 (the x172/x198
+    // convention), same CASE in the oracle
+    val variance = d(col("n0")) * d(col("n1")) / 12.0 *
+      ((d(col("n0") + col("n1")) + 1.0) -
+        d(col("ties")) / (d(col("n0") + col("n1")) *
+          (d(col("n0") + col("n1")) - 1.0)))
+    agg.select(col("n0"), col("n1"),
         round(col("r1") - d(col("n1")) * (d(col("n1")) + 1.0) / 2.0, 6)
           .as("u1"),
-        round(
+        round(when(variance <= 0.0, lit(null).cast(DoubleType)).otherwise(
           (col("r1") - d(col("n1")) * (d(col("n1")) + 1.0) / 2.0 -
-            d(col("n0")) * d(col("n1")) / 2.0) /
-          sqrt(d(col("n0")) * d(col("n1")) / 12.0 *
-            ((d(col("n0") + col("n1")) + 1.0) -
-              d(col("ties")) / (d(col("n0") + col("n1")) *
-                (d(col("n0") + col("n1")) - 1.0)))), 6).as("z"))
+            d(col("n0")) * d(col("n1")) / 2.0) / sqrt(variance)), 6)
+          .as("z"))
   }
 
   /** Quantile treatment effects: the per-arm EXACT quantiles of the

@@ -91,6 +91,35 @@ class ExperimentSpec extends SparkSpec {
     assert(srm.getBoolean(5), "all-one-arm segment must be flagged")
   }
 
+  test("e10 flagship: one row per readout metric, single-stat rows carry only delta") {
+    val evs = (0L until 20L).flatMap { u =>
+      Seq((u, "2024-01-10 00:00:00", 1.0 + u), (u, "2024-01-20 00:00:00", 2.0 + u),
+        (u, "2024-01-21 00:00:00", 1.0))
+    }.toDF("user_id", "ts_s", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+      .withColumn("event_type", lit("click"))
+    val out = graft.examples.ExperimentReadout.run(evs, "user_id", "ts",
+        "value", "2024-01-16 00:00:00", "event_type")
+      .orderBy("metric").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("mean_y", "mean_y_adj",
+      "mw_z", "n_users", "p25", "p50", "p75", "srm_chi2_max",
+      "var_reduction"))
+    val byMetric = out.map(r => r.getString(0) -> r).toMap
+    // single-statistic rows have NULL arm columns
+    Seq("mw_z", "srm_chi2_max").foreach { m =>
+      assert(byMetric(m).isNullAt(1) && byMetric(m).isNullAt(2))
+    }
+    assert(!byMetric("srm_chi2_max").isNullAt(3))
+    // every user has the same event count: rank variance 0 -> z pinned NULL
+    assert(byMetric("mw_z").isNullAt(3))
+    // every user has exactly 3 events -> all quantiles 3, diffs 0
+    Seq("p25", "p50", "p75").foreach { m =>
+      assert(byMetric(m).getDouble(1) == 3.0 && byMetric(m).getDouble(3) == 0.0)
+    }
+    assert(byMetric("n_users").getDouble(1) +
+      byMetric("n_users").getDouble(2) == 20.0)
+  }
+
   test("quantileTreatment: exact type-1 quantiles per arm and their difference") {
     val counts = (0L until 12L).map(u => u -> (u.toInt + 1)).toMap
     val events = mkEvents(counts)
