@@ -2728,6 +2728,35 @@ object SparkEntry {
         .orderBy(col("field"))
     },
 
+    // ---- X: local clustering coefficients over the near-dup graph —
+    //      2*tri/(deg*(deg-1)) for deg>=2; tight mirror cliques vs
+    //      chain-shaped drift, the local companion to x138 ----
+    "x204_clustering_coeff" -> { (s, dir) =>
+      graft.operators.GraphRank.clusteringCoefficients(
+        graft.operators.Dedup.minhashLshPairs(
+          t(s, dir, "documents"), "doc_id", "text"),
+        "id_a", "id_b")
+        .orderBy(col("id"))
+    },
+
+    // ---- X: Flesch reading-ease per document — vowel-group syllable
+    //      proxy + terminal-punctuation sentences; one narrow scan ----
+    "x205_readability" -> { (s, dir) =>
+      graft.operators.QualityFilters.readability(
+        t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- X: l-diversity audit over (source, lang) cells with the
+    //      n_chars centile band as the sensitive attribute — the leak
+    //      k-anonymity (x139) can't see ----
+    "x206_l_diversity" -> { (s, dir) =>
+      graft.operators.Profile.lDiversity(
+        t(s, dir, "documents"), Seq("source", "lang"),
+        "n_chars div 100", l = 3L)
+        .orderBy(col("source"), col("lang"))
+    },
+
     // ---- E2E: experiment readout flagship — SRM guardrail worst-case,
     //      CUPED means, Mann-Whitney z, and quantile treatment effects
     //      in one long-format deterministic report ----
@@ -4796,6 +4825,64 @@ object SparkEntry {
            round(log2(mp / up), 6) AS w_agree,
            round(log2((1.0 - mp) / (1.0 - up)), 6) AS w_disagree
          FROM pr ORDER BY field""",
+
+    // x204: x67's pair/tri CTEs + a degree CTE; coefficient divides
+    // exact BIGINTs
+    "x204_clustering_coeff" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+                FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1))) t(i)),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                   FROM sh a JOIN sh b USING (s)
+                   WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         pairs AS (SELECT id_a, id_b
+                   FROM inter JOIN sz sa ON id_a = sa.doc_id
+                              JOIN sz sb ON id_b = sb.doc_id
+                   WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8),
+         deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree FROM
+                 (SELECT id_a AS id FROM pairs
+                  UNION ALL SELECT id_b FROM pairs) GROUP BY id),
+         tri AS (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+                 FROM pairs e1
+                 JOIN pairs e2 ON e1.id_a = e2.id_a AND e1.id_b < e2.id_b
+                 JOIN pairs e3 ON e3.id_a = e1.id_b AND e3.id_b = e2.id_b),
+         tc AS (SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
+                FROM (SELECT unnest([a, b, c]) AS id FROM tri)
+                GROUP BY id)
+         SELECT d.id, d.degree,
+           CAST(COALESCE(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+           round(2.0 * CAST(COALESCE(tc.n_triangles, 0) AS DOUBLE)
+             / (CAST(d.degree AS DOUBLE) * (CAST(d.degree AS DOUBLE) - 1.0)),
+             6) AS coeff
+         FROM deg d LEFT JOIN tc ON d.id = tc.id
+         WHERE d.degree >= 2 ORDER BY d.id""",
+
+    // x205: the same regex proxies, integer counts into one double
+    "x205_readability" ->
+      """SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+             AS BIGINT) AS n_syllables,
+           CAST(greatest(len(regexp_extract_all(text, '[.!?]')), 1)
+             AS BIGINT) AS n_sentences,
+           round(206.835
+             - 1.015 * (CAST(len(string_split(text, ' ')) AS DOUBLE)
+               / CAST(greatest(len(regexp_extract_all(text, '[.!?]')), 1)
+                 AS DOUBLE))
+             - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                 AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS flesch
+         FROM documents
+         WHERE len(string_split(text, ' ')) >= 1
+         ORDER BY doc_id""",
+
+    // x206: exact distinct of the bucketed sensitive value per QI cell
+    "x206_l_diversity" ->
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT n_chars // 100) AS BIGINT) AS l_distinct,
+           count(DISTINCT n_chars // 100) < 3 AS at_risk
+         FROM documents GROUP BY source, lang ORDER BY source, lang""",
 
     // e10: the x198/x201/x202/x203 oracle bodies assembled over one
     // shared per-user CTE into the long-format readout

@@ -318,6 +318,39 @@ object GraphRank {
       .select(col("a").as("id"), col("degree"))
   }
 
+  /** Local clustering coefficients over an undirected pair graph:
+    * c_i = 2 * triangles_i / (deg_i * (deg_i - 1)) for nodes of degree
+    * >= 2 (the coefficient is undefined below that). High coefficients in
+    * a near-dup graph mean tight mirror cliques (one canonical survives
+    * dedup cleanly); low ones mean chain-shaped similarity (pivot-text
+    * drift) where transitive-closure dedup over-merges — the local
+    * companion to x138's per-cluster cohesion.
+    *
+    * 100 TB shape: composes [[triangleCounts]] (pinned shuffle-hash
+    * equi joins) with one explode + partial-agged degree count and a
+    * final equi join — nothing new beyond the triangle pass it reuses.
+    */
+  def clusteringCoefficients(pairs: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val e = pairs
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull &&
+        col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .distinct()
+    val deg = e.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    val tri = triangleCounts(e, "a", "b")
+    deg.filter(col("degree") >= 2)
+      .join(tri, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        round(lit(2.0) * coalesce(col("n_triangles"), lit(0L))
+            .cast(DoubleType) /
+          (col("degree").cast(DoubleType) *
+            (col("degree").cast(DoubleType) - 1.0)), 6).as("coeff"))
+  }
+
   /** Modularity of a node partition over an undirected graph (Newman &
     * Girvan 2004): for each community c,
     * q_c = within_c / m - (deg_c / 2m)^2, summing to the partition's

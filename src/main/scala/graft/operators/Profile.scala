@@ -427,4 +427,26 @@ object Profile {
           when(raw <= 640.0 && col("n_registers") < 256L, lc).otherwise(raw),
           4).as("hll_est"))
   }
+
+  /** l-diversity audit (Machanavajjhala et al. 2007): for each
+    * quasi-identifier cell, how many DISTINCT values of the sensitive
+    * attribute appear — a k-anonymous release ([[smallCells]] passing)
+    * still leaks when every member of a cell shares one sensitive value,
+    * which is exactly what l_distinct = 1 reports. Cells below `l` are
+    * flagged `at_risk`. The sensitive expression is any SQL expression
+    * over the row (e.g. a bucketed numeric).
+    *
+    * One partial-agged groupBy with an exact distinct — at 100 TB swap
+    * `count_distinct` for `approx_count_distinct` if sensitive
+    * cardinality per cell is unbounded; here exactness is what the
+    * oracle certifies.
+    */
+  def lDiversity(df: DataFrame, qiCols: Seq[String], sensitiveExpr: String,
+      l: Long): DataFrame = {
+    require(qiCols.nonEmpty && l >= 2, "need QI cols and l >= 2")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        count_distinct(expr(sensitiveExpr)).as("l_distinct"))
+      .withColumn("at_risk", col("l_distinct") < l)
+  }
 }

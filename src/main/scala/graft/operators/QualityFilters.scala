@@ -120,4 +120,33 @@ object QualityFilters {
       .withColumn("low_diversity",
         col("entropy") < minEntropy || col("top_share") > maxTopShare)
   }
+
+  /** Flesch reading-ease score per document (Flesch 1948:
+    * 206.835 - 1.015 * words/sentences - 84.6 * syllables/word) with the
+    * standard corpus-scale proxies — syllables as vowel-group runs
+    * ([aeiouy]+ on the lowercased text), sentences as terminal-punctuation
+    * count (floored at 1). Readability joins length/entropy/stopword
+    * signals in the quality-score family: very high scores flag
+    * listy/fragmentary text, very low ones flag run-on boilerplate.
+    *
+    * One narrow projection, no shuffle, no UDF — the same
+    * regexp-count shape as [[CorpusOps.piiScrub]]'s counters. Integer
+    * counts into one double expression, exact cross-engine.
+    */
+  def readability(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val words = size(TextFunctions.tokens(col(textCol))).cast("long")
+    val syllables = size(regexp_extract_all(lower(col(textCol)),
+      lit("[aeiouy]+"), lit(0))).cast("long")
+    val sentences = greatest(size(regexp_extract_all(col(textCol),
+      lit("[.!?]"), lit(0))).cast("long"), lit(1L))
+    df.select(col(idCol), words.as("n_words"),
+        syllables.as("n_syllables"), sentences.as("n_sentences"))
+      .filter(col("n_words") >= 1)
+      .withColumn("flesch", round(lit(206.835) -
+        lit(1.015) * (col("n_words").cast(DoubleType) /
+          col("n_sentences").cast(DoubleType)) -
+        lit(84.6) * (col("n_syllables").cast(DoubleType) /
+          col("n_words").cast(DoubleType)), 6))
+  }
 }

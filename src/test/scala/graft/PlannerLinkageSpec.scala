@@ -111,6 +111,41 @@ class PlannerLinkageSpec extends SparkSpec {
     assert(r.getDouble(6) == -1.807355) // log2(0.25/0.875)
   }
 
+  test("clusteringCoefficients: triangle closes to coeff 1, chain node gets 0, leaves drop") {
+    // triangle 1-2-3 plus a pendant 3-4: node 3 has deg 3, 1 triangle
+    // -> 2*1/(3*2) = 0.333333; node 4 deg 1 -> excluded
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val out = GraphRank.clusteringCoefficients(pairs, "a", "b")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((1L, 2L, 1L, 1.0), (2L, 2L, 1L, 1.0),
+      (3L, 3L, 1L, 0.333333)))
+  }
+
+  test("readability: hand-computed Flesch on a two-sentence doc") {
+    // "the cat sat. it ran!" -> 5 words, 2 sentences,
+    // syllables: e,a,a,i,a -> 5 vowel groups
+    val docs = Seq((1L, "the cat sat. it ran!")).toDF("doc_id", "text")
+    val r = graft.operators.QualityFilters.readability(docs, "doc_id", "text")
+      .collect()(0)
+    assert(r.getLong(1) == 5L && r.getLong(2) == 5L && r.getLong(3) == 2L)
+    val expected = 206.835 - 1.015 * (5.0 / 2.0) - 84.6 * (5.0 / 5.0)
+    assert(r.getDouble(4) == BigDecimal(expected).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("lDiversity: a k-anonymous cell with one sensitive value is still flagged") {
+    val rows = Seq(("a", 100L), ("a", 105L), ("a", 110L), // one bucket (1)
+      ("b", 100L), ("b", 250L), ("b", 300L))              // buckets 1,2,3
+      .toDF("qi", "v")
+    val out = graft.operators.Profile.lDiversity(rows, Seq("qi"),
+        "v div 100", l = 3L)
+      .orderBy("qi").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // cell a: n=3 (k-anonymous at k=3) but l_distinct=1 -> at risk
+    assert(out.toSeq == Seq(("a", 3L, 1L, true), ("b", 3L, 3L, false)))
+  }
+
   test("cupedAdjust: a fully-explaining covariate zeroes adjusted variance") {
     // y = 2x per user -> theta = 2, y_adj = 2*mean(x) for every user
     val cutoff = "2024-01-16 00:00:00"
