@@ -2757,6 +2757,29 @@ object SparkEntry {
         .orderBy(col("source"), col("lang"))
     },
 
+    // ---- X: neighborhood Jaccard per near-dup edge (Liben-Nowell 2003)
+    //      — how embedded is each duplicate relationship; high = mirror
+    //      clique (safe transitive merge), zero = isolated coincidence.
+    //      Wedge self-join on the midpoint, all equi ----
+    "x207_neighborhood_jaccard" -> { (s, dir) =>
+      graft.operators.GraphRank.neighborhoodJaccard(
+        graft.operators.Dedup.minhashLshPairs(
+          t(s, dir, "documents"), "doc_id", "text"),
+        "id_a", "id_b")
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ---- X: per-label centroid drift between the old/new embedding
+    //      slices — the post-re-embed monitor that tells an IVF owner
+    //      the calibrated geometry moved; one posexplode partial agg +
+    //      dims-sized folds ----
+    "x208_centroid_drift" -> { (s, dir) =>
+      graft.operators.Similarity.centroidDrift(
+        t(s, dir, "embeddings"), "label", "embedding",
+        splitExpr = "vec_id % 2 = 1")
+        .orderBy(col("label"))
+    },
+
     // ---- E2E: experiment readout flagship — SRM guardrail worst-case,
     //      CUPED means, Mann-Whitney z, and quantile treatment effects
     //      in one long-format deterministic report ----
@@ -4825,6 +4848,68 @@ object SparkEntry {
            round(log2(mp / up), 6) AS w_agree,
            round(log2((1.0 - mp) / (1.0 - up)), 6) AS w_disagree
          FROM pr ORDER BY field""",
+
+    // x207: x67's pair CTEs + doubled adjacency; wedge join for common
+    // neighbors; jaccard divides exact BIGINTs
+    "x207_neighborhood_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+                FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1))) t(i)),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                   FROM sh a JOIN sh b USING (s)
+                   WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         pairs AS (SELECT id_a, id_b
+                   FROM inter JOIN sz sa ON id_a = sa.doc_id
+                              JOIN sz sb ON id_b = sb.doc_id
+                   WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8),
+         adj AS (SELECT id_a AS a, id_b AS b FROM pairs
+                 UNION ALL SELECT id_b, id_a FROM pairs),
+         deg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS deg
+                 FROM adj GROUP BY a),
+         cm AS (SELECT x.a AS a, y.a AS b, CAST(count(*) AS BIGINT) AS common
+                FROM adj x JOIN adj y ON x.b = y.b AND x.a < y.a
+                GROUP BY 1, 2)
+         SELECT p.id_a, p.id_b,
+           CAST(COALESCE(cm.common, 0) AS BIGINT) AS common,
+           CAST(da.deg + db.deg - COALESCE(cm.common, 0) AS BIGINT)
+             AS union_size,
+           round(CAST(COALESCE(cm.common, 0) AS DOUBLE)
+             / CAST(da.deg + db.deg - COALESCE(cm.common, 0) AS DOUBLE), 6)
+             AS jaccard
+         FROM pairs p JOIN deg da ON p.id_a = da.id
+                      JOIN deg db ON p.id_b = db.id
+                      LEFT JOIN cm ON p.id_a = cm.a AND p.id_b = cm.b
+         ORDER BY p.id_a, p.id_b""",
+
+    // x208: per-(label, dim, side) means, then dims-sized cosine folds;
+    // the drifted flag compares the ROUNDED cosine on both sides
+    "x208_centroid_drift" ->
+      """WITH e AS (SELECT label, (vec_id % 2 = 1) AS is_new,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         d AS (SELECT label, i.i AS dim,
+             CAST(sum(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_old_d,
+             CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new_d,
+             sum(CASE WHEN NOT is_new THEN v[i.i] ELSE 0.0 END) AS s_old,
+             sum(CASE WHEN is_new THEN v[i.i] ELSE 0.0 END) AS s_new
+           FROM e, UNNEST(range(1, 65)) i(i) GROUP BY 1, 2),
+         c AS (SELECT label, n_old_d, n_new_d,
+             CASE WHEN n_old_d > 0 THEN s_old / CAST(n_old_d AS DOUBLE) END
+               AS c_old,
+             CASE WHEN n_new_d > 0 THEN s_new / CAST(n_new_d AS DOUBLE) END
+               AS c_new
+           FROM d),
+         g AS (SELECT label, max(n_old_d) AS n_old, max(n_new_d) AS n_new,
+             sum(c_old * c_new) AS dot, sum(c_old * c_old) AS nrm_o,
+             sum(c_new * c_new) AS nrm_n
+           FROM c GROUP BY label)
+         SELECT label, n_old, n_new,
+           round(dot / (sqrt(nrm_o) * sqrt(nrm_n)), 6) AS cos_shift,
+           round(dot / (sqrt(nrm_o) * sqrt(nrm_n)), 6) < 0.999 AS drifted
+         FROM g WHERE n_old >= 1 AND n_new >= 1 ORDER BY label""",
 
     // x204: x67's pair/tri CTEs + a degree CTE; coefficient divides
     // exact BIGINTs

@@ -318,6 +318,48 @@ object GraphRank {
       .select(col("a").as("id"), col("degree"))
   }
 
+  /** Neighborhood Jaccard per edge (Liben-Nowell & Kleinberg 2003's
+    * link-prediction similarity, applied to existing edges):
+    * |N(a) ∩ N(b)| / |N(a) ∪ N(b)| over open neighborhoods. On the
+    * near-dup graph this scores how EMBEDDED each duplicate relationship
+    * is — a high-Jaccard edge sits inside a mirror clique (safe to
+    * transitively merge), a zero-Jaccard edge is an isolated coincidence
+    * the closure step should treat with suspicion. The per-edge
+    * companion to [[clusteringCoefficients]]' per-node view.
+    *
+    * 100 TB shape: the adjacency frame is the edge list doubled; common
+    * neighbors come from one equi self-join on the wedge midpoint (the
+    * triangleCounts shape), degrees from a partial-agged count — all
+    * shuffle-hash equi joins, exact integer counts.
+    */
+  def neighborhoodJaccard(pairs: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val e = pairs
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull &&
+        col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .distinct()
+    val adj = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = adj.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+    // common neighbors: wedges a-w-b counted per (a,b)
+    val common = adj.toDF("a", "w")
+      .join(adj.toDF("b", "w").hint("shuffle_hash"), Seq("w"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+    e.join(common, Seq("a", "b"), "left")
+      .join(deg.withColumnRenamed("id", "a")
+        .withColumnRenamed("deg", "deg_a"), Seq("a"))
+      .join(deg.withColumnRenamed("id", "b")
+        .withColumnRenamed("deg", "deg_b"), Seq("b"))
+      .select(col("a").as("id_a"), col("b").as("id_b"),
+        coalesce(col("common"), lit(0L)).as("common"),
+        (col("deg_a") + col("deg_b") -
+          coalesce(col("common"), lit(0L))).as("union_size"))
+      .withColumn("jaccard", round(col("common").cast(DoubleType) /
+        col("union_size").cast(DoubleType), 6))
+  }
+
   /** Local clustering coefficients over an undirected pair graph:
     * c_i = 2 * triangles_i / (deg_i * (deg_i - 1)) for nodes of degree
     * >= 2 (the coefficient is undefined below that). High coefficients in

@@ -431,4 +431,53 @@ object Similarity {
         min(col("ratio")).as("min_ratio"),
         max(col("ratio")).as("max_ratio"))
   }
+
+  /** Per-label centroid drift between two corpus slices (old vs new —
+    * e.g. yesterday's embeddings vs today's re-embeds): the cosine
+    * between each label's old and new centroid, flagged when it falls
+    * below `minCos`. THE monitor an embedding-index owner runs after a
+    * model refresh or a re-crawl — a drifted centroid means the IVF
+    * partitions (x63/x161) and the SemDeDup thresholds calibrated on the
+    * old geometry no longer hold for that label.
+    *
+    * `splitExpr` is a boolean SQL expression over the input row: true =
+    * new slice, false = old.
+    *
+    * 100 TB shape: one posexplode into a partial-agged (label, dim, side)
+    * mean — the only row-sized work — then per-label dot/norm folds over
+    * the dims-sized frame. Means of doubles follow the round-6-at-the-end
+    * convention (x46's centroid precedent).
+    */
+  def centroidDrift(embs: DataFrame, labelCol: String, vecCol: String,
+      splitExpr: String, minCos: Double = 0.999): DataFrame = {
+    val sides = embs.select(col(labelCol).as("label"),
+        expr(splitExpr).as("is_new"),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(
+        sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_old_d"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new_d"),
+        sum(when(!col("is_new"), col("v").cast(DoubleType))
+          .otherwise(0.0)).as("s_old"),
+        sum(when(col("is_new"), col("v").cast(DoubleType))
+          .otherwise(0.0)).as("s_new"))
+      .select(col("label"), col("dim"),
+        col("n_old_d"), col("n_new_d"),
+        // a label present on one side only is dropped below; guard the
+        // division so ANSI mode never sees the 0 denominator
+        when(col("n_old_d") > 0,
+          col("s_old") / col("n_old_d").cast(DoubleType)).as("c_old"),
+        when(col("n_new_d") > 0,
+          col("s_new") / col("n_new_d").cast(DoubleType)).as("c_new"))
+    sides.groupBy(col("label"))
+      .agg(max(col("n_old_d")).as("n_old"), max(col("n_new_d")).as("n_new"),
+        sum(col("c_old") * col("c_new")).as("dot"),
+        sum(col("c_old") * col("c_old")).as("nrm_o"),
+        sum(col("c_new") * col("c_new")).as("nrm_n"))
+      .filter(col("n_old") >= 1 && col("n_new") >= 1)
+      .select(col("label"), col("n_old"), col("n_new"),
+        round(col("dot") / (sqrt(col("nrm_o")) * sqrt(col("nrm_n"))), 6)
+          .as("cos_shift"))
+      .withColumn("drifted", col("cos_shift") < minCos)
+  }
 }

@@ -122,6 +122,39 @@ class PlannerLinkageSpec extends SparkSpec {
       (3L, 3L, 1L, 0.333333)))
   }
 
+  test("neighborhoodJaccard: clique edge scores high, bridge edge scores low") {
+    // triangle 1-2-3 bridged to triangle 4-5-6 via edge 3-4
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (4L, 6L)).toDF("a", "b")
+    val out = GraphRank.neighborhoodJaccard(pairs, "a", "b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // edge 1-2: N(1)={2,3}, N(2)={1,3} -> common {3}=1, union 2+2-1=3
+    assert(out((1L, 2L)) == ((1L, 3L, 0.333333)))
+    // bridge 3-4: N(3)={1,2,4}, N(4)={3,5,6} -> common 0, union 6
+    assert(out((3L, 4L)) == ((0L, 6L, 0.0)))
+  }
+
+  test("centroidDrift: identical slices cosine 1, opposing slice drifts") {
+    val embs = Seq(
+      (0L, 1, Seq(1.0f, 0.0f)), (1L, 1, Seq(1.0f, 0.0f)),   // label 1: same
+      (2L, 2, Seq(0.0f, 1.0f)), (3L, 2, Seq(1.0f, 0.0f)))   // label 2: rotated
+      .toDF("vec_id", "label", "embedding")
+    val out = graft.operators.Similarity.centroidDrift(
+        embs, "label", "embedding", "vec_id % 2 = 1")
+      .orderBy("label").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(out.toSeq == Seq((1, 1L, 1L, 1.0, false),
+      (2, 1L, 1L, 0.0, true)))
+    // a label present on only one side is dropped, not divided by zero
+    val oneSided = Seq((2L, 7, Seq(1.0f, 1.0f))).toDF("vec_id", "label", "embedding")
+    assert(graft.operators.Similarity.centroidDrift(
+      embs.unionAll(oneSided), "label", "embedding", "vec_id % 2 = 1")
+      .filter(col("label") === 7).isEmpty)
+  }
+
   test("readability: hand-computed Flesch on a two-sentence doc") {
     // "the cat sat. it ran!" -> 5 words, 2 sentences,
     // syllables: e,a,a,i,a -> 5 vowel groups
