@@ -2757,6 +2757,36 @@ object SparkEntry {
         .orderBy(col("source"), col("lang"))
     },
 
+    // ---- X: Qini uplift curve over targeting-score deciles (Radcliffe
+    //      2007) — incremental conversions vs control scaled to the
+    //      treated population, cumulative per decile; exact integer
+    //      moments, deciles from the bounded distinct-score frame ----
+    "x209_qini_curve" -> { (s, dir) =>
+      graft.operators.Experiment.qiniCurve(
+        t(s, dir, "events"), "user_id", "ts",
+        cutoff = "2024-01-16 00:00:00", bins = 10)
+        .orderBy(col("bin"))
+    },
+
+    // ---- X: sort-key advisor — zone-map skipping effectiveness per
+    //      candidate layout key for a probe-quantile workload; the
+    //      measured decision behind a sort-on-write job ----
+    "x211_sort_advisor" -> { (s, dir) =>
+      graft.operators.Scale.sortKeyAdvisor(
+        t(s, dir, "documents"), Seq("doc_id", "n_chars", "source"),
+        "n_chars", nBins = 32, nProbes = 9)
+        .orderBy(col("candidate"))
+    },
+
+    // ---- X: always-valid sequential test (mSPRT, Johari 2017) on the
+    //      daily arm-total difference — peek every day without inflating
+    //      false positives; days-sized frame after one partial agg ----
+    "x212_msprt" -> { (s, dir) =>
+      graft.operators.Experiment.msprt(
+        t(s, dir, "events"), "user_id", "ts")
+        .orderBy(col("day"))
+    },
+
     // ---- X: neighborhood Jaccard per near-dup edge (Liben-Nowell 2003)
     //      — how embedded is each duplicate relationship; high = mirror
     //      clique (safe transitive merge), zero = isolated coincidence.
@@ -4848,6 +4878,159 @@ object SparkEntry {
            round(log2(mp / up), 6) AS w_agree,
            round(log2((1.0 - mp) / (1.0 - up)), 6) AS w_disagree
          FROM pr ORDER BY field""",
+
+    // x209: per-user integer score/outcome, desc-ranked score frame into
+    // equal-count bins, cumulative qini from exact counts
+    "x209_qini_curve" ->
+      """WITH pu AS (SELECT user_id,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+               THEN 1 ELSE 0 END) AS BIGINT) AS score,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+               THEN 1 ELSE 0 END) AS BIGINT) AS y,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               % 2 AS arm
+           FROM events GROUP BY user_id),
+         bs AS (SELECT score, CAST(count(*) AS BIGINT) AS t
+                FROM pu GROUP BY score),
+         bb AS (SELECT score,
+             (CAST(sum(t) OVER (ORDER BY score DESC
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) - t) * 10
+               // CAST(sum(t) OVER () AS BIGINT) AS bin
+           FROM bs),
+         g AS (SELECT bin,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bt,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS bc,
+             CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS byt,
+             CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS byc
+           FROM pu JOIN bb USING (score) GROUP BY bin),
+         c AS (SELECT bin,
+             CAST(sum(bt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS n_treated,
+             CAST(sum(bc) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS n_control,
+             CAST(sum(byt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS y_treated,
+             CAST(sum(byc) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS y_control
+           FROM g)
+         SELECT bin, n_treated, n_control, y_treated, y_control,
+           round(CASE WHEN n_control = 0 THEN NULL
+             ELSE CAST(y_treated AS DOUBLE) - CAST(y_control AS DOUBLE)
+               * CAST(n_treated AS DOUBLE) / CAST(n_control AS DOUBLE) END,
+             6) AS qini
+         FROM c ORDER BY bin""",
+
+    // x211: probe quantiles once, per-candidate equal-count bins with
+    // zone min/max, broadcast probe x bin containment count
+    "x211_sort_advisor" ->
+      """WITH pv AS (SELECT n_chars AS pv, CAST(count(*) AS BIGINT) AS cnt
+                     FROM documents GROUP BY 1),
+         pc AS (SELECT pv,
+             CAST(sum(cnt) OVER (ORDER BY pv ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER () AS BIGINT) AS n
+           FROM pv),
+         probes AS (SELECT min(CASE WHEN cum * 10 >= i.i * n THEN pv END)
+               AS probe
+           FROM pc, UNNEST(range(1, 10)) i(i) GROUP BY i.i),
+         c1 AS (SELECT doc_id AS k, CAST(count(*) AS BIGINT) AS cnt,
+                  CAST(min(n_chars) AS BIGINT) AS pmin,
+                  CAST(max(n_chars) AS BIGINT) AS pmax
+                FROM documents GROUP BY 1),
+         k1 AS (SELECT cnt, pmin, pmax,
+             CAST(sum(cnt) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER () AS BIGINT) AS n FROM c1),
+         b1 AS (SELECT (cum - cnt) * 32 // n AS bin, min(pmin) AS bmin,
+                  max(pmax) AS bmax FROM k1 GROUP BY 1),
+         s1 AS (SELECT CAST(count(*) AS BIGINT) AS scanned FROM b1
+                JOIN probes ON probe >= bmin AND probe <= bmax),
+         n1 AS (SELECT CAST(count(*) AS BIGINT) AS n_bins FROM b1),
+         r1 AS (SELECT 'doc_id' AS candidate, n_bins,
+                  round(CAST(scanned AS DOUBLE) / 9.0, 6)
+                    AS avg_bins_scanned,
+                  round(CAST(scanned AS DOUBLE)
+                    / (CAST(n_bins AS DOUBLE) * 9.0), 6) AS scan_frac
+                FROM s1, n1),
+         c2 AS (SELECT n_chars AS k, CAST(count(*) AS BIGINT) AS cnt,
+                  CAST(min(n_chars) AS BIGINT) AS pmin,
+                  CAST(max(n_chars) AS BIGINT) AS pmax
+                FROM documents GROUP BY 1),
+         k2 AS (SELECT cnt, pmin, pmax,
+             CAST(sum(cnt) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER () AS BIGINT) AS n FROM c2),
+         b2 AS (SELECT (cum - cnt) * 32 // n AS bin, min(pmin) AS bmin,
+                  max(pmax) AS bmax FROM k2 GROUP BY 1),
+         s2 AS (SELECT CAST(count(*) AS BIGINT) AS scanned FROM b2
+                JOIN probes ON probe >= bmin AND probe <= bmax),
+         n2 AS (SELECT CAST(count(*) AS BIGINT) AS n_bins FROM b2),
+         r2 AS (SELECT 'n_chars' AS candidate, n_bins,
+                  round(CAST(scanned AS DOUBLE) / 9.0, 6)
+                    AS avg_bins_scanned,
+                  round(CAST(scanned AS DOUBLE)
+                    / (CAST(n_bins AS DOUBLE) * 9.0), 6) AS scan_frac
+                FROM s2, n2),
+         c3 AS (SELECT source AS k, CAST(count(*) AS BIGINT) AS cnt,
+                  CAST(min(n_chars) AS BIGINT) AS pmin,
+                  CAST(max(n_chars) AS BIGINT) AS pmax
+                FROM documents GROUP BY 1),
+         k3 AS (SELECT cnt, pmin, pmax,
+             CAST(sum(cnt) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER () AS BIGINT) AS n FROM c3),
+         b3 AS (SELECT (cum - cnt) * 32 // n AS bin, min(pmin) AS bmin,
+                  max(pmax) AS bmax FROM k3 GROUP BY 1),
+         s3 AS (SELECT CAST(count(*) AS BIGINT) AS scanned FROM b3
+                JOIN probes ON probe >= bmin AND probe <= bmax),
+         n3 AS (SELECT CAST(count(*) AS BIGINT) AS n_bins FROM b3),
+         r3 AS (SELECT 'source' AS candidate, n_bins,
+                  round(CAST(scanned AS DOUBLE) / 9.0, 6)
+                    AS avg_bins_scanned,
+                  round(CAST(scanned AS DOUBLE)
+                    / (CAST(n_bins AS DOUBLE) * 9.0), 6) AS scan_frac
+                FROM s3, n3)
+         SELECT * FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+           UNION ALL SELECT * FROM r3)
+         ORDER BY candidate""",
+
+    // x212: daily integer arm totals, cumulative moments, the mixture LR
+    // and its always-valid p; lambda pinned NULL at zero variance
+    "x212_msprt" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+               1, 15))::BIGINT % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+               1, 15))::BIGINT % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0
+           FROM events GROUP BY 1),
+         cum AS (SELECT day, c1, c0,
+             CAST(count(*) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS t,
+             CAST(sum(c1 - c0) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS s1,
+             CAST(sum((c1 - c0) * (c1 - c0)) OVER (ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s2
+           FROM daily),
+         v AS (SELECT day, t, c1, c0, s1,
+             CAST(t AS DOUBLE) * ((CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                 / CAST(t AS DOUBLE)) / CAST(t AS DOUBLE)) AS var
+           FROM cum),
+         l AS (SELECT day, t, c1, c0, s1, var,
+             CASE WHEN var <= 0.0 THEN NULL ELSE
+               sqrt(var / (var + 1.0)) * exp(CAST(s1 AS DOUBLE)
+                 * CAST(s1 AS DOUBLE) * 1.0
+                 / (2.0 * var * (var + 1.0))) END AS lambda
+           FROM v)
+         SELECT day, t AS n_days, c1, c0,
+           round(CAST(s1 AS DOUBLE) / CAST(t AS DOUBLE), 6) AS mean_diff,
+           round(lambda, 6) AS lambda,
+           round(CASE WHEN lambda IS NULL THEN NULL
+             ELSE least(1.0, 1.0 / lambda) END, 6) AS p_always_valid,
+           (lambda IS NOT NULL AND
+             round(CASE WHEN lambda IS NULL THEN NULL
+               ELSE least(1.0, 1.0 / lambda) END, 6) < 0.05) AS rejected
+         FROM l ORDER BY day""",
 
     // x207: x67's pair CTEs + doubled adjacency; wedge join for common
     // neighbors; jaccard divides exact BIGINTs

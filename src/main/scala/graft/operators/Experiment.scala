@@ -113,6 +113,120 @@ object Experiment {
           .as("z"))
   }
 
+  /** Qini uplift curve over score deciles (Radcliffe 2007): rank users by
+    * a targeting score (here the PRE-cutoff covariate, an integer event
+    * count), cut into `bins` equal-count buckets on the bounded
+    * distinct-score frame, and per cumulative bucket report the uplift
+    * estimate qini = Y_t - Y_c * N_t / N_c (incremental conversions vs
+    * the control scaled to the treated population). The decision curve
+    * behind "target the top-k% by model score" — a targeting model is
+    * only worth shipping if its qini dominates the random-targeting
+    * diagonal.
+    *
+    * Outcome = POST-cutoff event count per user (integer), arms by
+    * deterministic hash — every moment is exact integer arithmetic into
+    * the final rounded column.
+    *
+    * 100 TB shape: one per-user partial agg; deciles come from the
+    * distinct-score cumulative frame (codomain-bounded, the x203
+    * convention), never a row sort; the curve is a bins-sized rollup.
+    */
+  def qiniCurve(events: DataFrame, userCol: String, tsCol: String,
+      cutoff: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, "need at least 2 bins")
+    val d = (c: Column) => c.cast(DoubleType)
+    val perUser = events.groupBy(col(userCol))
+      .agg(sum(when(col(tsCol) < lit(cutoff).cast("timestamp"), 1L)
+          .otherwise(0L)).as("score"),
+        sum(when(col(tsCol) >= lit(cutoff).cast("timestamp"), 1L)
+          .otherwise(0L)).as("y"))
+      .withColumn("arm", armOf(col(userCol), 2))
+    // decile of a user = decile of its score value: bounded distinct-
+    // score frame, ranked by score DESC (best targets first)
+    val byScore = perUser.groupBy(col("score"))
+      .agg(count(lit(1)).as("t"))
+    val w = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(lit(1))
+    val binned = byScore
+      .withColumn("cum", sum(col("t")).over(w))
+      .withColumn("n", sum(col("t")).over(tot))
+      // the score's FIRST user decides its bin (ties stay together)
+      .withColumn("bin", call_function("div",
+        (col("cum") - col("t")) * bins.toLong, col("n")))
+      .select(col("score"), col("bin"))
+    val cw = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perUser.join(binned, Seq("score"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("bt"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("bc"),
+        sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("byt"),
+        sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("byc"))
+      .withColumn("n_treated", sum(col("bt")).over(cw))
+      .withColumn("n_control", sum(col("bc")).over(cw))
+      .withColumn("y_treated", sum(col("byt")).over(cw))
+      .withColumn("y_control", sum(col("byc")).over(cw))
+      .select(col("bin"), col("n_treated"), col("n_control"),
+        col("y_treated"), col("y_control"),
+        // a cumulative prefix with no control users yet has no estimate
+        round(when(col("n_control") === 0, lit(null).cast(DoubleType))
+          .otherwise(d(col("y_treated")) - d(col("y_control")) *
+            d(col("n_treated")) / d(col("n_control"))), 6).as("qini"))
+  }
+
+  /** Always-valid sequential test (mSPRT, Johari-Koomen-Pekelis-Walsh
+    * 2017) on the daily arm-total difference: after each day t the
+    * mixture likelihood ratio over the running mean difference is
+    * Lambda_t = sqrt(V/(V+tau)) * exp(S^2 tau / (2 V (V+tau))) with
+    * S = sum of daily differences and V = t * sigma2_hat (population
+    * variance of the daily differences, exact integer moments); the
+    * always-valid p-value is min(1, 1/Lambda) and is monotonically
+    * tightening — the experimenter can PEEK every day without inflating
+    * false positives, which is how dashboards actually get used.
+    *
+    * 100 TB shape: events reduce to one row per (day, arm) by partial
+    * aggregation; everything after runs on the days-sized frame
+    * (calendar-bounded windows, the x169 convention). Integer daily
+    * counts make every moment exact; exp/sqrt land in the round-6
+    * convention.
+    */
+  def msprt(events: DataFrame, userCol: String, tsCol: String,
+      tau: Double = 1.0, alpha: Double = 0.05): DataFrame = {
+    val d = (c: Column) => c.cast(DoubleType)
+    val daily = events
+      .select(to_date(col(tsCol)).as("day"),
+        armOf(col(userCol), 2).as("arm"))
+      .groupBy(col("day"))
+      .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("c0"))
+      .withColumn("diff", col("c1") - col("c0"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily
+      .withColumn("t", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("diff")).over(w))
+      .withColumn("s2", sum(col("diff") * col("diff")).over(w))
+    cum
+      // population variance of the daily diffs from exact integer moments
+      .withColumn("v",
+        d(col("t")) * ((d(col("s2")) - d(col("s1")) * d(col("s1")) /
+          d(col("t"))) / d(col("t"))))
+      .withColumn("lambda",
+        when(col("v") <= 0.0, lit(null).cast(DoubleType)).otherwise(
+          sqrt(col("v") / (col("v") + tau)) *
+            exp(d(col("s1")) * d(col("s1")) * tau /
+              (lit(2.0) * col("v") * (col("v") + tau)))))
+      .select(col("day"), col("t").as("n_days"), col("c1"), col("c0"),
+        round(d(col("s1")) / d(col("t")), 6).as("mean_diff"),
+        round(col("lambda"), 6).as("lambda"),
+        round(when(col("lambda").isNull, lit(null).cast(DoubleType))
+          .otherwise(least(lit(1.0), lit(1.0) / col("lambda"))), 6)
+          .as("p_always_valid"))
+      .withColumn("rejected",
+        col("p_always_valid").isNotNull && col("p_always_valid") < alpha)
+  }
+
   /** Quantile treatment effects: the per-arm EXACT quantiles of the
     * per-user event-count metric at the requested probabilities, and
     * their difference — "the median user gained X events, the p90 user

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions.md5Long
@@ -163,6 +164,72 @@ object Scale {
         (col("cnt_l") * col("cnt_r")).as("out_rows"))
       .orderBy(col("out_rows").desc, col("key").asc)
       .limit(topK)
+  }
+
+  /** Sort-key advisor: for each candidate layout key, how effective would
+    * zone maps (per-file min/max of `probeCol`) be at skipping files for
+    * point lookups on `probeCol`? Rows are packed into `nBins`
+    * equal-count files in candidate-key order (ties stay together, the
+    * [[rangeSplits]] rule), each file keeps its probe min/max, and a
+    * workload of `nProbes` evenly-spaced probe quantiles counts how many
+    * files each lookup must open. The report says which sort key buys
+    * the most skipping — THE decision behind a z-order/sort-on-write
+    * job, measured instead of guessed.
+    *
+    * 100 TB shape: per candidate, one groupBy(key) reduces rows to the
+    * distinct-key frame (domain-bounded windows, the x199 convention),
+    * one partial-agged min/max per bin, and a probes x bins broadcast
+    * count. The probe quantiles come from one conditional aggregate over
+    * the probe value frame. All-integer arithmetic when `probeCol` is
+    * integral.
+    */
+  def sortKeyAdvisor(df: DataFrame, candidateKeys: Seq[String],
+      probeCol: String, nBins: Int = 32, nProbes: Int = 9): DataFrame = {
+    require(candidateKeys.nonEmpty && nBins >= 2 && nProbes >= 1,
+      "need candidates, >=2 bins, >=1 probe")
+    // probe workload: the i/(nProbes+1) exact quantiles of probeCol
+    val pv = df.groupBy(col(probeCol).as("pv"))
+      .agg(count(lit(1)).as("cnt"))
+    val pw = Window.orderBy(col("pv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ptot = Window.partitionBy(lit(1))
+    val pcum = pv.withColumn("cum", sum(col("cnt")).over(pw))
+      .withColumn("n", sum(col("cnt")).over(ptot))
+    val probeAggs = (1 to nProbes).map { i =>
+      min(when(col("cum") * (nProbes + 1).toLong >= lit(i.toLong) * col("n"),
+        col("pv"))).as(s"p_$i")
+    }
+    val probes = pcum.groupBy().agg(probeAggs.head, probeAggs.tail: _*)
+      .select(explode(array((1 to nProbes).map(i => col(s"p_$i")): _*))
+        .as("probe"))
+    val perKey = candidateKeys.map { key =>
+      val counts = df.groupBy(col(key).as("k"))
+        .agg(count(lit(1)).as("cnt"), min(col(probeCol)).as("pmin"),
+          max(col(probeCol)).as("pmax"))
+      val w = Window.orderBy(col("k").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy(lit(1))
+      val bins = counts
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .withColumn("n", sum(col("cnt")).over(tot))
+        .withColumn("bin", call_function("div",
+          (col("cum") - col("cnt")) * nBins.toLong, col("n")))
+        .groupBy(col("bin"))
+        .agg(min(col("pmin")).as("bmin"), max(col("pmax")).as("bmax"))
+      val nb = bins.agg(count(lit(1)).as("n_bins"))
+      bins.join(broadcast(probes),
+          col("probe") >= col("bmin") && col("probe") <= col("bmax"),
+          "inner")
+        .agg(count(lit(1)).as("bins_scanned"))
+        .crossJoin(broadcast(nb))
+        .select(lit(key).as("candidate"), col("n_bins"),
+          round(col("bins_scanned").cast("double") / nProbes.toDouble, 6)
+            .as("avg_bins_scanned"),
+          round(col("bins_scanned").cast("double") /
+            (col("n_bins").cast("double") * nProbes.toDouble), 6)
+            .as("scan_frac"))
+    }
+    perKey.reduce(_ unionAll _)
   }
 
   /** Range-partition planner: choose split boundaries over `keyCol` for

@@ -91,6 +91,57 @@ class ExperimentSpec extends SparkSpec {
     assert(srm.getBoolean(5), "all-one-arm segment must be flagged")
   }
 
+  test("qiniCurve: cumulative counts cover everyone; final qini matches the naive formula") {
+    val evs = (0L until 30L).flatMap { u =>
+      Seq.fill((u % 5 + 1).toInt)((u, "2024-01-10 00:00:00", 1.0)) ++
+        Seq.fill((u % 3).toInt)((u, "2024-01-20 00:00:00", 1.0))
+    }.toDF("user_id", "ts_s", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val out = Experiment.qiniCurve(evs, "user_id", "ts",
+        "2024-01-16 00:00:00", bins = 5)
+      .orderBy("bin").collect()
+    val last = out.last
+    val arms = armsOf(0L until 30L)
+    val nt = arms.values.count(_ == 1L)
+    val nc = arms.values.count(_ == 0L)
+    assert(last.getLong(1) == nt && last.getLong(2) == nc)
+    val yt = (0L until 30L).filter(arms(_) == 1L).map(_ % 3).sum
+    val yc = (0L until 30L).filter(arms(_) == 0L).map(_ % 3).sum
+    val qini = yt - yc.toDouble * nt / nc
+    assert(last.getDouble(5) == BigDecimal(qini).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // cumulative counts are monotone
+    assert(out.map(_.getLong(1)).sliding(2).forall(w => w(0) <= w(1)))
+  }
+
+  test("msprt: day-1 variance is zero (lambda NULL); later days match the naive formula") {
+    val evs = (0L until 20L).flatMap { u =>
+      Seq((u, "2024-01-01 03:00:00"), (u, "2024-01-02 03:00:00"),
+        (u, "2024-01-03 03:00:00"))
+    } ++ (0L until 6L).map(u => (u, "2024-01-02 09:00:00"))
+    val df = evs.toDF("user_id", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val out = Experiment.msprt(df, "user_id", "ts").orderBy("day").collect()
+    assert(out.length == 3)
+    assert(out(0).isNullAt(5) && !out(0).getBoolean(7)) // t=1: var 0
+    // naive replay for day 3
+    val arms = armsOf(0L until 20L)
+    val d1 = arms.values.count(_ == 1L) - arms.values.count(_ == 0L)
+    val extra = (0L until 6L).count(u => arms(u) == 1L) -
+      (0L until 6L).count(u => arms(u) == 0L)
+    val diffs = Seq(d1, d1 + extra, d1).map(_.toLong)
+    val t = 3.0
+    val s1 = diffs.sum.toDouble
+    val s2 = diffs.map(x => x * x).sum.toDouble
+    val v = t * ((s2 - s1 * s1 / t) / t)
+    if (v > 0) {
+      val lam = math.sqrt(v / (v + 1.0)) *
+        math.exp(s1 * s1 * 1.0 / (2.0 * v * (v + 1.0)))
+      assert(out(2).getDouble(5) == BigDecimal(lam).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    } else assert(out(2).isNullAt(5))
+  }
+
   test("e10 flagship: one row per readout metric, single-stat rows carry only delta") {
     val evs = (0L until 20L).flatMap { u =>
       Seq((u, "2024-01-10 00:00:00", 1.0 + u), (u, "2024-01-20 00:00:00", 2.0 + u),

@@ -122,6 +122,18 @@ class PlannerLinkageSpec extends SparkSpec {
       (3L, 3L, 1L, 0.333333)))
   }
 
+  test("sortKeyAdvisor: the clustering key wins, the scrambling key scans everything") {
+    val rows = (0L until 100L).map(i => (i, (i * 37L) % 100L, i))
+      .toDF("v", "scr", "probe")
+    val out = Scale.sortKeyAdvisor(rows, Seq("v", "scr"), "probe",
+        nBins = 10, nProbes = 9)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    // ordering by v clusters probe perfectly: 1 bin per lookup
+    assert(out("v")._1 == 10L && out("v")._2 == 0.1)
+    // the scrambling key spreads probe across (almost) every bin
+    assert(out("scr")._2 > 0.5)
+  }
+
   test("neighborhoodJaccard: clique edge scores high, bridge edge scores low") {
     // triangle 1-2-3 bridged to triangle 4-5-6 via edge 3-4
     val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
