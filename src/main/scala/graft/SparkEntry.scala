@@ -2768,6 +2768,19 @@ object SparkEntry {
         .orderBy(col("bin"))
     },
 
+    // ---- X: Markov removal-effect attribution (Anderl 2016) — channel
+    //      credit = drop in the chain's start->conversion probability
+    //      when the channel absorbs to null; journeys truncate at first
+    //      conversion; state-space-sized driver solve with a pinned
+    //      Jacobi order the oracle unrolls verbatim ----
+    "x210_markov_attribution" -> { (s, dir) =>
+      graft.operators.MarkovAttribution.attribute(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+        convType = "purchase",
+        channels = Seq("click", "error", "signup", "view"))
+        .orderBy(col("channel"))
+    },
+
     // ---- X: sort-key advisor — zone-map skipping effectiveness per
     //      candidate layout key for a probe-quantile workload; the
     //      measured decision behind a sort-on-write job ----
@@ -3857,6 +3870,85 @@ object SparkEntry {
          FROM m"""
   }
 
+  /** x210: the Markov removal-effect attribution replayed as generated
+    * SQL — journey CTEs, exact-count transition probabilities, and the
+    * SAME pinned-order Jacobi iterations the Scala solver runs, unrolled
+    * as chained CTEs per scenario (full chain + one per removed channel;
+    * the x188/x174 generated-unroll convention). */
+  private def markovOracle(channels: Seq[String], convType: String,
+      iters: Int): String = {
+    val chs = channels.sorted
+    val states = "start" +: chs
+    val dsts = chs :+ "conv"
+    val cCols = (for { s <- states; d <- dsts } yield
+      s"CAST(sum(CASE WHEN src = '$s' AND dst = '$d' THEN c ELSE 0 END) AS BIGINT) AS c_${s}_$d")
+      .mkString(",\n             ")
+    val oCols = states.map(s =>
+      s"CAST(sum(CASE WHEN src = '$s' THEN c ELSE 0 END) AS BIGINT) AS o_$s")
+      .mkString(",\n             ")
+    val prCols = (for { s <- states; d <- dsts } yield
+      s"CASE WHEN o_$s = 0 THEN 0.0 ELSE CAST(c_${s}_$d AS DOUBLE) / CAST(o_$s AS DOUBLE) END AS p_${s}_$d")
+      .mkString(",\n             ")
+    def scenario(tag: String, removed: Option[String]): String = {
+      val active = chs.filterNot(removed.contains)
+      val sts = "start" +: active
+      val first = sts.map(s => s"p_${s}_conv AS x_$s").mkString(", ")
+      val itCtes = (2 to iters).map { t =>
+        val cols = sts.map { s =>
+          val terms = active.map(d => s" + p_${s}_$d * x_$d").mkString
+          s"p_${s}_conv$terms AS x_$s"
+        }.mkString(", ")
+        s"it_${tag}_$t AS (SELECT $cols FROM pr, it_${tag}_${t - 1})"
+      }
+      (s"it_${tag}_1 AS (SELECT $first FROM pr)" +: itCtes).mkString(",\n         ")
+    }
+    val scenarios = (scenario("full", None) +:
+      chs.map(c => scenario(c, Some(c)))).mkString(",\n         ")
+    val resCols = (s"f.x_start AS p_conv" +:
+      chs.map(c => s"r_$c.x_start AS pr_$c")).mkString(", ")
+    val resFrom = (s"it_full_$iters f" +:
+      chs.map(c => s"it_${c}_$iters r_$c")).mkString(", ")
+    // pinned fold order: channels alphabetically, matching the Scala sum
+    val sumRe = chs.map(c => s"(p_conv - pr_$c)").mkString(" + ")
+    val rows = chs.map { c =>
+      s"""SELECT '$c' AS channel, round(p_conv, 6) AS p_conv,
+           round(pr_$c, 6) AS p_removed,
+           round(p_conv - pr_$c, 6) AS removal_effect,
+           round(CASE WHEN $sumRe = 0.0 THEN NULL
+             ELSE (p_conv - pr_$c) / ($sumRe) END, 6) AS attribution
+         FROM res"""
+    }.mkString("\n         UNION ALL ")
+    s"""WITH r0 AS (SELECT user_id, ts, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rn
+           FROM events),
+         r1 AS (SELECT *,
+             min(CASE WHEN event_type = '$convType' THEN rn END)
+               OVER (PARTITION BY user_id) AS pidx,
+             max(rn) OVER (PARTITION BY user_id) AS last_rn
+           FROM r0),
+         kept AS (SELECT * FROM r1 WHERE pidx IS NULL OR rn <= pidx),
+         steps AS (SELECT COALESCE(lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id), 'start') AS src,
+             CASE WHEN event_type = '$convType' THEN 'conv'
+               ELSE event_type END AS dst
+           FROM kept),
+         finals AS (SELECT event_type AS src, 'null' AS dst FROM kept
+                    WHERE pidx IS NULL AND rn = last_rn),
+         cnt AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS c
+                 FROM (SELECT * FROM steps UNION ALL SELECT * FROM finals)
+                 GROUP BY 1, 2),
+         agg AS (SELECT $cCols,
+             $oCols
+           FROM cnt),
+         pr AS (SELECT $prCols
+           FROM agg),
+         $scenarios,
+         res AS (SELECT $resCols FROM $resFrom)
+         SELECT * FROM ($rows)
+         ORDER BY channel"""
+  }
+
   /** x174/x176: the learned k-round merge list. Sentinel rounds (NULL
     * pair_count) are filtered so a degenerate corpus yields the same
     * short list the Spark trainer's early stop returns. */
@@ -4919,6 +5011,10 @@ object SparkEntry {
                * CAST(n_treated AS DOUBLE) / CAST(n_control AS DOUBLE) END,
              6) AS qini
          FROM c ORDER BY bin""",
+
+    // x210: generated journey + unrolled-Jacobi oracle (see markovOracle)
+    "x210_markov_attribution" -> markovOracle(
+      Seq("click", "error", "signup", "view"), "purchase", 24),
 
     // x211: probe quantiles once, per-candidate equal-count bins with
     // zone min/max, broadcast probe x bin containment count

@@ -91,6 +91,30 @@ class ExperimentSpec extends SparkSpec {
     assert(srm.getBoolean(5), "all-one-arm segment must be flagged")
   }
 
+  test("markov attribution: hand-computed removal effects on a 3-journey chain") {
+    // A: click -> conv; B: view -> click -> conv; C: view (no conv)
+    val evs = Seq(
+      (1L, "2024-01-01 00:00:01", 1L, "click"),
+      (1L, "2024-01-01 00:00:02", 2L, "purchase"),
+      (2L, "2024-01-01 00:00:01", 3L, "view"),
+      (2L, "2024-01-01 00:00:02", 4L, "click"),
+      (2L, "2024-01-01 00:00:03", 5L, "purchase"),
+      (3L, "2024-01-01 00:00:01", 6L, "view"))
+      .toDF("user_id", "ts_s", "event_id", "event_type")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val out = graft.operators.MarkovAttribution.attribute(
+        evs, "user_id", "ts", "event_id", "event_type",
+        "purchase", Seq("click", "view"))
+      .orderBy("channel").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    // p_conv = 1/3*1 + 2/3*(1/2) = 2/3; remove click -> 0 (no path);
+    // remove view -> 1/3
+    assert(out.toSeq == Seq(
+      ("click", 0.666667, 0.0, 0.666667, 0.666667),
+      ("view", 0.666667, 0.333333, 0.333333, 0.333333)))
+  }
+
   test("qiniCurve: cumulative counts cover everyone; final qini matches the naive formula") {
     val evs = (0L until 30L).flatMap { u =>
       Seq.fill((u % 5 + 1).toInt)((u, "2024-01-10 00:00:00", 1.0)) ++
