@@ -465,7 +465,31 @@ object Stress {
           operators.Evaluation.isotonicCalibration(
             docs.select((length(col("text")) % 1000).cast("double")./(1000.0)
               .as("p"), (col("lang") === "en").as("label")),
-            "p", "label", bins = 16).count()))
+            "p", "label", bins = 16).count()),
+        // journeys reduce to a state-space-sized matrix: wall must track
+        // the per-user windows + transition groupBy, never the solve
+        "markov_attribution" -> (() =>
+          operators.MarkovAttribution.attribute(events, "user_id", "ts",
+            "event_id", "event_type", "purchase",
+            Seq("click", "error", "signup", "view")).count()),
+        // per-user agg + bounded distinct-score deciles
+        "qini" -> (() =>
+          operators.Experiment.qiniCurve(events, "user_id", "ts",
+            "2024-01-16 00:00:00").count()),
+        // days-sized frame after one partial agg
+        "msprt" -> (() =>
+          operators.Experiment.msprt(events, "user_id", "ts").count()),
+        // per candidate: one groupBy(key) + domain-bounded windows +
+        // a probes x bins broadcast count
+        "sort_advisor" -> (() =>
+          operators.Scale.sortKeyAdvisor(
+            docs.withColumn("sz", length(col("text"))),
+            Seq("doc_id", "sz", "source"), "sz").count()),
+        // rides the same pair search as kcore/modularity
+        "neighborhood_jaccard" -> (() =>
+          operators.GraphRank.neighborhoodJaccard(
+            operators.Dedup.minhashLshPairs(docs, "doc_id", "text"),
+            "id_a", "id_b").count()))
 
       // SPARK_GRAFT_STRESS_OPS=a,b,c runs only the named ops (bisection
       // runs shouldn't pay the full sweep per hypothesis)
