@@ -929,6 +929,41 @@ class PlanHealthSpec extends SparkSpec {
       s"x203's only cross must be the broadcast 1-row combine:\n$p")
   }
 
+  test("x209: qini reduces to the distinct-score frame; the decile attach is an equi join") {
+    val p = plan("x209_qini_curve")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"x209 must stay on equi joins:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"x209 per-user sums must partial-aggregate:\n$p")
+  }
+
+  test("x211: advisor's only non-equi join is the bounded probes x bins broadcast") {
+    val p = plan("x211_sort_advisor")
+    assert(!p.contains("CartesianProduct"), s"x211 grew a real cartesian:\n$p")
+    assert(!p.replaceAll("BroadcastNestedLoopJoin BuildRight, Inner", "")
+      .replaceAll("BroadcastNestedLoopJoin BuildRight, Cross", "")
+      .replaceAll("BroadcastNestedLoopJoin BuildLeft, Inner", "")
+      .contains("BroadcastNestedLoopJoin"),
+      s"x211's bounded joins must broadcast:\n$p")
+  }
+
+  test("x212: mSPRT is one partial agg into the days-sized frame — no join") {
+    val p = plan("x212_msprt")
+    assert(!p.contains("Join"), s"x212 must stay join-free:\n$p")
+    val winIdx = p.indexOf("Window [")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"x212's windows must consume the daily frame:\n$p")
+  }
+
+  test("x210: attribution's row-scale work is windows + one transition groupBy (solve is driver-side, state-space-sized)") {
+    val p = plan("x210_markov_attribution")
+    // the returned frame is a literal localtable built from the bounded
+    // solve; the heavy lifting happened in the collected transition agg
+    assert(p.contains("LocalTableScan") || p.contains("Scan ExistingRDD"),
+      s"x210's output must be the driver-solved literal frame:\n$p")
+  }
+
   test("x199: range splits reduce per-row work to one groupBy(key); windows run on the distinct-key frame") {
     val p = plan("x199_range_splits")
     assert(!p.contains("Join"), s"x199 must stay join-free:\n$p")
