@@ -2768,6 +2768,15 @@ object SparkEntry {
         .orderBy(col("bin"))
     },
 
+    // ---- X: covariate balance across the hash arms — standardized mean
+    //      differences (Austin 2009, |SMD| < 0.1) per integer per-user
+    //      covariate; the composition guardrail SRM's counts can't see ----
+    "x213_covariate_balance" -> { (s, dir) =>
+      graft.operators.Experiment.covariateBalance(
+        t(s, dir, "events"), "user_id", "ts", "event_type")
+        .orderBy(col("covariate"))
+    },
+
     // ---- X: Markov removal-effect attribution (Anderl 2016) — channel
     //      credit = drop in the chain's start->conversion probability
     //      when the channel absorbs to null; journeys truncate at first
@@ -5011,6 +5020,60 @@ object SparkEntry {
                * CAST(n_treated AS DOUBLE) / CAST(n_control AS DOUBLE) END,
              6) AS qini
          FROM c ORDER BY bin""",
+
+    // x213: exact integer per-user covariate moments into one SMD
+    // expression per row; smd pinned NULL at zero pooled variance
+    "x213_covariate_balance" ->
+      """WITH pu AS (SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               % 2 AS arm
+           FROM events GROUP BY user_id),
+         ag AS (SELECT
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN arm = 0 THEN n_events ELSE 0 END) AS BIGINT) AS s0_n_events,
+             CAST(sum(CASE WHEN arm = 0 THEN n_events * n_events ELSE 0 END) AS BIGINT) AS q0_n_events,
+             CAST(sum(CASE WHEN arm = 1 THEN n_events ELSE 0 END) AS BIGINT) AS s1_n_events,
+             CAST(sum(CASE WHEN arm = 1 THEN n_events * n_events ELSE 0 END) AS BIGINT) AS q1_n_events,
+             CAST(sum(CASE WHEN arm = 0 THEN n_days ELSE 0 END) AS BIGINT) AS s0_n_days,
+             CAST(sum(CASE WHEN arm = 0 THEN n_days * n_days ELSE 0 END) AS BIGINT) AS q0_n_days,
+             CAST(sum(CASE WHEN arm = 1 THEN n_days ELSE 0 END) AS BIGINT) AS s1_n_days,
+             CAST(sum(CASE WHEN arm = 1 THEN n_days * n_days ELSE 0 END) AS BIGINT) AS q1_n_days,
+             CAST(sum(CASE WHEN arm = 0 THEN n_types ELSE 0 END) AS BIGINT) AS s0_n_types,
+             CAST(sum(CASE WHEN arm = 0 THEN n_types * n_types ELSE 0 END) AS BIGINT) AS q0_n_types,
+             CAST(sum(CASE WHEN arm = 1 THEN n_types ELSE 0 END) AS BIGINT) AS s1_n_types,
+             CAST(sum(CASE WHEN arm = 1 THEN n_types * n_types ELSE 0 END) AS BIGINT) AS q1_n_types
+           FROM pu),
+         f AS (SELECT 'n_events' AS covariate, s0_n_events AS s0,
+                 q0_n_events AS q0, s1_n_events AS s1, q1_n_events AS q1,
+                 n0, n1 FROM ag
+               UNION ALL
+               SELECT 'n_days', s0_n_days, q0_n_days, s1_n_days,
+                 q1_n_days, n0, n1 FROM ag
+               UNION ALL
+               SELECT 'n_types', s0_n_types, q0_n_types, s1_n_types,
+                 q1_n_types, n0, n1 FROM ag),
+         m AS (SELECT covariate,
+             CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS m0,
+             CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+             CAST(q0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+               - (CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+               * (CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) AS v0,
+             CAST(q1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+               - (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+               * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) AS v1
+           FROM f),
+         r AS (SELECT covariate, round(m0, 6) AS mean_arm0,
+             round(m1, 6) AS mean_arm1,
+             round(CASE WHEN (v0 + v1) <= 0.0 THEN NULL
+               ELSE (m1 - m0) / sqrt((v0 + v1) / 2.0) END, 6) AS smd
+           FROM m)
+         SELECT covariate, mean_arm0, mean_arm1, smd,
+           (smd IS NOT NULL AND abs(smd) < 0.1) AS balanced
+         FROM r ORDER BY covariate""",
 
     // x210: generated journey + unrolled-Jacobi oracle (see markovOracle)
     "x210_markov_attribution" -> markovOracle(

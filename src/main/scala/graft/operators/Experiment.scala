@@ -113,6 +113,59 @@ object Experiment {
           .as("z"))
   }
 
+  /** Covariate balance check: the standardized mean difference
+    * SMD = (m1 - m0) / sqrt((v1 + v0) / 2) per pre-experiment covariate
+    * across the two hash arms (Austin 2009's balance diagnostic; |SMD| <
+    * 0.1 is the conventional "balanced" threshold). SRM ([[srmCheck]])
+    * catches the COUNT imbalance; this catches the composition imbalance
+    * a correct 50/50 split can still hide — and it is the pre-test that
+    * justifies CUPED's covariate in the first place.
+    *
+    * Covariates are integer per-user aggregates (event count, distinct
+    * active days, distinct event types), so all moments are exact
+    * integer sums into one double expression per row.
+    *
+    * 100 TB shape: one per-user partial-agged groupBy, one 1-row
+    * conditional-moment aggregate, a 3-row fan-out. Nothing else.
+    */
+  def covariateBalance(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, threshold: Double = 0.1): DataFrame = {
+    val d = (c: Column) => c.cast(DoubleType)
+    val perUser = events.groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(to_date(col(tsCol))).as("n_days"),
+        count_distinct(col(typeCol)).as("n_types"))
+      .withColumn("arm", armOf(col(userCol), 2))
+    val covs = Seq("n_events", "n_days", "n_types")
+    val sums = covs.flatMap { c =>
+      Seq(sum(when(col("arm") === 0, col(c)).otherwise(0L)).as(s"s0_$c"),
+        sum(when(col("arm") === 0, col(c) * col(c)).otherwise(0L))
+          .as(s"q0_$c"),
+        sum(when(col("arm") === 1, col(c)).otherwise(0L)).as(s"s1_$c"),
+        sum(when(col("arm") === 1, col(c) * col(c)).otherwise(0L))
+          .as(s"q1_$c"))
+    } ++ Seq(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"))
+    val agg = perUser.agg(sums.head, sums.tail: _*)
+    val rows = covs.map { c =>
+      val m0 = d(col(s"s0_$c")) / d(col("n0"))
+      val m1 = d(col(s"s1_$c")) / d(col("n1"))
+      val v0 = d(col(s"q0_$c")) / d(col("n0")) - m0 * m0
+      val v1 = d(col(s"q1_$c")) / d(col("n1")) - m1 * m1
+      struct(lit(c).as("covariate"),
+        round(m0, 6).as("mean_arm0"), round(m1, 6).as("mean_arm1"),
+        round(when((v0 + v1) <= 0.0, lit(null).cast(DoubleType))
+          .otherwise((m1 - m0) / sqrt((v0 + v1) / 2.0)), 6).as("smd"))
+    }
+    agg.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.covariate").as("covariate"),
+        col("r.mean_arm0").as("mean_arm0"),
+        col("r.mean_arm1").as("mean_arm1"), col("r.smd").as("smd"))
+      .withColumn("balanced", col("smd").isNotNull &&
+        abs(col("smd")) < threshold)
+  }
+
   /** Qini uplift curve over score deciles (Radcliffe 2007): rank users by
     * a targeting score (here the PRE-cutoff covariate, an integer event
     * count), cut into `bins` equal-count buckets on the bounded

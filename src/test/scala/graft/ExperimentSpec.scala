@@ -91,6 +91,36 @@ class ExperimentSpec extends SparkSpec {
     assert(srm.getBoolean(5), "all-one-arm segment must be flagged")
   }
 
+  test("covariateBalance: identical arm compositions are balanced; a shifted arm flags") {
+    // every user has (uid % 4 + 1) events on one day, one type:
+    // composition is identical across hash arms IF the hash is fair on
+    // this id range — instead verify against a naive reimplementation
+    val counts = (0L until 16L).map(u => u -> (u.toInt % 4 + 1)).toMap
+    val evs = counts.toSeq.flatMap { case (u, n) =>
+      (1 to n).map(i => (u, f"2024-01-01 00:00:$i%02d", "e"))
+    }.toDF("user_id", "ts_s", "event_type")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val arms = armsOf(counts.keys.toSeq)
+    val out = Experiment.covariateBalance(evs, "user_id", "ts", "event_type")
+      .filter(col("covariate") === "n_events").collect()(0)
+    val g0 = counts.filter { case (u, _) => arms(u) == 0L }.values.map(_.toDouble)
+    val g1 = counts.filter { case (u, _) => arms(u) == 1L }.values.map(_.toDouble)
+    def mv(g: Iterable[Double]) = {
+      val m = g.sum / g.size
+      (m, g.map(x => x * x).sum / g.size - m * m)
+    }
+    val (m0, v0) = mv(g0); val (m1, v1) = mv(g1)
+    def r6(v: Double) = BigDecimal(v).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.getDouble(1) == r6(m0) && out.getDouble(2) == r6(m1))
+    if (v0 + v1 > 0)
+      assert(out.getDouble(3) == r6((m1 - m0) / math.sqrt((v0 + v1) / 2.0)))
+    // constant covariate (n_days = 1 for everyone): zero variance -> NULL
+    val days = Experiment.covariateBalance(evs, "user_id", "ts", "event_type")
+      .filter(col("covariate") === "n_days").collect()(0)
+    assert(days.isNullAt(3) && !days.getBoolean(4))
+  }
+
   test("markov attribution: hand-computed removal effects on a 3-journey chain") {
     // A: click -> conv; B: view -> click -> conv; C: view (no conv)
     val evs = Seq(
