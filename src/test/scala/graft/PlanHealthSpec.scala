@@ -964,6 +964,14 @@ class PlanHealthSpec extends SparkSpec {
       s"x210's output must be the driver-solved literal frame:\n$p")
   }
 
+  test("x213: covariate balance is two partial aggs + a 3-row fan-out — no join, no window") {
+    val p = plan("x213_covariate_balance")
+    assert(!p.contains("Join") && !p.contains("Window ["),
+      s"x213 must stay join/window-free:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"x213 per-user sums must partial-aggregate:\n$p")
+  }
+
   test("x199: range splits reduce per-row work to one groupBy(key); windows run on the distinct-key frame") {
     val p = plan("x199_range_splits")
     assert(!p.contains("Join"), s"x199 must stay join-free:\n$p")
