@@ -809,7 +809,11 @@ object SparkEntry {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_customers"),
           coalesce(sum(col("n_orders")), lit(0L)).cast(LongType).as("n_orders"),
-          sum(coalesce(col("spend"), lit(0).cast(dec))).cast(DecimalType(38, 2)).as("spend"))
+          // exact decimal sum internally; OUTPUT as double via string
+          // (z1 rule: decimal output columns are unsafe for the driver
+          // hash; the j4 convention gives the correctly-rounded double)
+          sum(coalesce(col("spend"), lit(0).cast(dec))).cast(DecimalType(38, 2))
+            .cast(StringType).cast(DoubleType).as("spend"))
         .orderBy(col("c_mktsegment"))
     },
 
@@ -2639,7 +2643,11 @@ object SparkEntry {
     //      (x53's graph, directional reading) — UNNORMALIZED integer
     //      iterations in DecimalType(38,0), bit-replayable with no
     //      per-round global double; each half-round one shuffle_hash
-    //      join + one partial-agged groupBy ----
+    //      join + one partial-agged groupBy. Output casts to BIGINT at
+    //      the query edge (z1 rule: decimal OUTPUT columns are unsafe
+    //      for the driver hash); internal math stays Decimal(38,0) and
+    //      the cast is exact ~10 orders inside the long range at gate
+    //      scales ((Σwt)³ at sf1 ≈ 1e15 << 9.2e18) ----
     "x190_hits" -> { (s, dir) =>
       val toks = t(s, dir, "documents")
         .select(split(col("text"), " ").as("ts"))
@@ -2650,6 +2658,9 @@ object SparkEntry {
         .select(col("w1"), element_at(col("ts"), col("i") + 2).as("w2"))
         .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("wt"))
       graft.operators.GraphRank.hits(edges, "w1", "w2", "wt")
+        .select(col("node"),
+          col("authority").cast("long").as("authority"),
+          col("hub").cast("long").as("hub"))
         .orderBy(col("node"))
     },
 
@@ -3883,7 +3894,17 @@ object SparkEntry {
     * SQL — journey CTEs, exact-count transition probabilities, and the
     * SAME pinned-order Jacobi iterations the Scala solver runs, unrolled
     * as chained CTEs per scenario (full chain + one per removed channel;
-    * the x188/x174 generated-unroll convention). */
+    * the x188/x174 generated-unroll convention).
+    *
+    * The transition-probability CTE and every iteration CTE are pinned
+    * `AS MATERIALIZED`: without it DuckDB inlines the chained CTEs, so
+    * `pr` (and the whole journey pipeline beneath it) is re-evaluated
+    * inside each of the iters x (channels+1) iteration CTEs and the
+    * iteration chain's expression tree grows combinatorially — the
+    * round-7 judge measured this one generated query at 103.5 s, over
+    * half the entire 265-query DuckDB baseline floor. Materialization
+    * makes the oracle linear in iters (sub-second) with bit-identical
+    * results (same doubles, same pinned fold order). */
   private def markovOracle(channels: Seq[String], convType: String,
       iters: Int): String = {
     val chs = channels.sorted
@@ -3907,9 +3928,9 @@ object SparkEntry {
           val terms = active.map(d => s" + p_${s}_$d * x_$d").mkString
           s"p_${s}_conv$terms AS x_$s"
         }.mkString(", ")
-        s"it_${tag}_$t AS (SELECT $cols FROM pr, it_${tag}_${t - 1})"
+        s"it_${tag}_$t AS MATERIALIZED (SELECT $cols FROM pr, it_${tag}_${t - 1})"
       }
-      (s"it_${tag}_1 AS (SELECT $first FROM pr)" +: itCtes).mkString(",\n         ")
+      (s"it_${tag}_1 AS MATERIALIZED (SELECT $first FROM pr)" +: itCtes).mkString(",\n         ")
     }
     val scenarios = (scenario("full", None) +:
       chs.map(c => scenario(c, Some(c)))).mkString(",\n         ")
@@ -3950,7 +3971,7 @@ object SparkEntry {
          agg AS (SELECT $cCols,
              $oCols
            FROM cnt),
-         pr AS (SELECT $prCols
+         pr AS MATERIALIZED (SELECT $prCols
            FROM agg),
          $scenarios,
          res AS (SELECT $resCols FROM $resFrom)
@@ -5616,7 +5637,9 @@ object SparkEntry {
          FROM z ORDER BY source, lang""",
 
     // x190: unnormalized integer HITS — HUGEINT carries the exact sums
-    // (Arrow maps it to decimal128(38,0), Spark's DecimalType(38,0))
+    // internally; output casts to BIGINT (z1 rule: decimal output
+    // columns hash differently across engines; the values are exact
+    // integers far inside the long range at gate scales)
     "x190_hits" ->
       """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
          tl AS (SELECT ws FROM w WHERE len(ws) >= 2),
@@ -5630,8 +5653,8 @@ object SparkEntry {
          a2 AS (SELECT e.w2, sum(e.wt * h1.h1) AS a2
                 FROM e JOIN h1 USING (w1) GROUP BY 1)
          SELECT COALESCE(a2.w2, h1.w1) AS node,
-           CAST(COALESCE(a2.a2, 0) AS DECIMAL(38, 0)) AS authority,
-           CAST(COALESCE(h1.h1, 0) AS DECIMAL(38, 0)) AS hub
+           CAST(COALESCE(a2.a2, 0) AS BIGINT) AS authority,
+           CAST(COALESCE(h1.h1, 0) AS BIGINT) AS hub
          FROM a2 FULL OUTER JOIN h1 ON a2.w2 = h1.w1
          ORDER BY node""",
 
@@ -6505,7 +6528,8 @@ object SparkEntry {
            FROM orders GROUP BY o_custkey)
          SELECT c_mktsegment, count(*) AS n_customers,
            CAST(coalesce(sum(n_orders), 0) AS BIGINT) AS n_orders,
-           CAST(sum(coalesce(spend, CAST(0 AS DECIMAL(18,2)))) AS DECIMAL(38,2)) AS spend
+           CAST(CAST(CAST(sum(coalesce(spend, CAST(0 AS DECIMAL(18,2))))
+             AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS spend
          FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 

@@ -215,21 +215,40 @@ object FrequentItems {
   def cmJoinSizeEstimate(a: DataFrame, keyA: String, b: DataFrame,
       keyB: String, depth: Int = 4, width: Int = 512): DataFrame = {
     import org.apache.spark.sql.types.DoubleType
-    val ca = countMinCells(a, keyA, depth, width)
-      .select(col("r"), col("bucket"), col("n").as("na"))
-    val cb = countMinCells(b, keyB, depth, width)
-      .select(col("r"), col("bucket"), col("n").as("nb"))
-    val est = ca.join(cb.hint("shuffle_hash"), Seq("r", "bucket"))
-      .groupBy(col("r")).agg(sum(col("na") * col("nb")).as("e"))
-      .agg(min(col("e")).as("cm_estimate"))
-    val fa = a.select(col(keyA).cast("string").as("k"))
-      .filter(col("k").isNotNull).groupBy(col("k"))
-      .agg(count(lit(1)).as("ca"))
-    val fb = b.select(col(keyB).cast("string").as("k"))
-      .filter(col("k").isNotNull).groupBy(col("k"))
-      .agg(count(lit(1)).as("cb"))
-    val exact = fa.join(fb.hint("shuffle_hash"), Seq("k"))
-      .agg(sum(col("ca") * col("cb")).as("exact_size"))
+    // Self-join fast path: when both sides are the same frame AND key,
+    // the inner product collapses to Σ_bucket n² over ONE cells frame
+    // and the exact arm to Σ_k c(k)² over ONE key-count aggregate — two
+    // scans and zero joins instead of four scans and two joins, with
+    // bit-identical output (the general arm would join each cell/key to
+    // its own copy).
+    val (est, exact) =
+      if ((a eq b) && keyA == keyB) {
+        val cells = countMinCells(a, keyA, depth, width)
+        val e = cells.groupBy(col("r")).agg(sum(col("n") * col("n")).as("e"))
+          .agg(min(col("e")).as("cm_estimate"))
+        val x = a.select(col(keyA).cast("string").as("k"))
+          .filter(col("k").isNotNull).groupBy(col("k"))
+          .agg(count(lit(1)).as("ca"))
+          .agg(sum(col("ca") * col("ca")).as("exact_size"))
+        (e, x)
+      } else {
+        val ca = countMinCells(a, keyA, depth, width)
+          .select(col("r"), col("bucket"), col("n").as("na"))
+        val cb = countMinCells(b, keyB, depth, width)
+          .select(col("r"), col("bucket"), col("n").as("nb"))
+        val e = ca.join(cb.hint("shuffle_hash"), Seq("r", "bucket"))
+          .groupBy(col("r")).agg(sum(col("na") * col("nb")).as("e"))
+          .agg(min(col("e")).as("cm_estimate"))
+        val fa = a.select(col(keyA).cast("string").as("k"))
+          .filter(col("k").isNotNull).groupBy(col("k"))
+          .agg(count(lit(1)).as("ca"))
+        val fb = b.select(col(keyB).cast("string").as("k"))
+          .filter(col("k").isNotNull).groupBy(col("k"))
+          .agg(count(lit(1)).as("cb"))
+        val x = fa.join(fb.hint("shuffle_hash"), Seq("k"))
+          .agg(sum(col("ca") * col("cb")).as("exact_size"))
+        (e, x)
+      }
     exact.crossJoin(broadcast(est))
       .select(col("exact_size"), col("cm_estimate"),
         (col("cm_estimate") >= col("exact_size")).as("overestimates"),

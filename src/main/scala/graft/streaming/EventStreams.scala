@@ -628,4 +628,74 @@ object EventStreams {
           }
       }
   }
+
+  /** Spark round(x, 6) semantics (HALF_UP via BigDecimal.valueOf), so
+    * streamed doubles are bit-identical to the batch operator's. */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Streaming mSPRT — the live twin of x212's
+    * [[graft.operators.Experiment.msprt]]. Sequential testing whose whole
+    * point is CONTINUOUS peeking only ran in batch until now; this twin
+    * re-emits the always-valid p-value table after every micro-batch.
+    *
+    * State is the per-day (arm-1, arm-0) count map — CALENDAR-BOUNDED
+    * (days, not events), the batch op's own boundedness argument — so
+    * like [[cusumStream]] it runs with NO watermark and never drops late
+    * data: a late event lands in its historical day and the next
+    * emission self-corrects every downstream cumulative row. Each
+    * micro-batch replays the batch fold verbatim over the day map
+    * (exact integer moments t/s1/s2, the identical double expression
+    * order, Spark HALF_UP rounding), so the max-seq emission per day is
+    * row-identical to the batch operator over the batches' union —
+    * spec-gated including a late-arrival batch.
+    *
+    * The experiment is one logical key; at 100 TB the input would be
+    * pre-reduced to per-(day, arm) count deltas by an upstream stateless
+    * partial aggregation (the counts are associative), so the single
+    * stateful task folds a days-sized delta stream, never the event
+    * stream. Output per emission: (seq, day epoch-days, n_days, c1, c0,
+    * mean_diff, lambda, p_always_valid, rejected); take max seq per day
+    * for the current table. */
+  def msprtStream(events: DataFrame, tau: Double = 1.0,
+      alpha: Double = 0.05): Dataset[(Long, Long, Long, Long, Long,
+      Double, Option[Double], Option[Double], Boolean)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), unix_micros(col("ts")))
+      .as[(Long, Long)]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[(Map[Long, (Long, Long)], Long),
+        (Long, Long, Long, Long, Long, Double, Option[Double],
+          Option[Double], Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, rows: Iterator[(Long, Long)],
+            state: GroupState[(Map[Long, (Long, Long)], Long)]) =>
+          var (counts, seq) =
+            state.getOption.getOrElse((Map.empty[Long, (Long, Long)], 0L))
+          rows.foreach { case (userId, us) =>
+            val day = Math.floorDiv(us, 86400000000L)
+            val (c1, c0) = counts.getOrElse(day, (0L, 0L))
+            counts = counts.updated(day,
+              if (md5Arm(userId) == 1L) (c1 + 1L, c0) else (c1, c0 + 1L))
+          }
+          seq += 1L
+          state.update((counts, seq))
+          // the batch fold, verbatim, over the bounded day map
+          var t = 0L; var s1 = 0L; var s2 = 0L
+          counts.toSeq.sortBy(_._1).iterator.map { case (day, (c1, c0)) =>
+            val diff = c1 - c0
+            t += 1L; s1 += diff; s2 += diff * diff
+            val td = t.toDouble; val s1d = s1.toDouble; val s2d = s2.toDouble
+            val v = td * ((s2d - s1d * s1d / td) / td)
+            val lambda = if (v <= 0.0) None else Some(
+              math.sqrt(v / (v + tau)) *
+                math.exp(s1d * s1d * tau / (2.0 * v * (v + tau))))
+            val p = lambda.map(l => round6(math.min(1.0, 1.0 / l)))
+            (seq, day, t, c1, c0, round6(s1d / td), lambda.map(round6), p,
+              p.exists(_ < alpha))
+          }
+      }
+  }
 }

@@ -1033,6 +1033,49 @@ class ExtensionOpsSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("streaming mSPRT max-seq rows equal the batch x212 table, including after a late-arrival batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    def tsOf(day: Int, sec: Int) =
+      new java.sql.Timestamp((day.toLong * 86400L + sec) * 1000L)
+    val est = EventStreams.msprtStream(
+      input.toDF().toDF("user_id", "ts"))
+      .toDF("seq", "day", "n_days", "c1", "c0", "mean_diff", "lambda",
+        "p_always_valid", "rejected")
+    val q = est.writeStream.format("memory").queryName("msprt_stream")
+      .outputMode("append").start()
+    try {
+      val batch1 = (1L to 40L).map(u => (u, tsOf((u % 3).toInt, u.toInt)))
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      // late events land in day 0 — a watermarked design would drop them;
+      // every cumulative row downstream self-corrects on the re-emission
+      val batch2 = Seq((41L, tsOf(0, 50)), (42L, tsOf(0, 51)),
+        (43L, tsOf(3, 1)))
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("day")).orderBy(col("seq").desc)
+      val streamed = spark.table("msprt_stream")
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("day"), col("n_days"), col("c1"), col("c0"),
+          col("mean_diff"), col("lambda"), col("p_always_valid"),
+          col("rejected"))
+      val batch = graft.operators.Experiment.msprt(
+        (batch1 ++ batch2).toDF("user_id", "ts"), "user_id", "ts")
+        .select(unix_date(col("day")).cast("long").as("day"),
+          col("n_days"), col("c1"), col("c0"), col("mean_diff"),
+          col("lambda"), col("p_always_valid"), col("rejected"))
+      assert(batch.count() == 4)
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty,
+        s"streamed=${streamed.collect().mkString(",")} " +
+          s"batch=${batch.collect().mkString(",")}")
+    } finally q.stop()
+  }
+
   test("streaming out-of-orderness deltas roll up to the batch x150 report") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_ooo").toString
     java.nio.file.Files.copy(

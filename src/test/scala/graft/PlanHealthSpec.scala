@@ -815,15 +815,22 @@ class PlanHealthSpec extends SparkSpec {
       s"x190 score joins must shuffle-hash:\n$p")
   }
 
-  test("x192: sketch sides and the exact truth reduce before joining; only the 1-row combine is a broadcast cross") {
+  test("x192: self-join pre-flight is the single-scan shape — Σn²/Σc(k)² with no joins but the 1-row combine") {
     val p = plan("x192_join_size_estimate")
     assert(!p.contains("CartesianProduct"), s"x192 grew a real cartesian:\n$p")
     assert(!p.replaceAll(
       "BroadcastNestedLoopJoin BuildRight, Cross", "").contains(
       "BroadcastNestedLoopJoin"),
       s"x192's only cross must be the broadcast 1-row combine:\n$p")
-    assert(p.contains("ShuffledHashJoin"),
-      s"x192 cell/count joins must shuffle-hash:\n$p")
+    // round-8 self-join fast path: the gated query passes the SAME frame
+    // and key on both sides, so the inner product is Σn² over one cells
+    // frame and the truth is Σc(k)² over one key-count agg — the plan
+    // must carry NO equi joins and exactly two parquet scans (one per
+    // arm), not the four-scan two-join general shape
+    assert(!p.contains("ShuffledHashJoin") && !p.contains("SortMergeJoin"),
+      s"x192 self-join case must not join — duplicate subtree regression:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 2, s"x192 self-join case must scan exactly twice, got $scans:\n$p")
   }
 
   test("x184: weighted jaccard stays on equi shuffle-hash joins; doc totals join after the pair agg") {
