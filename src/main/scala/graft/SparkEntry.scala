@@ -4932,8 +4932,9 @@ object SparkEntry {
          FROM f GROUP BY source, (cum - sz) // 4096
          ORDER BY source, bin""",
 
-    // x196: Neyman weights as sqrt of exact BIGINT moments; round-half-up
-    // on positives agrees between the engines
+    // x196: Neyman weights as sqrt of exact BIGINT moments; integrality
+    // via largest-remainder (floor shares + top fractional remainders,
+    // stratum tie-break) so Σ alloc_n == budget unless a stratum caps
     "x196_neyman_allocation" ->
       """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_pop,
              CAST(sum(n_chars) AS BIGINT) AS s1,
@@ -4942,11 +4943,21 @@ object SparkEntry {
          w AS (SELECT source, n_pop,
              sqrt(CAST(n_pop * s2 - s1 * s1 AS DOUBLE)) AS wt FROM s),
          tot AS (SELECT sum(wt) AS wsum FROM w),
+         sh AS (SELECT source, n_pop, wt,
+             CASE WHEN wsum > 0.0 THEN 200.0 * wt / wsum ELSE 0.0 END
+               AS share
+           FROM w, tot),
+         fl AS (SELECT *, CAST(floor(share) AS BIGINT) AS f,
+             share - floor(share) AS rem FROM sh),
+         rk AS (SELECT *,
+             CAST(row_number() OVER (ORDER BY rem DESC, source ASC)
+               AS BIGINT) AS rk,
+             sum(f) OVER () AS fsum FROM fl),
          a AS (SELECT source, n_pop,
              round(wt / CAST(n_pop AS DOUBLE), 6) AS sigma,
-             least(CAST(round(200.0 * wt / wsum, 0) AS BIGINT), n_pop)
-               AS alloc_n
-           FROM w, tot)
+             least(f + CASE WHEN rk <= 200 - fsum THEN 1 ELSE 0 END,
+               n_pop) AS alloc_n
+           FROM rk)
          SELECT source, n_pop, sigma, alloc_n,
            round(CAST(alloc_n AS DOUBLE) / CAST(n_pop AS DOUBLE), 6)
              AS alloc_frac

@@ -745,10 +745,19 @@ object CorpusOps {
     * Cross-engine exactness: N_h * sigma_h = sqrt(N_h * S2_h - S1_h^2)
     * where S1/S2 are integer sums of the value and its square — the
     * argument to sqrt is computed in exact BIGINT arithmetic in both
-    * engines, so the double weights (and hence the rounded allocations)
-    * agree bit-for-bit. One partial-agged groupBy plus a strata-sized
+    * engines, so the double weights (and hence the allocations) agree
+    * bit-for-bit. One partial-agged groupBy plus a strata-sized
     * window — nothing in the plan scales with rows beyond the scan.
-    */
+    *
+    * Integrality: independent per-stratum rounding drifts from the
+    * budget (round-7 advice), so the allocation is LARGEST-REMAINDER
+    * (Hamilton): floor every share, then hand the totalN - Σfloor
+    * leftover rows to the largest fractional remainders (ties broken by
+    * stratum, both engines). Σ alloc_n == totalN exactly UNLESS a
+    * stratum is capped at its population n_pop — a capped stratum means
+    * the Neyman budget is infeasible there, and its shortfall is
+    * deliberately NOT re-spread (waterfilling would be iterative and
+    * would over-sample strata the variance argument says need less). */
   def neymanAllocation(df: DataFrame, strataCol: String, valueCol: String,
       totalN: Long): DataFrame = {
     require(totalN >= 0, "totalN must be >= 0")
@@ -759,15 +768,28 @@ object CorpusOps {
       .withColumn("__graft_w__",
         sqrt((col("n_pop") * col("__graft_s2__") -
           col("__graft_s1__") * col("__graft_s1__")).cast(DoubleType)))
-    // strata-count-sized window (sources/languages, not rows)
+    // strata-count-sized windows (sources/languages, not rows)
     val tot = Window.partitionBy(lit(1))
+    val byRem = Window.partitionBy(lit(1))
+      .orderBy(col("__graft_rem__").desc, col(strataCol).asc)
     per
       .withColumn("__graft_wsum__", sum(col("__graft_w__")).over(tot))
+      .withColumn("__graft_share__",
+        when(col("__graft_wsum__") > 0.0,
+          lit(totalN.toDouble) * col("__graft_w__") / col("__graft_wsum__"))
+          .otherwise(lit(0.0)))
+      .withColumn("__graft_fl__",
+        floor(col("__graft_share__")).cast(LongType))
+      .withColumn("__graft_rem__",
+        col("__graft_share__") - floor(col("__graft_share__")))
+      .withColumn("__graft_flsum__", sum(col("__graft_fl__")).over(tot))
+      .withColumn("__graft_rk__", row_number().over(byRem).cast(LongType))
       .select(col(strataCol), col("n_pop"),
         round(col("__graft_w__") / col("n_pop").cast(DoubleType), 6)
           .as("sigma"),
-        least(round(lit(totalN.toDouble) * col("__graft_w__") /
-            col("__graft_wsum__"), 0).cast(LongType),
+        least(col("__graft_fl__") +
+            when(col("__graft_rk__") <= lit(totalN) - col("__graft_flsum__"),
+              lit(1L)).otherwise(lit(0L)),
           col("n_pop")).as("alloc_n"))
       .withColumn("alloc_frac",
         round(col("alloc_n").cast(DoubleType) /

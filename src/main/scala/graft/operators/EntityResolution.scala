@@ -67,6 +67,12 @@ object EntityResolution {
       fields: Seq[(String, String)]): DataFrame = {
     require(fields.nonEmpty, "need at least one comparison field")
     def agreeSums(pairs: DataFrame, prefix: String): DataFrame = {
+      // the pair frames' id columns are read positionally; a frame
+      // carrying extra columns would silently miscompute agreement
+      // sums (round-7 advice), so the positional contract is enforced
+      require(pairs.columns.length == 2,
+        s"$prefix pair frame must have exactly two id columns " +
+          s"(left id, right id); got ${pairs.columns.mkString("[", ",", "]")}")
       val pa = pairs.columns(0)
       val pb = pairs.columns(1)
       val a = records.select(col(idCol).as("__ida") +:

@@ -166,6 +166,62 @@ object Scale {
       .limit(topK)
   }
 
+  /** Inclusive cumulative sum of `cntCol` in `orderCol` order, plus the
+    * grand total as column `n` — WITHOUT an unpartitioned window. The
+    * round-7 advisor shapes ([[sortKeyAdvisor]], [[rangeSplits]]) ran
+    * `Window.orderBy(key)` over the distinct-key frame; when the
+    * candidate key is unique (x211 passes doc_id) that frame IS the
+    * corpus and the whole dataset funneled through one task.
+    *
+    * Scalable shape (the RowNum.assign two-pass idea, generalized to
+    * weighted sums), with one twist: the bucket a key lands in must be a
+    * pure FUNCTION OF THE KEY VALUE, never of a sampled physical layout.
+    * (A first cut used repartitionByRange + spark_partition_id; range
+    * exchange samples with an RDD-id-derived seed, so an unpersist-then-
+    * recompute re-draws the boundaries and the collected offsets silently
+    * mismatch — observed as x211 losing a bin at sf0.1.) Boundaries here
+    * are md5-SAMPLED KEYS (~one per expected shuffle partition, capped)
+    * captured as plan literals; bucket id = count of boundaries <= key, a
+    * codegen'd when-chain that is monotone in key order for ANY boundary
+    * subset, so the result is exact and identical no matter how the
+    * sample lands — boundary quality affects only balance. Per-bucket
+    * totals (bounded) collect once; the emit is a bucket-partitioned
+    * window plus the broadcast prefix offset. The input is persisted
+    * around the three bounded passes and released on the next action;
+    * early release by a sibling operator costs recompute only, never
+    * correctness. */
+  private[graft] def cumByRange(df: DataFrame, orderCol: String,
+      cntCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val cached = df.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nKeys = cached.count()
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val m = math.max(1L, nKeys / math.max(1, p))
+    val boundVals = cached
+      .filter(pmod(md5Long(col(orderCol)), lit(m)) === 0L)
+      .select(col(orderCol)).collect().map(_.get(0)).distinct.take(512)
+    val bucket = boundVals.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(orderCol) >= lit(b), 1).otherwise(0)
+    }
+    val withB = cached.withColumn("__bkt", bucket)
+    val tots = withB.groupBy(col("__bkt")).agg(sum(col(cntCol)).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // armed AFTER the bounded passes — each is a Dataset action and
+    // would fire the listener mid-build (the RowNum.assign hazard)
+    graft.plans.Persists.onNextAction(spark)(
+      () => { cached.unpersist(blocking = false); () })
+    val offsets = (0 to boundVals.length).scanLeft(0L)((acc, bkt) =>
+      acc + tots.getOrElse(bkt, 0L))
+    val w = Window.partitionBy(col("__bkt")).orderBy(col(orderCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB
+      .withColumn("cum", sum(col(cntCol)).over(w) +
+        element_at(lit(offsets.dropRight(1).toArray), col("__bkt") + 1))
+      .withColumn("n", lit(offsets.last))
+      .drop("__bkt")
+  }
+
   /** Sort-key advisor: for each candidate layout key, how effective would
     * zone maps (per-file min/max of `probeCol`) be at skipping files for
     * point lookups on `probeCol`? Rows are packed into `nBins`
@@ -177,11 +233,13 @@ object Scale {
     * job, measured instead of guessed.
     *
     * 100 TB shape: per candidate, one groupBy(key) reduces rows to the
-    * distinct-key frame (domain-bounded windows, the x199 convention),
-    * one partial-agged min/max per bin, and a probes x bins broadcast
-    * count. The probe quantiles come from one conditional aggregate over
-    * the probe value frame. All-integer arithmetic when `probeCol` is
-    * integral.
+    * distinct-key frame, one partial-agged min/max per bin, and a
+    * probes x bins broadcast count. The probe quantiles come from one
+    * conditional aggregate over the probe value frame. All cumulative
+    * positions run through [[cumByRange]]'s partitioned two-pass shape,
+    * so a UNIQUE candidate key (distinct-key frame = corpus) no longer
+    * funnels the dataset through one task. All-integer arithmetic when
+    * `probeCol` is integral.
     */
   def sortKeyAdvisor(df: DataFrame, candidateKeys: Seq[String],
       probeCol: String, nBins: Int = 32, nProbes: Int = 9): DataFrame = {
@@ -190,11 +248,7 @@ object Scale {
     // probe workload: the i/(nProbes+1) exact quantiles of probeCol
     val pv = df.groupBy(col(probeCol).as("pv"))
       .agg(count(lit(1)).as("cnt"))
-    val pw = Window.orderBy(col("pv"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ptot = Window.partitionBy(lit(1))
-    val pcum = pv.withColumn("cum", sum(col("cnt")).over(pw))
-      .withColumn("n", sum(col("cnt")).over(ptot))
+    val pcum = cumByRange(pv, "pv", "cnt")
     val probeAggs = (1 to nProbes).map { i =>
       min(when(col("cum") * (nProbes + 1).toLong >= lit(i.toLong) * col("n"),
         col("pv"))).as(s"p_$i")
@@ -206,12 +260,7 @@ object Scale {
       val counts = df.groupBy(col(key).as("k"))
         .agg(count(lit(1)).as("cnt"), min(col(probeCol)).as("pmin"),
           max(col(probeCol)).as("pmax"))
-      val w = Window.orderBy(col("k").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tot = Window.partitionBy(lit(1))
-      val bins = counts
-        .withColumn("cum", sum(col("cnt")).over(w))
-        .withColumn("n", sum(col("cnt")).over(tot))
+      val bins = cumByRange(counts, "k", "cnt")
         .withColumn("bin", call_function("div",
           (col("cum") - col("cnt")) * nBins.toLong, col("n")))
         .groupBy(col("bin"))
@@ -252,12 +301,9 @@ object Scale {
   def rangeSplits(df: DataFrame, keyCol: String, nParts: Int): DataFrame = {
     require(nParts >= 1, "nParts must be >= 1")
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col(keyCol).asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val tot = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
-    counts
-      .withColumn("cum", sum(col("cnt")).over(w))
-      .withColumn("n", sum(col("cnt")).over(tot))
+    // partitioned two-pass cumulative — a high-cardinality key's
+    // distinct-key frame no longer funnels through one task
+    cumByRange(counts, keyCol, "cnt")
       // the key's FIRST row decides its partition: floor((cum-cnt)*P/n)
       // in exact long arithmetic (IntegralDivide, not Column./'s double)
       .withColumn("part", call_function("div",

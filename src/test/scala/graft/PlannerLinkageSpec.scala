@@ -66,6 +66,19 @@ class PlannerLinkageSpec extends SparkSpec {
       ("vary", 4L, 5.0, 4L, 1.0)))
   }
 
+  test("neymanAllocation: largest-remainder keeps the allocation sum at the budget") {
+    // shares 1.4 / 1.4 / 1.2 of a 4-row budget: independent half-up
+    // rounding yields 1+1+1 = 3 (the round-7 drift); largest-remainder
+    // floors then hands the leftover row to the largest remainder
+    // (tie broken by stratum) -> 2+1+1 = 4
+    val rows = Seq(("a", 0L), ("a", 7L), ("b", 0L), ("b", 7L),
+      ("c", 0L), ("c", 6L))
+    val out = CorpusOps.neymanAllocation(rows.toDF("stratum", "v"),
+        "stratum", "v", totalN = 4L)
+      .orderBy("stratum").collect().map(r => (r.getString(0), r.getLong(3)))
+    assert(out.toSeq == Seq(("a", 2L), ("b", 1L), ("c", 1L)))
+  }
+
   test("rangeSplits: keys never split; ties concentrate and are reported as skew") {
     val uniform = (1 to 10).map(k => ("r", k.toLong)).toDF("x", "k")
     val even = Scale.rangeSplits(uniform, "k", nParts = 2)
