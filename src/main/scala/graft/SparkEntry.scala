@@ -2788,6 +2788,39 @@ object SparkEntry {
         .orderBy(col("covariate"))
     },
 
+    // ---- X: Qini curve targeted by a MODEL score — the x50 BOW
+    //      logistic classifier composed upstream of the x209 uplift
+    //      readout: per-user "documents" are the sorted pre-cutoff
+    //      event-type tokens, the label is pre-cutoff purchase, and the
+    //      classifier's rounded probability is the targeting score the
+    //      curve bins on (post-cutoff outcome, hash arms). Proves the
+    //      experiment suite composes with the model-scoring surface the
+    //      way e10 composes the guardrails. Users with no pre-cutoff
+    //      events cannot be scored and are excluded on both engines ----
+    "x214_qini_bow" -> { (s, dir) =>
+      val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+      val ev = t(s, dir, "events")
+      val userDocs = ev.filter(col("ts") < cutoff)
+        .groupBy(col("user_id"))
+        .agg(concat_ws(" ", sort_array(collect_list(col("event_type"))))
+            .as("txt"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("lbl"))
+      val scored = graft.operators.Selection.bowLogisticScore(
+        userDocs, "user_id", "txt", label = col("lbl") === 1L,
+        buckets = 64, learningRate = 4.0)
+      val post = ev.filter(col("ts") >= cutoff)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("y"))
+      val perUser = scored.select(col("user_id"), col("p"))
+        .join(post, Seq("user_id"), "left")
+        .select(col("user_id"), col("p"),
+          coalesce(col("y"), lit(0L)).as("y"),
+          graft.operators.Experiment.armOf(col("user_id"), 2).as("arm"))
+      graft.operators.Experiment.qiniScored(perUser, "p", "y", "arm",
+          bins = 10)
+        .orderBy(col("bin"))
+    },
+
     // ---- X: Markov removal-effect attribution (Anderl 2016) — channel
     //      credit = drop in the chain's start->conversion probability
     //      when the channel absorbs to null; journeys truncate at first
@@ -5023,6 +5056,73 @@ object SparkEntry {
              ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
                % 2 AS arm
            FROM events GROUP BY user_id),
+         bs AS (SELECT score, CAST(count(*) AS BIGINT) AS t
+                FROM pu GROUP BY score),
+         bb AS (SELECT score,
+             (CAST(sum(t) OVER (ORDER BY score DESC
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) - t) * 10
+               // CAST(sum(t) OVER () AS BIGINT) AS bin
+           FROM bs),
+         g AS (SELECT bin,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bt,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS bc,
+             CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS byt,
+             CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS byc
+           FROM pu JOIN bb USING (score) GROUP BY bin),
+         c AS (SELECT bin,
+             CAST(sum(bt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS n_treated,
+             CAST(sum(bc) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS n_control,
+             CAST(sum(byt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS y_treated,
+             CAST(sum(byc) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS y_control
+           FROM g)
+         SELECT bin, n_treated, n_control, y_treated, y_control,
+           round(CASE WHEN n_control = 0 THEN NULL
+             ELSE CAST(y_treated AS DOUBLE) - CAST(y_control AS DOUBLE)
+               * CAST(n_treated AS DOUBLE) / CAST(n_control AS DOUBLE) END,
+             6) AS qini
+         FROM c ORDER BY bin""",
+
+    // x214: the x50 BOW scoring chain replayed over per-user pre-cutoff
+    // event-type documents (sorted tokens, purchase label), then the
+    // x209 qini rollup binned on the rounded model probability
+    "x214_qini_bow" ->
+      """WITH pre AS (SELECT user_id, event_type FROM events
+           WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+         ud AS (SELECT user_id,
+             array_to_string(list_sort(list(event_type)), ' ') AS txt,
+             CAST(max(CASE WHEN event_type = 'purchase' THEN 1.0
+               ELSE 0.0 END) AS DOUBLE) AS y
+           FROM pre GROUP BY user_id),
+         base AS (SELECT user_id, y, string_split(txt, ' ') AS ts FROM ud),
+         b2 AS (SELECT * FROM base WHERE len(ts) > 0),
+         tok AS (SELECT user_id, y, CAST(len(ts) AS DOUBLE) AS n,
+             unnest(ts) AS w FROM b2),
+         tf AS (SELECT user_id, y, n,
+             ('0x' || substr(md5(w), 1, 15))::BIGINT % 64 AS b,
+             CAST(count(*) AS DOUBLE) / n AS x
+           FROM tok GROUP BY 1, 2, 3, 4),
+         nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM b2),
+         wt AS (SELECT b, round(-4.0 * sum((0.5 - y) * x) / max(nd.nd), 6)
+               AS wb
+             FROM tf CROSS JOIN nd GROUP BY b),
+         bias AS (SELECT round(-4.0 * sum(0.5 - y) / max(nd.nd), 6) AS w0
+                  FROM b2 CROSS JOIN nd),
+         sc AS (SELECT tf.user_id,
+             round(1.0 / (1.0 + exp(-(sum(wt.wb * tf.x)
+               + (SELECT w0 FROM bias)))), 6) AS p
+           FROM tf JOIN wt USING (b) GROUP BY tf.user_id),
+         post AS (SELECT user_id, CAST(count(*) AS BIGINT) AS y
+           FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+           GROUP BY user_id),
+         pu AS (SELECT sc.user_id, sc.p AS score,
+             COALESCE(post.y, 0) AS y,
+             ('0x' || substr(md5(CAST(sc.user_id AS VARCHAR)), 1, 15))::BIGINT
+               % 2 AS arm
+           FROM sc LEFT JOIN post USING (user_id)),
          bs AS (SELECT score, CAST(count(*) AS BIGINT) AS t
                 FROM pu GROUP BY score),
          bb AS (SELECT score,

@@ -489,7 +489,39 @@ object Stress {
         "neighborhood_jaccard" -> (() =>
           operators.GraphRank.neighborhoodJaccard(
             operators.Dedup.minhashLshPairs(docs, "doc_id", "text"),
-            "id_a", "id_b").count()))
+            "id_a", "id_b").count()),
+        // one per-user partial agg into a covariates-sized SMD frame
+        "covariate_balance" -> (() =>
+          operators.Experiment.covariateBalance(events, "user_id", "ts",
+            "event_type").count()),
+        // the composed guardrail+readout flagship: SRM, CUPED, balance,
+        // mSPRT, QTE in one pass structure
+        "experiment_readout" -> (() =>
+          examples.ExperimentReadout.run(events, "user_id", "ts", "value",
+            cutoff = "2024-01-16 00:00:00", segmentCol = "event_type")
+            .count()),
+        // BOW classifier composed upstream of the qini rollup: per-user
+        // event-text scoring plus the binned curve (x214)
+        "qini_bow" -> (() => {
+          val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+          val userDocs = events.filter(col("ts") < cutoff)
+            .groupBy(col("user_id"))
+            .agg(concat_ws(" ",
+                sort_array(collect_list(col("event_type")))).as("txt"),
+              max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+                .as("lbl"))
+          val scored = operators.Selection.bowLogisticScore(
+            userDocs, "user_id", "txt", label = col("lbl") === 1L,
+            buckets = 64, learningRate = 4.0)
+          val post = events.filter(col("ts") >= cutoff)
+            .groupBy(col("user_id")).agg(count(lit(1)).as("y"))
+          val perUser = scored.select(col("user_id"), col("p"))
+            .join(post, Seq("user_id"), "left")
+            .select(col("user_id"), col("p"),
+              coalesce(col("y"), lit(0L)).as("y"),
+              operators.Experiment.armOf(col("user_id"), 2).as("arm"))
+          operators.Experiment.qiniScored(perUser, "p", "y", "arm").count()
+        }))
 
       // SPARK_GRAFT_STRESS_OPS=a,b,c runs only the named ops (bisection
       // runs shouldn't pay the full sweep per hypothesis)

@@ -186,36 +186,47 @@ object Experiment {
     */
   def qiniCurve(events: DataFrame, userCol: String, tsCol: String,
       cutoff: String, bins: Int = 10): DataFrame = {
-    require(bins >= 2, "need at least 2 bins")
-    val d = (c: Column) => c.cast(DoubleType)
     val perUser = events.groupBy(col(userCol))
       .agg(sum(when(col(tsCol) < lit(cutoff).cast("timestamp"), 1L)
           .otherwise(0L)).as("score"),
         sum(when(col(tsCol) >= lit(cutoff).cast("timestamp"), 1L)
           .otherwise(0L)).as("y"))
       .withColumn("arm", armOf(col(userCol), 2))
-    // decile of a user = decile of its score value: bounded distinct-
-    // score frame, ranked by score DESC (best targets first)
-    val byScore = perUser.groupBy(col("score"))
+    qiniScored(perUser, "score", "y", "arm", bins)
+  }
+
+  /** Qini rollup over an ALREADY-SCORED per-unit frame — the composition
+    * point where the experiment suite meets the model-scoring surface:
+    * `scoreCol` can be any targeting score (x209 feeds the integer
+    * pre-cutoff covariate; x214 feeds the x50 BOW classifier's rounded
+    * probability). Bins are equal-count by score DESC on the distinct-
+    * score frame (codomain-bounded: integer covariates by domain,
+    * model probabilities by the 6-digit round — at most 1e6+1 values);
+    * ties stay in one bin. The cumulative position runs through
+    * [[Scale.cumByRange]]'s partitioned two-pass shape, so even a
+    * near-unique score column never funnels one task. */
+  def qiniScored(perUser: DataFrame, scoreCol: String, outcomeCol: String,
+      armCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, "need at least 2 bins")
+    val d = (c: Column) => c.cast(DoubleType)
+    val byScore = perUser.groupBy(col(scoreCol).as("score"))
       .agg(count(lit(1)).as("t"))
-    val w = Window.orderBy(col("score").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = Window.partitionBy(lit(1))
-    val binned = byScore
-      .withColumn("cum", sum(col("t")).over(w))
-      .withColumn("n", sum(col("t")).over(tot))
+      // cumByRange orders ASC; rank best-target-first via the negation
+      .withColumn("__negs", negate(col("score")))
+    val binned = Scale.cumByRange(byScore, "__negs", "t")
       // the score's FIRST user decides its bin (ties stay together)
       .withColumn("bin", call_function("div",
         (col("cum") - col("t")) * bins.toLong, col("n")))
       .select(col("score"), col("bin"))
     val cw = Window.orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perUser.join(binned, Seq("score"))
+    perUser.withColumnRenamed(scoreCol, "__graft_sc__")
+      .join(binned, col("__graft_sc__") === col("score"))
       .groupBy(col("bin"))
-      .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("bt"),
-        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("bc"),
-        sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("byt"),
-        sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("byc"))
+      .agg(sum(when(col(armCol) === 1, 1L).otherwise(0L)).as("bt"),
+        sum(when(col(armCol) === 0, 1L).otherwise(0L)).as("bc"),
+        sum(when(col(armCol) === 1, col(outcomeCol)).otherwise(0L)).as("byt"),
+        sum(when(col(armCol) === 0, col(outcomeCol)).otherwise(0L)).as("byc"))
       .withColumn("n_treated", sum(col("bt")).over(cw))
       .withColumn("n_control", sum(col("bc")).over(cw))
       .withColumn("y_treated", sum(col("byt")).over(cw))

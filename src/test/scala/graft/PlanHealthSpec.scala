@@ -833,6 +833,17 @@ class PlanHealthSpec extends SparkSpec {
     assert(scans == 2, s"x192 self-join case must scan exactly twice, got $scans:\n$p")
   }
 
+  test("x214: BOW-scored qini — weight table broadcasts, everything else equi; no cartesian") {
+    val p = plan("x214_qini_bow")
+    assert(!p.contains("CartesianProduct"), s"x214 grew a cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"x214's B-row weight table must broadcast back onto the tf frame:\n$p")
+    assert(!p.replaceAll(
+      "BroadcastNestedLoopJoin BuildRight, Cross", "").contains(
+      "BroadcastNestedLoopJoin"),
+      s"x214 must not nested-loop outside a broadcast 1-row combine:\n$p")
+  }
+
   test("x184: weighted jaccard stays on equi shuffle-hash joins; doc totals join after the pair agg") {
     val p = plan("x184_idf_jaccard")
     // the only BNL allowed is the broadcast 1-row corpus-count attach
