@@ -2821,6 +2821,43 @@ object SparkEntry {
         .orderBy(col("bin"))
     },
 
+    // ---- X: difference-in-differences on the hash arms around the
+    //      cutoff — the readout that nets out a shared time trend; exact
+    //      integer cell moments into a 1-row combine; the pre-period
+    //      means double as the parallel-trends eyeball ----
+    "x215_did" -> { (s, dir) =>
+      graft.operators.Experiment.diffInDiff(
+        t(s, dir, "events"), "user_id", "ts",
+        cutoff = "2024-01-16 00:00:00")
+    },
+
+    // ---- X: power / minimum-detectable-effect from the observed
+    //      per-arm variance (normal approx, pinned z literals) — the
+    //      pre-readout "what lift could this experiment even see" ----
+    "x216_power_mde" -> { (s, dir) =>
+      graft.operators.Experiment.powerMde(t(s, dir, "events"), "user_id")
+    },
+
+    // ---- X: winsorized ATE — per-user metric clamped at the pooled
+    //      exact p05/p95 type-1 quantiles, then per-arm means; the
+    //      robust mean readout for heavy-tailed count metrics ----
+    "x217_winsorized_ate" -> { (s, dir) =>
+      graft.operators.Experiment.winsorizedAte(
+        t(s, dir, "events"), "user_id", p = 0.05)
+    },
+
+    // ---- X: Bloom-filter advisor — expected files opened per point
+    //      lookup under per-file blooms (true containment + exact
+    //      decimal fpp mass of the non-containing files), per candidate
+    //      layout key; the zone-map-or-bloom decision x211 poses ----
+    "x218_bloom_advisor" -> { (s, dir) =>
+      graft.operators.Scale.bloomAdvisor(
+        t(s, dir, "documents"), Seq("doc_id", "n_chars", "source"),
+        "n_chars", nBins = 32, nProbes = 9, bitsPerFile = 4096,
+        nHashes = 3)
+        .orderBy(col("candidate"))
+    },
+
     // ---- X: Markov removal-effect attribution (Anderl 2016) — channel
     //      credit = drop in the chain's start->conversion probability
     //      when the channel absorbs to null; journeys truncate at first
@@ -4012,6 +4049,66 @@ object SparkEntry {
          ORDER BY channel"""
   }
 
+  /** x218: the bloom advisor replayed as generated SQL — per candidate,
+    * the x211 equal-count binning, per-bin distinct probe values, the
+    * rounded-then-DECIMAL(18,6) fpp, and the probes x bins containment
+    * rollup (exact decimal fp mass, doubles only at the edge). */
+  private def bloomOracle(candidates: Seq[String], probeCol: String,
+      table: String, nBins: Int, nProbes: Int, bits: Long,
+      hashes: Int): String = {
+    val blocks = candidates.zipWithIndex.map { case (key, i) =>
+      val x = i + 1
+      s"""c_$x AS (SELECT $key AS k, CAST(count(*) AS BIGINT) AS cnt
+             FROM $table GROUP BY 1),
+         k_$x AS (SELECT k,
+             (CAST(sum(cnt) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) - cnt) * $nBins
+               // CAST(sum(cnt) OVER () AS BIGINT) AS bin
+           FROM c_$x),
+         bv_$x AS (SELECT DISTINCT bin, pv FROM
+             (SELECT DISTINCT $key AS k, $probeCol AS pv FROM $table) j
+             JOIN k_$x USING (k)),
+         fp_$x AS (SELECT bin,
+             CAST(round(pow(1.0 - exp(-$hashes.0 *
+               CAST(count(*) AS DOUBLE) / $bits.0), $hashes.0), 6)
+               AS DECIMAL(18,6)) AS fpp
+           FROM bv_$x GROUP BY bin),
+         tot_$x AS (SELECT CAST(count(*) AS BIGINT) AS n_bins,
+             sum(fpp) AS fpp_all FROM fp_$x),
+         cb_$x AS (SELECT bv.pv, fp.fpp FROM bv_$x bv
+             JOIN fp_$x fp USING (bin)),
+         pp_$x AS (SELECT p.probe, CAST(count(cb.pv) AS BIGINT) AS tb,
+             sum(COALESCE(cb.fpp, CAST(0 AS DECIMAL(18,6)))) AS fc
+           FROM probes p LEFT JOIN cb_$x cb ON p.probe = cb.pv
+           GROUP BY p.probe),
+         ag_$x AS (SELECT CAST(sum(tb) AS BIGINT) AS t_all,
+             sum(fc) AS c_all FROM pp_$x),
+         r_$x AS (SELECT '$key' AS candidate, n_bins,
+             round(CAST(t_all AS DOUBLE) / $nProbes.0, 6) AS avg_true_bins,
+             round(CAST(CAST(fpp_all * $nProbes - c_all AS VARCHAR)
+               AS DOUBLE) / $nProbes.0, 6) AS avg_fp_bins,
+             round((CAST(t_all AS DOUBLE)
+               + CAST(CAST(fpp_all * $nProbes - c_all AS VARCHAR)
+                 AS DOUBLE)) / ($nProbes.0 * CAST(n_bins AS DOUBLE)), 6)
+               AS open_frac
+           FROM ag_$x, tot_$x)"""
+    }
+    val union = candidates.indices.map(i => s"SELECT * FROM r_${i + 1}")
+      .mkString("\n         UNION ALL ")
+    s"""WITH pvc AS (SELECT $probeCol AS pv, CAST(count(*) AS BIGINT) AS cnt
+             FROM $table GROUP BY 1),
+         pc AS (SELECT pv,
+             CAST(sum(cnt) OVER (ORDER BY pv ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER () AS BIGINT) AS n
+           FROM pvc),
+         probes AS (SELECT min(CASE WHEN cum * ${nProbes + 1} >= i.i * n
+               THEN pv END) AS probe
+           FROM pc, UNNEST(range(1, ${nProbes + 1})) i(i) GROUP BY i.i),
+         ${blocks.mkString(",\n         ")}
+         SELECT * FROM ($union) ORDER BY candidate"""
+  }
+
   /** x174/x176: the learned k-round merge list. Sentinel rounds (NULL
     * pair_count) are filtered so a degenerate corpus yields the same
     * short list the Spark trainer's early stop returns. */
@@ -5152,6 +5249,110 @@ object SparkEntry {
                * CAST(n_treated AS DOUBLE) / CAST(n_control AS DOUBLE) END,
              6) AS qini
          FROM c ORDER BY bin""",
+
+    // x215: DiD — exact integer pre/post cell moments per arm, means and
+    // the estimate in one double expression
+    "x215_did" ->
+      """WITH pu AS (SELECT user_id,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+               THEN 1 ELSE 0 END) AS BIGINT) AS c_pre,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+               THEN 1 ELSE 0 END) AS BIGINT) AS c_post,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               % 2 AS arm
+           FROM events GROUP BY user_id),
+         pa AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c_pre) AS BIGINT) AS sp,
+             CAST(sum(c_post) AS BIGINT) AS sq
+           FROM pu GROUP BY arm),
+         a0 AS (SELECT n AS n0,
+             CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) AS m_pre0,
+             CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS m_post0
+           FROM pa WHERE arm = 0),
+         a1 AS (SELECT n AS n1,
+             CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) AS m_pre1,
+             CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS m_post1
+           FROM pa WHERE arm = 1)
+         SELECT n0, n1,
+           round(m_pre0, 6) AS mean_pre_control,
+           round(m_post0, 6) AS mean_post_control,
+           round(m_pre1, 6) AS mean_pre_treated,
+           round(m_post1, 6) AS mean_post_treated,
+           round((m_post1 - m_pre1) - (m_post0 - m_pre0), 6) AS did
+         FROM a0, a1""",
+
+    // x216: power/MDE — per-arm exact moments; the z constants are the
+    // SAME two 6-digit literals summed on both engines
+    "x216_power_mde" ->
+      """WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS m,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               % 2 AS arm
+           FROM events GROUP BY user_id),
+         pa AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(m) AS BIGINT) AS s1,
+             CAST(sum(m * m) AS BIGINT) AS s2
+           FROM pu GROUP BY arm),
+         v AS (SELECT arm, n,
+             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS v
+           FROM pa),
+         a0 AS (SELECT n AS n0, mean AS mean0, v AS v0 FROM v WHERE arm = 0),
+         a1 AS (SELECT n AS n1, v AS v1 FROM v WHERE arm = 1)
+         SELECT n0, n1,
+           round(mean0, 6) AS mean_control,
+           round(v0, 6) AS var_control,
+           round(v1, 6) AS var_treated,
+           round((1.959964 + 0.841621)
+             * sqrt(v0 / CAST(n0 AS DOUBLE) + v1 / CAST(n1 AS DOUBLE)), 6)
+             AS mde_abs,
+           round(CASE WHEN mean0 = 0.0 THEN NULL
+             ELSE (1.959964 + 0.841621)
+               * sqrt(v0 / CAST(n0 AS DOUBLE) + v1 / CAST(n1 AS DOUBLE))
+               / mean0 END, 6) AS mde_rel
+         FROM a0, a1""",
+
+    // x217: winsorized ATE — pooled p05/p95 type-1 quantiles from the
+    // bounded cum frame (the x203 rank convention), clamped integer sums
+    "x217_winsorized_ate" ->
+      """WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS m,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               % 2 AS arm
+           FROM events GROUP BY user_id),
+         bv AS (SELECT m, CAST(count(*) AS BIGINT) AS t FROM pu GROUP BY m),
+         cum AS (SELECT m,
+             CAST(sum(t) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cum,
+             CAST(sum(t) OVER () AS BIGINT) AS n
+           FROM bv),
+         b AS (SELECT
+             min(CASE WHEN cum * 1000000 >= 50000 * n THEN m END) AS lo,
+             min(CASE WHEN cum * 1000000 >= 950000 * n THEN m END) AS hi
+           FROM cum),
+         w AS (SELECT pu.arm, b.lo, b.hi,
+             least(greatest(pu.m, b.lo), b.hi) AS wm
+           FROM pu, b),
+         g AS (SELECT lo, hi,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN arm = 0 THEN wm ELSE 0 END) AS BIGINT) AS s0,
+             CAST(sum(CASE WHEN arm = 1 THEN wm ELSE 0 END) AS BIGINT) AS s1
+           FROM w GROUP BY lo, hi)
+         SELECT lo, hi, n0, n1,
+           round(CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6)
+             AS wmean_control,
+           round(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6)
+             AS wmean_treated,
+           round(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6)
+             AS ate_winsorized
+         FROM g""",
+
+    // x218: generated bloom-advisor oracle (see bloomOracle)
+    "x218_bloom_advisor" -> bloomOracle(
+      Seq("doc_id", "n_chars", "source"), "n_chars", "documents",
+      nBins = 32, nProbes = 9, bits = 4096L, hashes = 3),
 
     // x213: exact integer per-user covariate moments into one SMD
     // expression per row; smd pinned NULL at zero pooled variance

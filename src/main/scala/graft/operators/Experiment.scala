@@ -336,4 +336,138 @@ object Experiment {
         col("r.arm1").as("arm1"),
         (col("r.arm1") - col("r.arm0")).as("diff"))
   }
+
+  /** Difference-in-differences readout (Card-Krueger form on the hash
+    * arms): per user, the event count BEFORE and AFTER `cutoff`; per
+    * arm, the pre/post means; the DiD estimate is the treated arm's
+    * pre-to-post change minus the control arm's — the readout that
+    * nets out a shared time trend the raw post-period difference would
+    * absorb. The pre-period per-arm means double as the parallel-trends
+    * eyeball (arms are hash-random here, so pre means should match; a
+    * gap is an SRM-class warning).
+    *
+    * All moments are exact integers; means divide exact integers into
+    * doubles (cross-engine identical), rounded 6 at the edge. One
+    * per-user partial agg + a 2-row arm rollup + a 1-row combine —
+    * nothing scales past the scan.
+    */
+  def diffInDiff(events: DataFrame, userCol: String, tsCol: String,
+      cutoff: String): DataFrame = {
+    val d = (c: Column) => c.cast(DoubleType)
+    val cut = lit(cutoff).cast("timestamp")
+    val perUser = events.groupBy(col(userCol))
+      .agg(sum(when(col(tsCol) < cut, 1L).otherwise(0L)).as("c_pre"),
+        sum(when(col(tsCol) >= cut, 1L).otherwise(0L)).as("c_post"))
+      .withColumn("arm", armOf(col(userCol), 2))
+    val perArm = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("c_pre")).as("sp"),
+        sum(col("c_post")).as("sq"))
+      .select(col("arm"), col("n"),
+        (d(col("sp")) / d(col("n"))).as("m_pre"),
+        (d(col("sq")) / d(col("n"))).as("m_post"))
+    val a0 = perArm.filter(col("arm") === 0)
+      .select(col("n").as("n0"), col("m_pre").as("m_pre0"),
+        col("m_post").as("m_post0"))
+    val a1 = perArm.filter(col("arm") === 1)
+      .select(col("n").as("n1"), col("m_pre").as("m_pre1"),
+        col("m_post").as("m_post1"))
+    a0.crossJoin(broadcast(a1)) // 1-row x 1-row
+      .select(col("n0"), col("n1"),
+        round(col("m_pre0"), 6).as("mean_pre_control"),
+        round(col("m_post0"), 6).as("mean_post_control"),
+        round(col("m_pre1"), 6).as("mean_pre_treated"),
+        round(col("m_post1"), 6).as("mean_post_treated"),
+        round((col("m_post1") - col("m_pre1"))
+          - (col("m_post0") - col("m_pre0")), 6).as("did"))
+  }
+
+  /** Power / minimum-detectable-effect calculator from the OBSERVED
+    * per-arm variance of the per-user count metric — the pre-readout
+    * sanity check every platform runs ("at this traffic, what lift
+    * could this experiment even see?"). Two-sided alpha, normal
+    * approximation: MDE_abs = (z_{1-alpha/2} + z_{power}) *
+    * sqrt(s0²/n0 + s1²/n1), relative form vs the control mean. The z
+    * constants are pinned 6-digit literals on both engines (1.959964,
+    * 0.841621 for the 0.05/0.80 defaults), so the whole readout is
+    * exact integer moments into one double expression.
+    *
+    * One per-user partial agg + a 2-row arm rollup; nothing scales
+    * past the scan.
+    */
+  def powerMde(events: DataFrame, userCol: String,
+      zAlpha: Double = 1.959964, zPower: Double = 0.841621): DataFrame = {
+    val d = (c: Column) => c.cast(DoubleType)
+    val perArm = perUserCounts(events, userCol)
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("m")).as("s1"),
+        sum(col("m") * col("m")).as("s2"))
+      // population variance from exact integer moments
+      .select(col("arm"), col("n"),
+        (d(col("s1")) / d(col("n"))).as("mean"),
+        (d(col("s2")) / d(col("n"))
+          - (d(col("s1")) / d(col("n"))) * (d(col("s1")) / d(col("n"))))
+          .as("v"))
+    val a0 = perArm.filter(col("arm") === 0)
+      .select(col("n").as("n0"), col("mean").as("mean0"), col("v").as("v0"))
+    val a1 = perArm.filter(col("arm") === 1)
+      .select(col("n").as("n1"), col("v").as("v1"))
+    a0.crossJoin(broadcast(a1)) // 1-row x 1-row
+      .select(col("n0"), col("n1"),
+        round(col("mean0"), 6).as("mean_control"),
+        round(col("v0"), 6).as("var_control"),
+        round(col("v1"), 6).as("var_treated"),
+        round(lit(zAlpha + zPower) *
+          sqrt(col("v0") / d(col("n0")) + col("v1") / d(col("n1"))), 6)
+          .as("mde_abs"),
+        round(when(col("mean0") === 0.0, lit(null).cast(DoubleType))
+          .otherwise(lit(zAlpha + zPower) *
+            sqrt(col("v0") / d(col("n0")) + col("v1") / d(col("n1"))) /
+            col("mean0")), 6).as("mde_rel"))
+  }
+
+  /** Winsorized average treatment effect: clamp the per-user count
+    * metric at the POOLED type-1 p / (1-p) quantiles (exact, from the
+    * codomain-bounded distinct-value frame — the [[quantileTreatment]]
+    * rank convention), then difference the per-arm means of the clamped
+    * metric. The robust mean readout for heavy-tailed count metrics: a
+    * single bot-user no longer owns the ATE, at a bias the fixed
+    * clamp quantiles make explicit. Clamped values are integers, so
+    * every moment is exact until the final division.
+    *
+    * One per-user partial agg; quantiles from one conditional aggregate
+    * over the bounded cumulative frame; a 2-row arm rollup.
+    */
+  def winsorizedAte(events: DataFrame, userCol: String,
+      p: Double = 0.05): DataFrame = {
+    require(p > 0 && p < 0.5, s"p must be in (0, 0.5): $p")
+    val d = (c: Column) => c.cast(DoubleType)
+    val perUser = perUserCounts(events, userCol)
+    val byValue = perUser.groupBy(col("m")).agg(count(lit(1)).as("t"))
+    val w = Window.orderBy(col("m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(lit(1))
+    // codomain-bounded cumulative (distinct metric values, not users)
+    val cum = byValue
+      .withColumn("cum", sum(col("t")).over(w))
+      .withColumn("n", sum(col("t")).over(tot))
+    val loNum = math.round(p * 1000000L)
+    val hiNum = math.round((1.0 - p) * 1000000L)
+    val bounds = cum.agg(
+      min(when(col("cum") * 1000000L >= lit(loNum) * col("n"), col("m")))
+        .as("lo"),
+      min(when(col("cum") * 1000000L >= lit(hiNum) * col("n"), col("m")))
+        .as("hi"))
+    perUser.crossJoin(broadcast(bounds)) // per-user x 1-row
+      .withColumn("wm", least(greatest(col("m"), col("lo")), col("hi")))
+      .groupBy(col("lo"), col("hi"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 0, col("wm")).otherwise(0L)).as("s0"),
+        sum(when(col("arm") === 1, col("wm")).otherwise(0L)).as("s1"))
+      .select(col("lo"), col("hi"), col("n0"), col("n1"),
+        round(d(col("s0")) / d(col("n0")), 6).as("wmean_control"),
+        round(d(col("s1")) / d(col("n1")), 6).as("wmean_treated"),
+        round(d(col("s1")) / d(col("n1")) - d(col("s0")) / d(col("n0")), 6)
+          .as("ate_winsorized"))
+  }
 }

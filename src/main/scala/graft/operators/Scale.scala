@@ -281,6 +281,87 @@ object Scale {
     perKey.reduce(_ unionAll _)
   }
 
+  /** Bloom-filter advisor — the [[sortKeyAdvisor]] sibling for the OTHER
+    * skipping index: if each of the `nBins` equal-count files (packed in
+    * candidate-key order) carries a Bloom filter over `probeCol`
+    * (`bitsPerFile` bits, `nHashes` hashes), how many files does a point
+    * lookup open? A probe opens every file that truly contains its value
+    * plus, per non-containing file, a false-positive open at rate
+    * fpp = (1 - e^(-k·nd/m))^k from the file's DISTINCT probe-value
+    * count nd (Bloom 1970). Zone maps (x211) win on clustered keys;
+    * blooms win on scattered ones — this op measures the decision
+    * instead of guessing it.
+    *
+    * Cross-engine exactness: per-file fpp is the one transcendental,
+    * rounded to 6 (the engine's libm convention) and carried as
+    * DECIMAL(18,6) so every SUM of fpp mass is exact — no double
+    * summation order anywhere; final ratios divide exact decimal/integer
+    * sums into doubles at the edge.
+    *
+    * 100 TB shape: per candidate, one groupBy(key) for the bins (through
+    * [[cumByRange]]'s partitioned cumulative), one partial-agged
+    * distinct (key, value) reduction for per-file contents, and a
+    * probes x bins broadcast join; the probe workload is the same exact
+    * quantiles as [[sortKeyAdvisor]]'s. Nothing scales past the scans.
+    */
+  def bloomAdvisor(df: DataFrame, candidateKeys: Seq[String],
+      probeCol: String, nBins: Int = 32, nProbes: Int = 9,
+      bitsPerFile: Long = 4096, nHashes: Int = 3): DataFrame = {
+    require(candidateKeys.nonEmpty && nBins >= 2 && nProbes >= 1 &&
+      bitsPerFile >= 8 && nHashes >= 1,
+      "need candidates, >=2 bins, >=1 probe, >=8 bits, >=1 hash")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val d = (c: Column) => c.cast(org.apache.spark.sql.types.DoubleType)
+    val pv = df.groupBy(col(probeCol).as("pv"))
+      .agg(count(lit(1)).as("cnt"))
+    val pcum = cumByRange(pv, "pv", "cnt")
+    val probeAggs = (1 to nProbes).map { i =>
+      min(when(col("cum") * (nProbes + 1).toLong >= lit(i.toLong) * col("n"),
+        col("pv"))).as(s"p_$i")
+    }
+    val probes = pcum.groupBy().agg(probeAggs.head, probeAggs.tail: _*)
+      .select(explode(array((1 to nProbes).map(i => col(s"p_$i")): _*))
+        .as("probe"))
+    val perKey = candidateKeys.map { key =>
+      val counts = df.groupBy(col(key).as("k"))
+        .agg(count(lit(1)).as("cnt"))
+      val bins = cumByRange(counts, "k", "cnt")
+        .withColumn("bin", call_function("div",
+          (col("cum") - col("cnt")) * nBins.toLong, col("n")))
+        .select(col("k"), col("bin"))
+      // per-file contents: distinct probe values per bin
+      val binVals = df.select(col(key).as("k"), col(probeCol).as("pv"))
+        .distinct()
+        .join(bins, Seq("k"))
+        .select(col("bin"), col("pv")).distinct()
+      val fpp = binVals.groupBy(col("bin")).agg(count(lit(1)).as("nd"))
+        .withColumn("fpp", round(
+          pow(lit(1.0) - exp(lit(-nHashes.toDouble) * d(col("nd")) /
+            lit(bitsPerFile.toDouble)), lit(nHashes.toDouble)), 6)
+          .cast(dec))
+      val totals = fpp.agg(count(lit(1)).as("n_bins"),
+        sum(col("fpp")).as("fpp_all"))
+      val cb = binVals.join(fpp.select(col("bin"), col("fpp")), Seq("bin"))
+        .select(col("pv"), col("fpp"))
+      val perProbe = probes.join(cb, col("probe") === col("pv"), "left")
+        .groupBy(col("probe"))
+        .agg(count(col("pv")).as("tb"),
+          sum(coalesce(col("fpp"), lit(0).cast(dec))).as("fc"))
+      perProbe.agg(sum(col("tb")).as("t_all"), sum(col("fc")).as("c_all"))
+        .crossJoin(broadcast(totals))
+        // Σ_probes fp mass = nProbes·fpp_all − Σ contained fpp: exact
+        // decimal; into doubles via string (the j4 convention)
+        .withColumn("__fp", (col("fpp_all") * nProbes.toLong - col("c_all"))
+          .cast("string").cast("double"))
+        .select(lit(key).as("candidate"), col("n_bins"),
+          round(d(col("t_all")) / nProbes.toDouble, 6).as("avg_true_bins"),
+          round(col("__fp") / nProbes.toDouble, 6).as("avg_fp_bins"),
+          round((d(col("t_all")) + col("__fp")) /
+            (lit(nProbes.toDouble) * d(col("n_bins"))), 6).as("open_frac"))
+    }
+    perKey.reduce(_ unionAll _)
+  }
+
   /** Range-partition planner: choose split boundaries over `keyCol` for
     * `nParts` partitions and report the resulting layout — part id, key
     * range, row count, and skew (size vs the ideal n/parts). The planning

@@ -225,6 +225,87 @@ class ExperimentSpec extends SparkSpec {
       byMetric("n_users").getDouble(2) == 20.0)
   }
 
+  private def r6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private def tsOf(day: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(s"2024-01-${10 + day} 00:00:00")
+
+  test("diffInDiff: the estimate nets out the shared trend; pre means are the parallel-trends check") {
+    // pre = days 0..5 (< 2024-01-16), post = days 6..9
+    val users = (0L until 10L)
+    val arms = armsOf(users)
+    // every user: 2 pre events; control users 3 post, treated 5 post
+    val rows = users.flatMap { u =>
+      val post = if (arms(u) == 1L) 5 else 3
+      Seq.fill(2)((u, tsOf(0))) ++ Seq.fill(post)((u, tsOf(8)))
+    }
+    val out = graft.operators.Experiment.diffInDiff(
+      rows.toDF("user_id", "ts"), "user_id", "ts",
+      "2024-01-16 00:00:00").collect()(0)
+    val n1 = users.count(u => arms(u) == 1L)
+    assume(n1 > 0 && n1 < users.size)
+    // pre means equal (2.0 both) -> parallel trends hold; did = 5-3 = 2
+    assert(out.getLong(0) == users.size - n1 && out.getLong(1) == n1)
+    assert(out.getDouble(2) == 2.0 && out.getDouble(4) == 2.0)
+    assert(out.getDouble(3) == 3.0 && out.getDouble(5) == 5.0)
+    assert(out.getDouble(6) == 2.0)
+  }
+
+  test("powerMde: MDE matches the naive normal-approx formula from exact moments") {
+    val counts = (0L until 12L).map(u => u -> (u.toInt % 5 + 1)).toMap
+    val events = mkEvents(counts)
+    val arms = armsOf(counts.keys.toSeq)
+    val out = graft.operators.Experiment.powerMde(events, "user_id")
+      .collect()(0)
+    def mom(vs: Seq[Int]): (Long, Double, Double) = {
+      val n = vs.size.toLong
+      val s1 = vs.map(_.toLong).sum.toDouble
+      val s2 = vs.map(v => v.toLong * v).sum.toDouble
+      (n, s1 / n, s2 / n - (s1 / n) * (s1 / n))
+    }
+    val (n0, m0, v0) = mom(counts.toSeq.filter(c => arms(c._1) == 0L).map(_._2))
+    val (n1, _, v1) = mom(counts.toSeq.filter(c => arms(c._1) == 1L).map(_._2))
+    assume(n0 > 0 && n1 > 0)
+    val mde = (1.959964 + 0.841621) * math.sqrt(v0 / n0 + v1 / n1)
+    assert(out.getLong(0) == n0 && out.getLong(1) == n1)
+    assert(out.getDouble(2) == r6(m0))
+    assert(out.getDouble(5) == r6(mde))
+    assert(out.getDouble(6) == r6(mde / m0))
+  }
+
+  test("winsorizedAte: one bot user no longer owns the ATE; clamp bounds are the exact pooled quantiles") {
+    // 20 ordinary users with 1..4 events and one bot with 1000
+    // (21 users puts the type-1 p95 rank at 20 — inside the ordinary
+    // range, so the clamp provably excludes the bot)
+    val counts = (0L until 20L).map(u => u -> (u.toInt % 4 + 1)).toMap +
+      (99L -> 1000)
+    val events = mkEvents(counts)
+    val arms = armsOf(counts.keys.toSeq)
+    val out = graft.operators.Experiment.winsorizedAte(
+      events, "user_id", p = 0.05).collect()(0)
+    // pooled type-1 quantiles over the 12 metric values
+    def q(vs: Seq[Int], p: Double): Long = {
+      val s = vs.sorted
+      s((math.ceil(s.size * p) - 1).toInt).toLong
+    }
+    val all = counts.values.toSeq
+    val (lo, hi) = (q(all, 0.05), q(all, 0.95))
+    assert(out.getLong(0) == lo && out.getLong(1) == hi)
+    assert(hi < 1000L, "the bot value must be clamped away")
+    def wmean(vs: Seq[Int]): Double = {
+      val c = vs.map(v => math.min(math.max(v.toLong, lo), hi))
+      c.sum.toDouble / c.size
+    }
+    val v0 = counts.toSeq.filter(c => arms(c._1) == 0L).map(_._2)
+    val v1 = counts.toSeq.filter(c => arms(c._1) == 1L).map(_._2)
+    assume(v0.nonEmpty && v1.nonEmpty)
+    assert(out.getDouble(4) == r6(wmean(v0)))
+    assert(out.getDouble(5) == r6(wmean(v1)))
+    assert(out.getDouble(6) == r6(wmean(v1) - wmean(v0)))
+  }
+
   test("quantileTreatment: exact type-1 quantiles per arm and their difference") {
     val counts = (0L until 12L).map(u => u -> (u.toInt + 1)).toMap
     val events = mkEvents(counts)

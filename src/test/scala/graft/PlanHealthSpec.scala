@@ -844,6 +844,30 @@ class PlanHealthSpec extends SparkSpec {
       s"x214 must not nested-loop outside a broadcast 1-row combine:\n$p")
   }
 
+  test("x215/x216/x217: experiment readouts are partial-agged scans with only broadcast 1-row combines") {
+    for (q <- Seq("x215_did", "x216_power_mde", "x217_winsorized_ate")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n$p")
+      assert(!p.replaceAll(
+        "BroadcastNestedLoopJoin BuildRight, Cross", "").contains(
+        "BroadcastNestedLoopJoin"),
+        s"$q must only cross against broadcast 1-row frames:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q must not row-sort-merge anything:\n$p")
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q aggregation must partial-combine:\n$p")
+    }
+  }
+
+  test("x218: bloom advisor — per-candidate equi joins only; the probe/total combines broadcast") {
+    val p = plan("x218_bloom_advisor")
+    assert(!p.contains("CartesianProduct"), s"x218 grew a cartesian:\n$p")
+    assert(!p.replaceAll(
+      "BroadcastNestedLoopJoin BuildRight, Cross", "").contains(
+      "BroadcastNestedLoopJoin"),
+      s"x218 must only cross against broadcast 1-row frames:\n$p")
+  }
+
   test("x184: weighted jaccard stays on equi shuffle-hash joins; doc totals join after the pair agg") {
     val p = plan("x184_idf_jaccard")
     // the only BNL allowed is the broadcast 1-row corpus-count attach

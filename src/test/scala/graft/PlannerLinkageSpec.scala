@@ -79,6 +79,23 @@ class PlannerLinkageSpec extends SparkSpec {
     assert(out.toSeq == Seq(("a", 2L), ("b", 1L), ("c", 1L)))
   }
 
+  test("bloomAdvisor: clustered key opens ~1 true file per probe plus the exact fp mass") {
+    // 8 rows, key 1..8, probe value = key: 4 bins of 2 keys, each file
+    // holds 2 distinct probe values; every probe truly lives in exactly
+    // one file, and the other 3 files open at the Bloom fpp for nd=2,
+    // m=8 bits, k=3 hashes
+    val df = (1L to 8L).map(k => (k, k)).toDF("k", "v")
+    val out = Scale.bloomAdvisor(df, Seq("k"), "v", nBins = 4,
+      nProbes = 3, bitsPerFile = 8, nHashes = 3).collect()(0)
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val fpp = BigDecimal(r6(math.pow(1.0 - math.exp(-3.0 * 2.0 / 8.0), 3.0)))
+    assert(out.getLong(1) == 4L)
+    assert(out.getDouble(2) == 1.0)                        // avg_true_bins
+    assert(out.getDouble(3) == r6((fpp * 3).toDouble))     // 3 fp files/probe
+    assert(out.getDouble(4) == r6((1.0 + (fpp * 3).toDouble) / 4.0))
+  }
+
   test("rangeSplits: keys never split; ties concentrate and are reported as skew") {
     val uniform = (1 to 10).map(k => ("r", k.toLong)).toDF("x", "k")
     val even = Scale.rangeSplits(uniform, "k", nParts = 2)
