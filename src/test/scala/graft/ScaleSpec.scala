@@ -8,6 +8,20 @@ import graft.sources.Format
 
 /** Skew helpers + strict-checkpoint-compat mode. */
 class ScaleSpec extends SparkSpec {
+
+  test("cumByRange: the bucketed big-domain path equals the single-task small-domain path") {
+    import spark.implicits._
+    // 5000 distinct keys with skewed counts; force the bucketed path
+    // with smallDomain = 0 and compare against the windowed path
+    val counts = (1L to 5000L).map(k => (s"k${"%05d".format(k)}", k % 7 + 1))
+      .toDF("k", "cnt")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "cum", "n").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val small = rows(Scale.cumByRange(counts, "k", "cnt"))
+    val big = rows(Scale.cumByRange(counts, "k", "cnt", smallDomain = 0L))
+    assert(small.length == 5000 && small.toSeq == big.toSeq)
+  }
   import spark.implicits._
 
   test("joinSkewProbe: per-key products predict the join's exact output size") {
