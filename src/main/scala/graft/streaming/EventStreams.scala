@@ -635,6 +635,86 @@ object EventStreams {
     java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
+  /** Streaming covariate-balance deltas — the live twin of x213's
+    * [[graft.operators.Experiment.covariateBalance]]. SMD needs only the
+    * per-(arm, covariate) sufficient statistics (n, Σx, Σx²), so each
+    * user keys its own state (event count, active-day set, seen-type
+    * set — calendar/domain-bounded) and every micro-batch emits the
+    * user's covariate DELTAS: (arm, covariate, x_new − x_old,
+    * x_new² − x_old², first-appearance flag on the n_events row). The
+    * dashboard's running sums therefore equal the batch operator's
+    * exact moments at every point (the [[srmStream]] delta convention);
+    * the SMD itself is a constant-size fold over six sums. No
+    * watermark: late data lands in its user's state and the next delta
+    * self-corrects. Output: (arm, covariate, dx, dx2, du). */
+  def covariateBalanceStream(events: DataFrame,
+      typeCol: String = "event_type")
+      : Dataset[(Long, String, Long, Long, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), unix_micros(col("ts")),
+        col(typeCol).cast("string"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Set[Long], Set[String]),
+        (Long, String, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, Long, String)],
+            state: GroupState[(Long, Set[Long], Set[String])]) =>
+          val first = !state.exists
+          var (ne, days, types) = state.getOption
+            .getOrElse((0L, Set.empty[Long], Set.empty[String]))
+          val (oe, od, ot) = (ne, days.size.toLong, types.size.toLong)
+          rows.foreach { case (_, us, ty) =>
+            ne += 1L
+            days += Math.floorDiv(us, 86400000000L)
+            types += ty
+          }
+          state.update((ne, days, types))
+          val arm = md5Arm(userId)
+          val (nd, nt) = (days.size.toLong, types.size.toLong)
+          Iterator(
+            (arm, "n_events", ne - oe, ne * ne - oe * oe,
+              if (first) 1L else 0L),
+            (arm, "n_days", nd - od, nd * nd - od * od, 0L),
+            (arm, "n_types", nt - ot, nt * nt - ot * ot, 0L))
+      }
+  }
+
+  /** Streaming difference-in-differences deltas — the live twin of
+    * x215's [[graft.operators.Experiment.diffInDiff]]. The DiD estimate
+    * needs only per-arm (n, Σpre, Σpost), so state per user is its two
+    * period counts and each micro-batch emits the user's count deltas
+    * (arm, dpre, dpost, first-appearance flag) — running sums equal the
+    * batch moments at every point, and the post-period side keeps
+    * moving while the experiment runs, which is exactly when a DiD
+    * dashboard is read. No watermark; late pre-period data
+    * self-corrects the same way. Output: (arm, dpre, dpost, du). */
+  def didStream(events: DataFrame, cutoff: String)
+      : Dataset[(Long, Long, Long, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val cutUs = java.time.LocalDateTime
+      .parse(cutoff.replace(" ", "T"))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    events.select(col("user_id"), unix_micros(col("ts")))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, Long)],
+            state: GroupState[(Long, Long)]) =>
+          val first = !state.exists
+          var (pre, post) = state.getOption.getOrElse((0L, 0L))
+          var dpre = 0L; var dpost = 0L
+          rows.foreach { case (_, us) =>
+            if (us < cutUs) dpre += 1L else dpost += 1L
+          }
+          state.update((pre + dpre, post + dpost))
+          Iterator((md5Arm(userId), dpre, dpost, if (first) 1L else 0L))
+      }
+  }
+
   /** Streaming mSPRT — the live twin of x212's
     * [[graft.operators.Experiment.msprt]]. Sequential testing whose whole
     * point is CONTINUOUS peeking only ran in batch until now; this twin

@@ -1076,6 +1076,85 @@ class ExtensionOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming covariate-balance deltas roll up to the batch x213 moments and SMD") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_cb").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val sq = EventStreams.runToMemory(
+      EventStreams.covariateBalanceStream(EventStreams.readEvents(spark, dir))
+        .toDF("arm", "covariate", "dx", "dx2", "du"),
+      "cb_stream", outputMode = "append")
+    try {
+      def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      // sufficient statistics from the rolled deltas
+      val n = spark.table("cb_stream").filter(col("covariate") === "n_events")
+        .groupBy(col("arm")).agg(sum("du").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val sums = spark.table("cb_stream")
+        .groupBy(col("arm"), col("covariate"))
+        .agg(sum("dx").as("sx"), sum("dx2").as("sx2"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      val streamed = Seq("n_events", "n_days", "n_types").map { c =>
+        def mv(a: Long) = {
+          val (sx, sx2) = sums((a, c))
+          val m = sx.toDouble / n(a)
+          (m, sx2.toDouble / n(a) - m * m)
+        }
+        val ((m0, v0), (m1, v1)) = (mv(0L), mv(1L))
+        val smd = if (v0 + v1 <= 0.0) null
+          else java.lang.Double.valueOf(r6((m1 - m0) / math.sqrt((v0 + v1) / 2.0)))
+        (c, r6(m0), r6(m1), smd)
+      }.toSet
+      val batch = graft.operators.Experiment.covariateBalance(
+        Tables.load(spark, sfDir, "events"), "user_id", "ts", "event_type")
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+          if (r.isNullAt(3)) null else java.lang.Double.valueOf(r.getDouble(3))))
+        .toSet
+      assert(batch.nonEmpty && streamed == batch,
+        s"streamed=$streamed batch=$batch")
+    } finally sq.stop()
+  }
+
+  test("streaming DiD deltas roll up to the batch x215 estimate, including a late pre-period batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    def tsOf(day: Int, sec: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-${10 + day}%02d 00:00:${sec}%02d")
+    val est = EventStreams.didStream(
+      input.toDF().toDF("user_id", "ts"), "2024-01-16 00:00:00")
+      .toDF("arm", "dpre", "dpost", "du")
+    val q = est.writeStream.format("memory").queryName("did_stream")
+      .outputMode("append").start()
+    try {
+      val batch1 = (1L to 30L).flatMap(u =>
+        Seq((u, tsOf((u % 4).toInt, 1)), (u, tsOf(7, 2))))
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      val batch2 = Seq((31L, tsOf(1, 30)), (5L, tsOf(2, 31)), (6L, tsOf(8, 3)))
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      val rolled = spark.table("did_stream").groupBy(col("arm"))
+        .agg(sum("du").as("n"), sum("dpre").as("sp"), sum("dpost").as("sq"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val (n0, sp0, sq0) = rolled(0L)
+      val (n1, sp1, sq1) = rolled(1L)
+      val did = r6((sq1.toDouble / n1 - sp1.toDouble / n1)
+        - (sq0.toDouble / n0 - sp0.toDouble / n0))
+      val batch = graft.operators.Experiment.diffInDiff(
+        (batch1 ++ batch2).toDF("user_id", "ts"), "user_id", "ts",
+        "2024-01-16 00:00:00").collect()(0)
+      assert(batch.getLong(0) == n0 && batch.getLong(1) == n1)
+      assert(batch.getDouble(6) == did)
+    } finally q.stop()
+  }
+
   test("streaming out-of-orderness deltas roll up to the batch x150 report") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_ooo").toString
     java.nio.file.Files.copy(
