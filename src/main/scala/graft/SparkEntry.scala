@@ -2858,6 +2858,23 @@ object SparkEntry {
         .orderBy(col("candidate"))
     },
 
+    // ---- X: post-stratified ATE — users bucketed by the capped
+    //      pre-cutoff count, per-stratum effects weighted by stratum
+    //      size (design-based variance reduction, no model); one-arm
+    //      strata renormalize away on both engines ----
+    "x219_post_stratified_ate" -> { (s, dir) =>
+      graft.operators.Experiment.postStratifiedAte(
+        t(s, dir, "events"), "user_id", "ts",
+        cutoff = "2024-01-16 00:00:00", maxStratum = 5)
+    },
+
+    // ---- X: exact two-sample KS distance between the hash arms on the
+    //      per-user count metric — max |F1-F0| via integer cross-
+    //      multiplication on the codomain-bounded cum frame ----
+    "x221_ks_arms" -> { (s, dir) =>
+      graft.operators.Experiment.ksArms(t(s, dir, "events"), "user_id")
+    },
+
     // ---- X: Markov removal-effect attribution (Anderl 2016) — channel
     //      credit = drop in the chain's start->conversion probability
     //      when the channel absorbs to null; journeys truncate at first
@@ -5353,6 +5370,82 @@ object SparkEntry {
     "x218_bloom_advisor" -> bloomOracle(
       Seq("doc_id", "n_chars", "source"), "n_chars", "documents",
       nBins = 32, nProbes = 9, bits = 4096L, hashes = 3),
+
+    // x219: per-stratum effect terms rounded then DECIMAL-summed (no
+    // double summation order); one-arm strata excluded on both engines
+    "x219_post_stratified_ate" ->
+      """WITH pu AS (SELECT user_id,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+               THEN 1 ELSE 0 END) AS BIGINT) AS c_pre,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+               THEN 1 ELSE 0 END) AS BIGINT) AS y,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               % 2 AS arm
+           FROM events GROUP BY user_id),
+         ps AS (SELECT least(c_pre, 5) AS stratum,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS y0,
+             CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS y1
+           FROM pu GROUP BY 1),
+         ag AS (SELECT
+             CAST(sum(CASE WHEN n0 > 0 AND n1 > 0 THEN n0 + n1 ELSE 0 END)
+               AS BIGINT) AS n_eff,
+             sum(CASE WHEN n0 > 0 AND n1 > 0 THEN
+                 CAST(round((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) *
+                   (CAST(y1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                    - CAST(y0 AS DOUBLE) / CAST(n0 AS DOUBLE)), 6)
+                   AS DECIMAL(28,6))
+               ELSE CAST(0 AS DECIMAL(28,6)) END) AS eff_sum,
+             CAST(sum(n0) AS BIGINT) AS tn0,
+             CAST(sum(n1) AS BIGINT) AS tn1,
+             CAST(sum(y0) AS BIGINT) AS ty0,
+             CAST(sum(y1) AS BIGINT) AS ty1,
+             CAST(sum(CASE WHEN n0 > 0 AND n1 > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_strata
+           FROM ps)
+         SELECT tn0 AS n0, tn1 AS n1, n_strata,
+           round(CAST(ty1 AS DOUBLE) / CAST(tn1 AS DOUBLE)
+             - CAST(ty0 AS DOUBLE) / CAST(tn0 AS DOUBLE), 6)
+             AS ate_unadjusted,
+           round(CAST(CAST(eff_sum AS VARCHAR) AS DOUBLE)
+             / CAST(n_eff AS DOUBLE), 6) AS ate_post_stratified
+         FROM ag""",
+
+    // x221: exact KS via integer cross-multiplication over the bounded
+    // cum frame; rejected compares the ROUNDED statistic (Spark order)
+    "x221_ks_arms" ->
+      """WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS m,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               % 2 AS arm
+           FROM events GROUP BY user_id),
+         bv AS (SELECT m,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t0,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1
+           FROM pu GROUP BY m),
+         cum AS (SELECT
+             CAST(sum(t0) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS c0,
+             CAST(sum(t1) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS c1,
+             CAST(sum(t0) OVER () AS BIGINT) AS n0,
+             CAST(sum(t1) OVER () AS BIGINT) AS n1
+           FROM bv),
+         ag AS (SELECT max(n0) AS n0, max(n1) AS n1,
+             max(abs(c1 * n0 - c0 * n1)) AS dn FROM cum)
+         SELECT n0, n1,
+           round(CAST(dn AS DOUBLE)
+             / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)), 6) AS ks_d,
+           round(sqrt(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+               / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)))
+             * (CAST(dn AS DOUBLE)
+               / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE))), 6) AS ks_stat,
+           round(sqrt(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+               / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)))
+             * (CAST(dn AS DOUBLE)
+               / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE))), 6) > 1.358
+             AS rejected_5pct
+         FROM ag""",
 
     // x213: exact integer per-user covariate moments into one SMD
     // expression per row; smd pinned NULL at zero pooled variance

@@ -795,4 +795,5 @@ object CorpusOps {
         round(col("alloc_n").cast(DoubleType) /
           col("n_pop").cast(DoubleType), 6))
   }
+
 }

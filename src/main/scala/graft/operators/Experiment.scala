@@ -425,6 +425,96 @@ object Experiment {
             col("mean0")), 6).as("mde_rel"))
   }
 
+  /** Post-stratified average treatment effect: bucket users by a
+    * PRE-cutoff covariate (their pre-period event count, capped at
+    * `maxStratum` so the strata domain is bounded), estimate the
+    * per-stratum arm means of the POST-cutoff outcome, and combine as
+    * ATE = Σ_s w_s (m1_s − m0_s) with w_s = n_s / n — the design-based
+    * variance reduction that needs no model at all (the nonparametric
+    * sibling of CUPED's regression adjustment; Holt-Smith 1979). Also
+    * reports the unadjusted difference for contrast. Strata with only
+    * one arm present contribute no effect estimate and are excluded
+    * from the weighted sum on both engines (their weight renormalizes
+    * away).
+    *
+    * Exactness: every moment is an integer sum; the weighted
+    * combination multiplies exact integer ratios in doubles in a pinned
+    * stratum order (sum of per-stratum terms over the bounded strata
+    * frame, ordered ascending — both engines fold <= maxStratum+1
+    * terms identically via the same rounded-then-DECIMAL convention
+    * the bloom advisor uses for its fpp mass).
+    */
+  def postStratifiedAte(events: DataFrame, userCol: String, tsCol: String,
+      cutoff: String, maxStratum: Int = 5): DataFrame = {
+    require(maxStratum >= 1, "need at least 2 strata (0..max)")
+    val d = (c: Column) => c.cast(DoubleType)
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val cut = lit(cutoff).cast("timestamp")
+    val perUser = events.groupBy(col(userCol))
+      .agg(sum(when(col(tsCol) < cut, 1L).otherwise(0L)).as("c_pre"),
+        sum(when(col(tsCol) >= cut, 1L).otherwise(0L)).as("y"))
+      .withColumn("arm", armOf(col(userCol), 2))
+      .withColumn("stratum", least(col("c_pre"), lit(maxStratum.toLong)))
+    val perStratum = perUser.groupBy(col("stratum"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("y0"),
+        sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("y1"))
+    // per-stratum effect term, rounded then exact-decimal so the
+    // strata-frame sum has no double summation order
+    val both = col("n0") > 0L && col("n1") > 0L
+    val term = round((d(col("n0")) + d(col("n1"))) *
+      (d(col("y1")) / d(col("n1")) - d(col("y0")) / d(col("n0"))), 6)
+    val agg = perStratum.agg(
+      sum(when(both, col("n0") + col("n1")).otherwise(0L)).as("n_eff"),
+      sum(when(both, term).otherwise(lit(0.0))
+        .cast(dec)).as("eff_sum"),
+      sum(col("n0")).as("tn0"), sum(col("n1")).as("tn1"),
+      sum(col("y0")).as("ty0"), sum(col("y1")).as("ty1"),
+      sum(when(both, 1L).otherwise(0L)).as("n_strata"))
+    agg.select(col("tn0").as("n0"), col("tn1").as("n1"),
+      col("n_strata"),
+      round(d(col("ty1")) / d(col("tn1"))
+        - d(col("ty0")) / d(col("tn0")), 6).as("ate_unadjusted"),
+      round(col("eff_sum").cast("string").cast("double") /
+        d(col("n_eff")), 6).as("ate_post_stratified"))
+  }
+
+  /** Exact two-sample Kolmogorov-Smirnov distance between the arms on
+    * the per-user count metric: D = max over metric values of
+    * |F1(v) − F0(v)|, computed on the codomain-bounded distinct-value
+    * cumulative frame — EXACT integer cross-multiplication (|c1·n0 −
+    * c0·n1| over n0·n1), so both engines agree to the bit before the
+    * final rounded columns. Reports D, the scaled statistic
+    * sqrt(n0·n1/(n0+n1))·D, and the Kolmogorov asymptotic significance
+    * flag at the pinned 5% critical value 1.358 (Smirnov 1948) — the
+    * whole-distribution companion to Mann-Whitney's location test.
+    */
+  def ksArms(events: DataFrame, userCol: String): DataFrame = {
+    val d = (c: Column) => c.cast(DoubleType)
+    val byValue = perUserCounts(events, userCol)
+      .groupBy(col("m"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("t0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("t1"))
+    val w = Window.orderBy(col("m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(lit(1))
+    // codomain-bounded cumulative (distinct metric values, not users)
+    val cum = byValue
+      .withColumn("c0", sum(col("t0")).over(w))
+      .withColumn("c1", sum(col("t1")).over(w))
+      .withColumn("n0", sum(col("t0")).over(tot))
+      .withColumn("n1", sum(col("t1")).over(tot))
+    cum.agg(max(col("n0")).as("n0"), max(col("n1")).as("n1"),
+        max(abs(col("c1") * col("n0") - col("c0") * col("n1"))).as("dn"))
+      .select(col("n0"), col("n1"),
+        round(d(col("dn")) / (d(col("n0")) * d(col("n1"))), 6).as("ks_d"),
+        round(sqrt(d(col("n0")) * d(col("n1")) /
+            (d(col("n0")) + d(col("n1")))) *
+          (d(col("dn")) / (d(col("n0")) * d(col("n1")))), 6).as("ks_stat"))
+      .withColumn("rejected_5pct", col("ks_stat") > 1.358)
+  }
+
   /** Winsorized average treatment effect: clamp the per-user count
     * metric at the POOLED type-1 p / (1-p) quantiles (exact, from the
     * codomain-bounded distinct-value frame — the [[quantileTreatment]]

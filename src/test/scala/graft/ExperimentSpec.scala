@@ -306,6 +306,44 @@ class ExperimentSpec extends SparkSpec {
     assert(out.getDouble(6) == r6(wmean(v1) - wmean(v0)))
   }
 
+  test("postStratifiedAte: stratum weighting removes the composition confound the raw diff absorbs") {
+    // strata are the capped pre-cutoff count; give each user 1 pre event
+    // (one stratum) and arm-dependent post counts — in a single stratum
+    // the adjusted and unadjusted estimates coincide exactly
+    val users = (0L until 12L)
+    val arms = armsOf(users)
+    val rows = users.flatMap { u =>
+      Seq((u, tsOf(0))) ++
+        Seq.fill(if (arms(u) == 1L) 4 else 1)((u, tsOf(8)))
+    }
+    val out = graft.operators.Experiment.postStratifiedAte(
+      rows.toDF("user_id", "ts"), "user_id", "ts",
+      "2024-01-16 00:00:00").collect()(0)
+    val n1 = users.count(u => arms(u) == 1L)
+    assume(n1 > 0 && n1 < users.size)
+    assert(out.getLong(2) == 1L)                   // one stratum
+    assert(out.getDouble(3) == 3.0)                // unadjusted 4-1
+    assert(out.getDouble(4) == 3.0)                // single stratum: equal
+  }
+
+  test("ksArms: exact D from integer cross-multiplication matches a naive two-sample ECDF scan") {
+    val counts = (0L until 14L).map(u => u -> (u.toInt % 5 + 1)).toMap
+    val events = mkEvents(counts)
+    val arms = armsOf(counts.keys.toSeq)
+    val out = graft.operators.Experiment.ksArms(events, "user_id")
+      .collect()(0)
+    val v0 = counts.toSeq.filter(c => arms(c._1) == 0L).map(_._2.toLong)
+    val v1 = counts.toSeq.filter(c => arms(c._1) == 1L).map(_._2.toLong)
+    assume(v0.nonEmpty && v1.nonEmpty)
+    val d = (1L to 6L).map { v =>
+      math.abs(v1.count(_ <= v).toLong * v0.size -
+        v0.count(_ <= v).toLong * v1.size)
+    }.max
+    assert(out.getLong(0) == v0.size && out.getLong(1) == v1.size)
+    assert(out.getDouble(2) ==
+      r6(d.toDouble / (v0.size.toLong * v1.size)))
+  }
+
   test("quantileTreatment: exact type-1 quantiles per arm and their difference") {
     val counts = (0L until 12L).map(u => u -> (u.toInt + 1)).toMap
     val events = mkEvents(counts)

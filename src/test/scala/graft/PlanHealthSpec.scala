@@ -844,8 +844,9 @@ class PlanHealthSpec extends SparkSpec {
       s"x214 must not nested-loop outside a broadcast 1-row combine:\n$p")
   }
 
-  test("x215/x216/x217: experiment readouts are partial-agged scans with only broadcast 1-row combines") {
-    for (q <- Seq("x215_did", "x216_power_mde", "x217_winsorized_ate")) {
+  test("x215/x216/x217/x219/x221: experiment readouts are partial-agged scans with only broadcast 1-row combines") {
+    for (q <- Seq("x215_did", "x216_power_mde", "x217_winsorized_ate",
+        "x219_post_stratified_ate", "x221_ks_arms")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n$p")
       assert(!p.replaceAll(
