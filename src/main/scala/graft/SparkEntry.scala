@@ -2875,6 +2875,76 @@ object SparkEntry {
       graft.operators.Experiment.ksArms(t(s, dir, "events"), "user_id")
     },
 
+    // ---- X: PSI drift monitor — reference (en) vs current (non-en)
+    //      document-length distributions; reference-CDF integer-div
+    //      bins, add-half smoothing, rounded-then-DECIMAL term sum ----
+    "x220_psi_drift" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.Profile.psiDrift(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en"), "n_chars", bins = 8)
+        .orderBy(col("bin"))
+    },
+
+    // ---- X: Chao1 vocabulary richness per language — the "how much
+    //      vocabulary haven't we crawled yet" number; bias-corrected
+    //      form defined at f2=0; exact longs into one rounded double ----
+    "x222_vocab_richness" -> { (s, dir) =>
+      graft.operators.CorpusOps.vocabRichness(
+        t(s, dir, "documents"), "lang", "text")
+        .orderBy(col("lang"))
+    },
+
+    // ---- X: Gini concentration of token mass over documents per
+    //      source — the per-document-cap decision behind quotaPerKey;
+    //      exact grouped-data rank sums on the codomain-bounded
+    //      length-value frame ----
+    "x223_gini_sources" -> { (s, dir) =>
+      graft.operators.CorpusOps.giniConcentration(
+        t(s, dir, "documents"), "source", "text")
+        .orderBy(col("source"))
+    },
+
+    // ---- X: randomization-inference p-value for the arm mean diff —
+    //      B=64 seeded md5 re-randomizations in ONE aggregate pass
+    //      (2B+4 agg expressions, no explode); stats on the 1e-6 grid ----
+    "x224_permutation_test" -> { (s, dir) =>
+      graft.operators.Experiment.permutationTest(
+        t(s, dir, "events"), "user_id", b = 64, seed = 11)
+    },
+
+    // ---- X: Cochran-Mantel-Haenszel pooled odds ratio across the
+    //      pre-activity strata for the binary converted-after-cutoff
+    //      outcome — the stratified 2x2 companion to x219 ----
+    "x225_mantel_haenszel" -> { (s, dir) =>
+      graft.operators.Experiment.mantelHaenszel(
+        t(s, dir, "events"), "user_id", "ts", "event_type",
+        convType = "purchase", cutoff = "2024-01-16 00:00:00",
+        maxStratum = 6, bucketWidth = 8)
+        .orderBy(col("stratum"))
+    },
+
+    // ---- X: Jensen-Shannon divergence between the en / non-en token
+    //      distributions — the content-drift companion to x220; no
+    //      smoothing needed (mixture nonzero wherever either side has
+    //      mass); vocab-frame terms rounded then DECIMAL-summed ----
+    "x226_js_divergence" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.Profile.jsDivergence(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en"), "text")
+    },
+
+    // ---- X: Kish effective sample size / design effect of the x49
+    //      DSIR tilt — the before-you-train sanity gate on importance
+    //      weights; capped exp on the 1e-6 grid, exact decimal moments ----
+    "x227_ess_weights" -> { (s, dir) =>
+      val w = graft.operators.Selection.dsirWeights(
+        t(s, dir, "documents"), "doc_id", "text",
+        target = col("lang") === "en", buckets = 64)
+      graft.operators.Selection.weightDiagnostics(w, "dsir_logw")
+    },
+
     // ---- X: Markov removal-effect attribution (Anderl 2016) — channel
     //      credit = drop in the chain's start->conversion probability
     //      when the channel absorbs to null; journeys truncate at first
@@ -3943,6 +4013,51 @@ object SparkEntry {
   /** x191 oracle: the same pinned Poisson(1) CDF literals, the same
     * seeded md5 uniform, the same one-pass 2B-sum aggregate — generated
     * from the identical threshold table the Spark operator folds. */
+  /** x224: randomization-inference oracle — B seeded md5 re-randomized
+    * arm assignments as 2B generated agg expressions over the per-user
+    * frame (the x191 generated-sum convention); each replicate statistic
+    * repeats Spark's rounded-to-1e-6 expression verbatim, an empty-arm
+    * replicate pins NULL and counts non-extreme. */
+  private def permutationOracle(b: Int, seed: Int): String = {
+    def armCase(r: Int): String =
+      s"('0x' || substr(md5('$seed|$r|' || CAST(user_id AS VARCHAR)), " +
+        "1, 15))::BIGINT % 2 = 1"
+    val sums = (0 until b).map { r =>
+      s"CAST(sum(CASE WHEN ${armCase(r)} THEN 1 ELSE 0 END) AS BIGINT) " +
+        s"AS n$r,\n             CAST(sum(CASE WHEN ${armCase(r)} " +
+        s"THEN m ELSE 0 END) AS BIGINT) AS s$r"
+    }.mkString(",\n             ")
+    def stat(sCol: String, nCol: String): String =
+      s"(CASE WHEN $nCol = 0 OR $nCol = nt THEN NULL " +
+        s"ELSE round(CAST($sCol AS DOUBLE) / CAST($nCol AS DOUBLE) " +
+        s"- CAST(st - $sCol AS DOUBLE) / CAST(nt - $nCol AS DOUBLE), 6) " +
+        "END)"
+    val extremes = (0 until b).map { r =>
+      s"(CASE WHEN COALESCE(abs(${stat(s"s$r", s"n$r")}) " +
+        ">= abs(stat_obs), false) THEN 1 ELSE 0 END)"
+    }.mkString("\n             + ")
+    s"""WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS m,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               % 2 AS arm
+           FROM events GROUP BY user_id),
+         ag AS (SELECT CAST(count(*) AS BIGINT) AS nt,
+             CAST(sum(m) AS BIGINT) AS st,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_obs,
+             CAST(sum(CASE WHEN arm = 1 THEN m ELSE 0 END) AS BIGINT)
+               AS s_obs,
+             $sums
+           FROM pu),
+         so AS (SELECT *, ${stat("s_obs", "n_obs")} AS stat_obs FROM ag),
+         ex AS (SELECT nt, n_obs, stat_obs,
+             CAST($extremes AS BIGINT) AS n_extreme
+           FROM so)
+         SELECT nt - n_obs AS n0, n_obs AS n1, stat_obs,
+           CAST($b AS BIGINT) AS n_replicates, n_extreme,
+           round(CAST(n_extreme + 1 AS DOUBLE) / ${b + 1}.0, 6) AS p_value
+         FROM ex"""
+  }
+
   private def bootstrapOracle(b: Int, seed: Int): String = {
     val cdf = graft.operators.Evaluation.PoissonCdf
     def u(r: Int): String =
@@ -5445,6 +5560,204 @@ object SparkEntry {
              * (CAST(dn AS DOUBLE)
                / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE))), 6) > 1.358
              AS rejected_5pct
+         FROM ag""",
+
+    // x220: left-closed reference-CDF integer-div bins on the
+    // distinct-value frame (greatest(cum-1,0) so DuckDB's floor //
+    // equals Spark's truncating div), add-half smoothing, per-bin ln
+    // terms rounded then DECIMAL-summed, total via the exact
+    // string->double decimal cast
+    "x220_psi_drift" ->
+      """WITH rv AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS r
+             FROM documents WHERE lang = 'en' GROUP BY 1),
+         cv AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+             FROM documents WHERE lang <> 'en' GROUP BY 1),
+         j AS (SELECT COALESCE(rv.v, cv.v) AS v, COALESCE(r, 0) AS r,
+               COALESCE(c, 0) AS c
+             FROM rv FULL OUTER JOIN cv ON rv.v = cv.v),
+         tot AS (SELECT CAST(sum(r) AS BIGINT) AS n_ref,
+               CAST(sum(c) AS BIGINT) AS n_cur FROM j),
+         bn AS (SELECT (8 * greatest(CAST(sum(r) OVER (ORDER BY v
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1, 0)) // n_ref
+                 AS bin,
+               r, c
+             FROM j, tot),
+         bb AS (SELECT bin, CAST(sum(r) AS BIGINT) AS ref_n,
+               CAST(sum(c) AS BIGINT) AS cur_n FROM bn GROUP BY 1),
+         sp AS (SELECT CAST(u.i AS BIGINT) AS bin
+             FROM UNNEST(range(0, 8)) u(i)),
+         cells AS (SELECT sp.bin, COALESCE(ref_n, 0) AS ref_n,
+               COALESCE(cur_n, 0) AS cur_n, n_ref, n_cur
+             FROM sp LEFT JOIN bb USING (bin), tot),
+         terms AS (SELECT bin, ref_n, cur_n,
+               round(((CAST(ref_n AS DOUBLE) + 0.5)
+                   / (CAST(n_ref AS DOUBLE) + 4.0)
+                 - (CAST(cur_n AS DOUBLE) + 0.5)
+                   / (CAST(n_cur AS DOUBLE) + 4.0))
+                 * ln(((CAST(ref_n AS DOUBLE) + 0.5)
+                     / (CAST(n_ref AS DOUBLE) + 4.0))
+                   / ((CAST(cur_n AS DOUBLE) + 0.5)
+                     / (CAST(n_cur AS DOUBLE) + 4.0))), 6) AS psi_term
+             FROM cells),
+         ps AS (SELECT CAST(CAST(sum(CAST(psi_term AS DECIMAL(18, 6)))
+               AS VARCHAR) AS DOUBLE) AS psi FROM terms)
+         SELECT bin, ref_n, cur_n, psi_term, psi, psi > 0.2 AS drifted
+         FROM terms, ps ORDER BY bin""",
+
+    // x222: singleton/doubleton type counts per language; bias-corrected
+    // Chao1 is one double expression over exact BIGINTs
+    "x222_vocab_richness" ->
+      """WITH tk AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+             FROM documents),
+         tc AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+             FROM tk GROUP BY 1, 2),
+         ag AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS s_obs,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+               CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+             FROM tc GROUP BY 1)
+         SELECT lang, n_tokens, s_obs, f1, f2,
+           round(CAST(s_obs AS DOUBLE) + CAST(f1 AS DOUBLE)
+             * CAST(f1 - 1 AS DOUBLE) / (2.0 * CAST(f2 + 1 AS DOUBLE)), 6)
+             AS chao1
+         FROM ag ORDER BY lang""",
+
+    // x223: grouped-data Gini — exact rank sums on the per-source
+    // length-value frame; (t*(t-1))//2 mirrors Spark's shiftright
+    "x223_gini_sources" ->
+      """WITH pd AS (SELECT source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS m
+           FROM documents),
+         bv AS (SELECT source, m, CAST(count(*) AS BIGINT) AS t
+             FROM pd GROUP BY 1, 2),
+         cw AS (SELECT source, m, t,
+               CAST(sum(t) OVER (PARTITION BY source ORDER BY m
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             FROM bv),
+         ag AS (SELECT source, CAST(sum(t) AS BIGINT) AS n_docs,
+               CAST(sum(m * t) AS BIGINT) AS n_tokens,
+               CAST(sum(m * (t * cum - (t * (t - 1)) // 2)) AS BIGINT) AS s1
+             FROM cw GROUP BY 1)
+         SELECT source, n_docs, n_tokens,
+           CASE WHEN n_tokens = 0 THEN NULL
+             ELSE round(2.0 * CAST(s1 AS DOUBLE)
+               / (CAST(n_docs AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+               - CAST(n_docs + 1 AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+             END AS gini
+         FROM ag ORDER BY source""",
+
+    // x224: generated 2B-sum randomization-inference oracle — the same
+    // seeded md5 re-randomizations, stats rounded to the 1e-6 grid
+    // before the extreme-count comparison
+    "x224_permutation_test" -> permutationOracle(64, 11),
+
+    // x225: Mantel-Haenszel 2x2 strata — per-stratum terms rounded then
+    // DECIMAL-summed; pooled OR NULL at zero discordant mass
+    "x225_mantel_haenszel" ->
+      """WITH pu AS (SELECT user_id,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+               THEN 1 ELSE 0 END) AS BIGINT) AS c_pre,
+             CAST(max(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                 AND event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS conv,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               % 2 AS arm
+           FROM events GROUP BY user_id),
+         cells AS (SELECT least(c_pre // 8, 6) AS stratum,
+             CAST(sum(CASE WHEN arm = 1 AND conv = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS a,
+             CAST(sum(CASE WHEN arm = 1 AND conv = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS b,
+             CAST(sum(CASE WHEN arm = 0 AND conv = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS c,
+             CAST(sum(CASE WHEN arm = 0 AND conv = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS dd
+           FROM pu GROUP BY 1),
+         t2 AS (SELECT stratum, a, b, c, dd,
+             round(CAST(a AS DOUBLE) * CAST(dd AS DOUBLE)
+               / CAST(a + b + c + dd AS DOUBLE), 6) AS num_term,
+             round(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+               / CAST(a + b + c + dd AS DOUBLE), 6) AS den_term
+           FROM cells),
+         pool AS (SELECT
+             CAST(CAST(sum(CAST(num_term AS DECIMAL(28, 6))) AS VARCHAR)
+               AS DOUBLE) AS num_d,
+             CAST(CAST(sum(CAST(den_term AS DECIMAL(28, 6))) AS VARCHAR)
+               AS DOUBLE) AS den_d
+           FROM t2)
+         SELECT stratum, a AS n_treated_conv, b AS n_treated_not,
+           c AS n_control_conv, dd AS n_control_not, num_term, den_term,
+           CASE WHEN den_d = 0.0 THEN NULL
+             ELSE round(num_d / den_d, 6) END AS or_mh
+         FROM t2, pool ORDER BY stratum""",
+
+    // x226: JS divergence on the vocab frame — exact-integer-ratio p/q,
+    // 0*ln0 terms drop via the r/c>0 cases, terms rounded then
+    // DECIMAL-summed, js_norm over the pinned ln2 literal
+    "x226_js_divergence" ->
+      """WITH rt AS (SELECT unnest(string_split(text, ' ')) AS tok
+             FROM documents WHERE lang = 'en'),
+         ct AS (SELECT unnest(string_split(text, ' ')) AS tok
+             FROM documents WHERE lang <> 'en'),
+         rv AS (SELECT tok, CAST(count(*) AS BIGINT) AS r FROM rt GROUP BY 1),
+         cv AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM ct GROUP BY 1),
+         j AS (SELECT COALESCE(r, 0) AS r, COALESCE(c, 0) AS c
+             FROM rv FULL OUTER JOIN cv ON rv.tok = cv.tok),
+         tot AS (SELECT CAST(sum(r) AS BIGINT) AS nr,
+               CAST(sum(c) AS BIGINT) AS nc,
+               CAST(count(*) AS BIGINT) AS n_types FROM j),
+         terms AS (SELECT round(
+               (CASE WHEN r > 0 THEN (CAST(r AS DOUBLE) / CAST(nr AS DOUBLE))
+                   * ln((CAST(r AS DOUBLE) / CAST(nr AS DOUBLE))
+                     / ((CAST(r AS DOUBLE) / CAST(nr AS DOUBLE)
+                       + CAST(c AS DOUBLE) / CAST(nc AS DOUBLE)) / 2.0)) / 2.0
+                 ELSE 0.0 END)
+               + (CASE WHEN c > 0 THEN (CAST(c AS DOUBLE) / CAST(nc AS DOUBLE))
+                   * ln((CAST(c AS DOUBLE) / CAST(nc AS DOUBLE))
+                     / ((CAST(r AS DOUBLE) / CAST(nr AS DOUBLE)
+                       + CAST(c AS DOUBLE) / CAST(nc AS DOUBLE)) / 2.0)) / 2.0
+                 ELSE 0.0 END), 6) AS term
+             FROM j, tot),
+         ag AS (SELECT CAST(CAST(sum(CAST(term AS DECIMAL(28, 6)))
+               AS VARCHAR) AS DOUBLE) AS js_div FROM terms)
+         SELECT nr AS n_ref_tokens, nc AS n_cur_tokens, n_types, js_div,
+           round(js_div / 0.6931471805599453, 6) AS js_norm,
+           round(js_div / 0.6931471805599453, 6) > 0.1 AS drifted
+         FROM tot, ag""",
+
+    // x227: x49's weight CTEs verbatim, then the Kish diagnostics —
+    // capped exp quantized to the 1e-6 grid, DECIMAL(18,0) moments
+    // (product width 36 stays legal on both engines), ratios over the
+    // exact string->double casts
+    "x227_ess_weights" ->
+      """WITH tk AS (SELECT doc_id, (lang = 'en') AS tgt,
+             unnest(string_split(text, ' ')) AS w FROM documents),
+         tb AS (SELECT doc_id, tgt,
+             ('0x' || substr(md5(w), 1, 15))::BIGINT % 64 AS b FROM tk),
+         cnt AS (SELECT b, count(*) AS cr,
+             sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct FROM tb GROUP BY 1),
+         tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM cnt),
+         lr AS (SELECT b, ln((ct + 1.0) / (tt + 64.0))
+                  - ln((cr + 1.0) / (tr + 64.0)) AS lr
+                FROM cnt CROSS JOIN tot),
+         sc AS (SELECT doc_id, sum(lr.lr) AS s
+                FROM tb JOIN lr USING (b) GROUP BY 1),
+         wm AS (SELECT CAST(round(exp(least(round(s, 6),
+               6.907755278982137)) * 1000000.0) AS DECIMAL(18, 0)) AS w
+             FROM sc),
+         ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(sum(w) AS VARCHAR) AS DOUBLE) AS swd,
+             CAST(CAST(sum(w * w) AS VARCHAR) AS DOUBLE) AS sw2d
+           FROM wm)
+         SELECT n,
+           CASE WHEN sw2d = 0.0 THEN NULL
+             ELSE round(swd * swd / sw2d, 6) END AS ess,
+           CASE WHEN sw2d = 0.0 THEN NULL
+             ELSE round(swd * swd / sw2d / CAST(n AS DOUBLE), 6)
+             END AS ess_frac,
+           CASE WHEN sw2d = 0.0 THEN NULL
+             ELSE round(CAST(n AS DOUBLE) * sw2d / (swd * swd), 6)
+             END AS deff
          FROM ag""",
 
     // x213: exact integer per-user covariate moments into one SMD

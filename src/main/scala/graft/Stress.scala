@@ -521,7 +521,39 @@ object Stress {
               coalesce(col("y"), lit(0L)).as("y"),
               operators.Experiment.armOf(col("user_id"), 2).as("arm"))
           operators.Experiment.qiniScored(perUser, "p", "y", "arm").count()
-        }))
+        }),
+        // two value-frame groupBys + a B-row spine; the window runs on
+        // the distinct-length frame, never rows
+        "psi_drift" -> (() =>
+          operators.Profile.psiDrift(docs.filter(col("lang") === "en"),
+            docs.filter(col("lang") =!= "en"), "n_chars").count()),
+        // explode -> (group, token) partial agg -> group-sized reduce;
+        // replica-suffixed vocabularies keep type counts growing linearly
+        "vocab_richness" -> (() =>
+          operators.CorpusOps.vocabRichness(docs, "lang", "text").count()),
+        // groupBy(group, len) then a window on the bounded value frame
+        "gini_sources" -> (() =>
+          operators.CorpusOps.giniConcentration(docs, "source", "text")
+            .count()),
+        // one per-user partial agg into a 1-row 2B-expression aggregate
+        "permutation_test" -> (() =>
+          operators.Experiment.permutationTest(events, "user_id").count()),
+        // per-user partial agg -> strata-sized 2x2 cells -> 1-row pool
+        "mantel_haenszel" -> (() =>
+          operators.Experiment.mantelHaenszel(events, "user_id", "ts",
+            "event_type", "purchase", "2024-01-16 00:00:00",
+            maxStratum = 6, bucketWidth = 8).count()),
+        // two token-count scans into one vocab-frame full-outer join;
+        // replica-suffixed vocabularies grow the frame linearly
+        "js_divergence" -> (() =>
+          operators.Profile.jsDivergence(docs.filter(col("lang") === "en"),
+            docs.filter(col("lang") =!= "en"), "text").count()),
+        // dsir weight scan + one 1-row decimal-moment aggregate
+        "ess_weights" -> (() =>
+          operators.Selection.weightDiagnostics(
+            operators.Selection.dsirWeights(docs, "doc_id", "text",
+              target = col("lang") === "en", buckets = 64),
+            "dsir_logw").count()))
 
       // SPARK_GRAFT_STRESS_OPS=a,b,c runs only the named ops (bisection
       // runs shouldn't pay the full sweep per hypothesis)

@@ -796,4 +796,81 @@ object CorpusOps {
           col("n_pop").cast(DoubleType), 6))
   }
 
+  /** Chao1 vocabulary-richness estimate per group (Chao 1984, the
+    * bias-corrected form): S_chao1 = S_obs + f1(f1-1) / (2(f2+1)), where
+    * f1/f2 are the singleton/doubleton type counts. The "how much
+    * vocabulary haven't we crawled yet" number next to
+    * [[vocabGrowthCurve]]'s trajectory: a source whose chao1 far exceeds
+    * its observed type count is under-sampled; one where they agree is
+    * saturated. The bias-corrected form is defined even at f2 = 0 (the
+    * classic f1^2/(2 f2) blows up there).
+    *
+    * Exactness: S_obs, f1, f2, and the token total are exact longs from
+    * two chained groupBys; chao1 is ONE double expression over them,
+    * rounded once — identical cross-engine.
+    *
+    * 100 TB shape: explode -> (group, token) partial-agged count ->
+    * group-sized reduce. Same two-shuffle profile as
+    * [[topNgramsPerGroup]]; output is one row per group. */
+  def vocabRichness(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val d = (c: Column) => c.cast(DoubleType)
+    df.select(col(groupCol).as("grp"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy(col("grp"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("grp"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("s_obs"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(col("grp").as(groupCol), col("n_tokens"), col("s_obs"),
+        col("f1"), col("f2"),
+        round(d(col("s_obs")) + d(col("f1")) * d(col("f1") - lit(1L)) /
+          (lit(2.0) * d(col("f2") + lit(1L))), 6).as("chao1"))
+  }
+
+  /** Gini coefficient of token mass over documents, per group — the
+    * concentration audit behind [[quotaPerKey]] and [[balancedShards]]:
+    * a source where a handful of giant documents own most of the token
+    * mass (gini near 1) needs per-document caps before it can be mixed at
+    * a source-level weight; a flat source (gini near 0) doesn't.
+    *
+    * Exact grouped-data form: with the per-group value frame (m -> t docs)
+    * sorted by m, the docs at value m occupy ranks (cum-t, cum], so
+    * sum(i * x_i) = sum over values of m * (t*cum - t(t-1)/2) — exact
+    * longs end-to-end — and G = 2*S1 / (n*sum_x) - (n+1)/n is one double
+    * expression, rounded once. Groups with zero token mass report NULL.
+    *
+    * 100 TB shape: one narrow scan to (group, tokens-per-doc), a
+    * partial-agged groupBy to the per-group value frame (codomain-bounded
+    * — document lengths, not documents), a window ON that frame, and a
+    * group-sized reduce. */
+  def giniConcentration(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val d = (c: Column) => c.cast(DoubleType)
+    val byValue = df
+      .select(col(groupCol).as("grp"),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("m"))
+      .groupBy(col("grp"), col("m"))
+      .agg(count(lit(1)).as("t"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byValue
+      .withColumn("cum", sum(col("t")).over(w))
+      // sum of ranks for this value group, times the value — exact longs
+      .withColumn("s1_part",
+        col("m") * (col("t") * col("cum") -
+          shiftright(col("t") * (col("t") - lit(1L)), 1)))
+      .groupBy(col("grp"))
+      .agg(sum(col("t")).as("n_docs"), sum(col("m") * col("t")).as("n_tokens"),
+        sum(col("s1_part")).as("s1"))
+      .select(col("grp").as(groupCol), col("n_docs"), col("n_tokens"),
+        when(col("n_tokens") === 0L, lit(null).cast(DoubleType))
+          .otherwise(round(
+            lit(2.0) * d(col("s1")) / (d(col("n_docs")) * d(col("n_tokens"))) -
+              d(col("n_docs") + lit(1L)) / d(col("n_docs")), 6))
+          .as("gini"))
+  }
+
 }

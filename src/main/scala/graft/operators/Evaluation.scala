@@ -728,4 +728,5 @@ object Evaluation {
           .as("raw_rate"),
         round(col("iso"), 6).as("iso_rate"))
   }
+
 }

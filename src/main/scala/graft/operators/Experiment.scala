@@ -560,4 +560,123 @@ object Experiment {
         round(d(col("s1")) / d(col("n1")) - d(col("s0")) / d(col("n0")), 6)
           .as("ate_winsorized"))
   }
+
+  /** Exact randomization-inference p-value for the mean difference
+    * (Fisher 1935 permutation test, Monte-Carlo form): re-randomize the
+    * arm assignment B times with DETERMINISTIC seeded md5 hashes (the
+    * x191 bootstrap discipline — reproducible and oracle-replayable),
+    * recompute the mean difference under each, and report
+    * p = (1 + #{|stat_b| >= |stat_obs|}) / (B + 1) — the add-one form
+    * that is a valid p-value at any B. The model-free companion to
+    * [[mannWhitney]]'s rank test and [[powerMde]]'s normal
+    * approximation: no variance formula, no distributional assumption,
+    * just the randomization itself.
+    *
+    * Exactness: every replicate's sums and counts are exact longs from
+    * ONE aggregate pass (2B+4 agg expressions — no explode, no row
+    * replication); each statistic is one double expression ROUNDED to
+    * the 1e-6 grid before the comparison, so the extreme-count is
+    * bit-identical cross-engine. A replicate that lands an empty arm
+    * (probability ~2^-n) pins its statistic to NULL and counts as
+    * non-extreme on both engines.
+    *
+    * 100 TB shape: one per-user partial-agged groupBy, then one 1-row
+    * aggregate; everything after runs on that row. */
+  def permutationTest(events: DataFrame, userCol: String, b: Int = 64,
+      seed: Int = 11): DataFrame = {
+    require(b >= 19 && b <= 512, s"b must be in [19,512]: $b")
+    val d = (c: Column) => c.cast(DoubleType)
+    val pu = perUserCounts(events, userCol)
+    def armRep(r: Int): Column = pmod(TextFunctions.md5Long(
+      concat_ws("|", lit(seed.toString), lit(r.toString),
+        col(userCol).cast("string"))), lit(2L))
+    val aggs = Seq(
+      count(lit(1)).as("nt"), sum(col("m")).as("st"),
+      sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_obs"),
+      sum(when(col("arm") === 1L, col("m")).otherwise(0L)).as("s_obs")) ++
+      (0 until b).flatMap { r =>
+        val a = armRep(r)
+        Seq(sum(when(a === 1L, 1L).otherwise(0L)).as(s"n$r"),
+          sum(when(a === 1L, col("m")).otherwise(0L)).as(s"s$r"))
+      }
+    def stat(s: Column, n: Column): Column =
+      when(n === 0L || n === col("nt"), lit(null).cast(DoubleType))
+        .otherwise(round(d(s) / d(n) -
+          d(col("st") - s) / d(col("nt") - n), 6))
+    val row = pu.agg(aggs.head, aggs.tail: _*)
+      .withColumn("stat_obs", stat(col("s_obs"), col("n_obs")))
+    val extremes = (0 until b).map { r =>
+      coalesce(abs(stat(col(s"s$r"), col(s"n$r"))) >= abs(col("stat_obs")),
+        lit(false)).cast("long")
+    }.reduce(_ + _)
+    row.select((col("nt") - col("n_obs")).as("n0"), col("n_obs").as("n1"),
+      col("stat_obs"), lit(b.toLong).as("n_replicates"),
+      extremes.as("n_extreme"))
+      .withColumn("p_value",
+        round(d(col("n_extreme") + lit(1L)) / lit(b + 1.0), 6))
+  }
+
+  /** Cochran–Mantel–Haenszel pooled odds ratio across strata
+    * (Mantel & Haenszel 1959) for a BINARY per-user outcome — the
+    * stratified 2x2 readout that [[postStratifiedAte]]'s mean form
+    * can't give: "does treatment raise the odds of converting at all,
+    * net of the pre-exposure stratum". Strata are the capped pre-cutoff
+    * activity count (the x219 convention); the outcome is whether the
+    * user has any `convType` event at/after the cutoff.
+    *
+    * OR_MH = sum_k(a_k d_k / n_k) / sum_k(b_k c_k / n_k) over the 2x2
+    * cells (a=treated-converted, b=treated-not, c=control-converted,
+    * d=control-not). Each stratum term is ROUNDED then summed as exact
+    * DECIMAL (the x219 fold convention), and the ratio is NULL when the
+    * denominator mass is zero (no discordant cells anywhere).
+    *
+    * 100 TB shape: one per-user partial-agged groupBy, one strata-sized
+    * groupBy, one 1-row reduce. Output: one row per stratum (cells +
+    * rounded term) with the pooled OR repeated via broadcast — the
+    * per-stratum table IS the report an analyst reads. */
+  def mantelHaenszel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, convType: String, cutoff: String,
+      maxStratum: Int = 5, bucketWidth: Int = 1): DataFrame = {
+    require(maxStratum >= 1, "need at least 2 strata (0..max)")
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1: $bucketWidth")
+    val d = (c: Column) => c.cast(DoubleType)
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val cut = lit(cutoff).cast("timestamp")
+    val perUser = events.groupBy(col(userCol))
+      .agg(sum(when(col(tsCol) < cut, 1L).otherwise(0L)).as("c_pre"),
+        max(when(col(tsCol) >= cut && col(typeCol) === convType, 1L)
+          .otherwise(0L)).as("conv"))
+      .withColumn("arm", armOf(col(userCol), 2))
+      // bucketWidth coarsens the stratum so heavy-activity logs (where
+      // raw c_pre would cap every user into one stratum) still stratify
+      .withColumn("stratum",
+        least(expr(s"c_pre div ${bucketWidth}L"), lit(maxStratum.toLong)))
+    val cells = perUser.groupBy(col("stratum"))
+      .agg(
+        sum(when(col("arm") === 1L && col("conv") === 1L, 1L).otherwise(0L))
+          .as("a"),
+        sum(when(col("arm") === 1L && col("conv") === 0L, 1L).otherwise(0L))
+          .as("b"),
+        sum(when(col("arm") === 0L && col("conv") === 1L, 1L).otherwise(0L))
+          .as("c"),
+        sum(when(col("arm") === 0L && col("conv") === 0L, 1L).otherwise(0L))
+          .as("dd"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("dd"))
+      .withColumn("num_term", round(d(col("a")) * d(col("dd")) / d(col("n")), 6))
+      .withColumn("den_term", round(d(col("b")) * d(col("c")) / d(col("n")), 6))
+    // decimal -> double via string (the x219 convention)
+    val toD = (c: Column) => c.cast("string").cast("double")
+    val pooled = cells.agg(
+        sum(col("num_term").cast(dec)).as("num_dec"),
+        sum(col("den_term").cast(dec)).as("den_dec"))
+      .select(
+        when(toD(col("den_dec")) === 0.0, lit(null).cast(DoubleType))
+          .otherwise(round(toD(col("num_dec")) / toD(col("den_dec")), 6))
+          .as("or_mh"))
+    cells.crossJoin(broadcast(pooled))
+      .select(col("stratum"), col("a").as("n_treated_conv"),
+        col("b").as("n_treated_not"), col("c").as("n_control_conv"),
+        col("dd").as("n_control_not"), col("num_term"), col("den_term"),
+        col("or_mh"))
+  }
 }

@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Data profiling: per-column statistics for pipeline QA — the
   * check-before-you-train companion to the curation operators.
@@ -448,5 +450,132 @@ object Profile {
       .agg(count(lit(1)).as("n"),
         count_distinct(expr(sensitiveExpr)).as("l_distinct"))
       .withColumn("at_risk", col("l_distinct") < l)
+  }
+
+  /** Population Stability Index between a reference slice and a current
+    * slice of an integer-valued feature (the standard refresh-over-refresh
+    * drift monitor; PSI > 0.2 is the conventional "investigate" line,
+    * > 0.25 "retrain"). Bins are REFERENCE quantile bins derived without a
+    * separate quantile pass: bin(v) = (B * (cum_ref(v) - 1)) div n_ref
+    * (left-closed — a value whose ref mass ENDS exactly at a B-quantile
+    * edge stays in the lower bin, so uniform reference data bins evenly),
+    * guarded at cum = 0 because DuckDB's // floors while Spark's div
+    * truncates — integer division of exact counts, so the binning is
+    * bit-identical on any engine and equal feature values can never
+    * straddle a boundary.
+    *
+    * Engine-portability: per-bin proportions use add-half (Laplace)
+    * smoothing — p = (r_b + 0.5)/(n_ref + B/2) — so empty bins are
+    * well-defined without an epsilon hack; each bin's
+    * (p - q) * ln(p / q) term is ROUNDED to the 1e-6 grid and summed as
+    * exact DECIMAL (the x219 convention: no double summation order), then
+    * the total is one exact decimal->double cast.
+    *
+    * 100 TB shape: two partial-agged groupBys reduce both slices to their
+    * distinct-value frames (codomain-bounded — for unbounded or continuous
+    * features the caller pre-quantizes, same contract as the
+    * experiment-suite cum frames); the CDF window and everything after run
+    * on that reduced frame plus a B-row spine. Nothing row-scale shuffles
+    * twice, nothing collects.
+    *
+    * Output: one row per bin (bin, ref_n, cur_n, psi_term) with the total
+    * (psi, drifted) repeated via a broadcast 1-row combine. */
+  def psiDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+      bins: Int = 8, threshold: Double = 0.2): DataFrame = {
+    require(bins >= 2 && bins <= 64, s"bins must be in [2,64]: $bins")
+    val spark = ref.sparkSession
+    val d = (c: Column) => c.cast(DoubleType)
+    def byValue(df: DataFrame, as: String): DataFrame =
+      df.select(col(valueCol).cast("long").as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as(as))
+    val joined = byValue(ref, "r").join(byValue(cur, "c"), Seq("v"),
+        "full_outer")
+      .select(col("v"), coalesce(col("r"), lit(0L)).as("r"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    // inclusive reference CDF on the distinct-value frame (bounded)
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = joined.agg(sum(col("r")).as("n_ref"), sum(col("c")).as("n_cur"))
+    val binned = joined.withColumn("cum_r", sum(col("r")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("bin",
+        expr(s"(${bins}L * greatest(cum_r - 1L, 0L)) div n_ref"))
+      .groupBy(col("bin"))
+      .agg(sum(col("r")).as("ref_n"), sum(col("c")).as("cur_n"))
+    // full B-row spine: empty bins still carry their smoothed term
+    val spine = spark.range(bins.toLong).select(col("id").as("bin"))
+    val p = (d(col("ref_n")) + lit(0.5)) / (d(col("n_ref")) + lit(bins / 2.0))
+    val q = (d(col("cur_n")) + lit(0.5)) / (d(col("n_cur")) + lit(bins / 2.0))
+    val cells = spine.join(binned, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+      .crossJoin(broadcast(tot))
+      .withColumn("psi_term", round((p - q) * log(p / q), 6))
+    // decimal -> double via string: both engines parse the exact decimal
+    // rendering to the correctly-rounded double (the x219 convention)
+    val total = cells
+      .agg(sum(col("psi_term").cast(DecimalType(18, 6))).as("psi_dec"))
+      .select(col("psi_dec").cast("string").cast("double").as("psi"))
+    cells.crossJoin(broadcast(total))
+      .select(col("bin"), col("ref_n"), col("cur_n"), col("psi_term"),
+        col("psi"), (col("psi") > threshold).as("drifted"))
+  }
+
+  /** Jensen–Shannon divergence between the TOKEN distributions of two
+    * corpus slices (Lin 1991) — the content-drift companion to
+    * [[psiDrift]]'s single-feature monitor: PSI sees document lengths
+    * move, JS sees the vocabulary itself move (new domains, a language
+    * shift, template churn). Symmetric, bounded by ln 2, and defined
+    * without smoothing because the mixture m = (p+q)/2 is nonzero
+    * wherever either side has mass (0·ln 0 terms drop exactly).
+    *
+    * Engine-portability: p and q are exact-integer-ratio doubles
+    * (identical cross-engine); each token's contribution
+    * ½ p·ln(p/m) + ½ q·ln(q/m) is ROUNDED to the 1e-6 grid and summed
+    * as exact DECIMAL over the vocabulary frame — no double summation
+    * order — then one exact string->double cast. js_norm divides by the
+    * pinned ln 2 literal.
+    *
+    * 100 TB shape: one explode + partial-agged token count per slice,
+    * a vocab-sized full-outer equi-join, and a 1-row reduce of that
+    * frame. Nothing row-scale after the token counts. Output: one row
+    * (n_ref_tokens, n_cur_tokens, n_types, js_div, js_norm, drifted). */
+  def jsDivergence(ref: DataFrame, cur: DataFrame, textCol: String,
+      threshold: Double = 0.1): DataFrame = {
+    val d = (c: Column) => c.cast(DoubleType)
+    def tokCounts(df: DataFrame, as: String): DataFrame =
+      df.select(explode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as(as))
+    val joined = tokCounts(ref, "r").join(tokCounts(cur, "c"), Seq("tok"),
+        "full_outer")
+      .select(coalesce(col("r"), lit(0L)).as("r"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    // totals via a window ON the vocab frame (the ksArms convention), so
+    // the token-count scans run exactly once — an agg + crossJoin-back
+    // would re-evaluate both corpus scans (the x192 duplicate-subtree
+    // hazard)
+    val w = Window.partitionBy(lit(1))
+    val withTot = joined
+      .withColumn("nr", sum(col("r")).over(w))
+      .withColumn("nc", sum(col("c")).over(w))
+      .withColumn("n_types", count(lit(1)).over(w))
+    val p = d(col("r")) / d(col("nr"))
+    val q = d(col("c")) / d(col("nc"))
+    val m = (p + q) / lit(2.0)
+    val term = round(
+      when(col("r") > 0L, p * log(p / m) / lit(2.0)).otherwise(lit(0.0)) +
+        when(col("c") > 0L, q * log(q / m) / lit(2.0)).otherwise(lit(0.0)),
+      6)
+    withTot
+      .agg(max(col("nr")).as("n_ref_tokens"),
+        max(col("nc")).as("n_cur_tokens"),
+        max(col("n_types")).as("n_types"),
+        sum(term.cast(DecimalType(28, 6))).as("js_dec"))
+      .select(col("n_ref_tokens"), col("n_cur_tokens"), col("n_types"),
+        col("js_dec").cast("string").cast("double").as("js_div"))
+      .withColumn("js_norm",
+        round(col("js_div") / lit(0.6931471805599453), 6))
+      .withColumn("drifted", col("js_norm") > threshold)
   }
 }

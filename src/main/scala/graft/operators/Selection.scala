@@ -400,4 +400,45 @@ object Selection {
     selectedFull.select(col("id"), col("quality"), col("n_tok"))
       .unionByName(selectedBoundary)
   }
+
+  /** Effective sample size and design effect of an importance-weight
+    * column (Kish 1965): ESS = (Σw)²/Σw², deff = n·Σw²/(Σw)². The
+    * sanity gate on any [[dsirWeights]]-style tilt BEFORE training on
+    * it: deff ~1 means the weights did nothing; ess_frac collapsing
+    * toward 0 means the tilted corpus is effectively a handful of
+    * documents resampled — the overfitting failure DSIR's authors warn
+    * about. ESS is scale-invariant, so exponentiating the LOG weights
+    * without normalizing is exact.
+    *
+    * Engine-portability: w quantizes to round(exp(min(logw, cap))·1e6)
+    * — one double→integer-grid rounding per row (logw is already the
+    * 6-rounded column, so inputs are bit-identical); the cap (default
+    * ln 1000) bounds the grid so Σw² stays inside DECIMAL(38,0) at any
+    * corpus size. Both moments are EXACT decimal sums; the three output
+    * ratios are double expressions over their exact string->double
+    * casts, rounded once.
+    *
+    * 100 TB shape: one narrow scan into one partial-agged 1-row
+    * aggregate. Output: one row (n, ess, ess_frac, deff). */
+  def weightDiagnostics(weights: DataFrame, logwCol: String,
+      cap: Double = 6.907755278982137): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 0)
+    val d = (c: Column) => c.cast(DoubleType)
+    val wMicro = round(exp(least(col(logwCol), lit(cap))) * lit(1e6))
+      .cast(LongType)
+    val g = weights.select(wMicro.as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("w").cast(dec)).as("sw"),
+        sum(col("w").cast(dec) * col("w").cast(dec)).as("sw2"))
+    val swD = col("sw").cast("string").cast("double")
+    val sw2D = col("sw2").cast("string").cast("double")
+    g.select(col("n"),
+        when(col("sw2") === 0, lit(null).cast(DoubleType))
+          .otherwise(round(swD * swD / sw2D, 6)).as("ess"),
+        when(col("sw2") === 0, lit(null).cast(DoubleType))
+          .otherwise(round(swD * swD / sw2D / d(col("n")), 6))
+          .as("ess_frac"),
+        when(col("sw2") === 0, lit(null).cast(DoubleType))
+          .otherwise(round(d(col("n")) * sw2D / (swD * swD), 6)).as("deff"))
+  }
 }

@@ -79,4 +79,53 @@ object CorpusStreams {
     q.processAllAvailable()
     q
   }
+
+  /** Bin thresholds for [[psiDriftStream]], from the SAME left-closed
+    * reference-CDF integer-div binning as the batch
+    * [[graft.operators.Profile.psiDrift]]: threshold t_b = the smallest
+    * reference value whose bin is b, so binOf(v) = #{t_b <= v} agrees
+    * with the batch bin for every v — including values between or
+    * outside the reference support (they inherit the bin of the largest
+    * reference value at or below them; below the minimum is bin 0,
+    * exactly the batch cum_r = 0 guard). Bounded collect: at most
+    * bins-1 thresholds (the Markov-matrix convention). */
+  def psiBinThresholds(ref: DataFrame, valueCol: String,
+      bins: Int): Array[Long] = {
+    require(bins >= 2 && bins <= 64, s"bins must be in [2,64]: $bins")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val byValue = ref.select(col(valueCol).cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("r"))
+    val tot = byValue.agg(sum(col("r")).as("n_ref"))
+    byValue.withColumn("cum_r", sum(col("r")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("bin",
+        expr(s"(${bins}L * greatest(cum_r - 1L, 0L)) div n_ref"))
+      .groupBy(col("bin")).agg(min(col("v")).as("t"))
+      .filter(col("bin") > 0L)
+      .orderBy(col("bin"))
+      .collect().map(_.getLong(1))
+  }
+
+  /** Streaming PSI-drift deltas — the live twin of x220's batch
+    * [[graft.operators.Profile.psiDrift]]. Drift monitoring is the
+    * canonical CONTINUOUS readout: the reference histogram is static
+    * (pinned at calibration time via [[psiBinThresholds]]), so each
+    * arriving document emits one (bin, +1) delta and the dashboard's
+    * running per-bin sums equal the batch operator's cur_n at every
+    * point — PSI recomputes from the same smoothed closed form
+    * continuously (the srmStream delta convention, with ZERO state:
+    * the bin projection is a pure codegen'd expression, no
+    * flatMapGroupsWithState, no watermark — late data is just another
+    * +1 in its bin). Output: (bin, delta). */
+  def psiDriftStream(cur: DataFrame, valueCol: String,
+      thresholds: Array[Long]): DataFrame = {
+    val v = col(valueCol).cast("long")
+    val bin =
+      if (thresholds.isEmpty) lit(0L)
+      else thresholds.map(t => when(v >= t, 1L).otherwise(0L))
+        .reduce(_ + _)
+    cur.select(bin.as("bin"), lit(1L).as("delta"))
+  }
 }

@@ -451,6 +451,43 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(3L) == ((2L, 0L, 0.0)))
   }
 
+  test("vocabRichness: hand-counted f1/f2 and the bias-corrected Chao1; saturated vocab adds nothing") {
+    // group "a": tokens alpha x3, beta x2, gamma x1, delta x1
+    //   -> s_obs 4, f1 2, f2 1, chao1 = 4 + 2*1/(2*2) = 4.5
+    val df = Seq(
+      (1L, "alpha beta gamma", "a"),
+      (2L, "alpha alpha beta delta", "a"),
+      // group "b": every type repeated -> f1 0 -> chao1 = s_obs exactly
+      (3L, "x y x y", "b")
+    ).toDF("id", "text", "grp")
+    val out = CorpusOps.vocabRichness(df, "grp", "text")
+      .orderBy("grp").collect()
+    assert(out(0).getLong(1) == 7L && out(0).getLong(2) == 4L)
+    assert(out(0).getLong(3) == 2L && out(0).getLong(4) == 1L)
+    assert(out(0).getDouble(5) == 4.5)
+    assert(out(1).getLong(3) == 0L && out(1).getDouble(5) == 2.0)
+  }
+
+  test("giniConcentration: flat source scores 0, one dominating doc scores high; exact naive parity") {
+    val flat = (1L to 4L).map(i => (i, "a b c", "flat"))
+    val skew = Seq((10L, Seq.fill(97)("w").mkString(" "), "skew"),
+      (11L, "w", "skew"), (12L, "w", "skew"), (13L, "w", "skew"))
+    val out = CorpusOps.giniConcentration(
+        (flat ++ skew).toDF("id", "text", "src"), "src", "text")
+      .orderBy("src").collect()
+    def naive(vs: Seq[Long]): Double = {
+      val s = vs.sorted
+      val n = s.size
+      val num = s.zipWithIndex.map { case (x, i) => (i + 1).toLong * x }.sum
+      val g = 2.0 * num / (n.toDouble * s.sum) - (n + 1.0) / n
+      BigDecimal(g).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out(0).getString(0) == "flat" && out(0).getDouble(3) == 0.0)
+    assert(out(1).getLong(1) == 4L && out(1).getLong(2) == 100L)
+    assert(out(1).getDouble(3) == naive(Seq(97L, 1L, 1L, 1L)))
+    assert(out(1).getDouble(3) > 0.7) // one doc owns 97% of the mass
+  }
+
   test("zipfSlope recovers an exact power law") {
     // freq(rank) = 2^(10-rank) for ranks 1..4 -> ln f = 10 ln 2 - rank ln 2;
     // over x = ln(rank) the OLS slope is NOT -ln2 (x is ln rank, not rank),

@@ -344,6 +344,76 @@ class ExperimentSpec extends SparkSpec {
       r6(d.toDouble / (v0.size.toLong * v1.size)))
   }
 
+  test("permutationTest: observed stat is the exact arm mean diff; constant metric is never extreme-free") {
+    val counts = (0L until 16L).map(u => u -> (u.toInt % 5 + 1)).toMap
+    val events = mkEvents(counts)
+    val arms = armsOf(counts.keys.toSeq)
+    val out = Experiment.permutationTest(events, "user_id", b = 64,
+      seed = 11).collect()(0)
+    val v0 = counts.toSeq.filter(c => arms(c._1) == 0L).map(_._2)
+    val v1 = counts.toSeq.filter(c => arms(c._1) == 1L).map(_._2)
+    assume(v0.nonEmpty && v1.nonEmpty)
+    assert(out.getLong(0) == v0.size && out.getLong(1) == v1.size)
+    assert(out.getDouble(2) ==
+      r6(v1.sum.toDouble / v1.size - v0.sum.toDouble / v0.size))
+    // p is the add-one MC form over the reported extreme count
+    assert(out.getLong(3) == 64L)
+    assert(out.getDouble(5) == r6((out.getLong(4) + 1.0) / 65.0))
+    // determinism: the seeded re-randomization replays bit-identically
+    val again = Experiment.permutationTest(events, "user_id", b = 64,
+      seed = 11).collect()(0)
+    assert(out.toSeq == again.toSeq)
+    // constant metric: every replicate stat is 0 = |stat_obs| -> p = 1
+    val cst = mkEvents((0L until 20L).map(_ -> 3).toMap)
+    val pc = Experiment.permutationTest(cst, "user_id", b = 64, seed = 11)
+      .collect()(0)
+    assert(pc.getDouble(2) == 0.0 && pc.getDouble(5) == 1.0)
+  }
+
+  test("mantelHaenszel: pooled OR matches a naive per-stratum fold; all-convert pins NULL") {
+    val users = (0L until 24L)
+    val arms = armsOf(users)
+    assume(users.count(u => arms(u) == 1L) > 0 &&
+      users.count(u => arms(u) == 0L) > 0)
+    // stratum = pre-event count (bucketWidth 1): u%2 pre events;
+    // conversion pattern varies by user so cells are non-trivial
+    val rows = users.flatMap { u =>
+      val pre = Seq.fill(u.toInt % 2)((u, tsOf(0), "view"))
+      val post =
+        if (u % 3 != 0) Seq((u, tsOf(8), "purchase"))
+        else Seq((u, tsOf(8), "view"))
+      pre ++ post
+    }
+    val df = rows.toDF("user_id", "ts", "event_type")
+    val out = graft.operators.Experiment.mantelHaenszel(df, "user_id",
+        "ts", "event_type", "purchase", "2024-01-16 00:00:00")
+      .orderBy("stratum").collect()
+    // naive replication from the same arm map
+    val byStratum = users.groupBy(_ % 2).toSeq.sortBy(_._1)
+    var num = BigDecimal(0)
+    var den = BigDecimal(0)
+    byStratum.foreach { case (s, us) =>
+      val a = us.count(u => arms(u) == 1L && u % 3 != 0)
+      val b = us.count(u => arms(u) == 1L && u % 3 == 0)
+      val c = us.count(u => arms(u) == 0L && u % 3 != 0)
+      val dd = us.count(u => arms(u) == 0L && u % 3 == 0)
+      val n = (a + b + c + dd).toDouble
+      num += BigDecimal(r6(a * dd / n))
+      den += BigDecimal(r6(b * c / n))
+      val row = out.find(_.getLong(0) == s).get
+      assert((row.getLong(1), row.getLong(2), row.getLong(3),
+        row.getLong(4)) == (a.toLong, b.toLong, c.toLong, dd.toLong))
+    }
+    val expected = r6((num / den).toDouble)
+    out.foreach(row => assert(row.getDouble(7) == expected))
+    // every user converts -> b = c = 0 in every stratum -> OR undefined
+    val allConv = users.map(u => (u, tsOf(8), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val nul = graft.operators.Experiment.mantelHaenszel(allConv, "user_id",
+      "ts", "event_type", "purchase", "2024-01-16 00:00:00").collect()
+    assert(nul.forall(_.isNullAt(7)))
+  }
+
   test("quantileTreatment: exact type-1 quantiles per arm and their difference") {
     val counts = (0L until 12L).map(u => u -> (u.toInt + 1)).toMap
     val events = mkEvents(counts)

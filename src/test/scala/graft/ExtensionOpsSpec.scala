@@ -1033,6 +1033,48 @@ class ExtensionOpsSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("streaming PSI deltas roll up to the batch x220 bins; thresholds replay the batch binning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_psi")
+      .toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val ref = docs.filter(col("lang") === "en")
+    val batch = graft.operators.Profile.psiDrift(ref,
+        docs.filter(col("lang") =!= "en"), "n_chars", bins = 8)
+      .orderBy("bin").collect()
+    val thresholds = graft.streaming.CorpusStreams.psiBinThresholds(
+      ref, "n_chars", 8)
+    assert(thresholds.length <= 7 && thresholds.sorted.sameElements(thresholds))
+    val sq = EventStreams.runToMemory(
+      graft.streaming.CorpusStreams.psiDriftStream(
+        graft.streaming.CorpusStreams.readDocs(spark, dir)
+          .filter(col("lang") =!= "en"), "n_chars", thresholds),
+      "psi_stream", outputMode = "append")
+    try {
+      val rolled = spark.table("psi_stream")
+        .groupBy(col("bin")).agg(sum(col("delta")).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // running per-bin sums equal the batch operator's cur_n per bin
+      batch.foreach { r =>
+        assert(rolled.getOrElse(r.getLong(0), 0L) == r.getLong(2),
+          s"bin ${r.getLong(0)}: ${rolled.get(r.getLong(0))} vs batch")
+      }
+      // the dashboard's PSI recompute from the rolled counts + the static
+      // reference histogram reproduces the batch total exactly
+      val nRef = batch.map(_.getLong(1)).sum.toDouble
+      val nCur = batch.map(_.getLong(2)).sum.toDouble
+      def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      val psi = batch.map { r =>
+        val p = (r.getLong(1) + 0.5) / (nRef + 4.0)
+        val q = (rolled.getOrElse(r.getLong(0), 0L) + 0.5) / (nCur + 4.0)
+        BigDecimal(r6((p - q) * math.log(p / q)))
+      }.sum.toDouble
+      assert(batch.forall(_.getDouble(4) == psi))
+    } finally sq.stop()
+  }
+
   test("streaming mSPRT max-seq rows equal the batch x212 table, including after a late-arrival batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -860,6 +860,73 @@ class PlanHealthSpec extends SparkSpec {
     }
   }
 
+  test("x224/x225: permutation test and CMH are partial-agged scans with only broadcast 1-row combines") {
+    for (q <- Seq("x224_permutation_test", "x225_mantel_haenszel")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n$p")
+      assert(!p.replaceAll(
+        "BroadcastNestedLoopJoin BuildRight, Cross", "").contains(
+        "BroadcastNestedLoopJoin"),
+        s"$q must only cross against broadcast 1-row frames:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q must not row-sort-merge anything:\n$p")
+      assert(!p.contains("Generate"),
+        s"$q must not explode rows (generated-sum convention):\n$p")
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q aggregation must partial-combine:\n$p")
+    }
+  }
+
+  test("x220: PSI runs on the distinct-value frame — window above the value agg, crosses only broadcast") {
+    val p = plan("x220_psi_drift")
+    assert(!p.contains("CartesianProduct"), s"x220 grew a cartesian:\n$p")
+    assert(!p.replaceAll(
+      "BroadcastNestedLoopJoin BuildRight, Cross", "").contains(
+      "BroadcastNestedLoopJoin"),
+      s"x220 must only cross against broadcast 1-row frames:\n$p")
+    // the CDF window must sit ABOVE an aggregate (value frame), never
+    // directly on the document scan
+    val winAt = p.indexOf("Window")
+    val aggAt = p.indexOf("HashAggregate")
+    assert(winAt >= 0 && aggAt >= 0,
+      s"x220 expects a window over the value frame:\n$p")
+    assert("HashAggregate".r.findAllIn(p.substring(winAt)).size >= 2,
+      s"x220's window must run above the value-frame aggregate:\n$p")
+  }
+
+  test("x222/x223: corpus stats are explode-then-reduce scans, no joins beyond the group frames") {
+    for (q <- Seq("x222_vocab_richness", "x223_gini_sources")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q needs no non-equi join at all:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q must not row-sort-merge anything:\n$p")
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q aggregation must partial-combine:\n$p")
+    }
+  }
+
+  test("x226/x227: JS and ESS reduce to bounded frames — no cartesian, no row-scale sort-merge") {
+    for (q <- Seq("x226_js_divergence", "x227_ess_weights")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n$p")
+      assert(!p.replaceAll(
+        "BroadcastNestedLoopJoin BuildRight, Cross", "").contains(
+        "BroadcastNestedLoopJoin"),
+        s"$q must only cross against broadcast 1-row frames:\n$p")
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q aggregation must partial-combine:\n$p")
+    }
+    // x226 consumes the token-count frame ONCE: a single full-outer join
+    // of the two per-slice vocab frames (agg+crossJoin-back would scan
+    // the corpus twice — the x192 duplicate-subtree hazard)
+    val p226 = plan("x226_js_divergence")
+    assert("(SortMergeJoin|ShuffledHashJoin)[^\\n]*FullOuter".r
+      .findAllIn(p226).size == 1,
+      s"x226 expects exactly one vocab-frame full-outer join:\n$p226")
+  }
+
   test("x218: bloom advisor — per-candidate equi joins only; the probe/total combines broadcast") {
     val p = plan("x218_bloom_advisor")
     assert(!p.contains("CartesianProduct"), s"x218 grew a cartesian:\n$p")

@@ -221,6 +221,48 @@ class PlannerLinkageSpec extends SparkSpec {
     assert(out.toSeq == Seq(("a", 3L, 1L, true), ("b", 3L, 3L, false)))
   }
 
+  test("psiDrift: identical slices score 0; a shifted slice drifts; bins follow the reference CDF") {
+    // reference: values 1..80 uniform -> 8 even bins of 10
+    val ref = (1L to 80L).map(v => Tuple1(v)).toDF("v")
+    val same = graft.operators.Profile.psiDrift(ref, ref, "v", bins = 8)
+      .orderBy("bin").collect()
+    assert(same.length == 8)
+    // p == q per bin exactly (same counts, same totals) -> every term 0
+    assert(same.forall(r => r.getDouble(3) == 0.0))
+    assert(same.forall(r => r.getDouble(4) == 0.0 && !r.getBoolean(5)))
+    // ref-CDF binning: each bin holds exactly 10 of the 80 ref values
+    assert(same.forall(r => r.getLong(1) == 10L))
+    // current slice concentrated in the top decile -> large psi, flagged
+    val cur = (71L to 80L).map(v => Tuple1(v)).toDF("v")
+    val drift = graft.operators.Profile.psiDrift(ref, cur, "v", bins = 8)
+      .orderBy("bin").collect()
+    assert(drift.forall(r => r.getDouble(4) > 0.2 && r.getBoolean(5)))
+    // all current mass lands in the last reference bin
+    assert(drift.last.getLong(2) == 10L &&
+      drift.init.forall(_.getLong(2) == 0L))
+    // psi equals the decimal-summed rounded terms
+    val termSum = drift.map(r => BigDecimal(r.getDouble(3))).sum.toDouble
+    assert(drift.head.getDouble(4) == termSum)
+  }
+
+  test("jsDivergence: identical slices score 0; disjoint vocabularies hit the ln2 bound") {
+    val a = Seq((1L, "a a b"), (2L, "b c")).toDF("id", "text")
+    val same = graft.operators.Profile.jsDivergence(a, a, "text")
+      .collect()(0)
+    // p == q per token -> both ln terms are ln(1) = 0 exactly
+    assert(same.getDouble(3) == 0.0 && same.getDouble(4) == 0.0)
+    assert(!same.getBoolean(5))
+    // disjoint vocabularies: every token one-sided -> JS = ln 2 (up to
+    // the per-token 1e-6 term rounding)
+    val b = Seq((3L, "x y"), (4L, "z z")).toDF("id", "text")
+    val dis = graft.operators.Profile.jsDivergence(a, b, "text")
+      .collect()(0)
+    assert(dis.getLong(0) == 5L && dis.getLong(1) == 4L &&
+      dis.getLong(2) == 6L)
+    assert(math.abs(dis.getDouble(4) - 1.0) <= 3e-6)
+    assert(dis.getBoolean(5))
+  }
+
   test("cupedAdjust: a fully-explaining covariate zeroes adjusted variance") {
     // y = 2x per user -> theta = 2, y_adj = 2*mean(x) for every user
     val cutoff = "2024-01-16 00:00:00"

@@ -34,6 +34,31 @@ class SelectionGraphPqSpec extends SparkSpec {
     assert(out(0).getDouble(2) > out(2).getDouble(2))
   }
 
+  test("weightDiagnostics: uniform weights give ESS = n / deff = 1; one dominating weight collapses ESS") {
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // logw = 0 for everyone -> w = 1e6 each -> ESS = n exactly
+    val flat = (1L to 8L).map(i => (i, 0.0)).toDF("id", "lw")
+    val f = Selection.weightDiagnostics(flat, "lw").collect()(0)
+    assert(f.getLong(0) == 8L && f.getDouble(1) == 8.0)
+    assert(f.getDouble(2) == 1.0 && f.getDouble(3) == 1.0)
+    // one weight at the cap (w=1000), seven at w~0.001: naive Kish parity
+    val skew = (Seq((1L, math.log(1000.0))) ++
+      (2L to 8L).map(i => (i, math.log(0.001)))).toDF("id", "lw")
+    val s = Selection.weightDiagnostics(skew, "lw").collect()(0)
+    val ws = Seq(1000.0 * 1e6) ++ Seq.fill(7)(0.001 * 1e6)
+    val wr = ws.map(w => math.round(w).toDouble)
+    val ess = wr.sum * wr.sum / wr.map(w => w * w).sum
+    assert(s.getDouble(1) == r6(ess))
+    assert(s.getDouble(1) < 1.1) // the tilt is effectively ONE document
+    assert(s.getDouble(3) == r6(8.0 / ess))
+    // cap: a log-weight above ln(1000) clamps to the same grid point
+    val capped = Seq((1L, 50.0), (2L, math.log(1000.0)))
+      .toDF("id", "lw")
+    val c = Selection.weightDiagnostics(capped, "lw").collect()(0)
+    assert(c.getDouble(1) == 2.0 && c.getDouble(3) == 1.0)
+  }
+
   // ---- hashed-BoW logistic classifier ----
 
   test("bowLogisticScore: one-step weights separate disjoint classes (hand case)") {
