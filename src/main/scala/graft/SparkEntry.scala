@@ -2945,6 +2945,35 @@ object SparkEntry {
       graft.operators.Selection.weightDiagnostics(w, "dsir_logw")
     },
 
+    // ---- X: raking / IPF — calibrate the odd-hash users' (modal
+    //      event type x activity bucket) cell weights to the even-hash
+    //      population's two margins; 8 pinned iterations, micro-unit
+    //      integer row masses, the oracle unrolls the solve verbatim ----
+    "x228_raking" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val tcnt = ev.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val modal = tcnt.withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("cnt").desc, col("event_type").desc)))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("a"))
+      val act = ev.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+        .select(col("user_id"),
+          least(expr("c div 16"), lit(5L)).cast("string").as("b"),
+          graft.operators.Experiment.armOf(col("user_id"), 2).as("arm"))
+      val ub = modal.join(act, Seq("user_id"))
+      val cells = ub.filter(col("arm") === 1)
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+      val tA = ub.filter(col("arm") === 0)
+        .groupBy(col("a")).agg(count(lit(1)).as("t"))
+      val tB = ub.filter(col("arm") === 0)
+        .groupBy(col("b")).agg(count(lit(1)).as("t"))
+      graft.operators.Experiment.rakeWeights(cells, "a", "b", "n",
+          tA, tB, "t", iters = 8)
+        .orderBy(col("a"), col("b"))
+    },
+
     // ---- X: Markov removal-effect attribution (Anderl 2016) — channel
     //      credit = drop in the chain's start->conversion probability
     //      when the channel absorbs to null; journeys truncate at first
@@ -4013,6 +4042,60 @@ object SparkEntry {
   /** x191 oracle: the same pinned Poisson(1) CDF literals, the same
     * seeded md5 uniform, the same one-pass 2B-sum aggregate — generated
     * from the identical threshold table the Spark operator folds. */
+  /** x228: the raking solve unrolled as generated SQL — per iteration
+    * one row half-step and one column half-step, each a MATERIALIZED
+    * CTE (the x210 lesson: without it DuckDB re-inlines the chain
+    * combinatorially); row masses are exact BIGINT micro-unit sums and
+    * the scale expression repeats the driver solve's pinned
+    * ((w * tau) * 1e6) / mass association and 1e-6 rounding verbatim. */
+  private def rakingOracle(iters: Int): String = {
+    def half(k: Int, src: String, out: String, key: String,
+        tgt: String, tp: String): String =
+      s"""rm$k$key AS MATERIALIZED (SELECT $key,
+             sum(CAST(round(w * 1000000.0) AS BIGINT) * n) AS rs
+           FROM $src GROUP BY 1),
+         $out AS MATERIALIZED (SELECT c.a, c.b, c.n,
+             CASE WHEN COALESCE(tg.t, 0) = 0 THEN 0.0
+               WHEN rm.rs = 0 THEN c.w
+               ELSE round(c.w * (CAST(tg.t AS DOUBLE)
+                   * CAST(tot.ns AS DOUBLE) / CAST(tot.$tp AS DOUBLE))
+                 * 1000000.0 / CAST(rm.rs AS DOUBLE), 6) END AS w
+           FROM $src c
+           LEFT JOIN $tgt tg ON tg.$key = c.$key
+           JOIN rm$k$key rm ON rm.$key = c.$key
+           CROSS JOIN tot)"""
+    val steps = (0 until iters).map { k =>
+      half(k, s"c$k", s"cr$k", "a", "tA", "tpa") + ",\n         " +
+        half(k, s"cr$k", s"c${k + 1}", "b", "tB", "tpb")
+    }.mkString(",\n         ")
+    s"""WITH tc AS (SELECT user_id, event_type, count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         md AS (SELECT user_id, event_type AS a FROM (
+             SELECT user_id, event_type, row_number() OVER (
+                 PARTITION BY user_id
+                 ORDER BY cnt DESC, event_type DESC) AS rn
+             FROM tc) WHERE rn = 1),
+         ac AS (SELECT user_id,
+             CAST(least(count(*) // 16, 5) AS VARCHAR) AS b,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               % 2 AS arm
+           FROM events GROUP BY user_id),
+         ub AS (SELECT md.a, ac.b, ac.arm FROM md JOIN ac USING (user_id)),
+         cells AS MATERIALIZED (SELECT a, b, CAST(count(*) AS BIGINT) AS n
+           FROM ub WHERE arm = 1 GROUP BY 1, 2),
+         tA AS MATERIALIZED (SELECT a, CAST(count(*) AS BIGINT) AS t
+           FROM ub WHERE arm = 0 GROUP BY 1),
+         tB AS MATERIALIZED (SELECT b, CAST(count(*) AS BIGINT) AS t
+           FROM ub WHERE arm = 0 GROUP BY 1),
+         tot AS MATERIALIZED (SELECT
+             (SELECT CAST(sum(n) AS BIGINT) FROM cells) AS ns,
+             (SELECT CAST(sum(t) AS BIGINT) FROM tA) AS tpa,
+             (SELECT CAST(sum(t) AS BIGINT) FROM tB) AS tpb),
+         c0 AS MATERIALIZED (SELECT a, b, n, 1.0 AS w FROM cells),
+         $steps
+         SELECT a, b, n, w AS weight FROM c$iters ORDER BY a, b"""
+  }
+
   /** x224: randomization-inference oracle — B seeded md5 re-randomized
     * arm assignments as 2B generated agg expressions over the per-user
     * frame (the x191 generated-sum convention); each replicate statistic
@@ -5650,6 +5733,11 @@ object SparkEntry {
     // seeded md5 re-randomizations, stats rounded to the 1e-6 grid
     // before the extreme-count comparison
     "x224_permutation_test" -> permutationOracle(64, 11),
+
+    // x228: the 8-iteration raking solve unrolled (materialized
+    // half-step CTEs, micro-unit BIGINT row masses, pinned scale
+    // association and rounding)
+    "x228_raking" -> rakingOracle(8),
 
     // x225: Mantel-Haenszel 2x2 strata — per-stratum terms rounded then
     // DECIMAL-summed; pooled OR NULL at zero discordant mass

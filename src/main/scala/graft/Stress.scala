@@ -553,7 +553,35 @@ object Stress {
           operators.Selection.weightDiagnostics(
             operators.Selection.dsirWeights(docs, "doc_id", "text",
               target = col("lang") === "en", buckets = 64),
-            "dsir_logw").count()))
+            "dsir_logw").count()),
+        // corpus reduces to bounded cell/margin frames, then a pinned
+        // driver solve (markov bounded-collect convention)
+        "raking" -> (() => {
+          val tcnt = events.groupBy(col("user_id"), col("event_type"))
+            .agg(count(lit(1)).as("cnt"))
+          val modal = tcnt.withColumn("rn",
+              org.apache.spark.sql.functions.row_number().over(
+                org.apache.spark.sql.expressions.Window
+                  .partitionBy(col("user_id"))
+                  .orderBy(col("cnt").desc, col("event_type").desc)))
+            .filter(col("rn") === 1)
+            .select(col("user_id"), col("event_type").as("a"))
+          val act = events.groupBy(col("user_id"))
+            .agg(count(lit(1)).as("c"))
+            .select(col("user_id"),
+              least(expr("c div 16"), lit(5L)).cast("string").as("b"),
+              operators.Experiment.armOf(col("user_id"), 2).as("arm"))
+          val ub = modal.join(act, Seq("user_id"))
+          operators.Experiment.rakeWeights(
+            ub.filter(col("arm") === 1).groupBy(col("a"), col("b"))
+              .agg(count(lit(1)).as("n")),
+            "a", "b", "n",
+            ub.filter(col("arm") === 0).groupBy(col("a"))
+              .agg(count(lit(1)).as("t")),
+            ub.filter(col("arm") === 0).groupBy(col("b"))
+              .agg(count(lit(1)).as("t")),
+            "t", iters = 8).count()
+        }))
 
       // SPARK_GRAFT_STRESS_OPS=a,b,c runs only the named ops (bisection
       // runs shouldn't pay the full sweep per hypothesis)

@@ -679,4 +679,77 @@ object Experiment {
         col("dd").as("n_control_not"), col("num_term"), col("den_term"),
         col("or_mh"))
   }
+
+  /** Raking / iterative proportional fitting (Deming & Stephan 1940):
+    * calibrate per-cell sample weights so the weighted A and B margins
+    * match a reference population's margins — the standard
+    * post-stratification-on-two-margins adjustment when the joint
+    * (A x B) population table is unknown but both marginals are. The
+    * survey-calibration companion to [[postStratifiedAte]] (which needs
+    * the joint strata) and [[covariateBalance]] (which only DETECTS the
+    * imbalance raking removes).
+    *
+    * Cross-engine determinism, the [[MarkovAttribution]] discipline:
+    * the cell table is |A| x |B| (bounded), so the solve runs on the
+    * driver with a PINNED iteration order that generated SQL can unroll
+    * verbatim. Each half-step scales w by
+    * tau_a / (current row mass) and ROUNDS to the 1e-6 grid; row masses
+    * are EXACT integer sums of round(w * 1e6) * n (micro-units), so no
+    * aggregate of doubles exists anywhere — any engine replays the
+    * fixed point bit-identically. tau folds as
+    * (t_a * N_sample) / T_pop in one pinned double expression.
+    * Conventions: a cell whose margin has zero target mass pins w = 0;
+    * a zero current row mass leaves w unchanged. Micro-unit row masses
+    * stay inside BIGINT while Σ w·n per margin <= 9e12 — comfortable
+    * for survey-scale weights at any corpus size (weights are O(1-100),
+    * cells partial-agg the corpus first).
+    *
+    * 100 TB shape: the corpus reduces to the cell/margin frames via
+    * partial-agged groupBys BEFORE this runs; the solve itself touches
+    * only those bounded frames. Output: one row per sample cell
+    * (a, b, n, weight), a/b stringified. */
+  def rakeWeights(cells: DataFrame, aCol: String, bCol: String,
+      nCol: String, targetA: DataFrame, targetB: DataFrame, tCol: String,
+      iters: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 32, s"iters must be in [1,32]: $iters")
+    val spark = cells.sparkSession
+    import spark.implicits._
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // bounded collects: |A| x |B| cells, |A| + |B| margin rows
+    val cs = cells.select(col(aCol).cast("string"), col(bCol).cast("string"),
+        col(nCol).cast("long")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    def margin(df: DataFrame, k: String): Map[String, Long] =
+      df.select(col(k).cast("string"), col(tCol).cast("long")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ta = margin(targetA, aCol)
+    val tb = margin(targetB, bCol)
+    val nS = cs.map(_._3).sum
+    val (tpa, tpb) = (ta.values.sum, tb.values.sum)
+    var w = cs.map(_ => 1.0)
+    def halfStep(key: ((String, String, Long)) => String,
+        target: Map[String, Long], tPop: Long): Unit = {
+      val mass = scala.collection.mutable.Map[String, Long]()
+        .withDefaultValue(0L)
+      cs.zipWithIndex.foreach { case (cell, i) =>
+        mass(key(cell)) += math.round(w(i) * 1e6) * cell._3
+      }
+      w = cs.zipWithIndex.map { case (cell, i) =>
+        val t = target.getOrElse(key(cell), 0L)
+        val tau = t.toDouble * nS.toDouble / tPop.toDouble
+        val m = mass(key(cell))
+        if (t == 0L) 0.0
+        else if (m == 0L) w(i)
+        else r6(w(i) * tau * 1e6 / m.toDouble)
+      }
+    }
+    for (_ <- 0 until iters) {
+      halfStep(_._1, ta, tpa)
+      halfStep(_._2, tb, tpb)
+    }
+    cs.zipWithIndex.map { case ((a, b, n), i) => (a, b, n, w(i)) }.toSeq
+      .toDF(aCol, bCol, nCol, "weight")
+  }
 }

@@ -414,6 +414,33 @@ class ExperimentSpec extends SparkSpec {
     assert(nul.forall(_.isNullAt(7)))
   }
 
+  test("rakeWeights: IPF hits both margins on a 2x2; zero-target cells pin 0; deterministic replay") {
+    val cells = Seq(("a1", "b1", 1L), ("a1", "b2", 1L),
+      ("a2", "b1", 1L), ("a2", "b2", 1L), ("a3", "b1", 2L))
+      .toDF("a", "b", "n")
+    val tA = Seq(("a1", 3L), ("a2", 1L)).toDF("a", "t")
+    val tB = Seq(("b1", 2L), ("b2", 2L)).toDF("b", "t")
+    val out = graft.operators.Experiment.rakeWeights(cells, "a", "b", "n",
+        tA, tB, "t", iters = 8)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    // a3 has no target mass -> its cells zero out
+    assert(out(("a3", "b1"))._2 == 0.0)
+    // achieved margins: nS=6, tau_a = t_a * 6 / 4 -> (4.5, 1.5);
+    // tau_b = (3, 3)
+    def mass(p: ((String, String)) => Boolean): Double =
+      out.collect { case (k, (n, w)) if p(k) => w * n }.sum
+    assert(math.abs(mass(_._1 == "a1") - 4.5) < 1e-3)
+    assert(math.abs(mass(_._1 == "a2") - 1.5) < 1e-3)
+    assert(math.abs(mass(_._2 == "b1") - 3.0) < 1e-3)
+    assert(math.abs(mass(_._2 == "b2") - 3.0) < 1e-3)
+    // pinned solve: bit-identical replay (output is in sorted cell order)
+    val again = graft.operators.Experiment.rakeWeights(cells, "a", "b",
+      "n", tA, tB, "t", iters = 8)
+      .collect().map(r => r.getDouble(3)).toSeq
+    assert(again == out.toSeq.sortBy(_._1).map(_._2._2))
+  }
+
   test("quantileTreatment: exact type-1 quantiles per arm and their difference") {
     val counts = (0L until 12L).map(u => u -> (u.toInt + 1)).toMap
     val events = mkEvents(counts)
