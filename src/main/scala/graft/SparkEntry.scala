@@ -2945,6 +2945,14 @@ object SparkEntry {
       graft.operators.Selection.weightDiagnostics(w, "dsir_logw")
     },
 
+    // ---- X: token burstiness — index of dispersion of per-doc counts
+    //      across the corpus (zeros via the closed form); the extreme
+    //      tail is template/spam vocabulary df alone hides ----
+    "x229_token_burstiness" -> { (s, dir) =>
+      graft.operators.QualityFilters.tokenBurstiness(
+        t(s, dir, "documents"), "doc_id", "text", minDf = 5, k = 30)
+    },
+
     // ---- X: raking / IPF — calibrate the odd-hash users' (modal
     //      event type x activity bucket) cell weights to the even-hash
     //      population's two margins; 8 pinned iterations, micro-unit
@@ -5738,6 +5746,26 @@ object SparkEntry {
     // half-step CTEs, micro-unit BIGINT row masses, pinned scale
     // association and rounding)
     "x228_raking" -> rakingOracle(8),
+
+    // x229: exact integer token moments; VMR one double expression
+    // (N*s2 kept in doubles — the long product overflows at scale);
+    // unique order (vmr desc, tok) pins the top-30
+    "x229_token_burstiness" ->
+      """WITH pd AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents) GROUP BY 1, 2),
+         nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         st AS (SELECT tok, CAST(count(*) AS BIGINT) AS doc_freq,
+               CAST(sum(c) AS BIGINT) AS total,
+               CAST(sum(c * c) AS BIGINT) AS s2
+             FROM pd GROUP BY 1)
+         SELECT tok, doc_freq, total,
+           round((CAST(n_docs AS DOUBLE) * CAST(s2 AS DOUBLE)
+               - CAST(total AS DOUBLE) * CAST(total AS DOUBLE))
+             / (CAST(n_docs - 1 AS DOUBLE) * CAST(total AS DOUBLE)), 6)
+             AS vmr
+         FROM st, nd WHERE doc_freq >= 5
+         ORDER BY vmr DESC, tok ASC LIMIT 30""",
 
     // x225: Mantel-Haenszel 2x2 strata — per-stratum terms rounded then
     // DECIMAL-summed; pooled OR NULL at zero discordant mass

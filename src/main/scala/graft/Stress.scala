@@ -523,10 +523,13 @@ object Stress {
           operators.Experiment.qiniScored(perUser, "p", "y", "arm").count()
         }),
         // two value-frame groupBys + a B-row spine; the window runs on
-        // the distinct-length frame, never rows
-        "psi_drift" -> (() =>
-          operators.Profile.psiDrift(docs.filter(col("lang") === "en"),
-            docs.filter(col("lang") =!= "en"), "n_chars").count()),
+        // the distinct-length frame, never rows (replicas drop n_chars,
+        // so derive it)
+        "psi_drift" -> (() => {
+          val dl = docs.withColumn("n_chars", length(col("text")))
+          operators.Profile.psiDrift(dl.filter(col("lang") === "en"),
+            dl.filter(col("lang") =!= "en"), "n_chars").count()
+        }),
         // explode -> (group, token) partial agg -> group-sized reduce;
         // replica-suffixed vocabularies keep type counts growing linearly
         "vocab_richness" -> (() =>

@@ -133,6 +133,47 @@ object QualityFilters {
     * regexp-count shape as [[CorpusOps.piiScrub]]'s counters. Integer
     * counts into one double expression, exact cross-engine.
     */
+  /** Token burstiness: the index of dispersion (variance-to-mean ratio,
+    * Church & Gale 1995's burstiness observable) of each token's
+    * per-document count across the WHOLE corpus (zero-count documents
+    * included via the closed form). Content words are bursty — they
+    * pile into the few documents about their topic (VMR >> 1) — while
+    * function words spread evenly (VMR near 1); at corpus-QA time the
+    * EXTREME tail is template/spam vocabulary: a token that appears
+    * 400 times across 3 documents is boilerplate the df alone hides.
+    * The per-token companion to [[tokenEntropyStats]]'s per-document
+    * diversity.
+    *
+    * Exactness: df, total = Σc, s2 = Σc² are exact longs;
+    * VMR = (N·s2 − total²) / ((N−1)·total) is ONE double expression
+    * over them (kept in doubles — the long product N·s2 would overflow
+    * at corpus scale), rounded once. Deterministic order
+    * (vmr desc, token asc) makes the top-k unique.
+    *
+    * 100 TB shape: explode → (doc, token) partial-agged count →
+    * token-frame reduce, with the 1-row corpus count broadcast in; the
+    * top-k is a TakeOrdered over the vocab frame. */
+  def tokenBurstiness(df: DataFrame, idCol: String, textCol: String,
+      minDf: Long = 5, k: Int = 30): DataFrame = {
+    require(k >= 1 && minDf >= 2, s"need k >= 1, minDf >= 2")
+    val d = (c: Column) => c.cast(DoubleType)
+    val perDoc = df.select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("c"))
+    val tot = df.agg(count(lit(1)).as("n_docs"))
+    perDoc.groupBy(col("tok"))
+      .agg(count(lit(1)).as("doc_freq"), sum(col("c")).as("total"),
+        sum(col("c") * col("c")).as("s2"))
+      .filter(col("doc_freq") >= minDf)
+      .crossJoin(broadcast(tot))
+      .select(col("tok"), col("doc_freq"), col("total"),
+        round((d(col("n_docs")) * d(col("s2")) -
+            d(col("total")) * d(col("total"))) /
+          (d(col("n_docs") - lit(1L)) * d(col("total"))), 6).as("vmr"))
+      .orderBy(col("vmr").desc, col("tok").asc)
+      .limit(k)
+  }
+
   def readability(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val words = size(TextFunctions.tokens(col(textCol))).cast("long")

@@ -245,6 +245,24 @@ class PlannerLinkageSpec extends SparkSpec {
     assert(drift.head.getDouble(4) == termSum)
   }
 
+  test("tokenBurstiness: a piled-up token scores the closed-form VMR, an evenly-spread one scores 0") {
+    // 6 docs; 'spam' appears 10x in each of 2 docs, 'the' once per doc
+    val docs = (1L to 6L).map { i =>
+      val spam = if (i <= 2) Seq.fill(10)("spam") else Seq.empty
+      (i, (Seq("the") ++ spam).mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = graft.operators.QualityFilters.tokenBurstiness(
+        docs, "doc_id", "text", minDf = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // spam: total 20, s2 200 -> vmr = (6*200 - 400) / (5*20) = 8
+    assert(out.head == (("spam", 2L, 20L, 8.0)))
+    // 'the': one per doc -> zero variance -> vmr exactly 0
+    assert(out.find(_._1 == "the").get._4 == 0.0)
+    // bursty token ranks first
+    assert(out.map(_._4).sliding(2).forall(w => w(0) >= w(1)))
+  }
+
   test("jsDivergence: identical slices score 0; disjoint vocabularies hit the ln2 bound") {
     val a = Seq((1L, "a a b"), (2L, "b c")).toDF("id", "text")
     val same = graft.operators.Profile.jsDivergence(a, a, "text")
