@@ -2982,6 +2982,81 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     },
 
+    // ---- X: Benjamini-Hochberg FDR across the per-event-type metric
+    //      family — each metric tested by the x224 randomization
+    //      machinery (integer-exact p = (1+extreme)/65, no CDF
+    //      approximation), then the K-row step-up on the round-6 grid
+    //      with pinned (p asc, metric asc) tie order ----
+    "x230_fdr_bh" -> { (s, dir) =>
+      graft.operators.Experiment.fdrBh(
+        t(s, dir, "events"), "user_id", "event_type",
+        b = 64, seed = 11, q = 0.1)
+        .orderBy(col("event_type"))
+    },
+
+    // ---- X: Heaps'-law fit V(N) = k·N^beta by log-log OLS over 16
+    //      integer-exact corpus prefixes (the x113 curve, quantified;
+    //      the x158 regression fold; exp on the 1e-6 grid) — TRIGRAM
+    //      types: the synthetic corpus' word vocab saturates in ~30
+    //      docs (beta 0), its phrase inventory is the growing one ----
+    "x231_heaps_law" -> { (s, dir) =>
+      graft.operators.CorpusOps.heapsLaw(
+        t(s, dir, "documents"), "doc_id", "text", checkpoints = 16, n = 3)
+    },
+
+    // ---- X: doubly-robust AIPW treatment effect — per-arm linear
+    //      outcome models on the pre-cutoff covariate, augmentation at
+    //      the KNOWN e=1/2 hash propensity; the whole readout collapses
+    //      onto the per-arm integer moment frame (one partial agg +
+    //      a 2-row rollup) ----
+    "x232_aipw_ate" -> { (s, dir) =>
+      graft.operators.Experiment.aipwAte(
+        t(s, dir, "events"), "user_id", "ts",
+        cutoff = "2024-01-16 00:00:00")
+    },
+
+    // ---- X: token-budget water-filling — allocate half the corpus'
+    //      token mass across the 20 sources (the 4 "high-quality" ones
+    //      at weight 8, the rest at 1) under a 0.9-epoch availability
+    //      cap; the weight-8 sources saturate and their shortfall
+    //      redistributes to the weight-1 pool (8 pinned integer rounds
+    //      on the bounded source frame) ----
+    "x233_budget_waterfill" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tokens",
+          size(split(col("text"), " ")).cast("long"))
+      val budget = docs.agg(sum(col("n_tokens")).as("t"))
+        .collect()(0).getLong(0) / 2L
+      graft.operators.CorpusOps.waterFillBudget(
+        docs, "source", "n_tokens",
+        weights = WaterFillWeights,
+        budget = budget, epochCapMicro = 900000L, iters = 8)
+        .orderBy(col("source"))
+    },
+
+    // ---- X: energy-based VAD segmentation over burst-synthesized WAVs
+    //      (mask bits = Knuth-hashed doc_id, so the segmentation report
+    //      has a closed form any engine can predict — the x167/x68
+    //      fixture convention); real DSP on the Spark side: PCM decode,
+    //      frame RMS, contiguous-run merge ----
+    "x234_wav_vad" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id")).filter(col("doc_id") < 500)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("content", BinaryType)))
+      val wavs = s.createDataFrame(docs.rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val mask = (id * 2654435761L) % 65536L
+          org.apache.spark.sql.Row(id, graft.operators.Multimodal
+            .renderWavBursts(16, 64, mask, cyclesPerFrame = 4))
+        }
+      }, schema)
+      graft.operators.Multimodal.wavVadSegments(wavs, "doc_id",
+          frameLen = 64, threshold = 2000.0)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- X: Markov removal-effect attribution (Anderl 2016) — channel
     //      credit = drop in the chain's start->conversion probability
     //      when the channel absorbs to null; journeys truncate at first
@@ -4147,6 +4222,109 @@ object SparkEntry {
            CAST($b AS BIGINT) AS n_replicates, n_extreme,
            round(CAST(n_extreme + 1 AS DOUBLE) / ${b + 1}.0, 6) AS p_value
          FROM ex"""
+  }
+
+  /** x230: the x224 randomization machinery replayed per event-type
+    * metric (2B generated sums on the (user,type) frame + B arm-size
+    * sums on the distinct-user frame), then the BH step-up as window
+    * functions on the K-row metric frame — every comparison on the
+    * round-6 grid, ties by the pinned (p asc, metric asc) order. */
+  private def fdrBhOracle(b: Int, seed: Int, q: Double): String = {
+    def armRep(r: Int): String =
+      s"('0x' || substr(md5('$seed|$r|' || CAST(user_id AS VARCHAR)), " +
+        "1, 15))::BIGINT % 2 = 1"
+    val armObs =
+      "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 1"
+    val nSums = (0 until b).map(r =>
+      s"CAST(sum(CASE WHEN ${armRep(r)} THEN 1 ELSE 0 END) AS BIGINT) " +
+        s"AS n$r").mkString(",\n             ")
+    val sSums = (0 until b).map(r =>
+      s"CAST(sum(CASE WHEN ${armRep(r)} THEN m ELSE 0 END) AS BIGINT) " +
+        s"AS s$r").mkString(",\n             ")
+    def stat(sCol: String, nCol: String): String =
+      s"(CASE WHEN $nCol = 0 OR $nCol = nt THEN NULL " +
+        s"ELSE round(CAST($sCol AS DOUBLE) / CAST($nCol AS DOUBLE) " +
+        s"- CAST(st - $sCol AS DOUBLE) / CAST(nt - $nCol AS DOUBLE), 6) " +
+        "END)"
+    val extremes = (0 until b).map { r =>
+      s"(CASE WHEN COALESCE(abs(${stat(s"s$r", s"n$r")}) " +
+        ">= abs(stat_obs), false) THEN 1 ELSE 0 END)"
+    }.mkString("\n             + ")
+    s"""WITH ut AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS m
+           FROM events GROUP BY 1, 2),
+         ur AS (SELECT CAST(count(*) AS BIGINT) AS nt,
+             CAST(sum(CASE WHEN $armObs THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_obs,
+             $nSums
+           FROM (SELECT DISTINCT user_id FROM events)),
+         pt AS (SELECT event_type, CAST(sum(m) AS BIGINT) AS st,
+             CAST(sum(CASE WHEN $armObs THEN m ELSE 0 END) AS BIGINT)
+               AS s_obs,
+             $sSums
+           FROM ut GROUP BY 1),
+         so AS (SELECT pt.*, ur.*, ${stat("s_obs", "n_obs")} AS stat_obs
+           FROM pt CROSS JOIN ur),
+         ex AS (SELECT event_type, stat_obs,
+             CAST($extremes AS BIGINT) AS n_extreme
+           FROM so),
+         tst AS (SELECT event_type, stat_obs, n_extreme,
+             round(CAST(n_extreme + 1 AS DOUBLE) / ${b + 1}.0, 6) AS p_value
+           FROM ex),
+         rk AS (SELECT *,
+             CAST(row_number() OVER (ORDER BY p_value ASC NULLS LAST,
+               event_type ASC) AS INT) AS bh_rank,
+             count(*) OVER () AS k_metrics
+           FROM tst),
+         th AS (SELECT *, round(CAST(bh_rank AS DOUBLE) * $q
+             / CAST(k_metrics AS DOUBLE), 6) AS bh_threshold FROM rk),
+         km AS (SELECT *, max(CASE WHEN p_value <= bh_threshold
+             THEN bh_rank ELSE 0 END) OVER () AS k_max FROM th)
+         SELECT event_type, stat_obs, n_extreme, p_value, bh_rank,
+           bh_threshold, bh_rank <= k_max AS rejected
+         FROM km ORDER BY event_type"""
+  }
+
+  /** x233's mixture spec: the first 4 sources are the "high-quality"
+    * tier a mixture spec upweights 8x; everything else competes at
+    * weight 1 for the redistributed remainder. */
+  private val WaterFillWeights: Map[String, Long] =
+    ((0 until 4).map(i => s"src$i" -> 8L) ++
+      (4 until 20).map(i => s"src$i" -> 1L)).toMap
+
+  /** x233: the water-filling solve unrolled as materialized round CTEs
+    * — every quantity is BIGINT/HUGEINT with floor division, replaying
+    * the driver solve's BigInt arithmetic bit-for-bit. */
+  private def waterFillOracle(iters: Int): String = {
+    val steps = (0 until iters).map { i =>
+      s"""r$i AS (SELECT (SELECT budget FROM bd) - sum(alloc) AS rem,
+             sum(CASE WHEN alloc < cap AND w > 0 THEN w ELSE 0 END) AS wact
+           FROM s$i),
+         s${i + 1} AS MATERIALIZED (SELECT k, m, cap, w,
+             alloc + CASE WHEN alloc < cap AND w > 0 AND wact > 0
+                 AND rem > 0
+               THEN least(cap - alloc, (rem * w) // wact)
+               ELSE CAST(0 AS HUGEINT) END AS alloc
+           FROM s$i, r$i)"""
+    }.mkString(",\n         ")
+    s"""WITH av AS MATERIALIZED (SELECT source AS k,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS m
+         FROM documents GROUP BY 1),
+         wt AS (SELECT * FROM (VALUES ${WaterFillWeights.toSeq.sorted
+      .map { case (k, w) => s"('$k', CAST($w AS BIGINT))" }
+      .mkString(",\n             ")}) t(k, w)),
+         bd AS (SELECT CAST(sum(m) AS BIGINT) // 2 AS budget FROM av),
+         s0 AS MATERIALIZED (SELECT av.k, av.m,
+             (CAST(av.m AS HUGEINT) * 900000) // 1000000 AS cap,
+             COALESCE(wt.w, 0) AS w, CAST(0 AS HUGEINT) AS alloc
+           FROM av LEFT JOIN wt USING (k)),
+         $steps
+         SELECT k AS source, m AS avail_mass, CAST(cap AS BIGINT) AS cap,
+           w AS target_w, CAST(alloc AS BIGINT) AS alloc,
+           CASE WHEN m = 0 THEN NULL
+             ELSE round(CAST(alloc AS DOUBLE) / CAST(m AS DOUBLE), 6) END
+             AS epochs,
+           alloc = cap AS saturated
+         FROM s$iters ORDER BY source"""
   }
 
   private def bootstrapOracle(b: Int, seed: Int): String = {
@@ -5766,6 +5944,135 @@ object SparkEntry {
              AS vmr
          FROM st, nd WHERE doc_freq >= 5
          ORDER BY vmr DESC, tok ASC LIMIT 30""",
+
+    // x230: the x224 machinery per event-type metric + BH step-up on
+    // the round-6 grid (generated 2B-sum SQL)
+    "x230_fdr_bh" -> fdrBhOracle(64, 11, 0.1),
+
+    // x231: integer-exact 16-prefix growth curve (the x113 bucket
+    // rule), then the x158 log-log regression fold; exp of the
+    // round-6 intercept
+    "x231_heaps_law" ->
+      """WITH r AS (SELECT doc_id, string_split(text, ' ') AS ws,
+             row_number() OVER (ORDER BY doc_id ASC) AS rk FROM documents),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         tg AS (SELECT rk, array_to_string(ws[i:i+2], ' ') AS w
+             FROM r, UNNEST(range(1, greatest(len(ws) - 1, 1))) t(i)),
+         tb AS (SELECT ((rk - 1) * 16) // n.n + 1 AS b,
+               CAST(count(*) AS BIGINT) AS toks
+             FROM tg, n GROUP BY 1),
+         fs AS (SELECT w, min(rk) AS frk FROM tg GROUP BY 1),
+         vb AS (SELECT ((frk - 1) * 16) // n.n + 1 AS b,
+               CAST(count(*) AS BIGINT) AS nv
+             FROM fs, n GROUP BY 1),
+         sc AS (SELECT CAST(unnest(range(1, 17)) AS BIGINT) AS b),
+         cu AS (SELECT sc.b,
+             sum(coalesce(toks, 0)) OVER (ORDER BY sc.b
+               ROWS UNBOUNDED PRECEDING) AS n_tokens,
+             sum(coalesce(nv, 0)) OVER (ORDER BY sc.b
+               ROWS UNBOUNDED PRECEDING) AS vocab
+           FROM sc LEFT JOIN tb USING (b) LEFT JOIN vb USING (b)),
+         p AS (SELECT ln(CAST(n_tokens AS DOUBLE)) AS x,
+               ln(CAST(vocab AS DOUBLE)) AS y
+             FROM cu WHERE n_tokens > 0 AND vocab > 0),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS np, sum(x) AS sx,
+               sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy FROM p)
+         SELECT np AS n_points,
+           round((np * sxy - sx * sy) / (np * sxx - sx * sx), 6) AS beta,
+           round(exp(round((sy - ((np * sxy - sx * sy) /
+               (np * sxx - sx * sx)) * sx) / np, 6)), 6) AS k_coef
+         FROM s""",
+
+    // x232: AIPW collapsed onto the per-arm integer moment frame —
+    // beta/alpha per arm (zero-variance pins beta 0, the CUPED theta
+    // convention), regression term + residual augmentations at e=1/2,
+    // every fold replaying Spark's expression order
+    "x232_aipw_ate" ->
+      """WITH pu AS (SELECT user_id,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+               THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+               THEN 1 ELSE 0 END) AS BIGINT) AS y,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               % 2 AS arm
+           FROM events GROUP BY user_id),
+         pa AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+           FROM pu GROUP BY 1),
+         b0 AS (SELECT n AS n0, sx AS sx0, sy AS sy0,
+             CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0 THEN 0.0
+               ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS beta0
+           FROM pa WHERE arm = 0),
+         a0 AS (SELECT *, (CAST(sy0 AS DOUBLE) - beta0
+             * CAST(sx0 AS DOUBLE)) / CAST(n0 AS DOUBLE) AS alpha0 FROM b0),
+         b1 AS (SELECT n AS n1, sx AS sx1, sy AS sy1,
+             CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0 THEN 0.0
+               ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS beta1
+           FROM pa WHERE arm = 1),
+         a1 AS (SELECT *, (CAST(sy1 AS DOUBLE) - beta1
+             * CAST(sx1 AS DOUBLE)) / CAST(n1 AS DOUBLE) AS alpha1 FROM b1),
+         f AS (SELECT *,
+             CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) AS nn,
+             CAST(sx0 AS DOUBLE) + CAST(sx1 AS DOUBLE) AS sxall
+           FROM a0 CROSS JOIN a1),
+         g AS (SELECT *,
+             alpha1 - alpha0 + (beta1 - beta0) * sxall / nn AS reg,
+             2.0 * (CAST(sy1 AS DOUBLE) - alpha1 * CAST(n1 AS DOUBLE)
+               - beta1 * CAST(sx1 AS DOUBLE)) / nn AS aug1,
+             2.0 * (CAST(sy0 AS DOUBLE) - alpha0 * CAST(n0 AS DOUBLE)
+               - beta0 * CAST(sx0 AS DOUBLE)) / nn AS aug0
+           FROM f)
+         SELECT n0, n1, round(beta0, 6) AS beta0, round(beta1, 6) AS beta1,
+           round(CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6)
+             AS ate_unadjusted,
+           round(reg, 6) AS ate_reg,
+           round(reg + aug1 - aug0, 6) AS ate_aipw
+         FROM g""",
+
+    // x233: the 8-round integer water-filling solve unrolled as
+    // materialized CTEs (HUGEINT floor arithmetic = the BigInt driver
+    // solve, bit-for-bit)
+    "x233_budget_waterfill" -> waterFillOracle(8),
+
+    // x234: the burst mask is (doc_id * 2654435761) % 65536, so the
+    // segmentation report is pure bit arithmetic — gaps-and-islands
+    // over the 16 frame bits; a silent payload pins first_start NULL
+    "x234_wav_vad" ->
+      """WITH d AS (SELECT doc_id,
+             (doc_id * 2654435761) % 65536 AS mask
+           FROM documents WHERE doc_id < 500),
+         fr AS (SELECT doc_id, CAST(t.f AS BIGINT) AS f,
+               ((mask // (1 << t.f)) % 2) = 1 AS act
+             FROM d, UNNEST(range(0, 16)) t(f)),
+         g AS (SELECT doc_id, f, act,
+               f - row_number() OVER (PARTITION BY doc_id, act
+                 ORDER BY f) AS grp
+             FROM fr),
+         runs AS (SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS len,
+               min(f) AS start
+             FROM g WHERE act GROUP BY 1, 2),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+               CAST(max(len) AS BIGINT) AS longest_run,
+               CAST(sum(len) AS BIGINT) AS n_active,
+               CAST(min(start) AS BIGINT) AS first_start
+             FROM runs GROUP BY 1)
+         SELECT d.doc_id, CAST(16 AS BIGINT) AS n_frames,
+           COALESCE(agg.n_active, 0) AS n_active,
+           COALESCE(agg.n_segments, 0) AS n_segments,
+           COALESCE(agg.longest_run, 0) AS longest_run,
+           agg.first_start
+         FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""",
 
     // x225: Mantel-Haenszel 2x2 strata — per-stratum terms rounded then
     // DECIMAL-summed; pooled OR NULL at zero discordant mass

@@ -584,6 +584,48 @@ object Stress {
             ub.filter(col("arm") === 0).groupBy(col("b"))
               .agg(count(lit(1)).as("t")),
             "t", iters = 8).count()
+        }),
+        // (user,type) partial agg + type rollup carrying 2B sums + a
+        // broadcast 1-row user frame; BH itself is a K-row window
+        "fdr_bh" -> (() =>
+          operators.Experiment.fdrBh(events, "user_id", "event_type")
+            .count()),
+        // one ngram-keyed shuffle for first ranks; everything above the
+        // scan is a 16-row frame (replica-suffixed vocab keeps the
+        // trigram inventory growing, so the fit stays non-degenerate)
+        "heaps_law" -> (() =>
+          operators.CorpusOps.heapsLaw(docs, "doc_id", "text",
+            checkpoints = 16, n = 3).count()),
+        // one per-user partial agg + a 2-row arm moment rollup
+        "aipw_ate" -> (() =>
+          operators.Experiment.aipwAte(events, "user_id", "ts",
+            "2024-01-16 00:00:00").count()),
+        // one groupBy(source) scan, then the source-domain driver solve
+        "budget_waterfill" -> (() => {
+          val d2 = docs.withColumn("n_tokens",
+            size(split(col("text"), " ")).cast("long"))
+          val budget = d2.agg(sum(col("n_tokens"))).collect()(0).getLong(0) / 2L
+          operators.CorpusOps.waterFillBudget(d2, "source", "n_tokens",
+            ((0 until 4).map(i => s"src$i" -> 8L) ++
+              (4 until 20).map(i => s"src$i" -> 1L)).toMap,
+            budget = budget, epochCapMicro = 900000L).count()
+        }),
+        // embarrassingly parallel codec scan (synth + decode + RMS)
+        "wav_vad" -> (() => {
+          val ids = docs.select(col("doc_id")).limit(2000 * m)
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("content",
+              org.apache.spark.sql.types.BinaryType)))
+          val wavs = spark.createDataFrame(ids.rdd.mapPartitions { rs =>
+            rs.map { r =>
+              val id = r.getLong(0)
+              org.apache.spark.sql.Row(id, operators.Multimodal
+                .renderWavBursts(16, 64, (id * 2654435761L) % 65536L))
+            }
+          }, schema)
+          operators.Multimodal.wavVadSegments(wavs, "doc_id").count()
         }))
 
       // SPARK_GRAFT_STRESS_OPS=a,b,c runs only the named ops (bisection

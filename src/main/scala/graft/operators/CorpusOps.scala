@@ -415,6 +415,152 @@ object CorpusOps {
         col("vocab"))
   }
 
+  /** Heaps'-law fit over the vocabulary growth curve: V(N) ≈ k·N^β,
+    * estimated by log-log OLS over `checkpoints` evenly spaced corpus
+    * prefixes in id order — the quantitative companion to
+    * [[vocabGrowthCurve]] (which eyeballs the same curve at 4 points).
+    * β near 1 means the corpus keeps minting novel tokens (noise, ids,
+    * boilerplate churn); the English-text reference band is β ≈ 0.4–0.6
+    * (Heaps 1978), and a tokenizer vocab budget extrapolates from k·N^β
+    * directly. Paired with [[zipfSlope]] they sanity-check each other
+    * (Heaps' β ≈ 1/|Zipf slope| asymptotically).
+    *
+    * Exactness: the curve itself is integer-exact (cumulative token
+    * counts and first-occurrence vocab counts over an integer-exact
+    * bucket rule, the x113 convention); the fit replays [[zipfSlope]]'s
+    * k-row regression-sums fold (ln into double sums over the
+    * checkpoint frame, round-6 at the edge). Prefixes with zero tokens
+    * (impossible unless leading docs are empty) drop from the fit on
+    * both engines.
+    *
+    * 100 TB shape: ranks come from the range-partitioned two-pass
+    * [[graft.plans.RowNum.assign]] (no one-task window); the token
+    * stream shuffles ONCE on the token key for first-occurrence ranks;
+    * everything after runs on a `checkpoints`-row frame. Output one
+    * row: (n_points, beta, k_coef). */
+  def heapsLaw(docs: DataFrame, idCol: String, textCol: String,
+      checkpoints: Int = 16, n: Int = 1): DataFrame = {
+    import graft.plans.{Events, RowNum}
+    require(checkpoints >= 3, s"need >= 3 fit points: $checkpoints")
+    require(n >= 1, s"n-gram order must be >= 1: $n")
+    val k = checkpoints.toLong
+    // the "token" unit is the n-gram TYPE: unigrams for a word-level
+    // vocab budget, n>=2 for corpora whose word vocabulary saturates
+    // instantly (templated/synthetic text) but whose phrase inventory
+    // still grows — the unit the fit is read against, not a detail
+    val unit = (c: Column) =>
+      if (n == 1) TextFunctions.tokens(c) else TextFunctions.ngrams(c, n)
+    val ranked = RowNum.assign(docs.select(col(idCol), col(textCol))
+        .orderBy(col(idCol).asc))
+      .withColumnRenamed(Events.RowNumCol, "rk")
+    val nDocs = docs.count()
+    require(nDocs >= checkpoints, s"heapsLaw needs at least $checkpoints docs")
+    val bucketOf = (r: Column) =>
+      call_function("div", (r - 1L) * k, lit(nDocs)) + 1L
+    // cumulative token mass per prefix bucket (integer-exact)
+    val tokPerB = ranked
+      .select(bucketOf(col("rk")).as("b"),
+        size(unit(col(textCol))).cast(LongType).as("m"))
+      .groupBy(col("b")).agg(sum(col("m")).as("toks"))
+    // new-vocabulary mass per bucket via first-occurrence rank
+    val vocPerB = ranked
+      .select(col("rk"), explode(unit(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(min(col("rk")).as("frk"))
+      .select(bucketOf(col("frk")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("nv"))
+    val w = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // DENSE k-row frame (the k-row window is bounded by construction)
+    val curve = docs.sparkSession.range(1L, k + 1L).toDF("b")
+      .join(tokPerB, Seq("b"), "left").join(vocPerB, Seq("b"), "left")
+      .withColumn("n_tokens", sum(coalesce(col("toks"), lit(0L))).over(w))
+      .withColumn("vocab", sum(coalesce(col("nv"), lit(0L))).over(w))
+      .filter(col("n_tokens") > 0L && col("vocab") > 0L)
+    val pts = curve.select(
+      log(col("n_tokens").cast(DoubleType)).as("x"),
+      log(col("vocab").cast(DoubleType)).as("y"))
+    pts.agg(count(lit(1)).as("np"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("np").as("n_points"),
+        round((col("np") * col("sxy") - col("sx") * col("sy")) /
+          (col("np") * col("sxx") - col("sx") * col("sx")), 6).as("beta"),
+        // exp on the 1e-6 grid (the x227 convention): round the
+        // intercept BEFORE exp so no last-ulp libm divergence between
+        // engines can cross a rounding boundary
+        round(exp(round((col("sy") - ((col("np") * col("sxy") -
+          col("sx") * col("sy")) /
+          (col("np") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+          col("np"), 6)), 6).as("k_coef"))
+  }
+
+  /** Token-budget water-filling across sources under availability caps —
+    * the allocation a mixture spec actually compiles to: target weights
+    * say WHAT share of the training budget each source should get,
+    * availability (x an epoch cap — re-reading a small source 10x is how
+    * corpora overfit) says what it CAN get, and the difference must be
+    * redistributed to the sources that still have headroom, proportional
+    * to THEIR weights. Greedy proportional fill, `iters` pinned rounds:
+    *   rem = budget − Σ alloc;  W = Σ weight over unsaturated sources;
+    *   give_s = min(cap_s − alloc_s, (rem · w_s) div W)
+    * — all INTEGER arithmetic (token counts, micro-unit epoch cap,
+    * floor division), so every round is bit-replayable cross-engine and
+    * the fixpoint is reached in ≤ |sources| effective rounds (each round
+    * either saturates a source or allocates the whole remainder up to
+    * flooring dust, which stays deliberately unallocated).
+    *
+    * The weight-only siblings: [[mixToWeights]] (weights → hash-sampled
+    * rows, no budget), [[epochMix]] (explicit per-source byte budgets,
+    * no redistribution), [[graft.operators.Selection.temperatureMixWeights]]
+    * (weights FROM availability). This one closes the loop: weights +
+    * budget + caps → feasible allocation.
+    *
+    * 100 TB shape: one partial-agged per-source scan; the solve runs on
+    * the collected source-domain frame (the [[graft.operators.Experiment.rakeWeights]]
+    * bounded-collect convention) in BigInt, so 1e14-token corpora times
+    * micro-unit caps cannot overflow. Output per source: availability,
+    * cap, weight, allocation, epochs (round-6), saturated. */
+  def waterFillBudget(docs: DataFrame, keyCol: String, massCol: String,
+      weights: Map[String, Long], budget: Long,
+      epochCapMicro: Long = 1000000L, iters: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 32, s"iters must be in [1,32]: $iters")
+    require(budget >= 0L, s"budget must be >= 0: $budget")
+    require(epochCapMicro > 0L, s"epochCapMicro must be > 0: $epochCapMicro")
+    require(weights.values.forall(_ >= 0L), s"weights must be >= 0: $weights")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val avail = docs.groupBy(col(keyCol).cast("string").as("k"))
+      .agg(sum(col(massCol).cast(LongType)).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val caps = avail.map { case (k, m) =>
+      (BigInt(m) * epochCapMicro) / 1000000L }
+    val ws = avail.map { case (k, _) => BigInt(weights.getOrElse(k, 0L)) }
+    val alloc = Array.fill(avail.length)(BigInt(0))
+    var round = 0
+    while (round < iters) {
+      val rem = BigInt(budget) - alloc.sum
+      val active = avail.indices.filter(i =>
+        alloc(i) < caps(i) && ws(i) > 0)
+      val wAct = active.map(ws).sum
+      if (rem > 0 && wAct > 0) {
+        active.foreach { i =>
+          alloc(i) += (caps(i) - alloc(i)).min(rem * ws(i) / wAct)
+        }
+      }
+      round += 1
+    }
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    avail.indices.map { i =>
+      val (k, m) = avail(i)
+      (k, m, caps(i).toLong, weights.getOrElse(k, 0L), alloc(i).toLong,
+        if (m == 0L) None else Some(r6(alloc(i).toDouble / m.toDouble)),
+        alloc(i) == caps(i))
+    }.toDF(keyCol, "avail_mass", "cap", "target_w", "alloc", "epochs",
+      "saturated")
+  }
+
   /** Gopher-style repetition signals per document:
     *  - `dup_5gram_frac`: fraction of 5-gram occurrences that repeat an
     *    earlier one — a pure scalar expression (no shuffle).

@@ -480,6 +480,76 @@ object Experiment {
         d(col("n_eff")), 6).as("ate_post_stratified"))
   }
 
+  /** Doubly-robust AIPW treatment effect (Robins-Rotnitzky-Zhao 1994):
+    * augment the inverse-propensity estimator with per-arm LINEAR
+    * outcome models m_t(x) = α_t + β_t·x regressing the post-cutoff
+    * outcome on the pre-cutoff activity covariate —
+    * ψ = (1/n) Σ_i [ m1(x_i) − m0(x_i)
+    *               + T_i (y_i − m1(x_i)) / e
+    *               − (1−T_i)(y_i − m0(x_i)) / (1−e) ]
+    * with the KNOWN randomization propensity e = 1/2 (the hash split),
+    * so the estimator is consistent even when the linear models are
+    * wrong, and strictly more efficient than the raw difference when
+    * they help. Completes the adjustment trio: CUPED (one pooled
+    * regression), post-stratification (design-based), AIPW (model +
+    * design combined).
+    *
+    * With linear m_t every Σ collapses algebraically onto the per-arm
+    * moment frame — Σ_i m_t(x_i) = n·α_t + β_t·Σx, Σ_{i∈T_t}(y_i −
+    * m_t(x_i)) = sy_t − α_t·n_t − β_t·sx_t — so the whole readout is
+    * ONE per-user partial agg + a 2-row arm rollup of exact integer
+    * moments folded in a single double expression (the [[powerMde]]
+    * shape); nothing scales past the scan. A zero-variance covariate
+    * inside an arm pins β_t = 0 (the CUPED theta convention), making
+    * m_t the arm mean and AIPW collapse to the unadjusted difference.
+    *
+    * Output one row: (n0, n1, beta0, beta1, ate_unadjusted, ate_reg —
+    * the pure regression-imputation estimate — and ate_aipw). */
+  def aipwAte(events: DataFrame, userCol: String, tsCol: String,
+      cutoff: String): DataFrame = {
+    val d = (c: Column) => c.cast(DoubleType)
+    val cut = lit(cutoff).cast("timestamp")
+    val perUser = events.groupBy(col(userCol))
+      .agg(sum(when(col(tsCol) < cut, 1L).otherwise(0L)).as("x"),
+        sum(when(col(tsCol) >= cut, 1L).otherwise(0L)).as("y"))
+      .withColumn("arm", armOf(col(userCol), 2))
+    val perArm = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+    def armFrame(t: Int): DataFrame = {
+      val den = d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+      val beta = when(den === 0.0, lit(0.0)).otherwise(
+        (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) / den)
+      perArm.filter(col("arm") === t.toLong)
+        .select(col("n").as(s"n$t"), col("sx").as(s"sx$t"),
+          col("sy").as(s"sy$t"), beta.as(s"beta$t"))
+        .withColumn(s"alpha$t",
+          (d(col(s"sy$t")) - col(s"beta$t") * d(col(s"sx$t"))) /
+            d(col(s"n$t")))
+    }
+    armFrame(0).crossJoin(broadcast(armFrame(1))) // 1-row x 1-row
+      .withColumn("nn", d(col("n0")) + d(col("n1")))
+      .withColumn("sxall", d(col("sx0")) + d(col("sx1")))
+      // regression imputation: mean of m1(x)-m0(x) over ALL users
+      .withColumn("reg", col("alpha1") - col("alpha0") +
+        (col("beta1") - col("beta0")) * col("sxall") / col("nn"))
+      // augmentation: arm-t residual mass, scaled by 1/e = 2
+      .withColumn("aug1", lit(2.0) * (d(col("sy1")) -
+        col("alpha1") * d(col("n1")) - col("beta1") * d(col("sx1"))) /
+        col("nn"))
+      .withColumn("aug0", lit(2.0) * (d(col("sy0")) -
+        col("alpha0") * d(col("n0")) - col("beta0") * d(col("sx0"))) /
+        col("nn"))
+      .select(col("n0"), col("n1"),
+        round(col("beta0"), 6).as("beta0"),
+        round(col("beta1"), 6).as("beta1"),
+        round(d(col("sy1")) / d(col("n1")) -
+          d(col("sy0")) / d(col("n0")), 6).as("ate_unadjusted"),
+        round(col("reg"), 6).as("ate_reg"),
+        round(col("reg") + col("aug1") - col("aug0"), 6).as("ate_aipw"))
+  }
+
   /** Exact two-sample Kolmogorov-Smirnov distance between the arms on
     * the per-user count metric: D = max over metric values of
     * |F1(v) − F0(v)|, computed on the codomain-bounded distinct-value
@@ -614,6 +684,87 @@ object Experiment {
       extremes.as("n_extreme"))
       .withColumn("p_value",
         round(d(col("n_extreme") + lit(1L)) / lit(b + 1.0), 6))
+  }
+
+  /** Benjamini-Hochberg FDR control across a FAMILY of metrics
+    * (Benjamini & Hochberg 1995): one experiment readout per event
+    * type — per-user count of that type, mean difference between the
+    * hash arms — each tested by the [[permutationTest]] randomization
+    * machinery (B seeded re-randomizations, p = (1+extreme)/(B+1),
+    * integer-exact), then the K p-values ranked ascending and rejected
+    * up to the largest rank i with p_(i) ≤ i·q/K. The multiple-metrics
+    * guardrail every real readout needs: peek at 6 metrics at α=0.05
+    * each and the family-wise false-positive rate is ~26%; BH caps the
+    * expected FALSE-DISCOVERY fraction at q instead.
+    *
+    * Exactness: p-values are exact rationals with denominator B+1
+    * (no CDF approximation anywhere — the permutation machinery is the
+    * whole point); thresholds i·q/K are single double products; both
+    * sides compare on the round-6 grid. Step-up ties resolve by the
+    * pinned (p asc, metric asc) rank order on both engines.
+    *
+    * 100 TB shape: one (user,type) partial-agged groupBy, one
+    * type-keyed rollup carrying 2B+2 sums, one broadcast 1-row
+    * user-frame combine, then BH on the K-row metric frame (the
+    * bounded-window convention — K = |event type domain|).
+    * Output per metric: (event_type, stat_obs, n_extreme, p_value,
+    * bh_rank, bh_threshold, rejected). */
+  def fdrBh(events: DataFrame, userCol: String, typeCol: String,
+      b: Int = 64, seed: Int = 11, q: Double = 0.1): DataFrame = {
+    require(b >= 19 && b <= 512, s"b must be in [19,512]: $b")
+    require(q > 0.0 && q < 1.0, s"q must be in (0,1): $q")
+    val d = (c: Column) => c.cast(DoubleType)
+    def armRep(r: Int): Column = pmod(TextFunctions.md5Long(
+      concat_ws("|", lit(seed.toString), lit(r.toString),
+        col(userCol).cast("string"))), lit(2L))
+    // denominators: arm sizes per replicate over ALL users (a user with
+    // zero events of a type still belongs to that metric's denominator)
+    val userAggs = Seq(count(lit(1)).as("nt"),
+      sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_obs")) ++
+      (0 until b).map(r =>
+        sum(when(armRep(r) === 1L, 1L).otherwise(0L)).as(s"n$r"))
+    val userRow = events.select(col(userCol)).distinct()
+      .withColumn("arm", armOf(col(userCol), 2))
+      .agg(userAggs.head, userAggs.tail: _*)
+    // numerators: per-type event mass inside each (re-)randomized arm
+    val ut = events.groupBy(col(userCol), col(typeCol))
+      .agg(count(lit(1)).as("m"))
+    val typeAggs = Seq(sum(col("m")).as("st"),
+      sum(when(armOf(col(userCol), 2) === 1L, col("m")).otherwise(0L))
+        .as("s_obs")) ++
+      (0 until b).map(r =>
+        sum(when(armRep(r) === 1L, col("m")).otherwise(0L)).as(s"s$r"))
+    val perType = ut.groupBy(col(typeCol))
+      .agg(typeAggs.head, typeAggs.tail: _*)
+    def stat(s: Column, n: Column): Column =
+      when(n === 0L || n === col("nt"), lit(null).cast(DoubleType))
+        .otherwise(round(d(s) / d(n) -
+          d(col("st") - s) / d(col("nt") - n), 6))
+    val extremes = (0 until b).map { r =>
+      coalesce(abs(stat(col(s"s$r"), col(s"n$r"))) >= abs(col("stat_obs")),
+        lit(false)).cast("long")
+    }.reduce(_ + _)
+    val tested = perType.crossJoin(broadcast(userRow))
+      .withColumn("stat_obs", stat(col("s_obs"), col("n_obs")))
+      .withColumn("n_extreme", extremes)
+      .withColumn("p_value",
+        round(d(col("n_extreme") + lit(1L)) / lit(b + 1.0), 6))
+      .select(col(typeCol).as("event_type"), col("stat_obs"),
+        col("n_extreme"), col("p_value"))
+    // BH step-up on the K-row metric frame (bounded window)
+    val tot = Window.partitionBy(lit(1))
+    val ranked = tested
+      .withColumn("bh_rank", row_number().over(Window.partitionBy(lit(1))
+        .orderBy(col("p_value").asc_nulls_last, col("event_type").asc)))
+      .withColumn("k_metrics", count(lit(1)).over(tot))
+      .withColumn("bh_threshold",
+        round(d(col("bh_rank")) * lit(q) / d(col("k_metrics")), 6))
+    ranked
+      .withColumn("k_max", max(when(col("p_value") <= col("bh_threshold"),
+        col("bh_rank")).otherwise(lit(0))).over(tot))
+      .select(col("event_type"), col("stat_obs"), col("n_extreme"),
+        col("p_value"), col("bh_rank"), col("bh_threshold"),
+        (col("bh_rank") <= col("k_max")).as("rejected"))
   }
 
   /** Cochran–Mantel–Haenszel pooled odds ratio across strata

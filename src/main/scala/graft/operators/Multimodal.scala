@@ -634,6 +634,111 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
 
+  /** Synthesize a mono 16-bit PCM WAV of `frames` fixed-length frames
+    * where frame f carries a sinusoid iff bit f of `mask` is set and
+    * silence otherwise — the burst fixture [[wavVadSegments]] is
+    * exercised against (the audio twin of [[renderBmpHashEncoded]]'s
+    * hash-encoded BMP: an engine that cannot decode PCM can still
+    * predict the segmentation from the mask bits). The sinusoid runs
+    * `cyclesPerFrame` full cycles per frame, so every active frame's
+    * RMS is ~amplitude/√2 with an 8x margin over any threshold near
+    * amplitude/4, and phase restarts per frame (no partial-cycle edge
+    * frames). */
+  def renderWavBursts(frames: Int, frameLen: Int, mask: Long,
+      cyclesPerFrame: Int = 4, sampleRate: Int = 16000,
+      amplitude: Int = 8191): Array[Byte] = {
+    require(frames >= 1 && frames <= 64, s"frames must be in [1,64]: $frames")
+    val n = frames * frameLen
+    val samples = Array.tabulate(n) { i =>
+      val f = i / frameLen
+      if (((mask >> f) & 1L) == 0L) 0.toShort
+      else math.rint(amplitude * math.sin(
+        2.0 * math.Pi * cyclesPerFrame * (i % frameLen) / frameLen)).toShort
+    }
+    val dataLen = n * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1)
+      .putShort(1).putInt(sampleRate).putInt(sampleRate * 2).putShort(2)
+      .putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => buf.putShort(s))
+    buf.array()
+  }
+
+  /** Energy-based voice-activity segmentation of WAV payloads — the
+    * "cut speech into utterances before transcription/feature
+    * extraction" front door of every audio pipeline: frame the mono
+    * samples (channel 0) into fixed `frameLen`-sample frames (trailing
+    * partial frame dropped), score each frame by RMS energy, mark it
+    * active when RMS > `threshold`, and merge contiguous active frames
+    * into segments. Output per payload: frame count, active-frame
+    * count, segment count, longest segment (frames), and the first
+    * active frame index (NULL when silent throughout) — all integers,
+    * so the report is oracle-exact for any fixture whose active-frame
+    * pattern is predictable ([[renderWavBursts]]).
+    *
+    * The per-partition batched mapPartitions scan every codec op uses
+    * (SURVEY §2.11: no UDF registry — this is imperative per-row DSP,
+    * the documented RDD exception); non-WAV payloads drop. At 100 TB
+    * the shape is embarrassingly parallel: no shuffle, state is one
+    * frame's samples. */
+  def wavVadSegments(df: DataFrame, idCol: String,
+      contentCol: String = "content", frameLen: Int = 64,
+      threshold: Double = 2000.0): DataFrame = {
+    require(frameLen >= 8, s"frameLen must be >= 8: $frameLen")
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("n_active", LongType, nullable = false),
+      StructField("n_segments", LongType, nullable = false),
+      StructField("longest_run", LongType, nullable = false),
+      StructField("first_start", LongType, nullable = true)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val contentIdx = df.schema.fieldIndex(contentCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        r.get(contentIdx) match {
+          case b: Array[Byte] =>
+            wavSamples(b).map { case (_, channels, samples) =>
+              val nMono = samples.length / channels
+              val nFrames = nMono / frameLen
+              var f = 0
+              var active = 0L; var segments = 0L
+              var run = 0L; var longest = 0L
+              var firstStart = -1L
+              while (f < nFrames) {
+                var acc = 0.0
+                var i = 0
+                while (i < frameLen) {
+                  val s = samples((f * frameLen + i) * channels).toDouble
+                  acc += s * s
+                  i += 1
+                }
+                val isActive = math.sqrt(acc / frameLen) > threshold
+                if (isActive) {
+                  active += 1L
+                  if (run == 0L) {
+                    segments += 1L
+                    if (firstStart < 0L) firstStart = f.toLong
+                  }
+                  run += 1L
+                  if (run > longest) longest = run
+                } else run = 0L
+                f += 1
+              }
+              Row(r.get(idIdx), nFrames.toLong, active, segments, longest,
+                if (firstStart < 0L) null else java.lang.Long.valueOf(firstStart))
+            }
+          case _ => None
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
   /** Render a 36x32 gray BMP whose [[dHash64]] is EXACTLY the given 8
     * bytes (bits 8j..8j+7 of the hash = byte j): each of the 8 cell-rows
     * (4 pixel rows each) is a left-to-right walk over the 9 cell-columns

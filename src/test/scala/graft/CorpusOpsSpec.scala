@@ -517,4 +517,67 @@ class CorpusOpsSpec extends SparkSpec {
       .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
     assert(out == Map(true -> 2L, false -> 4L))
   }
+
+  test("heapsLaw: linear vocab growth fits beta=1, k=1 exactly; saturated vocab fits beta=0") {
+    // every doc mints exactly one new token -> V(N) = N: the log-log
+    // points sit on y = x, so the fold recovers slope 1 / intercept 0
+    // with NO floating-point slack (x and y sums are identical doubles)
+    val linear = (0L until 32L).map(i => (i, s"tok$i")).toDF("id", "text")
+    val lin = CorpusOps.heapsLaw(linear, "id", "text",
+      checkpoints = 16).collect()(0)
+    assert(lin.getLong(0) == 16L)
+    assert(lin.getDouble(1) == 1.0 && lin.getDouble(2) == 1.0, s"$lin")
+    // constant text: V saturates at 3 from the first prefix -> beta 0,
+    // k = the vocab size
+    val flat = (0L until 32L).map(i => (i, "a b c")).toDF("id", "text")
+    val fl = CorpusOps.heapsLaw(flat, "id", "text",
+      checkpoints = 16).collect()(0)
+    assert(fl.getDouble(1) == 0.0, s"$fl")
+    // k = exp(round6(ln 3)) = 2.999999 — the 1e-6 intercept grid, not
+    // a numeric wobble
+    assert(math.abs(fl.getDouble(2) - 3.0) < 1e-5, s"$fl")
+    // n-gram unit: 4 tokens -> 2 trigrams per doc, each doc's trigrams
+    // unique -> V(N) = 2N and tokens(N) = 2N -> beta 1 again
+    val tri = (0L until 32L).map(i =>
+      (i, s"a$i b$i c$i d$i")).toDF("id", "text")
+    val tr = CorpusOps.heapsLaw(tri, "id", "text",
+      checkpoints = 16, n = 3).collect()(0)
+    assert(tr.getDouble(1) == 1.0, s"$tr")
+  }
+
+  test("waterFillBudget: proportional below caps, saturation redistributes, flooring dust stays unallocated") {
+    def mk(rows: (String, Long)*) =
+      rows.toDF("src", "toks")
+    // no cap binds: pure proportional split
+    val a = CorpusOps.waterFillBudget(mk("a" -> 1000L, "b" -> 1000L),
+        "src", "toks", Map("a" -> 1L, "b" -> 1L), budget = 100L)
+      .orderBy("src").collect()
+    assert(a.map(_.getLong(4)).toSeq == Seq(50L, 50L))
+    assert(a.forall(!_.getBoolean(6)))
+    // a 9x-weighted tiny source saturates at 1 epoch; its shortfall
+    // water-fills into the big source over the later rounds
+    val b = CorpusOps.waterFillBudget(mk("tiny" -> 10L, "big" -> 1000L),
+        "src", "toks", Map("tiny" -> 9L, "big" -> 1L), budget = 100L)
+      .orderBy("src").collect()
+    val byK = b.map(r => r.getString(0) -> r).toMap
+    assert(byK("tiny").getLong(4) == 10L && byK("tiny").getBoolean(6))
+    assert(byK("tiny").getDouble(5) == 1.0) // exactly one epoch
+    assert(byK("big").getLong(4) == 90L && !byK("big").getBoolean(6))
+    // integer flooring: the odd token cannot split 1:1 and stays
+    // unallocated (deterministic, documented)
+    val c = CorpusOps.waterFillBudget(mk("a" -> 1000L, "b" -> 1000L),
+        "src", "toks", Map("a" -> 1L, "b" -> 1L), budget = 101L)
+      .orderBy("src").collect()
+    assert(c.map(_.getLong(4)).sum == 100L)
+    // zero-weight and zero-mass sources: no allocation; epochs NULL
+    // only when the source has no mass at all
+    val z = CorpusOps.waterFillBudget(
+        mk("a" -> 100L, "w0" -> 100L, "m0" -> 0L),
+        "src", "toks", Map("a" -> 1L, "m0" -> 1L), budget = 50L)
+      .orderBy("src").collect()
+    val zk = z.map(r => r.getString(0) -> r).toMap
+    assert(zk("a").getLong(4) == 50L)
+    assert(zk("w0").getLong(4) == 0L && !zk("w0").isNullAt(5))
+    assert(zk("m0").getLong(4) == 0L && zk("m0").isNullAt(5))
+  }
 }

@@ -441,6 +441,75 @@ class ExperimentSpec extends SparkSpec {
     assert(again == out.toSeq.sortBy(_._1).map(_._2._2))
   }
 
+  test("fdrBh: the effect metric rejects, flat metrics pin p=1.0, and the rejection set is a rank prefix") {
+    val users = (0L until 30L)
+    val arms = armsOf(users)
+    // "eff" tracks the true arm perfectly; "null1"/"null2" are flat, so
+    // every re-randomized stat equals the observed 0 and p pins to 1.0
+    val rows = users.flatMap { u =>
+      Seq.fill(if (arms(u) == 1L) 10 else 1)((u, "eff")) ++
+        Seq.fill(3)((u, "null1")) ++ Seq.fill(2)((u, "null2"))
+    }
+    val out = graft.operators.Experiment.fdrBh(
+        rows.toDF("user_id", "event_type"), "user_id", "event_type",
+        b = 64, seed = 11, q = 0.1)
+      .orderBy("bh_rank").collect()
+    assert(out.length == 3)
+    val byType = out.map(r => r.getString(0) -> r).toMap
+    assert(byType("eff").getBoolean(6), "the real effect must reject")
+    assert(byType("eff").getDouble(3) < 0.1)
+    assert(!byType("null1").getBoolean(6) && !byType("null2").getBoolean(6))
+    assert(byType("null1").getDouble(3) == 1.0)
+    assert(byType("null2").getDouble(3) == 1.0)
+    // step-up structure: thresholds are rank*q/K, rejections a prefix
+    for ((r, i) <- out.zipWithIndex) {
+      assert(r.getInt(4) == i + 1)
+      assert(r.getDouble(5) == math.rint((i + 1) * 0.1 / 3 * 1e6) / 1e6)
+    }
+    val rej = out.map(_.getBoolean(6))
+    assert(!rej.sliding(2).exists(w => !w(0) && w(1)),
+      "rejections must be a prefix of the p-value rank order")
+  }
+
+  test("aipwAte: exactly-linear outcomes recover the model effect; constant covariate collapses to unadjusted") {
+    val users = (0L until 16L)
+    val arms = armsOf(users)
+    // arm 0: y = 1 + 2x; arm 1: y = 3 + 2x; covariate DELIBERATELY
+    // imbalanced (arm 1 sits at x+2) so the raw difference is confounded
+    // while reg/AIPW recover the true effect 2 exactly
+    def xOf(u: Long): Int =
+      (if (arms(u) == 1L) 2 else 0) + (u % 2).toInt
+    def yOf(u: Long): Int =
+      (if (arms(u) == 1L) 3 else 1) + 2 * xOf(u)
+    val pre = "2024-01-10 00:00:00"
+    val post = "2024-01-20 00:00:00"
+    val rows = users.flatMap { u =>
+      Seq.fill(xOf(u))((u, pre)) ++ Seq.fill(yOf(u))((u, post))
+    }
+    val df = rows.toDF("user_id", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val out = graft.operators.Experiment.aipwAte(
+      df, "user_id", "ts", cutoff = "2024-01-16 00:00:00").collect()(0)
+    assert(out.getDouble(2) == 2.0 && out.getDouble(3) == 2.0,
+      s"betas must fit the exact slope: $out")
+    assert(out.getDouble(5) == 2.0, s"ate_reg must be the model effect: $out")
+    assert(out.getDouble(6) == 2.0, s"zero residuals: AIPW == reg: $out")
+    assert(out.getDouble(4) > 2.0,
+      s"the confounded raw difference must differ: $out")
+    // constant covariate: beta pins 0, every estimate collapses to the
+    // unadjusted difference
+    val flat = users.flatMap { u =>
+      Seq.fill(5)((u, pre)) ++ Seq.fill(yOf(u))((u, post))
+    }
+    val df2 = flat.toDF("user_id", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val o2 = graft.operators.Experiment.aipwAte(
+      df2, "user_id", "ts", cutoff = "2024-01-16 00:00:00").collect()(0)
+    assert(o2.getDouble(2) == 0.0 && o2.getDouble(3) == 0.0)
+    assert(o2.getDouble(4) == o2.getDouble(5) &&
+      o2.getDouble(5) == o2.getDouble(6))
+  }
+
   test("quantileTreatment: exact type-1 quantiles per arm and their difference") {
     val counts = (0L until 12L).map(u => u -> (u.toInt + 1)).toMap
     val events = mkEvents(counts)

@@ -418,6 +418,44 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getDouble(4) == 1.0)
   }
 
+  test("wavVadSegments: burst masks round-trip through PCM decode + frame RMS exactly") {
+    // (mask, n_active, n_segments, longest, first_start or -1)
+    val cases = Seq(
+      (0x0000L, 0L, 0L, 0L, -1L),              // silence throughout
+      (0x0001L, 1L, 1L, 1L, 0L),               // one leading frame
+      (0xFFFFL, 16L, 1L, 16L, 0L),             // wall-to-wall
+      (0x5555L, 8L, 8L, 1L, 0L),               // alternating
+      (0x00F0L, 4L, 1L, 4L, 4L),               // one interior block
+      (0x8001L, 2L, 2L, 1L, 0L))               // both edges
+    val rows = cases.zipWithIndex.map { case ((mask, _, _, _, _), i) =>
+      (i.toLong, Multimodal.renderWavBursts(16, 64, mask))
+    } :+ (99L, "not audio".getBytes("UTF-8")) // non-WAV drops
+    val out = Multimodal.wavVadSegments(
+        rows.toDF("id", "content"), "id", frameLen = 64,
+        threshold = 2000.0)
+      .orderBy("id").collect()
+    assert(out.length == cases.length)
+    for (((_, act, seg, lng, fst), r) <- cases.zip(out)) {
+      assert(r.getLong(1) == 16L, s"n_frames for id ${r.getLong(0)}")
+      assert(r.getLong(2) == act && r.getLong(3) == seg &&
+        r.getLong(4) == lng, s"run stats for id ${r.getLong(0)}: $r")
+      if (fst < 0) assert(r.isNullAt(5), s"expected NULL first_start: $r")
+      else assert(r.getLong(5) == fst, s"first_start for ${r.getLong(0)}")
+    }
+    // an absurd threshold silences everything (the RMS is real, not a
+    // mask readback)
+    val quiet = Multimodal.wavVadSegments(
+        Seq((1L, Multimodal.renderWavBursts(16, 64, 0xFFFFL)))
+          .toDF("id", "content"), "id", frameLen = 64, threshold = 1e9)
+      .collect()(0)
+    assert(quiet.getLong(2) == 0L && quiet.isNullAt(5))
+    // active-frame RMS sits near amplitude/sqrt(2), far above threshold
+    val Some((_, _, samples)) =
+      Multimodal.wavSamples(Multimodal.renderWavBursts(1, 64, 0x1L))
+    val rms = math.sqrt(samples.map(s => s.toDouble * s).sum / 64)
+    assert(math.abs(rms - 8191 / math.sqrt(2)) < 60.0, s"rms=$rms")
+  }
+
   test("renderBmpHashEncoded: decode + dHash64 round-trips arbitrary bytes exactly") {
     val cases = Seq(
       Array.fill[Byte](8)(0),

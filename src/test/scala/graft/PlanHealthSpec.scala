@@ -1082,6 +1082,67 @@ class PlanHealthSpec extends SparkSpec {
       s"x213 per-user sums must partial-aggregate:\n$p")
   }
 
+  test("x230: BH-FDR is two partial-agged scans + a broadcast 1-row combine; step-up windows run on the metric frame") {
+    val p = plan("x230_fdr_bh")
+    assert(!p.contains("CartesianProduct"), s"x230 grew a cartesian:\n$p")
+    assert(!p.replaceAll(
+      "BroadcastNestedLoopJoin BuildRight, Cross", "").contains(
+      "BroadcastNestedLoopJoin"),
+      s"x230 must only cross against the broadcast 1-row user frame:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"x230 must not row-sort-merge anything:\n$p")
+    assert(!p.contains("Generate"),
+      s"x230 must not explode rows (generated-sum convention):\n$p")
+    // the step-up windows must sit ABOVE the per-type aggregate — BH
+    // runs on the K-row metric frame, never on raw events
+    val winAt = p.indexOf("Window [")
+    assert(winAt >= 0, s"x230 expects the K-row step-up window:\n$p")
+    assert("HashAggregate".r.findAllIn(p.substring(winAt)).size >= 2,
+      s"x230's windows must consume the aggregated metric frame:\n$p")
+  }
+
+  test("x231: Heaps fit shuffles the ngram stream once; ranks come from the two-pass RowNum, not a corpus window") {
+    val p = plan("x231_heaps_law")
+    assert(!p.contains("CartesianProduct"), s"x231 grew a cartesian:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"x231 must not row-sort-merge anything:\n$p")
+    // no unpartitioned window may consume the corpus-scale stream: the
+    // only Window is the 16-row checkpoint cumulative, which sits above
+    // aggregates on both of its inputs
+    val winAt = p.indexOf("Window [")
+    assert(winAt >= 0, s"x231 expects the 16-row cumulative window:\n$p")
+    assert("HashAggregate".r.findAllIn(p.substring(winAt)).size >= 2,
+      s"x231's window must consume bucket-aggregated frames:\n$p")
+  }
+
+  test("x232: AIPW is one partial-agged per-user scan + 2-row moment rollup, broadcast 1-row combines only") {
+    val p = plan("x232_aipw_ate")
+    assert(!p.contains("CartesianProduct"), s"x232 grew a cartesian:\n$p")
+    assert(!p.replaceAll(
+      "BroadcastNestedLoopJoin BuildRight, Cross", "").contains(
+      "BroadcastNestedLoopJoin"),
+      s"x232 must only cross against broadcast 1-row frames:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"x232 must not row-sort-merge anything:\n$p")
+    assert(!p.contains("Window ["), s"x232 must stay window-free:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"x232 per-user sums must partial-aggregate:\n$p")
+  }
+
+  test("x233: water-filling's row-scale work is one groupBy(source); the solve is driver-side, source-domain-sized") {
+    val p = plan("x233_budget_waterfill")
+    assert(p.contains("LocalTableScan") || p.contains("Scan ExistingRDD"),
+      s"x233's output must be the driver-solved literal frame:\n$p")
+  }
+
+  test("x234: VAD is an embarrassingly parallel codec scan — no join, no aggregate, no window") {
+    val p = plan("x234_wav_vad")
+    assert(!p.contains("Join") && !p.contains("Window ["),
+      s"x234 must stay join/window-free:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"x234 must run on the per-partition codec RDD scan:\n$p")
+  }
+
   test("x199: range splits reduce per-row work to one groupBy(key); windows run on the distinct-key frame") {
     val p = plan("x199_range_splits")
     assert(!p.contains("Join"), s"x199 must stay join-free:\n$p")
