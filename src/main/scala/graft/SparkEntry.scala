@@ -3057,6 +3057,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // ---- X: cluster-randomized ATE — sources are the randomization
+    //      unit (spillover breaks user-level independence), so the SE
+    //      comes from the BETWEEN-cluster variance of the 20 cluster
+    //      means, not row counts; means round-then-DECIMAL-sum (x219
+    //      fold), k<2 arms pin NULL ----
+    "x235_cluster_ate" -> { (s, dir) =>
+      graft.operators.Experiment.clusterAte(
+        t(s, dir, "documents"), "source", "n_chars")
+    },
+
+    // ---- X: local-DP randomized response (Warner 1965) — each user
+    //      reports their modal event type with p=0.75 else a
+    //      hash-random category; the release debiases
+    //      (obs − n(1−p)/K)/p; seeded md5 coins, dyadic p ----
+    "x236_randomized_response" -> { (s, dir) =>
+      graft.operators.Profile.randomizedResponse(
+        t(s, dir, "events"), "user_id", "event_type")
+        .orderBy(col("category"))
+    },
+
     // ---- X: Markov removal-effect attribution (Anderl 2016) — channel
     //      credit = drop in the chain's start->conversion probability
     //      when the channel absorbs to null; journeys truncate at first
@@ -6073,6 +6093,79 @@ object SparkEntry {
            COALESCE(agg.longest_run, 0) AS longest_run,
            agg.first_start
          FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""",
+
+    // x235: cluster means rounded then DECIMAL-summed per arm (x219
+    // fold — no double summation order); between-cluster variance and
+    // SE as one double expression over the string-cast sums
+    "x235_cluster_ate" ->
+      """WITH pc AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS s,
+             ('0x' || substr(md5(source), 1, 15))::BIGINT % 2 AS arm
+           FROM documents GROUP BY source),
+         cm AS (SELECT arm,
+             round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS m FROM pc),
+         cm2 AS (SELECT arm, m, round(m * m, 6) AS m2 FROM cm),
+         pa AS (SELECT arm, CAST(count(*) AS BIGINT) AS k,
+             CAST(CAST(sum(CAST(m AS DECIMAL(28, 6))) AS VARCHAR)
+               AS DOUBLE) AS s1,
+             CAST(CAST(sum(CAST(m2 AS DECIMAL(28, 6))) AS VARCHAR)
+               AS DOUBLE) AS s2
+           FROM cm2 GROUP BY 1),
+         a0 AS (SELECT k AS k0, s1 / CAST(k AS DOUBLE) AS mean0,
+             CASE WHEN k < 2 THEN NULL
+               ELSE (s2 - s1 * s1 / CAST(k AS DOUBLE))
+                 / (CAST(k AS DOUBLE) - 1.0) END AS v0
+           FROM pa WHERE arm = 0),
+         a1 AS (SELECT k AS k1, s1 / CAST(k AS DOUBLE) AS mean1,
+             CASE WHEN k < 2 THEN NULL
+               ELSE (s2 - s1 * s1 / CAST(k AS DOUBLE))
+                 / (CAST(k AS DOUBLE) - 1.0) END AS v1
+           FROM pa WHERE arm = 1),
+         f AS (SELECT *, sqrt(v1 / CAST(k1 AS DOUBLE)
+             + v0 / CAST(k0 AS DOUBLE)) AS se_raw
+           FROM a0 CROSS JOIN a1)
+         SELECT k0, k1, round(mean0, 6) AS mean0, round(mean1, 6) AS mean1,
+           round(mean1 - mean0, 6) AS ate, round(se_raw, 6) AS se,
+           round(CASE WHEN se_raw = 0.0 THEN NULL
+             ELSE (mean1 - mean0) / se_raw END, 6) AS t_stat
+         FROM f""",
+
+    // x236: the seeded md5 keep/fake coins replayed verbatim; debias
+    // with the exact dyadic literals 0.25/0.75; dense category frame
+    "x236_randomized_response" ->
+      """WITH tc AS (SELECT user_id, event_type, count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         md AS (SELECT user_id, event_type AS true_c FROM (
+             SELECT user_id, event_type, row_number() OVER (
+                 PARTITION BY user_id
+                 ORDER BY cnt DESC, event_type DESC) AS rn
+             FROM tc) WHERE rn = 1),
+         cats AS (SELECT c, CAST(row_number() OVER (ORDER BY c ASC) - 1
+               AS BIGINT) AS idx
+             FROM (SELECT DISTINCT event_type AS c FROM events)),
+         kn AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM cats) AS kk,
+             (SELECT CAST(count(*) AS BIGINT) FROM md) AS nn),
+         rep AS (SELECT md.user_id, md.true_c,
+             ('0x' || substr(md5('rr|11|keep|'
+               || CAST(md.user_id AS VARCHAR)), 1, 15))::BIGINT
+               % 1000000 < 750000 AS keep,
+             ('0x' || substr(md5('rr|11|cat|'
+               || CAST(md.user_id AS VARCHAR)), 1, 15))::BIGINT
+               % kn.kk AS fake_idx
+           FROM md, kn),
+         rp AS (SELECT CASE WHEN keep THEN true_c ELSE cats.c END AS rep_c
+           FROM rep JOIN cats ON cats.idx = rep.fake_idx),
+         obs AS (SELECT rep_c AS c, CAST(count(*) AS BIGINT) AS obs_n
+           FROM rp GROUP BY 1),
+         tru AS (SELECT true_c AS c, CAST(count(*) AS BIGINT) AS true_n
+           FROM md GROUP BY 1)
+         SELECT cats.c AS category, COALESCE(true_n, 0) AS true_n,
+           COALESCE(obs_n, 0) AS obs_n,
+           round((CAST(COALESCE(obs_n, 0) AS DOUBLE)
+             - CAST(nn AS DOUBLE) * 0.25 / CAST(kk AS DOUBLE)) / 0.75, 6)
+             AS est_n
+         FROM cats LEFT JOIN tru USING (c) LEFT JOIN obs USING (c)
+         CROSS JOIN kn ORDER BY category""",
 
     // x225: Mantel-Haenszel 2x2 strata — per-stratum terms rounded then
     // DECIMAL-summed; pooled OR NULL at zero discordant mass

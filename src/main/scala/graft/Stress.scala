@@ -610,6 +610,15 @@ object Stress {
               (4 until 20).map(i => s"src$i" -> 1L)).toMap,
             budget = budget, epochCapMicro = 900000L).count()
         }),
+        // one groupBy(source) + the source-domain rollup
+        "cluster_ate" -> (() =>
+          operators.Experiment.clusterAte(
+            docs.withColumn("n_chars", length(col("text"))),
+            "source", "n_chars").count()),
+        // (user,type) modal agg + narrow coin projection + K-row release
+        "randomized_response" -> (() =>
+          operators.Profile.randomizedResponse(events, "user_id",
+            "event_type").count()),
         // embarrassingly parallel codec scan (synth + decode + RMS)
         "wav_vad" -> (() => {
           val ids = docs.select(col("doc_id")).limit(2000 * m)

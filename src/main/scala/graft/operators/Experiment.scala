@@ -550,6 +550,62 @@ object Experiment {
         round(col("reg") + col("aug1") - col("aug0"), 6).as("ate_aipw"))
   }
 
+  /** Cluster-randomized treatment effect with CLUSTER-LEVEL inference
+    * (Donner & Klar 2000): when randomization happens at the cluster
+    * grain (a source, a region, a crawl host — anything where spillover
+    * breaks user-level independence), the correct unit of analysis is
+    * the cluster mean: ATE = mean-of-cluster-means difference, variance
+    * from the BETWEEN-cluster sample variance s²_t/k_t + s²_c/k_c, and
+    * the t statistic carries k−2 degrees of freedom, not n−2 — reading
+    * user-level variance here understates the SE by the design effect
+    * and "discovers" effects that are one noisy cluster.
+    *
+    * Cross-engine exactness: cluster means round to the 1e-6 grid and
+    * their per-arm sums fold as exact DECIMAL (the x219 convention —
+    * no double summation order anywhere); the variance/SE is one double
+    * expression over the string-cast decimal sums. An arm with fewer
+    * than 2 clusters pins se/t NULL.
+    *
+    * 100 TB shape: one partial-agged groupBy(cluster), then everything
+    * runs on the cluster-domain frame. Output one row:
+    * (k0, k1, mean0, mean1, ate, se, t). */
+  def clusterAte(df: DataFrame, clusterCol: String,
+      valueCol: String): DataFrame = {
+    val d = (c: Column) => c.cast(DoubleType)
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val perCluster = df.groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("s"))
+      .withColumn("arm", armOf(col(clusterCol), 2))
+      .withColumn("m", round(d(col("s")) / d(col("n")), 6))
+      .withColumn("m2", round(col("m") * col("m"), 6))
+    val perArm = perCluster.groupBy(col("arm"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("m").cast(dec)).as("s1"),
+        sum(col("m2").cast(dec)).as("s2"))
+      .select(col("arm"), col("k"),
+        col("s1").cast("string").cast(DoubleType).as("s1"),
+        col("s2").cast("string").cast(DoubleType).as("s2"))
+    def armF(t: Int): DataFrame = {
+      val mean = col("s1") / d(col("k"))
+      val v = when(col("k") < 2L, lit(null).cast(DoubleType))
+        .otherwise((col("s2") - col("s1") * col("s1") / d(col("k"))) /
+          (d(col("k")) - lit(1.0)))
+      perArm.filter(col("arm") === t.toLong)
+        .select(col("k").as(s"k$t"), mean.as(s"mean$t"), v.as(s"v$t"))
+    }
+    armF(0).crossJoin(broadcast(armF(1))) // 1-row x 1-row
+      .withColumn("se_raw",
+        sqrt(col("v1") / d(col("k1")) + col("v0") / d(col("k0"))))
+      .select(col("k0"), col("k1"),
+        round(col("mean0"), 6).as("mean0"),
+        round(col("mean1"), 6).as("mean1"),
+        round(col("mean1") - col("mean0"), 6).as("ate"),
+        round(col("se_raw"), 6).as("se"),
+        round(when(col("se_raw") === 0.0, lit(null).cast(DoubleType))
+          .otherwise((col("mean1") - col("mean0")) / col("se_raw")), 6)
+          .as("t_stat"))
+  }
+
   /** Exact two-sample Kolmogorov-Smirnov distance between the arms on
     * the per-user count metric: D = max over metric values of
     * |F1(v) − F0(v)|, computed on the codomain-bounded distinct-value

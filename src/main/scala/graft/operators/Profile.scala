@@ -272,6 +272,77 @@ object Profile {
         lit(epsilon).as("epsilon")): _*)
   }
 
+  /** Local-DP frequency release by randomized response (Warner 1965;
+    * the one-bit ancestor of RAPPOR): each user's reported category is
+    * their TRUE modal event type with probability p = keepMicro/1e6,
+    * or a hash-"random" category otherwise, and the aggregator debiases
+    * the observed counts with est(c) = (obs(c) − n·(1−p)/K) / p —
+    * unbiased even though no individual report can be trusted; each
+    * user's report is (ln(p·K/(1−p))+…)-LDP. The local-privacy sibling
+    * of [[dpNoisyCounts]]'s central Laplace release: there the curator
+    * sees the truth and noises the output, here the truth never leaves
+    * the user.
+    *
+    * Determinism: the keep/fake coins are seeded md5 bits of the user
+    * id (the [[dpNoisyCounts]] convention), so the release replays
+    * bit-identically cross-engine; the debias expression is one double
+    * fold per category with DYADIC p (default 0.75) so the literals
+    * are exact. Output per category (dense over the domain): true_n —
+    * emitted for gate/QA comparison, a real release would drop it —
+    * obs_n, est_n.
+    *
+    * 100 TB shape: one (user,type) partial agg for modal types, the
+    * category frame is domain-bounded, the keep/fake projection is
+    * narrow, and the release is one category-sized groupBy. */
+  def randomizedResponse(events: DataFrame, userCol: String,
+      typeCol: String, keepMicro: Long = 750000L,
+      seed: Int = 11): DataFrame = {
+    require(keepMicro > 0L && keepMicro < 1000000L,
+      s"keepMicro must be in (0, 1e6): $keepMicro")
+    val d = (c: Column) => c.cast(DoubleType)
+    val md5 = (tag: String) => graft.functions.TextFunctions.md5Long(
+      concat_ws("|", lit("rr"), lit(seed.toString), lit(tag),
+        col(userCol).cast("string")))
+    // true category: the user's modal type (ties to the DESC type, the
+    // x228 convention)
+    val tc = events.groupBy(col(userCol), col(typeCol))
+      .agg(count(lit(1)).as("cnt"))
+    val modal = tc.withColumn("rn", row_number().over(
+        Window.partitionBy(col(userCol))
+          .orderBy(col("cnt").desc, col(typeCol).desc)))
+      .filter(col("rn") === 1)
+      .select(col(userCol), col(typeCol).as("true_c"))
+    // indexed category domain (bounded frame; the K-row window)
+    val cats = events.select(col(typeCol).as("c")).distinct()
+      .withColumn("idx",
+        (row_number().over(Window.orderBy(col("c").asc)) - 1).cast("long"))
+    val kn = cats.agg(count(lit(1)).as("kk"))
+      .crossJoin(modal.agg(count(lit(1)).as("nn")))
+    val reported = modal.crossJoin(broadcast(kn))
+      .withColumn("keep", pmod(md5("keep"), lit(1000000L)) < keepMicro)
+      .withColumn("fake_idx", pmod(md5("cat"), col("kk")))
+      .join(broadcast(cats.withColumnRenamed("c", "fake_c"))
+        .withColumnRenamed("idx", "fake_idx"), Seq("fake_idx"))
+      .withColumn("rep_c",
+        when(col("keep"), col("true_c")).otherwise(col("fake_c")))
+    val obs = reported.groupBy(col("rep_c").as("c"))
+      .agg(count(lit(1)).as("obs_n"))
+    val tru = modal.groupBy(col("true_c").as("c"))
+      .agg(count(lit(1)).as("true_n"))
+    val p = keepMicro.toDouble / 1000000.0
+    val q = (1000000L - keepMicro).toDouble / 1000000.0
+    // tru/obs are category-domain-sized aggregates: broadcast them so
+    // the dense release never sort-merges K-row frames
+    cats.join(broadcast(tru), Seq("c"), "left")
+      .join(broadcast(obs), Seq("c"), "left")
+      .crossJoin(broadcast(kn))
+      .select(col("c").as("category"),
+        coalesce(col("true_n"), lit(0L)).as("true_n"),
+        coalesce(col("obs_n"), lit(0L)).as("obs_n"),
+        round((d(coalesce(col("obs_n"), lit(0L))) -
+          d(col("nn")) * lit(q) / d(col("kk"))) / lit(p), 6).as("est_n"))
+  }
+
   /** Population stability index between two numeric distributions — the
     * industry-standard drift number (PSI < 0.1 stable, > 0.25 shifted)
     * for "did this feature/score move between snapshots", the NUMERIC

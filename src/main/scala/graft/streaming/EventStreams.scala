@@ -587,9 +587,9 @@ object EventStreams {
     * deterministic hash arm (md5 hex of the id string, first 15 hex chars
     * as a long). Bit-identical to the Column expression, so streamed arm
     * counts match the batch operator's exactly. */
-  private def md5Arm(userId: Long): Long = {
+  private def md5ArmOf(key: String): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val dig = md.digest(String.valueOf(userId)
+    val dig = md.digest(key
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // first 15 hex chars = 60 bits: 7 full bytes + the high nibble of the 8th
     var v = 0L
@@ -597,6 +597,50 @@ object EventStreams {
     while (i < 7) { v = (v << 8) | (dig(i) & 0xFFL); i += 1 }
     v = (v << 4) | ((dig(7) & 0xF0L) >> 4)
     v % 2L
+  }
+
+  private def md5Arm(userId: Long): Long = md5ArmOf(String.valueOf(userId))
+
+  /** Streaming BH-FDR guardrail deltas — the live twin of x230's
+    * [[graft.operators.Experiment.fdrBh]]. The whole readout is linear
+    * in two families of sufficient statistics, so the stream emits
+    * exact DELTAS and the dashboard's rolled sums replay the batch
+    * moments at every point (the [[covariateBalanceStream]]
+    * convention):
+    *   - a ("m", type, obs_bit, rep_bits) row per EVENT — Δst(type)=1,
+    *     Δs_obs(type)=obs_bit, Δs_r(type)=rep_bits(r);
+    *   - a ("u", "", obs_bit, rep_bits) row on a user's FIRST
+    *     appearance — Δnt=1, Δn_obs=obs_bit, Δn_r=rep_bits(r).
+    * The per-user state is one Boolean ([[srmStream]]); the B
+    * re-randomized arms are the same seeded md5 bits the batch op and
+    * its oracle compute, evaluated JVM-side per user. The p-values,
+    * thresholds, and step-up itself are a K-row fold the consumer runs
+    * on the rolled sums — continuous multiple-metric monitoring with
+    * the FALSE-DISCOVERY rate capped while every metric updates live.
+    * No watermark: a late event lands in its (type) sums exactly like
+    * an on-time one. */
+  def fdrBhStream(events: DataFrame, typeCol: String = "event_type",
+      b: Int = 64, seed: Int = 11)
+      : Dataset[(String, String, Long, Seq[Long])] = {
+    require(b >= 19 && b <= 512, s"b must be in [19,512]: $b")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col(typeCol).cast("string"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (String, String, Long, Seq[Long])](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, String)],
+            state: GroupState[Boolean]) =>
+          val obs = md5ArmOf(String.valueOf(userId))
+          val reps: Seq[Long] =
+            (0 until b).map(r => md5ArmOf(s"$seed|$r|$userId")).toVector
+          val metricRows = rows.map(t => ("m", t._2, obs, reps)).toVector
+          val userRow =
+            if (state.exists) Vector.empty
+            else { state.update(true); Vector(("u", "", obs, reps)) }
+          (userRow ++ metricRows).iterator
+      }
   }
 
   /** Streaming sample-ratio-mismatch monitor — the live twin of x202's

@@ -510,6 +510,48 @@ class ExperimentSpec extends SparkSpec {
       o2.getDouble(5) == o2.getDouble(6))
   }
 
+  test("clusterAte: between-cluster variance matches a naive fold; a 1-cluster arm pins NULL") {
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // 8 named clusters, 3 rows each with value = base + offset; arms
+    // come from the same md5 hash the operator uses
+    val clusters = ('a' to 'h').map(c => s"cl_$c")
+    val armOfC = clusters.map(Tuple1(_)).toDF("c")
+      .withColumn("arm", graft.operators.Experiment.armOf(col("c"), 2))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assume(armOfC.values.toSet.size == 2)
+    val rows = clusters.zipWithIndex.flatMap { case (c, i) =>
+      Seq((c, 10L * i), (c, 10L * i + 1L), (c, 10L * i + 5L))
+    }
+    val out = graft.operators.Experiment.clusterAte(
+      rows.toDF("c", "v"), "c", "v").collect()(0)
+    // naive: cluster means on the 1e-6 grid, sample variance over them
+    val means = clusters.zipWithIndex.map { case (c, i) =>
+      armOfC(c) -> r6((30L * i + 6L).toDouble / 3.0) }
+    def stats(a: Long) = {
+      val ms = means.filter(_._1 == a).map(_._2)
+      val mean = ms.map(m => BigDecimal(r6(m))).sum.toDouble / ms.size
+      val s2 = ms.map(m => BigDecimal(r6(r6(m) * r6(m)))).sum.toDouble
+      (ms.size.toLong, mean, (s2 - mean * mean * ms.size) / (ms.size - 1))
+    }
+    val (k0, m0, v0) = stats(0L); val (k1, m1, v1) = stats(1L)
+    assert(out.getLong(0) == k0 && out.getLong(1) == k1)
+    assert(out.getDouble(2) == r6(m0) && out.getDouble(3) == r6(m1))
+    assert(out.getDouble(4) == r6(m1 - m0))
+    assert(math.abs(out.getDouble(5) -
+      math.sqrt(v1 / k1 + v0 / k0)) < 1e-6, s"$out")
+    // a 1-cluster arm cannot estimate between-cluster variance
+    val oneArm = clusters.take(3)
+    assume(oneArm.map(armOfC).toSet.size == 2)
+    val single = oneArm.groupBy(armOfC).values.find(_.size == 1)
+    assume(single.isDefined)
+    val o2 = graft.operators.Experiment.clusterAte(
+      oneArm.flatMap(c => Seq((c, 1L), (c, 2L))).toDF("c", "v"),
+      "c", "v").collect()(0)
+    assert(o2.isNullAt(5) && o2.isNullAt(6),
+      s"1-cluster arm must pin se/t NULL: $o2")
+  }
+
   test("quantileTreatment: exact type-1 quantiles per arm and their difference") {
     val counts = (0L until 12L).map(u => u -> (u.toInt + 1)).toMap
     val events = mkEvents(counts)

@@ -1160,6 +1160,61 @@ class ExtensionOpsSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("streaming BH-FDR deltas roll up to the batch x230 readout exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_fdr").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val b = 64
+    val sq = EventStreams.runToMemory(
+      EventStreams.fdrBhStream(EventStreams.readEvents(spark, dir), b = b)
+        .toDF("kind", "event_type", "obs_bit", "rep_bits"),
+      "fdr_stream", outputMode = "append")
+    try {
+      def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      val rows = spark.table("fdr_stream").collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2),
+          r.getSeq[Long](3)))
+      // denominators from the once-per-user rows
+      val uRows = rows.filter(_._1 == "u")
+      val nt = uRows.length.toLong
+      val nObs = uRows.map(_._3).sum
+      val nR = (0 until b).map(r => uRows.map(_._4(r)).sum)
+      // per-type numerators from the per-event rows
+      val byType = rows.filter(_._1 == "m").groupBy(_._2)
+      val tested = byType.toSeq.map { case (tpe, ms) =>
+        val st = ms.length.toLong
+        def stat(s: Long, n: Long): Option[Double] =
+          if (n == 0L || n == nt) None
+          else Some(r6(s.toDouble / n - (st - s).toDouble / (nt - n)))
+        val statObs = stat(ms.map(_._3).sum, nObs).get
+        val extreme = (0 until b).count { r =>
+          stat(ms.map(_._4(r)).sum, nR(r)).exists(v =>
+            math.abs(v) >= math.abs(statObs))
+        }
+        (tpe, statObs, extreme.toLong, r6((extreme + 1).toDouble / (b + 1)))
+      }
+      // BH step-up on the rolled K-row frame
+      val k = tested.size
+      val ranked = tested.sortBy(t => (t._4, t._1)).zipWithIndex.map {
+        case ((tpe, so, ex, p), i) =>
+          (tpe, so, ex, p, i + 1, r6((i + 1) * 0.1 / k))
+      }
+      val kMax = ranked.filter(t => t._4 <= t._6).map(_._5)
+        .foldLeft(0)(math.max)
+      val streamed = ranked.map(t =>
+        (t._1, t._2, t._3, t._4, t._5, t._6, t._5 <= kMax)).toSet
+      val batch = graft.operators.Experiment.fdrBh(
+        Tables.load(spark, sfDir, "events"), "user_id", "event_type", b = b)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+          r.getDouble(3), r.getInt(4), r.getDouble(5), r.getBoolean(6)))
+        .toSet
+      assert(batch.nonEmpty && streamed == batch,
+        s"streamed=$streamed batch=$batch")
+    } finally sq.stop()
+  }
+
   test("streaming DiD deltas roll up to the batch x215 estimate, including a late pre-period batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -1548,6 +1603,54 @@ class ExtensionOpsSpec extends SparkSpec {
         assert((head.length - atBoundary) * 3 < n, s"$lang b1 not minimal")
       }
     }
+  }
+
+  test("randomizedResponse: seeded coins replay locally, release debiases to the exact identity, mass conserved") {
+    // 60-bit md5 prefix (the md5Long convention), JVM-side
+    def md5Bits(s: String): Long = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L
+      for (i <- 0 until 7) v = (v << 8) | (dig(i) & 0xFFL)
+      (v << 4) | ((dig(7) & 0xF0L) >> 4)
+    }
+    // 40 users; modal type = cat(u % 3) with a tie-breaking duplicate
+    val cats = Seq("alpha", "beta", "gamma")
+    val rows = (0L until 40L).flatMap { u =>
+      Seq.fill(2)((u, cats((u % 3).toInt))) :+ ((u, cats(((u + 1) % 3).toInt)))
+    }
+    val out = graft.operators.Profile.randomizedResponse(
+        rows.toDF("user_id", "event_type"), "user_id", "event_type",
+        keepMicro = 750000L, seed = 11)
+      .orderBy("category").collect()
+    assert(out.map(_.getString(0)).toSeq == cats)
+    // local replay of every user's keep/fake coin
+    val sorted = cats.sorted
+    val local = (0L until 40L).map { u =>
+      val trueC = cats((u % 3).toInt)
+      val keep = md5Bits(s"rr|11|keep|$u") % 1000000L < 750000L
+      if (keep) trueC
+      else sorted((md5Bits(s"rr|11|cat|$u") % 3L).toInt)
+    }
+    val obsLocal = local.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val truLocal = (0L until 40L).groupBy(u => cats((u % 3).toInt))
+      .view.mapValues(_.size.toLong).toMap
+    for (r <- out) {
+      assert(r.getLong(1) == truLocal.getOrElse(r.getString(0), 0L))
+      assert(r.getLong(2) == obsLocal.getOrElse(r.getString(0), 0L))
+      // debias identity: est = (obs - n(1-p)/K) / p with exact dyadic p
+      val expect = (r.getLong(2).toDouble - 40.0 * 0.25 / 3.0) / 0.75
+      assert(math.abs(r.getDouble(3) - expect) < 1e-6, s"$r")
+    }
+    // mass conservation: sum(est) == n (debiasing is a linear bijection)
+    assert(math.abs(out.map(_.getDouble(3)).sum - 40.0) < 1e-4)
+    // a different seed flips some coins (the release is seed-keyed)
+    val out2 = graft.operators.Profile.randomizedResponse(
+        rows.toDF("user_id", "event_type"), "user_id", "event_type",
+        keepMicro = 750000L, seed = 12)
+      .orderBy("category").collect()
+    assert(out.map(_.getLong(1)).toSeq == out2.map(_.getLong(1)).toSeq,
+      "true counts are seed-independent")
   }
 
   test("cmJoinSizeEstimate: exact inner product on a hand fixture; one-sided bound holds; collisions only add") {

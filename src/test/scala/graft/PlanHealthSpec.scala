@@ -1143,6 +1143,34 @@ class PlanHealthSpec extends SparkSpec {
       s"x234 must run on the per-partition codec RDD scan:\n$p")
   }
 
+  test("x235: cluster ATE is one groupBy(cluster) + a cluster-domain rollup; broadcast 1-row combines only") {
+    val p = plan("x235_cluster_ate")
+    assert(!p.contains("CartesianProduct"), s"x235 grew a cartesian:\n$p")
+    assert(!p.replaceAll(
+      "BroadcastNestedLoopJoin BuildRight, Cross", "").contains(
+      "BroadcastNestedLoopJoin"),
+      s"x235 must only cross against broadcast 1-row frames:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"x235 must not row-sort-merge anything:\n$p")
+    assert(!p.contains("Window ["), s"x235 must stay window-free:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"x235 cluster sums must partial-aggregate:\n$p")
+  }
+
+  test("x236: randomized response attaches the category index by broadcast; windows run on bounded frames") {
+    val p = plan("x236_randomized_response")
+    assert(!p.contains("CartesianProduct"), s"x236 grew a cartesian:\n$p")
+    assert(!p.replaceAll(
+      "BroadcastNestedLoopJoin BuildRight, Cross", "").contains(
+      "BroadcastNestedLoopJoin"),
+      s"x236 must only cross against broadcast 1-row frames:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"x236 must not row-sort-merge anything:\n$p")
+    // the fake-category attach must be a broadcast of the K-row domain
+    assert(p.contains("BroadcastHashJoin"),
+      s"x236's category index must broadcast:\n$p")
+  }
+
   test("x199: range splits reduce per-row work to one groupBy(key); windows run on the distinct-key frame") {
     val p = plan("x199_range_splits")
     assert(!p.contains("Join"), s"x199 must stay join-free:\n$p")
