@@ -3077,6 +3077,58 @@ object SparkEntry {
         .orderBy(col("category"))
     },
 
+    // ---- X: off-policy IPS/SNIPS — counterfactual value of two
+    //      candidate action policies (always-click, user-modal) from
+    //      the logged non-purchase feed; reward = purchase within the
+    //      following hour; uniform 1/K logging propensity by
+    //      construction; integer moments, one agg pass for all
+    //      policies ----
+    "x237_offpolicy_ips" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val lg = ev.filter(col("event_type") =!= "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("pts"))
+      val rewards = lg.join(purch,
+          col("user_id") === col("pu") && col("pts") > col("ts") &&
+            col("pts") <= col("ts") + expr("INTERVAL 1 HOUR"), "left")
+        .groupBy(col("event_id"), col("user_id"), col("event_type"))
+        .agg(max(when(col("pts").isNotNull, 1L).otherwise(0L)).as("r"))
+      val modal = lg.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("cnt").desc, col("event_type").desc)))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("modal_c"))
+      val logs = rewards.join(modal, Seq("user_id"))
+      graft.operators.Evaluation.offPolicyIps(logs, "event_type", "r",
+          Seq("always_click" -> lit("click"),
+            "user_modal" -> col("modal_c")))
+        .orderBy(col("policy"))
+    },
+
+    // ---- X: selection-parity audit (the four-fifths rule on a
+    //      median-length curation threshold, per language) — the
+    //      neutral-looking filter that can gut a language; exact
+    //      type-1 median from the value frame, rounded-rate ratios ----
+    "x238_selection_parity" -> { (s, dir) =>
+      graft.operators.CorpusOps.selectionParity(
+        t(s, dir, "documents"), "lang", "n_chars")
+        .orderBy(col("lang"))
+    },
+
+    // ---- X: shuffle-quality audit — observed same-source run lengths
+    //      in x194's epoch-shuffle shard order vs the iid expectation
+    //      1/(1-Σp²); DECIMAL-exact group masses, lag windows
+    //      partitioned by shard ----
+    "x239_shuffle_audit" -> { (s, dir) =>
+      graft.operators.CorpusOps.shuffleRunAudit(
+        t(s, dir, "documents"), "doc_id", "source",
+        seed = 5, nShards = 8)
+    },
+
     // ---- X: Markov removal-effect attribution (Anderl 2016) — channel
     //      credit = drop in the chain's start->conversion probability
     //      when the channel absorbs to null; journeys truncate at first
@@ -6166,6 +6218,117 @@ object SparkEntry {
              AS est_n
          FROM cats LEFT JOIN tru USING (c) LEFT JOIN obs USING (c)
          CROSS JOIN kn ORDER BY category""",
+
+    // x237: the reward join, modal policy, and one-pass policy sums
+    // replayed; IPS = K·s/n, SNIPS = s/m with NULL at zero matches
+    "x237_offpolicy_ips" ->
+      """WITH lg AS (SELECT event_id, user_id, ts, event_type
+           FROM events WHERE event_type <> 'purchase'),
+         pu AS (SELECT user_id, ts AS pts FROM events
+           WHERE event_type = 'purchase'),
+         rw AS (SELECT lg.event_id, lg.user_id, lg.event_type,
+             CAST(max(CASE WHEN pu.pts IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS r
+           FROM lg LEFT JOIN pu ON pu.user_id = lg.user_id
+             AND pu.pts > lg.ts AND pu.pts <= lg.ts + INTERVAL 1 HOUR
+           GROUP BY 1, 2, 3),
+         mc AS (SELECT user_id, event_type, count(*) AS cnt
+           FROM lg GROUP BY 1, 2),
+         md AS (SELECT user_id, event_type AS modal_c FROM (
+             SELECT user_id, event_type, row_number() OVER (
+                 PARTITION BY user_id
+                 ORDER BY cnt DESC, event_type DESC) AS rn
+             FROM mc) WHERE rn = 1),
+         lgm AS (SELECT rw.*, md.modal_c FROM rw JOIN md USING (user_id)),
+         k AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS kk
+           FROM lgm),
+         ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS m0,
+             CAST(sum(CASE WHEN event_type = 'click' THEN r ELSE 0 END)
+               AS BIGINT) AS s0,
+             CAST(sum(CASE WHEN event_type = modal_c THEN 1 ELSE 0 END)
+               AS BIGINT) AS m1,
+             CAST(sum(CASE WHEN event_type = modal_c THEN r ELSE 0 END)
+               AS BIGINT) AS s1
+           FROM lgm)
+         SELECT 'always_click' AS policy, n, kk AS k_actions,
+           m0 AS n_matched, s0 AS sum_reward,
+           round(CAST(kk AS DOUBLE) * CAST(s0 AS DOUBLE)
+             / CAST(n AS DOUBLE), 6) AS ips,
+           round(CASE WHEN m0 = 0 THEN NULL
+             ELSE CAST(s0 AS DOUBLE) / CAST(m0 AS DOUBLE) END, 6) AS snips,
+           round(CAST(m0 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS match_rate
+         FROM ag, k
+         UNION ALL
+         SELECT 'user_modal', n, kk, m1, s1,
+           round(CAST(kk AS DOUBLE) * CAST(s1 AS DOUBLE)
+             / CAST(n AS DOUBLE), 6),
+           round(CASE WHEN m1 = 0 THEN NULL
+             ELSE CAST(s1 AS DOUBLE) / CAST(m1 AS DOUBLE) END, 6),
+           round(CAST(m1 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+         FROM ag, k
+         ORDER BY policy""",
+
+    // x238: exact type-1 median from the value-frame cumulative, then
+    // rounded-rate ratios against the best-treated group
+    "x238_selection_parity" ->
+      """WITH bv AS (SELECT CAST(n_chars AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS t
+           FROM documents GROUP BY 1),
+         cw AS (SELECT v,
+             CAST(sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS c,
+             CAST(sum(t) OVER () AS BIGINT) AS nn
+           FROM bv),
+         med AS (SELECT min(v) AS median FROM cw WHERE c * 2 >= nn),
+         rt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN CAST(n_chars AS BIGINT) >= med.median
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_sel
+           FROM documents, med GROUP BY lang),
+         r2 AS (SELECT lang, n, n_sel,
+             round(CAST(n_sel AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate
+           FROM rt),
+         mx AS (SELECT max(rate) AS rate_max FROM r2)
+         SELECT lang, n, n_sel, rate,
+           round(rate / rate_max, 6) AS parity_ratio,
+           round(rate / rate_max, 6) < 0.8 AS flagged
+         FROM r2, mx ORDER BY lang""",
+
+    // x239: the x194 shuffle replayed (seed 5), then gaps-and-islands
+    // run starts per shard; HUGEINT-exact group masses
+    "x239_shuffle_audit" ->
+      """WITH r AS (SELECT doc_id, source, row_number() OVER (ORDER BY
+             ('0x' || substr(md5('5|' || CAST(doc_id AS VARCHAR)), 1, 15))
+               ::BIGINT ASC, doc_id ASC) AS rk
+           FROM documents),
+         sh AS (SELECT source, (rk - 1) % 8 AS shard,
+             (rk - 1) // 8 AS pos FROM r),
+         lgd AS (SELECT source, lag(source) OVER (PARTITION BY shard
+             ORDER BY pos) AS prev FROM sh),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN prev IS NULL OR prev <> source
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+           FROM lgd),
+         gs AS (SELECT CAST(CAST(sum(CAST(g AS HUGEINT)
+               * CAST(g AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS ss
+           FROM (SELECT CAST(count(*) AS BIGINT) AS g
+                 FROM documents GROUP BY source))
+         SELECT n_rows, CAST(8 AS BIGINT) AS n_shards, n_runs,
+           round(CAST(n_rows AS DOUBLE) / CAST(n_runs AS DOUBLE), 6)
+             AS mean_run,
+           round(CASE WHEN CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)
+               - ss = 0.0 THEN NULL
+             ELSE CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)
+               / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE) - ss)
+             END, 6) AS expected_run,
+           round(CASE WHEN CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)
+               - ss = 0.0 THEN NULL
+             ELSE (CAST(n_rows AS DOUBLE) / CAST(n_runs AS DOUBLE))
+               / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)
+                 / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE) - ss))
+             END, 6) AS run_ratio
+         FROM st, gs""",
 
     // x225: Mantel-Haenszel 2x2 strata — per-stratum terms rounded then
     // DECIMAL-summed; pooled OR NULL at zero discordant mass

@@ -619,6 +619,31 @@ object Stress {
         "randomized_response" -> (() =>
           operators.Profile.randomizedResponse(events, "user_id",
             "event_type").count()),
+        // reward interval-join per user + one agg pass for all policies
+        "offpolicy_ips" -> (() => {
+          val lg = events.filter(col("event_type") =!= "purchase")
+            .select(col("event_id"), col("user_id"), col("ts"),
+              col("event_type"))
+          val purch = events.filter(col("event_type") === "purchase")
+            .select(col("user_id").as("pu"), col("ts").as("pts"))
+          val rewards = lg.join(purch,
+              col("user_id") === col("pu") && col("pts") > col("ts") &&
+                col("pts") <= col("ts") + expr("INTERVAL 1 HOUR"), "left")
+            .groupBy(col("event_id"), col("user_id"), col("event_type"))
+            .agg(max(when(col("pts").isNotNull, 1L).otherwise(0L)).as("r"))
+          operators.Evaluation.offPolicyIps(rewards, "event_type", "r",
+            Seq("always_click" ->
+              org.apache.spark.sql.functions.lit("click"))).count()
+        }),
+        // value-frame median window + one groupBy(group)
+        "selection_parity" -> (() =>
+          operators.CorpusOps.selectionParity(
+            docs.withColumn("n_chars", length(col("text"))),
+            "lang", "n_chars").count()),
+        // range-partitioned shuffle + shard-keyed lag windows
+        "shuffle_audit" -> (() =>
+          operators.CorpusOps.shuffleRunAudit(docs, "doc_id", "source",
+            seed = 5, nShards = 8).count()),
         // embarrassingly parallel codec scan (synth + decode + RMS)
         "wav_vad" -> (() => {
           val ids = docs.select(col("doc_id")).limit(2000 * m)

@@ -561,6 +561,108 @@ object CorpusOps {
       "saturated")
   }
 
+  /** Selection-parity audit of a value-thresholded curation step (the
+    * EEOC four-fifths rule applied to corpus curation): select rows
+    * with `valueCol` at/above the GLOBAL exact type-1 median, then per
+    * `groupCol` report the selection rate, its ratio to the
+    * best-treated group's rate, and the 80%-rule flag. A quality
+    * threshold that looks neutral ("keep docs above median length")
+    * can silently gut a language or source; this is the one-line audit
+    * that catches it before the mixture ships.
+    *
+    * Exactness: the median is the smallest value whose cumulative count
+    * reaches ceil(n/2) — integer arithmetic on the codomain-bounded
+    * value frame (the x13 convention); rates are rounded divisions of
+    * exact longs and the parity ratio divides the ROUNDED rates, so
+    * both engines compare on the same grid. rate_max > 0 always (the
+    * median selects at least half the corpus).
+    *
+    * 100 TB shape: one value-frame groupBy + bounded cumulative window
+    * for the median, one broadcast 1-row attach, one groupBy(group).
+    * Output per group: (group, n, n_sel, rate, parity_ratio, flagged). */
+  def selectionParity(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val d = (c: Column) => c.cast(DoubleType)
+    val byV = df.groupBy(col(valueCol).cast(LongType).as("v"))
+      .agg(count(lit(1)).as("t"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(lit(1))
+    // smallest v with 2*cum >= n  ==  cum >= ceil(n/2) (type-1 median)
+    val med = byV.withColumn("c", sum(col("t")).over(w))
+      .withColumn("nn", sum(col("t")).over(tot))
+      .filter(col("c") * 2L >= col("nn"))
+      .agg(min(col("v")).as("median"))
+    val rates = df.crossJoin(broadcast(med))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(valueCol).cast(LongType) >= col("median"), 1L)
+          .otherwise(0L)).as("n_sel"))
+      .withColumn("rate", round(d(col("n_sel")) / d(col("n")), 6))
+    val mx = rates.agg(max(col("rate")).as("rate_max"))
+    rates.crossJoin(broadcast(mx)) // group-frame x 1-row
+      .select(col(groupCol), col("n"), col("n_sel"), col("rate"),
+        round(col("rate") / col("rate_max"), 6).as("parity_ratio"))
+      .withColumn("flagged", col("parity_ratio") < 0.8)
+  }
+
+  /** Shuffle-quality audit of [[epochShuffle]] (the training-order
+    * check: correlated batches from a bad shuffle bias gradients long
+    * before anyone looks at the loss): deal the corpus into shards,
+    * walk each shard in position order, and compare the observed mean
+    * same-`groupCol` run length against the iid expectation
+    * 1/(1 − Σ p_s²) — a ratio near 1 means sources interleave like an
+    * independent draw; a ratio well above 1 means the "shuffle" is
+    * still clumped (hash collisions, a degenerate seed, or an id space
+    * that correlates with the group).
+    *
+    * Exactness: run starts are exact integers from a lag over
+    * (shard, position); Σ n_s² folds as exact DECIMAL (no Long overflow
+    * at any corpus size, no double summation order); the two run-length
+    * expressions and their ratio are single double folds rounded at the
+    * edge.
+    *
+    * 100 TB shape: the shuffle itself is [[epochShuffle]]'s
+    * range-partitioned sort + two-pass rank; the lag window partitions
+    * by shard (shard count scales with the cluster, keeping partitions
+    * bounded); group masses are a group-domain frame. Output one row:
+    * (n_rows, n_shards, n_runs, mean_run, expected_run, ratio). */
+  def shuffleRunAudit(df: DataFrame, idCol: String, groupCol: String,
+      seed: Int, nShards: Int): DataFrame = {
+    val d = (c: Column) => c.cast(DoubleType)
+    val dec = org.apache.spark.sql.types.DecimalType(19, 0)
+    val sh = epochShuffle(df.select(col(idCol), col(groupCol)),
+      idCol, seed, nShards)
+    val w = Window.partitionBy(col("shard")).orderBy(col("shard_pos"))
+    val starts = sh
+      .withColumn("prev", lag(col(groupCol), 1).over(w))
+      .select(when(col("prev").isNull || col("prev") =!= col(groupCol), 1L)
+        .otherwise(0L).as("st"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("st")).as("n_runs"))
+    val gs = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__graft_gmass__"))
+      .agg(sum(col("__graft_gmass__").cast(dec) *
+        col("__graft_gmass__").cast(dec)).as("ss"))
+      .select(col("ss").cast("string").cast(DoubleType).as("ss"))
+    // a single-group corpus has Σp² = 1: the iid expectation diverges
+    // (every order is one run) — pin NULL rather than emit inf
+    val degenerate =
+      d(col("n_rows")) * d(col("n_rows")) - col("ss") === 0.0
+    starts.crossJoin(broadcast(gs)) // 1-row x 1-row
+      .select(col("n_rows"), lit(nShards.toLong).as("n_shards"),
+        col("n_runs"),
+        round(d(col("n_rows")) / d(col("n_runs")), 6).as("mean_run"),
+        round(when(degenerate, lit(null).cast(DoubleType))
+          .otherwise(d(col("n_rows")) * d(col("n_rows")) /
+            (d(col("n_rows")) * d(col("n_rows")) - col("ss"))), 6)
+          .as("expected_run"),
+        round(when(degenerate, lit(null).cast(DoubleType))
+          .otherwise((d(col("n_rows")) / d(col("n_runs"))) /
+            (d(col("n_rows")) * d(col("n_rows")) /
+              (d(col("n_rows")) * d(col("n_rows")) - col("ss")))), 6)
+          .as("run_ratio"))
+  }
+
   /** Gopher-style repetition signals per document:
     *  - `dup_5gram_frac`: fraction of 5-gram occurrences that repeat an
     *    earlier one — a pure scalar expression (no shuffle).

@@ -18,6 +18,53 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, StringType}
   */
 object Evaluation {
 
+  /** Off-policy evaluation of candidate action policies from a logged
+    * bandit-style feed (Horvitz-Thompson 1952 / Li et al. 2011): given
+    * a log of (action, integer reward) decisions whose logging policy
+    * is uniform over the K-action domain (propensity 1/K — true by
+    * construction for a hash-explored or round-robin logger; pass the
+    * real propensity column when you have one), estimate each candidate
+    * policy's value WITHOUT deploying it:
+    *   IPS   = (K/n) · Σ r_i · 1[a_i = π(x_i)]     (unbiased, high-var)
+    *   SNIPS = Σ r_i·1[match] / Σ 1[match]          (self-normalized —
+    *           the constant K/(1/K) weights cancel; biased O(1/n),
+    *           far lower variance)
+    * The offline-counterfactual front door of every recommendation /
+    * curation-policy loop ("would always-pick-X or pick-the-user's-
+    * modal-action earn more conversions than what we logged?").
+    *
+    * Each policy is a Column over the log frame, so contextual policies
+    * (per-user modal action, a model argmax) attach upstream as plain
+    * columns. Integer rewards keep every moment exact; one aggregate
+    * pass carries all policies' matched counts/reward sums, K attaches
+    * as a broadcast 1-row frame, and the output is one row per policy:
+    * (policy, n, k_actions, n_matched, sum_reward, ips, snips NULL at
+    * zero matches, match_rate). */
+  def offPolicyIps(logs: DataFrame, actionCol: String, rewardCol: String,
+      policies: Seq[(String, Column)]): DataFrame = {
+    require(policies.nonEmpty, "need at least one candidate policy")
+    val d = (c: Column) => c.cast(DoubleType)
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      policies.zipWithIndex.flatMap { case ((_, pol), i) =>
+        Seq(sum(when(col(actionCol) === pol, 1L).otherwise(0L)).as(s"m$i"),
+          sum(when(col(actionCol) === pol, col(rewardCol)).otherwise(0L))
+            .as(s"s$i"))
+      }
+    val row = logs.agg(aggs.head, aggs.tail: _*)
+    val k = logs.select(col(actionCol)).distinct()
+      .agg(count(lit(1)).as("kk"))
+    val base = row.crossJoin(broadcast(k)) // 1-row x 1-row
+    policies.zipWithIndex.map { case ((name, _), i) =>
+      base.select(lit(name).as("policy"), col("n"),
+        col("kk").as("k_actions"), col(s"m$i").as("n_matched"),
+        col(s"s$i").as("sum_reward"),
+        round(d(col("kk")) * d(col(s"s$i")) / d(col("n")), 6).as("ips"),
+        round(when(col(s"m$i") === 0L, lit(null).cast(DoubleType))
+          .otherwise(d(col(s"s$i")) / d(col(s"m$i"))), 6).as("snips"),
+        round(d(col(s"m$i")) / d(col("n")), 6).as("match_rate"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Confusion matrix with row-normalized rates: one row per observed
     * (actual, predicted) pair — n and P(predicted | actual). The
     * normalization window runs on the k^2 cell frame (k = label

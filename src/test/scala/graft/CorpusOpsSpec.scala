@@ -580,4 +580,55 @@ class CorpusOpsSpec extends SparkSpec {
     assert(zk("w0").getLong(4) == 0L && !zk("w0").isNullAt(5))
     assert(zk("m0").getLong(4) == 0L && zk("m0").isNullAt(5))
   }
+
+  test("selectionParity: exact type-1 median threshold, rate ratios vs the best group, 80%-rule flag") {
+    // values: group g1 mostly above the median, g2 mostly below; the
+    // pooled sorted values are 1..10 -> type-1 median = 5
+    val rows = Seq(
+      ("g1", 5L), ("g1", 7L), ("g1", 8L), ("g1", 9L), ("g1", 10L),
+      ("g2", 1L), ("g2", 2L), ("g2", 3L), ("g2", 4L), ("g2", 6L)
+    ).toDF("g", "v")
+    val out = CorpusOps.selectionParity(rows, "g", "v")
+      .orderBy("g").collect()
+    val g1 = out(0); val g2 = out(1)
+    // median 5: g1 selects all 5 (rate 1.0), g2 selects only the 6
+    assert(g1.getLong(1) == 5L && g1.getLong(2) == 5L)
+    assert(g1.getDouble(3) == 1.0 && g1.getDouble(4) == 1.0)
+    assert(!g1.getBoolean(5))
+    assert(g2.getLong(2) == 1L && g2.getDouble(3) == 0.2)
+    assert(g2.getDouble(4) == 0.2 && g2.getBoolean(5),
+      s"g2 must trip the four-fifths rule: $g2")
+    // even split with ties at the boundary: median of 1,2,2,3 is 2
+    // (cum(2)=3 >= ceil(4/2)); both groups select their 2s and 3s
+    val tie = Seq(("a", 1L), ("a", 2L), ("b", 2L), ("b", 3L))
+      .toDF("g", "v")
+    val t = CorpusOps.selectionParity(tie, "g", "v")
+      .orderBy("g").collect()
+    assert(t(0).getLong(2) == 1L && t(1).getLong(2) == 2L)
+  }
+
+  test("shuffleRunAudit: run starts match a local replay; iid ratio near 1; single-group pins NULL") {
+    val rows = (0L until 200L).map(i => (i, s"s${i % 4}")).toDF("id", "g")
+    val out = CorpusOps.shuffleRunAudit(rows, "id", "g",
+      seed = 3, nShards = 4).collect()(0)
+    assert(out.getLong(0) == 200L && out.getLong(1) == 4L)
+    // local replay: collect the shuffle order and count run starts
+    val sh = CorpusOps.epochShuffle(rows, "id", seed = 3, nShards = 4)
+      .orderBy("shard", "shard_pos")
+      .collect().map(r => (r.getLong(2), r.getString(1)))
+    val runs = sh.zipWithIndex.count { case ((shard, g), i) =>
+      i == 0 || sh(i - 1)._1 != shard || sh(i - 1)._2 != g
+    }
+    assert(out.getLong(2) == runs.toLong, s"runs $runs vs $out")
+    // 4 equal groups: E[run] = 1/(1-0.25) = 4/3 exactly
+    assert(out.getDouble(4) == math.rint(4.0 / 3.0 * 1e6) / 1e6)
+    assert(out.getDouble(5) > 0.5 && out.getDouble(5) < 2.0,
+      s"a seeded hash order must interleave like iid: $out")
+    // every row one group: the iid expectation diverges -> NULL pin
+    val one = (0L until 40L).map(i => (i, "only")).toDF("id", "g")
+    val o = CorpusOps.shuffleRunAudit(one, "id", "g",
+      seed = 3, nShards = 4).collect()(0)
+    assert(o.isNullAt(4) && o.isNullAt(5))
+    assert(o.getLong(2) == 4L, "one run per shard")
+  }
 }

@@ -322,4 +322,32 @@ class EvaluationSpec extends SparkSpec {
       b = 32, seed = 7).head()
     assert(r.toSeq == r2.toSeq)
   }
+
+  test("offPolicyIps: hand-computed IPS/SNIPS; zero-match policy pins SNIPS NULL; SNIPS ignores match rate") {
+    // 8 logged decisions over K=2 actions; rewards chosen so the two
+    // estimators disagree exactly as the formulas say
+    val logs = Seq(
+      ("a", 1L), ("a", 0L), ("a", 1L), ("a", 1L),
+      ("b", 0L), ("b", 1L), ("b", 0L), ("b", 0L)
+    ).toDF("action", "r")
+    val out = Evaluation.offPolicyIps(logs, "action", "r",
+        Seq("pick_a" -> lit("a"), "pick_b" -> lit("b"),
+          "pick_c" -> lit("c")))
+      .orderBy("policy").collect()
+    val byP = out.map(r => r.getString(0) -> r).toMap
+    // pick_a: matched 4 rows, reward 3; K=2, n=8
+    val a = byP("pick_a")
+    assert(a.getLong(1) == 8L && a.getLong(2) == 2L)
+    assert(a.getLong(3) == 4L && a.getLong(4) == 3L)
+    assert(a.getDouble(5) == 2.0 * 3.0 / 8.0)   // IPS = K*s/n = 0.75
+    assert(a.getDouble(6) == 0.75)               // SNIPS = 3/4
+    assert(a.getDouble(7) == 0.5)
+    // pick_b: s=1, m=4 -> IPS 0.25, SNIPS 0.25
+    val b = byP("pick_b")
+    assert(b.getDouble(5) == 0.25 && b.getDouble(6) == 0.25)
+    // pick_c never matches the log: IPS 0 (no evidence), SNIPS NULL
+    val c = byP("pick_c")
+    assert(c.getLong(3) == 0L && c.getDouble(5) == 0.0)
+    assert(c.isNullAt(6), "zero-match SNIPS must pin NULL")
+  }
 }

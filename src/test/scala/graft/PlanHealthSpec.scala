@@ -1171,6 +1171,48 @@ class PlanHealthSpec extends SparkSpec {
       s"x236's category index must broadcast:\n$p")
   }
 
+  test("x237: off-policy eval joins rewards equi on user; all policies ride ONE aggregate pass + broadcast 1-row K") {
+    val p = plan("x237_offpolicy_ips")
+    assert(!p.contains("CartesianProduct"), s"x237 grew a cartesian:\n$p")
+    assert(!p.replaceAll(
+      "BroadcastNestedLoopJoin BuildRight, Cross", "").contains(
+      "BroadcastNestedLoopJoin"),
+      s"x237 must only cross against broadcast 1-row frames:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"x237 sums must partial-aggregate:\n$p")
+  }
+
+  test("x238: parity audit — median from the value-frame window, rates one groupBy, only broadcast combines") {
+    val p = plan("x238_selection_parity")
+    assert(!p.contains("CartesianProduct"), s"x238 grew a cartesian:\n$p")
+    assert(!p.replaceAll(
+      "BroadcastNestedLoopJoin BuildRight, Cross", "").contains(
+      "BroadcastNestedLoopJoin"),
+      s"x238 must only cross against broadcast 1-row frames:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"x238 must not row-sort-merge anything:\n$p")
+    // the median window must sit ABOVE the value-frame aggregate
+    val winAt = p.indexOf("Window [")
+    assert(winAt >= 0 &&
+      "HashAggregate".r.findAllIn(p.substring(winAt)).size >= 2,
+      s"x238's cumulative must consume the value frame, not rows:\n$p")
+  }
+
+  test("x239: shuffle audit — range-partitioned sort + two-pass rank; lag windows partition by shard") {
+    val p = plan("x239_shuffle_audit")
+    assert(!p.contains("CartesianProduct"), s"x239 grew a cartesian:\n$p")
+    assert(!p.replaceAll(
+      "BroadcastNestedLoopJoin BuildRight, Cross", "").contains(
+      "BroadcastNestedLoopJoin"),
+      s"x239 must only cross against broadcast 1-row frames:\n$p")
+    // every window must be keyed (windowspecdefinition with a partition
+    // list) — no unpartitioned corpus-wide window
+    assert(!p.contains("windowspecdefinition(__graft"),
+      s"x239 must not window the raw corpus unkeyed:\n$p")
+    assert(p.contains("Window [") ,
+      s"x239 expects the shard-partitioned lag window:\n$p")
+  }
+
   test("x199: range splits reduce per-row work to one groupBy(key); windows run on the distinct-key frame") {
     val p = plan("x199_range_splits")
     assert(!p.contains("Join"), s"x199 must stay join-free:\n$p")
