@@ -3129,6 +3129,42 @@ object SparkEntry {
         seed = 5, nShards = 8)
     },
 
+    // ---- X: Kaplan-Meier survival curve on days to first purchase —
+    //      never-converters are right-censored at their last event,
+    //      not zeros; day-bounded risk frame, log-space microgrid
+    //      product (the x181 fold) ----
+    "x240_kaplan_meier" -> { (s, dir) =>
+      graft.operators.Survival.kaplanMeier(
+        t(s, dir, "events"), "user_id", "ts", "event_type", "purchase")
+    },
+
+    // ---- X: log-rank test between the hash arms on time to first
+    //      purchase — the censoring-correct A/B readout for
+    //      time-to-event; hypergeometric E/V terms rounded HALF-UP on
+    //      the 1e6 microgrid in exact Decimal integer division ----
+    "x241_logrank" -> { (s, dir) =>
+      graft.operators.Survival.logRank(
+        t(s, dir, "events"), "user_id", "ts", "event_type", "purchase")
+    },
+
+    // ---- X: IV Wald/LATE — hash arm as encouragement instrument,
+    //      click uptake as the endogenous treatment, purchase count as
+    //      outcome; first-stage F with the Staiger-Stock weak flag;
+    //      integer counts to a 1-row reduce ----
+    "x242_iv_wald" -> { (s, dir) =>
+      graft.operators.Experiment.ivWald(
+        t(s, dir, "events"), "user_id", "event_type",
+        uptakeType = "click", outcomeType = "purchase")
+    },
+
+    // ---- X: Wilson score guardrail on per-arm user conversion at the
+    //      pinned z=1.96 — the small-n/extreme-p-safe interval; exact
+    //      (n,k) per arm then per-row doubles ----
+    "x243_wilson_ci" -> { (s, dir) =>
+      graft.operators.Experiment.wilsonGuardrail(
+        t(s, dir, "events"), "user_id", "event_type", "purchase")
+    },
+
     // ---- X: Markov removal-effect attribution (Anderl 2016) — channel
     //      credit = drop in the chain's start->conversion probability
     //      when the channel absorbs to null; journeys truncate at first
@@ -6329,6 +6365,183 @@ object SparkEntry {
                  / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE) - ss))
              END, 6) AS run_ratio
          FROM st, gs""",
+
+    // x240: Kaplan-Meier risk table — integer day durations, censored
+    // at last event; survival via the x181 microgrid log fold (exact
+    // long sums, one outer exp); n=d pins the absorbing 0.0
+    "x240_kaplan_meier" ->
+      """WITH pu AS (SELECT user_id, min(ts) AS start,
+             min(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS conv_ts,
+             max(ts) AS last_ts
+           FROM events GROUP BY 1),
+         dur AS (SELECT CAST(CASE WHEN conv_ts IS NOT NULL
+               THEN date_diff('day', CAST(start AS DATE),
+                 CAST(conv_ts AS DATE))
+               ELSE date_diff('day', CAST(start AS DATE),
+                 CAST(last_ts AS DATE)) END AS BIGINT) AS t,
+             CASE WHEN conv_ts IS NOT NULL THEN 1 ELSE 0 END AS e
+           FROM pu),
+         byt AS (SELECT t, CAST(sum(e) AS BIGINT) AS d,
+             CAST(sum(1 - e) AS BIGINT) AS c FROM dur GROUP BY 1),
+         rk AS (SELECT t, d, c,
+             sum(d + c) OVER () - COALESCE(sum(d + c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+           FROM byt),
+         lg AS (SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d, c,
+             CASE WHEN d = 0 THEN 0 WHEN n_risk = d THEN 0
+               ELSE CAST(round(ln(CAST(n_risk - d AS DOUBLE)
+                 / CAST(n_risk AS DOUBLE)) * 1e6) AS BIGINT) END AS lnm,
+             CASE WHEN n_risk = d THEN 1 ELSE 0 END AS z
+           FROM rk),
+         cm AS (SELECT t, n_risk, d, c,
+             sum(lnm) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS cum_ln,
+             max(z) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS dead
+           FROM lg)
+         SELECT t AS t_days, n_risk, d, c,
+           CASE WHEN dead = 1 THEN CAST(0.0 AS DOUBLE)
+             ELSE round(exp(CAST(cum_ln AS DOUBLE) / 1e6), 6) END
+             AS survival
+         FROM cm ORDER BY t_days""",
+
+    // x241: log-rank between the hash arms — E1/V per risk row rounded
+    // HALF-UP to the 1e6 microgrid via exact HUGEINT floor division
+    // (floor((2*a*1e6 + b) / (2*b))), summed as exact integers
+    "x241_logrank" ->
+      """WITH pu AS (SELECT user_id, min(ts) AS start,
+             min(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS conv_ts,
+             max(ts) AS last_ts
+           FROM events GROUP BY 1),
+         dur AS (SELECT CAST(CASE WHEN conv_ts IS NOT NULL
+               THEN date_diff('day', CAST(start AS DATE),
+                 CAST(conv_ts AS DATE))
+               ELSE date_diff('day', CAST(start AS DATE),
+                 CAST(last_ts AS DATE)) END AS BIGINT) AS t,
+             CASE WHEN conv_ts IS NOT NULL THEN 1 ELSE 0 END AS e,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 2 AS arm
+           FROM pu),
+         byt AS (SELECT t, CAST(sum(e) AS BIGINT) AS d_all,
+             CAST(sum(CASE WHEN arm = 1 THEN e ELSE 0 END) AS BIGINT)
+               AS d1,
+             CAST(count(*) AS BIGINT) AS lv,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS lv1
+           FROM dur GROUP BY 1),
+         rk AS (SELECT d_all, d1,
+             CAST(sum(lv) OVER () AS BIGINT) AS n_users,
+             CAST(sum(lv) OVER () - COALESCE(sum(lv) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n,
+             CAST(sum(lv1) OVER () - COALESCE(sum(lv1) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n1
+           FROM byt),
+         rm AS (SELECT n_users, d1,
+             (2 * CAST(d_all AS HUGEINT) * CAST(n1 AS HUGEINT) * 1000000
+               + CAST(n AS HUGEINT))
+               // (2 * CAST(n AS HUGEINT)) AS e1m,
+             CASE WHEN n <= 1 THEN 0
+               ELSE (2 * CAST(d_all AS HUGEINT) * CAST(n1 AS HUGEINT)
+                   * CAST(n - n1 AS HUGEINT) * CAST(n - d_all AS HUGEINT)
+                   * 1000000
+                 + CAST(n AS HUGEINT) * CAST(n AS HUGEINT)
+                   * CAST(n - 1 AS HUGEINT))
+                 // (2 * CAST(n AS HUGEINT) * CAST(n AS HUGEINT)
+                   * CAST(n - 1 AS HUGEINT)) END AS vm
+           FROM rk),
+         f AS (SELECT n_users, CAST(sum(d1) AS BIGINT) AS o1,
+             CAST(sum(e1m) AS BIGINT) AS e1m,
+             CAST(sum(vm) AS BIGINT) AS vm
+           FROM rm GROUP BY 1)
+         SELECT n_users, o1,
+           round(CAST(e1m AS DOUBLE) / 1e6, 6) AS e1,
+           round(CAST(vm AS DOUBLE) / 1e6, 6) AS v,
+           round(CASE WHEN vm = 0 THEN NULL
+             ELSE (CAST(o1 AS DOUBLE) - CAST(e1m AS DOUBLE) / 1e6)
+               * (CAST(o1 AS DOUBLE) - CAST(e1m AS DOUBLE) / 1e6)
+               / (CAST(vm AS DOUBLE) / 1e6) END, 6) AS chi2,
+           (CASE WHEN vm = 0 THEN NULL
+             ELSE (CAST(o1 AS DOUBLE) - CAST(e1m AS DOUBLE) / 1e6)
+               * (CAST(o1 AS DOUBLE) - CAST(e1m AS DOUBLE) / 1e6)
+               / (CAST(vm AS DOUBLE) / 1e6) END) > 3.841459
+             AS significant
+         FROM f""",
+
+    // x242: IV Wald — integer per-arm counts, the same division order
+    // as the Spark plan; LATE NULL at zero first stage, F NULL at zero
+    // uptake variance
+    "x242_iv_wald" ->
+      """WITH pu AS (SELECT user_id,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS tr,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS y
+           FROM events GROUP BY 1),
+         pa AS (SELECT
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 2 AS arm,
+             CAST(count(*) AS BIGINT) AS n, CAST(sum(tr) AS BIGINT)
+               AS kt,
+             CAST(sum(y) AS BIGINT) AS sy
+           FROM pu GROUP BY 1),
+         a0 AS (SELECT n AS n0, kt AS kt0, sy AS sy0 FROM pa
+           WHERE arm = 0),
+         a1 AS (SELECT n AS n1, kt AS kt1, sy AS sy1 FROM pa
+           WHERE arm = 1),
+         j AS (SELECT n0, n1,
+             CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+               - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS itt_raw,
+             CAST(kt1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+             CAST(kt0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0
+           FROM a0 CROSS JOIN a1),
+         k AS (SELECT n0, n1, itt_raw, p1 - p0 AS fs_raw,
+             p1 * (1.0 - p1) / CAST(n1 AS DOUBLE)
+               + p0 * (1.0 - p0) / CAST(n0 AS DOUBLE) AS fs_var
+           FROM j)
+         SELECT n0, n1, round(itt_raw, 6) AS itt,
+           round(fs_raw, 6) AS first_stage,
+           round(CASE WHEN fs_raw = 0.0 THEN NULL
+             ELSE itt_raw / fs_raw END, 6) AS late,
+           round(CASE WHEN fs_var = 0.0 THEN NULL
+             ELSE fs_raw * fs_raw / fs_var END, 6) AS f_stat,
+           (CASE WHEN fs_var = 0.0 THEN NULL
+             ELSE fs_raw * fs_raw / fs_var END) < 10.0
+             AS weak_instrument
+         FROM k""",
+
+    // x243: Wilson intervals — z and z^2 forced through DOUBLE (the
+    // DECIMAL-literal hazard), same operation order as the Spark plan
+    "x243_wilson_ci" ->
+      """WITH pu AS (SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+           FROM events GROUP BY 1),
+         pa AS (SELECT
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 2 AS arm,
+             CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT)
+               AS k
+           FROM pu GROUP BY 1),
+         zz AS (SELECT CAST(1.96 AS DOUBLE) AS z,
+             CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) AS z2),
+         w AS (SELECT arm, n, k,
+             CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+             1.0 + z2 / CAST(n AS DOUBLE) AS denom, z, z2
+           FROM pa CROSS JOIN zz),
+         w2 AS (SELECT arm, n, k, p,
+             (p + z2 / (2.0 * CAST(n AS DOUBLE))) / denom AS center,
+             z * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE)
+               + z2 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+               / denom AS half
+           FROM w)
+         SELECT arm, n, k, round(p, 6) AS rate,
+           round(center - half, 6) AS lo, round(center + half, 6) AS hi
+         FROM w2 ORDER BY arm""",
 
     // x225: Mantel-Haenszel 2x2 strata — per-stratum terms rounded then
     // DECIMAL-summed; pooled OR NULL at zero discordant mass

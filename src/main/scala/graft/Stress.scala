@@ -644,6 +644,20 @@ object Stress {
         "shuffle_audit" -> (() =>
           operators.CorpusOps.shuffleRunAudit(docs, "doc_id", "source",
             seed = 5, nShards = 8).count()),
+        // per-user duration agg + day-bounded risk-frame windows
+        "kaplan_meier" -> (() =>
+          operators.Survival.kaplanMeier(events, "user_id", "ts",
+            "event_type", "purchase").count()),
+        "logrank" -> (() =>
+          operators.Survival.logRank(events, "user_id", "ts",
+            "event_type", "purchase").count()),
+        // two per-user aggs into 2-row arm frames
+        "iv_wald" -> (() =>
+          operators.Experiment.ivWald(events, "user_id", "event_type",
+            "click", "purchase").count()),
+        "wilson_ci" -> (() =>
+          operators.Experiment.wilsonGuardrail(events, "user_id",
+            "event_type", "purchase").count()),
         // embarrassingly parallel codec scan (synth + decode + RMS)
         "wav_vad" -> (() => {
           val ids = docs.select(col("doc_id")).limit(2000 * m)

@@ -959,4 +959,95 @@ object Experiment {
     cs.zipWithIndex.map { case ((a, b, n), i) => (a, b, n, w(i)) }.toSeq
       .toDF(aCol, bCol, nCol, "weight")
   }
+
+  /** Instrumental-variable (Wald/LATE) estimator with a first-stage
+    * strength readout (Angrist, Imbens & Rubin 1996). The instrument
+    * Z is the deterministic hash arm ([[armOf]]) — an ENCOURAGEMENT,
+    * not the treatment: uptake T is whatever the user actually did
+    * (`uptake` predicate on the event log) and compliance is partial,
+    * so the naive per-T contrast is confounded while the Z contrast is
+    * not. LATE = ITT / first-stage = (E[Y|Z=1]-E[Y|Z=0]) /
+    * (E[T|Z=1]-E[T|Z=0]), pinned NULL when the first stage is exactly
+    * 0; the weak-instrument F statistic fs^2 / (p1(1-p1)/n1 +
+    * p0(1-p0)/n0) uses the exact binomial variance of the binary
+    * uptake (pinned NULL when that variance is 0), with the classic
+    * F < 10 weak flag (Staiger & Stock 1997).
+    *
+    * Everything is integer counts per arm until the final divisions:
+    * one per-user groupBy, one 2-row arm agg, one 1-row reduce —
+    * nothing row-scale past the first partial agg. */
+  def ivWald(events: DataFrame, userCol: String, typeCol: String,
+      uptakeType: String, outcomeType: String): DataFrame = {
+    val d = (c: Column) => c.cast(DoubleType)
+    val perUser = events.groupBy(col(userCol))
+      .agg(max(when(col(typeCol) === uptakeType, 1L).otherwise(0L))
+          .as("tr"),
+        sum(when(col(typeCol) === outcomeType, 1L).otherwise(0L))
+          .as("y"))
+      .withColumn("arm", armOf(col(userCol), 2))
+    val perArm = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("tr")).as("kt"),
+        sum(col("y")).as("sy"))
+    def arm(t: Int): DataFrame =
+      perArm.filter(col("arm") === t.toLong)
+        .select(col("n").as(s"n$t"), col("kt").as(s"kt$t"),
+          col("sy").as(s"sy$t"))
+    val j = arm(0).crossJoin(broadcast(arm(1))) // 1-row x 1-row
+      .withColumn("itt_raw",
+        d(col("sy1")) / d(col("n1")) - d(col("sy0")) / d(col("n0")))
+      .withColumn("p1", d(col("kt1")) / d(col("n1")))
+      .withColumn("p0", d(col("kt0")) / d(col("n0")))
+      .withColumn("fs_raw", col("p1") - col("p0"))
+      .withColumn("fs_var",
+        col("p1") * (lit(1.0) - col("p1")) / d(col("n1")) +
+          col("p0") * (lit(1.0) - col("p0")) / d(col("n0")))
+    j.select(col("n0"), col("n1"),
+      round(col("itt_raw"), 6).as("itt"),
+      round(col("fs_raw"), 6).as("first_stage"),
+      round(when(col("fs_raw") === 0.0, lit(null).cast(DoubleType))
+        .otherwise(col("itt_raw") / col("fs_raw")), 6).as("late"),
+      round(when(col("fs_var") === 0.0, lit(null).cast(DoubleType))
+        .otherwise(col("fs_raw") * col("fs_raw") / col("fs_var")), 6)
+        .as("f_stat"),
+      (when(col("fs_var") === 0.0, lit(null).cast(DoubleType))
+        .otherwise(col("fs_raw") * col("fs_raw") / col("fs_var")) <
+        lit(10.0)).as("weak_instrument"))
+  }
+
+  /** Wilson score interval (Wilson 1927) on each arm's user-level
+    * conversion rate at the pinned two-sided 5% z = 1.96 — the
+    * guardrail interval that stays inside [0,1] and behaves at small
+    * n/extreme p where the Wald interval collapses. Output one row per
+    * arm: (arm, n, k, rate, lo, hi), all rates rounded at 6. Integer
+    * (n, k) per arm until the final per-row doubles; one per-user
+    * groupBy then a 2-row frame. Streaming twin:
+    * [[graft.streaming.EventStreams.wilsonGuardrailStream]]. */
+  def wilsonGuardrail(events: DataFrame, userCol: String,
+      typeCol: String, convertType: String, z: Double = 1.96)
+      : DataFrame = {
+    val perArm = events.groupBy(col(userCol))
+      .agg(max(when(col(typeCol) === convertType, 1L).otherwise(0L))
+        .as("conv"))
+      .withColumn("arm", armOf(col(userCol), 2))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("k"))
+    wilsonOnCounts(perArm, z).orderBy(col("arm"))
+  }
+
+  /** The Wilson interval columns from an exact (n, k) count frame —
+    * shared by the batch guardrail and its streaming twin so parity is
+    * by construction. */
+  def wilsonOnCounts(counts: DataFrame, z: Double): DataFrame = {
+    val d = (c: Column) => c.cast(DoubleType)
+    val z2 = lit(z * z)
+    val p = d(col("k")) / d(col("n"))
+    val denom = lit(1.0) + z2 / d(col("n"))
+    val center = (p + z2 / (lit(2.0) * d(col("n")))) / denom
+    val half = lit(z) * sqrt(p * (lit(1.0) - p) / d(col("n")) +
+      z2 / (lit(4.0) * d(col("n")) * d(col("n")))) / denom
+    counts.select(col("arm"), col("n"), col("k"),
+      round(p, 6).as("rate"),
+      round(center - half, 6).as("lo"),
+      round(center + half, 6).as("hi"))
+  }
 }

@@ -822,4 +822,39 @@ object EventStreams {
           }
       }
   }
+
+  /** Streaming Wilson-guardrail deltas — the live twin of x243's
+    * [[graft.operators.Experiment.wilsonGuardrail]]. State per user is
+    * one Boolean (converted yet?); the user's FIRST appearance emits
+    * (arm, Δn=1, Δk=converted-in-batch), and a later first CONVERSION
+    * emits (arm, Δn=0, Δk=1), so the dashboard's rolled per-arm (n, k)
+    * equal the batch operator's exact user-level counts at every point
+    * and the interval columns come from the SHARED
+    * [[graft.operators.Experiment.wilsonOnCounts]] fold — parity by
+    * construction. No watermark: a late conversion tightens k exactly
+    * like an on-time one. */
+  def wilsonStream(events: DataFrame, typeCol: String = "event_type",
+      convertType: String = "purchase")
+      : Dataset[(Long, Long, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"),
+        (col(typeCol) === convertType).cast("boolean"))
+      .as[(Long, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, Boolean)],
+            state: GroupState[Boolean]) =>
+          val convNow = rows.exists(_._2)
+          val arm = md5Arm(userId)
+          val out =
+            if (!state.exists)
+              Iterator((arm, 1L, if (convNow) 1L else 0L))
+            else if (!state.get && convNow) Iterator((arm, 0L, 1L))
+            else Iterator.empty
+          state.update(state.getOption.getOrElse(false) || convNow)
+          out
+      }
+  }
 }

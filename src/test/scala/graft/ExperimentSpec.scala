@@ -570,4 +570,78 @@ class ExperimentSpec extends SparkSpec {
     assert(out.getLong(2) == q50(v1))
     assert(out.getLong(3) == q50(v1) - q50(v0))
   }
+
+  test("ivWald: LATE = ITT / first-stage from integer arm counts; weak-instrument flag") {
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val users = (1L to 12L)
+    val arms = armsOf(users)
+    assume(arms.values.toSet.size == 2)
+    // uptake (click) for users with u % 3 != 0; outcome purchases = u % 2
+    val rows = users.flatMap { u =>
+      Seq((u, "view")) ++
+        (if (u % 3 != 0) Seq((u, "click")) else Nil) ++
+        Seq.fill((u % 2).toInt)((u, "purchase"))
+    }
+    val out = graft.operators.Experiment.ivWald(
+      rows.toDF("user_id", "event_type"), "user_id", "event_type",
+      "click", "purchase").collect()(0)
+    def stats(a: Long) = {
+      val us = users.filter(arms(_) == a)
+      (us.size.toLong, us.count(_ % 3 != 0).toLong,
+        us.map(_ % 2).sum)
+    }
+    val (n0, kt0, sy0) = stats(0L); val (n1, kt1, sy1) = stats(1L)
+    val itt = sy1.toDouble / n1 - sy0.toDouble / n0
+    val p1 = kt1.toDouble / n1; val p0 = kt0.toDouble / n0
+    val fs = p1 - p0
+    val fsVar = p1 * (1.0 - p1) / n1 + p0 * (1.0 - p0) / n0
+    assert(out.getLong(0) == n0 && out.getLong(1) == n1)
+    assert(out.getDouble(2) == r6(itt))
+    assert(out.getDouble(3) == r6(fs))
+    if (fs != 0.0) assert(out.getDouble(4) == r6(itt / fs))
+    if (fsVar != 0.0) {
+      val f = fs * fs / fsVar
+      assert(out.getDouble(5) == r6(f))
+      assert(out.getBoolean(6) == (f < 10.0))
+    }
+    // zero first stage (nobody clicks): late pins NULL
+    val out2 = graft.operators.Experiment.ivWald(
+      users.map(u => (u, "view")).toDF("user_id", "event_type"),
+      "user_id", "event_type", "click", "purchase").collect()(0)
+    assert(out2.isNullAt(4) && out2.isNullAt(5) && out2.isNullAt(6))
+  }
+
+  test("wilsonGuardrail: interval matches the closed form, stays in [0,1] at extreme p") {
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val users = (1L to 10L)
+    val arms = armsOf(users)
+    // conversion for users with u % 5 == 0 only -> small-k arms
+    val rows = users.flatMap { u =>
+      Seq((u, "view")) ++
+        (if (u % 5 == 0) Seq((u, "purchase")) else Nil)
+    }
+    val out = graft.operators.Experiment.wilsonGuardrail(
+      rows.toDF("user_id", "event_type"), "user_id", "event_type",
+      "purchase").collect()
+    for (r <- out) {
+      val a = r.getLong(0)
+      val us = users.filter(arms(_) == a)
+      val n = us.size.toDouble
+      val k = us.count(_ % 5 == 0).toDouble
+      val z = 1.96; val z2 = z * z
+      val p = k / n
+      val denom = 1.0 + z2 / n
+      val center = (p + z2 / (2.0 * n)) / denom
+      val half = z * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n)) /
+        denom
+      assert(r.getLong(1) == n.toLong && r.getLong(2) == k.toLong)
+      assert(r.getDouble(3) == r6(p))
+      assert(r.getDouble(4) == r6(center - half))
+      assert(r.getDouble(5) == r6(center + half))
+      // the Wilson interval never leaves [0,1], even at k = 0
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(5) <= 1.0)
+    }
+  }
 }

@@ -1033,6 +1033,67 @@ class ExtensionOpsSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("streaming Wilson deltas roll up to the batch x243 intervals via the shared fold") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_wil").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val sq = EventStreams.runToMemory(
+      EventStreams.wilsonStream(EventStreams.readEvents(spark, dir))
+        .toDF("arm", "dn", "dk"),
+      "wilson_stream", outputMode = "append")
+    try {
+      val rolled = spark.table("wilson_stream")
+        .groupBy(col("arm"))
+        .agg(sum("dn").as("n"), sum("dk").as("k"))
+      val streamed = graft.operators.Experiment
+        .wilsonOnCounts(rolled, 1.96).orderBy("arm").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+      val batch = graft.operators.Experiment.wilsonGuardrail(
+        Tables.load(spark, sfDir, "events"), "user_id", "event_type",
+        "purchase").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+      assert(batch.nonEmpty && streamed == batch,
+        s"streamed=$streamed batch=$batch")
+    } finally sq.stop()
+  }
+
+  test("streaming Wilson: a late conversion emits a k-only delta, not a new user") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val sq = EventStreams.wilsonStream(
+        input.toDF().toDF("user_id", "event_type"))
+      .toDF("arm", "dn", "dk")
+      .writeStream.format("memory").queryName("wilson_late")
+      .outputMode("append").start()
+    try {
+      input.addData((7L, "view"), (8L, "view"))
+      sq.processAllAvailable()
+      // user 7 converts LATE: delta must be (dn=0, dk=1); a repeat
+      // conversion emits nothing
+      input.addData((7L, "purchase"))
+      sq.processAllAvailable()
+      input.addData((7L, "purchase"), (8L, "view"))
+      sq.processAllAvailable()
+      val rows = spark.table("wilson_late")
+        .groupBy(col("arm")).agg(sum("dn").as("n"), sum("dk").as("k"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val armOf7 = graft.operators.Experiment.armOf(lit(7L), 2)
+      val armOf8 = graft.operators.Experiment.armOf(lit(8L), 2)
+      val arms = spark.range(1).select(armOf7, armOf8).collect()(0)
+      val (a7, a8) = (arms.getLong(0), arms.getLong(1))
+      val expected =
+        if (a7 == a8) Set((a7, 2L, 1L))
+        else Set((a7, 1L, 1L), (a8, 1L, 0L))
+      assert(rows == expected, s"rows=$rows expected=$expected")
+    } finally sq.stop()
+  }
+
   test("streaming PSI deltas roll up to the batch x220 bins; thresholds replay the batch binning") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_psi")
       .toString

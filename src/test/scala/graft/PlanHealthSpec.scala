@@ -1213,6 +1213,36 @@ class PlanHealthSpec extends SparkSpec {
       s"x239 expects the shard-partitioned lag window:\n$p")
   }
 
+  test("x240/x241: survival curves aggregate users once; cumulative windows run on the day-bounded risk frame") {
+    for (q <- Seq("x240_kaplan_meier", "x241_logrank")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q must not row-sort-merge anything:\n$p")
+      // risk-table windows must sit ABOVE the per-user AND per-day
+      // aggregates — two HashAggregate pairs below the first Window
+      val winAt = p.indexOf("Window [")
+      assert(winAt >= 0 &&
+        "HashAggregate".r.findAllIn(p.substring(winAt)).size >= 4,
+        s"$q's cumulative must consume the duration frame, not rows:\n$p")
+    }
+  }
+
+  test("x242/x243: IV Wald and Wilson reduce to per-arm integer counts; only broadcast 1-row combines") {
+    for (q <- Seq("x242_iv_wald", "x243_wilson_ci")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n$p")
+      assert(!p.replaceAll(
+        "BroadcastNestedLoopJoin BuildRight, Cross", "").contains(
+        "BroadcastNestedLoopJoin"),
+        s"$q must only cross against broadcast 1-row frames:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q must not row-sort-merge anything:\n$p")
+      assert("HashAggregate".r.findAllIn(p).size >= 4,
+        s"$q must partial-aggregate the per-user pass:\n$p")
+    }
+  }
+
   test("x199: range splits reduce per-row work to one groupBy(key); windows run on the distinct-key frame") {
     val p = plan("x199_range_splits")
     assert(!p.contains("Join"), s"x199 must stay join-free:\n$p")
