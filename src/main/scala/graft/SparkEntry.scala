@@ -3129,6 +3129,54 @@ object SparkEntry {
         seed = 5, nShards = 8)
     },
 
+    // ---- X: group-sequential monitoring — K=5 event-time-quintile
+    //      looks against the O'Brien-Fleming two-sided 5% boundaries
+    //      (pinned 2.040·sqrt(5/k) constants, Jennison-Turnbull 2000);
+    //      exact integer enrollment/conversion counts per look via a
+    //      5-row broadcast inequality join ----
+    "x244_group_sequential" -> { (s, dir) =>
+      graft.operators.Experiment.groupSequential(
+        t(s, dir, "events"), "user_id", "ts", "event_type", "purchase")
+    },
+
+    // ---- X: rendezvous-hashing audit — HRW argmax via md5 scores;
+    //      removing the last node moves ONLY its keys (sum(moved_in)
+    //      over survivors = the removed node's mass) while mod-N
+    //      re-homes ~(N-1)/N of everything; all-integer outputs ----
+    "x245_rendezvous" -> { (s, dir) =>
+      graft.operators.Scale.rendezvousAudit(
+        t(s, dir, "documents"), "doc_id", nNodes = 8)
+    },
+
+    // ---- X: 1-D Wasserstein drift per source vs the global n_chars
+    //      distribution — CDF gaps as exact integer cross-products
+    //      scaled by value gaps, Decimal-summed, one string-bridged
+    //      division ----
+    "x246_wasserstein" -> { (s, dir) =>
+      graft.operators.Profile.wasserstein1d(
+        t(s, dir, "documents"), "source", "n_chars")
+        .orderBy(col("source"))
+    },
+
+    // ---- X: Kendall tau-b between the by-volume and by-total-chars
+    //      source rankings — concordant/discordant pairs on the
+    //      20-source frame, exact integer tie terms ----
+    "x247_kendall_tau" -> { (s, dir) =>
+      val perSource = t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("tot"))
+      graft.operators.Evaluation.kendallTau(
+        perSource, "source", "n_docs", "tot")
+    },
+
+    // ---- X: UCB1 allocation audit over event-type arms — microgrid
+    //      reward sums, sqrt(2 ln N / n) bonus, greedy-vs-UCB rank
+    //      disagreement on the K-row arm frame ----
+    "x248_ucb_allocation" -> { (s, dir) =>
+      graft.operators.Evaluation.ucbAllocation(
+        t(s, dir, "events"), "event_type", "value")
+    },
+
     // ---- X: Kaplan-Meier survival curve on days to first purchase —
     //      never-converters are right-censored at their last event,
     //      not zeros; day-bounded risk frame, log-space microgrid
@@ -6365,6 +6413,173 @@ object SparkEntry {
                  / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE) - ss))
              END, 6) AS run_ratio
          FROM st, gs""",
+
+    // x244: group-sequential looks — exact integer quintile cutoffs
+    // (integer // division), pooled-z from exact counts, OBF boundary
+    // constants forced through DOUBLE
+    "x244_group_sequential" ->
+      """WITH pu AS (SELECT user_id, min(epoch_us(ts)) AS first_us,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts)
+               END) AS purch_us,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 2 AS arm
+           FROM events GROUP BY user_id),
+         rg AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+           FROM events),
+         lk AS (SELECT CAST(k AS BIGINT) AS look,
+             lo + ((hi - lo) * k) // 5 AS cut_us
+           FROM rg, UNNEST(range(1, 6)) t(k)),
+         bl AS (SELECT look, cut_us,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n0,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(sum(CASE WHEN arm = 0 AND purch_us IS NOT NULL
+               AND purch_us <= cut_us THEN 1 ELSE 0 END) AS BIGINT)
+               AS c0,
+             CAST(sum(CASE WHEN arm = 1 AND purch_us IS NOT NULL
+               AND purch_us <= cut_us THEN 1 ELSE 0 END) AS BIGINT)
+               AS c1
+           FROM pu JOIN lk ON pu.first_us <= lk.cut_us
+           GROUP BY 1, 2),
+         z1 AS (SELECT look, n0, n1, c0, c1,
+             CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE) AS pbar
+           FROM bl),
+         z2 AS (SELECT look, n0, n1, c0, c1,
+             sqrt(pbar * (1.0 - pbar) * (1.0 / CAST(n1 AS DOUBLE)
+               + 1.0 / CAST(n0 AS DOUBLE))) AS se
+           FROM z1),
+         z3 AS (SELECT look, n0, n1, c0, c1,
+             CASE WHEN n0 = 0 OR n1 = 0 THEN NULL
+               WHEN se = 0.0 THEN NULL
+               ELSE (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                 - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / se END
+               AS z_raw,
+             CASE look WHEN 1 THEN CAST(4.562 AS DOUBLE)
+               WHEN 2 THEN CAST(3.226 AS DOUBLE)
+               WHEN 3 THEN CAST(2.634 AS DOUBLE)
+               WHEN 4 THEN CAST(2.281 AS DOUBLE)
+               ELSE CAST(2.040 AS DOUBLE) END AS bound
+           FROM z2)
+         SELECT look, n0, n1, c0 AS conv0, c1 AS conv1,
+           round(z_raw, 6) AS z, bound, abs(z_raw) > bound AS crossed
+         FROM z3 ORDER BY look""",
+
+    // x245: rendezvous audit — the 8 HRW scores per key replayed
+    // parametrically via UNNEST(range(8)); all-integer outputs
+    "x245_rendezvous" ->
+      """WITH sc AS (SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+               ::BIGINT AS h,
+             CAST(i AS BIGINT) AS node,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|n'
+               || CAST(i AS VARCHAR)), 1, 15))::BIGINT AS s
+           FROM documents, UNNEST(range(8)) t(i)),
+         mx AS (SELECT doc_id, max(s) AS mb,
+             max(CASE WHEN node < 7 THEN s END) AS ma
+           FROM sc GROUP BY 1),
+         fl AS (SELECT sc.node,
+             CASE WHEN s = mb THEN 1 ELSE 0 END AS isb,
+             CASE WHEN sc.node < 7 AND s = ma THEN 1 ELSE 0 END AS isa,
+             CASE WHEN h % 8 = sc.node THEN 1 ELSE 0 END AS modb,
+             CASE WHEN h % 8 = sc.node AND h % 7 = sc.node
+               THEN 1 ELSE 0 END AS mods
+           FROM sc JOIN mx USING (doc_id))
+         SELECT node, CAST(sum(isb) AS BIGINT) AS n_before,
+           CAST(sum(isa) AS BIGINT) AS n_after,
+           CAST(sum(isa) - sum(isb) AS BIGINT) AS moved_in,
+           CAST(sum(modb) AS BIGINT) AS mod_before,
+           CAST(sum(mods) AS BIGINT) AS mod_stay
+         FROM fl GROUP BY node ORDER BY node""",
+
+    // x246: per-source W1 vs global — integer CDF cross-products
+    // (the x221 KS fold) scaled by value gaps, HUGEINT-summed, one
+    // string-bridged division
+    "x246_wasserstein" ->
+      """WITH cnt AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2),
+         gs AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_g FROM cnt
+           GROUP BY 1),
+         vs AS (SELECT v, CAST(sum(c) AS BIGINT) AS c_all FROM cnt
+           GROUP BY 1),
+         gc AS (SELECT v,
+             CAST(sum(c_all) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_all,
+             CAST(COALESCE(lead(v) OVER (ORDER BY v) - v, 0) AS BIGINT)
+               AS gap,
+             CAST(sum(c_all) OVER () AS BIGINT) AS n_all
+           FROM vs),
+         grid AS (SELECT gs.g, gs.n_g, gc.v, gc.cum_all, gc.gap,
+             gc.n_all, COALESCE(cnt.c, 0) AS c
+           FROM gs CROSS JOIN gc
+           LEFT JOIN cnt ON cnt.g = gs.g AND cnt.v = gc.v),
+         tm AS (SELECT g, n_g, n_all,
+             abs(CAST(sum(c) OVER (PARTITION BY g ORDER BY v ROWS
+                 BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
+                 * CAST(n_all AS HUGEINT)
+               - CAST(cum_all AS HUGEINT) * CAST(n_g AS HUGEINT))
+               * CAST(gap AS HUGEINT) AS term
+           FROM grid),
+         agg AS (SELECT g, n_g, n_all, sum(term) AS t FROM tm
+           GROUP BY 1, 2, 3)
+         SELECT g AS source, n_g AS n,
+           round(CAST(CAST(t AS VARCHAR) AS DOUBLE)
+             / (CAST(n_g AS DOUBLE) * CAST(n_all AS DOUBLE)), 6) AS w1
+         FROM agg ORDER BY source""",
+
+    // x247: Kendall tau-b on the 20-source frame — exact pair counts,
+    // tie-corrected denominator, NULL at a constant column
+    "x247_kendall_tau" ->
+      """WITH ps AS (SELECT source AS id, CAST(count(*) AS BIGINT) AS x,
+             CAST(sum(n_chars) AS BIGINT) AS y
+           FROM documents GROUP BY 1),
+         pr AS (SELECT a.x - b.x AS dx, a.y - b.y AS dy
+           FROM ps a JOIN ps b ON a.id < b.id),
+         ag AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN dx <> 0 AND dy <> 0
+               AND ((dx > 0) = (dy > 0)) THEN 1 ELSE 0 END) AS BIGINT)
+               AS concordant,
+             CAST(sum(CASE WHEN dx <> 0 AND dy <> 0
+               AND ((dx > 0) <> (dy > 0)) THEN 1 ELSE 0 END) AS BIGINT)
+               AS discordant,
+             CAST(sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS ties_x,
+             CAST(sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS ties_y
+           FROM pr),
+         n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ps)
+         SELECT n, n_pairs, concordant, discordant, ties_x, ties_y,
+           round(CASE WHEN n_pairs = ties_x OR n_pairs = ties_y
+             THEN NULL
+             ELSE CAST(concordant - discordant AS DOUBLE)
+               / (sqrt(CAST(n_pairs - ties_x AS DOUBLE))
+                 * sqrt(CAST(n_pairs - ties_y AS DOUBLE))) END, 6)
+             AS tau_b
+         FROM n1 CROSS JOIN ag""",
+
+    // x248: UCB1 — microgrid reward sums (round(value*1e6) as exact
+    // longs), single outer ln(N), rank ties broken by arm name
+    "x248_ucb_allocation" ->
+      """WITH pa AS (SELECT event_type AS arm,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+               AS s
+           FROM events GROUP BY 1),
+         wt AS (SELECT arm, n, s,
+             CAST(sum(n) OVER () AS BIGINT) AS n_total FROM pa),
+         sc AS (SELECT arm, n,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 AS m,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6
+               + sqrt(2.0 * ln(CAST(n_total AS DOUBLE))
+                 / CAST(n AS DOUBLE)) AS u
+           FROM wt)
+         SELECT arm, n, round(m, 6) AS mean_reward, round(u, 6) AS ucb,
+           CAST(row_number() OVER (ORDER BY m DESC, arm ASC) AS BIGINT)
+             AS rank_mean,
+           CAST(row_number() OVER (ORDER BY u DESC, arm ASC) AS BIGINT)
+             AS rank_ucb
+         FROM sc ORDER BY arm""",
 
     // x240: Kaplan-Meier risk table — integer day durations, censored
     // at last event; survival via the x181 microgrid log fold (exact

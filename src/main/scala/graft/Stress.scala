@@ -658,6 +658,22 @@ object Stress {
         "wilson_ci" -> (() =>
           operators.Experiment.wilsonGuardrail(events, "user_id",
             "event_type", "purchase").count()),
+        // per-user agg + 5-row broadcast inequality join
+        "group_sequential" -> (() =>
+          operators.Experiment.groupSequential(events, "user_id", "ts",
+            "event_type", "purchase").count()),
+        // narrow 8-way fan-out + keyed max windows + 8-row rollup
+        "rendezvous" -> (() =>
+          operators.Scale.rendezvousAudit(docs, "doc_id", 8).count()),
+        // (group x codomain) grid windows above one partial agg
+        "wasserstein" -> (() =>
+          operators.Profile.wasserstein1d(
+            docs.withColumn("n_chars", length(col("text"))),
+            "source", "n_chars").count()),
+        // K-row arm frame after one partial agg
+        "ucb_allocation" -> (() =>
+          operators.Evaluation.ucbAllocation(events, "event_type",
+            "value").count()),
         // embarrassingly parallel codec scan (synth + decode + RMS)
         "wav_vad" -> (() => {
           val ids = docs.select(col("doc_id")).limit(2000 * m)

@@ -776,4 +776,84 @@ object Evaluation {
         round(col("iso"), 6).as("iso_rate"))
   }
 
+  /** Kendall tau-b between two numeric columns of a BOUNDED keyed frame
+    * (Kendall 1945 tie correction) — the rank-agreement number for
+    * ranking-vs-ranking questions ([[spearmanExact]] answers the same
+    * question with midranks; tau-b's concordant/discordant pairs are
+    * the sort-key-advisor-friendly form: tau = P(agree) − P(disagree)).
+    * The caller aggregates first — the pair join is O(k²) on the
+    * k-row frame (the [[cramersV]] bounded-frame convention), never on
+    * rows. Integer counts all the way: C, D, and the tie terms come
+    * from exact sign comparisons; the only doubles are the final
+    * sqrt denominators. Output: (n, n_pairs, concordant, discordant,
+    * ties_x, ties_y, tau_b) with tau_b NULL when either tie-corrected
+    * denominator is 0 (a constant column has no ranking). */
+  def kendallTau(df: DataFrame, idCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val d = (c: Column) => c.cast(DoubleType)
+    val base = df.select(col(idCol).cast(StringType).as("id"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+    val pairs = base.as("a").join(base.as("b"),
+        col("a.id") < col("b.id"))
+      .select(
+        (col("a.x") - col("b.x")).as("dx"),
+        (col("a.y") - col("b.y")).as("dy"))
+    val agg = pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(col("dx") =!= 0L && col("dy") =!= 0L &&
+        (col("dx") > 0L) === (col("dy") > 0L), 1L).otherwise(0L))
+        .as("concordant"),
+      sum(when(col("dx") =!= 0L && col("dy") =!= 0L &&
+        (col("dx") > 0L) =!= (col("dy") > 0L), 1L).otherwise(0L))
+        .as("discordant"),
+      sum(when(col("dx") === 0L, 1L).otherwise(0L)).as("ties_x"),
+      sum(when(col("dy") === 0L, 1L).otherwise(0L)).as("ties_y"))
+    val n1 = base.agg(count(lit(1)).as("n"))
+    val denX = d(col("n_pairs") - col("ties_x"))
+    val denY = d(col("n_pairs") - col("ties_y"))
+    broadcast(n1).crossJoin(agg) // 1-row x 1-row
+      .select(col("n"), col("n_pairs"), col("concordant"),
+        col("discordant"), col("ties_x"), col("ties_y"),
+        round(when(col("n_pairs") === col("ties_x") ||
+            col("n_pairs") === col("ties_y"),
+            lit(null).cast(DoubleType))
+          .otherwise(d(col("concordant") - col("discordant")) /
+            (sqrt(denX) * sqrt(denY))), 6).as("tau_b"))
+  }
+
+  /** UCB1 arm-allocation audit (Auer, Cesa-Bianchi & Fischer 2002):
+    * per-arm pull counts and mean reward from the logged feed, the
+    * exploration bonus sqrt(2·ln N / n), and the resulting priority
+    * rank — which arm a UCB policy would pull NEXT, and how far the
+    * greedy and UCB orderings disagree. Rewards land on the exact 1e-6
+    * integer microgrid per event (round(value·1e6) summed as longs —
+    * the x181 fold), so both engines see identical sums; ln(N) is the
+    * single outer transcendental. Output per arm: (arm, n, mean_reward,
+    * ucb, rank_mean, rank_ucb), ranks on the K-row frame with the arm
+    * name as tie-break. */
+  def ucbAllocation(df: DataFrame, armCol: String,
+      rewardCol: String): DataFrame = {
+    val d = (c: Column) => c.cast(DoubleType)
+    val perArm = df.select(col(armCol).cast(StringType).as("arm"),
+        round(col(rewardCol).cast(DoubleType) * lit(1e6))
+          .cast("long").as("rm"))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("rm")).as("s"))
+      .withColumn("n_total",
+        sum(col("n")).over(Window.partitionBy(lit(1))))
+    val mean = d(col("s")) / d(col("n")) / lit(1e6)
+    val ucb = mean + sqrt(lit(2.0) * log(d(col("n_total"))) / d(col("n")))
+    val scored = perArm.select(col("arm"), col("n"),
+      round(mean, 6).as("mean_reward"), round(ucb, 6).as("ucb"),
+      mean.as("__m"), ucb.as("__u"))
+    scored
+      .withColumn("rank_mean", row_number().over(
+        Window.orderBy(col("__m").desc, col("arm").asc)))
+      .withColumn("rank_ucb", row_number().over(
+        Window.orderBy(col("__u").desc, col("arm").asc)))
+      .select(col("arm"), col("n"), col("mean_reward"), col("ucb"),
+        col("rank_mean").cast("long").as("rank_mean"),
+        col("rank_ucb").cast("long").as("rank_ucb"))
+      .orderBy(col("arm"))
+  }
 }

@@ -960,6 +960,64 @@ object Experiment {
       .toDF(aCol, bCol, nCol, "weight")
   }
 
+  /** Group-sequential monitoring at K=5 equally-spaced looks with the
+    * O'Brien-Fleming two-sided 5% z boundaries (O'Brien & Fleming 1979;
+    * constants from Jennison & Turnbull 2000: 4.562, 3.226, 2.634,
+    * 2.281, 2.040 = 2.040·sqrt(5/k)) — the FIXED-SCHEDULE sequential
+    * design that complements [[msprt]]'s always-valid continuous
+    * monitoring: spend almost no alpha early, keep the final look near
+    * the fixed-sample 1.96. Looks are event-time quintile cutoffs
+    * computed with exact integer microsecond division; at look k a
+    * user is enrolled if their FIRST event precedes the cutoff and
+    * converted if their first `convertType` event does. The z is the
+    * pooled two-proportion statistic from exact integer counts, NULL
+    * when either arm is empty or the pooled rate is degenerate.
+    *
+    * 100 TB shape: one per-user partial agg, a 5-row broadcast
+    * inequality join (fan-out <= 5x users) into a 5-row look frame —
+    * no row-scale sort or window anywhere. */
+  def groupSequential(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, convertType: String): DataFrame = {
+    val d = (c: Column) => c.cast(DoubleType)
+    val bounds = Seq(4.562, 3.226, 2.634, 2.281, 2.040)
+    val perUser = events.groupBy(col(userCol))
+      .agg(min(unix_micros(col(tsCol))).as("first_us"),
+        min(when(col(typeCol) === convertType,
+          unix_micros(col(tsCol)))).as("purch_us"))
+      .withColumn("arm", armOf(col(userCol), 2))
+    val range1 = events.agg(min(unix_micros(col(tsCol))).as("lo"),
+      max(unix_micros(col(tsCol))).as("hi"))
+    val looks = range1.select(col("lo"), col("hi"),
+        explode(sequence(lit(1L), lit(5L))).as("look"))
+      .select(col("look"), (col("lo") + call_function("div",
+        (col("hi") - col("lo")) * col("look"), lit(5L))).as("cut_us"))
+    val byLook = perUser
+      .join(broadcast(looks), col("first_us") <= col("cut_us"))
+      .groupBy(col("look"))
+      .agg(
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 0L && col("purch_us").isNotNull &&
+          col("purch_us") <= col("cut_us"), 1L).otherwise(0L)).as("c0"),
+        sum(when(col("arm") === 1L && col("purch_us").isNotNull &&
+          col("purch_us") <= col("cut_us"), 1L).otherwise(0L)).as("c1"))
+    val pbar = d(col("c0") + col("c1")) / d(col("n0") + col("n1"))
+    val seRaw = sqrt(pbar * (lit(1.0) - pbar) *
+      (lit(1.0) / d(col("n1")) + lit(1.0) / d(col("n0"))))
+    val zRaw = when(col("n0") === 0L || col("n1") === 0L,
+        lit(null).cast(DoubleType))
+      .otherwise(when(seRaw === 0.0, lit(null).cast(DoubleType))
+        .otherwise((d(col("c1")) / d(col("n1")) -
+          d(col("c0")) / d(col("n0"))) / seRaw))
+    val bound = element_at(
+      array(bounds.map(lit): _*), col("look").cast("int"))
+    byLook.select(col("look"), col("n0"), col("n1"),
+        col("c0").as("conv0"), col("c1").as("conv1"),
+        round(zRaw, 6).as("z"), bound.as("bound"),
+        (abs(zRaw) > bound).as("crossed"))
+      .orderBy(col("look"))
+  }
+
   /** Instrumental-variable (Wald/LATE) estimator with a first-stage
     * strength readout (Angrist, Imbens & Rubin 1996). The instrument
     * Z is the deterministic hash arm ([[armOf]]) — an ENCOURAGEMENT,

@@ -649,4 +649,54 @@ object Profile {
         round(col("js_div") / lit(0.6931471805599453), 6))
       .withColumn("drifted", col("js_norm") > threshold)
   }
+
+  /** 1-D Wasserstein (earth-mover) distance between each group's
+    * integer-valued distribution and the GLOBAL one: W1 = Σ over sorted
+    * distinct values |F_g(v) − F(v)|·gap(v) — the drift number that,
+    * unlike [[psiDrift]]/[[jsDivergence]], weighs HOW FAR the mass
+    * moved, not just that bins disagree (a +1-char shift and a
+    * doubled-length tail get very different W1 at similar PSI).
+    *
+    * Exactness: CDF differences are integer cross-multiplications
+    * (|cum_s·n_g − cum_g·n_s| like the x221 KS fold), scaled by the
+    * integer gap and summed in Decimal(38,0); ONE string-bridged
+    * double division by n_s·n_g at the end (the x239 gs convention).
+    * Frames: a (group × distinct-value) grid — codomain-bounded, never
+    * row-scale; group spine broadcast. Output per group:
+    * (group, n, w1). */
+  def wasserstein1d(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val d = (c: Column) => c.cast(DoubleType)
+    val counts = df.select(col(groupCol).as("g"),
+        col(valueCol).cast("long").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val groups = counts.groupBy(col("g")).agg(sum(col("c")).as("n_g"))
+    val values = counts.groupBy(col("v")).agg(sum(col("c")).as("c_all"))
+    val wv = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val globalCum = values
+      .withColumn("cum_all", sum(col("c_all")).over(wv))
+      .withColumn("gap",
+        coalesce(lead(col("v"), 1).over(Window.orderBy(col("v"))) -
+          col("v"), lit(0L)))
+      .withColumn("n_all", sum(col("c_all")).over(Window.partitionBy(lit(1))))
+      .select(col("v"), col("cum_all"), col("gap"), col("n_all"))
+    val grid = broadcast(groups).crossJoin(globalCum)
+      .join(counts, Seq("g", "v"), "left")
+      .select(col("g"), col("n_g"), col("v"), col("cum_all"), col("gap"),
+        col("n_all"), coalesce(col("c"), lit(0L)).as("c"))
+    val wg = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val terms = grid.withColumn("cum_g", sum(col("c")).over(wg))
+      .withColumn("term",
+        abs(col("cum_g").cast(dec) * col("n_all").cast(dec) -
+          col("cum_all").cast(dec) * col("n_g").cast(dec)) *
+          col("gap").cast(dec))
+    terms.groupBy(col("g"), col("n_g"), col("n_all"))
+      .agg(sum(col("term")).as("t"))
+      .select(col("g").as(groupCol), col("n_g").as("n"),
+        round(col("t").cast("string").cast(DoubleType) /
+          (d(col("n_g")) * d(col("n_all"))), 6).as("w1"))
+  }
 }

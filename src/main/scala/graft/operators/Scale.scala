@@ -412,4 +412,57 @@ object Scale {
         round(col("n_rows").cast("double") * nParts.toLong /
           col("__n__").cast("double"), 6).as("skew"))
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment audit
+    * (Thaler & Ravishankar 1998): each key goes to the node with the
+    * highest md5(key|node) score, so removing a node moves ONLY the
+    * keys that lived on it — the minimal-disruption guarantee mod-N
+    * hashing lacks (there a node removal reshuffles ~(N-1)/N of ALL
+    * keys). Output one row per node: keys assigned with all `nNodes`
+    * nodes (n_before), keys assigned after the LAST node is removed
+    * (n_after; 0 for the removed node itself), moved_in = n_after −
+    * n_before (every gain comes from the removed node's keys — the
+    * spec asserts sum(moved_in) over survivors equals the removed
+    * node's n_before), and the mod-hash comparison columns: keys at
+    * this node under mod-N (mod_before) and still there under mod-(N-1)
+    * (mod_stay).
+    *
+    * 100 TB shape: a narrow nNodes-way fan-out projection (posexplode
+    * of the per-key score array) + per-key max windows bounded at
+    * nNodes rows per key + one groupBy(node) into an nNodes-row frame.
+    * Scores are 60-bit md5 — a cross-node tie would double-count that
+    * key identically in both engines (deterministic, ~2^-60·nNodes²
+    * probability). */
+  def rendezvousAudit(df: DataFrame, idCol: String,
+      nNodes: Int = 8): DataFrame = {
+    require(nNodes >= 2, s"need at least 2 nodes: $nNodes")
+    val id = col(idCol).cast("string")
+    val h = md5Long(id)
+    val scores = array((0 until nNodes).map(i =>
+      md5Long(concat(id, lit(s"|n$i")))): _*)
+    val exploded = df.select(id.as("__id"), h.as("__h"),
+        posexplode(scores).as(Seq("node", "s")))
+      .withColumn("node", col("node").cast("long"))
+    val w = Window.partitionBy(col("__id")) // bounded: nNodes rows/key
+    val flagged = exploded
+      .withColumn("mb", max(col("s")).over(w))
+      .withColumn("ma", max(when(col("node") < (nNodes - 1).toLong,
+        col("s"))).over(w))
+      .select(col("node"),
+        when(col("s") === col("mb"), 1L).otherwise(0L).as("isb"),
+        when(col("node") < (nNodes - 1).toLong &&
+          col("s") === col("ma"), 1L).otherwise(0L).as("isa"),
+        when(pmod(col("__h"), lit(nNodes.toLong)) === col("node"), 1L)
+          .otherwise(0L).as("modb"),
+        when(pmod(col("__h"), lit(nNodes.toLong)) === col("node") &&
+          pmod(col("__h"), lit((nNodes - 1).toLong)) === col("node"), 1L)
+          .otherwise(0L).as("mods"))
+    flagged.groupBy(col("node"))
+      .agg(sum(col("isb")).as("n_before"), sum(col("isa")).as("n_after"),
+        sum(col("modb")).as("mod_before"), sum(col("mods")).as("mod_stay"))
+      .withColumn("moved_in", col("n_after") - col("n_before"))
+      .select(col("node"), col("n_before"), col("n_after"),
+        col("moved_in"), col("mod_before"), col("mod_stay"))
+      .orderBy(col("node"))
+  }
 }

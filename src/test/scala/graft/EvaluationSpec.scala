@@ -350,4 +350,51 @@ class EvaluationSpec extends SparkSpec {
     assert(c.getLong(3) == 0L && c.getDouble(5) == 0.0)
     assert(c.isNullAt(6), "zero-match SNIPS must pin NULL")
   }
+
+  test("kendallTau: perfect agreement 1, reversal -1, tie-corrected hand case, constant pins NULL") {
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val agree = Seq(("a", 1L, 10L), ("b", 2L, 20L), ("c", 3L, 30L),
+      ("d", 4L, 40L)).toDF("id", "x", "y")
+    assert(Evaluation.kendallTau(agree, "id", "x", "y")
+      .collect()(0).getDouble(6) == 1.0)
+    val rev = Seq(("a", 1L, 40L), ("b", 2L, 30L), ("c", 3L, 20L),
+      ("d", 4L, 10L)).toDF("id", "x", "y")
+    assert(Evaluation.kendallTau(rev, "id", "x", "y")
+      .collect()(0).getDouble(6) == -1.0)
+    // hand case with ties: x = (1,1,2,3), y = (1,2,2,3)
+    val tied = Seq(("a", 1L, 1L), ("b", 1L, 2L), ("c", 2L, 2L),
+      ("d", 3L, 3L)).toDF("id", "x", "y")
+    val out = Evaluation.kendallTau(tied, "id", "x", "y").collect()(0)
+    // pairs: ab tx, ac C, ad C, bc ty, bd C, cd C -> C=4 D=0 tx=1 ty=1
+    assert(out.getLong(0) == 4L && out.getLong(1) == 6L)
+    assert(out.getLong(2) == 4L && out.getLong(3) == 0L)
+    assert(out.getLong(4) == 1L && out.getLong(5) == 1L)
+    assert(out.getDouble(6) ==
+      r6(4.0 / (math.sqrt(5.0) * math.sqrt(5.0))))
+    // constant x: every pair x-tied -> NULL
+    val const = Seq(("a", 5L, 1L), ("b", 5L, 2L), ("c", 5L, 3L))
+      .toDF("id", "x", "y")
+    assert(Evaluation.kendallTau(const, "id", "x", "y")
+      .collect()(0).isNullAt(6))
+  }
+
+  test("ucbAllocation: microgrid means, exploration bonus favors under-pulled arms") {
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // arm a: 8 pulls mean 0.5; arm b: 2 pulls mean 0.4 -> greedy picks
+    // a, UCB picks b (bonus sqrt(2 ln 10 / 2) ~ 1.5 dominates)
+    val rows = (1 to 8).map(i => ("a", if (i % 2 == 0) 1.0 else 0.0)) ++
+      Seq(("b", 0.8), ("b", 0.0))
+    val out = Evaluation.ucbAllocation(rows.toDF("arm", "v"), "arm", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5)))
+    val a = out.find(_._1 == "a").get; val b = out.find(_._1 == "b").get
+    assert(a._2 == 8L && b._2 == 2L)
+    assert(a._3 == 0.5 && b._3 == 0.4)
+    assert(a._4 == r6(0.5 + math.sqrt(2.0 * math.log(10.0) / 8.0)))
+    assert(b._4 == r6(0.4 + math.sqrt(2.0 * math.log(10.0) / 2.0)))
+    assert(a._5 == 1L && b._5 == 2L, "greedy rank prefers a")
+    assert(b._6 == 1L && a._6 == 2L, "UCB rank prefers the under-pulled b")
+  }
 }

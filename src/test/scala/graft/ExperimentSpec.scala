@@ -571,6 +571,51 @@ class ExperimentSpec extends SparkSpec {
     assert(out.getLong(3) == q50(v1) - q50(v0))
   }
 
+  test("groupSequential: quintile cutoffs, exact look counts, OBF boundaries, naive-z parity") {
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val users = (1L to 10L)
+    val arms = armsOf(users)
+    assume(arms.values.toSet.size == 2)
+    def ts(dayFrac: Double) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+        .plusSeconds((dayFrac * 86400.0).toLong))
+    // everyone enrolls in the first few minutes; user 1 stretches the
+    // range to day 5; users u <= 6 purchase on day (u - 1)
+    val rows = users.map(u => (u, ts((u - 1).toDouble / 1440.0), "view")) ++
+      Seq((1L, ts(5.0), "view")) ++
+      (1L to 6L).map(u => (u, ts((u - 1).toDouble), "purchase"))
+    val ev = rows.toDF("user_id", "ts", "event_type")
+    val out = graft.operators.Experiment.groupSequential(
+      ev, "user_id", "ts", "event_type", "purchase").collect()
+    assert(out.length == 5)
+    // naive replay
+    val usOf = (d: Double) => ts(d).getTime * 1000L
+    val lo = usOf(0.0); val hi = usOf(5.0)
+    val bounds = Seq(4.562, 3.226, 2.634, 2.281, 2.040)
+    for (k <- 1 to 5) {
+      val cut = lo + (hi - lo) * k / 5
+      val enrolled = users.filter(u => usOf((u - 1).toDouble / 1440.0) <= cut)
+      val conv = enrolled.filter(u => u <= 6L && usOf((u - 1).toDouble) <= cut)
+      val n1 = enrolled.count(arms(_) == 1L); val n0 = enrolled.size - n1
+      val c1 = conv.count(arms(_) == 1L); val c0 = conv.size - c1
+      val r = out(k - 1)
+      assert(r.getLong(0) == k.toLong)
+      assert(r.getLong(1) == n0 && r.getLong(2) == n1)
+      assert(r.getLong(3) == c0 && r.getLong(4) == c1)
+      assert(r.getDouble(6) == bounds(k - 1))
+      val pbar = (c0 + c1).toDouble / (n0 + n1)
+      val se = math.sqrt(pbar * (1.0 - pbar) * (1.0 / n1 + 1.0 / n0))
+      if (n0 == 0 || n1 == 0 || se == 0.0)
+        assert(r.isNullAt(5) && r.isNullAt(7))
+      else {
+        val z = (c1.toDouble / n1 - c0.toDouble / n0) / se
+        assert(r.getDouble(5) == r6(z))
+        assert(r.getBoolean(7) == (math.abs(z) > bounds(k - 1)))
+      }
+    }
+  }
+
   test("ivWald: LATE = ITT / first-stage from integer arm counts; weak-instrument flag") {
     def r6(x: Double) = java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()

@@ -1243,6 +1243,44 @@ class PlanHealthSpec extends SparkSpec {
     }
   }
 
+  test("x244: group-sequential fans out over a 5-row broadcast look frame; no row-scale window") {
+    val p = plan("x244_group_sequential")
+    assert(!p.contains("CartesianProduct"), s"x244 grew a cartesian:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"x244 must not row-sort-merge anything:\n$p")
+    assert(!p.contains("Window ["),
+      s"x244 must not window at all (look frame is a broadcast join):\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"x244's per-user pass must partial-aggregate:\n$p")
+  }
+
+  test("x245/x246: rendezvous and W1 keep windows keyed or codomain-bounded; no cartesian") {
+    for (q <- Seq("x245_rendezvous", "x246_wasserstein")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n$p")
+      assert(!p.replaceAll(
+        "BroadcastNestedLoopJoin Build(Right|Left), Cross", "").contains(
+        "BroadcastNestedLoopJoin"),
+        s"$q must only cross against broadcast bounded frames:\n$p")
+    }
+    // x245's per-key max windows must be keyed by the doc id
+    val p45 = plan("x245_rendezvous")
+    assert(p45.contains("windowspecdefinition(__id"),
+      s"x245 windows must partition by the key:\n$p45")
+  }
+
+  test("x247/x248: pair joins and rank windows run on arm/source-domain frames above partial aggs") {
+    for (q <- Seq("x247_kendall_tau", "x248_ucb_allocation")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q must not row-sort-merge anything:\n$p")
+      // bounded-frame work sits ABOVE the row-scale partial agg
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q must partial-aggregate the corpus scan:\n$p")
+    }
+  }
+
   test("x199: range splits reduce per-row work to one groupBy(key); windows run on the distinct-key frame") {
     val p = plan("x199_range_splits")
     assert(!p.contains("Join"), s"x199 must stay join-free:\n$p")

@@ -300,4 +300,21 @@ class PlannerLinkageSpec extends SparkSpec {
       if (r.getDouble(4) > 0) assert(r.getDouble(6) == 1.0)
     }
   }
+
+  test("wasserstein1d: hand case matches the exact CDF-gap fold; identical slice scores 0") {
+    import spark.implicits._
+    // A = (1,1,3) vs global (1,1,3,3): |2/3 - 1/2| * gap 2 = 1/3;
+    // B = (3): |0 - 1/2| * 2 = 1
+    val df = Seq(("A", 1L), ("A", 1L), ("A", 3L), ("B", 3L))
+      .toDF("source", "v")
+    val out = graft.operators.Profile.wasserstein1d(df, "source", "v")
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(("A", 3L, 0.333333), ("B", 1L, 1.0)))
+    // a single group IS the global distribution -> W1 = 0
+    val one = graft.operators.Profile.wasserstein1d(
+      Seq(("A", 1L), ("A", 5L), ("A", 9L)).toDF("source", "v"),
+      "source", "v").collect()
+    assert(one.length == 1 && one(0).getDouble(2) == 0.0)
+  }
 }

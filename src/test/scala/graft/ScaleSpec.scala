@@ -176,4 +176,29 @@ class ScaleSpec extends SparkSpec {
     pipe2.run()
     assert(observedType2.contains(org.apache.spark.sql.types.LongType))
   }
+
+  test("rendezvousAudit: removing a node moves ONLY its keys; mod-N re-homes nearly everything") {
+    import spark.implicits._
+    val n = 2000L
+    val df = (1L to n).toDF("id")
+    val out = Scale.rendezvousAudit(df, "id", nNodes = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.map(_._1).toSeq == (0L to 7L))
+    // partitions: every key assigned exactly once, before and after
+    assert(out.map(_._2).sum == n && out.map(_._3).sum == n)
+    assert(out.map(_._5).sum == n)
+    val removed = out.find(_._1 == 7L).get
+    assert(removed._3 == 0L && removed._4 == -removed._2)
+    // HRW guarantee: survivors only GAIN, and the gains are exactly the
+    // removed node's keys
+    val survivors = out.filter(_._1 < 7L)
+    assert(survivors.forall(_._4 >= 0L))
+    assert(survivors.map(_._4).sum == removed._2)
+    // mod hashing: the stayers are a small minority (~1/7 of each node)
+    val modStay = out.map(_._6).sum
+    assert(modStay < n / 4, s"mod-N kept $modStay of $n in place")
+    // balance sanity: HRW spreads within 3x of uniform at n=2000
+    assert(out.forall(r => r._2 > n / 24 && r._2 < n * 3 / 8))
+  }
 }
