@@ -3177,6 +3177,46 @@ object SparkEntry {
         t(s, dir, "events"), "event_type", "value")
     },
 
+    // ---- X: padding-waste audit — arrival-order vs length-sorted
+    //      batch assembly at B=32; ranks via cumByRange prefix sums
+    //      (x211 discipline), exact integer totals ----
+    "x249_padding_waste" -> { (s, dir) =>
+      graft.operators.CorpusOps.paddingWaste(
+        t(s, dir, "documents"), "doc_id", "n_chars", batchSize = 32)
+    },
+
+    // ---- X: LSH (bands, rows) planner — S-curve facts per rows-per-
+    //      band on the 16-row closed-form frame; explicit low/high
+    //      literals so pow sees bit-identical inputs ----
+    "x250_lsh_planner" -> { (s, dir) =>
+      graft.operators.Dedup.lshPlanner(s, threshold = 0.8,
+        lowT = 0.6, highT = 0.9, totalHashes = 256, maxR = 16)
+    },
+
+    // ---- X: Benford first-digit audit on order amounts — exact cent
+    //      grid, integer CASE-ladder digits, log10(1+1/d) expectation
+    //      on the 9-row frame ----
+    "x251_benford" -> { (s, dir) =>
+      graft.operators.Profile.benford(
+        t(s, dir, "orders"), "o_totalprice", scale = 100L)
+    },
+
+    // ---- X: Haar multiresolution of daily volume over the first 16
+    //      days — exact integer detail coefficients at every dyadic
+    //      scale; the multi-scale anomaly localizer ----
+    "x252_haar_volume" -> { (s, dir) =>
+      graft.operators.Temporal.haarVolume(
+        t(s, dir, "events"), "ts", days = 16)
+    },
+
+    // ---- X: leave-one-source-out influence on the corpus mean —
+    //      closed-form data valuation from the per-source (n, sum)
+    //      frame ----
+    "x253_loo_influence" -> { (s, dir) =>
+      graft.operators.CorpusOps.looInfluence(
+        t(s, dir, "documents"), "source", "n_chars")
+    },
+
     // ---- X: Kaplan-Meier survival curve on days to first purchase —
     //      never-converters are right-censored at their last event,
     //      not zeros; day-bounded risk frame, log-space microgrid
@@ -6580,6 +6620,166 @@ object SparkEntry {
            CAST(row_number() OVER (ORDER BY u DESC, arm ASC) AS BIGINT)
              AS rank_ucb
          FROM sc ORDER BY arm""",
+
+    // x249: padding waste — rank replays as plain row_number (values
+    // equal cumByRange's prefix sums); exact integer batch totals
+    "x249_padding_waste" ->
+      """WITH base AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT)
+             AS len FROM documents),
+         arr AS (SELECT len, row_number() OVER (ORDER BY id) AS rk
+           FROM base),
+         srt AS (SELECT len, row_number() OVER (ORDER BY len, id) AS rk
+           FROM base),
+         ab AS (SELECT (rk - 1) // 32 AS batch, max(len) AS mx,
+             CAST(count(*) AS BIGINT) AS sz, CAST(sum(len) AS BIGINT)
+               AS s
+           FROM arr GROUP BY 1),
+         sb AS (SELECT (rk - 1) // 32 AS batch, max(len) AS mx,
+             CAST(count(*) AS BIGINT) AS sz, CAST(sum(len) AS BIGINT)
+               AS s
+           FROM srt GROUP BY 1),
+         aa AS (SELECT 'arrival' AS strategy,
+             CAST(count(*) AS BIGINT) AS n_batches,
+             CAST(sum(s) AS BIGINT) AS total_tokens,
+             CAST(sum(mx * sz) AS BIGINT) AS padded_tokens FROM ab),
+         sa AS (SELECT 'length_sorted' AS strategy,
+             CAST(count(*) AS BIGINT) AS n_batches,
+             CAST(sum(s) AS BIGINT) AS total_tokens,
+             CAST(sum(mx * sz) AS BIGINT) AS padded_tokens FROM sb)
+         SELECT strategy, n_batches, total_tokens, padded_tokens,
+           round(CASE WHEN padded_tokens = 0 THEN NULL
+             ELSE (CAST(padded_tokens AS DOUBLE)
+               - CAST(total_tokens AS DOUBLE))
+               / CAST(padded_tokens AS DOUBLE) END, 6) AS waste_frac
+         FROM (SELECT * FROM aa UNION ALL SELECT * FROM sa)
+         ORDER BY strategy""",
+
+    // x250: LSH planner — the closed-form S-curve on range(1,17), pow
+    // on bit-identical DOUBLE literals, rounded at 6
+    "x250_lsh_planner" ->
+      """WITH base AS (SELECT CAST(r AS BIGINT) AS r,
+             CAST(256 // r AS BIGINT) AS b
+           FROM UNNEST(range(1, 17)) t(r)),
+         c AS (SELECT r, b, b * r AS hashes,
+             pow(1.0 / CAST(b AS DOUBLE), 1.0 / CAST(r AS DOUBLE))
+               AS mid,
+             1.0 - pow(1.0 - pow(CAST(0.8 AS DOUBLE),
+               CAST(r AS DOUBLE)), CAST(b AS DOUBLE)) AS p_t,
+             1.0 - pow(1.0 - pow(CAST(0.6 AS DOUBLE),
+               CAST(r AS DOUBLE)), CAST(b AS DOUBLE)) AS p_fp,
+             pow(1.0 - pow(CAST(0.9 AS DOUBLE), CAST(r AS DOUBLE)),
+               CAST(b AS DOUBLE)) AS p_fn
+           FROM base),
+         d AS (SELECT r, b, hashes, mid, p_t, p_fp, p_fn,
+             abs(mid - CAST(0.8 AS DOUBLE)) AS dist FROM c)
+         SELECT r, b, hashes, round(mid, 6) AS midpoint,
+           round(p_t, 6) AS p_at_threshold,
+           round(p_fp, 6) AS p_fp_low, round(p_fn, 6) AS p_fn_high,
+           row_number() OVER (ORDER BY dist ASC, r ASC) = 1 AS chosen
+         FROM d ORDER BY r""",
+
+    // x251: Benford — exact cent grid, integer CASE-ladder leading
+    // digit (no per-row log), ln-ratio expectation on the 9-row frame
+    "x251_benford" ->
+      """WITH mp AS (SELECT m FROM (SELECT CAST(round(o_totalprice
+             * 100.0) AS BIGINT) AS m FROM orders) WHERE m > 0),
+         dg AS (SELECT CASE
+             WHEN m >= 1000000000000000000 THEN m // 1000000000000000000
+             WHEN m >= 100000000000000000 THEN m // 100000000000000000
+             WHEN m >= 10000000000000000 THEN m // 10000000000000000
+             WHEN m >= 1000000000000000 THEN m // 1000000000000000
+             WHEN m >= 100000000000000 THEN m // 100000000000000
+             WHEN m >= 10000000000000 THEN m // 10000000000000
+             WHEN m >= 1000000000000 THEN m // 1000000000000
+             WHEN m >= 100000000000 THEN m // 100000000000
+             WHEN m >= 10000000000 THEN m // 10000000000
+             WHEN m >= 1000000000 THEN m // 1000000000
+             WHEN m >= 100000000 THEN m // 100000000
+             WHEN m >= 10000000 THEN m // 10000000
+             WHEN m >= 1000000 THEN m // 1000000
+             WHEN m >= 100000 THEN m // 100000
+             WHEN m >= 10000 THEN m // 10000
+             WHEN m >= 1000 THEN m // 1000
+             WHEN m >= 100 THEN m // 100
+             WHEN m >= 10 THEN m // 10
+             ELSE m END AS digit FROM mp),
+         obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+           FROM dg GROUP BY 1),
+         sp AS (SELECT CAST(dd AS BIGINT) AS digit
+           FROM UNNEST(range(1, 10)) t(dd)),
+         cells AS (SELECT sp.digit, COALESCE(n_obs, 0) AS n_obs
+           FROM sp LEFT JOIN obs USING (digit)),
+         w AS (SELECT digit, n_obs,
+             CAST(sum(n_obs) OVER () AS BIGINT) AS n FROM cells),
+         e AS (SELECT digit, n_obs, n,
+             ln(1.0 + 1.0 / CAST(digit AS DOUBLE))
+               / ln(CAST(10.0 AS DOUBLE)) AS expp FROM w)
+         SELECT digit, n_obs,
+           round(CASE WHEN n = 0 THEN NULL
+             ELSE CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE) END, 6)
+             AS obs_frac,
+           round(expp, 6) AS exp_frac,
+           round(CASE WHEN n = 0 THEN NULL
+             ELSE (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * expp)
+               * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * expp)
+               / (CAST(n AS DOUBLE) * expp) END, 6) AS chi2_term
+         FROM e ORDER BY digit""",
+
+    // x252: Haar — exact integer pair sums/differences, four chained
+    // level CTEs over the 16-day spine
+    "x252_haar_volume" ->
+      """WITH mind AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+         dd AS (SELECT date_diff('day', d0, CAST(ts AS DATE)) AS idx
+           FROM events, mind),
+         bd AS (SELECT CAST(idx AS BIGINT) AS idx,
+             CAST(count(*) AS BIGINT) AS c
+           FROM dd WHERE idx < 16 GROUP BY 1),
+         sp AS (SELECT CAST(i AS BIGINT) AS idx
+           FROM UNNEST(range(16)) t(i)),
+         leaves AS (SELECT sp.idx, COALESCE(c, 0) AS c
+           FROM sp LEFT JOIN bd USING (idx)),
+         l1 AS (SELECT idx // 2 AS idx,
+             CAST(sum(CASE WHEN idx % 2 = 0 THEN c ELSE -c END)
+               AS BIGINT) AS det,
+             CAST(sum(c) AS BIGINT) AS s FROM leaves GROUP BY 1),
+         l2 AS (SELECT idx // 2 AS idx,
+             CAST(sum(CASE WHEN idx % 2 = 0 THEN s ELSE -s END)
+               AS BIGINT) AS det,
+             CAST(sum(s) AS BIGINT) AS s FROM l1 GROUP BY 1),
+         l3 AS (SELECT idx // 2 AS idx,
+             CAST(sum(CASE WHEN idx % 2 = 0 THEN s ELSE -s END)
+               AS BIGINT) AS det,
+             CAST(sum(s) AS BIGINT) AS s FROM l2 GROUP BY 1),
+         l4 AS (SELECT idx // 2 AS idx,
+             CAST(sum(CASE WHEN idx % 2 = 0 THEN s ELSE -s END)
+               AS BIGINT) AS det,
+             CAST(sum(s) AS BIGINT) AS s FROM l3 GROUP BY 1)
+         SELECT CAST(1 AS BIGINT) AS level, idx, det AS coef FROM l1
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), idx, det FROM l2
+         UNION ALL
+         SELECT CAST(3 AS BIGINT), idx, det FROM l3
+         UNION ALL
+         SELECT CAST(4 AS BIGINT), idx, det FROM l4
+         UNION ALL
+         SELECT CAST(5 AS BIGINT), idx, s FROM l4
+         ORDER BY level, idx""",
+
+    // x253: leave-one-source-out influence — closed form from the
+    // per-source (n, sum) frame
+    "x253_loo_influence" ->
+      """WITH per AS (SELECT source AS g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS s
+           FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(s) AS BIGINT) AS ss FROM per)
+         SELECT g AS source, n,
+           round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_in,
+           round(CASE WHEN nn = n THEN NULL
+             ELSE CAST(ss - s AS DOUBLE) / CAST(nn - n AS DOUBLE)
+               - CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE) END, 6)
+             AS influence
+         FROM per CROSS JOIN tot ORDER BY source""",
 
     // x240: Kaplan-Meier risk table — integer day durations, censored
     // at last event; survival via the x181 microgrid log fold (exact

@@ -674,6 +674,22 @@ object Stress {
         "ucb_allocation" -> (() =>
           operators.Evaluation.ucbAllocation(events, "event_type",
             "value").count()),
+        // two-pass prefix-sum ranks + batch-frame rollups
+        "padding_waste" -> (() =>
+          operators.CorpusOps.paddingWaste(
+            docs.withColumn("n_chars", length(col("text"))),
+            "doc_id", "n_chars", batchSize = 32).count()),
+        // exact cent grid + 9-row digit frame
+        "benford" -> (() =>
+          operators.Profile.benford(events, "value", 100L).count()),
+        // day spine + log2(days) bounded level folds
+        "haar_volume" -> (() =>
+          operators.Temporal.haarVolume(events, "ts", 16).count()),
+        // per-source (n,sum) frame closed form
+        "loo_influence" -> (() =>
+          operators.CorpusOps.looInfluence(
+            docs.withColumn("n_chars", length(col("text"))),
+            "source", "n_chars").count()),
         // embarrassingly parallel codec scan (synth + decode + RMS)
         "wav_vad" -> (() => {
           val ids = docs.select(col("doc_id")).limit(2000 * m)

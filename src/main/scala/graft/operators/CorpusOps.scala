@@ -1121,4 +1121,86 @@ object CorpusOps {
           .as("gini"))
   }
 
+  /** Padding-waste audit for fixed-size batch assembly: if docs are
+    * batched `batchSize` at a time in a given order and every sequence
+    * in a batch pads to the batch max, what fraction of the compute is
+    * padding? Compares ARRIVAL order (batch whatever comes) against
+    * LENGTH-SORTED order (the bucketing trick) — the measured
+    * justification for a sort-by-length stage in front of
+    * [[packSequences]]-style assembly (packing removes padding
+    * entirely; bucketing is what serving/training stacks that require
+    * fixed shapes actually do).
+    *
+    * Ranks come from [[Scale.cumByRange]]'s value-deterministic
+    * prefix sums (never an unpartitioned corpus window — the x211
+    * discipline): arrival rank = cum over the unique-id frame;
+    * length-sorted rank = cum-before(len) + row_number within the
+    * per-length group (keyed window). Batch frames are n/batchSize
+    * rows; totals are exact integers with ONE final rounded division.
+    * Output per strategy: (strategy, n_batches, total_tokens,
+    * padded_tokens, waste_frac), waste NULL if padded is 0. */
+  def paddingWaste(df: DataFrame, idCol: String, lenCol: String,
+      batchSize: Int = 32): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1: $batchSize")
+    val d = (c: Column) => c.cast(DoubleType)
+    val base = df.select(col(idCol).as("id"),
+      col(lenCol).cast("long").as("len"))
+    // arrival: ids are unique, so the value-frame cum IS the rank
+    val arrival = Scale.cumByRange(
+        base.withColumn("cnt", lit(1L)), "id", "cnt")
+      .select(col("len"), col("cum").as("rank"))
+    // length-sorted: cum-before on the length frame + keyed row_number
+    val lenCum = Scale.cumByRange(
+      base.groupBy(col("len")).agg(count(lit(1)).as("cnt")),
+      "len", "cnt").select(col("len"), (col("cum") - col("cnt")).as("cb"))
+    val sorted = base.join(lenCum.hint("shuffle_hash"), Seq("len"))
+      .withColumn("rank", col("cb") + row_number().over(
+        Window.partitionBy(col("len")).orderBy(col("id"))))
+      .select(col("len"), col("rank"))
+    def audit(ranked: DataFrame, name: String): DataFrame = {
+      val batches = ranked
+        .withColumn("batch", call_function("div",
+          col("rank") - 1L, lit(batchSize.toLong)))
+        .groupBy(col("batch"))
+        .agg(max(col("len")).as("mx"), count(lit(1)).as("sz"),
+          sum(col("len")).as("s"))
+      batches.agg(count(lit(1)).as("n_batches"),
+          sum(col("s")).as("total_tokens"),
+          sum(col("mx") * col("sz")).as("padded_tokens"))
+        .select(lit(name).as("strategy"), col("n_batches"),
+          col("total_tokens"), col("padded_tokens"),
+          round(when(col("padded_tokens") === 0L,
+              lit(null).cast(DoubleType))
+            .otherwise((d(col("padded_tokens")) -
+              d(col("total_tokens"))) / d(col("padded_tokens"))), 6)
+            .as("waste_frac"))
+    }
+    audit(arrival, "arrival").unionAll(audit(sorted, "length_sorted"))
+      .orderBy(col("strategy"))
+  }
+
+  /** Leave-one-source-out influence on the corpus mean of `valueCol`:
+    * for each group, the global mean recomputed WITHOUT it minus the
+    * mean with it — closed form from the per-group (n, sum) frame, the
+    * cheapest member of the data-valuation family (which source drags
+    * corpus quality, and by how much). Positive influence = removing
+    * the source RAISES the mean. Exact integer sums; the only doubles
+    * are the two final divisions. NULL when the group is the whole
+    * corpus. Output: (group, n, mean_in, influence). */
+  def looInfluence(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val d = (c: Column) => c.cast(DoubleType)
+    val per = df.select(col(groupCol).as("g"),
+        col(valueCol).cast("long").as("v"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val tot = per.agg(sum(col("n")).as("nn"), sum(col("s")).as("ss"))
+    per.crossJoin(broadcast(tot))
+      .select(col("g").as(groupCol), col("n"),
+        round(d(col("s")) / d(col("n")), 6).as("mean_in"),
+        round(when(col("nn") === col("n"), lit(null).cast(DoubleType))
+          .otherwise(d(col("ss") - col("s")) / d(col("nn") - col("n")) -
+            d(col("ss")) / d(col("nn"))), 6).as("influence"))
+      .orderBy(col(groupCol))
+  }
 }

@@ -1191,4 +1191,49 @@ object Dedup {
         round(col("band").cast(DoubleType) / buckets, 6).as("band_lo"),
         col("n_pairs"))
   }
+
+  /** LSH (bands, rows) parameter planner: for each rows-per-band r that
+    * divides into the `totalHashes` budget, the S-curve facts a
+    * [[minhashLshPairs]] caller tunes against (Leskovec-Rajaraman-Ullman
+    * ch. 3): collision probability 1-(1-s^r)^b at the target threshold,
+    * at a `lowT` non-dup similarity (false-positive pressure on the
+    * candidate verifier) and at a `highT` true-dup similarity (miss
+    * rate), plus the curve midpoint (1/b)^(1/r) and the chosen row —
+    * the r whose midpoint lands closest to the threshold. The planner
+    * frame is maxR rows of closed-form math; measured calibration of a
+    * BUILT index is x123's job, this is the pre-build advisor.
+    * `lowT`/`highT` are explicit (not derived from `threshold`) so both
+    * engines evaluate pow on bit-identical literals. */
+  def lshPlanner(spark: org.apache.spark.sql.SparkSession,
+      threshold: Double, lowT: Double, highT: Double,
+      totalHashes: Int = 256, maxR: Int = 16): DataFrame = {
+    require(threshold > 0 && threshold < 1 && lowT < threshold &&
+      highT > threshold && highT < 1, "need lowT < threshold < highT in (0,1)")
+    val d = (c: Column) => c.cast(DoubleType)
+    def sCurve(s: Double): Column =
+      lit(1.0) - pow(lit(1.0) - pow(lit(s), d(col("r"))), d(col("b")))
+    val base = spark.range(1L, maxR.toLong + 1L)
+      .select(col("id").as("r"))
+      .withColumn("b",
+        call_function("div", lit(totalHashes.toLong), col("r")))
+      .filter(col("b") >= 1L)
+      .withColumn("hashes", col("b") * col("r"))
+      .withColumn("mid",
+        pow(lit(1.0) / d(col("b")), lit(1.0) / d(col("r"))))
+      .withColumn("p_t", sCurve(threshold))
+      .withColumn("p_fp", sCurve(lowT))
+      .withColumn("p_fn",
+        pow(lit(1.0) - pow(lit(highT), d(col("r"))), d(col("b"))))
+      .withColumn("dist", abs(col("mid") - lit(threshold)))
+    base
+      .withColumn("chosen", row_number().over( // maxR-row frame
+        Window.orderBy(col("dist").asc, col("r").asc)) === 1)
+      .select(col("r"), col("b"), col("hashes"),
+        round(col("mid"), 6).as("midpoint"),
+        round(col("p_t"), 6).as("p_at_threshold"),
+        round(col("p_fp"), 6).as("p_fp_low"),
+        round(col("p_fn"), 6).as("p_fn_high"),
+        col("chosen"))
+      .orderBy(col("r"))
+  }
 }

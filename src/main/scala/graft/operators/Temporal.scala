@@ -402,4 +402,48 @@ object Temporal {
         round(when(col("__mae1") =!= 0.0,
           col("__maeS") / col("__mae1")), 6).as("mase"))
   }
+
+  /** Unnormalized Haar multiresolution decomposition of the daily
+    * volume series over the first `days` (a power of two) days: detail
+    * coefficients at every dyadic scale plus the total — the
+    * multi-scale anomaly LOCALIZER next to the point detectors
+    * ([[graft.operators.EventAnalytics]]'s EWMA/CUSUM): a one-day spike
+    * lights up one fine coefficient, a week-scale shift lights up a
+    * coarse one, and which (level, idx) fired says where and how wide.
+    * Levels: 1 = finest detail (days/2 coefficients, idx = pair
+    * position), up to log2(days) = coarsest detail (1), and
+    * log2(days)+1 = the approximation (total count). All coefficients
+    * are exact integer sums/differences of daily counts (left − right
+    * per pair), bit-identical across engines. The frame is `days`
+    * rows after one partial-agged scan; the level fold is log2(days)
+    * bounded groupBys. Output: (level, idx, coef). */
+  def haarVolume(events: DataFrame, tsCol: String,
+      days: Int = 16): DataFrame = {
+    require(days >= 2 && (days & (days - 1)) == 0,
+      s"days must be a power of two >= 2: $days")
+    val spark = events.sparkSession
+    val levels = java.lang.Integer.numberOfTrailingZeros(days)
+    val mind = events.agg(min(to_date(col(tsCol))).as("d0"))
+    val byDay = events.select(to_date(col(tsCol)).as("dd"))
+      .crossJoin(broadcast(mind))
+      .select(datediff(col("dd"), col("d0")).cast("long").as("idx"))
+      .filter(col("idx") < days.toLong)
+      .groupBy(col("idx")).agg(count(lit(1)).as("c"))
+    val spine = spark.range(days.toLong).select(col("id").as("idx"))
+    var cur = spine.join(byDay, Seq("idx"), "left")
+      .select(col("idx"), coalesce(col("c"), lit(0L)).as("c"))
+    val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (lvl <- 1 to levels) {
+      val paired = cur.groupBy(
+          call_function("div", col("idx"), lit(2L)).as("idx"))
+        .agg(sum(when(pmod(col("idx"), lit(2L)) === 0L, col("c"))
+          .otherwise(-col("c"))).as("det"), sum(col("c")).as("s"))
+      out += paired.select(lit(lvl.toLong).as("level"), col("idx"),
+        col("det").as("coef"))
+      cur = paired.select(col("idx"), col("s").as("c"))
+    }
+    out += cur.select(lit((levels + 1).toLong).as("level"),
+      col("idx"), col("c").as("coef"))
+    out.reduce(_ unionAll _).orderBy(col("level"), col("idx"))
+  }
 }

@@ -631,4 +631,41 @@ class CorpusOpsSpec extends SparkSpec {
     assert(o.isNullAt(4) && o.isNullAt(5))
     assert(o.getLong(2) == 4L, "one run per shard")
   }
+
+  test("paddingWaste: hand case — length sorting removes the mixed-batch padding") {
+    import spark.implicits._
+    // arrival (id order): lengths 1,10,1,10 at B=2 -> batches (1,10)
+    // and (1,10): padded 40, total 22; sorted -> (1,1),(10,10):
+    // padded 22, waste 0
+    val df = Seq((1L, 1L), (2L, 10L), (3L, 1L), (4L, 10L))
+      .toDF("doc_id", "len")
+    val out = graft.operators.CorpusOps.paddingWaste(
+        df, "doc_id", "len", batchSize = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(("arrival", 2L, 22L, 40L, 0.45),
+      ("length_sorted", 2L, 22L, 22L, 0.0)))
+    // a final partial batch still pads to its own max only
+    val odd = Seq((1L, 4L), (2L, 4L), (3L, 9L)).toDF("doc_id", "len")
+    val o2 = graft.operators.CorpusOps.paddingWaste(
+        odd, "doc_id", "len", batchSize = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    // both orders: (4,4)+(9): padded 8 + 9 = 17
+    assert(o2.forall(t => t._2 == 2L && t._3 == 17L))
+  }
+
+  test("looInfluence: closed form and the single-source NULL pin") {
+    import spark.implicits._
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val df = Seq(("A", 1L), ("A", 2L), ("B", 4L)).toDF("src", "v")
+    val out = graft.operators.CorpusOps.looInfluence(df, "src", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(out(0) == (("A", 2L, 1.5, r6(4.0 - 7.0 / 3.0))))
+    assert(out(1) == (("B", 1L, 4.0, r6(1.5 - 7.0 / 3.0))))
+    val one = graft.operators.CorpusOps.looInfluence(
+      Seq(("A", 1L), ("A", 3L)).toDF("src", "v"), "src", "v").collect()
+    assert(one.length == 1 && one(0).isNullAt(3))
+  }
 }

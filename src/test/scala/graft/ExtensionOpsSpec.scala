@@ -741,6 +741,29 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(cal.map(t => (t._1, t._2)).toSet == exact)
   }
 
+  test("lshPlanner: closed-form S-curve, monotone midpoints, chooses the r nearest the threshold") {
+    val out = Dedup.lshPlanner(spark, threshold = 0.8, lowT = 0.6,
+        highT = 0.9, totalHashes = 256, maxR = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getBoolean(7)))
+    assert(out.length == 16 && out.map(_._1).toSeq == (1L to 16L))
+    // budget respected, bands exact
+    assert(out.forall(t => t._2 == 256L / t._1 && t._3 <= 256L))
+    // curve midpoint rises with r (sharper curves sit later)
+    assert(out.map(_._4).sliding(2).forall(w => w(0) < w(1)))
+    // closed form replay for r=8, b=32
+    val p = 1.0 - math.pow(1.0 - math.pow(0.8, 8.0), 32.0)
+    assert(math.abs(out(7)._5 - p) < 1e-6)
+    // exactly one chosen row, and its midpoint is the argmin distance
+    val chosen = out.filter(_._8)
+    assert(chosen.length == 1)
+    assert(math.abs(chosen(0)._4 - 0.8) ==
+      out.map(t => math.abs(t._4 - 0.8)).min)
+    // at the chosen setting, true dups at 0.9 are nearly never missed
+    assert(chosen(0)._7 < 0.05)
+  }
+
   test("pairAuditQueue: band-balanced, capped, partition-stable sampling") {
     // mid-band scores (x.x5) are floor-safe in doubles; a boundary score
     // of exactly 1.0 would clamp into the top band

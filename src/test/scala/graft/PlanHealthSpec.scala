@@ -1281,6 +1281,31 @@ class PlanHealthSpec extends SparkSpec {
     }
   }
 
+  test("x249: padding waste ranks via two-pass prefix sums; the only raw-corpus window is keyed by length") {
+    val p = plan("x249_padding_waste")
+    assert(!p.contains("CartesianProduct"), s"x249 grew a cartesian:\n$p")
+    // the arrival rank must NOT be an unpartitioned row_number over the
+    // corpus; cumByRange's bucketed path partitions by __bkt
+    assert(!p.contains("windowspecdefinition(doc_id"),
+      s"x249 must not window the raw corpus by doc_id unkeyed:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"x249 batch totals must partial-aggregate:\n$p")
+  }
+
+  test("x250-x253: planner/audit frames are bounded; no row-scale sort-merge or cartesian") {
+    for (q <- Seq("x250_lsh_planner", "x251_benford", "x252_haar_volume",
+        "x253_loo_influence")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q must not row-sort-merge anything:\n$p")
+      assert(!p.replaceAll(
+        "BroadcastNestedLoopJoin Build(Right|Left), Cross", "").contains(
+        "BroadcastNestedLoopJoin"),
+        s"$q must only cross against broadcast bounded frames:\n$p")
+    }
+  }
+
   test("x199: range splits reduce per-row work to one groupBy(key); windows run on the distinct-key frame") {
     val p = plan("x199_range_splits")
     assert(!p.contains("Join"), s"x199 must stay join-free:\n$p")

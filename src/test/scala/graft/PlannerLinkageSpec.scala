@@ -317,4 +317,27 @@ class PlannerLinkageSpec extends SparkSpec {
       "source", "v").collect()
     assert(one.length == 1 && one(0).getDouble(2) == 0.0)
   }
+
+  test("benford: digit ladder buckets exactly; expectation sums to 1; uniform data flags high chi2") {
+    import spark.implicits._
+    // one value per digit at mixed magnitudes: 0.01 -> 1, 2.34 -> 2,
+    // 30 -> 3, ... ladder must pick the LEADING digit at any scale
+    val vals = Seq(0.01, 2.34, 30.0, 400.05, 5.0, 60.0, 7000.0, 0.08,
+      99999.99)
+    val out = graft.operators.Profile.benford(
+        vals.map(Tuple1(_)).toDF("v"), "v", scale = 100L)
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == (1L to 9L))
+    assert(out.forall(_.getLong(1) == 1L), "one value per digit")
+    assert(out.forall(r => r.getDouble(2) == 0.111111))
+    // Benford expectation is a probability distribution
+    val expSum = out.map(_.getDouble(3)).sum
+    assert(math.abs(expSum - 1.0) < 1e-5)
+    // digit-1 mass ~30.1%, digit-9 ~4.6%
+    assert(out(0).getDouble(3) == 0.30103 && out(8).getDouble(3) == 0.045757)
+    // non-positives are dropped, never bucketed
+    val o2 = graft.operators.Profile.benford(
+      Seq(-5.0, 0.0, 1.0).map(Tuple1(_)).toDF("v"), "v").collect()
+    assert(o2.map(_.getLong(1)).sum == 1L)
+  }
 }

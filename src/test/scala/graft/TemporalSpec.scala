@@ -239,4 +239,28 @@ class TemporalSpec extends SparkSpec {
     assert(r.getDouble(2) > 0.0)  // mae1
     assert(r.getDouble(5) == 0.0) // mase
   }
+
+  test("haarVolume: exact integer coefficients on a hand series; missing days are zero") {
+    import spark.implicits._
+    // daily counts [3,1,4,2] over 4 days
+    val rows = Seq.fill(3)(0) ++ Seq.fill(1)(1) ++ Seq.fill(4)(2) ++
+      Seq.fill(2)(3)
+    val ev = rows.map(d => Tuple1(java.sql.Timestamp.valueOf(
+        f"2024-01-${d + 1}%02d 10:00:00")))
+      .toDF("ts")
+    val out = graft.operators.Temporal.haarVolume(ev, "ts", days = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // l1: (3-1)=2, (4-2)=2; l2: (4-6)=-2; approx: 10
+    assert(out.toSeq == Seq((1L, 0L, 2L), (1L, 1L, 2L), (2L, 0L, -2L),
+      (3L, 0L, 10L)))
+    // a day with no events contributes an exact zero leaf
+    val sparse = Seq(0, 0, 3, 3).map(d => Tuple1(
+        java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 10:00:00")))
+      .toDF("ts")
+    val o2 = graft.operators.Temporal.haarVolume(sparse, "ts", days = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // leaves [2,0,0,2]: l1 2, -2; l2 2-2=0... wait: s1=2, s2=2 -> 0
+    assert(o2.toSeq == Seq((1L, 0L, 2L), (1L, 1L, -2L), (2L, 0L, 0L),
+      (3L, 0L, 4L)))
+  }
 }
