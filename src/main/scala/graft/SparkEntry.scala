@@ -3217,6 +3217,42 @@ object SparkEntry {
         t(s, dir, "documents"), "source", "n_chars")
     },
 
+    // ---- X: Nelson-Aalen cumulative hazard on the same risk table as
+    //      x240 — microgrid d/n increments, Fleming-Harrington exp(-H)
+    //      survival alongside ----
+    "x254_nelson_aalen" -> { (s, dir) =>
+      graft.operators.Survival.nelsonAalen(
+        t(s, dir, "events"), "user_id", "ts", "event_type", "purchase")
+    },
+
+    // ---- X: capture-recapture dup-population estimate (Chapman) —
+    //      the x3 shingle detector and the x4 signature detector as
+    //      the two independent captures; answers "how many dups did
+    //      we MISS" with exact integer counts ----
+    "x255_capture_recapture" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.Dedup.captureRecapture(
+        graft.operators.Dedup.minhashLshPairs(
+          docs, "doc_id", "text", n = 3, threshold = 0.8),
+        graft.operators.Dedup.simhashPairs(
+          docs, "doc_id", "text", maxHamming = 3))
+    },
+
+    // ---- X: delete-one-source jackknife SE of the corpus mean —
+    //      pseudo-means on the rounded grid, x219 DECIMAL folds ----
+    "x256_jackknife" -> { (s, dir) =>
+      graft.operators.CorpusOps.jackknifeVariance(
+        t(s, dir, "documents"), "source", "n_chars")
+    },
+
+    // ---- X: source Pareto front on (volume, mean length) — the
+    //      mixture-planning shortlist; grid-exact domination on the
+    //      20-source frame ----
+    "x257_pareto_front" -> { (s, dir) =>
+      graft.operators.CorpusOps.paretoFront(
+        t(s, dir, "documents"), "source", "n_chars")
+    },
+
     // ---- X: Kaplan-Meier survival curve on days to first purchase —
     //      never-converters are right-censored at their last event,
     //      not zeros; day-bounded risk frame, log-space microgrid
@@ -6780,6 +6816,140 @@ object SparkEntry {
                - CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE) END, 6)
              AS influence
          FROM per CROSS JOIN tot ORDER BY source""",
+
+    // x254: Nelson-Aalen — the x240 risk table with HALF-UP microgrid
+    // d/n increments (exact HUGEINT division), per-row outer exp
+    "x254_nelson_aalen" ->
+      """WITH pu AS (SELECT user_id, min(ts) AS start,
+             min(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS conv_ts,
+             max(ts) AS last_ts
+           FROM events GROUP BY 1),
+         dur AS (SELECT CAST(CASE WHEN conv_ts IS NOT NULL
+               THEN date_diff('day', CAST(start AS DATE),
+                 CAST(conv_ts AS DATE))
+               ELSE date_diff('day', CAST(start AS DATE),
+                 CAST(last_ts AS DATE)) END AS BIGINT) AS t,
+             CASE WHEN conv_ts IS NOT NULL THEN 1 ELSE 0 END AS e
+           FROM pu),
+         byt AS (SELECT t, CAST(sum(e) AS BIGINT) AS d,
+             CAST(sum(1 - e) AS BIGINT) AS c FROM dur GROUP BY 1),
+         rk AS (SELECT t, d, c,
+             CAST(sum(d + c) OVER () - COALESCE(sum(d + c) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND
+               1 PRECEDING), 0) AS BIGINT) AS n_risk
+           FROM byt),
+         hm AS (SELECT t, n_risk, d, c,
+             (2 * CAST(d AS HUGEINT) * 1000000
+               + CAST(n_risk AS HUGEINT))
+               // (2 * CAST(n_risk AS HUGEINT)) AS hmv
+           FROM rk),
+         cm AS (SELECT t, n_risk, d, c,
+             CAST(sum(hmv) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_hm
+           FROM hm)
+         SELECT t AS t_days, n_risk, d, c,
+           round(CAST(cum_hm AS DOUBLE) / 1e6, 6) AS cum_hazard,
+           round(exp(-CAST(cum_hm AS DOUBLE) / 1e6), 6) AS survival_fh
+         FROM cm ORDER BY t_days""",
+
+    // x255: Chapman capture-recapture — the x3 exact-jaccard pair set
+    // and the x4 simhash pair set replayed, then a 1-row estimate
+    "x255_capture_recapture" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+           FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+             array_to_string(ws[i:i+2], ' ') AS s
+           FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1))) t(i)),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             count(*) AS c
+           FROM sh a JOIN sh b USING (s)
+           WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         pa AS (SELECT id_a, id_b
+           FROM inter JOIN sz sa ON id_a = sa.doc_id
+             JOIN sz sb ON id_b = sb.doc_id
+           WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8),
+         tok AS (SELECT doc_id, w2 AS w, count(*) AS cnt FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS w2
+             FROM documents)
+           GROUP BY 1, 2),
+         th AS (SELECT doc_id, cnt,
+             ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM tok),
+         bits AS (SELECT doc_id, i,
+             sum(CASE WHEN (h >> i) & 1 = 1 THEN cnt ELSE -cnt END)
+               AS s
+           FROM th, range(0, 60) t(i) GROUP BY 1, 2),
+         fp AS (SELECT doc_id,
+             sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END)
+               AS simhash
+           FROM bits GROUP BY 1),
+         banded AS (SELECT doc_id, simhash, j,
+             (simhash >> (15 * j)) & 32767 AS ck
+           FROM fp, range(0, 4) t(j)),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sa, b.simhash AS sb
+           FROM banded a JOIN banded b ON a.j = b.j AND a.ck = b.ck
+             AND a.doc_id < b.doc_id),
+         pb AS (SELECT id_a, id_b FROM cand
+           WHERE bit_count(xor(sa, sb)) <= 3),
+         na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM pa),
+         nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM pb),
+         mm AS (SELECT CAST(count(*) AS BIGINT) AS n_both
+           FROM pa JOIN pb USING (id_a, id_b)),
+         est AS (SELECT n_a, n_b, n_both,
+             CAST((n_a + 1) * (n_b + 1) AS DOUBLE)
+               / CAST(n_both + 1 AS DOUBLE) - 1.0 AS e
+           FROM na CROSS JOIN nb CROSS JOIN mm)
+         SELECT n_a, n_b, n_both, round(e, 6) AS est_total,
+           round(CASE WHEN e = 0.0 THEN NULL
+             ELSE CAST(n_a AS DOUBLE) / e END, 6) AS coverage_a,
+           round(CASE WHEN e = 0.0 THEN NULL
+             ELSE CAST(n_b AS DOUBLE) / e END, 6) AS coverage_b
+         FROM est""",
+
+    // x256: delete-one-source jackknife — rounded pseudo-means through
+    // the x219 DECIMAL fold
+    "x256_jackknife" ->
+      """WITH per AS (SELECT source AS g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS s
+           FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(s) AS BIGINT) AS ss,
+             CAST(count(*) AS BIGINT) AS k FROM per),
+         th AS (SELECT nn, ss, k,
+             round(CAST(ss - s AS DOUBLE) / CAST(nn - n AS DOUBLE), 6)
+               AS th
+           FROM per CROSS JOIN tot),
+         th2 AS (SELECT nn, ss, k, th, round(th * th, 6) AS th2
+           FROM th),
+         f AS (SELECT nn, ss, k,
+             CAST(CAST(sum(CAST(th AS DECIMAL(28, 6))) AS VARCHAR)
+               AS DOUBLE) AS s1,
+             CAST(CAST(sum(CAST(th2 AS DECIMAL(28, 6))) AS VARCHAR)
+               AS DOUBLE) AS s2
+           FROM th2 GROUP BY 1, 2, 3)
+         SELECT k, nn AS n,
+           round(CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS mean,
+           round(CASE WHEN k < 2 THEN NULL
+             ELSE sqrt((CAST(k AS DOUBLE) - 1.0) / CAST(k AS DOUBLE)
+               * (s2 - s1 * s1 / CAST(k AS DOUBLE))) END, 6)
+             AS se_jack
+         FROM f""",
+
+    // x257: Pareto front — grid-exact domination pairs on the source
+    // frame
+    "x257_pareto_front" ->
+      """WITH per AS (SELECT source AS g, CAST(count(*) AS BIGINT) AS n,
+             round(CAST(sum(n_chars) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE), 6) AS q
+           FROM documents GROUP BY 1),
+         dom AS (SELECT DISTINCT a.g FROM per a JOIN per b
+           ON b.n >= a.n AND b.q >= a.q AND (b.n > a.n OR b.q > a.q))
+         SELECT per.g AS source, n AS n_docs, q AS mean_q,
+           dom.g IS NULL AS on_front
+         FROM per LEFT JOIN dom ON per.g = dom.g
+         ORDER BY source""",
 
     // x240: Kaplan-Meier risk table — integer day durations, censored
     // at last event; survival via the x181 microgrid log fold (exact

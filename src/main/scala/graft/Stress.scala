@@ -690,6 +690,26 @@ object Stress {
           operators.CorpusOps.looInfluence(
             docs.withColumn("n_chars", length(col("text"))),
             "source", "n_chars").count()),
+        // the x240 risk-table shape with a second bounded fold
+        "nelson_aalen" -> (() =>
+          operators.Survival.nelsonAalen(events, "user_id", "ts",
+            "event_type", "purchase").count()),
+        // two gated detectors + an equi-join of their pair frames
+        "capture_recapture" -> (() =>
+          operators.Dedup.captureRecapture(
+            operators.Dedup.minhashLshPairs(docs, "doc_id", "text",
+              n = 3, threshold = 0.8),
+            operators.Dedup.simhashPairs(docs, "doc_id", "text",
+              maxHamming = 3)).count()),
+        // source-frame closed forms
+        "jackknife" -> (() =>
+          operators.CorpusOps.jackknifeVariance(
+            docs.withColumn("n_chars", length(col("text"))),
+            "source", "n_chars").count()),
+        "pareto_front" -> (() =>
+          operators.CorpusOps.paretoFront(
+            docs.withColumn("n_chars", length(col("text"))),
+            "source", "n_chars").count()),
         // embarrassingly parallel codec scan (synth + decode + RMS)
         "wav_vad" -> (() => {
           val ids = docs.select(col("doc_id")).limit(2000 * m)

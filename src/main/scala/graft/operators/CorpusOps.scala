@@ -1179,6 +1179,79 @@ object CorpusOps {
       .orderBy(col("strategy"))
   }
 
+  /** Delete-one-group jackknife standard error of the corpus mean
+    * (Quenouille 1956, Tukey 1958; delete-GROUP because sources are
+    * the natural correlated unit — the same reasoning as
+    * [[Experiment.clusterAte]]'s between-cluster variance): pseudo-mean
+    * θ_i = mean without group i (the [[looInfluence]] closed form),
+    * se² = (k−1)/k · Σ(θ_i − θ̄)². θ values land on the rounded-6 grid
+    * and fold through the round-then-DECIMAL-sum x219 discipline, so
+    * both engines sum identical decimals. Output one row:
+    * (k, n, mean, se_jack), NULLs at k < 2. */
+  def jackknifeVariance(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val d = (c: Column) => c.cast(DoubleType)
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val per = df.select(col(groupCol).as("g"),
+        col(valueCol).cast("long").as("v"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val tot = per.agg(sum(col("n")).as("nn"), sum(col("s")).as("ss"),
+      count(lit(1)).as("k"))
+    val thetas = per.crossJoin(broadcast(tot))
+      .select(col("nn"), col("ss"), col("k"),
+        // k = 1 means nn == n: no pseudo-mean exists (se pins NULL
+        // below); 0.0 keeps the ANSI division alive without affecting
+        // the k >= 2 fold
+        when(col("nn") === col("n"), lit(0.0))
+          .otherwise(round(d(col("ss") - col("s")) /
+            d(col("nn") - col("n")), 6)).as("th"))
+      .withColumn("th2", round(col("th") * col("th"), 6))
+    val folded = thetas.groupBy(col("nn"), col("ss"), col("k"))
+      .agg(sum(col("th").cast(dec)).as("s1"),
+        sum(col("th2").cast(dec)).as("s2"))
+      .select(col("nn"), col("ss"), col("k"),
+        col("s1").cast("string").cast(DoubleType).as("s1"),
+        col("s2").cast("string").cast(DoubleType).as("s2"))
+    val varJack = (d(col("k")) - lit(1.0)) / d(col("k")) *
+      (col("s2") - col("s1") * col("s1") / d(col("k")))
+    folded.select(col("k"), col("nn").as("n"),
+      round(d(col("ss")) / d(col("nn")), 6).as("mean"),
+      round(when(col("k") < 2L, lit(null).cast(DoubleType))
+        .otherwise(sqrt(varJack)), 6).as("se_jack"))
+  }
+
+  /** Pareto front over the per-group (volume, quality) frame: a group
+    * is ON the front iff no other group has >= volume AND >= quality
+    * with at least one strict — the mixture-planning shortlist (a
+    * dominated source is never the right marginal pick at any
+    * volume-quality tradeoff). Quality = rounded-6 group mean, so the
+    * domination comparisons are grid-exact in both engines; the pair
+    * join is O(k²) on the group frame (the [[Evaluation.kendallTau]]
+    * bounded-frame convention). Output: (group, n_docs, mean_q,
+    * on_front). */
+  def paretoFront(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val d = (c: Column) => c.cast(DoubleType)
+    val per = df.select(col(groupCol).as("g"),
+        col(valueCol).cast("long").as("v"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .select(col("g"), col("n"),
+        round(d(col("s")) / d(col("n")), 6).as("q"))
+    val dominated = per.as("a").join(per.as("b"),
+        col("b.n") >= col("a.n") && col("b.q") >= col("a.q") &&
+          (col("b.n") > col("a.n") || col("b.q") > col("a.q")),
+        "left_semi")
+      .select(col("g"))
+    per.join(dominated.withColumn("dom", lit(true)),
+        Seq("g"), "left")
+      .select(col("g").as(groupCol), col("n").as("n_docs"),
+        col("q").as("mean_q"),
+        (coalesce(col("dom"), lit(false)) === false).as("on_front"))
+      .orderBy(col(groupCol))
+  }
+
   /** Leave-one-source-out influence on the corpus mean of `valueCol`:
     * for each group, the global mean recomputed WITHOUT it minus the
     * mean with it — closed form from the per-group (n, sum) frame, the

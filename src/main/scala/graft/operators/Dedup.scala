@@ -1192,6 +1192,39 @@ object Dedup {
         col("n_pairs"))
   }
 
+  /** Capture-recapture estimate of the TOTAL near-dup pair population
+    * from two independent detectors (Chapman 1951's bias-corrected
+    * Lincoln-Petersen): if detector A finds n1 pairs, detector B finds
+    * n2, and m pairs are found by BOTH, the unseen-population estimate
+    * is (n1+1)(n2+1)/(m+1) − 1 — the ecology trick applied to the
+    * question every dedup pipeline owner asks ("how many dups did we
+    * MISS?"), valid to the extent the detectors' miss patterns are
+    * independent (shingle-overlap vs bit-signature misses are close
+    * enough for a planning number). Per-detector coverage = n/N̂.
+    * Exact integer counts into one 1-row reduce; the pair frames come
+    * from already-gated detectors. Output: (n_a, n_b, n_both,
+    * est_total, coverage_a, coverage_b). */
+  def captureRecapture(pairsA: DataFrame, pairsB: DataFrame,
+      idACol: String = "id_a", idBCol: String = "id_b"): DataFrame = {
+    val d = (c: Column) => c.cast(DoubleType)
+    def keyed(df: DataFrame) =
+      df.select(col(idACol).as("ka"), col(idBCol).as("kb"))
+    val a = keyed(pairsA); val b = keyed(pairsB)
+    val na = a.agg(count(lit(1)).as("n_a"))
+    val nb = b.agg(count(lit(1)).as("n_b"))
+    val m = a.join(b.hint("shuffle_hash"), Seq("ka", "kb"))
+      .agg(count(lit(1)).as("n_both"))
+    val est = d((col("n_a") + 1L) * (col("n_b") + 1L)) /
+      d(col("n_both") + 1L) - lit(1.0)
+    na.crossJoin(broadcast(nb)).crossJoin(broadcast(m)) // 1-row each
+      .select(col("n_a"), col("n_b"), col("n_both"),
+        round(est, 6).as("est_total"),
+        round(when(est === 0.0, lit(null).cast(DoubleType))
+          .otherwise(d(col("n_a")) / est), 6).as("coverage_a"),
+        round(when(est === 0.0, lit(null).cast(DoubleType))
+          .otherwise(d(col("n_b")) / est), 6).as("coverage_b"))
+  }
+
   /** LSH (bands, rows) parameter planner: for each rows-per-band r that
     * divides into the `totalHashes` budget, the S-curve facts a
     * [[minhashLshPairs]] caller tunes against (Leskovec-Rajaraman-Ullman

@@ -64,8 +64,11 @@ object Survival {
     * groupBy onto the distinct-duration frame; the cumulative windows
     * order a frame bounded by the calendar span in days, never by
     * users. Nothing collects to the driver. */
-  def kaplanMeier(events: DataFrame, userCol: String, tsCol: String,
-      typeCol: String, convertType: String): DataFrame = {
+  /** The shared risk table: one row per distinct duration with
+    * (t, d, c, n_risk) — the base frame of [[kaplanMeier]] and
+    * [[nelsonAalen]]. */
+  private def riskTable(events: DataFrame, userCol: String,
+      tsCol: String, typeCol: String, convertType: String): DataFrame = {
     val dur = durations(events, userCol, tsCol, typeCol, convertType)
     val byT = dur.groupBy(col("t"))
       .agg(sum(col("e")).as("d"),
@@ -73,13 +76,18 @@ object Survival {
     val tot = Window.partitionBy(lit(1))
     val before = Window.orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val upTo = Window.orderBy(col("t"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val risk = byT
+    byT
       .withColumn("n_all", sum(col("d") + col("c")).over(tot))
       .withColumn("n_risk",
         col("n_all") - coalesce(sum(col("d") + col("c")).over(before),
           lit(0L)))
+  }
+
+  def kaplanMeier(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, convertType: String): DataFrame = {
+    val upTo = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = riskTable(events, userCol, tsCol, typeCol, convertType)
     // ln((n-d)/n) on the integer microgrid; n == d is the absorbing 0
     val lnMicro = when(col("d") === 0L, lit(0L))
       .when(col("n_risk") === col("d"), lit(0L))
@@ -94,6 +102,32 @@ object Survival {
         when(col("dead") === 1L, lit(0.0))
           .otherwise(round(exp(d(col("cum_ln")) / lit(MICRO.toDouble)),
             6)).as("survival"))
+      .orderBy(col("t_days"))
+  }
+
+  /** Nelson-Aalen cumulative hazard (Nelson 1972, Aalen 1978):
+    * H(t) = Σ over s <= t of d_s/n_s on the same risk table as
+    * [[kaplanMeier]] — the estimator whose INCREMENTS are the hazard
+    * itself (flat stretches = calm periods, jumps = conversion waves),
+    * and the better-behaved small-risk-set companion (it never hits an
+    * absorbing zero; exp(-H) is the Fleming-Harrington survival
+    * variant reported alongside). Each d/n term is rounded HALF-UP on
+    * the 1e6 microgrid with exact Decimal integer division
+    * ([[microDiv]]) and cum-summed as longs; the per-row exp is the
+    * single outer transcendental. Output:
+    * (t_days, n_risk, d, c, cum_hazard, survival_fh). */
+  def nelsonAalen(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, convertType: String): DataFrame = {
+    val upTo = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    riskTable(events, userCol, tsCol, typeCol, convertType)
+      .withColumn("hm", microDiv(col("d"), col("n_risk")))
+      .withColumn("cum_hm", sum(col("hm")).over(upTo))
+      .select(col("t").as("t_days"), col("n_risk"), col("d"), col("c"),
+        round(d(col("cum_hm")) / lit(MICRO.toDouble), 6)
+          .as("cum_hazard"),
+        round(exp(-d(col("cum_hm")) / lit(MICRO.toDouble)), 6)
+          .as("survival_fh"))
       .orderBy(col("t_days"))
   }
 

@@ -654,6 +654,35 @@ class CorpusOpsSpec extends SparkSpec {
     assert(o2.forall(t => t._2 == 2L && t._3 == 17L))
   }
 
+  test("jackknifeVariance: delete-one-group pseudo-means match the hand fold; k<2 pins NULL") {
+    import spark.implicits._
+    // A: (1,2), B: (4) -> th_A = 4, th_B = 1.5, se = 1.25
+    val df = Seq(("A", 1L), ("A", 2L), ("B", 4L)).toDF("src", "v")
+    val out = graft.operators.CorpusOps.jackknifeVariance(df, "src", "v")
+      .collect()(0)
+    assert(out.getLong(0) == 2L && out.getLong(1) == 3L)
+    assert(out.getDouble(2) == 2.333333)
+    assert(out.getDouble(3) == 1.25)
+    val one = graft.operators.CorpusOps.jackknifeVariance(
+      Seq(("A", 1L), ("A", 3L)).toDF("src", "v"), "src", "v")
+      .collect()(0)
+    assert(one.isNullAt(3))
+  }
+
+  test("paretoFront: strict-domination semantics; equal points both stay on the front") {
+    import spark.implicits._
+    // A (3 docs, q=5), B (2, 9), C (1, 4), D (3, 5): C dominated by
+    // A and B; A == D (no strict edge) -> both on front
+    val df = Seq.fill(3)(("A", 5L)) ++ Seq(("B", 9L), ("B", 9L)) ++
+      Seq(("C", 4L)) ++ Seq.fill(3)(("D", 5L))
+    val out = graft.operators.CorpusOps.paretoFront(
+        df.toDF("src", "v"), "src", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3)))
+    assert(out.toSeq == Seq(("A", 3L, 5.0, true), ("B", 2L, 9.0, true),
+      ("C", 1L, 4.0, false), ("D", 3L, 5.0, true)))
+  }
+
   test("looInfluence: closed form and the single-source NULL pin") {
     import spark.implicits._
     def r6(x: Double) = java.math.BigDecimal.valueOf(x)

@@ -764,6 +764,21 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(chosen(0)._7 < 0.05)
   }
 
+  test("captureRecapture: Chapman estimate from two pair sets; empty-world pins coverage NULL") {
+    import spark.implicits._
+    val pa = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val pb = Seq((1L, 2L), (7L, 8L)).toDF("id_a", "id_b")
+    val out = Dedup.captureRecapture(pa, pb).collect()(0)
+    // n1=3, n2=2, m=1 -> (4*3)/2 - 1 = 5; coverages 0.6 / 0.4
+    assert(out.getLong(0) == 3L && out.getLong(1) == 2L &&
+      out.getLong(2) == 1L)
+    assert(out.getDouble(3) == 5.0)
+    assert(out.getDouble(4) == 0.6 && out.getDouble(5) == 0.4)
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val o2 = Dedup.captureRecapture(empty, empty).collect()(0)
+    assert(o2.getDouble(3) == 0.0 && o2.isNullAt(4) && o2.isNullAt(5))
+  }
+
   test("pairAuditQueue: band-balanced, capped, partition-stable sampling") {
     // mid-band scores (x.x5) are floor-safe in doubles; a boundary score
     // of exactly 1.0 would clamp into the top band

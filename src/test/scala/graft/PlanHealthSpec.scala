@@ -1306,6 +1306,23 @@ class PlanHealthSpec extends SparkSpec {
     }
   }
 
+  test("x254-x257: survival/recapture/jackknife/pareto frames stay bounded above partial aggs") {
+    for (q <- Seq("x254_nelson_aalen", "x256_jackknife",
+        "x257_pareto_front")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q must not row-sort-merge anything:\n$p")
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q must partial-aggregate the corpus scan:\n$p")
+    }
+    // x255 composes the two gated detectors; the estimate itself must
+    // add only equi-joins and 1-row crosses on top
+    val p55 = plan("x255_capture_recapture")
+    assert(!p55.contains("CartesianProduct"),
+      s"x255 grew a cartesian:\n$p55")
+  }
+
   test("x199: range splits reduce per-row work to one groupBy(key); windows run on the distinct-key frame") {
     val p = plan("x199_range_splits")
     assert(!p.contains("Join"), s"x199 must stay join-free:\n$p")

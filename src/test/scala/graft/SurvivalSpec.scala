@@ -110,6 +110,33 @@ class SurvivalSpec extends SparkSpec {
     assert(out.getBoolean(5) == (chi2 > 3.841459))
   }
 
+  test("nelsonAalen: microgrid hazard increments match a BigInt fold; H never decreases") {
+    val ev = mkEvents(Seq(
+      (1L, day(0), "view"), (1L, day(2), "purchase"),
+      (2L, day(0), "view"), (2L, day(5), "click"),
+      (3L, day(0), "view"), (3L, day(2), "purchase"),
+      (4L, day(0), "view"), (4L, day(4), "purchase"),
+      (5L, day(0), "view"), (5L, day(4), "click"),
+      (6L, day(0), "purchase")))
+    val out = graft.operators.Survival.nelsonAalen(ev, "user_id", "ts",
+      "event_type", "purchase").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    // risk table identical to the KM fixture
+    assert(out.map(t => (t._1, t._2, t._3, t._4)).toSeq ==
+      Seq((0L, 6L, 1L, 0L), (2L, 5L, 2L, 0L), (4L, 3L, 1L, 1L),
+        (5L, 1L, 0L, 1L)))
+    val steps = Seq((6L, 1L), (5L, 2L), (3L, 1L), (1L, 0L))
+    val cums = steps.map { case (n, d) =>
+      ((BigInt(2) * d * 1000000 + n) / (BigInt(2) * n)).toLong }
+      .scanLeft(0L)(_ + _).tail
+    assert(out.map(_._5).toSeq ==
+      cums.map(c => r6(c.toDouble / 1e6)))
+    assert(out.map(_._6).toSeq ==
+      cums.map(c => r6(math.exp(-c.toDouble / 1e6))))
+    assert(out.map(_._5).sliding(2).forall(w => w(0) <= w(1)))
+  }
+
   test("logRank: zero variance (no conversions) pins chi2 and the flag NULL") {
     val ev = mkEvents(Seq(
       (1L, day(0), "view"), (1L, day(2), "click"),
