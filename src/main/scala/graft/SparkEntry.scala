@@ -3253,6 +3253,50 @@ object SparkEntry {
         t(s, dir, "documents"), "source", "n_chars")
     },
 
+    // ---- X: exact Shapley data valuation of sources under the
+    //      shingle-coverage utility — closed form (1/cvr per shingle),
+    //      HALF-UP microgrid terms summed as longs; credits sources
+    //      for content FEW others duplicate ----
+    "x258_shapley_coverage" -> { (s, dir) =>
+      graft.operators.CorpusOps.shapleyCoverage(
+        t(s, dir, "documents"), "source", "text", n = 3)
+    },
+
+    // ---- X: restricted mean survival time to tau=28d per hash arm +
+    //      difference — the effect-size companion to x241's log-rank;
+    //      per-arm KM microgrid fold, exact micro-area sum ----
+    "x259_rmst" -> { (s, dir) =>
+      graft.operators.Survival.rmstByArm(
+        t(s, dir, "events"), "user_id", "ts", "event_type", "purchase",
+        tauDays = 28L)
+    },
+
+    // ---- X: greedy maximum-coverage source selection (4 rounds) —
+    //      the submodular (1-1/e) licensing shortlist; per-round
+    //      1-row argmax collect (BPE convention) over the persisted
+    //      presence frame ----
+    "x260_greedy_cover" -> { (s, dir) =>
+      graft.operators.Selection.greedyCoverSources(
+        t(s, dir, "documents"), "source", "text", k = 4, n = 3)
+    },
+
+    // ---- X: join-strategy advisor over the whole star schema —
+    //      exact per-table byte estimates into broadcast /
+    //      shuffle_hash / sort_merge recommendations at the pinned
+    //      10 MiB / 300 MiB thresholds ----
+    "x261_broadcast_advisor" -> { (s, dir) =>
+      graft.operators.Scale.broadcastAdvisor(Seq(
+        "customer" -> t(s, dir, "customer"),
+        "documents" -> t(s, dir, "documents"),
+        "embeddings" -> t(s, dir, "embeddings"),
+        "lineitem" -> t(s, dir, "lineitem"),
+        "nation" -> t(s, dir, "nation"),
+        "orders" -> t(s, dir, "orders"),
+        "part" -> t(s, dir, "part"),
+        "region" -> t(s, dir, "region"),
+        "supplier" -> t(s, dir, "supplier")))
+    },
+
     // ---- X: Kaplan-Meier survival curve on days to first purchase —
     //      never-converters are right-censored at their last event,
     //      not zeros; day-bounded risk frame, log-space microgrid
@@ -6950,6 +6994,224 @@ object SparkEntry {
            dom.g IS NULL AS on_front
          FROM per LEFT JOIN dom ON per.g = dom.g
          ORDER BY source""",
+
+    // x258: Shapley coverage valuation — closed form for coverage
+    // games: each shingle pays 1/cvr to every source holding it;
+    // HALF-UP microgrid terms via exact integer floor division
+    "x258_shapley_coverage" ->
+      """WITH w AS (SELECT source, string_split(text, ' ') AS ws
+           FROM documents),
+         tok AS (SELECT DISTINCT source,
+             array_to_string(ws[i:i+2], ' ') AS sh
+           FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1))) t(i)),
+         cv AS (SELECT sh, CAST(count(*) AS BIGINT) AS cvr
+           FROM tok GROUP BY 1),
+         cells AS (SELECT source, cvr, CAST(count(*) AS BIGINT) AS k
+           FROM tok JOIN cv USING (sh) GROUP BY 1, 2),
+         tm AS (SELECT source, cvr, k,
+             (2 * k * 1000000 + cvr) // (2 * cvr) AS tm
+           FROM cells)
+         SELECT source, CAST(sum(k) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN cvr = 1 THEN k ELSE 0 END) AS BIGINT)
+             AS n_exclusive,
+           round(CAST(sum(tm) AS DOUBLE) / 1e6, 6) AS shapley
+         FROM tm GROUP BY 1 ORDER BY source""",
+
+    // x259: RMST to tau=28d per hash arm — per-arm x240 microgrid KM
+    // fold, survival re-quantized to micro-units, exact micro-area sum
+    "x259_rmst" ->
+      """WITH pu AS (SELECT user_id, min(ts) AS start,
+             min(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS conv_ts,
+             max(ts) AS last_ts
+           FROM events GROUP BY 1),
+         dur AS (SELECT CAST(CASE WHEN conv_ts IS NOT NULL
+               THEN date_diff('day', CAST(start AS DATE),
+                 CAST(conv_ts AS DATE))
+               ELSE date_diff('day', CAST(start AS DATE),
+                 CAST(last_ts AS DATE)) END AS BIGINT) AS t,
+             CASE WHEN conv_ts IS NOT NULL THEN 1 ELSE 0 END AS e,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 2 AS arm
+           FROM pu),
+         byt AS (SELECT arm, t, CAST(sum(e) AS BIGINT) AS d,
+             CAST(sum(1 - e) AS BIGINT) AS c FROM dur GROUP BY 1, 2),
+         rk AS (SELECT arm, t, d, c,
+             CAST(sum(d + c) OVER (PARTITION BY arm) AS BIGINT)
+               AS n_all,
+             CAST(sum(d + c) OVER (PARTITION BY arm)
+               - COALESCE(sum(d + c) OVER (PARTITION BY arm ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_risk
+           FROM byt),
+         lg AS (SELECT arm, t, n_all, n_risk, d, c,
+             CASE WHEN d = 0 THEN 0 WHEN n_risk = d THEN 0
+               ELSE CAST(round(ln(CAST(n_risk - d AS DOUBLE)
+                 / CAST(n_risk AS DOUBLE)) * 1e6) AS BIGINT) END AS lnm,
+             CASE WHEN n_risk = d THEN 1 ELSE 0 END AS z
+           FROM rk),
+         cm AS (SELECT arm, t, n_all,
+             sum(lnm) OVER (PARTITION BY arm ORDER BY t ROWS BETWEEN
+               UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ln,
+             max(z) OVER (PARTITION BY arm ORDER BY t ROWS BETWEEN
+               UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+           FROM lg),
+         sc AS (SELECT arm, t, n_all,
+             CASE WHEN dead = 1 THEN 0
+               ELSE CAST(round(exp(CAST(cum_ln AS DOUBLE) / 1e6) * 1e6)
+                 AS BIGINT) END AS s_micro
+           FROM cm),
+         heads AS (SELECT arm, least(min(t), 28) * 1000000
+               AS head_micro,
+             max(n_all) AS n_arm
+           FROM sc GROUP BY 1),
+         st AS (SELECT arm, s_micro,
+             least(COALESCE(lead(t) OVER (PARTITION BY arm ORDER BY t),
+               28), 28) - t AS wdt
+           FROM sc WHERE t < 28),
+         stp AS (SELECT arm, CAST(sum(s_micro * wdt) AS BIGINT)
+               AS steps_micro
+           FROM st GROUP BY 1),
+         pa AS (SELECT h.arm, h.n_arm,
+             h.head_micro + COALESCE(s.steps_micro, 0) AS rmst_micro
+           FROM heads h LEFT JOIN stp s ON h.arm = s.arm)
+         SELECT CAST(28 AS BIGINT) AS tau_days,
+           CAST(sum(CASE WHEN arm = 0 THEN n_arm END) AS BIGINT) AS n0,
+           CAST(sum(CASE WHEN arm = 1 THEN n_arm END) AS BIGINT) AS n1,
+           round(CAST(sum(CASE WHEN arm = 0 THEN rmst_micro END)
+             AS DOUBLE) / 1e6, 6) AS rmst0,
+           round(CAST(sum(CASE WHEN arm = 1 THEN rmst_micro END)
+             AS DOUBLE) / 1e6, 6) AS rmst1,
+           round((CAST(sum(CASE WHEN arm = 1 THEN rmst_micro END)
+               AS DOUBLE)
+             - CAST(sum(CASE WHEN arm = 0 THEN rmst_micro END)
+               AS DOUBLE)) / 1e6, 6) AS rmst_diff
+         FROM pa""",
+
+    // x260: greedy maximum-coverage source selection, 4 unrolled
+    // rounds — tok/covered CTEs pinned MATERIALIZED so DuckDB's CTE
+    // inlining does not re-expand the shingle scan per reference
+    "x260_greedy_cover" ->
+      """WITH w AS (SELECT source, string_split(text, ' ') AS ws
+           FROM documents),
+         tok AS MATERIALIZED (SELECT DISTINCT source,
+             array_to_string(ws[i:i+2], ' ') AS sh
+           FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1))) t(i)),
+         tot AS (SELECT CAST(count(DISTINCT sh) AS BIGINT) AS total
+           FROM tok),
+         p1 AS MATERIALIZED (SELECT source,
+             CAST(count(*) AS BIGINT) AS gain
+           FROM tok GROUP BY 1 ORDER BY gain DESC, source LIMIT 1),
+         c1 AS MATERIALIZED (SELECT DISTINCT sh FROM tok
+           WHERE source IN (SELECT source FROM p1)),
+         p2 AS MATERIALIZED (SELECT source,
+             CAST(count(*) AS BIGINT) AS gain
+           FROM tok WHERE source NOT IN (SELECT source FROM p1)
+             AND sh NOT IN (SELECT sh FROM c1)
+           GROUP BY 1 ORDER BY gain DESC, source LIMIT 1),
+         c2 AS MATERIALIZED (SELECT DISTINCT sh FROM tok
+           WHERE source IN (SELECT source FROM p1
+             UNION SELECT source FROM p2)),
+         p3 AS MATERIALIZED (SELECT source,
+             CAST(count(*) AS BIGINT) AS gain
+           FROM tok WHERE source NOT IN (SELECT source FROM p1
+               UNION SELECT source FROM p2)
+             AND sh NOT IN (SELECT sh FROM c2)
+           GROUP BY 1 ORDER BY gain DESC, source LIMIT 1),
+         c3 AS MATERIALIZED (SELECT DISTINCT sh FROM tok
+           WHERE source IN (SELECT source FROM p1
+             UNION SELECT source FROM p2
+             UNION SELECT source FROM p3)),
+         p4 AS MATERIALIZED (SELECT source,
+             CAST(count(*) AS BIGINT) AS gain
+           FROM tok WHERE source NOT IN (SELECT source FROM p1
+               UNION SELECT source FROM p2
+               UNION SELECT source FROM p3)
+             AND sh NOT IN (SELECT sh FROM c3)
+           GROUP BY 1 ORDER BY gain DESC, source LIMIT 1),
+         c4 AS MATERIALIZED (SELECT DISTINCT sh FROM tok
+           WHERE source IN (SELECT source FROM p1
+             UNION SELECT source FROM p2
+             UNION SELECT source FROM p3
+             UNION SELECT source FROM p4))
+         SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS round, source, gain,
+             (SELECT CAST(count(*) AS BIGINT) FROM c1) AS cum_covered,
+             round(CAST((SELECT count(*) FROM c1) AS DOUBLE)
+               / CAST(total AS DOUBLE), 6) AS pct_covered
+           FROM p1, tot
+           UNION ALL
+           SELECT CAST(2 AS BIGINT), source, gain,
+             (SELECT CAST(count(*) AS BIGINT) FROM c2),
+             round(CAST((SELECT count(*) FROM c2) AS DOUBLE)
+               / CAST(total AS DOUBLE), 6)
+           FROM p2, tot
+           UNION ALL
+           SELECT CAST(3 AS BIGINT), source, gain,
+             (SELECT CAST(count(*) AS BIGINT) FROM c3),
+             round(CAST((SELECT count(*) FROM c3) AS DOUBLE)
+               / CAST(total AS DOUBLE), 6)
+           FROM p3, tot
+           UNION ALL
+           SELECT CAST(4 AS BIGINT), source, gain,
+             (SELECT CAST(count(*) AS BIGINT) FROM c4),
+             round(CAST((SELECT count(*) FROM c4) AS DOUBLE)
+               / CAST(total AS DOUBLE), 6)
+           FROM p4, tot)
+         ORDER BY round""",
+
+    // x261: join-strategy advisor — exact per-table byte estimates
+    // (octet lengths + physical widths) vs the pinned 10 MiB
+    // broadcast / 300 MiB shuffle_hash thresholds
+    "x261_broadcast_advisor" ->
+      """WITH stats AS (
+           SELECT 'customer' AS table_name,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(8 + strlen(c_name) + 4 + 8
+               + strlen(c_mktsegment)) AS BIGINT) AS est_bytes
+           FROM customer
+           UNION ALL
+           SELECT 'documents', CAST(count(*) AS BIGINT),
+             CAST(sum(8 + strlen(text) + strlen(lang)
+               + strlen(source) + 8) AS BIGINT)
+           FROM documents
+           UNION ALL
+           SELECT 'embeddings', CAST(count(*) AS BIGINT),
+             CAST(sum(8 + len(embedding) * 4 + 4 + 4) AS BIGINT)
+           FROM embeddings
+           UNION ALL
+           SELECT 'lineitem', CAST(count(*) AS BIGINT),
+             CAST(sum(8 + 8 + 8 + 4 + 8 + 8 + 8 + 8
+               + strlen(l_returnflag)
+               + strlen(l_linestatus) + 8) AS BIGINT)
+           FROM lineitem
+           UNION ALL
+           SELECT 'nation', CAST(count(*) AS BIGINT),
+             CAST(sum(4 + strlen(n_name) + 4) AS BIGINT)
+           FROM nation
+           UNION ALL
+           SELECT 'orders', CAST(count(*) AS BIGINT),
+             CAST(sum(8 + 8 + strlen(o_orderstatus) + 8 + 8
+               + strlen(o_orderpriority)) AS BIGINT)
+           FROM orders
+           UNION ALL
+           SELECT 'part', CAST(count(*) AS BIGINT),
+             CAST(sum(8 + strlen(p_name) + strlen(p_brand)
+               + strlen(p_type) + 4 + 8) AS BIGINT)
+           FROM part
+           UNION ALL
+           SELECT 'region', CAST(count(*) AS BIGINT),
+             CAST(sum(4 + strlen(r_name)) AS BIGINT)
+           FROM region
+           UNION ALL
+           SELECT 'supplier', CAST(count(*) AS BIGINT),
+             CAST(sum(8 + strlen(s_name) + 4 + 8) AS BIGINT)
+           FROM supplier)
+         SELECT table_name, n_rows, est_bytes,
+           CASE WHEN est_bytes <= 10485760 THEN 'broadcast'
+             WHEN est_bytes <= 314572800 THEN 'shuffle_hash'
+             ELSE 'sort_merge' END AS strategy
+         FROM stats ORDER BY table_name""",
 
     // x240: Kaplan-Meier risk table — integer day durations, censored
     // at last event; survival via the x181 microgrid log fold (exact

@@ -710,6 +710,22 @@ object Stress {
           operators.CorpusOps.paretoFront(
             docs.withColumn("n_chars", length(col("text"))),
             "source", "n_chars").count()),
+        // docfreq shape: presence frame + shingle-keyed count join
+        "shapley_coverage" -> (() =>
+          operators.CorpusOps.shapleyCoverage(
+            docs, "source", "text", n = 3).count()),
+        // per-arm day-bounded KM fold + micro-area sum
+        "rmst" -> (() =>
+          operators.Survival.rmstByArm(events, "user_id", "ts",
+            "event_type", "purchase", tauDays = 28L).count()),
+        // k bounded argmax collects over the persisted presence frame
+        "greedy_cover" -> (() =>
+          operators.Selection.greedyCoverSources(
+            docs, "source", "text", k = 4, n = 3).count()),
+        // one narrow partial-agged scan per table
+        "broadcast_advisor" -> (() =>
+          operators.Scale.broadcastAdvisor(Seq(
+            "documents" -> docs, "events" -> events)).count()),
         // embarrassingly parallel codec scan (synth + decode + RMS)
         "wav_vad" -> (() => {
           val ids = docs.select(col("doc_id")).limit(2000 * m)

@@ -1276,4 +1276,57 @@ object CorpusOps {
             d(col("ss")) / d(col("nn"))), 6).as("influence"))
       .orderBy(col(groupCol))
   }
+
+  /** Exact Shapley data valuation of sources under the shingle-COVERAGE
+    * utility (v(S) = distinct n-gram shingles covered by the union of
+    * S). Coverage games have a closed-form Shapley value — no
+    * permutation sampling: a shingle present in exactly `cvr` sources
+    * contributes 1/cvr to each of them (each is equally likely to be
+    * the first of the cvr in a random arrival order), so
+    * phi(source) = sum over its shingles of 1/cvr. Unlike
+    * [[looInfluence]] (marginal vs the full coalition), Shapley credits
+    * a source for content that only FEW others duplicate — the
+    * "how much unique coverage does this source really buy" valuation
+    * behind corpus licensing and mixture decisions (Ghorbani & Zou
+    * 2019 frame the sampling version; coverage utility makes it exact).
+    *
+    * Determinism: each 1/cvr term is HALF-UP rounded to the 1e6
+    * microgrid with exact integer division (k*1e6/cvr per (source,
+    * cvr) cell), summed as longs; only the final /1e6 is a double.
+    *
+    * Output per source: (source, n_shingles, n_exclusive, shapley)
+    * where shapley sums to ~the total distinct-shingle count
+    * (efficiency, up to microgrid rounding).
+    *
+    * 100 TB shape: the docfreq shape — distinct (source, shingle)
+    * presence frame, shingle-keyed count join, then a per-(source,
+    * coverage-count) cell agg; the final fold is over a
+    * sources x max-coverage bounded frame. Nothing collects. */
+  def shapleyCoverage(docs: DataFrame, sourceCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    val d = (c: Column) => c.cast(DoubleType)
+    val tok = docs
+      .select(col(sourceCol).as("g"),
+        explode(TextFunctions.shingles(col(textCol), n)).as("sh"))
+      .distinct()
+    val cvr = tok.groupBy(col("sh")).agg(count(lit(1)).as("cvr"))
+    // shuffle_hash pin: post-explode/post-agg size estimates are
+    // unreliable (the Dedup.scala hazard) — never sort the shingle rows
+    val cells = tok.join(cvr.hint("shuffle_hash"), Seq("sh"))
+      .groupBy(col("g"), col("cvr")).agg(count(lit(1)).as("k"))
+    // HALF-UP k*1e6/cvr on the microgrid, exact on longs
+    val termMicro = call_function("div",
+      lit(2L) * col("k") * lit(1000000L) + col("cvr"),
+      lit(2L) * col("cvr"))
+    cells.withColumn("tm", termMicro)
+      .groupBy(col("g"))
+      .agg(sum(col("k")).as("n_shingles"),
+        sum(when(col("cvr") === 1L, col("k")).otherwise(0L))
+          .as("n_exclusive"),
+        sum(col("tm")).as("shm"))
+      .select(col("g").as(sourceCol), col("n_shingles"),
+        col("n_exclusive"),
+        round(d(col("shm")) / lit(1e6), 6).as("shapley"))
+      .orderBy(col(sourceCol))
+  }
 }

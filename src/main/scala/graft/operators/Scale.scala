@@ -465,4 +465,58 @@ object Scale {
         col("moved_in"), col("mod_before"), col("mod_stay"))
       .orderBy(col("node"))
   }
+
+  /** Join-strategy advisor: one catalog-stats row per table —
+    * (table_name, n_rows, est_bytes, strategy) with a DETERMINISTIC
+    * in-memory size estimate (exact data bytes, not sampled: string
+    * columns by octet length, fixed-width columns by their physical
+    * width, float-array columns by 4*len + a length word) and the
+    * strategy a planner should pin for a join probing that table:
+    * `broadcast` up to `broadcastBytes` (Spark's
+    * autoBroadcastJoinThreshold default, 10 MiB), `shuffle_hash` while
+    * one partition's build side still fits executor memory
+    * (`hashBytes`), else `sort_merge`. This is the pre-flight that
+    * turns the engine's own join-hint conventions (the j1 broadcast
+    * invariant, the pinned shuffle_hash family) into data-driven
+    * configuration instead of folklore — at 100 TB the difference
+    * between a broadcast and an accidental 600 TB shuffle.
+    *
+    * 100 TB shape: one narrow partial-agged scan per table (count +
+    * byte sum, no shuffle beyond the 1-row agg); output is
+    * table-count bounded. */
+  def broadcastAdvisor(tables: Seq[(String, DataFrame)],
+      broadcastBytes: Long = 10L * 1024 * 1024,
+      hashBytes: Long = 300L * 1024 * 1024): DataFrame = {
+    require(tables.nonEmpty && broadcastBytes < hashBytes,
+      "need tables and broadcast < hash threshold")
+    import org.apache.spark.sql.types._
+    def width(f: StructField): Column = f.dataType match {
+      case StringType => coalesce(octet_length(col(f.name)), lit(0L))
+        .cast("long")
+      case LongType | DoubleType | TimestampType | TimestampNTZType =>
+        lit(8L)
+      case IntegerType | FloatType | DateType => lit(4L)
+      case BooleanType => lit(1L)
+      case ArrayType(FloatType, _) =>
+        (coalesce(size(col(f.name)), lit(0)) * 4 + 4).cast("long")
+      case ArrayType(DoubleType, _) | ArrayType(LongType, _) =>
+        (coalesce(size(col(f.name)), lit(0)) * 8 + 4).cast("long")
+      case _ => coalesce(octet_length(col(f.name).cast("string")),
+        lit(0L)).cast("long")
+    }
+    val perTable = tables.map { case (name, df) =>
+      val rowBytes = df.schema.fields.map(width)
+        .reduce(_ + _)
+      df.agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(rowBytes), lit(0L)).as("est_bytes"))
+        .select(lit(name).as("table_name"), col("n_rows"),
+          col("est_bytes"))
+    }
+    perTable.reduce(_.unionByName(_))
+      .withColumn("strategy",
+        when(col("est_bytes") <= broadcastBytes, lit("broadcast"))
+          .when(col("est_bytes") <= hashBytes, lit("shuffle_hash"))
+          .otherwise(lit("sort_merge")))
+      .orderBy(col("table_name"))
+  }
 }

@@ -441,4 +441,74 @@ object Selection {
         when(col("sw2") === 0, lit(null).cast(DoubleType))
           .otherwise(round(d(col("n")) * sw2D / (swD * swD), 6)).as("deff"))
   }
+
+  /** Greedy maximum-coverage source selection: pick `k` sources, each
+    * round taking the source whose documents add the most NOT-yet-
+    * covered distinct n-gram shingles (ties broken by source name).
+    * The classic (1 - 1/e)-approximate submodular-cover schedule
+    * (Nemhauser, Wolsey & Fisher 1978) — the "which corpora do I
+    * license/ingest first for maximum content diversity" shortlist,
+    * and the set-cover twin of [[CorpusOps.shapleyCoverage]] (Shapley
+    * values the whole coalition; greedy builds the best small one).
+    *
+    * Rounds with zero marginal gain stop early (the remaining sources
+    * are fully covered), so the output can be shorter than `k`.
+    *
+    * Output per round: (round, source, gain, cum_covered, pct_covered)
+    * with pct on the 6-round grid vs the total distinct-shingle count.
+    *
+    * 100 TB shape: the (source, shingle) presence frame is built once,
+    * persisted, and re-scanned with a shingle-keyed left_anti join per
+    * round; per round the driver collects exactly ONE (source, gain)
+    * argmax row (the [[graft.operators.Bpe]] bounded-collect
+    * convention — k rows total, never data-sized). */
+  def greedyCoverSources(docs: DataFrame, sourceCol: String,
+      textCol: String, k: Int, n: Int = 3): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tok = docs
+      .select(col(sourceCol).as("g"),
+        explode(TextFunctions.shingles(col(textCol), n)).as("sh"))
+      .distinct()
+      .persist()
+    try {
+      val total = tok.select(col("sh")).distinct().count()
+      var picked = Vector.empty[(Long, String, Long, Long, Double)]
+      var chosen = Vector.empty[String]
+      var done = false
+      var r = 1
+      while (r <= k && !done) {
+        val covered =
+          if (chosen.isEmpty) null
+          else tok.filter(col("g").isin(chosen: _*))
+            .select(col("sh")).distinct()
+        val remaining =
+          if (covered == null) tok
+          else tok.join(covered.hint("shuffle_hash"), Seq("sh"),
+            "left_anti")
+        val arg = remaining
+          .filter(if (chosen.isEmpty) lit(true)
+            else !col("g").isin(chosen: _*))
+          .groupBy(col("g")).agg(count(lit(1)).as("gain"))
+          .orderBy(desc("gain"), asc("g"))
+          .limit(1).collect()
+        if (arg.isEmpty || arg(0).getLong(1) == 0L) done = true
+        else {
+          val src = arg(0).getString(0)
+          val gain = arg(0).getLong(1)
+          chosen = chosen :+ src
+          val cum = tok.filter(col("g").isin(chosen: _*))
+            .select(col("sh")).distinct().count()
+          picked = picked :+ ((r.toLong, src, gain, cum,
+            BigDecimal(cum.toDouble / total.toDouble)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          r += 1
+        }
+      }
+      picked
+        .toDF("round", "source", "gain", "cum_covered", "pct_covered")
+        .orderBy(col("round"))
+    } finally { tok.unpersist() }
+  }
 }

@@ -140,6 +140,84 @@ object Survival {
         b.cast(dec),
       lit(2L).cast(dec) * b.cast(dec)).cast("long")
 
+  /** Restricted mean survival time (RMST) to horizon `tauDays`, per
+    * deterministic hash arm ([[Experiment.armOf]]), plus the
+    * between-arm difference — the EFFECT-SIZE companion to [[logRank]]
+    * (Royston & Parmar 2013): log-rank says whether the curves differ,
+    * RMST says by how many days of delayed conversion, and unlike the
+    * median it is defined even when the curve never crosses 0.5.
+    * RMST = area under the KM step curve on [0, tau]: the head
+    * interval [0, t_min) at survival 1, then each grid step's
+    * survival times its (tau-capped) width.
+    *
+    * Determinism: per-arm survival uses the exact [[kaplanMeier]]
+    * microgrid log fold; the step survival is re-quantized to integer
+    * micro-units (round(exp(cum_ln/1e6)*1e6)), so the area fold is a
+    * sum of exact survival_micro * width_days longs — only the final
+    * /1e6 rounding is a double. Output one row:
+    * (tau_days, n0, n1, rmst0, rmst1, rmst_diff).
+    *
+    * 100 TB shape: the [[kaplanMeier]] shape with windows partitioned
+    * by arm — user-partial aggs into an (arm x duration-days) bounded
+    * frame; every window orders that frame, never users. */
+  def rmstByArm(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, convertType: String, tauDays: Long): DataFrame = {
+    val dur = durations(events, userCol, tsCol, typeCol, convertType)
+      .withColumn("arm", Experiment.armOf(col("uid"), 2))
+    val byT = dur.groupBy(col("arm"), col("t"))
+      .agg(sum(col("e")).as("d"), sum(lit(1L) - col("e")).as("c"))
+    val tot = Window.partitionBy(col("arm"))
+    val before = Window.partitionBy(col("arm")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upTo = Window.partitionBy(col("arm")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lnMicro = when(col("d") === 0L, lit(0L))
+      .when(col("n_risk") === col("d"), lit(0L))
+      .otherwise(round(log(d(col("n_risk") - col("d")) /
+        d(col("n_risk"))) * lit(MICRO.toDouble)).cast("long"))
+    val curve = byT
+      .withColumn("n_all", sum(col("d") + col("c")).over(tot))
+      .withColumn("n_risk", col("n_all") -
+        coalesce(sum(col("d") + col("c")).over(before), lit(0L)))
+      .withColumn("ln_micro", lnMicro)
+      .withColumn("dead", max(when(col("n_risk") === col("d"), 1L)
+        .otherwise(0L)).over(upTo))
+      .withColumn("cum_ln", sum(col("ln_micro")).over(upTo))
+      .withColumn("s_micro", when(col("dead") === 1L, lit(0L))
+        .otherwise(round(exp(d(col("cum_ln")) / lit(MICRO.toDouble)) *
+          lit(MICRO.toDouble)).cast("long")))
+    // head interval [0, min(t, tau)) at survival 1 — survives even
+    // when every grid point is at or past tau
+    val heads = curve.groupBy(col("arm"))
+      .agg((least(min(col("t")), lit(tauDays)) * lit(MICRO))
+        .as("head_micro"), max(col("n_all")).as("n_arm"))
+    // grid steps strictly before tau; each extends to the next grid
+    // point or tau, whichever is first
+    val nextT = Window.partitionBy(col("arm")).orderBy(col("t"))
+    val steps = curve.filter(col("t") < tauDays)
+      .withColumn("next_t",
+        least(coalesce(lead(col("t"), 1).over(nextT), lit(tauDays)),
+          lit(tauDays)))
+      .groupBy(col("arm"))
+      .agg(sum(col("s_micro") * (col("next_t") - col("t")))
+        .as("steps_micro"))
+    val perArm = heads.join(broadcast(steps), Seq("arm"), "left")
+      .select(col("arm"), col("n_arm"),
+        (col("head_micro") + coalesce(col("steps_micro"), lit(0L)))
+          .as("rmst_micro"))
+    perArm.groupBy(lit(1).as("one"))
+      .agg(
+        sum(when(col("arm") === 0L, col("n_arm"))).as("n0"),
+        sum(when(col("arm") === 1L, col("n_arm"))).as("n1"),
+        sum(when(col("arm") === 0L, col("rmst_micro"))).as("r0m"),
+        sum(when(col("arm") === 1L, col("rmst_micro"))).as("r1m"))
+      .select(lit(tauDays).as("tau_days"), col("n0"), col("n1"),
+        round(d(col("r0m")) / lit(MICRO.toDouble), 6).as("rmst0"),
+        round(d(col("r1m")) / lit(MICRO.toDouble), 6).as("rmst1"),
+        round((d(col("r1m")) - d(col("r0m"))) / lit(MICRO.toDouble), 6)
+          .as("rmst_diff"))
+  }
+
   /** Log-rank test between the two deterministic hash arms
     * ([[Experiment.armOf]]) on time to first `convertType` event.
     * At each distinct pooled duration t: n = at-risk total, n1 =

@@ -697,4 +697,22 @@ class CorpusOpsSpec extends SparkSpec {
       Seq(("A", 1L), ("A", 3L)).toDF("src", "v"), "src", "v").collect()
     assert(one.length == 1 && one(0).isNullAt(3))
   }
+
+  test("shapleyCoverage: closed-form 1/cvr credits match the hand game; efficiency holds on the microgrid") {
+    import spark.implicits._
+    // A: {a b c, b c d}; B: {a b c, b c x}; C: {p q r, q r s}
+    // cvr: "a b c"=2, the other four are exclusive
+    // shapley: A = 1/2 + 1 = 1.5, B = 1.5, C = 2
+    val docs = Seq(
+      ("A", "a b c d"), ("B", "a b c x"), ("C", "p q r s"))
+      .toDF("src", "text")
+    val out = graft.operators.CorpusOps.shapleyCoverage(
+        docs, "src", "text", n = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.toSeq == Seq(("A", 2L, 1L, 1.5), ("B", 2L, 1L, 1.5),
+      ("C", 2L, 2L, 2.0)))
+    // efficiency: credits sum to the distinct-shingle count (5)
+    assert(math.abs(out.map(_._4).sum - 5.0) < 1e-6)
+  }
 }

@@ -1323,6 +1323,37 @@ class PlanHealthSpec extends SparkSpec {
       s"x255 grew a cartesian:\n$p55")
   }
 
+  test("x258/x259: valuation and RMST stay on bounded frames; shingle joins never sort-merge") {
+    val p58 = plan("x258_shapley_coverage")
+    assert(!p58.contains("CartesianProduct"), s"x258 grew a cartesian:\n$p58")
+    assert(!p58.contains("SortMergeJoin"),
+      s"x258's shingle-keyed join must stay shuffle_hash:\n$p58")
+    assert(p58.contains("ShuffledHashJoin"),
+      s"x258 must join presence against coverage counts hash-keyed:\n$p58")
+    val p59 = plan("x259_rmst")
+    assert(!p59.contains("CartesianProduct"), s"x259 grew a cartesian:\n$p59")
+    assert(!p59.contains("SortMergeJoin"),
+      s"x259's per-arm frames are day-bounded — no row sort-merge:\n$p59")
+    // windows must consume the (arm x day) frame, not raw events: the
+    // user partial-agg sits below every Window
+    val winIdx = p59.indexOf("Window [")
+    assert(winIdx >= 0 && p59.substring(winIdx).contains("HashAggregate"),
+      s"x259's windows must consume the aggregated risk frame:\n$p59")
+  }
+
+  test("x260/x261: planner outputs are driver-bounded local frames / join-free union of aggs") {
+    // x260 runs its k bounded argmax collects at build time; the
+    // RESULT is a k-row local frame — that is the design claim
+    val p60 = plan("x260_greedy_cover")
+    assert(p60.contains("LocalTableScan") || p60.contains("EmptyRelation"),
+      s"x260's output must be the k-row driver frame:\n$p60")
+    val p61 = plan("x261_broadcast_advisor")
+    assert(!p61.contains("Join"),
+      s"x261 must stay a join-free union of per-table 1-row aggs:\n$p61")
+    assert("HashAggregate".r.findAllIn(p61).size >= 2,
+      s"x261 must partial-aggregate each table scan:\n$p61")
+  }
+
   test("x199: range splits reduce per-row work to one groupBy(key); windows run on the distinct-key frame") {
     val p = plan("x199_range_splits")
     assert(!p.contains("Join"), s"x199 must stay join-free:\n$p")

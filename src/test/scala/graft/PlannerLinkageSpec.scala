@@ -96,6 +96,23 @@ class PlannerLinkageSpec extends SparkSpec {
     assert(out.getDouble(4) == r6((1.0 + (fpp * 3).toDouble) / 4.0))
   }
 
+  test("broadcastAdvisor: exact byte estimates cross the pinned thresholds into the three strategies") {
+    // strings of known octet length; thresholds chosen so the three
+    // tables land in the three strategy tiers
+    val small = Seq(("ab", 1L), ("cd", 2L)).toDF("s", "k") // 2*(2+8)=20
+    val mid = (1L to 5L).map(i => ("abcdefgh", i)).toDF("s", "k") // 5*16=80
+    val big = (1L to 40L).map(i => ("abcdefgh", i)).toDF("s", "k") // 640
+    val out = Scale.broadcastAdvisor(
+        Seq("t1_small" -> small, "t2_mid" -> mid, "t3_big" -> big),
+        broadcastBytes = 32L, hashBytes = 300L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(out.toSeq == Seq(
+      ("t1_small", 2L, 20L, "broadcast"),
+      ("t2_mid", 5L, 80L, "shuffle_hash"),
+      ("t3_big", 40L, 640L, "sort_merge")))
+  }
+
   test("rangeSplits: keys never split; ties concentrate and are reported as skew") {
     val uniform = (1 to 10).map(k => ("r", k.toLong)).toDF("x", "k")
     val even = Scale.rangeSplits(uniform, "k", nParts = 2)

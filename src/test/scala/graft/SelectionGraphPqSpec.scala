@@ -59,6 +59,26 @@ class SelectionGraphPqSpec extends SparkSpec {
     assert(c.getDouble(1) == 2.0 && c.getDouble(3) == 1.0)
   }
 
+  test("greedyCoverSources: marginal-gain order, name tie-break, and zero-gain early stop") {
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // A: {abc,bcd,cde,def}; B: {abc,bcd,cdx,dxy}; C: {pqr,qrs}
+    // total distinct = 8. Round 1: A and B tie at 4 -> A by name.
+    // Round 2: B adds 2, C adds 2 -> B by name. Round 3: C adds 2.
+    // Round 4: nothing uncovered -> early stop at 3 rows.
+    val docs = Seq(
+      ("A", "a b c d e f"), ("B", "a b c d x y"), ("C", "p q r s"))
+      .toDF("src", "text")
+    val out = Selection.greedyCoverSources(docs, "src", "text",
+        k = 4, n = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (1L, "A", 4L, 4L, r6(4.0 / 8.0)),
+      (2L, "B", 2L, 6L, r6(6.0 / 8.0)),
+      (3L, "C", 2L, 8L, 1.0)))
+  }
+
   // ---- hashed-BoW logistic classifier ----
 
   test("bowLogisticScore: one-step weights separate disjoint classes (hand case)") {

@@ -137,6 +137,55 @@ class SurvivalSpec extends SparkSpec {
     assert(out.map(_._5).sliding(2).forall(w => w(0) <= w(1)))
   }
 
+  test("rmstByArm: per-arm step-curve area matches the definitional micro fold; head interval and tau cap") {
+    val users = (1L to 10L)
+    val arms = users.map(Tuple1(_)).toDF("u")
+      .withColumn("arm", Experiment.armOf(col("u"), 2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assume(arms.values.toSet.size == 2)
+    // odd users convert at day (u % 4 + 2); even users censored day 8
+    val rows = users.flatMap { u =>
+      val base = Seq((u, day(0), "view"))
+      if (u % 2 == 1L) base :+ ((u, day((u % 4).toInt + 2), "purchase"))
+      else base :+ ((u, day(8), "click"))
+    }
+    val tau = 6L
+    val out = Survival.rmstByArm(mkEvents(rows), "user_id", "ts",
+      "event_type", "purchase", tauDays = tau).collect()(0)
+    // definitional per-arm fold with the same micro conventions
+    def rmstOf(arm: Long): (Long, Double) = {
+      val dur = users.filter(arms(_) == arm).map { u =>
+        if (u % 2 == 1L) ((u % 4) + 2L, 1L) else (8L, 0L) }
+      val grid = dur.map(_._1).distinct.sorted
+      var cum = 0L; var dead = false
+      val sMicro = grid.map { t =>
+        val n = dur.count(_._1 >= t)
+        val d = dur.count(x => x._1 == t && x._2 == 1L)
+        if (d > 0 && n != d)
+          cum += math.round(math.log((n - d).toDouble / n) * 1e6)
+        if (n == d) dead = true
+        t -> (if (dead) 0L
+          else math.round(math.exp(cum.toDouble / 1e6) * 1e6))
+      }
+      val head = math.min(grid.head, tau) * 1000000L
+      val steps = sMicro.filter(_._1 < tau).zipWithIndex.map {
+        case ((t, s), i) =>
+          val next = sMicro.filter(_._1 < tau).lift(i + 1)
+            .map(_._1).getOrElse(tau).min(tau)
+          s * (next - t)
+      }.sum
+      (dur.size.toLong, r6((head + steps).toDouble / 1e6))
+    }
+    val (n0, r0) = rmstOf(0L); val (n1, r1) = rmstOf(1L)
+    assert(out.getLong(0) == tau)
+    assert(out.getLong(1) == n0 && out.getLong(2) == n1)
+    assert(out.getDouble(3) == r0 && out.getDouble(4) == r1)
+    // the diff is computed on the micro sums, so re-derive it the same way
+    assert(math.abs(out.getDouble(5) - (r1 - r0)) < 2e-6)
+    // sanity: rmst can never exceed tau
+    assert(r0 <= tau && r1 <= tau)
+  }
+
   test("logRank: zero variance (no conversions) pins chi2 and the flag NULL") {
     val ev = mkEvents(Seq(
       (1L, day(0), "view"), (1L, day(2), "click"),
