@@ -3297,6 +3297,28 @@ object SparkEntry {
         "supplier" -> t(s, dir, "supplier")))
     },
 
+    // ---- X: TwoNN intrinsic-dimension estimate of the embedding
+    //      column — bounded probe panel broadcast against one corpus
+    //      scan; per-probe ln(r2/r1) on the microgrid ----
+    "x262_intrinsic_dim" -> { (s, dir) =>
+      graft.operators.Similarity.intrinsicDimTwoNN(
+        t(s, dir, "embeddings"), "vec_id", "embedding")
+    },
+
+    // ---- X: staircase half-life freshness weighting (h=7d) — exact
+    //      integer >> decay, per-type effective volume ----
+    "x263_decay_volume" -> { (s, dir) =>
+      graft.operators.Temporal.decayedVolume(
+        t(s, dir, "events"), "ts", "event_type", halfLifeDays = 7)
+    },
+
+    // ---- X: tail ownership — integer-exact global P90/P99 length
+    //      thresholds, per-source share of the extreme documents ----
+    "x264_tail_ownership" -> { (s, dir) =>
+      graft.operators.CorpusOps.tailOwnership(
+        t(s, dir, "documents"), "source", "n_chars")
+    },
+
     // ---- X: Kaplan-Meier survival curve on days to first purchase —
     //      never-converters are right-censored at their last event,
     //      not zeros; day-bounded risk frame, log-space microgrid
@@ -7212,6 +7234,98 @@ object SparkEntry {
              WHEN est_bytes <= 314572800 THEN 'shuffle_hash'
              ELSE 'sort_merge' END AS strategy
          FROM stats ORDER BY table_name""",
+
+    // x262: TwoNN intrinsic dimension — fixed probe panel, exact 2-NN
+    // squared distances, per-probe microgrid ln(mu), MLE m/sum
+    "x262_intrinsic_dim" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv,
+             list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))
+               AS qq
+           FROM e WHERE vec_id % 5 = 0 AND vec_id < 2500),
+         c AS (SELECT vec_id AS nid, v AS cv,
+             list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))
+               AS cc
+           FROM e),
+         pr AS (SELECT qid, nid,
+             qq + cc - 2 * list_sum(list_transform(range(1, 65),
+               i -> qv[i] * cv[i])) AS d2
+           FROM c, q WHERE qid <> nid),
+         rn AS (SELECT qid, nid, d2, row_number() OVER (
+             PARTITION BY qid ORDER BY d2, nid) AS rn FROM pr),
+         two AS (SELECT qid,
+             max(CASE WHEN rn = 1 THEN d2 END) AS d1,
+             max(CASE WHEN rn = 2 THEN d2 END) AS dd2
+           FROM rn WHERE rn <= 2 GROUP BY 1),
+         used AS (SELECT
+             CAST(round(ln(dd2 / d1) * 500000) AS BIGINT) AS lnm,
+             CAST(round(sqrt(d1) * 1e6) AS BIGINT) AS r1m
+           FROM two WHERE d1 > 0),
+         np AS (SELECT CAST(count(*) AS BIGINT) AS n_probes FROM two),
+         ag AS (SELECT CAST(count(*) AS BIGINT) AS n_used,
+             CAST(sum(lnm) AS BIGINT) AS slnm,
+             CAST(sum(r1m) AS BIGINT) AS sr1m
+           FROM used)
+         SELECT n_probes, n_used,
+           round(CASE WHEN COALESCE(slnm, 0) = 0 THEN NULL
+             ELSE CAST(n_used AS DOUBLE) * 1e6 / CAST(slnm AS DOUBLE)
+             END, 6) AS id_dim,
+           round(CASE WHEN n_used = 0 THEN NULL
+             ELSE CAST(sr1m AS DOUBLE) / CAST(n_used AS DOUBLE) / 1e6
+             END, 6) AS mean_nn_dist
+         FROM ag CROSS JOIN np""",
+
+    // x263: staircase half-life decay (h=7d) — exact integer shift
+    // weights vs the broadcast max-date reference
+    "x263_decay_volume" ->
+      """WITH ref AS (SELECT max(CAST(ts AS DATE)) AS ref FROM events),
+         w AS (SELECT event_type AS g,
+             least(date_diff('day', CAST(ts AS DATE), ref) // 7, 30)
+               AS steps
+           FROM events, ref),
+         wm AS (SELECT g,
+             1000000 // (CAST(1 AS BIGINT) << steps) AS wm FROM w)
+         SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(wm) AS DOUBLE) / 1e6, 6) AS eff_volume,
+           round(CAST(sum(wm) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             / 1e6, 6) AS freshness
+         FROM wm GROUP BY 1 ORDER BY event_type""",
+
+    // x264: tail ownership — integer-exact P90/P99 thresholds on the
+    // distinct-value frame, per-source strictly-above-tail shares
+    "x264_tail_ownership" ->
+      """WITH vals AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+           FROM documents),
+         byv AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt
+           FROM vals GROUP BY 1),
+         cum AS (SELECT v, cnt, sum(cnt) OVER () AS n,
+             sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS cum
+           FROM byv),
+         th AS (SELECT
+             min(CASE WHEN cum * 10 >= n * 9 THEN v END) AS p90v,
+             min(CASE WHEN cum * 100 >= n * 99 THEN v END) AS p99v
+           FROM cum),
+         per AS (SELECT g, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN v > p90v THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_above_p90,
+             CAST(sum(CASE WHEN v > p99v THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_above_p99
+           FROM vals, th GROUP BY 1),
+         f AS (SELECT g, n_docs, n_above_p90, n_above_p99,
+             sum(n_above_p90) OVER () AS t90,
+             sum(n_above_p99) OVER () AS t99
+           FROM per)
+         SELECT g AS source, n_docs, n_above_p90, n_above_p99,
+           round(CASE WHEN t90 = 0 THEN NULL
+             ELSE CAST(n_above_p90 AS DOUBLE) / CAST(t90 AS DOUBLE)
+             END, 6) AS share_p90,
+           round(CASE WHEN t99 = 0 THEN NULL
+             ELSE CAST(n_above_p99 AS DOUBLE) / CAST(t99 AS DOUBLE)
+             END, 6) AS share_p99
+         FROM f ORDER BY source""",
 
     // x240: Kaplan-Meier risk table — integer day durations, censored
     // at last event; survival via the x181 microgrid log fold (exact

@@ -726,6 +726,22 @@ object Stress {
         "broadcast_advisor" -> (() =>
           operators.Scale.broadcastAdvisor(Seq(
             "documents" -> docs, "events" -> events)).count()),
+        // bounded probe panel broadcast vs one corpus scan
+        "intrinsic_dim" -> (() =>
+          operators.Similarity.intrinsicDimTwoNN(
+            replicateEmbeddings(
+              Tables.load(spark, sfDir, "embeddings"), m),
+            "vec_id", "embedding",
+            probeMod = 50L, probeCap = 2500L).count()),
+        // narrow scan + broadcast 1-row max + groupBy(key)
+        "decay_volume" -> (() =>
+          operators.Temporal.decayedVolume(
+            events, "ts", "event_type", halfLifeDays = 7).count()),
+        // codomain-bounded value frame + broadcast thresholds
+        "tail_ownership" -> (() =>
+          operators.CorpusOps.tailOwnership(
+            docs.withColumn("n_chars", length(col("text"))),
+            "source", "n_chars").count()),
         // embarrassingly parallel codec scan (synth + decode + RMS)
         "wav_vad" -> (() => {
           val ids = docs.select(col("doc_id")).limit(2000 * m)

@@ -1329,4 +1329,59 @@ object CorpusOps {
         round(d(col("shm")) / lit(1e6), 6).as("shapley"))
       .orderBy(col(sourceCol))
   }
+
+  /** Tail ownership: which sources supply the corpus's extreme-value
+    * documents. Global P90/P99 thresholds of `valueCol` are found
+    * INTEGER-exactly on the distinct-value frame (p90 = min v with
+    * cum*10 >= 9*n — no double percentile anywhere), then each source
+    * reports its count and share of the strictly-above-threshold
+    * tails. The mixture diagnostic behind "our longest documents all
+    * come from two sources" — mean-based per-source stats
+    * ([[looInfluence]]) cannot see tail concentration.
+    *
+    * Output per source: (source, n_docs, n_above_p90, n_above_p99,
+    * share_p90, share_p99) with shares NULL when the tail is empty.
+    *
+    * 100 TB shape: the cumulative window orders the DISTINCT-VALUE
+    * frame (codomain-bounded — the x246 convention; `valueCol` must be
+    * a measurement with a bounded codomain like a length, not a unique
+    * id); thresholds broadcast back as a 1-row frame; one
+    * partial-agged groupBy(source) ends it. */
+  def tailOwnership(docs: DataFrame, sourceCol: String,
+      valueCol: String): DataFrame = {
+    val d = (c: Column) => c.cast(DoubleType)
+    val vals = docs.select(col(sourceCol).as("g"),
+      col(valueCol).cast("long").as("v"))
+    val byV = vals.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val tot = Window.partitionBy(lit(1))
+    val wcum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val th = byV
+      .withColumn("n", sum(col("cnt")).over(tot))
+      .withColumn("cum", sum(col("cnt")).over(wcum))
+      .agg(
+        min(when(col("cum") * 10L >= col("n") * 9L, col("v")))
+          .as("p90v"),
+        min(when(col("cum") * 100L >= col("n") * 99L, col("v")))
+          .as("p99v"))
+    val per = vals.crossJoin(broadcast(th))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("v") > col("p90v"), 1L).otherwise(0L))
+          .as("n_above_p90"),
+        sum(when(col("v") > col("p99v"), 1L).otherwise(0L))
+          .as("n_above_p99"))
+    per
+      .withColumn("t90", sum(col("n_above_p90")).over(tot))
+      .withColumn("t99", sum(col("n_above_p99")).over(tot))
+      .select(col("g").as(sourceCol), col("n_docs"),
+        col("n_above_p90"), col("n_above_p99"),
+        round(when(col("t90") === 0L, lit(null).cast(DoubleType))
+          .otherwise(d(col("n_above_p90")) / d(col("t90"))), 6)
+          .as("share_p90"),
+        round(when(col("t99") === 0L, lit(null).cast(DoubleType))
+          .otherwise(d(col("n_above_p99")) / d(col("t99"))), 6)
+          .as("share_p99"))
+      .orderBy(col(sourceCol))
+  }
 }

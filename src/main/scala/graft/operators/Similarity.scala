@@ -94,6 +94,73 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 
+  /** TwoNN intrinsic-dimension estimate (Facco, d'Errico, Rodriguez &
+    * Laio 2017): for each probe point, the ratio mu = r2/r1 of its
+    * second- to first-nearest-neighbor distance follows a Pareto with
+    * shape = the manifold's intrinsic dimension, so the MLE is
+    * d_hat = m / sum(ln mu). The embedding-quality diagnostic a
+    * pipeline runs BEFORE trusting cosine thresholds or PQ budgets: a
+    * 64-dim column whose TwoNN dimension is ~8 quantizes and indexes
+    * far more safely than one that actually fills the space.
+    *
+    * Probes are a FIXED panel (`idCol % probeMod == 0 && idCol <
+    * probeCap`) so the pair frame stays bounded-probe x corpus at any
+    * scale. Probes with r1 = 0 (an exact duplicate vector exists) have
+    * undefined ln mu and are excluded; `n_used` reports survivors.
+    * Per-probe ln(d2sq/d1sq)/2 is quantized HALF-UP to the 1e6
+    * microgrid and summed as longs; NN distances are micro-quantized
+    * the same way for the mean.
+    *
+    * Output one row: (n_probes, n_used, id_dim, mean_nn_dist) with
+    * id_dim NULL when sum(ln mu) = 0 (all ties).
+    *
+    * 100 TB shape: the [[bruteForceTopK]] contract — broadcast the
+    * bounded probe panel, ONE narrow scan of the corpus (no corpus
+    * shuffle), per-probe windows on the probe-keyed pair frame. */
+  def intrinsicDimTwoNN(corpus: DataFrame, idCol: String,
+      vecCol: String, probeMod: Long = 5L,
+      probeCap: Long = 2500L): DataFrame = {
+    def dot(x: Column, y: Column): Column =
+      graft.functions.VectorExpressions.dot(corpus.sparkSession, x, y)
+    val d = (c: Column) => c.cast(DoubleType)
+    val q = corpus
+      .filter(col(idCol) % probeMod === 0L && col(idCol) < probeCap)
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qq", dot(col("qv"), col("qv")))
+    val c = corpus.select(col(idCol).as("nid"),
+        asDouble(col(vecCol)).as("cv"))
+      .withColumn("cc", dot(col("cv"), col("cv")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("d2"), col("nid"))
+    val two = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("d2",
+        col("qq") + col("cc") - lit(2.0) * dot(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy(col("qid"))
+      .agg(max(when(col("rn") === 1, col("d2"))).as("d1"),
+        max(when(col("rn") === 2, col("d2"))).as("dd2"))
+    val used = two.filter(col("d1") > 0.0)
+      .select(
+        round(log(col("dd2") / col("d1")) * lit(500000.0)).cast("long")
+          .as("lnm"),
+        round(sqrt(col("d1")) * lit(1e6)).cast("long").as("r1m"))
+    val nProbes = two.groupBy().agg(count(lit(1)).as("n_probes"))
+    used.groupBy()
+      .agg(count(lit(1)).as("n_used"), sum(col("lnm")).as("slnm"),
+        sum(col("r1m")).as("sr1m"))
+      .crossJoin(broadcast(nProbes))
+      .select(col("n_probes"), col("n_used"),
+        round(when(coalesce(col("slnm"), lit(0L)) === 0L,
+            lit(null).cast(DoubleType))
+          .otherwise(d(col("n_used")) * lit(1e6) / d(col("slnm"))), 6)
+          .as("id_dim"),
+        round(when(col("n_used") === 0L, lit(null).cast(DoubleType))
+          .otherwise(d(col("sr1m")) / d(col("n_used")) / lit(1e6)), 6)
+          .as("mean_nn_dist"))
+  }
+
   /** Deterministic "centroids": C pseudo-directions derived from md5 of the
     * centroid index — each centroid is a ±1 sign pattern over dims, so
     * assignment = argmax of signed coordinate sums. Not k-means quality,

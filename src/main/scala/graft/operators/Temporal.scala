@@ -446,4 +446,42 @@ object Temporal {
       col("idx"), col("c").as("coef"))
     out.reduce(_ unionAll _).orderBy(col("level"), col("idx"))
   }
+
+  /** Staircase half-life freshness weighting: each event's weight halves
+    * every `halfLifeDays` FULL half-lives of age (weight_micro =
+    * 1e6 >> floor(age/halfLife), exact integer — no transcendental
+    * decay, so both engines sum identical longs). Per key:
+    * effective (decayed) volume and the freshness ratio eff/n — the
+    * recency-weighting readout behind "how much of this stream is
+    * actually recent" mixture decisions, where a raw count treats a
+    * year-old burst and yesterday's traffic as equal evidence.
+    * Reference day = the stream's max event date (broadcast 1-row).
+    * Shifts cap at 30 half-lives (weight 0 on the micro grid well
+    * before that).
+    *
+    * Output per key: (key, n_events, eff_volume, freshness).
+    *
+    * 100 TB shape: one narrow scan + cross vs the broadcast 1-row max
+    * + one partial-agged groupBy(key). */
+  def decayedVolume(events: DataFrame, tsCol: String, keyCol: String,
+      halfLifeDays: Int): DataFrame = {
+    require(halfLifeDays >= 1, "halfLifeDays must be >= 1")
+    val d = (c: Column) => c.cast(DoubleType)
+    val ref = events.agg(max(to_date(col(tsCol))).as("ref"))
+    events.select(col(keyCol).as("g"), to_date(col(tsCol)).as("dday"))
+      .crossJoin(broadcast(ref))
+      .withColumn("steps",
+        least(call_function("div",
+          datediff(col("ref"), col("dday")).cast("long"),
+          lit(halfLifeDays.toLong)), lit(30L)))
+      .withColumn("wm", call_function("div", lit(1000000L),
+        expr("shiftleft(1L, cast(steps as int))")))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_events"), sum(col("wm")).as("swm"))
+      .select(col("g").as(keyCol), col("n_events"),
+        round(d(col("swm")) / lit(1e6), 6).as("eff_volume"),
+        round(d(col("swm")) / d(col("n_events")) / lit(1e6), 6)
+          .as("freshness"))
+      .orderBy(col(keyCol))
+  }
 }

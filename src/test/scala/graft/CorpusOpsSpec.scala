@@ -715,4 +715,18 @@ class CorpusOpsSpec extends SparkSpec {
     // efficiency: credits sum to the distinct-shingle count (5)
     assert(math.abs(out.map(_._4).sum - 5.0) < 1e-6)
   }
+
+  test("tailOwnership: integer-exact thresholds, strictly-above tails, empty-tail NULL shares") {
+    import spark.implicits._
+    // values 1..10 one each: p90 = min v with cum*10 >= 90 -> 9;
+    // p99 -> 10. Above-p90 tail = {10} (owned by B); above-p99 empty.
+    val docs = ((1L to 5L).map(v => ("A", v)) ++
+      (6L to 10L).map(v => ("B", v))).toDF("src", "v")
+    val out = graft.operators.CorpusOps.tailOwnership(docs, "src", "v")
+      .collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq == Seq(("A", 5L, 0L, 0L), ("B", 5L, 1L, 0L)))
+    assert(out(0).getDouble(4) == 0.0 && out(1).getDouble(4) == 1.0)
+    assert(out(0).isNullAt(5) && out(1).isNullAt(5))
+  }
 }

@@ -1354,6 +1354,27 @@ class PlanHealthSpec extends SparkSpec {
       s"x261 must partial-aggregate each table scan:\n$p61")
   }
 
+  test("x262-x264: probe-panel brute stays broadcast-cross; decay/tail frames are codomain-bounded") {
+    // x262: the corpus may only cross against the BROADCAST bounded
+    // probe panel — never a real cartesian, never a corpus sort-merge
+    val p62 = plan("x262_intrinsic_dim")
+    assert(!p62.contains("CartesianProduct"), s"x262 grew a cartesian:\n$p62")
+    assert(!p62.contains("SortMergeJoin"),
+      s"x262 must not sort-merge the corpus:\n$p62")
+    assert(!p62.replaceAll(
+      "BroadcastNestedLoopJoin Build(Right|Left), Cross", "").contains(
+      "BroadcastNestedLoopJoin"),
+      s"x262's only cross must be vs the broadcast probe panel:\n$p62")
+    for (q <- Seq("x263_decay_volume", "x264_tail_ownership")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q must not row-sort-merge anything:\n$p")
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q must partial-aggregate the scan:\n$p")
+    }
+  }
+
   test("x199: range splits reduce per-row work to one groupBy(key); windows run on the distinct-key frame") {
     val p = plan("x199_range_splits")
     assert(!p.contains("Join"), s"x199 must stay join-free:\n$p")

@@ -59,6 +59,32 @@ class SelectionGraphPqSpec extends SparkSpec {
     assert(c.getDouble(1) == 2.0 && c.getDouble(3) == 1.0)
   }
 
+  test("intrinsicDimTwoNN: 1-D points give the exact micro-fold MLE; duplicate vectors are excluded") {
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 1-D manifold embedded as single-element vectors at 0,1,3,7:
+    // (d1,d2) squared: p0 (1,9), p1 (1,4), p2 (4,9), p3 (16,36)
+    val vecs = Seq((0L, Seq(0.0f)), (1L, Seq(1.0f)), (2L, Seq(3.0f)),
+      (3L, Seq(7.0f))).toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.intrinsicDimTwoNN(
+      vecs, "vec_id", "embedding", probeMod = 1L, probeCap = 100L)
+      .collect().head
+    val lnm = Seq(9.0 / 1, 4.0 / 1, 9.0 / 4, 36.0 / 16)
+      .map(r => math.round(math.log(r) * 500000.0)).sum
+    val r1m = Seq(1.0, 1.0, 4.0, 16.0)
+      .map(d => math.round(math.sqrt(d) * 1e6)).sum
+    assert(out.getLong(0) == 4L && out.getLong(1) == 4L)
+    assert(out.getDouble(2) == r6(4.0 * 1e6 / lnm))
+    assert(out.getDouble(3) == r6(r1m / 4.0 / 1e6))
+    // an exact duplicate pair: both probes have r1 = 0 -> excluded
+    val dup = Seq((0L, Seq(0.0f)), (1L, Seq(0.0f)), (2L, Seq(3.0f)))
+      .toDF("vec_id", "embedding")
+    val o2 = graft.operators.Similarity.intrinsicDimTwoNN(
+      dup, "vec_id", "embedding", probeMod = 1L, probeCap = 100L)
+      .collect().head
+    assert(o2.getLong(0) == 3L && o2.getLong(1) == 1L)
+  }
+
   test("greedyCoverSources: marginal-gain order, name tie-break, and zero-gain early stop") {
     def r6(x: Double) = BigDecimal(x)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble

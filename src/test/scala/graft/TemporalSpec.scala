@@ -263,4 +263,24 @@ class TemporalSpec extends SparkSpec {
     assert(o2.toSeq == Seq((1L, 0L, 2L), (1L, 1L, -2L), (2L, 0L, 0L),
       (3L, 0L, 4L)))
   }
+
+  test("decayedVolume: staircase >> weights are exact; ages measured from the stream max date") {
+    def dayTs(d: Int) = new java.sql.Timestamp(d * 86400000L)
+    // ref = day 5; ages 5,4,3,2,1,0 at h=2 -> steps 2,2,1,1,0,0 ->
+    // micro weights 250k,250k,500k,500k,1M,1M -> eff = 3.5
+    val df = (0 to 5).map(d => ("a", dayTs(d))).toDF("k", "ts")
+    val r = Temporal.decayedVolume(df, "ts", "k", halfLifeDays = 2)
+      .collect().head
+    assert(r.getLong(1) == 6L)
+    assert(r.getDouble(2) == 3.5)
+    assert(r.getDouble(3) == BigDecimal(3.5 / 6.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // a key whose events are all stale decays toward 0 but counts fully
+    val mixed = ((0 to 5).map(d => ("new", dayTs(d + 60))) ++
+      (0 to 5).map(d => ("old", dayTs(d)))).toDF("k", "ts")
+    val out = Temporal.decayedVolume(mixed, "ts", "k", halfLifeDays = 2)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getDouble(2)))
+    assert(out(0)._1 == "new" && out(0)._3 == 3.5)
+    assert(out(1)._1 == "old" && out(1)._2 == 6L && out(1)._3 < 0.001)
+  }
 }
