@@ -3420,6 +3420,15 @@ object SparkEntry {
         .orderBy(col("metric"))
     },
 
+    // ---- E2E: source valuation scorecard — LOO influence + Shapley
+    //      coverage + tail ownership + Pareto front composed into the
+    //      per-source licensing/mixture brief, ranked by Shapley
+    //      credit; broadcast joins of source-bounded frames only ----
+    "e11_source_valuation" -> { (s, dir) =>
+      graft.examples.SourceValuation.run(
+        t(s, dir, "documents"), "source", "text", "n_chars")
+    },
+
     // ---- X: isotonic calibration over 16 score bins via the min-max
     //      closed form (Ayer 1955) — PAVA as a bounded relational join
     //      instead of an ordered sweep; x81's reliability curve upgraded
@@ -7905,6 +7914,75 @@ object SparkEntry {
 
     // e10: the x198/x201/x202/x203 oracle bodies assembled over one
     // shared per-user CTE into the long-format readout
+    // e11: source valuation scorecard — the x253/x258/x264/x257 stages
+    // as CTE families, broadcast-joined per source, ranked by Shapley
+    "e11_source_valuation" ->
+      """WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS s
+           FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(s) AS BIGINT) AS ss FROM per),
+         loo AS (SELECT source, n AS n_docs,
+             round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS mean_len,
+             round(CASE WHEN nn = n THEN NULL
+               ELSE CAST(ss - s AS DOUBLE) / CAST(nn - n AS DOUBLE)
+                 - CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE) END, 6)
+               AS influence
+           FROM per CROSS JOIN tot),
+         w AS (SELECT source, string_split(text, ' ') AS ws
+           FROM documents),
+         tok AS (SELECT DISTINCT source,
+             array_to_string(ws[i:i+2], ' ') AS sh
+           FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1))) t(i)),
+         cv AS (SELECT sh, CAST(count(*) AS BIGINT) AS cvr
+           FROM tok GROUP BY 1),
+         cells AS (SELECT source, cvr, CAST(count(*) AS BIGINT) AS k
+           FROM tok JOIN cv USING (sh) GROUP BY 1, 2),
+         shp AS (SELECT source,
+             CAST(sum(CASE WHEN cvr = 1 THEN k ELSE 0 END) AS BIGINT)
+               AS n_exclusive,
+             round(CAST(sum((2 * k * 1000000 + cvr) // (2 * cvr))
+               AS DOUBLE) / 1e6, 6) AS shapley
+           FROM cells GROUP BY 1),
+         vals AS (SELECT source, CAST(n_chars AS BIGINT) AS v
+           FROM documents),
+         byv AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt
+           FROM vals GROUP BY 1),
+         cumv AS (SELECT v, cnt, sum(cnt) OVER () AS n,
+             sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS cum
+           FROM byv),
+         th AS (SELECT min(CASE WHEN cum * 10 >= n * 9 THEN v END)
+             AS p90v FROM cumv),
+         tl AS (SELECT source,
+             CAST(sum(CASE WHEN v > p90v THEN 1 ELSE 0 END) AS BIGINT)
+               AS a90
+           FROM vals, th GROUP BY 1),
+         tails AS (SELECT source,
+             round(CASE WHEN sum(a90) OVER () = 0 THEN NULL
+               ELSE CAST(a90 AS DOUBLE)
+                 / CAST(sum(a90) OVER () AS DOUBLE) END, 6)
+               AS share_p90
+           FROM tl),
+         pp AS (SELECT source AS g, CAST(count(*) AS BIGINT) AS n,
+             round(CAST(sum(n_chars) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE), 6) AS q
+           FROM documents GROUP BY 1),
+         dom AS (SELECT DISTINCT a.g FROM pp a JOIN pp b
+           ON b.n >= a.n AND b.q >= a.q AND (b.n > a.n OR b.q > a.q)),
+         frnt AS (SELECT pp.g AS source, dom.g IS NULL AS on_front
+           FROM pp LEFT JOIN dom ON pp.g = dom.g),
+         joined AS (SELECT l.source, l.n_docs, l.mean_len, l.influence,
+             s.shapley, s.n_exclusive, t.share_p90, f.on_front
+           FROM loo l JOIN shp s USING (source)
+             JOIN tails t USING (source) JOIN frnt f USING (source))
+         SELECT source, n_docs, mean_len, influence, shapley,
+           n_exclusive, share_p90, on_front,
+           CAST(row_number() OVER (ORDER BY shapley DESC, source)
+             AS BIGINT) AS value_rank
+         FROM joined ORDER BY value_rank""",
+
     "e10_experiment_readout" ->
       """WITH pu AS (SELECT user_id,
              sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'

@@ -729,4 +729,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(0).getDouble(4) == 0.0 && out(1).getDouble(4) == 1.0)
     assert(out(0).isNullAt(5) && out(1).isNullAt(5))
   }
+
+  test("e11 flagship: the four valuation stages compose into the hand scorecard, ranked by Shapley") {
+    import spark.implicits._
+    // A x5 (len 10), B x4 (20), C x1 (100), D x2 (15); D's text equals
+    // A's, so D is both Shapley-diluted and Pareto-dominated by B
+    val docs = (Seq.fill(5)(("A", "a b c d", 10L)) ++
+      Seq.fill(4)(("B", "a b c x", 20L)) ++
+      Seq(("C", "p q r s", 100L)) ++
+      Seq.fill(2)(("D", "a b c d", 15L)))
+      .toDF("src", "text", "v")
+    val out = graft.examples.SourceValuation.run(docs, "src", "text", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5), r.getDouble(6),
+        r.getBoolean(7), r.getLong(8)))
+    // cvr("a b c")=3 (A,B,D), cvr("b c d")=2 (A,D), "b c x"/"p q r"/
+    // "q r s" exclusive; micro terms 333333/500000/1000000
+    assert(out.toSeq == Seq(
+      ("C", 1L, 100.0, -7.121212, 2.0, 2L, 1.0, true, 1L),
+      ("B", 4L, 20.0, 0.833333, 1.333333, 1L, 0.0, true, 2L),
+      ("A", 5L, 10.0, 8.333333, 0.833333, 0L, 0.0, true, 3L),
+      ("D", 2L, 15.0, 1.333333, 0.833333, 0L, 0.0, false, 4L)))
+  }
 }

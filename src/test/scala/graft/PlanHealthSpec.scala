@@ -1375,6 +1375,23 @@ class PlanHealthSpec extends SparkSpec {
     }
   }
 
+  test("e11: the scorecard assembly only broadcast-joins source-bounded frames") {
+    val p = plan("e11_source_valuation")
+    assert(!p.contains("CartesianProduct"), s"e11 grew a cartesian:\n$p")
+    // stage frames are source-bounded; their assembly must broadcast
+    assert(p.contains("BroadcastHashJoin"),
+      s"e11's scorecard joins must be broadcast:\n$p")
+    // the Shapley shingle join inside stage 2 keeps its shuffle_hash pin
+    assert(p.contains("ShuffledHashJoin"),
+      s"e11 must keep the x258 shingle join hash-keyed:\n$p")
+    // allowed nested-loop forms: the 1-row broadcast crosses and the
+    // Pareto stage's domination LeftSemi on the broadcast source frame
+    assert(!p.replaceAll(
+      "BroadcastNestedLoopJoin Build(Right|Left), (Cross|LeftSemi)", "")
+      .contains("BroadcastNestedLoopJoin"),
+      s"e11 non-equi joins must be vs broadcast bounded frames only:\n$p")
+  }
+
   test("x199: range splits reduce per-row work to one groupBy(key); windows run on the distinct-key frame") {
     val p = plan("x199_range_splits")
     assert(!p.contains("Join"), s"x199 must stay join-free:\n$p")
