@@ -3319,6 +3319,28 @@ object SparkEntry {
         t(s, dir, "documents"), "source", "n_chars")
     },
 
+    // ---- X: video frame sampling — synthetic GVID containers
+    //      (banded moving pattern), every-2nd-frame decode to exact
+    //      per-frame mean luminance; the codec-op scan shape ----
+    "x265_frame_sample" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id")).filter(col("doc_id") < 500)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("content", BinaryType)))
+      val vids = s.createDataFrame(docs.rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = 8 + (id % 3).toInt * 4
+          val h = 8 + (id % 4).toInt * 2
+          val nf = 4 + (id % 5).toInt
+          org.apache.spark.sql.Row(id, graft.operators.Multimodal
+            .renderVideoGray(w, h, nf, id * 13L))
+        }
+      }, schema)
+      graft.operators.Multimodal.frameSample(vids, "doc_id", everyK = 2)
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
     // ---- X: Kaplan-Meier survival curve on days to first purchase —
     //      never-converters are right-censored at their last event,
     //      not zeros; day-bounded risk frame, log-space microgrid
@@ -7335,6 +7357,22 @@ object SparkEntry {
              ELSE CAST(n_above_p99 AS DOUBLE) / CAST(t99 AS DOUBLE)
              END, 6) AS share_p99
          FROM f ORDER BY source""",
+
+    // x265: frame sampling — the synthetic banded pattern's closed-form
+    // per-frame means (the x157 multimodal-oracle convention)
+    "x265_frame_sample" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 500),
+         fr AS (SELECT doc_id, CAST(f AS BIGINT) AS frame_idx
+           FROM ids, UNNEST(range(0, 4 + doc_id % 5, 2)) t(f)),
+         v AS (SELECT doc_id, frame_idx,
+             CAST(8 + (doc_id % 3) * 4 AS INT) AS width,
+             CAST(8 + (doc_id % 4) * 2 AS INT) AS height,
+             (doc_id * 13 + 7 * frame_idx) % 256 AS vtop
+           FROM fr)
+         SELECT doc_id, frame_idx, width, height,
+           round((CAST(vtop AS DOUBLE)
+             + CAST((vtop + 64) % 256 AS DOUBLE)) / 2, 6) AS mean_luma
+         FROM v ORDER BY doc_id, frame_idx""",
 
     // x240: Kaplan-Meier risk table — integer day durations, censored
     // at last event; survival via the x181 microgrid log fold (exact

@@ -742,6 +742,24 @@ object Stress {
           operators.CorpusOps.tailOwnership(
             docs.withColumn("n_chars", length(col("text"))),
             "source", "n_chars").count()),
+        // embarrassingly parallel codec scan (synth + frame decode)
+        "frame_sample" -> (() => {
+          val ids = docs.select(col("doc_id")).limit(2000 * m)
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("content",
+              org.apache.spark.sql.types.BinaryType)))
+          val vids = spark.createDataFrame(ids.rdd.mapPartitions { rs =>
+            rs.map { r =>
+              val id = r.getLong(0)
+              org.apache.spark.sql.Row(id, operators.Multimodal
+                .renderVideoGray(16, 16, 8, id % 256L))
+            }
+          }, schema)
+          operators.Multimodal.frameSample(vids, "doc_id",
+            everyK = 2).count()
+        }),
         // embarrassingly parallel codec scan (synth + decode + RMS)
         "wav_vad" -> (() => {
           val ids = docs.select(col("doc_id")).limit(2000 * m)

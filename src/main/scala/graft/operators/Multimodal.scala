@@ -976,4 +976,86 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  // ---- video frame sampling (the fourth multimodal verb:
+  //      decode / feature-extract / resize / FRAME-SAMPLE) ----
+
+  /** Synthesize a deterministic grayscale "video": a minimal container
+    * (magic "GVID", u16 LE width/height/frame count, then raw
+    * frame-major w*h gray planes) whose frame f is two horizontal
+    * bands — top half (seed + 7f) % 256, bottom half +64 wrapped.
+    * The moving-pattern fixture [[frameSample]] is exercised against
+    * (the video twin of [[renderWavBursts]]); real decoders slot in at
+    * the same seam, exactly like the image codecs. Height must be even
+    * so per-frame mean luminance stays closed-form. */
+  def renderVideoGray(width: Int, height: Int, nFrames: Int,
+      seed: Long): Array[Byte] = {
+    require(width >= 1 && height >= 2 && height % 2 == 0 && nFrames >= 1,
+      "need width>=1, even height>=2, frames>=1")
+    val buf = java.nio.ByteBuffer.allocate(10 + width * height * nFrames)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('G'.toByte).put('V'.toByte).put('I'.toByte).put('D'.toByte)
+    buf.putShort(width.toShort).putShort(height.toShort)
+      .putShort(nFrames.toShort)
+    var f = 0
+    while (f < nFrames) {
+      val vTop = ((seed + 7L * f) % 256L).toInt
+      val vBot = (vTop + 64) % 256
+      var i = 0
+      while (i < width * height) {
+        buf.put((if (i < width * height / 2) vTop else vBot).toByte)
+        i += 1
+      }
+      f += 1
+    }
+    buf.array()
+  }
+
+  /** Frame-sample a video column: parse the container header, decode
+    * every `everyK`-th frame (0, k, 2k, ...) and emit its exact
+    * per-frame mean luminance — the "thumbnail every N seconds"
+    * pre-processing a multimodal training pipeline runs before
+    * feature extraction, as a per-partition batched scan (the codec-op
+    * shape: embarrassingly parallel, no shuffle, non-video payloads
+    * dropped). Output: (idCol, frame_idx, width, height, mean_luma).
+    *
+    * 100 TB shape: one narrow scan; each row's cost is its own
+    * payload; sampled frames fan out as emitted rows, never as
+    * intermediate blobs. */
+  def frameSample(df: DataFrame, idCol: String,
+      contentCol: String = "content", everyK: Int = 2): DataFrame = {
+    require(everyK >= 1, "everyK must be >= 1")
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("mean_luma", DoubleType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val contentIdx = df.schema.fieldIndex(contentCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        r.get(contentIdx) match {
+          case b: Array[Byte] if b.length >= 10 && b(0) == 'G'.toByte &&
+              b(1) == 'V'.toByte && b(2) == 'I'.toByte &&
+              b(3) == 'D'.toByte =>
+            val w = u16(b, 4); val h = u16(b, 6); val nf = u16(b, 8)
+            if (w < 1 || h < 1 || nf < 1 ||
+              10L + w.toLong * h * nf > b.length) Iterator.empty
+            else (0 until nf by everyK).iterator.map { f =>
+              val off = 10 + w * h * f
+              var s = 0L; var i = 0
+              while (i < w * h) { s += (b(off + i) & 0xff); i += 1 }
+              Row(r.get(idIdx), f.toLong, w, h,
+                java.math.BigDecimal.valueOf(
+                  s.toDouble / (w.toLong * h))
+                  .setScale(6, java.math.RoundingMode.HALF_UP)
+                  .doubleValue())
+            }
+          case _ => Iterator.empty
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
 }

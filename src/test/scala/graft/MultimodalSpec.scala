@@ -479,4 +479,32 @@ class MultimodalSpec extends SparkSpec {
     val h1 = Multimodal.dHash64(Multimodal.renderBmpHashEncoded(edited)).get
     assert(java.lang.Long.bitCount(h0 ^ h1) == 3 && (h0 ^ h1) == 0x29L)
   }
+
+  test("renderVideoGray + frameSample: every-k frames decode to the banded closed-form means; junk dropped") {
+    import org.apache.spark.sql.types._
+    // 4x6, 5 frames, seed 200: vTop wraps past 256 at frame 8 -> use
+    // seed 250 to cross the wrap inside the sampled range
+    val vid = Multimodal.renderVideoGray(4, 6, 5, seed = 250L)
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, vid),
+      org.apache.spark.sql.Row(2L, "not a video".getBytes("UTF-8")))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("content", BinaryType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val out = Multimodal.frameSample(df, "id", everyK = 2)
+      .orderBy("id", "frame_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getDouble(4)))
+    // frames 0,2,4: vTop = (250+7f)%256 = 250, 8, 22; mean =
+    // (vTop + (vTop+64)%256)/2
+    def mean(f: Long) = {
+      val vt = (250L + 7 * f) % 256; (vt + (vt + 64) % 256) / 2.0
+    }
+    assert(out.toSeq == Seq(
+      (1L, 0L, 4, 6, mean(0)), (1L, 2L, 4, 6, mean(2)),
+      (1L, 4L, 4, 6, mean(4))))
+    // wrap actually exercised: frame 0's bottom band wrapped past 256
+    assert(mean(0) == (250.0 + 58.0) / 2)
+  }
 }
