@@ -3341,6 +3341,22 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("frame_idx"))
     },
 
+    // ---- X: per-dimension embedding health — microgrid-exact mean
+    //      and variance per coordinate; dead-dim / runaway-dim scan
+    //      before any quantizer is built ----
+    "x266_dim_stats" -> { (s, dir) =>
+      graft.operators.Similarity.dimStats(
+        t(s, dir, "embeddings"), "embedding")
+    },
+
+    // ---- X: k-anonymity generalization planner — integer-div bucket
+    //      ladder over (source, n_chars), coarsest-necessary choice
+    //      marked; the release-schema planner above x139's audit ----
+    "x267_kanon_planner" -> { (s, dir) =>
+      graft.operators.Profile.kAnonPlanner(
+        t(s, dir, "documents"), "source", "n_chars", k = 5L)
+    },
+
     // ---- X: Kaplan-Meier survival curve on days to first purchase —
     //      never-converters are right-censored at their last event,
     //      not zeros; day-bounded risk frame, log-space microgrid
@@ -7373,6 +7389,70 @@ object SparkEntry {
            round((CAST(vtop AS DOUBLE)
              + CAST((vtop + 64) % 256 AS DOUBLE)) / 2, 6) AS mean_luma
          FROM v ORDER BY doc_id, frame_idx""",
+
+    // x266: per-dimension embedding stats — coordinates microgrid-
+    // quantized first, exact integer folds, one division at the end
+    "x266_dim_stats" ->
+      """WITH ex AS (SELECT CAST(t.i - 1 AS BIGINT) AS dim,
+             CAST(round(CAST(e.embedding[t.i] AS DOUBLE) * 1e6)
+               AS BIGINT) AS xm
+           FROM embeddings e,
+             UNNEST(range(1, len(e.embedding) + 1)) t(i)),
+         g AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xm) AS BIGINT) AS s,
+             sum(CAST(xm AS HUGEINT) * CAST(xm AS HUGEINT)) AS s2
+           FROM ex GROUP BY 1)
+         SELECT dim, n,
+           round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6, 6)
+             AS mean,
+           round(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) / 1e12
+             - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6)
+               * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6), 6)
+             AS var
+         FROM g ORDER BY dim""",
+
+    // x267: k-anonymity generalization ladder — one grouped audit per
+    // granularity, coarsest-necessary marked via the ladder window
+    "x267_kanon_planner" ->
+      """WITH g1 AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(min(n) AS BIGINT) AS min_cell,
+             CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cells_below_k
+           FROM (SELECT source, CAST(n_chars AS BIGINT) // 1 AS b,
+               CAST(count(*) AS BIGINT) AS n
+             FROM documents GROUP BY 1, 2)),
+         g10 AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(min(n) AS BIGINT) AS min_cell,
+             CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cells_below_k
+           FROM (SELECT source, CAST(n_chars AS BIGINT) // 10 AS b,
+               CAST(count(*) AS BIGINT) AS n
+             FROM documents GROUP BY 1, 2)),
+         g100 AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(min(n) AS BIGINT) AS min_cell,
+             CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cells_below_k
+           FROM (SELECT source, CAST(n_chars AS BIGINT) // 100 AS b,
+               CAST(count(*) AS BIGINT) AS n
+             FROM documents GROUP BY 1, 2)),
+         g1000 AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(min(n) AS BIGINT) AS min_cell,
+             CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cells_below_k
+           FROM (SELECT source, CAST(n_chars AS BIGINT) // 1000 AS b,
+               CAST(count(*) AS BIGINT) AS n
+             FROM documents GROUP BY 1, 2)),
+         u AS (SELECT CAST(1 AS BIGINT) AS granularity, * FROM g1
+           UNION ALL SELECT CAST(10 AS BIGINT), * FROM g10
+           UNION ALL SELECT CAST(100 AS BIGINT), * FROM g100
+           UNION ALL SELECT CAST(1000 AS BIGINT), * FROM g1000),
+         f AS (SELECT *, min_cell >= 5 AS satisfies_k,
+             min(CASE WHEN min_cell >= 5 THEN granularity END) OVER ()
+               AS ch
+           FROM u)
+         SELECT granularity, n_cells, min_cell, cells_below_k,
+           satisfies_k, satisfies_k AND granularity = ch AS chosen
+         FROM f ORDER BY granularity""",
 
     // x240: Kaplan-Meier risk table — integer day durations, censored
     // at last event; survival via the x181 microgrid log fold (exact

@@ -742,6 +742,17 @@ object Stress {
           operators.CorpusOps.tailOwnership(
             docs.withColumn("n_chars", length(col("text"))),
             "source", "n_chars").count()),
+        // posexplode fan-out into the dims-bounded partial agg
+        "dim_stats" -> (() =>
+          operators.Similarity.dimStats(
+            replicateEmbeddings(
+              Tables.load(spark, sfDir, "embeddings"), m),
+            "embedding").count()),
+        // one grouped audit per ladder granularity
+        "kanon_planner" -> (() =>
+          operators.Profile.kAnonPlanner(
+            docs.withColumn("n_chars", length(col("text"))),
+            "source", "n_chars", k = 5L).count()),
         // embarrassingly parallel codec scan (synth + frame decode)
         "frame_sample" -> (() => {
           val ids = docs.select(col("doc_id")).limit(2000 * m)

@@ -741,4 +741,45 @@ object Profile {
         round(chiT, 6).as("chi2_term"))
       .orderBy(col("digit"))
   }
+
+  /** k-anonymity generalization planner: for each candidate
+    * granularity g of the NUMERIC quasi-identifier (bucket = value
+    * div g, the [[psiDrift]] integer-div convention), audit the
+    * (categorical QI, bucket) cells and report whether every cell
+    * reaches `k` — plus which granularity is the COARSEST-NECESSARY
+    * choice (the smallest g that satisfies k: generalize no more than
+    * the data requires, Sweeney 2002's minimal-generalization
+    * principle). [[smallCells]] finds today's violations; this plans
+    * the release schema that has none.
+    *
+    * Output per granularity: (granularity, n_cells, min_cell,
+    * cells_below_k, satisfies_k, chosen) with `chosen` true on the
+    * smallest satisfying granularity (false everywhere when none
+    * satisfies — publish nothing, or suppress).
+    *
+    * 100 TB shape: one partial-agged groupBy per candidate granularity
+    * (the ladder is a handful of scans), each reduced to a 1-row
+    * audit; the chosen-marking window orders the ladder-sized frame. */
+  def kAnonPlanner(df: DataFrame, qidCat: String, qidNum: String,
+      k: Long, granularities: Seq[Long] = Seq(1L, 10L, 100L, 1000L))
+      : DataFrame = {
+    require(k >= 2 && granularities.nonEmpty &&
+      granularities.forall(_ >= 1), "need k >= 2 and granularities >= 1")
+    val perGran = granularities.map { g =>
+      df.select(col(qidCat).as("c"),
+          call_function("div", col(qidNum).cast("long"), lit(g)).as("b"))
+        .groupBy(col("c"), col("b")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_cells"), min(col("n")).as("min_cell"),
+          sum(when(col("n") < k, 1L).otherwise(0L)).as("cells_below_k"))
+        .select(lit(g).as("granularity"), col("n_cells"),
+          col("min_cell"), col("cells_below_k"))
+    }
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    perGran.reduce(_.unionByName(_))
+      .withColumn("satisfies_k", col("min_cell") >= k)
+      .withColumn("chosen",
+        col("satisfies_k") && col("granularity") ===
+          min(when(col("min_cell") >= k, col("granularity"))).over(tot))
+      .orderBy(col("granularity"))
+  }
 }

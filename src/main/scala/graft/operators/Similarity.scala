@@ -161,6 +161,46 @@ object Similarity {
           .as("mean_nn_dist"))
   }
 
+  /** Per-dimension embedding health: mean and variance of every
+    * coordinate — the feature-health scan that catches DEAD dimensions
+    * (var ~ 0: wasted PQ/storage budget) and runaway ones (a single
+    * high-variance coordinate dominating every L2 distance) before any
+    * index or quantizer is built on the column. [[intrinsicDimTwoNN]]
+    * says how much structure the space has; this says which axes
+    * carry it.
+    *
+    * Determinism: each coordinate is quantized HALF-UP to the 1e6
+    * microgrid first; sums and squared sums are then exact integer
+    * folds (Decimal(38,0) for the squares — the weightDiagnostics
+    * convention), and mean/var divide exact integers once at the end.
+    * Variance is the population E[x²]−E[x]² on the quantized grid.
+    *
+    * Output one row per dimension: (dim, n, mean, var).
+    *
+    * 100 TB shape: posexplode fans each vector into dims rows, but the
+    * aggregation is partial-agged into a DIMS-bounded frame — one
+    * shuffle of dims x partitions partial rows, nothing vector-count
+    * sized past the map side. */
+  def dimStats(embs: DataFrame, vecCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val d = (c: Column) => c.cast(DoubleType)
+    val ex = embs
+      .select(posexplode(asDouble(col(vecCol))).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        round(col("x") * lit(1e6)).cast("long").as("xm"))
+    val g = ex.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xm")).as("s"),
+        sum(col("xm").cast(dec) * col("xm").cast(dec)).as("s2"))
+    val s2D = col("s2").cast("string").cast("double")
+    val meanD = d(col("s")) / d(col("n")) / lit(1e6)
+    g.select(col("dim"), col("n"),
+        round(meanD, 6).as("mean"),
+        round(s2D / d(col("n")) / lit(1e12) - meanD * meanD, 6)
+          .as("var"))
+      .orderBy(col("dim"))
+  }
+
   /** Deterministic "centroids": C pseudo-directions derived from md5 of the
     * centroid index — each centroid is a ±1 sign pattern over dims, so
     * assignment = argmax of signed coordinate sums. Not k-means quality,

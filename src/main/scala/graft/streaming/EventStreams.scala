@@ -857,4 +857,21 @@ object EventStreams {
           out
       }
   }
+
+  /** Streaming freshness deltas — the live twin of x263's
+    * [[graft.operators.Temporal.decayedVolume]]. Each event emits one
+    * (key, event-day, +1) delta (the psiDriftStream ZERO-state
+    * convention: a pure projection, no flatMapGroupsWithState, no
+    * watermark — late data is just another +1 on its day), and the
+    * accumulated per-(key, day) counts are a LOSSLESS projection for
+    * the batch operator: replaying them through decayedVolume yields
+    * byte-identical effective volumes at any read time, because the
+    * staircase weight depends only on (key, day). The dashboard keeps
+    * the bounded (key x day) frame and re-folds the >> weights against
+    * its own rolling reference day — freshness that ages live without
+    * reprocessing the stream. Output: (key, dday, delta). */
+  def freshnessStream(events: DataFrame, tsCol: String = "ts",
+      keyCol: String = "event_type"): DataFrame =
+    events.select(col(keyCol).as("key"), to_date(col(tsCol)).as("dday"),
+      lit(1L).as("delta"))
 }

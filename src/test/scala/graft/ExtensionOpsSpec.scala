@@ -259,6 +259,36 @@ class ExtensionOpsSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("streaming freshness deltas are a lossless projection: replay through decayedVolume equals batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_fresh").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val sq = EventStreams.runToMemory(
+      EventStreams.freshnessStream(EventStreams.readEvents(spark, dir)),
+      "fresh_stream", outputMode = "append")
+    try {
+      // the dashboard's bounded (key x day) frame
+      val rolled = spark.table("fresh_stream")
+        .groupBy(col("key"), col("dday")).agg(sum(col("delta")).as("n"))
+      // lossless projection: replaying the rolled counts through the
+      // batch operator reproduces its output exactly
+      val rebuilt = rolled
+        .withColumn("i", explode(sequence(lit(1L), col("n"))))
+        .select(col("key"), col("dday").cast("timestamp").as("ts"))
+      val fromStream = graft.operators.Temporal
+        .decayedVolume(rebuilt, "ts", "key", halfLifeDays = 7)
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getDouble(2), r.getDouble(3))).toSeq
+      val batch = graft.operators.Temporal.decayedVolume(
+          Tables.load(spark, sfDir, "events"), "ts", "event_type",
+          halfLifeDays = 7)
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getDouble(2), r.getDouble(3))).toSeq
+      assert(fromStream == batch)
+    } finally sq.stop()
+  }
+
   test("streaming HLL distinct equals the batch sketch; state is register-bounded") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_hll").toString
     java.nio.file.Files.copy(

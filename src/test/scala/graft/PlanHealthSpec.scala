@@ -1392,6 +1392,16 @@ class PlanHealthSpec extends SparkSpec {
       s"e11 non-equi joins must be vs broadcast bounded frames only:\n$p")
   }
 
+  test("x266/x267: dim stats and the k-anon ladder stay join-free partial-agged scans") {
+    for (q <- Seq("x266_dim_stats", "x267_kanon_planner")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must stay join-free:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n$p")
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q must partial-aggregate the scan:\n$p")
+    }
+  }
+
   test("x199: range splits reduce per-row work to one groupBy(key); windows run on the distinct-key frame") {
     val p = plan("x199_range_splits")
     assert(!p.contains("Join"), s"x199 must stay join-free:\n$p")

@@ -113,6 +113,23 @@ class PlannerLinkageSpec extends SparkSpec {
       ("t3_big", 40L, 640L, "sort_merge")))
   }
 
+  test("kAnonPlanner: the ladder audits every granularity and marks the coarsest-necessary one") {
+    // A: 1,2,3,11,12; B: 5,6,7,8,9 with k=3:
+    // g=1 all singleton cells; g=10 leaves A's {11,12} cell at 2;
+    // g=100 pools each source into one 5-cell -> first satisfying
+    val rows = (Seq(1L, 2L, 3L, 11L, 12L).map(("A", _)) ++
+      Seq(5L, 6L, 7L, 8L, 9L).map(("B", _))).toDF("c", "v")
+    val out = graft.operators.Profile.kAnonPlanner(rows, "c", "v",
+        k = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4), r.getBoolean(5)))
+    assert(out.toSeq == Seq(
+      (1L, 10L, 1L, 10L, false, false),
+      (10L, 3L, 2L, 1L, false, false),
+      (100L, 2L, 5L, 0L, true, true),
+      (1000L, 2L, 5L, 0L, true, false)))
+  }
+
   test("rangeSplits: keys never split; ties concentrate and are reported as skew") {
     val uniform = (1 to 10).map(k => ("r", k.toLong)).toDF("x", "k")
     val even = Scale.rangeSplits(uniform, "k", nParts = 2)

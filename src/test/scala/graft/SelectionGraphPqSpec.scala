@@ -85,6 +85,18 @@ class SelectionGraphPqSpec extends SparkSpec {
     assert(o2.getLong(0) == 3L && o2.getLong(1) == 1L)
   }
 
+  test("dimStats: microgrid mean/var per coordinate; a dead dim reports var 0") {
+    val vecs = Seq((1L, Seq(1.0f, -1.0f, 0.5f)),
+      (2L, Seq(3.0f, 1.0f, 0.5f))).toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.dimStats(vecs, "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    // dim0: mean 2, E[x^2]=5 -> var 1; dim1: mean 0, var 1;
+    // dim2 is dead: var exactly 0
+    assert(out.toSeq == Seq((0L, 2L, 2.0, 1.0), (1L, 2L, 0.0, 1.0),
+      (2L, 2L, 0.5, 0.0)))
+  }
+
   test("greedyCoverSources: marginal-gain order, name tie-break, and zero-gain early stop") {
     def r6(x: Double) = BigDecimal(x)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
