@@ -3357,6 +3357,31 @@ object SparkEntry {
         t(s, dir, "documents"), "source", "n_chars", k = 5L)
     },
 
+    // ---- X: two-covariate regression adjustment (CUPAC shape) —
+    //      closed-form 2x2 normal equations on pooled moments; the
+    //      covariate single-theta CUPED can't exploit still buys
+    //      variance ----
+    "x268_regression_adjust" -> { (s, dir) =>
+      graft.operators.EventAnalytics.regressionAdjust2(
+        t(s, dir, "events"), "user_id", "ts", "value",
+        cutoff = "2024-01-16 00:00:00")
+    },
+
+    // ---- X: fractional-knapsack ingest budget — Shapley utility per
+    //      byte, greedy take to 2/5 of total bytes with a fractional
+    //      boundary source ----
+    "x269_budget_knapsack" -> { (s, dir) =>
+      graft.operators.Selection.budgetKnapsack(
+        t(s, dir, "documents"), "source", "text")
+    },
+
+    // ---- X: prefix-cache hit-rate audit — 8-token prefix groups,
+    //      corpus-wide sharing per source ----
+    "x270_prefix_cache" -> { (s, dir) =>
+      graft.operators.CorpusOps.prefixCacheAudit(
+        t(s, dir, "documents"), "source", "text", prefixTokens = 8)
+    },
+
     // ---- X: Kaplan-Meier survival curve on days to first purchase —
     //      never-converters are right-censored at their last event,
     //      not zeros; day-bounded risk frame, log-space microgrid
@@ -7453,6 +7478,119 @@ object SparkEntry {
          SELECT granularity, n_cells, min_cell, cells_below_k,
            satisfies_k, satisfies_k AND granularity = ch AS chosen
          FROM f ORDER BY granularity""",
+
+    // x268: two-covariate regression adjustment — pooled raw moments,
+    // centered 2x2 solve, det=0 pins b1=b2=0 (the x198 guard)
+    "x268_regression_adjust" ->
+      """WITH pu AS (SELECT user_id,
+             sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+               THEN value ELSE 0.0 END) AS x1,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+               THEN 1 ELSE 0 END) AS DOUBLE) AS x2,
+             sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+               THEN value ELSE 0.0 END) AS y,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 2 AS arm
+           FROM events GROUP BY 1),
+         pl AS (SELECT CAST(count(*) AS BIGINT) AS n_all,
+             sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+             sum(x1 * x1) AS s11, sum(x1 * x2) AS s12,
+             sum(x2 * x2) AS s22, sum(x1 * y) AS s1y,
+             sum(x2 * y) AS s2y
+           FROM pu),
+         ce AS (SELECT n_all, s1, s2,
+             s11 - s1 * s1 / CAST(n_all AS DOUBLE) AS c11,
+             s12 - s1 * s2 / CAST(n_all AS DOUBLE) AS c12,
+             s22 - s2 * s2 / CAST(n_all AS DOUBLE) AS c22,
+             s1y - s1 * sy / CAST(n_all AS DOUBLE) AS c1y,
+             s2y - s2 * sy / CAST(n_all AS DOUBLE) AS c2y
+           FROM pl),
+         bb AS (SELECT n_all, s1, s2,
+             CASE WHEN c11 * c22 - c12 * c12 = 0.0 THEN 0.0
+               ELSE (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12)
+               END AS b1,
+             CASE WHEN c11 * c22 - c12 * c12 = 0.0 THEN 0.0
+               ELSE (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12)
+               END AS b2
+           FROM ce),
+         adj AS (SELECT arm, y,
+             y - b1 * (x1 - s1 / CAST(n_all AS DOUBLE))
+               - b2 * (x2 - s2 / CAST(n_all AS DOUBLE)) AS ya,
+             b1, b2
+           FROM pu, bb),
+         f AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+             sum(y) AS ssy, sum(y * y) AS ssyy,
+             sum(ya) AS ssa, sum(ya * ya) AS ssaa,
+             min(b1) AS b1v, min(b2) AS b2v
+           FROM adj GROUP BY 1)
+         SELECT arm, n_users,
+           round(ssy / CAST(n_users AS DOUBLE), 6) AS mean_y,
+           round(ssa / CAST(n_users AS DOUBLE), 6) AS mean_y_adj,
+           round((ssyy - ssy * ssy / CAST(n_users AS DOUBLE))
+             / CAST(n_users AS DOUBLE), 6) AS var_y,
+           round((ssaa - ssa * ssa / CAST(n_users AS DOUBLE))
+             / CAST(n_users AS DOUBLE), 6) AS var_y_adj,
+           round(CASE WHEN ssyy - ssy * ssy / CAST(n_users AS DOUBLE)
+               = 0.0 THEN NULL
+             ELSE 1.0 - ((ssaa - ssa * ssa / CAST(n_users AS DOUBLE))
+               / (ssyy - ssy * ssy / CAST(n_users AS DOUBLE))) END, 6)
+             AS var_reduction,
+           round(b1v, 6) AS b1, round(b2v, 6) AS b2
+         FROM f ORDER BY arm""",
+
+    // x269: fractional knapsack — Shapley-per-byte ranking, exact
+    // integer budget 2/5 of total bytes, boundary fraction
+    "x269_budget_knapsack" ->
+      """WITH w AS (SELECT source, string_split(text, ' ') AS ws
+           FROM documents),
+         tok AS (SELECT DISTINCT source,
+             array_to_string(ws[i:i+2], ' ') AS sh
+           FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1))) t(i)),
+         cv AS (SELECT sh, CAST(count(*) AS BIGINT) AS cvr
+           FROM tok GROUP BY 1),
+         cells AS (SELECT source, cvr, CAST(count(*) AS BIGINT) AS k
+           FROM tok JOIN cv USING (sh) GROUP BY 1, 2),
+         shp AS (SELECT source,
+             round(CAST(sum((2 * k * 1000000 + cvr) // (2 * cvr))
+               AS DOUBLE) / 1e6, 6) AS utility
+           FROM cells GROUP BY 1),
+         cost AS (SELECT source,
+             CAST(sum(strlen(text)) AS BIGINT) AS cost_bytes
+           FROM documents GROUP BY 1),
+         j AS (SELECT s.source, s.utility, c.cost_bytes,
+             s.utility / CAST(c.cost_bytes AS DOUBLE) AS ratio_raw
+           FROM shp s JOIN cost c USING (source)),
+         t AS (SELECT source, utility, cost_bytes, ratio_raw,
+             (sum(cost_bytes) OVER () * 2) // 5 AS budget,
+             COALESCE(sum(cost_bytes) OVER (ORDER BY ratio_raw DESC,
+               source ROWS BETWEEN UNBOUNDED PRECEDING AND
+               1 PRECEDING), 0) AS cum_before
+           FROM j)
+         SELECT source, utility, cost_bytes,
+           round(ratio_raw, 6) AS ratio,
+           round(CASE WHEN cum_before >= budget THEN 0.0
+             WHEN cum_before + cost_bytes <= budget THEN 1.0
+             ELSE CAST(budget - cum_before AS DOUBLE)
+               / CAST(cost_bytes AS DOUBLE) END, 6) AS take_frac,
+           CAST(cum_before + cost_bytes AS BIGINT) AS cum_bytes
+         FROM t ORDER BY ratio DESC, source""",
+
+    // x270: prefix-cache audit — 8-token prefix groups, corpus-wide
+    // group sizes joined back, per-source hit mass
+    "x270_prefix_cache" ->
+      """WITH k AS (SELECT source AS g,
+             array_to_string((string_split(text, ' '))[1:8], ' ')
+               AS pfx
+           FROM documents),
+         gr AS (SELECT pfx, CAST(count(*) AS BIGINT) AS gsz
+           FROM k GROUP BY 1)
+         SELECT g AS source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT pfx) AS BIGINT) AS distinct_prefixes,
+           CAST(sum(CASE WHEN gsz >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           round(CAST(sum(CASE WHEN gsz >= 2 THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS hit_rate
+         FROM k JOIN gr USING (pfx) GROUP BY 1 ORDER BY source""",
 
     // x240: Kaplan-Meier risk table — integer day durations, censored
     // at last event; survival via the x181 microgrid log fold (exact

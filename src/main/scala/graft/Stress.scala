@@ -742,6 +742,19 @@ object Stress {
           operators.CorpusOps.tailOwnership(
             docs.withColumn("n_chars", length(col("text"))),
             "source", "n_chars").count()),
+        // per-user partial agg + 1-row pooled moments broadcast back
+        "regression_adjust" -> (() =>
+          operators.EventAnalytics.regressionAdjust2(
+            events, "user_id", "ts", "value",
+            cutoff = "2024-01-16 00:00:00").count()),
+        // Shapley shingle stage + source-frame ranking window
+        "budget_knapsack" -> (() =>
+          operators.Selection.budgetKnapsack(
+            docs, "source", "text").count()),
+        // prefix-keyed group sizes joined back (docfreq shape)
+        "prefix_cache" -> (() =>
+          operators.CorpusOps.prefixCacheAudit(
+            docs, "source", "text", prefixTokens = 8).count()),
         // posexplode fan-out into the dims-bounded partial agg
         "dim_stats" -> (() =>
           operators.Similarity.dimStats(

@@ -1384,4 +1384,40 @@ object CorpusOps {
           .as("share_p99"))
       .orderBy(col(sourceCol))
   }
+
+  /** Prefix-cache hit-rate audit: how much of the corpus opens with a
+    * prefix some OTHER document shares — the planning number behind
+    * prefix-caching inference servers and dedup-adjacent "template
+    * intro" detection (a corpus whose documents all start with the
+    * same boilerplate caches beautifully and trains badly). The prefix
+    * key is the first `prefixTokens` whitespace tokens; documents
+    * shorter than that use their whole text (they still group).
+    *
+    * Output per source: (source, n_docs, distinct_prefixes, n_shared,
+    * hit_rate) where n_shared counts documents whose prefix group has
+    * >= 2 members CORPUS-wide (cross-source sharing counts — the cache
+    * doesn't care which source warmed it).
+    *
+    * 100 TB shape: one prefix-keyed groupBy for group sizes, one
+    * shuffle_hash join back (the docfreq shape), one per-source
+    * reduce. */
+  def prefixCacheAudit(docs: DataFrame, sourceCol: String,
+      textCol: String, prefixTokens: Int = 8): DataFrame = {
+    require(prefixTokens >= 1, "prefixTokens must be >= 1")
+    val d = (c: Column) => c.cast(DoubleType)
+    val pfx = array_join(
+      slice(TextFunctions.tokens(col(textCol)), 1, prefixTokens), " ")
+    val keyed = docs.select(col(sourceCol).as("g"), pfx.as("pfx"))
+    val groups = keyed.groupBy(col("pfx"))
+      .agg(count(lit(1)).as("gsz"))
+    keyed.join(groups.hint("shuffle_hash"), Seq("pfx"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("pfx")).as("distinct_prefixes"),
+        sum(when(col("gsz") >= 2L, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("g").as(sourceCol), col("n_docs"),
+        col("distinct_prefixes"), col("n_shared"),
+        round(d(col("n_shared")) / d(col("n_docs")), 6).as("hit_rate"))
+      .orderBy(col(sourceCol))
+  }
 }

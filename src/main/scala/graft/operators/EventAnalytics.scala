@@ -842,4 +842,77 @@ object EventAnalytics {
            (col("ssyy") - col("ssy") * col("ssy") / d(col("n_users"))))), 6)
           .as("var_reduction"))
   }
+
+  /** Two-covariate regression adjustment (the CUPAC/regression-
+    * adjustment extension of [[cupedAdjust]]): y is residualized
+    * against BOTH the pre-period value sum x1 and the pre-period event
+    * count x2 by pooled OLS — the 2x2 normal equations in closed form
+    * (b = (X'X)^-1 X'y on centered sums), so a covariate the single-
+    * theta CUPED can't exploit (activity level vs spend level) still
+    * buys variance. Collinear or constant covariates pin b1 = b2 = 0
+    * (no adjustment — the cupedAdjust det-guard convention).
+    *
+    * Output per arm: (arm, n_users, mean_y, mean_y_adj, var_y,
+    * var_y_adj, var_reduction, b1, b2) — the [[cupedAdjust]] readout
+    * shape with the fitted coefficients alongside.
+    *
+    * 100 TB shape: identical to [[cupedAdjust]] — one per-user partial
+    * agg, one 1-row pooled-moments reduce broadcast back, one per-arm
+    * reduce. The 2x2 solve is scalar arithmetic in the projection. */
+  def regressionAdjust2(events: DataFrame, userCol: String,
+      tsCol: String, valueCol: String, cutoff: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val pre = col(tsCol) < lit(cutoff).cast("timestamp")
+    val perUser = events.groupBy(col(userCol))
+      .agg(
+        sum(when(pre, col(valueCol)).otherwise(lit(0.0))).as("x1"),
+        d(sum(when(pre, 1L).otherwise(0L))).as("x2"),
+        sum(when(!pre, col(valueCol)).otherwise(lit(0.0))).as("y"))
+      .withColumn("arm", pmod(graft.functions.TextFunctions.md5Long(
+        col(userCol)), lit(2L)))
+    val pooled = perUser.agg(count(lit(1)).as("n_all"),
+      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+      sum(col("y")).as("sy"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum(col("x1") * col("y")).as("s1y"),
+      sum(col("x2") * col("y")).as("s2y"))
+    val n = d(col("n_all"))
+    val c11 = col("s11") - col("s1") * col("s1") / n
+    val c12 = col("s12") - col("s1") * col("s2") / n
+    val c22 = col("s22") - col("s2") * col("s2") / n
+    val c1y = col("s1y") - col("s1") * col("sy") / n
+    val c2y = col("s2y") - col("s2") * col("sy") / n
+    val det = c11 * c22 - c12 * c12
+    val withB = perUser.crossJoin(broadcast(pooled))
+      .withColumn("b1", when(det === 0.0, lit(0.0))
+        .otherwise((c22 * c1y - c12 * c2y) / det))
+      .withColumn("b2", when(det === 0.0, lit(0.0))
+        .otherwise((c11 * c2y - c12 * c1y) / det))
+      .withColumn("y_adj", col("y")
+        - col("b1") * (col("x1") - col("s1") / n)
+        - col("b2") * (col("x2") - col("s2") / n))
+    withB.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("y")).as("ssy"), sum(col("y") * col("y")).as("ssyy"),
+        sum(col("y_adj")).as("ssa"),
+        sum(col("y_adj") * col("y_adj")).as("ssaa"),
+        min(col("b1")).as("b1v"), min(col("b2")).as("b2v"))
+      .select(col("arm"), col("n_users"),
+        round(col("ssy") / d(col("n_users")), 6).as("mean_y"),
+        round(col("ssa") / d(col("n_users")), 6).as("mean_y_adj"),
+        round((col("ssyy") - col("ssy") * col("ssy") / d(col("n_users"))) /
+          d(col("n_users")), 6).as("var_y"),
+        round((col("ssaa") - col("ssa") * col("ssa") / d(col("n_users"))) /
+          d(col("n_users")), 6).as("var_y_adj"),
+        round(when(
+          col("ssyy") - col("ssy") * col("ssy") / d(col("n_users")) === 0.0,
+          lit(null).cast("double")).otherwise(lit(1.0) -
+          ((col("ssaa") - col("ssa") * col("ssa") / d(col("n_users"))) /
+           (col("ssyy") - col("ssy") * col("ssy") / d(col("n_users"))))), 6)
+          .as("var_reduction"),
+        round(col("b1v"), 6).as("b1"), round(col("b2v"), 6).as("b2"))
+      .orderBy(col("arm"))
+  }
 }

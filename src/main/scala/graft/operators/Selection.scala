@@ -442,6 +442,54 @@ object Selection {
           .otherwise(round(d(col("n")) * sw2D / (swD * swD), 6)).as("deff"))
   }
 
+  /** Fractional-knapsack ingest-budget allocation: rank sources by
+    * Shapley-coverage utility per byte ([[CorpusOps.shapleyCoverage]]
+    * over exact per-source byte costs) and take greedily until the
+    * byte budget is spent, with a fractional take on the boundary
+    * source — the optimal fractional-relaxation plan (Dantzig 1957),
+    * and the licensing-budget twin of [[greedyCoverSources]] (that
+    * op caps source COUNT, this caps BYTES). Budget = `budgetNum /
+    * budgetDen` of the total corpus bytes (exact integer division),
+    * so the plan is scale-free.
+    *
+    * Output per source, in take order: (source, utility, cost_bytes,
+    * ratio, take_frac, cum_bytes) — take_frac 1 fully taken, 0 not
+    * taken, fractional on the boundary.
+    *
+    * 100 TB shape: the Shapley stage's documented shingle shuffle plus
+    * one per-source byte agg; the ranking window orders the
+    * SOURCE-bounded frame. */
+  def budgetKnapsack(docs: DataFrame, sourceCol: String,
+      textCol: String, budgetNum: Long = 2L, budgetDen: Long = 5L,
+      n: Int = 3): DataFrame = {
+    require(budgetNum >= 0 && budgetDen >= 1, "need a valid budget fraction")
+    val d = (c: Column) => c.cast(DoubleType)
+    val util = CorpusOps.shapleyCoverage(docs, sourceCol, textCol, n)
+      .select(col(sourceCol), col("shapley").as("utility"))
+    val cost = docs.groupBy(col(sourceCol))
+      .agg(sum(coalesce(octet_length(col(textCol)), lit(0L)).cast("long"))
+        .as("cost_bytes"))
+    val tot = Window.partitionBy(lit(1))
+    val order = Window.orderBy(col("ratio").desc, col(sourceCol).asc)
+    val before = order.rowsBetween(Window.unboundedPreceding, -1)
+    util.join(broadcast(cost), Seq(sourceCol))
+      .withColumn("ratio", d(col("utility")) / d(col("cost_bytes")))
+      .withColumn("budget", call_function("div",
+        sum(col("cost_bytes")).over(tot) * lit(budgetNum),
+        lit(budgetDen)))
+      .withColumn("cum_before",
+        coalesce(sum(col("cost_bytes")).over(before), lit(0L)))
+      .select(col(sourceCol), col("utility"), col("cost_bytes"),
+        round(col("ratio"), 6).as("ratio"),
+        round(when(col("cum_before") >= col("budget"), lit(0.0))
+          .when(col("cum_before") + col("cost_bytes") <= col("budget"),
+            lit(1.0))
+          .otherwise(d(col("budget") - col("cum_before")) /
+            d(col("cost_bytes"))), 6).as("take_frac"),
+        (col("cum_before") + col("cost_bytes")).as("cum_bytes"))
+      .orderBy(col("ratio").desc, col(sourceCol).asc)
+  }
+
   /** Greedy maximum-coverage source selection: pick `k` sources, each
     * round taking the source whose documents add the most NOT-yet-
     * covered distinct n-gram shingles (ties broken by source name).

@@ -730,6 +730,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(0).isNullAt(5) && out(1).isNullAt(5))
   }
 
+  test("prefixCacheAudit: corpus-wide prefix groups, per-source hit mass, short docs still group") {
+    import spark.implicits._
+    // prefix = first 2 tokens: "x y" shared by three docs ACROSS
+    // sources; B's "z z" is unique (and shorter than most)
+    val docs = Seq(("A", "x y 1"), ("A", "x y 2"), ("B", "x y 3"),
+      ("B", "z z")).toDF("src", "text")
+    val out = graft.operators.CorpusOps.prefixCacheAudit(
+        docs, "src", "text", prefixTokens = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(("A", 2L, 1L, 2L, 1.0),
+      ("B", 2L, 2L, 1L, 0.5)))
+  }
+
   test("e11 flagship: the four valuation stages compose into the hand scorecard, ranked by Shapley") {
     import spark.implicits._
     // A x5 (len 10), B x4 (20), C x1 (100), D x2 (15); D's text equals

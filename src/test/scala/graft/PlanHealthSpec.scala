@@ -1402,6 +1402,25 @@ class PlanHealthSpec extends SparkSpec {
     }
   }
 
+  test("x268-x270: moment reduce + broadcast combine; knapsack/prefix joins stay bounded or hash-keyed") {
+    val p68 = plan("x268_regression_adjust")
+    assert(!p68.contains("CartesianProduct"), s"x268 grew a cartesian:\n$p68")
+    assert(!p68.contains("SortMergeJoin"),
+      s"x268 must not row-sort-merge anything:\n$p68")
+    assert("HashAggregate".r.findAllIn(p68).size >= 2,
+      s"x268 must partial-aggregate the event scan:\n$p68")
+    val p69 = plan("x269_budget_knapsack")
+    assert(!p69.contains("CartesianProduct"), s"x269 grew a cartesian:\n$p69")
+    assert(!p69.contains("SortMergeJoin"),
+      s"x269's joins are shingle-hash or broadcast source frames:\n$p69")
+    val p70 = plan("x270_prefix_cache")
+    assert(!p70.contains("CartesianProduct"), s"x270 grew a cartesian:\n$p70")
+    assert(p70.contains("ShuffledHashJoin"),
+      s"x270's prefix-group join must stay hash-keyed:\n$p70")
+    assert(!p70.contains("SortMergeJoin"),
+      s"x270 must not sort the prefix rows:\n$p70")
+  }
+
   test("x199: range splits reduce per-row work to one groupBy(key); windows run on the distinct-key frame") {
     val p = plan("x199_range_splits")
     assert(!p.contains("Join"), s"x199 must stay join-free:\n$p")

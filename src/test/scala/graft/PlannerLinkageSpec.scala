@@ -335,6 +335,26 @@ class PlannerLinkageSpec extends SparkSpec {
     }
   }
 
+  test("regressionAdjust2: y exactly linear in both covariates zeroes adjusted variance; coefficients recovered") {
+    // user u: (u % 3 + 1) pre events of value u -> x1 = (u%3+1)*u,
+    // x2 = u%3+1 (non-collinear); one post event y = 2*x1 + 3*x2
+    val cutoff = "2024-01-16 00:00:00"
+    val evs = (1L to 8L).flatMap { u =>
+      val k = (u % 3).toInt + 1
+      Seq.fill(k)((u, "2024-01-10 00:00:00", u.toDouble)) :+
+        ((u, "2024-01-20 00:00:00", 2.0 * k * u + 3.0 * k))
+    }.toDF("user_id", "ts_s", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val out = EventAnalytics.regressionAdjust2(evs, "user_id", "ts",
+      "value", cutoff).collect()
+    assert(out.map(_.getLong(1)).sum == 8L)
+    out.foreach { r =>
+      assert(r.getDouble(5) == 0.0) // var_y_adj = 0: fully explained
+      if (r.getDouble(4) > 0) assert(r.getDouble(6) == 1.0)
+      assert(r.getDouble(7) == 2.0 && r.getDouble(8) == 3.0) // b1, b2
+    }
+  }
+
   test("wasserstein1d: hand case matches the exact CDF-gap fold; identical slice scores 0") {
     import spark.implicits._
     // A = (1,1,3) vs global (1,1,3,3): |2/3 - 1/2| * gap 2 = 1/3;

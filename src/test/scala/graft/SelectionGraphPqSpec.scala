@@ -97,6 +97,24 @@ class SelectionGraphPqSpec extends SparkSpec {
       (2L, 2L, 0.5, 0.0)))
   }
 
+  test("budgetKnapsack: ratio order, exact integer budget, fractional boundary source") {
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // utilities (all shingles exclusive): A=1, B=2, C=3;
+    // costs 5/7/9 bytes; budget = (21*2)//5 = 8 -> C fractional 8/9,
+    // B and A priced out
+    val docs = Seq(("A", "a b c"), ("B", "d e f g"),
+      ("C", "h i j k l")).toDF("src", "text")
+    val out = graft.operators.Selection.budgetKnapsack(
+        docs, "src", "text")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      ("C", 3.0, 9L, r6(3.0 / 9.0), r6(8.0 / 9.0), 9L),
+      ("B", 2.0, 7L, r6(2.0 / 7.0), 0.0, 16L),
+      ("A", 1.0, 5L, r6(1.0 / 5.0), 0.0, 21L)))
+  }
+
   test("greedyCoverSources: marginal-gain order, name tie-break, and zero-gain early stop") {
     def r6(x: Double) = BigDecimal(x)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
