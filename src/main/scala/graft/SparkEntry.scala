@@ -3382,6 +3382,29 @@ object SparkEntry {
         t(s, dir, "documents"), "source", "text", prefixTokens = 8)
     },
 
+    // ---- X: 2x2 factorial readout — independent hash bits as two
+    //      simultaneous treatments; main effects + the interaction
+    //      two separate A/B tests cannot see ----
+    "x271_factorial" -> { (s, dir) =>
+      graft.operators.Experiment.factorial2(
+        t(s, dir, "events"), "user_id", "event_type", "purchase")
+    },
+
+    // ---- X: negative-binomial moment fit of per-user event counts —
+    //      overdispersion r/p from exact integer moments; NULL at
+    //      var <= mean ----
+    "x272_negbin_fit" -> { (s, dir) =>
+      graft.operators.EventAnalytics.negBinFit(
+        t(s, dir, "events"), "user_id")
+    },
+
+    // ---- X: Freedman-Diaconis histogram advisor — integer-exact IQR
+    //      on the cent grid, 2*IQR/cbrt(n) width, clamped bins ----
+    "x273_histogram_advisor" -> { (s, dir) =>
+      graft.operators.Profile.histogramAdvisor(
+        t(s, dir, "orders"), "o_totalprice", scale = 100L)
+    },
+
     // ---- X: Kaplan-Meier survival curve on days to first purchase —
     //      never-converters are right-censored at their last event,
     //      not zeros; day-bounded risk frame, log-space microgrid
@@ -7591,6 +7614,118 @@ object SparkEntry {
            round(CAST(sum(CASE WHEN gsz >= 2 THEN 1 ELSE 0 END)
                AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS hit_rate
          FROM k JOIN gr USING (pfx) GROUP BY 1 ORDER BY source""",
+
+    // x271: 2x2 factorial — hash bits 0/1 as treatments, exact (n,k)
+    // cells, main effects and interaction from the cell rates
+    "x271_factorial" ->
+      """WITH pu AS (SELECT user_id,
+             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+               END) AS BIGINT) AS conv,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               ::BIGINT AS h
+           FROM events GROUP BY 1),
+         ab AS (SELECT conv, h % 2 AS a, (h // 2) % 2 AS b FROM pu),
+         cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(conv) AS BIGINT) AS k
+           FROM ab GROUP BY 1, 2),
+         wide AS (SELECT
+             CAST(sum(CASE WHEN a = 0 AND b = 0 THEN n END) AS BIGINT)
+               AS n00,
+             CAST(sum(CASE WHEN a = 0 AND b = 0 THEN k END) AS BIGINT)
+               AS k00,
+             CAST(sum(CASE WHEN a = 0 AND b = 1 THEN n END) AS BIGINT)
+               AS n01,
+             CAST(sum(CASE WHEN a = 0 AND b = 1 THEN k END) AS BIGINT)
+               AS k01,
+             CAST(sum(CASE WHEN a = 1 AND b = 0 THEN n END) AS BIGINT)
+               AS n10,
+             CAST(sum(CASE WHEN a = 1 AND b = 0 THEN k END) AS BIGINT)
+               AS k10,
+             CAST(sum(CASE WHEN a = 1 AND b = 1 THEN n END) AS BIGINT)
+               AS n11,
+             CAST(sum(CASE WHEN a = 1 AND b = 1 THEN k END) AS BIGINT)
+               AS k11
+           FROM cells)
+         SELECT n00, k00,
+           round(CAST(k00 AS DOUBLE) / CAST(n00 AS DOUBLE), 6) AS p00,
+           n01, k01,
+           round(CAST(k01 AS DOUBLE) / CAST(n01 AS DOUBLE), 6) AS p01,
+           n10, k10,
+           round(CAST(k10 AS DOUBLE) / CAST(n10 AS DOUBLE), 6) AS p10,
+           n11, k11,
+           round(CAST(k11 AS DOUBLE) / CAST(n11 AS DOUBLE), 6) AS p11,
+           round((CAST(k10 AS DOUBLE) / CAST(n10 AS DOUBLE)
+               + CAST(k11 AS DOUBLE) / CAST(n11 AS DOUBLE)) / 2
+             - (CAST(k00 AS DOUBLE) / CAST(n00 AS DOUBLE)
+               + CAST(k01 AS DOUBLE) / CAST(n01 AS DOUBLE)) / 2, 6)
+             AS main_a,
+           round((CAST(k01 AS DOUBLE) / CAST(n01 AS DOUBLE)
+               + CAST(k11 AS DOUBLE) / CAST(n11 AS DOUBLE)) / 2
+             - (CAST(k00 AS DOUBLE) / CAST(n00 AS DOUBLE)
+               + CAST(k10 AS DOUBLE) / CAST(n10 AS DOUBLE)) / 2, 6)
+             AS main_b,
+           round(CAST(k11 AS DOUBLE) / CAST(n11 AS DOUBLE)
+             - CAST(k10 AS DOUBLE) / CAST(n10 AS DOUBLE)
+             - CAST(k01 AS DOUBLE) / CAST(n01 AS DOUBLE)
+             + CAST(k00 AS DOUBLE) / CAST(n00 AS DOUBLE), 6)
+             AS interaction
+         FROM wide""",
+
+    // x272: NB2 moment fit — exact integer per-user count moments,
+    // var <= mean pins (r, p) NULL
+    "x272_negbin_fit" ->
+      """WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1),
+         g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s,
+             sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS s2
+           FROM pu),
+         m AS (SELECT n,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS variance
+           FROM g)
+         SELECT n AS n_users, round(mean, 6) AS mean,
+           round(variance, 6) AS var,
+           round(CASE WHEN mean = 0.0 THEN NULL
+             ELSE variance / mean END, 6) AS dispersion_index,
+           round(CASE WHEN variance <= mean THEN NULL
+             ELSE mean * mean / (variance - mean) END, 6) AS r,
+           round(CASE WHEN variance <= mean THEN NULL
+             ELSE mean / variance END, 6) AS p
+         FROM m""",
+
+    // x273: Freedman-Diaconis advisor — cent-grid values, integer
+    // type-1 quartiles, 2*IQR/cbrt(n), clamped ceil
+    "x273_histogram_advisor" ->
+      """WITH byv AS (SELECT
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM orders GROUP BY 1),
+         cm AS (SELECT v, cnt, sum(cnt) OVER () AS n,
+             sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS cum
+           FROM byv),
+         th AS (SELECT CAST(max(n) AS BIGINT) AS n,
+             min(v) AS vmin, max(v) AS vmax,
+             min(CASE WHEN cum * 4 >= n THEN v END) AS q1,
+             min(CASE WHEN cum * 4 >= n * 3 THEN v END) AS q3
+           FROM cm)
+         SELECT n,
+           round(CAST(vmin AS DOUBLE) / 100, 6) AS v_min,
+           round(CAST(vmax AS DOUBLE) / 100, 6) AS v_max,
+           round(CAST(q3 - q1 AS DOUBLE) / 100, 6) AS iqr,
+           round(CASE WHEN q3 = q1 THEN NULL
+             ELSE 2.0 * CAST(q3 - q1 AS DOUBLE)
+               / cbrt(CAST(n AS DOUBLE)) / 100 END, 6) AS fd_width,
+           CASE WHEN q3 = q1 THEN CAST(1 AS BIGINT)
+             ELSE least(CAST(512 AS BIGINT), greatest(CAST(1 AS BIGINT),
+               CAST(ceil(CAST(vmax - vmin AS DOUBLE)
+                 / (2.0 * CAST(q3 - q1 AS DOUBLE)
+                   / cbrt(CAST(n AS DOUBLE)))) AS BIGINT)))
+             END AS fd_bins
+         FROM th""",
 
     // x240: Kaplan-Meier risk table — integer day durations, censored
     // at last event; survival via the x181 microgrid log fold (exact

@@ -742,6 +742,17 @@ object Stress {
           operators.CorpusOps.tailOwnership(
             docs.withColumn("n_chars", length(col("text"))),
             "source", "n_chars").count()),
+        // per-user partial agg into the 4-cell factorial frame
+        "factorial" -> (() =>
+          operators.Experiment.factorial2(
+            events, "user_id", "event_type", "purchase").count()),
+        // per-user count partial agg + 1-row moment reduce
+        "negbin_fit" -> (() =>
+          operators.EventAnalytics.negBinFit(events, "user_id").count()),
+        // cent-grid value frame + 1-row quartile reduce
+        "histogram_advisor" -> (() =>
+          operators.Profile.histogramAdvisor(
+            events, "value", scale = 100L).count()),
         // per-user partial agg + 1-row pooled moments broadcast back
         "regression_adjust" -> (() =>
           operators.EventAnalytics.regressionAdjust2(

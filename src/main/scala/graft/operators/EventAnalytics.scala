@@ -915,4 +915,39 @@ object EventAnalytics {
         round(col("b1v"), 6).as("b1"), round(col("b2v"), 6).as("b2"))
       .orderBy(col("arm"))
   }
+
+  /** Negative-binomial moment fit of per-user event counts — the
+    * overdispersion model behind "a Poisson rate limit will misfire":
+    * user activity is almost never Poisson (var = mean); the NB2
+    * method-of-moments size r = mean^2/(var - mean) and p = mean/var
+    * (Cameron & Trivedi 1998) quantify HOW bursty, and feed capacity
+    * planning, bot thresholds, and the x229 burstiness readout with an
+    * actual generative parameterization. var <= mean pins (r, p) NULL
+    * — equi- or under-dispersed counts have no NB2 fit.
+    *
+    * Output one row: (n_users, mean, var, dispersion_index, r, p) —
+    * moments from exact integer (count, sum, sum-of-squares).
+    *
+    * 100 TB shape: one per-user partial agg, one 1-row moment reduce. */
+  def negBinFit(events: DataFrame, userCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val perUser = events.groupBy(col(userCol))
+      .agg(count(lit(1)).as("c"))
+    val g = perUser.agg(count(lit(1)).as("n"),
+      sum(col("c")).as("s"),
+      sum(col("c").cast(dec) * col("c").cast(dec)).as("s2"))
+    val s2D = col("s2").cast("string").cast("double")
+    val mean = d(col("s")) / d(col("n"))
+    val variance = s2D / d(col("n")) - mean * mean
+    g.select(col("n").as("n_users"),
+      round(mean, 6).as("mean"),
+      round(variance, 6).as("var"),
+      round(when(mean === 0.0, lit(null).cast("double"))
+        .otherwise(variance / mean), 6).as("dispersion_index"),
+      round(when(variance <= mean, lit(null).cast("double"))
+        .otherwise(mean * mean / (variance - mean)), 6).as("r"),
+      round(when(variance <= mean, lit(null).cast("double"))
+        .otherwise(mean / variance), 6).as("p"))
+  }
 }

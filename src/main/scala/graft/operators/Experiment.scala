@@ -1108,4 +1108,53 @@ object Experiment {
       round(center - half, 6).as("lo"),
       round(center + half, 6).as("hi"))
   }
+
+  /** 2x2 factorial readout: two simultaneous treatments assigned from
+    * INDEPENDENT bits of the same user hash (bit 0 and bit 1 of
+    * md5 — users land in four cells 00/01/10/11), per-cell conversion
+    * rates, both main effects, and the INTERACTION
+    * (p11 - p10 - p01 + p00) — the readout that tells you whether two
+    * features tested together help more (or less) than the sum of
+    * their solo effects, which two separate A/B tests structurally
+    * cannot see (Fisher 1935; Kohavi et al. on overlapping
+    * experiments).
+    *
+    * Output one row: per-cell (n_ab, k_ab, p_ab) for ab in
+    * {00,01,10,11}, then main_a = (p10+p11)/2 - (p00+p01)/2, main_b
+    * symmetric, and interaction — all round-6 from exact integer
+    * (n, k) cells.
+    *
+    * 100 TB shape: one per-user partial agg into the 4-cell frame,
+    * then scalar arithmetic. */
+  def factorial2(events: DataFrame, userCol: String, typeCol: String,
+      convertType: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val h = graft.functions.TextFunctions.md5Long(col(userCol))
+    val perUser = events.groupBy(col(userCol))
+      .agg(max(when(col(typeCol) === convertType, 1L).otherwise(0L))
+        .as("conv"))
+      .withColumn("a", pmod(h, lit(2L)))
+      .withColumn("b", pmod(call_function("div", h, lit(2L)), lit(2L)))
+    val cells = perUser.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("k"))
+    def cell(a: Int, b: Int, c: String): Column =
+      sum(when(col("a") === a.toLong && col("b") === b.toLong,
+        col(c))).as(s"${c}$a$b")
+    val wide = cells.agg(
+      cell(0, 0, "n"), cell(0, 0, "k"), cell(0, 1, "n"), cell(0, 1, "k"),
+      cell(1, 0, "n"), cell(1, 0, "k"), cell(1, 1, "n"), cell(1, 1, "k"))
+    def p(a: Int, b: Int): Column =
+      d(col(s"k$a$b")) / d(col(s"n$a$b"))
+    wide.select(
+      col("n00"), col("k00"), round(p(0, 0), 6).as("p00"),
+      col("n01"), col("k01"), round(p(0, 1), 6).as("p01"),
+      col("n10"), col("k10"), round(p(1, 0), 6).as("p10"),
+      col("n11"), col("k11"), round(p(1, 1), 6).as("p11"),
+      round((p(1, 0) + p(1, 1)) / 2 - (p(0, 0) + p(0, 1)) / 2, 6)
+        .as("main_a"),
+      round((p(0, 1) + p(1, 1)) / 2 - (p(0, 0) + p(1, 0)) / 2, 6)
+        .as("main_b"),
+      round(p(1, 1) - p(1, 0) - p(0, 1) + p(0, 0), 6)
+        .as("interaction"))
+  }
 }

@@ -521,4 +521,24 @@ class EventAnalyticsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     assert(out(1L) && !out(2L))
   }
+
+  test("negBinFit: moment closed forms; equidispersion pins (r,p) NULL, overdispersion fits") {
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def evs(counts: Seq[Int]) = counts.zipWithIndex.flatMap {
+      case (c, u) => Seq.fill(c)((u.toLong + 1L, "e")) }
+      .toDF("user_id", "event_type")
+    // counts 1,1,4: mean 2, var 2 -> dispersion 1, NB2 undefined
+    val eq = EventAnalytics.negBinFit(evs(Seq(1, 1, 4)), "user_id")
+      .collect()(0)
+    assert(eq.getLong(0) == 3L && eq.getDouble(1) == 2.0 &&
+      eq.getDouble(2) == 2.0 && eq.getDouble(3) == 1.0)
+    assert(eq.isNullAt(4) && eq.isNullAt(5))
+    // counts 1,1,1,5: mean 2, var 3 -> r = 4, p = 2/3
+    val over = EventAnalytics.negBinFit(evs(Seq(1, 1, 1, 5)), "user_id")
+      .collect()(0)
+    assert(over.getDouble(1) == 2.0 && over.getDouble(2) == 3.0)
+    assert(over.getDouble(3) == 1.5)
+    assert(over.getDouble(4) == 4.0 && over.getDouble(5) == r6(2.0 / 3))
+  }
 }

@@ -689,4 +689,33 @@ class ExperimentSpec extends SparkSpec {
       assert(r.getDouble(4) >= 0.0 && r.getDouble(5) <= 1.0)
     }
   }
+
+  test("factorial2: cell counts, main effects, and interaction match the naive hash fold") {
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val users = (1L to 32L)
+    val bits = users.map(Tuple1(_)).toDF("u")
+      .withColumn("h", graft.functions.TextFunctions.md5Long(col("u")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every fourth user converts
+    val evs = users.flatMap { u =>
+      Seq((u, "view")) ++
+        (if (u % 4 == 0L) Seq((u, "purchase")) else Nil)
+    }.toDF("user_id", "event_type")
+    val out = Experiment.factorial2(evs, "user_id", "event_type",
+      "purchase").collect()(0)
+    val cells = users.groupBy(u =>
+      (bits(u) % 2, (bits(u) / 2) % 2)).view.mapValues { us =>
+      (us.size.toLong, us.count(_ % 4 == 0L).toLong) }.toMap
+    assume(cells.size == 4)
+    val (n00, k00) = cells((0L, 0L)); val (n01, k01) = cells((0L, 1L))
+    val (n10, k10) = cells((1L, 0L)); val (n11, k11) = cells((1L, 1L))
+    assert((out.getLong(0), out.getLong(1)) == ((n00, k00)))
+    assert((out.getLong(6), out.getLong(7)) == ((n10, k10)))
+    def p(k: Long, n: Long) = k.toDouble / n
+    assert(out.getDouble(12) == r6(
+      (p(k10, n10) + p(k11, n11)) / 2 - (p(k00, n00) + p(k01, n01)) / 2))
+    assert(out.getDouble(14) == r6(
+      p(k11, n11) - p(k10, n10) - p(k01, n01) + p(k00, n00)))
+  }
 }

@@ -1421,6 +1421,17 @@ class PlanHealthSpec extends SparkSpec {
       s"x270 must not sort the prefix rows:\n$p70")
   }
 
+  test("x271-x273: factorial/negbin/advisor stay join-free reduces on bounded frames") {
+    for (q <- Seq("x271_factorial", "x272_negbin_fit",
+        "x273_histogram_advisor")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must stay join-free:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n$p")
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q must partial-aggregate the scan:\n$p")
+    }
+  }
+
   test("x199: range splits reduce per-row work to one groupBy(key); windows run on the distinct-key frame") {
     val p = plan("x199_range_splits")
     assert(!p.contains("Join"), s"x199 must stay join-free:\n$p")

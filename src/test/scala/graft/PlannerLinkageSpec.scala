@@ -355,6 +355,23 @@ class PlannerLinkageSpec extends SparkSpec {
     }
   }
 
+  test("histogramAdvisor: exact cent-grid quartiles drive the FD width; point mass pins bins to 1") {
+    // values 1..8 dollars: q1 = 200c, q3 = 600c, iqr = 4.0,
+    // width = 2*400/cbrt(8) = 400c = 4.0, bins = ceil(700/400) = 2
+    val df = (1 to 8).map(v => Tuple1(v.toDouble)).toDF("v")
+    val out = graft.operators.Profile.histogramAdvisor(df, "v", 100L)
+      .collect()(0)
+    assert(out.getLong(0) == 8L)
+    assert(out.getDouble(1) == 1.0 && out.getDouble(2) == 8.0)
+    assert(out.getDouble(3) == 4.0 && out.getDouble(4) == 4.0)
+    assert(out.getLong(5) == 2L)
+    // a point mass has zero IQR: width NULL, one bin
+    val flat = Seq.fill(5)(Tuple1(3.0)).toDF("v")
+    val o2 = graft.operators.Profile.histogramAdvisor(flat, "v", 100L)
+      .collect()(0)
+    assert(o2.isNullAt(4) && o2.getLong(5) == 1L)
+  }
+
   test("wasserstein1d: hand case matches the exact CDF-gap fold; identical slice scores 0") {
     import spark.implicits._
     // A = (1,1,3) vs global (1,1,3,3): |2/3 - 1/2| * gap 2 = 1/3;
