@@ -546,8 +546,10 @@ object Selection {
           val src = arg(0).getString(0)
           val gain = arg(0).getLong(1)
           chosen = chosen :+ src
-          val cum = tok.filter(col("g").isin(chosen: _*))
-            .select(col("sh")).distinct().count()
+          // cum coverage = running sum of gains BY CONSTRUCTION (each
+          // gain counts exactly the newly covered shingles) — no extra
+          // count job per round
+          val cum = picked.lastOption.map(_._4).getOrElse(0L) + gain
           picked = picked :+ ((r.toLong, src, gain, cum,
             BigDecimal(cum.toDouble / total.toDouble)
               .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
