@@ -3405,6 +3405,15 @@ object SparkEntry {
         t(s, dir, "orders"), "o_totalprice", scale = 100L)
     },
 
+    // ---- X: retention/TTL audit — rows past the 21-day window from
+    //      the stream max date, exact payload reclaim bytes; the
+    //      compliance-purge pre-flight ----
+    "x274_ttl_audit" -> { (s, dir) =>
+      graft.operators.Temporal.ttlAudit(
+        t(s, dir, "events"), "ts", "event_type",
+        payloadCols = Seq("props", "event_type"), ttlDays = 21)
+    },
+
     // ---- X: Kaplan-Meier survival curve on days to first purchase —
     //      never-converters are right-censored at their last event,
     //      not zeros; day-bounded risk frame, log-space microgrid
@@ -7726,6 +7735,25 @@ object SparkEntry {
                    / cbrt(CAST(n AS DOUBLE)))) AS BIGINT)))
              END AS fd_bins
          FROM th""",
+
+    // x274: TTL audit — age vs the broadcast max date, exact payload
+    // reclaim bytes (the x261 strlen convention)
+    "x274_ttl_audit" ->
+      """WITH ref AS (SELECT max(CAST(ts AS DATE)) AS ref FROM events),
+         e AS (SELECT event_type AS g,
+             date_diff('day', CAST(ts AS DATE), ref) > 21 AS expired,
+             CAST(strlen(props) + strlen(event_type) AS BIGINT)
+               AS bytes
+           FROM events, ref)
+         SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN expired THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_expired,
+           round(CAST(sum(CASE WHEN expired THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS expired_share,
+           CAST(sum(CASE WHEN expired THEN bytes ELSE 0 END) AS BIGINT)
+             AS reclaim_bytes
+         FROM e GROUP BY 1 ORDER BY event_type""",
 
     // x240: Kaplan-Meier risk table — integer day durations, censored
     // at last event; survival via the x181 microgrid log fold (exact

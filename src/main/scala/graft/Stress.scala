@@ -742,6 +742,12 @@ object Stress {
           operators.CorpusOps.tailOwnership(
             docs.withColumn("n_chars", length(col("text"))),
             "source", "n_chars").count()),
+        // narrow scan + broadcast max date + groupBy(key)
+        "ttl_audit" -> (() =>
+          operators.Temporal.ttlAudit(
+            events, "ts", "event_type",
+            payloadCols = Seq("props", "event_type"),
+            ttlDays = 21).count()),
         // per-user partial agg into the 4-cell factorial frame
         "factorial" -> (() =>
           operators.Experiment.factorial2(

@@ -484,4 +484,44 @@ object Temporal {
           .as("freshness"))
       .orderBy(col(keyCol))
   }
+
+  /** Retention/TTL audit: per key, how many rows are PAST the
+    * retention window (age > ttlDays from the stream's max event
+    * date) and how many exact payload bytes a compliance purge would
+    * reclaim — the scheduled-deletion pre-flight every governed event
+    * store runs before the actual delete job (and the number the
+    * [[graft.operators.Scale.broadcastAdvisor]]-style planners want
+    * NET of expired mass). Byte estimate = payload octet lengths
+    * (the x261 width convention) so the reclaim figure is exact, not
+    * sampled.
+    *
+    * Output per key: (key, n_rows, n_expired, expired_share,
+    * reclaim_bytes).
+    *
+    * 100 TB shape: one narrow scan + broadcast 1-row max date + one
+    * partial-agged groupBy(key). */
+  def ttlAudit(events: DataFrame, tsCol: String, keyCol: String,
+      payloadCols: Seq[String], ttlDays: Int): DataFrame = {
+    require(ttlDays >= 1, "ttlDays must be >= 1")
+    val d = (c: Column) => c.cast(DoubleType)
+    val ref = events.agg(max(to_date(col(tsCol))).as("ref"))
+    val rowBytes = payloadCols
+      .map(c => coalesce(octet_length(col(c)), lit(0L)).cast("long"))
+      .reduceOption(_ + _).getOrElse(lit(0L))
+    events.select(col(keyCol).as("g"), to_date(col(tsCol)).as("dday"),
+        rowBytes.as("bytes"))
+      .crossJoin(broadcast(ref))
+      .withColumn("expired",
+        datediff(col("ref"), col("dday")) > ttlDays)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("expired"), 1L).otherwise(0L)).as("n_expired"),
+        sum(when(col("expired"), col("bytes")).otherwise(0L))
+          .as("reclaim_bytes"))
+      .select(col("g").as(keyCol), col("n_rows"), col("n_expired"),
+        round(d(col("n_expired")) / d(col("n_rows")), 6)
+          .as("expired_share"),
+        col("reclaim_bytes"))
+      .orderBy(col(keyCol))
+  }
 }

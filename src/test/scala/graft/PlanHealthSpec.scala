@@ -1432,6 +1432,15 @@ class PlanHealthSpec extends SparkSpec {
     }
   }
 
+  test("x274: TTL audit is one scan + broadcast max-date + partial agg") {
+    val p = plan("x274_ttl_audit")
+    assert(!p.contains("CartesianProduct"), s"x274 grew a cartesian:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"x274 must not row-sort-merge anything:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"x274 must partial-aggregate the scan:\n$p")
+  }
+
   test("x199: range splits reduce per-row work to one groupBy(key); windows run on the distinct-key frame") {
     val p = plan("x199_range_splits")
     assert(!p.contains("Join"), s"x199 must stay join-free:\n$p")

@@ -283,4 +283,19 @@ class TemporalSpec extends SparkSpec {
     assert(out(0)._1 == "new" && out(0)._3 == 3.5)
     assert(out(1)._1 == "old" && out(1)._2 == 6L && out(1)._3 < 0.001)
   }
+
+  test("ttlAudit: strictly-past-window rows counted with exact payload reclaim bytes") {
+    def dayTs(d: Int) = new java.sql.Timestamp(d * 86400000L)
+    // ref = day 30; ttl 10 -> ages 30 and 15 expired, age 0 retained;
+    // age exactly 10 is NOT expired (strict >)
+    val df = Seq(("a", dayTs(0), "xxxx"), ("a", dayTs(15), "yy"),
+      ("a", dayTs(20), "zzz"), ("a", dayTs(30), "w"))
+      .toDF("k", "ts", "props")
+    val out = Temporal.ttlAudit(df, "ts", "k",
+      payloadCols = Seq("props", "k"), ttlDays = 10).collect()(0)
+    assert(out.getLong(1) == 4L && out.getLong(2) == 2L)
+    assert(out.getDouble(3) == 0.5)
+    // reclaim: (4+1) + (2+1) = 8 bytes; day-20 row (age 10) stays
+    assert(out.getLong(4) == 8L)
+  }
 }
