@@ -6,8 +6,10 @@ import org.apache.spark.sql.SparkSession
   * bench_result.json — a stdout scrape can be defeated by sbt's [info]
   * prefix; the file cannot).
   *
-  * FORKED BY DEFAULT: the full sweep runs as child JVMs of ~16 queries
-  * each (SPARK_GRAFT_BENCH_CHUNK), results merged into one artifact.
+  * FORKED BY DEFAULT: the full sweep runs as child JVMs, one per
+  * content-hash bucket (SPARK_GRAFT_BENCH_BUCKETS, default 24 → ~14
+  * queries each at the current registry size), results merged into one
+  * artifact.
   * Two rounds of bisection proved a single-JVM 227-query sweep
   * accumulates state that per-query rep-min + releaseAll + System.gc
   * cannot undo: round 5's e2/e3 AQE bimodality, then round 6's
@@ -79,18 +81,37 @@ object Bench {
     }
   }
 
-  /** Parent: split the sorted query list into chunks, run each in a fresh
-    * child JVM (same classpath, same envs, SPARK_GRAFT_BENCH_ONLY set to
-    * the chunk), merge the chunk artifacts. A chunk that dies without
-    * writing its artifact reports every query it owned as failed. */
+  /** Parent: assign each query to a chunk BY CONTENT (murmur3 of the query
+    * name mod SPARK_GRAFT_BENCH_BUCKETS, default 24), run each chunk in a
+    * fresh child JVM (same classpath, same envs, SPARK_GRAFT_BENCH_ONLY set
+    * to the chunk), merge the chunk artifacts. A chunk that dies without
+    * writing its artifact reports every query it owned as failed.
+    *
+    * Content-hash assignment (round 9) replaces positional grouping
+    * (`sorted.grouped(16)`): under the old scheme, registering ONE new
+    * query re-seated every alphabetically-later query into a different
+    * chunk, changing its JVM neighbors and making cross-round min-of-3
+    * comparisons partly measure chunk composition rather than code (the
+    * round-8 e2/e3 "doubling with zero code change" question). With
+    * murmur3(name) % buckets, a query's chunk is a pure function of its
+    * name: adding queries only ever appends to the one bucket each new
+    * name hashes into (~N/buckets same-chunk neighbors affected, vs ~all
+    * under positional grouping). Within a chunk, execution order stays
+    * alphabetical, which is likewise append-stable. */
   private def runForked(cp: String): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val chunkSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_CHUNK", "16").toInt
+    val numBuckets = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUCKETS", "24").toInt
     val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
     val javaBin = new java.io.File(new java.io.File(
       System.getProperty("java.home"), "bin"), "java").getAbsolutePath
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val chunks = names.grouped(chunkSize).toSeq
+    // MurmurHash3.stringHash with the library's fixed default seed —
+    // deterministic across JVMs and Scala patch versions, unlike
+    // String.hashCode-order accidents or runtime-seeded hashing.
+    val chunks = names
+      .groupBy(n => Math.floorMod(
+        scala.util.hashing.MurmurHash3.stringHash(n), numBuckets))
+      .toSeq.sortBy(_._1).map(_._2)
     val dir = java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get("target", "bench_chunks"))
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
