@@ -3341,6 +3341,34 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("frame_idx"))
     },
 
+    // ---- X: MJPEG-in-AVI frame hashing — the real-world container
+    //      under the video verb: hash-encoded JPEG frames (per-frame
+    //      dHash64 == md5 bytes BY CONSTRUCTION, 12-level JPEG-proof
+    //      gradients aligned to the block grid) wrapped in standard
+    //      RIFF/AVI, chunk-walked and JPEG-decoded back on executors ----
+    "x275_avi_mjpeg_frames" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id")).filter(col("doc_id") < 200)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("content", BinaryType)))
+      val vids = s.createDataFrame(docs.rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val nf = 2 + (id % 3).toInt
+          val frames = (0 until nf).map { f =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val h = md.digest(s"${id}_$f".getBytes("UTF-8")).take(8)
+            graft.operators.Multimodal.renderJpegHashEncoded(h)
+          }
+          org.apache.spark.sql.Row(id,
+            graft.operators.Multimodal.renderAviMjpeg(frames, 72, 64))
+        }
+      }, schema)
+      graft.operators.Multimodal
+        .aviMjpegFrameHashes(vids, "doc_id", everyK = 2)
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
     // ---- X: per-dimension embedding health — microgrid-exact mean
     //      and variance per coordinate; dead-dim / runaway-dim scan
     //      before any quantizer is built ----
@@ -7293,13 +7321,13 @@ object SparkEntry {
       """WITH stats AS (
            SELECT 'customer' AS table_name,
              CAST(count(*) AS BIGINT) AS n_rows,
-             CAST(sum(8 + strlen(c_name) + 4 + 8
-               + strlen(c_mktsegment)) AS BIGINT) AS est_bytes
+             CAST(sum(8 + COALESCE(strlen(c_name), 0) + 4 + 8
+               + COALESCE(strlen(c_mktsegment), 0)) AS BIGINT) AS est_bytes
            FROM customer
            UNION ALL
            SELECT 'documents', CAST(count(*) AS BIGINT),
-             CAST(sum(8 + strlen(text) + strlen(lang)
-               + strlen(source) + 8) AS BIGINT)
+             CAST(sum(8 + COALESCE(strlen(text), 0) + COALESCE(strlen(lang), 0)
+               + COALESCE(strlen(source), 0) + 8) AS BIGINT)
            FROM documents
            UNION ALL
            SELECT 'embeddings', CAST(count(*) AS BIGINT),
@@ -7308,30 +7336,30 @@ object SparkEntry {
            UNION ALL
            SELECT 'lineitem', CAST(count(*) AS BIGINT),
              CAST(sum(8 + 8 + 8 + 4 + 8 + 8 + 8 + 8
-               + strlen(l_returnflag)
-               + strlen(l_linestatus) + 8) AS BIGINT)
+               + COALESCE(strlen(l_returnflag), 0)
+               + COALESCE(strlen(l_linestatus), 0) + 8) AS BIGINT)
            FROM lineitem
            UNION ALL
            SELECT 'nation', CAST(count(*) AS BIGINT),
-             CAST(sum(4 + strlen(n_name) + 4) AS BIGINT)
+             CAST(sum(4 + COALESCE(strlen(n_name), 0) + 4) AS BIGINT)
            FROM nation
            UNION ALL
            SELECT 'orders', CAST(count(*) AS BIGINT),
-             CAST(sum(8 + 8 + strlen(o_orderstatus) + 8 + 8
-               + strlen(o_orderpriority)) AS BIGINT)
+             CAST(sum(8 + 8 + COALESCE(strlen(o_orderstatus), 0) + 8 + 8
+               + COALESCE(strlen(o_orderpriority), 0)) AS BIGINT)
            FROM orders
            UNION ALL
            SELECT 'part', CAST(count(*) AS BIGINT),
-             CAST(sum(8 + strlen(p_name) + strlen(p_brand)
-               + strlen(p_type) + 4 + 8) AS BIGINT)
+             CAST(sum(8 + COALESCE(strlen(p_name), 0) + COALESCE(strlen(p_brand), 0)
+               + COALESCE(strlen(p_type), 0) + 4 + 8) AS BIGINT)
            FROM part
            UNION ALL
            SELECT 'region', CAST(count(*) AS BIGINT),
-             CAST(sum(4 + strlen(r_name)) AS BIGINT)
+             CAST(sum(4 + COALESCE(strlen(r_name), 0)) AS BIGINT)
            FROM region
            UNION ALL
            SELECT 'supplier', CAST(count(*) AS BIGINT),
-             CAST(sum(8 + strlen(s_name) + 4 + 8) AS BIGINT)
+             CAST(sum(8 + COALESCE(strlen(s_name), 0) + 4 + 8) AS BIGINT)
            FROM supplier)
          SELECT table_name, n_rows, est_bytes,
            CASE WHEN est_bytes <= 10485760 THEN 'broadcast'
@@ -7446,6 +7474,35 @@ object SparkEntry {
            round((CAST(vtop AS DOUBLE)
              + CAST((vtop + 64) % 256 AS DOUBLE)) / 2, 6) AS mean_luma
          FROM v ORDER BY doc_id, frame_idx""",
+
+    // x275: the expected dHash64 of each hash-encoded MJPEG frame is, by
+    // renderJpegHashEncoded's construction, the little-endian long of the
+    // first 8 md5 bytes of "<doc_id>_<frame_idx>" — computable from md5
+    // hex pairs without touching a pixel (the x68 convention, extended
+    // through a real AVI container AND a lossy JPEG round-trip: if the
+    // RIFF walk, the JPEG decode, the box-average downscale, or the
+    // gradient-sign packing drifted ONE bit anywhere, this fails)
+    "x275_avi_mjpeg_frames" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+         fr AS (SELECT doc_id, CAST(f AS BIGINT) AS frame_idx
+           FROM ids, UNNEST(range(0, 2 + doc_id % 3, 2)) t(f)),
+         hx AS (SELECT doc_id, frame_idx,
+             md5(CAST(doc_id AS VARCHAR) || '_'
+               || CAST(frame_idx AS VARCHAR)) AS hex
+           FROM fr),
+         bytes AS (SELECT doc_id, frame_idx, t.j,
+             CAST((strpos('0123456789abcdef', substr(hex, 2*t.j + 1, 1)) - 1) * 16
+               + strpos('0123456789abcdef', substr(hex, 2*t.j + 2, 1)) - 1
+               AS HUGEINT) AS bv
+           FROM hx, UNNEST(range(0, 8)) t(j)),
+         agg AS (SELECT doc_id, frame_idx,
+             SUM(bv * (CAST(1 AS HUGEINT) << (8*CAST(j AS INT)))) AS uh
+           FROM bytes GROUP BY 1, 2)
+         SELECT doc_id, frame_idx,
+           CAST(CASE WHEN uh >= CAST('9223372036854775808' AS HUGEINT)
+             THEN uh - CAST('18446744073709551616' AS HUGEINT)
+             ELSE uh END AS BIGINT) AS dhash
+         FROM agg ORDER BY doc_id, frame_idx""",
 
     // x266: per-dimension embedding stats — coordinates microgrid-
     // quantized first, exact integer folds, one division at the end
@@ -7589,9 +7646,11 @@ object SparkEntry {
          cost AS (SELECT source,
              CAST(sum(strlen(text)) AS BIGINT) AS cost_bytes
            FROM documents GROUP BY 1),
-         j AS (SELECT s.source, s.utility, c.cost_bytes,
-             s.utility / CAST(c.cost_bytes AS DOUBLE) AS ratio_raw
-           FROM shp s JOIN cost c USING (source)),
+         j AS (SELECT c.source, COALESCE(s.utility, 0.0) AS utility,
+             c.cost_bytes,
+             COALESCE(s.utility, 0.0) / CAST(c.cost_bytes AS DOUBLE)
+               AS ratio_raw
+           FROM cost c LEFT JOIN shp s USING (source)),
          t AS (SELECT source, utility, cost_bytes, ratio_raw,
              (sum(cost_bytes) OVER () * 2) // 5 AS budget,
              COALESCE(sum(cost_bytes) OVER (ORDER BY ratio_raw DESC,

@@ -722,6 +722,19 @@ object Stress {
         "greedy_cover" -> (() =>
           operators.Selection.greedyCoverSources(
             docs, "source", "text", k = 4, n = 3).count()),
+        // k-trend twin: the round-9 incremental covered-set must make
+        // cost linear in k (O(k) scans of a shrinking frame), not O(k²)
+        "greedy_cover_k16" -> (() =>
+          operators.Selection.greedyCoverSources(
+            docs, "source", "text", k = 16, n = 3).count()),
+        // the e11 flagship COMPOSED (LOO influence + jackknife SE +
+        // Shapley coverage + Pareto front + greedy shortlist in one
+        // run) — parts have their own rows; the composition's trend is
+        // what the flagship's user pays
+        "e11_source_valuation" -> (() =>
+          examples.SourceValuation.run(
+            docs.withColumn("n_chars", length(col("text"))),
+            "source", "text", "n_chars").count()),
         // one narrow partial-agged scan per table
         "broadcast_advisor" -> (() =>
           operators.Scale.broadcastAdvisor(Seq(

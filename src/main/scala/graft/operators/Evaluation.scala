@@ -832,13 +832,22 @@ object Evaluation {
     * ucb, rank_mean, rank_ucb), ranks on the K-row frame with the arm
     * name as tie-break. */
   def ucbAllocation(df: DataFrame, armCol: String,
-      rewardCol: String): DataFrame = {
-    val d = (c: Column) => c.cast(DoubleType)
-    val perArm = df.select(col(armCol).cast(StringType).as("arm"),
+      rewardCol: String): DataFrame =
+    ucbOnCounts(df.select(col(armCol).cast(StringType).as("arm"),
         round(col(rewardCol).cast(DoubleType) * lit(1e6))
           .cast("long").as("rm"))
       .groupBy(col("arm"))
-      .agg(count(lit(1)).as("n"), sum(col("rm")).as("s"))
+      .agg(count(lit(1)).as("n"), sum(col("rm")).as("s")))
+
+  /** The scoring/ranking fold shared by [[ucbAllocation]] and the x248
+    * streaming twin's dashboard replay
+    * ([[graft.streaming.EventStreams.ucbStream]]): input is the K-row
+    * per-arm frame (arm, n pulls, s = exact 1e-6-microgrid reward sum).
+    * One fold, two consumers — parity by construction (the
+    * wilsonOnCounts convention). */
+  private[graft] def ucbOnCounts(counts: DataFrame): DataFrame = {
+    val d = (c: Column) => c.cast(DoubleType)
+    val perArm = counts
       .withColumn("n_total",
         sum(col("n")).over(Window.partitionBy(lit(1))))
     val mean = d(col("s")) / d(col("n")) / lit(1e6)

@@ -978,8 +978,6 @@ object Experiment {
     * no row-scale sort or window anywhere. */
   def groupSequential(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, convertType: String): DataFrame = {
-    val d = (c: Column) => c.cast(DoubleType)
-    val bounds = Seq(4.562, 3.226, 2.634, 2.281, 2.040)
     val perUser = events.groupBy(col(userCol))
       .agg(min(unix_micros(col(tsCol))).as("first_us"),
         min(when(col(typeCol) === convertType,
@@ -987,6 +985,21 @@ object Experiment {
       .withColumn("arm", armOf(col(userCol), 2))
     val range1 = events.agg(min(unix_micros(col(tsCol))).as("lo"),
       max(unix_micros(col(tsCol))).as("hi"))
+    groupSequentialFold(perUser, range1)
+  }
+
+  /** The look-table fold shared by [[groupSequential]] and the x244
+    * streaming twin's dashboard replay
+    * ([[graft.streaming.EventStreams.groupSequentialStream]]): given the
+    * per-user (arm, first_us, purch_us) frame and the 1-row (lo, hi)
+    * event-time range, emits the 5-look O'Brien-Fleming table. Keeping
+    * ONE fold is the parity argument — both consumers produce
+    * row-identical tables because they run identical expressions
+    * (the wilsonOnCounts convention). */
+  private[graft] def groupSequentialFold(perUser: DataFrame,
+      range1: DataFrame): DataFrame = {
+    val d = (c: Column) => c.cast(DoubleType)
+    val bounds = Seq(4.562, 3.226, 2.634, 2.281, 2.040)
     val looks = range1.select(col("lo"), col("hi"),
         explode(sequence(lit(1L), lit(5L))).as("look"))
       .select(col("look"), (col("lo") + call_function("div",

@@ -992,6 +992,7 @@ object Multimodal {
       seed: Long): Array[Byte] = {
     require(width >= 1 && height >= 2 && height % 2 == 0 && nFrames >= 1,
       "need width>=1, even height>=2, frames>=1")
+    require(seed >= 0, "seed must be >= 0 (band values live on 0..255)")
     val buf = java.nio.ByteBuffer.allocate(10 + width * height * nFrames)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     buf.put('G'.toByte).put('V'.toByte).put('I'.toByte).put('D'.toByte)
@@ -1009,6 +1010,182 @@ object Multimodal {
       f += 1
     }
     buf.array()
+  }
+
+  /** A gray frame whose [[dHash64]] is EXACTLY the given 8 bytes, built
+    * to survive JPEG compression: 72x64 pixels in 8x8 constant-gray
+    * cells ALIGNED to the JPEG block grid (each block is DC-only, so
+    * round-trip error is a couple of gray levels), consecutive cells in
+    * a row stepped by ±12 per hash bit (the [[renderBmpHashEncoded]]
+    * construction with a 12-level margin instead of 8) — the gradient
+    * SIGN, which is all dHash packs, cannot flip. Bit (cy*8 + cx) of
+    * the resulting dHash equals bit cx of hashBytes(cy), i.e. the hash
+    * IS the little-endian long of the 8 bytes. */
+  def renderJpegHashEncoded(hashBytes: Array[Byte],
+      quality: Float = 0.92f): Array[Byte] = {
+    require(hashBytes.length == 8, "need exactly 8 hash bytes")
+    val w = 72; val h = 64
+    val gray = new Array[Int](w * h)
+    var cy = 0
+    while (cy < 8) {
+      var v = 128
+      var cx = 0
+      while (cx < 9) {
+        var py = 0
+        while (py < 8) {
+          var px = 0
+          while (px < 8) {
+            gray((cy * 8 + py) * w + (cx * 8 + px)) = v
+            px += 1
+          }
+          py += 1
+        }
+        if (cx < 8)
+          v += (if (((hashBytes(cy) >> cx) & 1) == 1) -12 else 12)
+        cx += 1
+      }
+      cy += 1
+    }
+    encodeJpegGray(w, h, gray, quality)
+  }
+
+  /** Wrap pre-encoded JPEG frames as an MJPEG-in-AVI file: the standard
+    * RIFF('AVI ') layout — LIST('hdrl') with the 56-byte 'avih' main
+    * header and one LIST('strl') video stream ('strh' fccType 'vids',
+    * handler 'MJPG'; 'strf' BITMAPINFOHEADER with biCompression 'MJPG')
+    * — then LIST('movi') carrying one word-aligned '00dc' chunk per
+    * frame. Fixture/synthesis utility; the decode side is
+    * [[aviMjpegFrameHashes]], and any standard player opens the
+    * output. */
+  def renderAviMjpeg(frames: Seq[Array[Byte]], width: Int,
+      height: Int, fps: Int = 10): Array[Byte] = {
+    require(frames.nonEmpty && width > 0 && height > 0 && fps > 0,
+      "need frames and positive dims/fps")
+    val bb = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = {
+      bb.write(v & 0xff); bb.write((v >> 8) & 0xff)
+      bb.write((v >> 16) & 0xff); bb.write((v >> 24) & 0xff)
+    }
+    def fourcc(s: String): Unit = bb.write(s.getBytes("US-ASCII"))
+    val maxFrame = frames.map(_.length).max
+    // sizes, inside-out: strl = strh(8+56) + strf(8+40); hdrl = avih(8+56)
+    // + LIST strl(12+strlBody); movi = per frame 8 + payload + pad
+    val strlBody = 64 + 48
+    val hdrlBody = 64 + 12 + strlBody
+    val moviBody = frames.map(f => 8 + f.length + (f.length & 1)).sum + 4
+    // 'AVI ' + hdrl LIST (8-byte header + 'hdrl' + body) + movi LIST
+    // (8-byte header + body, the body already counting its 'movi' type)
+    val riffBody = 4 + (12 + hdrlBody) + (8 + moviBody)
+    fourcc("RIFF"); le32(riffBody); fourcc("AVI ")
+    fourcc("LIST"); le32(4 + hdrlBody); fourcc("hdrl")
+    fourcc("avih"); le32(56)
+    le32(1000000 / fps); le32(maxFrame * fps); le32(0)
+    le32(0x10) // AVIF_HASINDEX off, AVIF_WASCAPTUREFILE off, 0x10 = AVIF_ISINTERLEAVED
+    le32(frames.length); le32(0); le32(1); le32(maxFrame)
+    le32(width); le32(height); le32(0); le32(0); le32(0); le32(0)
+    fourcc("LIST"); le32(4 + strlBody); fourcc("strl")
+    fourcc("strh"); le32(56)
+    fourcc("vids"); fourcc("MJPG")
+    le32(0); le32(0); le32(0) // flags, prio+lang, initialFrames
+    le32(1); le32(fps) // scale, rate -> rate/scale fps
+    le32(0); le32(frames.length); le32(maxFrame) // start, length, bufSize
+    le32(-1); le32(0) // quality, sampleSize
+    le32(0); le32((height << 16) | width) // rcFrame (left,top), (right,bottom)
+    fourcc("strf"); le32(40)
+    le32(40); le32(width); le32(height)
+    le32((24 << 16) | 1) // planes 1, bitcount 24
+    fourcc("MJPG"); le32(width * height * 3)
+    le32(0); le32(0); le32(0); le32(0)
+    fourcc("LIST"); le32(moviBody); fourcc("movi")
+    frames.foreach { f =>
+      fourcc("00dc"); le32(f.length); bb.write(f)
+      if ((f.length & 1) == 1) bb.write(0) // word alignment
+    }
+    bb.toByteArray
+  }
+
+  /** Frame-sample an MJPEG-in-AVI video column to per-frame perceptual
+    * hashes: walk the RIFF chunk tree to LIST('movi'), take every
+    * `everyK`-th video frame chunk ('##dc'/'##db'), decode the embedded
+    * JPEG through the SAME [[JpegCodec]] path as still images and emit
+    * its [[dHash64]] — a real-world container composed from codecs the
+    * engine already has, vs [[frameSample]]'s synthetic raw-frame GVID
+    * oracle path. Corrupt/truncated chunks and undecodable frames are
+    * dropped, never thrown (the codec-op contract). Output: (idCol,
+    * frame_idx, dhash).
+    *
+    * 100 TB shape: per-partition batched byte scan, no shuffle — the
+    * [[frameSample]]/[[imageHashes]] shape exactly. */
+  def aviMjpegFrameHashes(df: DataFrame, idCol: String,
+      contentCol: String = "content", everyK: Int = 1): DataFrame = {
+    require(everyK >= 1, "everyK must be >= 1")
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("dhash", LongType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val contentIdx = df.schema.fieldIndex(contentCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        r.get(contentIdx) match {
+          case b: Array[Byte] if b.length >= 12 &&
+              b(0) == 'R'.toByte && b(1) == 'I'.toByte &&
+              b(2) == 'F'.toByte && b(3) == 'F'.toByte &&
+              b(8) == 'A'.toByte && b(9) == 'V'.toByte &&
+              b(10) == 'I'.toByte && b(11) == ' '.toByte =>
+            // top-level walk to LIST('movi'); a truncated file keeps its
+            // complete frames (moviEnd clamps to the payload) — salvage,
+            // don't throw, is the codec-op contract
+            var off = 12
+            var moviOff = -1; var moviEnd = -1
+            while (moviOff < 0 && off + 8 <= b.length) {
+              val size = i32(b, off + 4)
+              if (size < 0) { off = b.length }
+              else if (off + 12 <= b.length &&
+                  b(off) == 'L'.toByte && b(off + 1) == 'I'.toByte &&
+                  b(off + 2) == 'S'.toByte && b(off + 3) == 'T'.toByte &&
+                  size >= 4 && b(off + 8) == 'm'.toByte &&
+                  b(off + 9) == 'o'.toByte && b(off + 10) == 'v'.toByte &&
+                  b(off + 11) == 'i'.toByte) {
+                moviOff = off + 12
+                moviEnd = math.min(off + 8 + size, b.length)
+              }
+              else if (off + 8 + size > b.length) { off = b.length }
+              else off += 8 + size + (size & 1)
+            }
+            if (moviOff < 0) Iterator.empty
+            else {
+              val out = scala.collection.mutable.ArrayBuffer
+                .empty[org.apache.spark.sql.Row]
+              var o = moviOff
+              var frame = 0L
+              while (o + 8 <= moviEnd) {
+                val size = i32(b, o + 4)
+                if (size < 0 || o + 8 + size > moviEnd) { o = moviEnd }
+                else {
+                  val isVid = (b(o + 2) == 'd'.toByte &&
+                    (b(o + 3) == 'c'.toByte || b(o + 3) == 'b'.toByte))
+                  if (isVid) {
+                    if (frame % everyK == 0L) {
+                      val payload = java.util.Arrays
+                        .copyOfRange(b, o + 8, o + 8 + size)
+                      dHash64(payload).foreach { hsh =>
+                        out += org.apache.spark.sql.Row(
+                          r.get(idIdx), frame, hsh)
+                      }
+                    }
+                    frame += 1L
+                  }
+                  o += 8 + size + (size & 1)
+                }
+              }
+              out.iterator
+            }
+          case _ => Iterator.empty
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
   }
 
   /** Frame-sample a video column: parse the container header, decode

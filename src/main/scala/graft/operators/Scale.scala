@@ -192,9 +192,30 @@ object Scale {
     * correctness. */
   private[graft] def cumByRange(df: DataFrame, orderCol: String,
       cntCol: String, smallDomain: Long = 1L << 20): DataFrame = {
+    val (out, release) = cumByRangeManaged(df, orderCol, cntCol, smallDomain)
+    // armed AFTER the bounded passes — each is a Dataset action and
+    // would fire the listener mid-build (the RowNum.assign hazard)
+    graft.plans.Persists.onNextAction(df.sparkSession)(release)
+    out
+  }
+
+  /** [[cumByRange]] with CALLER-managed cache release: returns the
+    * cumulative frame plus the thunk that drops its internal persist.
+    * A multi-call composer (the x211/x218 advisors run one cumByRange
+    * per candidate key) must use this form and arm every release at the
+    * END of construction — with the self-arming [[cumByRange]], each
+    * call's internal count() action FIRES the previous call's listener,
+    * so by the time the composed query executes all but the last cache
+    * are gone and every branch re-scans the corpus from parquet
+    * (measured round 9: x211's final job carried five separate parquet
+    * scans; with deferred release it carries one). */
+  private[graft] def cumByRangeManaged(df: DataFrame, orderCol: String,
+      cntCol: String, smallDomain: Long = 1L << 20)
+      : (DataFrame, () => Unit) = {
     val spark = df.sparkSession
     val cached = df.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val release = () => { cached.unpersist(blocking = false); () }
     val nKeys = cached.count()
     if (nKeys <= smallDomain) {
       // KNOWN-bounded domain: a single-task ordered window over <= 2^20
@@ -202,14 +223,12 @@ object Scale {
       // path — the funnel hazard this function exists for only bites
       // when the distinct-key frame approaches corpus scale, and the
       // count() just measured it. Values identical on either path.
-      graft.plans.Persists.onNextAction(spark)(
-        () => { cached.unpersist(blocking = false); () })
       val w = Window.orderBy(col(orderCol).asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val tot = Window.partitionBy(lit(1))
-      return cached
+      return (cached
         .withColumn("cum", sum(col(cntCol)).over(w))
-        .withColumn("n", sum(col(cntCol)).over(tot))
+        .withColumn("n", sum(col(cntCol)).over(tot)), release)
     }
     val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val m = math.max(1L, nKeys / math.max(1, p))
@@ -222,19 +241,15 @@ object Scale {
     val withB = cached.withColumn("__bkt", bucket)
     val tots = withB.groupBy(col("__bkt")).agg(sum(col(cntCol)).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    // armed AFTER the bounded passes — each is a Dataset action and
-    // would fire the listener mid-build (the RowNum.assign hazard)
-    graft.plans.Persists.onNextAction(spark)(
-      () => { cached.unpersist(blocking = false); () })
     val offsets = (0 to boundVals.length).scanLeft(0L)((acc, bkt) =>
       acc + tots.getOrElse(bkt, 0L))
     val w = Window.partitionBy(col("__bkt")).orderBy(col(orderCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    withB
+    (withB
       .withColumn("cum", sum(col(cntCol)).over(w) +
         element_at(lit(offsets.dropRight(1).toArray), col("__bkt") + 1))
       .withColumn("n", lit(offsets.last))
-      .drop("__bkt")
+      .drop("__bkt"), release)
   }
 
   /** Sort-key advisor: for each candidate layout key, how effective would
@@ -247,23 +262,46 @@ object Scale {
     * the most skipping — THE decision behind a z-order/sort-on-write
     * job, measured instead of guessed.
     *
-    * 100 TB shape: per candidate, one groupBy(key) reduces rows to the
-    * distinct-key frame, one partial-agged min/max per bin, and a
-    * probes x bins broadcast count. The probe quantiles come from one
-    * conditional aggregate over the probe value frame. All cumulative
-    * positions run through [[cumByRange]]'s partitioned two-pass shape,
-    * so a UNIQUE candidate key (distinct-key frame = corpus) no longer
-    * funnels the dataset through one task. All-integer arithmetic when
-    * `probeCol` is integral.
+    * 100 TB shape: ONE grouping-sets scan of the corpus computes every
+    * candidate's distinct-key frame AND the probe value frame together
+    * (round 9 — previously one groupBy scan per candidate plus one for
+    * the probes; the round-8 verdict measured the per-candidate job
+    * chains at ~1.8-3.8 s of pure latency). The persisted grouping-sets
+    * frame is key-domain-sized per set, carries map-side partial
+    * aggregation, and is released on the consumer's first action. All
+    * cumulative positions run through [[cumByRange]]'s partitioned
+    * two-pass shape, so a UNIQUE candidate key (distinct-key frame =
+    * corpus) no longer funnels the dataset through one task.
+    * All-integer arithmetic when `probeCol` is integral.
     */
   def sortKeyAdvisor(df: DataFrame, candidateKeys: Seq[String],
       probeCol: String, nBins: Int = 32, nProbes: Int = 9): DataFrame = {
     require(candidateKeys.nonEmpty && nBins >= 2 && nProbes >= 1,
       "need candidates, >=2 bins, >=1 probe")
+    val spark = df.sparkSession
+    // one pass: GROUPING SETS ((k1),(k2),...,(probe)) — each single-column
+    // set reproduces exactly the per-candidate groupBy it replaces, and
+    // grouping_id() (bit 1 = column aggregated away, leftmost column =
+    // most significant bit) tags which set a row belongs to, so real NULL
+    // key values stay distinguishable from rolled-up columns
+    val gcols = (candidateKeys :+ probeCol).distinct
+    val nG = gcols.length
+    def gidOf(name: String): Long =
+      (1L << nG) - 1L - (1L << (nG - 1 - gcols.indexOf(name)))
+    val gs = df
+      .groupingSets(gcols.map(c => Seq(col(c))), gcols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"), min(col(probeCol)).as("pmin"),
+        max(col(probeCol)).as("pmax"), grouping_id().as("__gid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // every internal cache release is DEFERRED to the consumer's first
+    // action — see cumByRangeManaged's scaladoc for why self-arming
+    // releases would gut the caches before the composed query runs
+    val releases = scala.collection.mutable.ArrayBuffer[() => Unit]()
     // probe workload: the i/(nProbes+1) exact quantiles of probeCol
-    val pv = df.groupBy(col(probeCol).as("pv"))
-      .agg(count(lit(1)).as("cnt"))
-    val pcum = cumByRange(pv, "pv", "cnt")
+    val pv = gs.filter(col("__gid") === gidOf(probeCol))
+      .select(col(probeCol).as("pv"), col("cnt"))
+    val (pcum, pvRel) = cumByRangeManaged(pv, "pv", "cnt")
+    releases += pvRel
     val probeAggs = (1 to nProbes).map { i =>
       min(when(col("cum") * (nProbes + 1).toLong >= lit(i.toLong) * col("n"),
         col("pv"))).as(s"p_$i")
@@ -272,10 +310,11 @@ object Scale {
       .select(explode(array((1 to nProbes).map(i => col(s"p_$i")): _*))
         .as("probe"))
     val perKey = candidateKeys.map { key =>
-      val counts = df.groupBy(col(key).as("k"))
-        .agg(count(lit(1)).as("cnt"), min(col(probeCol)).as("pmin"),
-          max(col(probeCol)).as("pmax"))
-      val bins = cumByRange(counts, "k", "cnt")
+      val counts = gs.filter(col("__gid") === gidOf(key))
+        .select(col(key).as("k"), col("cnt"), col("pmin"), col("pmax"))
+      val (kcum, kRel) = cumByRangeManaged(counts, "k", "cnt")
+      releases += kRel
+      val bins = kcum
         .withColumn("bin", call_function("div",
           (col("cum") - col("cnt")) * nBins.toLong, col("n")))
         .groupBy(col("bin"))
@@ -293,6 +332,11 @@ object Scale {
             (col("n_bins").cast("double") * nProbes.toDouble), 6)
             .as("scan_frac"))
     }
+    // armed AFTER the per-candidate cumByRange passes (each an eager
+    // bounded action over the cached gs): the consumer's first action
+    // fires every release once the result has been computed
+    graft.plans.Persists.onNextAction(spark)(
+      () => { gs.unpersist(blocking = false); releases.foreach(_()) })
     perKey.reduce(_ unionAll _)
   }
 
@@ -313,11 +357,15 @@ object Scale {
     * summation order anywhere; final ratios divide exact decimal/integer
     * sums into doubles at the edge.
     *
-    * 100 TB shape: per candidate, one groupBy(key) for the bins (through
-    * [[cumByRange]]'s partitioned cumulative), one partial-agged
-    * distinct (key, value) reduction for per-file contents, and a
-    * probes x bins broadcast join; the probe workload is the same exact
-    * quantiles as [[sortKeyAdvisor]]'s. Nothing scales past the scans.
+    * 100 TB shape: ONE grouping-sets scan of the corpus computes every
+    * candidate's per-key counts, the per-candidate distinct (key, value)
+    * pair frames for file contents, AND the probe value frame together
+    * (round 9 — sets (k_i), (k_i, probe), (probe); previously ~2 corpus
+    * scans per candidate plus one for the probes). Each set's output is
+    * key-domain-sized with map-side partial aggregation; everything
+    * downstream is bin- or probe-sized, and cumulative positions run
+    * through [[cumByRange]]'s partitioned shape. The probe workload is
+    * the same exact quantiles as [[sortKeyAdvisor]]'s.
     */
   def bloomAdvisor(df: DataFrame, candidateKeys: Seq[String],
       probeCol: String, nBins: Int = 32, nProbes: Int = 9,
@@ -325,11 +373,31 @@ object Scale {
     require(candidateKeys.nonEmpty && nBins >= 2 && nProbes >= 1 &&
       bitsPerFile >= 8 && nHashes >= 1,
       "need candidates, >=2 bins, >=1 probe, >=8 bits, >=1 hash")
+    val spark = df.sparkSession
     val dec = org.apache.spark.sql.types.DecimalType(18, 6)
     val d = (c: Column) => c.cast(org.apache.spark.sql.types.DoubleType)
-    val pv = df.groupBy(col(probeCol).as("pv"))
-      .agg(count(lit(1)).as("cnt"))
-    val pcum = cumByRange(pv, "pv", "cnt")
+    // one pass over the corpus: single-column sets for the per-key count
+    // frames and the probe value frame, (key, probe) pair sets for the
+    // per-file distinct-contents frames; grouping_id() (bit 1 = column
+    // aggregated away) selects each set back out, NULL-safely
+    val gcols = (candidateKeys :+ probeCol).distinct
+    val nG = gcols.length
+    def gidOf(names: String*): Long =
+      names.foldLeft((1L << nG) - 1L)((acc, nm) =>
+        acc - (1L << (nG - 1 - gcols.indexOf(nm))))
+    val singleSets = gcols.map(c => Seq(col(c)))
+    val pairSets = candidateKeys.filter(_ != probeCol)
+      .map(k => Seq(col(k), col(probeCol)))
+    val gs = df
+      .groupingSets(singleSets ++ pairSets, gcols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"), grouping_id().as("__gid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // deferred release — see sortKeyAdvisor / cumByRangeManaged
+    val releases = scala.collection.mutable.ArrayBuffer[() => Unit]()
+    val pv = gs.filter(col("__gid") === gidOf(probeCol))
+      .select(col(probeCol).as("pv"), col("cnt"))
+    val (pcum, pvRel) = cumByRangeManaged(pv, "pv", "cnt")
+    releases += pvRel
     val probeAggs = (1 to nProbes).map { i =>
       min(when(col("cum") * (nProbes + 1).toLong >= lit(i.toLong) * col("n"),
         col("pv"))).as(s"p_$i")
@@ -338,15 +406,25 @@ object Scale {
       .select(explode(array((1 to nProbes).map(i => col(s"p_$i")): _*))
         .as("probe"))
     val perKey = candidateKeys.map { key =>
-      val counts = df.groupBy(col(key).as("k"))
-        .agg(count(lit(1)).as("cnt"))
-      val bins = cumByRange(counts, "k", "cnt")
+      val counts = gs.filter(col("__gid") === gidOf(key))
+        .select(col(key).as("k"), col("cnt"))
+      val (kcum, kRel) = cumByRangeManaged(counts, "k", "cnt")
+      releases += kRel
+      val bins = kcum
         .withColumn("bin", call_function("div",
           (col("cum") - col("cnt")) * nBins.toLong, col("n")))
         .select(col("k"), col("bin"))
-      // per-file contents: distinct probe values per bin
-      val binVals = df.select(col(key).as("k"), col(probeCol).as("pv"))
-        .distinct()
+      // per-file contents: distinct probe values per bin — the (key,
+      // probe) grouping set IS the distinct pair frame (for key ==
+      // probeCol the single-column probe set is that frame)
+      val pairFrame =
+        if (key == probeCol)
+          gs.filter(col("__gid") === gidOf(probeCol))
+            .select(col(probeCol).as("k"), col(probeCol).as("pv"))
+        else
+          gs.filter(col("__gid") === gidOf(key, probeCol))
+            .select(col(key).as("k"), col(probeCol).as("pv"))
+      val binVals = pairFrame
         .join(bins, Seq("k"))
         .select(col("bin"), col("pv")).distinct()
       val fpp = binVals.groupBy(col("bin")).agg(count(lit(1)).as("nd"))
@@ -374,6 +452,9 @@ object Scale {
           round((d(col("t_all")) + col("__fp")) /
             (lit(nProbes.toDouble) * d(col("n_bins"))), 6).as("open_frac"))
     }
+    // armed AFTER the per-candidate cumByRange passes — see sortKeyAdvisor
+    graft.plans.Persists.onNextAction(spark)(
+      () => { gs.unpersist(blocking = false); releases.foreach(_()) })
     perKey.reduce(_ unionAll _)
   }
 

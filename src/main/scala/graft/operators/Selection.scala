@@ -472,7 +472,13 @@ object Selection {
     val tot = Window.partitionBy(lit(1))
     val order = Window.orderBy(col("ratio").desc, col(sourceCol).asc)
     val before = order.rowsBetween(Window.unboundedPreceding, -1)
-    util.join(broadcast(cost), Seq(sourceCol))
+    // LEFT join from the cost frame (round 9): a source whose documents
+    // are all shorter than the shingle width has no coverage utility,
+    // but its bytes are still corpus bytes — it must stay in the plan
+    // (utility 0, taken last) and in the budget base, or "budgetNum/
+    // budgetDen of the total corpus bytes" silently shrinks
+    cost.join(broadcast(util), Seq(sourceCol), "left")
+      .withColumn("utility", coalesce(col("utility"), lit(0.0)))
       .withColumn("ratio", d(col("utility")) / d(col("cost_bytes")))
       .withColumn("budget", call_function("div",
         sum(col("cost_bytes")).over(tot) * lit(budgetNum),
@@ -506,10 +512,17 @@ object Selection {
     * with pct on the 6-round grid vs the total distinct-shingle count.
     *
     * 100 TB shape: the (source, shingle) presence frame is built once,
-    * persisted, and re-scanned with a shingle-keyed left_anti join per
-    * round; per round the driver collects exactly ONE (source, gain)
-    * argmax row (the [[graft.operators.Bpe]] bounded-collect
-    * convention — k rows total, never data-sized). */
+    * persisted, and then maintained INCREMENTALLY — each round anti-joins
+    * only the winner's shingle set out of the persisted `remaining` frame
+    * and persists the (strictly smaller) survivor, so the k rounds scan
+    * O(k) shrinking frames instead of the O(k²) source-rescans a
+    * recompute-covered-from-scratch loop pays (the round-8 verdict's
+    * measured bottleneck at k≥4). Per round the driver collects exactly
+    * ONE (source, gain) argmax row (the [[graft.operators.Bpe]]
+    * bounded-collect convention — k rows total, never data-sized);
+    * removed-source rows vanish from `remaining` by construction (every
+    * shingle the winner had is covered), so no growing `isin(chosen)`
+    * filter is ever re-evaluated over the corpus. */
   def greedyCoverSources(docs: DataFrame, sourceCol: String,
       textCol: String, k: Int, n: Int = 3): DataFrame = {
     require(k >= 1, "k must be >= 1")
@@ -520,24 +533,28 @@ object Selection {
         explode(TextFunctions.shingles(col(textCol), n)).as("sh"))
       .distinct()
       .persist()
+    // Each round's survivor is localCheckpoint'ed EAGERLY (one bounded
+    // job over the shrinking frame) rather than persist()'ed: the
+    // survivor's logical plan references its predecessor TWICE (once as
+    // the anti-join's left side, once through the winner's shingle set),
+    // so chained Dataset lineage grows the plan tree EXPONENTIALLY in k
+    // — measured as a treeString blow-up inside CacheManager at k=16
+    // (the Bpe trainer's checkpointEvery precedent, Bpe.scala:216).
+    // Checkpointing snaps each round to a leaf, and eagerness makes it
+    // safe to release the predecessor's block immediately.
+    def releaseCkpt(d: DataFrame): Unit = d.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => () // round-1 `remaining` is `tok`, released in finally
+    }
+    var remaining = tok
     try {
       val total = tok.select(col("sh")).distinct().count()
       var picked = Vector.empty[(Long, String, Long, Long, Double)]
-      var chosen = Vector.empty[String]
       var done = false
       var r = 1
       while (r <= k && !done) {
-        val covered =
-          if (chosen.isEmpty) null
-          else tok.filter(col("g").isin(chosen: _*))
-            .select(col("sh")).distinct()
-        val remaining =
-          if (covered == null) tok
-          else tok.join(covered.hint("shuffle_hash"), Seq("sh"),
-            "left_anti")
         val arg = remaining
-          .filter(if (chosen.isEmpty) lit(true)
-            else !col("g").isin(chosen: _*))
           .groupBy(col("g")).agg(count(lit(1)).as("gain"))
           .orderBy(desc("gain"), asc("g"))
           .limit(1).collect()
@@ -545,7 +562,6 @@ object Selection {
         else {
           val src = arg(0).getString(0)
           val gain = arg(0).getLong(1)
-          chosen = chosen :+ src
           // cum coverage = running sum of gains BY CONSTRUCTION (each
           // gain counts exactly the newly covered shingles) — no extra
           // count job per round
@@ -553,12 +569,21 @@ object Selection {
           picked = picked :+ ((r.toLong, src, gain, cum,
             BigDecimal(cum.toDouble / total.toDouble)
               .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          if (r < k) { // final round's survivor is never read — skip it
+            val winSh = remaining.filter(col("g") === src)
+              .select(col("sh"))
+            val next = remaining
+              .join(winSh.hint("shuffle_hash"), Seq("sh"), "left_anti")
+              .localCheckpoint(true)
+            releaseCkpt(remaining)
+            remaining = next
+          }
           r += 1
         }
       }
       picked
         .toDF("round", "source", "gain", "cum_covered", "pct_covered")
         .orderBy(col("round"))
-    } finally { tok.unpersist() }
+    } finally { tok.unpersist(); releaseCkpt(remaining) }
   }
 }

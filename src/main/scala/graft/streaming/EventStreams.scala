@@ -858,6 +858,77 @@ object EventStreams {
       }
   }
 
+  /** Streaming group-sequential monitor — the live twin of x244's
+    * [[graft.operators.Experiment.groupSequential]]. Interim analyses
+    * are the whole POINT of a group-sequential design; this twin keeps
+    * the user-level sufficient statistics live so every scheduled look
+    * reads the current table without reprocessing the event log.
+    *
+    * State per user (Spark-managed, keyed — scales with the user
+    * domain across executors, never one task): (first event us, first
+    * `convertType` us, max event us seen). A user emits a row whenever
+    * any of the three change (at most three distinct-value transitions
+    * plus max-us advances, each a bounded self-correction — late data
+    * is handled by emission, not dropped by a watermark). The rolled
+    * max-seq row per user IS the batch operator's per-user frame, and
+    * (min first_us, max max_us) IS its event-time range, so replaying
+    * them through the SHARED
+    * [[graft.operators.Experiment.groupSequentialFold]] yields a
+    * row-identical 5-look O'Brien-Fleming table — parity by
+    * construction, spec-gated including a late-arrival batch.
+    *
+    * Output: (user_id, arm, first_us, purch_us (None until converted),
+    * max_us, seq); take max seq per user for the current frame. */
+  def groupSequentialStream(events: DataFrame,
+      typeCol: String = "event_type", convertType: String = "purchase")
+      : Dataset[(Long, Long, Long, Option[Long], Long, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), unix_micros(col("ts")),
+        (col(typeCol) === convertType).cast("boolean"))
+      .as[(Long, Long, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Option[Long], Long, Long),
+        (Long, Long, Long, Option[Long], Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, Long, Boolean)],
+            state: GroupState[(Long, Option[Long], Long, Long)]) =>
+          val (f0, p0, m0, seq0) = state.getOption
+            .getOrElse((Long.MaxValue, None: Option[Long], Long.MinValue, 0L))
+          var f = f0; var p = p0; var m = m0
+          rows.foreach { case (_, us, conv) =>
+            if (us < f) f = us
+            if (us > m) m = us
+            if (conv && p.forall(us < _)) p = Some(us)
+          }
+          if (f == f0 && p == p0 && m == m0) Iterator.empty
+          else {
+            val seq = seq0 + 1L
+            state.update((f, p, m, seq))
+            Iterator((userId, md5Arm(userId), f, p, m, seq))
+          }
+      }
+  }
+
+  /** Streaming UCB1 deltas — the live twin of x248's
+    * [[graft.operators.Evaluation.ucbAllocation]]. A bandit allocation
+    * policy is ONLINE by definition; the twin follows the
+    * freshnessStream ZERO-state convention: each event is a pure
+    * projection to (arm, Δn=1, Δreward on the exact 1e-6 integer
+    * microgrid) — no flatMapGroupsWithState, no watermark, late pulls
+    * are just more deltas. The rolled per-arm (n, s) equal the batch
+    * per-arm counts EXACTLY (associative integer sums), and the
+    * dashboard re-ranks through the SHARED
+    * [[graft.operators.Evaluation.ucbOnCounts]] fold, so the emitted
+    * next-pull table is row-identical to the batch operator at every
+    * point. Output: (arm, dn, drm). */
+  def ucbStream(events: DataFrame, typeCol: String = "event_type",
+      valueCol: String = "value"): DataFrame =
+    events.select(col(typeCol).cast("string").as("arm"),
+      lit(1L).as("dn"),
+      round(col(valueCol).cast("double") * lit(1e6))
+        .cast("long").as("drm"))
+
   /** Streaming freshness deltas — the live twin of x263's
     * [[graft.operators.Temporal.decayedVolume]]. Each event emits one
     * (key, event-day, +1) delta (the psiDriftStream ZERO-state

@@ -1247,6 +1247,84 @@ class ExtensionOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming group-sequential max-seq user rows replay to the batch x244 look table, including after a late-arrival batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    def tsOf(day: Int, sec: Int) =
+      new java.sql.Timestamp((day.toLong * 86400L + sec) * 1000L)
+    val est = EventStreams.groupSequentialStream(
+      input.toDF().toDF("user_id", "ts", "event_type"))
+      .toDF("user_id", "arm", "first_us", "purch_us", "max_us", "seq")
+    val q = est.writeStream.format("memory").queryName("gs_stream")
+      .outputMode("append").start()
+    try {
+      val batch1 = (1L to 30L).flatMap { u =>
+        Seq((u, tsOf((u % 5).toInt, u.toInt), "view")) ++
+          (if (u % 3 == 0L)
+            Seq((u, tsOf((u % 5).toInt + 1, u.toInt), "purchase"))
+          else Nil)
+      }
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      // late batch: an EARLIER first event for user 7, an earlier
+      // conversion for user 9, and a brand-new user stretching the range
+      val batch2 = Seq((7L, tsOf(0, 1), "view"),
+        (9L, tsOf(1, 2), "purchase"), (31L, tsOf(9, 9), "view"))
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("seq").desc)
+      val users = spark.table("gs_stream")
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("arm"), col("first_us"), col("purch_us"), col("max_us"))
+      val perUser = users.select(col("arm"), col("first_us"), col("purch_us"))
+      val range1 = users.agg(min(col("first_us")).as("lo"),
+        max(col("max_us")).as("hi"))
+      val replayed = graft.operators.Experiment
+        .groupSequentialFold(perUser, range1)
+      val batch = graft.operators.Experiment.groupSequential(
+        (batch1 ++ batch2).toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", "purchase")
+      assert(batch.count() == 5)
+      assert(replayed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(replayed).isEmpty,
+        s"replayed=${replayed.collect().mkString(",")} " +
+          s"batch=${batch.collect().mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("streaming UCB1 deltas roll up to the batch x248 allocation table exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val est = EventStreams.ucbStream(
+      input.toDF().toDF("event_type", "value"))
+    val q = est.writeStream.format("memory").queryName("ucb_stream")
+      .outputMode("append").start()
+    try {
+      val batch1 = (1 to 60).map(i =>
+        (Seq("view", "click", "purchase")(i % 3), i * 0.17))
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      val batch2 = Seq(("view", 4.2), ("purchase", 0.01)) // late pulls
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val rolled = spark.table("ucb_stream")
+        .groupBy(col("arm"))
+        .agg(sum(col("dn")).as("n"), sum(col("drm")).as("s"))
+      val replayed = graft.operators.Evaluation.ucbOnCounts(rolled)
+      val batch = graft.operators.Evaluation.ucbAllocation(
+        (batch1 ++ batch2).toDF("event_type", "value"),
+        "event_type", "value")
+      assert(batch.count() == 3)
+      assert(replayed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(replayed).isEmpty,
+        s"replayed=${replayed.collect().mkString(",")} " +
+          s"batch=${batch.collect().mkString(",")}")
+    } finally q.stop()
+  }
+
   test("streaming covariate-balance deltas roll up to the batch x213 moments and SMD") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_cb").toString
     java.nio.file.Files.copy(

@@ -507,4 +507,39 @@ class MultimodalSpec extends SparkSpec {
     // wrap actually exercised: frame 0's bottom band wrapped past 256
     assert(mean(0) == (250.0 + 58.0) / 2)
   }
+
+  test("renderAviMjpeg + aviMjpegFrameHashes: a hand-built 2-frame AVI round-trips hash-exact; everyK samples; junk dropped") {
+    import org.apache.spark.sql.types._
+    def md8(s: String): Array[Byte] = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8")).take(8)
+    def expected(h: Array[Byte]): Long =
+      (0 until 8).map(j => (h(j) & 0xffL) << (8 * j)).reduce(_ | _)
+    val h0 = md8("frame_zero"); val h1 = md8("frame_one")
+    val avi = Multimodal.renderAviMjpeg(
+      Seq(Multimodal.renderJpegHashEncoded(h0),
+        Multimodal.renderJpegHashEncoded(h1)), 72, 64)
+    // the wrapper is a real RIFF AVI: fourccs where a player expects them
+    assert(new String(avi, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(avi, 8, 4, "US-ASCII") == "AVI ")
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, avi),
+      org.apache.spark.sql.Row(2L, "not an avi".getBytes("UTF-8")),
+      // truncated mid-movi: walker must drop, not throw
+      org.apache.spark.sql.Row(3L, avi.take(avi.length - 40)))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("content", BinaryType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val all = Multimodal.aviMjpegFrameHashes(df, "id")
+      .orderBy("id", "frame_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the JPEG round-trip must not flip one gradient sign: the decoded
+    // dHash equals the encoded md5 bytes exactly (id 3 keeps frame 0 —
+    // its chunk is intact; the truncated second chunk is dropped)
+    assert(all.toSeq == Seq((1L, 0L, expected(h0)),
+      (1L, 1L, expected(h1)), (3L, 0L, expected(h0))))
+    val sampled = Multimodal.aviMjpegFrameHashes(df, "id", everyK = 2)
+      .filter(col("id") === 1L).collect().map(_.getLong(1)).toSeq
+    assert(sampled == Seq(0L))
+  }
 }

@@ -1057,6 +1057,27 @@ class PlanHealthSpec extends SparkSpec {
       s"x211's bounded joins must broadcast:\n$p")
   }
 
+  test("x211/x218: advisors fold all candidates + probes into ONE grouping-sets corpus pass, branches read the cache") {
+    for (name <- Seq("x211_sort_advisor", "x218_bloom_advisor")) {
+      // fire any armed onNextAction release a PRIOR test's construction
+      // left behind: re-persisting an identical plan aliases the same
+      // cache entry, and a stale one-shot listener would drop it mid-
+      // construction, making the branches plan parquet re-scans
+      spark.range(1).count()
+      val p = plan(name)
+      // the single corpus pass is the grouping-sets Expand; per-candidate
+      // branches must consume the persisted frames (probe quantiles + one
+      // cumulative frame per candidate), not re-derive from parquet
+      assert(p.contains("Expand"),
+        s"$name must consolidate candidates via grouping sets:\n$p")
+      // one per candidate branch at minimum (the probes subtree may be
+      // deduplicated into a reused exchange by AQE)
+      assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
+        s"$name's candidate branches must read the cached " +
+          s"grouping-sets frames (>=3 InMemoryTableScan):\n$p")
+    }
+  }
+
   test("x212: mSPRT is one partial agg into the days-sized frame — no join") {
     val p = plan("x212_msprt")
     assert(!p.contains("Join"), s"x212 must stay join-free:\n$p")
