@@ -3369,6 +3369,44 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("frame_idx"))
     },
 
+    // ---- X: t-closeness — third rung of the release-audit ladder
+    //      (x267 k-anonymity, x206/l-diversity): per-language
+    //      total-variation distance of the source distribution vs the
+    //      corpus's, exact integer cross products, missing cells folded
+    //      closed-form ----
+    "x276_t_closeness" -> { (s, dir) =>
+      graft.operators.Profile.tCloseness(
+        t(s, dir, "documents"), Seq("lang"), "source", t = 0.15)
+        .orderBy(col("lang"))
+    },
+
+    // ---- X: blocking-quality audit — reduction ratio + pairs
+    //      completeness for a 2-token-prefix blocking key against the
+    //      exact-fingerprint truth, ALL from grouped counts (no pair
+    //      frame anywhere) ----
+    "x277_blocking_quality" -> { (s, dir) =>
+      graft.operators.EntityResolution.blockingQuality(
+        t(s, dir, "documents"),
+        blockExpr = "concat_ws(' ', slice(split(lower(text), ' '), 1, 2))",
+        truthExpr = "md5(regexp_replace(lower(trim(text)), '\\\\s+', ' '))")
+    },
+
+    // ---- X: linear-kernel MMD two-sample drift between the md5-arm
+    //      halves of the embedding corpus — kernel-trick closed form
+    //      from per-dim microgrid sums, no pairwise kernel matrix ----
+    "x278_mmd_embeddings" -> { (s, dir) =>
+      graft.operators.Similarity.mmdLinear(
+        t(s, dir, "embeddings"), "vec_id", "embedding")
+    },
+
+    // ---- X: two-proportion power/MDE readout — x216's count-metric
+    //      MDE re-read for a CONVERSION RATE: exact binomial variance
+    //      from per-arm counts, pinned z constants, one sqrt ----
+    "x279_power_mde_rate" -> { (s, dir) =>
+      graft.operators.Experiment.powerMdeProportion(
+        t(s, dir, "events"), "user_id", "event_type", "purchase")
+    },
+
     // ---- X: per-dimension embedding health — microgrid-exact mean
     //      and variance per coordinate; dead-dim / runaway-dim scan
     //      before any quantizer is built ----
@@ -7503,6 +7541,127 @@ object SparkEntry {
              THEN uh - CAST('18446744073709551616' AS HUGEINT)
              ELSE uh END AS BIGINT) AS dhash
          FROM agg ORDER BY doc_id, frame_idx""",
+
+    // x276: t-closeness — exact HUGEINT cross products, missing cells
+    // folded via sum_{v not in class} Kv*nc = nc*N - sum_{in} Kv*nc
+    "x276_t_closeness" ->
+      """WITH cells AS (SELECT lang, source AS sv,
+             CAST(count(*) AS BIGINT) AS k
+           FROM documents GROUP BY 1, 2),
+         cls AS (SELECT lang, CAST(sum(k) AS BIGINT) AS nc
+           FROM cells GROUP BY 1),
+         gv AS (SELECT sv, CAST(sum(k) AS BIGINT) AS kv
+           FROM cells GROUP BY 1),
+         tot AS (SELECT CAST(sum(kv) AS BIGINT) AS nn FROM gv),
+         s AS (SELECT c.lang, max(cl.nc) AS n, max(t.nn) AS nn,
+             sum(abs(CAST(c.k AS HUGEINT) * t.nn
+                 - CAST(g.kv AS HUGEINT) * cl.nc)
+               - CAST(g.kv AS HUGEINT) * cl.nc) AS ssum
+           FROM cells c JOIN cls cl USING (lang) JOIN gv g USING (sv)
+           CROSS JOIN tot t GROUP BY 1)
+         SELECT lang, n,
+           round(CAST(ssum + CAST(n AS HUGEINT) * nn AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * nn * 2 AS DOUBLE), 6) AS tvd,
+           round(CAST(ssum + CAST(n AS HUGEINT) * nn AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * nn * 2 AS DOUBLE), 6) > 0.15
+             AS at_risk
+         FROM s ORDER BY lang""",
+
+    // x277: blocking quality — every pair total is sum C(n,2) over a
+    // grouped count frame; no pair frame materialized on either engine
+    "x277_blocking_quality" ->
+      """WITH r AS (SELECT
+             array_to_string((string_split(lower(text), ' '))[1:2], ' ')
+               AS b,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS t
+           FROM documents),
+         cand AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(sum(n * (n - 1) // 2) AS BIGINT) AS cand_pairs
+           FROM (SELECT count(*) AS n FROM r GROUP BY b)),
+         tru AS (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT)
+             AS true_pairs
+           FROM (SELECT count(*) AS n FROM r GROUP BY t)),
+         cap AS (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT)
+             AS captured_pairs
+           FROM (SELECT count(*) AS n FROM r GROUP BY t, b))
+         SELECT n_rows, cand_pairs, true_pairs, captured_pairs,
+           round(CASE WHEN n_rows < 2 THEN NULL
+             ELSE 1.0 - CAST(cand_pairs AS DOUBLE)
+               / CAST(n_rows * (n_rows - 1) // 2 AS DOUBLE) END, 6)
+             AS reduction_ratio,
+           round(CASE WHEN true_pairs = 0 THEN NULL
+             ELSE CAST(captured_pairs AS DOUBLE)
+               / CAST(true_pairs AS DOUBLE) END, 6)
+             AS pairs_completeness
+         FROM cand, tru, cap""",
+
+    // x278: linear-kernel MMD — per-dim microgrid sums, exact HUGEINT
+    // cross products, one double division at the edge
+    "x278_mmd_embeddings" ->
+      """WITH ex AS (SELECT
+             ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 2 AS arm,
+             CAST(t.i - 1 AS BIGINT) AS dim,
+             CAST(round(CAST(e.embedding[t.i] AS DOUBLE) * 1e6)
+               AS BIGINT) AS xm
+           FROM embeddings e,
+             UNNEST(range(1, len(e.embedding) + 1)) t(i)),
+         g AS (SELECT dim,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS na,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nb,
+             CAST(sum(CASE WHEN arm = 0 THEN xm ELSE 0 END) AS BIGINT)
+               AS sa,
+             CAST(sum(CASE WHEN arm = 1 THEN xm ELSE 0 END) AS BIGINT)
+               AS sb
+           FROM ex GROUP BY 1),
+         agg AS (SELECT max(na) AS n_a, max(nb) AS n_b,
+             sum((CAST(sa AS HUGEINT) * nb - CAST(sb AS HUGEINT) * na)
+               * (CAST(sa AS HUGEINT) * nb - CAST(sb AS HUGEINT) * na))
+               AS num
+           FROM g)
+         SELECT n_a, n_b,
+           round(CAST(num AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+               * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+             / 1e12, 6) AS mmd2
+         FROM agg""",
+
+    // x279: power / MDE — exact per-arm counts, pinned z constants,
+    // the single sqrt at the edge
+    "x279_power_mde_rate" ->
+      """WITH pu AS (SELECT user_id,
+             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+               END) AS BIGINT) AS conv,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 2 AS arm
+           FROM events GROUP BY 1),
+         a AS (SELECT
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n0,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+               AS conv0,
+             CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+               AS conv1
+           FROM pu),
+         f AS (SELECT n0, n1, conv0, conv1,
+             CAST(conv0 + conv1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)
+               AS pbar
+           FROM a),
+         m AS (SELECT n0, n1, conv0, conv1, pbar,
+             (1.959964 + 0.841621) * sqrt(pbar * (1 - pbar)
+               * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+               AS mde
+           FROM f)
+         SELECT n0, n1, conv0, conv1, round(pbar, 6) AS p_pool,
+           round(mde, 6) AS mde_abs,
+           round(CASE WHEN conv0 = 0 THEN NULL
+             ELSE mde / (CAST(conv0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+             END, 6) AS mde_rel
+         FROM m""",
 
     // x266: per-dimension embedding stats — coordinates microgrid-
     // quantized first, exact integer folds, one division at the end

@@ -106,4 +106,51 @@ object EntityResolution {
         round(log2((lit(1.0) - col("f.mp")) / (lit(1.0) - col("f.up"))), 6)
           .as("w_disagree"))
   }
+
+  /** Blocking-quality audit — the pre-flight for ANY pairwise linkage/
+    * dedup run (Christen 2012's reduction ratio + pairs completeness):
+    * given a blocking-key expression and a ground-truth-key expression
+    * (here: the exact-dedup fingerprint), report how many candidate
+    * pairs blocking generates, what fraction of the all-pairs space it
+    * prunes (reduction ratio), and what fraction of TRUE duplicate
+    * pairs land in the same block (pairs completeness — recall of the
+    * blocking stage alone).
+    *
+    * COUNT-ONLY algebra: every pair total is Σ C(n_g, 2) over a
+    * grouped count frame — candidate pairs from the block-key groups,
+    * true pairs from the truth-key groups, captured true pairs from
+    * the (truth, block) cell groups — so NO pair frame is ever
+    * materialized; this audits a quadratic space with three
+    * partial-agged groupBys and three 1-row reduces. Exact long
+    * arithmetic (n·(n-1) per group overflows only past ~3e9 rows in
+    * ONE group — a degenerate blocking key that failed long before
+    * arithmetic did), integer `div` for the halving, one double
+    * division per ratio at the edge.
+    *
+    * Output one row: (n_rows, cand_pairs, true_pairs, captured_pairs,
+    * reduction_ratio, pairs_completeness). */
+  def blockingQuality(df: DataFrame, blockExpr: String,
+      truthExpr: String): DataFrame = {
+    val half = (c: Column) => call_function("div", c * (c - 1L), lit(2L))
+    val rows = df.select(expr(blockExpr).as("__b"), expr(truthExpr).as("__t"))
+    val cand = rows.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+      .agg(sum(col("__n")).as("n_rows"),
+        sum(half(col("__n"))).as("cand_pairs"))
+    val truth = rows.groupBy(col("__t")).agg(count(lit(1)).as("__n"))
+      .agg(sum(half(col("__n"))).as("true_pairs"))
+    val captured = rows.groupBy(col("__t"), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .agg(sum(half(col("__n"))).as("captured_pairs"))
+    val d = (c: Column) => c.cast(DoubleType)
+    cand.crossJoin(broadcast(truth)).crossJoin(broadcast(captured))
+      .select(col("n_rows"), col("cand_pairs"), col("true_pairs"),
+        col("captured_pairs"),
+        round(when(col("n_rows") < 2L, lit(null).cast(DoubleType))
+          .otherwise(lit(1.0) -
+            d(col("cand_pairs")) / d(half(col("n_rows")))), 6)
+          .as("reduction_ratio"),
+        round(when(col("true_pairs") === 0L, lit(null).cast(DoubleType))
+          .otherwise(d(col("captured_pairs")) / d(col("true_pairs"))), 6)
+          .as("pairs_completeness"))
+  }
 }

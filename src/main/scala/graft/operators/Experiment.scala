@@ -1093,6 +1093,47 @@ object Experiment {
     * (n, k) per arm until the final per-row doubles; one per-user
     * groupBy then a 2-row frame. Streaming twin:
     * [[graft.streaming.EventStreams.wilsonGuardrailStream]]. */
+  /** Two-PROPORTION power / minimum-detectable-effect readout — the
+    * conversion-rate sibling of [[powerMde]] (that op reads the
+    * observed per-arm variance of the count metric; this one uses the
+    * exact binomial variance of a binary conversion, which is what a
+    * rate experiment's sizing memo quotes). Classic pooled formula
+    * (Cohen 1988): mde_abs = (z_{1-α/2} + z_{power}) ·
+    * sqrt(p̄(1-p̄)(1/n0 + 1/n1)) with p̄ from the exact per-arm user
+    * counts, pinned z constants (two-sided 5%: 1.959964; 80% power:
+    * 0.841621) so both engines evaluate the identical expression, and
+    * mde_rel = mde_abs over the CONTROL rate (NULL when control has no
+    * conversions). sqrt is the single transcendental, at the edge.
+    *
+    * 100 TB shape: one per-user partial agg, one 2-row arm agg, one
+    * 1-row cross — the [[ivWald]] skeleton. Output one row:
+    * (n0, n1, conv0, conv1, p_pool, mde_abs, mde_rel). */
+  def powerMdeProportion(events: DataFrame, userCol: String,
+      typeCol: String, convertType: String, zAlpha: Double = 1.959964,
+      zPower: Double = 0.841621): DataFrame = {
+    val d = (c: Column) => c.cast(DoubleType)
+    val perArm = events.groupBy(col(userCol))
+      .agg(max(when(col(typeCol) === convertType, 1L).otherwise(0L))
+        .as("conv"))
+      .withColumn("arm", armOf(col(userCol), 2))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("k"))
+    def arm(t: Int): DataFrame =
+      perArm.filter(col("arm") === t.toLong)
+        .select(col("n").as(s"n$t"), col("k").as(s"k$t"))
+    val pbar = d(col("k0") + col("k1")) / d(col("n0") + col("n1"))
+    val mde = lit(zAlpha + zPower) *
+      sqrt(pbar * (lit(1.0) - pbar) *
+        (lit(1.0) / d(col("n0")) + lit(1.0) / d(col("n1"))))
+    arm(0).crossJoin(broadcast(arm(1))) // 1-row x 1-row
+      .select(col("n0"), col("n1"), col("k0").as("conv0"),
+        col("k1").as("conv1"), round(pbar, 6).as("p_pool"),
+        round(mde, 6).as("mde_abs"),
+        round(when(col("k0") === 0L, lit(null).cast(DoubleType))
+          .otherwise(mde / (d(col("k0")) / d(col("n0")))), 6)
+          .as("mde_rel"))
+  }
+
   def wilsonGuardrail(events: DataFrame, userCol: String,
       typeCol: String, convertType: String, z: Double = 1.96)
       : DataFrame = {

@@ -523,6 +523,59 @@ object Profile {
       .withColumn("at_risk", col("l_distinct") < l)
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    * rung of the release-audit ladder after [[smallCells]] (k-anonymity)
+    * and [[lDiversity]]: an l-diverse cell still leaks when its
+    * sensitive-value DISTRIBUTION skews far from the corpus's (the
+    * "all rare diseases in one zip code" failure). Per QI class, the
+    * total-variation distance between the class's sensitive distribution
+    * and the global one, flagged when > t.
+    *
+    * EXACT integer arithmetic throughout (the x219 convention): tvd =
+    * (1/2) Σ_v |k_cv/n_c − K_v/N| over the FULL global domain, folded
+    * without a dense (class × value) spine via
+    * Σ_{v∉class} K_v·n_c = n_c·N − Σ_{v∈class} K_v·n_c, so tvd =
+    * (Σ_{v∈class} (|k_cv·N − K_v·n_c| − K_v·n_c) + n_c·N) / (2·n_c·N) —
+    * present cells only, DECIMAL(38,0) cross products, ONE exact
+    * decimal→double division at the edge.
+    *
+    * 100 TB shape: one partial-agged groupBy to the (QI class ×
+    * sensitive value) cell frame; per-class totals partial-agg again
+    * off that frame; the global value frame and the 1-row N broadcast.
+    * Nothing after the first reduction is corpus-sized. Output per
+    * class: (qiCols..., n, tvd, at_risk). */
+  def tCloseness(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, t: Double): DataFrame = {
+    require(qiCols.nonEmpty && t > 0.0 && t < 1.0,
+      "need QI cols and t in (0,1)")
+    val dec = DecimalType(38, 0)
+    val cells = df.groupBy(
+        (qiCols.map(col) :+ col(sensitiveCol).as("__sv")): _*)
+      .agg(count(lit(1)).as("__k"))
+    val classes = cells.groupBy(qiCols.map(col): _*)
+      .agg(sum(col("__k")).as("__nc"))
+    val global = cells.groupBy(col("__sv"))
+      .agg(sum(col("__k")).as("__kv"))
+    val total = global.agg(sum(col("__kv")).as("__n"))
+    val kN = col("__k").cast(dec) * col("__n").cast(dec)
+    val kvNc = col("__kv").cast(dec) * col("__nc").cast(dec)
+    val num = cells
+      .join(classes, qiCols)
+      .join(broadcast(global), Seq("__sv"))
+      .crossJoin(broadcast(total))
+      .groupBy(qiCols.map(col): _*)
+      .agg(max(col("__nc")).as("n"), max(col("__n")).as("__n"),
+        sum(abs(kN - kvNc) - kvNc).as("__s"))
+    // exact decimal numerator/denominator into doubles via string (the
+    // j4 convention), ONE division, round to the 1e-6 grid
+    val d = (c: Column) => c.cast("string").cast(DoubleType)
+    num.select((qiCols.map(col) :+ col("n") :+
+        round(d(col("__s") + col("n").cast(dec) * col("__n").cast(dec)) /
+          d(col("n").cast(dec) * col("__n").cast(dec) * lit(2)),
+          6).as("tvd")): _*)
+      .withColumn("at_risk", col("tvd") > t)
+  }
+
   /** Population Stability Index between a reference slice and a current
     * slice of an integer-valued feature (the standard refresh-over-refresh
     * drift monitor; PSI > 0.2 is the conventional "investigate" line,

@@ -201,6 +201,52 @@ object Similarity {
       .orderBy(col("dim"))
   }
 
+  /** Linear-kernel Maximum Mean Discrepancy (Gretton et al. 2012)
+    * between two embedding slices — the two-sample "did this batch of
+    * vectors drift" test that [[dimStats]] (marginals) and
+    * [[centroidDrift]] (per-label centroids) don't give: one number,
+    * zero iff the MEANS in feature space agree. For the linear kernel
+    * MMD² = ‖μ_A − μ_B‖², so the whole statistic folds from per-dim
+    * microgrid sums — no pairwise kernel matrix, the kernel-trick
+    * closed form instead of the O(n²) estimator.
+    *
+    * EXACT arithmetic: coordinates land on the 1e-6 integer microgrid
+    * (the [[dimStats]] fold); each per-dim term is the integer cross
+    * product (sA·nB − sB·nA)² in DECIMAL(38,0), summed exactly over
+    * dims, with ONE decimal→double division by (nA·nB)²·1e12 at the
+    * edge. Splits are the deterministic md5 arm of `idCol` (the
+    * [[graft.operators.Experiment.armOf]] convention), so any engine
+    * reproduces the same halves.
+    *
+    * 100 TB shape: one posexplode fan-out partial-aggs map-side into
+    * the (dim × 2) frame; everything after is dims-sized. Output one
+    * row: (n_a, n_b, mmd2). */
+  def mmdLinear(embs: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val arm = pmod(md5Long(col(idCol)), lit(2L))
+    val ex = embs
+      .select(arm.as("__arm"), posexplode(asDouble(col(vecCol)))
+        .as(Seq("dim", "x")))
+      .select(col("__arm"), col("dim"),
+        round(col("x") * lit(1e6)).cast("long").as("xm"))
+    val g = ex.groupBy(col("dim"))
+      .agg(
+        sum(when(col("__arm") === 0L, 1L).otherwise(0L)).as("na"),
+        sum(when(col("__arm") === 1L, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("__arm") === 0L, col("xm")).otherwise(0L)).as("sa"),
+        sum(when(col("__arm") === 1L, col("xm")).otherwise(0L)).as("sb"))
+    val term = (col("sa").cast(dec) * col("nb").cast(dec) -
+      col("sb").cast(dec) * col("na").cast(dec))
+    val d = (c: Column) => c.cast("string").cast(DoubleType)
+    g.agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        sum(term * term).as("__num"))
+      .select(col("n_a"), col("n_b"),
+        round(d(col("__num")) /
+          (d(col("n_a")) * d(col("n_b")) * d(col("n_a")) * d(col("n_b"))) /
+          lit(1e12), 6).as("mmd2"))
+  }
+
   /** Deterministic "centroids": C pseudo-directions derived from md5 of the
     * centroid index — each centroid is a ±1 sign pattern over dims, so
     * assignment = argmax of signed coordinate sums. Not k-means quality,

@@ -255,6 +255,63 @@ class PlannerLinkageSpec extends SparkSpec {
     assert(out.toSeq == Seq(("a", 3L, 1L, true), ("b", 3L, 3L, false)))
   }
 
+  test("tCloseness: a class matching the global distribution scores 0; a skewed class scores its exact TVD; missing values counted") {
+    // global: x appears 4 times, y 4 times (N=8). class p = (2x, 2y) ->
+    // tvd 0. class q = (2x, 2y missing) -> dist (1, 0) vs global
+    // (0.5, 0.5) -> tvd = 0.5
+    val rows = Seq(("p", "x"), ("p", "x"), ("p", "y"), ("p", "y"),
+      ("q", "x"), ("q", "x"), ("r", "y"), ("r", "y"))
+      .toDF("qi", "sv")
+    val out = graft.operators.Profile.tCloseness(rows, Seq("qi"), "sv",
+        t = 0.3)
+      .orderBy("qi").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3)))
+    assert(out.toSeq == Seq(("p", 4L, 0.0, false),
+      ("q", 2L, 0.5, true), ("r", 2L, 0.5, true)))
+  }
+
+  test("blockingQuality: count-only reduction ratio and pairs completeness match the hand-enumerated pairs") {
+    // 6 rows. truth groups by t: {A: r1,r2,r3}, {B: r4,r5}, {C: r6} ->
+    // true pairs = 3 + 1 = 4. blocks by b: {u: r1,r2,r4}, {v: r3,r5,r6}
+    // -> cand pairs = 3 + 3 = 6 of the 15 total -> rr = 0.6.
+    // captured (t,b) cells: (A,u) n=2 -> 1 pair; rest singletons ->
+    // pc = 1/4 = 0.25
+    val rows = Seq(("u", "A"), ("u", "A"), ("v", "A"),
+      ("u", "B"), ("v", "B"), ("v", "C")).toDF("b", "t")
+    val r = graft.operators.EntityResolution.blockingQuality(
+      rows, "b", "t").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((6L, 6L, 4L, 1L)))
+    assert(r.getDouble(4) == 0.6 && r.getDouble(5) == 0.25)
+  }
+
+  test("powerMdeProportion: exact per-arm counts and the closed-form rate MDE") {
+    val users = (1L to 40L)
+    val bits = users.map(Tuple1(_)).toDF("u")
+      .withColumn("h", graft.functions.TextFunctions.md5Long(col("u")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1) % 2).toMap
+    val evs = users.flatMap { u =>
+      Seq((u, "view")) ++
+        (if (u % 5 == 0L) Seq((u, "purchase")) else Nil)
+    }.toDF("user_id", "event_type")
+    val r = graft.operators.Experiment.powerMdeProportion(evs, "user_id",
+      "event_type", "purchase").collect()(0)
+    val n0 = users.count(bits(_) == 0L).toLong
+    val n1 = users.count(bits(_) == 1L).toLong
+    val k0 = users.count(u => bits(u) == 0L && u % 5 == 0L).toLong
+    val k1 = users.count(u => bits(u) == 1L && u % 5 == 0L).toLong
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((n0, n1, k0, k1)))
+    val pbar = (k0 + k1).toDouble / (n0 + n1)
+    val mde = (1.959964 + 0.841621) *
+      math.sqrt(pbar * (1 - pbar) * (1.0 / n0 + 1.0 / n1))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(5) == r6(mde))
+    assert(r.getDouble(6) == r6(mde / (k0.toDouble / n0)))
+  }
+
   test("psiDrift: identical slices score 0; a shifted slice drifts; bins follow the reference CDF") {
     // reference: values 1..80 uniform -> 8 even bins of 10
     val ref = (1L to 80L).map(v => Tuple1(v)).toDF("v")

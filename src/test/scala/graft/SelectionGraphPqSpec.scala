@@ -85,6 +85,32 @@ class SelectionGraphPqSpec extends SparkSpec {
     assert(o2.getLong(0) == 3L && o2.getLong(1) == 1L)
   }
 
+  test("mmdLinear: identical-mean halves score 0; shifted halves score the exact squared mean gap") {
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // find ids on each md5 arm so the construction controls the halves
+    val ids = (1L to 20L)
+    val arms = ids.map(Tuple1(_)).toDF("id")
+      .withColumn("h", graft.functions.TextFunctions.md5Long(col("id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1) % 2).toMap
+    val a = ids.filter(arms(_) == 0L).take(2)
+    val b = ids.filter(arms(_) == 1L).take(2)
+    assume(a.length == 2 && b.length == 2)
+    // same per-arm means -> mmd2 exactly 0
+    val same = (a.map(i => (i, Seq(1.0f, 2.0f))) ++
+      b.map(i => (i, Seq(1.0f, 2.0f)))).toDF("vec_id", "embedding")
+    val s = graft.operators.Similarity.mmdLinear(same, "vec_id",
+      "embedding").collect()(0)
+    assert(s.getLong(0) == 2L && s.getLong(1) == 2L &&
+      s.getDouble(2) == 0.0)
+    // arm-1 mean shifted by (0.5, -0.25): mmd2 = 0.25 + 0.0625
+    val shifted = (a.map(i => (i, Seq(1.0f, 2.0f))) ++
+      b.map(i => (i, Seq(1.5f, 1.75f)))).toDF("vec_id", "embedding")
+    val t = graft.operators.Similarity.mmdLinear(shifted, "vec_id",
+      "embedding").collect()(0)
+    assert(t.getDouble(2) == r6(0.25 + 0.0625))
+  }
+
   test("dimStats: microgrid mean/var per coordinate; a dead dim reports var 0") {
     val vecs = Seq((1L, Seq(1.0f, -1.0f, 0.5f)),
       (2L, Seq(3.0f, 1.0f, 0.5f))).toDF("vec_id", "embedding")
