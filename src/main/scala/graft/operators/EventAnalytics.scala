@@ -858,7 +858,15 @@ object EventAnalytics {
     *
     * 100 TB shape: identical to [[cupedAdjust]] — one per-user partial
     * agg, one 1-row pooled-moments reduce broadcast back, one per-arm
-    * reduce. The 2x2 solve is scalar arithmetic in the projection. */
+    * reduce. The 2x2 solve is scalar arithmetic in the projection.
+    *
+    * Determinism note (round-9 advice): the x1/y moment sums accumulate
+    * as raw doubles, following the cupedAdjust precedent, so partition-
+    * order float accumulation could in principle flip the 6th decimal
+    * between runs/engines; it has stayed oracle-green at both gated
+    * scales. If a flip ever appears at larger scale, quantize the value
+    * sums to the 1e6 microgrid before aggregation (the x181 fold), as
+    * the integer-exact operators do. */
   def regressionAdjust2(events: DataFrame, userCol: String,
       tsCol: String, valueCol: String, cutoff: String): DataFrame = {
     val d = (c: Column) => c.cast("double")
