@@ -761,6 +761,26 @@ object Stress {
             events, "ts", "event_type",
             payloadCols = Seq("props", "event_type"),
             ttlDays = 21).count()),
+        // one cell groupBy into class x value; bounded folds after
+        "t_closeness" -> (() =>
+          operators.Profile.tCloseness(
+            docs, Seq("lang"), "source", t = 0.15).count()),
+        // three grouped counts, sum C(n,2) each — no pair frame
+        "blocking_quality" -> (() =>
+          operators.EntityResolution.blockingQuality(docs,
+            "concat_ws(' ', slice(split(lower(text), ' '), 1, 2))",
+            "md5(regexp_replace(lower(trim(text)), '\\\\s+', ' '))")
+            .count()),
+        // posexplode fan-out partial-aggs into the (dim x 2) frame
+        "mmd_embeddings" -> (() =>
+          operators.Similarity.mmdLinear(
+            replicateEmbeddings(
+              Tables.load(spark, sfDir, "embeddings"), m),
+            "vec_id", "embedding").count()),
+        // per-user partial agg + 2-row arm agg + 1-row cross
+        "power_mde_rate" -> (() =>
+          operators.Experiment.powerMdeProportion(
+            events, "user_id", "event_type", "purchase").count()),
         // per-user partial agg into the 4-cell factorial frame
         "factorial" -> (() =>
           operators.Experiment.factorial2(
@@ -812,6 +832,30 @@ object Stress {
             }
           }, schema)
           operators.Multimodal.frameSample(vids, "doc_id",
+            everyK = 2).count()
+        }),
+        // real-container twin: RIFF walk + JPEG decode + dHash per
+        // sampled frame (synth cost included, as with frame_sample)
+        "avi_mjpeg_frames" -> (() => {
+          val ids = docs.select(col("doc_id")).limit(200 * m)
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("content",
+              org.apache.spark.sql.types.BinaryType)))
+          val vids = spark.createDataFrame(ids.rdd.mapPartitions { rs =>
+            rs.map { r =>
+              val id = r.getLong(0)
+              val frames = (0 until 3).map { f =>
+                val md = java.security.MessageDigest.getInstance("MD5")
+                operators.Multimodal.renderJpegHashEncoded(
+                  md.digest(s"${id}_$f".getBytes("UTF-8")).take(8))
+              }
+              org.apache.spark.sql.Row(id,
+                operators.Multimodal.renderAviMjpeg(frames, 72, 64))
+            }
+          }, schema)
+          operators.Multimodal.aviMjpegFrameHashes(vids, "doc_id",
             everyK = 2).count()
         }),
         // embarrassingly parallel codec scan (synth + decode + RMS)
