@@ -99,6 +99,13 @@ object Bench {
     * under positional grouping). Within a chunk, execution order stays
     * alphabetical, which is likewise append-stable. */
   private def runForked(cp: String): Unit = {
+    // the pre-round-9 positional-chunk knob is gone; fail loudly rather
+    // than silently handing an old invocation the 24-bucket default
+    sys.env.get("SPARK_GRAFT_BENCH_CHUNK").foreach { v =>
+      System.err.println(s"[bench] WARNING: SPARK_GRAFT_BENCH_CHUNK=$v " +
+        "is ignored (chunking is content-hashed since round 9); " +
+        "set SPARK_GRAFT_BENCH_BUCKETS to control bucket count")
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val numBuckets = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUCKETS", "24").toInt
     val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")

@@ -7543,22 +7543,24 @@ object SparkEntry {
          FROM agg ORDER BY doc_id, frame_idx""",
 
     // x276: t-closeness — exact HUGEINT cross products, missing cells
-    // folded via sum_{v not in class} Kv*nc = nc*N - sum_{in} Kv*nc
+    // folded via sum_{v not in class} Kv*nc = nc*N - sum_{in} Kv*nc.
+    // Per-class / per-value totals are WINDOW sums over the cell frame
+    // (round 10, mirroring the engine): equi-joins on lang/sv would
+    // silently drop NULL QI classes and NULL sensitive values' mass.
     "x276_t_closeness" ->
       """WITH cells AS (SELECT lang, source AS sv,
              CAST(count(*) AS BIGINT) AS k
            FROM documents GROUP BY 1, 2),
-         cls AS (SELECT lang, CAST(sum(k) AS BIGINT) AS nc
-           FROM cells GROUP BY 1),
-         gv AS (SELECT sv, CAST(sum(k) AS BIGINT) AS kv
-           FROM cells GROUP BY 1),
-         tot AS (SELECT CAST(sum(kv) AS BIGINT) AS nn FROM gv),
-         s AS (SELECT c.lang, max(cl.nc) AS n, max(t.nn) AS nn,
-             sum(abs(CAST(c.k AS HUGEINT) * t.nn
-                 - CAST(g.kv AS HUGEINT) * cl.nc)
-               - CAST(g.kv AS HUGEINT) * cl.nc) AS ssum
-           FROM cells c JOIN cls cl USING (lang) JOIN gv g USING (sv)
-           CROSS JOIN tot t GROUP BY 1)
+         en AS (SELECT lang, k,
+             CAST(sum(k) OVER (PARTITION BY lang) AS BIGINT) AS nc,
+             CAST(sum(k) OVER (PARTITION BY sv) AS BIGINT) AS kv,
+             CAST(sum(k) OVER () AS BIGINT) AS nn
+           FROM cells),
+         s AS (SELECT lang, max(nc) AS n, max(nn) AS nn,
+             sum(abs(CAST(k AS HUGEINT) * nn
+                 - CAST(kv AS HUGEINT) * nc)
+               - CAST(kv AS HUGEINT) * nc) AS ssum
+           FROM en GROUP BY 1)
          SELECT lang, n,
            round(CAST(ssum + CAST(n AS HUGEINT) * nn AS DOUBLE)
              / CAST(CAST(n AS HUGEINT) * nn * 2 AS DOUBLE), 6) AS tvd,

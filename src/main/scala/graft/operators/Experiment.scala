@@ -1105,8 +1105,13 @@ object Experiment {
     * mde_rel = mde_abs over the CONTROL rate (NULL when control has no
     * conversions). sqrt is the single transcendental, at the edge.
     *
-    * 100 TB shape: one per-user partial agg, one 2-row arm agg, one
-    * 1-row cross — the [[ivWald]] skeleton. Output one row:
+    * 100 TB shape: one per-user partial agg, then ONE conditional
+    * 1-row pivot over the arm frame (round 10 — previously two filters
+    * cross-joined, which planned the per-user subtree twice and, if
+    * every user hashed to one arm, returned an EMPTY frame instead of
+    * a row with NULL mde; the conditional sums yield NULL for the
+    * missing arm, which propagates to NULL rates/mde as a sizing memo
+    * should read). Output one row:
     * (n0, n1, conv0, conv1, p_pool, mde_abs, mde_rel). */
   def powerMdeProportion(events: DataFrame, userCol: String,
       typeCol: String, convertType: String, zAlpha: Double = 1.959964,
@@ -1118,14 +1123,15 @@ object Experiment {
       .withColumn("arm", armOf(col(userCol), 2))
       .groupBy(col("arm"))
       .agg(count(lit(1)).as("n"), sum(col("conv")).as("k"))
-    def arm(t: Int): DataFrame =
-      perArm.filter(col("arm") === t.toLong)
-        .select(col("n").as(s"n$t"), col("k").as(s"k$t"))
     val pbar = d(col("k0") + col("k1")) / d(col("n0") + col("n1"))
     val mde = lit(zAlpha + zPower) *
       sqrt(pbar * (lit(1.0) - pbar) *
         (lit(1.0) / d(col("n0")) + lit(1.0) / d(col("n1"))))
-    arm(0).crossJoin(broadcast(arm(1))) // 1-row x 1-row
+    perArm.agg(
+        sum(when(col("arm") === 0L, col("n"))).as("n0"),
+        sum(when(col("arm") === 1L, col("n"))).as("n1"),
+        sum(when(col("arm") === 0L, col("k"))).as("k0"),
+        sum(when(col("arm") === 1L, col("k"))).as("k1"))
       .select(col("n0"), col("n1"), col("k0").as("conv0"),
         col("k1").as("conv1"), round(pbar, 6).as("p_pool"),
         round(mde, 6).as("mde_abs"),

@@ -340,7 +340,9 @@ object Multimodal {
       while (off + 8 <= b.length && (channels < 0 || dataOff < 0)) {
         val id = new String(b, off, 4, "US-ASCII")
         val size = i32(b, off + 4)
-        if (size < 0 || off + 8 + size > b.length) return None
+        // Long bounds: a declared size near 2^31 overflows `off+8+size`
+        // negative in Int and would slip past this check
+        if (size < 0 || off.toLong + 8L + size > b.length) return None
         id match {
           case "fmt " =>
             if (size < 16) return None
@@ -535,7 +537,8 @@ object Multimodal {
     while (off + 8 <= b.length && (channels < 0 || dataOff < 0)) {
       val id = new String(b, off, 4, "US-ASCII")
       val size = i32(b, off + 4)
-      if (size < 0 || off + 8 + size > b.length) return None
+      // Long bounds — see WavCodec.decode
+      if (size < 0 || off.toLong + 8L + size > b.length) return None
       id match {
         case "fmt " =>
           if (size < 16) return None
@@ -1135,7 +1138,11 @@ object Multimodal {
               b(10) == 'I'.toByte && b(11) == ' '.toByte =>
             // top-level walk to LIST('movi'); a truncated file keeps its
             // complete frames (moviEnd clamps to the payload) — salvage,
-            // don't throw, is the codec-op contract
+            // don't throw, is the codec-op contract. Bounds math is in
+            // Long: a crafted declared size near 2^31 would overflow
+            // `off + 8 + size` negative in Int, pass the check, and
+            // drive a negative offset into copyOfRange — oversized
+            // chunks are truncation, never an executor throw.
             var off = 12
             var moviOff = -1; var moviEnd = -1
             while (moviOff < 0 && off + 8 <= b.length) {
@@ -1148,9 +1155,10 @@ object Multimodal {
                   b(off + 9) == 'o'.toByte && b(off + 10) == 'v'.toByte &&
                   b(off + 11) == 'i'.toByte) {
                 moviOff = off + 12
-                moviEnd = math.min(off + 8 + size, b.length)
+                moviEnd = math.min(off.toLong + 8L + size,
+                  b.length.toLong).toInt
               }
-              else if (off + 8 + size > b.length) { off = b.length }
+              else if (off.toLong + 8L + size > b.length) { off = b.length }
               else off += 8 + size + (size & 1)
             }
             if (moviOff < 0) Iterator.empty
@@ -1161,7 +1169,7 @@ object Multimodal {
               var frame = 0L
               while (o + 8 <= moviEnd) {
                 val size = i32(b, o + 4)
-                if (size < 0 || o + 8 + size > moviEnd) { o = moviEnd }
+                if (size < 0 || o.toLong + 8L + size > moviEnd) { o = moviEnd }
                 else {
                   val isVid = (b(o + 2) == 'd'.toByte &&
                     (b(o + 3) == 'c'.toByte || b(o + 3) == 'b'.toByte))

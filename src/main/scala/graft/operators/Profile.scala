@@ -540,10 +540,15 @@ object Profile {
     * decimal→double division at the edge.
     *
     * 100 TB shape: one partial-agged groupBy to the (QI class ×
-    * sensitive value) cell frame; per-class totals partial-agg again
-    * off that frame; the global value frame and the 1-row N broadcast.
-    * Nothing after the first reduction is corpus-sized. Output per
-    * class: (qiCols..., n, tvd, at_risk). */
+    * sensitive value) cell frame; per-class and per-value totals are
+    * WINDOW sums over that frame (round 10 — previously equi-joins,
+    * which silently dropped NULL QI classes from the audit and leaked
+    * NULL sensitive values' mass out of the per-class sum: a
+    * false-negative channel in a privacy audit; window partitioning
+    * groups NULLs like any other value, matching the
+    * smallCells/lDiversity rungs). The one unpartitioned window runs
+    * over the cell frame, which is domain-sized (QI × value), never
+    * corpus-sized. Output per class: (qiCols..., n, tvd, at_risk). */
   def tCloseness(df: DataFrame, qiCols: Seq[String],
       sensitiveCol: String, t: Double): DataFrame = {
     require(qiCols.nonEmpty && t > 0.0 && t < 1.0,
@@ -552,17 +557,15 @@ object Profile {
     val cells = df.groupBy(
         (qiCols.map(col) :+ col(sensitiveCol).as("__sv")): _*)
       .agg(count(lit(1)).as("__k"))
-    val classes = cells.groupBy(qiCols.map(col): _*)
-      .agg(sum(col("__k")).as("__nc"))
-    val global = cells.groupBy(col("__sv"))
-      .agg(sum(col("__k")).as("__kv"))
-    val total = global.agg(sum(col("__kv")).as("__n"))
+    val wClass = Window.partitionBy(qiCols.map(col): _*)
+    val wVal = Window.partitionBy(col("__sv"))
+    val wAll = Window.partitionBy(lit(1))
     val kN = col("__k").cast(dec) * col("__n").cast(dec)
     val kvNc = col("__kv").cast(dec) * col("__nc").cast(dec)
     val num = cells
-      .join(classes, qiCols)
-      .join(broadcast(global), Seq("__sv"))
-      .crossJoin(broadcast(total))
+      .withColumn("__nc", sum(col("__k")).over(wClass))
+      .withColumn("__kv", sum(col("__k")).over(wVal))
+      .withColumn("__n", sum(col("__k")).over(wAll))
       .groupBy(qiCols.map(col): _*)
       .agg(max(col("__nc")).as("n"), max(col("__n")).as("__n"),
         sum(abs(kN - kvNc) - kvNc).as("__s"))

@@ -542,4 +542,42 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("id") === 1L).collect().map(_.getLong(1)).toSeq
     assert(sampled == Seq(0L))
   }
+
+  test("aviMjpegFrameHashes: a declared chunk size near 2^31 is truncation, not an executor throw") {
+    import org.apache.spark.sql.types._
+    def md8(s: String): Array[Byte] = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8")).take(8)
+    def expected(h: Array[Byte]): Long =
+      (0 until 8).map(j => (h(j) & 0xffL) << (8 * j)).reduce(_ | _)
+    def le32(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    val h0 = md8("frame_zero")
+    val jpeg0 = Multimodal.renderJpegHashEncoded(h0)
+    val pad = if ((jpeg0.length & 1) == 1) Array(0.toByte)
+      else Array.empty[Byte]
+    // one good frame, then a frame chunk declaring ~Int.MaxValue bytes:
+    // `o + 8 + size` overflows negative in Int and used to pass the
+    // bounds check straight into a negative copyOfRange
+    val movi = cc("movi") ++
+      cc("00dc") ++ le32(jpeg0.length) ++ jpeg0 ++ pad ++
+      cc("00dc") ++ le32(0x7ffffff0) ++ Array.fill(8)(1.toByte)
+    val list = cc("LIST") ++ le32(movi.length) ++ movi
+    val riff = cc("RIFF") ++ le32(4 + list.length) ++ cc("AVI ") ++ list
+    // and a file whose TOP-LEVEL chunk declares the huge size (the other
+    // overflowing cursor)
+    val evilTop = cc("RIFF") ++ le32(0x7ffffff0) ++ cc("AVI ") ++
+      cc("JUNK") ++ le32(0x7ffffff0) ++ Array.fill(16)(0.toByte)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("content", BinaryType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, riff),
+        org.apache.spark.sql.Row(2L, evilTop))), schema)
+    val out = Multimodal.aviMjpegFrameHashes(df, "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the intact frame is salvaged; the overflowing chunks are dropped
+    assert(out.toSeq == Seq((1L, 0L, expected(h0))))
+  }
 }

@@ -271,6 +271,24 @@ class PlannerLinkageSpec extends SparkSpec {
       ("q", 2L, 0.5, true), ("r", 2L, 0.5, true)))
   }
 
+  test("tCloseness: NULL QI classes are audited and NULL sensitive values keep their mass (round-10 null-safety)") {
+    // global: x:2, y:2, NULL:2 (N=6). class p = (x,y) and class NULL =
+    // (x,y): tvd = 1/2*(1/6+1/6+1/3) = 1/3. class q = (NULL,NULL):
+    // tvd = 1/2*(1/3+1/3+2/3) = 2/3. The pre-round-10 equi-joins
+    // dropped the NULL class entirely and leaked NULL-sv mass.
+    val rows = Seq((Some("p"), Some("x")), (Some("p"), Some("y")),
+      (None, Some("x")), (None, Some("y")),
+      (Some("q"), None), (Some("q"), None))
+      .toDF("qi", "sv")
+    val out = graft.operators.Profile.tCloseness(rows, Seq("qi"), "sv",
+        t = 0.5)
+      .orderBy("qi").collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3)))
+    assert(out.toSeq == Seq((None, 2L, 0.333333, false),
+      (Some("p"), 2L, 0.333333, false), (Some("q"), 2L, 0.666667, true)))
+  }
+
   test("blockingQuality: count-only reduction ratio and pairs completeness match the hand-enumerated pairs") {
     // 6 rows. truth groups by t: {A: r1,r2,r3}, {B: r4,r5}, {C: r6} ->
     // true pairs = 3 + 1 = 4. blocks by b: {u: r1,r2,r4}, {v: r3,r5,r6}
@@ -310,6 +328,22 @@ class PlannerLinkageSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(r.getDouble(5) == r6(mde))
     assert(r.getDouble(6) == r6(mde / (k0.toDouble / n0)))
+  }
+
+  test("powerMdeProportion: a missing arm yields one row of NULLs, not an empty frame (round-10 pivot)") {
+    val users = (1L to 40L)
+    val bits = users.map(Tuple1(_)).toDF("u")
+      .withColumn("h", graft.functions.TextFunctions.md5Long(col("u")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1) % 2).toMap
+    val arm0only = users.filter(bits(_) == 0L)
+    val evs = arm0only.map(u => (u, "view")).toDF("user_id", "event_type")
+    val rows = graft.operators.Experiment.powerMdeProportion(evs,
+      "user_id", "event_type", "purchase").collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getLong(0) == arm0only.length.toLong)
+    assert(r.isNullAt(1) && r.isNullAt(3) && r.isNullAt(4) &&
+      r.isNullAt(5) && r.isNullAt(6))
   }
 
   test("psiDrift: identical slices score 0; a shifted slice drifts; bins follow the reference CDF") {

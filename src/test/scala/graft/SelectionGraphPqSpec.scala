@@ -109,6 +109,20 @@ class SelectionGraphPqSpec extends SparkSpec {
     val t = graft.operators.Similarity.mmdLinear(shifted, "vec_id",
       "embedding").collect()(0)
     assert(t.getDouble(2) == r6(0.25 + 0.0625))
+    // ragged vector lengths: the closed form's global denominator would
+    // silently mix per-dim counts — the round-10 guard raises in-plan
+    val ragged = (a.map(i => (i, Seq(1.0f, 2.0f))) ++
+      b.take(1).map(i => (i, Seq(1.5f))) ++
+      b.drop(1).map(i => (i, Seq(1.5f, 1.75f))))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      graft.operators.Similarity.mmdLinear(ragged, "vec_id",
+        "embedding").collect()
+    }
+    def rootMsg(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" ")
+    assert(rootMsg(ex).contains("ragged embedding dimensions"))
   }
 
   test("dimStats: microgrid mean/var per coordinate; a dead dim reports var 0") {
