@@ -3407,6 +3407,22 @@ object SparkEntry {
         t(s, dir, "events"), "user_id", "event_type", "purchase")
     },
 
+    // ---- X: blocking-key ADVISOR — x277's audit metrics for N
+    //      candidate keys ranked in ONE grouping-sets corpus pass,
+    //      eagerly checkpointed (the x211/x218 consolidation applied
+    //      to the blocking decision itself) ----
+    "x280_blocking_advisor" -> { (s, dir) =>
+      graft.operators.EntityResolution.blockingKeyAdvisor(
+        t(s, dir, "documents"),
+        Seq(
+          "first2" -> "concat_ws(' ', slice(split(lower(text), ' '), 1, 2))",
+          "lang" -> "lang",
+          "len100" -> "cast(n_chars div 100 as bigint)",
+          "source" -> "source"),
+        truthExpr = "md5(regexp_replace(lower(trim(text)), '\\\\s+', ' '))")
+        .orderBy(col("candidate"))
+    },
+
     // ---- X: per-dimension embedding health — microgrid-exact mean
     //      and variance per coordinate; dead-dim / runaway-dim scan
     //      before any quantizer is built ----
@@ -7664,6 +7680,55 @@ object SparkEntry {
              ELSE mde / (CAST(conv0 AS DOUBLE) / CAST(n0 AS DOUBLE))
              END, 6) AS mde_rel
          FROM m""",
+
+    // x280: blocking-key advisor — per-candidate RR/PC/F from grouped
+    // counts only (no pair frame); rr/pc enter f UNROUNDED, rounded at
+    // the edge (mirrors the Spark column reuse)
+    "x280_blocking_advisor" -> {
+      val cands = Seq(
+        "first2" -> "array_to_string((string_split(lower(text), ' '))[1:2], ' ')",
+        "lang" -> "lang",
+        "len100" -> "n_chars // 100",
+        "source" -> "source")
+      val perCand = cands.map { case (nm, ex) =>
+        s"""SELECT '$nm' AS candidate, n_blocks, cand_pairs,
+            captured_pairs
+          FROM (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+              CAST(sum(n * (n - 1) // 2) AS BIGINT) AS cand_pairs
+            FROM (SELECT count(*) AS n
+              FROM (SELECT $ex AS b FROM documents) GROUP BY b)),
+          (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT)
+              AS captured_pairs
+            FROM (SELECT count(*) AS n
+              FROM (SELECT $ex AS b,
+                  md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                    'g')) AS t
+                FROM documents) GROUP BY b, t))"""
+      }.mkString("\n UNION ALL\n")
+      s"""WITH tru AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(sum(n * (n - 1) // 2) AS BIGINT) AS true_pairs
+           FROM (SELECT count(*) AS n FROM (SELECT
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                 AS t FROM documents) GROUP BY t)),
+         per AS ($perCand)
+         SELECT candidate, n_blocks, cand_pairs, true_pairs,
+           COALESCE(captured_pairs, 0) AS captured_pairs,
+           round(rr, 6) AS reduction_ratio,
+           round(pc, 6) AS pairs_completeness,
+           round(CASE WHEN rr IS NULL OR pc IS NULL OR rr + pc = 0
+             THEN NULL ELSE 2.0 * rr * pc / (rr + pc) END, 6)
+             AS f_quality
+         FROM (SELECT candidate, n_blocks, cand_pairs, true_pairs,
+             captured_pairs,
+             CASE WHEN n_rows < 2 THEN NULL
+               ELSE 1.0 - CAST(cand_pairs AS DOUBLE)
+                 / CAST(n_rows * (n_rows - 1) // 2 AS DOUBLE) END AS rr,
+             CASE WHEN true_pairs = 0 THEN NULL
+               ELSE CAST(COALESCE(captured_pairs, 0) AS DOUBLE)
+                 / CAST(true_pairs AS DOUBLE) END AS pc
+           FROM per, tru)
+         ORDER BY candidate"""
+    },
 
     // x266: per-dimension embedding stats — coordinates microgrid-
     // quantized first, exact integer folds, one division at the end

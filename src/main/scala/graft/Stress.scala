@@ -771,6 +771,16 @@ object Stress {
             "concat_ws(' ', slice(split(lower(text), ' '), 1, 2))",
             "md5(regexp_replace(lower(trim(text)), '\\\\s+', ' '))")
             .count()),
+        // ONE grouping-sets pass (checkpointed) for all 4 candidates
+        "blocking_advisor" -> (() =>
+          operators.EntityResolution.blockingKeyAdvisor(docs,
+            Seq(
+              "first2" -> "concat_ws(' ', slice(split(lower(text), ' '), 1, 2))",
+              "lang" -> "lang",
+              "len100" -> "cast(length(text) div 100 as bigint)",
+              "source" -> "source"),
+            "md5(regexp_replace(lower(trim(text)), '\\\\s+', ' '))")
+            .count()),
         // posexplode fan-out partial-aggs into the (dim x 2) frame
         "mmd_embeddings" -> (() =>
           operators.Similarity.mmdLinear(

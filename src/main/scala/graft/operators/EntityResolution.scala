@@ -129,6 +129,91 @@ object EntityResolution {
     *
     * Output one row: (n_rows, cand_pairs, true_pairs, captured_pairs,
     * reduction_ratio, pairs_completeness). */
+  /** Blocking-key ADVISOR — [[blockingQuality]] generalized to the
+    * decision a linkage engineer actually makes: given N candidate
+    * blocking expressions, rank them by reduction ratio AND pairs
+    * completeness in ONE corpus pass (the x211/x218 grouping-sets
+    * consolidation applied to Christen 2012's audit metrics).
+    *
+    * For each candidate b_i: reduction ratio RR = 1 − Σ_blocks C(n,2) /
+    * C(N,2) (how much of the quadratic comparison space blocking
+    * prunes), pairs completeness PC = Σ_(b_i,t) C(n,2) / Σ_t C(n,2)
+    * (what fraction of TRUE duplicate pairs share a block — the recall
+    * of the blocking stage alone), and their harmonic mean `f_quality`
+    * (the single number to rank by: a key that prunes everything but
+    * captures nothing, or vice versa, scores near 0).
+    *
+    * 100 TB shape: ONE grouping-sets scan of the corpus computes every
+    * candidate's block-count frame, every (candidate, truth) cell
+    * frame, and the truth-key frame together — sets (b_i), (b_i, t),
+    * (t) — then eagerly localCheckpoints the key-domain-sized result so
+    * no per-candidate branch can re-scan the corpus (the sortKeyAdvisor
+    * convention; CacheManager matching is not trusted for grouping-sets
+    * subtrees). COUNT-ONLY algebra throughout: the quadratic space is
+    * audited with partial-agged counts, no pair frame exists, and each
+    * candidate's metrics reduce bounded frames. grouping_id() bit-math
+    * keeps real NULL key values distinguishable from rolled-up columns.
+    * Exact long arithmetic; one double division per ratio at the edge.
+    *
+    * Output one row per candidate, ordered by the caller:
+    * (candidate, n_blocks, cand_pairs, true_pairs, captured_pairs,
+    * reduction_ratio, pairs_completeness, f_quality). */
+  def blockingKeyAdvisor(df: DataFrame, candidates: Seq[(String, String)],
+      truthExpr: String): DataFrame = {
+    require(candidates.nonEmpty, "need at least one candidate block key")
+    val half = (c: Column) => call_function("div", c * (c - 1L), lit(2L))
+    val d = (c: Column) => c.cast(DoubleType)
+    val names = candidates.map(_._1)
+    require(names.distinct.length == names.length,
+      s"duplicate candidate names in ${names.mkString(",")}")
+    val bCols = candidates.indices.map(i => s"__b_$i")
+    val rows = df.select(
+      candidates.zipWithIndex.map { case ((_, e), i) =>
+        expr(e).as(s"__b_$i") } :+ expr(truthExpr).as("__t"): _*)
+    val gcols = bCols :+ "__t"
+    val nG = gcols.length
+    def gidOf(cs: String*): Long =
+      cs.foldLeft((1L << nG) - 1L)((acc, nm) =>
+        acc - (1L << (nG - 1 - gcols.indexOf(nm))))
+    val sets = bCols.map(c => Seq(col(c))) ++ Seq(Seq(col("__t"))) ++
+      bCols.map(c => Seq(col(c), col("__t")))
+    // THE one corpus pass, checkpointed to a plan leaf
+    val gs = rows.groupingSets(sets, gcols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"), grouping_id().as("__gid"))
+      .localCheckpoint(true)
+    val release = graft.plans.Persists.checkpointRelease(gs)
+    // shared truth totals: true pairs + corpus row count (Σ cnt over
+    // the truth set is exactly N)
+    val truthTot = gs.filter(col("__gid") === gidOf("__t"))
+      .agg(sum(half(col("cnt"))).as("true_pairs"),
+        sum(col("cnt")).as("n_rows"))
+    val perKey = candidates.zipWithIndex.map { case ((name, _), i) =>
+      val bc = s"__b_$i"
+      val cand = gs.filter(col("__gid") === gidOf(bc))
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(half(col("cnt"))).as("cand_pairs"))
+      val captured = gs.filter(col("__gid") === gidOf(bc, "__t"))
+        .agg(sum(half(col("cnt"))).as("captured_pairs"))
+      val rr = when(col("n_rows") < 2L, lit(null).cast(DoubleType))
+        .otherwise(lit(1.0) - d(col("cand_pairs")) / d(half(col("n_rows"))))
+      val pc = when(col("true_pairs") === 0L, lit(null).cast(DoubleType))
+        .otherwise(d(coalesce(col("captured_pairs"), lit(0L))) /
+          d(col("true_pairs")))
+      cand.crossJoin(broadcast(captured)).crossJoin(broadcast(truthTot))
+        .select(lit(name).as("candidate"), col("n_blocks"),
+          col("cand_pairs"), col("true_pairs"),
+          coalesce(col("captured_pairs"), lit(0L)).as("captured_pairs"),
+          round(rr, 6).as("reduction_ratio"),
+          round(pc, 6).as("pairs_completeness"),
+          round(when(rr.isNull || pc.isNull || (rr + pc) === 0.0,
+              lit(null).cast(DoubleType))
+            .otherwise(lit(2.0) * rr * pc / (rr + pc)), 6).as("f_quality"))
+    }
+    val out = perKey.reduce(_ unionAll _)
+    graft.plans.Persists.onActionOf(out)(release)
+    out
+  }
+
   def blockingQuality(df: DataFrame, blockExpr: String,
       truthExpr: String): DataFrame = {
     val half = (c: Column) => call_function("div", c * (c - 1L), lit(2L))

@@ -210,13 +210,17 @@ object Scale {
     * (measured round 9: x211's final job carried five separate parquet
     * scans; with deferred release it carries one). */
   private[graft] def cumByRangeManaged(df: DataFrame, orderCol: String,
-      cntCol: String, smallDomain: Long = 1L << 20)
+      cntCol: String, smallDomain: Long = 1L << 20,
+      knownN: Option[Long] = None)
       : (DataFrame, () => Unit) = {
     val spark = df.sparkSession
     val cached = df.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val release = () => { cached.unpersist(blocking = false); () }
-    val nKeys = cached.count()
+    // a caller that already knows the row count (the advisors fold every
+    // set's count out of ONE gs.groupBy(__gid) action) skips the per-call
+    // count() job; the value only routes between the two equivalent paths
+    val nKeys = knownN.getOrElse(cached.count())
     if (nKeys <= smallDomain) {
       // KNOWN-bounded domain: a single-task ordered window over <= 2^20
       // rows is sub-second and costs two fewer jobs than the bucketed
@@ -288,19 +292,33 @@ object Scale {
     val nG = gcols.length
     def gidOf(name: String): Long =
       (1L << nG) - 1L - (1L << (nG - 1 - gcols.indexOf(name)))
+    // THE one corpus pass, materialized EAGERLY as a plan leaf: every
+    // candidate branch below references the checkpointed RDD, so no
+    // branch can re-plan a parquet scan — the round-9 persist() relied
+    // on CacheManager canonical matching, which silently fails for
+    // grouping-sets subtrees once the analyzer deduplicates the union's
+    // repeated references (measured: only the first branch read the
+    // cache; the rest re-ran the Expand from parquet)
     val gs = df
       .groupingSets(gcols.map(c => Seq(col(c))), gcols.map(col): _*)
       .agg(count(lit(1)).as("cnt"), min(col(probeCol)).as("pmin"),
         max(col(probeCol)).as("pmax"), grouping_id().as("__gid"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // every internal cache release is DEFERRED to the consumer's first
-    // action — see cumByRangeManaged's scaladoc for why self-arming
-    // releases would gut the caches before the composed query runs
+      .localCheckpoint(true)
+    // internal sub-cache releases are DEFERRED to the consumer's action —
+    // see cumByRangeManaged's scaladoc for why self-arming releases
+    // would gut the caches before the composed query runs
     val releases = scala.collection.mutable.ArrayBuffer[() => Unit]()
+    releases += releaseCheckpoint(gs)
+    // one bounded collect over the stored partitions yields every set's
+    // row count, so no cumByRangeManaged call below needs its own
+    // count() job (round 9 ran one count action per candidate + probes)
+    val gidRows = gs.groupBy(col("__gid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // probe workload: the i/(nProbes+1) exact quantiles of probeCol
     val pv = gs.filter(col("__gid") === gidOf(probeCol))
       .select(col(probeCol).as("pv"), col("cnt"))
-    val (pcum, pvRel) = cumByRangeManaged(pv, "pv", "cnt")
+    val (pcum, pvRel) = cumByRangeManaged(pv, "pv", "cnt",
+      knownN = Some(gidRows.getOrElse(gidOf(probeCol), 0L)))
     releases += pvRel
     val probeAggs = (1 to nProbes).map { i =>
       min(when(col("cum") * (nProbes + 1).toLong >= lit(i.toLong) * col("n"),
@@ -312,7 +330,8 @@ object Scale {
     val perKey = candidateKeys.map { key =>
       val counts = gs.filter(col("__gid") === gidOf(key))
         .select(col(key).as("k"), col("cnt"), col("pmin"), col("pmax"))
-      val (kcum, kRel) = cumByRangeManaged(counts, "k", "cnt")
+      val (kcum, kRel) = cumByRangeManaged(counts, "k", "cnt",
+        knownN = Some(gidRows.getOrElse(gidOf(key), 0L)))
       releases += kRel
       val bins = kcum
         .withColumn("bin", call_function("div",
@@ -332,13 +351,16 @@ object Scale {
             (col("n_bins").cast("double") * nProbes.toDouble), 6)
             .as("scan_frac"))
     }
-    // armed AFTER the per-candidate cumByRange passes (each an eager
-    // bounded action over the cached gs): the consumer's first action
-    // fires every release once the result has been computed
-    graft.plans.Persists.onNextAction(spark)(
-      () => { gs.unpersist(blocking = false); releases.foreach(_()) })
-    perKey.reduce(_ unionAll _)
+    // release fires on the CONSUMER'S action — the one whose analyzed
+    // plan contains this result — so interleaved session actions can no
+    // longer gut the caches before the composed query runs
+    val out = perKey.reduce(_ unionAll _)
+    graft.plans.Persists.onActionOf(out)(() => releases.foreach(_()))
+    out
   }
+
+  private def releaseCheckpoint(d: DataFrame): () => Unit =
+    graft.plans.Persists.checkpointRelease(d)
 
   /** Bloom-filter advisor — the [[sortKeyAdvisor]] sibling for the OTHER
     * skipping index: if each of the `nBins` equal-count files (packed in
@@ -388,15 +410,22 @@ object Scale {
     val singleSets = gcols.map(c => Seq(col(c)))
     val pairSets = candidateKeys.filter(_ != probeCol)
       .map(k => Seq(col(k), col(probeCol)))
+    // the one corpus pass, eagerly checkpointed to a plan leaf — see
+    // sortKeyAdvisor for why persist+CacheManager matching is not enough
     val gs = df
       .groupingSets(singleSets ++ pairSets, gcols.map(col): _*)
       .agg(count(lit(1)).as("cnt"), grouping_id().as("__gid"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // deferred release — see sortKeyAdvisor / cumByRangeManaged
     val releases = scala.collection.mutable.ArrayBuffer[() => Unit]()
+    releases += releaseCheckpoint(gs)
+    // one bounded collect: every set's row count from stored partitions
+    val gidRows = gs.groupBy(col("__gid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val pv = gs.filter(col("__gid") === gidOf(probeCol))
       .select(col(probeCol).as("pv"), col("cnt"))
-    val (pcum, pvRel) = cumByRangeManaged(pv, "pv", "cnt")
+    val (pcum, pvRel) = cumByRangeManaged(pv, "pv", "cnt",
+      knownN = Some(gidRows.getOrElse(gidOf(probeCol), 0L)))
     releases += pvRel
     val probeAggs = (1 to nProbes).map { i =>
       min(when(col("cum") * (nProbes + 1).toLong >= lit(i.toLong) * col("n"),
@@ -408,7 +437,8 @@ object Scale {
     val perKey = candidateKeys.map { key =>
       val counts = gs.filter(col("__gid") === gidOf(key))
         .select(col(key).as("k"), col("cnt"))
-      val (kcum, kRel) = cumByRangeManaged(counts, "k", "cnt")
+      val (kcum, kRel) = cumByRangeManaged(counts, "k", "cnt",
+        knownN = Some(gidRows.getOrElse(gidOf(key), 0L)))
       releases += kRel
       val bins = kcum
         .withColumn("bin", call_function("div",
@@ -452,10 +482,10 @@ object Scale {
           round((d(col("t_all")) + col("__fp")) /
             (lit(nProbes.toDouble) * d(col("n_bins"))), 6).as("open_frac"))
     }
-    // armed AFTER the per-candidate cumByRange passes — see sortKeyAdvisor
-    graft.plans.Persists.onNextAction(spark)(
-      () => { gs.unpersist(blocking = false); releases.foreach(_()) })
-    perKey.reduce(_ unionAll _)
+    // consumer-matched release — see sortKeyAdvisor
+    val out = perKey.reduce(_ unionAll _)
+    graft.plans.Persists.onActionOf(out)(() => releases.foreach(_()))
+    out
   }
 
   /** Range-partition planner: choose split boundaries over `keyCol` for

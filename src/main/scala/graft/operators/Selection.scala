@@ -93,6 +93,18 @@ object Selection {
     * map-side combine everywhere, B-row result, broadcast back. More
     * steps = iterate the same two frames (each later step needs the
     * current per-doc margin, still one corpus pass per step).
+    *
+    * Corpus passes are held to TWO: the nDocs and bias scalars fold out
+    * of ONE bounded aggregate over `base` (round 9 ran two separate
+    * actions), and the tf frame is persisted LAZILY so the consumer's
+    * own job fills the cache once at the gradient branch and the scoring
+    * branch reads it — the unpersisted shape re-tokenized the corpus
+    * twice inside that final DAG. The fill is deliberately NOT forced at
+    * construction: an eager fill action was measured SLOWER end-to-end
+    * at bench scale (the blocking cache write costs more than it saves
+    * on short documents), while lazy fill overlaps the consumer's job
+    * and still guarantees one tokenize at 100 TB. Released on the
+    * consumer's action (Persists convention).
     * Returns (idCol, label, p) ordered as given.
     */
   def bowLogisticScore(docs: DataFrame, idCol: String, textCol: String,
@@ -109,21 +121,28 @@ object Selection {
       .groupBy(col("id"), col("y"), col("n"), col("b"))
       .agg(count(lit(1)).cast(DoubleType).as("tf"))
       .withColumn("x", col("tf") / col("n"))
-    val nDocs = base.count().toDouble
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE bounded action folds both scalars (every term of g is exactly
+    // +-0.5, so the sum is exact); the tf cache stays lazy
+    val hd = base
+      .agg(count(lit(1)).as("nd"), sum(lit(0.5) - col("y")).as("g")).head()
+    val nDocs = hd.getLong(0).toDouble
+    val bias = BigDecimal(-learningRate * hd.getDouble(1) / nDocs)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     // batch gradient at w=0: B-row aggregate + one scalar; rounded weights
     val wtab = tf.groupBy(col("b"))
       .agg(sum((lit(0.5) - col("y")) * col("x")).as("g"))
       .select(col("b"), round(lit(-learningRate) * col("g") / nDocs, 6).as("wb"))
-    val bias = {
-      val g = base.agg(sum(lit(0.5) - col("y")).as("g")).head().getDouble(0)
-      BigDecimal(-learningRate * g / nDocs)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    }
-    tf.join(broadcast(wtab), Seq("b"))
+    val out = tf.join(broadcast(wtab), Seq("b"))
       .groupBy(col("id"), col("y"))
       .agg(sum(col("wb") * col("x")).as("z"))
       .select(col("id").as(idCol), col("y").as("label"),
         round(lit(1.0) / (lit(1.0) + exp(-(col("z") + bias))), 6).as("p"))
+    // armed AFTER the bounded action above; fires on the CONSUMER'S own
+    // action (plan containment), so interleaved actions can't drop tf
+    graft.plans.Persists.onActionOf(out)(
+      () => { tf.unpersist(blocking = false); () })
+    out
   }
 
   /** Temperature-scaled source mixing weights (the multilingual/multi-

@@ -23,8 +23,12 @@ object Persists {
 
   /** Drop every persisted RDD and cached relation in the session.
     * Non-blocking: removal is async, but the blocks are immediately
-    * ineligible as live storage and the next query starts clean. */
+    * ineligible as live storage and the next query starts clean.
+    * Also fires-and-unregisters every still-pending deferred release
+    * ([[onNextAction]]/[[onActionOf]]) so an abandoned query's armed
+    * listener never lingers into the next query's session. */
   def releaseAll(spark: SparkSession): Unit = {
+    drainPending(spark)
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
     spark.catalog.clearCache()
@@ -75,19 +79,74 @@ object Persists {
 
   /** Run `release` once, after the first Dataset action completing after
     * this call (success or failure). See [[releaseOnNextAction]]. */
-  def onNextAction(spark: SparkSession)(release: () => Unit): Unit = {
+  def onNextAction(spark: SparkSession)(release: () => Unit): Unit =
+    armed(spark, release, _ => true)
+
+  /** Run `release` once, after the first Dataset action WHOSE analyzed
+    * plan contains `target`'s — i.e. the consumer of the frame the cache
+    * was built for, not just whichever action happens next. The round-9
+    * advisors armed first-any-action releases, so any interleaved action
+    * on the session (another thread, or the caller running anything
+    * before consuming the advisor frame) dropped the grouping-sets cache
+    * early and silently reverted every candidate branch to a parquet
+    * re-scan. Containment is checked on ANALYZED plans (pre cache
+    * substitution, pre optimization) via canonicalized `sameResult`, so
+    * any downstream wrapping — orderBy, extra projections, a count() —
+    * still matches. An early release remains a recompute cost, never a
+    * correctness hazard; a release that never fires is drained by
+    * [[releaseAll]] between harness queries. */
+  def onActionOf(target: org.apache.spark.sql.Dataset[_])(release: () => Unit): Unit = {
+    val plan = target.queryExecution.analyzed
+    armed(target.sparkSession, release,
+      qe => qe.analyzed.exists(_.sameResult(plan)))
+  }
+
+  /** Release thunk for an eagerly localCheckpoint'ed frame: drops the
+    * stored partitions behind its LogicalRDD leaf (the x260 greedy-cover
+    * convention). A no-op thunk if the frame is not a checkpoint leaf. */
+  def checkpointRelease(d: org.apache.spark.sql.Dataset[_]): () => Unit =
+    d.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        () => { l.rdd.unpersist(blocking = false); () }
+      case _ => () => ()
+    }
+
+  // pending deferred releases, so releaseAll can drain abandoned ones
+  private val pending =
+    new java.util.concurrent.ConcurrentHashMap[AnyRef, () => Unit]()
+
+  private def drainPending(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val it = pending.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next(); it.remove()
+      e.getValue.apply()
+      spark.listenerManager.unregister(
+        e.getKey.asInstanceOf[QueryExecutionListener])
+    }
+  }
+
+  private def armed(spark: SparkSession, release: () => Unit,
+      matches: org.apache.spark.sql.execution.QueryExecution => Boolean): Unit = {
     import org.apache.spark.sql.execution.QueryExecution
     import org.apache.spark.sql.util.QueryExecutionListener
     val lm = spark.listenerManager
     val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val listener = new QueryExecutionListener {
-      private def done(): Unit = if (fired.compareAndSet(false, true)) {
-        release()
-        lm.unregister(this)
-      }
-      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = done()
-      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = done()
+    val listener: QueryExecutionListener = new QueryExecutionListener {
+      private def done(qe: QueryExecution): Unit =
+        if (matchesSafely(qe) && fired.compareAndSet(false, true)) {
+          pending.remove(this)
+          release()
+          lm.unregister(this)
+        }
+      // a predicate failure must never mask the release forever: treat
+      // an exception while comparing plans as a match (fail-open)
+      private def matchesSafely(qe: QueryExecution): Boolean =
+        try matches(qe) catch { case scala.util.control.NonFatal(_) => true }
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = done(qe)
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = done(qe)
     }
+    pending.put(listener, release)
     lm.register(listener)
   }
 }

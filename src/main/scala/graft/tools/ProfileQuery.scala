@@ -20,6 +20,17 @@ import graft.{SparkEntry, Tables}
   * Output: one `[prof]` line per query, machine-greppable.
   */
 object ProfileQuery {
+  // listenerBus is private[spark]; this is a dev tool, reflection is fine
+  private def drainListenerBus(sc: org.apache.spark.SparkContext): Unit = {
+    val m = sc.getClass.getMethods.find(_.getName == "listenerBus")
+    m.foreach { lb =>
+      val bus = lb.invoke(sc)
+      bus.getClass.getMethods
+        .find(x => x.getName == "waitUntilEmpty" && x.getParameterCount == 0)
+        .foreach(_.invoke(bus))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ProfileQuery <q1,q2,...> [sfDir] [reps]")
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
@@ -52,7 +63,7 @@ object ProfileQuery {
       var best = (Double.MaxValue, 0.0, 0, 0, 0) // wall, build, jobs, stages, tasks
       for (_ <- 1 to reps) {
         // let the listener bus drain so counters attribute correctly
-        spark.sparkContext.listenerBus.waitUntilEmpty()
+        drainListenerBus(spark.sparkContext)
         jobs.set(0); stages.set(0); tasks.set(0)
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
@@ -60,7 +71,7 @@ object ProfileQuery {
         val tBuild = (System.nanoTime() - t0) / 1e9
         df.count()
         val wall = (System.nanoTime() - t0) / 1e9
-        spark.sparkContext.listenerBus.waitUntilEmpty()
+        drainListenerBus(spark.sparkContext)
         graft.plans.Persists.releaseAll(spark)
         if (wall < best._1)
           best = (wall, tBuild, jobs.get(), stages.get(), tasks.get())

@@ -1057,25 +1057,45 @@ class PlanHealthSpec extends SparkSpec {
       s"x211's bounded joins must broadcast:\n$p")
   }
 
-  test("x211/x218: advisors fold all candidates + probes into ONE grouping-sets corpus pass, branches read the cache") {
+  test("x211/x218: advisors fold all candidates + probes into ONE eager grouping-sets pass; final plan has ZERO parquet scans") {
     for (name <- Seq("x211_sort_advisor", "x218_bloom_advisor")) {
-      // fire any armed onNextAction release a PRIOR test's construction
-      // left behind: re-persisting an identical plan aliases the same
-      // cache entry, and a stale one-shot listener would drop it mid-
-      // construction, making the branches plan parquet re-scans
-      spark.range(1).count()
       val p = plan(name)
-      // the single corpus pass is the grouping-sets Expand; per-candidate
-      // branches must consume the persisted frames (probe quantiles + one
-      // cumulative frame per candidate), not re-derive from parquet
-      assert(p.contains("Expand"),
-        s"$name must consolidate candidates via grouping sets:\n$p")
-      // one per candidate branch at minimum (the probes subtree may be
-      // deduplicated into a reused exchange by AQE)
-      assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
-        s"$name's candidate branches must read the cached " +
-          s"grouping-sets frames (>=3 InMemoryTableScan):\n$p")
+      // the single corpus pass (the grouping-sets Expand) ran EAGERLY at
+      // construction and was checkpointed to a plan leaf, so the final
+      // plan must contain NO Expand and NO parquet scan at all — every
+      // candidate branch reads the stored partitions. (The round-9
+      // persist() relied on CacheManager canonical matching, which
+      // silently fails for grouping-sets subtrees once the analyzer
+      // deduplicates the union's repeated references — only the first
+      // branch read the cache; the rest re-ran the Expand from parquet.)
+      assert(!p.contains("FileScan parquet"),
+        s"$name's final plan re-scans parquet — the corpus pass leaked " +
+          s"past the checkpoint:\n$p")
+      assert("Scan ExistingRDD".r.findAllIn(p).size >= 3,
+        s"$name's candidate branches must read the checkpointed " +
+          s"grouping-sets frame (>=3 Scan ExistingRDD):\n$p")
     }
+  }
+
+  test("x280: blocking advisor is one eager grouping-sets pass — final plan never re-scans parquet") {
+    val p = plan("x280_blocking_advisor")
+    assert(!p.contains("FileScan parquet"),
+      s"x280's final plan re-scans parquet past the checkpoint:\n$p")
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 4,
+      s"x280's candidate branches must read the checkpointed frame:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"x280's 1-row combines must broadcast:\n$p")
+  }
+
+  test("x50: BOW classifier tokenizes the corpus ONCE — both gradient and scoring branches read the persisted tf frame") {
+    val p = plan("x50_bow_classifier")
+    // the per-(doc,bucket) tf frame is persisted at construction; the
+    // final DAG consumes it twice (broadcast gradient table + scoring
+    // probe side) and BOTH must be cache reads — round 9 measured the
+    // unpersisted shape re-tokenizing the corpus ~4x per run
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"x50's gradient + scoring branches must both read the cached tf " +
+        s"frame (>=2 InMemoryTableScan):\n$p")
   }
 
   test("x212: mSPRT is one partial agg into the days-sized frame — no join") {

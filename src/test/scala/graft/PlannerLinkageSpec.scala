@@ -502,4 +502,39 @@ class PlannerLinkageSpec extends SparkSpec {
       Seq(-5.0, 0.0, 1.0).map(Tuple1(_)).toDF("v"), "v").collect()
     assert(o2.map(_.getLong(1)).sum == 1L)
   }
+
+  test("blockingKeyAdvisor: hand-computed RR/PC/F per candidate, null block keys kept, truth-equal key scores PC=1") {
+    // 6 rows, truth groups t1{1,2,3} t2{4,5} t3{6}: true_pairs = 3+1 = 4,
+    // total pairs C(6,2) = 15
+    val rows = Seq(
+      (1L, "X", "z1", "n1", "t1"), (2L, "X", "z1", "n1", "t1"),
+      (3L, "Y", "z1", "n1", "t1"), (4L, "X", "z2", "n1", "t2"),
+      (5L, "Y", "z2", null.asInstanceOf[String], "t2"),
+      (6L, "Y", "z3", null.asInstanceOf[String], "t3"))
+      .toDF("id", "city", "zip", "nullable", "truth")
+    val out = EntityResolution.blockingKeyAdvisor(rows,
+        Seq("all_same" -> "'k'", "city" -> "city",
+          "nullable" -> "nullable", "zip" -> "zip"),
+        truthExpr = "truth")
+      .orderBy("candidate").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), Option(r.get(5)), Option(r.get(6)), Option(r.get(7))))
+    assert(out.length == 4)
+    // all_same: 1 block of 6 -> 15 cand pairs, RR=0, PC=1, F=0
+    assert(out(0) == ("all_same", 1L, 15L, 4L, 4L,
+      Some(0.0), Some(1.0), Some(0.0)))
+    // city: X{1,2,4} Y{3,5,6} -> 6 pairs, captured only (X,t1)={1,2}:
+    // RR = 1-6/15 = .6, PC = 1/4, F = .3/.85
+    assert(out(1) == ("city", 2L, 6L, 4L, 1L,
+      Some(0.6), Some(0.25), Some(0.352941)))
+    // nullable: n1{1,2,3,4} NULL{5,6} -> the NULL group is a real block
+    // (2 blocks, 6+1=7 pairs); captured (n1,t1)={1,2,3}=3:
+    // RR = 8/15, PC = 3/4, F = 0.8/1.283333
+    assert(out(2) == ("nullable", 2L, 7L, 4L, 3L,
+      Some(0.533333), Some(0.75), Some(0.623377)))
+    // zip == truth grouping: z1{1,2,3} z2{4,5} z3{6} -> 4 pairs all
+    // captured: RR = 11/15, PC = 1, F = 22/26
+    assert(out(3) == ("zip", 3L, 4L, 4L, 4L,
+      Some(0.733333), Some(1.0), Some(0.846154)))
+  }
 }
