@@ -923,16 +923,29 @@ object Experiment {
     import spark.implicits._
     def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-    // bounded collects: |A| x |B| cells, |A| + |B| margin rows
-    val cs = cells.select(col(aCol).cast("string"), col(bCol).cast("string"),
-        col(nCol).cast("long")).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-      .sortBy(t => (t._1, t._2))
-    def margin(df: DataFrame, k: String): Map[String, Long] =
-      df.select(col(k).cast("string"), col(tCol).cast("long")).collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val ta = margin(targetA, aCol)
-    val tb = margin(targetB, bCol)
+    // ONE bounded collect for all three frames (|A|x|B| cells plus
+    // |A| + |B| margin rows), tag-unioned: the cell and margin frames
+    // usually share their upstream (x228 derives all three from one
+    // user-level join), so a single action lets exchange reuse compute
+    // that upstream once — three separate collects re-ran it three
+    // times (round-10 fixed-mass shave)
+    val tagged = cells.select(lit(0).as("__tag"),
+        col(aCol).cast("string").as("__k1"),
+        col(bCol).cast("string").as("__k2"), col(nCol).cast("long").as("__n"))
+      .unionAll(targetA.select(lit(1).as("__tag"),
+        col(aCol).cast("string").as("__k1"),
+        lit(null).cast("string").as("__k2"), col(tCol).cast("long").as("__n")))
+      .unionAll(targetB.select(lit(2).as("__tag"),
+        lit(null).cast("string").as("__k1"),
+        col(bCol).cast("string").as("__k2"), col(tCol).cast("long").as("__n")))
+      .collect()
+    val cs = tagged.filter(_.getInt(0) == 0)
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val ta = tagged.filter(_.getInt(0) == 1)
+      .map(r => r.getString(1) -> r.getLong(3)).toMap
+    val tb = tagged.filter(_.getInt(0) == 2)
+      .map(r => r.getString(2) -> r.getLong(3)).toMap
     val nS = cs.map(_._3).sum
     val (tpa, tpb) = (ta.values.sum, tb.values.sum)
     var w = cs.map(_ => 1.0)

@@ -174,7 +174,14 @@ object LanguageModel {
     * Same 100 TB skeleton as [[bigramNll]]: ONE trigram explode feeds the
     * c3 table; the bigram/unigram tables derive from the same filtered
     * doc set; all five scoring joins are shuffle_hash-pinned on n-gram
-    * keys (no vocabulary broadcast); (T, V) is one bounded driver row.
+    * keys (no vocabulary broadcast). The tokenized frame is persisted
+    * (lazy fill, released on the consumer's action) so the one plan that
+    * consumes it four ways — trigram probe, c3, c2, c1 — tokenizes the
+    * corpus once, and (T, V) rides along as a broadcast 1-row frame
+    * instead of a separate driver action (round 10: the action shape
+    * re-tokenized the corpus for the scalars and again per count table;
+    * identical doubles — T + alpha*V is the same IEEE expression, now
+    * computed from the 1-row frame's exact longs).
     * Docs need >= 3 tokens. Output: (id, n_trigrams, nll rounded 6). */
   def trigramNllInterp(docs: DataFrame, idCol: String, textCol: String,
       alpha: Double = 1.0, l1: Double = 0.1, l2: Double = 0.3,
@@ -182,6 +189,7 @@ object LanguageModel {
     val toks = docs.select(col(idCol).as("id"),
       TextFunctions.tokens(col(textCol)).as("ts"))
       .filter(size(col("ts")) >= 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tri = toks
       .select(col("id"), posexplode(slice(col("ts"), lit(1), size(col("ts")) - 2))
         .as(Seq("i", "w1")), col("ts"))
@@ -194,23 +202,31 @@ object LanguageModel {
       .agg(count(lit(1)).as("c2"))
     val c1 = toks.select(explode(col("ts")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c1"))
-    val st = c1.agg(sum(col("c1")).as("t"), count(lit(1)).as("v")).head()
-    val (t, v) = (st.getLong(0), st.getLong(1))
+    // (T, V) as a broadcast 1-row frame: __tav = T + alpha*V and
+    // __av = alpha*V are the exact same double expressions the former
+    // driver-side fold computed from the collected longs
+    val st = c1.agg(sum(col("c1")).as("t"), count(lit(1)).as("v"))
+      .select((col("t") + lit(alpha) * col("v")).as("__tav"),
+        (lit(alpha) * col("v")).as("__av"))
     val scored = tri
       .join(c3.hint("shuffle_hash"), Seq("w1", "w2", "w3"))
       .join(c2.toDF("w1", "w2", "c2a").hint("shuffle_hash"), Seq("w1", "w2"))
       .join(c2.toDF("w2", "w3", "c2b").hint("shuffle_hash"), Seq("w2", "w3"))
       .join(c1.toDF("w2", "c1b").hint("shuffle_hash"), Seq("w2"))
       .join(c1.toDF("w3", "c1c").hint("shuffle_hash"), Seq("w3"))
+      .crossJoin(broadcast(st))
       // fixed l1+l2+l3 term order — the oracle repeats the association
       .withColumn("lp", log(
-        lit(l1) * (col("c1c") + alpha) / (t + alpha * v) +
-        lit(l2) * (col("c2b") + alpha) / (col("c1b") + alpha * v) +
-        lit(l3) * (col("c3") + alpha) / (col("c2a") + alpha * v)))
-    scored.groupBy(col("id"))
+        lit(l1) * (col("c1c") + alpha) / col("__tav") +
+        lit(l2) * (col("c2b") + alpha) / (col("c1b") + col("__av")) +
+        lit(l3) * (col("c3") + alpha) / (col("c2a") + col("__av"))))
+    val out = scored.groupBy(col("id"))
       .agg(count(lit(1)).as("n_trigrams"), sum(col("lp")).as("ll"))
       .select(col("id").as(idCol), col("n_trigrams"),
         round(-col("ll") / col("n_trigrams"), 6).as("nll"))
+    graft.plans.Persists.onActionOf(out)(
+      () => { toks.unpersist(blocking = false); () })
+    out
   }
 
   /** CCNet's head/middle/tail banding: tertile buckets of [[bigramNll]].
@@ -364,10 +380,15 @@ object LanguageModel {
       textCol: String, langCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val nll = trigramNllInterp(docs, idCol, textCol)
+    // the scored frame is consumed TWICE (tertile-bound derivation +
+    // the final banding scan); persisting the slim (id, lang, milli)
+    // projection runs the whole five-join trigram chain once (round 10:
+    // the unpersisted shape ran it twice — 29 AQE stage jobs)
     val d = nll
       .join(docs.select(col(idCol), col(langCol).as("lang")), Seq(idCol))
       .select(col(idCol).as("id"), col("lang"),
         round(col("nll") * 1000).cast("long").as("nll_milli"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grid = d.groupBy(col("lang"), col("nll_milli"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum(col("cnt")).over(
@@ -378,10 +399,13 @@ object LanguageModel {
       .groupBy(col("lang"))
       .agg(min(when(col("cum") * 3 >= col("n"), col("nll_milli"))).as("b1"),
         min(when(col("cum") * 3 >= col("n") * 2, col("nll_milli"))).as("b2"))
-    d.join(broadcast(bounds), Seq("lang"))
+    val out = d.join(broadcast(bounds), Seq("lang"))
       .select(col("id"), col("lang"), col("nll_milli"),
         when(col("nll_milli") <= col("b1"), "head")
           .when(col("nll_milli") <= col("b2"), "middle")
           .otherwise("tail").as("bucket"))
+    graft.plans.Persists.onActionOf(out)(
+      () => { d.unpersist(blocking = false); () })
+    out
   }
 }

@@ -593,8 +593,14 @@ object Scale {
     * between a broadcast and an accidental 600 TB shuffle.
     *
     * 100 TB shape: one narrow partial-agged scan per table (count +
-    * byte sum, no shuffle beyond the 1-row agg); output is
-    * table-count bounded. */
+    * byte sum); the per-table scans project to a uniform (table_name,
+    * row_bytes) shape and UNION before a single groupBy(table_name), so
+    * the whole advisor carries ONE exchange instead of one 1-row
+    * aggregate exchange per table (round 10: the 9-table x261 plan ran
+    * 19 AQE stage jobs of pure latency; union-then-aggregate runs ~4).
+    * A names spine left-join keeps the former semantics for EMPTY
+    * tables (a zero row, not a missing one); output stays table-count
+    * bounded. */
   def broadcastAdvisor(tables: Seq[(String, DataFrame)],
       broadcastBytes: Long = 10L * 1024 * 1024,
       hashBytes: Long = 300L * 1024 * 1024): DataFrame = {
@@ -615,15 +621,21 @@ object Scale {
       case _ => coalesce(octet_length(col(f.name).cast("string")),
         lit(0L)).cast("long")
     }
-    val perTable = tables.map { case (name, df) =>
-      val rowBytes = df.schema.fields.map(width)
-        .reduce(_ + _)
-      df.agg(count(lit(1)).as("n_rows"),
-          coalesce(sum(rowBytes), lit(0L)).as("est_bytes"))
-        .select(lit(name).as("table_name"), col("n_rows"),
-          col("est_bytes"))
-    }
-    perTable.reduce(_.unionByName(_))
+    val spark = tables.head._2.sparkSession
+    val tagged = tables.map { case (name, df) =>
+      val rowBytes = df.schema.fields.map(width).reduce(_ + _)
+      df.select(lit(name).as("table_name"), rowBytes.as("__row_bytes"))
+    }.reduce(_ unionByName _)
+    val agged = tagged.groupBy(col("table_name"))
+      .agg(count(lit(1)).as("__n"), sum(col("__row_bytes")).as("__b"))
+    import scala.jdk.CollectionConverters._
+    val spine = spark.createDataFrame(
+      tables.map(t => org.apache.spark.sql.Row(t._1)).asJava,
+      StructType(Seq(StructField("table_name", StringType, nullable = false))))
+    spine.join(broadcast(agged), Seq("table_name"), "left")
+      .select(col("table_name"),
+        coalesce(col("__n"), lit(0L)).as("n_rows"),
+        coalesce(col("__b"), lit(0L)).as("est_bytes"))
       .withColumn("strategy",
         when(col("est_bytes") <= broadcastBytes, lit("broadcast"))
           .when(col("est_bytes") <= hashBytes, lit("shuffle_hash"))

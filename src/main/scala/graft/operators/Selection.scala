@@ -304,13 +304,17 @@ object Selection {
     * Inherently sequential in k: each round is ONE corpus scan computing
     * the min-distance-to-chosen (a least() over ≤k broadcast center
     * literals — never a join) reduced by a partial-aggregable
-    * max(struct(d, -id)) argmax, plus a point lookup of the winner's
-    * vector. 2(k−1)+1 bounded driver actions total — k is tens, and each
-    * action is embarrassingly parallel, which IS the 100 TB shape of
-    * greedy k-center (no known one-pass exact form). Distances are
-    * sequential-order folds so any engine replays them; emitted d (the
-    * selection-time min-distance — the running coverage radius²) rounds
-    * to 6. Output: (rk 1..k, id, d), d = 0 for the first center. */
+    * max(struct(d, -id, v)) argmax that carries the winner's VECTOR out
+    * in the same action — the struct ordering is already total on
+    * (d, -id) (ids unique), so the appended vector field never affects
+    * the comparison and the former separate point-lookup job per round
+    * is folded away (round-10 fixed-mass shave: k bounded actions total,
+    * down from 2(k−1)+1). Each action is embarrassingly parallel, which
+    * IS the 100 TB shape of greedy k-center (no known one-pass exact
+    * form). Distances are sequential-order folds so any engine replays
+    * them; emitted d (the selection-time min-distance — the running
+    * coverage radius²) rounds to 6.
+    * Output: (rk 1..k, id, d), d = 0 for the first center. */
   def kCenterGreedy(df: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
     require(k >= 1, "kCenterGreedy needs k >= 1")
@@ -330,11 +334,11 @@ object Selection {
       val md = chosen.map(c => distTo(c._2)).reduce(least(_, _))
       val chosenIds = chosen.map(_._1)
       val best = v.filter(!col("id").isin(chosenIds: _*))
-        .select(col("id"), md.as("d"))
-        .agg(max(struct(col("d"), (-col("id")).as("nid"))).as("b"))
-        .select(col("b.d"), (-col("b.nid")).as("id")).collect()(0)
-      val vec = v.filter(col("id") === best.getLong(1)).collect()(0).getSeq[Double](1)
-      chosen = chosen :+ ((best.getLong(1), vec, best.getDouble(0)))
+        .select(col("id"), col("v"), md.as("d"))
+        .agg(max(struct(col("d"), (-col("id")).as("nid"), col("v"))).as("b"))
+        .select(col("b.d"), (-col("b.nid")).as("id"), col("b.v")).collect()(0)
+      chosen = chosen :+ ((best.getLong(1), best.getSeq[Double](2),
+        best.getDouble(0)))
     }
     chosen.zipWithIndex
       .map { case ((id, _, d), i) => (i + 1L, id, d) }

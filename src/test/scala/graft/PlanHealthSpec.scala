@@ -1388,11 +1388,19 @@ class PlanHealthSpec extends SparkSpec {
     val p60 = plan("x260_greedy_cover")
     assert(p60.contains("LocalTableScan") || p60.contains("EmptyRelation"),
       s"x260's output must be the k-row driver frame:\n$p60")
+    // x261 (round 10): the per-table scans union into ONE
+    // groupBy(table_name) — a single aggregation exchange for the whole
+    // advisor instead of one 1-row-agg exchange per table (9 tables ran
+    // 19 AQE stage jobs of pure latency) — and the names spine attaches
+    // by broadcast only (it restores the zero row for empty tables)
     val p61 = plan("x261_broadcast_advisor")
-    assert(!p61.contains("Join"),
-      s"x261 must stay a join-free union of per-table 1-row aggs:\n$p61")
+    assert(!p61.contains("SortMergeJoin") && !p61.contains("ShuffledHashJoin"),
+      s"x261's spine join must broadcast:\n$p61")
+    assert("Exchange hashpartitioning".r.findAllIn(p61).size <= 1,
+      s"x261 must carry at most ONE aggregation exchange (union-then-" +
+        s"aggregate), not one per table:\n$p61")
     assert("HashAggregate".r.findAllIn(p61).size >= 2,
-      s"x261 must partial-aggregate each table scan:\n$p61")
+      s"x261 must partial-aggregate the unioned scans:\n$p61")
   }
 
   test("x262-x264: probe-panel brute stays broadcast-cross; decay/tail frames are codomain-bounded") {
