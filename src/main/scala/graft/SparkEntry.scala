@@ -3423,6 +3423,30 @@ object SparkEntry {
         .orderBy(col("candidate"))
     },
 
+    // ---- X: train/eval contamination audit (GPT-3 appendix-C shape) —
+    //      a 10% md5 hash slice plays the benchmark, the rest the
+    //      training corpus; corpus side reduces to its distinct-ngram
+    //      set, membership is ONE left_semi equi-join ----
+    "x281_contamination_audit" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val isEval = pmod(
+        graft.functions.TextFunctions.md5Long(col("doc_id")),
+        lit(10L)) === 0L
+      graft.operators.Dedup.contaminationAudit(
+        docs.filter(!isEval), docs.filter(isEval),
+        "doc_id", "text", n = 3, threshold = 0.2)
+        .orderBy(col("eval_id"))
+    },
+
+    // ---- X: IVF nprobe advisor — the full recall@k / scan-cost curve
+    //      for nprobe 1..8 from ONE pass (probes are prefix-nested;
+    //      visibility of a true top-k neighbor implies membership in
+    //      the approximate top-k) ----
+    "x282_ivf_nprobe_advisor" -> { (s, dir) =>
+      graft.operators.Similarity.ivfNprobeAdvisor(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 10)
+    },
+
     // ---- X: per-dimension embedding health — microgrid-exact mean
     //      and variance per coordinate; dead-dim / runaway-dim scan
     //      before any quantizer is built ----
@@ -7729,6 +7753,102 @@ object SparkEntry {
            FROM per, tru)
          ORDER BY candidate"""
     },
+
+    // x281: contamination audit — the x96 shingle SQL split into an
+    // eval slice and a corpus distinct-ngram set; threshold compares
+    // the UNROUNDED fraction (mirrors the Spark column reuse)
+    "x281_contamination_audit" ->
+      """WITH ev AS (SELECT doc_id FROM documents
+           WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+             ::BIGINT % 10 = 0),
+         w AS (SELECT doc_id, string_split(text, ' ') AS ws
+           FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+             array_to_string(ws[i:i+2], ' ') AS s
+           FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1))) t(i)),
+         esh AS (SELECT sh.doc_id AS eval_id, s FROM sh
+           JOIN ev ON sh.doc_id = ev.doc_id),
+         csh AS (SELECT DISTINCT s FROM sh
+           WHERE doc_id NOT IN (SELECT doc_id FROM ev)),
+         sz AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS n_shingles
+           FROM esh GROUP BY 1),
+         hit AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS n_hit
+           FROM esh WHERE s IN (SELECT s FROM csh) GROUP BY 1)
+         SELECT sz.eval_id, n_shingles,
+           COALESCE(n_hit, 0) AS n_hit,
+           round(CAST(COALESCE(n_hit, 0) AS DOUBLE)
+             / CAST(n_shingles AS DOUBLE), 6) AS overlap_frac,
+           CAST(COALESCE(n_hit, 0) AS DOUBLE)
+             / CAST(n_shingles AS DOUBLE) >= 0.2 AS contaminated
+         FROM sz LEFT JOIN hit USING (eval_id)
+         ORDER BY eval_id""",
+
+    // x282: nprobe sweep — x156's bucket/probe machinery + x99's brute
+    // truth, folded to probe-rank counts; ratios of exact ints
+    "x282_ivf_nprobe_advisor" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         qs AS (SELECT vec_id FROM e
+           WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+             ::BIGINT % 16 = 0),
+         tr AS (SELECT query_id, neighbor_id FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_sum(list_transform(range(1, 65), i ->
+                   q.v[i] * c.v[i]))
+                 / (sqrt(list_sum(list_transform(range(1, 65), i ->
+                      q.v[i] * q.v[i])))
+                    * sqrt(list_sum(list_transform(range(1, 65), i ->
+                      c.v[i] * c.v[i])))) DESC,
+                 c.vec_id ASC) AS rk
+             FROM (SELECT e.* FROM e JOIN qs USING (vec_id)) q, e c
+             WHERE c.vec_id <> q.vec_id)
+           WHERE rk <= 10),
+         bscore AS (SELECT e.vec_id, t.ci,
+             list_sum(list_transform(range(1, 65), i ->
+               CASE WHEN (('0x' || substr(md5(CAST(t.ci AS VARCHAR) ||
+                   ',' || CAST(i - 1 AS VARCHAR)), 1, 15))
+                   ::BIGINT % 2) = 0
+                 THEN 1.0 ELSE -1.0 END
+               * coalesce(e.v[i], 0.0))) AS score
+           FROM e, UNNEST(range(0, 16)) t(ci)),
+         bucket AS (SELECT vec_id, ci AS bucket FROM (
+             SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id
+               ORDER BY score DESC, ci ASC) AS rn FROM bscore)
+           WHERE rn = 1),
+         probes AS (SELECT b.vec_id AS query_id, b.ci AS bucket,
+             CAST(b.rn AS BIGINT) AS pi FROM (
+             SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id
+               ORDER BY score DESC, ci DESC) AS rn FROM bscore) b
+           JOIN qs ON b.vec_id = qs.vec_id WHERE b.rn <= 8),
+         pr AS (SELECT COALESCE(p.pi, 0) AS pr FROM tr
+           JOIN bucket bk ON tr.neighbor_id = bk.vec_id
+           LEFT JOIN probes p ON p.query_id = tr.query_id
+             AND p.bucket = bk.bucket),
+         byrank AS (SELECT pr, count(*) AS c FROM pr GROUP BY pr),
+         bsz AS (SELECT bucket, count(*) AS bn FROM bucket
+           GROUP BY bucket),
+         scanr AS (SELECT pi, sum(COALESCE(bn, 0)) AS sb
+           FROM probes LEFT JOIN bsz USING (bucket) GROUP BY pi),
+         tot AS (SELECT
+             (SELECT count(*) FROM tr) AS n_truth,
+             (SELECT count(*) FROM qs) AS n_q,
+             (SELECT count(*) FROM e) AS n_corpus),
+         sp AS (SELECT CAST(t.p AS BIGINT) AS nprobe
+           FROM UNNEST(range(1, 9)) t(p))
+         SELECT nprobe,
+           CAST(COALESCE((SELECT sum(c) FROM byrank
+             WHERE pr >= 1 AND pr <= nprobe), 0) AS BIGINT)
+             AS n_true_found,
+           round(CAST(COALESCE((SELECT sum(c) FROM byrank
+               WHERE pr >= 1 AND pr <= nprobe), 0) AS DOUBLE)
+             / CAST(n_truth AS DOUBLE), 6) AS recall_at_k,
+           round(CAST(COALESCE((SELECT sum(sb) FROM scanr
+               WHERE pi <= nprobe), 0) AS DOUBLE)
+             / (CAST(n_q AS DOUBLE) * CAST(n_corpus AS DOUBLE)), 6)
+             AS avg_scan_frac
+         FROM sp, tot ORDER BY nprobe""",
 
     // x266: per-dimension embedding stats — coordinates microgrid-
     // quantized first, exact integer folds, one division at the end

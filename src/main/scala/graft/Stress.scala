@@ -771,6 +771,21 @@ object Stress {
             "concat_ws(' ', slice(split(lower(text), ' '), 1, 2))",
             "md5(regexp_replace(lower(trim(text)), '\\\\s+', ' '))")
             .count()),
+        // corpus distinct-ngram set + one left_semi membership join
+        "contamination_audit" -> (() => {
+          val isEval = pmod(functions.TextFunctions.md5Long(
+            col("doc_id")), lit(10L)) === 0L
+          operators.Dedup.contaminationAudit(
+            docs.filter(!isEval), docs.filter(isEval),
+            "doc_id", "text", n = 3, threshold = 0.2).count()
+        }),
+        // one corpus assign pass + sampled brute truth; sweep from
+        // probe-rank counts, never re-running the search per nprobe
+        "ivf_nprobe_advisor" -> (() =>
+          operators.Similarity.ivfNprobeAdvisor(
+            replicateEmbeddings(
+              Tables.load(spark, sfDir, "embeddings"), m),
+            "vec_id", "embedding", k = 10).count()),
         // ONE grouping-sets pass (checkpointed) for all 4 candidates
         "blocking_advisor" -> (() =>
           operators.EntityResolution.blockingKeyAdvisor(docs,

@@ -1269,4 +1269,45 @@ object Dedup {
         col("chosen"))
       .orderBy(col("r"))
   }
+
+  /** Train/eval CONTAMINATION audit — the decontamination pre-flight
+    * every pretraining pipeline runs before trusting a benchmark number
+    * (the GPT-3 appendix-C shape, Brown et al. 2020: an eval document is
+    * contaminated when too many of its word n-grams also occur anywhere
+    * in the training corpus). For each eval document: its distinct
+    * n-gram count, how many of those n-grams the corpus contains, the
+    * overlap fraction, and the threshold verdict.
+    *
+    * 100 TB shape: the corpus side reduces to its DISTINCT n-gram set
+    * (one explode + partial-agged dedup — vocabulary-bounded, never
+    * doc-pair-bounded) and membership is ONE left_semi shuffle-hash
+    * equi-join from the eval side's (doc, n-gram) frame; no pair frame,
+    * no per-doc corpus scan. The eval set is tiny by definition, so the
+    * heavy side is exactly one corpus n-gram pass. Eval docs with fewer
+    * than n tokens carry no n-grams and drop out (the shingle-family
+    * convention). Output: (eval_id, n_shingles, n_hit, overlap_frac
+    * rounded 6, contaminated). */
+  def contaminationAudit(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      threshold: Double): DataFrame = {
+    require(n >= 1 && threshold >= 0.0 && threshold <= 1.0,
+      s"need n >= 1 and threshold in [0,1]: n=$n threshold=$threshold")
+    val evalSh = evalSet.select(col(idCol).as("eval_id"),
+      explode(shingles(col(textCol), n)).as("s"))
+    val corpusSh = corpus
+      .select(explode(shingles(col(textCol), n)).as("s")).distinct()
+    val sizes = evalSh.groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val hits = evalSh.join(corpusSh.hint("shuffle_hash"), Seq("s"),
+        "left_semi")
+      .groupBy(col("eval_id")).agg(count(lit(1)).as("n_hit"))
+    sizes.join(hits.hint("shuffle_hash"), Seq("eval_id"), "left")
+      .select(col("eval_id"), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("overlap_frac", round(col("n_hit").cast(DoubleType) /
+        col("n_shingles").cast(DoubleType), 6))
+      .withColumn("contaminated",
+        col("n_hit").cast(DoubleType) /
+          col("n_shingles").cast(DoubleType) >= threshold)
+  }
 }

@@ -331,6 +331,77 @@ object Similarity {
     graft.functions.IvfExpressions.probes(
       org.apache.spark.sql.SparkSession.active, vec, numCentroids, nprobe, dims)
 
+  /** IVF nprobe ADVISOR — the recall/cost curve an ANN serving owner
+    * actually tunes from: for every nprobe in 1..maxNprobe, the recall@k
+    * of [[ivfTopK]] against the exact [[bruteForceTopK]] ground truth on
+    * a deterministic md5 query slice, and the average fraction of the
+    * corpus a query at that nprobe must scan. ONE pass computes the
+    * whole sweep — probes are nested by construction (the top-p probe
+    * set is a prefix of the top-maxNprobe set), and a true top-k
+    * neighbor that is VISIBLE at probe depth p is automatically in the
+    * approximate top-k (only true higher-ranked neighbors can outscore
+    * it, and there are fewer than k of those), so recall@k(p) is just
+    * the count of truth rows whose bucket sits at probe rank <= p.
+    *
+    * 100 TB shape: the corpus pays one bucket-assignment scan and the
+    * (sampled) brute-force truth pass — recall estimation on a query
+    * sample IS the production pattern; everything downstream is
+    * (truth-rows + numCentroids + maxNprobe)-bounded, and the sweep
+    * never re-runs the search per candidate nprobe (the x211/x218
+    * one-pass-advisor discipline). Output one row per nprobe:
+    * (nprobe, n_true_found, recall_at_k, avg_scan_frac), ratios of
+    * exact integer counts rounded to 6. */
+  def ivfNprobeAdvisor(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, numCentroids: Int = 16, maxNprobe: Int = 8, dims: Int = 64,
+      querySlice: Long = 16L): DataFrame = {
+    require(k >= 1 && maxNprobe >= 1 && maxNprobe <= numCentroids &&
+      querySlice >= 1,
+      s"need k>=1, 1<=maxNprobe<=numCentroids, querySlice>=1")
+    val spark = corpus.sparkSession
+    val q = corpus.filter(pmod(md5Long(col(idCol)), lit(querySlice)) === 0L)
+    val truth = bruteForceTopK(q, corpus, idCol, vecCol, k)
+    val cb = corpus.select(col(idCol).as("neighbor_id"),
+      ivfAssign(asDouble(col(vecCol)), numCentroids, dims).as("bucket"))
+    val qp = q.select(col(idCol).as("query_id"),
+      ivfProbes(asDouble(col(vecCol)), numCentroids, maxNprobe, dims)
+        .as("probes"))
+    // per truth row: the probe rank of its bucket (0 = beyond maxNprobe)
+    val byRank = truth.join(cb.hint("shuffle_hash"), Seq("neighbor_id"))
+      .join(broadcast(qp), Seq("query_id"))
+      .select(array_position(col("probes"), col("bucket")).as("pr"))
+      .groupBy(col("pr")).agg(count(lit(1)).as("c"))
+    // rows a query must scan at probe rank i (bucket sizes, summed
+    // over queries) — the cost side of the curve
+    val scanByRank = qp
+      .select(posexplode(col("probes")).as(Seq("i", "bucket")))
+      .join(cb.groupBy(col("bucket")).agg(count(lit(1)).as("bn")),
+        Seq("bucket"), "left")
+      .groupBy((col("i") + 1L).as("pi"))
+      .agg(sum(coalesce(col("bn"), lit(0L))).as("sb"))
+    val tot = truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(broadcast(qp.agg(count(lit(1)).as("n_q"))))
+      .crossJoin(broadcast(cb.agg(count(lit(1)).as("n_corpus"))))
+    val spine = spark.range(1, maxNprobe + 1L)
+      .select(col("id").as("nprobe"))
+    val found = spine
+      .join(broadcast(byRank),
+        col("pr") >= 1L && col("pr") <= col("nprobe"), "left")
+      .groupBy(col("nprobe")).agg(sum(col("c")).as("f0"))
+    val scanned = spine
+      .join(broadcast(scanByRank), col("pi") <= col("nprobe"), "left")
+      .groupBy(col("nprobe")).agg(sum(col("sb")).as("s0"))
+    val d = (c: Column) => c.cast(DoubleType)
+    found.join(broadcast(scanned), Seq("nprobe"))
+      .crossJoin(broadcast(tot))
+      .select(col("nprobe"),
+        coalesce(col("f0"), lit(0L)).as("n_true_found"),
+        round(d(coalesce(col("f0"), lit(0L))) / d(col("n_truth")), 6)
+          .as("recall_at_k"),
+        round(d(coalesce(col("s0"), lit(0L))) /
+          (d(col("n_q")) * d(col("n_corpus"))), 6).as("avg_scan_frac"))
+      .orderBy(col("nprobe"))
+  }
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       numCentroids: Int = 16, nprobe: Int = 4, dims: Int = 64): DataFrame = {

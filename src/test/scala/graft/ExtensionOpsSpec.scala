@@ -2025,4 +2025,46 @@ class ExtensionOpsSpec extends SparkSpec {
       assert(rolled().contains((10L * bucketSeconds * 1000000L, 2L, 1L, 1L)))
     } finally q.stop()
   }
+
+  test("contaminationAudit: hand-computed overlap fractions, short docs drop, threshold verdict") {
+    import spark.implicits._
+    // corpus trigram set = {"a b c", "b c d"} u {"x y z"}
+    val corpus = Seq((1L, "a b c d"), (2L, "x y z")).toDF("doc_id", "text")
+    val evals = Seq(
+      (10L, "a b c d e"),   // trigrams: abc, bcd, cde -> 2/3 hit
+      (11L, "p q r"),       // pqr -> 0/1
+      (12L, "x y z"),       // xyz -> 1/1
+      (13L, "a b"))         // < 3 tokens -> no shingles, drops out
+      .toDF("doc_id", "text")
+    val out = Dedup.contaminationAudit(corpus, evals, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .orderBy("eval_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (10L, 3L, 2L, 0.666667, true),
+      (11L, 1L, 0L, 0.0, false),
+      (12L, 1L, 1L, 1.0, true)))
+  }
+
+  test("ivfNprobeAdvisor: curve is monotone, ends at full recall when every bucket is probed, scan frac reaches 1") {
+    import spark.implicits._
+    // 32 deterministic vectors; maxNprobe == numCentroids probes
+    // EVERYTHING, so the last row must be exact recall over the whole
+    // corpus and scan fraction 1 (every query scans every bucket)
+    val vecs = (0L until 32L).map { i =>
+      (i, Array.tabulate(8)(d => ((i * 7 + d * 3) % 11 - 5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.ivfNprobeAdvisor(vecs, "vec_id", "embedding",
+        k = 3, numCentroids = 4, maxNprobe = 4, dims = 8, querySlice = 4L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.length == 4)
+    // monotone in both recall and scan cost
+    assert(out.sliding(2).forall { case Array(a, b) =>
+      a._2 <= b._2 && a._4 <= b._4 })
+    val last = out.last
+    assert(last._3 == 1.0, s"probing all buckets must be exact: $last")
+    assert(last._4 == 1.0, s"probing all buckets scans the corpus: $last")
+  }
 }

@@ -1087,6 +1087,23 @@ class PlanHealthSpec extends SparkSpec {
       s"x280's 1-row combines must broadcast:\n$p")
   }
 
+  test("x281: contamination membership is a left_semi equi-join against the distinct corpus n-gram set — no pair frame") {
+    val p = plan("x281_contamination_audit")
+    assert(p.contains("LeftSemi"),
+      s"x281 must test membership via left_semi, not materialize hits:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"x281 grew a non-equi join over the shingle frames:\n$p")
+  }
+
+  test("x282: the nprobe sweep never re-runs the search — corpus joins are equi/broadcast, sweep combines are broadcast-bounded") {
+    val p = plan("x282_ivf_nprobe_advisor")
+    assert(!p.contains("CartesianProduct"),
+      s"x282 grew a real cartesian:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"x282's bounded frames must broadcast, not sort-merge:\n$p")
+  }
+
   test("x50: BOW classifier tokenizes the corpus ONCE — both gradient and scoring branches read the persisted tf frame") {
     val p = plan("x50_bow_classifier")
     // the per-(doc,bucket) tf frame is persisted at construction; the
