@@ -67,4 +67,35 @@ class PersistsSpec extends SparkSpec {
     Persists.releaseAll(spark)
     assert(Persists.livePersistedRdds(spark) === 0)
   }
+
+  test("onActionOf fires only on the CONSUMER'S action — interleaved actions leave the release armed") {
+    clean()
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val target = spark.range(0, 64).toDF("id")
+      .withColumn("y", col("id") * 3)
+    Persists.onActionOf(target)(() => fired.set(true))
+    // an UNRELATED action must not fire the consumer-matched release —
+    // this was exactly the round-9 hazard: any interleaved session
+    // action dropped the advisors' caches mid-construction
+    spark.range(1).count()
+    Thread.sleep(400) // listener delivery is async; give it time to misfire
+    assert(!fired.get(), "unrelated action fired a consumer-matched release")
+    // a DOWNSTREAM action on the target (wrapped in more operators —
+    // containment, not equality) fires it
+    target.groupBy().agg(sum(col("y"))).count()
+    val deadline = System.nanoTime() + 15000L * 1000000L
+    while (!fired.get() && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(fired.get(), "consumer action did not fire the release")
+  }
+
+  test("releaseAll drains still-armed deferred releases so abandoned queries never leak listeners") {
+    clean()
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val target = spark.range(0, 32).toDF("id").withColumn("z", col("id") + 1)
+    Persists.onActionOf(target)(() => fired.set(true))
+    // the query is abandoned — no consumer action ever runs; the harness
+    // boundary (releaseAll between queries) must fire-and-unregister it
+    Persists.releaseAll(spark)
+    assert(fired.get(), "releaseAll did not drain the armed release")
+  }
 }
