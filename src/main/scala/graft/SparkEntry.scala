@@ -3447,6 +3447,19 @@ object SparkEntry {
         t(s, dir, "embeddings"), "vec_id", "embedding", k = 10)
     },
 
+    // ---- X: token-budget SWEEP advisor — the quality cutoff a
+    //      threshold rule should use per budget fraction, from ONE
+    //      value-sized cumulative pass (x84's select, planned) ----
+    "x283_token_budget_sweep" -> { (s, dir) =>
+      graft.operators.Selection.tokenBudgetSweep(
+        t(s, dir, "documents")
+          .select(expr("cast(n_chars div 16 as bigint)").as("quality"),
+            graft.functions.TextFunctions.tokenCount(col("text"))
+              .cast("long").as("n_tok")),
+        "quality", "n_tok",
+        Seq((1, 16), (1, 4), (1, 2), (3, 4), (1, 1)))
+    },
+
     // ---- X: per-dimension embedding health — microgrid-exact mean
     //      and variance per coordinate; dead-dim / runaway-dim scan
     //      before any quantizer is built ----
@@ -7849,6 +7862,40 @@ object SparkEntry {
              / (CAST(n_q AS DOUBLE) * CAST(n_corpus AS DOUBLE)), 6)
              AS avg_scan_frac
          FROM sp, tot ORDER BY nprobe""",
+
+    // x283: token-budget sweep — value-granular cumulative frame, one
+    // row per budget fraction; deepest fitting value by max cum_nd
+    "x283_token_budget_sweep" ->
+      """WITH d AS (SELECT n_chars // 16 AS q,
+             len(string_split(text, ' ')) AS t FROM documents),
+         bv AS (SELECT q, CAST(count(*) AS BIGINT) AS nd,
+             CAST(sum(t) AS BIGINT) AS nt FROM d GROUP BY q),
+         c AS (SELECT q, nd, nt,
+             CAST(sum(nt) OVER (ORDER BY q DESC ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cum_nt,
+             CAST(sum(nd) OVER (ORDER BY q DESC ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cum_nd
+           FROM bv),
+         tt AS (SELECT max(cum_nt) AS tot FROM c),
+         sp AS (SELECT * FROM (VALUES (1, 16), (1, 4), (1, 2), (3, 4),
+             (1, 1)) AS v(num, den)),
+         b AS (SELECT num, den,
+             CAST(tot * num // den AS BIGINT) AS budget_tokens
+           FROM sp, tt),
+         j AS (SELECT b.num, b.den, b.budget_tokens, c.q, c.cum_nd,
+             c.cum_nt,
+             row_number() OVER (PARTITION BY b.num, b.den
+               ORDER BY c.cum_nd DESC) AS rn
+           FROM b LEFT JOIN c ON c.cum_nt <= b.budget_tokens)
+         SELECT num AS frac_num, den AS frac_den, budget_tokens,
+           q AS cutoff_quality,
+           COALESCE(cum_nd, 0) AS n_docs,
+           COALESCE(cum_nt, 0) AS n_tokens,
+           round(CASE WHEN budget_tokens = 0 THEN NULL
+             ELSE CAST(COALESCE(cum_nt, 0) AS DOUBLE)
+               / CAST(budget_tokens AS DOUBLE) END, 6) AS fill_frac
+         FROM j WHERE rn = 1
+         ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE), den""",
 
     // x266: per-dimension embedding stats — coordinates microgrid-
     // quantized first, exact integer folds, one division at the end

@@ -771,6 +771,15 @@ object Stress {
             "concat_ws(' ', slice(split(lower(text), ' '), 1, 2))",
             "md5(regexp_replace(lower(trim(text)), '\\\\s+', ' '))")
             .count()),
+        // one value-sized cumulative frame serves every budget fraction
+        "token_budget_sweep" -> (() =>
+          operators.Selection.tokenBudgetSweep(
+            docs.select(
+              expr("cast(length(text) div 16 as bigint)").as("quality"),
+              functions.TextFunctions.tokenCount(col("text"))
+                .cast("long").as("n_tok")),
+            "quality", "n_tok",
+            Seq((1, 16), (1, 4), (1, 2), (3, 4), (1, 1))).count()),
         // corpus distinct-ngram set + one left_semi membership join
         "contamination_audit" -> (() => {
           val isEval = pmod(functions.TextFunctions.md5Long(

@@ -424,6 +424,65 @@ object Selection {
       .unionByName(selectedBoundary)
   }
 
+  /** Token-budget SWEEP advisor — [[tokenBudgetSelect]]'s planning view:
+    * for each budget FRACTION of the corpus's total tokens, the quality
+    * CUTOFF a threshold rule should use and the volume it buys (docs,
+    * tokens, budget fill). Thresholds are value-granular by nature — a
+    * curator ships "keep quality >= c", not a per-document running sum —
+    * so the sweep reports whole-value selections: the deepest quality
+    * value (descending) whose cumulative token mass still fits each
+    * budget. Budgets are exact integer fractions num/den of the total
+    * (scale-free: the same query is meaningful at any corpus size).
+    *
+    * 100 TB shape: ONE partial-agged groupBy(quality) reduces the corpus
+    * to its value-sized frame; the cumulative window, the fraction
+    * spine, and every per-budget reduce run on that bounded frame
+    * (budgets x values, both bounded). No per-budget corpus pass — the
+    * x211/x218 one-pass-advisor discipline applied to the curation cut.
+    * Output per fraction: (frac_num, frac_den, budget_tokens,
+    * cutoff_quality (null when even the best value overflows), n_docs,
+    * n_tokens, fill_frac rounded 6), ordered by fraction ascending. */
+  def tokenBudgetSweep(df: DataFrame, qualityCol: String,
+      tokenCol: String, fractions: Seq[(Int, Int)]): DataFrame = {
+    require(fractions.nonEmpty &&
+      fractions.forall { case (n, d) => n >= 0 && d >= 1 && n <= d },
+      s"fractions must be 0 <= num/den <= 1: $fractions")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val byVal = df.select(col(qualityCol).as("q"),
+        col(tokenCol).cast(LongType).as("t"))
+      .groupBy(col("q"))
+      .agg(count(lit(1)).as("nd"), sum(col("t")).as("nt"))
+      .withColumn("cum_nt", sum(col("nt")).over(
+        Window.orderBy(col("q").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_nd", sum(col("nd")).over(
+        Window.orderBy(col("q").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = byVal.agg(max(col("cum_nt")).as("tot_nt"))
+    val spine = fractions.toDF("num", "den")
+      .crossJoin(broadcast(tot))
+      .select(col("num"), col("den"),
+        call_function("div", col("tot_nt") * col("num"), col("den"))
+          .as("budget_tokens"))
+    val d = (c: Column) => c.cast(DoubleType)
+    spine
+      .join(broadcast(byVal), col("cum_nt") <= col("budget_tokens"), "left")
+      .groupBy(col("num"), col("den"), col("budget_tokens"))
+      // cum_nd strictly increases along the descending traversal, so its
+      // max IS the deepest fitting value; the struct carries that row out
+      .agg(max(struct(col("cum_nd"), col("cum_nt"), col("q"))).as("best"))
+      .select(col("num").as("frac_num"), col("den").as("frac_den"),
+        col("budget_tokens"),
+        col("best.q").as("cutoff_quality"),
+        coalesce(col("best.cum_nd"), lit(0L)).as("n_docs"),
+        coalesce(col("best.cum_nt"), lit(0L)).as("n_tokens"),
+        round(when(col("budget_tokens") === 0L, lit(null).cast(DoubleType))
+          .otherwise(d(coalesce(col("best.cum_nt"), lit(0L))) /
+            d(col("budget_tokens"))), 6).as("fill_frac"))
+      .orderBy(d(col("frac_num")) / d(col("frac_den")), col("frac_den"))
+  }
+
   /** Effective sample size and design effect of an importance-weight
     * column (Kish 1965): ESS = (Σw)²/Σw², deff = n·Σw²/(Σw)². The
     * sanity gate on any [[dsirWeights]]-style tilt BEFORE training on

@@ -658,4 +658,26 @@ class SelectionGraphPqSpec extends SparkSpec {
     assert(run1.getDouble(3) > 0.0) // min ratio positive
     assert(run1.getDouble(4) < 3.0) // max ratio bounded
   }
+
+  test("tokenBudgetSweep: deepest fitting cutoff per fraction, overflow at tiny budgets yields a zero row") {
+    import spark.implicits._
+    // values desc: q=3 (2 docs, 15 tok, cum 15), q=2 (1 doc, 20 tok,
+    // cum 35), q=1 (2 docs, 10 tok, cum 45); total 45 tokens
+    val rows = Seq((3L, 10L), (3L, 5L), (2L, 20L), (1L, 5L), (1L, 5L))
+      .toDF("quality", "n_tok")
+    val out = graft.operators.Selection.tokenBudgetSweep(rows,
+        "quality", "n_tok", Seq((1, 45), (1, 3), (1, 2), (1, 1)))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        Option(r.get(3)), r.getLong(4), r.getLong(5), Option(r.get(6))))
+    assert(out.length == 4)
+    // budget 1: nothing fits — null cutoff, zero volume, fill 0
+    assert(out(0) == ((1, 45, 1L, None, 0L, 0L, Some(0.0))))
+    // budget 15: exactly the q=3 group
+    assert(out(1) == ((1, 3, 15L, Some(3L), 2L, 15L, Some(1.0))))
+    // budget 22: q=2 would overflow (cum 35) — cutoff stays 3
+    assert(out(2) == ((1, 2, 22L, Some(3L), 2L, 15L, Some(0.681818))))
+    // budget 45: everything
+    assert(out(3) == ((1, 1, 45L, Some(1L), 5L, 45L, Some(1.0))))
+  }
 }
