@@ -128,4 +128,52 @@ object CorpusStreams {
         .reduce(_ + _)
     cur.select(bin.as("bin"), lit(1L).as("delta"))
   }
+
+  /** The static eval-side shingle frame for [[contaminationStream]] —
+    * per-doc DISTINCT n-grams, exactly the batch
+    * [[graft.operators.Dedup.contaminationAudit]] eval projection. */
+  def evalShingleFrame(evalSet: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    evalSet.select(col(idCol).as("eval_id"),
+      explode(graft.functions.TextFunctions.shingles(col(textCol), n))
+        .as("s"))
+
+  /** Streaming contamination deltas — the live twin of x281's batch
+    * [[graft.operators.Dedup.contaminationAudit]]. Decontamination is a
+    * MONITOR in production: the benchmark is fixed, the crawl grows, and
+    * the question "how contaminated is my eval set becoming" must update
+    * without reprocessing the corpus. The eval shingle frame is STATIC
+    * ([[evalShingleFrame]], batch-side); each arriving corpus document
+    * explodes its distinct n-grams, and a keyed flatMapGroupsWithState
+    * on the n-gram emits each DISTINCT corpus n-gram ONCE, first-seen —
+    * the dedupStream state convention; state is one empty marker per
+    * distinct corpus n-gram, the same domain the batch op's distinct
+    * frame materializes. Newly-seen n-grams inner-join the static eval
+    * frame and emit (eval_id, +1) deltas, so the rolled per-eval sums
+    * equal the batch n_hit at every point BY CONSTRUCTION: a corpus
+    * n-gram contributes exactly once per eval doc containing it, in
+    * both engines. Late or duplicate corpus docs are absorbed by the
+    * first-seen state, never double-counted. Output: (eval_id, delta).
+    */
+  def contaminationStream(corpus: DataFrame, textCol: String,
+      evalShingles: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val firstSeen = corpus
+      .select(explode(
+        graft.functions.TextFunctions.shingles(col(textCol), n)).as("s"))
+      .as[String]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Boolean, String](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (s: String, _: Iterator[String],
+            state: org.apache.spark.sql.streaming.GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); Iterator.single(s) }
+      }
+      .toDF("s")
+    firstSeen.join(evalShingles, Seq("s"))
+      .select(col("eval_id"), lit(1L).as("delta"))
+  }
 }

@@ -2026,6 +2026,43 @@ class ExtensionOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("contaminationStream deltas roll up to the batch x281 n_hit; duplicate corpus docs never double-count") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evals = Seq((10L, "a b c d e"), (11L, "p q r"), (12L, "x y z"))
+      .toDF("doc_id", "text")
+    val evalSh = graft.streaming.CorpusStreams.evalShingleFrame(
+      evals, "doc_id", "text", 3)
+    // batch truth over the FULL corpus the stream will have seen
+    val corpusAll = Seq((1L, "a b c d"), (2L, "x y z"), (3L, "c d e"))
+      .toDF("doc_id", "text")
+    val batch = Dedup.contaminationAudit(corpusAll, evals,
+        "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val input = MemoryStream[(Long, String)]
+    val sq = graft.streaming.CorpusStreams.contaminationStream(
+        input.toDF().toDF("doc_id", "text"), "text", evalSh, n = 3)
+      .writeStream.format("memory").queryName("contam_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "a b c d"), (2L, "x y z"))
+      sq.processAllAvailable()
+      // batch 2: one new doc AND an exact replay of doc 1 — the
+      // first-seen n-gram state must absorb the duplicate
+      input.addData((3L, "c d e"), (1L, "a b c d"))
+      sq.processAllAvailable()
+      val rolled = spark.table("contam_stream")
+        .groupBy(col("eval_id")).agg(sum(col("delta")).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // rolled sums equal the batch n_hit for every eval doc with hits
+      // (zero-hit docs simply have no delta rows)
+      assert(rolled == batch.filter(_._2 > 0L),
+        s"rolled=$rolled batch=$batch")
+      assert(rolled(10L) == 3L && rolled(12L) == 1L && !rolled.contains(11L))
+    } finally sq.stop()
+  }
+
   test("contaminationAudit: hand-computed overlap fractions, short docs drop, threshold verdict") {
     import spark.implicits._
     // corpus trigram set = {"a b c", "b c d"} u {"x y z"}
