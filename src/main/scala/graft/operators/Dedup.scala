@@ -125,6 +125,11 @@ object Dedup {
     * candidate join from going quadratic on boilerplate shingles. */
   def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int,
       maxDocFreq: Option[Int] = None): DataFrame = {
+    // NOT fanned out (round-10 measurement): the shingle explode is cheap
+    // relative to an added exchange — queries scanning the corpus via this
+    // index several times (x123 6 scans, x138, x187) regressed 1.5-2.8x in
+    // fresh-JVM A/B when each scan gained a repartition; Scale.fanOut is
+    // reserved for compute-dense projections (minhash, levenshtein DP)
     val sh = df.select(col(idCol).as("id"),
       explode(shingles(col(textCol), n)).as("s"))
     maxDocFreq match {
@@ -800,6 +805,9 @@ object Dedup {
     // cheap token-count proxy (shingles nonempty <=> >= n tokens): a
     // filter on sig.isNotNull would be pushed below the Project and
     // re-evaluate the whole signature — measured 2x the md5 work
+    // NOT fanned out (round-10 interleaved A/B: x123 2.2 vs 1.6 s against
+    // the fan-out — several queries consume signatures through multiple
+    // scans and the per-scan exchange outweighs the one-pass expression)
     val sig = df.filter(size(tokens(col(textCol))) >= n)
       .select(col(idCol).as("id"),
         graft.functions.MinhashExpression.signature(df.sparkSession,

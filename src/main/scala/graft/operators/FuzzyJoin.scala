@@ -43,7 +43,10 @@ object FuzzyJoin {
       idCol: String, strCol: String, k: Int): DataFrame = {
     val p = probes.select(col(idCol).as("__pid"), col(strCol).as("__ps"))
     val d = levenshtein(col("__ps"), col(strCol), k)
-    corpus.join(broadcast(p),
+    // the per-pair DP is the cost here, and it runs in the corpus's OWN
+    // scan tasks — fan a sub-parallel corpus out first (identity at
+    // cluster scale; see Scale.fanOut)
+    Scale.fanOut(corpus).join(broadcast(p),
         // length band first: a long compare guards the DP
         abs(length(col("__ps")) - length(col(strCol))) <= k &&
         col("__pid") =!= col(idCol) &&

@@ -16,6 +16,50 @@ import graft.functions.TextFunctions.md5Long
   */
 object Scale {
 
+  /** Parallelism insurance for a compute-dense map stage: round-robin
+    * repartition `df` to the session's target parallelism IFF its planned
+    * input parallelism is below it; the identity otherwise.
+    *
+    * Why it exists (round-10 profiling): a single-row-group parquet file
+    * yields ONE scan split no matter the split configs, so every
+    * expression-heavy map pass over it — thresholded levenshtein under a
+    * broadcast join, per-token md5 hashing, shingle/minhash explodes,
+    * probe-vs-corpus dot products — runs serially while the other 31
+    * cores idle (x57_fuzzy_link: 4 tasks total, 3.8 s of which ~3.5 s is
+    * one task's BroadcastNestedLoopJoin). The repartition moves only the
+    * operator's INPUT bytes once (bounded by the scan it sits on), orders
+    * of magnitude below the compute it unlocks.
+    *
+    * Scale-adaptive by construction, not a local-mode constant: the
+    * target defaults to `sparkContext.defaultParallelism` (the session's
+    * own core count — the bench's low-core runs get a proportionally
+    * lower target), and any input that already carries >= target
+    * partitions — every real table at cluster scale — passes through
+    * untouched, so no exchange is ever added where the scan can already
+    * feed the cluster. `spark.graft.fanout.target` overrides the target
+    * (<= 1 disables; plan-shape specs pin the no-op this way).
+    *
+    * Determinism: repartition's round-robin assignment sorts its input
+    * partition locally first (spark.sql.execution.sortBeforeRepartition,
+    * on by default) so retries reproduce the same placement; row ORDER
+    * feeding downstream ops is not changed in any way the engine's
+    * order-insensitive aggregates/joins or the queries' total output
+    * orderings could observe. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val target = df.sparkSession.conf
+      .getOption("spark.graft.fanout.target").map(_.toInt)
+      .getOrElse(sc.defaultParallelism)
+    if (target <= 1) df
+    else {
+      // planned pre-AQE parallelism of the frame's physical input; for
+      // the scans this guards it is the file-split count. Building the
+      // RDD plans the subtree but runs nothing.
+      val parts = df.rdd.getNumPartitions
+      if (parts >= target) df else df.repartition(target)
+    }
+  }
+
   /** Salted equi-join of a skewed `big` side against a `small` side that
     * is too large to broadcast but small enough to replicate `salts`-fold:
     * big rows get a salt derived from `discriminator` (any column that

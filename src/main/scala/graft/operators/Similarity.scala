@@ -127,7 +127,9 @@ object Similarity {
       .filter(col(idCol) % probeMod === 0L && col(idCol) < probeCap)
       .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qq", dot(col("qv"), col("qv")))
-    val c = corpus.select(col(idCol).as("nid"),
+    // probe-count dot products per corpus row run in the corpus's scan
+    // tasks — fan a sub-parallel scan out first (identity at scale)
+    val c = Scale.fanOut(corpus).select(col(idCol).as("nid"),
         asDouble(col(vecCol)).as("cv"))
       .withColumn("cc", dot(col("cv"), col("cv")))
     val w = Window.partitionBy(col("qid"))

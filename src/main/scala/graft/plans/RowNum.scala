@@ -53,16 +53,61 @@ object RowNum {
     numbered
   }
 
+  /** A plan whose recomputation is row-for-row stable: no shuffle anywhere
+    * (a shuffle read's within-partition order depends on fetch arrival)
+    * and no nondeterministic expression. For such plans the two numbering
+    * passes may run on two separately-planned trees — file splits are a
+    * pure function of the files and session confs, not of the read
+    * schema, so a column-pruned count pass sees the identical partition
+    * layout — and the persist is pure waste. */
+  private def narrowDeterministic(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val analyzed = df.queryExecution.analyzed
+    // sparkPlan, NOT executedPlan: AdaptiveSparkPlanExec holds its subtree
+    // in a private field with no children, so exists() over executedPlan
+    // is blind to every exchange under AQE
+    analyzed.find(p => p.expressions.exists(e => !e.deterministic)).isEmpty &&
+      !df.queryExecution.sparkPlan.exists(_.isInstanceOf[ShuffleExchangeLike])
+  }
+
   private def assignImpl(df: DataFrame): (DataFrame, () => Unit) = {
     val withoutOld = df.drop(RowNumCol)
-    val cached = withoutOld.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = cached.queryExecution.toRdd
-      // fold into a Long: Iterator.size returns Int and a >2^31-row
-      // partition would overflow negative, scrambling every later offset
-      .mapPartitionsWithIndex((pid, it) =>
-        Iterator(pid -> it.foldLeft(0L)((n, _) => n + 1)))
-      .collect().toMap
+    // Narrow-deterministic fast path (round 10): the count pass runs on
+    // the COLUMN-PRUNED plan — `select()` collapses a parquet scan to a
+    // zero-column metadata read, so an expensive projection above it
+    // (p1's string casts: 2.9 s of the query's 3.1 s at sf0.1) is never
+    // eagerly evaluated — and nothing is persisted: recomputation is
+    // row-stable by construction, every downstream action sees the same
+    // numbers, and at 100 TB the numbering no longer writes a corpus-sized
+    // cache nobody asked for. Plans with a shuffle (or nondeterminism)
+    // keep the persist-both-passes shape: their within-partition order is
+    // only stable across actions if both passes read ONE materialization.
+    // probe a FRESH wrapper (select(*) allocates a new QueryExecution):
+    // forcing withoutOld's own queryExecution here would freeze its
+    // physical plan BEFORE the persist below registers with the
+    // CacheManager, and the count pass would silently bypass the cache
+    if (narrowDeterministic(withoutOld.select(col("*")))) {
+      val counts = withoutOld.select().queryExecution.toRdd
+        .mapPartitionsWithIndex((pid, it) =>
+          Iterator(pid -> it.foldLeft(0L)((n, _) => n + 1)))
+        .collect().toMap
+      (numberByOffsets(withoutOld, counts), () => ())
+    } else {
+      val cached = withoutOld.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val counts = cached.queryExecution.toRdd
+        // fold into a Long: Iterator.size returns Int and a >2^31-row
+        // partition would overflow negative, scrambling every later offset
+        .mapPartitionsWithIndex((pid, it) =>
+          Iterator(pid -> it.foldLeft(0L)((n, _) => n + 1)))
+        .collect().toMap
+      (numberByOffsets(cached, counts),
+        () => { cached.unpersist(blocking = false); () })
+    }
+  }
+
+  private def numberByOffsets(frame: DataFrame,
+      counts: Map[Int, Long]): DataFrame = {
     val maxPid = if (counts.isEmpty) -1 else counts.keys.max
     val offsets = (0 to maxPid).scanLeft(0L)((acc, pid) => acc + counts.getOrElse(pid, 0L))
     // mid = (pid << 33) + localIdx; row_num = offsets(pid) + localIdx + 1.
@@ -71,8 +116,7 @@ object RowNum {
     val rowNum = element_at(lit(offsets.toArray),
         (shiftright(mid, 33) + 1).cast("int")) +
       mid.bitwiseAND(lit((1L << 33) - 1)) + 1L
-    val numbered = cached.withColumn(RowNumCol, rowNum)
-    (numbered, () => { cached.unpersist(blocking = false); () })
+    frame.withColumn(RowNumCol, rowNum)
   }
 
   def ensure(df: DataFrame): DataFrame =

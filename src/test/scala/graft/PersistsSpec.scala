@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.plans.{Persists, RowNum}
+import graft.plans.{Events, Persists, RowNum}
 
 /** No-leak invariant for two-pass operators: persisted blocks are scoped to
   * the first Dataset action on the operator's output
@@ -24,16 +24,31 @@ class PersistsSpec extends SparkSpec {
     assert(Persists.livePersistedRdds(spark) === 0)
   }
 
-  test("RowNum.assign blocks are released by the first action on the frame") {
+  test("RowNum.assign: narrow inputs persist nothing (round-10 fast path); shuffled inputs persist between passes and release on the first action") {
     clean()
+    // narrow-deterministic input: the count pass is column-pruned and NO
+    // cache is created — recomputation is row-stable by construction
     val df = spark.range(0, 10000).toDF("id").withColumn("x", col("id") * 2)
     val numbered = RowNum.assign(df)
-    assert(Persists.livePersistedRdds(spark) === 1) // alive between the passes
+    assert(Persists.livePersistedRdds(spark) === 0)
     assert(numbered.count() === 10000L)
+    // numbering is exact and stable across repeated actions: range order
+    // is partition order, so row_num must equal id + 1 every time
+    (1 to 2).foreach { _ =>
+      assert(numbered.filter(col(Events.RowNumCol) =!= col("id") + 1L)
+        .count() === 0L)
+    }
+    // shuffled input: within-partition order is only stable across actions
+    // if both passes read one materialization — the persist must be there,
+    // scoped to the first action
+    val shuffled = df.repartition(4)
+    val n2 = RowNum.assign(shuffled)
+    assert(Persists.livePersistedRdds(spark) === 1) // alive between passes
+    assert(n2.count() === 10000L)
     awaitNoLive()
     // early release is correct: the frame still evaluates after the blocks
     // are gone (lineage recompute, same broadcast offsets)
-    assert(numbered.count() === 10000L)
+    assert(n2.count() === 10000L)
   }
 
   test("packSequences blocks are released by the first action on the output") {

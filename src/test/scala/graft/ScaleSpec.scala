@@ -9,6 +9,34 @@ import graft.sources.Format
 /** Skew helpers + strict-checkpoint-compat mode. */
 class ScaleSpec extends SparkSpec {
 
+  test("fanOut: engages only on sub-parallel inputs, honors the conf, adds exactly one round-robin exchange") {
+    import spark.implicits._
+    def withTarget[T](v: String)(body: => T): T = {
+      val prior = spark.conf.getOption("spark.graft.fanout.target")
+      spark.conf.set("spark.graft.fanout.target", v)
+      try body finally prior match {
+        case Some(p) => spark.conf.set("spark.graft.fanout.target", p)
+        case None => spark.conf.unset("spark.graft.fanout.target")
+      }
+    }
+    val narrow = (1 to 100).toDF("x").coalesce(1)   // sub-parallel input
+    val wide = (1 to 100).toDF("x").repartition(8)  // already-parallel input
+    withTarget("4") {
+      val fanned = Scale.fanOut(narrow)
+      assert(fanned.rdd.getNumPartitions == 4)
+      // exactly one added exchange, round-robin — never a key shuffle
+      val plan = fanned.queryExecution.executedPlan.toString
+      assert(plan.contains("roundrobin") || plan.contains("RoundRobin"),
+        s"expected a round-robin exchange, got:\n$plan")
+      // identity when the input already feeds >= target partitions
+      assert(Scale.fanOut(wide) eq wide)
+      // values unchanged
+      assert(fanned.as[Int].collect().sorted.toSeq == (1 to 100))
+    }
+    // disabled (<= 1): always the identity — the at-scale plan shape
+    withTarget("1") { assert(Scale.fanOut(narrow) eq narrow) }
+  }
+
   test("cumByRange: the bucketed big-domain path equals the single-task small-domain path") {
     import spark.implicits._
     // 5000 distinct keys with skewed counts; force the bucketed path
