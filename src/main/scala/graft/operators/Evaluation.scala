@@ -353,10 +353,12 @@ object Evaluation {
     val v = df.select(col(idCol), col(scoreCol).as("s"),
         col(labelCol).cast("long").as("y"))
       .filter(col("s").isNotNull && col("y").isNotNull)
-    val n = v.count()
+    // n rides the numbering pass (assignWithTotal) — the former separate
+    // count() action re-evaluated the scored input once per run (round 10)
+    val (numbered, n) =
+      RowNum.assignWithTotal(v.orderBy(col("s").desc, col(idCol).asc))
     require(n >= 10, "gainsTable needs at least 10 rows")
-    val ranked = RowNum.assign(v.orderBy(col("s").desc, col(idCol).asc))
-      .withColumnRenamed(Events.RowNumCol, "rk")
+    val ranked = numbered.withColumnRenamed(Events.RowNumCol, "rk")
     val dec = call_function("div", (col("rk") - 1L) * 10L, lit(n)) + 1L
     val per = ranked.select(dec.as("decile"), col("y"))
       .groupBy(col("decile"))

@@ -530,13 +530,17 @@ object Similarity {
     require(iters >= 1, "powerIterationTop needs iters >= 1")
     val spark = df.sparkSession
     import spark.implicits._
+    // persisted across the iters+1 bounded agg actions below — each
+    // iteration's matvec re-read and re-converted the vector column from
+    // parquet (round 10); released on the consumer's own action. n rides
+    // the mu aggregate instead of a second full-scan count action.
     val v = df.select(asDouble(col(vecCol)).as("v"))
-    val muRow = v.agg(
-      (1 to dims).map(i => avg(element_at(col("v"), i)).as(s"m$i")).head,
-      (1 to dims).map(i => avg(element_at(col("v"), i)).as(s"m$i")).tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val muRow = v.agg(count(lit(1)).as("n"),
+      (1 to dims).map(i => avg(element_at(col("v"), i)).as(s"m$i")): _*)
       .collect()(0)
-    val mu = Array.tabulate(dims)(i => muRow.getDouble(i))
-    val n = v.count()
+    val mu = Array.tabulate(dims)(i => muRow.getDouble(i + 1))
+    val n = muRow.getLong(0)
     var vec = Array.tabulate(dims)(i => if (i == 0) 1.0 else 0.0)
     var lambda = 0.0
     for (_ <- 1 to iters) {
@@ -555,6 +559,8 @@ object Similarity {
       val flip = if (w(0) < 0.0) -1.0 else 1.0
       vec = w.map(x => flip * x / lambda)
     }
+    // the output is a local 1-row frame — v has no more consumers
+    v.unpersist(blocking = false)
     def c(i: Int): Double = if (i < dims) vec(i) else 0.0
     Seq((n, lambda, c(0), c(1), c(2), c(3), c(4), c(5), c(6), c(7)))
       .toDF("n", "l_raw", "r0", "r1", "r2", "r3", "r4", "r5", "r6", "r7")

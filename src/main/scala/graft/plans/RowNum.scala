@@ -23,11 +23,13 @@ object RowNum {
 
   /** Assign 1..n in current row order. Numbering is inherently two passes
     * (per-partition offsets need every partition's count before any row can
-    * be numbered), so the input is persisted around them: the count pass
-    * executes the upstream ONCE and materializes it; the numbering pass
-    * reads the stored partitions instead of recomputing. The blocks are
-    * scoped to the FIRST Dataset action on the returned frame
-    * ([[Persists.onNextAction]]) — deterministic release, not
+    * be numbered). For narrow-deterministic inputs (round 10) the count
+    * pass runs column-pruned and NOTHING is persisted — see
+    * [[assignImpl]]. Otherwise the input is persisted around the passes:
+    * the count pass executes the upstream ONCE and materializes it; the
+    * numbering pass reads the stored partitions instead of recomputing.
+    * The blocks are scoped to the FIRST Dataset action on the returned
+    * frame ([[Persists.onNextAction]]) — deterministic release, not
     * ContextCleaner-when-GC'd (which leaked blocks across a 50-query bench
     * session, billing one query's storage to the next).
     *
@@ -48,29 +50,47 @@ object RowNum {
     * frame — a separately-built (e.g. column-pruned) plan could partition
     * rows differently, which would scramble the offsets. */
   def assign(df: DataFrame): DataFrame = {
-    val (numbered, release) = assignImpl(df)
+    val (numbered, release, _) = assignImpl(df)
     Persists.onNextAction(df.sparkSession)(release)
     numbered
   }
 
-  /** A plan whose recomputation is row-for-row stable: no shuffle anywhere
-    * (a shuffle read's within-partition order depends on fetch arrival)
-    * and no nondeterministic expression. For such plans the two numbering
-    * passes may run on two separately-planned trees — file splits are a
-    * pure function of the files and session confs, not of the read
-    * schema, so a column-pruned count pass sees the identical partition
-    * layout — and the persist is pure waste. */
+  /** A plan whose recomputation is row-for-row stable: a WHITELISTED
+    * narrow chain (scan / project / filter / generate / union / range /
+    * local relation) with no nondeterministic expression. For such plans
+    * the two numbering passes may run on two separately-planned trees —
+    * file splits are a pure function of the files and session confs, not
+    * of the read schema, so a column-pruned count pass sees the identical
+    * partition layout — and the persist is pure waste.
+    *
+    * Classified on the LOGICAL plan by an explicit whitelist, NOT by
+    * looking for exchanges in a physical plan: `sparkPlan` only carries
+    * exchanges the user asked for (repartition) — the ones
+    * EnsureRequirements inserts for a global sort / aggregate / join are
+    * added during execution preparation, inside AdaptiveSparkPlanExec
+    * when AQE is on, and are invisible to both `sparkPlan` and an
+    * `exists` over `executedPlan` (the round-10 r4 incident: a global
+    * sort over a multi-split scan was misclassified as narrow and the
+    * count pass counted UNSORTED scan partitions; sf0.01's single-split
+    * file hid it, the sf0.1 oracle caught it). Anything outside the
+    * whitelist — Sort, Aggregate, Join, Window, Repartition, anything
+    * new — takes the persist path by default. */
   private def narrowDeterministic(df: DataFrame): Boolean = {
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    val analyzed = df.queryExecution.analyzed
-    // sparkPlan, NOT executedPlan: AdaptiveSparkPlanExec holds its subtree
-    // in a private field with no children, so exists() over executedPlan
-    // is blind to every exchange under AQE
-    analyzed.find(p => p.expressions.exists(e => !e.deterministic)).isEmpty &&
-      !df.queryExecution.sparkPlan.exists(_.isInstanceOf[ShuffleExchangeLike])
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val plan = df.queryExecution.analyzed
+    val allNarrow = plan.collectFirst {
+      case p if !(p.isInstanceOf[Project] || p.isInstanceOf[Filter] ||
+        p.isInstanceOf[Generate] || p.isInstanceOf[SubqueryAlias] ||
+        p.isInstanceOf[Union] || p.isInstanceOf[Range] ||
+        p.isInstanceOf[LocalRelation] ||
+        p.isInstanceOf[LogicalRelation]) => p
+    }.isEmpty
+    allNarrow &&
+      plan.find(p => p.expressions.exists(e => !e.deterministic)).isEmpty
   }
 
-  private def assignImpl(df: DataFrame): (DataFrame, () => Unit) = {
+  private def assignImpl(df: DataFrame): (DataFrame, () => Unit, Long) = {
     val withoutOld = df.drop(RowNumCol)
     // Narrow-deterministic fast path (round 10): the count pass runs on
     // the COLUMN-PRUNED plan — `select()` collapses a parquet scan to a
@@ -91,7 +111,7 @@ object RowNum {
         .mapPartitionsWithIndex((pid, it) =>
           Iterator(pid -> it.foldLeft(0L)((n, _) => n + 1)))
         .collect().toMap
-      (numberByOffsets(withoutOld, counts), () => ())
+      (numberByOffsets(withoutOld, counts), () => (), counts.values.sum)
     } else {
       val cached = withoutOld.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -102,7 +122,8 @@ object RowNum {
           Iterator(pid -> it.foldLeft(0L)((n, _) => n + 1)))
         .collect().toMap
       (numberByOffsets(cached, counts),
-        () => { cached.unpersist(blocking = false); () })
+        () => { cached.unpersist(blocking = false); () },
+        counts.values.sum)
     }
   }
 
@@ -122,13 +143,24 @@ object RowNum {
   def ensure(df: DataFrame): DataFrame =
     if (df.columns.contains(RowNumCol)) df else assign(df)
 
+  /** [[assign]] plus the TOTAL row count, for free: the numbering pass
+    * already counts every partition, so a caller that needs n (e.g. a
+    * decile boundary) must not pay a second full-scan count action
+    * (round 10: gainsTable's separate count re-evaluated its scored
+    * input once per run). */
+  def assignWithTotal(df: DataFrame): (DataFrame, Long) = {
+    val (numbered, release, total) = assignImpl(df)
+    Persists.onNextAction(df.sparkSession)(release)
+    (numbered, total)
+  }
+
   /** Eager-consumer variant: number, run `f`, then DROP the persisted
     * blocks deterministically (assign's persist is otherwise reclaimed
     * only when the ContextCleaner GCs the frame's lineage — fine for
     * short-lived query frames, wasteful when the caller fully consumes
     * the numbered frame inside one action, e.g. a collect). */
   def withAssigned[T](df: DataFrame)(f: DataFrame => T): T = {
-    val (numbered, release) = assignImpl(df)
+    val (numbered, release, _) = assignImpl(df)
     try f(numbered)
     finally release()
   }
