@@ -27,9 +27,32 @@ object Tables {
     // default, which logs a noisy "Truncated plan" warning; print fully
     "spark.sql.debug.maxToStringFields" -> "200")
 
+  // Per-session memo of the loaded frames' LOGICAL PLANS (round 10):
+  // spark.read.parquet re-resolves the DataSource and re-reads the footer
+  // schema on every call (~0.12 s warm), and a query referencing 4-8
+  // tables paid it per reference per bench rep — ~1 s of q8's build was
+  // repeated metadata resolution. The memo holds metadata only (an
+  // unexecuted plan): no rows, no results — every action still computes
+  // from the parquet inputs, exactly like the session's own
+  // FileStatusCache one layer down. Weak-keyed by session so closed
+  // sessions release their entries.
+  private val planCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$table.parquet")
-    if (table == "events") normalizeEventTs(df) else df
+    val per = planCache.synchronized {
+      var m = planCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        planCache.put(spark, m)
+      }
+      m
+    }
+    per.computeIfAbsent(s"$sfDir/$table", _ => {
+      val df = spark.read.parquet(s"$sfDir/$table.parquet")
+      if (table == "events") normalizeEventTs(df) else df
+    })
   }
 
   /** Normalize the events `ts` column to a session-TZ TimestampType
