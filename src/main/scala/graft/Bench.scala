@@ -79,6 +79,15 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
+    // Compact summary as the FINAL stdout line (round 11): at 337 queries
+    // the full per-query line is ~11 KB and any consumer that keeps only a
+    // bounded output tail truncates it mid-object (the round-10 driver
+    // parsed null from every bench run for exactly this reason). The full
+    // line above is unchanged — the contract's queries map still prints and
+    // still lands in SPARK_GRAFT_BENCH_OUT — this line only guarantees the
+    // totals survive any tail window. Addition-only; no timing semantics.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    println(s"""{"total_sec":$total,"n":${ok.size},"failed":${errors.size},"sf":"$sfDir","cpus":$cpus,"result_file":${jstr(outPath)}}""")
   }
 
   /** Parent: assign each query to a chunk BY CONTENT (murmur3 of the query
